@@ -1,0 +1,126 @@
+"""StandardAnalyzer-equivalent analysis chain for PySpark.
+
+Pipeline (reference: lucene/core/src/java/org/apache/lucene/analysis/standard/
+StandardAnalyzer.java:84-96): UAX#29-style word-break tokenization
+(StandardTokenizer.java:38-57, grammar StandardTokenizerImpl.jflex:95-245) →
+per-code-point lowercasing (LowerCaseFilter.java:36-44) → stopword removal
+(StopFilter.java:24,96).  StandardAnalyzer's default stop set is EMPTY; the
+engine wires in EnglishAnalyzer's 33-word list per the north rule
+(analysis/common/.../en/EnglishAnalyzer.java:46-52).
+
+Tokenizer semantics implemented (subset of UAX#29 covering the reference's
+TestStandardAnalyzer goldens that our corpus exercises):
+  - runs of letters/digits/underscore form one token (ALPHANUM/NUM/HANGUL…);
+  - medial apostrophe between letters joins (O'Reilly, don't);
+  - medial '.' between letters or digits joins (21.35, 216.239.63.104,
+    example.com — UAX#29 MidNumLet);
+  - medial ',' between digits joins (4,600 — MidNum);
+  - '-', '/', ',', whitespace, and other punctuation split;
+  - CJK ideographs and hiragana emit one token per character; katakana runs;
+  - emoji sequences (ZWJ chains, skin-tone modifiers, flags) are one token;
+  - tokens longer than max_token_length (255) are SKIPPED entirely
+    (StandardTokenizer.java:144-168 — not truncated).
+
+This runs row-at-a-time inside Arrow-batched pandas UDFs (the regex engine is
+C; there is no per-token Python loop on the hot path beyond list building).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+# EnglishAnalyzer.ENGLISH_STOP_WORDS_SET (EnglishAnalyzer.java:46-52).
+ENGLISH_STOP_WORDS = frozenset(
+    """a an and are as at be but by for if in into is it no not of on or such
+    that the their then there these they this to was will with""".split()
+)
+
+MAX_TOKEN_LENGTH = 255  # StandardAnalyzer.java:37 DEFAULT_MAX_TOKEN_LENGTH
+
+# --- character classes -------------------------------------------------------
+# CJK chars handled by dedicated rules, excluded from generic word runs.
+_IDEO = (
+    "〆〇〡-〩〸-〺"
+    "㐀-䶿一-鿿豈-﫿"
+    "\U00020000-\U0002fa1f"
+)
+_HIRA = "ぁ-ゖゝ-ゟ"
+_KATA = "ァ-ヺー-ヿㇰ-ㇿｦ-ﾝ"
+_CJK = _IDEO + _HIRA + _KATA
+
+# word char = \w minus CJK; letter = word char minus digits/underscore
+_WC = rf"[^\W{_CJK}]"
+_LETTER = rf"[^\W\d_{_CJK}]"
+
+_EMOJI_BASE = "\U0001f000-\U0001faff☀-➿⬀-⯿←-⇿"
+_EMOJI = (
+    rf"(?:[\U0001f1e6-\U0001f1ff]{{2}}|[{_EMOJI_BASE}])"
+    rf"(?:[\U0001f3fb-\U0001f3ff️])*"
+    rf"(?:‍(?:[{_EMOJI_BASE}])(?:[\U0001f3fb-\U0001f3ff️])*)*"
+)
+
+_WORD = (
+    rf"{_WC}"
+    rf"(?:{_WC}"
+    rf"|(?<={_LETTER})['’ʼ](?={_LETTER})"
+    rf"|(?<={_LETTER})\.(?={_LETTER})"
+    rf"|(?<=\d)\.(?=\d)"
+    rf"|(?<=\d),(?=\d)"
+    rf")*"
+)
+
+_TOKEN_RE = re.compile(
+    "|".join(
+        [
+            _WORD,
+            rf"[{_KATA}]+",
+            rf"[{_HIRA}]",
+            rf"[{_IDEO}]",
+            _EMOJI,
+        ]
+    )
+)
+
+
+def tokenize(text: str, max_token_length: int = MAX_TOKEN_LENGTH) -> list[str]:
+    """UAX#29-style word-break tokens; over-long tokens skipped, not split."""
+    if not text:
+        return []
+    return [t for t in _TOKEN_RE.findall(text) if len(t) <= max_token_length]
+
+
+def analyze(
+    text: str,
+    stopwords: frozenset[str] = ENGLISH_STOP_WORDS,
+    max_token_length: int = MAX_TOKEN_LENGTH,
+) -> list[str]:
+    """Full chain: tokenize → lowercase → stop-filter.
+
+    The returned list length is the BM25 field length (FieldInvertState.length
+    counts only tokens *emitted* by the full chain — IndexingChain.java:1216,
+    StopFilter removes tokens entirely).
+    """
+    return [
+        lt
+        for t in tokenize(text, max_token_length)
+        if (lt := t.lower()) not in stopwords
+    ]
+
+
+def analyze_series(texts: pd.Series, stopwords: frozenset[str] = ENGLISH_STOP_WORDS) -> pd.Series:
+    """pandas-UDF body: Series[str] → Series[list[str]]."""
+    return texts.map(lambda t: analyze(t if isinstance(t, str) else "", stopwords))
+
+
+def make_analyze_udf(stopwords: frozenset[str] = ENGLISH_STOP_WORDS):
+    """Arrow-vectorized pandas UDF: text:string → tokens:array<string>."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def analyze_udf(texts: pd.Series) -> pd.Series:
+        return analyze_series(texts, stopwords)
+
+    return analyze_udf

@@ -1,0 +1,318 @@
+"""Per-segment query kernels: exhaustive oracle path + windowed block-max pruning.
+
+Lucene analog: the Scorer tree executed per leaf (search/WANDScorer.java:30-54
+Block-Max WAND, search/BlockMaxConjunctionScorer.java:30, exhaustive
+DisjunctionSumScorer.java / BooleanScorer.java).  This engine is
+block-at-a-time instead of doc-at-a-time: postings decode into numpy arrays
+128 docs at a time and score vectorized — same pruning principle
+(skip doc ranges whose score upper bound can't beat the current k-th score),
+rank-identical results, better constant factors in Python.
+
+Pruning design ("windowed BMW"): the segment's docID space is cut into fixed
+windows.  For each query term, per-block max impacts (impacts.py) are mapped
+onto the windows each block overlaps (block_last_docid gives block→docID-range
+— the skip-list analog, Lucene90SkipWriter.java:158-218).  A window's upper
+bound is the sum (OR) / bounded sum (AND) of per-term window maxima.  Windows
+are visited in DESCENDING upper-bound order, so once the top-k heap is full
+and the next window's bound is <= the k-th score, everything remaining is
+non-competitive and the kernel stops — the same early-termination contract as
+TopScoreDocCollector.updateMinCompetitiveScore (TopScoreDocCollector.java:
+203-222) + ImpactsDISI block skipping (ImpactsDISI.java:100-131).
+
+Scoring contracts (must match oracle exactly):
+  - per-term float32 score (similarity.BM25Scorer);
+  - clause sum accumulated in float64 **in query clause order**, cast to
+    float32 (DisjunctionSumScorer.java:38-44);
+  - AND-of-terms inside a mixed query rounds its sum to float32 *before* the
+    outer OR sums it (ConjunctionScorer.java:59-65 returns float);
+  - ties: score desc, then docID asc (TopScoreDocCollector.java:85-95,
+    TopDocs.java:93-120).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .codecs import BLOCK_SIZE, decode_postings
+from .impacts import max_scores_per_block
+from .similarity import BM25Scorer
+
+
+class TermPostings:
+    """Decoded-on-demand posting list for one (term, seg) row."""
+
+    def __init__(self, row: dict, seg_size: int):
+        self.nblocks = int(row["nblocks"])
+        self.n_tail = int(row["n_tail"])
+        self.doc_blob = bytes(row["doc_blob"])
+        self.freq_blob = bytes(row["freq_blob"])
+        self.tail_blob = bytes(row["tail_blob"])
+        self.block_last = np.asarray(row["block_last_docid"], dtype=np.int64)
+        self.imp_freqs = np.asarray(row["imp_freqs"], dtype=np.int64)
+        self.imp_dls = np.asarray(row["imp_dls"], dtype=np.int64)
+        self.imp_offsets = np.asarray(row["imp_offsets"], dtype=np.int64)
+        self.df_local = int(row["df_local"])
+        self._decoded: tuple[np.ndarray, np.ndarray] | None = None
+
+    def decode(self) -> tuple[np.ndarray, np.ndarray]:
+        if self._decoded is None:
+            self._decoded = decode_postings(
+                self.doc_blob, self.freq_blob, self.tail_blob, self.n_tail, self.nblocks
+            )
+        return self._decoded
+
+    def block_ranges(self) -> tuple[np.ndarray, np.ndarray]:
+        """(first_docid, last_docid) per block incl. the tail pseudo-block.
+
+        first_docid is a lower bound (prev block's last + 1); exact firsts
+        aren't needed for upper-bound window mapping.
+        """
+        ntotal = self.nblocks + (1 if self.n_tail else 0)
+        lasts = np.empty(ntotal, dtype=np.int64)
+        lasts[: self.nblocks] = self.block_last
+        if self.n_tail:
+            docids, _ = self.decode()
+            lasts[-1] = docids[-1]
+        firsts = np.empty(ntotal, dtype=np.int64)
+        firsts[0] = 0
+        firsts[1:] = lasts[:-1] + 1
+        return firsts, lasts
+
+
+def window_max_scores(
+    tp: TermPostings, scorer: BM25Scorer, n_windows: int, window_bits: int
+) -> np.ndarray:
+    """Max possible score of the term per docID window (0 where term absent)."""
+    out = np.zeros(n_windows, dtype=np.float64)
+    ntotal = tp.nblocks + (1 if tp.n_tail else 0)
+    if ntotal == 0:
+        return out
+    bmax = max_scores_per_block(tp.imp_freqs, tp.imp_dls, tp.imp_offsets, scorer)
+    firsts, lasts = tp.block_ranges()
+    w0 = firsts >> window_bits
+    w1 = lasts >> window_bits
+    for bi in range(ntotal):
+        out[w0[bi] : w1[bi] + 1] = np.maximum(out[w0[bi] : w1[bi] + 1], bmax[bi])
+    return out
+
+
+def _topk_from_scored(docids: np.ndarray, scores: np.ndarray, k: int):
+    """(score desc, docid asc) top-k."""
+    if len(docids) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    order = np.lexsort((docids, -scores))[:k]
+    return docids[order], scores[order]
+
+
+def score_union(
+    term_lists: list[tuple[np.ndarray, np.ndarray]],
+    scorers: list[BM25Scorer],
+    norm_lookup,
+    precision: str,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exhaustive OR: union docids, clause-ordered float64 accumulation.
+
+    ``term_lists``: [(docids, freqs)] per clause. ``norm_lookup(docids)``
+    returns the per-doc exact field length (dl); quantization happens in the
+    scorer per its precision mode.
+    """
+    if not term_lists:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    all_docs = np.unique(np.concatenate([d for d, _ in term_lists]))
+    acc = np.zeros(len(all_docs), dtype=np.float64)
+    for (docids, freqs), scorer in zip(term_lists, scorers):
+        if len(docids) == 0:
+            continue
+        pos = np.searchsorted(all_docs, docids)
+        s = scorer.score_from_dl(freqs, norm_lookup(docids))
+        np.add.at(acc, pos, s.astype(np.float64))
+    if precision == "lucene":
+        acc = acc.astype(np.float32).astype(np.float64)
+    return all_docs, acc
+
+
+def score_intersection(
+    term_lists: list[tuple[np.ndarray, np.ndarray]],
+    scorers: list[BM25Scorer],
+    norm_lookup,
+    precision: str,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exhaustive AND (leapfrog analog, vectorized set intersection)."""
+    if not term_lists:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    common = term_lists[0][0]
+    for docids, _ in term_lists[1:]:
+        common = common[np.isin(common, docids, assume_unique=True)]
+        if len(common) == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    acc = np.zeros(len(common), dtype=np.float64)
+    norms = norm_lookup(common)
+    for (docids, freqs), scorer in zip(term_lists, scorers):
+        pos = np.searchsorted(docids, common)
+        acc += scorer.score_from_dl(freqs[pos], norms).astype(np.float64)
+    if precision == "lucene":
+        acc = acc.astype(np.float32).astype(np.float64)
+    return common, acc
+
+
+def score_query_node(node, postings_by_term, scorers_by_term, norm_lookup, precision):
+    """Evaluate a 1-level boolean tree exhaustively → (docids, float64 scores).
+
+    node: ("term", t) | ("and", [t...]) | ("or", [node...]).
+    """
+    kind = node[0]
+    if kind == "term":
+        t = node[1]
+        if t not in postings_by_term:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        docids, freqs = postings_by_term[t]
+        s = scorers_by_term[t].score_from_dl(freqs, norm_lookup(docids)).astype(np.float64)
+        return docids, s
+    if kind == "and":
+        terms = node[1]
+        if any(t not in postings_by_term for t in terms):
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        return score_intersection(
+            [postings_by_term[t] for t in terms],
+            [scorers_by_term[t] for t in terms],
+            norm_lookup,
+            precision,
+        )
+    if kind == "or":
+        subs = [
+            score_query_node(c, postings_by_term, scorers_by_term, norm_lookup, precision)
+            for c in node[1]
+        ]
+        subs = [(d, s) for d, s in subs if len(d)]
+        if not subs:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        all_docs = np.unique(np.concatenate([d for d, _ in subs]))
+        acc = np.zeros(len(all_docs), dtype=np.float64)
+        for d, s in subs:
+            np.add.at(acc, np.searchsorted(all_docs, d), s)
+        if precision == "lucene":
+            acc = acc.astype(np.float32).astype(np.float64)
+        return all_docs, acc
+    raise ValueError(f"bad node {node!r}")
+
+
+def segment_topk(
+    node,
+    term_rows: dict[str, dict],
+    scorers_by_term: dict[str, BM25Scorer],
+    norm_lookup,
+    seg_size: int,
+    k: int,
+    precision: str = "lucene",
+    prune: bool = True,
+    window_bits: int = 12,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k for one segment with windowed block-max pruning.
+
+    Returns (local docids, float64 scores holding float32-rounded values in
+    lucene mode).  With ``prune=False`` runs the exhaustive path (the oracle
+    duel's "CheckHits" twin — CheckHits.java:602).
+    """
+    tps = {t: TermPostings(r, seg_size) for t, r in term_rows.items()}
+    postings_by_term = {t: tp.decode() for t, tp in tps.items()}
+
+    if not prune:
+        d, s = score_query_node(node, postings_by_term, scorers_by_term, norm_lookup, precision)
+        return _topk_from_scored(d, s, k)
+
+    # ---- windowed block-max pruning path ----
+    n_windows = (seg_size >> window_bits) + 1
+    kind = node[0]
+    # window upper bound = sum over clauses of per-clause window max
+    ub = np.zeros(n_windows, dtype=np.float64)
+    clause_terms: list[list[str]] = []
+    if kind == "term":
+        clause_terms = [[node[1]]]
+    elif kind == "and":
+        clause_terms = [[t] for t in node[1]]
+    else:  # or: clauses may be terms or ANDs
+        for c in node[1]:
+            clause_terms.append([c[1]] if c[0] == "term" else list(c[1]))
+
+    present_windows = None
+    if kind in ("term", "and"):
+        # conjunction: candidate windows must contain every term
+        for terms in clause_terms:
+            t = terms[0]
+            if t not in tps:
+                return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+            wms = window_max_scores(tps[t], scorers_by_term[t], n_windows, window_bits)
+            ub += wms
+            has = wms > 0
+            present_windows = has if present_windows is None else (present_windows & has)
+        ub[~present_windows] = 0.0
+    else:
+        for c in node[1]:
+            if c[0] == "term":
+                t = c[1]
+                if t in tps:
+                    ub += window_max_scores(tps[t], scorers_by_term[t], n_windows, window_bits)
+            else:  # AND sub-clause: bound = sum of member bounds where all present
+                sub_ub = np.zeros(n_windows, dtype=np.float64)
+                sub_present = None
+                ok = True
+                for t in c[1]:
+                    if t not in tps:
+                        ok = False
+                        break
+                    wms = window_max_scores(tps[t], scorers_by_term[t], n_windows, window_bits)
+                    sub_ub += wms
+                    has = wms > 0
+                    sub_present = has if sub_present is None else (sub_present & has)
+                if ok:
+                    sub_ub[~sub_present] = 0.0
+                    ub += sub_ub
+
+    # visit windows in descending upper-bound order; stop when bound <= kth
+    order = np.argsort(-ub, kind="stable")
+    top_docs = np.empty(0, dtype=np.int64)
+    top_scores = np.empty(0, dtype=np.float64)
+    kth = -np.inf
+    batch: list[int] = []
+    processed = 0
+    for wi in order:
+        if ub[wi] <= 0:
+            break
+        if len(top_docs) >= k and ub[wi] < kth:
+            # strict: UB-ordered traversal may visit a tied smaller docID
+            # later, and ties are broken by ascending docID — only a
+            # strictly smaller bound is provably non-competitive.
+            break
+        batch.append(int(wi))
+        processed += 1
+        if len(batch) >= 16 or processed == len(order):
+            top_docs, top_scores, kth = _score_windows(
+                batch, window_bits, node, postings_by_term, scorers_by_term,
+                norm_lookup, precision, top_docs, top_scores, k,
+            )
+            batch = []
+    if batch:
+        top_docs, top_scores, kth = _score_windows(
+            batch, window_bits, node, postings_by_term, scorers_by_term,
+            norm_lookup, precision, top_docs, top_scores, k,
+        )
+    return top_docs, top_scores
+
+
+def _score_windows(
+    windows, window_bits, node, postings_by_term, scorers_by_term,
+    norm_lookup, precision, top_docs, top_scores, k,
+):
+    """Score the docs falling in the given windows; merge into running top-k."""
+    windows = np.asarray(windows, dtype=np.int64)
+    sub_postings = {}
+    for t, (docids, freqs) in postings_by_term.items():
+        w = docids >> window_bits
+        mask = np.isin(w, windows)
+        sub_postings[t] = (docids[mask], freqs[mask])
+    d, s = score_query_node(node, sub_postings, scorers_by_term, norm_lookup, precision)
+    md = np.concatenate([top_docs, d])
+    ms = np.concatenate([top_scores, s])
+    td, ts = _topk_from_scored(md, ms, k)
+    kth = ts[-1] if len(td) >= k else -np.inf
+    return td, ts, kth

@@ -1,0 +1,125 @@
+"""Codec roundtrip property tests, mirroring core/src/test/.../codecs/lucene90/
+TestForUtil.java:35-88 + TestPForUtil + TestForDeltaUtil (random blocks at
+every bit width, exception paths, all-equal, dense, tails)."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.codecs import (
+    BLOCK_SIZE,
+    block_offsets,
+    decode_block,
+    decode_for_delta,
+    decode_pfor,
+    decode_postings,
+    encode_for_delta,
+    encode_pfor,
+    encode_postings,
+    pack_bits,
+    read_vints,
+    unpack_bits,
+    write_vints,
+)
+
+rng = np.random.default_rng(7)
+
+
+@pytest.mark.parametrize("bpv", range(1, 32))
+def test_pack_roundtrip_every_bpv(bpv):
+    vals = rng.integers(0, 2**bpv, BLOCK_SIZE, dtype=np.uint64).astype(np.uint32)
+    vals[rng.integers(0, BLOCK_SIZE)] = (1 << bpv) - 1  # force max width
+    data = pack_bits(vals, bpv)
+    assert len(data) == (BLOCK_SIZE * bpv + 7) // 8
+    out = unpack_bits(data, BLOCK_SIZE, bpv)
+    np.testing.assert_array_equal(out, vals)
+
+
+def test_vints():
+    vals = np.array([0, 1, 127, 128, 300, 2**20, 2**40], dtype=np.uint64)
+    data = write_vints(vals)
+    out, pos = read_vints(data, len(vals))
+    np.testing.assert_array_equal(out, vals)
+    assert pos == len(data)
+
+
+def test_for_delta_dense_marker():
+    deltas = np.ones(BLOCK_SIZE, dtype=np.uint32)
+    data = encode_for_delta(deltas)
+    assert data == b"\x00"  # single marker byte (ForDeltaUtil.java:54-60 analog)
+    out, off = decode_for_delta(data, 0)
+    np.testing.assert_array_equal(out, deltas)
+    assert off == 1
+
+
+def test_for_delta_random():
+    deltas = rng.integers(1, 5000, BLOCK_SIZE).astype(np.uint32)
+    data = encode_for_delta(deltas)
+    out, _ = decode_for_delta(data, 0)
+    np.testing.assert_array_equal(out, deltas)
+
+
+def test_pfor_all_equal():
+    vals = np.full(BLOCK_SIZE, 7, dtype=np.uint32)
+    data = encode_pfor(vals)
+    assert len(data) == 2  # token + 1-byte varint
+    out, _ = decode_pfor(data, 0)
+    np.testing.assert_array_equal(out, vals)
+
+
+@pytest.mark.parametrize("n_outliers", [1, 2, 3])
+def test_pfor_exception_path(n_outliers):
+    vals = rng.integers(1, 8, BLOCK_SIZE).astype(np.uint32)
+    idx = rng.choice(BLOCK_SIZE, n_outliers, replace=False)
+    vals[idx] = rng.integers(2**16, 2**20, n_outliers).astype(np.uint32)
+    data = encode_pfor(vals)
+    token = data[0]
+    assert token >> 5 == n_outliers  # exceptions stored, not widened bpv
+    assert token & 0x1F <= 4
+    out, _ = decode_pfor(data, 0)
+    np.testing.assert_array_equal(out, vals)
+
+
+def test_pfor_random_many():
+    for _ in range(25):
+        vals = rng.integers(1, 2 ** int(rng.integers(1, 20)), BLOCK_SIZE).astype(np.uint32)
+        out, _ = decode_pfor(encode_pfor(vals), 0)
+        np.testing.assert_array_equal(out, vals)
+
+
+@pytest.mark.parametrize("n", [1, 5, 127, 128, 129, 300, 1000, 1024 + 17])
+def test_postings_roundtrip(n):
+    docids = np.sort(rng.choice(10 * n, n, replace=False)).astype(np.int64)
+    freqs = rng.integers(1, 100, n).astype(np.int64)
+    freqs[rng.integers(0, n)] = 1
+    enc = encode_postings(docids, freqs)
+    d, f = decode_postings(
+        enc["doc_blob"], enc["freq_blob"], enc["tail_blob"], enc["n_tail"], n // BLOCK_SIZE
+    )
+    np.testing.assert_array_equal(d, docids)
+    np.testing.assert_array_equal(f, freqs)
+    nblocks = n // BLOCK_SIZE
+    assert len(enc["block_last_docid"]) == nblocks
+    if nblocks:
+        assert enc["block_last_docid"][0] == docids[BLOCK_SIZE - 1]
+
+
+def test_block_random_access():
+    n = 5 * BLOCK_SIZE + 17
+    docids = np.sort(rng.choice(20 * n, n, replace=False)).astype(np.int64)
+    freqs = rng.integers(1, 50, n).astype(np.int64)
+    enc = encode_postings(docids, freqs)
+    doffs, foffs = block_offsets(enc["doc_blob"], enc["freq_blob"], 5)
+    for bi in range(5):
+        prev = -1 if bi == 0 else int(enc["block_last_docid"][bi - 1])
+        d, f = decode_block(doffs, foffs, enc["doc_blob"], enc["freq_blob"], bi, prev)
+        sl = slice(bi * BLOCK_SIZE, (bi + 1) * BLOCK_SIZE)
+        np.testing.assert_array_equal(d, docids[sl])
+        np.testing.assert_array_equal(f, freqs[sl])
+
+
+def test_dense_posting_list_compresses_to_markers():
+    # docids 0..n-1 (term in every doc): doc blob should be ~1 byte/block
+    n = 4 * BLOCK_SIZE
+    enc = encode_postings(np.arange(n, dtype=np.int64), np.ones(n, dtype=np.int64))
+    assert len(enc["doc_blob"]) == 4  # 4 dense markers
+    assert len(enc["freq_blob"]) == 8  # 4 × (token + varint) all-equal freq blocks
