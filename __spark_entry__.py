@@ -1,38 +1,390 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+queries() exposes the engine's operator surface (SURVEY.md §2) over the
+driver's tables; each SQL-expressible entry has a DuckDB oracle twin in
+oracle_sql().  Fulltext queries run the REAL pipeline — index build
+(analysis → invert → compressed segments) + windowed block-max search — in
+the engine's float64 precision mode, whose arithmetic DuckDB can replicate
+expression-for-expression (the Lucene-faithful float32 mode is asserted
+rank-identical to the exhaustive oracle by the pytest suite, which is the
+north rule's gate).  Scores/similarities are quantized with floor(x*10^d) so
+both engines hash identically despite last-ulp summation-order freedom.
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lucene_spark.analysis import ENGLISH_STOP_WORDS
+from lucene_spark.index import Index, build_index, tokenize_docs
+from lucene_spark.search import search
+from lucene_spark.smallfloat import byte4_to_int
+from lucene_spark import ann, textops
+
+# ---------------------------------------------------------------- shared bits
+
+_STOPS_SQL = ",".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+
+_FT_PRELUDE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+ftok AS (SELECT doc_id, term FROM tok WHERE term NOT IN ({_STOPS_SQL})),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM ftok GROUP BY doc_id, term),
+dl AS (SELECT d.doc_id, CAST(count(f.term) AS BIGINT) AS dl
+       FROM documents d LEFT JOIN ftok f ON d.doc_id = f.doc_id GROUP BY d.doc_id),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sttf FROM dl),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
+"""
+
+
+def _score_sql(terms: list[str]) -> str:
+    """doc_scores CTE: float64 BM25 mirroring similarity.BM25Scorer exactly
+    (w - w/(1 + tf*inv), inv = 1/(1.2*((1-0.75) + 0.75*dl/avgdl)))."""
+    tlist = ",".join(f"'{t}'" for t in terms)
+    return f"""
+term_scores AS (
+  SELECT tf.doc_id,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) AS w,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (s.sttf / s.n))) AS inv,
+         tf.tf AS tf
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  WHERE tf.term IN ({tlist})
+),
+doc_scores AS (
+  SELECT doc_id, SUM(w - w / (1.0 + tf * inv)) AS score, count(*) AS n_terms
+  FROM term_scores GROUP BY doc_id
+)"""
+
+
+def _topk_sql(terms: list[str], k: int, require_all: int | None = None, offset: int = 0) -> str:
+    having = f"HAVING count(*) = {require_all}" if require_all else ""
+    base = _score_sql(terms).replace(
+        "FROM term_scores GROUP BY doc_id",
+        f"FROM term_scores GROUP BY doc_id {having}",
+    )
+    return (
+        _FT_PRELUDE + "," + base
+        + f"""
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM doc_scores ORDER BY score DESC, doc_id LIMIT {k} OFFSET {offset}"""
+    )
+
+
+_INDEX_CACHE: dict[str, Index] = {}
+
+
+def _ft_index(spark: SparkSession, sf_dir: str) -> Index:
+    if sf_dir not in _INDEX_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        idx = build_index(spark, docs, text_col="text", key_col="doc_id",
+                          docid_col="doc_id", seg_size=2048)
+        idx.postings = idx.postings.persist()
+        idx.termdict = idx.termdict.persist()
+        idx.norms = idx.norms.persist()
+        idx.postings.count()
+        _INDEX_CACHE[sf_dir] = idx
+    return _INDEX_CACHE[sf_dir]
+
+
+def _topk_df(spark: SparkSession, sf_dir: str, query: str, k: int, skip: int = 0) -> DataFrame:
+    idx = _ft_index(spark, sf_dir)
+    td = search(idx, query, k=k + skip, precision="float64", prune=True)
+    rows = [
+        (int(d), int(math.floor(s * 10000)))
+        for d, s in zip(td.docids.tolist()[skip:], td.scores.tolist()[skip:])
+    ]
+    return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tokenize_docs(
+        _docs(spark, sf_dir).withColumn("docid", F.col("doc_id")),
+        text_col="text", key_col="doc_id",
+    )
+
+
+# ---------------------------------------------------------------- entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full index-build + mixed boolean BM25 top-k on sf0.001."""
+    return _topk_df(spark, "/root/testdata/sf0.001", "(key AND window) OR dup", 10)
+
+
+# ---------------------------------------------------------------- queries
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- analysis chain + index tables (SURVEY §2.1-2.2) ---
+    def ft_token_stats(spark, sf):
+        return _tokenized(spark, sf).select(F.col("docid").alias("doc_id"), "dl")
+
+    def ft_norms(spark, sf):
+        return _tokenized(spark, sf).select(
+            F.col("docid").alias("doc_id"), "dl", F.col("norm").cast("long").alias("norm")
+        )
+
+    def ft_termdict(spark, sf):
+        idx = _ft_index(spark, sf)
+        return idx.termdict.select("term", "df", "cf")
+
+    def ft_stats(spark, sf):
+        idx = _ft_index(spark, sf)
+        return spark.createDataFrame(
+            [(idx.doc_count, idx.sum_total_term_freq)], "doc_count long, sum_ttf long"
+        )
+
+    # --- query operators (SURVEY §2.3): the real engine, pruned kernel ---
+    def ft_term_topk(spark, sf):
+        return _topk_df(spark, sf, "dup", 10)
+
+    def ft_or_topk(spark, sf):
+        return _topk_df(spark, sf, "spark window dup", 10)
+
+    def ft_and_topk(spark, sf):
+        return _topk_df(spark, sf, "key AND window", 10)
+
+    def ft_and3_topk(spark, sf):
+        return _topk_df(spark, sf, "batch AND scan AND agg", 100)
+
+    def ft_mixed_topk(spark, sf):
+        return _topk_df(spark, sf, "(key AND window) OR dup", 10)
+
+    def ft_must_not(spark, sf):
+        return _topk_df(spark, sf, "spark NOT dup", 10)
+
+    def ft_paging(spark, sf):
+        # searchAfter analog (IndexSearcher.java:470-511): results 11..20
+        return _topk_df(spark, sf, "batch", 10, skip=10)
+
+    def ft_count(spark, sf):
+        idx = _ft_index(spark, sf)
+        td = search(idx, "spark window dup", k=10**9, precision="float64", prune=False)
+        return spark.createDataFrame([(len(td.docids),)], "n_hits long")
+
+    def ft_prefix_match(spark, sf):
+        # MultiTermQuery expansion against the term dictionary (PrefixQuery)
+        idx = _ft_index(spark, sf)
+        expanded = [r["term"] for r in idx.termdict.filter(F.col("term").like("s%")).collect()]
+        toks = _tokenized(spark, sf).select(F.col("docid").alias("doc_id"),
+                                            F.explode("tokens").alias("term"))
+        return toks.filter(F.col("term").isin(expanded)).select("doc_id").distinct()
+
+    def ft_facet_lang(spark, sf):
+        # facet counts over matching docs (FacetsCollector analog)
+        idx = _ft_index(spark, sf)
+        td = search(idx, "dup", k=10**9, precision="float64", prune=False)
+        ids = [int(d) for d in td.docids]
+        return (
+            _docs(spark, sf).filter(F.col("doc_id").isin(ids))
+            .groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    # --- training-data pipeline ops ---
+    def dedup_exact(spark, sf):
+        return textops.exact_duplicates(_docs(spark, sf))
+
+    def text_fingerprint(spark, sf):
+        return textops.fingerprint(_docs(spark, sf))
+
+    def dedup_jaccard(spark, sf):
+        return textops.ngram_jaccard_pairs(_docs(spark, sf), n=1, threshold=0.5).select(
+            "a", "b", F.floor(F.col("jaccard") * 1e6).cast("long").alias("jaccard_q")
+        )
+
+    def dedup_minhash_lsh(spark, sf):  # approximate: rows-only check
+        return textops.minhash_lsh_candidates(_docs(spark, sf), n=3, num_perm=32, bands=8)
+
+    def dedup_simhash(spark, sf):  # own hash fn: rows-only check
+        return textops.simhash(_docs(spark, sf))
+
+    def text_token_count(spark, sf):
+        return textops.token_stats(_docs(spark, sf))
+
+    def text_quality(spark, sf):
+        return textops.quality_score(_docs(spark, sf)).select(
+            "doc_id", "n_tokens", F.floor(F.col("quality") * 1e6).cast("long").alias("quality_q")
+        )
+
+    def text_langid(spark, sf):
+        return textops.language_id(_docs(spark, sf))
+
+    # --- similarity search ---
+    def ann_bruteforce(spark, sf):
+        emb = _emb(spark, sf)
+        qvec = np.array(
+            emb.filter("vec_id = 0").select("embedding").collect()[0][0], dtype=np.float64
+        )
+        out = ann.brute_force_topk(emb, qvec, k=10)
+        return out.select("vec_id", F.floor(F.col("cosine") * 1e6).cast("long").alias("cosine_q"))
+
+    def ann_lsh(spark, sf):  # approximate: rows-only check
+        emb = _emb(spark, sf)
+        qvec = np.array(
+            emb.filter("vec_id = 0").select("embedding").collect()[0][0], dtype=np.float64
+        )
+        out = ann.lsh_topk(emb, qvec, k=10, n_planes=10, dim=len(qvec))
+        return out.select("vec_id", F.floor(F.col("cosine") * 1e6).cast("long").alias("cosine_q"))
+
+    def emb_label_stats(spark, sf):
+        emb = _emb(spark, sf)
+        norm = "sqrt(aggregate(CAST(embedding AS ARRAY<DOUBLE>), 0D, (s,x) -> s + x*x))"
+        return (
+            emb.select("label", F.expr(norm).alias("nrm"))
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.floor(F.avg("nrm") * 1e4).cast("long").alias("avg_norm_q"))
+        )
+
+    for fn in [
+        ft_token_stats, ft_norms, ft_termdict, ft_stats, ft_term_topk, ft_or_topk,
+        ft_and_topk, ft_and3_topk, ft_mixed_topk, ft_must_not, ft_paging, ft_count,
+        ft_prefix_match, ft_facet_lang, dedup_exact, text_fingerprint, dedup_jaccard,
+        dedup_minhash_lsh, dedup_simhash, text_token_count, text_quality, text_langid,
+        ann_bruteforce, ann_lsh, emb_label_stats,
+    ]:
+        q[fn.__name__] = fn
+    return q
+
+
+# ---------------------------------------------------------------- oracles
+
+
+def _norm_bounds_sql() -> str:
+    rows = ",".join(f"({b},{byte4_to_int(b)})" for b in range(256))
+    return f"(VALUES {rows}) AS bounds(b, v)"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    cos = (
+        "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)"
+    )
+    return {
+        "ft_token_stats": _FT_PRELUDE + "SELECT doc_id, dl FROM dl",
+        "ft_norms": _FT_PRELUDE + f"""
+SELECT dl.doc_id, dl.dl,
+       (SELECT max(b) FROM {_norm_bounds_sql()} WHERE v <= dl.dl) AS norm
+FROM dl""",
+        "ft_termdict": _FT_PRELUDE + """
+SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+FROM tf GROUP BY term""",
+        "ft_stats": _FT_PRELUDE + "SELECT n AS doc_count, sttf AS sum_ttf FROM stats",
+        "ft_term_topk": _topk_sql(["dup"], 10),
+        "ft_or_topk": _topk_sql(["spark", "window", "dup"], 10),
+        "ft_and_topk": _topk_sql(["key", "window"], 10, require_all=2),
+        "ft_and3_topk": _topk_sql(["batch", "scan", "agg"], 100, require_all=3),
+        "ft_mixed_topk": _FT_PRELUDE + """,
+term_scores AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) AS w,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (s.sttf / s.n))) AS inv,
+         tf.tf AS tf
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term IN ('key', 'window', 'dup')
+),
+raw AS (
+  SELECT doc_id,
+         SUM(CASE WHEN term IN ('key','window') THEN w - w/(1.0 + tf*inv) END) AS and_score,
+         SUM(CASE WHEN term = 'dup' THEN w - w/(1.0 + tf*inv) END) AS dup_score,
+         count(CASE WHEN term IN ('key','window') THEN 1 END) AS n_and
+  FROM term_scores GROUP BY doc_id
+)
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q FROM (
+  SELECT doc_id,
+         COALESCE(CASE WHEN n_and = 2 THEN and_score END, 0) + COALESCE(dup_score, 0) AS score
+  FROM raw
+) WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10""",
+        "ft_must_not": _FT_PRELUDE + "," + _score_sql(["spark"]) + """
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM doc_scores
+WHERE doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'dup')
+ORDER BY score DESC, doc_id LIMIT 10""",
+        "ft_paging": _topk_sql(["batch"], 10, offset=10),
+        "ft_count": _FT_PRELUDE + """
+SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_hits FROM tf
+WHERE term IN ('spark','window','dup')""",
+        "ft_prefix_match": _FT_PRELUDE + """
+SELECT DISTINCT doc_id FROM ftok WHERE term LIKE 's%'""",
+        "ft_facet_lang": _FT_PRELUDE + """
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'dup')
+GROUP BY d.lang""",
+        "dedup_exact": """
+SELECT md5(text) AS fingerprint, CAST(count(*) AS BIGINT) AS n_dups,
+       min(doc_id) AS canonical_id
+FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
+        "text_fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "dedup_jaccard": """
+WITH grams AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS ngram FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS n_common
+  FROM grams g1 JOIN grams g2 ON g1.ngram = g2.ngram AND g1.doc_id < g2.doc_id
+  GROUP BY g1.doc_id, g2.doc_id
+)
+SELECT a, b,
+       CAST(floor((CAST(n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - n_common)) * 1e6) AS BIGINT) AS jaccard_q
+FROM inter
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE CAST(n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - n_common) >= 0.5""",
+        "text_token_count": f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+SELECT doc_id,
+       CAST(count(*) AS INT) AS n_tokens,
+       CAST(count(DISTINCT t) AS INT) AS n_distinct,
+       CAST(count(CASE WHEN t IN ({_STOPS_SQL}) THEN 1 END) AS INT) AS n_stop
+FROM toks GROUP BY doc_id""",
+        "text_quality": f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+st AS (
+  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT t) AS n_distinct,
+         count(CASE WHEN t IN ({_STOPS_SQL}) THEN 1 END) AS n_stop
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(floor((least(n_tokens / 100.0, 1.0) * 0.4
+             + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+             + (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.3) * 1e6) AS BIGINT) AS quality_q
+FROM st""",
+        "text_langid": f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+st AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         count(CASE WHEN t IN ({_STOPS_SQL}) THEN 1 END) AS n_stop
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id,
+       CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens >= 0.05 THEN 'en' ELSE 'unk' END AS lang_pred
+FROM st""",
+        "ann_bruteforce": f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, CAST(floor({cos} * 1e6) AS BIGINT) AS cosine_q
+FROM embeddings e CROSS JOIN q
+ORDER BY {cos} DESC, e.vec_id LIMIT 10""",
+        "emb_label_stats": """
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+       CAST(floor(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))) * 1e4) AS BIGINT) AS avg_norm_q
+FROM embeddings GROUP BY label""",
+    }

@@ -1,0 +1,122 @@
+"""Benchmark harness (driver contract): ONE JSON line on stdout.
+
+Workload (BASELINE.md): batch index build over a synthesized Common-Crawl-style
+corpus (FIXTURES.md) sized by SF, then the headline BM25 query suite (term /
+disjunction / conjunction / mixed, k=10 and 100) on the built index.
+Reports wall seconds (value), per-query seconds, and docs/sec throughput.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) — only used to derive
+SF; the fulltext corpus is engine-synthesized per FIXTURES.md since the
+driver's TPC-H-ish tables are not a web corpus (BASELINE.md "bench tiers").
+SPARK_GRAFT_CPUS (default 32) — local[N] parallelism.
+
+Scaling evidence (north rule N vs 4N executors): run `python bench.py --cpus 8`
+and `--cpus 32` on the same SF; scale_bench.py automates both and writes
+BENCH.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+import time
+
+
+HEADLINE_QUERIES = {
+    "q_term_head": ("court", 10),
+    "q_term_tail": ("w04321", 10),
+    "q_or2": ("court law", 10),
+    "q_or4": ("planes trains automobiles ships", 10),
+    "q_or4_k100": ("planes trains automobiles ships", 100),
+    "q_and2": ("court AND law", 10),
+    "q_and3": ("planes AND trains AND automobiles", 10),
+    "q_mixed": ("(planes AND trains AND automobiles) OR ships", 10),
+    "q_mixed2": ("(court AND law) OR (market AND report)", 100),
+    "q_not": ("court NOT law", 10),
+}
+
+
+def make_session(cpus: int, shuffle_partitions: int | None = None):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"lucene_spark_bench_{cpus}")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(cpus * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def run_bench(cpus: int, n_docs: int, sf: float, k1_queries=HEADLINE_QUERIES) -> dict:
+    from lucene_spark.corpus import generate_pages
+    from lucene_spark.index import build_index
+    from lucene_spark.search import search
+
+    spark = make_session(cpus)
+    try:
+        pages_pdf = generate_pages(n_docs, seed=42)
+        pages = spark.createDataFrame(pages_pdf).repartition(max(cpus, 4))
+        pages = pages.persist()
+        pages.count()  # corpus materialization excluded from build timing
+
+        t0 = time.time()
+        idx = build_index(spark, pages)
+        idx.postings = idx.postings.persist()
+        idx.termdict = idx.termdict.persist()
+        idx.norms = idx.norms.persist()
+        n_posting_rows = idx.postings.count()
+        idx.termdict.count()
+        idx.norms.count()
+        build_s = time.time() - t0
+
+        q_times: dict[str, float] = {}
+        # warm-up (JIT/UDF worker spin-up) excluded once
+        search(idx, "court", k=10)
+        for name, (q, k) in k1_queries.items():
+            tq = time.time()
+            search(idx, q, k=k, precision="lucene", prune=True)
+            q_times[name] = round(time.time() - tq, 4)
+
+        total = build_s + sum(q_times.values())
+        return {
+            "metric": "index-build + headline BM25 query suite wall time",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": q_times,
+            "sf": sf,
+            "n_docs": n_docs,
+            "cpus": cpus,
+            "index_build_sec": round(build_s, 3),
+            "docs_per_sec": round(n_docs / build_s, 1),
+            "posting_rows": n_posting_rows,
+            "sum_ttf": idx.sum_total_term_freq,
+            "query_p50_sec": round(sorted(q_times.values())[len(q_times) // 2], 4),
+        }
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--n-docs", type=int, default=None)
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+    n_docs = args.n_docs or max(int(500_000 * sf), 1000)
+
+    result = run_bench(args.cpus, n_docs, sf)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

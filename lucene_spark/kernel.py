@@ -178,6 +178,17 @@ def score_query_node(node, postings_by_term, scorers_by_term, norm_lookup, preci
             norm_lookup,
             precision,
         )
+    if kind == "not":
+        # ReqExclScorer analog (search/ReqExclScorer.java:26): positive
+        # scores, excluded docs dropped, scoring unaffected.
+        d, s = score_query_node(
+            node[1], postings_by_term, scorers_by_term, norm_lookup, precision
+        )
+        for t in node[2]:
+            if t in postings_by_term and len(d):
+                mask = ~np.isin(d, postings_by_term[t][0], assume_unique=True)
+                d, s = d[mask], s[mask]
+        return d, s
     if kind == "or":
         subs = [
             score_query_node(c, postings_by_term, scorers_by_term, norm_lookup, precision)
@@ -222,51 +233,40 @@ def segment_topk(
 
     # ---- windowed block-max pruning path ----
     n_windows = (seg_size >> window_bits) + 1
-    kind = node[0]
-    # window upper bound = sum over clauses of per-clause window max
-    ub = np.zeros(n_windows, dtype=np.float64)
-    clause_terms: list[list[str]] = []
-    if kind == "term":
-        clause_terms = [[node[1]]]
-    elif kind == "and":
-        clause_terms = [[t] for t in node[1]]
-    else:  # or: clauses may be terms or ANDs
-        for c in node[1]:
-            clause_terms.append([c[1]] if c[0] == "term" else list(c[1]))
 
-    present_windows = None
-    if kind in ("term", "and"):
-        # conjunction: candidate windows must contain every term
-        for terms in clause_terms:
-            t = terms[0]
+    def node_ub(n_) -> np.ndarray:
+        """Recursive per-window score upper bound for a query node.
+
+        AND: sum of member bounds, zeroed where any member is absent
+        (BlockMaxConjunctionScorer.java:30 semantics); OR: sum of clause
+        bounds (WANDScorer/MaxScoreSumPropagator); NOT: bound of the positive
+        side (exclusion only lowers scores — still a valid upper bound).
+        """
+        kind_ = n_[0]
+        if kind_ == "term":
+            t = n_[1]
             if t not in tps:
-                return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-            wms = window_max_scores(tps[t], scorers_by_term[t], n_windows, window_bits)
-            ub += wms
-            has = wms > 0
-            present_windows = has if present_windows is None else (present_windows & has)
-        ub[~present_windows] = 0.0
-    else:
-        for c in node[1]:
-            if c[0] == "term":
-                t = c[1]
-                if t in tps:
-                    ub += window_max_scores(tps[t], scorers_by_term[t], n_windows, window_bits)
-            else:  # AND sub-clause: bound = sum of member bounds where all present
-                sub_ub = np.zeros(n_windows, dtype=np.float64)
-                sub_present = None
-                ok = True
-                for t in c[1]:
-                    if t not in tps:
-                        ok = False
-                        break
-                    wms = window_max_scores(tps[t], scorers_by_term[t], n_windows, window_bits)
-                    sub_ub += wms
-                    has = wms > 0
-                    sub_present = has if sub_present is None else (sub_present & has)
-                if ok:
-                    sub_ub[~sub_present] = 0.0
-                    ub += sub_ub
+                return np.zeros(n_windows, dtype=np.float64)
+            return window_max_scores(tps[t], scorers_by_term[t], n_windows, window_bits)
+        if kind_ == "and":
+            acc = np.zeros(n_windows, dtype=np.float64)
+            present = np.ones(n_windows, dtype=bool)
+            for t in n_[1]:
+                wms = node_ub(("term", t))
+                acc += wms
+                present &= wms > 0
+            acc[~present] = 0.0
+            return acc
+        if kind_ == "not":
+            return node_ub(n_[1])
+        acc = np.zeros(n_windows, dtype=np.float64)
+        for c in n_[1]:
+            acc += node_ub(c)
+        return acc
+
+    if node[0] == "and" and any(t not in tps for t in node[1]):
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    ub = node_ub(node)
 
     # visit windows in descending upper-bound order; stop when bound <= kth
     order = np.argsort(-ub, kind="stable")

@@ -47,6 +47,10 @@ def parse_query(q: str) -> tuple:
     call :func:`rewrite` to analyze them.
     """
     q = q.strip()
+    # MUST_NOT: `<positive> NOT t1 NOT t2` (BooleanClause.Occur.MUST_NOT)
+    if re.search(r"\s+NOT\s+", q):
+        parts = re.split(r"\s+NOT\s+", q)
+        return ("not", parse_query(parts[0]), [t.strip() for t in parts[1:]])
     # split top-level OR (respecting parens)
     parts = re.split(r"\s+OR\s+", q) if "(" not in q else _split_parens(q)
     clauses = []
@@ -94,6 +98,14 @@ def rewrite(node: tuple, stopwords=ENGLISH_STOP_WORDS) -> tuple | None:
     clauses all vanish (stopword-only) rewrites to MatchNoDocs → None.
     """
     kind = node[0]
+    if kind == "not":
+        pos = rewrite(node[1], stopwords)
+        if pos is None:
+            return None
+        neg: list[str] = []
+        for t in node[2]:
+            neg.extend(analyze(t, stopwords))
+        return ("not", pos, neg) if neg else pos
     if kind == "term":
         toks = analyze(node[1], stopwords)
         if not toks:
@@ -128,6 +140,8 @@ def query_terms(node: tuple) -> list[str]:
         return [node[1]]
     if kind == "and":
         return list(node[1])
+    if kind == "not":
+        return query_terms(node[1]) + list(node[2])
     out: list[str] = []
     for c in node[1]:
         out.extend(query_terms(c))

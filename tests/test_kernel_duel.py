@@ -70,6 +70,9 @@ def run_query(node, segs, dl, dfs, stats, seg_size, k, precision, prune, window_
             terms.add(n[1])
         elif n[0] == "and":
             terms.update(n[1])
+        elif n[0] == "not":
+            collect(n[1])
+            terms.update(n[2])
         else:
             for c in n[1]:
                 collect(c)
@@ -109,6 +112,8 @@ QUERIES = [
     ("or", [("term", "t2"), ("term", "t5"), ("term", "t9")]),
     ("or", [("and", ["t0", "t1"]), ("term", "t4")]),
     ("or", [("and", ["t2", "t3"]), ("and", ["t5", "t6"])]),
+    ("not", ("term", "t0"), ["t3"]),
+    ("not", ("or", [("term", "t1"), ("term", "t2")]), ["t0"]),
 ]
 
 
