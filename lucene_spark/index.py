@@ -5,9 +5,9 @@ FreqProxTermsWriter.java:82-137 flush → SegmentMerger.java:103-136 merge):
 
   pages ──repartitionByRange(url)──▶ deterministic global docIDs
         ──pandas UDF analyze──▶ tokens, dl, norm
-        ──explode + groupBy(term,docid)──▶ tf            (the "invert" step)
+        ──partition-local pandas groupby──▶ (term, docid, tf)   (the invert)
         ──groupBy(term, seg) applyInPandas──▶ compressed posting rows
-        ──groupBy(term)──▶ termdict (df, cf)
+        ──postings rollup──▶ termdict (df, cf)
         ──agg──▶ stats (docCount, sumTotalTermFreq)
 
 Segments are *docID ranges*: seg = docid // seg_size.  This plays the role of
@@ -22,8 +22,11 @@ delta gaps fit 32 bits regardless of corpus size, mirroring Lucene's
 segment-local docIDs + docBase remapping (index/DocIDMerger.java:32).
 
 Scale notes (100 TB / 1000 executors):
-  - one wide shuffle on (term, docid) for the invert, one on (term, seg) for
-    segment build — both keys are high-cardinality and bounded-skew;
+  - exactly ONE wide shuffle in the whole build — groupBy(term, seg) for the
+    segment rows — moving deduplicated (term, docid, tf) tuples; the invert
+    itself is partition-local (each doc lives in one partition);
+  - groupBy(term, seg) keys are high-cardinality and bounded-skew by the
+    docID-range segmentation;
   - AQE enabled callers get runtime coalescing; partition counts derived from
     input size;
   - the build is resumable per segment (north rule): `build_or_resume` skips
@@ -46,7 +49,7 @@ from .impacts import block_frontiers
 from .smallfloat import int_to_byte4_np
 
 POSTINGS_SCHEMA = (
-    "term string, seg long, df_local long, nblocks long, n_tail long, "
+    "term string, seg long, df_local long, cf_local long, nblocks long, n_tail long, "
     "doc_blob binary, freq_blob binary, tail_blob binary, "
     "block_last_docid array<long>, "
     "imp_freqs array<long>, imp_dls array<long>, imp_offsets array<long>"
@@ -90,7 +93,7 @@ def assign_docids(df: DataFrame, key_col: str = "url", num_partitions: int | Non
     """
     from pyspark import TaskContext
 
-    num_partitions = num_partitions or df.rdd.getNumPartitions()
+    num_partitions = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(num_partitions, F.col(key_col)).sortWithinPartitions(key_col)
     ranged = ranged.persist()
     counts = (
@@ -144,6 +147,7 @@ def _build_segment_rows(seg_size: int):
                     "term": term,
                     "seg": seg,
                     "df_local": len(docids),
+                    "cf_local": int(tfs.sum()),
                     "nblocks": len(docids) // BLOCK_SIZE,
                     "n_tail": enc["n_tail"],
                     "doc_blob": enc["doc_blob"],
@@ -198,19 +202,37 @@ def tokenize_docs(pages: DataFrame, text_col: str = "text", key_col: str = "url"
 def invert(docs_tok: DataFrame, seg_size: int) -> DataFrame:
     """docs(docid, tokens, dl) → tf table (term, docid, seg, tf, dl).
 
-    The explode + groupBy IS Lucene's invert step (IndexingChain.java:1120-1217)
-    expressed declaratively; Catalyst plans a partial (map-side) count before
-    the shuffle on (term, docid).
+    Lucene's invert step (IndexingChain.java:1120-1217 accumulating into
+    TermsHashPerField) done as *partition-local* pandas aggregation: each doc
+    lives in exactly one partition, so per-partition (term, docid) counts are
+    already global — no shuffle here at all.  The only wide exchange in the
+    whole build is the downstream groupBy(term, seg), and it moves unique
+    (term, docid, tf) tuples rather than raw tokens (~3-5x less at web text's
+    token repetition rates).
     """
-    return (
-        docs_tok.select(
-            "docid",
-            "dl",
-            F.explode("tokens").alias("term"),
-        )
-        .groupBy("term", "docid")
-        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
-        .withColumn("seg", (F.col("docid") / F.lit(seg_size)).cast("long"))
+
+    def local_invert(batches):
+        for pdf in batches:
+            n = pdf["tokens"].map(len).to_numpy(dtype=np.int64)
+            if n.sum() == 0:
+                continue
+            flat = pd.DataFrame(
+                {
+                    "term": np.concatenate([np.asarray(t, dtype=object) for t in pdf["tokens"]]),
+                    "docid": np.repeat(pdf["docid"].to_numpy(dtype=np.int64), n),
+                    "dl": np.repeat(pdf["dl"].to_numpy(dtype=np.int64), n),
+                }
+            )
+            out = (
+                flat.groupby(["term", "docid"], sort=False)
+                .agg(tf=("dl", "size"), dl=("dl", "first"))
+                .reset_index()
+            )
+            out["seg"] = out["docid"] // seg_size
+            yield out[["term", "docid", "seg", "tf", "dl"]]
+
+    return docs_tok.select("docid", "dl", "tokens").mapInPandas(
+        local_invert, schema="term string, docid long, seg long, tf long, dl long"
     )
 
 
@@ -237,16 +259,19 @@ def build_index(
         seg_size = max(1024, min(1_000_000, (doc_count // 32) + 1))
 
     docs_tok = tokenize_docs(pages, text_col=text_col, key_col=key_col).persist()
-    tf = invert(docs_tok, seg_size).persist()
-
-    termdict = tf.groupBy("term").agg(
-        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
-    )
+    tf = invert(docs_tok, seg_size)
 
     postings = (
         tf.select("term", "seg", "docid", "tf", "dl")
         .groupBy("term", "seg")
         .applyInPandas(_build_segment_rows(seg_size), schema=POSTINGS_SCHEMA)
+    )
+
+    # global term stats roll up from segment rows — no extra wide shuffle
+    # over the tf table (TermStates.build walks segments the same way,
+    # index/TermStates.java:95)
+    termdict = postings.groupBy("term").agg(
+        F.sum("df_local").alias("df"), F.sum("cf_local").alias("cf")
     )
 
     sum_ttf = docs_tok.agg(F.sum("dl")).collect()[0][0] or 0
@@ -365,8 +390,9 @@ def build_or_resume(
 
     # global tables rebuilt from the full postings set (cheap aggregations)
     full_post = spark.read.parquet(f"{out_dir}/postings")
-    termdict = full_post.groupBy("term").agg(F.sum("df_local").alias("df"))
-    # cf needs tf sums: derive from imp arrays is lossy — recompute from docs
+    termdict = full_post.groupBy("term").agg(
+        F.sum("df_local").alias("df"), F.sum("cf_local").alias("cf")
+    )
     full_docs = spark.read.parquet(f"{out_dir}/docs")
     sum_ttf = full_docs.agg(F.sum("dl")).collect()[0][0] or 0
     n_docs = full_docs.count()

@@ -1,0 +1,132 @@
+"""textops + ann + multimodal unit/integration tests (pandas-checked)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lucene_spark import ann, multimodal, textops
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        (0, "the cat sat on the mat", "en"),
+        (1, "the cat sat on the mat", "en"),  # exact dup of 0
+        (2, "the cat sat on the hat", "en"),  # near dup
+        (3, "completely different words entirely unrelated", "en"),
+        (4, "der hund lief durch den wald schnell", "de"),
+        (5, "the dog ran through the park and the cat sat", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_duplicates(docs_df):
+    out = textops.exact_duplicates(docs_df).collect()
+    assert len(out) == 1
+    assert out[0]["n_dups"] == 2 and out[0]["canonical_id"] == 0
+
+
+def test_fingerprint_is_md5(docs_df):
+    import hashlib
+
+    out = {r["doc_id"]: r["fingerprint"] for r in textops.fingerprint(docs_df).collect()}
+    assert out[0] == hashlib.md5(b"the cat sat on the mat").hexdigest()
+    assert out[0] == out[1] != out[2]
+
+
+def test_ngram_jaccard(docs_df):
+    out = textops.ngram_jaccard_pairs(docs_df, n=3, threshold=0.3).collect()
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in out}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.3 <= pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_finds_exact_dups(docs_df):
+    cand = {(r["a"], r["b"]) for r in
+            textops.minhash_lsh_candidates(docs_df, n=3, num_perm=32, bands=16).collect()}
+    assert (0, 1) in cand  # identical docs always collide in every band
+    assert (3, 4) not in cand
+
+
+def test_simhash_near_dups_closer(docs_df):
+    sh = {r["doc_id"]: r["simhash"] for r in textops.simhash(docs_df).collect()}
+    ham = lambda a, b: bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert sh[0] == sh[1]
+    assert ham(sh[0], sh[2]) < ham(sh[0], sh[3])
+
+
+def test_token_stats_and_quality_and_langid(docs_df):
+    st = {r["doc_id"]: r for r in textops.token_stats(docs_df).collect()}
+    assert st[0]["n_tokens"] == 6 and st[0]["n_stop"] == 3 and st[0]["n_distinct"] == 5
+    q = {r["doc_id"]: r["quality"] for r in textops.quality_score(docs_df).collect()}
+    assert all(0 <= v <= 1 for v in q.values())
+    lid = {r["doc_id"]: r["lang_pred"] for r in textops.language_id(docs_df).collect()}
+    assert lid[0] == "en" and lid[4] == "unk"
+
+
+# ---------------------------------------------------------------- ann
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16)
+    rows = []
+    for i in range(40):
+        if i < 5:
+            v = base + rng.standard_normal(16) * 0.05  # tight cluster near base
+        else:
+            v = rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v], i % 3))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_brute_force_topk_matches_numpy(emb_df):
+    pdf = emb_df.toPandas()
+    mat = np.stack(pdf["embedding"].map(np.asarray)).astype(np.float64)
+    q = mat[0]
+    cos = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    want = np.lexsort((pdf["vec_id"], -cos))[:5]
+    got = ann.brute_force_topk(emb_df, q, k=5).collect()
+    assert [r["vec_id"] for r in got] == pdf["vec_id"].iloc[want].tolist()
+    np.testing.assert_allclose([r["cosine"] for r in got], cos[want], rtol=1e-9)
+
+
+def test_lsh_topk_recovers_cluster(emb_df):
+    pdf = emb_df.toPandas()
+    q = np.asarray(pdf["embedding"][0], dtype=np.float64)
+    got = ann.lsh_topk(emb_df, q, k=5, n_planes=8, dim=16, multiprobe_hamming=1).collect()
+    ids = [r["vec_id"] for r in got]
+    assert 0 in ids  # query vector itself always in its own bucket
+    assert len(set(ids) & {0, 1, 2, 3, 4}) >= 3  # cluster mostly recovered
+
+
+# ---------------------------------------------------------------- multimodal
+
+
+def test_html_to_text_roundtrip(spark):
+    from lucene_spark.corpus import generate_pages
+
+    pages = generate_pages(50, seed=42, n_stems=100)
+    df = spark.createDataFrame(pages)
+    out = multimodal.html_to_text(df).select("url", "text", "extracted_text").collect()
+    for r in out:
+        assert r["extracted_text"] == r["text"]  # byte-identical contract
+
+
+def test_image_features_stub_plumbing(spark):
+    rows = [(i, bytes([i % 251] * (i + 1))) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary").repartition(3)
+    out = multimodal.image_features(df).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r["width"] == 8 and r["height"] == 8
+        assert len(r["feature"]) == 64
+        assert 0.0 <= r["mean_intensity"] <= 255.0
+
+
+def test_frame_sample_stub():
+    frames = multimodal.frame_sample_stub(bytes(range(160)), every_n=4)
+    assert len(frames) == 4
+    assert multimodal.frame_sample_stub(b"") == []
