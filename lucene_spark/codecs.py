@@ -46,15 +46,22 @@ def unpack_bits(data: bytes, n: int, bpv: int) -> np.ndarray:
 
 
 def write_vints(values: np.ndarray) -> bytes:
-    """LEB128 varints for a uint64 array (tails + exception values)."""
-    out = bytearray()
-    for v in np.asarray(values, dtype=np.uint64).tolist():
-        v = int(v)
-        while v >= 0x80:
-            out.append((v & 0x7F) | 0x80)
-            v >>= 7
-        out.append(v)
-    return bytes(out)
+    """LEB128 varints for a uint64 array (tails + exception values) —
+    fully vectorized (7-bit chunk matrix + keep/continuation masks)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if len(v) == 0:
+        return b""
+    k = 10  # max 7-bit groups for 64-bit values
+    shifts = (np.uint64(7) * np.arange(k, dtype=np.uint64))
+    chunks = ((v[:, None] >> shifts[None, :]) & np.uint64(0x7F)).astype(np.uint8)
+    nb = np.ones(len(v), dtype=np.int64)
+    for j in range(1, k):
+        nb += (v >= (np.uint64(1) << np.uint64(7 * j))).astype(np.int64)
+    idx = np.arange(k)[None, :]
+    keep = idx < nb[:, None]
+    cont = (idx < (nb - 1)[:, None]).astype(np.uint8)
+    chunks |= cont << 7
+    return chunks[keep].tobytes()
 
 
 def read_vints(data: bytes, n: int, offset: int = 0) -> tuple[np.ndarray, int]:
@@ -156,19 +163,31 @@ def decode_pfor(data: bytes, offset: int) -> tuple[np.ndarray, int]:
 # --- posting list <-> blocks ---------------------------------------------------
 
 
-def encode_postings(docids: np.ndarray, freqs: np.ndarray) -> dict:
+def encode_postings(docids: np.ndarray, freqs: np.ndarray, dls: np.ndarray | None = None) -> dict:
     """Compress one sorted posting list into block blobs + per-block metadata.
 
-    Returns dict with: doc_blob, freq_blob, tail_blob (bytes); block_last_docid
-    (int64[nblocks]) — the skip-pointer analog (Lucene90SkipWriter.java:158-218);
-    per-block impact frontier is computed separately (see :mod:`impacts`).
+    Returns dict with: doc_blob, freq_blob, dl_blob, tail_blob (bytes);
+    block_last_docid (int64[nblocks]) — the skip-pointer analog
+    (Lucene90SkipWriter.java:158-218); per-block impact frontier is computed
+    separately (see :mod:`impacts`).
+
+    ``dls`` (per-posting doc length) is the inline norms channel: Lucene keeps
+    norms in a separate per-segment file read lazily per scored doc
+    (Lucene90NormsFormat.java:31-83); a shared-nothing Spark query kernel
+    can't do lazy sibling-file reads cheaply, so the quantity is PFor-packed
+    next to the freqs (~1 byte/posting) making posting rows self-contained —
+    queries shuffle only the rows they match, never a norms table.
     """
     docids = np.asarray(docids, dtype=np.int64)
     freqs = np.asarray(freqs, dtype=np.int64)
+    if dls is None:
+        dls = np.zeros(len(docids), dtype=np.int64)
+    dls = np.asarray(dls, dtype=np.int64)
     n = len(docids)
     nblocks = n // BLOCK_SIZE
     doc_blob = bytearray()
     freq_blob = bytearray()
+    dl_blob = bytearray()
     block_last = np.empty(nblocks, dtype=np.int64)
     prev = np.int64(-1)
     deltas_all = np.diff(docids, prepend=prev)
@@ -176,20 +195,25 @@ def encode_postings(docids: np.ndarray, freqs: np.ndarray) -> dict:
         sl = slice(bi * BLOCK_SIZE, (bi + 1) * BLOCK_SIZE)
         doc_blob += encode_for_delta(deltas_all[sl])
         freq_blob += encode_pfor(freqs[sl])
+        dl_blob += encode_pfor(dls[sl])
         block_last[bi] = docids[(bi + 1) * BLOCK_SIZE - 1]
-    # tail: interleaved varints (docDelta<<1 | freq==1), freq varint if >1
-    tail = bytearray()
+    # tail: interleaved varints (docDelta<<1 | freq==1), freq varint if >1 —
+    # built as one vectorized varint write over the interleaved value array
     tstart = nblocks * BLOCK_SIZE
-    for i in range(tstart, n):
-        delta = int(deltas_all[i])
-        f = int(freqs[i])
-        if f == 1:
-            tail += write_vints(np.array([(delta << 1) | 1], dtype=np.uint64))
-        else:
-            tail += write_vints(np.array([delta << 1, f], dtype=np.uint64))
+    tdel = deltas_all[tstart:].astype(np.uint64)
+    tfr = freqs[tstart:].astype(np.uint64)
+    is_one = tfr == 1
+    codes = (tdel << np.uint64(1)) | is_one.astype(np.uint64)
+    step = 2 - is_one.astype(np.int64)  # 1 slot if freq==1 else 2
+    pos = np.cumsum(step) - step
+    vals = np.empty(int(step.sum()), dtype=np.uint64)
+    vals[pos] = codes
+    vals[pos[~is_one] + 1] = tfr[~is_one]
+    tail = write_vints(vals) + write_vints(dls[tstart:].astype(np.uint64))
     return {
         "doc_blob": bytes(doc_blob),
         "freq_blob": bytes(freq_blob),
+        "dl_blob": bytes(dl_blob),
         "tail_blob": bytes(tail),
         "n_tail": n - tstart,
         "block_last_docid": block_last,
@@ -203,18 +227,23 @@ def decode_postings(
     n_tail: int,
     nblocks: int,
     first_prev: int = -1,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Full decompression → (docids int64, freqs int64)."""
+    dl_blob: bytes | None = None,
+) -> tuple[np.ndarray, np.ndarray] | tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Full decompression → (docids, freqs[, dls if dl_blob given]) int64."""
     n = nblocks * BLOCK_SIZE + n_tail
     docids = np.empty(n, dtype=np.int64)
     freqs = np.empty(n, dtype=np.int64)
-    doff = foff = 0
+    dls = np.empty(n, dtype=np.int64) if dl_blob is not None else None
+    doff = foff = loff = 0
     for bi in range(nblocks):
         gaps, doff = decode_for_delta(doc_blob, doff)
         fv, foff = decode_pfor(freq_blob, foff)
         sl = slice(bi * BLOCK_SIZE, (bi + 1) * BLOCK_SIZE)
         docids[sl] = gaps.astype(np.int64)
         freqs[sl] = fv.astype(np.int64)
+        if dls is not None:
+            lv, loff = decode_pfor(dl_blob, loff)
+            dls[sl] = lv.astype(np.int64)
     pos = 0
     for i in range(nblocks * BLOCK_SIZE, n):
         v, pos = read_vints(tail_blob, 1, pos)
@@ -225,8 +254,13 @@ def decode_postings(
         else:
             f, pos = read_vints(tail_blob, 1, pos)
             freqs[i] = int(f[0])
+    if dls is not None and n_tail:
+        tail_dls, pos = read_vints(tail_blob, n_tail, pos)
+        dls[nblocks * BLOCK_SIZE :] = tail_dls.astype(np.int64)
     np.cumsum(docids, out=docids)  # prefix-sum: gaps → (docid - first_prev)
     docids += first_prev
+    if dls is not None:
+        return docids, freqs, dls
     return docids, freqs
 
 

@@ -46,18 +46,21 @@ class TermPostings:
         self.n_tail = int(row["n_tail"])
         self.doc_blob = bytes(row["doc_blob"])
         self.freq_blob = bytes(row["freq_blob"])
+        self.dl_blob = bytes(row["dl_blob"])
         self.tail_blob = bytes(row["tail_blob"])
         self.block_last = np.asarray(row["block_last_docid"], dtype=np.int64)
         self.imp_freqs = np.asarray(row["imp_freqs"], dtype=np.int64)
         self.imp_dls = np.asarray(row["imp_dls"], dtype=np.int64)
         self.imp_offsets = np.asarray(row["imp_offsets"], dtype=np.int64)
         self.df_local = int(row["df_local"])
-        self._decoded: tuple[np.ndarray, np.ndarray] | None = None
+        self._decoded: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
 
-    def decode(self) -> tuple[np.ndarray, np.ndarray]:
+    def decode(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """→ (docids, freqs, dls) — posting rows are self-contained."""
         if self._decoded is None:
             self._decoded = decode_postings(
-                self.doc_blob, self.freq_blob, self.tail_blob, self.n_tail, self.nblocks
+                self.doc_blob, self.freq_blob, self.tail_blob, self.n_tail,
+                self.nblocks, dl_blob=self.dl_blob,
             )
         return self._decoded
 
@@ -71,8 +74,7 @@ class TermPostings:
         lasts = np.empty(ntotal, dtype=np.int64)
         lasts[: self.nblocks] = self.block_last
         if self.n_tail:
-            docids, _ = self.decode()
-            lasts[-1] = docids[-1]
+            lasts[-1] = self.decode()[0][-1]
         firsts = np.empty(ntotal, dtype=np.int64)
         firsts[0] = 0
         firsts[1:] = lasts[:-1] + 1
@@ -105,26 +107,25 @@ def _topk_from_scored(docids: np.ndarray, scores: np.ndarray, k: int):
 
 
 def score_union(
-    term_lists: list[tuple[np.ndarray, np.ndarray]],
+    term_lists: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
     scorers: list[BM25Scorer],
-    norm_lookup,
     precision: str,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exhaustive OR: union docids, clause-ordered float64 accumulation.
 
-    ``term_lists``: [(docids, freqs)] per clause. ``norm_lookup(docids)``
-    returns the per-doc exact field length (dl); quantization happens in the
-    scorer per its precision mode.
+    ``term_lists``: [(docids, freqs, dls)] per clause — dls are the inline
+    per-posting field lengths; quantization happens in the scorer per its
+    precision mode.
     """
     if not term_lists:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-    all_docs = np.unique(np.concatenate([d for d, _ in term_lists]))
+    all_docs = np.unique(np.concatenate([d for d, _, _ in term_lists]))
     acc = np.zeros(len(all_docs), dtype=np.float64)
-    for (docids, freqs), scorer in zip(term_lists, scorers):
+    for (docids, freqs, dls), scorer in zip(term_lists, scorers):
         if len(docids) == 0:
             continue
         pos = np.searchsorted(all_docs, docids)
-        s = scorer.score_from_dl(freqs, norm_lookup(docids))
+        s = scorer.score_from_dl(freqs, dls)
         np.add.at(acc, pos, s.astype(np.float64))
     if precision == "lucene":
         acc = acc.astype(np.float32).astype(np.float64)
@@ -132,41 +133,40 @@ def score_union(
 
 
 def score_intersection(
-    term_lists: list[tuple[np.ndarray, np.ndarray]],
+    term_lists: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
     scorers: list[BM25Scorer],
-    norm_lookup,
     precision: str,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exhaustive AND (leapfrog analog, vectorized set intersection)."""
     if not term_lists:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
     common = term_lists[0][0]
-    for docids, _ in term_lists[1:]:
+    for docids, _, _ in term_lists[1:]:
         common = common[np.isin(common, docids, assume_unique=True)]
         if len(common) == 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
     acc = np.zeros(len(common), dtype=np.float64)
-    norms = norm_lookup(common)
-    for (docids, freqs), scorer in zip(term_lists, scorers):
+    for (docids, freqs, dls), scorer in zip(term_lists, scorers):
         pos = np.searchsorted(docids, common)
-        acc += scorer.score_from_dl(freqs[pos], norms).astype(np.float64)
+        acc += scorer.score_from_dl(freqs[pos], dls[pos]).astype(np.float64)
     if precision == "lucene":
         acc = acc.astype(np.float32).astype(np.float64)
     return common, acc
 
 
-def score_query_node(node, postings_by_term, scorers_by_term, norm_lookup, precision):
+def score_query_node(node, postings_by_term, scorers_by_term, precision):
     """Evaluate a 1-level boolean tree exhaustively → (docids, float64 scores).
 
-    node: ("term", t) | ("and", [t...]) | ("or", [node...]).
+    node: ("term", t) | ("and", [t...]) | ("not", node, [t...]) | ("or", [node...]).
+    postings_by_term: {term: (docids, freqs, dls)}.
     """
     kind = node[0]
     if kind == "term":
         t = node[1]
         if t not in postings_by_term:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-        docids, freqs = postings_by_term[t]
-        s = scorers_by_term[t].score_from_dl(freqs, norm_lookup(docids)).astype(np.float64)
+        docids, freqs, dls = postings_by_term[t]
+        s = scorers_by_term[t].score_from_dl(freqs, dls).astype(np.float64)
         return docids, s
     if kind == "and":
         terms = node[1]
@@ -175,15 +175,12 @@ def score_query_node(node, postings_by_term, scorers_by_term, norm_lookup, preci
         return score_intersection(
             [postings_by_term[t] for t in terms],
             [scorers_by_term[t] for t in terms],
-            norm_lookup,
             precision,
         )
     if kind == "not":
         # ReqExclScorer analog (search/ReqExclScorer.java:26): positive
         # scores, excluded docs dropped, scoring unaffected.
-        d, s = score_query_node(
-            node[1], postings_by_term, scorers_by_term, norm_lookup, precision
-        )
+        d, s = score_query_node(node[1], postings_by_term, scorers_by_term, precision)
         for t in node[2]:
             if t in postings_by_term and len(d):
                 mask = ~np.isin(d, postings_by_term[t][0], assume_unique=True)
@@ -191,7 +188,7 @@ def score_query_node(node, postings_by_term, scorers_by_term, norm_lookup, preci
         return d, s
     if kind == "or":
         subs = [
-            score_query_node(c, postings_by_term, scorers_by_term, norm_lookup, precision)
+            score_query_node(c, postings_by_term, scorers_by_term, precision)
             for c in node[1]
         ]
         subs = [(d, s) for d, s in subs if len(d)]
@@ -211,7 +208,6 @@ def segment_topk(
     node,
     term_rows: dict[str, dict],
     scorers_by_term: dict[str, BM25Scorer],
-    norm_lookup,
     seg_size: int,
     k: int,
     precision: str = "lucene",
@@ -228,7 +224,7 @@ def segment_topk(
     postings_by_term = {t: tp.decode() for t, tp in tps.items()}
 
     if not prune:
-        d, s = score_query_node(node, postings_by_term, scorers_by_term, norm_lookup, precision)
+        d, s = score_query_node(node, postings_by_term, scorers_by_term, precision)
         return _topk_from_scored(d, s, k)
 
     # ---- windowed block-max pruning path ----
@@ -288,29 +284,29 @@ def segment_topk(
         if len(batch) >= 16 or processed == len(order):
             top_docs, top_scores, kth = _score_windows(
                 batch, window_bits, node, postings_by_term, scorers_by_term,
-                norm_lookup, precision, top_docs, top_scores, k,
+                precision, top_docs, top_scores, k,
             )
             batch = []
     if batch:
         top_docs, top_scores, kth = _score_windows(
             batch, window_bits, node, postings_by_term, scorers_by_term,
-            norm_lookup, precision, top_docs, top_scores, k,
+            precision, top_docs, top_scores, k,
         )
     return top_docs, top_scores
 
 
 def _score_windows(
     windows, window_bits, node, postings_by_term, scorers_by_term,
-    norm_lookup, precision, top_docs, top_scores, k,
+    precision, top_docs, top_scores, k,
 ):
     """Score the docs falling in the given windows; merge into running top-k."""
     windows = np.asarray(windows, dtype=np.int64)
     sub_postings = {}
-    for t, (docids, freqs) in postings_by_term.items():
+    for t, (docids, freqs, dls) in postings_by_term.items():
         w = docids >> window_bits
         mask = np.isin(w, windows)
-        sub_postings[t] = (docids[mask], freqs[mask])
-    d, s = score_query_node(node, sub_postings, scorers_by_term, norm_lookup, precision)
+        sub_postings[t] = (docids[mask], freqs[mask], dls[mask])
+    d, s = score_query_node(node, sub_postings, scorers_by_term, precision)
     md = np.concatenate([top_docs, d])
     ms = np.concatenate([top_scores, s])
     td, ts = _topk_from_scored(md, ms, k)

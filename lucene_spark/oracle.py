@@ -40,7 +40,7 @@ class OracleIndex:
         for t, dmap in accum.items():
             d = np.array(sorted(dmap), dtype=np.int64)
             f = np.array([dmap[i] for i in d], dtype=np.int64)
-            self.postings[t] = (d, f)
+            self.postings[t] = (d, f, self.dl[d])
 
     def stats(self) -> CollectionStats:
         return CollectionStats(self.doc_count, self.sum_ttf)
@@ -60,7 +60,7 @@ class OracleIndex:
             for t in known
         }
         sub = {t: self.postings[t] for t in known}
-        d, s = score_query_node(node, sub, scorers, lambda ids: self.dl[ids], precision)
+        d, s = score_query_node(node, sub, scorers, precision)
         if len(d) == 0:
             return pd.DataFrame({"rank": [], "docid": [], "url": [], "score": []})
         order = np.lexsort((d, -s))[:k]

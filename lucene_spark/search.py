@@ -208,33 +208,27 @@ def search(
 
     rows = index.postings.filter(F.col("term").isin([t for t in terms if t in scorers]))
 
-    # per-segment execution: cogroup the query's posting rows with the
-    # segment's norms blob (the per-leaf norms file read, Lucene90NormsFormat)
-    # — co-partitioned by seg, nothing collected to the driver but top-k rows.
+    # per-segment execution: posting rows are self-contained (inline dls), so
+    # the only shuffle is the query's own rows grouped by seg — segment ==
+    # Lucene leaf, executor == searcher slice; the driver collects k rows/seg.
     seg_size = index.seg_size
     node_b, kparam, prec, pr = node, k, precision, prune
 
-    def run_segment(post_pdf: pd.DataFrame, norm_pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(post_pdf) == 0 or len(norm_pdf) == 0:
+    def run_segment(post_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(post_pdf) == 0:
             return pd.DataFrame({"seg": pd.Series(dtype="int64"),
                                  "docid": pd.Series(dtype="int64"),
                                  "score": pd.Series(dtype="float64")})
         seg = int(post_pdf["seg"].iloc[0])
         term_rows = {r["term"]: r for _, r in post_pdf.iterrows()}
-        local_dl = np.frombuffer(norm_pdf["dl_blob"].iloc[0], dtype=np.uint32).astype(np.int64)
-
-        def norm_lookup(local_docids):
-            return local_dl[np.asarray(local_docids, dtype=np.int64)]
-
         d, s = segment_topk(
-            node_b, term_rows, scorers, norm_lookup, seg_size, kparam,
+            node_b, term_rows, scorers, seg_size, kparam,
             precision=prec, prune=pr,
         )
         return pd.DataFrame({"seg": seg, "docid": d + seg * seg_size, "score": s})
 
     out = (
         rows.groupBy("seg")
-        .cogroup(index.norms.groupBy("seg"))
         .applyInPandas(run_segment, schema="seg long, docid long, score double")
         .collect()
     )

@@ -23,10 +23,10 @@ from pyspark.sql import functions as F
 
 from .index import (
     POSTINGS_SCHEMA,
-    _build_segment_rows,
     build_norms,
     invert,
     read_index,
+    segment_rows_stage,
     tokenize_docs,
 )
 
@@ -79,10 +79,8 @@ def append_batch(
 
     docs_tok = tokenize_docs(pages, text_col=text_col, key_col=key_col).persist()
     tf = invert(docs_tok, seg_size)
-    postings = (
-        tf.select("term", "seg", "docid", "tf", "dl")
-        .groupBy("term", "seg")
-        .applyInPandas(_build_segment_rows(seg_size), schema=POSTINGS_SCHEMA)
+    postings = segment_rows_stage(
+        tf.select("term", "seg", "docid", "tf", "dl"), seg_size
     )
     postings.sortWithinPartitions("term").write.mode("append").partitionBy("seg").parquet(
         f"{out_dir}/postings"
@@ -158,25 +156,28 @@ def compact_index(spark: SparkSession, in_dir: str, out_dir: str, seg_size: int 
 
     def explode_rows(batches):
         for pdf in batches:
-            out_term, out_doc, out_tf = [], [], []
+            out_term, out_doc, out_tf, out_dl = [], [], [], []
             for _, r in pdf.iterrows():
                 tp = TermPostings(r, old_seg_size)
-                d, f = tp.decode()
+                d, f, dls = tp.decode()
                 out_term.extend([r["term"]] * len(d))
                 out_doc.extend((d + int(r["seg"]) * old_seg_size).tolist())
                 out_tf.extend(f.tolist())
-            yield pd.DataFrame({"term": out_term, "docid": out_doc, "tf": out_tf})
+                out_dl.extend(dls.tolist())
+            yield pd.DataFrame(
+                {"term": out_term, "docid": out_doc, "tf": out_tf, "dl": out_dl}
+            )
 
-    flat = old.postings.mapInPandas(explode_rows, schema="term string, docid long, tf long")
+    flat = old.postings.mapInPandas(
+        explode_rows, schema="term string, docid long, tf long, dl long"
+    )
     tf = (
-        flat.join(remap.select("docid", "new_docid", "dl"), "docid")
+        flat.join(remap.select("docid", "new_docid"), "docid")
         .select("term", F.col("new_docid").alias("docid"), "tf", "dl")
         .withColumn("seg", (F.col("docid") / F.lit(seg_size)).cast("long"))
     )
-    postings = (
-        tf.select("term", "seg", "docid", "tf", "dl")
-        .groupBy("term", "seg")
-        .applyInPandas(_build_segment_rows(seg_size), schema=POSTINGS_SCHEMA)
+    postings = segment_rows_stage(
+        tf.select("term", "seg", "docid", "tf", "dl"), seg_size
     )
     postings.sortWithinPartitions("term").write.mode("overwrite").partitionBy("seg").parquet(
         f"{out_dir}/postings"

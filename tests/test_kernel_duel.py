@@ -41,8 +41,9 @@ def build_rows(docs, seg_size):
             m = (d // seg_size) == seg
             ld = d[m] - seg * seg_size
             lf = f[m]
-            enc = encode_postings(ld, lf)
-            imp_f, imp_dl, imp_off = block_frontiers(ld, lf, dl[d[m]], BLOCK_SIZE)
+            ldl = dl[d[m]]
+            enc = encode_postings(ld, lf, ldl)
+            imp_f, imp_dl, imp_off = block_frontiers(ld, lf, ldl, BLOCK_SIZE)
             segs.setdefault(int(seg), {})[f"t{t}"] = {
                 "term": f"t{t}",
                 "seg": int(seg),
@@ -51,6 +52,7 @@ def build_rows(docs, seg_size):
                 "n_tail": enc["n_tail"],
                 "doc_blob": enc["doc_blob"],
                 "freq_blob": enc["freq_blob"],
+                "dl_blob": enc["dl_blob"],
                 "tail_blob": enc["tail_blob"],
                 "block_last_docid": enc["block_last_docid"],
                 "imp_freqs": imp_f,
@@ -87,11 +89,7 @@ def run_query(node, segs, dl, dfs, stats, seg_size, k, precision, prune, window_
         if not sub:
             continue
         lo = seg * seg_size
-
-        def norm_lookup(local_ids, lo=lo):
-            return dl[np.asarray(local_ids, dtype=np.int64) + lo]
-
-        d, s = segment_topk(node, sub, scorers, norm_lookup, seg_size, k,
+        d, s = segment_topk(node, sub, scorers, seg_size, k,
                             precision=precision, prune=prune, window_bits=window_bits)
         results.append((d + lo, s))
     if not results:

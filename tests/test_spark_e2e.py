@@ -60,7 +60,7 @@ def test_termdict_matches_oracle(index, oracle):
     rows = index.termdict.collect()
     got = {r["term"]: (r["df"], r["cf"]) for r in rows}
     want = {
-        t: (len(d), int(f.sum())) for t, (d, f) in oracle.postings.items()
+        t: (len(d), int(f.sum())) for t, (d, f, _) in oracle.postings.items()
     }
     assert got == want
 

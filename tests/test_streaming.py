@@ -48,7 +48,8 @@ def test_incremental_appends_then_search(tmp_path, spark, batches):
             accum[t][docid] += 1
     for t, dmap in accum.items():
         d = np.array(sorted(dmap), dtype=np.int64)
-        oracle.postings[t] = (d, np.array([dmap[i] for i in d], dtype=np.int64))
+        f = np.array([dmap[i] for i in d], dtype=np.int64)
+        oracle.postings[t] = (d, f, oracle.dl[d])
 
     for q in ["court", "court law", "court AND law"]:
         got = search(idx, q, k=10)
