@@ -110,6 +110,34 @@ def analyze(
     ]
 
 
+def analyze_with_positions(
+    text: str,
+    stopwords: frozenset[str] = ENGLISH_STOP_WORDS,
+    max_token_length: int = MAX_TOKEN_LENGTH,
+) -> tuple[list[str], list[int]]:
+    """Full chain, also returning each emitted token's POSITION.
+
+    Position = index in the raw tokenizer output: both skipped over-long
+    tokens (StandardTokenizer.java:144-168 bumps the increment) and removed
+    stopwords (StopFilter.java:96 via FilteringTokenFilter) leave gaps, which
+    is what makes phrase queries across removed stopwords behave like Lucene
+    (PhraseQuery honors position increments).
+    """
+    toks: list[str] = []
+    poss: list[int] = []
+    if not text:
+        return toks, poss
+    for i, t in enumerate(_TOKEN_RE.findall(text)):
+        if len(t) > max_token_length:
+            continue
+        lt = t.lower()
+        if lt in stopwords:
+            continue
+        toks.append(lt)
+        poss.append(i)
+    return toks, poss
+
+
 def analyze_series(texts: pd.Series, stopwords: frozenset[str] = ENGLISH_STOP_WORDS) -> pd.Series:
     """pandas-UDF body: Series[str] → Series[list[str]]."""
     return texts.map(lambda t: analyze(t if isinstance(t, str) else "", stopwords))

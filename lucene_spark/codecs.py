@@ -82,6 +82,64 @@ def read_vints(data: bytes, n: int, offset: int = 0) -> tuple[np.ndarray, int]:
     return out, pos
 
 
+def read_vints_all(data: bytes) -> np.ndarray:
+    """Decode EVERY varint in the buffer at once — fully vectorized.
+
+    Byte k belongs to value `vid[k]`; its weight is 128^(index within the
+    value).  Used for the positions channel where a posting row can hold
+    hundreds of thousands of varints (the per-value Python loop of
+    :func:`read_vints` is only for short tails/exception lists).
+    """
+    b = np.frombuffer(data, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    ends = b < 0x80
+    vid = np.zeros(len(b), dtype=np.int64)
+    np.cumsum(ends[:-1], out=vid[1:])
+    starts = np.flatnonzero(np.concatenate(([True], ends[:-1])))
+    pos_in = np.arange(len(b), dtype=np.int64) - starts[vid]
+    contrib = (b & 0x7F).astype(np.uint64) << (np.uint64(7) * pos_in.astype(np.uint64))
+    vals = np.zeros(int(ends.sum()), dtype=np.uint64)
+    np.add.at(vals, vid, contrib)
+    return vals
+
+
+# --- positions channel ---------------------------------------------------------
+
+
+def encode_positions(positions: np.ndarray, freqs: np.ndarray) -> bytes:
+    """Delta-varint pack the concatenated per-posting position lists.
+
+    ``positions``: all positions of the posting list, concatenated in
+    (docid, position) order; ``freqs`` gives each posting's count (== tf).
+    Mirrors the .pos file's delta-vint stream (Lucene90PostingsWriter writes
+    position deltas per doc, Lucene90PostingsFormat.java:263-300); the blob
+    is this engine's own layout.
+    """
+    p = np.asarray(positions, dtype=np.int64)
+    if len(p) == 0:
+        return b""
+    f = np.asarray(freqs, dtype=np.int64)
+    starts = np.cumsum(f) - f
+    deltas = np.diff(p, prepend=0)
+    deltas[starts] = p[starts]  # first position of each posting stored raw
+    return write_vints(deltas.astype(np.uint64))
+
+
+def decode_positions(pos_blob: bytes, freqs: np.ndarray) -> np.ndarray:
+    """→ absolute positions, concatenated per posting (inverse of encode)."""
+    f = np.asarray(freqs, dtype=np.int64)
+    deltas = read_vints_all(pos_blob).astype(np.int64)
+    if len(deltas) == 0:
+        return deltas
+    csum = np.cumsum(deltas)
+    starts = np.cumsum(f) - f
+    # groupwise cumsum: subtract the running total just before each posting
+    base = np.zeros(len(f), dtype=np.int64)
+    base[1:] = csum[starts[1:] - 1]
+    return csum - np.repeat(base, f)
+
+
 # --- FOR-delta (doc ids) ------------------------------------------------------
 
 
@@ -244,19 +302,20 @@ def decode_postings(
         if dls is not None:
             lv, loff = decode_pfor(dl_blob, loff)
             dls[sl] = lv.astype(np.int64)
-    pos = 0
-    for i in range(nblocks * BLOCK_SIZE, n):
-        v, pos = read_vints(tail_blob, 1, pos)
-        code = int(v[0])
-        docids[i] = code >> 1
-        if code & 1:
-            freqs[i] = 1
-        else:
-            f, pos = read_vints(tail_blob, 1, pos)
-            freqs[i] = int(f[0])
-    if dls is not None and n_tail:
-        tail_dls, pos = read_vints(tail_blob, n_tail, pos)
-        dls[nblocks * BLOCK_SIZE :] = tail_dls.astype(np.int64)
+    if n_tail:
+        vals = read_vints_all(tail_blob).astype(np.int64)
+        j = 0
+        for i in range(nblocks * BLOCK_SIZE, n):
+            code = vals[j]
+            j += 1
+            docids[i] = code >> 1
+            if code & 1:
+                freqs[i] = 1
+            else:
+                freqs[i] = vals[j]
+                j += 1
+        if dls is not None:
+            dls[nblocks * BLOCK_SIZE :] = vals[j : j + n_tail]
     np.cumsum(docids, out=docids)  # prefix-sum: gaps → (docid - first_prev)
     docids += first_prev
     if dls is not None:

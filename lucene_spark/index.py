@@ -43,14 +43,14 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .analysis import make_analyze_udf
-from .codecs import BLOCK_SIZE, encode_postings
+from .analysis import ENGLISH_STOP_WORDS, make_analyze_udf
+from .codecs import BLOCK_SIZE, encode_positions, encode_postings
 from .impacts import block_frontiers
 from .smallfloat import int_to_byte4_np
 
 POSTINGS_SCHEMA = (
     "term string, seg long, df_local long, cf_local long, nblocks long, n_tail long, "
-    "doc_blob binary, freq_blob binary, dl_blob binary, tail_blob binary, "
+    "doc_blob binary, freq_blob binary, dl_blob binary, tail_blob binary, pos_blob binary, "
     "block_last_docid array<long>, "
     "imp_freqs array<long>, imp_dls array<long>, imp_offsets array<long>"
 )
@@ -82,6 +82,28 @@ class Index:
         return self.sum_total_term_freq / float(self.doc_count)
 
 
+def _ranged_with_offsets(
+    df: DataFrame, key_col: str, num_partitions: int
+) -> tuple[DataFrame, list[int], int]:
+    """Range-partition + sort by key; return (cached frame, per-partition
+    docID base offsets, total row count).  The counts job is the only extra
+    pass and it reads just the partition ids."""
+    ranged = (
+        df.repartitionByRange(num_partitions, F.col(key_col))
+        .sortWithinPartitions(key_col)
+        .persist()
+    )
+    counts = (
+        ranged.select(F.spark_partition_id().alias("pid")).groupBy("pid").count().collect()
+    )
+    sizes = {r["pid"]: r["count"] for r in counts}
+    max_pid = max(sizes) if sizes else -1
+    offsets = np.zeros(max_pid + 2, dtype=np.int64)
+    for pid in range(max_pid + 1):
+        offsets[pid + 1] = offsets[pid] + sizes.get(pid, 0)
+    return ranged, offsets.tolist(), int(offsets[-1])
+
+
 def assign_docids(df: DataFrame, key_col: str = "url", num_partitions: int | None = None) -> DataFrame:
     """Deterministic dense docIDs: rank over global ``key_col`` order.
 
@@ -94,20 +116,7 @@ def assign_docids(df: DataFrame, key_col: str = "url", num_partitions: int | Non
     from pyspark import TaskContext
 
     num_partitions = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(num_partitions, F.col(key_col)).sortWithinPartitions(key_col)
-    ranged = ranged.persist()
-    counts = (
-        ranged.select(F.spark_partition_id().alias("pid"))
-        .groupBy("pid")
-        .count()
-        .collect()
-    )
-    sizes = {r["pid"]: r["count"] for r in counts}
-    max_pid = max(sizes) if sizes else -1
-    offsets = np.zeros(max_pid + 2, dtype=np.int64)
-    for pid in range(max_pid + 1):
-        offsets[pid + 1] = offsets[pid] + sizes.get(pid, 0)
-    offs = offsets.tolist()
+    ranged, offs, _ = _ranged_with_offsets(df, key_col, num_partitions)
 
     schema = ", ".join(
         [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields] + ["docid long"]
@@ -126,6 +135,134 @@ def assign_docids(df: DataFrame, key_col: str = "url", num_partitions: int | Non
     return ranged.mapInPandas(add_ids, schema=schema)
 
 
+# --- fused build passes ----------------------------------------------------------
+#
+# The build runs exactly two narrow passes over the (cached, slimmed) input —
+# one emitting per-doc metadata, one emitting the inverted tf tuples — instead
+# of materializing/caching token arrays: caching array<string> columns in
+# Spark's columnar cache costs more than re-running the C-regex analyzer
+# (measured 27s cache vs ~3s re-analysis for 50k docs), and at 100 TB a
+# token-array cache would not fit anywhere.
+
+
+def _docs_meta_pass(offs: list[int] | None, text_col: str, key_col: str, stopwords):
+    """mapInPandas body: (text, key[, docid]) → (docid, url, dl, norm)."""
+    from pyspark import TaskContext
+
+    from .analysis import analyze
+
+    def run(batches):
+        pid_base = None
+        seen = 0
+        for pdf in batches:
+            if offs is None:
+                ids = pdf["docid"].to_numpy(dtype=np.int64)
+            else:
+                if pid_base is None:
+                    pid_base = offs[TaskContext.get().partitionId()]
+                ids = np.arange(pid_base + seen, pid_base + seen + len(pdf), dtype=np.int64)
+                seen += len(pdf)
+            dl = np.fromiter(
+                (len(analyze(t if isinstance(t, str) else "", stopwords)) for t in pdf[text_col]),
+                dtype=np.int64,
+                count=len(pdf),
+            )
+            yield pd.DataFrame(
+                {
+                    "docid": ids,
+                    "url": pdf[key_col].to_numpy(),
+                    "dl": dl,
+                    "norm": int_to_byte4_np(dl).astype(np.int32),
+                }
+            )
+
+    return run
+
+
+def _fused_invert_pass(
+    offs: list[int] | None, text_col: str, seg_size: int, stopwords, with_positions: bool
+):
+    """mapInPandas body: (text[, docid]) → tf tuples (term, docid, seg, tf, dl
+    [, positions]) — analysis + partition-local invert in ONE Arrow pass
+    (IndexingChain.processDocument + TermsHashPerField accumulation,
+    IndexingChain.java:1120-1217, fused the way a DWPT fuses them)."""
+    from pyspark import TaskContext
+
+    from .analysis import analyze, analyze_with_positions
+
+    def run(batches):
+        pid_base = None
+        seen = 0
+        for pdf in batches:
+            if offs is None:
+                ids = pdf["docid"].to_numpy(dtype=np.int64)
+            else:
+                if pid_base is None:
+                    pid_base = offs[TaskContext.get().partitionId()]
+                ids = np.arange(pid_base + seen, pid_base + seen + len(pdf), dtype=np.int64)
+                seen += len(pdf)
+            texts = pdf[text_col]
+            if with_positions:
+                pairs = [
+                    analyze_with_positions(t if isinstance(t, str) else "", stopwords)
+                    for t in texts
+                ]
+                tok_lists = [p[0] for p in pairs]
+            else:
+                tok_lists = [
+                    analyze(t if isinstance(t, str) else "", stopwords) for t in texts
+                ]
+            n = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
+            total = int(n.sum())
+            if total == 0:
+                continue
+            terms = np.empty(total, dtype=object)
+            o = 0
+            for t in tok_lists:
+                terms[o : o + len(t)] = t
+                o += len(t)
+            docid_flat = np.repeat(ids, n)
+            dl_flat = np.repeat(n, n)
+
+            if not with_positions:
+                flat = pd.DataFrame({"term": terms, "docid": docid_flat, "dl": dl_flat})
+                out = (
+                    flat.groupby(["term", "docid"], sort=False)
+                    .agg(tf=("dl", "size"), dl=("dl", "first"))
+                    .reset_index()
+                )
+                out["seg"] = out["docid"] // seg_size
+                yield out[["term", "docid", "seg", "tf", "dl"]]
+                continue
+
+            pos_flat = np.empty(total, dtype=np.int64)
+            o = 0
+            for _, p in pairs:
+                pos_flat[o : o + len(p)] = p
+                o += len(p)
+            # stable sort by (term, docid) keeps positions ascending per group
+            order = np.lexsort((docid_flat, terms))
+            t_s, d_s, p_s = terms[order], docid_flat[order], pos_flat[order]
+            dl_s = dl_flat[order]
+            new = np.ones(total, dtype=bool)
+            new[1:] = (t_s[1:] != t_s[:-1]) | (d_s[1:] != d_s[:-1])
+            starts = np.flatnonzero(new)
+            tf = np.diff(np.append(starts, total))
+            split = np.split(p_s, starts[1:])
+            yield pd.DataFrame(
+                {
+                    "term": t_s[starts],
+                    "docid": d_s[starts],
+                    "seg": d_s[starts] // seg_size,
+                    "tf": tf,
+                    "dl": dl_s[starts],
+                    "positions": [a.tolist() for a in split],
+                }
+            )
+
+    return run
+
+
 def _encode_groups(pdf: pd.DataFrame, starts: np.ndarray, seg_size: int) -> pd.DataFrame:
     """Encode contiguous (term, seg) group slices of a sorted frame into
     posting rows — one output DataFrame per Arrow batch, not per group."""
@@ -134,12 +271,23 @@ def _encode_groups(pdf: pd.DataFrame, starts: np.ndarray, seg_size: int) -> pd.D
     dlv = pdf["dl"].to_numpy(dtype=np.int64)
     terms = pdf["term"].to_numpy()
     segs = pdf["seg"].to_numpy(dtype=np.int64)
+    has_pos = "positions" in pdf.columns
+    if has_pos:
+        row_pos = pdf["positions"].to_numpy()
+        # flat positions + per-ROW start offsets so group slices are O(1)
+        pos_all = (
+            np.concatenate([np.asarray(p, dtype=np.int64) for p in row_pos])
+            if len(row_pos)
+            else np.empty(0, dtype=np.int64)
+        )
+        row_off = np.zeros(len(pdf) + 1, dtype=np.int64)
+        np.cumsum(tfv, out=row_off[1:])
     bounds = np.append(starts, len(pdf))
     cols: dict[str, list] = {
         "term": [], "seg": [], "df_local": [], "cf_local": [], "nblocks": [],
         "n_tail": [], "doc_blob": [], "freq_blob": [], "dl_blob": [],
-        "tail_blob": [], "block_last_docid": [], "imp_freqs": [], "imp_dls": [],
-        "imp_offsets": [],
+        "tail_blob": [], "pos_blob": [], "block_last_docid": [], "imp_freqs": [],
+        "imp_dls": [], "imp_offsets": [],
     }
     for i in range(len(starts)):
         s, e = int(bounds[i]), int(bounds[i + 1])
@@ -159,6 +307,9 @@ def _encode_groups(pdf: pd.DataFrame, starts: np.ndarray, seg_size: int) -> pd.D
         cols["freq_blob"].append(enc["freq_blob"])
         cols["dl_blob"].append(enc["dl_blob"])
         cols["tail_blob"].append(enc["tail_blob"])
+        cols["pos_blob"].append(
+            encode_positions(pos_all[row_off[s] : row_off[e]], tfs) if has_pos else b""
+        )
         cols["block_last_docid"].append(enc["block_last_docid"].tolist())
         cols["imp_freqs"].append(imp_f.tolist())
         cols["imp_dls"].append(imp_dl.tolist())
@@ -299,26 +450,51 @@ def build_index(
     seg_size: int | None = None,
     docid_col: str | None = None,
     shuffle_partitions: int | None = None,
+    with_positions: bool = False,
+    stopwords=ENGLISH_STOP_WORDS,
 ) -> Index:
     """Full batch index build. If ``docid_col`` is given, docIDs are taken
-    from that column (caller-owned contract); otherwise assigned by url rank."""
-    if docid_col is None:
-        pages = assign_docids(pages, key_col=key_col)
-        docid_col = "docid"
-    elif docid_col != "docid":
-        pages = pages.withColumn("docid", F.col(docid_col))
+    from that column (caller-owned contract); otherwise assigned by url rank.
 
-    doc_count = pages.count()
+    ``with_positions=True`` adds the positions channel (IndexOptions
+    DOCS_AND_FREQS_AND_POSITIONS, index/IndexOptions.java:40) enabling phrase
+    queries; default DOCS_AND_FREQS matches the BM25 north rule.
+
+    Only ``key_col``/``text_col`` (plus ``docid_col``) flow into the build —
+    other input columns (html blobs, timestamps) never enter a shuffle or an
+    Arrow transfer.
+    """
+    num_partitions = pages.sparkSession.sparkContext.defaultParallelism
+    if docid_col is None:
+        base, offs, doc_count = _ranged_with_offsets(
+            pages.select(key_col, text_col), key_col, num_partitions
+        )
+    else:
+        cols = list(dict.fromkeys([key_col, text_col, docid_col]))
+        base = pages.select(*cols)
+        if docid_col != "docid":
+            base = base.withColumn("docid", F.col(docid_col))
+        offs = None
+        doc_count = base.count()
+
     if seg_size is None:
         # target ~8 segments per shuffle partition at small scale, 1M docs/seg at large
         seg_size = max(1024, min(1_000_000, (doc_count // 32) + 1))
 
-    docs_tok = tokenize_docs(pages, text_col=text_col, key_col=key_col).persist()
-    tf = invert(docs_tok, seg_size)
-
-    postings = segment_rows_stage(
-        tf.select("term", "seg", "docid", "tf", "dl"), seg_size
+    key_type = base.schema[key_col].dataType.simpleString()
+    docs = base.mapInPandas(
+        _docs_meta_pass(offs, text_col, key_col, stopwords),
+        schema=f"docid long, url {key_type}, dl long, norm int",
     )
+    tf_schema = "term string, docid long, seg long, tf long, dl long"
+    if with_positions:
+        tf_schema += ", positions array<long>"
+    tf = base.mapInPandas(
+        _fused_invert_pass(offs, text_col, seg_size, stopwords, with_positions),
+        schema=tf_schema,
+    )
+
+    postings = segment_rows_stage(tf, seg_size, num_partitions=shuffle_partitions)
 
     # global term stats roll up from segment rows — no extra wide shuffle
     # over the tf table (TermStates.build walks segments the same way,
@@ -327,10 +503,9 @@ def build_index(
         F.sum("df_local").alias("df"), F.sum("cf_local").alias("cf")
     )
 
-    sum_ttf = docs_tok.agg(F.sum("dl")).collect()[0][0] or 0
-    norms = build_norms(docs_tok, seg_size)
+    sum_ttf = docs.agg(F.sum("dl")).collect()[0][0] or 0
+    norms = build_norms(docs, seg_size)
 
-    docs = docs_tok.select("docid", "url", "dl", "norm")
     return Index(
         docs=docs,
         postings=postings,

@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .codecs import BLOCK_SIZE, decode_postings
+from .codecs import BLOCK_SIZE, decode_positions, decode_postings
 from .impacts import max_scores_per_block
 from .similarity import BM25Scorer
 
@@ -53,7 +53,18 @@ class TermPostings:
         self.imp_dls = np.asarray(row["imp_dls"], dtype=np.int64)
         self.imp_offsets = np.asarray(row["imp_offsets"], dtype=np.int64)
         self.df_local = int(row["df_local"])
+        pb = row.get("pos_blob")  # dict and pandas Series both support .get
+        self.pos_blob = bytes(pb) if pb is not None else b""
         self._decoded: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
+        self._positions: np.ndarray | None = None
+
+    def positions_flat(self) -> np.ndarray:
+        """All positions concatenated in (docid, position) order — aligned
+        with np.repeat(docids, freqs).  Requires a positions-enabled index."""
+        if self._positions is None:
+            _, freqs, _ = self.decode()
+            self._positions = decode_positions(self.pos_blob, freqs)
+        return self._positions
 
     def decode(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """→ (docids, freqs, dls) — posting rows are self-contained."""
@@ -154,13 +165,109 @@ def score_intersection(
     return common, acc
 
 
-def score_query_node(node, postings_by_term, scorers_by_term, precision):
-    """Evaluate a 1-level boolean tree exhaustively → (docids, float64 scores).
+_POS_SHIFT = np.int64(32)
+_POS_BIAS = np.int64(64)  # query-position offsets are tiny; keeps keys positive
 
-    node: ("term", t) | ("and", [t...]) | ("not", node, [t...]) | ("or", [node...]).
-    postings_by_term: {term: (docids, freqs, dls)}.
+
+def _phrase_eval(members, postings_by_term, pos_by_term, scorer, precision):
+    """ExactPhraseMatcher analog (search/ExactPhraseMatcher.java:39), fully
+    vectorized: a doc position p matches when every member term i appears at
+    p + qoff_i.  Keys (docid<<32 | normalized position) intersect across
+    members; phrase freq = per-doc surviving-key count; BM25 on phraseFreq
+    with the multi-term weight (PhraseWeight → SimScorer over all terms)."""
+    keys = []
+    for term, qoff in members:
+        if term not in postings_by_term or term not in pos_by_term:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        d, f, _ = postings_by_term[term]
+        p = pos_by_term[term]
+        k = (np.repeat(d, f) << _POS_SHIFT) | (p - np.int64(qoff) + _POS_BIAS)
+        keys.append(k)
+    cand = keys[0]
+    for k in keys[1:]:
+        cand = cand[np.isin(cand, k, assume_unique=True)]
+        if len(cand) == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    docs = cand >> _POS_SHIFT
+    udocs, counts = np.unique(docs, return_counts=True)
+    d0, _, dl0 = postings_by_term[members[0][0]]
+    dl = dl0[np.searchsorted(d0, udocs)]
+    s = scorer.score_from_dl(counts, dl).astype(np.float64)
+    return udocs, s
+
+
+def score_query_node(node, postings_by_term, scorers_by_term, precision, pos_by_term=None):
+    """Evaluate a boolean tree exhaustively → (docids, float64 scores).
+
+    node: ("term", t) | ("and", [t...]) | ("not", node, [t...]) |
+          ("or", [node...]) | ("phrase", [(t, qoff)...], scorer) |
+          ("dismax", [node...], tie) | ("msm", [t...], m) |
+          ("syn", [t...], scorer).
+    postings_by_term: {term: (docids, freqs, dls)};
+    pos_by_term: {term: flat positions} (phrase nodes only).
     """
     kind = node[0]
+    if kind == "phrase":
+        return _phrase_eval(node[1], postings_by_term, pos_by_term or {}, node[2], precision)
+    if kind == "dismax":
+        # DisjunctionMaxScorer (search/DisjunctionMaxScorer.java:29):
+        # score = max + tieBreaker * (sum - max), double math, float cast.
+        tie = node[2]
+        subs = [
+            score_query_node(c, postings_by_term, scorers_by_term, precision, pos_by_term)
+            for c in node[1]
+        ]
+        subs = [(d, s) for d, s in subs if len(d)]
+        if not subs:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        all_docs = np.unique(np.concatenate([d for d, _ in subs]))
+        mx = np.zeros(len(all_docs), dtype=np.float64)
+        sm = np.zeros(len(all_docs), dtype=np.float64)
+        for d, s in subs:
+            pos = np.searchsorted(all_docs, d)
+            np.add.at(sm, pos, s)
+            np.maximum.at(mx, pos, s)
+        acc = mx + tie * (sm - mx)
+        if precision == "lucene":
+            acc = acc.astype(np.float32).astype(np.float64)
+        return all_docs, acc
+    if kind == "msm":
+        # minimumNumberShouldMatch (BooleanQuery.java:40; WANDScorer supports
+        # it): docs matching >= m SHOULD terms, score = sum of matching terms.
+        terms, m = node[1], node[2]
+        present = [t for t in terms if t in postings_by_term]
+        if len(present) < m:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        all_docs = np.unique(np.concatenate([postings_by_term[t][0] for t in present]))
+        acc = np.zeros(len(all_docs), dtype=np.float64)
+        nmatch = np.zeros(len(all_docs), dtype=np.int64)
+        for t in present:
+            docids, freqs, dls = postings_by_term[t]
+            pos = np.searchsorted(all_docs, docids)
+            acc[pos] += scorers_by_term[t].score_from_dl(freqs, dls).astype(np.float64)
+            nmatch[pos] += 1
+        keep = nmatch >= m
+        acc = acc[keep]
+        if precision == "lucene":
+            acc = acc.astype(np.float32).astype(np.float64)
+        return all_docs[keep], acc
+    if kind == "syn":
+        # SynonymQuery (search/SynonymQuery.java:52,330-347): members scored
+        # as ONE pseudo-term — freqs summed, one weight from merged stats.
+        terms, scorer = node[1], node[2]
+        present = [t for t in terms if t in postings_by_term]
+        if not present:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        all_docs = np.unique(np.concatenate([postings_by_term[t][0] for t in present]))
+        fsum = np.zeros(len(all_docs), dtype=np.int64)
+        dl = np.zeros(len(all_docs), dtype=np.int64)
+        for t in present:
+            docids, freqs, dls = postings_by_term[t]
+            pos = np.searchsorted(all_docs, docids)
+            np.add.at(fsum, pos, freqs)
+            dl[pos] = dls
+        s = scorer.score_from_dl(fsum, dl).astype(np.float64)
+        return all_docs, s
     if kind == "term":
         t = node[1]
         if t not in postings_by_term:
@@ -180,7 +287,7 @@ def score_query_node(node, postings_by_term, scorers_by_term, precision):
     if kind == "not":
         # ReqExclScorer analog (search/ReqExclScorer.java:26): positive
         # scores, excluded docs dropped, scoring unaffected.
-        d, s = score_query_node(node[1], postings_by_term, scorers_by_term, precision)
+        d, s = score_query_node(node[1], postings_by_term, scorers_by_term, precision, pos_by_term)
         for t in node[2]:
             if t in postings_by_term and len(d):
                 mask = ~np.isin(d, postings_by_term[t][0], assume_unique=True)
@@ -188,7 +295,7 @@ def score_query_node(node, postings_by_term, scorers_by_term, precision):
         return d, s
     if kind == "or":
         subs = [
-            score_query_node(c, postings_by_term, scorers_by_term, precision)
+            score_query_node(c, postings_by_term, scorers_by_term, precision, pos_by_term)
             for c in node[1]
         ]
         subs = [(d, s) for d, s in subs if len(d)]
@@ -222,9 +329,13 @@ def segment_topk(
     """
     tps = {t: TermPostings(r, seg_size) for t, r in term_rows.items()}
     postings_by_term = {t: tp.decode() for t, tp in tps.items()}
+    phrase_terms = _phrase_member_terms(node)
+    pos_by_term = {
+        t: tps[t].positions_flat() for t in phrase_terms if t in tps
+    } if phrase_terms else None
 
     if not prune:
-        d, s = score_query_node(node, postings_by_term, scorers_by_term, precision)
+        d, s = score_query_node(node, postings_by_term, scorers_by_term, precision, pos_by_term)
         return _topk_from_scored(d, s, k)
 
     # ---- windowed block-max pruning path ----
@@ -253,6 +364,38 @@ def segment_topk(
                 present &= wms > 0
             acc[~present] = 0.0
             return acc
+        if kind_ == "phrase":
+            # valid bound: phraseFreq <= tf of every member, and score is
+            # monotone in freq — min over members of the member frontier
+            # scored with the PHRASE weight (zero where any member absent).
+            scorer = n_[2]
+            acc = None
+            for t, _ in n_[1]:
+                if t not in tps:
+                    return np.zeros(n_windows, dtype=np.float64)
+                wms = window_max_scores(tps[t], scorer, n_windows, window_bits)
+                acc = wms if acc is None else np.minimum(acc, wms)
+            return acc
+        if kind_ == "syn":
+            # score(f1+f2) <= score(f1)+score(f2) (concave, score(0)=0), so
+            # the sum of member bounds under the SYN weight is a valid bound.
+            scorer = n_[2]
+            acc = np.zeros(n_windows, dtype=np.float64)
+            for t in n_[1]:
+                if t in tps:
+                    acc += window_max_scores(tps[t], scorer, n_windows, window_bits)
+            return acc
+        if kind_ == "msm":
+            acc = np.zeros(n_windows, dtype=np.float64)
+            for t in n_[1]:
+                acc += node_ub(("term", t))
+            return acc
+        if kind_ == "dismax":
+            # max + tie*(sum-max) <= sum for tie <= 1
+            acc = np.zeros(n_windows, dtype=np.float64)
+            for c in n_[1]:
+                acc += node_ub(c)
+            return acc
         if kind_ == "not":
             return node_ub(n_[1])
         acc = np.zeros(n_windows, dtype=np.float64)
@@ -261,6 +404,8 @@ def segment_topk(
         return acc
 
     if node[0] == "and" and any(t not in tps for t in node[1]):
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    if node[0] == "phrase" and any(t not in tps for t, _ in node[1]):
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
     ub = node_ub(node)
 
@@ -284,29 +429,47 @@ def segment_topk(
         if len(batch) >= 16 or processed == len(order):
             top_docs, top_scores, kth = _score_windows(
                 batch, window_bits, node, postings_by_term, scorers_by_term,
-                precision, top_docs, top_scores, k,
+                precision, top_docs, top_scores, k, pos_by_term,
             )
             batch = []
     if batch:
         top_docs, top_scores, kth = _score_windows(
             batch, window_bits, node, postings_by_term, scorers_by_term,
-            precision, top_docs, top_scores, k,
+            precision, top_docs, top_scores, k, pos_by_term,
         )
     return top_docs, top_scores
 
 
+def _phrase_member_terms(node) -> set[str]:
+    """Terms whose positions the node needs (phrase members, recursively)."""
+    kind = node[0]
+    if kind == "phrase":
+        return {t for t, _ in node[1]}
+    if kind == "not":
+        return _phrase_member_terms(node[1])
+    if kind in ("or", "dismax"):
+        out: set[str] = set()
+        for c in node[1]:
+            out |= _phrase_member_terms(c)
+        return out
+    return set()
+
+
 def _score_windows(
     windows, window_bits, node, postings_by_term, scorers_by_term,
-    precision, top_docs, top_scores, k,
+    precision, top_docs, top_scores, k, pos_by_term=None,
 ):
     """Score the docs falling in the given windows; merge into running top-k."""
     windows = np.asarray(windows, dtype=np.int64)
     sub_postings = {}
+    sub_pos = {} if pos_by_term else None
     for t, (docids, freqs, dls) in postings_by_term.items():
         w = docids >> window_bits
         mask = np.isin(w, windows)
         sub_postings[t] = (docids[mask], freqs[mask], dls[mask])
-    d, s = score_query_node(node, sub_postings, scorers_by_term, precision)
+        if pos_by_term and t in pos_by_term:
+            sub_pos[t] = pos_by_term[t][np.repeat(mask, freqs)]
+    d, s = score_query_node(node, sub_postings, scorers_by_term, precision, sub_pos)
     md = np.concatenate([top_docs, d])
     ms = np.concatenate([top_scores, s])
     td, ts = _topk_from_scored(md, ms, k)

@@ -47,6 +47,10 @@ def parse_query(q: str) -> tuple:
     call :func:`rewrite` to analyze them.
     """
     q = q.strip()
+    # quoted phrase: `"exact phrase"` (classic QueryParser phrase syntax,
+    # queryparser/.../classic/QueryParser.jj; PhraseQuery.java:71)
+    if q.startswith('"') and q.endswith('"') and '"' not in q[1:-1]:
+        return ("phrase_raw", q[1:-1])
     # MUST_NOT: `<positive> NOT t1 NOT t2` (BooleanClause.Occur.MUST_NOT)
     if re.search(r"\s+NOT\s+", q):
         parts = re.split(r"\s+NOT\s+", q)
@@ -58,7 +62,9 @@ def parse_query(q: str) -> tuple:
         part = part.strip()
         if part.startswith("(") and part.endswith(")"):
             part = part[1:-1].strip()
-        if re.search(r"\s+AND\s+", part):
+        if part.startswith('"') and part.endswith('"'):
+            clauses.append(("phrase_raw", part[1:-1]))
+        elif re.search(r"\s+AND\s+", part):
             terms = [t.strip() for t in re.split(r"\s+AND\s+", part) if t.strip()]
             clauses.append(("and", terms) if len(terms) > 1 else ("term", terms[0]))
         else:
@@ -98,6 +104,40 @@ def rewrite(node: tuple, stopwords=ENGLISH_STOP_WORDS) -> tuple | None:
     clauses all vanish (stopword-only) rewrites to MatchNoDocs → None.
     """
     kind = node[0]
+    if kind == "phrase_raw":
+        # QueryParser analyzes phrase text with the index analyzer, keeping
+        # position gaps from removed stopwords (QueryParserBase.java:437 →
+        # PhraseQuery with explicit positions).
+        from .analysis import analyze_with_positions
+
+        toks, poss = analyze_with_positions(node[1], stopwords)
+        if not toks:
+            return None
+        if len(toks) == 1:
+            return ("term", toks[0])  # 1-term phrase rewrites to TermQuery
+        return ("phrase", list(zip(toks, poss)))
+    if kind == "dismax":
+        subs = [rewrite(c, stopwords) for c in node[1]]
+        subs = [s for s in subs if s is not None]
+        if not subs:
+            return None
+        if len(subs) == 1:
+            return subs[0]
+        return ("dismax", subs, node[2])
+    if kind == "msm":
+        terms: list[str] = []
+        for t in node[1]:
+            terms.extend(analyze(t, stopwords))
+        if len(terms) < node[2]:
+            return None  # fewer clauses than minShouldMatch → MatchNoDocs
+        return ("msm", terms, node[2])
+    if kind == "syn":
+        terms = []
+        for t in node[1]:
+            terms.extend(analyze(t, stopwords))
+        if not terms:
+            return None
+        return ("syn", terms) if len(terms) > 1 else ("term", terms[0])
     if kind == "not":
         pos = rewrite(node[1], stopwords)
         if pos is None:
@@ -138,14 +178,64 @@ def query_terms(node: tuple) -> list[str]:
     kind = node[0]
     if kind == "term":
         return [node[1]]
-    if kind == "and":
+    if kind in ("and", "msm", "syn"):
         return list(node[1])
+    if kind == "phrase":
+        return [t for t, _ in node[1]]
     if kind == "not":
         return query_terms(node[1]) + list(node[2])
     out: list[str] = []
-    for c in node[1]:
+    for c in node[1]:  # or / dismax
         out.extend(query_terms(c))
     return out
+
+
+def attach_scorers(
+    node: tuple,
+    dfs: dict[str, int],
+    stats: "CollectionStats",
+    k1: float,
+    b: float,
+    precision: str,
+) -> tuple | None:
+    """Rewrite AST → executable node: phrase/syn nodes get their multi-term
+    scorer (createWeight analog); nodes that provably match nothing → None."""
+    kind = node[0]
+    if kind == "phrase":
+        if any(t not in dfs for t, _ in node[1]):
+            return None  # a phrase member absent from the index → no match
+        scorer = BM25Scorer.for_terms(
+            [dfs[t] for t, _ in node[1]], stats, k1=k1, b=b, precision=precision
+        )
+        return ("phrase", node[1], scorer)
+    if kind == "syn":
+        present = [t for t in node[1] if t in dfs]
+        if not present:
+            return None
+        # merged pseudo-term stats: docFreq = max of members
+        # (SynonymQuery.java:330-347 blends TermStates the same way)
+        scorer = BM25Scorer(
+            max(dfs[t] for t in present), stats, k1=k1, b=b, precision=precision
+        )
+        return ("syn", present, scorer)
+    if kind == "dismax":
+        subs = [attach_scorers(c, dfs, stats, k1, b, precision) for c in node[1]]
+        subs = [s for s in subs if s is not None]
+        if not subs:
+            return None
+        return ("dismax", subs, node[2])
+    if kind == "or":
+        subs = [attach_scorers(c, dfs, stats, k1, b, precision) for c in node[1]]
+        subs = [s for s in subs if s is not None]
+        if not subs:
+            return None
+        if len(subs) == 1:
+            return subs[0]
+        return ("or", subs)
+    if kind == "not":
+        pos = attach_scorers(node[1], dfs, stats, k1, b, precision)
+        return ("not", pos, node[2]) if pos is not None else None
+    return node
 
 
 # --- search ---------------------------------------------------------------------
@@ -164,6 +254,13 @@ class TopDocs:
         return pd.DataFrame(d)
 
 
+def term_dfs(terms: list[str], termdict: DataFrame) -> dict[str, int]:
+    """Term stats lookup — a pushed-down isin() against the sorted termdict
+    (the FST/BlockTree lookup analog; TermStates.build, index/TermStates.java:95)."""
+    rows = termdict.filter(F.col("term").isin(list(set(terms)))).select("term", "df").collect()
+    return {r["term"]: r["df"] for r in rows}
+
+
 def make_scorers(
     terms: list[str],
     termdict: DataFrame,
@@ -171,12 +268,16 @@ def make_scorers(
     k1: float = 1.2,
     b: float = 0.75,
     precision: str = "lucene",
+    boosts: dict[str, float] | None = None,
 ) -> dict[str, BM25Scorer]:
-    """Term stats lookup (pushed-down isin on the sorted termdict) → scorers."""
-    rows = termdict.filter(F.col("term").isin(terms)).select("term", "df").collect()
-    dfs = {r["term"]: r["df"] for r in rows}
+    """Per-term scorers; ``boosts`` maps term → boost (BoostQuery.java:30 —
+    boost folds into weight = boost * idf, BM25Similarity.java:246)."""
+    dfs = term_dfs(terms, termdict)
+    boosts = boosts or {}
     return {
-        t: BM25Scorer(dfs[t], stats, k1=k1, b=b, precision=precision)
+        t: BM25Scorer(
+            dfs[t], stats, k1=k1, b=b, boost=boosts.get(t, 1.0), precision=precision
+        )
         for t in set(terms)
         if t in dfs
     }
@@ -191,8 +292,11 @@ def search(
     k1: float = 1.2,
     b: float = 0.75,
     with_urls: bool = False,
+    boosts: dict[str, float] | None = None,
 ) -> TopDocs:
-    """Distributed top-k BM25 search. ``query``: string or pre-parsed AST."""
+    """Distributed top-k BM25 search. ``query``: string or pre-parsed AST
+    (term/and/or/not/phrase/dismax/msm/syn nodes).  ``boosts``: per-term boost
+    (BoostQuery analog)."""
     node = parse_query(query) if isinstance(query, str) else query
     node = rewrite(node)
     empty = TopDocs(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64), [] if with_urls else None)
@@ -200,7 +304,16 @@ def search(
         return empty
     terms = sorted(set(query_terms(node)))
     stats = CollectionStats(index.doc_count, index.sum_total_term_freq)
-    scorers = make_scorers(terms, index.termdict, stats, k1=k1, b=b, precision=precision)
+    dfs = term_dfs(terms, index.termdict)
+    boosts = boosts or {}
+    scorers = {
+        t: BM25Scorer(dfs[t], stats, k1=k1, b=b, boost=boosts.get(t, 1.0), precision=precision)
+        for t in terms
+        if t in dfs
+    }
+    node = attach_scorers(node, dfs, stats, k1, b, precision)
+    if node is None:
+        return empty
     if node[0] == "and" and any(t not in scorers for t in terms):
         return empty
     if not scorers:
@@ -246,3 +359,65 @@ def search(
         umap = {r["docid"]: r["url"] for r in url_rows}
         urls = [umap.get(int(d)) for d in docids]
     return TopDocs(docids, scores, urls)
+
+
+# --- MultiTermQuery family (expansion against the term dictionary) ---------------
+
+
+MAX_EXPANSIONS = 1024  # IndexSearcher max clause count (IndexSearcher.java:97)
+
+
+def expand_terms(
+    index: Index,
+    like: str | None = None,
+    rlike: str | None = None,
+    fuzzy: tuple[str, int] | None = None,
+    lower: str | None = None,
+    upper: str | None = None,
+    max_expansions: int = MAX_EXPANSIONS,
+) -> list[str]:
+    """Expand a Prefix/Wildcard/Regexp/Fuzzy/TermRange query against the term
+    dictionary (MultiTermQuery.java:53 rewrites via term-enum intersection;
+    PrefixQuery.java:29, WildcardQuery.java:38, RegexpQuery.java:44,
+    FuzzyQuery.java:52, TermRangeQuery.java:37).  The termdict is sorted by
+    term, so parquet min/max stats prune LIKE/range scans (the FST analog)."""
+    td = index.termdict
+    if like is not None:
+        td = td.filter(F.col("term").like(like))
+    if rlike is not None:
+        td = td.filter(F.col("term").rlike(rlike))
+    if fuzzy is not None:
+        term, max_edits = fuzzy
+        td = td.filter(F.levenshtein(F.col("term"), F.lit(term)) <= max_edits)
+    if lower is not None:
+        td = td.filter(F.col("term") >= lower)
+    if upper is not None:
+        td = td.filter(F.col("term") <= upper)
+    rows = td.select("term").orderBy("term").limit(max_expansions).collect()
+    return [r["term"] for r in rows]
+
+
+def match_any_docs(index: Index, terms: list[str]) -> DataFrame:
+    """docIDs matching ANY of ``terms`` — the CONSTANT_SCORE rewrite of an
+    expanded MultiTermQuery / TermInSetQuery (search/TermInSetQuery.java:74):
+    decode only the matched postings rows, distributed, then distinct."""
+    spark = index.postings.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "docid long")
+    seg_size = index.seg_size
+    rows = index.postings.filter(F.col("term").isin(list(set(terms))))
+
+    def explode(batches):
+        from .kernel import TermPostings
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            segs = pdf["seg"].to_numpy(dtype=np.int64)
+            for i, (_, row) in enumerate(pdf.iterrows()):
+                docids = TermPostings(row, seg_size).decode()[0]
+                out.append(docids + segs[i] * seg_size)
+            yield pd.DataFrame({"docid": np.concatenate(out)})
+
+    return rows.mapInPandas(explode, schema="docid long").distinct()

@@ -62,7 +62,12 @@ class BM25Scorer:
         b: float = 0.75,
         boost: float = 1.0,
         precision: str = "lucene",
+        idf_value: float | None = None,
     ):
+        """``idf_value`` (a double) overrides the single-term idf — used by
+        phrase/synonym weights where idf is computed over several terms'
+        statistics before the float cast (BM25Similarity.idfExplain over
+        TermStatistics[], BM25Similarity.java:121-135)."""
         self.doc_freq = doc_freq
         self.stats = stats
         self.precision = precision
@@ -76,16 +81,43 @@ class BM25Scorer:
                 np.float32(1.0)
                 / (k1f * ((np.float32(1.0) - bf) + bf * LENGTH_TABLE / avgdl))
             ).astype(np.float32)
-            self.weight = np.float32(np.float32(boost) * idf(doc_freq, stats.doc_count))
+            idf32 = (
+                np.float32(idf_value) if idf_value is not None
+                else idf(doc_freq, stats.doc_count)
+            )
+            self.weight = np.float32(np.float32(boost) * idf32)
         elif precision == "float64":
             self.k1 = float(k1)
             self.b = float(b)
             self.avgdl = stats.sum_total_term_freq / float(stats.doc_count)
-            self.weight = float(boost) * math.log(
-                1.0 + (stats.doc_count - doc_freq + 0.5) / (doc_freq + 0.5)
+            idf64 = (
+                float(idf_value) if idf_value is not None
+                else math.log(1.0 + (stats.doc_count - doc_freq + 0.5) / (doc_freq + 0.5))
             )
+            self.weight = float(boost) * idf64
         else:
             raise ValueError(f"unknown precision {precision!r}")
+
+    @classmethod
+    def for_terms(
+        cls,
+        doc_freqs: list[int],
+        stats: CollectionStats,
+        k1: float = 1.2,
+        b: float = 0.75,
+        boost: float = 1.0,
+        precision: str = "lucene",
+    ) -> "BM25Scorer":
+        """Multi-term weight (PhraseQuery): idf = Σ per-term double idfs,
+        rounded once (BM25Similarity.idfExplain, BM25Similarity.java:121-135;
+        PhraseWeight builds its SimScorer over all terms' stats)."""
+        idf_sum = sum(
+            math.log(1.0 + (stats.doc_count - df + 0.5) / (df + 0.5)) for df in doc_freqs
+        )
+        return cls(
+            doc_freqs[0] if doc_freqs else 0, stats, k1=k1, b=b, boost=boost,
+            precision=precision, idf_value=idf_sum,
+        )
 
     def score(self, freq: np.ndarray, norm: np.ndarray) -> np.ndarray:
         """Vectorized per-doc score.

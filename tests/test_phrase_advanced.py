@@ -1,0 +1,236 @@
+"""Positions channel + advanced query operators: phrase / dismax / msm / syn.
+
+Oracle-duel pattern (CheckHits.java:602): every operator is checked three
+ways — pruned kernel vs exhaustive kernel vs an independent brute-force
+Python implementation computed straight from the token sequences.
+"""
+
+import numpy as np
+import pytest
+
+from lucene_spark.codecs import (
+    BLOCK_SIZE,
+    decode_positions,
+    encode_positions,
+    encode_postings,
+    read_vints,
+    read_vints_all,
+    write_vints,
+)
+from lucene_spark.impacts import block_frontiers
+from lucene_spark.kernel import segment_topk
+from lucene_spark.similarity import BM25Scorer, CollectionStats
+
+
+# --- codec level ---------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_read_vints_all_matches_loop_reader(seed):
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, 2**40, size=500).astype(np.uint64)
+    blob = write_vints(vals)
+    out = read_vints_all(blob)
+    np.testing.assert_array_equal(out, vals)
+    loop, _ = read_vints(blob, len(vals))
+    np.testing.assert_array_equal(out, loop)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_positions_roundtrip(seed):
+    rng = np.random.default_rng(100 + seed)
+    n_postings = int(rng.integers(1, 50))
+    freqs = rng.integers(1, 8, size=n_postings)
+    pos = np.concatenate(
+        [np.sort(rng.choice(10_000, size=f, replace=False)) for f in freqs]
+    )
+    blob = encode_positions(pos, freqs)
+    np.testing.assert_array_equal(decode_positions(blob, freqs), pos)
+
+
+def test_positions_empty():
+    assert encode_positions(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)) == b""
+    assert len(decode_positions(b"", np.empty(0, dtype=np.int64))) == 0
+
+
+# --- kernel level ----------------------------------------------------------------
+
+
+def synth_sequences(rng, n_docs, n_terms, zipf=1.2):
+    """Random ordered token sequences (positions = sequence index)."""
+    probs = np.arange(1, n_terms + 1, dtype=np.float64) ** -zipf
+    probs /= probs.sum()
+    dls = rng.integers(2, 40, n_docs)
+    return [rng.choice(n_terms, size=dl, p=probs) for dl in dls]
+
+
+def build_rows_pos(docs, seg_size):
+    """Sequences → per-seg engine rows WITH the positions channel."""
+    n_docs = len(docs)
+    dl = np.array([len(d) for d in docs], dtype=np.int64)
+    post = {}  # term -> list[(docid, positions array)]
+    for docid, seqs in enumerate(docs):
+        seen = {}
+        for i, t in enumerate(seqs.tolist()):
+            seen.setdefault(t, []).append(i)
+        for t, ps in seen.items():
+            post.setdefault(t, []).append((docid, np.array(ps, dtype=np.int64)))
+    segs = {}
+    for t, plist in post.items():
+        d = np.array([p[0] for p in plist], dtype=np.int64)
+        for seg in np.unique(d // seg_size):
+            sub = [(di, ps) for di, ps in plist if di // seg_size == seg]
+            ld = np.array([di for di, _ in sub], dtype=np.int64) - seg * seg_size
+            lf = np.array([len(ps) for _, ps in sub], dtype=np.int64)
+            ldl = dl[[di for di, _ in sub]]
+            enc = encode_postings(ld, lf, ldl)
+            imp_f, imp_dl, imp_off = block_frontiers(ld, lf, ldl, BLOCK_SIZE)
+            segs.setdefault(int(seg), {})[f"t{t}"] = {
+                "term": f"t{t}", "seg": int(seg), "df_local": len(ld),
+                "nblocks": len(ld) // BLOCK_SIZE, "n_tail": enc["n_tail"],
+                "doc_blob": enc["doc_blob"], "freq_blob": enc["freq_blob"],
+                "dl_blob": enc["dl_blob"], "tail_blob": enc["tail_blob"],
+                "pos_blob": encode_positions(
+                    np.concatenate([ps for _, ps in sub]), lf
+                ),
+                "block_last_docid": enc["block_last_docid"],
+                "imp_freqs": imp_f, "imp_dls": imp_dl, "imp_offsets": imp_off,
+            }
+    dfs = {f"t{t}": len(pl) for t, pl in post.items()}
+    return segs, dl, dfs, CollectionStats(n_docs, int(dl.sum()))
+
+
+def run(node, segs, dfs, stats, seg_size, k, precision, prune, scorers_extra=None):
+    terms = set()
+
+    def collect(n):
+        kind = n[0]
+        if kind == "term":
+            terms.add(n[1])
+        elif kind in ("and", "msm", "syn"):
+            terms.update(n[1] if kind != "syn" else n[1])
+        elif kind == "phrase":
+            terms.update(t for t, _ in n[1])
+        elif kind == "not":
+            collect(n[1]); terms.update(n[2])
+        else:
+            for c in n[1]:
+                collect(c)
+
+    collect(node)
+    scorers = {t: BM25Scorer(dfs[t], stats, precision=precision) for t in terms if t in dfs}
+    results = []
+    for seg, rows in segs.items():
+        sub = {t: r for t, r in rows.items() if t in scorers}
+        if not sub:
+            continue
+        d, s = segment_topk(node, sub, scorers, seg_size, k,
+                            precision=precision, prune=prune, window_bits=5)
+        results.append((d + seg * seg_size, s))
+    if not results:
+        return np.empty(0, dtype=np.int64), np.empty(0)
+    alld = np.concatenate([d for d, _ in results])
+    alls = np.concatenate([s for _, s in results])
+    order = np.lexsort((alld, -alls))[:k]
+    return alld[order], alls[order]
+
+
+def brute_phrase_freq(docs, term_ids, qoffs):
+    """Naive per-doc count of positions p with term_i at p + qoff_i."""
+    out = {}
+    for docid, seq in enumerate(docs):
+        cnt = 0
+        for p in range(len(seq)):
+            ok = True
+            for t, off in zip(term_ids, qoffs):
+                j = p + off - qoffs[0]
+                if j >= len(seq) or seq[j] != t:
+                    ok = False
+                    break
+            if ok:
+                cnt += 1
+        if cnt:
+            out[docid] = cnt
+    return out
+
+
+@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("precision", ["lucene", "float64"])
+def test_phrase_duel_and_bruteforce(seed, precision):
+    rng = np.random.default_rng(seed)
+    docs = synth_sequences(rng, int(rng.integers(150, 600)), n_terms=8)
+    seg_size = 128
+    segs, dl, dfs, stats = build_rows_pos(docs, seg_size)
+    for term_ids, qoffs in [((0, 1), (0, 1)), ((1, 0), (0, 1)), ((0, 1, 2), (0, 1, 2)),
+                            ((0, 2), (0, 2))]:  # last: gap phrase (stopword hole)
+        members = [(f"t{t}", o) for t, o in zip(term_ids, qoffs)]
+        scorer = BM25Scorer.for_terms([dfs[m] for m, _ in members], stats,
+                                      precision=precision)
+        node = ("phrase", members, scorer)
+        d1, s1 = run(node, segs, dfs, stats, seg_size, 10, precision, prune=False)
+        d2, s2 = run(node, segs, dfs, stats, seg_size, 10, precision, prune=True)
+        np.testing.assert_array_equal(d1, d2)
+        np.testing.assert_array_equal(s1, s2)
+        # brute force: same matching docs + exact scores
+        want = brute_phrase_freq(docs, term_ids, qoffs)
+        want_scores = {}
+        for docid, f in want.items():
+            want_scores[docid] = float(
+                scorer.score_from_dl(np.array([f]), np.array([dl[docid]]))[0]
+            )
+        got_all_d, got_all_s = run(node, segs, dfs, stats, seg_size, 10**6,
+                                   precision, prune=False)
+        assert set(got_all_d.tolist()) == set(want)
+        for docid, s in zip(got_all_d.tolist(), got_all_s.tolist()):
+            assert s == pytest.approx(want_scores[docid], rel=0, abs=0)
+
+
+@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("precision", ["lucene", "float64"])
+def test_dismax_msm_syn_duel(seed, precision):
+    rng = np.random.default_rng(50 + seed)
+    docs = synth_sequences(rng, int(rng.integers(200, 800)), n_terms=12)
+    seg_size = 200
+    segs, dl, dfs, stats = build_rows_pos(docs, seg_size)
+    syn_scorer = BM25Scorer(max(dfs["t0"], dfs["t3"]), stats, precision=precision)
+    nodes = [
+        ("dismax", [("term", "t0"), ("term", "t1")], 0.1),
+        ("dismax", [("term", "t2"), ("and", ["t0", "t1"]), ("term", "t5")], 0.3),
+        ("msm", ["t0", "t1", "t2", "t4"], 2),
+        ("msm", ["t1", "t3", "t5"], 3),
+        ("syn", ["t0", "t3"], syn_scorer),
+        ("or", [("syn", ["t0", "t3"], syn_scorer), ("term", "t2")]),
+    ]
+    for node in nodes:
+        for k in (1, 10, 50):
+            d1, s1 = run(node, segs, dfs, stats, seg_size, k, precision, prune=False)
+            d2, s2 = run(node, segs, dfs, stats, seg_size, k, precision, prune=True)
+            np.testing.assert_array_equal(d1, d2, err_msg=f"{node[0]} k={k}")
+            np.testing.assert_array_equal(s1, s2, err_msg=f"{node[0]} k={k}")
+
+
+def test_msm_counts_and_scores():
+    """msm=2 keeps only docs matching >= 2 terms; score = sum of matches."""
+    docs = [np.array(x) for x in ([0, 1], [0, 2], [0], [1, 2, 0])]
+    segs, dl, dfs, stats = build_rows_pos(docs, 10)
+    node = ("msm", ["t0", "t1", "t2"], 2)
+    d, s = run(node, segs, dfs, stats, 10, 10, "float64", prune=False)
+    assert set(d.tolist()) == {0, 1, 3}
+    # doc 3 matches all three terms; its score equals the OR-sum
+    d_or, s_or = run(("or", [("term", "t0"), ("term", "t1"), ("term", "t2")]),
+                     segs, dfs, stats, 10, 10, "float64", prune=False)
+    or_map = dict(zip(d_or.tolist(), s_or.tolist()))
+    msm_map = dict(zip(d.tolist(), s.tolist()))
+    assert msm_map[3] == or_map[3]
+
+
+def test_syn_sums_freqs():
+    """syn(t0,t1) on a doc with tf0=2, tf1=3 scores like one term with tf=5."""
+    docs = [np.array([0, 0, 1, 1, 1]), np.array([2, 2, 2, 2, 2])]
+    segs, dl, dfs, stats = build_rows_pos(docs, 10)
+    scorer = BM25Scorer(max(dfs["t0"], dfs["t1"]), stats, precision="float64")
+    d, s = run(("syn", ["t0", "t1"], scorer), segs, dfs, stats, 10, 10,
+               "float64", prune=False)
+    assert d.tolist() == [0]
+    expect = scorer.score_from_dl(np.array([5]), np.array([5]))[0]
+    assert s[0] == pytest.approx(float(expect), abs=0)

@@ -1,0 +1,110 @@
+"""Spark e2e for the positions channel: phrase queries through the full
+pipeline (analyze → fused invert with positions → compressed segments →
+distributed phrase kernel), plus boosts and MultiTermQuery expansion."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.index import build_index
+from lucene_spark.search import expand_terms, match_any_docs, search
+from lucene_spark.similarity import BM25Scorer, CollectionStats
+
+
+CORPUS = [
+    # url, text  — "the" is a stopword (position gap survives)
+    ("u01", "the quick brown fox jumps over the lazy dog"),
+    ("u02", "quick the brown fox"),          # quick@1? no: quick@0... 'the'@1 gap, brown@2
+    ("u03", "brown quick fox"),
+    ("u04", "a quick brown cat sat"),
+    ("u05", "quick brown quick brown"),      # phrase freq 2
+    ("u06", "wholly unrelated text here"),
+    ("u07", "fox fox fox"),
+    ("u08", "the brown the quick"),
+]
+
+
+@pytest.fixture(scope="module")
+def pidx(spark):
+    df = spark.createDataFrame(CORPUS, "url string, text string")
+    idx = build_index(spark, df, seg_size=3, with_positions=True)
+    idx.postings = idx.postings.persist()
+    idx.termdict = idx.termdict.persist()
+    idx.postings.count()
+    return idx
+
+
+def urls_of(idx, td):
+    rows = idx.docs.collect()
+    m = {r["docid"]: r["url"] for r in rows}
+    return [m[int(d)] for d in td.docids]
+
+
+def test_exact_phrase(pidx):
+    td = search(pidx, '"quick brown"', k=10, precision="float64", prune=True)
+    got = set(urls_of(pidx, td))
+    # adjacent (post-analysis positions differ by exactly 1)
+    assert got == {"u01", "u04", "u05"}
+
+
+def test_phrase_freq_scoring(pidx):
+    """u05 has the phrase twice — must outrank single-occurrence docs of the
+    same length profile, and its score must equal the hand formula."""
+    td = search(pidx, '"quick brown"', k=10, precision="float64", prune=True)
+    urls = urls_of(pidx, td)
+    assert urls[0] == "u05"
+    stats = CollectionStats(pidx.doc_count, pidx.sum_total_term_freq)
+    dfq = pidx.termdict.filter("term = 'quick'").collect()[0]["df"]
+    dfb = pidx.termdict.filter("term = 'brown'").collect()[0]["df"]
+    scorer = BM25Scorer.for_terms([dfq, dfb], stats, precision="float64")
+    # u05: dl=4, phrase freq 2
+    expect = float(scorer.score_from_dl(np.array([2]), np.array([4]))[0])
+    assert td.scores[0] == pytest.approx(expect, abs=0)
+
+
+def test_phrase_with_stopword_gap(pidx):
+    """`"quick the brown"` analyzes to quick@0, brown@2 — matches only docs
+    where brown sits two positions after quick (PhraseQuery position
+    increments, QueryParserBase.java:437)."""
+    td = search(pidx, '"quick the brown"', k=10, precision="float64", prune=True)
+    got = set(urls_of(pidx, td))
+    assert got == {"u02"}  # quick@0, brown@2 — only u02 has the 2-position gap
+
+
+def test_phrase_prune_matches_exhaustive(pidx):
+    a = search(pidx, '"quick brown"', k=5, precision="lucene", prune=True)
+    b = search(pidx, '"quick brown"', k=5, precision="lucene", prune=False)
+    np.testing.assert_array_equal(a.docids, b.docids)
+    np.testing.assert_array_equal(a.scores, b.scores)
+
+
+def test_single_term_phrase_rewrites(pidx):
+    a = search(pidx, '"fox"', k=10, precision="float64")
+    b = search(pidx, "fox", k=10, precision="float64")
+    np.testing.assert_array_equal(a.docids, b.docids)
+    np.testing.assert_array_equal(a.scores, b.scores)
+
+
+def test_boost(pidx):
+    plain = search(pidx, "quick fox", k=10, precision="float64", prune=False)
+    boosted = search(pidx, "quick fox", k=10, precision="float64", prune=False,
+                     boosts={"quick": 3.0})
+    stats = CollectionStats(pidx.doc_count, pidx.sum_total_term_freq)
+    # doc u07 (fox only) unchanged; docs with quick get 3x the quick part
+    m_plain = dict(zip(plain.docids.tolist(), plain.scores.tolist()))
+    m_boost = dict(zip(boosted.docids.tolist(), boosted.scores.tolist()))
+    fox_only = [r["docid"] for r in pidx.docs.filter("url = 'u07'").collect()]
+    assert m_boost[fox_only[0]] == pytest.approx(m_plain[fox_only[0]], abs=0)
+    assert any(m_boost[d] > m_plain[d] for d in m_plain if d != fox_only[0])
+
+
+def test_expand_and_match(pidx):
+    terms = expand_terms(pidx, like="qu%")
+    assert terms == ["quick"]
+    docs = {r["docid"] for r in match_any_docs(pidx, ["quick", "cat"]).collect()}
+    urls = {r["url"] for r in pidx.docs.filter(
+        pidx.docs.docid.isin(list(docs))).collect()}
+    assert urls == {"u01", "u02", "u03", "u04", "u05", "u08"}
+    fuzzy = expand_terms(pidx, fuzzy=("quicc", 1))
+    assert fuzzy == ["quick"]
+    rng = expand_terms(pidx, lower="f", upper="g")
+    assert rng == ["fox"]
