@@ -20,9 +20,11 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import Window
+
 from lucene_spark.analysis import ENGLISH_STOP_WORDS
 from lucene_spark.index import Index, build_index, tokenize_docs
-from lucene_spark.search import search
+from lucene_spark.search import expand_terms, match_any_docs, search
 from lucene_spark.smallfloat import byte4_to_int
 from lucene_spark import ann, textops
 
@@ -86,7 +88,7 @@ def _ft_index(spark: SparkSession, sf_dir: str) -> Index:
     if sf_dir not in _INDEX_CACHE:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         idx = build_index(spark, docs, text_col="text", key_col="doc_id",
-                          docid_col="doc_id", seg_size=2048)
+                          docid_col="doc_id", seg_size=2048, with_positions=True)
         idx.postings = idx.postings.persist()
         idx.termdict = idx.termdict.persist()
         idx.norms = idx.norms.persist()
@@ -95,9 +97,12 @@ def _ft_index(spark: SparkSession, sf_dir: str) -> Index:
     return _INDEX_CACHE[sf_dir]
 
 
-def _topk_df(spark: SparkSession, sf_dir: str, query: str, k: int, skip: int = 0) -> DataFrame:
+def _topk_df(
+    spark: SparkSession, sf_dir: str, query, k: int, skip: int = 0,
+    boosts: dict[str, float] | None = None,
+) -> DataFrame:
     idx = _ft_index(spark, sf_dir)
-    td = search(idx, query, k=k + skip, precision="float64", prune=True)
+    td = search(idx, query, k=k + skip, precision="float64", prune=True, boosts=boosts)
     rows = [
         (int(d), int(math.floor(s * 10000)))
         for d, s in zip(td.docids.tolist()[skip:], td.scores.tolist()[skip:])
@@ -199,6 +204,95 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
         )
 
+    # --- phrase queries (positions channel; PhraseQuery.java:71) ---
+    def ft_phrase(spark, sf):
+        return _topk_df(spark, sf, '"table hash"', 10)
+
+    def ft_phrase_gap(spark, sf):
+        # stopword in the phrase → position gap survives analysis
+        # (QueryParserBase.java:437; StopFilter position increments)
+        return _topk_df(spark, sf, '"part the key"', 10)
+
+    # --- MultiTermQuery family (expansion vs term dictionary) ---
+    def ft_wildcard(spark, sf):
+        idx = _ft_index(spark, sf)
+        return match_any_docs(idx, expand_terms(idx, like="%er%")).select(
+            F.col("docid").alias("doc_id")
+        )
+
+    def ft_fuzzy(spark, sf):
+        idx = _ft_index(spark, sf)
+        return match_any_docs(idx, expand_terms(idx, fuzzy=("kay", 1))).select(
+            F.col("docid").alias("doc_id")
+        )
+
+    def ft_term_range(spark, sf):
+        idx = _ft_index(spark, sf)
+        return match_any_docs(idx, expand_terms(idx, lower="v", upper="w")).select(
+            F.col("docid").alias("doc_id")
+        )
+
+    def ft_term_in_set(spark, sf):
+        idx = _ft_index(spark, sf)
+        return match_any_docs(idx, ["dup", "vector", "window"]).select(
+            F.col("docid").alias("doc_id")
+        )
+
+    # --- scoring-operator variants ---
+    def ft_dismax(spark, sf):
+        return _topk_df(spark, sf, ("dismax", [("term", "key"), ("term", "window")], 0.1), 10)
+
+    def ft_msm(spark, sf):
+        return _topk_df(spark, sf, ("msm", ["spark", "window", "dup", "vector"], 2), 10)
+
+    def ft_boost(spark, sf):
+        return _topk_df(spark, sf, "key window", 10, boosts={"key": 2.0})
+
+    def ft_synonym(spark, sf):
+        return _topk_df(spark, sf, ("syn", ["scan", "merge"]), 10)
+
+    # --- collectors beyond top-score (SURVEY §2.4) ---
+    def ft_sort_field(spark, sf):
+        # TopFieldCollector analog: matching docs sorted by a doc-values field
+        idx = _ft_index(spark, sf)
+        ids = match_any_docs(idx, ["dup"]).select(F.col("docid").alias("doc_id"))
+        return (
+            ids.join(_docs(spark, sf), "doc_id")
+            .orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+            .select("doc_id", "n_chars")
+            .limit(10)
+        )
+
+    def ft_group_top(spark, sf):
+        # grouping module analog: top-2 docs per lang by BM25 score
+        idx = _ft_index(spark, sf)
+        td = search(idx, "batch", k=10**9, precision="float64", prune=False)
+        rows = [(int(d), float(s)) for d, s in zip(td.docids.tolist(), td.scores.tolist())]
+        scored = spark.createDataFrame(rows, "doc_id long, score double")
+        w = Window.partitionBy("lang").orderBy(F.col("score").desc(), F.col("doc_id"))
+        return (
+            scored.join(_docs(spark, sf).select("doc_id", "lang"), "doc_id")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 2)
+            .select("lang", "doc_id",
+                    F.floor(F.col("score") * 10000).cast("long").alias("score_q"))
+        )
+
+    def ft_facet_range(spark, sf):
+        # LongRangeFacetCounts analog: n_chars buckets over matching docs
+        idx = _ft_index(spark, sf)
+        ids = match_any_docs(idx, ["dup"]).select(F.col("docid").alias("doc_id"))
+        bucket = (
+            F.when(F.col("n_chars") < 400, "lt400")
+            .when(F.col("n_chars") < 600, "400to600")
+            .otherwise("ge600")
+        )
+        return (
+            ids.join(_docs(spark, sf), "doc_id")
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
     # --- training-data pipeline ops ---
     def dedup_exact(spark, sf):
         return textops.exact_duplicates(_docs(spark, sf))
@@ -258,7 +352,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for fn in [
         ft_token_stats, ft_norms, ft_termdict, ft_stats, ft_term_topk, ft_or_topk,
         ft_and_topk, ft_and3_topk, ft_mixed_topk, ft_must_not, ft_paging, ft_count,
-        ft_prefix_match, ft_facet_lang, dedup_exact, text_fingerprint, dedup_jaccard,
+        ft_prefix_match, ft_facet_lang, ft_phrase, ft_phrase_gap, ft_wildcard,
+        ft_fuzzy, ft_term_range, ft_term_in_set, ft_dismax, ft_msm, ft_boost,
+        ft_synonym, ft_sort_field, ft_group_top, ft_facet_range,
+        dedup_exact, text_fingerprint, dedup_jaccard,
         dedup_minhash_lsh, dedup_simhash, text_token_count, text_quality, text_langid,
         ann_bruteforce, ann_lsh, emb_label_stats,
     ]:
@@ -267,6 +364,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ---------------------------------------------------------------- oracles
+
+
+def _phrase_sql(members: list[tuple[str, int]], k: int) -> str:
+    """Exact-phrase oracle: positions from the raw token stream (stopwords
+    keep their slots, mirroring Lucene position increments), phrase freq by
+    offset self-joins, BM25 with summed-idf weight."""
+    t0, o0 = members[0]
+    joins = "".join(
+        f"\n  JOIN pos p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.p = p0.p + {off - o0}"
+        f" AND p{i}.w = '{t}'"
+        for i, (t, off) in enumerate(members[1:], 1)
+    )
+    idf_sum = " + ".join(
+        f"(SELECT ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) FROM df d CROSS JOIN stats s"
+        f" WHERE d.term = '{t}')"
+        for t, _ in members
+    )
+    return (
+        _FT_PRELUDE
+        + f""",
+pos AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS p
+  FROM documents
+),
+pm AS (
+  SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS pf
+  FROM pos p0{joins}
+  WHERE p0.w = '{t0}' GROUP BY p0.doc_id
+),
+sc AS (
+  SELECT pm.doc_id,
+         ({idf_sum}) AS w,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (s.sttf / s.n))) AS inv,
+         pm.pf AS pf
+  FROM pm JOIN dl USING (doc_id) CROSS JOIN stats s
+)
+SELECT doc_id, CAST(floor((w - w / (1.0 + pf * inv)) * 10000) AS BIGINT) AS score_q
+FROM sc ORDER BY (w - w / (1.0 + pf * inv)) DESC, doc_id LIMIT {k}"""
+    )
 
 
 def _norm_bounds_sql() -> str:
@@ -328,6 +465,81 @@ SELECT DISTINCT doc_id FROM ftok WHERE term LIKE 's%'""",
 SELECT d.lang, CAST(count(*) AS BIGINT) AS n FROM documents d
 WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'dup')
 GROUP BY d.lang""",
+        "ft_phrase": _phrase_sql([("table", 0), ("hash", 1)], 10),
+        "ft_phrase_gap": _phrase_sql([("part", 0), ("key", 2)], 10),
+        "ft_wildcard": _FT_PRELUDE + """
+SELECT DISTINCT doc_id FROM ftok WHERE term LIKE '%er%'""",
+        "ft_fuzzy": _FT_PRELUDE + """
+SELECT DISTINCT doc_id FROM ftok
+WHERE term IN (SELECT term FROM df WHERE levenshtein(term, 'kay') <= 1)""",
+        "ft_term_range": _FT_PRELUDE + """
+SELECT DISTINCT doc_id FROM ftok WHERE term >= 'v' AND term <= 'w'""",
+        "ft_term_in_set": _FT_PRELUDE + """
+SELECT DISTINCT doc_id FROM ftok WHERE term IN ('dup', 'vector', 'window')""",
+        "ft_dismax": _FT_PRELUDE + "," + _score_sql(["key", "window"]).replace(
+            "SUM(w - w / (1.0 + tf * inv)) AS score, count(*) AS n_terms",
+            "MAX(w - w / (1.0 + tf * inv)) + 0.1 * (SUM(w - w / (1.0 + tf * inv))"
+            " - MAX(w - w / (1.0 + tf * inv))) AS score, count(*) AS n_terms",
+        ) + """
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10""",
+        "ft_msm": _FT_PRELUDE + "," + _score_sql(
+            ["spark", "window", "dup", "vector"]
+        ).replace(
+            "FROM term_scores GROUP BY doc_id",
+            "FROM term_scores GROUP BY doc_id HAVING count(*) >= 2",
+        ) + """
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10""",
+        "ft_boost": _FT_PRELUDE + """,
+term_scores AS (
+  SELECT tf.doc_id,
+         (CASE WHEN tf.term = 'key' THEN 2.0 ELSE 1.0 END)
+           * ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) AS w,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (s.sttf / s.n))) AS inv,
+         tf.tf AS tf
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term IN ('key', 'window')
+),
+doc_scores AS (
+  SELECT doc_id, SUM(w - w / (1.0 + tf * inv)) AS score FROM term_scores GROUP BY doc_id
+)
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10""",
+        "ft_synonym": _FT_PRELUDE + """,
+syn AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tf FROM tf
+  WHERE term IN ('scan', 'merge') GROUP BY doc_id
+),
+dfm AS (SELECT max(df) AS df FROM df WHERE term IN ('scan', 'merge')),
+sc AS (
+  SELECT syn.doc_id,
+         ln(1 + (s.n - dfm.df + 0.5) / (dfm.df + 0.5)) AS w,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (s.sttf / s.n))) AS inv,
+         syn.tf AS tf
+  FROM syn JOIN dl USING (doc_id) CROSS JOIN dfm CROSS JOIN stats s
+)
+SELECT doc_id, CAST(floor((w - w / (1.0 + tf * inv)) * 10000) AS BIGINT) AS score_q
+FROM sc ORDER BY (w - w / (1.0 + tf * inv)) DESC, doc_id LIMIT 10""",
+        "ft_sort_field": _FT_PRELUDE + """
+SELECT d.doc_id, d.n_chars FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM ftok WHERE term = 'dup')
+ORDER BY d.n_chars DESC, d.doc_id LIMIT 10""",
+        "ft_group_top": _FT_PRELUDE + "," + _score_sql(["batch"]) + """
+SELECT lang, doc_id, score_q FROM (
+  SELECT d.lang, ds.doc_id,
+         CAST(floor(ds.score * 10000) AS BIGINT) AS score_q,
+         row_number() OVER (PARTITION BY d.lang ORDER BY ds.score DESC, ds.doc_id) AS rn
+  FROM doc_scores ds JOIN documents d USING (doc_id)
+) WHERE rn <= 2""",
+        "ft_facet_range": _FT_PRELUDE + """
+SELECT CASE WHEN n_chars < 400 THEN 'lt400'
+            WHEN n_chars < 600 THEN '400to600'
+            ELSE 'ge600' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents
+WHERE doc_id IN (SELECT doc_id FROM ftok WHERE term = 'dup')
+GROUP BY 1""",
         "dedup_exact": """
 SELECT md5(text) AS fingerprint, CAST(count(*) AS BIGINT) AS n_dups,
        min(doc_id) AS canonical_id
