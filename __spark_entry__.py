@@ -27,6 +27,10 @@ from lucene_spark.index import Index, build_index, tokenize_docs
 from lucene_spark.search import expand_terms, match_any_docs, search
 from lucene_spark.smallfloat import byte4_to_int
 from lucene_spark import ann, textops
+from lucene_spark.classify import classify_knn
+from lucene_spark.highlight import highlight
+from lucene_spark.monitor import StoredQuery, match_documents
+from lucene_spark.suggest import suggest_terms
 
 # ---------------------------------------------------------------- shared bits
 
@@ -293,6 +297,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count(F.lit(1)).alias("n"))
         )
 
+    # --- aux modules: suggest / join / monitor / classify / highlight ---
+    def ft_suggest(spark, sf):
+        # suggest module analog (AnalyzingSuggester.java:121): prefix
+        # completions ranked by collection term frequency
+        idx = _ft_index(spark, sf)
+        return suggest_terms(idx, "s", 5)
+
+    def ft_query_join(spark, sf):
+        # query-time join (join/JoinUtil.java:56): search hits joined to a
+        # fact table — the small hit set is broadcast
+        idx = _ft_index(spark, sf)
+        td = search(idx, "dup", k=100, precision="float64", prune=True)
+        ids = spark.createDataFrame(
+            [(int(d),) for d in td.docids.tolist()], "doc_id long"
+        )
+        events = spark.read.parquet(f"{sf}/events.parquet")
+        return (
+            events.join(F.broadcast(ids), events.user_id == ids.doc_id)
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.floor(F.sum("value") * 100).cast("long").alias("value_q"),
+            )
+        )
+
+    def ft_monitor(spark, sf):
+        # reverse search / percolator (monitor/Monitor.java:47)
+        return match_documents(
+            spark,
+            _docs(spark, sf),
+            [
+                StoredQuery("q_any", "spark window", mode="any"),
+                StoredQuery("q_all", "key window", mode="all"),
+                StoredQuery("q_one", "dup"),
+                StoredQuery("q_tri", "batch scan agg", mode="all"),
+            ],
+        )
+
+    def ft_knn_classify(spark, sf):
+        # classification module (KNearestNeighborClassifier.java:60)
+        idx = _ft_index(spark, sf)
+        return classify_knn(
+            idx, "key window batch", _docs(spark, sf).select("doc_id", "lang"),
+            k=10, precision="float64",
+        )
+
+    def ft_highlight(spark, sf):  # UnifiedHighlighter analog: rows-only check
+        idx = _ft_index(spark, sf)
+        td = search(idx, "dup", k=10, precision="float64", prune=True)
+        hits = spark.createDataFrame(
+            [(int(d),) for d in td.docids.tolist()], "doc_id long"
+        )
+        withtext = hits.join(_docs(spark, sf).select("doc_id", "text"), "doc_id")
+        return highlight(withtext, ["dup"])
+
     # --- training-data pipeline ops ---
     def dedup_exact(spark, sf):
         return textops.exact_duplicates(_docs(spark, sf))
@@ -355,6 +414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_prefix_match, ft_facet_lang, ft_phrase, ft_phrase_gap, ft_wildcard,
         ft_fuzzy, ft_term_range, ft_term_in_set, ft_dismax, ft_msm, ft_boost,
         ft_synonym, ft_sort_field, ft_group_top, ft_facet_range,
+        ft_suggest, ft_query_join, ft_monitor, ft_knn_classify, ft_highlight,
         dedup_exact, text_fingerprint, dedup_jaccard,
         dedup_minhash_lsh, dedup_simhash, text_token_count, text_quality, text_langid,
         ann_bruteforce, ann_lsh, emb_label_stats,
@@ -540,6 +600,32 @@ SELECT CASE WHEN n_chars < 400 THEN 'lt400'
 FROM documents
 WHERE doc_id IN (SELECT doc_id FROM ftok WHERE term = 'dup')
 GROUP BY 1""",
+        "ft_suggest": _FT_PRELUDE + """
+SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf
+WHERE term LIKE 's%' GROUP BY term ORDER BY cf DESC, term LIMIT 5""",
+        "ft_query_join": _FT_PRELUDE + "," + _score_sql(["dup"]) + """,
+hits AS (SELECT doc_id FROM doc_scores ORDER BY score DESC, doc_id LIMIT 100)
+SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(floor(sum(e.value) * 100) AS BIGINT) AS value_q
+FROM hits h JOIN events e ON e.user_id = h.doc_id
+GROUP BY h.doc_id""",
+        "ft_monitor": _FT_PRELUDE + """,
+q(qid, term, n_required) AS (
+  VALUES ('q_any', 'spark', 1), ('q_any', 'window', 1),
+         ('q_all', 'key', 2), ('q_all', 'window', 2),
+         ('q_one', 'dup', 1),
+         ('q_tri', 'batch', 3), ('q_tri', 'scan', 3), ('q_tri', 'agg', 3)
+),
+dt AS (SELECT DISTINCT doc_id, term FROM ftok)
+SELECT q.qid, dt.doc_id
+FROM dt JOIN q USING (term)
+GROUP BY q.qid, dt.doc_id, q.n_required
+HAVING count(*) >= q.n_required""",
+        "ft_knn_classify": _FT_PRELUDE + "," + _score_sql(["batch", "key", "window"]) + """,
+topk AS (SELECT doc_id FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10)
+SELECT d.lang AS label, CAST(count(*) AS BIGINT) AS votes
+FROM topk t JOIN documents d USING (doc_id)
+GROUP BY d.lang ORDER BY votes DESC, label LIMIT 1""",
         "dedup_exact": """
 SELECT md5(text) AS fingerprint, CAST(count(*) AS BIGINT) AS n_dups,
        min(doc_id) AS canonical_id

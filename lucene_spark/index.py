@@ -138,11 +138,25 @@ def assign_docids(df: DataFrame, key_col: str = "url", num_partitions: int | Non
 # --- fused build passes ----------------------------------------------------------
 #
 # The build runs exactly two narrow passes over the (cached, slimmed) input —
-# one emitting per-doc metadata, one emitting the inverted tf tuples — instead
-# of materializing/caching token arrays: caching array<string> columns in
-# Spark's columnar cache costs more than re-running the C-regex analyzer
+# one emitting per-doc metadata, one emitting packed partial posting lists —
+# instead of materializing/caching token arrays: caching array<string> columns
+# in Spark's columnar cache costs more than re-running the C-regex analyzer
 # (measured 27s cache vs ~3s re-analysis for 50k docs), and at 100 TB a
 # token-array cache would not fit anywhere.
+#
+# The invert pass emits PACKED partials — one row per (term, seg) per Arrow
+# batch, with docids/tfs/dls as int32 binary buffers — the DWPT flush analog
+# (FreqProxTermsWriter.java:82-137: each writer thread flushes its own sorted
+# mini posting lists, the merge concatenates).  Versus one row per posting,
+# this cuts the wide shuffle from ~40 B/posting of row overhead to ~9 B of
+# array payload and makes the shuffle row count ~vocabulary-sized instead of
+# ~token-sized: the difference between shuffling 8.4 M rows and ~300 K rows
+# at 200 K docs, and the difference that matters at 10^12 docs.
+
+PARTIALS_SCHEMA = (
+    "term string, seg long, n long, "
+    "doc_chunk binary, tf_chunk binary, dl_chunk binary, pos_chunk binary"
+)
 
 
 def _docs_meta_pass(offs: list[int] | None, text_col: str, key_col: str, stopwords):
@@ -182,10 +196,17 @@ def _docs_meta_pass(offs: list[int] | None, text_col: str, key_col: str, stopwor
 def _fused_invert_pass(
     offs: list[int] | None, text_col: str, seg_size: int, stopwords, with_positions: bool
 ):
-    """mapInPandas body: (text[, docid]) → tf tuples (term, docid, seg, tf, dl
-    [, positions]) — analysis + partition-local invert in ONE Arrow pass
-    (IndexingChain.processDocument + TermsHashPerField accumulation,
-    IndexingChain.java:1120-1217, fused the way a DWPT fuses them)."""
+    """mapInPandas body: (text[, docid]) → PACKED partial posting lists
+    (PARTIALS_SCHEMA) — analysis + partition-local invert + mini-flush in ONE
+    Arrow pass (IndexingChain.processDocument + TermsHashPerField accumulation
+    + FreqProxTermsWriter flush, IndexingChain.java:1120-1217,
+    FreqProxTermsWriter.java:82-137, fused the way a DWPT fuses them).
+
+    Each emitted chunk is internally sorted by docid; chunks of one (term,
+    seg) from different batches/partitions cover disjoint docid sets, so the
+    merge stage concatenates (and only re-sorts if ranges interleave —
+    impossible under rank-assigned docids, possible with caller docids).
+    """
     from pyspark import TaskContext
 
     from .analysis import analyze, analyze_with_positions
@@ -223,44 +244,153 @@ def _fused_invert_pass(
                 o += len(t)
             docid_flat = np.repeat(ids, n)
             dl_flat = np.repeat(n, n)
+            if with_positions:
+                pos_flat = np.empty(total, dtype=np.int64)
+                o = 0
+                for _, p in pairs:
+                    pos_flat[o : o + len(p)] = p
+                    o += len(p)
 
-            if not with_positions:
-                flat = pd.DataFrame({"term": terms, "docid": docid_flat, "dl": dl_flat})
-                out = (
-                    flat.groupby(["term", "docid"], sort=False)
-                    .agg(tf=("dl", "size"), dl=("dl", "first"))
-                    .reset_index()
-                )
-                out["seg"] = out["docid"] // seg_size
-                yield out[["term", "docid", "seg", "tf", "dl"]]
-                continue
-
-            pos_flat = np.empty(total, dtype=np.int64)
-            o = 0
-            for _, p in pairs:
-                pos_flat[o : o + len(p)] = p
-                o += len(p)
-            # stable sort by (term, docid) keeps positions ascending per group
+            # stable sort by (term, docid): grouping + docid order + (for
+            # positions) ascending positions per posting, all in one pass
             order = np.lexsort((docid_flat, terms))
-            t_s, d_s, p_s = terms[order], docid_flat[order], pos_flat[order]
+            t_s, d_s = terms[order], docid_flat[order]
             dl_s = dl_flat[order]
-            new = np.ones(total, dtype=bool)
-            new[1:] = (t_s[1:] != t_s[:-1]) | (d_s[1:] != d_s[:-1])
-            starts = np.flatnonzero(new)
-            tf = np.diff(np.append(starts, total))
-            split = np.split(p_s, starts[1:])
-            yield pd.DataFrame(
-                {
-                    "term": t_s[starts],
-                    "docid": d_s[starts],
-                    "seg": d_s[starts] // seg_size,
-                    "tf": tf,
-                    "dl": dl_s[starts],
-                    "positions": [a.tolist() for a in split],
-                }
-            )
+            newp = np.ones(total, dtype=bool)
+            newp[1:] = (t_s[1:] != t_s[:-1]) | (d_s[1:] != d_s[:-1])
+            pstarts = np.flatnonzero(newp)
+            tf = np.diff(np.append(pstarts, total))
+            t_p, d_p, dl_p = t_s[pstarts], d_s[pstarts], dl_s[pstarts]
+            seg_p = d_p // seg_size
+            local_p = (d_p - seg_p * seg_size).astype(np.int32)
+            tf32 = tf.astype(np.int32)
+            dl32 = dl_p.astype(np.int32)
+            # (term, seg) chunk boundaries over the posting-level arrays
+            newg = np.ones(len(pstarts), dtype=bool)
+            newg[1:] = (t_p[1:] != t_p[:-1]) | (seg_p[1:] != seg_p[:-1])
+            gstarts = np.flatnonzero(newg)
+            gends = np.append(gstarts[1:], len(pstarts))
+            if with_positions:
+                p_s32 = pos_flat[order].astype(np.int32)
+                flat_bounds = np.append(pstarts, total)
+            cols = {"term": t_p[gstarts], "seg": seg_p[gstarts],
+                    "n": (gends - gstarts).astype(np.int64),
+                    "doc_chunk": [], "tf_chunk": [], "dl_chunk": [], "pos_chunk": []}
+            for gs, ge in zip(gstarts.tolist(), gends.tolist()):
+                cols["doc_chunk"].append(local_p[gs:ge].tobytes())
+                cols["tf_chunk"].append(tf32[gs:ge].tobytes())
+                cols["dl_chunk"].append(dl32[gs:ge].tobytes())
+                cols["pos_chunk"].append(
+                    p_s32[flat_bounds[gs] : flat_bounds[ge]].tobytes()
+                    if with_positions else b""
+                )
+            yield pd.DataFrame(cols)
 
     return run
+
+
+def _merge_partials(seg_size: int):
+    """mapInPandas body over (term, seg)-sorted packed partials: concatenate
+    each group's chunks (already docid-sorted and disjoint) and run the block
+    codec — the SegmentMerger analog (SegmentMerger.java:103-136) where
+    Spark's sort-based exchange did the k-way term merge."""
+
+    def encode(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        terms = pdf["term"].to_numpy()
+        segs = pdf["seg"].to_numpy(dtype=np.int64)
+        docc = pdf["doc_chunk"].to_numpy()
+        tfc = pdf["tf_chunk"].to_numpy()
+        dlc = pdf["dl_chunk"].to_numpy()
+        posc = pdf["pos_chunk"].to_numpy()
+        bounds = np.append(starts, len(pdf))
+        cols: dict[str, list] = {
+            "term": [], "seg": [], "df_local": [], "cf_local": [], "nblocks": [],
+            "n_tail": [], "doc_blob": [], "freq_blob": [], "dl_blob": [],
+            "tail_blob": [], "pos_blob": [], "block_last_docid": [], "imp_freqs": [],
+            "imp_dls": [], "imp_offsets": [],
+        }
+        for i in range(len(starts)):
+            s, e = int(bounds[i]), int(bounds[i + 1])
+            chunks = list(range(s, e))
+            if e - s > 1:
+                # order chunks by first docid (chunks are disjoint ranges
+                # under rank-assigned docids)
+                chunks.sort(key=lambda j: np.frombuffer(docc[j][:4], dtype=np.int32)[0])
+            docids = np.concatenate(
+                [np.frombuffer(docc[j], dtype=np.int32) for j in chunks]
+            ).astype(np.int64)
+            tfs = np.concatenate(
+                [np.frombuffer(tfc[j], dtype=np.int32) for j in chunks]
+            ).astype(np.int64)
+            dls = np.concatenate(
+                [np.frombuffer(dlc[j], dtype=np.int32) for j in chunks]
+            ).astype(np.int64)
+            has_pos = len(posc[chunks[0]]) > 0
+            if has_pos:
+                pos = np.concatenate(
+                    [np.frombuffer(posc[j], dtype=np.int32) for j in chunks]
+                ).astype(np.int64)
+            if e - s > 1 and np.any(np.diff(docids) <= 0):
+                # caller-assigned docids may interleave partition ranges
+                o = np.argsort(docids, kind="stable")
+                if has_pos:
+                    st = np.cumsum(tfs) - tfs
+                    pos = np.concatenate(
+                        [pos[st[j] : st[j] + tfs[j]] for j in o.tolist()]
+                    )
+                docids, tfs, dls = docids[o], tfs[o], dls[o]
+            enc = encode_postings(docids, tfs, dls)
+            imp_f, imp_dl, imp_off = block_frontiers(docids, tfs, dls, BLOCK_SIZE)
+            cols["term"].append(terms[s])
+            cols["seg"].append(int(segs[s]))
+            cols["df_local"].append(len(docids))
+            cols["cf_local"].append(int(tfs.sum()))
+            cols["nblocks"].append(len(docids) // BLOCK_SIZE)
+            cols["n_tail"].append(enc["n_tail"])
+            cols["doc_blob"].append(enc["doc_blob"])
+            cols["freq_blob"].append(enc["freq_blob"])
+            cols["dl_blob"].append(enc["dl_blob"])
+            cols["tail_blob"].append(enc["tail_blob"])
+            cols["pos_blob"].append(encode_positions(pos, tfs) if has_pos else b"")
+            cols["block_last_docid"].append(enc["block_last_docid"].tolist())
+            cols["imp_freqs"].append(imp_f.tolist())
+            cols["imp_dls"].append(imp_dl.tolist())
+            cols["imp_offsets"].append(imp_off.tolist())
+        return pd.DataFrame(cols)
+
+    def run(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            starts = _group_starts(pdf)
+            if len(starts) == 1:
+                carry = pdf
+                continue
+            last = int(starts[-1])
+            carry = pdf.iloc[last:].reset_index(drop=True)
+            yield encode(pdf.iloc[:last], starts[:-1])
+        if carry is not None and len(carry):
+            yield encode(carry, _group_starts(carry))
+
+    return run
+
+
+def merge_partials_stage(
+    partials: DataFrame, seg_size: int, num_partitions: int | None = None
+) -> DataFrame:
+    """Packed partials → compressed posting rows.  THE one wide shuffle of
+    the build, moving ~9 bytes/posting of packed arrays instead of 40+ bytes
+    of row overhead."""
+    parts = num_partitions or partials.sparkSession.sparkContext.defaultParallelism * 2
+    return (
+        partials.repartition(parts, "term", "seg")
+        .sortWithinPartitions("term", "seg")
+        .mapInPandas(_merge_partials(seg_size), schema=POSTINGS_SCHEMA)
+    )
 
 
 def _encode_groups(pdf: pd.DataFrame, starts: np.ndarray, seg_size: int) -> pd.DataFrame:
@@ -371,22 +501,28 @@ def segment_rows_stage(tf: DataFrame, seg_size: int, num_partitions: int | None 
 
 
 def build_norms(docs_tok: DataFrame, seg_size: int) -> DataFrame:
-    """docs(docid, dl) → norms(seg, n_docs, dl_blob) — one packed row per segment."""
+    """docs(docid, dl) → norms(seg, n_docs, dl_blob, dl_sum) — one packed row
+    per segment; dl_sum lets sumTotalTermFreq roll up from this tiny table
+    instead of a second pass over the corpus."""
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         seg = int(pdf["seg"].iloc[0])
         local = pdf["docid"].to_numpy(dtype=np.int64) - seg * seg_size
         n = int(local.max()) + 1
         arr = np.zeros(n, dtype=np.uint32)
-        arr[local] = pdf["dl"].to_numpy(dtype=np.int64).astype(np.uint32)
-        return pd.DataFrame([{"seg": seg, "n_docs": len(pdf), "dl_blob": arr.tobytes()}])
+        dls = pdf["dl"].to_numpy(dtype=np.int64)
+        arr[local] = dls.astype(np.uint32)
+        return pd.DataFrame(
+            [{"seg": seg, "n_docs": len(pdf), "dl_blob": arr.tobytes(),
+              "dl_sum": int(dls.sum())}]
+        )
 
     return (
         docs_tok.select(
             "docid", "dl", (F.col("docid") / F.lit(seg_size)).cast("long").alias("seg")
         )
         .groupBy("seg")
-        .applyInPandas(pack, schema="seg long, n_docs long, dl_blob binary")
+        .applyInPandas(pack, schema="seg long, n_docs long, dl_blob binary, dl_sum long")
     )
 
 
@@ -486,15 +622,11 @@ def build_index(
         _docs_meta_pass(offs, text_col, key_col, stopwords),
         schema=f"docid long, url {key_type}, dl long, norm int",
     )
-    tf_schema = "term string, docid long, seg long, tf long, dl long"
-    if with_positions:
-        tf_schema += ", positions array<long>"
-    tf = base.mapInPandas(
+    partials = base.mapInPandas(
         _fused_invert_pass(offs, text_col, seg_size, stopwords, with_positions),
-        schema=tf_schema,
+        schema=PARTIALS_SCHEMA,
     )
-
-    postings = segment_rows_stage(tf, seg_size, num_partitions=shuffle_partitions)
+    postings = merge_partials_stage(partials, seg_size, num_partitions=shuffle_partitions)
 
     # global term stats roll up from segment rows — no extra wide shuffle
     # over the tf table (TermStates.build walks segments the same way,
@@ -503,8 +635,10 @@ def build_index(
         F.sum("df_local").alias("df"), F.sum("cf_local").alias("cf")
     )
 
-    sum_ttf = docs.agg(F.sum("dl")).collect()[0][0] or 0
-    norms = build_norms(docs, seg_size)
+    # one analysis pass feeds norms; sumTotalTermFreq rolls up from the tiny
+    # per-segment norms table (persisted here so the pass runs exactly once)
+    norms = build_norms(docs, seg_size).persist()
+    sum_ttf = norms.agg(F.sum("dl_sum")).collect()[0][0] or 0
 
     return Index(
         docs=docs,

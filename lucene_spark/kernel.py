@@ -63,6 +63,14 @@ class TermPostings:
         with np.repeat(docids, freqs).  Requires a positions-enabled index."""
         if self._positions is None:
             _, freqs, _ = self.decode()
+            if len(self.pos_blob) == 0 and self.df_local > 0:
+                # IllegalStateException analog: "field was indexed without
+                # position data; cannot run PhraseQuery"
+                # (search/PhraseQuery.java:509-514)
+                raise ValueError(
+                    "phrase query needs a positions-enabled index — build with "
+                    "build_index(..., with_positions=True)"
+                )
             self._positions = decode_positions(self.pos_blob, freqs)
         return self._positions
 
@@ -327,7 +335,12 @@ def segment_topk(
     lucene mode).  With ``prune=False`` runs the exhaustive path (the oracle
     duel's "CheckHits" twin — CheckHits.java:602).
     """
-    tps = {t: TermPostings(r, seg_size) for t, r in term_rows.items()}
+    # accept pre-built TermPostings so a multi-query batch (search_many)
+    # decodes each posting list once, not once per query
+    tps = {
+        t: (r if isinstance(r, TermPostings) else TermPostings(r, seg_size))
+        for t, r in term_rows.items()
+    }
     postings_by_term = {t: tp.decode() for t, tp in tps.items()}
     phrase_terms = _phrase_member_terms(node)
     pos_by_term = {

@@ -361,6 +361,113 @@ def search(
     return TopDocs(docids, scores, urls)
 
 
+def search_many(
+    index: Index,
+    queries: dict[str, str | tuple],
+    k: int = 10,
+    precision: str = "lucene",
+    prune: bool = True,
+    k1: float = 1.2,
+    b: float = 0.75,
+    ks: dict[str, int] | None = None,
+) -> dict[str, TopDocs]:
+    """Run MANY queries in ONE Spark job — the throughput path.
+    ``ks`` optionally overrides ``k`` per query id.
+
+    Lucene amortizes per-query cost across a query log (benchmark byTask
+    ReadTask loop); Spark's analog is batching: a single postings scan +
+    shuffle for the union of all query terms, with every segment kernel
+    evaluating every query against its local rows.  Per-query driver work is
+    microseconds; the fixed job-scheduling cost (~0.5 s in local mode) is
+    paid once for the whole batch instead of per query.
+    """
+    stats = CollectionStats(index.doc_count, index.sum_total_term_freq)
+    empty = TopDocs(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+
+    prepared: dict[str, tuple] = {}
+    all_terms: set[str] = set()
+    for qid, q in queries.items():
+        node = rewrite(parse_query(q) if isinstance(q, str) else q)
+        if node is not None:
+            prepared[qid] = node
+            all_terms.update(query_terms(node))
+    if not prepared:
+        return {qid: empty for qid in queries}
+
+    dfs = term_dfs(sorted(all_terms), index.termdict)
+    exec_nodes: dict[str, tuple] = {}
+    needed_terms: set[str] = set()
+    for qid, node in prepared.items():
+        node = attach_scorers(node, dfs, stats, k1, b, precision)
+        if node is None:
+            continue
+        terms = [t for t in query_terms(node) if t in dfs]
+        if node[0] == "and" and len(terms) < len(query_terms(node)):
+            continue
+        if terms:
+            exec_nodes[qid] = node
+            needed_terms.update(terms)
+    if not exec_nodes:
+        return {qid: empty for qid in queries}
+
+    scorers = {
+        t: BM25Scorer(dfs[t], stats, k1=k1, b=b, precision=precision)
+        for t in needed_terms
+    }
+    rows = index.postings.filter(F.col("term").isin(sorted(needed_terms)))
+    seg_size = index.seg_size
+    ks = {qid: (ks or {}).get(qid, k) for qid in exec_nodes}
+    nodes_b, kmap, prec, pr = exec_nodes, ks, precision, prune
+
+    def run_segment(post_pdf: pd.DataFrame) -> pd.DataFrame:
+        from .kernel import TermPostings, segment_topk
+
+        if len(post_pdf) == 0:
+            return pd.DataFrame({"qid": pd.Series(dtype=object),
+                                 "docid": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        seg = int(post_pdf["seg"].iloc[0])
+        # shared decoded postings across the whole query batch
+        term_rows = {
+            r["term"]: TermPostings(r, seg_size) for _, r in post_pdf.iterrows()
+        }
+        out_q, out_d, out_s = [], [], []
+        for qid, node in nodes_b.items():
+            sub = {t: term_rows[t] for t in query_terms(node) if t in term_rows}
+            if not sub:
+                continue
+            d, s = segment_topk(node, sub, scorers, seg_size, kmap[qid],
+                                precision=prec, prune=pr)
+            out_q.extend([qid] * len(d))
+            out_d.append(d + seg * seg_size)
+            out_s.append(s)
+        return pd.DataFrame({
+            "qid": out_q,
+            "docid": np.concatenate(out_d) if out_d else np.empty(0, dtype=np.int64),
+            "score": np.concatenate(out_s) if out_s else np.empty(0, dtype=np.float64),
+        })
+
+    collected = (
+        rows.groupBy("seg")
+        .applyInPandas(run_segment, schema="qid string, docid long, score double")
+        .collect()
+    )
+    by_q: dict[str, list] = {}
+    for r in collected:
+        by_q.setdefault(r["qid"], []).append((r["docid"], r["score"]))
+    out: dict[str, TopDocs] = {}
+    for qid in queries:
+        pairs = by_q.get(qid)
+        if not pairs:
+            out[qid] = empty
+            continue
+        docids = np.array([p[0] for p in pairs], dtype=np.int64)
+        scores = np.array([p[1] for p in pairs], dtype=np.float64)
+        order = np.lexsort((docids, -scores))[: ks.get(qid, k)]
+        out[qid] = TopDocs(docids[order], scores[order])
+    return out
+
+
 # --- MultiTermQuery family (expansion against the term dictionary) ---------------
 
 
