@@ -692,6 +692,8 @@ def build_or_resume(
     text_col: str = "text",
     key_col: str = "url",
     seg_size: int = 4096,
+    with_positions: bool = False,
+    stopwords=ENGLISH_STOP_WORDS,
 ) -> dict:
     """Checkpointed per-segment build with lineage + metrics (north rule).
 
@@ -721,17 +723,22 @@ def build_or_resume(
     subset = pages_id.filter(
         (F.col("docid") / F.lit(seg_size)).cast("long").isin([int(s) for s in todo])
     )
-    docs_tok = tokenize_docs(subset, text_col=text_col, key_col=key_col).persist()
-    tf = invert(docs_tok, seg_size)
-    postings = segment_rows_stage(
-        tf.select("term", "seg", "docid", "tf", "dl"), seg_size
+    key_type = pages.schema[key_col].dataType.simpleString()
+    docs_meta = subset.select("docid", key_col, text_col).mapInPandas(
+        _docs_meta_pass(None, text_col, key_col, stopwords),
+        schema=f"docid long, url {key_type}, dl long, norm int",
     ).persist()
+    partials = subset.select("docid", text_col).mapInPandas(
+        _fused_invert_pass(None, text_col, seg_size, stopwords, with_positions),
+        schema=PARTIALS_SCHEMA,
+    )
+    postings = merge_partials_stage(partials, seg_size).persist()
 
     postings.sortWithinPartitions("term").write.mode("append").partitionBy("seg").parquet(
         f"{out_dir}/postings"
     )
-    docs_tok.select("docid", "url", "dl", "norm").write.mode("append").parquet(f"{out_dir}/docs")
-    build_norms(docs_tok, seg_size).write.mode("append").parquet(f"{out_dir}/norms")
+    docs_meta.write.mode("append").parquet(f"{out_dir}/docs")
+    build_norms(docs_meta, seg_size).write.mode("append").parquet(f"{out_dir}/norms")
 
     wall = time.time() - t0
     lineage = (
@@ -762,7 +769,7 @@ def build_or_resume(
         "doc_count long, sum_total_term_freq long, seg_size long",
     ).write.mode("overwrite").parquet(f"{out_dir}/stats")
 
-    docs_tok.unpersist()
+    docs_meta.unpersist()
     postings.unpersist()
     return {
         "doc_count": doc_count,

@@ -21,13 +21,15 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .analysis import ENGLISH_STOP_WORDS
 from .index import (
-    POSTINGS_SCHEMA,
+    PARTIALS_SCHEMA,
+    _docs_meta_pass,
+    _fused_invert_pass,
     build_norms,
-    invert,
+    merge_partials_stage,
     read_index,
     segment_rows_stage,
-    tokenize_docs,
 )
 
 
@@ -57,12 +59,15 @@ def append_batch(
     seg_size: int,
     text_col: str = "text",
     key_col: str = "url",
+    with_positions: bool = False,
+    stopwords=ENGLISH_STOP_WORDS,
 ) -> int:
     """Index one micro-batch as new segment(s) appended after maxDoc.
 
     docIDs continue from the next fresh segment base in batch arrival order
     (Lucene's arrival-order docIDs, IndexingChain.java:583 — the batch is the
-    arrival unit).  Returns the number of docs appended.
+    arrival unit).  Returns the number of docs appended.  Uses the same
+    packed-partials flush as the batch build.
     """
     max_doc = _next_seg_base(spark, out_dir, seg_size)
 
@@ -77,31 +82,34 @@ def append_batch(
     w = Window.orderBy(key_col)
     pages = batch_df.withColumn("docid", F.row_number().over(w) - 1 + F.lit(max_doc))
 
-    docs_tok = tokenize_docs(pages, text_col=text_col, key_col=key_col).persist()
-    tf = invert(docs_tok, seg_size)
-    postings = segment_rows_stage(
-        tf.select("term", "seg", "docid", "tf", "dl"), seg_size
+    key_type = batch_df.schema[key_col].dataType.simpleString()
+    docs_meta = pages.select("docid", key_col, text_col).mapInPandas(
+        _docs_meta_pass(None, text_col, key_col, stopwords),
+        schema=f"docid long, url {key_type}, dl long, norm int",
+    ).persist()
+    partials = pages.select("docid", text_col).mapInPandas(
+        _fused_invert_pass(None, text_col, seg_size, stopwords, with_positions),
+        schema=PARTIALS_SCHEMA,
     )
+    postings = merge_partials_stage(partials, seg_size)
     postings.sortWithinPartitions("term").write.mode("append").partitionBy("seg").parquet(
         f"{out_dir}/postings"
     )
-    docs_tok.select("docid", "url", "dl", "norm").write.mode("append").parquet(
-        f"{out_dir}/docs"
-    )
-    build_norms(docs_tok, seg_size).write.mode("append").parquet(f"{out_dir}/norms")
+    docs_meta.write.mode("append").parquet(f"{out_dir}/docs")
+    build_norms(docs_meta, seg_size).write.mode("append").parquet(f"{out_dir}/norms")
 
     # refresh commit point (stats + termdict) — the segments_N publish analog
     full_docs = spark.read.parquet(f"{out_dir}/docs")
     n_docs = full_docs.count()
     sum_ttf = full_docs.agg(F.sum("dl")).collect()[0][0] or 0
     spark.read.parquet(f"{out_dir}/postings").groupBy("term").agg(
-        F.sum("df_local").alias("df")
+        F.sum("df_local").alias("df"), F.sum("cf_local").alias("cf")
     ).write.mode("overwrite").parquet(f"{out_dir}/termdict")
     spark.createDataFrame(
         [(n_docs, int(sum_ttf), seg_size)],
         "doc_count long, sum_total_term_freq long, seg_size long",
     ).write.mode("overwrite").parquet(f"{out_dir}/stats")
-    docs_tok.unpersist()
+    docs_meta.unpersist()
     return n_batch
 
 
@@ -113,12 +121,14 @@ def start_indexing_stream(
     text_col: str = "text",
     key_col: str = "url",
     trigger_once: bool = False,
+    with_positions: bool = False,
 ):
     """readStream → foreachBatch(append_batch) → live index directory."""
     spark = stream_df.sparkSession
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        append_batch(spark, batch_df, out_dir, seg_size, text_col, key_col)
+        append_batch(spark, batch_df, out_dir, seg_size, text_col, key_col,
+                     with_positions=with_positions)
 
     writer = stream_df.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir or f"{out_dir}/_stream_checkpoint"
@@ -154,9 +164,15 @@ def compact_index(spark: SparkSession, in_dir: str, out_dir: str, seg_size: int 
 
     old_seg_size = old.seg_size
 
+    has_pos = bool(
+        old.postings.filter(F.length("pos_blob") > 0).limit(1).count()
+    ) if "pos_blob" in old.postings.columns else False
+
     def explode_rows(batches):
+        import numpy as np
+
         for pdf in batches:
-            out_term, out_doc, out_tf, out_dl = [], [], [], []
+            out_term, out_doc, out_tf, out_dl, out_pos = [], [], [], [], []
             for _, r in pdf.iterrows():
                 tp = TermPostings(r, old_seg_size)
                 d, f, dls = tp.decode()
@@ -164,21 +180,32 @@ def compact_index(spark: SparkSession, in_dir: str, out_dir: str, seg_size: int 
                 out_doc.extend((d + int(r["seg"]) * old_seg_size).tolist())
                 out_tf.extend(f.tolist())
                 out_dl.extend(dls.tolist())
-            yield pd.DataFrame(
-                {"term": out_term, "docid": out_doc, "tf": out_tf, "dl": out_dl}
-            )
+                if has_pos:
+                    # positions survive the merge unchanged — docID remapping
+                    # is order-preserving, in-doc positions don't move
+                    pos = tp.positions_flat()
+                    starts = np.cumsum(f) - f
+                    out_pos.extend(
+                        pos[s : s + n].tolist()
+                        for s, n in zip(starts.tolist(), f.tolist())
+                    )
+            cols = {"term": out_term, "docid": out_doc, "tf": out_tf, "dl": out_dl}
+            if has_pos:
+                cols["positions"] = out_pos
+            yield pd.DataFrame(cols)
 
-    flat = old.postings.mapInPandas(
-        explode_rows, schema="term string, docid long, tf long, dl long"
-    )
+    flat_schema = "term string, docid long, tf long, dl long"
+    sel_cols = ["term", F.col("new_docid").alias("docid"), "tf", "dl"]
+    if has_pos:
+        flat_schema += ", positions array<long>"
+        sel_cols.append("positions")
+    flat = old.postings.mapInPandas(explode_rows, schema=flat_schema)
     tf = (
         flat.join(remap.select("docid", "new_docid"), "docid")
-        .select("term", F.col("new_docid").alias("docid"), "tf", "dl")
+        .select(*sel_cols)
         .withColumn("seg", (F.col("docid") / F.lit(seg_size)).cast("long"))
     )
-    postings = segment_rows_stage(
-        tf.select("term", "seg", "docid", "tf", "dl"), seg_size
-    )
+    postings = segment_rows_stage(tf, seg_size)
     postings.sortWithinPartitions("term").write.mode("overwrite").partitionBy("seg").parquet(
         f"{out_dir}/postings"
     )
@@ -186,7 +213,7 @@ def compact_index(spark: SparkSession, in_dir: str, out_dir: str, seg_size: int 
     new_docs.write.mode("overwrite").parquet(f"{out_dir}/docs")
     build_norms(new_docs, seg_size).write.mode("overwrite").parquet(f"{out_dir}/norms")
     new_docs.sparkSession.read.parquet(f"{out_dir}/postings").groupBy("term").agg(
-        F.sum("df_local").alias("df")
+        F.sum("df_local").alias("df"), F.sum("cf_local").alias("cf")
     ).write.mode("overwrite").parquet(f"{out_dir}/termdict")
     n_docs = old.doc_count
     spark.createDataFrame(

@@ -96,6 +96,26 @@ def test_write_read_roundtrip(tmp_path, spark, index, oracle):
     np.testing.assert_array_equal(got.scores, want["score"].to_numpy())
 
 
+def test_term_filter_pushdown_on_parquet_index(tmp_path, spark, index):
+    """Query-term lookups must reach the parquet scan (the BlockTree/FST
+    analog: sorted files + row-group stats pruning — SURVEY §4)."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "idx_pd")
+    write_index(index, out)
+    idx2 = read_index(spark, out)
+    plan = (
+        idx2.postings.filter(F.col("term").isin(["court", "law"]))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [In(term, [court,law])]" in plan
+    plan2 = (
+        idx2.termdict.filter(F.col("term") == "court")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters" in plan2 and "EqualTo(term,court)" in plan2
+
+
 def test_build_or_resume_checkpointing(tmp_path, spark, pages_pdf, oracle):
     out = str(tmp_path / "ckpt")
     pages = spark.createDataFrame(pages_pdf)

@@ -76,6 +76,26 @@ def test_compaction_preserves_results(tmp_path, spark, batches):
     assert merged.docs.agg({"docid": "max"}).collect()[0][0] == merged.doc_count - 1
 
 
+def test_positions_survive_append_and_compaction(tmp_path, spark):
+    """Phrase queries work on streamed segments and after the merge."""
+    rows1 = [("a1", "alpha beta gamma"), ("a2", "beta gamma beta")]
+    rows2 = [("b1", "alpha beta delta"), ("b2", "gamma alpha")]
+    out = str(tmp_path / "nrt_pos")
+    for rows in (rows1, rows2):
+        append_batch(
+            spark, spark.createDataFrame(rows, "url string, text string"),
+            out, seg_size=2, with_positions=True,
+        )
+    idx = refresh_reader(spark, out)
+    got = search(idx, '"alpha beta"', k=10, precision="float64", with_urls=True)
+    assert set(got.urls) == {"a1", "b1"}
+
+    merged = compact_index(spark, out, str(tmp_path / "nrt_pos_m"), seg_size=3)
+    got2 = search(merged, '"alpha beta"', k=10, precision="float64", with_urls=True)
+    assert set(got2.urls) == {"a1", "b1"}
+    np.testing.assert_array_equal(np.sort(got.scores), np.sort(got2.scores))
+
+
 def test_available_now_stream(tmp_path, spark, batches):
     src = str(tmp_path / "src")
     out = str(tmp_path / "stream_idx")
