@@ -390,6 +390,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = ann.brute_force_topk(emb, qvec, k=10)
         return out.select("vec_id", F.floor(F.col("cosine") * 1e6).cast("long").alias("cosine_q"))
 
+    def ann_ivf(spark, sf):  # approximate (IVF coarse quantizer): rows-only
+        emb = _emb(spark, sf)
+        qvec = np.array(
+            emb.filter("vec_id = 0").select("embedding").collect()[0][0], dtype=np.float64
+        )
+        out = ann.ivf_topk(emb, qvec, k=10, n_centroids=8, nprobe=3)
+        return out.select("vec_id", F.floor(F.col("cosine") * 1e6).cast("long").alias("cosine_q"))
+
     def ann_lsh(spark, sf):  # approximate: rows-only check
         emb = _emb(spark, sf)
         qvec = np.array(
@@ -417,7 +425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_suggest, ft_query_join, ft_monitor, ft_knn_classify, ft_highlight,
         dedup_exact, text_fingerprint, dedup_jaccard,
         dedup_minhash_lsh, dedup_simhash, text_token_count, text_quality, text_langid,
-        ann_bruteforce, ann_lsh, emb_label_stats,
+        ann_bruteforce, ann_ivf, ann_lsh, emb_label_stats,
     ]:
         q[fn.__name__] = fn
     return q

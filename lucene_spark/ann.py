@@ -66,6 +66,112 @@ def hyperplane_buckets(
     return embeddings.select(F.col(id_col), F.col(vec_col), F.expr(" + ".join(terms)).alias("bucket"))
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest (max-dot) centroid — one Arrow pass,
+    X @ C.T argmax in numpy."""
+    import pandas as pd
+
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    def run(batches):
+        for pdf in batches:
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            cl = np.argmax(X @ C.T, axis=1)
+            out = pdf[[id_col, vec_col]].copy()
+            out["cluster"] = cl.astype(np.int32)
+            yield out
+
+    vec_type = embeddings.schema[vec_col].dataType.simpleString()
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        run, schema=f"{id_col} long, {vec_col} {vec_type}, cluster int"
+    )
+
+
+def ivf_train(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Coarse quantizer via distributed Lloyd iterations.
+
+    Deterministic init (first ``n_centroids`` vectors by id); each iteration
+    computes per-partition partial (sum, count) per cluster inside mapInPandas
+    and combines the tiny partials on the driver — no vector ever shuffles,
+    which is the property that matters at 10^12 rows.
+    """
+    import pandas as pd
+
+    seed_rows = (
+        embeddings.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    )
+    C = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in seed_rows])
+    dim = C.shape[1]
+
+    for _ in range(iters):
+        Cb = np.ascontiguousarray(C)
+
+        def partials(batches):
+            sums = np.zeros((n_centroids, dim))
+            counts = np.zeros(n_centroids, dtype=np.int64)
+            for pdf in batches:
+                X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+                cl = np.argmax(X @ Cb.T, axis=1)
+                np.add.at(sums, cl, X)
+                np.add.at(counts, cl, 1)
+            yield pd.DataFrame(
+                {
+                    "cluster": np.arange(n_centroids),
+                    "count": counts,
+                    "vsum": [row.tolist() for row in sums],
+                }
+            )
+
+        rows = embeddings.select(vec_col).mapInPandas(
+            partials, schema="cluster int, count long, vsum array<double>"
+        ).collect()
+        sums = np.zeros((n_centroids, dim))
+        counts = np.zeros(n_centroids, dtype=np.int64)
+        for r in rows:
+            sums[r["cluster"]] += np.asarray(r["vsum"])
+            counts[r["cluster"]] += r["count"]
+        nonzero = counts > 0
+        C[nonzero] = sums[nonzero] / counts[nonzero, None]
+    return C
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF ANN: probe the ``nprobe`` nearest inverted lists, exact re-rank.
+
+    At 100 TB the assigned table is written partitioned by cluster, so probing
+    is a partition-pruned scan of nprobe/n_centroids of the data.  Pass
+    ``centroids`` (from :func:`ivf_train`, trained once) to skip training.
+    """
+    if centroids is None:
+        centroids = ivf_train(embeddings, n_centroids, iters, id_col, vec_col)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    order = np.argsort(-(centroids @ qv), kind="stable")[:nprobe]
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    cand = assigned.filter(F.col("cluster").isin([int(c) for c in order]))
+    return brute_force_topk(cand, qv, k, id_col, vec_col)
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_vec: np.ndarray,

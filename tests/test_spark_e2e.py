@@ -131,6 +131,25 @@ def test_build_or_resume_checkpointing(tmp_path, spark, pages_pdf, oracle):
     np.testing.assert_array_equal(got.scores, want["score"].to_numpy())
 
 
+def test_head_term_skew_bounded(spark):
+    """A term in EVERY doc (worst head-term skew) must still produce bounded
+    (term, seg) groups — the docID-range segmentation IS the salting
+    (SURVEY §4 skew row): no posting row may exceed seg_size."""
+    import pandas as pd
+
+    n, seg_size = 3000, 256
+    pdf = pd.DataFrame({
+        "url": [f"u{i:05d}" for i in range(n)],
+        "text": [f"common w{i % 97} filler{i % 13}" for i in range(n)],
+    })
+    idx = build_index(spark, spark.createDataFrame(pdf).repartition(6), seg_size=seg_size)
+    rows = idx.postings.filter("term = 'common'").select("seg", "df_local").collect()
+    assert len(rows) == (n + seg_size - 1) // seg_size  # one bounded row per segment
+    assert all(r["df_local"] <= seg_size for r in rows)
+    got = search(idx, "common AND w13", k=5)
+    assert len(got.docids) == 5
+
+
 def test_partition_count_invariance(spark, pages_pdf, oracle):
     pages2 = spark.createDataFrame(pages_pdf).repartition(2)
     idx2 = build_index(spark, pages2, seg_size=450)

@@ -102,6 +102,25 @@ def test_lsh_topk_recovers_cluster(emb_df):
     assert len(set(ids) & {0, 1, 2, 3, 4}) >= 3  # cluster mostly recovered
 
 
+def test_ivf_topk_recovers_cluster(emb_df):
+    pdf = emb_df.toPandas()
+    q = np.asarray(pdf["embedding"][0], dtype=np.float64)
+    got = ann.ivf_topk(emb_df, q, k=5, n_centroids=4, nprobe=2).collect()
+    ids = [r["vec_id"] for r in got]
+    assert 0 in ids
+    assert len(set(ids) & {0, 1, 2, 3, 4}) >= 3
+    # probing ALL lists must equal exact brute force
+    got_all = ann.ivf_topk(emb_df, q, k=5, n_centroids=4, nprobe=4).collect()
+    want = ann.brute_force_topk(emb_df, q, k=5).collect()
+    assert [r["vec_id"] for r in got_all] == [r["vec_id"] for r in want]
+
+
+def test_ivf_train_deterministic(emb_df):
+    c1 = ann.ivf_train(emb_df, n_centroids=4, iters=2)
+    c2 = ann.ivf_train(emb_df, n_centroids=4, iters=2)
+    np.testing.assert_array_equal(c1, c2)
+
+
 # ---------------------------------------------------------------- multimodal
 
 
