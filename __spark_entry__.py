@@ -24,7 +24,13 @@ from pyspark.sql import Window
 
 from lucene_spark.analysis import ENGLISH_STOP_WORDS
 from lucene_spark.index import Index, build_index, tokenize_docs
-from lucene_spark.search import expand_terms, match_any_docs, search
+from lucene_spark.search import (
+    expand_terms,
+    explain,
+    match_any_docs,
+    more_like_this,
+    search,
+)
 from lucene_spark.smallfloat import byte4_to_int
 from lucene_spark import ann, textops
 from lucene_spark.classify import classify_knn
@@ -343,6 +349,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=10, precision="float64",
         )
 
+    def ft_explain(spark, sf):
+        # IndexSearcher.explain analog: per-term score breakdown of the
+        # top-1 doc for "key window"
+        idx = _ft_index(spark, sf)
+        top = search(idx, "key window", k=1, precision="float64", prune=True)
+        pdf = explain(idx, "key window", int(top.docids[0]), precision="float64")
+        rows = [
+            (r.term, int(r.tf), int(r.dl), int(math.floor(r.score * 10000)))
+            for r in pdf.itertuples()
+        ]
+        return spark.createDataFrame(rows, "term string, tf long, dl long, score_q long")
+
+    def ft_mlt(spark, sf):
+        # MoreLikeThis (queries/mlt/MoreLikeThis.java:622-668): seed = doc 0's
+        # text; tf*idf term selection then disjunctive BM25
+        idx = _ft_index(spark, sf)
+        text = _docs(spark, sf).filter("doc_id = 0").select("text").collect()[0][0]
+        td = more_like_this(idx, text, k=10, max_terms=5, min_term_freq=2,
+                            min_doc_freq=2, precision="float64")
+        rows = [
+            (int(d), int(math.floor(s * 10000)))
+            for d, s in zip(td.docids.tolist(), td.scores.tolist())
+        ]
+        return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
     def ft_highlight(spark, sf):  # UnifiedHighlighter analog: rows-only check
         idx = _ft_index(spark, sf)
         td = search(idx, "dup", k=10, precision="float64", prune=True)
@@ -423,6 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_fuzzy, ft_term_range, ft_term_in_set, ft_dismax, ft_msm, ft_boost,
         ft_synonym, ft_sort_field, ft_group_top, ft_facet_range,
         ft_suggest, ft_query_join, ft_monitor, ft_knn_classify, ft_highlight,
+        ft_explain, ft_mlt,
         dedup_exact, text_fingerprint, dedup_jaccard,
         dedup_minhash_lsh, dedup_simhash, text_token_count, text_quality, text_langid,
         ann_bruteforce, ann_ivf, ann_lsh, emb_label_stats,
@@ -608,6 +640,39 @@ SELECT CASE WHEN n_chars < 400 THEN 'lt400'
 FROM documents
 WHERE doc_id IN (SELECT doc_id FROM ftok WHERE term = 'dup')
 GROUP BY 1""",
+        "ft_explain": _FT_PRELUDE + """,
+ts AS (
+  SELECT tf.doc_id, tf.term, tf.tf AS tf, dl.dl AS dl,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) AS w,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (s.sttf / s.n))) AS inv
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term IN ('key', 'window')
+),
+agg AS (SELECT doc_id, SUM(w - w / (1.0 + tf * inv)) AS score FROM ts GROUP BY doc_id),
+top1 AS (SELECT doc_id FROM agg ORDER BY score DESC, doc_id LIMIT 1)
+SELECT ts.term, CAST(ts.tf AS BIGINT) AS tf, CAST(ts.dl AS BIGINT) AS dl,
+       CAST(floor((ts.w - ts.w / (1.0 + ts.tf * ts.inv)) * 10000) AS BIGINT) AS score_q
+FROM ts JOIN top1 USING (doc_id)""",
+        "ft_mlt": _FT_PRELUDE + """,
+seed AS (SELECT term, tf FROM tf WHERE doc_id = 0 AND tf >= 2),
+sel AS (
+  SELECT seed.term
+  FROM seed JOIN df USING (term) CROSS JOIN stats s
+  WHERE df.df >= 2
+  ORDER BY seed.tf * (ln((s.n + 1.0) / (df.df + 1.0)) + 1.0) DESC, seed.term
+  LIMIT 5
+),
+ts AS (
+  SELECT tf.doc_id,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) AS w,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (s.sttf / s.n))) AS inv,
+         tf.tf AS tf
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term IN (SELECT term FROM sel)
+),
+agg AS (SELECT doc_id, SUM(w - w / (1.0 + tf * inv)) AS score FROM ts GROUP BY doc_id)
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM agg ORDER BY score DESC, doc_id LIMIT 10""",
         "ft_suggest": _FT_PRELUDE + """
 SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf
 WHERE term LIKE 's%' GROUP BY term ORDER BY cf DESC, term LIMIT 5""",

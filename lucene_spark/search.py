@@ -468,6 +468,102 @@ def search_many(
     return out
 
 
+def explain(
+    index: Index,
+    query: str | tuple,
+    docid: int,
+    precision: str = "lucene",
+    k1: float = 1.2,
+    b: float = 0.75,
+    boosts: dict[str, float] | None = None,
+) -> pd.DataFrame:
+    """Per-term score breakdown for one document — the IndexSearcher.explain
+    analog (search/IndexSearcher.java:714-726; BM25Similarity.explain,
+    BM25Similarity.java:261-297).  Returns a pandas frame with one row per
+    query term present in the doc: (term, df, tf, dl, weight, score)."""
+    node = rewrite(parse_query(query) if isinstance(query, str) else query)
+    cols = ["term", "df", "tf", "dl", "weight", "score"]
+    if node is None:
+        return pd.DataFrame(columns=cols)
+    terms = sorted(set(query_terms(node)))
+    stats = CollectionStats(index.doc_count, index.sum_total_term_freq)
+    dfs = term_dfs(terms, index.termdict)
+    boosts = boosts or {}
+    seg = docid // index.seg_size
+    local = docid - seg * index.seg_size
+    rows = index.postings.filter(
+        (F.col("seg") == seg) & F.col("term").isin([t for t in terms if t in dfs])
+    ).collect()
+    from .kernel import TermPostings
+
+    out = []
+    for r in rows:
+        d, f, dl = TermPostings(r.asDict(), index.seg_size).decode()
+        pos = np.searchsorted(d, local)
+        if pos >= len(d) or d[pos] != local:
+            continue
+        scorer = BM25Scorer(
+            dfs[r["term"]], stats, k1=k1, b=b,
+            boost=boosts.get(r["term"], 1.0), precision=precision,
+        )
+        s = scorer.score_from_dl(f[pos : pos + 1], dl[pos : pos + 1])[0]
+        out.append(
+            (r["term"], dfs[r["term"]], int(f[pos]), int(dl[pos]),
+             float(scorer.weight), float(s))
+        )
+    return pd.DataFrame(sorted(out), columns=cols)
+
+
+def more_like_this_terms(
+    index: Index,
+    text: str,
+    max_terms: int = 25,
+    min_term_freq: int = 2,
+    min_doc_freq: int = 5,
+    stopwords=ENGLISH_STOP_WORDS,
+) -> list[str]:
+    """Interesting-term selection from a seed text — the MoreLikeThis queue
+    (queries/src/java/org/apache/lucene/queries/mlt/MoreLikeThis.java:622-668:
+    score = tf * idf with ClassicSimilarity idf = ln((docCount+1)/(df+1)) + 1,
+    ClassicSimilarity.java:55-64; defaults minTermFreq=2, minDocFreq=5).
+    Ties break (score desc, term asc) for determinism."""
+    import collections
+    import math
+
+    tf = collections.Counter(analyze(text, stopwords))
+    cands = [t for t, c in tf.items() if c >= min_term_freq]
+    if not cands:
+        return []
+    dfs = term_dfs(cands, index.termdict)
+    n = index.doc_count
+    scored = [
+        (tf[t] * (math.log((n + 1.0) / (dfs[t] + 1.0)) + 1.0), t)
+        for t in cands
+        if t in dfs and dfs[t] >= min_doc_freq
+    ]
+    scored.sort(key=lambda x: (-x[0], x[1]))
+    return [t for _, t in scored[:max_terms]]
+
+
+def more_like_this(
+    index: Index,
+    text: str,
+    k: int = 10,
+    max_terms: int = 25,
+    min_term_freq: int = 2,
+    min_doc_freq: int = 5,
+    precision: str = "lucene",
+    prune: bool = True,
+) -> TopDocs:
+    """MoreLikeThis: select interesting terms, run them as a disjunction
+    (MoreLikeThis.java:587-607 createQuery builds the boolean SHOULD query)."""
+    terms = more_like_this_terms(index, text, max_terms, min_term_freq, min_doc_freq)
+    if not terms:
+        return TopDocs(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+    return search(index, ("or", [("term", t) for t in terms]), k=k,
+                  precision=precision, prune=prune)
+
+
 # --- MultiTermQuery family (expansion against the term dictionary) ---------------
 
 

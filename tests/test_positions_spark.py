@@ -97,6 +97,35 @@ def test_boost(pidx):
     assert any(m_boost[d] > m_plain[d] for d in m_plain if d != fox_only[0])
 
 
+def test_explain_sums_to_search_score(pidx):
+    from lucene_spark.search import explain
+
+    td = search(pidx, "quick fox", k=1, precision="float64", prune=False)
+    docid = int(td.docids[0])
+    pdf = explain(pidx, "quick fox", docid, precision="float64")
+    assert pdf["score"].sum() == pytest.approx(float(td.scores[0]), abs=1e-12)
+    assert set(pdf["term"]) <= {"quick", "fox"}
+    # lucene mode: float32 sum contract
+    td32 = search(pidx, "quick fox", k=1, precision="lucene", prune=False)
+    pdf32 = explain(pidx, "quick fox", int(td32.docids[0]), precision="lucene")
+    got = np.float64(np.float32(sum(np.float64(s) for s in pdf32["score"])))
+    assert got == td32.scores[0]
+
+
+def test_more_like_this(pidx):
+    from lucene_spark.search import more_like_this, more_like_this_terms
+
+    # seed doc u05: "quick brown quick brown" — tf=2 for both terms
+    terms = more_like_this_terms(pidx, "quick brown quick brown",
+                                 max_terms=2, min_term_freq=2, min_doc_freq=1)
+    assert set(terms) == {"quick", "brown"}
+    td = more_like_this(pidx, "quick brown quick brown", k=5, max_terms=2,
+                        min_term_freq=2, min_doc_freq=1, precision="float64")
+    want = search(pidx, "quick brown", k=5, precision="float64")
+    np.testing.assert_array_equal(td.docids, want.docids)
+    np.testing.assert_array_equal(td.scores, want.scores)
+
+
 def test_expand_and_match(pidx):
     terms = expand_terms(pidx, like="qu%")
     assert terms == ["quick"]
