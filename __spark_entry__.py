@@ -187,6 +187,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ft_must_not(spark, sf):
         return _topk_df(spark, sf, "spark NOT dup", 10)
 
+    def ft_filtered(spark, sf):
+        # BooleanClause.Occur.FILTER analog: required non-scoring predicate
+        # (lang = 'en') cogrouped with postings by segment
+        idx = _ft_index(spark, sf)
+        fdf = _docs(spark, sf).filter("lang = 'en'").select(
+            F.col("doc_id").alias("docid")
+        )
+        td = search(idx, "dup", k=10, precision="float64", prune=True,
+                    filter_docs=fdf)
+        rows = [
+            (int(d), int(math.floor(s * 10000)))
+            for d, s in zip(td.docids.tolist(), td.scores.tolist())
+        ]
+        return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
     def ft_paging(spark, sf):
         # searchAfter analog (IndexSearcher.java:470-511): results 11..20
         return _topk_df(spark, sf, "batch", 10, skip=10)
@@ -222,6 +237,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stopword in the phrase → position gap survives analysis
         # (QueryParserBase.java:437; StopFilter position increments)
         return _topk_df(spark, sf, '"part the key"', 10)
+
+    def ft_phrase_sloppy(spark, sf):
+        # SloppyPhraseMatcher analog: slop=2, sloppyFreq = 1/(1+matchLength)
+        return _topk_df(spark, sf, '"table hash"~2', 10)
 
     # --- MultiTermQuery family (expansion vs term dictionary) ---
     def ft_wildcard(spark, sf):
@@ -449,8 +468,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     for fn in [
         ft_token_stats, ft_norms, ft_termdict, ft_stats, ft_term_topk, ft_or_topk,
-        ft_and_topk, ft_and3_topk, ft_mixed_topk, ft_must_not, ft_paging, ft_count,
-        ft_prefix_match, ft_facet_lang, ft_phrase, ft_phrase_gap, ft_wildcard,
+        ft_and_topk, ft_and3_topk, ft_mixed_topk, ft_must_not, ft_filtered,
+        ft_paging, ft_count,
+        ft_prefix_match, ft_facet_lang, ft_phrase, ft_phrase_gap, ft_phrase_sloppy,
+        ft_wildcard,
         ft_fuzzy, ft_term_range, ft_term_in_set, ft_dismax, ft_msm, ft_boost,
         ft_synonym, ft_sort_field, ft_group_top, ft_facet_range,
         ft_suggest, ft_query_join, ft_monitor, ft_knn_classify, ft_highlight,
@@ -555,6 +576,11 @@ SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
 FROM doc_scores
 WHERE doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'dup')
 ORDER BY score DESC, doc_id LIMIT 10""",
+        "ft_filtered": _FT_PRELUDE + "," + _score_sql(["dup"]) + """
+SELECT ds.doc_id, CAST(floor(ds.score * 10000) AS BIGINT) AS score_q
+FROM doc_scores ds JOIN documents d ON d.doc_id = ds.doc_id
+WHERE d.lang = 'en'
+ORDER BY ds.score DESC, ds.doc_id LIMIT 10""",
         "ft_paging": _topk_sql(["batch"], 10, offset=10),
         "ft_count": _FT_PRELUDE + """
 SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_hits FROM tf
@@ -566,6 +592,29 @@ SELECT d.lang, CAST(count(*) AS BIGINT) AS n FROM documents d
 WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'dup')
 GROUP BY d.lang""",
         "ft_phrase": _phrase_sql([("table", 0), ("hash", 1)], 10),
+        "ft_phrase_sloppy": _FT_PRELUDE + """,
+pos AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS p
+  FROM documents
+),
+anchors AS (SELECT doc_id, p FROM pos WHERE w = 'table'),
+cand AS (
+  SELECT a.doc_id, a.p, min(abs(b.p - a.p - 1)) AS ml
+  FROM anchors a JOIN pos b ON b.doc_id = a.doc_id AND b.w = 'hash'
+  GROUP BY a.doc_id, a.p
+),
+fr AS (SELECT doc_id, SUM(1.0 / (1.0 + ml)) AS pf FROM cand WHERE ml <= 2 GROUP BY doc_id),
+sc AS (
+  SELECT fr.doc_id,
+         ((SELECT ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) FROM df d CROSS JOIN stats s WHERE d.term = 'table')
+          + (SELECT ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) FROM df d CROSS JOIN stats s WHERE d.term = 'hash')) AS w,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (s.sttf / s.n))) AS inv,
+         fr.pf AS pf
+  FROM fr JOIN dl USING (doc_id) CROSS JOIN stats s
+)
+SELECT doc_id, CAST(floor((w - w / (1.0 + pf * inv)) * 10000) AS BIGINT) AS score_q
+FROM sc ORDER BY (w - w / (1.0 + pf * inv)) DESC, doc_id LIMIT 10""",
         "ft_phrase_gap": _phrase_sql([("part", 0), ("key", 2)], 10),
         "ft_wildcard": _FT_PRELUDE + """
 SELECT DISTINCT doc_id FROM ftok WHERE term LIKE '%er%'""",

@@ -204,6 +204,54 @@ def _phrase_eval(members, postings_by_term, pos_by_term, scorer, precision):
     return udocs, s
 
 
+def _sloppy_eval(members, slop, postings_by_term, pos_by_term, scorer, precision):
+    """Sloppy phrase (SloppyPhraseMatcher.java:53 inspired; engine-defined
+    anchor semantic, documented): for every occurrence of the FIRST member
+    (the anchor), the match length is the sum over other members of the
+    minimal in-doc displacement from its expected position; an anchor with
+    matchLength <= slop contributes sloppyFreq = 1/(1+matchLength)
+    (PhraseScorer sloppy frequency weighting), summed per doc."""
+    t0, q0 = members[0]
+    if t0 not in postings_by_term or t0 not in pos_by_term:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    d0, f0, dl0 = postings_by_term[t0]
+    if len(d0) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    anchor_docs = np.repeat(d0, f0)
+    anchor_keys = (anchor_docs << _POS_SHIFT) | (pos_by_term[t0] + _POS_BIAS)
+    ml = np.zeros(len(anchor_keys), dtype=np.float64)
+    BIG = np.float64(1 << 30)
+    for t, qoff in members[1:]:
+        if t not in postings_by_term or t not in pos_by_term:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        d, f, _ = postings_by_term[t]
+        keys = (np.repeat(d, f) << _POS_SHIFT) | (pos_by_term[t] + _POS_BIAS)
+        targets = anchor_keys + np.int64(qoff - q0)
+        idx = np.searchsorted(keys, targets)
+        best = np.full(len(targets), BIG)
+        for cand in (idx - 1, idx):
+            ok = (cand >= 0) & (cand < len(keys))
+            if not ok.any():
+                continue
+            kv = keys[np.clip(cand, 0, len(keys) - 1)]
+            same_doc = (kv >> _POS_SHIFT) == (targets >> _POS_SHIFT)
+            sel = ok & same_doc
+            dist = np.abs(kv.astype(np.float64) - targets.astype(np.float64))
+            best[sel] = np.minimum(best[sel], dist[sel])
+        ml += best
+    hit = ml <= slop
+    if not hit.any():
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    w = 1.0 / (1.0 + ml[hit])
+    hdocs = anchor_docs[hit]
+    udocs, inv = np.unique(hdocs, return_inverse=True)
+    freq = np.zeros(len(udocs), dtype=np.float64)
+    np.add.at(freq, inv, w)
+    dl = dl0[np.searchsorted(d0, udocs)]
+    s = scorer.score_from_dl(freq, dl).astype(np.float64)
+    return udocs, s
+
+
 def score_query_node(node, postings_by_term, scorers_by_term, precision, pos_by_term=None):
     """Evaluate a boolean tree exhaustively → (docids, float64 scores).
 
@@ -217,6 +265,10 @@ def score_query_node(node, postings_by_term, scorers_by_term, precision, pos_by_
     kind = node[0]
     if kind == "phrase":
         return _phrase_eval(node[1], postings_by_term, pos_by_term or {}, node[2], precision)
+    if kind == "sloppy":
+        return _sloppy_eval(
+            node[1], node[2], postings_by_term, pos_by_term or {}, node[3], precision
+        )
     if kind == "dismax":
         # DisjunctionMaxScorer (search/DisjunctionMaxScorer.java:29):
         # score = max + tieBreaker * (sum - max), double math, float cast.
@@ -328,12 +380,17 @@ def segment_topk(
     precision: str = "lucene",
     prune: bool = True,
     window_bits: int = 12,
+    allow: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Top-k for one segment with windowed block-max pruning.
 
     Returns (local docids, float64 scores holding float32-rounded values in
     lucene mode).  With ``prune=False`` runs the exhaustive path (the oracle
     duel's "CheckHits" twin — CheckHits.java:602).
+
+    ``allow``: optional sorted array of local docIDs — the FILTER clause mask
+    (non-scoring required match); postings are restricted BEFORE ranking, and
+    the unfiltered impact bounds remain valid upper bounds for pruning.
     """
     # accept pre-built TermPostings so a multi-query batch (search_many)
     # decodes each posting list once, not once per query
@@ -346,6 +403,14 @@ def segment_topk(
     pos_by_term = {
         t: tps[t].positions_flat() for t in phrase_terms if t in tps
     } if phrase_terms else None
+    if allow is not None:
+        masked = {}
+        for t, (d, f, dl) in postings_by_term.items():
+            m = np.isin(d, allow, assume_unique=True)
+            masked[t] = (d[m], f[m], dl[m])
+            if pos_by_term is not None and t in pos_by_term:
+                pos_by_term[t] = pos_by_term[t][np.repeat(m, f)]
+        postings_by_term = masked
 
     if not prune:
         d, s = score_query_node(node, postings_by_term, scorers_by_term, precision, pos_by_term)
@@ -389,6 +454,15 @@ def segment_topk(
                 wms = window_max_scores(tps[t], scorer, n_windows, window_bits)
                 acc = wms if acc is None else np.minimum(acc, wms)
             return acc
+        if kind_ == "sloppy":
+            # sloppyFreq <= anchor tf (each anchor occurrence contributes
+            # at most 1), so the anchor's frontier under the phrase weight
+            # bounds the score; zero where any member absent.
+            scorer = n_[3]
+            t0 = n_[1][0][0]
+            if any(t not in tps for t, _ in n_[1]):
+                return np.zeros(n_windows, dtype=np.float64)
+            return window_max_scores(tps[t0], scorer, n_windows, window_bits)
         if kind_ == "syn":
             # score(f1+f2) <= score(f1)+score(f2) (concave, score(0)=0), so
             # the sum of member bounds under the SYN weight is a valid bound.
@@ -418,7 +492,7 @@ def segment_topk(
 
     if node[0] == "and" and any(t not in tps for t in node[1]):
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-    if node[0] == "phrase" and any(t not in tps for t, _ in node[1]):
+    if node[0] in ("phrase", "sloppy") and any(t not in tps for t, _ in node[1]):
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
     ub = node_ub(node)
 
@@ -456,7 +530,7 @@ def segment_topk(
 def _phrase_member_terms(node) -> set[str]:
     """Terms whose positions the node needs (phrase members, recursively)."""
     kind = node[0]
-    if kind == "phrase":
+    if kind in ("phrase", "sloppy"):
         return {t for t, _ in node[1]}
     if kind == "not":
         return _phrase_member_terms(node[1])

@@ -47,8 +47,12 @@ def parse_query(q: str) -> tuple:
     call :func:`rewrite` to analyze them.
     """
     q = q.strip()
-    # quoted phrase: `"exact phrase"` (classic QueryParser phrase syntax,
-    # queryparser/.../classic/QueryParser.jj; PhraseQuery.java:71)
+    # quoted phrase: `"exact phrase"` / `"sloppy phrase"~N` (classic
+    # QueryParser syntax, queryparser/.../classic/QueryParser.jj;
+    # PhraseQuery.java:71, slop at :89)
+    m_slop = re.fullmatch(r'"([^"]*)"~(\d+)', q)
+    if m_slop:
+        return ("phrase_raw", m_slop.group(1), int(m_slop.group(2)))
     if q.startswith('"') and q.endswith('"') and '"' not in q[1:-1]:
         return ("phrase_raw", q[1:-1])
     # MUST_NOT: `<positive> NOT t1 NOT t2` (BooleanClause.Occur.MUST_NOT)
@@ -62,7 +66,9 @@ def parse_query(q: str) -> tuple:
         part = part.strip()
         if part.startswith("(") and part.endswith(")"):
             part = part[1:-1].strip()
-        if part.startswith('"') and part.endswith('"'):
+        if (m := re.fullmatch(r'"([^"]*)"~(\d+)', part)):
+            clauses.append(("phrase_raw", m.group(1), int(m.group(2))))
+        elif part.startswith('"') and part.endswith('"'):
             clauses.append(("phrase_raw", part[1:-1]))
         elif re.search(r"\s+AND\s+", part):
             terms = [t.strip() for t in re.split(r"\s+AND\s+", part) if t.strip()]
@@ -107,15 +113,17 @@ def rewrite(node: tuple, stopwords=ENGLISH_STOP_WORDS) -> tuple | None:
     if kind == "phrase_raw":
         # QueryParser analyzes phrase text with the index analyzer, keeping
         # position gaps from removed stopwords (QueryParserBase.java:437 →
-        # PhraseQuery with explicit positions).
+        # PhraseQuery with explicit positions; slop → SloppyPhraseMatcher).
         from .analysis import analyze_with_positions
 
+        slop = node[2] if len(node) > 2 else 0
         toks, poss = analyze_with_positions(node[1], stopwords)
         if not toks:
             return None
         if len(toks) == 1:
             return ("term", toks[0])  # 1-term phrase rewrites to TermQuery
-        return ("phrase", list(zip(toks, poss)))
+        members = list(zip(toks, poss))
+        return ("sloppy", members, slop) if slop > 0 else ("phrase", members)
     if kind == "dismax":
         subs = [rewrite(c, stopwords) for c in node[1]]
         subs = [s for s in subs if s is not None]
@@ -180,7 +188,7 @@ def query_terms(node: tuple) -> list[str]:
         return [node[1]]
     if kind in ("and", "msm", "syn"):
         return list(node[1])
-    if kind == "phrase":
+    if kind in ("phrase", "sloppy"):
         return [t for t, _ in node[1]]
     if kind == "not":
         return query_terms(node[1]) + list(node[2])
@@ -201,12 +209,14 @@ def attach_scorers(
     """Rewrite AST → executable node: phrase/syn nodes get their multi-term
     scorer (createWeight analog); nodes that provably match nothing → None."""
     kind = node[0]
-    if kind == "phrase":
+    if kind in ("phrase", "sloppy"):
         if any(t not in dfs for t, _ in node[1]):
             return None  # a phrase member absent from the index → no match
         scorer = BM25Scorer.for_terms(
             [dfs[t] for t, _ in node[1]], stats, k1=k1, b=b, precision=precision
         )
+        if kind == "sloppy":
+            return ("sloppy", node[1], node[2], scorer)
         return ("phrase", node[1], scorer)
     if kind == "syn":
         present = [t for t in node[1] if t in dfs]
@@ -293,10 +303,18 @@ def search(
     b: float = 0.75,
     with_urls: bool = False,
     boosts: dict[str, float] | None = None,
+    filter_docs: DataFrame | None = None,
 ) -> TopDocs:
     """Distributed top-k BM25 search. ``query``: string or pre-parsed AST
     (term/and/or/not/phrase/dismax/msm/syn nodes).  ``boosts``: per-term boost
-    (BoostQuery analog)."""
+    (BoostQuery analog).
+
+    ``filter_docs``: optional DataFrame with a ``docid`` column — the
+    BooleanClause.Occur.FILTER analog (search/BooleanQuery.java:40: required
+    match, does NOT contribute to the score; IndexOrDocValuesQuery.java:51
+    picks columnar execution for such predicates — here the predicate runs as
+    a plain Catalyst filter producing the docid set, then cogroups with the
+    postings by segment so each kernel masks before ranking)."""
     node = parse_query(query) if isinstance(query, str) else query
     node = rewrite(node)
     empty = TopDocs(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64), [] if with_urls else None)
@@ -326,8 +344,9 @@ def search(
     # Lucene leaf, executor == searcher slice; the driver collects k rows/seg.
     seg_size = index.seg_size
     node_b, kparam, prec, pr = node, k, precision, prune
+    out_schema = "seg long, docid long, score double"
 
-    def run_segment(post_pdf: pd.DataFrame) -> pd.DataFrame:
+    def _run(post_pdf: pd.DataFrame, allow: np.ndarray | None) -> pd.DataFrame:
         if len(post_pdf) == 0:
             return pd.DataFrame({"seg": pd.Series(dtype="int64"),
                                  "docid": pd.Series(dtype="int64"),
@@ -336,15 +355,44 @@ def search(
         term_rows = {r["term"]: r for _, r in post_pdf.iterrows()}
         d, s = segment_topk(
             node_b, term_rows, scorers, seg_size, kparam,
-            precision=prec, prune=pr,
+            precision=prec, prune=pr, allow=allow,
         )
         return pd.DataFrame({"seg": seg, "docid": d + seg * seg_size, "score": s})
 
-    out = (
-        rows.groupBy("seg")
-        .applyInPandas(run_segment, schema="seg long, docid long, score double")
-        .collect()
-    )
+    # NOTE: applyInPandas dispatches on function arity — a second parameter
+    # would be interpreted as the grouping key — so the no-filter entrypoint
+    # must be strictly single-argument.
+    def run_segment(post_pdf: pd.DataFrame) -> pd.DataFrame:
+        return _run(post_pdf, None)
+
+    if filter_docs is not None:
+        fdf = filter_docs.select(
+            F.col("docid"), (F.col("docid") / F.lit(seg_size)).cast("long").alias("seg")
+        )
+
+        def run_filtered(key, post_pdf: pd.DataFrame, filt_pdf: pd.DataFrame) -> pd.DataFrame:
+            seg = int(key[0])
+            allow = np.sort(
+                filt_pdf["docid"].to_numpy(dtype=np.int64) - seg * seg_size
+            )
+            if len(allow) == 0 or len(post_pdf) == 0:
+                return pd.DataFrame({"seg": pd.Series(dtype="int64"),
+                                     "docid": pd.Series(dtype="int64"),
+                                     "score": pd.Series(dtype="float64")})
+            return _run(post_pdf, allow)
+
+        out = (
+            rows.groupBy("seg")
+            .cogroup(fdf.groupBy("seg"))
+            .applyInPandas(run_filtered, schema=out_schema)
+            .collect()
+        )
+    else:
+        out = (
+            rows.groupBy("seg")
+            .applyInPandas(run_segment, schema=out_schema)
+            .collect()
+        )
     if not out:
         return empty
     docids = np.array([r["docid"] for r in out], dtype=np.int64)

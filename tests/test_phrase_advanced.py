@@ -109,7 +109,7 @@ def run(node, segs, dfs, stats, seg_size, k, precision, prune, scorers_extra=Non
             terms.add(n[1])
         elif kind in ("and", "msm", "syn"):
             terms.update(n[1] if kind != "syn" else n[1])
-        elif kind == "phrase":
+        elif kind in ("phrase", "sloppy"):
             terms.update(t for t, _ in n[1])
         elif kind == "not":
             collect(n[1]); terms.update(n[2])
@@ -207,6 +207,74 @@ def test_dismax_msm_syn_duel(seed, precision):
             d2, s2 = run(node, segs, dfs, stats, seg_size, k, precision, prune=True)
             np.testing.assert_array_equal(d1, d2, err_msg=f"{node[0]} k={k}")
             np.testing.assert_array_equal(s1, s2, err_msg=f"{node[0]} k={k}")
+
+
+@pytest.mark.parametrize("seed", range(3))
+@pytest.mark.parametrize("precision", ["lucene", "float64"])
+def test_sloppy_duel(seed, precision):
+    rng = np.random.default_rng(200 + seed)
+    docs = synth_sequences(rng, int(rng.integers(150, 500)), n_terms=6)
+    seg_size = 128
+    segs, dl, dfs, stats = build_rows_pos(docs, seg_size)
+    for slop in (1, 2, 4):
+        members = [("t0", 0), ("t1", 1)]
+        scorer = BM25Scorer.for_terms([dfs["t0"], dfs["t1"]], stats, precision=precision)
+        node = ("sloppy", members, slop, scorer)
+        d1, s1 = run(node, segs, dfs, stats, seg_size, 20, precision, prune=False)
+        d2, s2 = run(node, segs, dfs, stats, seg_size, 20, precision, prune=True)
+        np.testing.assert_array_equal(d1, d2, err_msg=f"slop={slop}")
+        np.testing.assert_array_equal(s1, s2, err_msg=f"slop={slop}")
+
+
+def test_sloppy_hand_case():
+    """doc0 = [t0 t1 ...] exact (ml=0, w=1); doc1 = [t0 x t1] (ml=1, w=0.5);
+    doc2 = [t1 t0] reversed (ml=2, w=1/3); doc3 = no t1 -> no match."""
+    docs = [np.array([0, 1, 2, 2]), np.array([0, 3, 1, 2]), np.array([1, 0, 2, 3]),
+            np.array([0, 2, 3, 4])]
+    segs, dl, dfs, stats = build_rows_pos(docs, 10)
+    scorer = BM25Scorer.for_terms([dfs["t0"], dfs["t1"]], stats, precision="float64")
+    for slop, expect in [
+        (0, {0: 1.0}),
+        (1, {0: 1.0, 1: 0.5}),
+        (2, {0: 1.0, 1: 0.5, 2: 1.0 / 3.0}),
+    ]:
+        node = ("sloppy", [("t0", 0), ("t1", 1)], slop, scorer)
+        d, s = run(node, segs, dfs, stats, 10, 10, "float64", prune=False)
+        assert set(d.tolist()) == set(expect), f"slop={slop}"
+        for docid, sc in zip(d.tolist(), s.tolist()):
+            want = scorer.score_from_dl(
+                np.array([expect[docid]]), np.array([len(docs[docid])])
+            )[0]
+            assert sc == pytest.approx(float(want), abs=0), f"slop={slop} doc={docid}"
+
+
+def test_filter_clause_mask():
+    """allow= masks before ranking; scores of surviving docs unchanged."""
+    rng = np.random.default_rng(42)
+    docs = synth_sequences(rng, 300, n_terms=8)
+    seg_size = 64
+    segs, dl, dfs, stats = build_rows_pos(docs, seg_size)
+    node = ("or", [("term", "t0"), ("term", "t1")])
+    full_d, full_s = run(node, segs, dfs, stats, seg_size, 10**6, "float64", prune=False)
+    full = dict(zip(full_d.tolist(), full_s.tolist()))
+    allow_global = np.array(sorted(d for d in full if d % 3 == 0), dtype=np.int64)
+
+    from lucene_spark.kernel import segment_topk
+    from lucene_spark.similarity import BM25Scorer as S
+
+    scorers = {t: S(dfs[t], stats, precision="float64") for t in ("t0", "t1")}
+    got = {}
+    for seg, rows in segs.items():
+        lo = seg * seg_size
+        mask = (allow_global >= lo) & (allow_global < lo + seg_size)
+        d, s = segment_topk(node, rows, scorers, seg_size, 10**6,
+                            precision="float64", prune=True, window_bits=5,
+                            allow=allow_global[mask] - lo)
+        for dd, ss in zip((d + lo).tolist(), s.tolist()):
+            got[dd] = ss
+    assert set(got) == {d for d in full if d % 3 == 0}
+    for d, s in got.items():
+        assert s == full[d]
 
 
 def test_msm_counts_and_scores():
