@@ -187,6 +187,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ft_must_not(spark, sf):
         return _topk_df(spark, sf, "spark NOT dup", 10)
 
+    def ft_reqopt(spark, sf):
+        # ReqOptSumScorer (`+must should` classic syntax): docs must match
+        # 'key'; 'window'/'dup' add to the score where they co-match
+        return _topk_df(spark, sf, "+key window dup", 10)
+
     def ft_filtered(spark, sf):
         # BooleanClause.Occur.FILTER analog: required non-scoring predicate
         # (lang = 'en') cogrouped with postings by segment
@@ -468,7 +473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     for fn in [
         ft_token_stats, ft_norms, ft_termdict, ft_stats, ft_term_topk, ft_or_topk,
-        ft_and_topk, ft_and3_topk, ft_mixed_topk, ft_must_not, ft_filtered,
+        ft_and_topk, ft_and3_topk, ft_mixed_topk, ft_must_not, ft_reqopt, ft_filtered,
         ft_paging, ft_count,
         ft_prefix_match, ft_facet_lang, ft_phrase, ft_phrase_gap, ft_phrase_sloppy,
         ft_wildcard,
@@ -575,6 +580,23 @@ SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q FROM (
 SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
 FROM doc_scores
 WHERE doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'dup')
+ORDER BY score DESC, doc_id LIMIT 10""",
+        "ft_reqopt": _FT_PRELUDE + """,
+term_scores AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) AS w,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (s.sttf / s.n))) AS inv,
+         tf.tf AS tf
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term IN ('key', 'window', 'dup')
+),
+raw AS (
+  SELECT doc_id, SUM(w - w / (1.0 + tf * inv)) AS score,
+         count(CASE WHEN term = 'key' THEN 1 END) AS has_req
+  FROM term_scores GROUP BY doc_id
+)
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM raw WHERE has_req = 1
 ORDER BY score DESC, doc_id LIMIT 10""",
         "ft_filtered": _FT_PRELUDE + "," + _score_sql(["dup"]) + """
 SELECT ds.doc_id, CAST(floor(ds.score * 10000) AS BIGINT) AS score_q

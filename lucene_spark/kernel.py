@@ -328,6 +328,28 @@ def score_query_node(node, postings_by_term, scorers_by_term, precision, pos_by_
             dl[pos] = dls
         s = scorer.score_from_dl(fsum, dl).astype(np.float64)
         return all_docs, s
+    if kind == "reqopt":
+        # ReqOptSumScorer (search/ReqOptSumScorer.java:30): required clause's
+        # matches, plus optional term scores where they co-match.
+        d, s = score_query_node(node[1], postings_by_term, scorers_by_term,
+                                precision, pos_by_term)
+        if len(d) == 0:
+            return d, s
+        acc = s.copy()
+        for t in node[2]:
+            if t not in postings_by_term:
+                continue
+            od, of, odl = postings_by_term[t]
+            pos = np.searchsorted(od, d)
+            pos_c = np.clip(pos, 0, max(len(od) - 1, 0))
+            hit = (pos < len(od)) & (od[pos_c] == d)
+            if hit.any():
+                acc[hit] += scorers_by_term[t].score_from_dl(
+                    of[pos_c[hit]], odl[pos_c[hit]]
+                ).astype(np.float64)
+        if precision == "lucene":
+            acc = acc.astype(np.float32).astype(np.float64)
+        return d, acc
     if kind == "term":
         t = node[1]
         if t not in postings_by_term:
@@ -485,6 +507,14 @@ def segment_topk(
             return acc
         if kind_ == "not":
             return node_ub(n_[1])
+        if kind_ == "reqopt":
+            # req bound gates the window; optional bounds add on top
+            req_ub = node_ub(n_[1])
+            acc = req_ub.copy()
+            for t in n_[2]:
+                acc += node_ub(("term", t))
+            acc[req_ub <= 0] = 0.0
+            return acc
         acc = np.zeros(n_windows, dtype=np.float64)
         for c in n_[1]:
             acc += node_ub(c)
@@ -532,7 +562,7 @@ def _phrase_member_terms(node) -> set[str]:
     kind = node[0]
     if kind in ("phrase", "sloppy"):
         return {t for t, _ in node[1]}
-    if kind == "not":
+    if kind in ("not", "reqopt"):
         return _phrase_member_terms(node[1])
     if kind in ("or", "dismax"):
         out: set[str] = set()

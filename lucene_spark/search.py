@@ -59,6 +59,14 @@ def parse_query(q: str) -> tuple:
     if re.search(r"\s+NOT\s+", q):
         parts = re.split(r"\s+NOT\s+", q)
         return ("not", parse_query(parts[0]), [t.strip() for t in parts[1:]])
+    # classic `+must should` syntax → ReqOptSumScorer (ReqOptSumScorer.java:30:
+    # required clause scores + optional clauses that also match)
+    toks = q.split()
+    if any(t.startswith("+") and len(t) > 1 for t in toks) and "(" not in q \
+            and not re.search(r"\s+(AND|OR)\s+", q):
+        req = [t[1:] for t in toks if t.startswith("+") and len(t) > 1]
+        opt = [t for t in toks if not t.startswith("+")]
+        return ("reqopt", ("and", req) if len(req) > 1 else ("term", req[0]), opt)
     # split top-level OR (respecting parens)
     parts = re.split(r"\s+OR\s+", q) if "(" not in q else _split_parens(q)
     clauses = []
@@ -146,6 +154,14 @@ def rewrite(node: tuple, stopwords=ENGLISH_STOP_WORDS) -> tuple | None:
         if not terms:
             return None
         return ("syn", terms) if len(terms) > 1 else ("term", terms[0])
+    if kind == "reqopt":
+        req = rewrite(node[1], stopwords)
+        if req is None:
+            return None  # a MUST clause that analyzes away kills the query
+        opt: list[str] = []
+        for t in node[2]:
+            opt.extend(analyze(t, stopwords))
+        return ("reqopt", req, opt) if opt else req
     if kind == "not":
         pos = rewrite(node[1], stopwords)
         if pos is None:
@@ -191,6 +207,8 @@ def query_terms(node: tuple) -> list[str]:
     if kind in ("phrase", "sloppy"):
         return [t for t, _ in node[1]]
     if kind == "not":
+        return query_terms(node[1]) + list(node[2])
+    if kind == "reqopt":
         return query_terms(node[1]) + list(node[2])
     out: list[str] = []
     for c in node[1]:  # or / dismax
@@ -245,6 +263,9 @@ def attach_scorers(
     if kind == "not":
         pos = attach_scorers(node[1], dfs, stats, k1, b, precision)
         return ("not", pos, node[2]) if pos is not None else None
+    if kind == "reqopt":
+        req = attach_scorers(node[1], dfs, stats, k1, b, precision)
+        return ("reqopt", req, node[2]) if req is not None else None
     return node
 
 

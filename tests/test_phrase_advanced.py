@@ -111,7 +111,7 @@ def run(node, segs, dfs, stats, seg_size, k, precision, prune, scorers_extra=Non
             terms.update(n[1] if kind != "syn" else n[1])
         elif kind in ("phrase", "sloppy"):
             terms.update(t for t, _ in n[1])
-        elif kind == "not":
+        elif kind in ("not", "reqopt"):
             collect(n[1]); terms.update(n[2])
         else:
             for c in n[1]:
@@ -275,6 +275,31 @@ def test_filter_clause_mask():
     assert set(got) == {d for d in full if d % 3 == 0}
     for d, s in got.items():
         assert s == full[d]
+
+
+@pytest.mark.parametrize("seed", range(3))
+@pytest.mark.parametrize("precision", ["lucene", "float64"])
+def test_reqopt_duel(seed, precision):
+    rng = np.random.default_rng(300 + seed)
+    docs = synth_sequences(rng, int(rng.integers(200, 600)), n_terms=10)
+    segs, dl, dfs, stats = build_rows_pos(docs, 150)
+    nodes = [
+        ("reqopt", ("term", "t0"), ["t1", "t2"]),
+        ("reqopt", ("and", ["t0", "t1"]), ["t4"]),
+    ]
+    for node in nodes:
+        for k in (1, 10, 100):
+            d1, s1 = run(node, segs, dfs, stats, 150, k, precision, prune=False)
+            d2, s2 = run(node, segs, dfs, stats, 150, k, precision, prune=True)
+            np.testing.assert_array_equal(d1, d2, err_msg=f"{node} k={k}")
+            np.testing.assert_array_equal(s1, s2, err_msg=f"{node} k={k}")
+        # required semantics: every hit matches the required clause; score
+        # >= pure-required score (optional terms only add)
+        d_req, s_req = run(node[1], segs, dfs, stats, 150, 10**6, precision, prune=False)
+        d_all, s_all = run(node, segs, dfs, stats, 150, 10**6, precision, prune=False)
+        assert set(d_all.tolist()) == set(d_req.tolist())
+        req_map = dict(zip(d_req.tolist(), s_req.tolist()))
+        assert all(s >= req_map[d] - 1e-9 for d, s in zip(d_all.tolist(), s_all.tolist()))
 
 
 def test_msm_counts_and_scores():
