@@ -96,8 +96,9 @@ def run_bench(cpus: int, n_docs: int, sf: float, k1_queries=HEADLINE_QUERIES,
                 idx.norms.unpersist()
 
         q_times: dict[str, float] = {}
-        # warm-up (JIT/UDF worker spin-up) excluded once
-        search(idx, "court", k=10)
+        # warm-up every query shape once (JIT/UDF worker spin-up excluded)
+        for wq in ("court", "court law", "court AND law"):
+            search(idx, wq, k=10)
         for name, (q, k) in k1_queries.items():
             tq = time.time()
             search(idx, q, k=k, precision="lucene", prune=True)
