@@ -187,6 +187,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ft_must_not(spark, sf):
         return _topk_df(spark, sf, "spark NOT dup", 10)
 
+    def ft_bm25_params(spark, sf):
+        # pluggable similarity parameters (BM25Similarity(k1,b) ctor,
+        # BM25Similarity.java:72-86): k1=1.5, b=0.4
+        idx = _ft_index(spark, sf)
+        td = search(idx, "spark window dup", k=10, precision="float64",
+                    prune=True, k1=1.5, b=0.4)
+        rows = [
+            (int(d), int(math.floor(s * 10000)))
+            for d, s in zip(td.docids.tolist(), td.scores.tolist())
+        ]
+        return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
     def ft_reqopt(spark, sf):
         # ReqOptSumScorer (`+must should` classic syntax): docs must match
         # 'key'; 'window'/'dup' add to the score where they co-match
@@ -474,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for fn in [
         ft_token_stats, ft_norms, ft_termdict, ft_stats, ft_term_topk, ft_or_topk,
         ft_and_topk, ft_and3_topk, ft_mixed_topk, ft_must_not, ft_reqopt, ft_filtered,
+        ft_bm25_params,
         ft_paging, ft_count,
         ft_prefix_match, ft_facet_lang, ft_phrase, ft_phrase_gap, ft_phrase_sloppy,
         ft_wildcard,
@@ -581,6 +594,20 @@ SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
 FROM doc_scores
 WHERE doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'dup')
 ORDER BY score DESC, doc_id LIMIT 10""",
+        "ft_bm25_params": _FT_PRELUDE + """,
+term_scores AS (
+  SELECT tf.doc_id,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) AS w,
+         1.0 / (1.5 * ((1.0 - 0.4) + 0.4 * dl.dl / (s.sttf / s.n))) AS inv,
+         tf.tf AS tf
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term IN ('spark', 'window', 'dup')
+),
+doc_scores AS (
+  SELECT doc_id, SUM(w - w / (1.0 + tf * inv)) AS score FROM term_scores GROUP BY doc_id
+)
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10""",
         "ft_reqopt": _FT_PRELUDE + """,
 term_scores AS (
   SELECT tf.doc_id, tf.term,
