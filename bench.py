@@ -48,8 +48,11 @@ def make_session(cpus: int, shuffle_partitions: int | None = None):
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(cpus * 2, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "20000"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.driver.extraJavaOptions",
+                os.environ.get("SPARK_GRAFT_JAVA_OPTS", ""))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -119,6 +122,27 @@ def run_bench(cpus: int, n_docs: int, sf: float, k1_queries=HEADLINE_QUERIES,
         )
         batch_s = time.time() - tb
 
+        # Spark-harness ceiling probe: a fixed single-threaded-numpy job in
+        # the SAME session — what a perfectly-parallel Spark workload gets
+        # from this box right now.  Engine efficiency normalized by this
+        # ratio isolates engine scaling from host/JVM-harness effects.
+        import numpy as _np
+        import pandas as _pd
+
+        def _burn(batches):
+            for _ in batches:
+                x = _np.arange(50_000, dtype=_np.float64)
+                s = 0.0
+                for _i in range(1500):
+                    s += float((x * 1.0001 + 0.5).sum())
+                yield _pd.DataFrame({"v": [s]})
+
+        probe_df = spark.range(64).repartition(64)
+        probe_df.mapInPandas(_burn, "v double").count()  # warm
+        tp0 = time.time()
+        probe_df.mapInPandas(_burn, "v double").count()
+        ceiling_probe_s = time.time() - tp0
+
         total = build_s + sum(q_times.values())
         return {
             "metric": "index-build + headline BM25 query suite wall time",
@@ -135,6 +159,7 @@ def run_bench(cpus: int, n_docs: int, sf: float, k1_queries=HEADLINE_QUERIES,
             "query_p50_sec": round(sorted(q_times.values())[len(q_times) // 2], 4),
             "batched_suite_sec": round(batch_s, 3),
             "batched_queries_per_sec": round(len(k1_queries) / batch_s, 2),
+            "spark_ceiling_probe_sec": round(ceiling_probe_s, 3),
         }
     finally:
         spark.stop()
