@@ -1,0 +1,126 @@
+"""spark-submit entrypoint (north rule: `spark-submit --py-files` deployment).
+
+  spark-submit --py-files lucene_spark.zip -m lucene_spark.cli ...   # cluster
+  python -m lucene_spark.cli build  --input pages.parquet --out /idx \\
+         [--text-col text] [--key-col url] [--positions] [--resume]
+  python -m lucene_spark.cli search --index /idx --query 'court AND law' [-k 10]
+  python -m lucene_spark.cli bench-queries --index /idx --queries q.txt
+
+On a cluster the session comes from spark-submit's conf (master/executors);
+standalone runs fall back to local[*].  The `build --resume` path is the
+checkpointed per-segment build with lineage (north rule resumability).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _session(app: str):
+    from pyspark.sql import SparkSession
+
+    b = SparkSession.builder.appName(app)
+    return (
+        b.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def cmd_build(args) -> int:
+    from .index import build_index, build_or_resume, write_index
+
+    spark = _session("lucene_spark_build")
+    pages = spark.read.parquet(args.input)
+    if args.resume:
+        summary = build_or_resume(
+            spark, pages, args.out, text_col=args.text_col, key_col=args.key_col,
+            seg_size=args.seg_size or 4096, with_positions=args.positions,
+        )
+        print(json.dumps(summary))
+        return 0
+    idx = build_index(
+        spark, pages, text_col=args.text_col, key_col=args.key_col,
+        seg_size=args.seg_size, with_positions=args.positions,
+    )
+    write_index(idx, args.out)
+    print(json.dumps({
+        "doc_count": idx.doc_count,
+        "sum_total_term_freq": idx.sum_total_term_freq,
+        "seg_size": idx.seg_size,
+        "out": args.out,
+    }))
+    return 0
+
+
+def cmd_search(args) -> int:
+    from .index import read_index
+    from .search import search
+
+    spark = _session("lucene_spark_search")
+    idx = read_index(spark, args.index)
+    td = search(idx, args.query, k=args.k, precision=args.precision,
+                prune=not args.no_prune, with_urls=True)
+    for rank, (d, s, u) in enumerate(zip(td.docids.tolist(), td.scores.tolist(),
+                                         td.urls or [None] * len(td.docids))):
+        print(json.dumps({"rank": rank, "docid": int(d), "score": float(s), "url": u}))
+    return 0
+
+
+def cmd_bench_queries(args) -> int:
+    import time
+
+    from .index import read_index
+    from .search import search_many
+
+    spark = _session("lucene_spark_bench_queries")
+    idx = read_index(spark, args.index)
+    with open(args.queries) as f:
+        qs = {f"q{i}": line.strip() for i, line in enumerate(f) if line.strip()}
+    search_many(idx, dict(list(qs.items())[:1]), k=args.k)  # warm-up
+    t0 = time.time()
+    search_many(idx, qs, k=args.k, precision=args.precision)
+    dt = time.time() - t0
+    print(json.dumps({"n_queries": len(qs), "wall_sec": round(dt, 3),
+                      "queries_per_sec": round(len(qs) / dt, 2)}))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="lucene_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="batch index build (optionally resumable)")
+    b.add_argument("--input", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--text-col", default="text")
+    b.add_argument("--key-col", default="url")
+    b.add_argument("--seg-size", type=int, default=None)
+    b.add_argument("--positions", action="store_true")
+    b.add_argument("--resume", action="store_true",
+                   help="checkpointed per-segment build with lineage")
+    b.set_defaults(fn=cmd_build)
+
+    s = sub.add_parser("search", help="top-k BM25 query")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--precision", default="lucene", choices=["lucene", "float64"])
+    s.add_argument("--no-prune", action="store_true")
+    s.set_defaults(fn=cmd_search)
+
+    q = sub.add_parser("bench-queries", help="batched query-log throughput")
+    q.add_argument("--index", required=True)
+    q.add_argument("--queries", required=True, help="file, one query per line")
+    q.add_argument("-k", type=int, default=10)
+    q.add_argument("--precision", default="lucene", choices=["lucene", "float64"])
+    q.set_defaults(fn=cmd_bench_queries)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
