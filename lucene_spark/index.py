@@ -703,6 +703,7 @@ def build_or_resume(
     Returns the lineage summary dict.
     """
     import os
+    import shutil
 
     lineage_path = f"{out_dir}/lineage"
     done: set[int] = set()
@@ -711,6 +712,23 @@ def build_or_resume(
             done = {r["seg"] for r in spark.read.parquet(lineage_path).collect()}
         except Exception:
             done = set()
+
+    # crash-consistency: data is written BEFORE its lineage record, so a
+    # failure in that window leaves orphan seg partitions on disk.  All three
+    # per-segment tables are partitioned by seg, so a resume first removes
+    # any seg partition not covered by lineage, making re-runs idempotent.
+    for table in ("postings", "docs", "norms"):
+        tdir = f"{out_dir}/{table}"
+        if not os.path.isdir(tdir):
+            continue
+        for entry in os.listdir(tdir):
+            if entry.startswith("seg="):
+                try:
+                    seg_id = int(entry.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if seg_id not in done:
+                    shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)
 
     pages_id = assign_docids(pages, key_col=key_col)
     doc_count = pages_id.count()
@@ -737,8 +755,12 @@ def build_or_resume(
     postings.sortWithinPartitions("term").write.mode("append").partitionBy("seg").parquet(
         f"{out_dir}/postings"
     )
-    docs_meta.write.mode("append").parquet(f"{out_dir}/docs")
-    build_norms(docs_meta, seg_size).write.mode("append").parquet(f"{out_dir}/norms")
+    docs_meta.withColumn(
+        "seg", (F.col("docid") / F.lit(seg_size)).cast("long")
+    ).write.mode("append").partitionBy("seg").parquet(f"{out_dir}/docs")
+    build_norms(docs_meta, seg_size).write.mode("append").partitionBy("seg").parquet(
+        f"{out_dir}/norms"
+    )
 
     wall = time.time() - t0
     lineage = (

@@ -125,32 +125,6 @@ def _topk_from_scored(docids: np.ndarray, scores: np.ndarray, k: int):
     return docids[order], scores[order]
 
 
-def score_union(
-    term_lists: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
-    scorers: list[BM25Scorer],
-    precision: str,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Exhaustive OR: union docids, clause-ordered float64 accumulation.
-
-    ``term_lists``: [(docids, freqs, dls)] per clause — dls are the inline
-    per-posting field lengths; quantization happens in the scorer per its
-    precision mode.
-    """
-    if not term_lists:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-    all_docs = np.unique(np.concatenate([d for d, _, _ in term_lists]))
-    acc = np.zeros(len(all_docs), dtype=np.float64)
-    for (docids, freqs, dls), scorer in zip(term_lists, scorers):
-        if len(docids) == 0:
-            continue
-        pos = np.searchsorted(all_docs, docids)
-        s = scorer.score_from_dl(freqs, dls)
-        np.add.at(acc, pos, s.astype(np.float64))
-    if precision == "lucene":
-        acc = acc.astype(np.float32).astype(np.float64)
-    return all_docs, acc
-
-
 def score_intersection(
     term_lists: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
     scorers: list[BM25Scorer],
@@ -536,11 +510,19 @@ def segment_topk(
     for wi in order:
         if ub[wi] <= 0:
             break
-        if len(top_docs) >= k and ub[wi] < kth:
+        if len(top_docs) >= k:
             # strict: UB-ordered traversal may visit a tied smaller docID
             # later, and ties are broken by ascending docID — only a
-            # strictly smaller bound is provably non-competitive.
-            break
+            # strictly smaller bound is provably non-competitive.  In lucene
+            # mode the final score is float32(float64 sum), which can round
+            # UP past the float64 bound by half a float32 ulp — guard by one
+            # ulp below kth so a rounded-to-tie doc is never pruned.
+            kth_guard = (
+                kth if precision == "float64"
+                else float(np.nextafter(np.float32(kth), np.float32(-np.inf)))
+            )
+            if ub[wi] < kth_guard:
+                break
         batch.append(int(wi))
         processed += 1
         if len(batch) >= 16 or processed == len(order):

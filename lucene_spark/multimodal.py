@@ -52,7 +52,9 @@ def decode_image_stub(payload: bytes) -> np.ndarray:
     """
     if payload is None:
         raise NotImplementedError("real image decode requires an image codec library")
-    arr = np.frombuffer((payload * ((64 // max(len(payload), 1)) + 1))[:64], dtype=np.uint8)
+    if len(payload) == 0:
+        return None  # undecodable payload — callers skip the row
+    arr = np.frombuffer((payload * ((64 // len(payload)) + 1))[:64], dtype=np.uint8)
     return arr.reshape(8, 8)
 
 

@@ -86,9 +86,6 @@ def parse_query(q: str) -> tuple:
                 clauses.append(("term", t))
     if len(clauses) == 1:
         return clauses[0]
-    if all(c[0] == "term" for c in clauses) and " OR " not in q and " AND " in q:
-        # e.g. "a AND b AND c" handled above; bare multi-term = OR
-        pass
     return ("or", clauses)
 
 

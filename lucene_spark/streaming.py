@@ -154,12 +154,39 @@ def compact_index(spark: SparkSession, in_dir: str, out_dir: str, seg_size: int 
     No re-tokenization: (term, docid, tf, dl) is fully recoverable from the
     segment rows + norms.
     """
+    import numpy as np
+    from pyspark import TaskContext
+
+    from .index import _ranged_with_offsets
     from .kernel import TermPostings
 
     old = read_index(spark, in_dir)
-    remap = old.docs.select(
-        "docid", "url", "dl", "norm",
-        (F.row_number().over(__import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy("docid")) - 1).alias("new_docid"),
+    # dense rank over old docid — scalable form (range partition + offset
+    # broadcast, same as index.assign_docids), NOT a global single-partition
+    # window: compaction runs over the whole corpus
+    parallelism = spark.sparkContext.defaultParallelism
+    ranged, offs, _n = _ranged_with_offsets(
+        old.docs.select("docid", "url", "dl", "norm"), "docid", parallelism
+    )
+
+    def add_new_ids(batches):
+        pid_base = None
+        seen = 0
+        for pdf in batches:
+            if pid_base is None:
+                pid_base = offs[TaskContext.get().partitionId()]
+            pdf = pdf.copy()
+            pdf["new_docid"] = np.arange(
+                pid_base + seen, pid_base + seen + len(pdf), dtype=np.int64
+            )
+            seen += len(pdf)
+            yield pdf
+
+    url_t = old.docs.schema["url"].dataType.simpleString()
+    norm_t = old.docs.schema["norm"].dataType.simpleString()
+    remap = ranged.mapInPandas(
+        add_new_ids,
+        schema=f"docid long, url {url_t}, dl long, norm {norm_t}, new_docid long",
     )
 
     old_seg_size = old.seg_size

@@ -18,7 +18,9 @@ from .index import Index
 
 def suggest_terms(index: Index, prefix: str, n: int = 10) -> DataFrame:
     """Top-n completions of ``prefix`` by (cf desc, term asc)."""
-    safe = prefix.replace("%", "").replace("_", "")
+    # escape LIKE metacharacters (default escape char is backslash) so
+    # prefixes containing '_' or '%' match literally
+    safe = prefix.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
     return (
         index.termdict.filter(F.col("term").like(safe + "%"))
         .select("term", "cf")

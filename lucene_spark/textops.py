@@ -122,7 +122,10 @@ def minhash_signatures(
         for t in texts:
             toks = (t or "").split(" ")
             if len(toks) < n:
-                out.append([0] * num_perm)
+                # too short to shingle: emit NULL so the doc never enters a
+                # band bucket (an all-zero sentinel would make every short
+                # doc a spurious near-dup of every other short doc)
+                out.append(None)
                 continue
             shingles = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
             hv = np.array(
@@ -133,7 +136,9 @@ def minhash_signatures(
             out.append(vals.min(axis=1).astype(np.int64).tolist())
         return pd.Series(out)
 
-    return docs.select(F.col(id_col), sig_udf(F.col(text_col)).alias("sig"))
+    return docs.select(F.col(id_col), sig_udf(F.col(text_col)).alias("sig")).filter(
+        F.col("sig").isNotNull()
+    )
 
 
 def hash_str64(s: str) -> int:
@@ -216,11 +221,9 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Heuristic quality: length, mean word length, stopword ratio, distinct
-    ratio — combined into [0,1].  Deterministic arithmetic (SQL twin exists)."""
-    s = token_stats(docs, id_col, text_col).join(
-        docs.select(F.col(id_col), F.length(text_col).alias("n_chars")), id_col
-    )
+    """Heuristic quality: length, stopword ratio, distinct ratio — combined
+    into [0,1].  Deterministic arithmetic (SQL twin exists)."""
+    s = token_stats(docs, id_col, text_col)
     return s.select(
         id_col,
         "n_tokens",

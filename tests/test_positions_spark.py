@@ -97,6 +97,21 @@ def test_boost(pidx):
     assert any(m_boost[d] > m_plain[d] for d in m_plain if d != fox_only[0])
 
 
+@pytest.mark.parametrize("precision", ["lucene", "float64"])
+@pytest.mark.parametrize("q", ['"quick brown"', '"quick the brown"', '"quick brown"~2',
+                               '("quick brown") OR fox', "fox"])
+def test_phrase_spark_vs_pandas_oracle(pidx, precision, q):
+    """Full-pipeline duel incl. phrase/sloppy: Spark engine vs OracleIndex."""
+    from lucene_spark.oracle import OracleIndex
+
+    oracle = OracleIndex([u for u, _ in CORPUS], [t for _, t in CORPUS])
+    got = search(pidx, q, k=10, precision=precision, prune=True)
+    want = oracle.search(q, k=10, precision=precision)
+    np.testing.assert_array_equal(got.docids, want["docid"].to_numpy(dtype=np.int64),
+                                  err_msg=q)
+    np.testing.assert_array_equal(got.scores, want["score"].to_numpy(), err_msg=q)
+
+
 def test_explain_sums_to_search_score(pidx):
     from lucene_spark.search import explain
 

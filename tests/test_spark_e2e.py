@@ -131,6 +131,34 @@ def test_build_or_resume_checkpointing(tmp_path, spark, pages_pdf, oracle):
     np.testing.assert_array_equal(got.scores, want["score"].to_numpy())
 
 
+def test_resume_cleans_orphan_segments(tmp_path, spark, pages_pdf, oracle):
+    """Crash between data-append and lineage-write must not duplicate
+    segments: resume removes seg partitions not covered by lineage."""
+    import os
+    import shutil
+
+    out = str(tmp_path / "ckpt_orphan")
+    pages = spark.createDataFrame(pages_pdf)
+    build_or_resume(spark, pages, out, seg_size=256)
+
+    # simulate the crash window: data for one segment exists, lineage lost
+    shutil.rmtree(f"{out}/lineage")
+    os.makedirs(f"{out}/postings/seg=999", exist_ok=True)
+    with open(f"{out}/postings/seg=999/junk.parquet", "w") as f:
+        f.write("junk")
+
+    r = build_or_resume(spark, pages, out, seg_size=256)
+    assert r["built"] == r["segments"]  # everything rebuilt exactly once
+    assert not os.path.isdir(f"{out}/postings/seg=999")
+    idx = read_index(spark, out)
+    got = search(idx, "court law", k=10)
+    want = oracle.search("court law", k=10)
+    np.testing.assert_array_equal(got.docids, want["docid"].to_numpy(dtype=np.int64))
+    np.testing.assert_array_equal(got.scores, want["score"].to_numpy())
+    # doc count not duplicated
+    assert idx.docs.count() == idx.doc_count
+
+
 def test_head_term_skew_bounded(spark):
     """A term in EVERY doc (worst head-term skew) must still produce bounded
     (term, seg) groups — the docID-range segmentation IS the salting
