@@ -187,6 +187,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ft_must_not(spark, sf):
         return _topk_df(spark, sf, "spark NOT dup", 10)
 
+    def ft_deleted(spark, sf):
+        # LiveDocs tombstones (Lucene90LiveDocsFormat analog): docs with
+        # lang='de' deleted; stats keep counting them until merge, exactly
+        # like Lucene — the oracle mirrors that
+        idx = _ft_index(spark, sf)
+        dead = _docs(spark, sf).filter("lang = 'de'").select(
+            F.col("doc_id").alias("docid")
+        )
+        td = search(idx.delete_docs(dead), "dup", k=10, precision="float64", prune=True)
+        rows = [
+            (int(d), int(math.floor(s * 10000)))
+            for d, s in zip(td.docids.tolist(), td.scores.tolist())
+        ]
+        return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
     def ft_bm25_params(spark, sf):
         # pluggable similarity parameters (BM25Similarity(k1,b) ctor,
         # BM25Similarity.java:72-86): k1=1.5, b=0.4
@@ -486,7 +501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for fn in [
         ft_token_stats, ft_norms, ft_termdict, ft_stats, ft_term_topk, ft_or_topk,
         ft_and_topk, ft_and3_topk, ft_mixed_topk, ft_must_not, ft_reqopt, ft_filtered,
-        ft_bm25_params,
+        ft_bm25_params, ft_deleted,
         ft_paging, ft_count,
         ft_prefix_match, ft_facet_lang, ft_phrase, ft_phrase_gap, ft_phrase_sloppy,
         ft_wildcard,
@@ -594,6 +609,11 @@ SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
 FROM doc_scores
 WHERE doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'dup')
 ORDER BY score DESC, doc_id LIMIT 10""",
+        "ft_deleted": _FT_PRELUDE + "," + _score_sql(["dup"]) + """
+SELECT ds.doc_id, CAST(floor(ds.score * 10000) AS BIGINT) AS score_q
+FROM doc_scores ds JOIN documents d ON d.doc_id = ds.doc_id
+WHERE d.lang <> 'de'
+ORDER BY ds.score DESC, ds.doc_id LIMIT 10""",
         "ft_bm25_params": _FT_PRELUDE + """,
 term_scores AS (
   SELECT tf.doc_id,

@@ -76,10 +76,33 @@ class Index:
     doc_count: int
     sum_total_term_freq: int
     seg_size: int
+    tombstones: DataFrame | None = None  # LiveDocs analog: deleted docids
 
     @property
     def avgdl(self) -> float:
         return self.sum_total_term_freq / float(self.doc_count)
+
+    def delete_docs(self, docids: DataFrame) -> "Index":
+        """Mark documents deleted — the tombstone-bitset model
+        (codecs/lucene90/Lucene90LiveDocsFormat.java; index/BufferedUpdates):
+        postings are immutable, deletes are applied at READ time (search
+        masks them out) and physically dropped at the next compaction.
+        Collection statistics intentionally keep counting deleted docs until
+        merge, exactly like Lucene (docFreq/docCount include deleted docs
+        until the segment is rewritten).
+
+        ``docids``: DataFrame with a ``docid`` column.  Returns a new handle
+        sharing the index tables.
+        """
+        t = docids.select("docid")
+        if self.tombstones is not None:
+            t = self.tombstones.union(t).distinct()
+        return Index(
+            docs=self.docs, postings=self.postings, termdict=self.termdict,
+            norms=self.norms, doc_count=self.doc_count,
+            sum_total_term_freq=self.sum_total_term_freq,
+            seg_size=self.seg_size, tombstones=t,
+        )
 
 
 def _ranged_with_offsets(

@@ -377,6 +377,7 @@ def segment_topk(
     prune: bool = True,
     window_bits: int = 12,
     allow: np.ndarray | None = None,
+    deny: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Top-k for one segment with windowed block-max pruning.
 
@@ -387,6 +388,8 @@ def segment_topk(
     ``allow``: optional sorted array of local docIDs — the FILTER clause mask
     (non-scoring required match); postings are restricted BEFORE ranking, and
     the unfiltered impact bounds remain valid upper bounds for pruning.
+    ``deny``: optional sorted array of local docIDs to EXCLUDE — the liveDocs
+    tombstone mask (deletes applied at read, LiveDocsFormat analog).
     """
     # accept pre-built TermPostings so a multi-query batch (search_many)
     # decodes each posting list once, not once per query
@@ -399,10 +402,14 @@ def segment_topk(
     pos_by_term = {
         t: tps[t].positions_flat() for t in phrase_terms if t in tps
     } if phrase_terms else None
-    if allow is not None:
+    if allow is not None or deny is not None:
         masked = {}
         for t, (d, f, dl) in postings_by_term.items():
-            m = np.isin(d, allow, assume_unique=True)
+            m = np.ones(len(d), dtype=bool)
+            if allow is not None:
+                m &= np.isin(d, allow, assume_unique=True)
+            if deny is not None:
+                m &= ~np.isin(d, deny, assume_unique=True)
             masked[t] = (d[m], f[m], dl[m])
             if pos_by_term is not None and t in pos_by_term:
                 pos_by_term[t] = pos_by_term[t][np.repeat(m, f)]

@@ -383,7 +383,45 @@ def search(
     def run_segment(post_pdf: pd.DataFrame) -> pd.DataFrame:
         return _run(post_pdf, None)
 
-    if filter_docs is not None:
+    # deletes applied at read (LiveDocsFormat analog): fold tombstones into
+    # the allow set when a FILTER is present, else run the deny-mask path
+    deny_docs = None
+    if index.tombstones is not None:
+        if filter_docs is not None:
+            filter_docs = filter_docs.join(
+                index.tombstones.select("docid"), "docid", "left_anti"
+            )
+        else:
+            deny_docs = index.tombstones
+
+    if deny_docs is not None:
+        ddf = deny_docs.select(
+            F.col("docid"), (F.col("docid") / F.lit(seg_size)).cast("long").alias("seg")
+        )
+
+        def run_denied(key, post_pdf: pd.DataFrame, deny_pdf: pd.DataFrame) -> pd.DataFrame:
+            seg = int(key[0])
+            if len(post_pdf) == 0:
+                return pd.DataFrame({"seg": pd.Series(dtype="int64"),
+                                     "docid": pd.Series(dtype="int64"),
+                                     "score": pd.Series(dtype="float64")})
+            deny = np.sort(deny_pdf["docid"].to_numpy(dtype=np.int64) - seg * seg_size)
+
+            def _run_deny(pdf):
+                term_rows = {r["term"]: r for _, r in pdf.iterrows()}
+                d, s = segment_topk(node_b, term_rows, scorers, seg_size, kparam,
+                                    precision=prec, prune=pr, deny=deny)
+                return pd.DataFrame({"seg": seg, "docid": d + seg * seg_size, "score": s})
+
+            return _run_deny(post_pdf)
+
+        out = (
+            rows.groupBy("seg")
+            .cogroup(ddf.groupBy("seg"))
+            .applyInPandas(run_denied, schema=out_schema)
+            .collect()
+        )
+    elif filter_docs is not None:
         fdf = filter_docs.select(
             F.col("docid"), (F.col("docid") / F.lit(seg_size)).cast("long").alias("seg")
         )

@@ -141,6 +141,26 @@ def test_more_like_this(pidx):
     np.testing.assert_array_equal(td.scores, want.scores)
 
 
+def test_delete_docs_tombstones(spark, pidx):
+    full = search(pidx, "fox", k=10, precision="float64", with_urls=True)
+    assert "u07" in full.urls
+    dead_id = [r["docid"] for r in pidx.docs.filter("url = 'u07'").collect()]
+    dead = spark.createDataFrame([(int(dead_id[0]),)], "docid long")
+    idx2 = pidx.delete_docs(dead)
+    after = search(idx2, "fox", k=10, precision="float64", with_urls=True)
+    assert "u07" not in after.urls
+    # surviving docs keep their scores (stats unchanged until merge)
+    m_full = dict(zip(full.urls, full.scores.tolist()))
+    for u, s in zip(after.urls, after.scores.tolist()):
+        assert s == m_full[u]
+    # original handle unaffected; deleting twice is idempotent
+    assert "u07" in search(pidx, "fox", k=10, precision="float64", with_urls=True).urls
+    idx3 = idx2.delete_docs(dead)
+    np.testing.assert_array_equal(
+        search(idx3, "fox", k=10, precision="float64").docids, after.docids
+    )
+
+
 def test_expand_and_match(pidx):
     terms = expand_terms(pidx, like="qu%")
     assert terms == ["quick"]
