@@ -25,10 +25,12 @@ from pyspark.sql import Window
 from lucene_spark.analysis import ENGLISH_STOP_WORDS
 from lucene_spark.index import Index, build_index, tokenize_docs
 from lucene_spark.search import (
+    count_hits,
     expand_terms,
     explain,
     match_any_docs,
     more_like_this,
+    score_docs,
     search,
 )
 from lucene_spark.smallfloat import byte4_to_int
@@ -42,17 +44,21 @@ from lucene_spark.suggest import suggest_terms
 
 _STOPS_SQL = ",".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
 
-_FT_PRELUDE = f"""
+def _prelude(table: str = "documents") -> str:
+    return f"""
 WITH tok AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM {table}
 ),
 ftok AS (SELECT doc_id, term FROM tok WHERE term NOT IN ({_STOPS_SQL})),
 tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM ftok GROUP BY doc_id, term),
 dl AS (SELECT d.doc_id, CAST(count(f.term) AS BIGINT) AS dl
-       FROM documents d LEFT JOIN ftok f ON d.doc_id = f.doc_id GROUP BY d.doc_id),
+       FROM {table} d LEFT JOIN ftok f ON d.doc_id = f.doc_id GROUP BY d.doc_id),
 stats AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sttf FROM dl),
 df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
 """
+
+
+_FT_PRELUDE = _prelude()
 
 
 def _score_sql(terms: list[str]) -> str:
@@ -202,6 +208,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return spark.createDataFrame(rows or [], "doc_id long, score_q long")
 
+    def ft_deleted_persist(spark, sf):
+        # full liveDocs lifecycle (Lucene90LiveDocsFormat + SegmentMerger
+        # drop-at-merge): delete → write_index (tombstones persisted) →
+        # read_index → compact_index (deletes physically purged, stats
+        # rebuilt over survivors) → search.  The oracle is plain BM25 over
+        # the corpus WITHOUT the deleted docs — post-merge, statistics must
+        # look as if the deleted docs never existed.  Results key on url
+        # (the original doc_id) because compaction densifies docIDs.
+        import shutil
+        import tempfile
+
+        from lucene_spark.index import read_index, write_index
+        from lucene_spark.streaming import compact_index
+
+        docs = _docs(spark, sf)
+        idx = build_index(spark, docs, text_col="text", key_col="doc_id",
+                          docid_col="doc_id", seg_size=2048)
+        dead = docs.filter("lang = 'de'").select(F.col("doc_id").alias("docid"))
+        tmp = tempfile.mkdtemp(prefix="ls_delpersist_")
+        try:
+            write_index(idx.delete_docs(dead), f"{tmp}/a")
+            reread = read_index(spark, f"{tmp}/a")
+            assert reread.tombstones is not None  # round-trip survived
+            compacted = compact_index(spark, f"{tmp}/a", f"{tmp}/b", seg_size=2048)
+            assert compacted.tombstones is None
+            td = search(compacted, "dup", k=10, precision="float64", prune=True)
+            hits = spark.createDataFrame(
+                [(int(d), int(math.floor(s * 10000)))
+                 for d, s in zip(td.docids.tolist(), td.scores.tolist())] or [],
+                "docid long, score_q long",
+            )
+            out = (
+                hits.join(compacted.docs.select("docid", "url"), "docid")
+                .select(F.col("url").cast("long").alias("doc_id"), "score_q")
+            )
+            out = spark.createDataFrame(out.collect() or [], "doc_id long, score_q long")
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return out
+
     def ft_bm25_params(spark, sf):
         # pluggable similarity parameters (BM25Similarity(k1,b) ctor,
         # BM25Similarity.java:72-86): k1=1.5, b=0.4
@@ -239,9 +285,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _topk_df(spark, sf, "batch", 10, skip=10)
 
     def ft_count(spark, sf):
+        # distributed TotalHitCountCollector: per-segment counts summed in
+        # Spark — no hit ever reaches the driver
         idx = _ft_index(spark, sf)
-        td = search(idx, "spark window dup", k=10**9, precision="float64", prune=False)
-        return spark.createDataFrame([(len(td.docids),)], "n_hits long")
+        return spark.createDataFrame(
+            [(count_hits(idx, "spark window dup"),)], "n_hits long"
+        )
 
     def ft_prefix_match(spark, sf):
         # MultiTermQuery expansion against the term dictionary (PrefixQuery)
@@ -252,12 +301,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return toks.filter(F.col("term").isin(expanded)).select("doc_id").distinct()
 
     def ft_facet_lang(spark, sf):
-        # facet counts over matching docs (FacetsCollector analog)
+        # facet counts over matching docs (FacetsCollector analog) — the
+        # match set stays a distributed DataFrame joined to the dim column
         idx = _ft_index(spark, sf)
-        td = search(idx, "dup", k=10**9, precision="float64", prune=False)
-        ids = [int(d) for d in td.docids]
+        ids = match_any_docs(idx, ["dup"]).select(F.col("docid").alias("doc_id"))
         return (
-            _docs(spark, sf).filter(F.col("doc_id").isin(ids))
+            ids.join(_docs(spark, sf).select("doc_id", "lang"), "doc_id")
             .groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
         )
 
@@ -325,11 +374,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def ft_group_top(spark, sf):
-        # grouping module analog: top-2 docs per lang by BM25 score
+        # grouping module analog: top-2 docs per lang by BM25 score — fully
+        # distributed (score_docs returns a DataFrame; the per-group cut is a
+        # window over (lang) partitions, never a driver collect)
         idx = _ft_index(spark, sf)
-        td = search(idx, "batch", k=10**9, precision="float64", prune=False)
-        rows = [(int(d), float(s)) for d, s in zip(td.docids.tolist(), td.scores.tolist())]
-        scored = spark.createDataFrame(rows, "doc_id long, score double")
+        scored = score_docs(idx, "batch", precision="float64").select(
+            F.col("docid").alias("doc_id"), "score"
+        )
         w = Window.partitionBy("lang").orderBy(F.col("score").desc(), F.col("doc_id"))
         return (
             scored.join(_docs(spark, sf).select("doc_id", "lang"), "doc_id")
@@ -501,7 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for fn in [
         ft_token_stats, ft_norms, ft_termdict, ft_stats, ft_term_topk, ft_or_topk,
         ft_and_topk, ft_and3_topk, ft_mixed_topk, ft_must_not, ft_reqopt, ft_filtered,
-        ft_bm25_params, ft_deleted,
+        ft_bm25_params, ft_deleted, ft_deleted_persist,
         ft_paging, ft_count,
         ft_prefix_match, ft_facet_lang, ft_phrase, ft_phrase_gap, ft_phrase_sloppy,
         ft_wildcard,
@@ -614,6 +665,11 @@ SELECT ds.doc_id, CAST(floor(ds.score * 10000) AS BIGINT) AS score_q
 FROM doc_scores ds JOIN documents d ON d.doc_id = ds.doc_id
 WHERE d.lang <> 'de'
 ORDER BY ds.score DESC, ds.doc_id LIMIT 10""",
+        "ft_deleted_persist": _prelude(
+            "(SELECT * FROM documents WHERE lang <> 'de')"
+        ) + "," + _score_sql(["dup"]) + """
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10""",
         "ft_bm25_params": _FT_PRELUDE + """,
 term_scores AS (
   SELECT tf.doc_id,

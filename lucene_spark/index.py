@@ -85,11 +85,13 @@ class Index:
     def delete_docs(self, docids: DataFrame) -> "Index":
         """Mark documents deleted — the tombstone-bitset model
         (codecs/lucene90/Lucene90LiveDocsFormat.java; index/BufferedUpdates):
-        postings are immutable, deletes are applied at READ time (search
-        masks them out) and physically dropped at the next compaction.
-        Collection statistics intentionally keep counting deleted docs until
-        merge, exactly like Lucene (docFreq/docCount include deleted docs
-        until the segment is rewritten).
+        postings are immutable, deletes are applied at READ time (search and
+        search_many mask them out), persisted by ``write_index`` as a fifth
+        table (the liveDocs .liv file analog), and physically dropped by
+        ``streaming.compact_index`` (SegmentMerger.java:103-136 drops deletes
+        at merge).  Collection statistics intentionally keep counting deleted
+        docs until merge, exactly like Lucene (docFreq/docCount include
+        deleted docs until the segment is rewritten).
 
         ``docids``: DataFrame with a ``docid`` column.  Returns a new handle
         sharing the index tables.
@@ -611,9 +613,18 @@ def build_index(
     shuffle_partitions: int | None = None,
     with_positions: bool = False,
     stopwords=ENGLISH_STOP_WORDS,
+    check_unique_keys: bool = True,
 ) -> Index:
     """Full batch index build. If ``docid_col`` is given, docIDs are taken
     from that column (caller-owned contract); otherwise assigned by url rank.
+
+    Rank-assigned docIDs are derived POSITIONALLY in two independent passes
+    over the persisted ranged frame, which is only recomputation-stable when
+    ``key_col`` is unique (duplicate keys could sort differently if a cached
+    partition is lost and recomputed, assigning inconsistent docids between
+    the docs and postings passes).  ``check_unique_keys`` enforces that
+    contract with one count-distinct over the keys; disable only when the
+    caller guarantees uniqueness out-of-band.
 
     ``with_positions=True`` adds the positions channel (IndexOptions
     DOCS_AND_FREQS_AND_POSITIONS, index/IndexOptions.java:40) enabling phrase
@@ -628,6 +639,14 @@ def build_index(
         base, offs, doc_count = _ranged_with_offsets(
             pages.select(key_col, text_col), key_col, num_partitions
         )
+        if check_unique_keys:
+            n_keys = base.agg(F.countDistinct(key_col)).collect()[0][0]
+            if n_keys != doc_count:
+                raise ValueError(
+                    f"key_col {key_col!r} must be unique for rank-assigned "
+                    f"docids ({doc_count - n_keys} duplicate keys); pass an "
+                    "explicit docid_col or deduplicate first"
+                )
     else:
         cols = list(dict.fromkeys([key_col, text_col, docid_col]))
         base = pages.select(*cols)
@@ -678,9 +697,13 @@ def build_index(
 
 
 def write_index(index: Index, out_dir: str, mode: str = "overwrite") -> None:
-    """Persist the four tables. postings partitioned by seg (co-located reads),
-    sorted by term within files so parquet min/max stats prune term lookups
-    (the BlockTree/FST analog — SURVEY §4)."""
+    """Persist the index tables. postings partitioned by seg (co-located
+    reads), sorted by term within files so parquet min/max stats prune term
+    lookups (the BlockTree/FST analog — SURVEY §4).  Tombstones persist as a
+    fifth table — the Lucene90LiveDocsFormat .liv file analog — so a
+    delete → write → read round-trip keeps documents deleted."""
+    import shutil
+
     index.postings.sortWithinPartitions("term").write.mode(mode).partitionBy("seg").parquet(
         f"{out_dir}/postings"
     )
@@ -693,10 +716,21 @@ def write_index(index: Index, out_dir: str, mode: str = "overwrite") -> None:
         "doc_count long, sum_total_term_freq long, seg_size long",
     )
     stats.write.mode(mode).parquet(f"{out_dir}/stats")
+    if index.tombstones is not None:
+        index.tombstones.select("docid").write.mode(mode).parquet(f"{out_dir}/tombstones")
+    elif mode == "overwrite":
+        # an overwrite of an index that HAD tombstones must not resurrect
+        # deleted docs from a stale liveDocs table
+        shutil.rmtree(f"{out_dir}/tombstones", ignore_errors=True)
 
 
 def read_index(spark: SparkSession, out_dir: str) -> Index:
+    import os
+
     stats = spark.read.parquet(f"{out_dir}/stats").collect()[0]
+    tomb = None
+    if os.path.isdir(f"{out_dir}/tombstones"):
+        tomb = spark.read.parquet(f"{out_dir}/tombstones")
     return Index(
         docs=spark.read.parquet(f"{out_dir}/docs"),
         postings=spark.read.parquet(f"{out_dir}/postings"),
@@ -705,6 +739,7 @@ def read_index(spark: SparkSession, out_dir: str) -> Index:
         doc_count=stats["doc_count"],
         sum_total_term_freq=stats["sum_total_term_freq"],
         seg_size=stats["seg_size"],
+        tombstones=tomb,
     )
 
 

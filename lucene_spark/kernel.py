@@ -367,6 +367,62 @@ def score_query_node(node, postings_by_term, scorers_by_term, precision, pos_by_
     raise ValueError(f"bad node {node!r}")
 
 
+def match_docids(node, postings_by_term, pos_by_term=None) -> np.ndarray:
+    """Matching docID set of a boolean tree — NO scoring (the
+    TotalHitCountCollector fast path, search/TotalHitCountCollector.java:28:
+    counting never computes scores; Lucene short-circuits to Weight#count
+    where possible, here term counts come straight from posting lengths)."""
+    kind = node[0]
+    if kind == "term":
+        t = node[1]
+        if t not in postings_by_term:
+            return np.empty(0, dtype=np.int64)
+        return postings_by_term[t][0]
+    if kind == "and":
+        if any(t not in postings_by_term for t in node[1]):
+            return np.empty(0, dtype=np.int64)
+        lists = sorted((postings_by_term[t][0] for t in node[1]), key=len)
+        common = lists[0]
+        for d in lists[1:]:
+            common = common[np.isin(common, d, assume_unique=True)]
+            if len(common) == 0:
+                break
+        return common
+    if kind == "not":
+        d = match_docids(node[1], postings_by_term, pos_by_term)
+        for t in node[2]:
+            if t in postings_by_term and len(d):
+                d = d[~np.isin(d, postings_by_term[t][0], assume_unique=True)]
+        return d
+    if kind == "reqopt":
+        # optional clauses don't gate matching — ReqOptSumScorer matches = req
+        return match_docids(node[1], postings_by_term, pos_by_term)
+    if kind in ("syn",):
+        present = [t for t in node[1] if t in postings_by_term]
+        if not present:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate([postings_by_term[t][0] for t in present]))
+    if kind == "msm":
+        terms, m = node[1], node[2]
+        present = [t for t in terms if t in postings_by_term]
+        if len(present) < m:
+            return np.empty(0, dtype=np.int64)
+        allv = np.concatenate([postings_by_term[t][0] for t in present])
+        u, c = np.unique(allv, return_counts=True)
+        return u[c >= m]
+    if kind in ("or", "dismax"):
+        subs = [match_docids(c, postings_by_term, pos_by_term) for c in node[1]]
+        subs = [d for d in subs if len(d)]
+        if not subs:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(subs))
+    if kind in ("phrase", "sloppy"):
+        # positional nodes need the scored evaluation to decide matching
+        d, _ = score_query_node(node, postings_by_term, {}, "float64", pos_by_term)
+        return d
+    raise ValueError(f"bad node {node!r}")
+
+
 def segment_topk(
     node,
     term_rows: dict[str, dict],

@@ -415,11 +415,10 @@ def search(
 
             return _run_deny(post_pdf)
 
-        out = (
+        per_seg = (
             rows.groupBy("seg")
             .cogroup(ddf.groupBy("seg"))
             .applyInPandas(run_denied, schema=out_schema)
-            .collect()
         )
     elif filter_docs is not None:
         fdf = filter_docs.select(
@@ -437,18 +436,23 @@ def search(
                                      "score": pd.Series(dtype="float64")})
             return _run(post_pdf, allow)
 
-        out = (
+        per_seg = (
             rows.groupBy("seg")
             .cogroup(fdf.groupBy("seg"))
             .applyInPandas(run_filtered, schema=out_schema)
-            .collect()
         )
     else:
-        out = (
-            rows.groupBy("seg")
-            .applyInPandas(run_segment, schema=out_schema)
-            .collect()
-        )
+        per_seg = rows.groupBy("seg").applyInPandas(run_segment, schema=out_schema)
+    # hierarchical reduce: the per-segment top-k rows are cut to a global
+    # top-k IN SPARK (TakeOrderedAndProject — per-partition heaps + a k-row
+    # merge) before anything reaches the driver.  At 10^12 docs / 10^6-doc
+    # segments a flat collect would ship k x 10^6 rows; this ships k.
+    # (TopDocs.merge contract: score desc, docID asc — TopDocs.java:93-120.)
+    out = (
+        per_seg.orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+        .collect()
+    )
     if not out:
         return empty
     docids = np.array([r["docid"] for r in out], dtype=np.int64)
@@ -463,6 +467,158 @@ def search(
         umap = {r["docid"]: r["url"] for r in url_rows}
         urls = [umap.get(int(d)) for d in docids]
     return TopDocs(docids, scores, urls)
+
+
+def score_docs(
+    index: Index,
+    query: str | tuple,
+    precision: str = "lucene",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ALL matching docs scored, returned as a distributed DataFrame
+    (docid, score) — the collector-chaining primitive behind facets/grouping
+    (FacetsCollector.java:46 collects every hit; grouping's first pass
+    likewise).  Nothing is collected: downstream aggregations (facet counts,
+    per-group top-n windows) stay in Spark.  Tombstones are masked."""
+    node = rewrite(parse_query(query) if isinstance(query, str) else query)
+    spark = index.postings.sparkSession
+    empty = spark.createDataFrame([], "docid long, score double")
+    if node is None:
+        return empty
+    terms = sorted(set(query_terms(node)))
+    stats = CollectionStats(index.doc_count, index.sum_total_term_freq)
+    dfs = term_dfs(terms, index.termdict)
+    scorers = {
+        t: BM25Scorer(dfs[t], stats, k1=k1, b=b, precision=precision)
+        for t in terms if t in dfs
+    }
+    node = attach_scorers(node, dfs, stats, k1, b, precision)
+    if node is None or not scorers:
+        return empty
+    if node[0] == "and" and any(t not in scorers for t in terms):
+        return empty
+    rows = index.postings.filter(F.col("term").isin(sorted(scorers)))
+    seg_size, node_b, prec = index.seg_size, node, precision
+
+    def _score(post_pdf: pd.DataFrame, deny: np.ndarray | None) -> pd.DataFrame:
+        from .kernel import TermPostings, _phrase_member_terms, score_query_node
+
+        if len(post_pdf) == 0:
+            return pd.DataFrame({"docid": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        seg = int(post_pdf["seg"].iloc[0])
+        tps = {r["term"]: TermPostings(r, seg_size) for _, r in post_pdf.iterrows()}
+        pbt = {t: tp.decode() for t, tp in tps.items()}
+        phrase_terms = _phrase_member_terms(node_b)
+        pos_by_term = {
+            t: tps[t].positions_flat() for t in phrase_terms if t in tps
+        } if phrase_terms else None
+        if deny is not None:
+            masked = {}
+            for t, (d, f, dl) in pbt.items():
+                m = ~np.isin(d, deny, assume_unique=True)
+                masked[t] = (d[m], f[m], dl[m])
+                if pos_by_term is not None and t in pos_by_term:
+                    pos_by_term[t] = pos_by_term[t][np.repeat(m, f)]
+            pbt = masked
+        d, s = score_query_node(node_b, pbt, scorers, prec, pos_by_term)
+        return pd.DataFrame({"docid": d + seg * seg_size, "score": s})
+
+    if index.tombstones is not None:
+        ddf = index.tombstones.select(
+            F.col("docid"), (F.col("docid") / F.lit(seg_size)).cast("long").alias("seg")
+        )
+
+        def run_denied(key, post_pdf: pd.DataFrame, deny_pdf: pd.DataFrame) -> pd.DataFrame:
+            seg = int(key[0])
+            deny = np.sort(deny_pdf["docid"].to_numpy(dtype=np.int64) - seg * seg_size)
+            return _score(post_pdf, deny)
+
+        return (
+            rows.groupBy("seg").cogroup(ddf.groupBy("seg"))
+            .applyInPandas(run_denied, schema="docid long, score double")
+        )
+
+    def run_segment(post_pdf: pd.DataFrame) -> pd.DataFrame:
+        return _score(post_pdf, None)
+
+    return rows.groupBy("seg").applyInPandas(run_segment, schema="docid long, score double")
+
+
+def count_hits(index: Index, query: str | tuple) -> int:
+    """Distributed TotalHitCountCollector
+    (search/TotalHitCountCollector.java:28): per-segment match COUNTS are
+    computed inside the kernel (no scoring) and summed by a Spark
+    aggregation — only one number per segment ever moves, never hits.
+    Tombstoned docs are excluded (liveDocs semantics)."""
+    node = parse_query(query) if isinstance(query, str) else query
+    node = rewrite(node)
+    if node is None:
+        return 0
+    terms = sorted(set(query_terms(node)))
+    stats = CollectionStats(index.doc_count, index.sum_total_term_freq)
+    dfs = term_dfs(terms, index.termdict)
+    node = attach_scorers(node, dfs, stats, 1.2, 0.75, "float64")
+    if node is None:
+        return 0
+    if node[0] == "and" and any(t not in dfs for t in terms):
+        return 0
+    present = [t for t in terms if t in dfs]
+    if not present:
+        return 0
+    rows = index.postings.filter(F.col("term").isin(present))
+    seg_size, node_b = index.seg_size, node
+
+    def _count(post_pdf: pd.DataFrame, deny: np.ndarray | None) -> pd.DataFrame:
+        from .kernel import TermPostings, match_docids
+
+        if len(post_pdf) == 0:
+            return pd.DataFrame({"n": pd.Series(dtype="int64")})
+        tps = {r["term"]: TermPostings(r, seg_size) for _, r in post_pdf.iterrows()}
+        postings_by_term = {t: tp.decode() for t, tp in tps.items()}
+        if deny is not None:
+            postings_by_term = {
+                t: (d[m], f[m], dl[m])
+                for t, (d, f, dl) in postings_by_term.items()
+                for m in [~np.isin(d, deny, assume_unique=True)]
+            }
+        from .kernel import _phrase_member_terms
+
+        phrase_terms = _phrase_member_terms(node_b)
+        pos_by_term = None
+        if phrase_terms:
+            pos_by_term = {t: tps[t].positions_flat() for t in phrase_terms if t in tps}
+            if deny is not None:
+                for t in list(pos_by_term):
+                    d, f, _ = tps[t].decode()
+                    m = ~np.isin(d, deny, assume_unique=True)
+                    pos_by_term[t] = pos_by_term[t][np.repeat(m, f)]
+        d = match_docids(node_b, postings_by_term, pos_by_term)
+        return pd.DataFrame({"n": [len(d)]})
+
+    if index.tombstones is not None:
+        ddf = index.tombstones.select(
+            F.col("docid"), (F.col("docid") / F.lit(seg_size)).cast("long").alias("seg")
+        )
+
+        def run_denied(key, post_pdf: pd.DataFrame, deny_pdf: pd.DataFrame) -> pd.DataFrame:
+            seg = int(key[0])
+            deny = np.sort(deny_pdf["docid"].to_numpy(dtype=np.int64) - seg * seg_size)
+            return _count(post_pdf, deny)
+
+        per_seg = (
+            rows.groupBy("seg").cogroup(ddf.groupBy("seg"))
+            .applyInPandas(run_denied, schema="n long")
+        )
+    else:
+
+        def run_segment(post_pdf: pd.DataFrame) -> pd.DataFrame:
+            return _count(post_pdf, None)
+
+        per_seg = rows.groupBy("seg").applyInPandas(run_segment, schema="n long")
+    total = per_seg.agg(F.sum("n")).collect()[0][0]
+    return int(total or 0)
 
 
 def search_many(
@@ -522,8 +678,9 @@ def search_many(
     seg_size = index.seg_size
     ks = {qid: (ks or {}).get(qid, k) for qid in exec_nodes}
     nodes_b, kmap, prec, pr = exec_nodes, ks, precision, prune
+    many_schema = "qid string, docid long, score double"
 
-    def run_segment(post_pdf: pd.DataFrame) -> pd.DataFrame:
+    def _run_many(post_pdf: pd.DataFrame, deny: np.ndarray | None) -> pd.DataFrame:
         from .kernel import TermPostings, segment_topk
 
         if len(post_pdf) == 0:
@@ -541,7 +698,7 @@ def search_many(
             if not sub:
                 continue
             d, s = segment_topk(node, sub, scorers, seg_size, kmap[qid],
-                                precision=prec, prune=pr)
+                                precision=prec, prune=pr, deny=deny)
             out_q.extend([qid] * len(d))
             out_d.append(d + seg * seg_size)
             out_s.append(s)
@@ -551,9 +708,38 @@ def search_many(
             "score": np.concatenate(out_s) if out_s else np.empty(0, dtype=np.float64),
         })
 
+    def run_segment(post_pdf: pd.DataFrame) -> pd.DataFrame:
+        return _run_many(post_pdf, None)
+
+    if index.tombstones is not None:
+        # same read-time LiveDocs deny mask as search() — batched queries must
+        # not resurrect deleted docs (Lucene: every scorer sees liveDocs)
+        ddf = index.tombstones.select(
+            F.col("docid"), (F.col("docid") / F.lit(seg_size)).cast("long").alias("seg")
+        )
+
+        def run_denied(key, post_pdf: pd.DataFrame, deny_pdf: pd.DataFrame) -> pd.DataFrame:
+            seg = int(key[0])
+            deny = np.sort(deny_pdf["docid"].to_numpy(dtype=np.int64) - seg * seg_size)
+            return _run_many(post_pdf, deny)
+
+        per_seg = (
+            rows.groupBy("seg")
+            .cogroup(ddf.groupBy("seg"))
+            .applyInPandas(run_denied, schema=many_schema)
+        )
+    else:
+        per_seg = rows.groupBy("seg").applyInPandas(run_segment, schema=many_schema)
+
+    # hierarchical per-query reduce in Spark: rank per qid and keep k before
+    # collect — ships sum(k_q) rows to the driver instead of k x num_segments
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("docid").asc())
+    kmax = max(ks.values())
     collected = (
-        rows.groupBy("seg")
-        .applyInPandas(run_segment, schema="qid string, docid long, score double")
+        per_seg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.lit(kmax))
         .collect()
     )
     by_q: dict[str, list] = {}

@@ -144,13 +144,31 @@ def refresh_reader(spark: SparkSession, out_dir: str):
     return read_index(spark, out_dir)
 
 
+MAX_BROADCAST_REMAP_RUNS = 2_000_000
+
+
 def compact_index(spark: SparkSession, in_dir: str, out_dir: str, seg_size: int = 4096):
-    """Merge-policy analog (SegmentMerger.java:103-136 / TieredMergePolicy):
-    rebuild the appended mini-segments into dense docID-range segments.
+    """Merge-policy analog (SegmentMerger.java:103-136): rebuild the appended
+    mini-segments into dense docID-range segments, DROPPING tombstoned docs —
+    the merge is where Lucene physically reclaims deletes
+    (SegmentMerger.java:103-136 consults liveDocs via MergeState).
 
     docIDs are remapped dense preserving global order (DocIDMerger.java:32
-    docBase remapping); postings are decoded, remapped via a docid join, and
-    regrouped by the new segmentation — the sorted shuffle IS the k-way merge.
+    docBase remapping).  The remap is piecewise-linear: surviving docids form
+    contiguous RUNS broken only by deletes and inter-batch gaps, so instead
+    of a posting-granularity join (an extra corpus-wide shuffle), the runs
+    (old_start, new_start, len) are collected — bounded by #holes +
+    #partitions, NOT corpus size — and broadcast into the posting decode
+    pass.  Compaction then has exactly ONE wide shuffle (the (term, seg)
+    regroup), same as the build.  If deletes are so pathological that runs
+    exceed MAX_BROADCAST_REMAP_RUNS, falls back to the join path.
+
+    Collection stats are recomputed over survivors (Lucene: merged segment
+    stats exclude dropped docs).  Mixed positions (a base built
+    with_positions + batches appended without) downgrade the merged index to
+    no-positions — Lucene resolves conflicting IndexOptions by taking the
+    minimum (index/FieldInfo.java verifySameIndexOptions / FieldInfos merge).
+
     No re-tokenization: (term, docid, tf, dl) is fully recoverable from the
     segment rows + norms.
     """
@@ -161,13 +179,14 @@ def compact_index(spark: SparkSession, in_dir: str, out_dir: str, seg_size: int 
     from .kernel import TermPostings
 
     old = read_index(spark, in_dir)
-    # dense rank over old docid — scalable form (range partition + offset
-    # broadcast, same as index.assign_docids), NOT a global single-partition
-    # window: compaction runs over the whole corpus
+    live = old.docs.select("docid", "url", "dl", "norm")
+    if old.tombstones is not None:
+        live = live.join(old.tombstones.select("docid"), "docid", "left_anti")
+    # dense rank over surviving docid — scalable form (range partition +
+    # offset broadcast, same as index.assign_docids), NOT a global
+    # single-partition window: compaction runs over the whole corpus
     parallelism = spark.sparkContext.defaultParallelism
-    ranged, offs, _n = _ranged_with_offsets(
-        old.docs.select("docid", "url", "dl", "norm"), "docid", parallelism
-    )
+    ranged, offs, n_live = _ranged_with_offsets(live, "docid", parallelism)
 
     def add_new_ids(batches):
         pid_base = None
@@ -189,49 +208,113 @@ def compact_index(spark: SparkSession, in_dir: str, out_dir: str, seg_size: int 
         schema=f"docid long, url {url_t}, dl long, norm {norm_t}, new_docid long",
     )
 
+    # remap runs: contiguous (old_start, new_start, len) stretches per
+    # partition — a narrow second pass over the cached ranged frame reading
+    # only docid
+    def emit_runs(batches):
+        pid_base = None
+        seen = 0
+        for pdf in batches:
+            if pid_base is None:
+                pid_base = offs[TaskContext.get().partitionId()]
+            d = pdf["docid"].to_numpy(dtype=np.int64)
+            if len(d) == 0:
+                continue
+            new = np.arange(pid_base + seen, pid_base + seen + len(d), dtype=np.int64)
+            seen += len(d)
+            brk = np.flatnonzero(np.diff(d) != 1) + 1
+            starts = np.concatenate([[0], brk])
+            ends = np.concatenate([brk, [len(d)]])
+            yield pd.DataFrame({
+                "old_start": d[starts], "new_start": new[starts],
+                "run_len": ends - starts,
+            })
+
+    run_rows = ranged.select("docid").mapInPandas(
+        emit_runs, schema="old_start long, new_start long, run_len long"
+    ).limit(MAX_BROADCAST_REMAP_RUNS + 1).collect()
+
     old_seg_size = old.seg_size
 
-    has_pos = bool(
-        old.postings.filter(F.length("pos_blob") > 0).limit(1).count()
-    ) if "pos_blob" in old.postings.columns else False
+    # positions channel survives only if EVERY non-empty row has it
+    # (FieldInfos merge takes the minimum IndexOptions across segments)
+    any_pos = bool(old.postings.filter(F.length("pos_blob") > 0).limit(1).count())
+    mixed = any_pos and bool(
+        old.postings.filter(
+            (F.col("df_local") > 0) & (F.length("pos_blob") == 0)
+        ).limit(1).count()
+    )
+    has_pos = any_pos and not mixed
+
+    use_runs = len(run_rows) <= MAX_BROADCAST_REMAP_RUNS
+    if use_runs:
+        runs = sorted((r["old_start"], r["new_start"], r["run_len"]) for r in run_rows)
+        run_old = np.array([r[0] for r in runs], dtype=np.int64)
+        run_new = np.array([r[1] for r in runs], dtype=np.int64)
+        run_len = np.array([r[2] for r in runs], dtype=np.int64)
+    else:
+        run_old = run_new = run_len = None
 
     def explode_rows(batches):
-        import numpy as np
-
+        """Decode posting rows → per-posting flat arrays, numpy end-to-end
+        (no per-posting Python objects).  With the broadcast run remap,
+        deleted docids (falling in remap holes) are dropped here and new ids
+        assigned inline — no join."""
         for pdf in batches:
-            out_term, out_doc, out_tf, out_dl, out_pos = [], [], [], [], []
-            for _, r in pdf.iterrows():
-                tp = TermPostings(r, old_seg_size)
+            a_term, a_doc, a_tf, a_dl, a_pos = [], [], [], [], []
+            terms = pdf["term"].to_numpy()
+            segs = pdf["seg"].to_numpy(dtype=np.int64)
+            for i in range(len(pdf)):
+                tp = TermPostings(pdf.iloc[i], old_seg_size)
                 d, f, dls = tp.decode()
-                out_term.extend([r["term"]] * len(d))
-                out_doc.extend((d + int(r["seg"]) * old_seg_size).tolist())
-                out_tf.extend(f.tolist())
-                out_dl.extend(dls.tolist())
-                if has_pos:
-                    # positions survive the merge unchanged — docID remapping
-                    # is order-preserving, in-doc positions don't move
-                    pos = tp.positions_flat()
-                    starts = np.cumsum(f) - f
-                    out_pos.extend(
-                        pos[s : s + n].tolist()
-                        for s, n in zip(starts.tolist(), f.tolist())
-                    )
-            cols = {"term": out_term, "docid": out_doc, "tf": out_tf, "dl": out_dl}
+                d = d + segs[i] * old_seg_size
+                pos = tp.positions_flat() if has_pos else None
+                if use_runs:
+                    ri = np.searchsorted(run_old, d, side="right") - 1
+                    ric = np.clip(ri, 0, max(len(run_old) - 1, 0))
+                    keep = (ri >= 0) & (d - run_old[ric] < run_len[ric])
+                    if not keep.all():
+                        if pos is not None:
+                            pos = pos[np.repeat(keep, f)]
+                        d, f, dls, ric = d[keep], f[keep], dls[keep], ric[keep]
+                    if len(d) == 0:
+                        continue
+                    d = run_new[ric] + (d - run_old[ric])
+                a_term.append(np.repeat(terms[i], len(d)))
+                a_doc.append(d)
+                a_tf.append(f)
+                a_dl.append(dls)
+                if pos is not None:
+                    # list-of-ndarray views per posting — Arrow serializes
+                    # without materializing per-int Python objects
+                    a_pos.extend(np.split(pos, np.cumsum(f)[:-1]))
+            if not a_doc:
+                continue
+            cols = {
+                "term": np.concatenate(a_term),
+                "docid": np.concatenate(a_doc),
+                "tf": np.concatenate(a_tf),
+                "dl": np.concatenate(a_dl),
+            }
             if has_pos:
-                cols["positions"] = out_pos
+                cols["positions"] = a_pos
             yield pd.DataFrame(cols)
 
     flat_schema = "term string, docid long, tf long, dl long"
-    sel_cols = ["term", F.col("new_docid").alias("docid"), "tf", "dl"]
     if has_pos:
         flat_schema += ", positions array<long>"
-        sel_cols.append("positions")
     flat = old.postings.mapInPandas(explode_rows, schema=flat_schema)
-    tf = (
-        flat.join(remap.select("docid", "new_docid"), "docid")
-        .select(*sel_cols)
-        .withColumn("seg", (F.col("docid") / F.lit(seg_size)).cast("long"))
-    )
+    if use_runs:
+        tf = flat.withColumn("seg", (F.col("docid") / F.lit(seg_size)).cast("long"))
+    else:
+        sel_cols = ["term", F.col("new_docid").alias("docid"), "tf", "dl"]
+        if has_pos:
+            sel_cols.append("positions")
+        tf = (
+            flat.join(remap.select("docid", "new_docid"), "docid")
+            .select(*sel_cols)
+            .withColumn("seg", (F.col("docid") / F.lit(seg_size)).cast("long"))
+        )
     postings = segment_rows_stage(tf, seg_size)
     postings.sortWithinPartitions("term").write.mode("overwrite").partitionBy("seg").parquet(
         f"{out_dir}/postings"
@@ -242,9 +325,14 @@ def compact_index(spark: SparkSession, in_dir: str, out_dir: str, seg_size: int 
     new_docs.sparkSession.read.parquet(f"{out_dir}/postings").groupBy("term").agg(
         F.sum("df_local").alias("df"), F.sum("cf_local").alias("cf")
     ).write.mode("overwrite").parquet(f"{out_dir}/termdict")
-    n_docs = old.doc_count
+    # stats over SURVIVORS (merged-away deletes leave the statistics)
+    sum_ttf = spark.read.parquet(f"{out_dir}/docs").agg(F.sum("dl")).collect()[0][0] or 0
     spark.createDataFrame(
-        [(n_docs, old.sum_total_term_freq, seg_size)],
+        [(n_live, int(sum_ttf), seg_size)],
         "doc_count long, sum_total_term_freq long, seg_size long",
     ).write.mode("overwrite").parquet(f"{out_dir}/stats")
+    import shutil
+
+    shutil.rmtree(f"{out_dir}/tombstones", ignore_errors=True)
+    ranged.unpersist()
     return read_index(spark, out_dir)
