@@ -497,11 +497,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "a", "b", F.floor(F.col("jaccard") * 1e6).cast("long").alias("jaccard_q")
         )
 
-    def dedup_minhash_lsh(spark, sf):  # approximate: rows-only check
+    def dedup_minhash_lsh(spark, sf):
+        # deterministic md5-based pipeline — exact DuckDB twin in oracle_sql
         return textops.minhash_lsh_candidates(_docs(spark, sf), n=3, num_perm=32, bands=8)
 
-    def dedup_simhash(spark, sf):  # own hash fn: rows-only check
+    def dedup_simhash(spark, sf):
+        # deterministic md5-based sign-sum — exact DuckDB twin in oracle_sql
         return textops.simhash(_docs(spark, sf))
+
+    def dedup_simhash_pairs(spark, sf):
+        # hamming-banded near-dup join (pigeonhole chunks + bit_count verify)
+        return textops.simhash_pairs(_docs(spark, sf), max_hamming=3)
 
     def text_token_count(spark, sf):
         return textops.token_stats(_docs(spark, sf))
@@ -561,8 +567,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_suggest, ft_query_join, ft_monitor, ft_knn_classify, ft_highlight,
         ft_explain, ft_mlt,
         dedup_exact, text_fingerprint, dedup_jaccard,
-        dedup_minhash_lsh, dedup_simhash, text_token_count, text_quality, text_langid,
-        ann_bruteforce, ann_ivf, ann_lsh, emb_label_stats,
+        dedup_minhash_lsh, dedup_simhash, dedup_simhash_pairs,
+        text_token_count, text_quality, text_langid,
+        ann_bruteforce, emb_label_stats, ann_ivf, ann_lsh,
     ]:
         q[fn.__name__] = fn
     return q
@@ -608,6 +615,80 @@ sc AS (
 )
 SELECT doc_id, CAST(floor((w - w / (1.0 + pf * inv)) * 10000) AS BIGINT) AS score_q
 FROM sc ORDER BY (w - w / (1.0 + pf * inv)) DESC, doc_id LIMIT {k}"""
+    )
+
+
+_B60 = "CAST(('0x' || substr(md5({col}), 1, 15)) AS BIGINT)"
+
+
+def _minhash_oracle_sql(n: int = 3, num_perm: int = 32, bands: int = 8, seed: int = 1) -> str:
+    """DuckDB twin of textops.minhash_lsh_candidates: identical md5-base60
+    hashing, affine permutations, banding and bucket join."""
+    a, b = textops._minhash_params(num_perm, seed)
+    p = textops._P31
+    rows = num_perm // bands
+    mins = ", ".join(
+        f"min(({int(a[i])} * x + {int(b[i])}) % {p}) AS h{i}" for i in range(num_perm)
+    )
+    sig = ", ".join(f"h{i}" for i in range(num_perm))
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(t[CAST(i AS BIGINT) : CAST(i + {n - 1} AS BIGINT)], ' ') AS g
+  FROM toks, unnest(range(1, len(t) - {n} + 2)) AS u(i)
+  WHERE len(t) >= {n}
+),
+hx AS (SELECT doc_id, {_B60.format(col='g')} % {p} AS x FROM grams),
+mins AS (SELECT doc_id, {mins} FROM hx GROUP BY doc_id),
+sigt AS (SELECT doc_id, [{sig}] AS sig FROM mins),
+bandt AS (
+  SELECT doc_id, b AS band,
+         array_to_string(sig[CAST(b * {rows} + 1 AS BIGINT) : CAST(b * {rows} + {rows} AS BIGINT)], ',') AS bkey
+  FROM sigt, unnest(range(0, {bands})) AS u(b)
+)
+SELECT x.doc_id AS a, y.doc_id AS b
+FROM bandt x JOIN bandt y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+GROUP BY 1, 2"""
+
+
+def _simhash_core_sql() -> str:
+    """CTE chain computing the 60-bit simhash per doc (twin of textops.simhash)."""
+    nbits = textops.SIMHASH_BITS
+    sums = ", ".join(
+        f"sum(c * (2 * ((h >> {j}) & 1) - 1)) AS s{j}" for j in range(nbits)
+    )
+    recomb = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(nbits)
+    )
+    return f"""
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY doc_id, tok),
+hx AS (SELECT doc_id, c, {_B60.format(col='tok')} AS h FROM tf),
+bits AS (SELECT doc_id, {sums} FROM hx GROUP BY doc_id),
+sh AS (SELECT doc_id, CAST({recomb} AS BIGINT) AS simhash FROM bits)"""
+
+
+def _simhash_oracle_sql() -> str:
+    return "WITH " + _simhash_core_sql() + "\nSELECT doc_id, simhash FROM sh"
+
+
+def _simhash_pairs_oracle_sql(max_hamming: int = 3) -> str:
+    n_chunks = max_hamming + 1
+    width = textops.SIMHASH_BITS // n_chunks
+    return (
+        "WITH " + _simhash_core_sql() + f""",
+chunks AS (
+  SELECT doc_id, simhash, i AS chunk_i, (simhash >> CAST(i * {width} AS BIGINT)) & {(1 << width) - 1} AS chunk_v
+  FROM sh, unnest(range(0, {n_chunks})) AS u(i)
+)
+SELECT a, b, hamming FROM (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         bit_count(xor(x.simhash, y.simhash)) AS hamming
+  FROM chunks x JOIN chunks y
+    ON x.chunk_i = y.chunk_i AND x.chunk_v = y.chunk_v AND x.doc_id < y.doc_id
+) WHERE hamming <= {max_hamming}"""
     )
 
 
@@ -894,6 +975,9 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = a
 JOIN sizes sb ON sb.doc_id = b
 WHERE CAST(n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - n_common) >= 0.5""",
+        "dedup_minhash_lsh": _minhash_oracle_sql(n=3, num_perm=32, bands=8, seed=1),
+        "dedup_simhash": _simhash_oracle_sql(),
+        "dedup_simhash_pairs": _simhash_pairs_oracle_sql(max_hamming=3),
         "text_token_count": f"""
 WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
 SELECT doc_id,

@@ -94,15 +94,40 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------- minhash + lsh
+#
+# Hashing scheme (shared, bit-exactly, with the DuckDB correctness oracle —
+# and 100% JVM-side in Spark, no Python in the hot path):
+#   base(s)  = first 15 hex chars of md5(s) as a 60-bit integer
+#   x        = base(s) mod p,  p = 2^31 - 1
+#   h_i(s)   = (a_i * x + b_i) mod p      (a_i, b_i deterministic from seed)
+# a_i*x < 2^62 so every intermediate fits a signed 64-bit integer in both
+# engines.  md5 is identical everywhere; this replaces the per-shingle
+# Python FNV loop that would bottleneck a 100 TB dedup pass.
 
-_MERSENNE = (1 << 61) - 1
+_P31 = (1 << 31) - 1
+SIMHASH_BITS = 60  # md5-derived base is 60 bits; keeps every value in int64
 
 
 def _minhash_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
-    b = rng.integers(0, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+    a = rng.integers(1, _P31, num_perm, dtype=np.int64)
+    b = rng.integers(0, _P31, num_perm, dtype=np.int64)
     return a, b
+
+
+def base60_expr(col: str):
+    """60-bit md5-derived base hash of a string column — JVM expression."""
+    return F.conv(F.substring(F.md5(F.col(col)), 1, 15), 16, 10).cast("long")
+
+
+def hash_str64(s: str) -> int:
+    """Deterministic 64-bit FNV-1a (kept for API compat; the distributed ops
+    now use the md5-based base60 scheme above)."""
+    h = 0xCBF29CE484222325
+    for byte in s.encode("utf-8"):
+        h ^= byte
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
 
 
 def minhash_signatures(
@@ -113,41 +138,26 @@ def minhash_signatures(
     num_perm: int = 64,
     seed: int = 1,
 ) -> DataFrame:
-    """Per-doc MinHash signature over word-shingle hashes (Arrow-batched)."""
+    """Per-doc MinHash signature over word shingles — (id, sig array<long>).
+
+    Whole-stage-codegen pipeline: shingle (split+slice), md5-base hash,
+    num_perm affine permutations as JVM expressions, one hash-aggregate of
+    per-permutation mins.  Docs with fewer than ``n`` tokens produce no
+    shingles and are excluded (they would otherwise collide with every other
+    short doc)."""
     a, b = _minhash_params(num_perm, seed)
-
-    @F.pandas_udf("array<long>")
-    def sig_udf(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            toks = (t or "").split(" ")
-            if len(toks) < n:
-                # too short to shingle: emit NULL so the doc never enters a
-                # band bucket (an all-zero sentinel would make every short
-                # doc a spurious near-dup of every other short doc)
-                out.append(None)
-                continue
-            shingles = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
-            hv = np.array(
-                [hash_str64(s) for s in shingles], dtype=np.uint64
-            )
-            # (a*h + b) mod p, min over shingles, vectorized over perms
-            vals = (hv[None, :] * a[:, None] + b[:, None]) % np.uint64(_MERSENNE)
-            out.append(vals.min(axis=1).astype(np.int64).tolist())
-        return pd.Series(out)
-
-    return docs.select(F.col(id_col), sig_udf(F.col(text_col)).alias("sig")).filter(
-        F.col("sig").isNotNull()
+    grams = token_ngrams(docs, id_col, text_col, n)
+    x = (base60_expr("ngram") % F.lit(_P31)).alias("x")
+    hashed = grams.select(F.col(id_col), x)
+    mins = hashed.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(int(a[i])) * F.col("x") + F.lit(int(b[i]))) % F.lit(_P31)).alias(f"h{i}")
+            for i in range(num_perm)
+        ]
     )
-
-
-def hash_str64(s: str) -> int:
-    """Deterministic 64-bit FNV-1a (stable across workers, unlike hash())."""
-    h = 0xCBF29CE484222325
-    for byte in s.encode("utf-8"):
-        h ^= byte
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+    return mins.select(
+        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig")
+    )
 
 
 def minhash_lsh_candidates(
@@ -161,9 +171,11 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket → candidate pairs (a < b).
 
-    The 100 TB near-dup path: shuffle is (band, bucket-hash) — bounded keys —
-    then pairs generated within buckets only.  Verify candidates with
-    :func:`ngram_jaccard_pairs` semantics on the candidate subset.
+    The 100 TB near-dup path: shuffle keys are (band, band-key) — bounded —
+    and pairs are generated within buckets only, never all-pairs.  Verify
+    candidates with :func:`ngram_jaccard_pairs` semantics on the candidate
+    subset.  Deterministic given ``seed`` — the correctness gate checks the
+    exact pair set against a DuckDB twin of the same md5 pipeline.
     """
     rows = num_perm // bands
     sigs = minhash_signatures(docs, id_col, text_col, n, num_perm, seed)
@@ -172,11 +184,14 @@ def minhash_lsh_candidates(
         F.posexplode(
             F.expr(f"transform(sequence(0, {bands - 1}), b -> slice(sig, b*{rows}+1, {rows}))")
         ).alias("band", "bucket"),
-    ).select(id_col, "band", F.hash(F.concat_ws(",", F.col("bucket").cast("array<string>"))).alias("bucket_h"))
-    a = banded.select(F.col(id_col).alias("a"), "band", "bucket_h")
-    b = banded.select(F.col(id_col).alias("b"), "band", "bucket_h")
+    ).select(
+        id_col, "band",
+        F.concat_ws(",", F.col("bucket").cast("array<string>")).alias("bucket_key"),
+    )
+    a = banded.select(F.col(id_col).alias("a"), "band", "bucket_key")
+    b = banded.select(F.col(id_col).alias("b"), "band", "bucket_key")
     return (
-        a.join(b, ["band", "bucket_h"])
+        a.join(b, ["band", "bucket_key"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
@@ -184,23 +199,77 @@ def minhash_lsh_candidates(
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over tokens (near-dup by hamming distance)."""
+    """60-bit SimHash over tokens (near-dup by hamming distance).
 
-    @F.pandas_udf("long")
-    def sim_udf(texts: pd.Series) -> pd.Series:
-        out = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            toks = (t or "").split(" ")
-            if not toks:
-                out[i] = 0
-                continue
-            hv = np.array([hash_str64(tok) for tok in toks], dtype=np.uint64)
-            bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
-            acc = (2 * bits - 1).sum(axis=0)
-            out[i] = int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum().astype(np.int64))
-        return pd.Series(out)
+    Charikar sign-sum: bit j of the fingerprint is 1 iff
+    sum over distinct tokens of tf * (2*bit_j(base60(token)) - 1) > 0.
+    Entirely JVM expressions (explode → tf aggregate → 60 signed bit sums →
+    recombine) — no Python, and bit-exactly reproducible in the DuckDB
+    oracle."""
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    hashed = tf.select(F.col(id_col), F.col("c"), base60_expr("tok").alias("h"))
+    bit_sums = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.col("c") * (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    acc = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        acc = term if acc is None else acc + term
+    return bit_sums.select(F.col(id_col), acc.cast("long").alias("simhash"))
 
-    return docs.select(F.col(id_col), sim_udf(F.col(text_col)).alias("simhash"))
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance <= ``max_hamming``.
+
+    Pigeonhole banding (the standard simhash join): split the 60 bits into
+    ``max_hamming + 1`` chunks — any pair within the distance budget must
+    agree EXACTLY on at least one chunk — join on (chunk index, chunk value),
+    then verify with bit_count(a XOR b).  Shuffle keys are bounded chunk
+    values; no all-pairs comparison ever happens."""
+    n_chunks = max_hamming + 1
+    if SIMHASH_BITS % n_chunks:
+        raise ValueError(
+            f"max_hamming+1 must divide {SIMHASH_BITS} for exact pigeonhole "
+            f"banding (got {max_hamming})"
+        )
+    width = SIMHASH_BITS // n_chunks
+    sh = simhash(docs, id_col, text_col)
+    chunks = sh.select(
+        F.col(id_col), F.col("simhash"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {n_chunks - 1}), "
+                f"i -> shiftright(simhash, i*{width}) & {(1 << width) - 1})"
+            )
+        ).alias("chunk_i", "chunk_v"),
+    )
+    a = chunks.select(F.col(id_col).alias("a"), F.col("simhash").alias("sh_a"),
+                      "chunk_i", "chunk_v")
+    b = chunks.select(F.col(id_col).alias("b"), F.col("simhash").alias("sh_b"),
+                      "chunk_i", "chunk_v")
+    return (
+        a.join(b, ["chunk_i", "chunk_v"])
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
 
 
 # ---------------------------------------------------------- text analysis

@@ -56,6 +56,23 @@ def test_simhash_near_dups_closer(docs_df):
     assert ham(sh[0], sh[2]) < ham(sh[0], sh[3])
 
 
+def test_simhash_pairs_pigeonhole_exact(docs_df):
+    # identical docs are hamming-0 pairs; the banded join must find exactly
+    # the pairs a brute-force hamming check finds
+    sh = {r["doc_id"]: r["simhash"] for r in textops.simhash(docs_df).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    want = {
+        (i, j, ham(sh[i], sh[j]))
+        for i in sh for j in sh if i < j and ham(sh[i], sh[j]) <= 3
+    }
+    got = {
+        (r["a"], r["b"], r["hamming"])
+        for r in textops.simhash_pairs(docs_df, max_hamming=3).collect()
+    }
+    assert got == want
+    assert (0, 1, 0) in got
+
+
 def test_token_stats_and_quality_and_langid(docs_df):
     st = {r["doc_id"]: r for r in textops.token_stats(docs_df).collect()}
     assert st[0]["n_tokens"] == 6 and st[0]["n_stop"] == 3 and st[0]["n_distinct"] == 5
