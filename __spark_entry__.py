@@ -529,15 +529,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = ann.brute_force_topk(emb, qvec, k=10)
         return out.select("vec_id", F.floor(F.col("cosine") * 1e6).cast("long").alias("cosine_q"))
 
-    def ann_ivf(spark, sf):  # approximate (IVF coarse quantizer): rows-only
+    def ann_ivf(spark, sf):
+        # IVF coarse quantizer with deterministic sample-init centroids
+        # (iters=0): assignment + probe shortlist + re-rank are all
+        # replicated exactly by the DuckDB twin
         emb = _emb(spark, sf)
         qvec = np.array(
             emb.filter("vec_id = 0").select("embedding").collect()[0][0], dtype=np.float64
         )
-        out = ann.ivf_topk(emb, qvec, k=10, n_centroids=8, nprobe=3)
+        out = ann.ivf_topk(emb, qvec, k=10, n_centroids=8, nprobe=3, iters=0)
         return out.select("vec_id", F.floor(F.col("cosine") * 1e6).cast("long").alias("cosine_q"))
 
-    def ann_lsh(spark, sf):  # approximate: rows-only check
+    def ann_ivf_indexed(spark, sf):
+        # materialized IVF: build once (cluster-partitioned parquet), probe
+        # twice via partition-pruned scans; the two probes must agree and
+        # match the same deterministic oracle as ann_ivf
+        import shutil
+        import tempfile
+
+        emb = _emb(spark, sf)
+        qvec = np.array(
+            emb.filter("vec_id = 0").select("embedding").collect()[0][0], dtype=np.float64
+        )
+        tmp = tempfile.mkdtemp(prefix="ls_ivf_")
+        try:
+            ann.write_ivf_index(emb, tmp, n_centroids=8, iters=0)
+            r1 = ann.ivf_topk_indexed(spark, tmp, qvec, k=10, nprobe=3).collect()
+            r2 = ann.ivf_topk_indexed(spark, tmp, qvec, k=10, nprobe=3).collect()
+            assert [x["vec_id"] for x in r1] == [x["vec_id"] for x in r2]
+            rows = [(int(r["vec_id"]), int(math.floor(r["cosine"] * 1e6))) for r in r1]
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return spark.createDataFrame(rows or [], "vec_id long, cosine_q long")
+
+    def ann_lsh(spark, sf):
+        # deterministic Rademacher planes -> bucket assignment, multiprobe
+        # and re-rank all have an exact DuckDB twin
         emb = _emb(spark, sf)
         qvec = np.array(
             emb.filter("vec_id = 0").select("embedding").collect()[0][0], dtype=np.float64
@@ -569,7 +596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_exact, text_fingerprint, dedup_jaccard,
         dedup_minhash_lsh, dedup_simhash, dedup_simhash_pairs,
         text_token_count, text_quality, text_langid,
-        ann_bruteforce, emb_label_stats, ann_ivf, ann_lsh,
+        ann_bruteforce, emb_label_stats, ann_ivf, ann_ivf_indexed, ann_lsh,
     ]:
         q[fn.__name__] = fn
     return q
@@ -690,6 +717,71 @@ SELECT a, b, hamming FROM (
     ON x.chunk_i = y.chunk_i AND x.chunk_v = y.chunk_v AND x.doc_id < y.doc_id
 ) WHERE hamming <= {max_hamming}"""
     )
+
+
+def _ivf_oracle_sql(n_centroids: int = 8, nprobe: int = 3, k: int = 10) -> str:
+    """DuckDB twin of ann.ivf_topk(iters=0) / ivf_topk_indexed: centroids =
+    first n vectors by id (deterministic sample init), nearest-centroid
+    assignment, probe shortlist, exact cosine re-rank."""
+    return f"""
+WITH c AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         CAST(embedding AS DOUBLE[]) AS cv
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {n_centroids})
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+asg AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv) DESC, c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT cid FROM c CROSS JOIN q
+  ORDER BY list_dot_product(cv, qv) DESC, cid LIMIT {nprobe}
+)
+SELECT e.vec_id,
+       CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) * 1e6) AS BIGINT) AS cosine_q
+FROM embeddings e JOIN asg USING (vec_id) CROSS JOIN q
+WHERE asg.cluster IN (SELECT cid FROM probes)
+ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC, e.vec_id
+LIMIT {k}"""
+
+
+def _lsh_oracle_sql(n_planes: int = 10, dim: int = 64, seed: int = 5, k: int = 10) -> str:
+    """DuckDB twin of ann.lsh_topk with deterministic Rademacher planes:
+    identical plane literals, sign-bucket assignment, hamming<=1 multiprobe,
+    exact cosine re-rank."""
+    planes = ann.rademacher_planes(n_planes, dim, seed)
+
+    def lit(p):
+        return "[" + ",".join(f"{x:.1f}" for x in p) + "]"
+
+    def bucket_expr(vec):
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({vec}, {lit(p)}) >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+
+    probe_set = ", ".join(str(x) for x in [0] + [1 << i for i in range(n_planes)])
+    return f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+qb AS (SELECT {bucket_expr('qv')} AS bucket FROM q),
+b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+         {bucket_expr('CAST(embedding AS DOUBLE[])')} AS bucket
+  FROM embeddings
+)
+SELECT vec_id,
+       CAST(floor(list_cosine_similarity(ev, q.qv) * 1e6) AS BIGINT) AS cosine_q
+FROM b CROSS JOIN q CROSS JOIN qb
+WHERE xor(b.bucket, qb.bucket) IN ({probe_set})
+ORDER BY list_cosine_similarity(ev, q.qv) DESC, vec_id
+LIMIT {k}"""
 
 
 def _norm_bounds_sql() -> str:
@@ -1012,6 +1104,9 @@ WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id
 SELECT e.vec_id, CAST(floor({cos} * 1e6) AS BIGINT) AS cosine_q
 FROM embeddings e CROSS JOIN q
 ORDER BY {cos} DESC, e.vec_id LIMIT 10""",
+        "ann_ivf": _ivf_oracle_sql(n_centroids=8, nprobe=3, k=10),
+        "ann_ivf_indexed": _ivf_oracle_sql(n_centroids=8, nprobe=3, k=10),
+        "ann_lsh": _lsh_oracle_sql(n_planes=10, dim=64, seed=5, k=10),
         "emb_label_stats": """
 SELECT label, CAST(count(*) AS BIGINT) AS n,
        CAST(floor(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))) * 1e4) AS BIGINT) AS avg_norm_q

@@ -47,6 +47,21 @@ def brute_force_topk(
     )
 
 
+def rademacher_planes(n_planes: int, dim: int, seed: int = 5) -> np.ndarray:
+    """Deterministic ±1 (Rademacher) projection planes derived from md5 —
+    sign-LSH needs only random signs (Charikar hyperplane rounding works for
+    any symmetric distribution), and an md5 derivation is reproducible
+    bit-exactly by the SQL oracle, unlike a Mersenne-Twister draw."""
+    import hashlib
+
+    out = np.empty((n_planes, dim), dtype=np.float64)
+    for i in range(n_planes):
+        for j in range(dim):
+            h = hashlib.md5(f"{seed}:{i}:{j}".encode()).digest()
+            out[i, j] = 1.0 if (h[0] & 1) else -1.0
+    return out
+
+
 def hyperplane_buckets(
     embeddings: DataFrame,
     n_planes: int = 12,
@@ -54,10 +69,15 @@ def hyperplane_buckets(
     seed: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes: np.ndarray | None = None,
 ) -> DataFrame:
-    """Random-hyperplane LSH bucket per vector (sign bit per plane)."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
+    """Hyperplane-LSH bucket per vector (sign bit per plane).
+
+    Default planes are deterministic Rademacher (:func:`rademacher_planes`);
+    dots are sequential-fold JVM expressions so DuckDB replicates the bucket
+    assignment bit-exactly."""
+    if planes is None:
+        planes = rademacher_planes(n_planes, dim, seed)
     terms = []
     for i, p in enumerate(planes):
         lit = _vec_literal(p)
@@ -172,6 +192,19 @@ def ivf_topk(
     return brute_force_topk(cand, qv, k, id_col, vec_col)
 
 
+def _probe_buckets(
+    planes: np.ndarray, query_vec: np.ndarray, multiprobe_hamming: int
+) -> list[int]:
+    qv = np.asarray(query_vec, dtype=np.float64)
+    # math.fsum-free sequential fold mirrors the engine/oracle arithmetic;
+    # plane dots are far from 0 for real vectors so rounding mode is moot
+    qbucket = int(sum((1 << i) for i, p in enumerate(planes) if float(p @ qv) >= 0))
+    probes = [qbucket]
+    if multiprobe_hamming >= 1:
+        probes += [qbucket ^ (1 << i) for i in range(len(planes))]
+    return probes
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_vec: np.ndarray,
@@ -182,17 +215,107 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multiprobe_hamming: int = 1,
+    planes: np.ndarray | None = None,
 ) -> DataFrame:
     """ANN top-k: restrict to buckets within ``multiprobe_hamming`` bit flips
-    of the query's bucket, then exact cosine re-rank.  At 100 TB the bucketed
-    table is written partitioned by bucket → partition-pruned scans."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
+    of the query's bucket, then exact cosine re-rank.  One-shot form — the
+    scale path is :func:`write_lsh_index` + :func:`lsh_topk_indexed`
+    (bucket-partitioned parquet, partition-pruned probes)."""
+    if planes is None:
+        planes = rademacher_planes(n_planes, dim, seed)
     qv = np.asarray(query_vec, dtype=np.float64)
-    qbucket = int(sum((1 << i) for i, p in enumerate(planes) if float(p @ qv) >= 0))
-    probes = [qbucket]
-    if multiprobe_hamming >= 1:
-        probes += [qbucket ^ (1 << i) for i in range(n_planes)]
-    bucketed = hyperplane_buckets(embeddings, n_planes, dim, seed, id_col, vec_col)
+    probes = _probe_buckets(planes, qv, multiprobe_hamming)
+    bucketed = hyperplane_buckets(embeddings, n_planes, dim, seed, id_col, vec_col, planes)
     cand = bucketed.filter(F.col("bucket").isin(probes))
+    return brute_force_topk(cand, qv, k, id_col, vec_col)
+
+
+# ------------------------------------------------- materialized ANN indexes
+#
+# The 100 TB contract: bucketing/assignment runs ONCE at build time and is
+# written partitionBy(cluster|bucket); every query is then a partition-pruned
+# scan of nprobe/n_centroids (or (1+planes)/2^planes) of the corpus plus a
+# TakeOrderedAndProject re-rank.  No per-query re-assignment of the corpus.
+
+
+def write_ivf_index(
+    embeddings: DataFrame,
+    out_dir: str,
+    n_centroids: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> np.ndarray:
+    """Train (deterministic) + assign + write cluster-partitioned parquet.
+    Returns the centroids (also persisted alongside the data)."""
+    spark = embeddings.sparkSession
+    if centroids is None:
+        centroids = ivf_train(embeddings, n_centroids, iters, id_col, vec_col)
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(f"{out_dir}/vectors")
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cluster int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{out_dir}/centroids")
+    return centroids
+
+
+def read_ivf_centroids(spark, out_dir: str) -> np.ndarray:
+    rows = spark.read.parquet(f"{out_dir}/centroids").orderBy("cluster").collect()
+    return np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in rows])
+
+
+def ivf_topk_indexed(
+    spark,
+    out_dir: str,
+    query_vec: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a materialized IVF index: centroid shortlist on the driver
+    (tiny), then a cluster-partition-pruned scan + exact re-rank.  The plan
+    must show PartitionFilters on ``cluster`` — asserted by the test suite."""
+    centroids = read_ivf_centroids(spark, out_dir)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    order = np.argsort(-(centroids @ qv), kind="stable")[:nprobe]
+    vectors = spark.read.parquet(f"{out_dir}/vectors")
+    cand = vectors.filter(F.col("cluster").isin([int(c) for c in order]))
+    return brute_force_topk(cand, qv, k, id_col, vec_col)
+
+
+def write_lsh_index(
+    embeddings: DataFrame,
+    out_dir: str,
+    n_planes: int = 12,
+    dim: int = 64,
+    seed: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Bucket + write bucket-partitioned parquet; returns the planes."""
+    planes = rademacher_planes(n_planes, dim, seed)
+    bucketed = hyperplane_buckets(embeddings, n_planes, dim, seed, id_col, vec_col, planes)
+    bucketed.write.mode("overwrite").partitionBy("bucket").parquet(f"{out_dir}/vectors")
+    return planes
+
+
+def lsh_topk_indexed(
+    spark,
+    out_dir: str,
+    planes: np.ndarray,
+    query_vec: np.ndarray,
+    k: int = 10,
+    multiprobe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a materialized LSH index: bucket shortlist on the driver, then a
+    bucket-partition-pruned scan + exact re-rank."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    probes = _probe_buckets(planes, qv, multiprobe_hamming)
+    vectors = spark.read.parquet(f"{out_dir}/vectors")
+    cand = vectors.filter(F.col("bucket").isin(probes))
     return brute_force_topk(cand, qv, k, id_col, vec_col)

@@ -132,6 +132,31 @@ def test_ivf_topk_recovers_cluster(emb_df):
     assert [r["vec_id"] for r in got_all] == [r["vec_id"] for r in want]
 
 
+def test_materialized_ivf_partition_pruned(tmp_path, spark, emb_df):
+    out = str(tmp_path / "ivf")
+    q = np.asarray(emb_df.toPandas()["embedding"][0], dtype=np.float64)
+    ann.write_ivf_index(emb_df, out, n_centroids=4, iters=0)
+    got = ann.ivf_topk_indexed(spark, out, q, k=5, nprobe=2)
+    # the probe must be a cluster-partition-pruned scan, not a full read
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+    # indexed probe == one-shot probe with the same deterministic quantizer
+    want = ann.ivf_topk(emb_df, q, k=5, n_centroids=4, nprobe=2, iters=0).collect()
+    assert [r["vec_id"] for r in got.collect()] == [r["vec_id"] for r in want]
+
+
+def test_materialized_lsh_matches_oneshot(tmp_path, spark, emb_df):
+    out = str(tmp_path / "lsh")
+    q = np.asarray(emb_df.toPandas()["embedding"][0], dtype=np.float64)
+    planes = ann.write_lsh_index(emb_df, out, n_planes=8, dim=16)
+    got = ann.lsh_topk_indexed(spark, out, planes, q, k=5).collect()
+    want = ann.lsh_topk(emb_df, q, k=5, n_planes=8, dim=16).collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in want]
+    plan_df = ann.lsh_topk_indexed(spark, out, planes, q, k=5)
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+
 def test_ivf_train_deterministic(emb_df):
     c1 = ann.ivf_train(emb_df, n_centroids=4, iters=2)
     c2 = ann.ivf_train(emb_df, n_centroids=4, iters=2)
