@@ -476,7 +476,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return spark.createDataFrame(rows or [], "doc_id long, score_q long")
 
-    def ft_highlight(spark, sf):  # UnifiedHighlighter analog: rows-only check
+    def ft_highlight(spark, sf):
+        # UnifiedHighlighter analog — deterministic passage chooser (best
+        # 8-token window by hit count, earliest tie) with an exact SQL twin
         idx = _ft_index(spark, sf)
         td = search(idx, "dup", k=10, precision="float64", prune=True)
         hits = spark.createDataFrame(
@@ -1046,6 +1048,40 @@ topk AS (SELECT doc_id FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10)
 SELECT d.lang AS label, CAST(count(*) AS BIGINT) AS votes
 FROM topk t JOIN documents d USING (doc_id)
 GROUP BY d.lang ORDER BY votes DESC, label LIMIT 1""",
+        # golden-snippet twin of highlight.highlight(window=8) over the
+        # top-10 'dup' hits: same window scorer (hit count desc, start asc),
+        # same **term** marking
+        "ft_highlight": _FT_PRELUDE + "," + _score_sql(["dup"]) + """,
+hits AS (SELECT doc_id FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10),
+tokd AS (SELECT d.doc_id, string_split(d.text, ' ') AS toks
+         FROM documents d JOIN hits USING (doc_id)),
+hitpos AS (
+  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS p, unnest(toks) AS t
+  FROM tokd
+),
+hp AS (SELECT doc_id, p FROM hitpos WHERE lower(t) = 'dup'),
+wins AS (
+  SELECT doc_id, CAST(s AS BIGINT) AS s
+  FROM tokd, unnest(range(0, greatest(1, len(toks) - 7))) AS u(s)
+),
+scored AS (
+  SELECT w.doc_id, w.s, count(h.p) AS n
+  FROM wins w LEFT JOIN hp h ON h.doc_id = w.doc_id AND h.p >= w.s AND h.p < w.s + 8
+  GROUP BY w.doc_id, w.s
+),
+best AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s, n,
+           row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, s ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1 AND n >= 1
+)
+SELECT t.doc_id,
+       array_to_string(
+         list_transform(t.toks[CAST(b.s + 1 AS BIGINT) : CAST(b.s + 8 AS BIGINT)],
+                        x -> CASE WHEN lower(x) = 'dup' THEN '**' || x || '**' ELSE x END),
+         ' ') AS snippet
+FROM tokd t JOIN best b USING (doc_id)""",
         "dedup_exact": """
 SELECT md5(text) AS fingerprint, CAST(count(*) AS BIGINT) AS n_dups,
        min(doc_id) AS canonical_id
