@@ -331,10 +331,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def ft_fuzzy(spark, sf):
+        # FuzzyQuery with transpositions=false (plain Levenshtein — the
+        # FuzzyQuery.java:177 non-default option); the default
+        # transpositions=true path is gated by ft_qp_fuzzy
         idx = _ft_index(spark, sf)
-        return match_any_docs(idx, expand_terms(idx, fuzzy=("kay", 1))).select(
-            F.col("docid").alias("doc_id")
-        )
+        return match_any_docs(
+            idx, expand_terms(idx, fuzzy=("kay", 1), transpositions=False)
+        ).select(F.col("docid").alias("doc_id"))
 
     def ft_term_range(spark, sf):
         idx = _ft_index(spark, sf)
@@ -347,6 +350,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return match_any_docs(idx, ["dup", "vector", "window"]).select(
             F.col("docid").alias("doc_id")
         )
+
+    # --- classic query-parser string syntax (QueryParser.jj subset) ---
+    def ft_qp_boost(spark, sf):
+        # `key^2 window` — boost through the STRING syntax (BoostQuery via
+        # QueryParserBase handleBoost); same oracle as the API-level ft_boost
+        return _topk_df(spark, sf, "key^2 window", 10)
+
+    def ft_qp_fuzzy(spark, sf):
+        # `kye~1` — Damerau fuzzy (transpositions=true, FuzzyQuery.java:177)
+        # blended-rewritten to a synonym over the expanded terms; 'key' is
+        # one TRANSPOSITION from 'kye' so plain Levenshtein would miss it
+        return _topk_df(spark, sf, "kye~1", 10)
+
+    def ft_qp_range(spark, sf):
+        # `[v TO w]` — TermRangeQuery through the string syntax with the
+        # CONSTANT_SCORE rewrite: every matching doc scores exactly 1.0
+        return _topk_df(spark, sf, "[v TO w]", 50)
+
+    def ft_qp_complex(spark, sf):
+        # `"table hash" AND dup` — phrase kept intact inside a MUST clause
+        # (generalized conjunction over arbitrary sub-scorers)
+        return _topk_df(spark, sf, '"table hash" AND dup', 10)
 
     # --- scoring-operator variants ---
     def ft_dismax(spark, sf):
@@ -591,7 +616,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_paging, ft_count,
         ft_prefix_match, ft_facet_lang, ft_phrase, ft_phrase_gap, ft_phrase_sloppy,
         ft_wildcard,
-        ft_fuzzy, ft_term_range, ft_term_in_set, ft_dismax, ft_msm, ft_boost,
+        ft_fuzzy, ft_term_range, ft_term_in_set,
+        ft_qp_boost, ft_qp_fuzzy, ft_qp_range, ft_qp_complex,
+        ft_dismax, ft_msm, ft_boost,
         ft_synonym, ft_sort_field, ft_group_top, ft_facet_range,
         ft_suggest, ft_query_join, ft_monitor, ft_knn_classify, ft_highlight,
         ft_explain, ft_mlt,
@@ -795,7 +822,7 @@ def oracle_sql() -> dict[str, str]:
     cos = (
         "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)"
     )
-    return {
+    d = {
         "ft_token_stats": _FT_PRELUDE + "SELECT doc_id, dl FROM dl",
         "ft_norms": _FT_PRELUDE + f"""
 SELECT dl.doc_id, dl.dl,
@@ -1148,3 +1175,65 @@ SELECT label, CAST(count(*) AS BIGINT) AS n,
        CAST(floor(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))) * 1e4) AS BIGINT) AS avg_norm_q
 FROM embeddings GROUP BY label""",
     }
+    # `key^2 window` through the parser is score-identical to the API boost
+    d["ft_qp_boost"] = d["ft_boost"]
+    # `kye~1` (Damerau, transpositions): blended synonym over the expanded
+    # set — df = max over members, freqs summed (SynonymQuery semantics)
+    d["ft_qp_fuzzy"] = _FT_PRELUDE + """,
+fz AS (SELECT term FROM df WHERE damerau_levenshtein(term, 'kye') <= 1),
+syn AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tf FROM tf
+  WHERE term IN (SELECT term FROM fz) GROUP BY doc_id
+),
+dfm AS (SELECT max(df) AS df FROM df WHERE term IN (SELECT term FROM fz)),
+sc AS (
+  SELECT syn.doc_id,
+         ln(1 + (s.n - dfm.df + 0.5) / (dfm.df + 0.5)) AS w,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (s.sttf / s.n))) AS inv,
+         syn.tf AS tf
+  FROM syn JOIN dl USING (doc_id) CROSS JOIN dfm CROSS JOIN stats s
+)
+SELECT doc_id, CAST(floor((w - w / (1.0 + tf * inv)) * 10000) AS BIGINT) AS score_q
+FROM sc ORDER BY (w - w / (1.0 + tf * inv)) DESC, doc_id LIMIT 10"""
+    # `[v TO w]`: CONSTANT_SCORE rewrite — matching docs score exactly 1.0
+    d["ft_qp_range"] = _FT_PRELUDE + """
+SELECT doc_id, CAST(10000 AS BIGINT) AS score_q FROM (
+  SELECT DISTINCT doc_id FROM ftok WHERE term >= 'v' AND term <= 'w'
+) ORDER BY doc_id LIMIT 50"""
+    # `"table hash" AND dup`: exact-phrase score + term score over the
+    # intersection of both match sets
+    d["ft_qp_complex"] = _FT_PRELUDE + """,
+pos AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS p
+  FROM documents
+),
+pm AS (
+  SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS pf
+  FROM pos p0
+  JOIN pos p1 ON p1.doc_id = p0.doc_id AND p1.p = p0.p + 1 AND p1.w = 'hash'
+  WHERE p0.w = 'table' GROUP BY p0.doc_id
+),
+psc AS (
+  SELECT pm.doc_id,
+         ((SELECT ln(1 + (s.n - dd.df + 0.5) / (dd.df + 0.5)) FROM df dd CROSS JOIN stats s WHERE dd.term = 'table')
+          + (SELECT ln(1 + (s.n - dd.df + 0.5) / (dd.df + 0.5)) FROM df dd CROSS JOIN stats s WHERE dd.term = 'hash')) AS w,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (s.sttf / s.n))) AS inv,
+         pm.pf AS pf
+  FROM pm JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+tsc AS (
+  SELECT tf.doc_id,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) AS w,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (s.sttf / s.n))) AS inv,
+         tf.tf AS tf
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term = 'dup'
+)
+SELECT p.doc_id,
+       CAST(floor(((p.w - p.w / (1.0 + p.pf * p.inv))
+                   + (t.w - t.w / (1.0 + t.tf * t.inv))) * 10000) AS BIGINT) AS score_q
+FROM psc p JOIN tsc t USING (doc_id)
+ORDER BY ((p.w - p.w / (1.0 + p.pf * p.inv))
+          + (t.w - t.w / (1.0 + t.tf * t.inv))) DESC, p.doc_id LIMIT 10"""
+    return d

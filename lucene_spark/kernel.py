@@ -100,10 +100,28 @@ class TermPostings:
         return firsts, lasts
 
 
+def _ranges(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Concatenate [starts[i], starts[i]+counts[i]) index ranges, vectorized."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = np.cumsum(counts)
+    return (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(ends - counts, counts)
+        + np.repeat(starts, counts)
+    )
+
+
 def window_max_scores(
     tp: TermPostings, scorer: BM25Scorer, n_windows: int, window_bits: int
 ) -> np.ndarray:
-    """Max possible score of the term per docID window (0 where term absent)."""
+    """Max possible score of the term per docID window (0 where term absent).
+
+    Vectorized block→window painting: each block overlaps windows
+    [w0, w1]; the (block, window) incidence expands with repeat/arange and a
+    single np.maximum.at — no per-block Python loop (a head term in a 1M-doc
+    segment has ~7,800 blocks)."""
     out = np.zeros(n_windows, dtype=np.float64)
     ntotal = tp.nblocks + (1 if tp.n_tail else 0)
     if ntotal == 0:
@@ -112,8 +130,8 @@ def window_max_scores(
     firsts, lasts = tp.block_ranges()
     w0 = firsts >> window_bits
     w1 = lasts >> window_bits
-    for bi in range(ntotal):
-        out[w0[bi] : w1[bi] + 1] = np.maximum(out[w0[bi] : w1[bi] + 1], bmax[bi])
+    idx = _ranges(w0, w1 - w0 + 1)
+    np.maximum.at(out, idx, np.repeat(bmax[:ntotal], w1 - w0 + 1))
     return out
 
 
@@ -130,12 +148,19 @@ def score_intersection(
     scorers: list[BM25Scorer],
     precision: str,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Exhaustive AND (leapfrog analog, vectorized set intersection)."""
+    """Exhaustive AND (leapfrog analog, vectorized set intersection).
+
+    Intersection is driven rarest-first (SURVEY §4 / Lucene's
+    ConjunctionUtils cost ordering: the scorer with the lowest cost leads the
+    leapfrog) — the candidate set collapses to <= min(df) immediately, so a
+    head term never gets scanned as the driver.  Scoring still accumulates
+    in QUERY CLAUSE ORDER (the float-sum contract is order-sensitive)."""
     if not term_lists:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-    common = term_lists[0][0]
-    for docids, _, _ in term_lists[1:]:
-        common = common[np.isin(common, docids, assume_unique=True)]
+    by_cost = sorted(range(len(term_lists)), key=lambda i: len(term_lists[i][0]))
+    common = term_lists[by_cost[0]][0]
+    for i in by_cost[1:]:
+        common = common[np.isin(common, term_lists[i][0], assume_unique=True)]
         if len(common) == 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
     acc = np.zeros(len(common), dtype=np.float64)
@@ -331,6 +356,69 @@ def score_query_node(node, postings_by_term, scorers_by_term, precision, pos_by_
         docids, freqs, dls = postings_by_term[t]
         s = scorers_by_term[t].score_from_dl(freqs, dls).astype(np.float64)
         return docids, s
+    if kind == "const":
+        # ConstantScoreQuery / CONSTANT_SCORE MultiTermQuery rewrite
+        # (search/ConstantScoreQuery.java:33): every matching doc scores the
+        # query weight, frequency-independent.
+        terms, w = node[1], node[2]
+        present = [t for t in terms if t in postings_by_term]
+        if not present:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        docs = np.unique(np.concatenate([postings_by_term[t][0] for t in present]))
+        wv = float(np.float32(w)) if precision == "lucene" else float(w)
+        return docs, np.full(len(docs), wv, dtype=np.float64)
+    if kind == "andn":
+        # ConjunctionScorer over arbitrary sub-scorers
+        # (search/ConjunctionScorer.java:59-65: sub scores summed, float cast)
+        subs = [
+            score_query_node(c, postings_by_term, scorers_by_term, precision, pos_by_term)
+            for c in node[1]
+        ]
+        if any(len(d) == 0 for d, _ in subs):
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        common = subs[0][0]
+        for d, _ in subs[1:]:
+            common = common[np.isin(common, d, assume_unique=True)]
+            if len(common) == 0:
+                return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        acc = np.zeros(len(common), dtype=np.float64)
+        for d, s in subs:
+            acc += s[np.searchsorted(d, common)]
+        if precision == "lucene":
+            acc = acc.astype(np.float32).astype(np.float64)
+        return common, acc
+    if kind == "reqoptn":
+        # ReqOptSumScorer with arbitrary optional sub-scorers
+        d, s = score_query_node(node[1], postings_by_term, scorers_by_term,
+                                precision, pos_by_term)
+        if len(d) == 0:
+            return d, s
+        acc = s.copy()
+        for c in node[2]:
+            od, os_ = score_query_node(c, postings_by_term, scorers_by_term,
+                                       precision, pos_by_term)
+            if len(od) == 0:
+                continue
+            pos = np.searchsorted(od, d)
+            pos_c = np.clip(pos, 0, len(od) - 1)
+            hit = (pos < len(od)) & (od[pos_c] == d)
+            if hit.any():
+                acc[hit] += os_[pos_c[hit]]
+        if precision == "lucene":
+            acc = acc.astype(np.float32).astype(np.float64)
+        return d, acc
+    if kind == "notn":
+        # ReqExclScorer with arbitrary excluded sub-queries
+        d, s = score_query_node(node[1], postings_by_term, scorers_by_term,
+                                precision, pos_by_term)
+        for c in node[2]:
+            if len(d) == 0:
+                break
+            nd = match_docids(c, postings_by_term, pos_by_term)
+            if len(nd):
+                mask = ~np.isin(d, nd, assume_unique=True)
+                d, s = d[mask], s[mask]
+        return d, s
     if kind == "and":
         terms = node[1]
         if any(t not in postings_by_term for t in terms):
@@ -394,8 +482,35 @@ def match_docids(node, postings_by_term, pos_by_term=None) -> np.ndarray:
             if t in postings_by_term and len(d):
                 d = d[~np.isin(d, postings_by_term[t][0], assume_unique=True)]
         return d
-    if kind == "reqopt":
+    if kind == "andn":
+        subs = [match_docids(c, postings_by_term, pos_by_term) for c in node[1]]
+        if any(len(d) == 0 for d in subs):
+            return np.empty(0, dtype=np.int64)
+        subs.sort(key=len)
+        common = subs[0]
+        for d in subs[1:]:
+            common = common[np.isin(common, d, assume_unique=True)]
+            if len(common) == 0:
+                break
+        return common
+    if kind == "notn":
+        d = match_docids(node[1], postings_by_term, pos_by_term)
+        for c in node[2]:
+            if len(d) == 0:
+                break
+            nd = match_docids(c, postings_by_term, pos_by_term)
+            if len(nd):
+                d = d[~np.isin(d, nd, assume_unique=True)]
+        return d
+    if kind in ("reqopt", "reqoptn"):
         # optional clauses don't gate matching — ReqOptSumScorer matches = req
+        return match_docids(node[1], postings_by_term, pos_by_term)
+    if kind == "const":
+        present = [t for t in node[1] if t in postings_by_term]
+        if not present:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate([postings_by_term[t][0] for t in present]))
+    if kind == "boost":
         return match_docids(node[1], postings_by_term, pos_by_term)
     if kind in ("syn",):
         present = [t for t in node[1] if t in postings_by_term]
@@ -501,6 +616,36 @@ def segment_topk(
                 present &= wms > 0
             acc[~present] = 0.0
             return acc
+        if kind_ == "andn":
+            # BlockMaxConjunction over sub-clauses: summed bounds, zeroed
+            # where any sub-clause provably has no match in the window
+            acc = np.zeros(n_windows, dtype=np.float64)
+            present = np.ones(n_windows, dtype=bool)
+            for c in n_[1]:
+                wms = node_ub(c)
+                acc += wms
+                present &= wms > 0
+            acc[~present] = 0.0
+            return acc
+        if kind_ == "notn":
+            return node_ub(n_[1])
+        if kind_ == "reqoptn":
+            req_ub = node_ub(n_[1])
+            acc = req_ub.copy()
+            for c in n_[2]:
+                acc += node_ub(c)
+            acc[req_ub <= 0] = 0.0
+            return acc
+        if kind_ == "const":
+            # matching docs score exactly w — w is the window bound wherever
+            # any member term has postings
+            present = np.zeros(n_windows, dtype=bool)
+            for t in n_[1]:
+                if t in tps:
+                    present |= node_ub(("term", t)) > 0
+            acc = np.zeros(n_windows, dtype=np.float64)
+            acc[present] = float(n_[2])
+            return acc
         if kind_ == "phrase":
             # valid bound: phraseFreq <= tf of every member, and score is
             # monotone in freq — min over members of the member frontier
@@ -563,6 +708,13 @@ def segment_topk(
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
     ub = node_ub(node)
 
+    # pre-bin postings by window ONCE; batches then slice instead of rescan
+    binned = {
+        t: _WinBinned(d, f, dl, (pos_by_term or {}).get(t), window_bits)
+        for t, (d, f, dl) in postings_by_term.items()
+    }
+    has_pos = pos_by_term is not None
+
     # visit windows in descending upper-bound order; stop when bound <= kth
     order = np.argsort(-ub, kind="stable")
     top_docs = np.empty(0, dtype=np.int64)
@@ -590,14 +742,14 @@ def segment_topk(
         processed += 1
         if len(batch) >= 16 or processed == len(order):
             top_docs, top_scores, kth = _score_windows(
-                batch, window_bits, node, postings_by_term, scorers_by_term,
-                precision, top_docs, top_scores, k, pos_by_term,
+                batch, window_bits, node, binned, scorers_by_term,
+                precision, top_docs, top_scores, k, has_pos,
             )
             batch = []
     if batch:
         top_docs, top_scores, kth = _score_windows(
-            batch, window_bits, node, postings_by_term, scorers_by_term,
-            precision, top_docs, top_scores, k, pos_by_term,
+            batch, window_bits, node, binned, scorers_by_term,
+            precision, top_docs, top_scores, k, has_pos,
         )
     return top_docs, top_scores
 
@@ -609,7 +761,12 @@ def _phrase_member_terms(node) -> set[str]:
         return {t for t, _ in node[1]}
     if kind in ("not", "reqopt"):
         return _phrase_member_terms(node[1])
-    if kind in ("or", "dismax"):
+    if kind in ("reqoptn", "notn"):
+        out = _phrase_member_terms(node[1])
+        for c in node[2]:
+            out |= _phrase_member_terms(c)
+        return out
+    if kind in ("or", "dismax", "andn"):
         out: set[str] = set()
         for c in node[1]:
             out |= _phrase_member_terms(c)
@@ -617,20 +774,43 @@ def _phrase_member_terms(node) -> set[str]:
     return set()
 
 
+class _WinBinned:
+    """Postings pre-binned by window: slicing a window batch is
+    searchsorted on the (sorted) per-posting window ids + range gather —
+    O(batch + output) instead of an O(df) np.isin rescan per batch (the
+    round-1 q_or4_k100 hot spot: every 16-window batch rescanned each
+    term's full posting arrays)."""
+
+    def __init__(self, docids, freqs, dls, pos, window_bits):
+        self.d, self.f, self.dl, self.pos = docids, freqs, dls, pos
+        self.w = docids >> window_bits
+        if pos is not None:
+            self.pstart = np.cumsum(freqs) - freqs
+
+    def slice(self, windows_sorted: np.ndarray):
+        starts = np.searchsorted(self.w, windows_sorted, side="left")
+        ends = np.searchsorted(self.w, windows_sorted, side="right")
+        sel = _ranges(starts, ends - starts)
+        d, f, dl = self.d[sel], self.f[sel], self.dl[sel]
+        pos = None
+        if self.pos is not None:
+            pos = self.pos[_ranges(self.pstart[sel], f)] if len(sel) else \
+                self.pos[:0]
+        return (d, f, dl), pos
+
+
 def _score_windows(
-    windows, window_bits, node, postings_by_term, scorers_by_term,
-    precision, top_docs, top_scores, k, pos_by_term=None,
+    windows, window_bits, node, binned, scorers_by_term,
+    precision, top_docs, top_scores, k, has_pos,
 ):
     """Score the docs falling in the given windows; merge into running top-k."""
-    windows = np.asarray(windows, dtype=np.int64)
+    windows = np.sort(np.asarray(windows, dtype=np.int64))
     sub_postings = {}
-    sub_pos = {} if pos_by_term else None
-    for t, (docids, freqs, dls) in postings_by_term.items():
-        w = docids >> window_bits
-        mask = np.isin(w, windows)
-        sub_postings[t] = (docids[mask], freqs[mask], dls[mask])
-        if pos_by_term and t in pos_by_term:
-            sub_pos[t] = pos_by_term[t][np.repeat(mask, freqs)]
+    sub_pos = {} if has_pos else None
+    for t, wb in binned.items():
+        sub_postings[t], p = wb.slice(windows)
+        if p is not None:
+            sub_pos[t] = p
     d, s = score_query_node(node, sub_postings, scorers_by_term, precision, sub_pos)
     md = np.concatenate([top_docs, d])
     ms = np.concatenate([top_scores, s])

@@ -39,73 +39,252 @@ from .similarity import BM25Scorer, CollectionStats
 # --- query AST + parser ---------------------------------------------------------
 
 
-def parse_query(q: str) -> tuple:
-    """Parse the reference query-set syntax (benchmark/conf/query-terms.txt):
-    `a AND b`, `a b c` (bare terms = OR), `(a AND b) OR c` — one nesting level.
+_LEX_RE = re.compile(
+    r"""\s+
+      | (?P<lp>\() | (?P<rp>\))
+      | (?P<quoted>"[^"]*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?)
+      | (?P<rangei>\[[^\]]*?\s+TO\s+[^\]]*?\](?:\^\d+(?:\.\d+)?)?)
+      | (?P<rangee>\{[^}]*?\s+TO\s+[^}]*?\}(?:\^\d+(?:\.\d+)?)?)
+      | (?P<andop>AND\b|&&)
+      | (?P<orop>OR\b|\|\|)
+      | (?P<notop>NOT\b|!)
+      | (?P<plus>\+(?=\S))
+      | (?P<minus>-(?=\S))
+      | (?P<term>[^\s()"{}\[\]]+)
+    """,
+    re.VERBOSE,
+)
 
-    Returns ("or", [...]) / ("and", [...]) / ("term", t) nodes with RAW terms;
-    call :func:`rewrite` to analyze them.
-    """
-    q = q.strip()
-    # quoted phrase: `"exact phrase"` / `"sloppy phrase"~N` (classic
-    # QueryParser syntax, queryparser/.../classic/QueryParser.jj;
-    # PhraseQuery.java:71, slop at :89)
-    m_slop = re.fullmatch(r'"([^"]*)"~(\d+)', q)
-    if m_slop:
-        return ("phrase_raw", m_slop.group(1), int(m_slop.group(2)))
-    if q.startswith('"') and q.endswith('"') and '"' not in q[1:-1]:
-        return ("phrase_raw", q[1:-1])
-    # MUST_NOT: `<positive> NOT t1 NOT t2` (BooleanClause.Occur.MUST_NOT)
-    if re.search(r"\s+NOT\s+", q):
-        parts = re.split(r"\s+NOT\s+", q)
-        return ("not", parse_query(parts[0]), [t.strip() for t in parts[1:]])
-    # classic `+must should` syntax → ReqOptSumScorer (ReqOptSumScorer.java:30:
-    # required clause scores + optional clauses that also match)
-    toks = q.split()
-    if any(t.startswith("+") and len(t) > 1 for t in toks) and "(" not in q \
-            and not re.search(r"\s+(AND|OR)\s+", q):
-        req = [t[1:] for t in toks if t.startswith("+") and len(t) > 1]
-        opt = [t for t in toks if not t.startswith("+")]
-        return ("reqopt", ("and", req) if len(req) > 1 else ("term", req[0]), opt)
-    # split top-level OR (respecting parens)
-    parts = re.split(r"\s+OR\s+", q) if "(" not in q else _split_parens(q)
-    clauses = []
-    for part in parts:
-        part = part.strip()
-        if part.startswith("(") and part.endswith(")"):
-            part = part[1:-1].strip()
-        if (m := re.fullmatch(r'"([^"]*)"~(\d+)', part)):
-            clauses.append(("phrase_raw", m.group(1), int(m.group(2))))
-        elif part.startswith('"') and part.endswith('"'):
-            clauses.append(("phrase_raw", part[1:-1]))
-        elif re.search(r"\s+AND\s+", part):
-            terms = [t.strip() for t in re.split(r"\s+AND\s+", part) if t.strip()]
-            clauses.append(("and", terms) if len(terms) > 1 else ("term", terms[0]))
-        else:
-            for t in part.split():
-                clauses.append(("term", t))
-    if len(clauses) == 1:
-        return clauses[0]
-    return ("or", clauses)
+SHOULD, MUST, MUST_NOT = 0, 1, 2
 
 
-def _split_parens(q: str) -> list[str]:
-    parts, depth, cur = [], 0, []
-    i = 0
+def _lex(q: str) -> list[tuple[str, str]]:
+    out, i = [], 0
     while i < len(q):
-        if q[i] == "(":
-            depth += 1
-        elif q[i] == ")":
-            depth -= 1
-        if depth == 0 and q[i : i + 4] == " OR ":
-            parts.append("".join(cur))
-            cur = []
-            i += 4
+        m = _LEX_RE.match(q, i)
+        if m is None:  # stray ] } " etc. — treat the single char as a term
+            out.append(("term", q[i]))
+            i += 1
             continue
-        cur.append(q[i])
-        i += 1
-    parts.append("".join(cur))
-    return parts
+        i = m.end()
+        kind = m.lastgroup
+        if kind is not None:
+            out.append((kind, m.group()))
+    out.append(("eof", ""))
+    return out
+
+
+def _strip_suffixes(raw: str) -> tuple[str, float | None, int | None, bool]:
+    """term[~N][^F] (either order) → (base, boost, fuzzy_edits, had_tilde)."""
+    boost: float | None = None
+    edits: int | None = None
+    had_tilde = False
+    while True:
+        if (m := re.search(r"\^(\d+(?:\.\d+)?)$", raw)):
+            boost = float(m.group(1))
+            raw = raw[: m.start()]
+        elif (m := re.search(r"~(\d*)$", raw)):
+            had_tilde = True
+            edits = int(m.group(1)) if m.group(1) else 2  # FuzzyQuery default
+            raw = raw[: m.start()]
+        else:
+            return raw, boost, edits, had_tilde
+
+
+class _Parser:
+    """Classic-QueryParser subset as a real recursive-descent parser
+    (reference grammar: queryparser/.../classic/QueryParser.jj; clause-occur
+    bookkeeping per QueryParserBase.addClause):
+
+      - bare terms (implicit OR), AND/&&, OR/||, NOT/!, +must, -must_not
+      - arbitrary paren nesting
+      - "exact phrase", "sloppy phrase"~N, phrase^boost
+      - term^boost, fuzzy~N (default 2, transpositions), wild*card / wild?card
+      - [a TO b] inclusive / {a TO b} exclusive term ranges
+      - field:term / field:(...) — validated against the (single) indexed
+        field; other fields match nothing, like an unindexed Lucene field
+
+    Produces the engine AST; multi-term nodes stay *_raw until
+    :func:`expand_multiterm` rewrites them against a concrete index.
+    """
+
+    def __init__(self, q: str, default_field: str = "text"):
+        self.toks = _lex(q)
+        self.pos = 0
+        self.default_field = default_field
+
+    def peek(self):
+        return self.toks[self.pos]
+
+    def next(self):
+        t = self.toks[self.pos]
+        self.pos += 1
+        return t
+
+    def parse(self) -> tuple:
+        node = self._parse_level()
+        return node if node is not None else ("match_none",)
+
+    def _parse_level(self) -> tuple | None:
+        clauses: list[tuple[int, tuple]] = []
+        next_occur: int | None = None
+        pending_and = False
+        while True:
+            kind, text = self.peek()
+            if kind in ("eof", "rp"):
+                break
+            if kind == "andop":
+                self.next()
+                # promote the previous SHOULD clause to MUST (addClause)
+                if clauses and clauses[-1][0] == SHOULD:
+                    clauses[-1] = (MUST, clauses[-1][1])
+                pending_and = True
+                continue
+            if kind == "orop":
+                self.next()
+                pending_and = False
+                continue
+            if kind == "notop" or kind == "minus":
+                self.next()
+                next_occur = MUST_NOT
+                continue
+            if kind == "plus":
+                self.next()
+                next_occur = MUST
+                continue
+            atom = self._parse_atom()
+            if atom is None:
+                continue
+            occur = next_occur if next_occur is not None else (
+                MUST if pending_and else SHOULD
+            )
+            clauses.append((occur, atom))
+            next_occur = None
+            pending_and = False
+        return self._combine(clauses)
+
+    def _parse_atom(self) -> tuple | None:
+        kind, text = self.next()
+        if kind == "lp":
+            node = self._parse_level()
+            if self.peek()[0] == "rp":
+                self.next()
+            boost = self._paren_boost()
+            if node is not None and boost is not None:
+                node = ("boost", node, boost)
+            return node
+        if kind == "quoted":
+            return self._phrase_node(text)
+        if kind in ("rangei", "rangee"):
+            return self._range_node(text, inclusive=(kind == "rangei"))
+        if kind == "term":
+            return self._term_node(text)
+        return None
+
+    def _paren_boost(self) -> float | None:
+        # `(...)^2` — the boost rides the next token as a bare `^2` term
+        kind, text = self.peek()
+        if kind == "term" and re.fullmatch(r"\^\d+(\.\d+)?", text):
+            self.next()
+            return float(text[1:])
+        return None
+
+    def _phrase_node(self, text: str) -> tuple | None:
+        boost = None
+        if (m := re.search(r"\^(\d+(?:\.\d+)?)$", text)):
+            boost = float(m.group(1))
+            text = text[: m.start()]
+        slop = 0
+        if (m := re.search(r"~(\d+)$", text)):
+            slop = int(m.group(1))
+            text = text[: m.start()]
+        body = text[1:-1]
+        node = ("phrase_raw", body, slop) if slop else ("phrase_raw", body)
+        return ("boost", node, boost) if boost is not None else node
+
+    def _range_node(self, text: str, inclusive: bool) -> tuple:
+        boost = None
+        if (m := re.search(r"\^(\d+(?:\.\d+)?)$", text)):
+            boost = float(m.group(1))
+            text = text[: m.start()]
+        lo, hi = re.match(r"[\[{](.*?)\s+TO\s+(.*?)[\]}]$", text).groups()
+        lo = None if lo.strip() in ("*", "") else lo.strip().lower()
+        hi = None if hi.strip() in ("*", "") else hi.strip().lower()
+        node = ("range_raw", lo, hi, inclusive, inclusive)
+        return ("boost", node, boost) if boost is not None else node
+
+    def _term_node(self, text: str) -> tuple | None:
+        field = None
+        if ":" in text:
+            field, rest = text.split(":", 1)
+            if rest == "":
+                # `field:(...)` / `field:"..."` — field applies to next atom
+                atom = self._parse_atom()
+                if field != self.default_field:
+                    return ("match_none",)
+                return atom
+            text = rest
+            if field != self.default_field:
+                # unindexed field: nothing matches (Lucene: empty postings)
+                return ("match_none",)
+        base, boost, edits, had_tilde = _strip_suffixes(text)
+        if not base:
+            return None
+        if "*" in base or "?" in base:
+            # lowercase like Lucene's lowercase_expanded_terms default
+            pat = base.lower().replace("*", "%").replace("?", "_")
+            node: tuple = ("wildcard_raw", pat)
+        elif had_tilde:
+            node = ("fuzzy_raw", base.lower(), min(edits, 2), 0)
+        else:
+            node = ("term", base)
+        return ("boost", node, boost) if boost is not None else node
+
+    def _combine(self, clauses: list[tuple[int, tuple]]) -> tuple | None:
+        live = [(o, n) for o, n in clauses if n is not None]
+        must = [n for o, n in live if o == MUST and n[0] != "match_none"]
+        must_dead = any(o == MUST and n[0] == "match_none" for o, n in live)
+        should = [n for o, n in live if o == SHOULD and n[0] != "match_none"]
+        negs = [n for o, n in live if o == MUST_NOT and n[0] != "match_none"]
+        if must_dead:
+            return ("match_none",)
+        req: tuple | None = None
+        if len(must) == 1:
+            req = must[0]
+        elif len(must) > 1:
+            if all(n[0] == "term" for n in must):
+                req = ("and", [n[1] for n in must])
+            else:
+                req = ("andn", must)
+        if req is not None and should:
+            pos = (
+                ("reqopt", req, [n[1] for n in should])
+                if all(n[0] == "term" for n in should)
+                else ("reqoptn", req, should)
+            )
+        elif req is not None:
+            pos = req
+        elif len(should) == 1:
+            pos = should[0]
+        elif should:
+            pos = ("or", should)
+        else:
+            pos = None
+        if negs:
+            if pos is None:
+                return ("match_none",)  # pure-negative query (Lucene: no hits)
+            if all(n[0] == "term" for n in negs):
+                return ("not", pos, [n[1] for n in negs])
+            return ("notn", pos, negs)
+        return pos
+
+
+def parse_query(q: str, default_field: str = "text") -> tuple:
+    """Parse classic QueryParser syntax (see :class:`_Parser`) into the
+    engine AST with RAW terms; call :func:`rewrite` to analyze them and
+    :func:`expand_multiterm` to expand fuzzy/wildcard/range nodes against an
+    index."""
+    return _Parser(q, default_field).parse()
 
 
 def rewrite(node: tuple, stopwords=ENGLISH_STOP_WORDS) -> tuple | None:
@@ -115,6 +294,45 @@ def rewrite(node: tuple, stopwords=ENGLISH_STOP_WORDS) -> tuple | None:
     clauses all vanish (stopword-only) rewrites to MatchNoDocs → None.
     """
     kind = node[0]
+    if kind == "match_none":
+        return None
+    if kind in ("fuzzy_raw", "wildcard_raw", "range_raw", "const"):
+        # multi-term queries are NOT analyzed (QueryParserBase handles them
+        # via getFuzzyQuery/getWildcardQuery, bypassing the analyzer); they
+        # are expanded against a concrete index by expand_multiterm
+        return node
+    if kind == "boost":
+        sub = rewrite(node[1], stopwords)
+        return ("boost", sub, node[2]) if sub is not None else None
+    if kind == "andn":
+        subs = [rewrite(c, stopwords) for c in node[1]]
+        if any(s is None for s in subs):
+            return None  # a MUST clause that analyzes away kills the query
+        if all(s[0] == "term" for s in subs):
+            return ("and", [s[1] for s in subs]) if len(subs) > 1 else subs[0]
+        return ("andn", subs) if len(subs) > 1 else subs[0]
+    if kind == "reqoptn":
+        req = rewrite(node[1], stopwords)
+        if req is None:
+            return None
+        opts = [rewrite(c, stopwords) for c in node[2]]
+        opts = [s for s in opts if s is not None]
+        if not opts:
+            return req
+        if all(s[0] == "term" for s in opts):
+            return ("reqopt", req, [s[1] for s in opts])
+        return ("reqoptn", req, opts)
+    if kind == "notn":
+        pos = rewrite(node[1], stopwords)
+        if pos is None:
+            return None
+        negs = [rewrite(c, stopwords) for c in node[2]]
+        negs = [s for s in negs if s is not None]
+        if not negs:
+            return pos
+        if all(s[0] == "term" for s in negs):
+            return ("not", pos, [s[1] for s in negs])
+        return ("notn", pos, negs)
     if kind == "phrase_raw":
         # QueryParser analyzes phrase text with the index analyzer, keeping
         # position gaps from removed stopwords (QueryParserBase.java:437 →
@@ -199,7 +417,7 @@ def query_terms(node: tuple) -> list[str]:
     kind = node[0]
     if kind == "term":
         return [node[1]]
-    if kind in ("and", "msm", "syn"):
+    if kind in ("and", "msm", "syn", "const"):
         return list(node[1])
     if kind in ("phrase", "sloppy"):
         return [t for t, _ in node[1]]
@@ -207,8 +425,17 @@ def query_terms(node: tuple) -> list[str]:
         return query_terms(node[1]) + list(node[2])
     if kind == "reqopt":
         return query_terms(node[1]) + list(node[2])
+    if kind == "boost":
+        return query_terms(node[1])
+    if kind in ("reqoptn", "notn"):
+        out = query_terms(node[1])
+        for c in node[2]:
+            out.extend(query_terms(c))
+        return out
+    if kind in ("fuzzy_raw", "wildcard_raw", "range_raw", "match_none"):
+        return []  # no terms until expanded against an index
     out: list[str] = []
-    for c in node[1]:  # or / dismax
+    for c in node[1]:  # or / dismax / andn
         out.extend(query_terms(c))
     return out
 
@@ -227,8 +454,15 @@ def attach_scorers(
     if kind in ("phrase", "sloppy"):
         if any(t not in dfs for t, _ in node[1]):
             return None  # a phrase member absent from the index → no match
+        # an extra trailing numeric element is a boost from apply_boosts
+        # (BoostQuery folds into the weight, BM25Similarity.java:246)
+        tail = node[3] if kind == "sloppy" and len(node) > 3 else (
+            node[2] if kind == "phrase" and len(node) > 2 else None
+        )
+        boost = float(tail) if isinstance(tail, (int, float)) else 1.0
         scorer = BM25Scorer.for_terms(
-            [dfs[t] for t, _ in node[1]], stats, k1=k1, b=b, precision=precision
+            [dfs[t] for t, _ in node[1]], stats, k1=k1, b=b, boost=boost,
+            precision=precision,
         )
         if kind == "sloppy":
             return ("sloppy", node[1], node[2], scorer)
@@ -237,12 +471,39 @@ def attach_scorers(
         present = [t for t in node[1] if t in dfs]
         if not present:
             return None
+        tail = node[2] if len(node) > 2 else None
+        boost = float(tail) if isinstance(tail, (int, float)) else 1.0
         # merged pseudo-term stats: docFreq = max of members
         # (SynonymQuery.java:330-347 blends TermStates the same way)
         scorer = BM25Scorer(
-            max(dfs[t] for t in present), stats, k1=k1, b=b, precision=precision
+            max(dfs[t] for t in present), stats, k1=k1, b=b, boost=boost,
+            precision=precision,
         )
         return ("syn", present, scorer)
+    if kind == "const":
+        present = [t for t in node[1] if t in dfs]
+        if not present:
+            return None
+        return ("const", present, node[2])
+    if kind == "andn":
+        subs = [attach_scorers(c, dfs, stats, k1, b, precision) for c in node[1]]
+        if any(s is None for s in subs):
+            return None  # a MUST sub-clause matching nothing kills the query
+        return ("andn", subs)
+    if kind == "reqoptn":
+        req = attach_scorers(node[1], dfs, stats, k1, b, precision)
+        if req is None:
+            return None
+        opts = [attach_scorers(c, dfs, stats, k1, b, precision) for c in node[2]]
+        opts = [s for s in opts if s is not None]
+        return ("reqoptn", req, opts) if opts else req
+    if kind == "notn":
+        pos = attach_scorers(node[1], dfs, stats, k1, b, precision)
+        if pos is None:
+            return None
+        negs = [attach_scorers(c, dfs, stats, k1, b, precision) for c in node[2]]
+        negs = [s for s in negs if s is not None]
+        return ("notn", pos, negs) if negs else pos
     if kind == "dismax":
         subs = [attach_scorers(c, dfs, stats, k1, b, precision) for c in node[1]]
         subs = [s for s in subs if s is not None]
@@ -264,6 +525,169 @@ def attach_scorers(
         req = attach_scorers(node[1], dfs, stats, k1, b, precision)
         return ("reqopt", req, node[2]) if req is not None else None
     return node
+
+
+def apply_boosts(node: tuple, factor: float = 1.0) -> tuple[tuple | None, dict[str, float]]:
+    """Distribute ("boost", sub, f) wrappers down to the leaves — exactly how
+    Lucene propagates boost: createWeight(boost) multiplies through composite
+    queries until it reaches leaf weights (BoostQuery.java:30,
+    BM25Similarity.java:246 weight = boost * idf).
+
+    Returns (node-without-boost-wrappers, {term: boost}); phrase/syn/const
+    leaves carry their factor inline for attach_scorers.  A term appearing
+    with two different boosts keeps the last one (engine limitation: one
+    scorer per term per query — documented)."""
+    boosts: dict[str, float] = {}
+
+    def walk(n, f):
+        kind = n[0]
+        if kind == "boost":
+            return walk(n[1], f * n[2])
+        if kind == "term":
+            if f != 1.0:
+                boosts[n[1]] = f
+            return n
+        if kind == "and":
+            if f != 1.0:
+                for t in n[1]:
+                    boosts[t] = f
+            return n
+        if kind in ("msm", "syn", "const") and f == 1.0:
+            return n
+        if kind == "msm":
+            for t in n[1]:
+                boosts[t] = f
+            return n
+        if kind == "syn":
+            return ("syn", n[1], f)
+        if kind == "const":
+            return ("const", n[1], n[2] * f)
+        if kind == "phrase":
+            return ("phrase", n[1], f) if f != 1.0 else n
+        if kind == "sloppy":
+            return ("sloppy", n[1], n[2], f) if f != 1.0 else n
+        if kind in ("or", "andn"):
+            return (kind, [walk(c, f) for c in n[1]])
+        if kind == "dismax":
+            return ("dismax", [walk(c, f) for c in n[1]], n[2])
+        if kind == "not":
+            return ("not", walk(n[1], f), n[2])
+        if kind in ("reqoptn", "notn"):
+            return (kind, walk(n[1], f), [walk(c, f) for c in n[2]])
+        if kind == "reqopt":
+            if f != 1.0:
+                for t in n[2]:
+                    boosts[t] = f
+            return ("reqopt", walk(n[1], f), n[2])
+        return n  # raw multiterm nodes keep wrappers outside this walk
+
+    out = walk(node, factor)
+    return out, boosts
+
+
+def expand_multiterm(node: tuple, index: "Index", max_expansions: int | None = None) -> tuple | None:
+    """Rewrite fuzzy/wildcard/range *_raw nodes against the index's term
+    dictionary (MultiTermQuery.rewrite, MultiTermQuery.java:53):
+
+      - wildcard / range → ("const", terms, 1.0): the CONSTANT_SCORE rewrite
+        (MultiTermQuery.CONSTANT_SCORE_BLENDED_REWRITE default — matching
+        docs score the query boost, WildcardQuery/TermRangeQuery docs)
+      - fuzzy → ("syn", terms): the TopTermsBlendedFreqScoringRewrite analog
+        (FuzzyQuery.java:52 — blended as one pseudo-term over max df; this
+        engine blends without per-distance boost, documented divergence)
+
+    Nodes that expand to nothing → None (MatchNoDocs)."""
+    max_exp = max_expansions or MAX_EXPANSIONS
+
+    def walk(n):
+        kind = n[0]
+        if kind == "fuzzy_raw":
+            terms = expand_terms(
+                index, fuzzy=(n[1], n[2], n[3]), max_expansions=max_exp
+            )
+            if not terms:
+                return None
+            return ("syn", terms) if len(terms) > 1 else ("term", terms[0])
+        if kind == "wildcard_raw":
+            terms = expand_terms(index, like=n[1], max_expansions=max_exp)
+            return ("const", terms, 1.0) if terms else None
+        if kind == "range_raw":
+            terms = expand_terms(
+                index, lower=n[1], upper=n[2], lower_inclusive=n[3],
+                upper_inclusive=n[4], max_expansions=max_exp,
+            )
+            return ("const", terms, 1.0) if terms else None
+        if kind == "boost":
+            sub = walk(n[1])
+            return ("boost", sub, n[2]) if sub is not None else None
+        if kind in ("or", "andn"):
+            subs = [walk(c) for c in n[1]]
+            if kind == "andn" and any(s is None for s in subs):
+                return None
+            subs = [s for s in subs if s is not None]
+            if not subs:
+                return None
+            return (kind, subs) if len(subs) > 1 else subs[0]
+        if kind == "dismax":
+            subs = [s for s in (walk(c) for c in n[1]) if s is not None]
+            if not subs:
+                return None
+            return ("dismax", subs, n[2]) if len(subs) > 1 else subs[0]
+        if kind in ("reqoptn", "notn"):
+            head = walk(n[1])
+            if head is None:
+                return None
+            tails = [s for s in (walk(c) for c in n[2]) if s is not None]
+            return (kind, head, tails) if tails else head
+        if kind in ("not", "reqopt"):
+            head = walk(n[1])
+            if head is None:
+                return None
+            return (kind, head, n[2])
+        return n
+
+    return walk(node)
+
+
+def damerau_levenshtein(a: str, b: str, cap: int = 2) -> int:
+    """Unrestricted Damerau-Levenshtein (Lowrance-Wagner) — transpositions
+    are single edits even when later edited between ("ca"→"abc" = 2), the
+    semantics of Lucene FuzzyQuery transpositions=true (FuzzyQuery.java:52,
+    default at :177) and of DuckDB's damerau_levenshtein (the oracle twin).
+    Returns min(distance, cap+1) — early-capped for the expansion filter."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if abs(la - lb) > cap:
+        return cap + 1
+    inf = la + lb
+    da: dict[str, int] = {}
+    d = [[inf] * (lb + 2) for _ in range(la + 2)]
+    d[0][0] = inf
+    for i in range(la + 1):
+        d[i + 1][1] = i
+        d[i + 1][0] = inf
+    for j in range(lb + 1):
+        d[1][j + 1] = j
+        d[0][j + 1] = inf
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k = da.get(b[j - 1], 0)
+            l = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,          # substitute
+                d[i + 1][j] + 1,         # insert
+                d[i][j + 1] + 1,         # delete
+                d[k][l] + (i - k - 1) + 1 + (j - l - 1),  # transpose
+            )
+        da[a[i - 1]] = i
+    return min(d[la + 1][lb + 1], cap + 1)
 
 
 # --- search ---------------------------------------------------------------------
@@ -338,6 +762,12 @@ def search(
     empty = TopDocs(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64), [] if with_urls else None)
     if node is None:
         return empty
+    node = expand_multiterm(node, index)
+    if node is None:
+        return empty
+    node, term_boosts = apply_boosts(node)
+    if term_boosts:
+        boosts = {**term_boosts, **(boosts or {})}
     terms = sorted(set(query_terms(node)))
     stats = CollectionStats(index.doc_count, index.sum_total_term_freq)
     dfs = term_dfs(terms, index.termdict)
@@ -486,11 +916,16 @@ def score_docs(
     empty = spark.createDataFrame([], "docid long, score double")
     if node is None:
         return empty
+    node = expand_multiterm(node, index)
+    if node is None:
+        return empty
+    node, term_boosts = apply_boosts(node)
     terms = sorted(set(query_terms(node)))
     stats = CollectionStats(index.doc_count, index.sum_total_term_freq)
     dfs = term_dfs(terms, index.termdict)
     scorers = {
-        t: BM25Scorer(dfs[t], stats, k1=k1, b=b, precision=precision)
+        t: BM25Scorer(dfs[t], stats, k1=k1, b=b,
+                      boost=term_boosts.get(t, 1.0), precision=precision)
         for t in terms if t in dfs
     }
     node = attach_scorers(node, dfs, stats, k1, b, precision)
@@ -556,6 +991,10 @@ def count_hits(index: Index, query: str | tuple) -> int:
     node = rewrite(node)
     if node is None:
         return 0
+    node = expand_multiterm(node, index)
+    if node is None:
+        return 0
+    node, _ = apply_boosts(node)  # boosts don't change the match set
     terms = sorted(set(query_terms(node)))
     stats = CollectionStats(index.doc_count, index.sum_total_term_freq)
     dfs = term_dfs(terms, index.termdict)
@@ -649,6 +1088,16 @@ def search_many(
     for qid, q in queries.items():
         node = rewrite(parse_query(q) if isinstance(q, str) else q)
         if node is not None:
+            node = expand_multiterm(node, index)
+        if node is not None:
+            node, tb = apply_boosts(node)
+            if tb:
+                # scorers are shared across the batch — a per-query term
+                # boost would leak into other queries' scores
+                raise ValueError(
+                    f"query {qid!r}: ^boost is not supported in the batched "
+                    "search_many path; use search()"
+                )
             prepared[qid] = node
             all_terms.update(query_terms(node))
     if not prepared:
@@ -864,28 +1313,63 @@ def expand_terms(
     index: Index,
     like: str | None = None,
     rlike: str | None = None,
-    fuzzy: tuple[str, int] | None = None,
+    fuzzy: tuple | None = None,
     lower: str | None = None,
     upper: str | None = None,
     max_expansions: int = MAX_EXPANSIONS,
+    transpositions: bool = True,
+    lower_inclusive: bool = True,
+    upper_inclusive: bool = True,
 ) -> list[str]:
     """Expand a Prefix/Wildcard/Regexp/Fuzzy/TermRange query against the term
     dictionary (MultiTermQuery.java:53 rewrites via term-enum intersection;
     PrefixQuery.java:29, WildcardQuery.java:38, RegexpQuery.java:44,
     FuzzyQuery.java:52, TermRangeQuery.java:37).  The termdict is sorted by
-    term, so parquet min/max stats prune LIKE/range scans (the FST analog)."""
+    term, so parquet min/max stats prune LIKE/range scans (the FST analog).
+
+    ``fuzzy``: (term, max_edits[, prefix_length]).  Matches FuzzyQuery
+    defaults: transpositions=True → unrestricted Damerau-Levenshtein
+    (FuzzyQuery.java:52, transpositions default at :177 — "abc"→"acb" is ONE
+    edit), maxEdits <= 2 (LevenshteinAutomata limit), prefix_length chars
+    must match exactly.  The automaton's pruning role is played by pushed-down
+    prefilters (prefix LIKE + length band reach the parquet scan); the exact
+    distance runs as an Arrow-batched UDF on the surviving sliver."""
     td = index.termdict
     if like is not None:
         td = td.filter(F.col("term").like(like))
     if rlike is not None:
         td = td.filter(F.col("term").rlike(rlike))
     if fuzzy is not None:
-        term, max_edits = fuzzy
-        td = td.filter(F.levenshtein(F.col("term"), F.lit(term)) <= max_edits)
+        term, max_edits = fuzzy[0], fuzzy[1]
+        prefix_len = fuzzy[2] if len(fuzzy) > 2 else 0
+        if max_edits > 2:
+            raise ValueError(
+                "max_edits must be <= 2 (LevenshteinAutomata.java:49 limit)"
+            )
+        # pushed-down prefilters (the FST-intersection analog)
+        td = td.filter(
+            F.length("term").between(len(term) - max_edits, len(term) + max_edits)
+        )
+        if prefix_len > 0:
+            td = td.filter(F.col("term").startswith(term[:prefix_len]))
+        if transpositions:
+            qt, me = term, max_edits
+
+            @F.pandas_udf("boolean")
+            def _close(terms: pd.Series) -> pd.Series:
+                return terms.map(lambda t: damerau_levenshtein(t, qt, me) <= me)
+
+            td = td.filter(_close(F.col("term")))
+        else:
+            td = td.filter(F.levenshtein(F.col("term"), F.lit(term)) <= max_edits)
     if lower is not None:
-        td = td.filter(F.col("term") >= lower)
+        td = td.filter(
+            F.col("term") >= lower if lower_inclusive else F.col("term") > lower
+        )
     if upper is not None:
-        td = td.filter(F.col("term") <= upper)
+        td = td.filter(
+            F.col("term") <= upper if upper_inclusive else F.col("term") < upper
+        )
     rows = td.select("term").orderBy("term").limit(max_expansions).collect()
     return [r["term"] for r in rows]
 

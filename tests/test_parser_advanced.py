@@ -1,0 +1,116 @@
+"""Classic-QueryParser surface: field:term, ^boost, fuzzy~N (Damerau with
+transpositions), wild*cards, [a TO b] ranges, arbitrary nesting, and the
+generalized boolean kinds (andn/reqoptn/notn) they produce.  Reference:
+queryparser/.../classic/QueryParser.jj, QueryParserBase.java:112,437;
+FuzzyQuery.java:52,177 (transpositions default true)."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.corpus import generate_pages
+from lucene_spark.index import build_index
+from lucene_spark.search import (
+    damerau_levenshtein,
+    expand_terms,
+    match_any_docs,
+    parse_query,
+    search,
+)
+
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    pages = generate_pages(300, seed=9, n_stems=120)
+    return build_index(spark, spark.createDataFrame(pages), seg_size=64,
+                       with_positions=True)
+
+
+def test_damerau_matches_duckdb_semantics():
+    import duckdb
+
+    con = duckdb.connect()
+    cases = [("ca", "abc"), ("abc", "acb"), ("abc", "ab"), ("ab", "ba"),
+             ("teh", "the"), ("xy", "yxz"), ("court", "cuort"), ("a", "a")]
+    for a, b in cases:
+        want = con.execute(f"SELECT damerau_levenshtein('{a}','{b}')").fetchone()[0]
+        assert damerau_levenshtein(a, b, cap=5) == want, (a, b)
+
+
+def test_fuzzy_transpositions_vs_plain(spark):
+    rows = [("u1", "abc xyz"), ("u2", "acb xyz"), ("u3", "qqq zzz")]
+    idx = build_index(spark, spark.createDataFrame(rows, "url string, text string"),
+                      seg_size=16)
+    # transposed form is ONE edit under Damerau (FuzzyQuery default) ...
+    assert set(expand_terms(idx, fuzzy=("acb", 1))) == {"abc", "acb"}
+    # ... but TWO under plain Levenshtein (transpositions=False)
+    assert set(expand_terms(idx, fuzzy=("acb", 1), transpositions=False)) == {"acb"}
+    # prefix_length pins the leading chars exactly
+    assert set(expand_terms(idx, fuzzy=("acb", 2, 2))) == {"acb"}
+    with pytest.raises(ValueError, match="max_edits"):
+        expand_terms(idx, fuzzy=("abc", 3))
+
+
+def test_string_fuzzy_query_end_to_end(spark):
+    rows = [("u1", "abc xyz"), ("u2", "acb xyz"), ("u3", "qqq zzz")]
+    idx = build_index(spark, spark.createDataFrame(rows, "url string, text string"),
+                      seg_size=16)
+    td = search(idx, "acb~1", k=10)
+    assert len(td.docids) == 2  # both docs match the blended fuzzy
+
+
+def test_boost_string_syntax_equals_boosts_dict(idx):
+    a = search(idx, "court^2 law", k=15)
+    b = search(idx, "court law", k=15, boosts={"court": 2.0})
+    np.testing.assert_array_equal(a.docids, b.docids)
+    np.testing.assert_array_equal(a.scores, b.scores)
+    # boost on a parenthesized group distributes to the leaves (BoostQuery
+    # createWeight propagation)
+    c = search(idx, "(court law)^2", k=15)
+    d = search(idx, "court law", k=15, boosts={"court": 2.0, "law": 2.0})
+    np.testing.assert_array_equal(c.docids, d.docids)
+    np.testing.assert_array_equal(c.scores, d.scores)
+
+
+def test_wildcard_and_range_string_syntax(idx):
+    # wildcard → CONSTANT_SCORE rewrite: every hit scores 1.0
+    td = search(idx, "cour*", k=10**6)
+    assert len(td.docids) > 0
+    assert set(td.scores.tolist()) == {1.0}
+    want = {r["docid"] for r in match_any_docs(idx, expand_terms(idx, like="cour%")).collect()}
+    assert set(td.docids.tolist()) == want
+    # inclusive vs exclusive range
+    incl = set(expand_terms(idx, lower="law", upper="lead"))
+    excl = set(expand_terms(idx, lower="law", upper="lead",
+                            lower_inclusive=False, upper_inclusive=False))
+    assert excl == incl - {"law", "lead"}
+
+
+def test_phrase_with_operators(idx):
+    # ADVICE fix: '"a b" AND c' keeps phrase semantics inside the AND
+    node = parse_query('"court law" AND judge')
+    assert node[0] == "andn" and node[1][0][0] == "phrase_raw"
+    td = search(idx, '"court law" AND judge', k=20)
+    # every hit must contain the exact phrase AND the term
+    phrase_only = set(search(idx, '"court law"', k=10**6).docids.tolist())
+    judge_only = {r["docid"] for r in match_any_docs(idx, ["judge"]).collect()}
+    assert set(td.docids.tolist()) <= (phrase_only & judge_only)
+    # prune/no-prune duel on the composite kinds
+    for q in ['"court law" AND judge', '(court OR law) AND judge',
+              'court AND law OR judge', 'judge NOT "court law"']:
+        a = search(idx, q, k=10, prune=True)
+        b = search(idx, q, k=10, prune=False)
+        np.testing.assert_array_equal(a.docids, b.docids, err_msg=q)
+        np.testing.assert_array_equal(a.scores, b.scores, err_msg=q)
+
+
+def test_field_syntax(idx):
+    a = search(idx, "text:court", k=10)
+    b = search(idx, "court", k=10)
+    np.testing.assert_array_equal(a.docids, b.docids)
+    assert len(search(idx, "title:court", k=10).docids) == 0
+    assert len(search(idx, "title:(court law)", k=10).docids) == 0
+
+
+def test_pure_negative_matches_nothing(idx):
+    assert len(search(idx, "NOT court", k=10).docids) == 0
+    assert len(search(idx, "-court", k=10).docids) == 0
