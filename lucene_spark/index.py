@@ -106,6 +106,16 @@ class Index:
             seg_size=self.seg_size, tombstones=t,
         )
 
+    def write_tombstones(self, out_dir: str) -> None:
+        """Persist ONLY the liveDocs table into an existing index directory —
+        the delete-only commit (Lucene writes just a new .liv file + SegmentInfos
+        for buffered deletes; the immutable segment data is untouched)."""
+        if self.tombstones is None:
+            raise ValueError("index has no tombstones to persist")
+        self.tombstones.select("docid").write.mode("overwrite").parquet(
+            f"{out_dir}/tombstones"
+        )
+
 
 def _ranged_with_offsets(
     df: DataFrame, key_col: str, num_partitions: int

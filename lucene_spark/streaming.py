@@ -95,8 +95,15 @@ def append_batch(
     postings.sortWithinPartitions("term").write.mode("append").partitionBy("seg").parquet(
         f"{out_dir}/postings"
     )
-    docs_meta.write.mode("append").parquet(f"{out_dir}/docs")
-    build_norms(docs_meta, seg_size).write.mode("append").parquet(f"{out_dir}/norms")
+    # docs/norms are seg-partitioned too, so the tiered merge policy can
+    # surgically rewrite a run of mini-segments (per-segment files are the
+    # _N.fdt/.nvd analog)
+    docs_meta.withColumn(
+        "seg", (F.col("docid") / F.lit(seg_size)).cast("long")
+    ).write.mode("append").partitionBy("seg").parquet(f"{out_dir}/docs")
+    build_norms(docs_meta, seg_size).write.mode("append").partitionBy("seg").parquet(
+        f"{out_dir}/norms"
+    )
 
     # refresh commit point (stats + termdict) — the segments_N publish analog
     full_docs = spark.read.parquet(f"{out_dir}/docs")
@@ -145,6 +152,65 @@ def refresh_reader(spark: SparkSession, out_dir: str):
 
 
 MAX_BROADCAST_REMAP_RUNS = 2_000_000
+
+
+def _flat_schema(has_pos: bool) -> str:
+    s = "term string, docid long, tf long, dl long"
+    return s + ", positions array<long>" if has_pos else s
+
+
+def _explode_remap_pass(old_seg_size, has_pos, run_old, run_new, run_len):
+    """mapInPandas body: posting rows → per-posting flat arrays, numpy
+    end-to-end (no per-posting Python objects).  With broadcast remap runs
+    (run_old/new/len arrays), docids falling in remap holes (deletes / gaps)
+    are dropped here and new ids assigned inline — no join; with runs=None,
+    global docids are emitted unchanged for a downstream remap join."""
+    import numpy as np
+
+    from .kernel import TermPostings
+
+    def run(batches):
+        for pdf in batches:
+            a_term, a_doc, a_tf, a_dl, a_pos = [], [], [], [], []
+            terms = pdf["term"].to_numpy()
+            segs = pdf["seg"].to_numpy(dtype=np.int64)
+            for i in range(len(pdf)):
+                tp = TermPostings(pdf.iloc[i], old_seg_size)
+                d, f, dls = tp.decode()
+                d = d + segs[i] * old_seg_size
+                pos = tp.positions_flat() if has_pos else None
+                if run_old is not None:
+                    ri = np.searchsorted(run_old, d, side="right") - 1
+                    ric = np.clip(ri, 0, max(len(run_old) - 1, 0))
+                    keep = (ri >= 0) & (d - run_old[ric] < run_len[ric])
+                    if not keep.all():
+                        if pos is not None:
+                            pos = pos[np.repeat(keep, f)]
+                        d, f, dls, ric = d[keep], f[keep], dls[keep], ric[keep]
+                    if len(d) == 0:
+                        continue
+                    d = run_new[ric] + (d - run_old[ric])
+                a_term.append(np.repeat(terms[i], len(d)))
+                a_doc.append(d)
+                a_tf.append(f)
+                a_dl.append(dls)
+                if pos is not None:
+                    # list-of-ndarray views per posting — Arrow serializes
+                    # without materializing per-int Python objects
+                    a_pos.extend(np.split(pos, np.cumsum(f)[:-1]))
+            if not a_doc:
+                continue
+            cols = {
+                "term": np.concatenate(a_term),
+                "docid": np.concatenate(a_doc),
+                "tf": np.concatenate(a_tf),
+                "dl": np.concatenate(a_dl),
+            }
+            if has_pos:
+                cols["positions"] = a_pos
+            yield pd.DataFrame(cols)
+
+    return run
 
 
 def compact_index(spark: SparkSession, in_dir: str, out_dir: str, seg_size: int = 4096):
@@ -255,55 +321,13 @@ def compact_index(spark: SparkSession, in_dir: str, out_dir: str, seg_size: int 
     else:
         run_old = run_new = run_len = None
 
-    def explode_rows(batches):
-        """Decode posting rows → per-posting flat arrays, numpy end-to-end
-        (no per-posting Python objects).  With the broadcast run remap,
-        deleted docids (falling in remap holes) are dropped here and new ids
-        assigned inline — no join."""
-        for pdf in batches:
-            a_term, a_doc, a_tf, a_dl, a_pos = [], [], [], [], []
-            terms = pdf["term"].to_numpy()
-            segs = pdf["seg"].to_numpy(dtype=np.int64)
-            for i in range(len(pdf)):
-                tp = TermPostings(pdf.iloc[i], old_seg_size)
-                d, f, dls = tp.decode()
-                d = d + segs[i] * old_seg_size
-                pos = tp.positions_flat() if has_pos else None
-                if use_runs:
-                    ri = np.searchsorted(run_old, d, side="right") - 1
-                    ric = np.clip(ri, 0, max(len(run_old) - 1, 0))
-                    keep = (ri >= 0) & (d - run_old[ric] < run_len[ric])
-                    if not keep.all():
-                        if pos is not None:
-                            pos = pos[np.repeat(keep, f)]
-                        d, f, dls, ric = d[keep], f[keep], dls[keep], ric[keep]
-                    if len(d) == 0:
-                        continue
-                    d = run_new[ric] + (d - run_old[ric])
-                a_term.append(np.repeat(terms[i], len(d)))
-                a_doc.append(d)
-                a_tf.append(f)
-                a_dl.append(dls)
-                if pos is not None:
-                    # list-of-ndarray views per posting — Arrow serializes
-                    # without materializing per-int Python objects
-                    a_pos.extend(np.split(pos, np.cumsum(f)[:-1]))
-            if not a_doc:
-                continue
-            cols = {
-                "term": np.concatenate(a_term),
-                "docid": np.concatenate(a_doc),
-                "tf": np.concatenate(a_tf),
-                "dl": np.concatenate(a_dl),
-            }
-            if has_pos:
-                cols["positions"] = a_pos
-            yield pd.DataFrame(cols)
-
-    flat_schema = "term string, docid long, tf long, dl long"
-    if has_pos:
-        flat_schema += ", positions array<long>"
-    flat = old.postings.mapInPandas(explode_rows, schema=flat_schema)
+    flat = old.postings.mapInPandas(
+        _explode_remap_pass(
+            old_seg_size, has_pos,
+            run_old if use_runs else None, run_new, run_len,
+        ),
+        schema=_flat_schema(has_pos),
+    )
     if use_runs:
         tf = flat.withColumn("seg", (F.col("docid") / F.lit(seg_size)).cast("long"))
     else:
@@ -336,3 +360,212 @@ def compact_index(spark: SparkSession, in_dir: str, out_dir: str, seg_size: int 
     shutil.rmtree(f"{out_dir}/tombstones", ignore_errors=True)
     ranged.unpersist()
     return read_index(spark, out_dir)
+
+
+# ------------------------------------------------------- tiered merge policy
+
+
+def select_tiered_merge(
+    seg_docs: dict[int, int], seg_size: int, merge_factor: int = 10,
+    min_fill: float = 0.5,
+) -> list[int]:
+    """Pick a run of adjacent undersized segments to merge.
+
+    TieredMergePolicy analog (index/TieredMergePolicy.java:74-90: merge
+    ``mergeFactor`` segments of similar (small) size, leave full-sized
+    segments alone).  Divergence, documented: candidates must be ADJACENT in
+    docID order — this engine's docIDs are global, so merging non-adjacent
+    segments would interleave docID ranges; Lucene's per-segment docID
+    spaces don't have that constraint.  Returns the segment ids to merge
+    ([] = nothing worth merging).
+    """
+    run: list[int] = []
+    for s in sorted(seg_docs):
+        if seg_docs[s] < seg_size * min_fill:
+            run.append(s)
+            if len(run) == merge_factor:
+                return run
+        else:
+            if len(run) >= 2:
+                return run
+            run = []
+    return run if len(run) >= 2 else []
+
+
+def tiered_compact(
+    spark: SparkSession,
+    out_dir: str,
+    merge_factor: int = 10,
+    min_fill: float = 0.5,
+) -> dict:
+    """One round of the tiered merge policy over an NRT index directory:
+    merge a run of adjacent undersized mini-segments (the per-micro-batch
+    flushes) into packed segments, leaving full segments untouched.
+
+    Unlike :func:`compact_index` (the forceMerge analog, full rewrite), this
+    touches ONLY the selected run: its postings/docs/norms partitions are
+    read partition-pruned, docids re-packed densely from the run's base
+    (order-preserving, so untouched segments keep their ids), tombstoned
+    docs inside the run are physically dropped, and the run's old segment
+    partitions are swapped for the new ones.  Repeat after every N appends
+    to bound segment count (IndexWriter's background merges).
+
+    Commit-safety: the swap (delete old partitions, rename staged ones) is
+    not atomic like Lucene's segments_N; a crash mid-swap needs a re-run of
+    the same merge (the staging dir makes that idempotent).  Returns a
+    report dict.
+    """
+    import os
+    import shutil
+
+    import numpy as np
+    from pyspark import TaskContext
+
+    from .index import _ranged_with_offsets
+
+    stats = spark.read.parquet(f"{out_dir}/stats").collect()[0]
+    seg_size = int(stats["seg_size"])
+    sizes = {
+        int(r["seg"]): int(r["n_docs"])
+        for r in spark.read.parquet(f"{out_dir}/norms").select("seg", "n_docs").collect()
+    }
+    run = select_tiered_merge(sizes, seg_size, merge_factor, min_fill)
+    if not run:
+        return {"merged": [], "segments": len(sizes)}
+    if not os.path.isdir(f"{out_dir}/docs/seg={run[0]}"):
+        raise ValueError(
+            "tiered_compact needs a seg-partitioned docs table (NRT layout "
+            "written by append_batch); use compact_index for flat layouts"
+        )
+
+    seg_col = F.col("seg").isin([int(s) for s in run])
+    docs_run = spark.read.parquet(f"{out_dir}/docs").filter(seg_col).select(
+        "docid", "url", "dl", "norm"
+    )
+    tomb_path = f"{out_dir}/tombstones"
+    tomb = spark.read.parquet(tomb_path) if os.path.isdir(tomb_path) else None
+    purged = 0
+    if tomb is not None:
+        before = docs_run.count()
+        docs_run = docs_run.join(tomb.select("docid"), "docid", "left_anti")
+        purged = before - docs_run.count()
+
+    base = run[0] * seg_size
+    parallelism = spark.sparkContext.defaultParallelism
+    ranged, offs, n_live = _ranged_with_offsets(docs_run, "docid", parallelism)
+
+    def add_new_ids(batches):
+        pid_base = None
+        seen = 0
+        for pdf in batches:
+            if pid_base is None:
+                pid_base = base + offs[TaskContext.get().partitionId()]
+            pdf = pdf.copy()
+            pdf["new_docid"] = np.arange(
+                pid_base + seen, pid_base + seen + len(pdf), dtype=np.int64
+            )
+            seen += len(pdf)
+            yield pdf
+
+    def emit_runs(batches):
+        pid_base = None
+        seen = 0
+        for pdf in batches:
+            if pid_base is None:
+                pid_base = base + offs[TaskContext.get().partitionId()]
+            d = pdf["docid"].to_numpy(dtype=np.int64)
+            if len(d) == 0:
+                continue
+            new = np.arange(pid_base + seen, pid_base + seen + len(d), dtype=np.int64)
+            seen += len(d)
+            brk = np.flatnonzero(np.diff(d) != 1) + 1
+            starts = np.concatenate([[0], brk])
+            ends = np.concatenate([brk, [len(d)]])
+            yield pd.DataFrame({
+                "old_start": d[starts], "new_start": new[starts],
+                "run_len": ends - starts,
+            })
+
+    url_t = docs_run.schema["url"].dataType.simpleString()
+    norm_t = docs_run.schema["norm"].dataType.simpleString()
+    remap = ranged.mapInPandas(
+        add_new_ids,
+        schema=f"docid long, url {url_t}, dl long, norm {norm_t}, new_docid long",
+    )
+    run_rows = ranged.select("docid").mapInPandas(
+        emit_runs, schema="old_start long, new_start long, run_len long"
+    ).collect()
+    runs = sorted((r["old_start"], r["new_start"], r["run_len"]) for r in run_rows)
+    run_old = np.array([r[0] for r in runs], dtype=np.int64)
+    run_new = np.array([r[1] for r in runs], dtype=np.int64)
+    run_len = np.array([r[2] for r in runs], dtype=np.int64)
+
+    post_run = spark.read.parquet(f"{out_dir}/postings").filter(seg_col)
+    any_pos = bool(post_run.filter(F.length("pos_blob") > 0).limit(1).count())
+    mixed = any_pos and bool(
+        post_run.filter(
+            (F.col("df_local") > 0) & (F.length("pos_blob") == 0)
+        ).limit(1).count()
+    )
+    has_pos = any_pos and not mixed
+
+    flat = post_run.mapInPandas(
+        _explode_remap_pass(seg_size, has_pos, run_old, run_new, run_len),
+        schema=_flat_schema(has_pos),
+    )
+    tf = flat.withColumn("seg", (F.col("docid") / F.lit(seg_size)).cast("long"))
+    new_postings = segment_rows_stage(tf, seg_size)
+
+    staging = f"{out_dir}/_merging"
+    shutil.rmtree(staging, ignore_errors=True)
+    new_postings.sortWithinPartitions("term").write.mode("overwrite").partitionBy(
+        "seg"
+    ).parquet(f"{staging}/postings")
+    new_docs = remap.select(F.col("new_docid").alias("docid"), "url", "dl", "norm")
+    new_docs.withColumn(
+        "seg", (F.col("docid") / F.lit(seg_size)).cast("long")
+    ).write.mode("overwrite").partitionBy("seg").parquet(f"{staging}/docs")
+    build_norms(new_docs, seg_size).write.mode("overwrite").partitionBy("seg").parquet(
+        f"{staging}/norms"
+    )
+
+    # swap: drop the run's old partitions, move staged ones in
+    for table in ("postings", "docs", "norms"):
+        for s in run:
+            shutil.rmtree(f"{out_dir}/{table}/seg={s}", ignore_errors=True)
+        sdir = f"{staging}/{table}"
+        for entry in os.listdir(sdir):
+            if entry.startswith("seg="):
+                os.rename(os.path.join(sdir, entry), f"{out_dir}/{table}/{entry}")
+    shutil.rmtree(staging, ignore_errors=True)
+
+    # refresh the commit point; stats/termdict change only if deletes purged
+    full_docs = spark.read.parquet(f"{out_dir}/docs")
+    n_docs = full_docs.count()
+    sum_ttf = full_docs.agg(F.sum("dl")).collect()[0][0] or 0
+    spark.read.parquet(f"{out_dir}/postings").groupBy("term").agg(
+        F.sum("df_local").alias("df"), F.sum("cf_local").alias("cf")
+    ).write.mode("overwrite").parquet(f"{out_dir}/termdict")
+    spark.createDataFrame(
+        [(n_docs, int(sum_ttf), seg_size)],
+        "doc_count long, sum_total_term_freq long, seg_size long",
+    ).write.mode("overwrite").parquet(f"{out_dir}/stats")
+    if tomb is not None and purged:
+        # purged tombstones leave the liveDocs table; others stay
+        remaining = tomb.join(
+            spark.createDataFrame([(int(s),) for s in run], "seg long"),
+            (F.col("docid") / F.lit(seg_size)).cast("long") == F.col("seg"),
+            "left_anti",
+        ).select("docid")
+        rem = remaining.collect()
+        shutil.rmtree(tomb_path, ignore_errors=True)
+        if rem:
+            spark.createDataFrame(rem, "docid long").write.parquet(tomb_path)
+    ranged.unpersist()
+    return {
+        "merged": run,
+        "n_live": int(n_live),
+        "purged": int(purged),
+        "segments": len(sizes) - len(run)
+        + int((n_live + seg_size - 1) // seg_size),
+    }

@@ -119,6 +119,72 @@ def test_compaction_mixed_positions_downgrades(tmp_path, spark):
         search(merged, '"court law"', k=5)
 
 
+def test_tiered_merge_bounds_segments(tmp_path, spark):
+    # 20 micro-batch appends -> 20 mini-segments; repeated tiered merges
+    # bound the count while search results stay identical
+    from lucene_spark.streaming import select_tiered_merge, tiered_compact
+
+    pages = generate_pages(400, seed=21, n_stems=150)
+    out = str(tmp_path / "nrt20")
+    seg_size = 256
+    for i in range(20):
+        append_batch(spark, spark.createDataFrame(pages.iloc[i * 20:(i + 1) * 20]),
+                     out, seg_size)
+    idx = refresh_reader(spark, out)
+    n_segs_before = idx.norms.count()
+    assert n_segs_before == 20
+    before = search(idx, "court law", k=15, with_urls=True)
+
+    reports = []
+    while True:
+        r = tiered_compact(spark, out, merge_factor=10)
+        if not r["merged"]:
+            break
+        reports.append(r)
+    merged_idx = refresh_reader(spark, out)
+    n_segs_after = merged_idx.norms.count()
+    assert n_segs_after < n_segs_before
+    # 400 docs at 256/seg pack into 2 full segments (+ leftovers < factor)
+    assert n_segs_after <= 4
+    after = search(merged_idx, "court law", k=15, with_urls=True)
+    np.testing.assert_array_equal(before.scores, after.scores)
+    assert before.urls == after.urls
+    # full segments are never re-merged
+    sizes = {r["seg"]: r["n_docs"] for r in merged_idx.norms.select("seg", "n_docs").collect()}
+    assert select_tiered_merge(sizes, seg_size) == [] or all(
+        sizes[s] < seg_size * 0.5 for s in select_tiered_merge(sizes, seg_size)
+    )
+
+
+def test_tiered_merge_purges_tombstones(tmp_path, spark):
+    from lucene_spark.index import read_index, write_index
+    from lucene_spark.streaming import tiered_compact
+
+    pages = generate_pages(200, seed=23, n_stems=100)
+    out = str(tmp_path / "nrt_del")
+    seg_size = 128
+    for i in range(4):
+        append_batch(spark, spark.createDataFrame(pages.iloc[i * 50:(i + 1) * 50]),
+                     out, seg_size)
+    idx = refresh_reader(spark, out)
+    dead = match_any_docs(idx, ["court"])
+    n_dead = dead.count()
+    # materialize before the merge deletes the old segment files
+    dead_urls = {
+        r["url"] for r in idx.docs.join(dead, "docid").select("url").collect()
+    }
+    idx.delete_docs(dead).write_tombstones(out)  # delete-only commit (.liv)
+    idx2 = read_index(spark, out)
+    assert idx2.tombstones is not None
+    r = tiered_compact(spark, out, merge_factor=10)
+    assert r["merged"] and r["purged"] == n_dead
+    merged = read_index(spark, out)
+    assert merged.doc_count == 200 - n_dead
+    assert merged.tombstones is None or merged.tombstones.count() == 0
+    got = search(merged, "law judge", k=15, with_urls=True)
+    assert not (set(got.urls) & dead_urls)
+
+
 def test_topk_merge_partition_invariance(spark, corpus):
     # the hierarchical Spark-side top-k reduce must not depend on the
     # physical partitioning of the per-segment rows
