@@ -520,7 +520,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return textops.fingerprint(_docs(spark, sf))
 
     def dedup_jaccard(spark, sf):
-        return textops.ngram_jaccard_pairs(_docs(spark, sf), n=1, threshold=0.5).select(
+        # exact Jaccard with the stop-shingle guard active (candidates from
+        # shingles with df<=50 only, similarity verified over full sets) —
+        # the oracle mirrors the guard exactly
+        return textops.ngram_jaccard_pairs(
+            _docs(spark, sf), n=1, threshold=0.5, max_shingle_df=50
+        ).select(
             "a", "b", F.floor(F.col("jaccard") * 1e6).cast("long").alias("jaccard_q")
         )
 
@@ -1119,10 +1124,18 @@ WITH grams AS (
   SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS ngram FROM documents
 ),
 sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+rare AS (SELECT ngram FROM (SELECT ngram, count(*) AS df FROM grams GROUP BY ngram) WHERE df <= 50),
+cand AS (
+  SELECT DISTINCT g1.doc_id AS a, g2.doc_id AS b
+  FROM grams g1 JOIN rare USING (ngram)
+  JOIN grams g2 ON g2.ngram = g1.ngram AND g1.doc_id < g2.doc_id
+),
 inter AS (
-  SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS n_common
-  FROM grams g1 JOIN grams g2 ON g1.ngram = g2.ngram AND g1.doc_id < g2.doc_id
-  GROUP BY g1.doc_id, g2.doc_id
+  SELECT c.a, c.b, count(*) AS n_common
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.a
+  JOIN grams gb ON gb.doc_id = c.b AND gb.ngram = ga.ngram
+  GROUP BY c.a, c.b
 )
 SELECT a, b,
        CAST(floor((CAST(n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - n_common)) * 1e6) AS BIGINT) AS jaccard_q

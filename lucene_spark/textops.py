@@ -65,22 +65,58 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (a < b, jaccard >= threshold).
 
-    Self-join on shared n-grams — the exact (quadratic-in-collisions)
-    baseline; the scale path is :func:`minhash_lsh_candidates`.
+    Without ``max_shingle_df``: plain self-join on shared n-grams — exact but
+    quadratic in per-shingle collisions (one ubiquitous n-gram explodes the
+    join; fine for small corpora only).
+
+    With ``max_shingle_df`` (the scale guard — standard stop-shingle
+    practice): candidate pairs are generated ONLY from shingles with
+    document frequency <= the cap, then each candidate's Jaccard is computed
+    exactly over the FULL shingle sets.  Reported similarities are exact;
+    the only approximation is the candidate contract — a pair sharing
+    exclusively ultra-common shingles is never considered (such pairs are
+    noise at any realistic threshold).  Join keys are then bounded by
+    max_shingle_df, so no single shingle can produce more than
+    max_shingle_df^2 candidate rows.
     """
     grams = token_ngrams(docs, id_col, text_col, n)
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
     a = grams.select(F.col(id_col).alias("a"), "ngram")
     b = grams.select(F.col(id_col).alias("b"), "ngram")
-    inter = (
-        a.join(b, "ngram")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    if max_shingle_df is None:
+        inter = (
+            a.join(b, "ngram")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
+        rare = (
+            grams.groupBy("ngram")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("ngram")
+        )
+        cand = (
+            a.join(rare, "ngram")
+            .join(b, "ngram")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+        # exact verify over FULL shingle sets, restricted to candidates:
+        # equi-join on (doc, ngram) both sides — the candidate set bounds
+        # the fan-out, full sets restore exactness
+        inter = (
+            cand.join(a, "a")
+            .join(b, ["b", "ngram"])
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     return (
         inter.join(sizes.select(F.col(id_col).alias("a"), F.col("n_grams").alias("size_a")), "a")
         .join(sizes.select(F.col(id_col).alias("b"), F.col("n_grams").alias("size_b")), "b")

@@ -42,6 +42,23 @@ def test_ngram_jaccard(docs_df):
     assert (0, 3) not in pairs
 
 
+def test_ngram_jaccard_guard_exact_for_rare_shingles(docs_df):
+    # with a df cap that keeps all shingles rare, guarded == unguarded, and
+    # reported similarities are exact (full-set verification)
+    unguarded = {(r["a"], r["b"]): r["jaccard"]
+                 for r in textops.ngram_jaccard_pairs(docs_df, n=1, threshold=0.3).collect()}
+    guarded = {(r["a"], r["b"]): r["jaccard"]
+               for r in textops.ngram_jaccard_pairs(
+                   docs_df, n=1, threshold=0.3, max_shingle_df=10).collect()}
+    assert guarded == unguarded
+    # with an aggressive cap, surviving pairs still report EXACT jaccard
+    tight = {(r["a"], r["b"]): r["jaccard"]
+             for r in textops.ngram_jaccard_pairs(
+                 docs_df, n=1, threshold=0.3, max_shingle_df=2).collect()}
+    for pair, j in tight.items():
+        assert j == unguarded[pair]
+
+
 def test_minhash_lsh_finds_exact_dups(docs_df):
     cand = {(r["a"], r["b"]) for r in
             textops.minhash_lsh_candidates(docs_df, n=3, num_perm=32, bands=16).collect()}
