@@ -924,19 +924,56 @@ SELECT d.lang, CAST(count(*) AS BIGINT) AS n FROM documents d
 WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'dup')
 GROUP BY d.lang""",
         "ft_phrase": _phrase_sql([("table", 0), ("hash", 1)], 10),
-        "ft_phrase_sloppy": _FT_PRELUDE + """,
+        # Lucene SloppyPhraseMatcher semantics (SloppyPhraseMatcher.java:
+        # 178-206 nextMatch): for a 2-term phrase the PhraseQueue walk
+        # reduces (end == max(posA,posB) invariant) to an alternating-run
+        # process — runner = list with the smaller head, y = other head;
+        # each run emits ONE match with matchLength = y - (runner's last
+        # element <= y), then y := runner's first element > y and roles
+        # swap.  Encoded as a recursive CTE; fuzz-dueled against the
+        # faithful matcher in tests/test_phrase_advanced.py.
+        "ft_phrase_sloppy": "WITH RECURSIVE " + _FT_PRELUDE.replace(
+            "WITH tok AS", "tok AS", 1
+        ) + """,
 pos AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS w,
          generate_subscripts(string_split(text, ' '), 1) - 1 AS p
   FROM documents
 ),
-anchors AS (SELECT doc_id, p FROM pos WHERE w = 'table'),
-cand AS (
-  SELECT a.doc_id, a.p, min(abs(b.p - a.p - 1)) AS ml
-  FROM anchors a JOIN pos b ON b.doc_id = a.doc_id AND b.w = 'hash'
-  GROUP BY a.doc_id, a.p
+ab AS (
+  SELECT doc_id, p AS ap, 0 AS which FROM pos WHERE w = 'table'
+  UNION ALL
+  SELECT doc_id, p - 1 AS ap, 1 AS which FROM pos WHERE w = 'hash'
 ),
-fr AS (SELECT doc_id, SUM(1.0 / (1.0 + ml)) AS pf FROM cand WHERE ml <= 2 GROUP BY doc_id),
+heads AS (
+  SELECT doc_id,
+         min(CASE WHEN which = 0 THEN ap END) AS ha,
+         min(CASE WHEN which = 1 THEN ap END) AS hb
+  FROM ab GROUP BY doc_id
+  HAVING count(DISTINCT which) = 2
+),
+walk(doc_id, y, ylist, freq) AS (
+  SELECT doc_id, greatest(ha, hb),
+         CASE WHEN hb >= ha THEN 1 ELSE 0 END, CAST(0 AS DOUBLE)
+  FROM heads
+  UNION ALL
+  SELECT w.doc_id,
+         (SELECT min(ap) FROM ab
+          WHERE ab.doc_id = w.doc_id AND which = 1 - w.ylist AND ap > w.y),
+         1 - w.ylist,
+         w.freq + CASE
+           WHEN w.y - (SELECT max(ap) FROM ab
+                       WHERE ab.doc_id = w.doc_id AND which = 1 - w.ylist
+                         AND ap <= w.y) <= 2
+           THEN 1.0 / (1.0 + (w.y - (SELECT max(ap) FROM ab
+                                     WHERE ab.doc_id = w.doc_id
+                                       AND which = 1 - w.ylist AND ap <= w.y)))
+           ELSE 0 END
+  FROM walk w WHERE w.y IS NOT NULL
+),
+fr AS (
+  SELECT doc_id, freq AS pf FROM walk WHERE y IS NULL AND freq > 0
+),
 sc AS (
   SELECT fr.doc_id,
          ((SELECT ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) FROM df d CROSS JOIN stats s WHERE d.term = 'table')

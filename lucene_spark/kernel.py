@@ -203,51 +203,183 @@ def _phrase_eval(members, postings_by_term, pos_by_term, scorer, precision):
     return udocs, s
 
 
+def lucene_sloppy_freq(adjs, offsets, terms, slop, f32=True) -> float:
+    """Sloppy phrase frequency of ONE document — a faithful transliteration
+    of SloppyPhraseMatcher's PhraseQueue walk (SloppyPhraseMatcher.java:
+    nextMatch at :178-206, PhraseQueue.lessThan ordering, PhrasePositions
+    position = tp - offset), including the repeating-term init (group sorted
+    by offset, j-th pp pre-advanced j times, advanceRepeatGroups at :435-466)
+    and collision resolution (advance the lesser of two colliding pps,
+    advanceRpts at :283-322).
+
+    ``adjs``: one sorted int array of OFFSET-ADJUSTED positions per phrase
+    member (tp - query offset); ``offsets``: the query offsets; ``terms``:
+    member terms (for repeat-group detection).  freq accumulates per match as
+    sloppyWeight = 1/(1+matchLength), in float32 like PhraseScorer's
+    ``float freq`` (:32,76-78) when ``f32``.
+    """
+    import heapq
+
+    n = len(adjs)
+    pps = [
+        {"arr": a, "i": 0, "pos": int(a[0]), "off": off, "ord": o, "ser": 0}
+        for o, (a, off) in enumerate(zip(adjs, offsets))
+    ]
+    end = max(pp["pos"] for pp in pps)
+
+    def advance(pp):
+        nonlocal end
+        pp["i"] += 1
+        if pp["i"] >= len(pp["arr"]):
+            return False
+        pp["pos"] = int(pp["arr"][pp["i"]])
+        if pp["pos"] > end:
+            end = pp["pos"]
+        return True
+
+    # repeat groups: members sharing a term, sorted by query offset; j-th
+    # pre-advanced j times so no two start on the same token position
+    groups: dict[str, list] = {}
+    for pp, t in zip(pps, terms):
+        groups.setdefault(t, []).append(pp)
+    rpt_groups = [sorted(g, key=lambda p: p["off"]) for g in groups.values() if len(g) > 1]
+    for rg in rpt_groups:
+        for j in range(1, len(rg)):
+            for _ in range(j):
+                if not advance(rg[j]):
+                    return 0.0
+        for pp in rg:
+            pp["grp"] = rg
+    end = max(end, max(pp["pos"] for pp in pps))
+
+    heap: list = []
+    for pp in pps:
+        heapq.heappush(heap, ((pp["pos"], pp["off"], pp["ord"]), pp["ser"], pp))
+
+    def pop_valid():
+        while heap:
+            key, ser, pp = heapq.heappop(heap)
+            if ser == pp["ser"]:
+                return pp
+        return None
+
+    def top_pos():
+        while heap:
+            key, ser, pp = heap[0]
+            if ser == pp["ser"]:
+                return key[0]
+            heapq.heappop(heap)
+        return None
+
+    def push(pp):
+        heapq.heappush(heap, ((pp["pos"], pp["off"], pp["ord"]), pp["ser"], pp))
+
+    def resolve_collisions(pp):
+        """advanceRpts: if pp collides (same token position) with a repeat of
+        the same term, advance the lesser of the two until resolved."""
+        if "grp" not in pp:
+            return True, pp
+        while True:
+            other = None
+            for pp2 in pp["grp"]:
+                if pp2 is not pp and pp2["i"] < len(pp2["arr"]) and \
+                        pp2["pos"] + pp2["off"] == pp["pos"] + pp["off"]:
+                    other = pp2
+                    break
+            if other is None:
+                return True, pp
+            lesser = pp if (pp["pos"], pp["off"]) < (other["pos"], other["off"]) else other
+            if lesser is not pp:
+                # advancing an in-queue pp: invalidate its heap entry
+                lesser["ser"] += 1
+            if not advance(lesser):
+                return False, pp
+            if lesser is not pp:
+                push(lesser)
+            else:
+                pp = lesser
+        return True, pp
+
+    freq32 = np.float32(0.0)
+    freq64 = 0.0
+    positioned = True
+    while positioned:
+        pp = pop_valid()
+        if pp is None:
+            break
+        match_length = end - pp["pos"]
+        nxt = top_pos()
+        if nxt is None:
+            nxt = pp["pos"]  # degenerate single-member (shouldn't happen)
+        while True:
+            if not advance(pp):
+                positioned = False
+                break
+            ok, pp = resolve_collisions(pp)
+            if not ok:
+                positioned = False
+                break
+            if pp["pos"] > nxt:  # done minimizing current match length
+                push(pp)
+                if match_length <= slop:
+                    break  # match found — next outer iteration continues
+                pp = pop_valid()
+                if pp is None:
+                    positioned = False
+                    break
+                nxt = top_pos()
+                if nxt is None:
+                    positioned = False
+                    break
+                match_length = end - pp["pos"]
+            else:
+                ml2 = end - pp["pos"]
+                if ml2 < match_length:
+                    match_length = ml2
+        if match_length <= slop:
+            w = np.float32(1.0) / (np.float32(1.0) + np.float32(match_length))
+            freq32 = np.float32(freq32 + w)
+            freq64 += 1.0 / (1.0 + float(match_length))
+    return float(freq32) if f32 else freq64
+
+
 def _sloppy_eval(members, slop, postings_by_term, pos_by_term, scorer, precision):
-    """Sloppy phrase (SloppyPhraseMatcher.java:53 inspired; engine-defined
-    anchor semantic, documented): for every occurrence of the FIRST member
-    (the anchor), the match length is the sum over other members of the
-    minimal in-doc displacement from its expected position; an anchor with
-    matchLength <= slop contributes sloppyFreq = 1/(1+matchLength)
-    (PhraseScorer sloppy frequency weighting), summed per doc."""
-    t0, q0 = members[0]
-    if t0 not in postings_by_term or t0 not in pos_by_term:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-    d0, f0, dl0 = postings_by_term[t0]
-    if len(d0) == 0:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-    anchor_docs = np.repeat(d0, f0)
-    anchor_keys = (anchor_docs << _POS_SHIFT) | (pos_by_term[t0] + _POS_BIAS)
-    ml = np.zeros(len(anchor_keys), dtype=np.float64)
-    BIG = np.float64(1 << 30)
-    for t, qoff in members[1:]:
+    """SloppyPhraseMatcher semantics, per candidate document (candidates =
+    the conjunction of all member terms, ConjunctionDISI in the reference —
+    SloppyPhraseMatcher.java:103).  Each candidate doc runs the faithful
+    PhraseQueue walk (:func:`lucene_sloppy_freq`); docs with freq > 0 score
+    BM25(sloppyFreq) under the multi-term phrase weight."""
+    arrs = []
+    for t, qoff in members:
         if t not in postings_by_term or t not in pos_by_term:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-        d, f, _ = postings_by_term[t]
-        keys = (np.repeat(d, f) << _POS_SHIFT) | (pos_by_term[t] + _POS_BIAS)
-        targets = anchor_keys + np.int64(qoff - q0)
-        idx = np.searchsorted(keys, targets)
-        best = np.full(len(targets), BIG)
-        for cand in (idx - 1, idx):
-            ok = (cand >= 0) & (cand < len(keys))
-            if not ok.any():
-                continue
-            kv = keys[np.clip(cand, 0, len(keys) - 1)]
-            same_doc = (kv >> _POS_SHIFT) == (targets >> _POS_SHIFT)
-            sel = ok & same_doc
-            dist = np.abs(kv.astype(np.float64) - targets.astype(np.float64))
-            best[sel] = np.minimum(best[sel], dist[sel])
-        ml += best
-    hit = ml <= slop
+        d, f, dl = postings_by_term[t]
+        if len(d) == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        arrs.append((d, f, dl, pos_by_term[t], np.cumsum(f) - f))
+    cand = arrs[0][0]
+    for d, _, _, _, _ in arrs[1:]:
+        cand = cand[np.isin(cand, d, assume_unique=True)]
+        if len(cand) == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    offsets = [qoff for _, qoff in members]
+    terms = [t for t, _ in members]
+    f32 = precision == "lucene"
+    freqs = np.empty(len(cand), dtype=np.float64)
+    for ci, doc in enumerate(cand):
+        adjs = []
+        for (d, f, dl, pos, pstart), off in zip(arrs, offsets):
+            j = int(np.searchsorted(d, doc))
+            s, c = int(pstart[j]), int(f[j])
+            adjs.append(pos[s : s + c] - off)
+        freqs[ci] = lucene_sloppy_freq(adjs, offsets, terms, slop, f32)
+    hit = freqs > 0
     if not hit.any():
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-    w = 1.0 / (1.0 + ml[hit])
-    hdocs = anchor_docs[hit]
-    udocs, inv = np.unique(hdocs, return_inverse=True)
-    freq = np.zeros(len(udocs), dtype=np.float64)
-    np.add.at(freq, inv, w)
-    dl = dl0[np.searchsorted(d0, udocs)]
-    s = scorer.score_from_dl(freq, dl).astype(np.float64)
+    udocs = cand[hit]
+    d0 = arrs[0][0]
+    dl = arrs[0][2][np.searchsorted(d0, udocs)]
+    s = scorer.score_from_dl(freqs[hit], dl).astype(np.float64)
     return udocs, s
 
 
@@ -659,14 +791,21 @@ def segment_topk(
                 acc = wms if acc is None else np.minimum(acc, wms)
             return acc
         if kind_ == "sloppy":
-            # sloppyFreq <= anchor tf (each anchor occurrence contributes
-            # at most 1), so the anchor's frontier under the phrase weight
-            # bounds the score; zero where any member absent.
+            # Lucene uses DUMMY impacts for sloppy phrases (a useful tight
+            # frequency bound doesn't exist — SloppyPhraseMatcher.java:
+            # 107-137 builds Impact(Integer.MAX_VALUE, 1L)); the analog is
+            # the asymptotic score bound: score = w - w/(1+f*inv) < w, so
+            # the phrase WEIGHT bounds every window where all members are
+            # present (ConjunctionDISI approximation), zero elsewhere.
             scorer = n_[3]
-            t0 = n_[1][0][0]
             if any(t not in tps for t, _ in n_[1]):
                 return np.zeros(n_windows, dtype=np.float64)
-            return window_max_scores(tps[t0], scorer, n_windows, window_bits)
+            present = np.ones(n_windows, dtype=bool)
+            for t, _ in n_[1]:
+                present &= window_max_scores(tps[t], scorer, n_windows, window_bits) > 0
+            out = np.zeros(n_windows, dtype=np.float64)
+            out[present] = float(scorer.weight)
+            return out
         if kind_ == "syn":
             # score(f1+f2) <= score(f1)+score(f2) (concave, score(0)=0), so
             # the sum of member bounds under the SYN weight is a valid bound.

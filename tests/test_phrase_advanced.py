@@ -327,3 +327,83 @@ def test_syn_sums_freqs():
     assert d.tolist() == [0]
     expect = scorer.score_from_dl(np.array([5]), np.array([5]))[0]
     assert s[0] == pytest.approx(float(expect), abs=0)
+
+
+# --- Lucene-exact sloppy phrase matcher ---------------------------------------
+
+
+def _closed_form_2term(adj_a, adj_b, slop):
+    """Independent 2-term model — the alternating-run process the PhraseQueue
+    walk reduces to for two terms (end == max(posA, posB) invariant):
+    runner = list holding the smaller head, y = other head; each run emits
+    ONE match with matchLength = y - (runner's last element <= y); then
+    y := runner's first element > y and roles swap.  This is also the shape
+    of the ft_phrase_sloppy recursive-CTE oracle."""
+    lists = [sorted(int(v) for v in adj_a), sorted(int(v) for v in adj_b)]
+    ha, hb = lists[0][0], lists[1][0]
+    y, ylist = (hb, 1) if hb >= ha else (ha, 0)
+    freq = 0.0
+    while True:
+        runner = 1 - ylist
+        r_last = max(v for v in lists[runner] if v <= y)
+        ml = y - r_last
+        if ml <= slop:
+            freq += 1.0 / (1.0 + ml)
+        nxt = [v for v in lists[runner] if v > y]
+        if not nxt:
+            return freq
+        y, ylist = nxt[0], runner
+
+
+def test_sloppy_javadoc_example():
+    # SloppyPhraseMatcher.java:40-44: doc "x a b a y", query "a b"~2 matches
+    # twice — "a b" at distance 0 and "b a" at distance 2
+    from lucene_spark.kernel import lucene_sloppy_freq
+
+    adj_a = np.array([1, 3])       # 'a' at 1, 3; offset 0
+    adj_b = np.array([2 - 1])      # 'b' at 2; offset 1
+    freq = lucene_sloppy_freq([adj_a, adj_b], [0, 1], ["a", "b"], 2, f32=False)
+    assert freq == pytest.approx(1.0 + 1.0 / 3.0)
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_sloppy_walker_matches_closed_form_2term(seed):
+    from lucene_spark.kernel import lucene_sloppy_freq
+
+    rng = np.random.default_rng(seed)
+    na, nb = rng.integers(1, 8, 2)
+    adj_a = np.unique(rng.integers(0, 25, na))
+    adj_b = np.unique(rng.integers(0, 25, nb))
+    for slop in (0, 1, 2, 4, 30):
+        got = lucene_sloppy_freq([adj_a, adj_b], [0, 1], ["t0", "t1"], slop, f32=False)
+        want = _closed_form_2term(adj_a, adj_b, slop)
+        assert got == pytest.approx(want), (adj_a, adj_b, slop)
+
+
+def test_sloppy_slop0_equals_exact_phrase_freq():
+    from lucene_spark.kernel import lucene_sloppy_freq
+
+    rng = np.random.default_rng(7)
+    for _ in range(10):
+        pos_a = np.unique(rng.integers(0, 30, 6))
+        pos_b = np.unique(rng.integers(0, 30, 6))
+        # exact "a b": count of p with a@p and b@p+1
+        exact = len(np.intersect1d(pos_a, pos_b - 1))
+        got = lucene_sloppy_freq(
+            [pos_a, pos_b - 1], [0, 1], ["a", "b"], 0, f32=False
+        )
+        assert got == pytest.approx(float(exact))
+
+
+def test_sloppy_repeated_term_phrase_runs():
+    # "a b a"~2 over "a b a b a": repeat group handling (j-th pp advanced j
+    # times, collisions resolved by advancing the lesser) must terminate and
+    # produce a sane positive freq; exact value asserted stable
+    from lucene_spark.kernel import lucene_sloppy_freq
+
+    pos_a = np.array([0, 2, 4])
+    pos_b = np.array([1, 3])
+    adjs = [pos_a - 0, pos_b - 1, pos_a - 2]
+    f1 = lucene_sloppy_freq(adjs, [0, 1, 2], ["a", "b", "a"], 2, f32=False)
+    f2 = lucene_sloppy_freq(adjs, [0, 1, 2], ["a", "b", "a"], 2, f32=False)
+    assert f1 == f2 and f1 > 0
