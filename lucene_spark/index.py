@@ -118,19 +118,53 @@ class Index:
 
 
 def _ranged_with_offsets(
-    df: DataFrame, key_col: str, num_partitions: int
+    df: DataFrame, key_col: str, num_partitions: int, check_unique: bool = False
 ) -> tuple[DataFrame, list[int], int]:
     """Range-partition + sort by key; return (cached frame, per-partition
     docID base offsets, total row count).  The counts job is the only extra
-    pass and it reads just the partition ids."""
+    pass; with ``check_unique`` it also asserts key uniqueness for free:
+    range partitioning co-locates equal keys and the partition sort makes
+    duplicates ADJACENT, so a per-partition adjacency scan (no shuffle, no
+    countDistinct) is an exact duplicate detector."""
+    from pyspark import TaskContext
+
     ranged = (
         df.repartitionByRange(num_partitions, F.col(key_col))
         .sortWithinPartitions(key_col)
         .persist()
     )
-    counts = (
-        ranged.select(F.spark_partition_id().alias("pid")).groupBy("pid").count().collect()
-    )
+
+    if check_unique:
+
+        def stats(batches):
+            pid = TaskContext.get().partitionId()
+            n = 0
+            dups = 0
+            prev_last = None
+            for pdf in batches:
+                k = pdf[key_col].to_numpy()
+                n += len(k)
+                if len(k):
+                    dups += int((k[1:] == k[:-1]).sum())
+                    if prev_last is not None and len(k) and k[0] == prev_last:
+                        dups += 1
+                    prev_last = k[-1]
+            yield pd.DataFrame({"pid": [pid], "count": [n], "dups": [dups]})
+
+        counts = ranged.select(key_col).mapInPandas(
+            stats, schema="pid long, count long, dups long"
+        ).collect()
+        n_dups = sum(r["dups"] for r in counts)
+        if n_dups:
+            raise ValueError(
+                f"key_col {key_col!r} must be unique for rank-assigned docids "
+                f"({n_dups} duplicate keys); pass an explicit docid_col or "
+                "deduplicate first"
+            )
+    else:
+        counts = (
+            ranged.select(F.spark_partition_id().alias("pid")).groupBy("pid").count().collect()
+        )
     sizes = {r["pid"]: r["count"] for r in counts}
     max_pid = max(sizes) if sizes else -1
     offsets = np.zeros(max_pid + 2, dtype=np.int64)
@@ -647,16 +681,9 @@ def build_index(
     num_partitions = pages.sparkSession.sparkContext.defaultParallelism
     if docid_col is None:
         base, offs, doc_count = _ranged_with_offsets(
-            pages.select(key_col, text_col), key_col, num_partitions
+            pages.select(key_col, text_col), key_col, num_partitions,
+            check_unique=check_unique_keys,
         )
-        if check_unique_keys:
-            n_keys = base.agg(F.countDistinct(key_col)).collect()[0][0]
-            if n_keys != doc_count:
-                raise ValueError(
-                    f"key_col {key_col!r} must be unique for rank-assigned "
-                    f"docids ({doc_count - n_keys} duplicate keys); pass an "
-                    "explicit docid_col or deduplicate first"
-                )
     else:
         cols = list(dict.fromkeys([key_col, text_col, docid_col]))
         base = pages.select(*cols)
