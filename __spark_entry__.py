@@ -260,6 +260,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return spark.createDataFrame(rows or [], "doc_id long, score_q long")
 
+    def ft_classic_sim(spark, sf):
+        # pluggable similarity: ClassicSimilarity TF-IDF (ClassicSimilarity
+        # .java:37-65, IndexSearcher.setSimilarity analog) — float64 twin:
+        # score = sum over matched terms of (ln((N+1)/(df+1))+1)*sqrt(tf)/sqrt(dl)
+        idx = _ft_index(spark, sf)
+        td = search(idx, "spark window dup", k=10, precision="float64",
+                    prune=True, similarity="classic")
+        rows = [
+            (int(d), int(math.floor(s * 10000)))
+            for d, s in zip(td.docids.tolist(), td.scores.tolist())
+        ]
+        return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
+    def ft_boolean_sim(spark, sf):
+        # BooleanSimilarity (BooleanSimilarity.java:58-60): every matching
+        # term contributes exactly its boost (1.0) — score == matched-term
+        # count; ties broken by docid asc (TopDocs.merge contract)
+        idx = _ft_index(spark, sf)
+        td = search(idx, "spark window dup", k=10, precision="float64",
+                    prune=True, similarity="boolean")
+        rows = [
+            (int(d), int(math.floor(s * 10000)))
+            for d, s in zip(td.docids.tolist(), td.scores.tolist())
+        ]
+        return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
     def ft_reqopt(spark, sf):
         # ReqOptSumScorer (`+must should` classic syntax): docs must match
         # 'key'; 'window'/'dup' add to the score where they co-match
@@ -640,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- entries 51+: variants of operators already gated above ---
         ann_ivf_indexed, ft_deleted, ft_bm25_params, ft_and3_topk, ft_paging,
         ft_prefix_match, ft_qp_boost, text_fingerprint,
+        ft_classic_sim, ft_boolean_sim,
     ]:
         q[fn.__name__] = fn
     return q
@@ -897,6 +924,26 @@ term_scores AS (
 ),
 doc_scores AS (
   SELECT doc_id, SUM(w - w / (1.0 + tf * inv)) AS score FROM term_scores GROUP BY doc_id
+)
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10""",
+        "ft_classic_sim": _FT_PRELUDE + """,
+term_scores AS (
+  SELECT tf.doc_id,
+         ln((s.n + 1) / (df.df + 1.0)) + 1.0 AS w,
+         sqrt(CAST(tf.tf AS DOUBLE)) / sqrt(CAST(dl.dl AS DOUBLE)) AS tfn
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term IN ('spark', 'window', 'dup')
+),
+doc_scores AS (
+  SELECT doc_id, SUM(w * tfn) AS score FROM term_scores GROUP BY doc_id
+)
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10""",
+        "ft_boolean_sim": _FT_PRELUDE + """,
+doc_scores AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS score
+  FROM tf WHERE term IN ('spark', 'window', 'dup') GROUP BY doc_id
 )
 SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
 FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10""",

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from .analysis import ENGLISH_STOP_WORDS, analyze
 from .index import Index
 from .kernel import segment_topk
-from .similarity import BM25Scorer, CollectionStats
+from .similarity import SIMILARITIES, BM25Scorer, CollectionStats
 
 # --- query AST + parser ---------------------------------------------------------
 
@@ -447,6 +447,7 @@ def attach_scorers(
     k1: float,
     b: float,
     precision: str,
+    sim_cls: type = BM25Scorer,
 ) -> tuple | None:
     """Rewrite AST → executable node: phrase/syn nodes get their multi-term
     scorer (createWeight analog); nodes that provably match nothing → None."""
@@ -460,7 +461,7 @@ def attach_scorers(
             node[2] if kind == "phrase" and len(node) > 2 else None
         )
         boost = float(tail) if isinstance(tail, (int, float)) else 1.0
-        scorer = BM25Scorer.for_terms(
+        scorer = sim_cls.for_terms(
             [dfs[t] for t, _ in node[1]], stats, k1=k1, b=b, boost=boost,
             precision=precision,
         )
@@ -475,7 +476,7 @@ def attach_scorers(
         boost = float(tail) if isinstance(tail, (int, float)) else 1.0
         # merged pseudo-term stats: docFreq = max of members
         # (SynonymQuery.java:330-347 blends TermStates the same way)
-        scorer = BM25Scorer(
+        scorer = sim_cls(
             max(dfs[t] for t in present), stats, k1=k1, b=b, boost=boost,
             precision=precision,
         )
@@ -486,32 +487,32 @@ def attach_scorers(
             return None
         return ("const", present, node[2])
     if kind == "andn":
-        subs = [attach_scorers(c, dfs, stats, k1, b, precision) for c in node[1]]
+        subs = [attach_scorers(c, dfs, stats, k1, b, precision, sim_cls) for c in node[1]]
         if any(s is None for s in subs):
             return None  # a MUST sub-clause matching nothing kills the query
         return ("andn", subs)
     if kind == "reqoptn":
-        req = attach_scorers(node[1], dfs, stats, k1, b, precision)
+        req = attach_scorers(node[1], dfs, stats, k1, b, precision, sim_cls)
         if req is None:
             return None
-        opts = [attach_scorers(c, dfs, stats, k1, b, precision) for c in node[2]]
+        opts = [attach_scorers(c, dfs, stats, k1, b, precision, sim_cls) for c in node[2]]
         opts = [s for s in opts if s is not None]
         return ("reqoptn", req, opts) if opts else req
     if kind == "notn":
-        pos = attach_scorers(node[1], dfs, stats, k1, b, precision)
+        pos = attach_scorers(node[1], dfs, stats, k1, b, precision, sim_cls)
         if pos is None:
             return None
-        negs = [attach_scorers(c, dfs, stats, k1, b, precision) for c in node[2]]
+        negs = [attach_scorers(c, dfs, stats, k1, b, precision, sim_cls) for c in node[2]]
         negs = [s for s in negs if s is not None]
         return ("notn", pos, negs) if negs else pos
     if kind == "dismax":
-        subs = [attach_scorers(c, dfs, stats, k1, b, precision) for c in node[1]]
+        subs = [attach_scorers(c, dfs, stats, k1, b, precision, sim_cls) for c in node[1]]
         subs = [s for s in subs if s is not None]
         if not subs:
             return None
         return ("dismax", subs, node[2])
     if kind == "or":
-        subs = [attach_scorers(c, dfs, stats, k1, b, precision) for c in node[1]]
+        subs = [attach_scorers(c, dfs, stats, k1, b, precision, sim_cls) for c in node[1]]
         subs = [s for s in subs if s is not None]
         if not subs:
             return None
@@ -519,10 +520,10 @@ def attach_scorers(
             return subs[0]
         return ("or", subs)
     if kind == "not":
-        pos = attach_scorers(node[1], dfs, stats, k1, b, precision)
+        pos = attach_scorers(node[1], dfs, stats, k1, b, precision, sim_cls)
         return ("not", pos, node[2]) if pos is not None else None
     if kind == "reqopt":
-        req = attach_scorers(node[1], dfs, stats, k1, b, precision)
+        req = attach_scorers(node[1], dfs, stats, k1, b, precision, sim_cls)
         return ("reqopt", req, node[2]) if req is not None else None
     return node
 
@@ -746,8 +747,13 @@ def search(
     with_urls: bool = False,
     boosts: dict[str, float] | None = None,
     filter_docs: DataFrame | None = None,
+    similarity: str = "bm25",
 ) -> TopDocs:
-    """Distributed top-k BM25 search. ``query``: string or pre-parsed AST
+    """Distributed top-k search.  ``similarity``: 'bm25' (default),
+    'classic' (TF-IDF, ClassicSimilarity.java), or 'boolean'
+    (BooleanSimilarity.java) — the IndexSearcher.setSimilarity analog
+    (search/IndexSearcher.java:286-294); the kernels are similarity-agnostic
+    (SimScorer contract).  ``query``: string or pre-parsed AST
     (term/and/or/not/phrase/dismax/msm/syn nodes).  ``boosts``: per-term boost
     (BoostQuery analog).
 
@@ -772,12 +778,13 @@ def search(
     stats = CollectionStats(index.doc_count, index.sum_total_term_freq)
     dfs = term_dfs(terms, index.termdict)
     boosts = boosts or {}
+    sim_cls = SIMILARITIES[similarity]
     scorers = {
-        t: BM25Scorer(dfs[t], stats, k1=k1, b=b, boost=boosts.get(t, 1.0), precision=precision)
+        t: sim_cls(dfs[t], stats, k1=k1, b=b, boost=boosts.get(t, 1.0), precision=precision)
         for t in terms
         if t in dfs
     }
-    node = attach_scorers(node, dfs, stats, k1, b, precision)
+    node = attach_scorers(node, dfs, stats, k1, b, precision, sim_cls)
     if node is None:
         return empty
     if node[0] == "and" and any(t not in scorers for t in terms):
@@ -905,6 +912,7 @@ def score_docs(
     precision: str = "lucene",
     k1: float = 1.2,
     b: float = 0.75,
+    similarity: str = "bm25",
 ) -> DataFrame:
     """ALL matching docs scored, returned as a distributed DataFrame
     (docid, score) — the collector-chaining primitive behind facets/grouping
@@ -923,12 +931,13 @@ def score_docs(
     terms = sorted(set(query_terms(node)))
     stats = CollectionStats(index.doc_count, index.sum_total_term_freq)
     dfs = term_dfs(terms, index.termdict)
+    sim_cls = SIMILARITIES[similarity]
     scorers = {
-        t: BM25Scorer(dfs[t], stats, k1=k1, b=b,
-                      boost=term_boosts.get(t, 1.0), precision=precision)
+        t: sim_cls(dfs[t], stats, k1=k1, b=b,
+                   boost=term_boosts.get(t, 1.0), precision=precision)
         for t in terms if t in dfs
     }
-    node = attach_scorers(node, dfs, stats, k1, b, precision)
+    node = attach_scorers(node, dfs, stats, k1, b, precision, sim_cls)
     if node is None or not scorers:
         return empty
     if node[0] == "and" and any(t not in scorers for t in terms):
@@ -1069,6 +1078,7 @@ def search_many(
     k1: float = 1.2,
     b: float = 0.75,
     ks: dict[str, int] | None = None,
+    similarity: str = "bm25",
 ) -> dict[str, TopDocs]:
     """Run MANY queries in ONE Spark job — the throughput path.
     ``ks`` optionally overrides ``k`` per query id.
@@ -1104,10 +1114,11 @@ def search_many(
         return {qid: empty for qid in queries}
 
     dfs = term_dfs(sorted(all_terms), index.termdict)
+    sim_cls = SIMILARITIES[similarity]
     exec_nodes: dict[str, tuple] = {}
     needed_terms: set[str] = set()
     for qid, node in prepared.items():
-        node = attach_scorers(node, dfs, stats, k1, b, precision)
+        node = attach_scorers(node, dfs, stats, k1, b, precision, sim_cls)
         if node is None:
             continue
         terms = [t for t in query_terms(node) if t in dfs]
@@ -1120,7 +1131,7 @@ def search_many(
         return {qid: empty for qid in queries}
 
     scorers = {
-        t: BM25Scorer(dfs[t], stats, k1=k1, b=b, precision=precision)
+        t: sim_cls(dfs[t], stats, k1=k1, b=b, precision=precision)
         for t in needed_terms
     }
     rows = index.postings.filter(F.col("term").isin(sorted(needed_terms)))

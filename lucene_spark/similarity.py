@@ -159,3 +159,152 @@ def combine_scores(per_term_scores: list[np.ndarray], precision: str = "lucene")
     for s in per_term_scores:
         acc += s.astype(np.float64)
     return acc.astype(np.float32) if precision == "lucene" else acc
+
+
+class ClassicScorer:
+    """Per-term TF-IDF scorer — ClassicSimilarity / TFIDFSimilarity.
+
+    Reference: search/similarities/ClassicSimilarity.java —
+      tf(freq)        = (float) sqrt(freq)                       (:43-46)
+      idf(df, N)      = (float) (log((N+1)/(df+1)) + 1.0)        (:61-65)
+      lengthNorm(dl)  = (float) (1.0 / sqrt(dl))                 (:37-40)
+    and TFIDFSimilarity.java —
+      normTable[i] = lengthNorm(byte4ToInt(i)), i in 1..255;
+      normTable[0] = 1f / normTable[255]                         (:461-475)
+      queryWeight  = boost * idf                                 (:489-494)
+      score(freq, norm) = tf(freq) * queryWeight * normTable[norm] (:497-502)
+    Multi-term (phrase) idf sums the per-term idfs
+    (TFIDFSimilarity.idfExplain over TermStatistics[], :389-404).
+
+    Interface-compatible with :class:`BM25Scorer` (score / score_from_dl /
+    max_score / weight) so the query kernels are similarity-agnostic, exactly
+    as Lucene's SimScorer contract makes ImpactsDISI pruning similarity-
+    agnostic (the score is monotone increasing in freq and decreasing in
+    length, so per-block impact frontiers remain valid upper bounds).
+
+    ``k1`` / ``b`` accepted and ignored (parameter-free similarity) so all
+    scorer classes share one construction signature.
+    """
+
+    def __init__(
+        self,
+        doc_freq: int,
+        stats: CollectionStats,
+        k1: float = 1.2,
+        b: float = 0.75,
+        boost: float = 1.0,
+        precision: str = "lucene",
+        idf_value: float | None = None,
+    ):
+        self.doc_freq = doc_freq
+        self.stats = stats
+        self.precision = precision
+        n = stats.doc_count
+        idf64 = (
+            float(idf_value)
+            if idf_value is not None
+            else math.log((n + 1) / float(doc_freq + 1)) + 1.0
+        )
+        if precision == "lucene":
+            # normTable: float32 1/sqrt(LENGTH_TABLE[i]); entry 0 mirrors
+            # TFIDFSimilarity.java:474 (normTable[0] = 1f / normTable[255])
+            with np.errstate(divide="ignore"):
+                table = (
+                    np.float32(1.0)
+                    / np.sqrt(LENGTH_TABLE, dtype=np.float32)
+                ).astype(np.float32)
+            table[0] = np.float32(1.0) / table[255]
+            self.norm_table = table
+            self.weight = np.float32(np.float32(boost) * np.float32(idf64))
+        elif precision == "float64":
+            self.weight = float(boost) * idf64
+        else:
+            raise ValueError(f"unknown precision {precision!r}")
+
+    @classmethod
+    def for_terms(
+        cls,
+        doc_freqs: list[int],
+        stats: CollectionStats,
+        k1: float = 1.2,
+        b: float = 0.75,
+        boost: float = 1.0,
+        precision: str = "lucene",
+    ) -> "ClassicScorer":
+        n = stats.doc_count
+        idf_sum = sum(
+            math.log((n + 1) / float(df + 1)) + 1.0 for df in doc_freqs
+        )
+        return cls(
+            doc_freqs[0] if doc_freqs else 0, stats, boost=boost,
+            precision=precision, idf_value=idf_sum,
+        )
+
+    def score(self, freq: np.ndarray, norm: np.ndarray) -> np.ndarray:
+        if self.precision == "lucene":
+            f = np.asarray(freq, dtype=np.float32)
+            nv = self.norm_table[np.asarray(norm, dtype=np.int64)]
+            return (np.sqrt(f, dtype=np.float32) * self.weight) * nv
+        f = np.asarray(freq, dtype=np.float64)
+        dl = np.asarray(norm, dtype=np.float64)
+        return self.weight * np.sqrt(f) / np.sqrt(dl)
+
+    def score_from_dl(self, freq: np.ndarray, dl: np.ndarray) -> np.ndarray:
+        if self.precision == "lucene":
+            from .smallfloat import int_to_byte4_np
+
+            return self.score(freq, int_to_byte4_np(np.asarray(dl)))
+        return self.score(freq, dl)
+
+    def max_score(self, freqs: np.ndarray, norms: np.ndarray) -> float:
+        if len(freqs) == 0:
+            return 0.0
+        return float(np.max(self.score(np.asarray(freqs), np.asarray(norms))))
+
+
+class BooleanScorer:
+    """Constant per-term scorer — BooleanSimilarity.java:25-60: every match
+    scores exactly the query boost, independent of freq and length (:58-60).
+    Interface-compatible with :class:`BM25Scorer`."""
+
+    def __init__(
+        self,
+        doc_freq: int,
+        stats: CollectionStats,
+        k1: float = 1.2,
+        b: float = 0.75,
+        boost: float = 1.0,
+        precision: str = "lucene",
+        idf_value: float | None = None,
+    ):
+        self.doc_freq = doc_freq
+        self.stats = stats
+        self.precision = precision
+        self.weight = (
+            np.float32(boost) if precision == "lucene" else float(boost)
+        )
+
+    @classmethod
+    def for_terms(cls, doc_freqs, stats, k1=1.2, b=0.75, boost=1.0,
+                  precision="lucene"):
+        return cls(doc_freqs[0] if doc_freqs else 0, stats, boost=boost,
+                   precision=precision)
+
+    def score(self, freq: np.ndarray, norm: np.ndarray) -> np.ndarray:
+        dt = np.float32 if self.precision == "lucene" else np.float64
+        return np.full(np.asarray(freq).shape, self.weight, dtype=dt)
+
+    def score_from_dl(self, freq: np.ndarray, dl: np.ndarray) -> np.ndarray:
+        return self.score(freq, dl)
+
+    def max_score(self, freqs: np.ndarray, norms: np.ndarray) -> float:
+        return 0.0 if len(freqs) == 0 else float(self.weight)
+
+
+# similarity registry (IndexSearcher.setSimilarity analog,
+# search/IndexSearcher.java:286-294): name → scorer class
+SIMILARITIES = {
+    "bm25": BM25Scorer,
+    "classic": ClassicScorer,
+    "boolean": BooleanScorer,
+}

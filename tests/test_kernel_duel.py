@@ -155,3 +155,71 @@ def test_tie_break_by_docid():
     d, s = run_query(("term", "t1"), segs, dl, dfs, stats, 16, 10, "lucene", prune=True)
     np.testing.assert_array_equal(d, np.arange(10))
     assert len(np.unique(s)) == 1
+
+
+@pytest.mark.parametrize("sim_name", ["classic", "boolean"])
+@pytest.mark.parametrize("precision", ["lucene", "float64"])
+def test_duel_other_similarities(sim_name, precision):
+    """Pruned kernel == exhaustive under non-BM25 similarities: the SimScorer
+    contract (score monotone increasing in freq, decreasing in length) keeps
+    the impact frontiers valid upper bounds for ANY similarity
+    (ClassicSimilarity.java:37-46, BooleanSimilarity.java:58-60)."""
+    from lucene_spark.similarity import SIMILARITIES
+
+    sim_cls = SIMILARITIES[sim_name]
+    rng = np.random.default_rng(77)
+    docs = synth_corpus(rng, 900, n_terms=25)
+    seg_size = 256
+    segs, dl, dfs, stats = build_rows(docs, seg_size)
+
+    def run(node, k, prune):
+        terms = set()
+
+        def collect(n):
+            if n[0] == "term":
+                terms.add(n[1])
+            elif n[0] == "and":
+                terms.update(n[1])
+            elif n[0] == "not":
+                collect(n[1])
+                terms.update(n[2])
+            else:
+                for c in n[1]:
+                    collect(c)
+
+        collect(node)
+        scorers = {t: sim_cls(dfs[t], stats, precision=precision)
+                   for t in terms if t in dfs}
+        results = []
+        for seg, rows in segs.items():
+            sub = {t: r for t, r in rows.items() if t in scorers}
+            if not sub:
+                continue
+            d, s = segment_topk(node, sub, scorers, seg_size, k,
+                                precision=precision, prune=prune, window_bits=6)
+            results.append((d + seg * seg_size, s))
+        alld = np.concatenate([d for d, _ in results])
+        alls = np.concatenate([s for _, s in results])
+        order = np.lexsort((alld, -alls))[:k]
+        return alld[order], alls[order]
+
+    for node in QUERIES:
+        for k in (1, 10, 50):
+            d1, s1 = run(node, k, prune=False)
+            d2, s2 = run(node, k, prune=True)
+            np.testing.assert_array_equal(d1, d2, err_msg=f"{sim_name} {node} k={k}")
+            np.testing.assert_array_equal(s1, s2, err_msg=f"{sim_name} {node} k={k}")
+
+
+def test_classic_scorer_values():
+    """ClassicSimilarity float64 formula: w * sqrt(tf) / sqrt(dl),
+    w = ln((N+1)/(df+1)) + 1 (ClassicSimilarity.java:43-65)."""
+    import math
+
+    from lucene_spark.similarity import ClassicScorer
+
+    stats = CollectionStats(1000, 50_000)
+    sc = ClassicScorer(9, stats, precision="float64", boost=2.0)
+    got = sc.score_from_dl(np.array([9]), np.array([16]))
+    want = 2.0 * (math.log(1001 / 10) + 1.0) * 3.0 / 4.0
+    np.testing.assert_allclose(got, [want], rtol=1e-12)
