@@ -260,6 +260,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return spark.createDataFrame(rows or [], "doc_id long, score_q long")
 
+    def ft_feature(spark, sf):
+        # FeatureField/FeatureQuery (document/FeatureField.java): static
+        # per-doc signal indexed as a pseudo-term whose freq encodes the
+        # float32 value (:164-166); query = BM25('dup') OR
+        # saturation(prank, pivot=8) — w * (1 - k/(S+k)), :380-386.
+        # Feature values are integers in 1..200, which round-trip the 15-bit
+        # mantissa truncation exactly, so the DuckDB twin is plain arithmetic.
+        from lucene_spark.feature import add_feature_field, feature_query
+
+        idx = _ft_index(spark, sf)
+        feats = _docs(spark, sf).select(
+            F.col("doc_id").alias("docid"),
+            ((F.col("doc_id") * 37) % 200 + 1).cast("double").alias("value"),
+        )
+        fidx = add_feature_field(idx, "prank", feats)
+        node = ("or", [("term", "dup"),
+                       feature_query("prank", "saturation", pivot=8.0)])
+        td = search(fidx, node, k=10, precision="float64", prune=True)
+        rows = [
+            (int(d), int(math.floor(s * 10000)))
+            for d, s in zip(td.docids.tolist(), td.scores.tolist())
+        ]
+        return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
     def ft_classic_sim(spark, sf):
         # pluggable similarity: ClassicSimilarity TF-IDF (ClassicSimilarity
         # .java:37-65, IndexSearcher.setSimilarity analog) — float64 twin:
@@ -666,7 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- entries 51+: variants of operators already gated above ---
         ann_ivf_indexed, ft_deleted, ft_bm25_params, ft_and3_topk, ft_paging,
         ft_prefix_match, ft_qp_boost, text_fingerprint,
-        ft_classic_sim, ft_boolean_sim,
+        ft_classic_sim, ft_boolean_sim, ft_feature,
     ]:
         q[fn.__name__] = fn
     return q
@@ -927,6 +951,18 @@ doc_scores AS (
 )
 SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
 FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10""",
+        "ft_feature": _FT_PRELUDE + "," + _score_sql(["dup"]) + """,
+feat AS (
+  SELECT doc_id,
+         1.0 - 8.0 / (CAST((doc_id * 37) % 200 + 1 AS DOUBLE) + 8.0) AS fs
+  FROM dl
+),
+combined AS (
+  SELECT f.doc_id, COALESCE(d.score, 0.0) + f.fs AS score
+  FROM feat f LEFT JOIN doc_scores d USING (doc_id)
+)
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM combined ORDER BY score DESC, doc_id LIMIT 10""",
         "ft_classic_sim": _FT_PRELUDE + """,
 term_scores AS (
   SELECT tf.doc_id,

@@ -296,6 +296,8 @@ def rewrite(node: tuple, stopwords=ENGLISH_STOP_WORDS) -> tuple | None:
     kind = node[0]
     if kind == "match_none":
         return None
+    if kind == "feature":
+        return node  # FeatureQuery: pseudo-term, never analyzed
     if kind in ("fuzzy_raw", "wildcard_raw", "range_raw", "const"):
         # multi-term queries are NOT analyzed (QueryParserBase handles them
         # via getFuzzyQuery/getWildcardQuery, bypassing the analyzer); they
@@ -417,6 +419,10 @@ def query_terms(node: tuple) -> list[str]:
     kind = node[0]
     if kind == "term":
         return [node[1]]
+    if kind == "feature":
+        from .feature import feature_term
+
+        return [feature_term(node[1])]
     if kind in ("and", "msm", "syn", "const"):
         return list(node[1])
     if kind in ("phrase", "sloppy"):
@@ -452,6 +458,17 @@ def attach_scorers(
     """Rewrite AST → executable node: phrase/syn nodes get their multi-term
     scorer (createWeight analog); nodes that provably match nothing → None."""
     kind = node[0]
+    if kind == "feature":
+        # FeatureQuery (document/FeatureQuery.java:40): executes as a
+        # single-member pseudo-term clause whose scorer decodes the feature
+        # value from the freq channel; block-max pruning stays valid because
+        # every feature function is monotone increasing in freq
+        from .feature import FeatureScorer, feature_term
+
+        ft = feature_term(node[1])
+        if ft not in dfs:
+            return None  # feature field absent from this index
+        return ("syn", [ft], FeatureScorer(node[2], node[3], precision=precision))
     if kind in ("phrase", "sloppy"):
         if any(t not in dfs for t, _ in node[1]):
             return None  # a phrase member absent from the index → no match
