@@ -17,6 +17,7 @@ import math
 from collections.abc import Callable
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -283,6 +284,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             for d, s in zip(td.docids.tolist(), td.scores.tolist())
         ]
         return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
+    def ft_porter(spark, sf):
+        # PorterStemFilter (en/PorterStemmer.java, Porter 1980): golden
+        # oracle — the word/stem pairs below are the algorithm's PUBLISHED
+        # examples (the paper's §2 worked example, the step-1 table, and the
+        # connect/oscillator families), independent of this implementation
+        from lucene_spark.filters import porter_stem
+
+        words = sorted([
+            "caresses", "ponies", "ties", "caress", "cats", "matting",
+            "mating", "meeting", "milling", "messing", "meetings", "happy",
+            "sky", "connect", "connected", "connecting", "connection",
+            "connections", "generalizations", "oscillators",
+        ])
+        wdf = spark.createDataFrame([(w,) for w in words], "word string")
+
+        @F.pandas_udf("string")
+        def stem_udf(ws: pd.Series) -> pd.Series:
+            return ws.map(porter_stem)
+
+        return wdf.select("word", stem_udf(F.col("word")).alias("stem"))
+
+    def ft_ascii_fold(spark, sf):
+        # ASCIIFoldingFilter analog: accent rows check against DuckDB's own
+        # strip_accents(); ligature/stroke rows are golden (the documented
+        # fold targets), independent of the implementation
+        from lucene_spark.filters import ascii_fold
+
+        words = sorted(["café", "ångström", "naïve", "résumé", "crème",
+                        "jalapeño", "über", "séance", "straße", "łódź"])
+        wdf = spark.createDataFrame([(w,) for w in words], "word string")
+
+        @F.pandas_udf("string")
+        def fold_udf(ws: pd.Series) -> pd.Series:
+            return ws.map(ascii_fold)
+
+        return wdf.select("word", fold_udf(F.col("word")).alias("folded"))
+
+    def ft_shingle(spark, sf):
+        # ShingleFilter (shingle/ShingleFilter.java, n=2): pure Catalyst
+        # transform/sequence expression — no Python in the loop; top-20
+        # bigrams of the corpus by count
+        from lucene_spark.filters import shingle_col
+
+        toks = _tokenized(spark, sf).select(
+            F.explode(shingle_col("tokens", 2)).alias("shingle")
+        )
+        return (
+            toks.groupBy("shingle").agg(F.count("*").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "shingle").limit(20)
+        )
+
+    def ft_edge_ngram(spark, sf):
+        # EdgeNGramTokenFilter (ngram/EdgeNGramTokenFilter.java), grams 2-4
+        # over the distinct vocabulary — JVM-side transform expression
+        from lucene_spark.filters import edge_ngram_col
+
+        idx = _ft_index(spark, sf)
+        grams = idx.termdict.select(
+            F.explode(edge_ngram_col("term", 2, 4)).alias("gram")
+        )
+        return (
+            grams.groupBy("gram").agg(F.count("*").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "gram").limit(30)
+        )
+
+    def ft_length_filter(spark, sf):
+        # LengthFilter (miscellaneous/LengthFilter.java:30-42) in the
+        # analyzer chain: per-doc field length counting only tokens with
+        # 3 <= len <= 6
+        from lucene_spark.analysis import Analyzer
+        from lucene_spark.filters import length_filter
+
+        an = Analyzer(post_filters=(length_filter(3, 6),))
+        docs = _docs(spark, sf).withColumn("docid", F.col("doc_id"))
+        tok = tokenize_docs(docs, text_col="text", key_col="doc_id", stopwords=an)
+        return tok.select(F.col("docid").alias("doc_id"), "dl")
 
     def ft_classic_sim(spark, sf):
         # pluggable similarity: ClassicSimilarity TF-IDF (ClassicSimilarity
@@ -691,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann_ivf_indexed, ft_deleted, ft_bm25_params, ft_and3_topk, ft_paging,
         ft_prefix_match, ft_qp_boost, text_fingerprint,
         ft_classic_sim, ft_boolean_sim, ft_feature,
+        ft_porter, ft_ascii_fold, ft_shingle, ft_edge_ngram, ft_length_filter,
     ]:
         q[fn.__name__] = fn
     return q
@@ -951,6 +1030,44 @@ doc_scores AS (
 )
 SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
 FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10""",
+        "ft_porter": """
+SELECT word, stem FROM (VALUES ('caress', 'caress'),('caresses', 'caress'),('cats', 'cat'),('connect', 'connect'),('connected', 'connect'),('connecting', 'connect'),('connection', 'connect'),('connections', 'connect'),('generalizations', 'gener'),('happy', 'happi'),('mating', 'mate'),('matting', 'mat'),('meeting', 'meet'),('meetings', 'meet'),('messing', 'mess'),('milling', 'mill'),('oscillators', 'oscil'),('ponies', 'poni'),('sky', 'sky'),('ties', 'ti')) AS t(word, stem)
+ORDER BY word""",
+        "ft_ascii_fold": """
+WITH w AS (
+  SELECT word, golden FROM (VALUES
+    ('café', NULL), ('ångström', NULL), ('naïve', NULL), ('résumé', NULL),
+    ('crème', NULL), ('jalapeño', NULL), ('über', NULL), ('séance', NULL),
+    ('straße', 'strasse'), ('łódź', 'lodz')) AS t(word, golden)
+)
+SELECT word, COALESCE(golden, strip_accents(word)) AS folded
+FROM w ORDER BY word""",
+        "ft_shingle": _FT_PRELUDE + """,
+toksd AS (
+  SELECT d.doc_id,
+         list_filter(string_split(d.text, ' '), t -> t NOT IN (""" + _STOPS_SQL + """)) AS s
+  FROM documents d
+),
+sh AS (
+  SELECT unnest(list_transform(generate_series(1, len(s) - 1),
+                               i -> s[i] || ' ' || s[i+1])) AS shingle
+  FROM toksd WHERE len(s) >= 2
+)
+SELECT shingle, CAST(count(*) AS BIGINT) AS cnt
+FROM sh GROUP BY shingle ORDER BY cnt DESC, shingle LIMIT 20""",
+        "ft_edge_ngram": _FT_PRELUDE + """,
+grams AS (
+  SELECT unnest(list_transform(generate_series(2, least(4, length(term))),
+                               n -> substr(term, 1, n))) AS gram
+  FROM df
+)
+SELECT gram, CAST(count(*) AS BIGINT) AS cnt
+FROM grams GROUP BY gram ORDER BY cnt DESC, gram LIMIT 30""",
+        "ft_length_filter": _FT_PRELUDE + """
+SELECT d.doc_id,
+       CAST(count(f.term) FILTER (length(f.term) BETWEEN 3 AND 6) AS BIGINT) AS dl
+FROM documents d LEFT JOIN ftok f ON d.doc_id = f.doc_id
+GROUP BY d.doc_id""",
         "ft_feature": _FT_PRELUDE + "," + _score_sql(["dup"]) + """,
 feat AS (
   SELECT doc_id,

@@ -92,17 +92,78 @@ def tokenize(text: str, max_token_length: int = MAX_TOKEN_LENGTH) -> list[str]:
     return [t for t in _TOKEN_RE.findall(text) if len(t) <= max_token_length]
 
 
+class Analyzer:
+    """Configurable analysis chain (the Analyzer + TokenFilter stack analog,
+    analysis/Analyzer.java:93-119): tokenize → pre_filters → lowercase →
+    stop-filter → post_filters.
+
+    ``pre_filters`` run BEFORE the stop check (EnglishPossessiveFilter's slot
+    in EnglishAnalyzer.java:110-118 — "it's" must strip to "it" and then be
+    stopped); ``post_filters`` run after it (PorterStemFilter's slot).  Each
+    filter is ``str -> str | None``; None removes the token and leaves a
+    position gap (FilteringTokenFilter semantics).
+
+    Every ``analyze*`` entry point accepts an Analyzer wherever it accepts a
+    stopword set, so ``build_index(..., stopwords=english_analyzer())``
+    builds a stemmed index with zero extra plumbing.
+    """
+
+    __slots__ = ("stopwords", "pre_filters", "post_filters", "max_token_length")
+
+    def __init__(self, stopwords: frozenset[str] = ENGLISH_STOP_WORDS,
+                 pre_filters=(), post_filters=(),
+                 max_token_length: int = MAX_TOKEN_LENGTH):
+        self.stopwords = stopwords
+        self.pre_filters = tuple(pre_filters)
+        self.post_filters = tuple(post_filters)
+        self.max_token_length = max_token_length
+
+    def run_token(self, raw: str) -> str | None:
+        """One raw tokenizer output → emitted term or None (removed)."""
+        if len(raw) > self.max_token_length:
+            return None
+        t = raw.lower()
+        for f in self.pre_filters:
+            t = f(t)
+            if t is None:
+                return None
+        if t in self.stopwords:
+            return None
+        for f in self.post_filters:
+            t = f(t)
+            if t is None:
+                return None
+        return t
+
+
+def english_analyzer(stopwords: frozenset[str] = ENGLISH_STOP_WORDS) -> Analyzer:
+    """EnglishAnalyzer.java:104-119 chain: StandardTokenizer →
+    EnglishPossessiveFilter → LowerCaseFilter → StopFilter →
+    PorterStemFilter (keyword marking not applicable — no per-field types)."""
+    from .filters import porter_stem, strip_possessive
+
+    return Analyzer(stopwords, pre_filters=(strip_possessive,),
+                    post_filters=(porter_stem,))
+
+
 def analyze(
     text: str,
-    stopwords: frozenset[str] = ENGLISH_STOP_WORDS,
+    stopwords: "frozenset[str] | Analyzer" = ENGLISH_STOP_WORDS,
     max_token_length: int = MAX_TOKEN_LENGTH,
 ) -> list[str]:
-    """Full chain: tokenize → lowercase → stop-filter.
+    """Full chain: tokenize → lowercase → stop-filter (or the full custom
+    chain when ``stopwords`` is an :class:`Analyzer`).
 
     The returned list length is the BM25 field length (FieldInvertState.length
     counts only tokens *emitted* by the full chain — IndexingChain.java:1216,
     StopFilter removes tokens entirely).
     """
+    if isinstance(stopwords, Analyzer):
+        a = stopwords
+        return [
+            t for raw in tokenize(text, 10**9)
+            if (t := a.run_token(raw)) is not None
+        ]
     return [
         lt
         for t in tokenize(text, max_token_length)
@@ -126,6 +187,15 @@ def analyze_with_positions(
     toks: list[str] = []
     poss: list[int] = []
     if not text:
+        return toks, poss
+    if isinstance(stopwords, Analyzer):
+        a = stopwords
+        for i, raw in enumerate(_TOKEN_RE.findall(text)):
+            t = a.run_token(raw)
+            if t is None:
+                continue
+            toks.append(t)
+            poss.append(i)
         return toks, poss
     for i, t in enumerate(_TOKEN_RE.findall(text)):
         if len(t) > max_token_length:

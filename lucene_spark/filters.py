@@ -1,0 +1,271 @@
+"""Token filters beyond the StandardAnalyzer core chain.
+
+Reference (lucene/analysis/common/src/java/org/apache/lucene/analysis/...):
+  en/PorterStemmer.java          — the Porter (1980) algorithm, Release 3,
+                                   with the two indexing bugfixes (:28-36)
+  en/EnglishPossessiveFilter.java:41-47 — strip trailing 's / ’s / ʼs
+  miscellaneous/ASCIIFoldingFilter.java — accent folding (documented SUBSET
+                                   here: NFKD + combining-mark strip + the
+                                   common Latin special cases; the reference
+                                   enumerates 1243 explicit mappings)
+  miscellaneous/LengthFilter.java:30-42 — drop tokens outside [min, max]
+  shingle/ShingleFilter.java     — token n-grams (word shingles)
+  ngram/NGramTokenFilter.java, ngram/EdgeNGramTokenFilter.java
+
+Per-token filters are plain ``str -> str | None`` callables (None = remove
+token, leaving a position gap exactly like FilteringTokenFilter bumps the
+position increment).  They plug into :class:`lucene_spark.analysis.Analyzer`
+either before the stop filter (``pre_filters`` — EnglishPossessiveFilter's
+slot, so "it's" → "it" → stopped, matching EnglishAnalyzer.java:110-118) or
+after it (``post_filters`` — PorterStemFilter's slot).
+
+Shingles and n-grams are provided BOTH as list-level Python helpers (for the
+analyzer chain and tests) and as Catalyst Column expressions (``*_col``) —
+the Column forms are pure JVM ``transform``/``sequence`` expressions with no
+Python in the loop, which is what a 100 TB shingling pass must use.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+_VOWELS = "aeiou"
+
+
+# --------------------------------------------------------------- Porter
+
+
+def _cons_flags(w: str) -> list[bool]:
+    """cons(i) per PorterStemmer.java:110-124: aeiou are vowels; y is a
+    consonant at position 0 or after a vowel, else a vowel."""
+    out: list[bool] = []
+    for i, c in enumerate(w):
+        if c in _VOWELS:
+            out.append(False)
+        elif c == "y":
+            out.append(True if i == 0 else not out[i - 1])
+        else:
+            out.append(True)
+    return out
+
+
+def _measure(w: str) -> int:
+    """m() = number of vowel→consonant transitions in the [C](VC)^m[V]
+    decomposition (PorterStemmer.java:128-160)."""
+    fl = _cons_flags(w)
+    return sum(1 for i in range(1, len(fl)) if fl[i] and not fl[i - 1])
+
+
+def _has_vowel(w: str) -> bool:
+    return not all(_cons_flags(w))
+
+
+def _doublec(w: str) -> bool:
+    """ends with a double consonant (PorterStemmer.java:173-177)."""
+    return len(w) >= 2 and w[-1] == w[-2] and _cons_flags(w)[-1]
+
+
+def _cvc(w: str, i: int) -> bool:
+    """b[i-2..i] = consonant-vowel-consonant, last not w/x/y
+    (PorterStemmer.java:188-196)."""
+    if i < 2:
+        return False
+    fl = _cons_flags(w)
+    if not fl[i] or fl[i - 1] or not fl[i - 2]:
+        return False
+    return w[i] not in "wxy"
+
+
+_STEP3 = [  # PorterStemmer.java step3 (:277-379), double → single suffices
+    ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
+    ("izer", "ize"), ("bli", "ble"), ("alli", "al"), ("entli", "ent"),
+    ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+    ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+    ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+    ("logi", "log"),
+]
+
+_STEP4 = [  # step4 (:384-423)
+    ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+    ("ical", "ic"), ("ful", ""), ("ness", ""),
+]
+
+_STEP5 = [  # step5 (:425-476): strip in context m > 1; 'ion' needs s/t stem
+    "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+    "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+]
+
+
+def porter_stem(w: str) -> str:
+    """The Porter stemming algorithm (Porter 1980, 'An algorithm for suffix
+    stripping'), matching the reference implementation's fixed Release 3
+    (en/PorterStemmer.java) including its two out-of-bounds bugfixes and the
+    y-as-consonant rules.  Input must be lowercase."""
+    if len(w) <= 2:  # stem() guard k > k0+1 (PorterStemmer.java:539)
+        return w
+
+    # step1: plurals, -ed, -ing (:232-262)
+    if w.endswith("s"):
+        if w.endswith("sses"):
+            w = w[:-2]
+        elif w.endswith("ies"):
+            w = w[:-3] + "i"
+        elif not w.endswith("ss"):
+            w = w[:-1]
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    else:
+        stripped = None
+        if w.endswith("ed") and _has_vowel(w[:-2]):
+            stripped = w[:-2]
+        elif w.endswith("ing") and _has_vowel(w[:-3]):
+            stripped = w[:-3]
+        if stripped is not None:
+            w = stripped
+            if w.endswith(("at", "bl", "iz")):
+                w += "e"
+            elif _doublec(w) and w[-1] not in "lsz":
+                w = w[:-1]
+            elif _measure(w) == 1 and _cvc(w, len(w) - 1):
+                w += "e"
+
+    # step2: terminal y → i when the stem has a vowel (:266-271)
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+
+    # steps 3-4: map double suffices to single, then -ic-/-ful/-ness,
+    # each applied when the remaining stem has m > 0; first matching
+    # suffix wins (the reference's switch dispatches on one char, which
+    # partitions these lists — sequential first-match is equivalent)
+    for step in (_STEP3, _STEP4):
+        if len(w) <= 1:
+            break  # "For Bug 1" guard (:278)
+        for sfx, rep in step:
+            if w.endswith(sfx):
+                stem = w[: len(w) - len(sfx)]
+                if _measure(stem) > 0:
+                    w = stem + rep
+                break
+
+    # step5: -ant, -ence, ... stripped when m > 1 (:427-476); the first
+    # matching suffix is the ONLY one considered, stripped or not
+    if len(w) > 1:
+        for sfx in _STEP5:
+            if w.endswith(sfx):
+                stem = w[: len(w) - len(sfx)]
+                if sfx == "ion" and not stem.endswith(("s", "t")):
+                    continue  # falls through to 'ou' in the reference
+                if _measure(stem) > 1:
+                    w = stem
+                break
+
+    # step6: final -e, final -ll (:480-487).  The reference measures m over
+    # k0..j with j pinned at the ORIGINAL end, so both checks see the word
+    # including a just-dropped trailing 'e'.
+    orig = w
+    if w.endswith("e"):
+        a = _measure(orig)
+        if a > 1 or (a == 1 and not _cvc(w, len(w) - 2)):
+            w = w[:-1]
+    if w.endswith("l") and _doublec(w) and _measure(orig) > 1:
+        w = w[:-1]
+    return w
+
+
+# ------------------------------------------------- per-token filters
+
+
+def strip_possessive(token: str) -> str:
+    """EnglishPossessiveFilter.java:41-47: drop a trailing 's (apostrophe
+    variants U+0027, U+2019, U+FF07; s or S)."""
+    if len(token) >= 2 and token[-2] in "'’＇" and token[-1] in "sS":
+        return token[:-2]
+    return token
+
+
+_FOLD_SPECIALS = str.maketrans({
+    "ß": "ss", "Æ": "AE", "æ": "ae", "Œ": "OE", "œ": "oe",
+    "Ø": "O", "ø": "o", "Đ": "D", "đ": "d", "Ð": "D", "ð": "d",
+    "Þ": "TH", "þ": "th", "Ł": "L", "ł": "l", "ı": "i", "Ħ": "H", "ħ": "h",
+})
+
+
+def ascii_fold(token: str) -> str:
+    """ASCIIFoldingFilter analog (documented subset): special Latin ligature/
+    stroke cases, then NFKD decomposition with combining marks stripped.
+    Covers the Latin-1 Supplement + Latin Extended-A accent repertoire
+    (café→cafe, Ångström→Angstrom, łódź→lodz); the reference's full 1243-case
+    table additionally folds punctuation variants, which are out of scope."""
+    if token.isascii():
+        return token
+    t = token.translate(_FOLD_SPECIALS)
+    decomposed = unicodedata.normalize("NFKD", t)
+    return "".join(c for c in decomposed if not unicodedata.combining(c))
+
+
+def length_filter(min_len: int, max_len: int):
+    """LengthFilter.java:30-42 — factory: None (remove) outside [min, max];
+    removal leaves a position gap (FilteringTokenFilter)."""
+
+    def f(token: str) -> str | None:
+        return token if min_len <= len(token) <= max_len else None
+
+    return f
+
+
+# ------------------------------------------------- list-level helpers
+
+
+def shingle_tokens(tokens: list[str], min_size: int = 2, max_size: int = 2,
+                   sep: str = " ", output_unigrams: bool = False) -> list[str]:
+    """Word shingles (ShingleFilter.java defaults: min=max=2, sep=' ')."""
+    out = list(tokens) if output_unigrams else []
+    for n in range(min_size, max_size + 1):
+        out.extend(
+            sep.join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)
+        )
+    return out
+
+
+def edge_ngrams(token: str, min_gram: int = 1, max_gram: int = 2) -> list[str]:
+    """Leading-edge n-grams (EdgeNGramTokenFilter.java:24-38)."""
+    return [token[:n] for n in range(min_gram, min(max_gram, len(token)) + 1)]
+
+
+def char_ngrams(token: str, min_gram: int = 1, max_gram: int = 2) -> list[str]:
+    """All character n-grams (NGramTokenFilter.java:30-44)."""
+    out = []
+    for n in range(min_gram, max_gram + 1):
+        out.extend(token[i : i + n] for i in range(len(token) - n + 1))
+    return out
+
+
+# --------------------------------------- Catalyst Column forms (JVM-side)
+
+
+def shingle_col(tokens_col: str, n: int = 2, sep: str = " "):
+    """array<string> token column → array<string> of n-shingles as a pure
+    Catalyst expression (transform over sequence — whole-stage codegen, no
+    Python).  This is the form a corpus-scale shingling pass must use."""
+    from pyspark.sql import functions as F
+
+    parts = " , ".join(f"x[i + {j}]" for j in range(n))
+    return F.expr(
+        f"CASE WHEN size({tokens_col}) < {n} THEN array() ELSE "
+        f"transform(sequence(0, size({tokens_col}) - {n}), "
+        f"i -> concat_ws('{sep}', {', '.join(f'{tokens_col}[i + {j}]' for j in range(n))})) END"
+    )
+
+
+def edge_ngram_col(term_col: str, min_gram: int = 2, max_gram: int = 4):
+    """string column → array<string> of its leading-edge n-grams, JVM-side."""
+    from pyspark.sql import functions as F
+
+    # Spark's sequence(a, b) steps DOWNWARD when b < a, so terms shorter
+    # than min_gram need an explicit empty-array guard
+    return F.expr(
+        f"CASE WHEN length({term_col}) < {min_gram} THEN array() ELSE "
+        f"transform(sequence({min_gram}, least({max_gram}, length({term_col}))), "
+        f"n -> substr({term_col}, 1, n)) END"
+    )

@@ -595,9 +595,12 @@ def build_norms(docs_tok: DataFrame, seg_size: int) -> DataFrame:
     )
 
 
-def tokenize_docs(pages: DataFrame, text_col: str = "text", key_col: str = "url") -> DataFrame:
-    """pages(+docid) → docs(docid, url, tokens, dl, norm)."""
-    analyze_udf = make_analyze_udf()
+def tokenize_docs(pages: DataFrame, text_col: str = "text", key_col: str = "url",
+                  stopwords=ENGLISH_STOP_WORDS) -> DataFrame:
+    """pages(+docid) → docs(docid, url, tokens, dl, norm).  ``stopwords``
+    also accepts an :class:`lucene_spark.analysis.Analyzer` (custom filter
+    chain)."""
+    analyze_udf = make_analyze_udf(stopwords)
 
     @F.pandas_udf("integer")
     def norm_udf(dl: pd.Series) -> pd.Series:

@@ -765,6 +765,7 @@ def search(
     boosts: dict[str, float] | None = None,
     filter_docs: DataFrame | None = None,
     similarity: str = "bm25",
+    analyzer=ENGLISH_STOP_WORDS,
 ) -> TopDocs:
     """Distributed top-k search.  ``similarity``: 'bm25' (default),
     'classic' (TF-IDF, ClassicSimilarity.java), or 'boolean'
@@ -781,7 +782,7 @@ def search(
     a plain Catalyst filter producing the docid set, then cogroups with the
     postings by segment so each kernel masks before ranking)."""
     node = parse_query(query) if isinstance(query, str) else query
-    node = rewrite(node)
+    node = rewrite(node, analyzer)
     empty = TopDocs(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64), [] if with_urls else None)
     if node is None:
         return empty
@@ -930,13 +931,14 @@ def score_docs(
     k1: float = 1.2,
     b: float = 0.75,
     similarity: str = "bm25",
+    analyzer=ENGLISH_STOP_WORDS,
 ) -> DataFrame:
     """ALL matching docs scored, returned as a distributed DataFrame
     (docid, score) — the collector-chaining primitive behind facets/grouping
     (FacetsCollector.java:46 collects every hit; grouping's first pass
     likewise).  Nothing is collected: downstream aggregations (facet counts,
     per-group top-n windows) stay in Spark.  Tombstones are masked."""
-    node = rewrite(parse_query(query) if isinstance(query, str) else query)
+    node = rewrite(parse_query(query) if isinstance(query, str) else query, analyzer)
     spark = index.postings.sparkSession
     empty = spark.createDataFrame([], "docid long, score double")
     if node is None:
@@ -1007,14 +1009,14 @@ def score_docs(
     return rows.groupBy("seg").applyInPandas(run_segment, schema="docid long, score double")
 
 
-def count_hits(index: Index, query: str | tuple) -> int:
+def count_hits(index: Index, query: str | tuple, analyzer=ENGLISH_STOP_WORDS) -> int:
     """Distributed TotalHitCountCollector
     (search/TotalHitCountCollector.java:28): per-segment match COUNTS are
     computed inside the kernel (no scoring) and summed by a Spark
     aggregation — only one number per segment ever moves, never hits.
     Tombstoned docs are excluded (liveDocs semantics)."""
     node = parse_query(query) if isinstance(query, str) else query
-    node = rewrite(node)
+    node = rewrite(node, analyzer)
     if node is None:
         return 0
     node = expand_multiterm(node, index)
@@ -1096,6 +1098,7 @@ def search_many(
     b: float = 0.75,
     ks: dict[str, int] | None = None,
     similarity: str = "bm25",
+    analyzer=ENGLISH_STOP_WORDS,
 ) -> dict[str, TopDocs]:
     """Run MANY queries in ONE Spark job — the throughput path.
     ``ks`` optionally overrides ``k`` per query id.
@@ -1113,7 +1116,7 @@ def search_many(
     prepared: dict[str, tuple] = {}
     all_terms: set[str] = set()
     for qid, q in queries.items():
-        node = rewrite(parse_query(q) if isinstance(q, str) else q)
+        node = rewrite(parse_query(q) if isinstance(q, str) else q, analyzer)
         if node is not None:
             node = expand_multiterm(node, index)
         if node is not None:

@@ -1,0 +1,143 @@
+"""Token-filter tests: Porter stemmer vectors (the algorithm's published
+examples), possessive/fold/length semantics, shingles/n-grams (Python and
+Catalyst Column forms agree), and the EnglishAnalyzer chain end-to-end
+through build_index + search.  Reference patterns: en/TestPorterStemFilter,
+miscellaneous/TestASCIIFoldingFilter, shingle/ShingleFilterTest."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.analysis import Analyzer, analyze, analyze_with_positions, english_analyzer
+from lucene_spark.filters import (
+    ascii_fold,
+    char_ngrams,
+    edge_ngram_col,
+    edge_ngrams,
+    length_filter,
+    porter_stem,
+    shingle_col,
+    shingle_tokens,
+    strip_possessive,
+)
+
+# Published Porter examples: the paper's §2 worked example, the step-1
+# comment table (full-pipeline outputs), and the connect family.
+PORTER_VECTORS = {
+    "caresses": "caress", "ponies": "poni", "ties": "ti", "caress": "caress",
+    "cats": "cat", "matting": "mat", "mating": "mate", "meeting": "meet",
+    "milling": "mill", "messing": "mess", "meetings": "meet",
+    "agreed": "agre", "disabled": "disabl", "feed": "feed",
+    "happy": "happi", "sky": "sky",
+    "connect": "connect", "connected": "connect", "connecting": "connect",
+    "connection": "connect", "connections": "connect",
+    "generalizations": "gener", "oscillators": "oscil",
+    "relational": "relat", "conditional": "condit", "rational": "ration",
+    "digitizer": "digit", "operator": "oper", "feudalism": "feudal",
+    "decisiveness": "decis", "hopefulness": "hope", "callousness": "callous",
+    "formaliti": "formal", "sensitiviti": "sensit", "sensibiliti": "sensibl",
+    "triplicate": "triplic", "formative": "form", "formalize": "formal",
+    "electriciti": "electr", "electrical": "electr", "hopeful": "hope",
+    "goodness": "good", "revival": "reviv", "allowance": "allow",
+    "inference": "infer", "airliner": "airlin", "gyroscopic": "gyroscop",
+    "adjustable": "adjust", "defensible": "defens", "irritant": "irrit",
+    "replacement": "replac", "adjustment": "adjust", "dependent": "depend",
+    "adoption": "adopt", "homologou": "homolog", "communism": "commun",
+    "activate": "activ", "angulariti": "angular", "homologous": "homolog",
+    "effective": "effect", "bowdlerize": "bowdler", "controll": "control",
+    "roll": "roll",
+}
+
+
+def test_porter_vectors():
+    bad = {w: (porter_stem(w), want) for w, want in PORTER_VECTORS.items()
+           if porter_stem(w) != want}
+    assert not bad, bad
+
+
+def test_porter_short_words_untouched():
+    for w in ("a", "is", "be", "ax"):
+        assert porter_stem(w) == w
+
+
+def test_porter_idempotent_on_many():
+    # stem(stem(w)) == stem(w) for the vector set (a well-known property
+    # check; not universally true for Porter but holds on these)
+    for w in PORTER_VECTORS.values():
+        assert porter_stem(porter_stem(w)) == porter_stem(w)
+
+
+def test_possessive_variants():
+    assert strip_possessive("o'reilly's") == "o'reilly"
+    assert strip_possessive("bob’s") == "bob"
+    assert strip_possessive("x＇s") == "x"
+    assert strip_possessive("its") == "its"  # no apostrophe → untouched
+    assert strip_possessive("'s") == ""
+
+
+def test_ascii_fold():
+    assert ascii_fold("café") == "cafe"
+    assert ascii_fold("Ångström") == "Angstrom"
+    assert ascii_fold("łódź") == "lodz"
+    assert ascii_fold("straße") == "strasse"
+    assert ascii_fold("Æon") == "AEon"
+    assert ascii_fold("þorn") == "thorn"
+    assert ascii_fold("plain_ascii-123") == "plain_ascii-123"
+
+
+def test_length_filter_positions_gap():
+    an = Analyzer(post_filters=(length_filter(3, 10),))
+    toks, poss = analyze_with_positions("an ox and a fox jumped", an)
+    # 'an'/'a' are stopwords, 'ox' removed by length; gaps preserved
+    assert toks == ["fox", "jumped"]
+    assert poss == [4, 5]
+
+
+def test_english_analyzer_chain():
+    an = english_analyzer()
+    assert analyze("it's the committee's meetings", an) == ["committe", "meet"]
+    # possessive strips BEFORE the stop filter: "it's" → "it" → stopped
+    assert "it" not in analyze("it's fine", an)
+
+
+def test_shingles_and_ngrams():
+    assert shingle_tokens(["new", "york", "city"]) == ["new york", "york city"]
+    assert shingle_tokens(["a"], 2, 2) == []
+    assert shingle_tokens(["a", "b"], 2, 3) == ["a b"]
+    assert edge_ngrams("lucene", 2, 4) == ["lu", "luc", "luce"]
+    assert edge_ngrams("ab", 2, 4) == ["ab"]
+    assert char_ngrams("abcd", 3, 4) == ["abc", "bcd", "abcd"]
+
+
+def test_column_forms_agree_with_python(spark):
+    import pyspark.sql.functions as F
+
+    rows = [(["new", "york", "city", "hall"],), (["one"],), ([],)]
+    df = spark.createDataFrame(rows, "tokens array<string>")
+    got = [r[0] for r in df.select(shingle_col("tokens", 2).alias("s")).collect()]
+    want = [shingle_tokens(t[0], 2, 2) for t in rows]
+    assert got == want
+
+    tdf = spark.createDataFrame([("lucene",), ("ab",), ("a",)], "term string")
+    got2 = [r[0] for r in tdf.select(edge_ngram_col("term", 2, 4).alias("g")).collect()]
+    assert got2 == [["lu", "luc", "luce"], ["ab"], []]
+
+
+def test_stemmed_index_search(spark):
+    from lucene_spark.index import build_index
+    from lucene_spark.search import search
+
+    an = english_analyzer()
+    pages = spark.createDataFrame(
+        [("u0", "the committee's meetings ran late"),
+         ("u1", "several committees run relational analyses"),
+         ("u2", "nothing related here at all")],
+        "url string, text string",
+    )
+    idx = build_index(spark, pages, stopwords=an)
+    a = search(idx, "meetings", k=10, analyzer=an)
+    b = search(idx, "meeting", k=10, analyzer=an)
+    assert a.docids.tolist() == b.docids.tolist() == [0]
+    c = search(idx, "committee's", k=10, analyzer=an)
+    d = search(idx, "committees", k=10, analyzer=an)
+    assert c.docids.tolist() == d.docids.tolist()
+    assert len(c.docids) == 2
