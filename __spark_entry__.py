@@ -641,6 +641,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return highlight(withtext, ["dup"])
 
     # --- training-data pipeline ops ---
+    def dedup_embcos(spark, sf):
+        # embedding-cosine near-duplicate pairs, exact all-pairs baseline
+        # (ann.embcos_pairs): JVM-side sequential-fold cosine, threshold
+        # 0.42 chosen to yield a non-trivial pair set on the synthetic
+        # embeddings (nearest cosine is >1e-3 from the threshold, so the
+        # DuckDB twin can never flip a pair across it)
+        return ann.embcos_pairs(_emb(spark, sf), 0.42).select(
+            "a", "b",
+            F.floor(F.col("cosine") * 1e6).cast("long").alias("cos_q"),
+        )
+
+    def dedup_embcos_lsh(spark, sf):
+        # the corpus-scale variant: hyperplane-LSH sign buckets (equality
+        # join on ~2^6 keys, no all-pairs product) + exact verification;
+        # deterministic Rademacher planes → the oracle replicates the
+        # bucketing bit-exactly, so the (approximate) recall is asserted,
+        # not just the precision
+        return ann.embcos_pairs_lsh(_emb(spark, sf), 0.42, n_planes=6).select(
+            "a", "b",
+            F.floor(F.col("cosine") * 1e6).cast("long").alias("cos_q"),
+        )
+
     def dedup_exact(spark, sf):
         return textops.exact_duplicates(_docs(spark, sf))
 
@@ -761,7 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_synonym, ft_sort_field, ft_group_top, ft_facet_range,
         ft_suggest, ft_query_join, ft_monitor, ft_knn_classify, ft_highlight,
         ft_explain, ft_mlt,
-        dedup_exact, dedup_jaccard,
+        dedup_exact, dedup_jaccard, dedup_embcos, dedup_embcos_lsh,
         dedup_minhash_lsh, dedup_simhash, dedup_simhash_pairs,
         text_token_count, text_quality, text_langid,
         ann_bruteforce, emb_label_stats, ann_ivf, ann_lsh,
@@ -923,6 +945,30 @@ FROM embeddings e JOIN asg USING (vec_id) CROSS JOIN q
 WHERE asg.cluster IN (SELECT cid FROM probes)
 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC, e.vec_id
 LIMIT {k}"""
+
+
+def _embcos_lsh_oracle_sql(n_planes: int, dim: int, seed: int, threshold: float) -> str:
+    """DuckDB twin of ann.embcos_pairs_lsh: identical Rademacher planes,
+    sign-bucket equality join, exact cosine filter."""
+    planes = ann.rademacher_planes(n_planes, dim, seed)
+
+    def lit(p):
+        return "[" + ",".join(f"{x:.1f}" for x in p) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {lit(p)}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {bucket} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       CAST(floor(list_cosine_similarity(a.v, b.v) * 1e6) AS BIGINT) AS cos_q
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= {threshold}"""
 
 
 def _lsh_oracle_sql(n_planes: int = 10, dim: int = 64, seed: int = 5, k: int = 10) -> str:
@@ -1429,6 +1475,14 @@ ORDER BY {cos} DESC, e.vec_id LIMIT 10""",
         "ann_ivf": _ivf_oracle_sql(n_centroids=8, nprobe=3, k=10),
         "ann_ivf_indexed": _ivf_oracle_sql(n_centroids=8, nprobe=3, k=10),
         "ann_lsh": _lsh_oracle_sql(n_planes=10, dim=64, seed=5, k=10),
+        "dedup_embcos": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       CAST(floor(list_cosine_similarity(a.v, b.v) * 1e6) AS BIGINT) AS cos_q
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.42""",
+        "dedup_embcos_lsh": _embcos_lsh_oracle_sql(n_planes=6, dim=64, seed=5,
+                                                   threshold=0.42),
         "emb_label_stats": """
 SELECT label, CAST(count(*) AS BIGINT) AS n,
        CAST(floor(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))) * 1e4) AS BIGINT) AS avg_norm_q

@@ -319,3 +319,68 @@ def lsh_topk_indexed(
     vectors = spark.read.parquet(f"{out_dir}/vectors")
     cand = vectors.filter(F.col("bucket").isin(probes))
     return brute_force_topk(cand, qv, k, id_col, vec_col)
+
+
+def embcos_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: (a, b) with a < b and
+    cosine >= threshold.  QUADRATIC baseline (all-pairs self-join) — correct
+    at any scale but O(n^2) comparisons; use :func:`embcos_pairs_lsh` for a
+    corpus-scale run.  The cosine is a JVM-side sequential fold (zip_with /
+    aggregate), bit-replicable by DuckDB's list_cosine_similarity."""
+    dv = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
+    a = embeddings.select(F.col(id_col).alias("a"), F.expr(dv).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("b"), F.expr(dv).alias("vb"))
+    cos = (
+        "aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (s, v) -> s + v) / "
+        "(sqrt(aggregate(va, 0D, (s, x) -> s + x * x)) * "
+        "sqrt(aggregate(vb, 0D, (s, x) -> s + x * x)))"
+    )
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn("cosine", F.expr(cos))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
+def embcos_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs at scale: candidates restricted to
+    equal hyperplane-LSH sign buckets (Charikar rounding — vectors at angle
+    θ collide per plane with probability 1 - θ/π, so near-duplicates almost
+    always share a bucket), then EXACT cosine verification.  The join is
+    bucket-equality — a hash-partitioned equi-join on ~2^n_planes keys, not
+    an all-pairs product, which is what survives 10^9 vectors.  Deterministic
+    Rademacher planes keep the bucket assignment DuckDB-replicable.
+
+    Recall is approximate (a near-dup pair split by some plane is missed);
+    raise recall by unioning over rotated seeds or lowering n_planes."""
+    bucketed = hyperplane_buckets(
+        embeddings, n_planes, dim, seed, id_col, vec_col
+    ).select(F.col(id_col), F.expr(f"CAST({vec_col} AS ARRAY<DOUBLE>)").alias("dv"), "bucket")
+    a = bucketed.select(F.col(id_col).alias("a"), F.col("dv").alias("va"), "bucket")
+    b = bucketed.select(F.col(id_col).alias("b"), F.col("dv").alias("vb"), "bucket")
+    cos = (
+        "aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (s, v) -> s + v) / "
+        "(sqrt(aggregate(va, 0D, (s, x) -> s + x * x)) * "
+        "sqrt(aggregate(vb, 0D, (s, x) -> s + x * x)))"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", F.expr(cos))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )

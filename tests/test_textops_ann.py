@@ -208,3 +208,39 @@ def test_frame_sample_stub():
     frames = multimodal.frame_sample_stub(bytes(range(160)), every_n=4)
     assert len(frames) == 4
     assert multimodal.frame_sample_stub(b"") == []
+
+
+def test_embcos_pairs_exact_and_lsh(spark):
+    """Embedding-cosine near-dup: exact baseline finds planted duplicates;
+    LSH-bucketed variant finds the same NEAR-DUP pairs (cos→1 collides in
+    every sign bucket) with a candidate set that is bucket-join-sized."""
+    import numpy as np
+    from lucene_spark.ann import embcos_pairs, embcos_pairs_lsh
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(20, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # plant 3 near-duplicates of vectors 0..2 (tiny perturbation -> cos ~ 1)
+    for j in range(3):
+        rows.append((100 + j, [float(x) for x in base[j] + 1e-4 * rng.normal(size=16)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {(r["a"], r["b"]) for r in embcos_pairs(emb, 0.999).collect()}
+    assert exact == {(0, 100), (1, 101), (2, 102)}
+
+    lsh = {(r["a"], r["b"]) for r in
+           embcos_pairs_lsh(emb, 0.999, n_planes=8, dim=16).collect()}
+    assert lsh == exact  # true near-dups share every sign bucket w.h.p.
+
+
+def test_embcos_lsh_candidates_are_bucketed(spark):
+    """The LSH variant's join is bucket-equality, not all-pairs: with one
+    plane flipping sign between two orthogonal vectors they never pair."""
+    from lucene_spark.ann import embcos_pairs_lsh
+
+    emb = spark.createDataFrame(
+        [(0, [1.0] * 8), (1, [-1.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    assert embcos_pairs_lsh(emb, -1.0, n_planes=4, dim=8).count() == 0
