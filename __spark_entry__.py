@@ -362,6 +362,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tok = tokenize_docs(docs, text_col="text", key_col="doc_id", stopwords=an)
         return tok.select(F.col("docid").alias("doc_id"), "dl")
 
+    def ft_offsets(spark, sf):
+        # offsets channel (IndexOptions ..._AND_OFFSETS via the term-vectors
+        # sidecar, Lucene90CompressingTermVectorsWriter analog): for the
+        # top-10 'dup' hits, the character span of each doc's FIRST 'dup'
+        # occurrence, read from STORED offsets (no re-analysis); the oracle
+        # recomputes the span from the raw text in SQL
+        from lucene_spark.termvectors import build_term_vectors, first_occurrence_offsets
+
+        idx = _ft_index(spark, sf)
+        td = search(idx, "dup", k=10, precision="float64", prune=True)
+        docids = [int(d) for d in td.docids.tolist()]
+        tv = build_term_vectors(
+            _docs(spark, sf).withColumn("docid", F.col("doc_id"))
+            .filter(F.col("docid").isin(docids))
+        )
+        out = first_occurrence_offsets(tv, docids, ["dup"])
+        return out.select(
+            F.col("docid").alias("doc_id"),
+            F.col("start").cast("long").alias("off_start"),
+            F.col("end").cast("long").alias("off_end"),
+        )
+
     def ft_classic_sim(spark, sf):
         # pluggable similarity: ClassicSimilarity TF-IDF (ClassicSimilarity
         # .java:37-65, IndexSearcher.setSimilarity analog) — float64 twin:
@@ -792,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_prefix_match, ft_qp_boost, text_fingerprint,
         ft_classic_sim, ft_boolean_sim, ft_feature,
         ft_porter, ft_ascii_fold, ft_shingle, ft_edge_ngram, ft_length_filter,
+        ft_offsets,
     ]:
         q[fn.__name__] = fn
     return q
@@ -1076,6 +1099,23 @@ doc_scores AS (
 )
 SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
 FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10""",
+        "ft_offsets": _FT_PRELUDE + "," + _score_sql(["dup"]) + """,
+hits AS (SELECT doc_id FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10),
+tokd AS (SELECT d.doc_id, string_split(d.text, ' ') AS s
+         FROM documents d JOIN hits USING (doc_id)),
+expanded AS (
+  SELECT doc_id, generate_subscripts(s, 1) AS gs, unnest(s) AS t FROM tokd
+),
+occ AS (
+  SELECT doc_id, min(gs) AS i FROM expanded WHERE t = 'dup' GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(CASE WHEN o.i = 1 THEN 0
+            ELSE length(array_to_string(t.s[1:o.i-1], ' ')) + 1 END AS BIGINT) AS off_start,
+       CAST((CASE WHEN o.i = 1 THEN 0
+            ELSE length(array_to_string(t.s[1:o.i-1], ' ')) + 1 END)
+            + length(t.s[o.i]) AS BIGINT) AS off_end
+FROM tokd t JOIN occ o USING (doc_id)""",
         "ft_porter": """
 SELECT word, stem FROM (VALUES ('caress', 'caress'),('caresses', 'caress'),('cats', 'cat'),('connect', 'connect'),('connected', 'connect'),('connecting', 'connect'),('connection', 'connect'),('connections', 'connect'),('generalizations', 'gener'),('happy', 'happi'),('mating', 'mate'),('matting', 'mat'),('meeting', 'meet'),('meetings', 'meet'),('messing', 'mess'),('milling', 'mill'),('oscillators', 'oscil'),('ponies', 'poni'),('sky', 'sky'),('ties', 'ti')) AS t(word, stem)
 ORDER BY word""",

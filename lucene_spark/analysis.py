@@ -222,3 +222,41 @@ def make_analyze_udf(stopwords: frozenset[str] = ENGLISH_STOP_WORDS):
         return analyze_series(texts, stopwords)
 
     return analyze_udf
+
+
+def analyze_with_offsets(
+    text: str,
+    stopwords: "frozenset[str] | Analyzer" = ENGLISH_STOP_WORDS,
+    max_token_length: int = MAX_TOKEN_LENGTH,
+) -> tuple[list[str], list[int], list[int], list[int]]:
+    """Full chain, returning (terms, positions, start_offsets, end_offsets).
+
+    Offsets are CHARACTER spans of the ORIGINAL token in the source text
+    (OffsetAttribute contract, analysis/tokenattributes/OffsetAttribute.java:
+    26-38): filters may rewrite the term (stemming, folding) but offsets keep
+    pointing at the raw text span — which is what highlighting needs.
+    """
+    toks: list[str] = []
+    poss: list[int] = []
+    starts: list[int] = []
+    ends: list[int] = []
+    if not text:
+        return toks, poss, starts, ends
+    an = stopwords if isinstance(stopwords, Analyzer) else None
+    for i, m in enumerate(_TOKEN_RE.finditer(text)):
+        raw = m.group(0)
+        if an is not None:
+            t = an.run_token(raw)
+            if t is None:
+                continue
+        else:
+            if len(raw) > max_token_length:
+                continue
+            t = raw.lower()
+            if t in stopwords:
+                continue
+        toks.append(t)
+        poss.append(i)
+        starts.append(m.start())
+        ends.append(m.end())
+    return toks, poss, starts, ends

@@ -1,0 +1,83 @@
+"""Term-vectors-with-offsets tests (the offsets channel): spans slice back
+to the original token text, filters don't move offsets, pushdown fetch, and
+the offsets-based highlighter (FastVectorHighlighter analog) marks hits
+without re-analysis."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from lucene_spark.analysis import analyze_with_offsets, english_analyzer
+from lucene_spark.termvectors import (
+    build_term_vectors,
+    fetch_term_vectors,
+    first_occurrence_offsets,
+    highlight_offsets,
+)
+
+
+def test_offsets_slice_to_raw_tokens():
+    text = "The Committee's  meetings ran 3.14 late"
+    toks, poss, starts, ends = analyze_with_offsets(text)
+    assert toks == ["committee's", "meetings", "ran", "3.14", "late"]
+    assert [text[s:e] for s, e in zip(starts, ends)] == [
+        "Committee's", "meetings", "ran", "3.14", "late"
+    ]
+    # positions count removed stopwords ('The' leaves a gap at 0)
+    assert poss == [1, 2, 3, 4, 5]
+
+
+def test_offsets_survive_filters():
+    # stemming rewrites the TERM but the offset span stays on the raw text
+    text = "the committees were meeting"
+    toks, _, starts, ends = analyze_with_offsets(text, english_analyzer())
+    assert toks == ["committe", "were", "meet"]
+    assert [text[s:e] for s, e in zip(starts, ends)] == [
+        "committees", "were", "meeting"
+    ]
+
+
+def test_build_and_fetch(spark):
+    pages = spark.createDataFrame(
+        [(0, "alpha beta alpha gamma"), (1, "beta beta delta")],
+        "docid long, text string",
+    )
+    tv = build_term_vectors(pages)
+    r = {(x["docid"], x["term"]): x for x in tv.collect()}
+    assert r[(0, "alpha")]["positions"] == [0, 2]
+    assert r[(0, "alpha")]["starts"] == [0, 11]
+    assert r[(1, "beta")]["positions"] == [0, 1]
+    fetched = fetch_term_vectors(tv, [0], ["alpha", "delta"]).collect()
+    assert {x["term"] for x in fetched} == {"alpha"}
+
+
+def test_first_occurrence_and_highlight(spark):
+    pages = spark.createDataFrame(
+        [(0, "x y target z target"), (1, "target first here")],
+        "docid long, text string",
+    )
+    tv = build_term_vectors(pages)
+    f = {r["docid"]: (r["start"], r["end"])
+         for r in first_occurrence_offsets(tv, [0, 1], ["target"]).collect()}
+    assert f == {0: (4, 10), 1: (0, 6)}
+    hl = {r["docid"]: r["snippet"]
+          for r in highlight_offsets(tv, pages, ["target"]).collect()}
+    assert hl[0] == "x y <b>target</b> z <b>target</b>"
+    assert hl[1] == "<b>target</b> first here"
+
+
+def test_fetch_pushes_down(spark):
+    """Both isin predicates must reach the parquet scan (PushedFilters) —
+    the property that makes a k-doc highlight O(k) at corpus scale."""
+    import tempfile
+
+    pages = spark.createDataFrame(
+        [(i, f"w{i} common") for i in range(50)], "docid long, text string"
+    )
+    with tempfile.TemporaryDirectory(prefix="ls_tv_") as d:
+        build_term_vectors(pages).write.parquet(f"{d}/tv")
+        tv = spark.read.parquet(f"{d}/tv")
+        plan = fetch_term_vectors(tv, [3, 7], ["common"])._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan
+        assert "In(docid" in plan
+        # a single-term isin simplifies to EqualTo — either form is pushed
+        assert "In(term" in plan or "EqualTo(term" in plan
