@@ -102,10 +102,19 @@ def run_bench(cpus: int, n_docs: int, sf: float, k1_queries=HEADLINE_QUERIES,
         # warm-up every query shape once (JIT/UDF worker spin-up excluded)
         for wq in ("court", "court law", "court AND law"):
             search(idx, wq, k=10)
+        # best-of-N per query: this sandbox is a shared host with bursty CPU
+        # steal (a bare postings.count() job floor swings 0.15-1.1 s run to
+        # run); the MIN over q_repeat runs measures the engine, the same way
+        # the build takes the best of `repeat` runs
+        q_repeat = int(os.environ.get("SPARK_GRAFT_QUERY_REPEAT", "3"))
         for name, (q, k) in k1_queries.items():
-            tq = time.time()
-            search(idx, q, k=k, precision="lucene", prune=True)
-            q_times[name] = round(time.time() - tq, 4)
+            best = None
+            for _ in range(max(1, q_repeat)):
+                tq = time.time()
+                search(idx, q, k=k, precision="lucene", prune=True)
+                dt = time.time() - tq
+                best = dt if best is None else min(best, dt)
+            q_times[name] = round(best, 4)
 
         # batched path: the whole suite in ONE Spark job (search_many) —
         # the throughput number a query log would see
@@ -169,7 +178,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--n-docs", type=int, default=None)
-    ap.add_argument("--repeat", type=int, default=1)
+    ap.add_argument("--repeat", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_BUILD_REPEAT", "2")))
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
