@@ -29,21 +29,33 @@ def _session(app: str):
     )
 
 
+def _analyzer(args):
+    if getattr(args, "english_analyzer", False):
+        from .analysis import english_analyzer
+
+        return english_analyzer()
+    from .analysis import ENGLISH_STOP_WORDS
+
+    return ENGLISH_STOP_WORDS
+
+
 def cmd_build(args) -> int:
     from .index import build_index, build_or_resume, write_index
 
     spark = _session("lucene_spark_build")
     pages = spark.read.parquet(args.input)
+    an = _analyzer(args)
     if args.resume:
         summary = build_or_resume(
             spark, pages, args.out, text_col=args.text_col, key_col=args.key_col,
             seg_size=args.seg_size or 4096, with_positions=args.positions,
+            stopwords=an,
         )
         print(json.dumps(summary))
         return 0
     idx = build_index(
         spark, pages, text_col=args.text_col, key_col=args.key_col,
-        seg_size=args.seg_size, with_positions=args.positions,
+        seg_size=args.seg_size, with_positions=args.positions, stopwords=an,
     )
     write_index(idx, args.out)
     print(json.dumps({
@@ -62,7 +74,8 @@ def cmd_search(args) -> int:
     spark = _session("lucene_spark_search")
     idx = read_index(spark, args.index)
     td = search(idx, args.query, k=args.k, precision=args.precision,
-                prune=not args.no_prune, with_urls=True)
+                prune=not args.no_prune, with_urls=True,
+                similarity=args.similarity, analyzer=_analyzer(args))
     for rank, (d, s, u) in enumerate(zip(td.docids.tolist(), td.scores.tolist(),
                                          td.urls or [None] * len(td.docids))):
         print(json.dumps({"rank": rank, "docid": int(d), "score": float(s), "url": u}))
@@ -99,6 +112,8 @@ def main(argv=None) -> int:
     b.add_argument("--key-col", default="url")
     b.add_argument("--seg-size", type=int, default=None)
     b.add_argument("--positions", action="store_true")
+    b.add_argument("--english-analyzer", action="store_true",
+                   help="EnglishAnalyzer chain: possessive strip + Porter stem")
     b.add_argument("--resume", action="store_true",
                    help="checkpointed per-segment build with lineage")
     b.set_defaults(fn=cmd_build)
@@ -109,6 +124,10 @@ def main(argv=None) -> int:
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--precision", default="lucene", choices=["lucene", "float64"])
     s.add_argument("--no-prune", action="store_true")
+    s.add_argument("--similarity", default="bm25",
+                   choices=["bm25", "classic", "boolean"])
+    s.add_argument("--english-analyzer", action="store_true",
+                   help="analyze the query with the EnglishAnalyzer chain")
     s.set_defaults(fn=cmd_search)
 
     q = sub.add_parser("bench-queries", help="batched query-log throughput")
