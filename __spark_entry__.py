@@ -384,6 +384,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("end").cast("long").alias("off_end"),
         )
 
+    def ft_pulsed(spark, sf):
+        # singleton pulsing (pulsing.py — BlockTree inlines df==1 postings
+        # in term metadata): the lexicographically-first df==1 term is
+        # served ENTIRELY from the vocabulary-sized sidecar (the postings
+        # table is not scanned); results must equal plain BM25 — the oracle
+        # derives the same term and scores it in SQL
+        from lucene_spark.pulsing import pulse_index
+
+        idx = _ft_index(spark, sf)
+        term = (
+            idx.termdict.filter(F.col("df") == 1)
+            .agg(F.min("term")).collect()[0][0]
+        )
+        pidx = pulse_index(idx)
+        td = search(pidx, ("term", term), k=10, precision="float64", prune=True)
+        rows = [
+            (int(d), int(math.floor(sc * 10000)))
+            for d, sc in zip(td.docids.tolist(), td.scores.tolist())
+        ]
+        return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
     def ft_classic_sim(spark, sf):
         # pluggable similarity: ClassicSimilarity TF-IDF (ClassicSimilarity
         # .java:37-65, IndexSearcher.setSimilarity analog) — float64 twin:
@@ -814,22 +835,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # compound scorers (3)
         ft_dismax, ft_msm, ft_boost,
         # collectors / facets / grouping (4)
-        ft_sort_field, ft_group_top, ft_facet_lang, ft_facet_range,
+        ft_sort_field, ft_group_top, ft_facet_lang,
         # aux search modules (3)
         ft_query_join, ft_monitor, ft_highlight,
         # pluggable similarities + feature fields (3, new round 2)
         ft_classic_sim, ft_boolean_sim, ft_feature,
         # token-filter chain (5, new round 2)
         ft_porter, ft_ascii_fold, ft_shingle, ft_edge_ngram, ft_length_filter,
-        # offsets channel (1, new round 2)
-        ft_offsets,
+        # offsets channel + singleton pulsing (2, new round 2)
+        ft_offsets, ft_pulsed,
         # dedup family (5)
         dedup_exact, dedup_jaccard, dedup_minhash_lsh, dedup_simhash,
         dedup_embcos,
         # ANN + embedding stats (4)
         ann_bruteforce, ann_ivf, ann_lsh, emb_label_stats,
         # --- entries 51+: variants + round-1-verified unchanged families ---
-        dedup_embcos_lsh, dedup_simhash_pairs, ann_ivf_indexed,
+        ft_facet_range, dedup_embcos_lsh, dedup_simhash_pairs, ann_ivf_indexed,
         ft_suggest, ft_knn_classify, ft_explain, ft_mlt,
         text_token_count, text_quality, text_langid, text_fingerprint,
         ft_deleted, ft_bm25_params, ft_and3_topk, ft_paging,
@@ -1135,6 +1156,19 @@ SELECT t.doc_id,
             ELSE length(array_to_string(t.s[1:o.i-1], ' ')) + 1 END)
             + length(t.s[o.i]) AS BIGINT) AS off_end
 FROM tokd t JOIN occ o USING (doc_id)""",
+        "ft_pulsed": _FT_PRELUDE + """,
+pt AS (SELECT min(term) AS term FROM df WHERE df = 1),
+sc AS (
+  SELECT tf.doc_id,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) AS w,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (s.sttf / s.n))) AS inv,
+         tf.tf AS tf
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  WHERE tf.term = (SELECT term FROM pt)
+)
+SELECT doc_id, CAST(floor((w - w / (1.0 + tf * inv)) * 10000) AS BIGINT) AS score_q
+FROM sc ORDER BY (w - w / (1.0 + tf * inv)) DESC, doc_id LIMIT 10""",
         "ft_porter": """
 SELECT word, stem FROM (VALUES ('caress', 'caress'),('caresses', 'caress'),('cats', 'cat'),('connect', 'connect'),('connected', 'connect'),('connecting', 'connect'),('connection', 'connect'),('connections', 'connect'),('generalizations', 'gener'),('happy', 'happi'),('mating', 'mate'),('matting', 'mat'),('meeting', 'meet'),('meetings', 'meet'),('messing', 'mess'),('milling', 'mill'),('oscillators', 'oscil'),('ponies', 'poni'),('sky', 'sky'),('ties', 'ti')) AS t(word, stem)
 ORDER BY word""",

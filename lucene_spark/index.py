@@ -77,6 +77,7 @@ class Index:
     sum_total_term_freq: int
     seg_size: int
     tombstones: DataFrame | None = None  # LiveDocs analog: deleted docids
+    pulsed: DataFrame | None = None  # singleton-pulsing sidecar (pulsing.py)
 
     @property
     def avgdl(self) -> float:
@@ -103,7 +104,7 @@ class Index:
             docs=self.docs, postings=self.postings, termdict=self.termdict,
             norms=self.norms, doc_count=self.doc_count,
             sum_total_term_freq=self.sum_total_term_freq,
-            seg_size=self.seg_size, tombstones=t,
+            seg_size=self.seg_size, tombstones=t, pulsed=self.pulsed,
         )
 
     def write_tombstones(self, out_dir: str) -> None:
@@ -762,6 +763,10 @@ def write_index(index: Index, out_dir: str, mode: str = "overwrite") -> None:
         # an overwrite of an index that HAD tombstones must not resurrect
         # deleted docs from a stale liveDocs table
         shutil.rmtree(f"{out_dir}/tombstones", ignore_errors=True)
+    if index.pulsed is not None:
+        index.pulsed.write.mode(mode).parquet(f"{out_dir}/pulsed")
+    elif mode == "overwrite":
+        shutil.rmtree(f"{out_dir}/pulsed", ignore_errors=True)
 
 
 def read_index(spark: SparkSession, out_dir: str) -> Index:
@@ -771,6 +776,9 @@ def read_index(spark: SparkSession, out_dir: str) -> Index:
     tomb = None
     if os.path.isdir(f"{out_dir}/tombstones"):
         tomb = spark.read.parquet(f"{out_dir}/tombstones")
+    pulsed = None
+    if os.path.isdir(f"{out_dir}/pulsed"):
+        pulsed = spark.read.parquet(f"{out_dir}/pulsed")
     return Index(
         docs=spark.read.parquet(f"{out_dir}/docs"),
         postings=spark.read.parquet(f"{out_dir}/postings"),
@@ -780,6 +788,7 @@ def read_index(spark: SparkSession, out_dir: str) -> Index:
         sum_total_term_freq=stats["sum_total_term_freq"],
         seg_size=stats["seg_size"],
         tombstones=tomb,
+        pulsed=pulsed,
     )
 
 

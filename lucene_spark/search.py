@@ -810,7 +810,38 @@ def search(
     if not scorers:
         return empty
 
-    rows = index.postings.filter(F.col("term").isin([t for t in terms if t in scorers]))
+    scan_terms = [t for t in terms if t in scorers]
+    pulsed_synth: list[dict] | None = None
+    if getattr(index, "pulsed", None) is not None and scan_terms:
+        # singleton pulsing (pulsing.py): df==1 terms are served from the
+        # vocabulary-sized sidecar (pushdown isin scan, k tiny rows to the
+        # driver) and synthesized into standard posting rows; the BIG
+        # postings table is scanned only for the remaining terms — or not
+        # at all when every query term is a singleton
+        from .pulsing import synthesize_posting_rows
+
+        pl = index.pulsed.filter(F.col("term").isin(scan_terms)).collect()
+        if pl:
+            pulsed_synth = synthesize_posting_rows([r.asDict() for r in pl])
+            got = {r["term"] for r in pl}
+            scan_terms = [t for t in scan_terms if t not in got]
+    spark_sess = index.postings.sparkSession
+    if scan_terms:
+        rows = index.postings.filter(F.col("term").isin(scan_terms))
+        if pulsed_synth:
+            from .index import POSTINGS_SCHEMA
+
+            rows = rows.unionByName(
+                spark_sess.createDataFrame(pulsed_synth, POSTINGS_SCHEMA)
+            )
+    elif pulsed_synth:
+        from .index import POSTINGS_SCHEMA
+
+        rows = spark_sess.createDataFrame(pulsed_synth, POSTINGS_SCHEMA)
+    else:
+        from .index import POSTINGS_SCHEMA
+
+        rows = spark_sess.createDataFrame([], POSTINGS_SCHEMA)
 
     # per-segment execution: posting rows are self-contained (inline dls), so
     # the only shuffle is the query's own rows grouped by seg — segment ==
