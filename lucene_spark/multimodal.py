@@ -2,15 +2,17 @@
 
 Pattern for image/audio/video at 100 TB: binary column + metadata struct,
 processed by Arrow-batched ``mapInPandas`` so each task streams record
-batches (bounded memory) instead of materializing whole partitions.  The
-actual media codecs are NOT available in this environment, so the decode
-kernels are stubbed behind ``NotImplementedError`` / deterministic fakes —
-the Spark-side contract (schema, batch shape, partitioning) is real and
-tested.
+batches (bounded memory) instead of materializing whole partitions.
 
-The one real decoder: HTML → text extraction (the input_hint's html column),
-a deterministic tag-strip that reproduces the corpus generator's byte-exact
-text contract.
+REAL decoders (pure numpy/struct, no codec library needed):
+  - HTML → text extraction (the input_hint's html column, byte-exact),
+  - BMP (uncompressed 24-bit) → HxWx3 uint8 array (:func:`decode_bmp`),
+  - WAV (PCM 8/16-bit RIFF) → samples + rate (:func:`decode_wav`) with
+    :func:`audio_features` (duration/RMS/peak/zero-crossings).
+STUBBED: compressed formats (PNG/JPEG/video) raise ``NotImplementedError``
+— their codecs are not in this container; the dispatch, schema, batch
+shape, and partitioning around them are real and tested, and unknown
+payloads fall back to a deterministic fake so plumbing tests stay runnable.
 """
 
 from __future__ import annotations
@@ -43,19 +45,77 @@ def html_to_text(pages: DataFrame, html_col: str = "html", out_col: str = "extra
     return pages.mapInPandas(run, schema=schema)
 
 
-def decode_image_stub(payload: bytes) -> np.ndarray:
-    """Image decode — STUB: no image codec (PIL/opencv) in this container.
+def encode_bmp(img: np.ndarray) -> bytes:
+    """HxWx3 uint8 RGB → uncompressed 24-bit BMP bytes (BITMAPINFOHEADER,
+    bottom-up, 4-byte row padding) — pure struct packing, used to produce
+    real test fixtures without any codec library."""
+    import struct
 
-    At deploy time this becomes a real decode inside the same mapInPandas
-    kernel; the deterministic fake keeps the downstream plumbing testable:
-    an 8x8 uint8 'thumbnail' derived from the payload bytes.
-    """
+    h, w, _ = img.shape
+    row = w * 3
+    pad = (-row) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        bgr = img[y, :, ::-1].tobytes()
+        body += bgr + b"\x00" * pad
+    pixel_off = 14 + 40
+    size = pixel_off + len(body)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, pixel_off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return bytes(header + dib + body)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """REAL image decode for uncompressed 24-bit BMP (the one raster format
+    parseable with numpy alone): returns HxWx3 uint8 RGB.  Handles
+    bottom-up and top-down row order and 4-byte row padding."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"only uncompressed 24-bit BMP (got bpp={bpp})")
+    topdown = h < 0
+    h = abs(h)
+    row = w * 3
+    stride = row + ((-row) % 4)
+    data = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=pixel_off)
+    rows = data.reshape(h, stride)[:, :row].reshape(h, w, 3)
+    if not topdown:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+_PNG_MAGIC = b"\x89PNG"
+_JPEG_MAGIC = b"\xff\xd8\xff"
+
+
+def decode_image(payload: bytes) -> np.ndarray | None:
+    """Dispatching image decode: BMP is decoded for real; PNG/JPEG raise
+    NotImplementedError (no codec library in this container — at deploy
+    time the same kernel calls the real codec); unknown payloads fall back
+    to a deterministic 8x8 fake so the Spark plumbing stays testable."""
     if payload is None:
-        raise NotImplementedError("real image decode requires an image codec library")
+        raise NotImplementedError("image decode of None payload")
     if len(payload) == 0:
         return None  # undecodable payload — callers skip the row
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload.startswith(_PNG_MAGIC) or payload.startswith(_JPEG_MAGIC):
+        raise NotImplementedError(
+            "PNG/JPEG decode requires an image codec library (not in this container)"
+        )
     arr = np.frombuffer((payload * ((64 // len(payload)) + 1))[:64], dtype=np.uint8)
     return arr.reshape(8, 8)
+
+
+def decode_image_stub(payload: bytes) -> np.ndarray:
+    """Backwards-compatible alias of :func:`decode_image`."""
+    return decode_image(payload)
 
 
 def image_features(
@@ -72,16 +132,25 @@ def image_features(
         for pdf in batches:
             rows = []
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
-                img = decode_image_stub(bytes(payload)) if payload is not None else None
+                img = decode_image(bytes(payload)) if payload is not None else None
                 if img is None:
                     continue
+                if img.ndim == 3:  # real RGB decode -> 8x8 grayscale thumb
+                    gray = img.mean(axis=2)
+                    ys = np.linspace(0, gray.shape[0] - 1, 8).astype(int)
+                    xs = np.linspace(0, gray.shape[1] - 1, 8).astype(int)
+                    thumb = gray[np.ix_(ys, xs)]
+                    width, height = img.shape[1], img.shape[0]
+                else:
+                    thumb = img.astype(np.float64)
+                    width, height = img.shape[1], img.shape[0]
                 rows.append(
                     {
                         id_col: int(i),
-                        "width": img.shape[1],
-                        "height": img.shape[0],
-                        "mean_intensity": float(img.mean()),
-                        "feature": (img.astype(np.float64).ravel() / 255.0).tolist(),
+                        "width": width,
+                        "height": height,
+                        "mean_intensity": float(thumb.mean()),
+                        "feature": (thumb.astype(np.float64).ravel() / 255.0).tolist(),
                     }
                 )
             yield pd.DataFrame(rows, columns=[id_col, "width", "height", "mean_intensity", "feature"])
@@ -97,3 +166,91 @@ def frame_sample_stub(payload: bytes, every_n: int = 10) -> list[bytes]:
     size = max(len(payload) // 16, 1)
     frames = [payload[i : i + size] for i in range(0, len(payload), size)]
     return frames[::every_n] if len(frames) >= every_n else frames[:1]
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """int16 mono/stereo samples → PCM WAV bytes (pure struct packing)."""
+    import struct
+
+    samples = np.asarray(samples, dtype=np.int16)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    data = samples.astype("<i2").tobytes()
+    byte_rate = sample_rate * ch * 2
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, ch, sample_rate, byte_rate, ch * 2, 16)
+    hdr = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data), b"WAVE")
+    return hdr + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL audio decode for PCM RIFF/WAVE (8- or 16-bit): returns
+    (samples[n, channels] as float64 in [-1, 1], sample_rate).  Walks the
+    chunk list so extra chunks (LIST/INFO) are skipped correctly."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid, csize = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + csize + (csize & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, ch, rate, _, _, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise NotImplementedError(
+            f"only PCM 8/16-bit WAV (got format={audio_format}, bits={bits})"
+        )
+    if bits == 16:
+        arr = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    else:
+        arr = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    n = len(arr) // ch
+    return arr[: n * ch].reshape(n, ch), rate
+
+
+def audio_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """WAV binary column → (id, sample_rate, channels, duration_sec, rms,
+    peak, zero_crossing_rate) via the REAL PCM decoder, one Arrow pass."""
+    schema = (
+        f"{id_col} long, sample_rate int, channels int, duration_sec double, "
+        "rms double, peak double, zero_crossing_rate double"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                try:
+                    samples, rate = decode_wav(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    continue
+                mono = samples.mean(axis=1)
+                zc = float(np.mean(np.abs(np.diff(np.signbit(mono))))) if len(mono) > 1 else 0.0
+                rows.append({
+                    id_col: int(i),
+                    "sample_rate": int(rate),
+                    "channels": samples.shape[1],
+                    "duration_sec": samples.shape[0] / rate,
+                    "rms": float(np.sqrt(np.mean(mono ** 2))) if len(mono) else 0.0,
+                    "peak": float(np.max(np.abs(mono))) if len(mono) else 0.0,
+                    "zero_crossing_rate": zc,
+                })
+            yield pd.DataFrame(rows, columns=[
+                id_col, "sample_rate", "channels", "duration_sec", "rms",
+                "peak", "zero_crossing_rate",
+            ])
+
+    return df.mapInPandas(run, schema=schema)
