@@ -1185,7 +1185,32 @@ def search_many(
         t: sim_cls(dfs[t], stats, k1=k1, b=b, precision=precision)
         for t in needed_terms
     }
-    rows = index.postings.filter(F.col("term").isin(sorted(needed_terms)))
+    # singleton pulsing, mirrored from search() so the batched path has the
+    # same sidecar fast path (df==1 terms never touch the big postings scan)
+    scan_terms = sorted(needed_terms)
+    pulsed_synth: list[dict] | None = None
+    if getattr(index, "pulsed", None) is not None and scan_terms:
+        from .pulsing import synthesize_posting_rows
+
+        pl = index.pulsed.filter(F.col("term").isin(scan_terms)).collect()
+        if pl:
+            pulsed_synth = synthesize_posting_rows([r.asDict() for r in pl])
+            got = {r["term"] for r in pl}
+            scan_terms = [t for t in scan_terms if t not in got]
+    if scan_terms:
+        rows = index.postings.filter(F.col("term").isin(scan_terms))
+        if pulsed_synth:
+            from .index import POSTINGS_SCHEMA
+
+            rows = rows.unionByName(
+                index.postings.sparkSession.createDataFrame(pulsed_synth, POSTINGS_SCHEMA)
+            )
+    else:
+        from .index import POSTINGS_SCHEMA
+
+        rows = index.postings.sparkSession.createDataFrame(
+            pulsed_synth or [], POSTINGS_SCHEMA
+        )
     seg_size = index.seg_size
     ks = {qid: (ks or {}).get(qid, k) for qid in exec_nodes}
     nodes_b, kmap, prec, pr = exec_nodes, ks, precision, prune

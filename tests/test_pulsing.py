@@ -93,3 +93,16 @@ def test_all_singleton_query_skips_postings(spark, pulsed_pair):
         # structural check: the pulsed branch removed all scan terms
         pl = r.pulsed.filter("term = 'unique5'").collect()
         assert len(pl) == 1
+
+
+def test_search_many_pulsed_identical(spark, pulsed_pair):
+    from lucene_spark.search import search_many
+
+    idx, pidx = pulsed_pair
+    qs = {"a": "unique3", "b": "unique7 common", "c": "common",
+          "d": "unique99 AND target"}
+    r1 = search_many(idx, qs, k=5)
+    r2 = search_many(pidx, qs, k=5)
+    for k in qs:
+        assert r1[k].docids.tolist() == r2[k].docids.tolist(), k
+        assert r1[k].scores.tolist() == r2[k].scores.tolist(), k
