@@ -706,6 +706,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.floor(F.col("cosine") * 1e6).cast("long").alias("cos_q"),
         )
 
+    def text_bpe_count(spark, sf):
+        # BPE-ish token counting (training-data budgeting): GPT-2-style
+        # pre-tokenizer regex (lookahead-free so Java regex and RE2 agree)
+        # + ceil(len/4) subword estimate per piece - all JVM-side
+        return textops.bpe_token_count(_docs(spark, sf))
+
     def dedup_exact(spark, sf):
         return textops.exact_duplicates(_docs(spark, sf))
 
@@ -853,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_facet_range, dedup_embcos_lsh, dedup_simhash_pairs, ann_ivf_indexed,
         ft_suggest, ft_knn_classify, ft_explain, ft_mlt,
         text_token_count, text_quality, text_langid, text_fingerprint,
+        text_bpe_count,
         ft_deleted, ft_bm25_params, ft_and3_topk, ft_paging,
         ft_prefix_match, ft_qp_boost, ft_qp_fuzzy, ft_qp_range,
     ]:
@@ -1568,6 +1575,7 @@ ORDER BY {cos} DESC, e.vec_id LIMIT 10""",
         "ann_ivf": _ivf_oracle_sql(n_centroids=8, nprobe=3, k=10),
         "ann_ivf_indexed": _ivf_oracle_sql(n_centroids=8, nprobe=3, k=10),
         "ann_lsh": _lsh_oracle_sql(n_planes=10, dim=64, seed=5, k=10),
+        "text_bpe_count": "\nWITH p AS (\n  SELECT doc_id, regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}'']+|\\s+') AS pieces FROM documents\n)\nSELECT doc_id,\n       CAST(len(pieces) AS BIGINT) AS n_pretokens,\n       CAST(list_sum(list_transform(pieces, x -> CAST(ceil(strlen(x) / 4.0) AS BIGINT))) AS BIGINT) AS est_subwords\nFROM p",
         "dedup_embcos": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT a.vec_id AS a, b.vec_id AS b,

@@ -349,3 +349,34 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         .otherwise(F.lit("unk"))
         .alias("lang_pred"),
     )
+
+
+# GPT-2-style pre-tokenizer pattern (public BPE pre-tokenization shape),
+# WITHOUT lookahead so both Java regex (Spark) and RE2 (DuckDB) accept it:
+# contraction suffixes, space-prefixed letter runs, digit runs, punctuation
+# runs, whitespace runs.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}']+|\s+"
+
+
+def bpe_token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """BPE-ish token counting for training-data budgeting: pre-token pieces
+    by the GPT-2-style regex plus a deterministic subword estimate
+    (ceil(len/4) per piece — the ~4-chars-per-token rule of thumb).  All
+    JVM-side (regexp_extract_all + aggregate fold): no Python, replicable
+    exactly by DuckDB's RE2 regexp_extract_all."""
+    # function API with a literal pattern Column — SQL-string escaping would
+    # mangle the backslashes in \p{L}.  octet_length, not length: Spark
+    # counts UTF-16 code units, DuckDB counts codepoints — byte length is
+    # the one measure both engines agree on (and the ~4-bytes-per-token rule
+    # is how token budgeting is usually quoted).
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN_RE), 0)
+    est = F.aggregate(
+        pieces,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.ceil(F.octet_length(x) / 4.0).cast("long"),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(pieces).cast("long").alias("n_pretokens"),
+        est.alias("est_subwords"),
+    )

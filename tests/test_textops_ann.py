@@ -244,3 +244,19 @@ def test_embcos_lsh_candidates_are_bucketed(spark):
         [(0, [1.0] * 8), (1, [-1.0] * 8)], "vec_id long, embedding array<double>"
     )
     assert embcos_pairs_lsh(emb, -1.0, n_planes=4, dim=8).count() == 0
+
+
+def test_bpe_token_count(spark):
+    from lucene_spark.textops import bpe_token_count
+
+    docs = spark.createDataFrame(
+        [(0, "it's a test-case with 1234 numbers!"), (1, "plain words"), (2, "")],
+        "doc_id long, text string",
+    )
+    r = {x["doc_id"]: x for x in bpe_token_count(docs).collect()}
+    # pieces: "it" "'s" " a" " test" "-" "case" " with" " 1234" " numbers" "!"
+    assert r[0]["n_pretokens"] == 10
+    assert r[1]["n_pretokens"] == 2  # "plain", " words"
+    assert r[2]["n_pretokens"] == 0 and r[2]["est_subwords"] == 0
+    # est_subwords = sum ceil(bytes/4): 1+1+1+2+1+1+2+2+2+1 = 14
+    assert r[0]["est_subwords"] == 14
