@@ -718,6 +718,19 @@ def segment_topk(
                 pos_by_term[t] = pos_by_term[t][np.repeat(m, f)]
         postings_by_term = masked
 
+    # cost-based strategy selection (BooleanWeight.scorerSupplier cost
+    # heuristics, search/BooleanWeight.java:318-392): when the union of the
+    # query terms' postings cannot exceed ~2k docs, exhaustive scoring is
+    # cheaper than building per-window bounds — the pruning machinery would
+    # visit every window anyway because the k-th score never becomes
+    # competitive with so few candidates.  Both strategies are
+    # rank-identical (asserted by the duel suite), so this is purely a
+    # physical choice, like Lucene swapping BulkScorer implementations.
+    if prune:
+        upper_cost = sum(len(d) for d, _, _ in postings_by_term.values())
+        if upper_cost <= max(2 * k, 256):
+            prune = False
+
     if not prune:
         d, s = score_query_node(node, postings_by_term, scorers_by_term, precision, pos_by_term)
         return _topk_from_scored(d, s, k)
