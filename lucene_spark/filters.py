@@ -269,3 +269,40 @@ def edge_ngram_col(term_col: str, min_gram: int = 2, max_gram: int = 4):
         f"transform(sequence({min_gram}, least({max_gram}, length({term_col}))), "
         f"n -> substr({term_col}, 1, n)) END"
     )
+
+
+def trim(token: str) -> str:
+    """TrimFilter (miscellaneous/TrimFilter.java:28-55): strip leading and
+    trailing whitespace from the term (relevant for KeywordTokenizer-style
+    chains where whitespace can survive into the term)."""
+    return token.strip()
+
+
+_ELISION_ARTICLES = frozenset(
+    ["l", "m", "t", "qu", "n", "s", "j", "d", "c", "jusqu", "quoiqu",
+     "lorsqu", "puisqu"]
+)
+
+
+def elision(token: str) -> str:
+    """ElisionFilter (util/ElisionFilter.java:30-65) with the French default
+    article set (fr/FrenchAnalyzer.java:52-57): strip a leading elided
+    article before an apostrophe — l'avion → avion, qu'il → il."""
+    for apo in ("'", "’"):
+        i = token.find(apo)
+        if 0 < i and token[:i] in _ELISION_ARTICLES:
+            return token[i + 1 :]
+    return token
+
+
+def decimal_digit(token: str) -> str:
+    """DecimalDigitFilter (core/DecimalDigitFilter.java:28-45): fold unicode
+    decimal digits (Arabic-Indic, Devanagari, full-width, ...) to ASCII
+    0-9."""
+    if token.isascii():
+        return token
+    out = []
+    for c in token:
+        d = unicodedata.digit(c, None)
+        out.append(str(d) if d is not None and not c.isascii() else c)
+    return "".join(out)

@@ -141,3 +141,25 @@ def test_stemmed_index_search(spark):
     d = search(idx, "committees", k=10, analyzer=an)
     assert c.docids.tolist() == d.docids.tolist()
     assert len(c.docids) == 2
+
+
+def test_trim_elision_decimal_digit():
+    from lucene_spark.filters import decimal_digit, elision, trim
+
+    assert trim("  x ") == "x"
+    assert elision("l'avion") == "avion"
+    assert elision("qu'il") == "il"
+    assert elision("d'accord") == "accord"
+    assert elision("don't") == "don't"  # 'don' is not an elided article
+    assert elision("o'reilly") == "o'reilly"
+    assert decimal_digit("١٢٣") == "123"
+    assert decimal_digit("４２") == "42"
+    assert decimal_digit("abc123") == "abc123"
+
+
+def test_french_style_chain():
+    from lucene_spark.analysis import Analyzer, analyze
+    from lucene_spark.filters import elision
+
+    an = Analyzer(stopwords=frozenset(), pre_filters=(elision,))
+    assert analyze("L'avion de qu'il", an) == ["avion", "de", "il"]
