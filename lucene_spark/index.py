@@ -748,9 +748,17 @@ def write_index(index: Index, out_dir: str, mode: str = "overwrite") -> None:
     index.postings.sortWithinPartitions("term").write.mode(mode).partitionBy("seg").parquet(
         f"{out_dir}/postings"
     )
-    index.docs.write.mode(mode).parquet(f"{out_dir}/docs")
+    # docs/norms are seg-partitioned to MATCH the streaming append_batch /
+    # tiered_compact layout — a batch-written index must accept streaming
+    # appends (mixing flat files with partition dirs loses rows on read)
+    docs = index.docs
+    if "seg" not in docs.columns:
+        docs = docs.withColumn(
+            "seg", (F.col("docid") / F.lit(index.seg_size)).cast("long")
+        )
+    docs.write.mode(mode).partitionBy("seg").parquet(f"{out_dir}/docs")
     index.termdict.write.mode(mode).parquet(f"{out_dir}/termdict")
-    index.norms.write.mode(mode).parquet(f"{out_dir}/norms")
+    index.norms.write.mode(mode).partitionBy("seg").parquet(f"{out_dir}/norms")
     spark = index.docs.sparkSession
     stats = spark.createDataFrame(
         [(index.doc_count, index.sum_total_term_freq, index.seg_size)],

@@ -569,3 +569,40 @@ def tiered_compact(
         "segments": len(sizes) - len(run)
         + int((n_live + seg_size - 1) // seg_size),
     }
+
+
+def update_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    out_dir: str,
+    seg_size: int,
+    text_col: str = "text",
+    key_col: str = "url",
+    with_positions: bool = False,
+    stopwords=ENGLISH_STOP_WORDS,
+) -> int:
+    """IndexWriter.updateDocument analog (index/IndexWriter.java:1540-1556:
+    'atomically deletes all documents containing term and adds the new
+    document'): tombstone every existing doc whose key matches a batch key,
+    then append the batch as new segment(s).
+
+    Delete-by-key is a broadcast semi-join of the (small) batch key set
+    against the docs table — the delete-by-Term posting-lookup analog; the
+    tombstones persist through the existing liveDocs table and the docs are
+    physically dropped at the next compact_index/tiered_compact, exactly
+    like Lucene applies update deletes at flush and purges at merge.
+    Returns the number of docs appended.
+    """
+    from .index import read_index
+
+    idx = read_index(spark, out_dir)
+    keys = batch_df.select(F.col(key_col).alias("__k")).distinct()
+    dead = idx.docs.join(
+        F.broadcast(keys), idx.docs["url"] == F.col("__k")
+    ).select("docid")
+    # fold into any existing tombstones and persist (liveDocs .liv analog)
+    idx.delete_docs(dead).write_tombstones(out_dir)
+    return append_batch(
+        spark, batch_df, out_dir, seg_size, text_col=text_col,
+        key_col=key_col, with_positions=with_positions, stopwords=stopwords,
+    )

@@ -110,3 +110,35 @@ def test_available_now_stream(tmp_path, spark, batches):
     idx = refresh_reader(spark, out)
     assert idx.doc_count == len(batches[0])
     assert len(search(idx, "court", k=5).docids) > 0
+
+
+def test_update_batch_replaces_by_key(spark, tmp_path):
+    """IndexWriter.updateDocument analog: delete-by-key + append atomically;
+    old versions are masked at read and purged at compaction, and a batch-
+    written index accepts streaming updates (shared seg-partitioned
+    layout)."""
+    from lucene_spark.index import build_index, read_index, write_index
+    from lucene_spark.search import search
+    from lucene_spark.streaming import compact_index, update_batch
+
+    pages = spark.createDataFrame(
+        [(f"u{i}", f"original stale w{i}") for i in range(12)],
+        "url string, text string",
+    )
+    out = str(tmp_path / "idx")
+    write_index(build_index(spark, pages, seg_size=4), out)
+    batch = spark.createDataFrame(
+        [("u3", "replaced fresh"), ("u7", "replaced fresh too"),
+         ("u99", "replaced new doc")],
+        "url string, text string",
+    )
+    assert update_batch(spark, batch, out, seg_size=4) == 3
+    r = read_index(spark, out)
+    stale = search(r, "stale", k=50, with_urls=True)
+    assert len(stale.docids) == 10
+    assert "u3" not in stale.urls and "u7" not in stale.urls
+    fresh = search(r, "replaced", k=50, with_urls=True)
+    assert sorted(fresh.urls) == ["u3", "u7", "u99"]
+    compacted = compact_index(spark, out, str(tmp_path / "idx2"), seg_size=4)
+    assert compacted.doc_count == 13
+    assert len(search(compacted, "stale", k=50).docids) == 10
