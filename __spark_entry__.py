@@ -405,6 +405,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return spark.createDataFrame(rows or [], "doc_id long, score_q long")
 
+    def ft_update(spark, sf):
+        # IndexWriter.updateDocument lifecycle (IndexWriter.java:1540-1556):
+        # build → write → update_batch (tombstone-by-key + append) →
+        # compact (purge) → search.  The oracle is BM25 over the corpus
+        # WITH the replacement applied — post-merge the old versions must
+        # be statistically invisible.  Keys on url (original doc_id):
+        # compaction densifies docids.
+        import shutil
+        import tempfile
+
+        from lucene_spark.index import write_index
+        from lucene_spark.streaming import compact_index, update_batch
+
+        docs = _docs(spark, sf)
+        idx = build_index(spark, docs, text_col="text", key_col="doc_id",
+                          docid_col="doc_id", seg_size=2048)
+        tmp = tempfile.mkdtemp(prefix="ls_update_")
+        try:
+            write_index(idx, f"{tmp}/a")
+            batch = docs.filter("doc_id < 5").select(
+                "doc_id", F.lit("dup dup freshly updated replacement").alias("text")
+            )
+            update_batch(spark, batch, f"{tmp}/a", seg_size=2048,
+                         text_col="text", key_col="doc_id")
+            compacted = compact_index(spark, f"{tmp}/a", f"{tmp}/b", seg_size=2048)
+            td = search(compacted, "dup", k=10, precision="float64", prune=True)
+            hits = spark.createDataFrame(
+                [(int(d), int(math.floor(s_ * 10000)))
+                 for d, s_ in zip(td.docids.tolist(), td.scores.tolist())] or [],
+                "docid long, score_q long",
+            )
+            out = (
+                hits.join(compacted.docs.select("docid", "url"), "docid")
+                .select(F.col("url").cast("long").alias("doc_id"), "score_q")
+            )
+            out = spark.createDataFrame(out.collect() or [], "doc_id long, score_q long")
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return out
+
     def ft_classic_sim(spark, sf):
         # pluggable similarity: ClassicSimilarity TF-IDF (ClassicSimilarity
         # .java:37-65, IndexSearcher.setSimilarity analog) — float64 twin:
@@ -861,7 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         text_token_count, text_quality, text_langid, text_fingerprint,
         text_bpe_count,
         ft_deleted, ft_bm25_params, ft_and3_topk, ft_paging,
-        ft_prefix_match, ft_qp_boost, ft_qp_fuzzy, ft_qp_range,
+        ft_prefix_match, ft_qp_boost, ft_qp_fuzzy, ft_qp_range, ft_update,
     ]:
         q[fn.__name__] = fn
     return q
@@ -1176,6 +1216,13 @@ sc AS (
 )
 SELECT doc_id, CAST(floor((w - w / (1.0 + tf * inv)) * 10000) AS BIGINT) AS score_q
 FROM sc ORDER BY (w - w / (1.0 + tf * inv)) DESC, doc_id LIMIT 10""",
+        "ft_update": _prelude(
+            """(SELECT doc_id, CASE WHEN doc_id < 5
+                THEN 'dup dup freshly updated replacement' ELSE text END AS text,
+                lang FROM documents)"""
+        ) + "," + _score_sql(["dup"]) + """
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10""",
         "ft_porter": """
 SELECT word, stem FROM (VALUES ('caress', 'caress'),('caresses', 'caress'),('cats', 'cat'),('connect', 'connect'),('connected', 'connect'),('connecting', 'connect'),('connection', 'connect'),('connections', 'connect'),('generalizations', 'gener'),('happy', 'happi'),('mating', 'mate'),('matting', 'mat'),('meeting', 'meet'),('meetings', 'meet'),('messing', 'mess'),('milling', 'mill'),('oscillators', 'oscil'),('ponies', 'poni'),('sky', 'sky'),('ties', 'ti')) AS t(word, stem)
 ORDER BY word""",
