@@ -78,6 +78,7 @@ class Index:
     seg_size: int
     tombstones: DataFrame | None = None  # LiveDocs analog: deleted docids
     pulsed: DataFrame | None = None  # singleton-pulsing sidecar (pulsing.py)
+    rterms: DataFrame | None = None  # reversed-term sidecar (leading wildcards)
 
     @property
     def avgdl(self) -> float:
@@ -105,6 +106,7 @@ class Index:
             norms=self.norms, doc_count=self.doc_count,
             sum_total_term_freq=self.sum_total_term_freq,
             seg_size=self.seg_size, tombstones=t, pulsed=self.pulsed,
+            rterms=self.rterms,
         )
 
     def write_tombstones(self, out_dir: str) -> None:
@@ -775,6 +777,12 @@ def write_index(index: Index, out_dir: str, mode: str = "overwrite") -> None:
         index.pulsed.write.mode(mode).parquet(f"{out_dir}/pulsed")
     elif mode == "overwrite":
         shutil.rmtree(f"{out_dir}/pulsed", ignore_errors=True)
+    if index.rterms is not None:
+        index.rterms.sortWithinPartitions("rterm").write.mode(mode).parquet(
+            f"{out_dir}/rterms"
+        )
+    elif mode == "overwrite":
+        shutil.rmtree(f"{out_dir}/rterms", ignore_errors=True)
 
 
 def read_index(spark: SparkSession, out_dir: str) -> Index:
@@ -787,6 +795,9 @@ def read_index(spark: SparkSession, out_dir: str) -> Index:
     pulsed = None
     if os.path.isdir(f"{out_dir}/pulsed"):
         pulsed = spark.read.parquet(f"{out_dir}/pulsed")
+    rterms = None
+    if os.path.isdir(f"{out_dir}/rterms"):
+        rterms = spark.read.parquet(f"{out_dir}/rterms")
     return Index(
         docs=spark.read.parquet(f"{out_dir}/docs"),
         postings=spark.read.parquet(f"{out_dir}/postings"),
@@ -797,6 +808,7 @@ def read_index(spark: SparkSession, out_dir: str) -> Index:
         seg_size=stats["seg_size"],
         tombstones=tomb,
         pulsed=pulsed,
+        rterms=rterms,
     )
 
 
@@ -915,3 +927,25 @@ def build_or_resume(
         "skipped": len(done),
         "wall_s": wall,
     }
+
+
+def add_reversed_terms(index: Index) -> Index:
+    """Reversed-term sidecar for leading-wildcard acceleration — the
+    ReverseStringFilter pattern (analysis/reverse/ReverseStringFilter.java:
+    24-40: index reversed terms so ``*suffix`` becomes a prefix scan).
+
+    One vocabulary-sized projection: (rterm = reverse(term), term), written
+    term-sorted by rterm so parquet min/max stats prune ``rterm LIKE
+    'xiffus%'`` the same way the forward termdict prunes prefixes.
+    expand_terms uses it automatically for pure leading-wildcard patterns.
+    """
+    rt = index.termdict.select(
+        F.reverse(F.col("term")).alias("rterm"), "term"
+    ).repartitionByRange(F.col("rterm")).sortWithinPartitions("rterm")
+    return Index(
+        docs=index.docs, postings=index.postings, termdict=index.termdict,
+        norms=index.norms, doc_count=index.doc_count,
+        sum_total_term_freq=index.sum_total_term_freq,
+        seg_size=index.seg_size, tombstones=index.tombstones,
+        pulsed=index.pulsed, rterms=rt,
+    )

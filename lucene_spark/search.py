@@ -1423,7 +1423,21 @@ def expand_terms(
     distance runs as an Arrow-batched UDF on the surviving sliver."""
     td = index.termdict
     if like is not None:
-        td = td.filter(F.col("term").like(like))
+        rt = getattr(index, "rterms", None)
+        if (
+            rt is not None
+            and like.startswith("%")
+            and "%" not in like[1:]
+            and "_" not in like
+        ):
+            # leading-wildcard fast path (ReverseStringFilter pattern): the
+            # reversed-term sidecar turns `%suffix` into a PREFIX scan on
+            # rterm — StringStartsWith pushes to the parquet scan, so the
+            # vocabulary is pruned by min/max stats instead of fully read
+            suffix = like[1:]
+            td = rt.filter(F.col("rterm").startswith(suffix[::-1])).select("term")
+        else:
+            td = td.filter(F.col("term").like(like))
     if rlike is not None:
         td = td.filter(F.col("term").rlike(rlike))
     if fuzzy is not None:

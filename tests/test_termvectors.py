@@ -81,3 +81,38 @@ def test_fetch_pushes_down(spark):
         assert "In(docid" in plan
         # a single-term isin simplifies to EqualTo — either form is pushed
         assert "In(term" in plan or "EqualTo(term" in plan
+
+
+# ------------------------------------------------ reversed-term sidecar
+
+
+def test_reversed_terms_sidecar(spark, tmp_path):
+    from lucene_spark.index import add_reversed_terms, build_index, read_index, write_index
+    from lucene_spark.search import expand_terms, search
+
+    pages = spark.createDataFrame(
+        [(f"u{i}", f"alpha{i} common ending{i % 3}suffix") for i in range(20)],
+        "url string, text string",
+    )
+    idx = build_index(spark, pages)
+    ridx = add_reversed_terms(idx)
+    a = sorted(expand_terms(idx, like="%suffix"))
+    b = sorted(expand_terms(ridx, like="%suffix"))
+    assert a == b and len(a) == 3
+    # string syntax *suffix goes through the sidecar transparently
+    t1 = search(idx, "*0suffix", k=50)
+    t2 = search(ridx, "*0suffix", k=50)
+    assert t1.docids.tolist() == t2.docids.tolist()
+    # patterns the sidecar cannot serve fall back to LIKE
+    assert sorted(expand_terms(ridx, like="%nding0%")) == sorted(
+        expand_terms(idx, like="%nding0%")
+    )
+    out = str(tmp_path / "ridx")
+    write_index(ridx, out)
+    r = read_index(spark, out)
+    assert r.rterms is not None
+    plan = (
+        r.rterms.filter(r.rterms["rterm"].startswith("xiffus"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "StringStartsWith(rterm" in plan
