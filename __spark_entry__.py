@@ -534,6 +534,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SloppyPhraseMatcher analog: slop=2, sloppyFreq = 1/(1+matchLength)
         return _topk_df(spark, sf, '"table hash"~2', 10)
 
+    # --- span queries (spans package; NearSpansOrdered/Unordered,
+    #     SpanFirstQuery, SpanNotQuery; SpanScorer freq = Σ 1/(1+width)) ---
+    def ft_span_near_ord(spark, sf):
+        from lucene_spark.spans import span_near
+
+        # ordered chain table → hash → part, Σ gaps <= 4
+        return _topk_df(spark, sf, span_near(["table", "hash", "part"], slop=4), 10)
+
+    def ft_span_near_unord(spark, sf):
+        from lucene_spark.spans import span_near
+
+        # unordered window/scan within slop 3 (heap-walk enumeration)
+        return _topk_df(
+            spark, sf, span_near(["window", "scan"], slop=3, ordered=False), 10
+        )
+
+    def ft_span_first(spark, sf):
+        from lucene_spark.spans import span_first
+
+        # SpanFirstQuery: 'key' spans ending at position <= 6
+        return _topk_df(spark, sf, span_first("key", 6), 10)
+
+    def ft_span_not(spark, sf):
+        from lucene_spark.spans import span_not
+
+        # SpanNotQuery: 'scan' with no 'table' within [p-1, p+2]
+        return _topk_df(spark, sf, span_not("scan", "table", pre=1, post=2), 10)
+
     # --- MultiTermQuery family (expansion vs term dictionary) ---
     def ft_wildcard(spark, sf):
         idx = _ft_index(spark, sf)
@@ -871,19 +899,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for fn in [
         # core analysis + index tables (4)
         ft_token_stats, ft_norms, ft_termdict, ft_stats,
-        # boolean/scoring query kernels (9)
-        ft_term_topk, ft_or_topk, ft_and_topk, ft_mixed_topk, ft_must_not,
+        # boolean/scoring query kernels (8)
+        ft_term_topk, ft_or_topk, ft_and_topk, ft_must_not,
         ft_reqopt, ft_filtered, ft_deleted_persist, ft_count,
         # positional + synonym (4)
         ft_phrase, ft_phrase_gap, ft_phrase_sloppy, ft_synonym,
+        # span queries (4, new round 2)
+        ft_span_near_ord, ft_span_near_unord, ft_span_first, ft_span_not,
         # multi-term expansion (4) + parser nesting (1)
         ft_wildcard, ft_fuzzy, ft_term_range, ft_term_in_set, ft_qp_complex,
-        # compound scorers (3)
-        ft_dismax, ft_msm, ft_boost,
-        # collectors / facets / grouping (4)
-        ft_sort_field, ft_group_top, ft_facet_lang,
-        # aux search modules (3)
-        ft_query_join, ft_monitor, ft_highlight,
+        # compound scorers (2)
+        ft_dismax, ft_msm,
+        # collectors / facets / grouping (2)
+        ft_sort_field, ft_group_top,
+        # aux search modules (2)
+        ft_monitor, ft_highlight,
         # pluggable similarities + feature fields (3, new round 2)
         ft_classic_sim, ft_boolean_sim, ft_feature,
         # token-filter chain (5, new round 2)
@@ -902,6 +932,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         text_bpe_count,
         ft_deleted, ft_bm25_params, ft_and3_topk, ft_paging,
         ft_prefix_match, ft_qp_boost, ft_qp_fuzzy, ft_qp_range, ft_update,
+        # round-1-verified families displaced from the head by the round-2
+        # span entries (unchanged modules; still oracle-verified by pytest)
+        ft_boost, ft_facet_lang, ft_query_join, ft_mixed_topk,
     ]:
         q[fn.__name__] = fn
     return q
@@ -947,6 +980,160 @@ sc AS (
 )
 SELECT doc_id, CAST(floor((w - w / (1.0 + pf * inv)) * 10000) AS BIGINT) AS score_q
 FROM sc ORDER BY (w - w / (1.0 + pf * inv)) DESC, doc_id LIMIT {k}"""
+    )
+
+
+_SPAN_POS_CTE = """
+pos AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS p
+  FROM documents
+)"""
+
+
+def _span_score_tail(terms: list[str], k: int) -> str:
+    """Score a per-doc span freq (CTE ``fr`` with columns doc_id, pf) under
+    the SpanWeight Σ-idf multi-term weight — identical shape to the
+    sloppy-phrase scorer tail."""
+    idf_sum = " + ".join(
+        f"(SELECT ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) FROM df d CROSS JOIN stats s"
+        f" WHERE d.term = '{t}')"
+        for t in terms
+    )
+    return f""",
+sc AS (
+  SELECT fr.doc_id,
+         ({idf_sum}) AS w,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (s.sttf / s.n))) AS inv,
+         fr.pf AS pf
+  FROM fr JOIN dl USING (doc_id) CROSS JOIN stats s
+)
+SELECT doc_id, CAST(floor((w - w / (1.0 + pf * inv)) * 10000) AS BIGINT) AS score_q
+FROM sc ORDER BY (w - w / (1.0 + pf * inv)) DESC, doc_id LIMIT {k}"""
+
+
+def _span_near_ord_sql(members: list[str], slop: int, k: int) -> str:
+    """NearSpansOrdered oracle: for every lead occurrence, the greedy chain
+    q_i = min position of member i with p >= prev end (the monotone-cursor
+    walk of NearSpansOrdered.java:100-129 reduces to exactly this for
+    length-1 sub-spans); width = Σ gaps; freq = Σ 1/(1+width) over chains
+    with width <= slop."""
+    chain = f"c0 AS (SELECT doc_id, p AS p0, p + 1 AS e0 FROM pos WHERE w = '{members[0]}')"
+    prev = "c0"
+    width_terms = []
+    for i, t in enumerate(members[1:], 1):
+        chain += f""",
+c{i} AS (
+  SELECT c.*, (SELECT min(b.p) FROM pos b
+               WHERE b.doc_id = c.doc_id AND b.w = '{t}' AND b.p >= c.e{i-1}) AS q{i},
+         (SELECT min(b.p) FROM pos b
+          WHERE b.doc_id = c.doc_id AND b.w = '{t}' AND b.p >= c.e{i-1}) + 1 AS e{i}
+  FROM {prev} c
+)"""
+        width_terms.append(f"(q{i} - e{i-1})")
+        prev = f"c{i}"
+    last = len(members) - 1
+    width = " + ".join(width_terms)
+    return (
+        _FT_PRELUDE + "," + _SPAN_POS_CTE + "," + chain + f""",
+fr AS (
+  SELECT doc_id, SUM(1.0 / (1.0 + ({width}))) AS pf
+  FROM c{last}
+  WHERE q{last} IS NOT NULL AND ({width}) <= {slop}
+  GROUP BY doc_id
+)""" + _span_score_tail(members, k)
+    )
+
+
+def _span_near_unord2_sql(ta: str, tb: str, slop: int, k: int) -> str:
+    """NearSpansUnordered oracle for two terms, as the faithful cursor walk
+    (NearSpansUnordered.java:31-117): state = (pa, pb) starting at the two
+    minima; every state tests max-min-1 <= slop and contributes
+    1/(2 + max - min) (scoring width = maxEnd - minStart, width(), :161-163);
+    the smaller cursor advances.  Encoded as a recursive CTE."""
+    return (
+        "WITH RECURSIVE " + _FT_PRELUDE.replace("WITH tok AS", "tok AS", 1)
+        + "," + _SPAN_POS_CTE + f""",
+heads AS (
+  SELECT doc_id,
+         min(CASE WHEN w = '{ta}' THEN p END) AS pa,
+         min(CASE WHEN w = '{tb}' THEN p END) AS pb
+  FROM pos WHERE w IN ('{ta}', '{tb}')
+  GROUP BY doc_id
+  HAVING count(DISTINCT CASE WHEN w = '{ta}' THEN 1
+                             WHEN w = '{tb}' THEN 2 END) = 2
+),
+walk(doc_id, pa, pb, freq) AS (
+  SELECT doc_id, pa, pb,
+         CASE WHEN greatest(pa, pb) - least(pa, pb) - 1 <= {slop}
+              THEN 1.0 / (2.0 + greatest(pa, pb) - least(pa, pb)) ELSE 0 END
+  FROM heads
+  UNION ALL
+  SELECT w.doc_id,
+         CASE WHEN w.pa < w.pb
+              THEN (SELECT min(p) FROM pos
+                    WHERE pos.doc_id = w.doc_id AND pos.w = '{ta}' AND pos.p > w.pa)
+              ELSE w.pa END,
+         CASE WHEN w.pa < w.pb THEN w.pb
+              ELSE (SELECT min(p) FROM pos
+                    WHERE pos.doc_id = w.doc_id AND pos.w = '{tb}' AND pos.p > w.pb)
+              END,
+         w.freq + CASE
+           WHEN w.pa < w.pb THEN
+             (SELECT CASE WHEN q IS NOT NULL
+                            AND greatest(q, w.pb) - least(q, w.pb) - 1 <= {slop}
+                          THEN 1.0 / (2.0 + greatest(q, w.pb) - least(q, w.pb))
+                          ELSE 0 END
+              FROM (SELECT (SELECT min(p) FROM pos
+                            WHERE pos.doc_id = w.doc_id AND pos.w = '{ta}'
+                              AND pos.p > w.pa) AS q))
+           ELSE
+             (SELECT CASE WHEN q IS NOT NULL
+                            AND greatest(w.pa, q) - least(w.pa, q) - 1 <= {slop}
+                          THEN 1.0 / (2.0 + greatest(w.pa, q) - least(w.pa, q))
+                          ELSE 0 END
+              FROM (SELECT (SELECT min(p) FROM pos
+                            WHERE pos.doc_id = w.doc_id AND pos.w = '{tb}'
+                              AND pos.p > w.pb) AS q))
+         END
+  FROM walk w WHERE w.pa IS NOT NULL AND w.pb IS NOT NULL
+),
+fr AS (
+  SELECT doc_id, max(freq) AS pf FROM walk
+  GROUP BY doc_id HAVING max(freq) > 0
+)""" + _span_score_tail([ta, tb], k)
+    )
+
+
+def _span_first_sql(t: str, limit: int, k: int) -> str:
+    """SpanFirstQuery oracle: term spans with end <= limit, width 0 each →
+    freq = count of positions p with p + 1 <= limit."""
+    return (
+        _FT_PRELUDE + "," + _SPAN_POS_CTE + f""",
+fr AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS pf
+  FROM pos WHERE w = '{t}' AND p + 1 <= {limit}
+  GROUP BY doc_id
+)""" + _span_score_tail([t], k)
+    )
+
+
+def _span_not_sql(t: str, excl: str, pre: int, post: int, k: int) -> str:
+    """SpanNotQuery oracle: include positions p of ``t`` with no ``excl``
+    position in [p-pre, p+post] (SpanNotQuery.java:196-215 overlap window
+    for length-1 spans)."""
+    return (
+        _FT_PRELUDE + "," + _SPAN_POS_CTE + f""",
+fr AS (
+  SELECT i.doc_id, CAST(count(*) AS DOUBLE) AS pf
+  FROM pos i
+  WHERE i.w = '{t}' AND NOT EXISTS (
+    SELECT 1 FROM pos x
+    WHERE x.doc_id = i.doc_id AND x.w = '{excl}'
+      AND x.p >= i.p - {pre} AND x.p <= i.p + {post}
+  )
+  GROUP BY i.doc_id
+)""" + _span_score_tail([t], k)
     )
 
 
@@ -1387,6 +1574,10 @@ sc AS (
 SELECT doc_id, CAST(floor((w - w / (1.0 + pf * inv)) * 10000) AS BIGINT) AS score_q
 FROM sc ORDER BY (w - w / (1.0 + pf * inv)) DESC, doc_id LIMIT 10""",
         "ft_phrase_gap": _phrase_sql([("part", 0), ("key", 2)], 10),
+        "ft_span_near_ord": _span_near_ord_sql(["table", "hash", "part"], 4, 10),
+        "ft_span_near_unord": _span_near_unord2_sql("window", "scan", 3, 10),
+        "ft_span_first": _span_first_sql("key", 6, 10),
+        "ft_span_not": _span_not_sql("scan", "table", 1, 2, 10),
         "ft_wildcard": _FT_PRELUDE + """
 SELECT DISTINCT doc_id FROM ftok WHERE term LIKE '%er%'""",
         "ft_fuzzy": _FT_PRELUDE + """

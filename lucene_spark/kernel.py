@@ -394,6 +394,10 @@ def score_query_node(node, postings_by_term, scorers_by_term, precision, pos_by_
     pos_by_term: {term: flat positions} (phrase nodes only).
     """
     kind = node[0]
+    if kind in ("spannear", "spanor", "spanfirst", "spannot"):
+        from .spans import span_eval
+
+        return span_eval(node, postings_by_term, pos_by_term or {}, precision)
     if kind == "phrase":
         return _phrase_eval(node[1], postings_by_term, pos_by_term or {}, node[2], precision)
     if kind == "sloppy":
@@ -663,7 +667,7 @@ def match_docids(node, postings_by_term, pos_by_term=None) -> np.ndarray:
         if not subs:
             return np.empty(0, dtype=np.int64)
         return np.unique(np.concatenate(subs))
-    if kind in ("phrase", "sloppy"):
+    if kind in ("phrase", "sloppy", "spannear", "spanor", "spanfirst", "spannot"):
         # positional nodes need the scored evaluation to decide matching
         d, _ = score_query_node(node, postings_by_term, {}, "float64", pos_by_term)
         return d
@@ -819,6 +823,24 @@ def segment_topk(
             out = np.zeros(n_windows, dtype=np.float64)
             out[present] = float(scorer.weight)
             return out
+        if kind_ in ("spannear", "spanor", "spanfirst", "spannot"):
+            # span scores are bounded by the asymptotic weight (score =
+            # w - w/(1+f*inv) < w, same argument as the sloppy-phrase bound;
+            # Lucene likewise uses dummy MAX_VALUE impacts for spans) on
+            # windows where every required term-group has a member present
+            from .spans import span_required_groups
+
+            scorer = n_[-1]
+            present = np.ones(n_windows, dtype=bool)
+            for group in span_required_groups(n_):
+                gp = np.zeros(n_windows, dtype=bool)
+                for t in group:
+                    if t in tps:
+                        gp |= window_max_scores(tps[t], scorer, n_windows, window_bits) > 0
+                present &= gp
+            out = np.zeros(n_windows, dtype=np.float64)
+            out[present] = float(scorer.weight)
+            return out
         if kind_ == "syn":
             # score(f1+f2) <= score(f1)+score(f2) (concave, score(0)=0), so
             # the sum of member bounds under the SYN weight is a valid bound.
@@ -909,6 +931,10 @@ def segment_topk(
 def _phrase_member_terms(node) -> set[str]:
     """Terms whose positions the node needs (phrase members, recursively)."""
     kind = node[0]
+    if kind in ("spannear", "spanor", "spanfirst", "spannot"):
+        from .spans import span_terms
+
+        return set(span_terms(node))
     if kind in ("phrase", "sloppy"):
         return {t for t, _ in node[1]}
     if kind in ("not", "reqopt"):

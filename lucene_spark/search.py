@@ -335,6 +335,8 @@ def rewrite(node: tuple, stopwords=ENGLISH_STOP_WORDS) -> tuple | None:
         if all(s[0] == "term" for s in negs):
             return ("not", pos, [s[1] for s in negs])
         return ("notn", pos, negs)
+    if kind in ("span_near", "span_or", "span_first", "span_not"):
+        return _rewrite_span(node, stopwords)
     if kind == "phrase_raw":
         # QueryParser analyzes phrase text with the index analyzer, keeping
         # position gaps from removed stopwords (QueryParserBase.java:437 →
@@ -415,10 +417,79 @@ def rewrite(node: tuple, stopwords=ENGLISH_STOP_WORDS) -> tuple | None:
     return ("or", flat)
 
 
+def _rewrite_span(node: tuple, stopwords) -> tuple | None:
+    """Analyze span-query sub-terms (SpanTermQuery holds exact index terms;
+    this engine analyzes the raw text with the index analyzer first, so
+    span_near(["Table", "hash"]) matches the indexed forms).  A sub-term that
+    analyzes away (stopword) kills a required sub-span — same MUST contract
+    as BooleanQuery; a multi-token sub-term becomes an or-of-tokens sub-span."""
+    from .analysis import analyze
+
+    kind = node[0]
+    if kind == "sterm":
+        toks = analyze(node[1], stopwords)
+        if not toks:
+            return None
+        return ("sterm", toks[0]) if len(toks) == 1 else ("sor", toks)
+    if kind in ("sor", "span_or"):
+        terms: list[str] = []
+        for t in node[1]:
+            terms.extend(analyze(t, stopwords))
+        if not terms:
+            return None
+        return ("sor" if kind == "sor" else "spanor", terms)
+    if kind == "span_near":
+        subs = [_rewrite_span(c, stopwords) for c in node[1]]
+        if any(s is None for s in subs):
+            return None
+        subs = [("sor", s[1]) if s[0] == "spanor" else s for s in subs]
+        if any(s[0] not in ("sterm", "sor") for s in subs):
+            raise ValueError(
+                "span_near sub-spans must be terms or or-of-terms "
+                "(nested span composition is supported via span_first/span_not)"
+            )
+        if len(subs) == 1:
+            s = subs[0]
+            return ("spanor", [s[1]] if s[0] == "sterm" else s[1])
+        return ("spannear", subs, node[2], node[3])
+    if kind == "span_first":
+        sub = _rewrite_span(node[1], stopwords)
+        if sub is None:
+            return None
+        return ("spanfirst", sub, node[2])
+    if kind == "span_not":
+        inc = _rewrite_span(node[1], stopwords)
+        if inc is None:
+            return None
+        exc = _rewrite_span(node[2], stopwords)
+        if exc is None:
+            # exclusion vanished: the include spans alone
+            if inc[0] == "sterm":
+                return ("spanor", [inc[1]])
+            if inc[0] == "sor":
+                return ("spanor", inc[1])
+            return inc
+        if exc[0] == "spanor":
+            exc = ("sor", exc[1])
+        if exc[0] not in ("sterm", "sor"):
+            raise ValueError("span_not exclude must be a term or or-of-terms")
+        pre = node[3] if len(node) > 3 else 0
+        post = node[4] if len(node) > 4 else 0
+        return ("spannot", inc, exc, pre, post)
+    raise ValueError(f"bad span node {node!r}")
+
+
+_SPAN_BASE_LEN = {"spannear": 4, "spanor": 2, "spanfirst": 3, "spannot": 5}
+
+
 def query_terms(node: tuple) -> list[str]:
     kind = node[0]
     if kind == "term":
         return [node[1]]
+    if kind in ("spannear", "spanor", "spanfirst", "spannot"):
+        from .spans import span_terms
+
+        return span_terms(node[: _SPAN_BASE_LEN[kind]])
     if kind == "feature":
         from .feature import feature_term
 
@@ -485,6 +556,36 @@ def attach_scorers(
         if kind == "sloppy":
             return ("sloppy", node[1], node[2], scorer)
         return ("phrase", node[1], scorer)
+    if kind in ("spannear", "spanor", "spanfirst", "spannot"):
+        # SpanWeight (spans/SpanWeight.java:99-117): one SimScorer over all
+        # member terms' stats (Σ idf, like PhraseWeight); SpanNot uses the
+        # include side only (SpanNotQuery.java:117).  A required sub-span
+        # whose terms are all absent → MatchNoDocs.
+        from .spans import span_required_groups, span_weight_terms
+
+        base = _SPAN_BASE_LEN[kind]
+        core = node[:base]
+        if kind == "spanor":
+            present = [t for t in node[1] if t in dfs]
+            if not present:
+                return None
+            core = ("spanor", present)
+        else:
+            for group in span_required_groups(core):
+                if not any(t in dfs for t in group):
+                    return None
+        tail = node[base] if len(node) > base else None
+        boost = float(tail) if isinstance(tail, (int, float)) else 1.0
+        seen: set[str] = set()
+        wterms = [
+            t for t in span_weight_terms(core)
+            if t in dfs and not (t in seen or seen.add(t))
+        ]
+        scorer = sim_cls.for_terms(
+            [dfs[t] for t in wterms], stats, k1=k1, b=b, boost=boost,
+            precision=precision,
+        )
+        return core + (scorer,)
     if kind == "syn":
         present = [t for t in node[1] if t in dfs]
         if not present:
@@ -580,6 +681,10 @@ def apply_boosts(node: tuple, factor: float = 1.0) -> tuple[tuple | None, dict[s
             return ("syn", n[1], f)
         if kind == "const":
             return ("const", n[1], n[2] * f)
+        if kind in ("spannear", "spanor", "spanfirst", "spannot"):
+            # boost folds into the SpanWeight (trailing factor read by
+            # attach_scorers, like phrase/sloppy)
+            return n + (f,) if f != 1.0 else n
         if kind == "phrase":
             return ("phrase", n[1], f) if f != 1.0 else n
         if kind == "sloppy":
