@@ -99,6 +99,37 @@ FROM doc_scores ORDER BY score DESC, doc_id LIMIT {k} OFFSET {offset}"""
 
 
 _INDEX_CACHE: dict[str, Index] = {}
+_MF_INDEX_CACHE: dict[str, Index] = {}
+
+
+def _mf_index(spark: SparkSession, sf_dir: str) -> Index:
+    """Multi-field gate index: default field = text, extra field 'title' =
+    the first 5 raw tokens of text (deterministic, oracle-replicable)."""
+    if sf_dir not in _MF_INDEX_CACHE:
+        from lucene_spark.index import build_multifield_index
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+            "title", F.array_join(F.slice(F.split(F.col("text"), " "), 1, 5), " ")
+        )
+        idx = build_multifield_index(
+            spark, docs, fields={"text": "text", "title": "title"},
+            key_col="doc_id", default_field="text", seg_size=2048,
+            docid_col="doc_id",
+        )
+        idx.postings = idx.postings.persist()
+        idx.termdict = idx.termdict.persist()
+        idx.postings.count()
+        _MF_INDEX_CACHE[sf_dir] = idx
+    return _MF_INDEX_CACHE[sf_dir]
+
+
+def _mf_topk_df(spark: SparkSession, sf_dir: str, query, k: int = 10) -> DataFrame:
+    td = search(_mf_index(spark, sf_dir), query, k=k, precision="float64", prune=True)
+    rows = [
+        (int(d), int(math.floor(s * 10000)))
+        for d, s in zip(td.docids.tolist(), td.scores.tolist())
+    ]
+    return spark.createDataFrame(rows or [], "doc_id long, score_q long")
 
 
 def _ft_index(spark: SparkSession, sf_dir: str) -> Index:
@@ -562,6 +593,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SpanNotQuery: 'scan' with no 'table' within [p-1, p+2]
         return _topk_df(spark, sf, span_not("scan", "table", pre=1, post=2), 10)
 
+    # --- multi-field index (terms namespaced per field, per-field
+    #     CollectionStatistics; index/Term.java:30, IndexSearcher.java:395) ---
+    def ft_mf_field(spark, sf):
+        # field-scoped term query: title:table scores under the title
+        # field's docCount/avgdl, dl = title length of the doc
+        return _mf_topk_df(spark, sf, "title:table", 10)
+
+    def ft_mf_or(spark, sf):
+        # MultiFieldQueryParser analog: bare term expands to an OR of the
+        # same term over (text, title) — cross-field score sum
+        from lucene_spark.search import multi_field_query
+
+        return _mf_topk_df(
+            spark, sf, multi_field_query("table", ["text", "title"]), 10
+        )
+
     # --- MultiTermQuery family (expansion vs term dictionary) ---
     def ft_wildcard(spark, sf):
         idx = _ft_index(spark, sf)
@@ -900,14 +947,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # core analysis + index tables (4)
         ft_token_stats, ft_norms, ft_termdict, ft_stats,
         # boolean/scoring query kernels (8)
-        ft_term_topk, ft_or_topk, ft_and_topk, ft_must_not,
+        ft_term_topk, ft_or_topk, ft_and_topk,
         ft_reqopt, ft_filtered, ft_deleted_persist, ft_count,
         # positional + synonym (4)
         ft_phrase, ft_phrase_gap, ft_phrase_sloppy, ft_synonym,
         # span queries (4, new round 2)
         ft_span_near_ord, ft_span_near_unord, ft_span_first, ft_span_not,
-        # multi-term expansion (4) + parser nesting (1)
-        ft_wildcard, ft_fuzzy, ft_term_range, ft_term_in_set, ft_qp_complex,
+        # multi-field index (2, new round 2)
+        ft_mf_field, ft_mf_or,
+        # multi-term expansion (3) + parser nesting (1)
+        ft_wildcard, ft_fuzzy, ft_term_range, ft_qp_complex,
         # compound scorers (2)
         ft_dismax, ft_msm,
         # collectors / facets / grouping (2)
@@ -933,8 +982,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_deleted, ft_bm25_params, ft_and3_topk, ft_paging,
         ft_prefix_match, ft_qp_boost, ft_qp_fuzzy, ft_qp_range, ft_update,
         # round-1-verified families displaced from the head by the round-2
-        # span entries (unchanged modules; still oracle-verified by pytest)
+        # span + multi-field entries (unchanged modules; still
+        # oracle-verified by pytest)
         ft_boost, ft_facet_lang, ft_query_join, ft_mixed_topk,
+        ft_must_not, ft_term_in_set,
     ]:
         q[fn.__name__] = fn
     return q
@@ -1135,6 +1186,33 @@ fr AS (
   GROUP BY i.doc_id
 )""" + _span_score_tail([t], k)
     )
+
+
+# title field = first 5 raw tokens of text, analyzed with the same stop set;
+# per-field CollectionStatistics: docCount = docs with >= 1 title token,
+# sumTotalTermFreq = Σ title dl (IndexSearcher.collectionStatistics analog)
+_MF_TITLE_CTES = f""",
+ttok0 AS (
+  SELECT doc_id, unnest(list_slice(string_split(text, ' '), 1, 5)) AS term
+  FROM documents
+),
+ttok AS (SELECT doc_id, term FROM ttok0 WHERE term NOT IN ({_STOPS_SQL})),
+ttf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM ttok
+        GROUP BY doc_id, term),
+tdl AS (SELECT d.doc_id, CAST(count(t.term) AS BIGINT) AS dl
+        FROM documents d LEFT JOIN ttok t ON d.doc_id = t.doc_id
+        GROUP BY d.doc_id),
+tstats AS (SELECT CAST(count(*) FILTER (dl > 0) AS BIGINT) AS n,
+                  CAST(sum(dl) AS BIGINT) AS sttf FROM tdl),
+tdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM ttf GROUP BY term),
+title_scores AS (
+  SELECT ttf.doc_id, ttf.term,
+         ln(1 + (s.n - tdf.df + 0.5) / (tdf.df + 0.5))
+           - ln(1 + (s.n - tdf.df + 0.5) / (tdf.df + 0.5))
+             / (1.0 + ttf.tf / (1.2 * ((1.0 - 0.75)
+                + 0.75 * tdl.dl / (s.sttf / s.n)))) AS score
+  FROM ttf JOIN tdf USING (term) JOIN tdl USING (doc_id) CROSS JOIN tstats s
+)"""
 
 
 _B60 = "CAST(('0x' || substr(md5({col}), 1, 15)) AS BIGINT)"
@@ -1574,6 +1652,19 @@ sc AS (
 SELECT doc_id, CAST(floor((w - w / (1.0 + pf * inv)) * 10000) AS BIGINT) AS score_q
 FROM sc ORDER BY (w - w / (1.0 + pf * inv)) DESC, doc_id LIMIT 10""",
         "ft_phrase_gap": _phrase_sql([("part", 0), ("key", 2)], 10),
+        "ft_mf_field": _FT_PRELUDE + _MF_TITLE_CTES + """
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM title_scores WHERE term = 'table'
+ORDER BY score DESC, doc_id LIMIT 10""",
+        "ft_mf_or": _FT_PRELUDE + "," + _score_sql(["table"]) + _MF_TITLE_CTES + """,
+ts AS (SELECT doc_id, score FROM title_scores WHERE term = 'table'),
+combined AS (
+  SELECT COALESCE(d.doc_id, t.doc_id) AS doc_id,
+         COALESCE(d.score, 0.0) + COALESCE(t.score, 0.0) AS score
+  FROM doc_scores d FULL OUTER JOIN ts t ON d.doc_id = t.doc_id
+)
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM combined ORDER BY score DESC, doc_id LIMIT 10""",
         "ft_span_near_ord": _span_near_ord_sql(["table", "hash", "part"], 4, 10),
         "ft_span_near_unord": _span_near_unord2_sql("window", "scan", 3, 10),
         "ft_span_first": _span_first_sql("key", 6, 10),

@@ -79,6 +79,12 @@ class Index:
     tombstones: DataFrame | None = None  # LiveDocs analog: deleted docids
     pulsed: DataFrame | None = None  # singleton-pulsing sidecar (pulsing.py)
     rterms: DataFrame | None = None  # reversed-term sidecar (leading wildcards)
+    # multi-field: {field: (docCount, sumTotalTermFreq)} for NON-default
+    # fields, whose terms live in the shared postings table as "field:term"
+    # (Lucene terms are (field, term) pairs in one dictionary ordered by
+    # field then term — index/Term.java:30; per-field CollectionStatistics
+    # via IndexSearcher.collectionStatistics, search/IndexSearcher.java:395)
+    field_stats: dict | None = None
 
     @property
     def avgdl(self) -> float:
@@ -106,7 +112,7 @@ class Index:
             norms=self.norms, doc_count=self.doc_count,
             sum_total_term_freq=self.sum_total_term_freq,
             seg_size=self.seg_size, tombstones=t, pulsed=self.pulsed,
-            rterms=self.rterms,
+            rterms=self.rterms, field_stats=self.field_stats,
         )
 
     def write_tombstones(self, out_dir: str) -> None:
@@ -736,6 +742,82 @@ def build_index(
     )
 
 
+def build_multifield_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    fields: dict[str, str],
+    key_col: str = "url",
+    default_field: str = "text",
+    seg_size: int | None = None,
+    with_positions: bool = False,
+    stopwords=ENGLISH_STOP_WORDS,
+    shuffle_partitions: int | None = None,
+    docid_col: str | None = None,
+) -> Index:
+    """Multi-field index: one postings/termdict table holding every field's
+    terms, non-default fields namespaced as ``field:term``.
+
+    Lucene model: a document's fields are independently inverted into ONE
+    term dictionary keyed (field, term) (index/Term.java:30; IndexingChain
+    invert per field, index/IndexingChain.java:583), with per-field norms
+    (one numeric dl per (field, doc) — our posting rows embed each field's
+    own dl, so field norms ride the existing layout unchanged) and per-field
+    collection statistics (docCount/sumTotalTermFreq of that field,
+    search/IndexSearcher.java:395) feeding BM25.
+
+    ``fields``: {field_name: input column}.  The default field's terms stay
+    UNprefixed — a multi-field index is a superset of the single-field
+    layout, and every existing query path works on it untouched.
+
+    Spark shape: docIDs are assigned ONCE (rank over ``key_col``); each
+    field then runs the standard fused build against those shared docids,
+    and the per-field posting tables union into one — per-field builds are
+    independent narrow passes + one wide shuffle each, over only that
+    field's column (column pruning keeps unrelated fields out of every
+    exchange).  Per-field stats: docCount = docs with >= 1 token in the
+    field (Lucene's Terms.getDocCount semantics), sumTotalTermFreq = Σ dl.
+    """
+    if default_field not in fields:
+        raise ValueError(f"fields must include default_field {default_field!r}")
+    cols = list(dict.fromkeys([key_col] + list(fields.values())))
+    if docid_col is not None:
+        ids = pages.select(*cols, F.col(docid_col).alias("docid")).persist()
+    else:
+        ids = assign_docids(pages.select(*cols), key_col).persist()
+    ids.count()
+
+    base = build_index(
+        spark, ids, text_col=fields[default_field], key_col=key_col,
+        docid_col="docid", seg_size=seg_size, with_positions=with_positions,
+        stopwords=stopwords, shuffle_partitions=shuffle_partitions,
+    )
+    postings, termdict = base.postings, base.termdict
+    field_stats: dict[str, tuple[int, int]] = {}
+    for f, col in fields.items():
+        if f == default_field:
+            continue
+        fidx = build_index(
+            spark, ids, text_col=col, key_col=key_col, docid_col="docid",
+            seg_size=base.seg_size, with_positions=with_positions,
+            stopwords=stopwords, shuffle_partitions=shuffle_partitions,
+        )
+        pfx = F.concat(F.lit(f + ":"), F.col("term"))
+        postings = postings.unionByName(fidx.postings.withColumn("term", pfx))
+        termdict = termdict.unionByName(fidx.termdict.withColumn("term", pfx))
+        row = fidx.docs.agg(
+            F.count(F.when(F.col("dl") > 0, 1)).alias("dc"),
+            F.sum("dl").alias("sttf"),
+        ).collect()[0]
+        field_stats[f] = (int(row["dc"]), int(row["sttf"] or 0))
+
+    ids.unpersist()
+    return Index(
+        docs=base.docs, postings=postings, termdict=termdict, norms=base.norms,
+        doc_count=base.doc_count, sum_total_term_freq=base.sum_total_term_freq,
+        seg_size=base.seg_size, field_stats=field_stats,
+    )
+
+
 # --- persistence + checkpointed resumable build (north rule) -------------------
 
 
@@ -767,6 +849,13 @@ def write_index(index: Index, out_dir: str, mode: str = "overwrite") -> None:
         "doc_count long, sum_total_term_freq long, seg_size long",
     )
     stats.write.mode(mode).parquet(f"{out_dir}/stats")
+    if index.field_stats:
+        spark.createDataFrame(
+            [(f, dc, st) for f, (dc, st) in index.field_stats.items()],
+            "field string, doc_count long, sum_total_term_freq long",
+        ).write.mode(mode).parquet(f"{out_dir}/fields")
+    elif mode == "overwrite":
+        shutil.rmtree(f"{out_dir}/fields", ignore_errors=True)
     if index.tombstones is not None:
         index.tombstones.select("docid").write.mode(mode).parquet(f"{out_dir}/tombstones")
     elif mode == "overwrite":
@@ -798,6 +887,12 @@ def read_index(spark: SparkSession, out_dir: str) -> Index:
     rterms = None
     if os.path.isdir(f"{out_dir}/rterms"):
         rterms = spark.read.parquet(f"{out_dir}/rterms")
+    field_stats = None
+    if os.path.isdir(f"{out_dir}/fields"):
+        field_stats = {
+            r["field"]: (r["doc_count"], r["sum_total_term_freq"])
+            for r in spark.read.parquet(f"{out_dir}/fields").collect()
+        }
     return Index(
         docs=spark.read.parquet(f"{out_dir}/docs"),
         postings=spark.read.parquet(f"{out_dir}/postings"),
@@ -809,6 +904,7 @@ def read_index(spark: SparkSession, out_dir: str) -> Index:
         tombstones=tomb,
         pulsed=pulsed,
         rterms=rterms,
+        field_stats=field_stats,
     )
 
 

@@ -108,10 +108,14 @@ class _Parser:
     :func:`expand_multiterm` rewrites them against a concrete index.
     """
 
-    def __init__(self, q: str, default_field: str = "text"):
+    def __init__(self, q: str, default_field: str = "text", fields=None):
         self.toks = _lex(q)
         self.pos = 0
         self.default_field = default_field
+        # known NON-default indexed fields (multi-field index); a field:
+        # prefix naming one of these wraps its atom in a ("field", f, sub)
+        # node, rewritten to namespaced terms by rewrite()
+        self.fields = set(fields or ())
 
     def peek(self):
         return self.toks[self.pos]
@@ -220,11 +224,15 @@ class _Parser:
             if rest == "":
                 # `field:(...)` / `field:"..."` — field applies to next atom
                 atom = self._parse_atom()
-                if field != self.default_field:
-                    return ("match_none",)
-                return atom
+                if field == self.default_field:
+                    return atom
+                if field in self.fields and atom is not None:
+                    return ("field", field, atom)
+                return ("match_none",)
             text = rest
-            if field != self.default_field:
+            if field == self.default_field:
+                field = None
+            elif field not in self.fields:
                 # unindexed field: nothing matches (Lucene: empty postings)
                 return ("match_none",)
         base, boost, edits, had_tilde = _strip_suffixes(text)
@@ -238,6 +246,8 @@ class _Parser:
             node = ("fuzzy_raw", base.lower(), min(edits, 2), 0)
         else:
             node = ("term", base)
+        if field is not None:
+            node = ("field", field, node)
         return ("boost", node, boost) if boost is not None else node
 
     def _combine(self, clauses: list[tuple[int, tuple]]) -> tuple | None:
@@ -279,12 +289,49 @@ class _Parser:
         return pos
 
 
-def parse_query(q: str, default_field: str = "text") -> tuple:
+def parse_query(q: str, default_field: str = "text", fields=None) -> tuple:
     """Parse classic QueryParser syntax (see :class:`_Parser`) into the
     engine AST with RAW terms; call :func:`rewrite` to analyze them and
     :func:`expand_multiterm` to expand fuzzy/wildcard/range nodes against an
-    index."""
-    return _Parser(q, default_field).parse()
+    index.  ``fields``: known non-default field names of a multi-field index
+    (field:term routes there instead of matching nothing)."""
+    return _Parser(q, default_field, fields).parse()
+
+
+def multi_field_query(q: str, fields: list[str], default_field: str = "text") -> tuple:
+    """MultiFieldQueryParser analog (queryparser/.../MultiFieldQueryParser.java:
+    42-80): every bare term/phrase expands to an OR of the same leaf over
+    each field (BooleanQuery SHOULD per field, the default combine).
+    Explicit field: prefixes inside the string still route normally."""
+    extra = set(fields) - {default_field}
+    node = parse_query(q, default_field=default_field, fields=extra)
+
+    def walk(n):
+        kind = n[0]
+        if kind in ("term", "phrase_raw"):
+            return (
+                "or",
+                [n if f == default_field else ("field", f, n) for f in fields],
+            )
+        if kind == "field":
+            return n
+        if kind in ("or", "andn"):
+            return (kind, [walk(c) for c in n[1]])
+        if kind == "and":  # raw AND of term strings → AND of per-field ORs
+            return ("andn", [walk(("term", t)) for t in n[1]])
+        if kind == "not":
+            return ("notn", walk(n[1]), [walk(("term", t)) for t in n[2]])
+        if kind == "reqopt":
+            return ("reqoptn", walk(n[1]), [walk(("term", t)) for t in n[2]])
+        if kind == "dismax":
+            return ("dismax", [walk(c) for c in n[1]], n[2])
+        if kind == "boost":
+            return ("boost", walk(n[1]), n[2])
+        if kind in ("notn", "reqoptn"):
+            return (kind, walk(n[1]), [walk(c) for c in n[2]])
+        return n
+
+    return walk(node)
 
 
 def rewrite(node: tuple, stopwords=ENGLISH_STOP_WORDS) -> tuple | None:
@@ -335,6 +382,12 @@ def rewrite(node: tuple, stopwords=ENGLISH_STOP_WORDS) -> tuple | None:
         if all(s[0] == "term" for s in negs):
             return ("not", pos, [s[1] for s in negs])
         return ("notn", pos, negs)
+    if kind == "field":
+        # field scoping: rewrite the sub-tree with the (shared) analyzer,
+        # then namespace every leaf term into the field (terms are (field,
+        # term) pairs in one dictionary — index/Term.java:30)
+        sub = rewrite(node[2], stopwords)
+        return _prefix_field(sub, node[1]) if sub is not None else None
     if kind in ("span_near", "span_or", "span_first", "span_not"):
         return _rewrite_span(node, stopwords)
     if kind == "phrase_raw":
@@ -482,6 +535,76 @@ def _rewrite_span(node: tuple, stopwords) -> tuple | None:
 _SPAN_BASE_LEN = {"spannear": 4, "spanor": 2, "spanfirst": 3, "spannot": 5}
 
 
+def _stats_resolver(index, stats):
+    """Per-term CollectionStats: field-namespaced terms ("f:t") of a
+    multi-field index resolve to their field's (docCount, sumTotalTermFreq);
+    everything else uses the default-field stats."""
+    fstats = getattr(index, "field_stats", None)
+    if not fstats:
+        return lambda t: stats
+
+    def resolve(t):
+        i = t.find(":")
+        if i > 0:
+            fs = fstats.get(t[:i])
+            if fs:
+                return CollectionStats(int(fs[0]), int(fs[1]))
+        return stats
+
+    return resolve
+
+
+def index_fields(index) -> list:
+    """Known non-default field names of a multi-field index (empty for the
+    single-field layout)."""
+    return sorted((getattr(index, "field_stats", None) or {}).keys())
+
+
+def _prefix_field(n: tuple, f: str) -> tuple:
+    """Namespace every term of an analyzed (scorer-free) AST into ``f``:
+    term t → "f:t".  Multi-term *_raw nodes carry the field instead — their
+    expansion intersects the field's slice of the term dictionary."""
+    p = lambda t: f"{f}:{t}"  # noqa: E731
+    kind = n[0]
+    if kind == "term":
+        return ("term", p(n[1]))
+    if kind in ("and", "msm", "syn", "const"):
+        return (kind, [p(t) for t in n[1]], *n[2:])
+    if kind in ("phrase", "sloppy"):
+        return (kind, [(p(t), o) for t, o in n[1]], *n[2:])
+    if kind == "not":
+        return ("not", _prefix_field(n[1], f), [p(t) for t in n[2]])
+    if kind == "reqopt":
+        return ("reqopt", _prefix_field(n[1], f), [p(t) for t in n[2]])
+    if kind in ("notn", "reqoptn"):
+        return (kind, _prefix_field(n[1], f), [_prefix_field(c, f) for c in n[2]])
+    if kind in ("or", "andn"):
+        return (kind, [_prefix_field(c, f) for c in n[1]])
+    if kind == "dismax":
+        return ("dismax", [_prefix_field(c, f) for c in n[1]], n[2])
+    if kind == "boost":
+        return ("boost", _prefix_field(n[1], f), n[2])
+    if kind == "fuzzy_raw":
+        return ("fuzzy_raw", n[1], n[2], n[3], f)
+    if kind == "wildcard_raw":
+        return ("wildcard_raw", n[1], f)
+    if kind == "range_raw":
+        return ("range_raw", n[1], n[2], n[3], n[4], f)
+    if kind == "sterm":
+        return ("sterm", p(n[1]))
+    if kind in ("sor", "spanor"):
+        return (kind, [p(t) for t in n[1]])
+    if kind == "spannear":
+        return ("spannear", [_prefix_field(c, f) for c in n[1]], n[2], n[3])
+    if kind == "spanfirst":
+        return ("spanfirst", _prefix_field(n[1], f), n[2])
+    if kind == "spannot":
+        return ("spannot", _prefix_field(n[1], f), _prefix_field(n[2], f), n[3], n[4])
+    if kind == "match_none":
+        return n
+    raise ValueError(f"cannot field-scope node {n!r}")
+
+
 def query_terms(node: tuple) -> list[str]:
     kind = node[0]
     if kind == "term":
@@ -525,9 +648,16 @@ def attach_scorers(
     b: float,
     precision: str,
     sim_cls: type = BM25Scorer,
+    stats_for=None,
 ) -> tuple | None:
     """Rewrite AST → executable node: phrase/syn nodes get their multi-term
-    scorer (createWeight analog); nodes that provably match nothing → None."""
+    scorer (createWeight analog); nodes that provably match nothing → None.
+
+    ``stats_for``: per-term CollectionStats resolver for multi-field indexes
+    (field-namespaced terms score under their field's docCount/avgdl —
+    search/IndexSearcher.java:395 collectionStatistics(field))."""
+    if stats_for is None:
+        stats_for = lambda t: stats  # noqa: E731
     kind = node[0]
     if kind == "feature":
         # FeatureQuery (document/FeatureQuery.java:40): executes as a
@@ -550,8 +680,8 @@ def attach_scorers(
         )
         boost = float(tail) if isinstance(tail, (int, float)) else 1.0
         scorer = sim_cls.for_terms(
-            [dfs[t] for t, _ in node[1]], stats, k1=k1, b=b, boost=boost,
-            precision=precision,
+            [dfs[t] for t, _ in node[1]], stats_for(node[1][0][0]), k1=k1,
+            b=b, boost=boost, precision=precision,
         )
         if kind == "sloppy":
             return ("sloppy", node[1], node[2], scorer)
@@ -582,8 +712,8 @@ def attach_scorers(
             if t in dfs and not (t in seen or seen.add(t))
         ]
         scorer = sim_cls.for_terms(
-            [dfs[t] for t in wterms], stats, k1=k1, b=b, boost=boost,
-            precision=precision,
+            [dfs[t] for t in wterms], stats_for(wterms[0]), k1=k1, b=b,
+            boost=boost, precision=precision,
         )
         return core + (scorer,)
     if kind == "syn":
@@ -595,8 +725,8 @@ def attach_scorers(
         # merged pseudo-term stats: docFreq = max of members
         # (SynonymQuery.java:330-347 blends TermStates the same way)
         scorer = sim_cls(
-            max(dfs[t] for t in present), stats, k1=k1, b=b, boost=boost,
-            precision=precision,
+            max(dfs[t] for t in present), stats_for(present[0]), k1=k1, b=b,
+            boost=boost, precision=precision,
         )
         return ("syn", present, scorer)
     if kind == "const":
@@ -605,32 +735,32 @@ def attach_scorers(
             return None
         return ("const", present, node[2])
     if kind == "andn":
-        subs = [attach_scorers(c, dfs, stats, k1, b, precision, sim_cls) for c in node[1]]
+        subs = [attach_scorers(c, dfs, stats, k1, b, precision, sim_cls, stats_for) for c in node[1]]
         if any(s is None for s in subs):
             return None  # a MUST sub-clause matching nothing kills the query
         return ("andn", subs)
     if kind == "reqoptn":
-        req = attach_scorers(node[1], dfs, stats, k1, b, precision, sim_cls)
+        req = attach_scorers(node[1], dfs, stats, k1, b, precision, sim_cls, stats_for)
         if req is None:
             return None
-        opts = [attach_scorers(c, dfs, stats, k1, b, precision, sim_cls) for c in node[2]]
+        opts = [attach_scorers(c, dfs, stats, k1, b, precision, sim_cls, stats_for) for c in node[2]]
         opts = [s for s in opts if s is not None]
         return ("reqoptn", req, opts) if opts else req
     if kind == "notn":
-        pos = attach_scorers(node[1], dfs, stats, k1, b, precision, sim_cls)
+        pos = attach_scorers(node[1], dfs, stats, k1, b, precision, sim_cls, stats_for)
         if pos is None:
             return None
-        negs = [attach_scorers(c, dfs, stats, k1, b, precision, sim_cls) for c in node[2]]
+        negs = [attach_scorers(c, dfs, stats, k1, b, precision, sim_cls, stats_for) for c in node[2]]
         negs = [s for s in negs if s is not None]
         return ("notn", pos, negs) if negs else pos
     if kind == "dismax":
-        subs = [attach_scorers(c, dfs, stats, k1, b, precision, sim_cls) for c in node[1]]
+        subs = [attach_scorers(c, dfs, stats, k1, b, precision, sim_cls, stats_for) for c in node[1]]
         subs = [s for s in subs if s is not None]
         if not subs:
             return None
         return ("dismax", subs, node[2])
     if kind == "or":
-        subs = [attach_scorers(c, dfs, stats, k1, b, precision, sim_cls) for c in node[1]]
+        subs = [attach_scorers(c, dfs, stats, k1, b, precision, sim_cls, stats_for) for c in node[1]]
         subs = [s for s in subs if s is not None]
         if not subs:
             return None
@@ -638,10 +768,10 @@ def attach_scorers(
             return subs[0]
         return ("or", subs)
     if kind == "not":
-        pos = attach_scorers(node[1], dfs, stats, k1, b, precision, sim_cls)
+        pos = attach_scorers(node[1], dfs, stats, k1, b, precision, sim_cls, stats_for)
         return ("not", pos, node[2]) if pos is not None else None
     if kind == "reqopt":
-        req = attach_scorers(node[1], dfs, stats, k1, b, precision, sim_cls)
+        req = attach_scorers(node[1], dfs, stats, k1, b, precision, sim_cls, stats_for)
         return ("reqopt", req, node[2]) if req is not None else None
     return node
 
@@ -726,18 +856,21 @@ def expand_multiterm(node: tuple, index: "Index", max_expansions: int | None = N
         kind = n[0]
         if kind == "fuzzy_raw":
             terms = expand_terms(
-                index, fuzzy=(n[1], n[2], n[3]), max_expansions=max_exp
+                index, fuzzy=(n[1], n[2], n[3]), max_expansions=max_exp,
+                field=n[4] if len(n) > 4 else None,
             )
             if not terms:
                 return None
             return ("syn", terms) if len(terms) > 1 else ("term", terms[0])
         if kind == "wildcard_raw":
-            terms = expand_terms(index, like=n[1], max_expansions=max_exp)
+            terms = expand_terms(index, like=n[1], max_expansions=max_exp,
+                                 field=n[2] if len(n) > 2 else None)
             return ("const", terms, 1.0) if terms else None
         if kind == "range_raw":
             terms = expand_terms(
                 index, lower=n[1], upper=n[2], lower_inclusive=n[3],
                 upper_inclusive=n[4], max_expansions=max_exp,
+                field=n[5] if len(n) > 5 else None,
             )
             return ("const", terms, 1.0) if terms else None
         if kind == "boost":
@@ -886,7 +1019,10 @@ def search(
     picks columnar execution for such predicates — here the predicate runs as
     a plain Catalyst filter producing the docid set, then cogroups with the
     postings by segment so each kernel masks before ranking)."""
-    node = parse_query(query) if isinstance(query, str) else query
+    node = (
+        parse_query(query, fields=index_fields(index))
+        if isinstance(query, str) else query
+    )
     node = rewrite(node, analyzer)
     empty = TopDocs(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64), [] if with_urls else None)
     if node is None:
@@ -902,12 +1038,14 @@ def search(
     dfs = term_dfs(terms, index.termdict)
     boosts = boosts or {}
     sim_cls = SIMILARITIES[similarity]
+    stats_for = _stats_resolver(index, stats)
     scorers = {
-        t: sim_cls(dfs[t], stats, k1=k1, b=b, boost=boosts.get(t, 1.0), precision=precision)
+        t: sim_cls(dfs[t], stats_for(t), k1=k1, b=b, boost=boosts.get(t, 1.0),
+                   precision=precision)
         for t in terms
         if t in dfs
     }
-    node = attach_scorers(node, dfs, stats, k1, b, precision, sim_cls)
+    node = attach_scorers(node, dfs, stats, k1, b, precision, sim_cls, stats_for)
     if node is None:
         return empty
     if node[0] == "and" and any(t not in scorers for t in terms):
@@ -1074,7 +1212,10 @@ def score_docs(
     (FacetsCollector.java:46 collects every hit; grouping's first pass
     likewise).  Nothing is collected: downstream aggregations (facet counts,
     per-group top-n windows) stay in Spark.  Tombstones are masked."""
-    node = rewrite(parse_query(query) if isinstance(query, str) else query, analyzer)
+    node = rewrite(
+        parse_query(query, fields=index_fields(index))
+        if isinstance(query, str) else query, analyzer,
+    )
     spark = index.postings.sparkSession
     empty = spark.createDataFrame([], "docid long, score double")
     if node is None:
@@ -1085,14 +1226,15 @@ def score_docs(
     node, term_boosts = apply_boosts(node)
     terms = sorted(set(query_terms(node)))
     stats = CollectionStats(index.doc_count, index.sum_total_term_freq)
+    stats_for = _stats_resolver(index, stats)
     dfs = term_dfs(terms, index.termdict)
     sim_cls = SIMILARITIES[similarity]
     scorers = {
-        t: sim_cls(dfs[t], stats, k1=k1, b=b,
+        t: sim_cls(dfs[t], stats_for(t), k1=k1, b=b,
                    boost=term_boosts.get(t, 1.0), precision=precision)
         for t in terms if t in dfs
     }
-    node = attach_scorers(node, dfs, stats, k1, b, precision, sim_cls)
+    node = attach_scorers(node, dfs, stats, k1, b, precision, sim_cls, stats_for)
     if node is None or not scorers:
         return empty
     if node[0] == "and" and any(t not in scorers for t in terms):
@@ -1151,7 +1293,10 @@ def count_hits(index: Index, query: str | tuple, analyzer=ENGLISH_STOP_WORDS) ->
     computed inside the kernel (no scoring) and summed by a Spark
     aggregation — only one number per segment ever moves, never hits.
     Tombstoned docs are excluded (liveDocs semantics)."""
-    node = parse_query(query) if isinstance(query, str) else query
+    node = (
+        parse_query(query, fields=index_fields(index))
+        if isinstance(query, str) else query
+    )
     node = rewrite(node, analyzer)
     if node is None:
         return 0
@@ -1247,12 +1392,16 @@ def search_many(
     paid once for the whole batch instead of per query.
     """
     stats = CollectionStats(index.doc_count, index.sum_total_term_freq)
+    stats_for = _stats_resolver(index, stats)
     empty = TopDocs(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
 
     prepared: dict[str, tuple] = {}
     all_terms: set[str] = set()
     for qid, q in queries.items():
-        node = rewrite(parse_query(q) if isinstance(q, str) else q, analyzer)
+        node = rewrite(
+            parse_query(q, fields=index_fields(index))
+            if isinstance(q, str) else q, analyzer,
+        )
         if node is not None:
             node = expand_multiterm(node, index)
         if node is not None:
@@ -1274,7 +1423,7 @@ def search_many(
     exec_nodes: dict[str, tuple] = {}
     needed_terms: set[str] = set()
     for qid, node in prepared.items():
-        node = attach_scorers(node, dfs, stats, k1, b, precision, sim_cls)
+        node = attach_scorers(node, dfs, stats, k1, b, precision, sim_cls, stats_for)
         if node is None:
             continue
         terms = [t for t in query_terms(node) if t in dfs]
@@ -1287,7 +1436,7 @@ def search_many(
         return {qid: empty for qid in queries}
 
     scorers = {
-        t: sim_cls(dfs[t], stats, k1=k1, b=b, precision=precision)
+        t: sim_cls(dfs[t], stats_for(t), k1=k1, b=b, precision=precision)
         for t in needed_terms
     }
     # singleton pulsing, mirrored from search() so the batched path has the
@@ -1412,7 +1561,10 @@ def explain(
     analog (search/IndexSearcher.java:714-726; BM25Similarity.explain,
     BM25Similarity.java:261-297).  Returns a pandas frame with one row per
     query term present in the doc: (term, df, tf, dl, weight, score)."""
-    node = rewrite(parse_query(query) if isinstance(query, str) else query)
+    node = rewrite(
+        parse_query(query, fields=index_fields(index))
+        if isinstance(query, str) else query
+    )
     cols = ["term", "df", "tf", "dl", "weight", "score"]
     if node is None:
         return pd.DataFrame(columns=cols)
@@ -1434,8 +1586,8 @@ def explain(
         if pos >= len(d) or d[pos] != local:
             continue
         scorer = BM25Scorer(
-            dfs[r["term"]], stats, k1=k1, b=b,
-            boost=boosts.get(r["term"], 1.0), precision=precision,
+            dfs[r["term"]], _stats_resolver(index, stats)(r["term"]), k1=k1,
+            b=b, boost=boosts.get(r["term"], 1.0), precision=precision,
         )
         s = scorer.score_from_dl(f[pos : pos + 1], dl[pos : pos + 1])[0]
         out.append(
@@ -1512,6 +1664,7 @@ def expand_terms(
     transpositions: bool = True,
     lower_inclusive: bool = True,
     upper_inclusive: bool = True,
+    field: str | None = None,
 ) -> list[str]:
     """Expand a Prefix/Wildcard/Regexp/Fuzzy/TermRange query against the term
     dictionary (MultiTermQuery.java:53 rewrites via term-enum intersection;
@@ -1527,10 +1680,22 @@ def expand_terms(
     prefilters (prefix LIKE + length band reach the parquet scan); the exact
     distance runs as an Arrow-batched UDF on the surviving sliver."""
     td = index.termdict
+    tcol = "term"
+    if field is not None:
+        # multi-field: intersect only the field's namespaced slice of the
+        # dictionary (terms "field:...") — the startswith prefilter is a
+        # pushdown range scan over the term-sorted parquet; predicates below
+        # run against the field-local term text
+        pfx = field + ":"
+        td = td.filter(F.col("term").startswith(pfx)).withColumn(
+            "bterm", F.expr(f"substring(term, {len(pfx) + 1})")
+        )
+        tcol = "bterm"
     if like is not None:
         rt = getattr(index, "rterms", None)
         if (
-            rt is not None
+            field is None
+            and rt is not None
             and like.startswith("%")
             and "%" not in like[1:]
             and "_" not in like
@@ -1542,9 +1707,9 @@ def expand_terms(
             suffix = like[1:]
             td = rt.filter(F.col("rterm").startswith(suffix[::-1])).select("term")
         else:
-            td = td.filter(F.col("term").like(like))
+            td = td.filter(F.col(tcol).like(like))
     if rlike is not None:
-        td = td.filter(F.col("term").rlike(rlike))
+        td = td.filter(F.col(tcol).rlike(rlike))
     if fuzzy is not None:
         term, max_edits = fuzzy[0], fuzzy[1]
         prefix_len = fuzzy[2] if len(fuzzy) > 2 else 0
@@ -1554,10 +1719,10 @@ def expand_terms(
             )
         # pushed-down prefilters (the FST-intersection analog)
         td = td.filter(
-            F.length("term").between(len(term) - max_edits, len(term) + max_edits)
+            F.length(tcol).between(len(term) - max_edits, len(term) + max_edits)
         )
         if prefix_len > 0:
-            td = td.filter(F.col("term").startswith(term[:prefix_len]))
+            td = td.filter(F.col(tcol).startswith(term[:prefix_len]))
         if transpositions:
             qt, me = term, max_edits
 
@@ -1565,16 +1730,16 @@ def expand_terms(
             def _close(terms: pd.Series) -> pd.Series:
                 return terms.map(lambda t: damerau_levenshtein(t, qt, me) <= me)
 
-            td = td.filter(_close(F.col("term")))
+            td = td.filter(_close(F.col(tcol)))
         else:
-            td = td.filter(F.levenshtein(F.col("term"), F.lit(term)) <= max_edits)
+            td = td.filter(F.levenshtein(F.col(tcol), F.lit(term)) <= max_edits)
     if lower is not None:
         td = td.filter(
-            F.col("term") >= lower if lower_inclusive else F.col("term") > lower
+            F.col(tcol) >= lower if lower_inclusive else F.col(tcol) > lower
         )
     if upper is not None:
         td = td.filter(
-            F.col("term") <= upper if upper_inclusive else F.col("term") < upper
+            F.col(tcol) <= upper if upper_inclusive else F.col(tcol) < upper
         )
     rows = td.select("term").orderBy("term").limit(max_expansions).collect()
     return [r["term"] for r in rows]
