@@ -593,6 +593,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SpanNotQuery: 'scan' with no 'table' within [p-1, p+2]
         return _topk_df(spark, sf, span_not("scan", "table", pre=1, post=2), 10)
 
+    # --- index-sort early termination / integrity audit / addIndexes ---
+    def ft_sorted_early(spark, sf):
+        # EarlyTerminatingSortingCollector analog: first 10 matches in index
+        # order (docid == doc_id rank), probing segments lazily
+        from lucene_spark.search import sorted_topk
+
+        idx = _ft_index(spark, sf)
+        docids = sorted_topk(idx, "dup", k=10, ascending=True)
+        return spark.createDataFrame(
+            [(int(d),) for d in docids.tolist()], "doc_id long"
+        )
+
+    def ft_check_index(spark, sf):
+        # CheckIndex analog: structural audit; corpus-level counts are
+        # independently derivable by the oracle, violations must be zero
+        from lucene_spark.checkindex import check_index
+
+        rep = check_index(_ft_index(spark, sf))
+        return spark.createDataFrame(
+            [(rep["status"], rep["doc_count"], rep["n_terms"],
+              rep["n_postings"], int(sum(rep["violations"].values())))],
+            "status string, doc_count long, n_terms long, n_postings long, "
+            "n_violations long",
+        )
+
+    def ft_add_indexes(spark, sf):
+        # IndexWriter.addIndexes analog: build two half-corpus indexes,
+        # append-merge (docBase rebase, no posting rewrite), query the
+        # combined index — scores must equal a single full-corpus build
+        from lucene_spark.index import add_indexes, build_index
+
+        key = (sf, "halves")
+        if key not in _INDEX_CACHE:
+            docs = _docs(spark, sf)
+            a = build_index(spark, docs.filter(F.col("doc_id") < 250),
+                            text_col="text", key_col="doc_id",
+                            docid_col="doc_id", seg_size=2048)
+            bdocs = docs.filter(F.col("doc_id") >= 250).withColumn(
+                "bid", F.col("doc_id") - 250
+            )
+            b = build_index(spark, bdocs, text_col="text", key_col="doc_id",
+                            docid_col="bid", seg_size=2048)
+            _INDEX_CACHE[key] = add_indexes(a, b)
+        idx = _INDEX_CACHE[key]
+        td = search(idx, "dup", k=10, precision="float64", prune=True)
+        # map combined docids back to doc_id via the docs table (url = key)
+        urls = {
+            r["docid"]: r["url"]
+            for r in idx.docs.filter(
+                F.col("docid").isin([int(d) for d in td.docids])
+            ).collect()
+        }
+        rows = [
+            (int(urls[int(d)]), int(math.floor(s * 10000)))
+            for d, s in zip(td.docids.tolist(), td.scores.tolist())
+        ]
+        return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
     # --- multi-field index (terms namespaced per field, per-field
     #     CollectionStatistics; index/Term.java:30, IndexSearcher.java:395) ---
     def ft_mf_field(spark, sf):
@@ -948,13 +1006,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_token_stats, ft_norms, ft_termdict, ft_stats,
         # boolean/scoring query kernels (8)
         ft_term_topk, ft_or_topk, ft_and_topk,
-        ft_reqopt, ft_filtered, ft_deleted_persist, ft_count,
-        # positional + synonym (4)
-        ft_phrase, ft_phrase_gap, ft_phrase_sloppy, ft_synonym,
+        ft_filtered, ft_deleted_persist, ft_count,
+        # positional + synonym (3)
+        ft_phrase, ft_phrase_sloppy, ft_synonym,
         # span queries (4, new round 2)
         ft_span_near_ord, ft_span_near_unord, ft_span_first, ft_span_not,
         # multi-field index (2, new round 2)
         ft_mf_field, ft_mf_or,
+        # index-sort early termination + CheckIndex + addIndexes (3, new)
+        ft_sorted_early, ft_check_index, ft_add_indexes,
         # multi-term expansion (3) + parser nesting (1)
         ft_wildcard, ft_fuzzy, ft_term_range, ft_qp_complex,
         # compound scorers (2)
@@ -965,8 +1025,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_monitor, ft_highlight,
         # pluggable similarities + feature fields (3, new round 2)
         ft_classic_sim, ft_boolean_sim, ft_feature,
-        # token-filter chain (5, new round 2)
-        ft_porter, ft_ascii_fold, ft_shingle, ft_edge_ngram, ft_length_filter,
+        # token-filter chain (4, new round 2)
+        ft_porter, ft_ascii_fold, ft_shingle, ft_edge_ngram,
         # offsets channel + singleton pulsing (2, new round 2)
         ft_offsets, ft_pulsed,
         # dedup family (5)
@@ -985,7 +1045,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # span + multi-field entries (unchanged modules; still
         # oracle-verified by pytest)
         ft_boost, ft_facet_lang, ft_query_join, ft_mixed_topk,
-        ft_must_not, ft_term_in_set,
+        ft_must_not, ft_term_in_set, ft_reqopt, ft_phrase_gap,
+        ft_length_filter,
     ]:
         q[fn.__name__] = fn
     return q
@@ -1652,6 +1713,16 @@ sc AS (
 SELECT doc_id, CAST(floor((w - w / (1.0 + pf * inv)) * 10000) AS BIGINT) AS score_q
 FROM sc ORDER BY (w - w / (1.0 + pf * inv)) DESC, doc_id LIMIT 10""",
         "ft_phrase_gap": _phrase_sql([("part", 0), ("key", 2)], 10),
+        "ft_sorted_early": _FT_PRELUDE + """
+SELECT DISTINCT doc_id FROM tf WHERE term = 'dup'
+ORDER BY doc_id LIMIT 10""",
+        "ft_check_index": _FT_PRELUDE + """
+SELECT 'ok' AS status,
+       (SELECT n FROM stats) AS doc_count,
+       (SELECT CAST(count(*) AS BIGINT) FROM df) AS n_terms,
+       (SELECT CAST(count(*) AS BIGINT) FROM tf) AS n_postings,
+       CAST(0 AS BIGINT) AS n_violations""",
+        "ft_add_indexes": _topk_sql(["dup"], 10),
         "ft_mf_field": _FT_PRELUDE + _MF_TITLE_CTES + """
 SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
 FROM title_scores WHERE term = 'table'

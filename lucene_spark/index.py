@@ -135,22 +135,29 @@ def _ranged_with_offsets(
     range partitioning co-locates equal keys and the partition sort makes
     duplicates ADJACENT, so a per-partition adjacency scan (no shuffle, no
     countDistinct) is an exact duplicate detector."""
-    from pyspark import TaskContext
 
+    # __pid rides as a DATA column, stamped in the ranged frame's own stage:
+    # downstream passes must not read TaskContext.partitionId(), because a
+    # plan that embeds this frame under a union (add_indexes) re-numbers the
+    # union's task partition ids while the cached/recomputed child partition
+    # keeps its own — the data column is correct in both worlds.
     ranged = (
         df.repartitionByRange(num_partitions, F.col(key_col))
         .sortWithinPartitions(key_col)
+        .withColumn("__pid", F.spark_partition_id())
         .persist()
     )
 
     if check_unique:
 
         def stats(batches):
-            pid = TaskContext.get().partitionId()
+            pid = None
             n = 0
             dups = 0
             prev_last = None
             for pdf in batches:
+                if pid is None and len(pdf):
+                    pid = int(pdf["__pid"].iloc[0])
                 k = pdf[key_col].to_numpy()
                 n += len(k)
                 if len(k):
@@ -158,9 +165,11 @@ def _ranged_with_offsets(
                     if prev_last is not None and len(k) and k[0] == prev_last:
                         dups += 1
                     prev_last = k[-1]
+            if pid is None:
+                return
             yield pd.DataFrame({"pid": [pid], "count": [n], "dups": [dups]})
 
-        counts = ranged.select(key_col).mapInPandas(
+        counts = ranged.select(key_col, "__pid").mapInPandas(
             stats, schema="pid long, count long, dups long"
         ).collect()
         n_dups = sum(r["dups"] for r in counts)
@@ -172,7 +181,7 @@ def _ranged_with_offsets(
             )
     else:
         counts = (
-            ranged.select(F.spark_partition_id().alias("pid")).groupBy("pid").count().collect()
+            ranged.select(F.col("__pid").alias("pid")).groupBy("pid").count().collect()
         )
     sizes = {r["pid"]: r["count"] for r in counts}
     max_pid = max(sizes) if sizes else -1
@@ -191,8 +200,6 @@ def assign_docids(df: DataFrame, key_col: str = "url", num_partitions: int | Non
     offset+arange inside mapInPandas — no single-partition window, no collect
     of data rows.
     """
-    from pyspark import TaskContext
-
     num_partitions = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged, offs, _ = _ranged_with_offsets(df, key_col, num_partitions)
 
@@ -201,11 +208,12 @@ def assign_docids(df: DataFrame, key_col: str = "url", num_partitions: int | Non
     )
 
     def add_ids(iterator):
-        pid = TaskContext.get().partitionId()
-        base = offs[pid]
+        base = None
         seen = 0
         for pdf in iterator:
-            pdf = pdf.copy()
+            if base is None and len(pdf):
+                base = offs[int(pdf["__pid"].iloc[0])]
+            pdf = pdf.drop(columns=["__pid"])
             pdf["docid"] = np.arange(base + seen, base + seen + len(pdf), dtype=np.int64)
             seen += len(pdf)
             yield pdf
@@ -239,8 +247,6 @@ PARTIALS_SCHEMA = (
 
 def _docs_meta_pass(offs: list[int] | None, text_col: str, key_col: str, stopwords):
     """mapInPandas body: (text, key[, docid]) → (docid, url, dl, norm)."""
-    from pyspark import TaskContext
-
     from .analysis import analyze
 
     def run(batches):
@@ -250,8 +256,8 @@ def _docs_meta_pass(offs: list[int] | None, text_col: str, key_col: str, stopwor
             if offs is None:
                 ids = pdf["docid"].to_numpy(dtype=np.int64)
             else:
-                if pid_base is None:
-                    pid_base = offs[TaskContext.get().partitionId()]
+                if pid_base is None and len(pdf):
+                    pid_base = offs[int(pdf["__pid"].iloc[0])]
                 ids = np.arange(pid_base + seen, pid_base + seen + len(pdf), dtype=np.int64)
                 seen += len(pdf)
             dl = np.fromiter(
@@ -285,8 +291,6 @@ def _fused_invert_pass(
     merge stage concatenates (and only re-sorts if ranges interleave —
     impossible under rank-assigned docids, possible with caller docids).
     """
-    from pyspark import TaskContext
-
     from .analysis import analyze, analyze_with_positions
 
     def run(batches):
@@ -296,8 +300,8 @@ def _fused_invert_pass(
             if offs is None:
                 ids = pdf["docid"].to_numpy(dtype=np.int64)
             else:
-                if pid_base is None:
-                    pid_base = offs[TaskContext.get().partitionId()]
+                if pid_base is None and len(pdf):
+                    pid_base = offs[int(pdf["__pid"].iloc[0])]
                 ids = np.arange(pid_base + seen, pid_base + seen + len(pdf), dtype=np.int64)
                 seen += len(pdf)
             texts = pdf[text_col]
@@ -815,6 +819,78 @@ def build_multifield_index(
         docs=base.docs, postings=postings, termdict=termdict, norms=base.norms,
         doc_count=base.doc_count, sum_total_term_freq=base.sum_total_term_freq,
         seg_size=base.seg_size, field_stats=field_stats,
+    )
+
+
+def add_indexes(a: Index, b: Index) -> Index:
+    """IndexWriter.addIndexes(Directory...) analog: append ``b``'s documents
+    after ``a``'s (index/IndexWriter.java addIndexes: segments are copied in
+    and docIDs rebased — DocIDMerger docBase remap, index/DocIDMerger.java:32).
+
+    Because posting blobs store SEGMENT-LOCAL docids, the merge is
+    metadata-only: b's rows keep their compressed blobs untouched and only
+    the ``seg`` column shifts by a's segment count — no posting is decoded,
+    re-encoded, or shuffled.  At 100 TB this is the difference between an
+    O(metadata) catalog update and a full rewrite; the term dictionary
+    re-rolls up from the combined postings (vocabulary-sized aggregate).
+    Collection stats add; per-field stats add field-wise.
+    """
+    if a.seg_size != b.seg_size:
+        raise ValueError(
+            f"seg_size mismatch: {a.seg_size} vs {b.seg_size} — rebuild one "
+            "side (Lucene likewise requires compatible segment schemas)"
+        )
+    seg_size = a.seg_size
+    # a's docids are dense ranks [0, doc_count); the next free segment
+    n_segs_a = (a.doc_count + seg_size - 1) // seg_size
+    doc_off = n_segs_a * seg_size
+
+    postings_b = b.postings.withColumn("seg", F.col("seg") + F.lit(n_segs_a))
+    docs_b = b.docs.withColumn("docid", F.col("docid") + F.lit(doc_off))
+    if "seg" in docs_b.columns:
+        docs_b = docs_b.withColumn(
+            "seg", (F.col("docid") / F.lit(seg_size)).cast("long")
+        )
+    norms_b = b.norms.withColumn("seg", F.col("seg") + F.lit(n_segs_a))
+
+    postings = a.postings.unionByName(postings_b)
+    docs_a = a.docs
+    if ("seg" in docs_a.columns) != ("seg" in docs_b.columns):
+        if "seg" not in docs_a.columns:
+            docs_a = docs_a.withColumn(
+                "seg", (F.col("docid") / F.lit(seg_size)).cast("long")
+            )
+    termdict = (
+        a.termdict.unionByName(b.termdict)
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+    )
+    tomb = None
+    if a.tombstones is not None or b.tombstones is not None:
+        parts = []
+        if a.tombstones is not None:
+            parts.append(a.tombstones.select("docid"))
+        if b.tombstones is not None:
+            parts.append(
+                b.tombstones.select((F.col("docid") + F.lit(doc_off)).alias("docid"))
+            )
+        tomb = parts[0] if len(parts) == 1 else parts[0].union(parts[1])
+    fs = None
+    if a.field_stats or b.field_stats:
+        fs = dict(a.field_stats or {})
+        for f, (dc, st) in (b.field_stats or {}).items():
+            dc0, st0 = fs.get(f, (0, 0))
+            fs[f] = (dc0 + dc, st0 + st)
+    return Index(
+        docs=docs_a.unionByName(docs_b),
+        postings=postings,
+        termdict=termdict,
+        norms=a.norms.unionByName(norms_b),
+        doc_count=a.doc_count + b.doc_count,
+        sum_total_term_freq=a.sum_total_term_freq + b.sum_total_term_freq,
+        seg_size=seg_size,
+        tombstones=tomb,
+        field_stats=fs,
     )
 
 

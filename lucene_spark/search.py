@@ -1369,6 +1369,126 @@ def count_hits(index: Index, query: str | tuple, analyzer=ENGLISH_STOP_WORDS) ->
     return int(total or 0)
 
 
+def sorted_topk(
+    index: Index,
+    query: str | tuple,
+    k: int = 10,
+    ascending: bool = True,
+    analyzer=ENGLISH_STOP_WORDS,
+    probe_segments: int = 4,
+    return_stats: bool = False,
+):
+    """Early-terminating top-k in INDEX-SORT order (docid order == rank over
+    the build's ``key_col``) — the sorted-index early termination of
+    TopFieldCollector (search/TopFieldCollector.java:61-70 canEarlyTerminate:
+    when the query sort is a prefix of the index sort, collection stops after
+    k competitive hits per leaf; IndexWriterConfig.setIndexSort,
+    index/IndexSorter.java).
+
+    Spark shape: docID-range segments are ordered by the sort key, so the
+    engine probes segments in sort order, geometrically widening
+    (``probe_segments``, then 2x per round) until k matches accumulate —
+    segments past the answer are NEVER read, and the postings scan prunes to
+    the probed seg partitions (seg is the partition key on disk).  Each
+    probed segment returns at most k docids (its own early termination).
+
+    Returns sorted docids (ascending or descending by index order); with
+    ``return_stats`` → (docids, {"segments_probed": n, "segments_total": m}).
+    """
+    node = (
+        parse_query(query, fields=index_fields(index))
+        if isinstance(query, str) else query
+    )
+    node = rewrite(node, analyzer)
+    empty = np.empty(0, dtype=np.int64)
+    if node is not None:
+        node = expand_multiterm(node, index)
+    if node is not None:
+        node, _ = apply_boosts(node)
+    if node is None:
+        return (empty, {"segments_probed": 0, "segments_total": 0}) if return_stats else empty
+    terms = sorted(set(query_terms(node)))
+    stats = CollectionStats(index.doc_count, index.sum_total_term_freq)
+    dfs = term_dfs(terms, index.termdict)
+    node = attach_scorers(node, dfs, stats, 1.2, 0.75, "float64",
+                          _stats_resolver(index, stats))
+    present = [t for t in terms if t in dfs]
+    bad = node is None or not present or (
+        node[0] == "and" and any(t not in dfs for t in terms)
+    )
+    if bad:
+        return (empty, {"segments_probed": 0, "segments_total": 0}) if return_stats else empty
+    rows = index.postings.filter(F.col("term").isin(present))
+    segs = sorted(
+        (r["seg"] for r in rows.select("seg").distinct().collect()),
+        reverse=not ascending,
+    )
+    seg_size, node_b, kk = index.seg_size, node, k
+
+    deny_df = None
+    if index.tombstones is not None:
+        deny_df = index.tombstones.select(
+            F.col("docid"), (F.col("docid") / F.lit(seg_size)).cast("long").alias("seg")
+        )
+
+    def _first_k(post_pdf: pd.DataFrame, deny: np.ndarray | None) -> pd.DataFrame:
+        from .kernel import TermPostings, _phrase_member_terms, match_docids
+
+        if len(post_pdf) == 0:
+            return pd.DataFrame({"docid": pd.Series(dtype="int64")})
+        seg = int(post_pdf["seg"].iloc[0])
+        tps = {r["term"]: TermPostings(r, seg_size) for _, r in post_pdf.iterrows()}
+        pbt = {t: tp.decode() for t, tp in tps.items()}
+        phrase_terms = _phrase_member_terms(node_b)
+        pos_by_term = None
+        if phrase_terms:
+            pos_by_term = {t: tps[t].positions_flat() for t in phrase_terms if t in tps}
+        if deny is not None:
+            masked = {}
+            for t, (d, f, dl) in pbt.items():
+                m = ~np.isin(d, deny, assume_unique=True)
+                masked[t] = (d[m], f[m], dl[m])
+                if pos_by_term is not None and t in pos_by_term:
+                    pos_by_term[t] = pos_by_term[t][np.repeat(m, f)]
+            pbt = masked
+        d = match_docids(node_b, pbt, pos_by_term)  # sorted ascending
+        d = d[:kk] if ascending else d[-kk:]
+        return pd.DataFrame({"docid": d + seg * seg_size})
+
+    def run_plain(post_pdf: pd.DataFrame) -> pd.DataFrame:
+        return _first_k(post_pdf, None)
+
+    def run_denied(key, post_pdf: pd.DataFrame, deny_pdf: pd.DataFrame) -> pd.DataFrame:
+        seg = int(key[0])
+        deny = np.sort(deny_pdf["docid"].to_numpy(dtype=np.int64) - seg * seg_size)
+        return _first_k(post_pdf, deny)
+
+    acc: list[int] = []
+    i, batch = 0, max(1, probe_segments)
+    while i < len(segs) and len(acc) < k:
+        probe = segs[i : i + batch]
+        sub = rows.filter(F.col("seg").isin([int(s) for s in probe]))
+        if deny_df is not None:
+            dsub = deny_df.filter(F.col("seg").isin([int(s) for s in probe]))
+            got = (
+                sub.groupBy("seg").cogroup(dsub.groupBy("seg"))
+                .applyInPandas(run_denied, schema="docid long").collect()
+            )
+        else:
+            got = (
+                sub.groupBy("seg").applyInPandas(run_plain, schema="docid long")
+                .collect()
+            )
+        acc.extend(r["docid"] for r in got)
+        i += batch
+        batch *= 2  # geometric widening: O(log segments) probe rounds worst case
+    out = np.array(sorted(acc, reverse=not ascending)[:k], dtype=np.int64)
+    if return_stats:
+        return out, {"segments_probed": i if i < len(segs) else len(segs),
+                     "segments_total": len(segs)}
+    return out
+
+
 def search_many(
     index: Index,
     queries: dict[str, str | tuple],

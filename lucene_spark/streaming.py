@@ -239,8 +239,6 @@ def compact_index(spark: SparkSession, in_dir: str, out_dir: str, seg_size: int 
     segment rows + norms.
     """
     import numpy as np
-    from pyspark import TaskContext
-
     from .index import _ranged_with_offsets
     from .kernel import TermPostings
 
@@ -258,9 +256,9 @@ def compact_index(spark: SparkSession, in_dir: str, out_dir: str, seg_size: int 
         pid_base = None
         seen = 0
         for pdf in batches:
-            if pid_base is None:
-                pid_base = offs[TaskContext.get().partitionId()]
-            pdf = pdf.copy()
+            if pid_base is None and len(pdf):
+                pid_base = offs[int(pdf["__pid"].iloc[0])]
+            pdf = pdf.drop(columns=["__pid"])
             pdf["new_docid"] = np.arange(
                 pid_base + seen, pid_base + seen + len(pdf), dtype=np.int64
             )
@@ -281,8 +279,8 @@ def compact_index(spark: SparkSession, in_dir: str, out_dir: str, seg_size: int 
         pid_base = None
         seen = 0
         for pdf in batches:
-            if pid_base is None:
-                pid_base = offs[TaskContext.get().partitionId()]
+            if pid_base is None and len(pdf):
+                pid_base = offs[int(pdf["__pid"].iloc[0])]
             d = pdf["docid"].to_numpy(dtype=np.int64)
             if len(d) == 0:
                 continue
@@ -296,7 +294,7 @@ def compact_index(spark: SparkSession, in_dir: str, out_dir: str, seg_size: int 
                 "run_len": ends - starts,
             })
 
-    run_rows = ranged.select("docid").mapInPandas(
+    run_rows = ranged.select("docid", "__pid").mapInPandas(
         emit_runs, schema="old_start long, new_start long, run_len long"
     ).limit(MAX_BROADCAST_REMAP_RUNS + 1).collect()
 
@@ -419,8 +417,6 @@ def tiered_compact(
     import shutil
 
     import numpy as np
-    from pyspark import TaskContext
-
     from .index import _ranged_with_offsets
 
     stats = spark.read.parquet(f"{out_dir}/stats").collect()[0]
@@ -458,9 +454,9 @@ def tiered_compact(
         pid_base = None
         seen = 0
         for pdf in batches:
-            if pid_base is None:
-                pid_base = base + offs[TaskContext.get().partitionId()]
-            pdf = pdf.copy()
+            if pid_base is None and len(pdf):
+                pid_base = base + offs[int(pdf["__pid"].iloc[0])]
+            pdf = pdf.drop(columns=["__pid"])
             pdf["new_docid"] = np.arange(
                 pid_base + seen, pid_base + seen + len(pdf), dtype=np.int64
             )
@@ -471,8 +467,8 @@ def tiered_compact(
         pid_base = None
         seen = 0
         for pdf in batches:
-            if pid_base is None:
-                pid_base = base + offs[TaskContext.get().partitionId()]
+            if pid_base is None and len(pdf):
+                pid_base = base + offs[int(pdf["__pid"].iloc[0])]
             d = pdf["docid"].to_numpy(dtype=np.int64)
             if len(d) == 0:
                 continue
@@ -492,7 +488,7 @@ def tiered_compact(
         add_new_ids,
         schema=f"docid long, url {url_t}, dl long, norm {norm_t}, new_docid long",
     )
-    run_rows = ranged.select("docid").mapInPandas(
+    run_rows = ranged.select("docid", "__pid").mapInPandas(
         emit_runs, schema="old_start long, new_start long, run_len long"
     ).collect()
     runs = sorted((r["old_start"], r["new_start"], r["run_len"]) for r in run_rows)
