@@ -651,6 +651,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return spark.createDataFrame(rows or [], "doc_id long, score_q long")
 
+    # --- block join / multi-phrase / common-terms ---
+    def ft_block_join(spark, sf):
+        # ToParentBlockJoinQuery ScoreMode.Avg: blocks of 4 children + a
+        # parent every 5 docids; child query 'dup' restricted to child docs
+        from lucene_spark.blockjoin import block_join_parents
+
+        idx = _ft_index(spark, sf)
+        docs = _docs(spark, sf)
+        parents = docs.filter(F.col("doc_id") % 5 == 4).select(
+            F.col("doc_id").alias("docid")
+        )
+        children = docs.filter(F.col("doc_id") % 5 != 4).select(
+            F.col("doc_id").alias("docid")
+        )
+        out = block_join_parents(
+            idx, "dup", parents, score_mode="avg", k=10, children=children,
+            precision="float64",
+        )
+        rows = [
+            (int(r.parent_docid), int(r.n_children), int(math.floor(r.score * 10000)))
+            for r in out.itertuples()
+        ]
+        return spark.createDataFrame(
+            rows or [], "doc_id long, n_children long, score_q long"
+        )
+
+    def ft_mphrase(spark, sf):
+        # MultiPhraseQuery: "table (hash|merge)" — position 1 is a union
+        from lucene_spark.search import multi_phrase
+
+        return _topk_df(spark, sf, multi_phrase(["table", ["hash", "merge"]]), 10)
+
+    def ft_common_terms(spark, sf):
+        # CommonTermsQuery(SHOULD, SHOULD, 0.4): 'dup' (df 5%) is the
+        # required low-freq clause; 'table'/'scan' (~78%) ride as optional
+        # high-freq scoring clauses
+        from lucene_spark.search import common_terms_query
+
+        idx = _ft_index(spark, sf)
+        node = common_terms_query(idx, "dup table scan", max_term_frequency=0.4)
+        return _topk_df(spark, sf, node, 10)
+
     # --- multi-field index (terms namespaced per field, per-field
     #     CollectionStatistics; index/Term.java:30, IndexSearcher.java:395) ---
     def ft_mf_field(spark, sf):
@@ -1002,8 +1044,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and tail, are still verified against the same DuckDB oracles every
     # round by tests/test_entry_gate.py.
     for fn in [
-        # core analysis + index tables (4)
-        ft_token_stats, ft_norms, ft_termdict, ft_stats,
+        # core analysis + index tables (3)
+        ft_token_stats, ft_norms, ft_termdict,
         # boolean/scoring query kernels (8)
         ft_term_topk, ft_or_topk, ft_and_topk,
         ft_filtered, ft_deleted_persist, ft_count,
@@ -1015,12 +1057,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_mf_field, ft_mf_or,
         # index-sort early termination + CheckIndex + addIndexes (3, new)
         ft_sorted_early, ft_check_index, ft_add_indexes,
+        # block join + multi-phrase + common-terms (3, new)
+        ft_block_join, ft_mphrase, ft_common_terms,
         # multi-term expansion (3) + parser nesting (1)
         ft_wildcard, ft_fuzzy, ft_term_range, ft_qp_complex,
-        # compound scorers (2)
-        ft_dismax, ft_msm,
-        # collectors / facets / grouping (2)
-        ft_sort_field, ft_group_top,
+        # compound scorers (1)
+        ft_msm,
+        # collectors / facets / grouping (1)
+        ft_group_top,
         # aux search modules (2)
         ft_monitor, ft_highlight,
         # pluggable similarities + feature fields (3, new round 2)
@@ -1046,7 +1090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-verified by pytest)
         ft_boost, ft_facet_lang, ft_query_join, ft_mixed_topk,
         ft_must_not, ft_term_in_set, ft_reqopt, ft_phrase_gap,
-        ft_length_filter,
+        ft_length_filter, ft_stats, ft_dismax, ft_sort_field,
     ]:
         q[fn.__name__] = fn
     return q
@@ -1713,6 +1757,54 @@ sc AS (
 SELECT doc_id, CAST(floor((w - w / (1.0 + pf * inv)) * 10000) AS BIGINT) AS score_q
 FROM sc ORDER BY (w - w / (1.0 + pf * inv)) DESC, doc_id LIMIT 10""",
         "ft_phrase_gap": _phrase_sql([("part", 0), ("key", 2)], 10),
+        "ft_block_join": _FT_PRELUDE + "," + _score_sql(["dup"]) + """,
+child AS (
+  SELECT doc_id, score FROM doc_scores WHERE doc_id % 5 != 4
+),
+par AS (
+  SELECT doc_id - (doc_id % 5) + 4 AS parent, avg(score) AS score,
+         CAST(count(*) AS BIGINT) AS n_children
+  FROM child GROUP BY doc_id - (doc_id % 5) + 4
+)
+SELECT parent AS doc_id, n_children,
+       CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM par ORDER BY score DESC, parent LIMIT 10""",
+        "ft_mphrase": _FT_PRELUDE + """,
+pos AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS p
+  FROM documents
+),
+pm AS (
+  SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS pf
+  FROM pos p0
+  JOIN pos p1 ON p1.doc_id = p0.doc_id AND p1.p = p0.p + 1
+             AND p1.w IN ('hash', 'merge')
+  WHERE p0.w = 'table' GROUP BY p0.doc_id
+),
+sc AS (
+  SELECT pm.doc_id,
+         ((SELECT ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) FROM df d CROSS JOIN stats s WHERE d.term = 'table')
+          + (SELECT ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) FROM df d CROSS JOIN stats s WHERE d.term = 'hash')
+          + (SELECT ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) FROM df d CROSS JOIN stats s WHERE d.term = 'merge')) AS w,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (s.sttf / s.n))) AS inv,
+         pm.pf AS pf
+  FROM pm JOIN dl USING (doc_id) CROSS JOIN stats s
+)
+SELECT doc_id, CAST(floor((w - w / (1.0 + pf * inv)) * 10000) AS BIGINT) AS score_q
+FROM sc ORDER BY (w - w / (1.0 + pf * inv)) DESC, doc_id LIMIT 10""",
+        "ft_common_terms": _FT_PRELUDE + "," + _score_sql(
+            ["dup", "table", "scan"]
+        ).replace(
+            "SELECT tf.doc_id,", "SELECT tf.doc_id, tf.term,", 1
+        ).replace(
+            "SUM(w - w / (1.0 + tf * inv)) AS score, count(*) AS n_terms",
+            "SUM(w - w / (1.0 + tf * inv)) AS score, "
+            "count(CASE WHEN term = 'dup' THEN 1 END) AS has_req",
+        ) + """
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM doc_scores WHERE has_req = 1
+ORDER BY score DESC, doc_id LIMIT 10""",
         "ft_sorted_early": _FT_PRELUDE + """
 SELECT DISTINCT doc_id FROM tf WHERE term = 'dup'
 ORDER BY doc_id LIMIT 10""",

@@ -106,7 +106,7 @@ def run_bench(cpus: int, n_docs: int, sf: float, k1_queries=HEADLINE_QUERIES,
         # steal (a bare postings.count() job floor swings 0.15-1.1 s run to
         # run); the MIN over q_repeat runs measures the engine, the same way
         # the build takes the best of `repeat` runs
-        q_repeat = int(os.environ.get("SPARK_GRAFT_QUERY_REPEAT", "3"))
+        q_repeat = int(os.environ.get("SPARK_GRAFT_QUERY_REPEAT", "5"))
         for name, (q, k) in k1_queries.items():
             best = None
             for _ in range(max(1, q_repeat)):
@@ -179,7 +179,7 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--n-docs", type=int, default=None)
     ap.add_argument("--repeat", type=int,
-                    default=int(os.environ.get("SPARK_GRAFT_BUILD_REPEAT", "2")))
+                    default=int(os.environ.get("SPARK_GRAFT_BUILD_REPEAT", "3")))
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,125 @@
+"""ToParentBlockJoinQuery analog — nested-document (parent/child) search.
+
+Reference: lucene/join ToParentBlockJoinQuery.java: documents are indexed in
+blocks [child..., child, parent] (IndexWriter.addDocuments keeps a block in
+one segment, contiguous docids); a parent hit's score aggregates its
+children's scores per ScoreMode (join/ScoreMode.java: None/Avg/Max/Total/Min;
+accumulation in double, float cast at the end —
+ToParentBlockJoinQuery.java:352-394), and a child that matches the parent
+filter itself is an illegal block (":381 Child query must not match same
+docs with parent filter").
+
+Spark shape: Lucene guarantees a block never spans a segment (addDocuments
+is atomic per DWPT); the docID-range segments here inherit that contract
+when ``seg_size`` is a multiple of the block stride (or blocks are packed by
+the loader).  The join is therefore segment-local: child hits and parent
+docids cogroup by segment and the parent of a child is one searchsorted —
+no global shuffle, no broadcast of the parent set.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCORE_MODES = ("none", "avg", "max", "total", "min")
+
+
+def block_join_parents(
+    index,
+    child_query,
+    parents: DataFrame,
+    score_mode: str = "avg",
+    k: int = 10,
+    children: DataFrame | None = None,
+    precision: str = "lucene",
+) -> pd.DataFrame:
+    """Top-k parent docs for a child query.
+
+    ``parents``: DataFrame with a ``docid`` column — the BitSetProducer
+    parent filter.  A child's parent is the FIRST parent docid greater than
+    the child docid (ParentApproximation, ToParentBlockJoinQuery.java:300-318).
+    ``children``: optional docid DataFrame restricting child hits (the role
+    the child query's field restriction plays in Lucene); child hits on
+    parent docids raise, per the reference contract.
+
+    Returns a pandas frame (parent_docid, score, n_children) sorted
+    (score desc, docid asc), cut to k by a Spark TakeOrderedAndProject —
+    k rows reach the driver.
+    """
+    if score_mode not in SCORE_MODES:
+        raise ValueError(f"score_mode must be one of {SCORE_MODES}")
+    from .search import score_docs
+
+    hits = score_docs(index, child_query, precision=precision)
+    if children is not None:
+        hits = hits.join(children.select("docid"), "docid", "left_semi")
+    seg_size = index.seg_size
+    hits = hits.withColumn("seg", (F.col("docid") / F.lit(seg_size)).cast("long"))
+    pseg = parents.select(
+        F.col("docid").alias("pdocid"),
+        (F.col("docid") / F.lit(seg_size)).cast("long").alias("seg"),
+    )
+    mode = score_mode
+    f32 = precision == "lucene"
+
+    def join_seg(key, hit_pdf: pd.DataFrame, par_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "parent_docid": pd.Series(dtype="int64"),
+            "score": pd.Series(dtype="float64"),
+            "n_children": pd.Series(dtype="int64"),
+        })
+        if len(hit_pdf) == 0 or len(par_pdf) == 0:
+            return empty
+        c = hit_pdf["docid"].to_numpy(dtype=np.int64)
+        s = hit_pdf["score"].to_numpy(dtype=np.float64)
+        order = np.argsort(c)
+        c, s = c[order], s[order]
+        p = np.sort(par_pdf["pdocid"].to_numpy(dtype=np.int64))
+        bad = c[np.isin(c, p, assume_unique=False)]
+        if len(bad):
+            raise ValueError(
+                "Child query must not match same docs with parent filter "
+                f"(docid={int(bad[0])}) — combine them as must clauses to "
+                "find a problem doc (ToParentBlockJoinQuery.java:381)"
+            )
+        pi = np.searchsorted(p, c, side="right")
+        ok = pi < len(p)
+        c, s, pi = c[ok], s[ok], pi[ok]
+        if len(c) == 0:
+            return empty
+        parent = p[pi]
+        uparents, inverse, counts = np.unique(
+            parent, return_inverse=True, return_counts=True
+        )
+        if mode == "none":
+            score = np.zeros(len(uparents), dtype=np.float64)
+        elif mode in ("total", "avg"):
+            score = np.zeros(len(uparents), dtype=np.float64)
+            np.add.at(score, inverse, s)
+            if mode == "avg":
+                score = score / counts
+        elif mode == "max":
+            score = np.full(len(uparents), -np.inf)
+            np.maximum.at(score, inverse, s)
+        else:  # min
+            score = np.full(len(uparents), np.inf)
+            np.minimum.at(score, inverse, s)
+        if f32:
+            score = score.astype(np.float32).astype(np.float64)
+        return pd.DataFrame({
+            "parent_docid": uparents, "score": score,
+            "n_children": counts.astype(np.int64),
+        })
+
+    out = (
+        hits.groupBy("seg")
+        .cogroup(pseg.groupBy("seg"))
+        .applyInPandas(join_seg, schema="parent_docid long, score double, n_children long")
+        .orderBy(F.col("score").desc(), F.col("parent_docid").asc())
+        .limit(k)
+        .toPandas()
+    )
+    return out

@@ -181,15 +181,27 @@ def _phrase_eval(members, postings_by_term, pos_by_term, scorer, precision):
     vectorized: a doc position p matches when every member term i appears at
     p + qoff_i.  Keys (docid<<32 | normalized position) intersect across
     members; phrase freq = per-doc surviving-key count; BM25 on phraseFreq
-    with the multi-term weight (PhraseWeight → SimScorer over all terms)."""
+    with the multi-term weight (PhraseWeight → SimScorer over all terms).
+
+    A member may be a LIST of alternative terms — MultiPhraseQuery
+    (search/MultiPhraseQuery.java:48: "three-level phrase", e.g.
+    "app*" expanded per position): the member's position set is the UNION of
+    its alternatives' positions (UnionPostingsEnum,
+    MultiPhraseQuery.java:290-340)."""
     keys = []
-    for term, qoff in members:
-        if term not in postings_by_term or term not in pos_by_term:
+    for member, qoff in members:
+        alts = member if isinstance(member, (list, tuple)) else (member,)
+        ks = []
+        for term in alts:
+            if term not in postings_by_term or term not in pos_by_term:
+                continue
+            d, f, _ = postings_by_term[term]
+            p = pos_by_term[term]
+            ks.append((np.repeat(d, f) << _POS_SHIFT) | (p - np.int64(qoff) + _POS_BIAS))
+        if not ks:
+            # a required position with no alternative present → no match
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-        d, f, _ = postings_by_term[term]
-        p = pos_by_term[term]
-        k = (np.repeat(d, f) << _POS_SHIFT) | (p - np.int64(qoff) + _POS_BIAS)
-        keys.append(k)
+        keys.append(ks[0] if len(ks) == 1 else np.unique(np.concatenate(ks)))
     cand = keys[0]
     for k in keys[1:]:
         cand = cand[np.isin(cand, k, assume_unique=True)]
@@ -197,8 +209,19 @@ def _phrase_eval(members, postings_by_term, pos_by_term, scorer, precision):
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
     docs = cand >> _POS_SHIFT
     udocs, counts = np.unique(docs, return_counts=True)
-    d0, _, dl0 = postings_by_term[members[0][0]]
-    dl = dl0[np.searchsorted(d0, udocs)]
+    m0 = members[0][0]
+    alts0 = m0 if isinstance(m0, (list, tuple)) else (m0,)
+    dl = np.zeros(len(udocs), dtype=np.int64)
+    for t in alts0:
+        if t not in postings_by_term:
+            continue
+        d0, _, dl0 = postings_by_term[t]
+        if len(d0) == 0:
+            continue
+        pos = np.searchsorted(d0, udocs)
+        pos_c = np.minimum(pos, len(d0) - 1)
+        hit = (pos < len(d0)) & (d0[pos_c] == udocs)
+        dl[hit] = dl0[pos_c[hit]]
     s = scorer.score_from_dl(counts, dl).astype(np.float64)
     return udocs, s
 
@@ -796,15 +819,23 @@ def segment_topk(
             acc[present] = float(n_[2])
             return acc
         if kind_ == "phrase":
-            # valid bound: phraseFreq <= tf of every member, and score is
-            # monotone in freq — min over members of the member frontier
-            # scored with the PHRASE weight (zero where any member absent).
+            # valid bound: phraseFreq <= (union) tf of every member, and
+            # score is monotone in freq — min over members of the member
+            # frontier scored with the PHRASE weight (zero where any member
+            # absent); a multi-phrase member's frontier is the SUM of its
+            # alternatives' frontiers (union tf <= Σ alternative tfs).
             scorer = n_[2]
             acc = None
-            for t, _ in n_[1]:
-                if t not in tps:
+            for m, _ in n_[1]:
+                alts = m if isinstance(m, (list, tuple)) else (m,)
+                wms = np.zeros(n_windows, dtype=np.float64)
+                seen_any = False
+                for t in alts:
+                    if t in tps:
+                        seen_any = True
+                        wms += window_max_scores(tps[t], scorer, n_windows, window_bits)
+                if not seen_any:
                     return np.zeros(n_windows, dtype=np.float64)
-                wms = window_max_scores(tps[t], scorer, n_windows, window_bits)
                 acc = wms if acc is None else np.minimum(acc, wms)
             return acc
         if kind_ == "sloppy":
@@ -878,8 +909,11 @@ def segment_topk(
 
     if node[0] == "and" and any(t not in tps for t in node[1]):
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-    if node[0] in ("phrase", "sloppy") and any(t not in tps for t, _ in node[1]):
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    if node[0] in ("phrase", "sloppy"):
+        for m, _ in node[1]:
+            alts = m if isinstance(m, (list, tuple)) else (m,)
+            if all(t not in tps for t in alts):
+                return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
     ub = node_ub(node)
 
     # pre-bin postings by window ONCE; batches then slice instead of rescan
@@ -936,7 +970,10 @@ def _phrase_member_terms(node) -> set[str]:
 
         return set(span_terms(node))
     if kind in ("phrase", "sloppy"):
-        return {t for t, _ in node[1]}
+        out: set[str] = set()
+        for m, _ in node[1]:
+            out |= set(m) if isinstance(m, (list, tuple)) else {m}
+        return out
     if kind in ("not", "reqopt"):
         return _phrase_member_terms(node[1])
     if kind in ("reqoptn", "notn"):

@@ -298,6 +298,55 @@ def parse_query(q: str, default_field: str = "text", fields=None) -> tuple:
     return _Parser(q, default_field, fields).parse()
 
 
+def multi_phrase(members: list) -> tuple:
+    """MultiPhraseQuery builder: ``members`` is a list of positions, each a
+    term or a list of alternative terms (MultiPhraseQuery.Builder.add(Term[]),
+    search/MultiPhraseQuery.java:92-118).  Exact matching only — Lucene's
+    sloppy multi-phrase (UnionPostingsEnum + SloppyPhraseMatcher) is not
+    implemented."""
+    return ("mphrase_raw", list(members))
+
+
+def common_terms_query(
+    index,
+    text: str,
+    max_term_frequency: float = 0.4,
+    low_freq_occur: str = "should",
+    high_freq_occur: str = "should",
+    analyzer=ENGLISH_STOP_WORDS,
+) -> tuple | None:
+    """CommonTermsQuery analog (queries/CommonTermsQuery.java:143-214):
+    query terms partition by document frequency — df > ceil(maxTermFrequency
+    * maxDoc) (or the absolute cutoff when >= 1) is HIGH — into a low-freq
+    subquery (occur per ``low_freq_occur``) MUST-combined with an optional
+    high-freq subquery (occur per ``high_freq_occur``); with no low-freq
+    terms the high-freq subquery rewrites to a conjunction ("prevent slow
+    queries", :173-180).  Returns an analyzed AST for search()/count_hits."""
+    import math as _math
+
+    toks = list(dict.fromkeys(analyze(text, analyzer)))
+    if not toks:
+        return None
+    dfs = term_dfs(toks, index.termdict)
+    cutoff = (
+        max_term_frequency if max_term_frequency >= 1.0
+        else _math.ceil(max_term_frequency * index.doc_count)
+    )
+    low = [t for t in toks if dfs.get(t, 0) <= cutoff]  # unseen terms → low
+    high = [t for t in toks if dfs.get(t, 0) > cutoff]
+
+    def sub(terms, occur):
+        if len(terms) == 1:
+            return ("term", terms[0])
+        return ("and", terms) if occur == "must" else ("or", [("term", t) for t in terms])
+
+    if not high:
+        return sub(low, low_freq_occur)
+    if not low:
+        return sub(high, "must")  # forced conjunction of common terms
+    return ("reqoptn", sub(low, low_freq_occur), [sub(high, high_freq_occur)])
+
+
 def multi_field_query(q: str, fields: list[str], default_field: str = "text") -> tuple:
     """MultiFieldQueryParser analog (queryparser/.../MultiFieldQueryParser.java:
     42-80): every bare term/phrase expands to an OR of the same leaf over
@@ -390,6 +439,27 @@ def rewrite(node: tuple, stopwords=ENGLISH_STOP_WORDS) -> tuple | None:
         return _prefix_field(sub, node[1]) if sub is not None else None
     if kind in ("span_near", "span_or", "span_first", "span_not"):
         return _rewrite_span(node, stopwords)
+    if kind == "mphrase_raw":
+        # MultiPhraseQuery (search/MultiPhraseQuery.java:48): terms added via
+        # add(Term[]) share one position; alternatives analyze independently,
+        # a member whose alternatives all analyze away leaves a position gap
+        members: list[tuple] = []
+        for off, m in enumerate(node[1]):
+            alts_raw = m if isinstance(m, (list, tuple)) else [m]
+            alts: list[str] = []
+            for a in alts_raw:
+                alts.extend(analyze(a, stopwords))
+            if not alts:
+                continue
+            members.append((alts[0] if len(alts) == 1 else sorted(set(alts)), off))
+        if not members:
+            return None
+        if len(members) == 1:
+            m0 = members[0][0]
+            if isinstance(m0, str):
+                return ("term", m0)
+            return ("syn", list(m0))
+        return ("phrase", members)
     if kind == "phrase_raw":
         # QueryParser analyzes phrase text with the index analyzer, keeping
         # position gaps from removed stopwords (QueryParserBase.java:437 →
@@ -620,7 +690,10 @@ def query_terms(node: tuple) -> list[str]:
     if kind in ("and", "msm", "syn", "const"):
         return list(node[1])
     if kind in ("phrase", "sloppy"):
-        return [t for t, _ in node[1]]
+        out = []
+        for m, _ in node[1]:
+            out.extend(m if isinstance(m, (list, tuple)) else [m])
+        return out
     if kind == "not":
         return query_terms(node[1]) + list(node[2])
     if kind == "reqopt":
@@ -671,8 +744,12 @@ def attach_scorers(
             return None  # feature field absent from this index
         return ("syn", [ft], FeatureScorer(node[2], node[3], precision=precision))
     if kind in ("phrase", "sloppy"):
-        if any(t not in dfs for t, _ in node[1]):
-            return None  # a phrase member absent from the index → no match
+        flat: list[str] = []
+        for m, _ in node[1]:
+            alts = [t for t in (m if isinstance(m, (list, tuple)) else [m]) if t in dfs]
+            if not alts:
+                return None  # a phrase member absent from the index → no match
+            flat.extend(alts)
         # an extra trailing numeric element is a boost from apply_boosts
         # (BoostQuery folds into the weight, BM25Similarity.java:246)
         tail = node[3] if kind == "sloppy" and len(node) > 3 else (
@@ -680,7 +757,7 @@ def attach_scorers(
         )
         boost = float(tail) if isinstance(tail, (int, float)) else 1.0
         scorer = sim_cls.for_terms(
-            [dfs[t] for t, _ in node[1]], stats_for(node[1][0][0]), k1=k1,
+            [dfs[t] for t in flat], stats_for(flat[0]), k1=k1,
             b=b, boost=boost, precision=precision,
         )
         if kind == "sloppy":
