@@ -101,6 +101,18 @@ def cmd_bench_queries(args) -> int:
     return 0
 
 
+def cmd_check(args) -> int:
+    """CheckIndex CLI analog (Lucene: java org.apache.lucene.index.CheckIndex
+    <dir> — index/CheckIndex.java:79)."""
+    from .checkindex import check_index
+    from .index import read_index
+
+    spark = _session("lucene_spark_check")
+    rep = check_index(read_index(spark, args.index))
+    print(json.dumps(rep))
+    return 0 if rep["status"] == "ok" else 1
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="lucene_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -136,6 +148,10 @@ def main(argv=None) -> int:
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--precision", default="lucene", choices=["lucene", "float64"])
     q.set_defaults(fn=cmd_bench_queries)
+
+    c = sub.add_parser("check", help="CheckIndex-style structural audit")
+    c.add_argument("--index", required=True)
+    c.set_defaults(fn=cmd_check)
 
     args = ap.parse_args(argv)
     return args.fn(args)

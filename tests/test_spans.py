@@ -286,6 +286,17 @@ def test_spark_span_stopword_analysis(span_index):
     assert len(td.docids) == 0
 
 
+def test_spans_in_search_many(span_index):
+    from lucene_spark.search import search, search_many
+
+    qs = {"a": QUERIES[0], "b": QUERIES[2], "c": "table"}
+    batched = search_many(span_index, qs, k=10)
+    for qid, q in qs.items():
+        single = search(span_index, q, k=10)
+        assert batched[qid].docids.tolist() == single.docids.tolist()
+        assert batched[qid].scores.tolist() == single.scores.tolist()
+
+
 def test_span_float32_precision_mode(span_index):
     from lucene_spark.search import search
 
