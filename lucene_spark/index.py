@@ -371,6 +371,109 @@ def _fused_invert_pass(
     return run
 
 
+def _vint_lens(v: np.ndarray) -> np.ndarray:
+    """Per-value LEB128 byte length (mirrors codecs.write_vints grouping)."""
+    nb = np.ones(len(v), dtype=np.int64)
+    for j in range(1, 10):
+        nb += (v >= (np.uint64(1) << np.uint64(7 * j))).astype(np.int64)
+    return nb
+
+
+def _encode_tail_groups_vec(rows, gcounts, terms, segs, docc, tfc, dlc, cols) -> None:
+    """Vectorized tail-only encoding of MANY single-chunk groups at once.
+
+    Produces byte-identical output to codecs.encode_postings' tail path
+    (interleaved docDelta<<1|is_one varints + freq varints, then dl varints)
+    by running the varint writer over the concatenation of every group's
+    value stream and slicing per group at computed byte offsets.  Impact
+    frontiers (impacts.frontier) vectorize with the group-offset cummax
+    trick.  Asserted equal to the scalar path by tests/test_codecs.py and
+    the full oracle gate."""
+    from .codecs import write_vints
+    from .impacts import frontier  # noqa: F401  (semantics reference)
+
+    row_lens = np.array([len(docc[j]) // 4 for j in rows], dtype=np.int64)
+    gcounts = np.asarray(gcounts, dtype=np.int64)
+    ngroups = len(gcounts)
+    # rows arrive grouped (and docid-ordered within group); group posting
+    # length = sum of its chunk lengths
+    gends_rows = np.cumsum(gcounts)
+    lens = np.add.reduceat(row_lens, gends_rows - gcounts)
+    first_rows = [rows[int(i)] for i in (gends_rows - gcounts)]
+    go = np.cumsum(lens) - lens  # group start offsets into the flat arrays
+    d = np.frombuffer(b"".join(docc[j] for j in rows), dtype=np.int32).astype(np.int64)
+    tf = np.frombuffer(b"".join(tfc[j] for j in rows), dtype=np.int32).astype(np.int64)
+    dl = np.frombuffer(b"".join(dlc[j] for j in rows), dtype=np.int32).astype(np.int64)
+    gid = np.repeat(np.arange(ngroups, dtype=np.int64), lens)
+
+    # docid deltas with per-group reset (first delta = docid - (-1))
+    delta = d.copy()
+    delta[1:] -= d[:-1]
+    delta[go] = d[go] + 1
+
+    # interleaved tail stream: (delta<<1 | freq==1) [, freq if > 1]
+    is_one = tf == 1
+    codes = (delta.astype(np.uint64) << np.uint64(1)) | is_one.astype(np.uint64)
+    step = 2 - is_one.astype(np.int64)
+    vpos = np.cumsum(step) - step
+    vals = np.empty(int(step.sum()), dtype=np.uint64)
+    vals[vpos] = codes
+    vals[vpos[~is_one] + 1] = tf[~is_one].astype(np.uint64)
+    vals_bytes = write_vints(vals)
+    dl_bytes = write_vints(dl.astype(np.uint64))
+
+    # per-group byte ranges in the two global varint streams
+    vlen = _vint_lens(vals)
+    vbyte_off = np.zeros(len(vals) + 1, dtype=np.int64)
+    np.cumsum(vlen, out=vbyte_off[1:])
+    dlen = _vint_lens(dl.astype(np.uint64))
+    dbyte_off = np.zeros(len(dl) + 1, dtype=np.int64)
+    np.cumsum(dlen, out=dbyte_off[1:])
+    # value-index boundaries per group in the interleaved stream
+    gvo = np.append(vpos[go], len(vals))
+    vb = vbyte_off[gvo]
+    db = dbyte_off[np.append(go, len(dl))]
+
+    # impact frontier per (single tail block) group, vectorized:
+    # sort within group by (norm asc, freq desc), keep first per norm, then
+    # keep only strictly-increasing freq — per-group cummax via offset trick
+    order = np.lexsort((-tf, dl, gid))
+    g_s, f_s, n_s = gid[order], tf[order], dl[order]
+    first = np.ones(len(f_s), dtype=bool)
+    first[1:] = (n_s[1:] != n_s[:-1]) | (g_s[1:] != g_s[:-1])
+    g_f, f_f, n_f = g_s[first], f_s[first], n_s[first]
+    OFF = np.int64(1) << np.int64(40)
+    rm = np.maximum.accumulate(f_f + g_f * OFF) - g_f * OFF
+    keep = np.ones(len(f_f), dtype=bool)
+    keep[1:] = (f_f[1:] > rm[:-1]) | (g_f[1:] != g_f[:-1])
+    g_k, f_k, n_k = g_f[keep], f_f[keep], n_f[keep]
+    kcounts = np.zeros(ngroups, dtype=np.int64)
+    np.add.at(kcounts, g_k, 1)
+    ko = np.zeros(ngroups + 1, dtype=np.int64)
+    np.cumsum(kcounts, out=ko[1:])
+    fk_l, nk_l = f_k.tolist(), n_k.tolist()
+
+    cf = np.add.reduceat(tf, go) if len(tf) else np.empty(0, dtype=np.int64)
+    cols["term"].extend(terms[first_rows])
+    cols["seg"].extend(int(x) for x in segs[first_rows])
+    cols["df_local"].extend(lens.tolist())
+    cols["cf_local"].extend(cf.tolist())
+    cols["nblocks"].extend([0] * ngroups)
+    cols["n_tail"].extend(lens.tolist())
+    cols["doc_blob"].extend([b""] * ngroups)
+    cols["freq_blob"].extend([b""] * ngroups)
+    cols["dl_blob"].extend([b""] * ngroups)
+    cols["tail_blob"].extend(
+        vals_bytes[vb[i]: vb[i + 1]] + dl_bytes[db[i]: db[i + 1]]
+        for i in range(ngroups)
+    )
+    cols["pos_blob"].extend([b""] * ngroups)
+    cols["block_last_docid"].extend([[]] * ngroups)
+    cols["imp_freqs"].extend(fk_l[ko[i]: ko[i + 1]] for i in range(ngroups))
+    cols["imp_dls"].extend(nk_l[ko[i]: ko[i + 1]] for i in range(ngroups))
+    cols["imp_offsets"].extend([0, int(c)] for c in kcounts)
+
+
 def _merge_partials(seg_size: int):
     """mapInPandas body over (term, seg)-sorted packed partials: concatenate
     each group's chunks (already docid-sorted and disjoint) and run the block
@@ -385,13 +488,42 @@ def _merge_partials(seg_size: int):
         dlc = pdf["dl_chunk"].to_numpy()
         posc = pdf["pos_chunk"].to_numpy()
         bounds = np.append(starts, len(pdf))
+        ns = pdf["n"].to_numpy(dtype=np.int64)
         cols: dict[str, list] = {
             "term": [], "seg": [], "df_local": [], "cf_local": [], "nblocks": [],
             "n_tail": [], "doc_blob": [], "freq_blob": [], "dl_blob": [],
             "tail_blob": [], "pos_blob": [], "block_last_docid": [], "imp_freqs": [],
             "imp_dls": [], "imp_offsets": [],
         }
+        # fast path: single-chunk tail-only groups with no positions — the
+        # overwhelming majority at web vocabularies (median df_local is tiny)
+        # — encoded for ALL groups at once instead of ~400 µs of per-group
+        # numpy-call overhead each (measured: this stage was 3.3 s of a
+        # 7.4 s 50k-doc build before vectorization)
+        fast_rows: list[int] = []
+        fast_counts: list[int] = []
+        slow_groups: list[int] = []
         for i in range(len(starts)):
+            s, e = int(bounds[i]), int(bounds[i + 1])
+            if int(ns[s:e].sum()) < BLOCK_SIZE and all(
+                not posc[j] for j in range(s, e)
+            ):
+                if e - s == 1:
+                    fast_rows.append(s)
+                else:
+                    # chunk ranges are docid-disjoint; order by first docid
+                    fast_rows.extend(sorted(
+                        range(s, e),
+                        key=lambda j: int.from_bytes(docc[j][:4], "little", signed=True),
+                    ))
+                fast_counts.append(e - s)
+            else:
+                slow_groups.append(i)
+        if fast_rows:
+            _encode_tail_groups_vec(
+                fast_rows, fast_counts, terms, segs, docc, tfc, dlc, cols
+            )
+        for i in slow_groups:
             s, e = int(bounds[i]), int(bounds[i + 1])
             chunks = list(range(s, e))
             if e - s > 1:

@@ -123,3 +123,32 @@ def test_dense_posting_list_compresses_to_markers():
     enc = encode_postings(np.arange(n, dtype=np.int64), np.ones(n, dtype=np.int64))
     assert len(enc["doc_blob"]) == 4  # 4 dense markers
     assert len(enc["freq_blob"]) == 8  # 4 × (token + varint) all-equal freq blocks
+
+
+def test_vectorized_tail_encode_byte_identical(spark):
+    """The batched tail-group fast path in _merge_partials must produce
+    byte-identical posting rows to the scalar encode_postings path."""
+    import numpy as np
+
+    from lucene_spark.codecs import BLOCK_SIZE, encode_postings
+    from lucene_spark.corpus import generate_pages
+    from lucene_spark.impacts import block_frontiers
+    from lucene_spark.index import build_index
+    from lucene_spark.kernel import TermPostings
+
+    pages = spark.createDataFrame(generate_pages(3000, seed=9)).repartition(8)
+    idx = build_index(spark, pages, seg_size=300)
+    for r in idx.postings.collect():
+        rd = r.asDict()
+        d, f, dl = TermPostings(rd, 300).decode()
+        enc = encode_postings(d, f, dl)
+        imp_f, imp_dl, imp_off = block_frontiers(d, f, dl, BLOCK_SIZE)
+        assert bytes(rd["tail_blob"]) == enc["tail_blob"], rd["term"]
+        assert bytes(rd["doc_blob"]) == enc["doc_blob"]
+        assert bytes(rd["freq_blob"]) == enc["freq_blob"]
+        assert bytes(rd["dl_blob"]) == enc["dl_blob"]
+        assert rd["n_tail"] == enc["n_tail"]
+        assert list(rd["imp_freqs"]) == imp_f.tolist()
+        assert list(rd["imp_dls"]) == imp_dl.tolist()
+        assert list(rd["imp_offsets"]) == imp_off.tolist()
+        assert rd["df_local"] == len(d) and rd["cf_local"] == int(f.sum())
