@@ -379,7 +379,7 @@ def _vint_lens(v: np.ndarray) -> np.ndarray:
     return nb
 
 
-def _encode_tail_groups_vec(rows, gcounts, terms, segs, docc, tfc, dlc, cols) -> None:
+def _encode_tail_groups_vec(rows, gcounts, terms, segs, docc, tfc, dlc, posc, cols) -> None:
     """Vectorized tail-only encoding of MANY single-chunk groups at once.
 
     Produces byte-identical output to codecs.encode_postings' tail path
@@ -421,6 +421,25 @@ def _encode_tail_groups_vec(rows, gcounts, terms, segs, docc, tfc, dlc, cols) ->
     vals[vpos[~is_one] + 1] = tf[~is_one].astype(np.uint64)
     vals_bytes = write_vints(vals)
     dl_bytes = write_vints(dl.astype(np.uint64))
+
+    # positions channel (same global-stream trick): per-posting delta reset,
+    # one varint stream, sliced per group at byte offsets — byte-identical
+    # to codecs.encode_positions run per group
+    has_pos = any(len(posc[j]) for j in rows)
+    if has_pos:
+        pos = np.frombuffer(
+            b"".join(posc[j] for j in rows), dtype=np.int32
+        ).astype(np.int64)
+        pstarts = np.cumsum(tf) - tf
+        pdeltas = np.diff(pos, prepend=0)
+        pdeltas[pstarts] = pos[pstarts]
+        pdeltas_u = pdeltas.astype(np.uint64)
+        pos_bytes = write_vints(pdeltas_u)
+        pbyte_off = np.zeros(len(pos) + 1, dtype=np.int64)
+        np.cumsum(_vint_lens(pdeltas_u), out=pbyte_off[1:])
+        gpos = np.zeros(ngroups + 1, dtype=np.int64)
+        np.cumsum(np.add.reduceat(tf, go), out=gpos[1:])
+        pb = pbyte_off[gpos]
 
     # per-group byte ranges in the two global varint streams
     vlen = _vint_lens(vals)
@@ -467,7 +486,10 @@ def _encode_tail_groups_vec(rows, gcounts, terms, segs, docc, tfc, dlc, cols) ->
         vals_bytes[vb[i]: vb[i + 1]] + dl_bytes[db[i]: db[i + 1]]
         for i in range(ngroups)
     )
-    cols["pos_blob"].extend([b""] * ngroups)
+    cols["pos_blob"].extend(
+        (pos_bytes[pb[i]: pb[i + 1]] for i in range(ngroups)) if has_pos
+        else [b""] * ngroups
+    )
     cols["block_last_docid"].extend([[]] * ngroups)
     cols["imp_freqs"].extend(fk_l[ko[i]: ko[i + 1]] for i in range(ngroups))
     cols["imp_dls"].extend(nk_l[ko[i]: ko[i + 1]] for i in range(ngroups))
@@ -505,9 +527,7 @@ def _merge_partials(seg_size: int):
         slow_groups: list[int] = []
         for i in range(len(starts)):
             s, e = int(bounds[i]), int(bounds[i + 1])
-            if int(ns[s:e].sum()) < BLOCK_SIZE and all(
-                not posc[j] for j in range(s, e)
-            ):
+            if int(ns[s:e].sum()) < BLOCK_SIZE:
                 if e - s == 1:
                     fast_rows.append(s)
                 else:
@@ -521,7 +541,7 @@ def _merge_partials(seg_size: int):
                 slow_groups.append(i)
         if fast_rows:
             _encode_tail_groups_vec(
-                fast_rows, fast_counts, terms, segs, docc, tfc, dlc, cols
+                fast_rows, fast_counts, terms, segs, docc, tfc, dlc, posc, cols
             )
         for i in slow_groups:
             s, e = int(bounds[i]), int(bounds[i + 1])

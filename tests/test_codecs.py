@@ -152,3 +152,19 @@ def test_vectorized_tail_encode_byte_identical(spark):
         assert list(rd["imp_dls"]) == imp_dl.tolist()
         assert list(rd["imp_offsets"]) == imp_off.tolist()
         assert rd["df_local"] == len(d) and rd["cf_local"] == int(f.sum())
+
+
+def test_vectorized_positions_encode_byte_identical(spark):
+    from lucene_spark.codecs import encode_positions, encode_postings
+    from lucene_spark.corpus import generate_pages
+    from lucene_spark.index import build_index
+    from lucene_spark.kernel import TermPostings
+
+    pages = spark.createDataFrame(generate_pages(2000, seed=13)).repartition(8)
+    idx = build_index(spark, pages, seg_size=250, with_positions=True)
+    for r in idx.postings.collect():
+        rd = r.asDict()
+        tp = TermPostings(rd, 250)
+        d, f, dl = tp.decode()
+        assert bytes(rd["pos_blob"]) == encode_positions(tp.positions_flat(), f)
+        assert bytes(rd["tail_blob"]) == encode_postings(d, f, dl)["tail_blob"]
