@@ -641,7 +641,14 @@ def _prefix_field(n: tuple, f: str) -> tuple:
     if kind in ("and", "msm", "syn", "const"):
         return (kind, [p(t) for t in n[1]], *n[2:])
     if kind in ("phrase", "sloppy"):
-        return (kind, [(p(t), o) for t, o in n[1]], *n[2:])
+        return (
+            kind,
+            [
+                ([p(t) for t in m] if isinstance(m, (list, tuple)) else p(m), o)
+                for m, o in n[1]
+            ],
+            *n[2:],
+        )
     if kind == "not":
         return ("not", _prefix_field(n[1], f), [p(t) for t in n[2]])
     if kind == "reqopt":
@@ -1488,7 +1495,7 @@ def sorted_topk(
     stats = CollectionStats(index.doc_count, index.sum_total_term_freq)
     dfs = term_dfs(terms, index.termdict)
     node = attach_scorers(node, dfs, stats, 1.2, 0.75, "float64",
-                          _stats_resolver(index, stats))
+                          stats_for=_stats_resolver(index, stats))
     present = [t for t in terms if t in dfs]
     bad = node is None or not present or (
         node[0] == "and" and any(t not in dfs for t in terms)
