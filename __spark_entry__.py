@@ -523,8 +523,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.createDataFrame(rows or [], "doc_id long, score_q long")
 
     def ft_paging(spark, sf):
-        # searchAfter analog (IndexSearcher.java:470-511): results 11..20
-        return _topk_df(spark, sf, "batch", 10, skip=10)
+        # searchAfter cursor (IndexSearcher.java:470-511): page 2 is a NEW
+        # k=10 search carrying page 1's last (score, docid) — the kernel's
+        # competitive-after filter collects only hits strictly after the
+        # cursor, so deep pages never ship more than k rows per segment
+        idx = _ft_index(spark, sf)
+        p1 = search(idx, "batch", k=10, precision="float64", prune=True)
+        p2 = search(idx, "batch", k=10, precision="float64", prune=True,
+                    after=(float(p1.scores[-1]), int(p1.docids[-1])))
+        rows = [
+            (int(d), int(math.floor(s * 10000)))
+            for d, s in zip(p2.docids.tolist(), p2.scores.tolist())
+        ]
+        return spark.createDataFrame(rows or [], "doc_id long, score_q long")
 
     def ft_count(spark, sf):
         # distributed TotalHitCountCollector: per-segment counts summed in

@@ -708,6 +708,7 @@ def segment_topk(
     window_bits: int = 12,
     allow: np.ndarray | None = None,
     deny: np.ndarray | None = None,
+    after: tuple[float, int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Top-k for one segment with windowed block-max pruning.
 
@@ -720,6 +721,16 @@ def segment_topk(
     the unfiltered impact bounds remain valid upper bounds for pruning.
     ``deny``: optional sorted array of local docIDs to EXCLUDE — the liveDocs
     tombstone mask (deletes applied at read, LiveDocsFormat analog).
+    ``after``: searchAfter cursor ``(score, local_docid_cut)`` — only hits
+    STRICTLY after the cursor in (score desc, docid asc) order are
+    competitive (PagingTopScoreDocCollector.collect,
+    search/TopScoreDocCollector.java:120-158: ``score > afterScore ||
+    (score == afterScore && docid <= afterDoc)`` is skipped).  The caller
+    converts its global cursor docid to this segment's local space; a
+    cursor outside the segment's range degenerates correctly (cut < 0 →
+    every equal-score doc qualifies; cut >= seg_size → none does).  The
+    pruning threshold stays valid: kth is the kth AFTER-FILTERED score, and
+    a window whose upper bound is below it cannot contain a competitive hit.
     """
     # accept pre-built TermPostings so a multi-query batch (search_many)
     # decodes each posting list once, not once per query
@@ -760,6 +771,9 @@ def segment_topk(
 
     if not prune:
         d, s = score_query_node(node, postings_by_term, scorers_by_term, precision, pos_by_term)
+        if after is not None:
+            m = _after_mask(d, s, after)
+            d, s = d[m], s[m]
         return _topk_from_scored(d, s, k)
 
     # ---- windowed block-max pruning path ----
@@ -951,15 +965,23 @@ def segment_topk(
         if len(batch) >= 16 or processed == len(order):
             top_docs, top_scores, kth = _score_windows(
                 batch, window_bits, node, binned, scorers_by_term,
-                precision, top_docs, top_scores, k, has_pos,
+                precision, top_docs, top_scores, k, has_pos, after,
             )
             batch = []
     if batch:
         top_docs, top_scores, kth = _score_windows(
             batch, window_bits, node, binned, scorers_by_term,
-            precision, top_docs, top_scores, k, has_pos,
+            precision, top_docs, top_scores, k, has_pos, after,
         )
     return top_docs, top_scores
+
+
+def _after_mask(d: np.ndarray, s: np.ndarray, after: tuple[float, int]) -> np.ndarray:
+    """Competitive-after filter: keep hits strictly after the (score desc,
+    docid asc) cursor.  Exact float comparison is correct because the cursor
+    score came from a previous page computed under the same precision mode."""
+    a_s, cut = after
+    return (s < a_s) | ((s == a_s) & (d > cut))
 
 
 def _phrase_member_terms(node) -> set[str]:
@@ -1016,7 +1038,7 @@ class _WinBinned:
 
 def _score_windows(
     windows, window_bits, node, binned, scorers_by_term,
-    precision, top_docs, top_scores, k, has_pos,
+    precision, top_docs, top_scores, k, has_pos, after=None,
 ):
     """Score the docs falling in the given windows; merge into running top-k."""
     windows = np.sort(np.asarray(windows, dtype=np.int64))
@@ -1027,6 +1049,9 @@ def _score_windows(
         if p is not None:
             sub_pos[t] = p
     d, s = score_query_node(node, sub_postings, scorers_by_term, precision, sub_pos)
+    if after is not None:
+        m = _after_mask(d, s, after)
+        d, s = d[m], s[m]
     md = np.concatenate([top_docs, d])
     ms = np.concatenate([top_scores, s])
     td, ts = _topk_from_scored(md, ms, k)

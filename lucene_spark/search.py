@@ -1088,6 +1088,7 @@ def search(
     filter_docs: DataFrame | None = None,
     similarity: str = "bm25",
     analyzer=ENGLISH_STOP_WORDS,
+    after: tuple[float, int] | None = None,
 ) -> TopDocs:
     """Distributed top-k search.  ``similarity``: 'bm25' (default),
     'classic' (TF-IDF, ClassicSimilarity.java), or 'boolean'
@@ -1102,7 +1103,16 @@ def search(
     match, does NOT contribute to the score; IndexOrDocValuesQuery.java:51
     picks columnar execution for such predicates — here the predicate runs as
     a plain Catalyst filter producing the docid set, then cogroups with the
-    postings by segment so each kernel masks before ranking)."""
+    postings by segment so each kernel masks before ranking).
+
+    ``after``: searchAfter cursor ``(score, docid)`` of the LAST hit of the
+    previous page (IndexSearcher.searchAfter, search/IndexSearcher.java:
+    470-511 → PagingTopScoreDocCollector): only hits strictly after it in
+    (score desc, docid asc) order are collected, so page N costs the same
+    as page 1 — k rows per segment, k rows to the driver — instead of the
+    collect-(N·k)-and-slice driver-side skip.  Pass
+    ``(td.scores[-1], td.docids[-1])`` from the previous page computed under
+    the SAME precision/similarity/k1/b; scores are compared exactly."""
     node = (
         parse_query(query, fields=index_fields(index))
         if isinstance(query, str) else query
@@ -1175,7 +1185,15 @@ def search(
     # Lucene leaf, executor == searcher slice; the driver collects k rows/seg.
     seg_size = index.seg_size
     node_b, kparam, prec, pr = node, k, precision, prune
+    after_b = (float(after[0]), int(after[1])) if after is not None else None
     out_schema = "seg long, docid long, score double"
+
+    def _seg_after(seg: int):
+        # global cursor docid → this segment's local space (degenerates
+        # correctly for segments before/after the cursor's segment)
+        if after_b is None:
+            return None
+        return (after_b[0], after_b[1] - seg * seg_size)
 
     def _run(post_pdf: pd.DataFrame, allow: np.ndarray | None) -> pd.DataFrame:
         if len(post_pdf) == 0:
@@ -1186,7 +1204,7 @@ def search(
         term_rows = {r["term"]: r for _, r in post_pdf.iterrows()}
         d, s = segment_topk(
             node_b, term_rows, scorers, seg_size, kparam,
-            precision=prec, prune=pr, allow=allow,
+            precision=prec, prune=pr, allow=allow, after=_seg_after(seg),
         )
         return pd.DataFrame({"seg": seg, "docid": d + seg * seg_size, "score": s})
 
@@ -1223,7 +1241,8 @@ def search(
             def _run_deny(pdf):
                 term_rows = {r["term"]: r for _, r in pdf.iterrows()}
                 d, s = segment_topk(node_b, term_rows, scorers, seg_size, kparam,
-                                    precision=prec, prune=pr, deny=deny)
+                                    precision=prec, prune=pr, deny=deny,
+                                    after=_seg_after(seg))
                 return pd.DataFrame({"seg": seg, "docid": d + seg * seg_size, "score": s})
 
             return _run_deny(post_pdf)
