@@ -3,6 +3,9 @@
   spark-submit --py-files lucene_spark.zip -m lucene_spark.cli ...   # cluster
   python -m lucene_spark.cli build  --input pages.parquet --out /idx \\
          [--text-col text] [--key-col url] [--positions] [--resume]
+  python -m lucene_spark.cli build  --input-table cat.db.pages --out /idx
+         # catalog source: an Iceberg table (with the Iceberg runtime +
+         # spark.sql.catalog.* conf on the cluster), Hive table, or view
   python -m lucene_spark.cli search --index /idx --query 'court AND law' [-k 10]
   python -m lucene_spark.cli bench-queries --index /idx --queries q.txt
 
@@ -43,7 +46,17 @@ def cmd_build(args) -> int:
     from .index import build_index, build_or_resume, write_index
 
     spark = _session("lucene_spark_build")
-    pages = spark.read.parquet(args.input)
+    if args.input_table:
+        # catalog-table source (north rule: Iceberg table of Common-Crawl
+        # pages).  spark.table() resolves ANY registered catalog table —
+        # with the Iceberg runtime on the cluster classpath and a catalog
+        # configured (spark.sql.catalog.<name>=org.apache.iceberg...),
+        # `--input-table cat.db.pages` reads the Iceberg snapshot with the
+        # same partition pruning / column pruning the parquet path gets;
+        # plain Hive tables and temp views resolve identically.
+        pages = spark.table(args.input_table)
+    else:
+        pages = spark.read.parquet(args.input)
     an = _analyzer(args)
     if args.resume:
         summary = build_or_resume(
@@ -118,7 +131,10 @@ def main(argv=None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     b = sub.add_parser("build", help="batch index build (optionally resumable)")
-    b.add_argument("--input", required=True)
+    src = b.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", default=None, help="parquet path of pages")
+    src.add_argument("--input-table", default=None,
+                     help="catalog table (Iceberg/Hive/view), e.g. cat.db.pages")
     b.add_argument("--out", required=True)
     b.add_argument("--text-col", default="text")
     b.add_argument("--key-col", default="url")
