@@ -1603,9 +1603,13 @@ def search_many(
     ks: dict[str, int] | None = None,
     similarity: str = "bm25",
     analyzer=ENGLISH_STOP_WORDS,
+    afters: dict[str, tuple[float, int]] | None = None,
 ) -> dict[str, TopDocs]:
     """Run MANY queries in ONE Spark job — the throughput path.
-    ``ks`` optionally overrides ``k`` per query id.
+    ``ks`` optionally overrides ``k`` per query id.  ``afters`` optionally
+    gives a per-query searchAfter cursor ``(score, docid)`` (same contract
+    as ``search(after=...)``) — a paged query log batches pages 2+ at the
+    same cost as first pages.
 
     Lucene amortizes per-query cost across a query log (benchmark byTask
     ReadTask loop); Spark's analog is batching: a single postings scan +
@@ -1691,6 +1695,9 @@ def search_many(
     seg_size = index.seg_size
     ks = {qid: (ks or {}).get(qid, k) for qid in exec_nodes}
     nodes_b, kmap, prec, pr = exec_nodes, ks, precision, prune
+    afters_b = {
+        qid: (float(a[0]), int(a[1])) for qid, a in (afters or {}).items()
+    }
     many_schema = "qid string, docid long, score double"
 
     def _run_many(post_pdf: pd.DataFrame, deny: np.ndarray | None) -> pd.DataFrame:
@@ -1710,8 +1717,10 @@ def search_many(
             sub = {t: term_rows[t] for t in query_terms(node) if t in term_rows}
             if not sub:
                 continue
+            qa = afters_b.get(qid)
             d, s = segment_topk(node, sub, scorers, seg_size, kmap[qid],
-                                precision=prec, prune=pr, deny=deny)
+                                precision=prec, prune=pr, deny=deny,
+                                after=(qa[0], qa[1] - seg * seg_size) if qa else None)
             out_q.extend([qid] * len(d))
             out_d.append(d + seg * seg_size)
             out_s.append(s)

@@ -72,6 +72,19 @@ def test_paging_with_deletes(paged_index, spark):
     assert p1.docids.tolist() + p2.docids.tolist() == full.docids.tolist()[:12]
 
 
+def test_search_many_afters_match_single_query_paging(paged_index):
+    from lucene_spark.search import search_many
+
+    qs = {"a": "common", "b": "common OR rare"}
+    p1 = search_many(paged_index, qs, k=6, precision="lucene")
+    afters = {q: (float(td.scores[-1]), int(td.docids[-1])) for q, td in p1.items()}
+    p2 = search_many(paged_index, qs, k=6, precision="lucene", afters=afters)
+    for q in qs:
+        solo = search(paged_index, qs[q], k=6, precision="lucene", after=afters[q])
+        assert p2[q].docids.tolist() == solo.docids.tolist()
+        assert p2[q].scores.tolist() == pytest.approx(solo.scores.tolist())
+
+
 def test_after_past_last_hit_returns_empty(paged_index):
     full = search(paged_index, "rare", k=1000, precision="float64", prune=False)
     last = (float(full.scores[-1]), int(full.docids[-1]))
