@@ -223,3 +223,73 @@ def test_classic_scorer_values():
     got = sc.score_from_dl(np.array([9]), np.array([16]))
     want = 2.0 * (math.log(1001 / 10) + 1.0) * 3.0 / 4.0
     np.testing.assert_allclose(got, [want], rtol=1e-12)
+
+
+def run_query_after(node, segs, dfs, stats, seg_size, k, precision, prune, after):
+    """run_query twin with a searchAfter cursor (global docid space)."""
+    terms = set()
+
+    def collect(n):
+        if n[0] == "term":
+            terms.add(n[1])
+        elif n[0] == "and":
+            terms.update(n[1])
+        elif n[0] == "not":
+            collect(n[1])
+            terms.update(n[2])
+        else:
+            for c in n[1]:
+                collect(c)
+
+    collect(node)
+    scorers = {t: BM25Scorer(dfs[t], stats, precision=precision) for t in terms if t in dfs}
+    if node[0] == "and" and any(t not in dfs for t in node[1]):
+        return np.empty(0, dtype=np.int64), np.empty(0)
+    results = []
+    for seg, rows in segs.items():
+        sub = {t: r for t, r in rows.items() if t in scorers}
+        if not sub:
+            continue
+        lo = seg * seg_size
+        seg_after = (after[0], after[1] - lo) if after is not None else None
+        d, s = segment_topk(node, sub, scorers, seg_size, k, precision=precision,
+                            prune=prune, window_bits=6, after=seg_after)
+        results.append((d + lo, s))
+    if not results:
+        return np.empty(0, dtype=np.int64), np.empty(0)
+    alld = np.concatenate([d for d, _ in results])
+    alls = np.concatenate([s for _, s in results])
+    order = np.lexsort((alld, -alls))[:k]
+    return alld[order], alls[order]
+
+
+@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("precision", ["lucene", "float64"])
+def test_fuzz_paging_equals_sliced_full_run(seed, precision):
+    """searchAfter fuzz (PagingTopScoreDocCollector contract): walking the
+    whole result set in k-sized pages — pruned kernel, cursor carried across
+    pages — must reproduce one exhaustive full-depth run exactly, for random
+    Zipf corpora and every duel query shape.  Tie-heavy short docs make the
+    (score, docid) tie-break do real work."""
+    rng = np.random.default_rng(1000 + seed)
+    n_docs = int(rng.integers(150, 900))
+    docs = synth_corpus(rng, n_docs, n_terms=12, zipf=1.1)
+    seg_size = 128
+    segs, dl, dfs, stats = build_rows(docs, seg_size)
+    for node in QUERIES:
+        full_d, full_s = run_query(node, segs, dl, dfs, stats, seg_size,
+                                   10**6, precision, prune=False)
+        k = int(rng.integers(3, 17))
+        got_d, got_s, after = [], [], None
+        for _ in range(len(full_d) // k + 2):
+            d, s = run_query_after(node, segs, dfs, stats, seg_size, k,
+                                   precision, prune=True, after=after)
+            if len(d) == 0:
+                break
+            got_d.extend(d.tolist())
+            got_s.extend(s.tolist())
+            after = (float(s[-1]), int(d[-1]))
+        np.testing.assert_array_equal(np.array(got_d), full_d,
+                                      err_msg=f"{node} k={k} paged docids")
+        np.testing.assert_array_equal(np.array(got_s), full_s,
+                                      err_msg=f"{node} k={k} paged scores")
