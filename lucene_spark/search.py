@@ -347,21 +347,34 @@ def common_terms_query(
     return ("reqoptn", sub(low, low_freq_occur), [sub(high, high_freq_occur)])
 
 
-def multi_field_query(q: str, fields: list[str], default_field: str = "text") -> tuple:
+def multi_field_query(
+    q: str,
+    fields: list[str],
+    default_field: str = "text",
+    boosts: dict[str, float] | None = None,
+) -> tuple:
     """MultiFieldQueryParser analog (queryparser/.../MultiFieldQueryParser.java:
     42-80): every bare term/phrase expands to an OR of the same leaf over
     each field (BooleanQuery SHOULD per field, the default combine).
-    Explicit field: prefixes inside the string still route normally."""
+    Explicit field: prefixes inside the string still route normally.
+
+    ``boosts``: optional per-field boost map — each field's expanded leaf is
+    wrapped in a BoostQuery, matching the ``Map<String,Float> boosts``
+    constructor (MultiFieldQueryParser.java:58-80: ``new BoostQuery(q,
+    boosts.get(field))``); fields absent from the map stay at 1.0."""
     extra = set(fields) - {default_field}
     node = parse_query(q, default_field=default_field, fields=extra)
+    boosts = boosts or {}
+
+    def leaf_for(n, f):
+        out = n if f == default_field else ("field", f, n)
+        w = float(boosts.get(f, 1.0))
+        return ("boost", out, w) if w != 1.0 else out
 
     def walk(n):
         kind = n[0]
         if kind in ("term", "phrase_raw"):
-            return (
-                "or",
-                [n if f == default_field else ("field", f, n) for f in fields],
-            )
+            return ("or", [leaf_for(n, f) for f in fields])
         if kind == "field":
             return n
         if kind in ("or", "andn"):

@@ -121,3 +121,22 @@ def test_multifield_persistence_roundtrip(mf_index, spark, tmp_path):
 def test_multifield_tombstones(mf_index, spark):
     idx2 = mf_index.delete_docs(spark.createDataFrame([(0,)], "docid long"))
     assert sorted(search(idx2, "title:news", k=10).docids.tolist()) == [2, 4]
+
+
+def test_multi_field_query_boosts_map(mf_index):
+    """MultiFieldQueryParser boosts-map constructor
+    (MultiFieldQueryParser.java:58-80): per-field leaves wrap in BoostQuery;
+    the boosted expansion must equal the hand-written ^boost string query."""
+    from lucene_spark.search import multi_field_query, search
+
+    flds = sorted(set(mf_index.field_stats) | {"text"}) if mf_index.field_stats else ["text"]
+    assert len(flds) >= 2
+    other = [f for f in flds if f != "text"][0]
+    q = multi_field_query("news", flds, boosts={other: 3.0})
+    td = search(mf_index, q, k=10, precision="float64")
+    manual = search(mf_index, f"news OR {other}:news^3", k=10, precision="float64")
+    assert td.docids.tolist() == manual.docids.tolist()
+    assert td.scores.tolist() == manual.scores.tolist()
+    unboosted = search(mf_index, multi_field_query("news", flds), k=10,
+                       precision="float64")
+    assert td.scores.tolist() != unboosted.scores.tolist()
