@@ -316,6 +316,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return spark.createDataFrame(rows or [], "doc_id long, score_q long")
 
+    def ft_function_score(spark, sf):
+        # FunctionScoreQuery.boostByValue (queries/function/
+        # FunctionScoreQuery.java:80): BM25('batch') hits rescored by
+        # score x (1 + n_chars/1000) — a doc-values boost as a pure-arithmetic
+        # Catalyst expression (rational, not transcendental, so JVM and
+        # DuckDB doubles agree bit-for-bit).  Exhaustive match set
+        # (ScoreMode.COMPLETE, :107-115), top-k via TakeOrderedAndProject.
+        from lucene_spark.funcscore import boost_by_value
+
+        idx = _ft_index(spark, sf)
+        vals = _docs(spark, sf).select(
+            F.col("doc_id").alias("docid"), F.col("n_chars")
+        )
+        td = boost_by_value(idx, "batch", vals, "1.0 + n_chars / 1000.0",
+                            k=10, precision="float64")
+        rows = [
+            (int(d), int(math.floor(s * 10000)))
+            for d, s in zip(td.docids.tolist(), td.scores.tolist())
+        ]
+        return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
+    def ft_boost_by_query(spark, sf):
+        # FunctionScoreQuery.boostByQuery (FunctionScoreQuery.java:97):
+        # BM25('batch') hits that ALSO match 'window' score x3, the rest
+        # keep their score; the boosting match set is semi-joined, never
+        # collected.
+        from lucene_spark.funcscore import boost_by_query
+
+        idx = _ft_index(spark, sf)
+        td = boost_by_query(idx, "batch", "window", 3.0, k=10,
+                            precision="float64")
+        rows = [
+            (int(d), int(math.floor(s * 10000)))
+            for d, s in zip(td.docids.tolist(), td.scores.tolist())
+        ]
+        return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
+    def ft_rescore(spark, sf):
+        # QueryRescorer (search/QueryRescorer.java:49-140 + sugar :175):
+        # first pass BM25('batch') top-30, second pass 'fast window' scores
+        # ONLY the 30-hit window (isin pushdown), combined = first +
+        # 2 x second-if-match, reordered (score desc, docid asc), cut to 10.
+        from lucene_spark.funcscore import rescore
+
+        idx = _ft_index(spark, sf)
+        first = search(idx, "batch", k=30, precision="float64", prune=True)
+        td = rescore(idx, first, "fast window", top_n=10, weight=2.0,
+                     precision="float64")
+        rows = [
+            (int(d), int(math.floor(s * 10000)))
+            for d, s in zip(td.docids.tolist(), td.scores.tolist())
+        ]
+        return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
     def ft_porter(spark, sf):
         # PorterStemFilter (en/PorterStemmer.java, Porter 1980): golden
         # oracle — the word/stem pairs below are the algorithm's PUBLISHED
@@ -1080,8 +1134,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_monitor, ft_highlight,
         # pluggable similarities + feature fields (3, new round 2)
         ft_classic_sim, ft_boolean_sim, ft_feature,
-        # token-filter chain (4, new round 2)
-        ft_porter, ft_ascii_fold, ft_shingle, ft_edge_ngram,
+        # function scoring + rescoring (2, new round 2)
+        ft_function_score, ft_rescore,
+        # token-filter chain (2 of 4 in the head; shingle/edge-ngram in tail)
+        ft_porter, ft_ascii_fold,
         # offsets channel + singleton pulsing (2, new round 2)
         ft_offsets, ft_pulsed,
         # dedup family (5)
@@ -1102,6 +1158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_boost, ft_facet_lang, ft_query_join, ft_mixed_topk,
         ft_must_not, ft_term_in_set, ft_reqopt, ft_phrase_gap,
         ft_length_filter, ft_stats, ft_dismax, ft_sort_field,
+        ft_shingle, ft_edge_ngram, ft_boost_by_query,
     ]:
         q[fn.__name__] = fn
     return q
@@ -1651,6 +1708,40 @@ feat AS (
 combined AS (
   SELECT f.doc_id, COALESCE(d.score, 0.0) + f.fs AS score
   FROM feat f LEFT JOIN doc_scores d USING (doc_id)
+)
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM combined ORDER BY score DESC, doc_id LIMIT 10""",
+        "ft_function_score": _FT_PRELUDE + "," + _score_sql(["batch"]) + """
+SELECT ds.doc_id,
+       CAST(floor(ds.score * (1.0 + d.n_chars / 1000.0) * 10000) AS BIGINT) AS score_q
+FROM doc_scores ds JOIN documents d USING (doc_id)
+ORDER BY ds.score * (1.0 + d.n_chars / 1000.0) DESC, ds.doc_id LIMIT 10""",
+        "ft_boost_by_query": _FT_PRELUDE + "," + _score_sql(["batch"]) + """,
+m2 AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'window'),
+boosted AS (
+  SELECT ds.doc_id,
+         CASE WHEN m2.doc_id IS NOT NULL THEN ds.score * 3.0 ELSE ds.score END AS score
+  FROM doc_scores ds LEFT JOIN m2 USING (doc_id)
+)
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM boosted ORDER BY score DESC, doc_id LIMIT 10""",
+        "ft_rescore": _FT_PRELUDE + "," + _score_sql(["batch"]) + """,
+first_pass AS (
+  SELECT doc_id, score FROM doc_scores ORDER BY score DESC, doc_id LIMIT 30
+),
+ts2 AS (
+  SELECT tf.doc_id,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) AS w,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (s.sttf / s.n))) AS inv,
+         tf.tf AS tf
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term IN ('fast', 'window')
+),
+s2 AS (SELECT doc_id, SUM(w - w / (1.0 + tf * inv)) AS score FROM ts2 GROUP BY doc_id),
+combined AS (
+  SELECT f.doc_id,
+         f.score + CASE WHEN s2.doc_id IS NOT NULL THEN 2.0 * s2.score ELSE 0.0 END AS score
+  FROM first_pass f LEFT JOIN s2 USING (doc_id)
 )
 SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
 FROM combined ORDER BY score DESC, doc_id LIMIT 10""",
