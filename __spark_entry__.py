@@ -646,6 +646,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, sf, span_near(["window", "scan"], slop=3, ordered=False), 10
         )
 
+    def ft_surround(spark, sf):
+        from lucene_spark.surround import parse_surround
+
+        # surround syntax (queryparser/surround/parser/QueryParser.jj):
+        # prefix ordered-distance form; 5W → slop 4 (DistanceQuery.java:97).
+        # Same span semantics as ft_span_near_ord, exercised through the
+        # surround parser end-to-end.
+        return _topk_df(spark, sf, parse_surround("5w(table, hash, part)"), 10)
+
     def ft_span_first(spark, sf):
         from lucene_spark.spans import span_first
 
@@ -1136,8 +1145,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_classic_sim, ft_boolean_sim, ft_feature,
         # function scoring + rescoring (2, new round 2)
         ft_function_score, ft_rescore,
-        # token-filter chain (2 of 4 in the head; shingle/edge-ngram in tail)
-        ft_porter, ft_ascii_fold,
+        # surround query-language parser (1, new round 2)
+        ft_surround,
+        # token-filter chain (1 of 4 in the head; rest in tail)
+        ft_porter,
         # offsets channel + singleton pulsing (2, new round 2)
         ft_offsets, ft_pulsed,
         # dedup family (5)
@@ -1158,7 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_boost, ft_facet_lang, ft_query_join, ft_mixed_topk,
         ft_must_not, ft_term_in_set, ft_reqopt, ft_phrase_gap,
         ft_length_filter, ft_stats, ft_dismax, ft_sort_field,
-        ft_shingle, ft_edge_ngram, ft_boost_by_query,
+        ft_shingle, ft_edge_ngram, ft_ascii_fold, ft_boost_by_query,
     ]:
         q[fn.__name__] = fn
     return q
@@ -1931,6 +1942,7 @@ combined AS (
 SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
 FROM combined ORDER BY score DESC, doc_id LIMIT 10""",
         "ft_span_near_ord": _span_near_ord_sql(["table", "hash", "part"], 4, 10),
+        "ft_surround": _span_near_ord_sql(["table", "hash", "part"], 4, 10),
         "ft_span_near_unord": _span_near_unord2_sql("window", "scan", 3, 10),
         "ft_span_first": _span_first_sql("key", 6, 10),
         "ft_span_not": _span_not_sql("scan", "table", 1, 2, 10),

@@ -562,6 +562,12 @@ def _rewrite_span(node: tuple, stopwords) -> tuple | None:
     from .analysis import analyze
 
     kind = node[0]
+    if kind == "sprefix_raw":
+        # truncated term inside a distance op (surround SrndPrefixQuery /
+        # SrndTruncQuery in a SpanNearClauseFactory context): NOT analyzed —
+        # expanded against the term dictionary by expand_multiterm, like the
+        # boolean-level multiterm nodes
+        return node
     if kind == "sterm":
         toks = analyze(node[1], stopwords)
         if not toks:
@@ -579,7 +585,7 @@ def _rewrite_span(node: tuple, stopwords) -> tuple | None:
         if any(s is None for s in subs):
             return None
         subs = [("sor", s[1]) if s[0] == "spanor" else s for s in subs]
-        if any(s[0] not in ("sterm", "sor") for s in subs):
+        if any(s[0] not in ("sterm", "sor", "sprefix_raw") for s in subs):
             raise ValueError(
                 "span_near sub-spans must be terms or or-of-terms "
                 "(nested span composition is supported via span_first/span_not)"
@@ -682,6 +688,8 @@ def _prefix_field(n: tuple, f: str) -> tuple:
         return ("range_raw", n[1], n[2], n[3], n[4], f)
     if kind == "sterm":
         return ("sterm", p(n[1]))
+    if kind == "sprefix_raw":
+        return ("sprefix_raw", n[1], f)  # field rides to expand_terms
     if kind in ("sor", "spanor"):
         return (kind, [p(t) for t in n[1]])
     if kind == "spannear":
@@ -997,6 +1005,28 @@ def expand_multiterm(node: tuple, index: "Index", max_expansions: int | None = N
             if head is None:
                 return None
             return (kind, head, n[2])
+        if kind == "spannear":
+            # truncated sub-spans (surround truncation inside a distance op)
+            # expand to or-of-matching-terms — SpanNearClauseFactory
+            # visitMatchingTerms → SpanOrQuery (surround/query/
+            # SpanNearClauseFactory.java:64-139); a sub that matches nothing
+            # kills the near (required sub-span, MatchNoDocs)
+            subs = []
+            for s in n[1]:
+                if s[0] != "sprefix_raw":
+                    subs.append(s)
+                    continue
+                terms = expand_terms(
+                    index, like=s[1], max_expansions=max_exp,
+                    field=s[2] if len(s) > 2 else None,
+                )
+                if not terms:
+                    return None
+                subs.append(
+                    ("sor", sorted(terms)) if len(terms) > 1
+                    else ("sterm", terms[0])
+                )
+            return ("spannear", subs) + n[2:]
         return n
 
     return walk(node)
