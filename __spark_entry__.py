@@ -370,6 +370,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return spark.createDataFrame(rows or [], "doc_id long, score_q long")
 
+    def ft_memory(spark, sf):
+        # MemoryIndex (memory/.../MemoryIndex.java:60-161): per-document
+        # single-doc in-RAM index, prospective-search style — score every
+        # corpus doc against 'batch fast' one at a time (docCount=1, df=1,
+        # avgdl=dl).  Driver-local by design (the reference class is a
+        # single-JVM tool); the distributed percolation path is ft_monitor.
+        from lucene_spark.memory import memory_search
+
+        pdf = _docs(spark, sf).select("doc_id", "text").toPandas()
+        rows = []
+        for r in pdf.itertuples():
+            s = memory_search(r.text, "batch fast", precision="float64")
+            if s > 0.0:
+                rows.append((int(r.doc_id), int(math.floor(s * 10000))))
+        return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
     def ft_porter(spark, sf):
         # PorterStemFilter (en/PorterStemmer.java, Porter 1980): golden
         # oracle — the word/stem pairs below are the algorithm's PUBLISHED
@@ -1147,8 +1163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_function_score, ft_rescore,
         # surround query-language parser (1, new round 2)
         ft_surround,
-        # token-filter chain (1 of 4 in the head; rest in tail)
-        ft_porter,
+        # MemoryIndex single-doc prospective search (1, new round 2)
+        ft_memory,
         # offsets channel + singleton pulsing (2, new round 2)
         ft_offsets, ft_pulsed,
         # dedup family (5)
@@ -1169,7 +1185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_boost, ft_facet_lang, ft_query_join, ft_mixed_topk,
         ft_must_not, ft_term_in_set, ft_reqopt, ft_phrase_gap,
         ft_length_filter, ft_stats, ft_dismax, ft_sort_field,
-        ft_shingle, ft_edge_ngram, ft_ascii_fold, ft_boost_by_query,
+        ft_shingle, ft_edge_ngram, ft_ascii_fold, ft_porter,
+        ft_boost_by_query,
     ]:
         q[fn.__name__] = fn
     return q
@@ -1943,6 +1960,20 @@ SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
 FROM combined ORDER BY score DESC, doc_id LIMIT 10""",
         "ft_span_near_ord": _span_near_ord_sql(["table", "hash", "part"], 4, 10),
         "ft_surround": _span_near_ord_sql(["table", "hash", "part"], 4, 10),
+        "ft_memory": _FT_PRELUDE + """,
+mem AS (
+  SELECT doc_id,
+         SUM(w - w / (1.0 + tf * inv)) AS score
+  FROM (
+    SELECT doc_id,
+           ln(1 + (1 - 1 + 0.5) / (1 + 0.5)) AS w,
+           1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * 1.0)) AS inv,
+           tf
+    FROM tf WHERE term IN ('batch', 'fast')
+  ) GROUP BY doc_id
+)
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM mem WHERE score > 0.0""",
         "ft_span_near_unord": _span_near_unord2_sql("window", "scan", 3, 10),
         "ft_span_first": _span_first_sql("key", 6, 10),
         "ft_span_not": _span_not_sql("scan", "table", 1, 2, 10),
