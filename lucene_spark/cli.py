@@ -82,11 +82,16 @@ def cmd_build(args) -> int:
 
 def cmd_search(args) -> int:
     from .index import read_index
-    from .search import search
+    from .search import index_fields, search
 
     spark = _session("lucene_spark_search")
     idx = read_index(spark, args.index)
-    td = search(idx, args.query, k=args.k, precision=args.precision,
+    query = args.query
+    if getattr(args, "syntax", "classic") == "surround":
+        from .surround import parse_surround
+
+        query = parse_surround(args.query, fields=index_fields(idx))
+    td = search(idx, query, k=args.k, precision=args.precision,
                 prune=not args.no_prune, with_urls=True,
                 similarity=args.similarity, analyzer=_analyzer(args))
     for rank, (d, s, u) in enumerate(zip(td.docids.tolist(), td.scores.tolist(),
@@ -152,6 +157,10 @@ def main(argv=None) -> int:
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--precision", default="lucene", choices=["lucene", "float64"])
     s.add_argument("--no-prune", action="store_true")
+    s.add_argument("--syntax", default="classic",
+                   choices=["classic", "surround"],
+                   help="query language: classic QueryParser or surround "
+                        "proximity syntax (nW/nN distance operators)")
     s.add_argument("--similarity", default="bm25",
                    choices=["bm25", "classic", "boolean"])
     s.add_argument("--english-analyzer", action="store_true",

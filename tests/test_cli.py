@@ -45,3 +45,18 @@ def test_build_and_search_roundtrip_from_path(spark, pages_parquet, tmp_path):
     idx = read_index(spark, out)
     td = search(idx, "beta", k=3)
     assert len(td.docids) == 3
+
+
+def test_cli_search_surround_syntax(spark, tmp_path, capsys):
+    # surround proximity syntax through the CLI (--syntax surround):
+    # 'alpha w beta' = ordered adjacent (distance 1 -> slop 0)
+    rows = [("a", "alpha beta x"), ("b", "beta alpha y"), ("c", "alpha z beta")]
+    src = str(tmp_path / "sur.parquet")
+    spark.createDataFrame(rows, "url string, text string").write.parquet(src)
+    out = str(tmp_path / "idx_sur")
+    assert not cli_main(["build", "--input", src, "--out", out, "--positions"])
+    capsys.readouterr()  # drain the build command's metrics output
+    assert not cli_main(["search", "--index", out, "--query", "alpha w beta",
+                         "--syntax", "surround", "-k", "5"])
+    hits = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert [h["url"] for h in hits] == ["a"]
