@@ -121,8 +121,11 @@ class _Parser:
         return self.toks[self.pos]
 
     def next(self):
+        # clamp at the eof sentinel: `field:` at end-of-input recurses into
+        # _parse_atom which must keep seeing eof, never run off the list
         t = self.toks[self.pos]
-        self.pos += 1
+        if t[0] != "eof":
+            self.pos += 1
         return t
 
     def parse(self) -> tuple:

@@ -106,7 +106,8 @@ class _SurroundParser:
 
     def next(self):
         t = self.toks[self.pos]
-        self.pos += 1
+        if t[0] != "eof":  # clamp: never run past the sentinel
+            self.pos += 1
         return t
 
     def _is_kw(self, kw: str) -> bool:
