@@ -316,6 +316,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return spark.createDataFrame(rows or [], "doc_id long, score_q long")
 
+    def ft_lmd_sim(spark, sf):
+        # LM-Dirichlet (LMDirichletSimilarity.java:70-76, mu=2000): score =
+        # ln(1 + tf/(mu*p_c)) + ln(mu/(dl+mu)) clamped at 0, with p_c =
+        # (cf+1)/(sttf+1) (LMSimilarity.java:145-147); cf is fetched from
+        # the term dictionary (NEEDS_CF plumbing), pruning stays valid
+        # (monotone in tf, anti-monotone in dl)
+        idx = _ft_index(spark, sf)
+        td = search(idx, "batch fast", k=10, precision="float64",
+                    prune=True, similarity="lmd")
+        rows = [
+            (int(d), int(math.floor(s * 10000)))
+            for d, s in zip(td.docids.tolist(), td.scores.tolist())
+        ]
+        return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
     def ft_function_score(spark, sf):
         # FunctionScoreQuery.boostByValue (queries/function/
         # FunctionScoreQuery.java:80): BM25('batch') hits rescored by
@@ -1157,8 +1172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_group_top,
         # aux search modules (2)
         ft_monitor, ft_highlight,
-        # pluggable similarities + feature fields (3, new round 2)
-        ft_classic_sim, ft_boolean_sim, ft_feature,
+        # pluggable similarities + feature fields (3; lmd new this round)
+        ft_classic_sim, ft_lmd_sim, ft_feature,
         # function scoring + rescoring (2, new round 2)
         ft_function_score, ft_rescore,
         # surround query-language parser (1, new round 2)
@@ -1186,7 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_must_not, ft_term_in_set, ft_reqopt, ft_phrase_gap,
         ft_length_filter, ft_stats, ft_dismax, ft_sort_field,
         ft_shingle, ft_edge_ngram, ft_ascii_fold, ft_porter,
-        ft_boost_by_query,
+        ft_boost_by_query, ft_boolean_sim,
     ]:
         q[fn.__name__] = fn
     return q
@@ -1960,6 +1975,24 @@ SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
 FROM combined ORDER BY score DESC, doc_id LIMIT 10""",
         "ft_span_near_ord": _span_near_ord_sql(["table", "hash", "part"], 4, 10),
         "ft_surround": _span_near_ord_sql(["table", "hash", "part"], 4, 10),
+        "ft_lmd_sim": _FT_PRELUDE + """,
+cfs AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY term),
+term_scores AS (
+  SELECT tf.doc_id,
+         ln(1 + tf / (2000.0 * ((cfs.cf + 1.0) / (s.sttf + 1.0))))
+           + ln(2000.0 / (dl.dl + 2000.0)) AS sc
+  FROM tf
+  JOIN cfs USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  WHERE tf.term IN ('batch', 'fast')
+),
+doc_scores AS (
+  SELECT doc_id, SUM(CASE WHEN sc > 0.0 THEN sc ELSE 0.0 END) AS score
+  FROM term_scores GROUP BY doc_id
+)
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10""",
         "ft_memory": _FT_PRELUDE + """,
 mem AS (
   SELECT doc_id,

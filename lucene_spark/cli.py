@@ -162,7 +162,7 @@ def main(argv=None) -> int:
                    help="query language: classic QueryParser or surround "
                         "proximity syntax (nW/nN distance operators)")
     s.add_argument("--similarity", default="bm25",
-                   choices=["bm25", "classic", "boolean"])
+                   choices=["bm25", "classic", "boolean", "lmd"])
     s.add_argument("--english-analyzer", action="store_true",
                    help="analyze the query with the EnglishAnalyzer chain")
     s.set_defaults(fn=cmd_search)

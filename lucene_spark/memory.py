@@ -121,9 +121,12 @@ class MemoryIndex:
         if not dfs:
             return 0.0
         sim_cls = SIMILARITIES[similarity]
+        needs_cf = getattr(sim_cls, "NEEDS_CF", False)
         scorers = {
             t: sim_cls(1, stats_for(t), k1=k1, b=b,
-                       boost=term_boosts.get(t, 1.0), precision=precision)
+                       boost=term_boosts.get(t, 1.0), precision=precision,
+                       # single-doc collection: cf == the doc's tf
+                       **({"cf": self._tf[t]} if needs_cf else {}))
             for t in dfs
         }
         node = attach_scorers(node, dfs, stats, k1, b, precision, sim_cls,

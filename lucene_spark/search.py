@@ -1099,6 +1099,23 @@ def term_dfs(terms: list[str], termdict: DataFrame) -> dict[str, int]:
     return {r["term"]: r["df"] for r in rows}
 
 
+def term_cfs(terms: list[str], termdict: DataFrame) -> dict[str, int]:
+    """Per-term COLLECTION frequency (totalTermFreq) — fetched only for
+    similarities that declare NEEDS_CF (LM-Dirichlet); same pushed-down
+    isin() scan shape as term_dfs."""
+    rows = termdict.filter(F.col("term").isin(list(set(terms)))).select("term", "cf").collect()
+    return {r["term"]: r["cf"] for r in rows}
+
+
+def _cf_kwargs(sim_cls, terms, termdict):
+    """{} per term, or {'cf': n} when the similarity needs collection
+    frequency — keeps the scorer-construction sites one-line."""
+    if not getattr(sim_cls, "NEEDS_CF", False):
+        return lambda t: {}
+    cfs = term_cfs(terms, termdict)
+    return lambda t: {"cf": cfs.get(t)}
+
+
 def make_scorers(
     terms: list[str],
     termdict: DataFrame,
@@ -1179,9 +1196,10 @@ def search(
     boosts = boosts or {}
     sim_cls = SIMILARITIES[similarity]
     stats_for = _stats_resolver(index, stats)
+    cf_kw = _cf_kwargs(sim_cls, terms, index.termdict)
     scorers = {
         t: sim_cls(dfs[t], stats_for(t), k1=k1, b=b, boost=boosts.get(t, 1.0),
-                   precision=precision)
+                   precision=precision, **cf_kw(t))
         for t in terms
         if t in dfs
     }
@@ -1378,9 +1396,11 @@ def score_docs(
     stats_for = _stats_resolver(index, stats)
     dfs = term_dfs(terms, index.termdict)
     sim_cls = SIMILARITIES[similarity]
+    cf_kw = _cf_kwargs(sim_cls, terms, index.termdict)
     scorers = {
         t: sim_cls(dfs[t], stats_for(t), k1=k1, b=b,
-                   boost=term_boosts.get(t, 1.0), precision=precision)
+                   boost=term_boosts.get(t, 1.0), precision=precision,
+                   **cf_kw(t))
         for t in terms if t in dfs
     }
     node = attach_scorers(node, dfs, stats, k1, b, precision, sim_cls, stats_for)
@@ -1708,8 +1728,10 @@ def search_many(
     if not exec_nodes:
         return {qid: empty for qid in queries}
 
+    cf_kw = _cf_kwargs(sim_cls, sorted(needed_terms), index.termdict)
     scorers = {
-        t: sim_cls(dfs[t], stats_for(t), k1=k1, b=b, precision=precision)
+        t: sim_cls(dfs[t], stats_for(t), k1=k1, b=b, precision=precision,
+                   **cf_kw(t))
         for t in needed_terms
     }
     # singleton pulsing, mirrored from search() so the batched path has the

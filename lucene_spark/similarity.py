@@ -301,10 +301,110 @@ class BooleanScorer:
         return 0.0 if len(freqs) == 0 else float(self.weight)
 
 
+class LMDirichletScorer:
+    """Language model with Bayesian (Dirichlet-prior) smoothing —
+    LMDirichletSimilarity.java:36-76 (Zhai & Lafferty 2001):
+
+      p_c   = (totalTermFreq + 1) / (sumTotalTermFreq + 1)   (double —
+              LMSimilarity.DefaultCollectionModel.computeProbability,
+              LMSimilarity.java:145-147)
+      score = boost * (ln(1 + freq / (mu * p_c)) + ln(mu / (dl + mu)))
+              clamped at 0 (:70-76 — "the formula ... assigns a negative
+              score to documents that contain the term but with fewer
+              occurrences than predicted by the collection model; the
+              Lucene implementation returns 0"), default mu = 2000 (:59-67).
+
+    Needs the term's COLLECTION frequency (``cf``), not just docFreq —
+    declared via ``NEEDS_CF`` so the query layer fetches cf from the term
+    dictionary.  SimilarityBase computes in double and casts the result to
+    float (SimilarityBase.java score contract); 'lucene' mode mirrors that
+    (double math over the quantized LENGTH_TABLE docLen, float32 cast),
+    'float64' keeps doubles over exact lengths (SQL-replicable).
+
+    Phrase/synonym/span weights are not supported under this similarity
+    (``for_terms`` raises): their blended-statistics contract is
+    BM25/TFIDF-specific in this engine.  Score is monotone increasing in
+    freq and decreasing in dl, so per-block impact frontiers remain valid
+    pruning bounds.
+    """
+
+    NEEDS_CF = True
+    MU = 2000.0
+
+    def __init__(
+        self,
+        doc_freq: int,
+        stats: CollectionStats,
+        k1: float = 1.2,
+        b: float = 0.75,
+        boost: float = 1.0,
+        precision: str = "lucene",
+        idf_value: float | None = None,
+        cf: int | None = None,
+    ):
+        if cf is None:
+            raise ValueError(
+                "LM-Dirichlet needs the term's collection frequency; the "
+                "query layer passes cf= from the term dictionary (phrase/"
+                "synonym/span weights are unsupported under similarity='lmd')"
+            )
+        if precision not in ("lucene", "float64"):
+            raise ValueError(f"unknown precision {precision!r}")
+        self.doc_freq = doc_freq
+        self.stats = stats
+        self.precision = precision
+        self.boost = float(boost)
+        self.mu = float(self.MU)
+        self.p_c = (float(cf) + 1.0) / (float(stats.sum_total_term_freq) + 1.0)
+        # informational; phrase/span window bounds never see this scorer
+        self.weight = (
+            np.float32(boost) if precision == "lucene" else float(boost)
+        )
+
+    @classmethod
+    def for_terms(cls, doc_freqs, stats, k1=1.2, b=0.75, boost=1.0,
+                  precision="lucene"):
+        raise NotImplementedError(
+            "phrase/synonym/span weights are not supported under "
+            "similarity='lmd' (blended multi-term statistics are "
+            "BM25/TFIDF-specific in this engine)"
+        )
+
+    def _score64(self, f: np.ndarray, dl: np.ndarray) -> np.ndarray:
+        s = self.boost * (
+            np.log(1.0 + f / (self.mu * self.p_c))
+            + np.log(self.mu / (dl + self.mu))
+        )
+        return np.maximum(s, 0.0)
+
+    def score(self, freq: np.ndarray, norm: np.ndarray) -> np.ndarray:
+        if self.precision == "lucene":
+            f = np.asarray(freq, dtype=np.float64)
+            dl = LENGTH_TABLE[np.asarray(norm, dtype=np.int64)].astype(np.float64)
+            return self._score64(f, dl).astype(np.float32)
+        return self._score64(
+            np.asarray(freq, dtype=np.float64),
+            np.asarray(norm, dtype=np.float64),
+        )
+
+    def score_from_dl(self, freq: np.ndarray, dl: np.ndarray) -> np.ndarray:
+        if self.precision == "lucene":
+            from .smallfloat import int_to_byte4_np
+
+            return self.score(freq, int_to_byte4_np(np.asarray(dl)))
+        return self.score(freq, dl)
+
+    def max_score(self, freqs: np.ndarray, norms: np.ndarray) -> float:
+        if len(freqs) == 0:
+            return 0.0
+        return float(np.max(self.score(np.asarray(freqs), np.asarray(norms))))
+
+
 # similarity registry (IndexSearcher.setSimilarity analog,
 # search/IndexSearcher.java:286-294): name → scorer class
 SIMILARITIES = {
     "bm25": BM25Scorer,
     "classic": ClassicScorer,
     "boolean": BooleanScorer,
+    "lmd": LMDirichletScorer,
 }

@@ -157,13 +157,14 @@ def test_tie_break_by_docid():
     assert len(np.unique(s)) == 1
 
 
-@pytest.mark.parametrize("sim_name", ["classic", "boolean"])
+@pytest.mark.parametrize("sim_name", ["classic", "boolean", "lmd"])
 @pytest.mark.parametrize("precision", ["lucene", "float64"])
 def test_duel_other_similarities(sim_name, precision):
     """Pruned kernel == exhaustive under non-BM25 similarities: the SimScorer
     contract (score monotone increasing in freq, decreasing in length) keeps
     the impact frontiers valid upper bounds for ANY similarity
-    (ClassicSimilarity.java:37-46, BooleanSimilarity.java:58-60)."""
+    (ClassicSimilarity.java:37-46, BooleanSimilarity.java:58-60,
+    LMDirichletSimilarity.java:70-76 — clamped-at-0 keeps bounds valid)."""
     from lucene_spark.similarity import SIMILARITIES
 
     sim_cls = SIMILARITIES[sim_name]
@@ -171,6 +172,13 @@ def test_duel_other_similarities(sim_name, precision):
     docs = synth_corpus(rng, 900, n_terms=25)
     seg_size = 256
     segs, dl, dfs, stats = build_rows(docs, seg_size)
+    cfs: dict = {}
+    if getattr(sim_cls, "NEEDS_CF", False):
+        for toks in docs:
+            vals, counts = np.unique(toks, return_counts=True)
+            for v, c in zip(vals, counts):
+                t = f"t{v}"
+                cfs[t] = cfs.get(t, 0) + int(c)
 
     def run(node, k, prune):
         terms = set()
@@ -188,8 +196,11 @@ def test_duel_other_similarities(sim_name, precision):
                     collect(c)
 
         collect(node)
-        scorers = {t: sim_cls(dfs[t], stats, precision=precision)
-                   for t in terms if t in dfs}
+        scorers = {
+            t: sim_cls(dfs[t], stats, precision=precision,
+                       **({"cf": cfs[t]} if cfs else {}))
+            for t in terms if t in dfs
+        }
         results = []
         for seg, rows in segs.items():
             sub = {t: r for t, r in rows.items() if t in scorers}

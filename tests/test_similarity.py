@@ -83,3 +83,48 @@ def test_score_monotonic_in_tf_and_dl():
     dls = np.arange(5, 500)
     s2 = scorer.score_from_dl(np.full(len(dls), 3), dls)
     assert (np.diff(s2) <= 0).all()
+
+
+def test_lmd_formula_and_clamp():
+    """LMDirichletSimilarity.java:70-76: score = boost*(ln(1 + tf/(mu*p_c))
+    + ln(mu/(dl+mu))), clamped at 0; p_c=(cf+1)/(sttf+1)
+    (LMSimilarity.java:145-147), mu=2000."""
+    from lucene_spark.similarity import LMDirichletScorer
+
+    stats = CollectionStats(100, 5000)
+    sc = LMDirichletScorer(10, stats, precision="float64", cf=40)
+    p_c = 41.0 / 5001.0
+    want = math.log(1 + 3.0 / (2000.0 * p_c)) + math.log(2000.0 / (50.0 + 2000.0))
+    got = sc.score_from_dl(np.array([3]), np.array([50]))[0]
+    assert got == pytest.approx(want, rel=1e-12) and got > 0
+    # a common term (high p_c) with tf below the collection expectation
+    # goes negative in the raw formula -> clamped to exactly 0
+    common = LMDirichletScorer(90, stats, precision="float64", cf=4000)
+    assert common.score_from_dl(np.array([1]), np.array([200]))[0] == 0.0
+
+
+def test_lmd_requires_cf_and_rejects_phrase_weights():
+    from lucene_spark.similarity import LMDirichletScorer
+
+    stats = CollectionStats(10, 100)
+    with pytest.raises(ValueError):
+        LMDirichletScorer(1, stats)
+    with pytest.raises(NotImplementedError):
+        LMDirichletScorer.for_terms([1, 2], stats)
+
+
+def test_lmd_lucene_mode_quantizes_norm_and_casts_float32():
+    from lucene_spark.similarity import LMDirichletScorer
+    from lucene_spark.smallfloat import LENGTH_TABLE, int_to_byte4_np
+
+    stats = CollectionStats(100, 5000)
+    s32 = LMDirichletScorer(10, stats, precision="lucene", cf=40)
+    dl = np.array([137])
+    byte = int_to_byte4_np(dl)
+    qdl = float(LENGTH_TABLE[int(byte[0])])
+    p_c = 41.0 / 5001.0
+    want = np.float32(
+        math.log(1 + 2.0 / (2000.0 * p_c)) + math.log(2000.0 / (qdl + 2000.0))
+    )
+    got = s32.score_from_dl(np.array([2]), dl)[0]
+    assert got.dtype == np.float32 and got == want
