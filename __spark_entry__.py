@@ -698,6 +698,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SpanNotQuery: 'scan' with no 'table' within [p-1, p+2]
         return _topk_df(spark, sf, span_not("scan", "table", pre=1, post=2), 10)
 
+    # --- interval queries (queries/intervals; minimal-interval algebra,
+    #     IntervalScorer freq = Σ 1/max(len − minExtent + 1, 1), saturation
+    #     score w·(1 − 1/(1 + freq)) — IntervalQuery.java:71) ---
+    def ft_interval_ord(spark, sf):
+        from lucene_spark.intervals import interval_query, iv_maxgaps, iv_ordered
+
+        # Intervals.maxgaps(3, Intervals.ordered(table, hash)): for two
+        # single-position sources the lazy walk provably equals the minimal
+        # set {(max table < h, h = min hash > t)} — the oracle's closed form
+        return _topk_df(
+            spark, sf, interval_query(iv_maxgaps(3, iv_ordered("table", "hash"))), 10
+        )
+
+    def ft_interval_unord(spark, sf):
+        from lucene_spark.intervals import interval_query, iv_unordered
+
+        # Intervals.unordered(window, scan): minimal covering intervals ==
+        # consecutive hetero-labelled pairs of the merged position list
+        return _topk_df(
+            spark, sf, interval_query(iv_unordered("window", "scan")), 10
+        )
+
+    def ft_interval_contain(spark, sf):
+        from lucene_spark.intervals import (
+            interval_query, iv_contained_by, iv_maxgaps, iv_ordered, iv_term,
+        )
+
+        # Intervals.containedBy(key, maxgaps(5, ordered(table, part))):
+        # 'key' occurrences inside a tight table→part window; freq = count
+        # of qualifying occurrences (minExtent 1)
+        return _topk_df(
+            spark, sf,
+            interval_query(iv_contained_by(
+                iv_term("key"), iv_maxgaps(5, iv_ordered("table", "part"))
+            )),
+            10,
+        )
+
     # --- index-sort early termination / integrity audit / addIndexes ---
     def ft_sorted_early(spark, sf):
         # EarlyTerminatingSortingCollector analog: first 10 matches in index
@@ -1158,16 +1196,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_phrase, ft_phrase_sloppy, ft_synonym,
         # span queries (4, new round 2)
         ft_span_near_ord, ft_span_near_unord, ft_span_first, ft_span_not,
+        # interval queries (3, new round 2 session 3)
+        ft_interval_ord, ft_interval_unord, ft_interval_contain,
         # multi-field index (2, new round 2)
         ft_mf_field, ft_mf_or,
         # index-sort early termination + CheckIndex + addIndexes (3, new)
         ft_sorted_early, ft_check_index, ft_add_indexes,
         # block join + multi-phrase + common-terms (3, new)
         ft_block_join, ft_mphrase, ft_common_terms,
-        # multi-term expansion (3) + parser nesting (1)
-        ft_wildcard, ft_fuzzy, ft_term_range, ft_qp_complex,
-        # compound scorers (1)
-        ft_msm,
+        # multi-term expansion (1, Damerau fuzzy changed round 2) +
+        # parser nesting (1)
+        ft_fuzzy, ft_qp_complex,
         # collectors / facets / grouping (1)
         ft_group_top,
         # aux search modules (2)
@@ -1194,6 +1233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         text_bpe_count,
         ft_deleted, ft_bm25_params, ft_and3_topk, ft_paging,
         ft_prefix_match, ft_qp_boost, ft_qp_fuzzy, ft_qp_range, ft_update,
+        ft_wildcard, ft_term_range, ft_msm,
         # round-1-verified families displaced from the head by the round-2
         # span + multi-field entries (unchanged modules; still
         # oracle-verified by pytest)
@@ -1277,6 +1317,91 @@ sc AS (
 )
 SELECT doc_id, CAST(floor((w - w / (1.0 + pf * inv)) * 10000) AS BIGINT) AS score_q
 FROM sc ORDER BY (w - w / (1.0 + pf * inv)) DESC, doc_id LIMIT {k}"""
+
+
+def _iv_sat_tail(k: int) -> str:
+    """Saturation score tail over a per-doc interval freq CTE ``fr``:
+    score = 1 − 1/(1 + freq) (IntervalScoreFunction.java:70-76, pivot 1,
+    weight 1), (score desc, doc_id asc) top-k."""
+    return f"""
+SELECT doc_id, CAST(floor((1.0 - 1.0 / (1.0 + pf)) * 10000) AS BIGINT) AS score_q
+FROM fr ORDER BY (1.0 - 1.0 / (1.0 + pf)) DESC, doc_id LIMIT {k}"""
+
+
+def _iv_ord_pairs_cte(ta: str, tb: str) -> str:
+    """Minimal ordered-interval pairs for two single-position sources —
+    m(doc_id, p1, p2): p2 = min ``tb`` position > p1 AND p1 = max ``ta``
+    position < p2 (for two sources the lazy OrderedIntervalIterator walk
+    provably enumerates exactly this set; fuzz-pinned in
+    tests/test_intervals.py::test_ordered_walk_minimal_for_pairs_fuzz)."""
+    return f"""
+c AS (
+  SELECT a.doc_id, a.p AS p1,
+         (SELECT min(b.p) FROM pos b
+          WHERE b.doc_id = a.doc_id AND b.w = '{tb}' AND b.p > a.p) AS p2
+  FROM pos a WHERE a.w = '{ta}'
+),
+m AS (
+  SELECT doc_id, max(p1) AS p1, p2 FROM c WHERE p2 IS NOT NULL
+  GROUP BY doc_id, p2
+)"""
+
+
+def _iv_ord_sql(ta: str, tb: str, maxgaps: int, k: int) -> str:
+    """Intervals.maxgaps(N, ordered(ta, tb)) oracle: minimal pairs with
+    gaps = p2 − p1 − 1 <= N; freq = Σ 1/max(width − minExtent + 1, 1)
+    = Σ 1/(p2 − p1) (minExtent 2)."""
+    return (
+        _FT_PRELUDE + "," + _SPAN_POS_CTE + "," + _iv_ord_pairs_cte(ta, tb) + f""",
+fr AS (
+  SELECT doc_id, SUM(1.0 / greatest(p2 - p1, 1)) AS pf
+  FROM m WHERE p2 - p1 - 1 <= {maxgaps}
+  GROUP BY doc_id
+)""" + _iv_sat_tail(k)
+    )
+
+
+def _iv_unord_sql(ta: str, tb: str, k: int) -> str:
+    """Intervals.unordered(ta, tb) oracle: the minimal covering intervals of
+    two single-position sources are exactly the consecutive pairs of the
+    merged per-doc position list whose endpoints carry different labels
+    (UnorderedIntervalIterator reduces to this — fuzz-pinned in
+    tests/test_intervals.py); freq contribution 1/max(e − s, 1)
+    (minExtent 2)."""
+    return (
+        _FT_PRELUDE + "," + _SPAN_POS_CTE + f""",
+mp AS (
+  SELECT doc_id, p, w,
+         lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS np,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS nw
+  FROM pos WHERE w IN ('{ta}', '{tb}')
+),
+iv AS (
+  SELECT doc_id, p AS s, np AS e FROM mp
+  WHERE np IS NOT NULL AND nw <> w
+),
+fr AS (
+  SELECT doc_id, SUM(1.0 / greatest(e - s, 1)) AS pf FROM iv GROUP BY doc_id
+)""" + _iv_sat_tail(k)
+    )
+
+
+def _iv_contained_by_sql(small: str, ta: str, tb: str, maxgaps: int, k: int) -> str:
+    """Intervals.containedBy(small, maxgaps(N, ordered(ta, tb))) oracle:
+    occurrences of ``small`` lying inside a qualifying minimal pair; each
+    occurrence is a [p, p] interval → contribution 1 (minExtent 1)."""
+    return (
+        _FT_PRELUDE + "," + _SPAN_POS_CTE + "," + _iv_ord_pairs_cte(ta, tb) + f""",
+g AS (SELECT doc_id, p1, p2 FROM m WHERE p2 - p1 - 1 <= {maxgaps}),
+iv AS (
+  SELECT DISTINCT k2.doc_id, k2.p
+  FROM pos k2 JOIN g ON g.doc_id = k2.doc_id AND k2.p BETWEEN g.p1 AND g.p2
+  WHERE k2.w = '{small}'
+),
+fr AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS pf FROM iv GROUP BY doc_id
+)""" + _iv_sat_tail(k)
+    )
 
 
 def _span_near_ord_sql(members: list[str], slop: int, k: int) -> str:
@@ -2010,6 +2135,9 @@ FROM mem WHERE score > 0.0""",
         "ft_span_near_unord": _span_near_unord2_sql("window", "scan", 3, 10),
         "ft_span_first": _span_first_sql("key", 6, 10),
         "ft_span_not": _span_not_sql("scan", "table", 1, 2, 10),
+        "ft_interval_ord": _iv_ord_sql("table", "hash", 3, 10),
+        "ft_interval_unord": _iv_unord_sql("window", "scan", 10),
+        "ft_interval_contain": _iv_contained_by_sql("key", "table", "part", 5, 10),
         "ft_wildcard": _FT_PRELUDE + """
 SELECT DISTINCT doc_id FROM ftok WHERE term LIKE '%er%'""",
         "ft_fuzzy": _FT_PRELUDE + """

@@ -135,6 +135,21 @@ def window_max_scores(
     return out
 
 
+def window_presence(tp: TermPostings, n_windows: int, window_bits: int) -> np.ndarray:
+    """Boolean mask of docID windows the term's blocks overlap — the
+    scorer-free presence test used for bounding interval nodes (whose score
+    bound is the query boost, not a per-term impact)."""
+    out = np.zeros(n_windows, dtype=bool)
+    ntotal = tp.nblocks + (1 if tp.n_tail else 0)
+    if ntotal == 0:
+        return out
+    firsts, lasts = tp.block_ranges()
+    w0 = firsts >> window_bits
+    w1 = lasts >> window_bits
+    out[_ranges(w0, w1 - w0 + 1)] = True
+    return out
+
+
 def _topk_from_scored(docids: np.ndarray, scores: np.ndarray, k: int):
     """(score desc, docid asc) top-k."""
     if len(docids) == 0:
@@ -421,6 +436,10 @@ def score_query_node(node, postings_by_term, scorers_by_term, precision, pos_by_
         from .spans import span_eval
 
         return span_eval(node, postings_by_term, pos_by_term or {}, precision)
+    if kind == "interval_query":
+        from .intervals import interval_eval
+
+        return interval_eval(node, postings_by_term, pos_by_term or {}, precision)
     if kind == "phrase":
         return _phrase_eval(node[1], postings_by_term, pos_by_term or {}, node[2], precision)
     if kind == "sloppy":
@@ -690,7 +709,8 @@ def match_docids(node, postings_by_term, pos_by_term=None) -> np.ndarray:
         if not subs:
             return np.empty(0, dtype=np.int64)
         return np.unique(np.concatenate(subs))
-    if kind in ("phrase", "sloppy", "spannear", "spanor", "spanfirst", "spannot"):
+    if kind in ("phrase", "sloppy", "spannear", "spanor", "spanfirst",
+                "spannot", "interval_query"):
         # positional nodes need the scored evaluation to decide matching
         d, _ = score_query_node(node, postings_by_term, {}, "float64", pos_by_term)
         return d
@@ -886,6 +906,23 @@ def segment_topk(
             out = np.zeros(n_windows, dtype=np.float64)
             out[present] = float(scorer.weight)
             return out
+        if kind_ == "interval_query":
+            # IntervalScorer.getMaxScore(upTo) == boost (saturation and
+            # sigmoid are both < 1 · weight) — bound every window where all
+            # required term-groups have a member present, zero elsewhere.
+            from .intervals import interval_required_groups
+
+            boost = n_[4]
+            present = np.ones(n_windows, dtype=bool)
+            for group in interval_required_groups(n_[1]):
+                gp = np.zeros(n_windows, dtype=bool)
+                for t in group:
+                    if t in tps:
+                        gp |= window_presence(tps[t], n_windows, window_bits)
+                present &= gp
+            out = np.zeros(n_windows, dtype=np.float64)
+            out[present] = float(boost)
+            return out
         if kind_ == "syn":
             # score(f1+f2) <= score(f1)+score(f2) (concave, score(0)=0), so
             # the sum of member bounds under the SYN weight is a valid bound.
@@ -991,6 +1028,10 @@ def _phrase_member_terms(node) -> set[str]:
         from .spans import span_terms
 
         return set(span_terms(node))
+    if kind == "interval_query":
+        from .intervals import interval_terms
+
+        return set(interval_terms(node[1]))
     if kind in ("phrase", "sloppy"):
         out: set[str] = set()
         for m, _ in node[1]:

@@ -455,6 +455,8 @@ def rewrite(node: tuple, stopwords=ENGLISH_STOP_WORDS) -> tuple | None:
         return _prefix_field(sub, node[1]) if sub is not None else None
     if kind in ("span_near", "span_or", "span_first", "span_not"):
         return _rewrite_span(node, stopwords)
+    if kind == "interval_query":
+        return _rewrite_interval(node, stopwords)
     if kind == "mphrase_raw":
         # MultiPhraseQuery (search/MultiPhraseQuery.java:48): terms added via
         # add(Term[]) share one position; alternatives analyze independently,
@@ -627,6 +629,136 @@ def _rewrite_span(node: tuple, stopwords) -> tuple | None:
 _SPAN_BASE_LEN = {"spannear": 4, "spanor": 2, "spanfirst": 3, "spannot": 5}
 
 
+def _iv_analyze(src: tuple, stopwords) -> tuple | None:
+    """Analyze the raw terms of an interval source and fold no-match
+    branches (NoMatchIntervalsSource semantics): a term that analyzes away
+    can never emit, so conjunctive shapes containing it vanish, or-branches
+    drop it, and subtracted sides of notContaining/notContainedBy disappear
+    (nothing to subtract).  A multi-token term becomes a block source (the
+    query-analyzer contract of Intervals.phrase over analyzed text)."""
+    kind = src[0]
+    if kind == "iterm":
+        toks = analyze(src[1], stopwords)
+        if not toks:
+            return None
+        if len(toks) == 1:
+            return ("iterm", toks[0])
+        return ("i_block", [("iterm", t) for t in toks])
+    if kind in ("i_prefix", "i_wildcard"):
+        return src
+    if kind == "i_or":
+        subs = [s for s in (_iv_analyze(c, stopwords) for c in src[1]) if s is not None]
+        if not subs:
+            return None
+        return subs[0] if len(subs) == 1 else ("i_or", subs)
+    if kind in ("i_ord", "i_unord", "i_block"):
+        subs = [_iv_analyze(c, stopwords) for c in src[1]]
+        if any(s is None for s in subs):
+            return None
+        if len(subs) == 1:
+            return subs[0]
+        return (kind, subs)
+    if kind in ("i_maxgaps", "i_maxwidth"):
+        sub = _iv_analyze(src[2], stopwords)
+        return None if sub is None else (kind, src[1], sub)
+    if kind == "i_extend":
+        sub = _iv_analyze(src[1], stopwords)
+        return None if sub is None else ("i_extend", sub, src[2], src[3])
+    if kind in ("i_containing", "i_contained_by"):
+        a = _iv_analyze(src[1], stopwords)
+        b = _iv_analyze(src[2], stopwords)
+        if a is None or b is None:
+            return None
+        return (kind, a, b)
+    if kind in ("i_not_containing", "i_not_contained_by"):
+        a = _iv_analyze(src[1], stopwords)
+        if a is None:
+            return None
+        b = _iv_analyze(src[2], stopwords)
+        return a if b is None else (kind, a, b)
+    raise ValueError(f"bad interval node {src!r}")
+
+
+def _rewrite_interval(node: tuple, stopwords) -> tuple | None:
+    """IntervalQuery rewrite: analyze the source's raw terms; a dead source
+    (all branches vanished) → MatchNoDocs."""
+    src = _iv_analyze(node[1], stopwords)
+    if src is None:
+        return None
+    return ("interval_query", src) + tuple(node[2:])
+
+
+def _iv_prefix_field(src: tuple, f: str) -> tuple:
+    """Field-namespace every leaf of an interval source (the fixField /
+    FixedFieldIntervalsSource analog: intervals read from field ``f``)."""
+    kind = src[0]
+    if kind == "iterm":
+        return ("iterm", f"{f}:{src[1]}")
+    if kind in ("i_prefix", "i_wildcard"):
+        return (kind, src[1], f)  # field rides to expand_terms
+    if kind in ("i_or", "i_ord", "i_unord", "i_block"):
+        return (kind, [_iv_prefix_field(c, f) for c in src[1]])
+    if kind in ("i_maxgaps", "i_maxwidth"):
+        return (kind, src[1], _iv_prefix_field(src[2], f))
+    if kind == "i_extend":
+        return ("i_extend", _iv_prefix_field(src[1], f), src[2], src[3])
+    if kind in ("i_containing", "i_contained_by", "i_not_containing",
+                "i_not_contained_by"):
+        return (kind, _iv_prefix_field(src[1], f), _iv_prefix_field(src[2], f))
+    raise ValueError(f"bad interval node {src!r}")
+
+
+def _iv_expand(src: tuple, index, max_exp: int) -> tuple | None:
+    """Expand multiterm interval sources against the term dictionary
+    (MultiTermIntervalsSource: prefix/wildcard → disjunction of matching
+    terms; an empty expansion is a no-match source, folded like
+    _iv_analyze)."""
+    kind = src[0]
+    if kind == "iterm":
+        return src
+    if kind in ("i_prefix", "i_wildcard"):
+        # Lucene wildcard syntax → SQL LIKE (as the classic parser does)
+        pat = (src[1] + "*" if kind == "i_prefix" else src[1])
+        pat = pat.lower().replace("*", "%").replace("?", "_")
+        terms = expand_terms(index, like=pat, max_expansions=max_exp,
+                             field=src[2] if len(src) > 2 else None)
+        if not terms:
+            return None
+        if len(terms) == 1:
+            return ("iterm", terms[0])
+        return ("i_or", [("iterm", t) for t in sorted(terms)])
+    if kind == "i_or":
+        subs = [s for s in (_iv_expand(c, index, max_exp) for c in src[1])
+                if s is not None]
+        if not subs:
+            return None
+        return subs[0] if len(subs) == 1 else ("i_or", subs)
+    if kind in ("i_ord", "i_unord", "i_block"):
+        subs = [_iv_expand(c, index, max_exp) for c in src[1]]
+        if any(s is None for s in subs):
+            return None
+        return (kind, subs)
+    if kind in ("i_maxgaps", "i_maxwidth"):
+        sub = _iv_expand(src[2], index, max_exp)
+        return None if sub is None else (kind, src[1], sub)
+    if kind == "i_extend":
+        sub = _iv_expand(src[1], index, max_exp)
+        return None if sub is None else ("i_extend", sub, src[2], src[3])
+    if kind in ("i_containing", "i_contained_by"):
+        a = _iv_expand(src[1], index, max_exp)
+        b = _iv_expand(src[2], index, max_exp)
+        if a is None or b is None:
+            return None
+        return (kind, a, b)
+    if kind in ("i_not_containing", "i_not_contained_by"):
+        a = _iv_expand(src[1], index, max_exp)
+        if a is None:
+            return None
+        b = _iv_expand(src[2], index, max_exp)
+        return a if b is None else (kind, a, b)
+    raise ValueError(f"bad interval node {src!r}")
+
+
 def _stats_resolver(index, stats):
     """Per-term CollectionStats: field-namespaced terms ("f:t") of a
     multi-field index resolve to their field's (docCount, sumTotalTermFreq);
@@ -701,6 +833,8 @@ def _prefix_field(n: tuple, f: str) -> tuple:
         return ("spanfirst", _prefix_field(n[1], f), n[2])
     if kind == "spannot":
         return ("spannot", _prefix_field(n[1], f), _prefix_field(n[2], f), n[3], n[4])
+    if kind == "interval_query":
+        return ("interval_query", _iv_prefix_field(n[1], f)) + n[2:]
     if kind == "match_none":
         return n
     raise ValueError(f"cannot field-scope node {n!r}")
@@ -714,6 +848,10 @@ def query_terms(node: tuple) -> list[str]:
         from .spans import span_terms
 
         return span_terms(node[: _SPAN_BASE_LEN[kind]])
+    if kind == "interval_query":
+        from .intervals import interval_terms
+
+        return interval_terms(node[1])
     if kind == "feature":
         from .feature import feature_term
 
@@ -794,6 +932,17 @@ def attach_scorers(
         if kind == "sloppy":
             return ("sloppy", node[1], node[2], scorer)
         return ("phrase", node[1], scorer)
+    if kind == "interval_query":
+        # IntervalQuery needs no similarity statistics (IntervalScorer
+        # scores freq through the saturation/sigmoid function with norm=1 —
+        # IntervalScorer.java:55-58); a required term-group entirely absent
+        # from the dictionary → MatchNoDocs.
+        from .intervals import interval_required_groups
+
+        for group in interval_required_groups(node[1]):
+            if not any(t in dfs for t in group):
+                return None
+        return node
     if kind in ("spannear", "spanor", "spanfirst", "spannot"):
         # SpanWeight (spans/SpanWeight.java:99-117): one SimScorer over all
         # member terms' stats (Σ idf, like PhraseWeight); SpanNot uses the
@@ -923,6 +1072,10 @@ def apply_boosts(node: tuple, factor: float = 1.0) -> tuple[tuple | None, dict[s
             # boost folds into the SpanWeight (trailing factor read by
             # attach_scorers, like phrase/sloppy)
             return n + (f,) if f != 1.0 else n
+        if kind == "interval_query":
+            # boost multiplies the score-function weight
+            # (IntervalQuery BoostAttribute → IntervalScorer boost)
+            return ("interval_query", n[1], n[2], n[3], n[4] * f)
         if kind == "phrase":
             return ("phrase", n[1], f) if f != 1.0 else n
         if kind == "sloppy":
@@ -1008,6 +1161,11 @@ def expand_multiterm(node: tuple, index: "Index", max_expansions: int | None = N
             if head is None:
                 return None
             return (kind, head, n[2])
+        if kind == "interval_query":
+            src = _iv_expand(n[1], index, max_exp)
+            if src is None:
+                return None
+            return ("interval_query", src) + tuple(n[2:])
         if kind == "spannear":
             # truncated sub-spans (surround truncation inside a distance op)
             # expand to or-of-matching-terms — SpanNearClauseFactory
