@@ -36,7 +36,7 @@ from lucene_spark.search import (
 )
 from lucene_spark.smallfloat import byte4_to_int
 from lucene_spark import ann, textops
-from lucene_spark.classify import classify_knn
+from lucene_spark.classify import classify_knn, classify_naive_bayes
 from lucene_spark.highlight import highlight
 from lucene_spark.monitor import StoredQuery, match_documents
 from lucene_spark.suggest import suggest_terms
@@ -1005,6 +1005,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=10, precision="float64",
         )
 
+    def ft_nb_classify(spark, sf):
+        # SimpleNaiveBayesClassifier analog (classification/.../
+        # SimpleNaiveBayesClassifier.java:49): add-1-smoothed multinomial NB
+        # over index statistics; per-class log score quantized at 1e-4
+        idx = _ft_index(spark, sf)
+        out = classify_naive_bayes(
+            idx, "key window batch", _docs(spark, sf).select("doc_id", "lang"),
+        )
+        return (
+            out.select(
+                "label",
+                F.floor(F.col("score") * 10000).cast("long").alias("score_q"),
+            )
+            .orderBy(F.col("score_q").desc(), F.col("label"))
+        )
+
+    def ft_lmjm_sim(spark, sf):
+        # LM-Jelinek-Mercer (LMJelinekMercerSimilarity.java:62-69,
+        # lambda=0.1): score = ln(1 + ((1-lambda)*tf/dl)/(lambda*p_c)) with
+        # p_c = (cf+1)/(sttf+1) (LMSimilarity.java:145-147)
+        idx = _ft_index(spark, sf)
+        td = search(idx, "batch fast", k=10, precision="float64",
+                    prune=True, similarity="lmjm")
+        rows = [
+            (int(d), int(math.floor(s * 10000)))
+            for d, s in zip(td.docids.tolist(), td.scores.tolist())
+        ]
+        return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
     def ft_explain(spark, sf):
         # IndexSearcher.explain analog: per-term score breakdown of the
         # top-1 doc for "key window"
@@ -1209,10 +1238,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_fuzzy, ft_qp_complex,
         # collectors / facets / grouping (1)
         ft_group_top,
-        # aux search modules (2)
-        ft_monitor, ft_highlight,
-        # pluggable similarities + feature fields (3; lmd new this round)
-        ft_classic_sim, ft_lmd_sim, ft_feature,
+        # aux search modules (3; naive-bayes new round 2 session 3)
+        ft_monitor, ft_highlight, ft_nb_classify,
+        # pluggable similarities + feature fields (4; lmd + lmjm new)
+        ft_classic_sim, ft_lmd_sim, ft_lmjm_sim, ft_feature,
         # function scoring + rescoring (2, new round 2)
         ft_function_score, ft_rescore,
         # surround query-language parser (1, new round 2)
@@ -1221,12 +1250,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_memory,
         # offsets channel + singleton pulsing (2, new round 2)
         ft_offsets, ft_pulsed,
-        # dedup family (5)
-        dedup_exact, dedup_jaccard, dedup_minhash_lsh, dedup_simhash,
+        # dedup family (4; exact dedup r1-verified+unchanged -> tail)
+        dedup_jaccard, dedup_minhash_lsh, dedup_simhash,
         dedup_embcos,
-        # ANN + embedding stats (4)
-        ann_bruteforce, ann_ivf, ann_lsh, emb_label_stats,
+        # ANN + embedding stats (3; bruteforce r1-verified+unchanged -> tail)
+        ann_ivf, ann_lsh, emb_label_stats,
         # --- entries 51+: variants + round-1-verified unchanged families ---
+        dedup_exact, ann_bruteforce,
         ft_facet_range, dedup_embcos_lsh, dedup_simhash_pairs, ann_ivf_indexed,
         ft_suggest, ft_knn_classify, ft_explain, ft_mlt,
         text_token_count, text_quality, text_langid, text_fingerprint,
@@ -2118,6 +2148,23 @@ doc_scores AS (
 )
 SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
 FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10""",
+        "ft_lmjm_sim": _FT_PRELUDE + """,
+cfs AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY term),
+term_scores AS (
+  SELECT tf.doc_id,
+         ln(1 + ((1.0 - 0.1) * tf / dl.dl)
+              / (0.1 * ((cfs.cf + 1.0) / (s.sttf + 1.0)))) AS sc
+  FROM tf
+  JOIN cfs USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  WHERE tf.term IN ('batch', 'fast')
+),
+doc_scores AS (
+  SELECT doc_id, SUM(sc) AS score FROM term_scores GROUP BY doc_id
+)
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10""",
         "ft_memory": _FT_PRELUDE + """,
 mem AS (
   SELECT doc_id,
@@ -2270,6 +2317,32 @@ topk AS (SELECT doc_id FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10)
 SELECT d.lang AS label, CAST(count(*) AS BIGINT) AS votes
 FROM topk t JOIN documents d USING (doc_id)
 GROUP BY d.lang ORDER BY votes DESC, label LIMIT 1""",
+        # SimpleNaiveBayesClassifier twin: per class c,
+        #   ln(dwc) - ln(dall) + sum_w cnt_w * ln((hits(w,c)+1)/(au*dwc+dall))
+        # with au = sumDocFreq/docCount (avg unique terms/doc), add-1 smoothing
+        "ft_nb_classify": _FT_PRELUDE + """,
+qt(term, cnt) AS (VALUES ('key', 1), ('window', 1), ('batch', 1)),
+cls AS (SELECT lang AS label, CAST(count(*) AS BIGINT) AS dwc
+        FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS dall
+        FROM documents WHERE lang IS NOT NULL),
+avgu AS (SELECT count(*) / CAST((SELECT n FROM stats) AS DOUBLE) AS au
+         FROM (SELECT DISTINCT doc_id, term FROM ftok)),
+nbhits AS (SELECT d.lang AS label, f.term,
+                  CAST(count(DISTINCT f.doc_id) AS BIGINT) AS h
+           FROM ftok f JOIN documents d USING (doc_id)
+           WHERE f.term IN (SELECT term FROM qt) AND d.lang IS NOT NULL
+           GROUP BY d.lang, f.term),
+nbscores AS (
+  SELECT c.label,
+         ln(c.dwc) - ln(t.dall)
+         + sum(q.cnt * ln((COALESCE(h.h, 0) + 1) / (a.au * c.dwc + t.dall))) AS s
+  FROM cls c CROSS JOIN qt q CROSS JOIN tot t CROSS JOIN avgu a
+  LEFT JOIN nbhits h ON h.label = c.label AND h.term = q.term
+  GROUP BY c.label, c.dwc, t.dall, a.au
+)
+SELECT label, CAST(floor(s * 10000) AS BIGINT) AS score_q
+FROM nbscores ORDER BY score_q DESC, label""",
         # golden-snippet twin of highlight.highlight(window=8) over the
         # top-10 'dup' hits: same window scorer (hit count desc, start asc),
         # same **term** marking

@@ -400,6 +400,94 @@ class LMDirichletScorer:
         return float(np.max(self.score(np.asarray(freqs), np.asarray(norms))))
 
 
+class LMJelinekMercerScorer:
+    """Language model with Jelinek-Mercer smoothing —
+    LMJelinekMercerSimilarity.java:40-69 (Zhai & Lafferty 2001):
+
+      p_c   = (totalTermFreq + 1) / (sumTotalTermFreq + 1)   (double —
+              LMSimilarity.DefaultCollectionModel.computeProbability,
+              LMSimilarity.java:145-147)
+      score = boost * ln(1 + ((1 - lambda) * freq / dl) / (lambda * p_c))
+              (:62-69); lambda in (0, 1], ~0.1 for title queries and ~0.7
+              for long queries per the class javadoc — the engine default
+              is 0.1 (there is no Lucene default; the constructor requires
+              lambda).
+
+    Always > 0 for freq > 0 (ln of 1 + positive), so no clamp, and monotone
+    increasing in freq / decreasing in dl — per-block impact frontiers stay
+    valid pruning bounds.  Shares LM-Dirichlet's NEEDS_CF plumbing and its
+    phrase/synonym/span restriction (see :class:`LMDirichletScorer`).
+    """
+
+    NEEDS_CF = True
+    LAMBDA = 0.1
+
+    def __init__(
+        self,
+        doc_freq: int,
+        stats: CollectionStats,
+        k1: float = 1.2,
+        b: float = 0.75,
+        boost: float = 1.0,
+        precision: str = "lucene",
+        idf_value: float | None = None,
+        cf: int | None = None,
+    ):
+        if cf is None:
+            raise ValueError(
+                "LM-Jelinek-Mercer needs the term's collection frequency; "
+                "the query layer passes cf= from the term dictionary (phrase/"
+                "synonym/span weights are unsupported under similarity='lmjm')"
+            )
+        if precision not in ("lucene", "float64"):
+            raise ValueError(f"unknown precision {precision!r}")
+        self.doc_freq = doc_freq
+        self.stats = stats
+        self.precision = precision
+        self.boost = float(boost)
+        self.lam = float(self.LAMBDA)
+        self.p_c = (float(cf) + 1.0) / (float(stats.sum_total_term_freq) + 1.0)
+        self.weight = (
+            np.float32(boost) if precision == "lucene" else float(boost)
+        )
+
+    @classmethod
+    def for_terms(cls, doc_freqs, stats, k1=1.2, b=0.75, boost=1.0,
+                  precision="lucene"):
+        raise NotImplementedError(
+            "phrase/synonym/span weights are not supported under "
+            "similarity='lmjm' (blended multi-term statistics are "
+            "BM25/TFIDF-specific in this engine)"
+        )
+
+    def _score64(self, f: np.ndarray, dl: np.ndarray) -> np.ndarray:
+        return self.boost * np.log(
+            1.0 + ((1.0 - self.lam) * f / dl) / (self.lam * self.p_c)
+        )
+
+    def score(self, freq: np.ndarray, norm: np.ndarray) -> np.ndarray:
+        if self.precision == "lucene":
+            f = np.asarray(freq, dtype=np.float64)
+            dl = LENGTH_TABLE[np.asarray(norm, dtype=np.int64)].astype(np.float64)
+            return self._score64(f, dl).astype(np.float32)
+        return self._score64(
+            np.asarray(freq, dtype=np.float64),
+            np.asarray(norm, dtype=np.float64),
+        )
+
+    def score_from_dl(self, freq: np.ndarray, dl: np.ndarray) -> np.ndarray:
+        if self.precision == "lucene":
+            from .smallfloat import int_to_byte4_np
+
+            return self.score(freq, int_to_byte4_np(np.asarray(dl)))
+        return self.score(freq, dl)
+
+    def max_score(self, freqs: np.ndarray, norms: np.ndarray) -> float:
+        if len(freqs) == 0:
+            return 0.0
+        return float(np.max(self.score(np.asarray(freqs), np.asarray(norms))))
+
+
 # similarity registry (IndexSearcher.setSimilarity analog,
 # search/IndexSearcher.java:286-294): name → scorer class
 SIMILARITIES = {
@@ -407,4 +495,5 @@ SIMILARITIES = {
     "classic": ClassicScorer,
     "boolean": BooleanScorer,
     "lmd": LMDirichletScorer,
+    "lmjm": LMJelinekMercerScorer,
 }

@@ -145,3 +145,43 @@ def test_image_and_audio_features_spark(spark):
     assert arows[0]["sample_rate"] == 16000
     assert abs(arows[0]["duration_sec"] - 0.5) < 1e-9
     assert 0 < arows[0]["rms"] < 1
+
+
+def test_classify_naive_bayes(aidx, docs):
+    """Duel vs an independent pure-Python NB twin of
+    SimpleNaiveBayesClassifier.java:49 on the module corpus."""
+    import math
+
+    from lucene_spark.analysis import analyze
+    from lucene_spark.classify import classify_naive_bayes
+
+    text = "spark window"
+    out = classify_naive_bayes(aidx, text, docs.select("doc_id", "lang")).collect()
+
+    toks = [analyze(t) for _, t, _ in CORPUS]
+    labels = [l for _, _, l in CORPUS]
+    dall = len(CORPUS)
+    sum_df = len({(i, w) for i, ts in enumerate(toks) for w in ts})
+    au = sum_df / dall
+    q = analyze(text)
+    want = {}
+    for c in sorted(set(labels)):
+        dwc = labels.count(c)
+        s = math.log(dwc) - math.log(dall)
+        for w in q:
+            hits = sum(1 for i, ts in enumerate(toks) if labels[i] == c and w in ts)
+            s += math.log((hits + 1) / (au * dwc + dall))
+        want[c] = s
+    got = {r["label"]: r["score"] for r in out}
+    assert set(got) == set(want)
+    for c in want:
+        assert abs(got[c] - want[c]) < 1e-12, c
+    # ranking: 'en' docs dominate spark+window
+    assert out[0]["label"] == "en"
+    # normalized variant is a probability distribution with the same argmax
+    norm = classify_naive_bayes(
+        aidx, text, docs.select("doc_id", "lang"), normalize=True
+    ).collect()
+    assert norm[0]["label"] == "en"
+    assert abs(sum(r["score"] for r in norm) - 1.0) < 1e-12
+    assert all(0.0 <= r["score"] <= 1.0 for r in norm)

@@ -128,3 +128,51 @@ def test_lmd_lucene_mode_quantizes_norm_and_casts_float32():
     )
     got = s32.score_from_dl(np.array([2]), dl)[0]
     assert got.dtype == np.float32 and got == want
+
+
+def test_lmjm_formula():
+    """LMJelinekMercerSimilarity.java:62-69: score = boost*ln(1 +
+    ((1-lambda)*tf/dl)/(lambda*p_c)); p_c=(cf+1)/(sttf+1), lambda=0.1."""
+    from lucene_spark.similarity import LMJelinekMercerScorer
+
+    stats = CollectionStats(100, 5000)
+    sc = LMJelinekMercerScorer(10, stats, precision="float64", cf=40)
+    p_c = 41.0 / 5001.0
+    want = math.log(1 + (0.9 * 3.0 / 50.0) / (0.1 * p_c))
+    got = sc.score_from_dl(np.array([3]), np.array([50]))[0]
+    assert got == pytest.approx(want, rel=1e-12) and got > 0
+    # strictly positive even for a very common term with tf=1 in a long doc
+    common = LMJelinekMercerScorer(90, stats, precision="float64", cf=4000)
+    assert common.score_from_dl(np.array([1]), np.array([200]))[0] > 0.0
+    # monotone in tf, anti-monotone in dl (pruning-bound contract)
+    tfs = np.arange(1, 50)
+    s = sc.score_from_dl(tfs, np.full(len(tfs), 100))
+    assert (np.diff(s) > 0).all()
+    dls = np.arange(5, 500)
+    s2 = sc.score_from_dl(np.full(len(dls), 3), dls)
+    assert (np.diff(s2) < 0).all()
+
+
+def test_lmjm_requires_cf_and_rejects_phrase_weights():
+    from lucene_spark.similarity import LMJelinekMercerScorer
+
+    stats = CollectionStats(10, 100)
+    with pytest.raises(ValueError):
+        LMJelinekMercerScorer(1, stats)
+    with pytest.raises(NotImplementedError):
+        LMJelinekMercerScorer.for_terms([1, 2], stats)
+
+
+def test_lmjm_lucene_mode_quantizes_norm_and_casts_float32():
+    from lucene_spark.similarity import LMJelinekMercerScorer
+    from lucene_spark.smallfloat import LENGTH_TABLE, int_to_byte4_np
+
+    stats = CollectionStats(100, 5000)
+    s32 = LMJelinekMercerScorer(10, stats, precision="lucene", cf=40)
+    dl = np.array([137])
+    byte = int_to_byte4_np(dl)
+    qdl = float(LENGTH_TABLE[int(byte[0])])
+    p_c = 41.0 / 5001.0
+    want = np.float32(math.log(1 + (0.9 * 2.0 / qdl) / (0.1 * p_c)))
+    got = s32.score_from_dl(np.array([2]), dl)[0]
+    assert got.dtype == np.float32 and got == want
