@@ -331,6 +331,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return spark.createDataFrame(rows or [], "doc_id long, score_q long")
 
+    def ft_expr_score(spark, sf):
+        # expressions module (expressions/js/JavascriptCompiler.java:59-122):
+        # compile "_score + ln(1 + n_chars)" to Catalyst SQL, run as the
+        # FunctionScoreQuery source over BM25('batch') — the compiled
+        # expression executes JVM-side (whole-stage codegen)
+        from lucene_spark.expressions import compile_expression
+        from lucene_spark.funcscore import function_score
+
+        idx = _ft_index(spark, sf)
+        vals = _docs(spark, sf).select(
+            F.col("doc_id").alias("docid"), F.col("n_chars").cast("double").alias("n_chars")
+        )
+        src = compile_expression(
+            "_score + ln(1 + n_chars)", {"_score": "score", "n_chars": "n_chars"}
+        )
+        td = function_score(idx, "batch", src, values=vals, k=10, precision="float64")
+        rows = [
+            (int(d), int(math.floor(s * 10000)))
+            for d, s in zip(td.docids.tolist(), td.scores.tolist())
+        ]
+        return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
+    def ft_facet_taxo(spark, sf):
+        # taxonomy facets (FastTaxonomyFacetCounts.java:39 over a
+        # FacetsCollector match set): whole-taxonomy rollup of the docs
+        # matching 'dup', two levels lang/source, path stringified for the
+        # gate hash
+        from lucene_spark.facets import all_counts
+
+        idx = _ft_index(spark, sf)
+        m = match_any_docs(idx, ["dup"]).join(
+            _docs(spark, sf).withColumn("docid", F.col("doc_id")), "docid"
+        )
+        return all_counts(m, ["lang", "source"]).select(
+            "depth", F.array_join("path", "/").alias("path"), "count"
+        )
+
+    def ft_drill_sideways(spark, sf):
+        # DrillSideways (facet/DrillSideways.java:56): drill into
+        # lang=en/source=src1 over the 'dup' match set; emit the sibling
+        # source counts scoped to lang=en (the drill-down dim relaxed)
+        from lucene_spark.facets import drill_sideways
+
+        idx = _ft_index(spark, sf)
+        m = match_any_docs(idx, ["dup"]).join(
+            _docs(spark, sf).withColumn("docid", F.col("doc_id")), "docid"
+        )
+        hits, sib = drill_sideways(m, ["lang", "source"], ["en", "src1"], topn=100)
+        return sib
+
     def ft_function_score(spark, sf):
         # FunctionScoreQuery.boostByValue (queries/function/
         # FunctionScoreQuery.java:80): BM25('batch') hits rescored by
@@ -1220,7 +1270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_token_stats, ft_norms, ft_termdict,
         # boolean/scoring query kernels (8)
         ft_term_topk, ft_or_topk, ft_and_topk,
-        ft_filtered, ft_deleted_persist, ft_count,
+        ft_deleted_persist, ft_count,
         # positional + synonym (3)
         ft_phrase, ft_phrase_sloppy, ft_synonym,
         # span queries (4, new round 2)
@@ -1236,14 +1286,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multi-term expansion (1, Damerau fuzzy changed round 2) +
         # parser nesting (1)
         ft_fuzzy, ft_qp_complex,
-        # collectors / facets / grouping (1)
-        ft_group_top,
-        # aux search modules (3; naive-bayes new round 2 session 3)
-        ft_monitor, ft_highlight, ft_nb_classify,
+        # collectors / facets / grouping (2; taxonomy + sideways new)
+        ft_facet_taxo, ft_drill_sideways,
+        # aux search modules (2; naive-bayes new round 2 session 3)
+        ft_highlight, ft_nb_classify,
         # pluggable similarities + feature fields (4; lmd + lmjm new)
         ft_classic_sim, ft_lmd_sim, ft_lmjm_sim, ft_feature,
-        # function scoring + rescoring (2, new round 2)
-        ft_function_score, ft_rescore,
+        # function scoring + rescoring + expressions (3, new round 2)
+        ft_function_score, ft_rescore, ft_expr_score,
         # surround query-language parser (1, new round 2)
         ft_surround,
         # MemoryIndex single-doc prospective search (1, new round 2)
@@ -1256,7 +1306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ANN + embedding stats (3; bruteforce r1-verified+unchanged -> tail)
         ann_ivf, ann_lsh, emb_label_stats,
         # --- entries 51+: variants + round-1-verified unchanged families ---
-        dedup_exact, ann_bruteforce,
+        dedup_exact, ann_bruteforce, ft_filtered, ft_group_top, ft_monitor,
         ft_facet_range, dedup_embcos_lsh, dedup_simhash_pairs, ann_ivf_indexed,
         ft_suggest, ft_knn_classify, ft_explain, ft_mlt,
         text_token_count, text_quality, text_langid, text_fingerprint,
@@ -1909,6 +1959,27 @@ combined AS (
 )
 SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
 FROM combined ORDER BY score DESC, doc_id LIMIT 10""",
+        "ft_expr_score": _FT_PRELUDE + "," + _score_sql(["batch"]) + """
+SELECT ds.doc_id,
+       CAST(floor((ds.score + ln(1 + CAST(d.n_chars AS DOUBLE))) * 10000) AS BIGINT) AS score_q
+FROM doc_scores ds JOIN documents d USING (doc_id)
+ORDER BY ds.score + ln(1 + CAST(d.n_chars AS DOUBLE)) DESC, ds.doc_id LIMIT 10""",
+        "ft_facet_taxo": _FT_PRELUDE + """,
+m AS (SELECT DISTINCT doc_id FROM ftok WHERE term = 'dup'),
+j AS (SELECT d.lang, d.source FROM documents d JOIN m USING (doc_id)),
+l1 AS (SELECT 1 AS depth, lang AS path, CAST(count(*) AS BIGINT) AS count
+       FROM j GROUP BY lang),
+l2 AS (SELECT 2 AS depth, lang || '/' || source AS path,
+              CAST(count(*) AS BIGINT) AS count
+       FROM j GROUP BY lang, source)
+SELECT depth, path, count FROM (SELECT * FROM l1 UNION ALL SELECT * FROM l2)
+ORDER BY depth ASC, count DESC, path ASC""",
+        "ft_drill_sideways": _FT_PRELUDE + """,
+m AS (SELECT DISTINCT doc_id FROM ftok WHERE term = 'dup'),
+j AS (SELECT d.lang, d.source FROM documents d JOIN m USING (doc_id))
+SELECT source AS label, CAST(count(*) AS BIGINT) AS count
+FROM j WHERE lang = 'en'
+GROUP BY source ORDER BY count DESC, label ASC LIMIT 100""",
         "ft_function_score": _FT_PRELUDE + "," + _score_sql(["batch"]) + """
 SELECT ds.doc_id,
        CAST(floor(ds.score * (1.0 + d.n_chars / 1000.0) * 10000) AS BIGINT) AS score_q

@@ -1,0 +1,107 @@
+"""Taxonomy facets: hierarchical counts, top-children, drill-down/sideways.
+
+Reference: lucene/facet taxonomy — FacetsCollector gathers the query's match
+set (facet/src/java/org/apache/lucene/facet/FacetsCollector.java:50),
+FastTaxonomyFacetCounts accumulates per-ordinal counts over it
+(facet/taxonomy/FastTaxonomyFacetCounts.java:39), getTopChildren returns the
+top-N child labels under a dim/path ordered count desc
+(facet/taxonomy/IntTaxonomyFacets.java:165-245; ties break toward the
+smaller ordinal — ordinals are taxonomy insertion order, which Spark has no
+analog of, so this engine breaks ties by label asc, documented divergence),
+and DrillDownQuery conjoins path-prefix filters onto the base query
+(facet/DrillDownQuery.java:42).
+
+Spark-first design: a facet path is an ``array<string>`` column; every
+operator here is pure Catalyst (slice/element_at/size + one groupBy), so at
+100 TB the counts are a map-side-combined aggregation over the match set —
+no taxonomy index is needed because Parquet dictionary encoding + the
+groupBy play the role of the ordinal map.  The match set arrives as a
+DataFrame (docid) — compose with search.match_any_docs / score_docs exactly
+like FacetsCollector composes with any query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _with_path(df: DataFrame, path_col: str | list) -> DataFrame:
+    """Accept either an existing array<string> column name or a list of
+    level column names to assemble into one (FacetField dim/components)."""
+    if isinstance(path_col, str):
+        return df.withColumn("__path", F.col(path_col))
+    return df.withColumn("__path", F.array(*[F.col(c).cast("string") for c in path_col]))
+
+
+def top_children(
+    matches: DataFrame,
+    path_col: str | list,
+    path: list[str] | None = None,
+    topn: int = 10,
+) -> DataFrame:
+    """getTopChildren analog (IntTaxonomyFacets.java:165-245): counts of the
+    child labels directly under ``path`` (``[]``/None = the dim root), over
+    the rows of ``matches``, ordered count desc then label asc, cut to topn.
+
+    Returns (label string, count long)."""
+    path = path or []
+    depth = len(path)
+    df = _with_path(matches, path_col)
+    if depth:
+        prefix = F.array(*[F.lit(p) for p in path])
+        df = df.filter(F.slice(F.col("__path"), 1, depth) == prefix)
+    df = df.filter(F.size("__path") > depth)
+    return (
+        df.groupBy(F.element_at("__path", depth + 1).alias("label"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.col("count").desc(), F.col("label").asc())
+        .limit(topn)
+    )
+
+
+def all_counts(matches: DataFrame, path_col: str | list, max_depth: int | None = None) -> DataFrame:
+    """Counts for EVERY taxonomy node (all path prefixes) in one pass — the
+    whole-taxonomy rollup (getAllDims / getTopChildren over each node).
+    Prefix explosion is pure Catalyst: posexplode marks each depth, slice
+    rebuilds the prefix.  Returns (depth int, path array<string>, count long)
+    ordered depth asc, count desc, path asc."""
+    df = _with_path(matches, path_col)
+    if max_depth is not None:
+        df = df.withColumn("__path", F.slice("__path", 1, max_depth))
+    exploded = df.select(
+        F.posexplode("__path").alias("__pos", "__label"), "__path"
+    ).select((F.col("__pos") + 1).alias("depth"), F.slice("__path", 1, F.col("__pos") + 1).alias("path"))
+    return (
+        exploded.groupBy("depth", "path")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.col("depth").asc(), F.col("count").desc(), F.col("path").asc())
+    )
+
+
+def drill_down(df: DataFrame, path_col: str | list, path: list[str]) -> DataFrame:
+    """DrillDownQuery analog (facet/DrillDownQuery.java:42): restrict rows to
+    those whose facet path starts with ``path`` (a FILTER conjunction — no
+    effect on scores, exactly like DrillDownQuery's FILTER occur)."""
+    out = _with_path(df, path_col)
+    prefix = F.array(*[F.lit(p) for p in path])
+    return out.filter(F.slice(F.col("__path"), 1, len(path)) == prefix).drop("__path")
+
+
+def drill_sideways(
+    matches: DataFrame,
+    path_col: str | list,
+    path: list[str],
+    topn: int = 10,
+) -> tuple[DataFrame, DataFrame]:
+    """DrillSideways analog (facet/DrillSideways.java:56): returns
+    (drill-down rows, sibling counts) — the sibling facet counts are computed
+    over the match set WITHOUT the last drill-down restriction (but with all
+    parent restrictions), so the UI can show "what else is at this level".
+    """
+    parent = path[:-1]
+    scoped = drill_down(matches, path_col, parent) if parent else matches
+    return (
+        drill_down(matches, path_col, path),
+        top_children(scoped, path_col, parent, topn=topn),
+    )
