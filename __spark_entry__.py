@@ -132,6 +132,29 @@ def _mf_topk_df(spark: SparkSession, sf_dir: str, query, k: int = 10) -> DataFra
     return spark.createDataFrame(rows or [], "doc_id long, score_q long")
 
 
+_PAYLOAD_CACHE: dict[str, DataFrame] = {}
+
+
+def _payload_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic payload annotation of the gate corpus: every 'dup' and
+    'key' token becomes 'dup|w' / 'key|w' with w = (doc_id%5)*0.5+0.5 —
+    exactly-representable halves so the oracle can compute w analytically."""
+    if sf_dir not in _PAYLOAD_CACHE:
+        from lucene_spark.payloads import build_payload_sidecar
+
+        docs = _docs(spark, sf_dir)
+        w = ((F.col("doc_id") % 5) * 0.5 + 0.5).cast("double").cast("string")
+        raw = F.regexp_replace(
+            F.regexp_replace(F.col("text"), F.lit(r"\bdup\b"), F.concat(F.lit("dup|"), w)),
+            F.lit(r"\bkey\b"), F.concat(F.lit("key|"), w),
+        )
+        annotated = docs.select(F.col("doc_id").alias("docid"), raw.alias("raw"))
+        sc = build_payload_sidecar(annotated, text_col="raw").persist()
+        sc.count()
+        _PAYLOAD_CACHE[sf_dir] = sc
+    return _PAYLOAD_CACHE[sf_dir]
+
+
 def _ft_index(spark: SparkSession, sf_dir: str) -> Index:
     if sf_dir not in _INDEX_CACHE:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -325,6 +348,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _ft_index(spark, sf)
         td = search(idx, "batch fast", k=10, precision="float64",
                     prune=True, similarity="lmd")
+        rows = [
+            (int(d), int(math.floor(s * 10000)))
+            for d, s in zip(td.docids.tolist(), td.scores.tolist())
+        ]
+        return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
+    def ft_payload_term(spark, sf):
+        # PayloadScoreQuery over a SpanTermQuery (queries/payloads/
+        # PayloadScoreQuery.java:47): every 'dup' occurrence carries payload
+        # (doc_id%5)*0.5+0.5 (DelimitedPayloadTokenFilter annotation built
+        # deterministically); MaxPayloadFunction x span score
+        from lucene_spark.payloads import payload_score_topk
+
+        idx = _ft_index(spark, sf)
+        td = payload_score_topk(
+            idx, _payload_sidecar(spark, sf), "dup", function="max",
+            include_span_score=True, k=10, precision="float64",
+        )
+        rows = [
+            (int(d), int(math.floor(s * 10000)))
+            for d, s in zip(td.docids.tolist(), td.scores.tolist())
+        ]
+        return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
+    def ft_payload_near(spark, sf):
+        # PayloadNearQuery pattern (PayloadScoreQuery wrapping an ordered
+        # slop=0 SpanNearQuery): payloads at matched span member positions
+        # only, SumPayloadFunction, includeSpanScore=false (pure payload
+        # score) — 'key' annotated, 'window' payload-less
+        from lucene_spark.payloads import payload_score_topk
+
+        idx = _ft_index(spark, sf)
+        td = payload_score_topk(
+            idx, _payload_sidecar(spark, sf), ["key", "window"],
+            function="sum", include_span_score=False, k=10, precision="float64",
+        )
         rows = [
             (int(d), int(math.floor(s * 10000)))
             for d, s in zip(td.docids.tolist(), td.scores.tolist())
@@ -1271,8 +1330,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # boolean/scoring query kernels (8)
         ft_term_topk, ft_or_topk, ft_and_topk,
         ft_deleted_persist, ft_count,
-        # positional + synonym (3)
-        ft_phrase, ft_phrase_sloppy, ft_synonym,
+        # positional (1; exact phrase + synonym r1-verified -> tail)
+        ft_phrase_sloppy,
+        # payloads channel (2, new round 2 session 3)
+        ft_payload_term, ft_payload_near,
         # span queries (4, new round 2)
         ft_span_near_ord, ft_span_near_unord, ft_span_first, ft_span_not,
         # interval queries (3, new round 2 session 3)
@@ -1307,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann_ivf, ann_lsh, emb_label_stats,
         # --- entries 51+: variants + round-1-verified unchanged families ---
         dedup_exact, ann_bruteforce, ft_filtered, ft_group_top, ft_monitor,
+        ft_phrase, ft_synonym,
         ft_facet_range, dedup_embcos_lsh, dedup_simhash_pairs, ann_ivf_indexed,
         ft_suggest, ft_knn_classify, ft_explain, ft_mlt,
         text_token_count, text_quality, text_langid, text_fingerprint,
@@ -1959,6 +2021,31 @@ combined AS (
 )
 SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
 FROM combined ORDER BY score DESC, doc_id LIMIT 10""",
+        # payload max = the doc's constant annotation w = (doc_id%5)*0.5+0.5,
+        # computed analytically; span score of a single-term span == BM25
+        "ft_payload_term": _FT_PRELUDE + "," + _score_sql(["dup"]) + """
+SELECT doc_id,
+       CAST(floor(score * ((doc_id % 5) * 0.5 + 0.5) * 10000) AS BIGINT) AS score_q
+FROM doc_scores
+ORDER BY score * ((doc_id % 5) * 0.5 + 0.5) DESC, doc_id LIMIT 10""",
+        # ordered adjacent key->window spans: payload sum = pf * w (only the
+        # 'key' member is annotated), includeSpanScore=false
+        "ft_payload_near": _FT_PRELUDE + """,
+pos AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS p
+  FROM documents
+),
+pm AS (
+  SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS pf
+  FROM pos p0
+  JOIN pos p1 ON p1.doc_id = p0.doc_id AND p1.p = p0.p + 1 AND p1.w = 'window'
+  WHERE p0.w = 'key' GROUP BY p0.doc_id
+)
+SELECT doc_id,
+       CAST(floor(pf * ((doc_id % 5) * 0.5 + 0.5) * 10000) AS BIGINT) AS score_q
+FROM pm
+ORDER BY pf * ((doc_id % 5) * 0.5 + 0.5) DESC, doc_id LIMIT 10""",
         "ft_expr_score": _FT_PRELUDE + "," + _score_sql(["batch"]) + """
 SELECT ds.doc_id,
        CAST(floor((ds.score + ln(1 + CAST(d.n_chars AS DOUBLE))) * 10000) AS BIGINT) AS score_q
