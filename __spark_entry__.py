@@ -133,6 +133,7 @@ def _mf_topk_df(spark: SparkSession, sf_dir: str, query, k: int = 10) -> DataFra
 
 
 _PAYLOAD_CACHE: dict[str, DataFrame] = {}
+_REPLICA_CACHE: dict[str, Index] = {}
 
 
 def _payload_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -348,6 +349,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _ft_index(spark, sf)
         td = search(idx, "batch fast", k=10, precision="float64",
                     prune=True, similarity="lmd")
+        rows = [
+            (int(d), int(math.floor(s * 10000)))
+            for d, s in zip(td.docids.tolist(), td.scores.tolist())
+        ]
+        return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
+    def ft_replica(spark, sf):
+        # replicator (ReplicationClient.java:44, IndexReplicationHandler.java:
+        # 89-113): publish the persisted index as a revision, incremental-sync
+        # a replica (only missing files ship), search the REPLICA — results
+        # must equal the primary's BM25 oracle
+        import tempfile
+
+        from lucene_spark.index import write_index
+        from lucene_spark.replicator import publish_revision, read_replica, sync_replica
+
+        idx = _ft_index(spark, sf)
+        if sf not in _REPLICA_CACHE:
+            root = tempfile.mkdtemp(prefix="luspark_repl_")
+            src, dst = f"{root}/primary", f"{root}/replica"
+            write_index(idx, src)
+            publish_revision(src)
+            stats = sync_replica(src, dst)
+            assert stats["copied"] > 0
+            # idempotence: a second sync ships nothing
+            assert sync_replica(src, dst)["copied"] == 0
+            _REPLICA_CACHE[sf] = read_replica(spark, dst)
+        td = search(_REPLICA_CACHE[sf], "dup", k=10, precision="float64", prune=True)
         rows = [
             (int(d), int(math.floor(s * 10000)))
             for d, s in zip(td.docids.tolist(), td.scores.tolist())
@@ -1325,8 +1354,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and tail, are still verified against the same DuckDB oracles every
     # round by tests/test_entry_gate.py.
     for fn in [
-        # core analysis + index tables (3)
-        ft_token_stats, ft_norms, ft_termdict,
+        # core analysis + index tables (2; termdict r1-verified -> tail)
+        ft_token_stats, ft_norms,
         # boolean/scoring query kernels (8)
         ft_term_topk, ft_or_topk, ft_and_topk,
         ft_deleted_persist, ft_count,
@@ -1359,6 +1388,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_surround,
         # MemoryIndex single-doc prospective search (1, new round 2)
         ft_memory,
+        # replicator segment shipping (1, new round 2 session 3)
+        ft_replica,
         # offsets channel + singleton pulsing (2, new round 2)
         ft_offsets, ft_pulsed,
         # dedup family (4; exact dedup r1-verified+unchanged -> tail)
@@ -1368,7 +1399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann_ivf, ann_lsh, emb_label_stats,
         # --- entries 51+: variants + round-1-verified unchanged families ---
         dedup_exact, ann_bruteforce, ft_filtered, ft_group_top, ft_monitor,
-        ft_phrase, ft_synonym,
+        ft_phrase, ft_synonym, ft_termdict,
         ft_facet_range, dedup_embcos_lsh, dedup_simhash_pairs, ann_ivf_indexed,
         ft_suggest, ft_knn_classify, ft_explain, ft_mlt,
         text_token_count, text_quality, text_langid, text_fingerprint,
@@ -2023,6 +2054,7 @@ SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
 FROM combined ORDER BY score DESC, doc_id LIMIT 10""",
         # payload max = the doc's constant annotation w = (doc_id%5)*0.5+0.5,
         # computed analytically; span score of a single-term span == BM25
+        "ft_replica": _topk_sql(["dup"], 10),
         "ft_payload_term": _FT_PRELUDE + "," + _score_sql(["dup"]) + """
 SELECT doc_id,
        CAST(floor(score * ((doc_id % 5) * 0.5 + 0.5) * 10000) AS BIGINT) AS score_q
