@@ -1172,6 +1172,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return spark.createDataFrame(rows or [], "doc_id long, score_q long")
 
+    def ft_dfr_sim(spark, sf):
+        # DFR G-B-H2 c=1 (DFRSimilarity.java:104-107; BasicModelG.java:48-50;
+        # AfterEffectB.java:32-36; NormalizationH2.java:57-58)
+        idx = _ft_index(spark, sf)
+        td = search(idx, "batch fast", k=10, precision="float64",
+                    prune=True, similarity="dfr")
+        rows = [
+            (int(d), int(math.floor(s * 10000)))
+            for d, s in zip(td.docids.tolist(), td.scores.tolist())
+        ]
+        return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
+    def ft_ib_sim(spark, sf):
+        # IB LL-D-H2 (IBSimilarity; DistributionLL.java:34; LambdaDF.java:
+        # 32-39 incl. the float cast of lambda; NormalizationH2 c=1)
+        idx = _ft_index(spark, sf)
+        td = search(idx, "batch fast", k=10, precision="float64",
+                    prune=True, similarity="ib")
+        rows = [
+            (int(d), int(math.floor(s * 10000)))
+            for d, s in zip(td.docids.tolist(), td.scores.tolist())
+        ]
+        return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
     def ft_explain(spark, sf):
         # IndexSearcher.explain analog: per-term score breakdown of the
         # top-1 doc for "key window"
@@ -1354,8 +1378,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and tail, are still verified against the same DuckDB oracles every
     # round by tests/test_entry_gate.py.
     for fn in [
-        # core analysis + index tables (2; termdict r1-verified -> tail)
-        ft_token_stats, ft_norms,
+        # boolean/scoring kernels + distributed collectors (analysis-table
+        # gates ft_token_stats/ft_norms/ft_termdict are r1-verified+unchanged
+        # -> tail)
         # boolean/scoring query kernels (8)
         ft_term_topk, ft_or_topk, ft_and_topk,
         ft_deleted_persist, ft_count,
@@ -1380,8 +1405,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_facet_taxo, ft_drill_sideways,
         # aux search modules (2; naive-bayes new round 2 session 3)
         ft_highlight, ft_nb_classify,
-        # pluggable similarities + feature fields (4; lmd + lmjm new)
-        ft_classic_sim, ft_lmd_sim, ft_lmjm_sim, ft_feature,
+        # pluggable similarities + feature fields (6; lmd/lmjm/dfr/ib new)
+        ft_classic_sim, ft_lmd_sim, ft_lmjm_sim, ft_dfr_sim, ft_ib_sim,
+        ft_feature,
         # function scoring + rescoring + expressions (3, new round 2)
         ft_function_score, ft_rescore, ft_expr_score,
         # surround query-language parser (1, new round 2)
@@ -1399,7 +1425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann_ivf, ann_lsh, emb_label_stats,
         # --- entries 51+: variants + round-1-verified unchanged families ---
         dedup_exact, ann_bruteforce, ft_filtered, ft_group_top, ft_monitor,
-        ft_phrase, ft_synonym, ft_termdict,
+        ft_phrase, ft_synonym, ft_termdict, ft_norms, ft_token_stats,
         ft_facet_range, dedup_embcos_lsh, dedup_simhash_pairs, ann_ivf_indexed,
         ft_suggest, ft_knn_classify, ft_explain, ft_mlt,
         text_token_count, text_quality, text_langid, text_fingerprint,
@@ -2346,6 +2372,47 @@ term_scores AS (
               / (0.1 * ((cfs.cf + 1.0) / (s.sttf + 1.0)))) AS sc
   FROM tf
   JOIN cfs USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  WHERE tf.term IN ('batch', 'fast')
+),
+doc_scores AS (
+  SELECT doc_id, SUM(sc) AS score FROM term_scores GROUP BY doc_id
+)
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10""",
+        # DFR G-B-H2: F=cf+1, lam=F/(n+F), A=log2(lam+1), B=log2((1+lam)/lam),
+        # ae=(F+1)/(df+1), tfn = tf*log2(1+avgdl/dl)
+        "ft_dfr_sim": _FT_PRELUDE + """,
+cfs AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY term),
+term_scores AS (
+  SELECT tf.doc_id,
+         (ln((1.0 + (cfs.cf + 1.0) / (s.n + cfs.cf + 1.0)) / ((cfs.cf + 1.0) / (s.n + cfs.cf + 1.0))) / ln(2)
+          - (ln((1.0 + (cfs.cf + 1.0) / (s.n + cfs.cf + 1.0)) / ((cfs.cf + 1.0) / (s.n + cfs.cf + 1.0))) / ln(2)
+             - ln(((cfs.cf + 1.0) / (s.n + cfs.cf + 1.0)) + 1.0) / ln(2))
+            / (1.0 + tf * ln(1.0 + (s.sttf / s.n) / dl.dl) / ln(2)))
+         * ((cfs.cf + 2.0) / (df.df + 1.0)) AS sc
+  FROM tf
+  JOIN cfs USING (term)
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  WHERE tf.term IN ('batch', 'fast')
+),
+doc_scores AS (
+  SELECT doc_id, SUM(sc) AS score FROM term_scores GROUP BY doc_id
+)
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10""",
+        # IB LL-D-H2: lambda = float32((df+1)/(n+1)), sc = -ln(lam/(tfn+lam))
+        "ft_ib_sim": _FT_PRELUDE + """,
+term_scores AS (
+  SELECT tf.doc_id,
+         -ln(CAST((df.df + 1.0) / (s.n + 1.0) AS REAL)
+             / (tf.tf * ln(1.0 + (s.sttf / s.n) / dl.dl) / ln(2)
+                + CAST((df.df + 1.0) / (s.n + 1.0) AS REAL))) AS sc
+  FROM tf
+  JOIN df USING (term)
   JOIN dl USING (doc_id)
   CROSS JOIN stats s
   WHERE tf.term IN ('batch', 'fast')

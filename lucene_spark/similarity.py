@@ -488,6 +488,170 @@ class LMJelinekMercerScorer:
         return float(np.max(self.score(np.asarray(freqs), np.asarray(norms))))
 
 
+class DFRScorer:
+    """Divergence from Randomness, the DFR G-B-H2 configuration —
+    DFRSimilarity.java:104-107 over:
+
+      tfn   = freq * log2(1 + c*avgdl/dl), c = 1   (NormalizationH2.java:57-58)
+      aeB   = (F + 1) / n with F = cf + 1, n = df + 1
+                                              (AfterEffectB.java:32-36)
+      lam   = F / (N + F)                     (BasicModelG.java:44-47)
+      score = boost * (B - (B - A)/(1 + tfn)) * aeB,
+              A = log2(lam + 1), B = log2((1 + lam)/lam)
+                                              (BasicModelG.java:48-50)
+
+    SimilarityBase contract: double math, float32 result cast; B >= A keeps
+    the score non-decreasing in tfn (the file's own comment), and H2 is
+    anti-monotone in dl — the impact-frontier pruning bounds stay valid.
+    Needs cf (NEEDS_CF); phrase/synonym/span blending unsupported, as for
+    the LM scorers.
+    """
+
+    NEEDS_CF = True
+    C = 1.0
+
+    def __init__(
+        self,
+        doc_freq: int,
+        stats: CollectionStats,
+        k1: float = 1.2,
+        b: float = 0.75,
+        boost: float = 1.0,
+        precision: str = "lucene",
+        idf_value: float | None = None,
+        cf: int | None = None,
+    ):
+        if cf is None:
+            raise ValueError(
+                "DFR needs the term's collection frequency; the query layer "
+                "passes cf= from the term dictionary (phrase/synonym/span "
+                "weights are unsupported under similarity='dfr')"
+            )
+        if precision not in ("lucene", "float64"):
+            raise ValueError(f"unknown precision {precision!r}")
+        self.doc_freq = doc_freq
+        self.stats = stats
+        self.precision = precision
+        self.boost = float(boost)
+        self.avgdl = stats.sum_total_term_freq / float(stats.doc_count)
+        F = float(cf) + 1.0
+        lam = F / (float(stats.doc_count) + F)
+        self.A = math.log2(lam + 1.0)
+        self.B = math.log2((1.0 + lam) / lam)
+        self.ae = (F + 1.0) / (float(doc_freq) + 1.0)
+        self.weight = (
+            np.float32(boost) if precision == "lucene" else float(boost)
+        )
+
+    @classmethod
+    def for_terms(cls, doc_freqs, stats, k1=1.2, b=0.75, boost=1.0,
+                  precision="lucene"):
+        raise NotImplementedError(
+            "phrase/synonym/span weights are not supported under "
+            "similarity='dfr'"
+        )
+
+    def _score64(self, f: np.ndarray, dl: np.ndarray) -> np.ndarray:
+        tfn = f * (np.log(1.0 + self.C * self.avgdl / dl) / math.log(2.0))
+        return self.boost * (self.B - (self.B - self.A) / (1.0 + tfn)) * self.ae
+
+    def score(self, freq: np.ndarray, norm: np.ndarray) -> np.ndarray:
+        if self.precision == "lucene":
+            f = np.asarray(freq, dtype=np.float64)
+            dl = LENGTH_TABLE[np.asarray(norm, dtype=np.int64)].astype(np.float64)
+            return self._score64(f, dl).astype(np.float32)
+        return self._score64(
+            np.asarray(freq, dtype=np.float64),
+            np.asarray(norm, dtype=np.float64),
+        )
+
+    def score_from_dl(self, freq: np.ndarray, dl: np.ndarray) -> np.ndarray:
+        if self.precision == "lucene":
+            from .smallfloat import int_to_byte4_np
+
+            return self.score(freq, int_to_byte4_np(np.asarray(dl)))
+        return self.score(freq, dl)
+
+    def max_score(self, freqs: np.ndarray, norms: np.ndarray) -> float:
+        if len(freqs) == 0:
+            return 0.0
+        return float(np.max(self.score(np.asarray(freqs), np.asarray(norms))))
+
+
+class IBScorer:
+    """Information-Based, the IB LL-D-H2 configuration —
+    IBSimilarity.java score = boost * distribution.score(stats, tfn, lambda):
+
+      tfn    = freq * log2(1 + c*avgdl/dl), c = 1  (NormalizationH2)
+      lambda = (float)((df + 1)/(N + 1)), nextDown'd away from exactly 1
+                                                   (LambdaDF.java:32-39 —
+               the float cast is the reference's, kept bit-faithful)
+      LL     = -ln(lambda / (tfn + lambda))        (DistributionLL.java:34)
+
+    Monotone increasing in tfn, anti-monotone in dl — pruning bounds valid.
+    """
+
+    def __init__(
+        self,
+        doc_freq: int,
+        stats: CollectionStats,
+        k1: float = 1.2,
+        b: float = 0.75,
+        boost: float = 1.0,
+        precision: str = "lucene",
+        idf_value: float | None = None,
+        cf: int | None = None,
+    ):
+        if precision not in ("lucene", "float64"):
+            raise ValueError(f"unknown precision {precision!r}")
+        self.doc_freq = doc_freq
+        self.stats = stats
+        self.precision = precision
+        self.boost = float(boost)
+        self.avgdl = stats.sum_total_term_freq / float(stats.doc_count)
+        lam = np.float32((doc_freq + 1.0) / (stats.doc_count + 1.0))
+        if lam == np.float32(1.0):
+            lam = np.nextafter(lam, np.float32(0.0), dtype=np.float32)
+        self.lam = float(lam)
+        self.weight = (
+            np.float32(boost) if precision == "lucene" else float(boost)
+        )
+
+    @classmethod
+    def for_terms(cls, doc_freqs, stats, k1=1.2, b=0.75, boost=1.0,
+                  precision="lucene"):
+        raise NotImplementedError(
+            "phrase/synonym/span weights are not supported under "
+            "similarity='ib'"
+        )
+
+    def _score64(self, f: np.ndarray, dl: np.ndarray) -> np.ndarray:
+        tfn = f * (np.log(1.0 + self.avgdl / dl) / math.log(2.0))
+        return self.boost * -np.log(self.lam / (tfn + self.lam))
+
+    def score(self, freq: np.ndarray, norm: np.ndarray) -> np.ndarray:
+        if self.precision == "lucene":
+            f = np.asarray(freq, dtype=np.float64)
+            dl = LENGTH_TABLE[np.asarray(norm, dtype=np.int64)].astype(np.float64)
+            return self._score64(f, dl).astype(np.float32)
+        return self._score64(
+            np.asarray(freq, dtype=np.float64),
+            np.asarray(norm, dtype=np.float64),
+        )
+
+    def score_from_dl(self, freq: np.ndarray, dl: np.ndarray) -> np.ndarray:
+        if self.precision == "lucene":
+            from .smallfloat import int_to_byte4_np
+
+            return self.score(freq, int_to_byte4_np(np.asarray(dl)))
+        return self.score(freq, dl)
+
+    def max_score(self, freqs: np.ndarray, norms: np.ndarray) -> float:
+        if len(freqs) == 0:
+            return 0.0
+        return float(np.max(self.score(np.asarray(freqs), np.asarray(norms))))
+
+
 # similarity registry (IndexSearcher.setSimilarity analog,
 # search/IndexSearcher.java:286-294): name → scorer class
 SIMILARITIES = {
@@ -496,4 +660,6 @@ SIMILARITIES = {
     "boolean": BooleanScorer,
     "lmd": LMDirichletScorer,
     "lmjm": LMJelinekMercerScorer,
+    "dfr": DFRScorer,
+    "ib": IBScorer,
 }

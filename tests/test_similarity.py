@@ -176,3 +176,49 @@ def test_lmjm_lucene_mode_quantizes_norm_and_casts_float32():
     want = np.float32(math.log(1 + (0.9 * 2.0 / qdl) / (0.1 * p_c)))
     got = s32.score_from_dl(np.array([2]), dl)[0]
     assert got.dtype == np.float32 and got == want
+
+
+def test_dfr_gbh2_formula():
+    """DFR G-B-H2 (DFRSimilarity.java:104-107, BasicModelG.java:44-50,
+    AfterEffectB.java:32-36, NormalizationH2.java:57-58, c=1)."""
+    from lucene_spark.similarity import DFRScorer
+
+    stats = CollectionStats(100, 5000)
+    sc = DFRScorer(10, stats, precision="float64", cf=40)
+    F = 41.0
+    lam = F / (100.0 + F)
+    A = math.log2(lam + 1.0)
+    B = math.log2((1.0 + lam) / lam)
+    ae = (F + 1.0) / 11.0
+    tfn = 3.0 * math.log2(1.0 + 50.0 / 50.0)
+    want = (B - (B - A) / (1.0 + tfn)) * ae
+    got = sc.score_from_dl(np.array([3]), np.array([50]))[0]
+    assert got == pytest.approx(want, rel=1e-14) and got > 0
+    # monotone contracts for pruning
+    tfs = np.arange(1, 40)
+    assert (np.diff(sc.score_from_dl(tfs, np.full(len(tfs), 100))) > 0).all()
+    dls = np.arange(5, 400)
+    assert (np.diff(sc.score_from_dl(np.full(len(dls), 3), dls)) < 0).all()
+    with pytest.raises(ValueError):
+        DFRScorer(1, stats)  # cf required
+    with pytest.raises(NotImplementedError):
+        DFRScorer.for_terms([1], stats)
+
+
+def test_ib_lldh2_formula():
+    """IB LL-D-H2 (IBSimilarity; DistributionLL.java:34, LambdaDF.java:32-39
+    incl. the reference's float cast of lambda, NormalizationH2 c=1)."""
+    from lucene_spark.similarity import IBScorer
+
+    stats = CollectionStats(100, 5000)
+    sc = IBScorer(10, stats, precision="float64")
+    lam = float(np.float32(11.0 / 101.0))
+    tfn = 3.0 * math.log2(1.0 + 50.0 / 50.0)
+    want = -math.log(lam / (tfn + lam))
+    got = sc.score_from_dl(np.array([3]), np.array([50]))[0]
+    assert got == pytest.approx(want, rel=1e-14) and got > 0
+    # lambda == 1 (term in every doc) nextDowns away from 1
+    full = IBScorer(100, CollectionStats(100, 5000), precision="float64")
+    assert 0 < full.lam < 1.0 or full.lam != 1.0
+    tfs = np.arange(1, 40)
+    assert (np.diff(sc.score_from_dl(tfs, np.full(len(tfs), 100))) > 0).all()
