@@ -20,6 +20,8 @@ import argparse
 import json
 import sys
 
+from .similarity import SIMILARITIES
+
 
 def _session(app: str):
     from pyspark.sql import SparkSession
@@ -162,7 +164,7 @@ def main(argv=None) -> int:
                    help="query language: classic QueryParser or surround "
                         "proximity syntax (nW/nN distance operators)")
     s.add_argument("--similarity", default="bm25",
-                   choices=["bm25", "classic", "boolean", "lmd"])
+                   choices=sorted(SIMILARITIES))
     s.add_argument("--english-analyzer", action="store_true",
                    help="analyze the query with the EnglishAnalyzer chain")
     s.set_defaults(fn=cmd_search)
