@@ -1196,6 +1196,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return spark.createDataFrame(rows or [], "doc_id long, score_q long")
 
+    def ft_ax_sim(spark, sf):
+        # Axiomatic F2EXP s=0.25 k=0.35 (AxiomaticF2EXP.java:59-83;
+        # Axiomatic.java:91-106): sc = tf/(tf+s+s*dl/avgdl) * ((N+1)/df)^k
+        idx = _ft_index(spark, sf)
+        td = search(idx, "batch fast", k=10, precision="float64",
+                    prune=True, similarity="ax")
+        rows = [
+            (int(d), int(math.floor(s * 10000)))
+            for d, s in zip(td.docids.tolist(), td.scores.tolist())
+        ]
+        return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
     def ft_explain(spark, sf):
         # IndexSearcher.explain analog: per-term score breakdown of the
         # top-1 doc for "key window"
@@ -1405,9 +1417,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_facet_taxo, ft_drill_sideways,
         # aux search modules (2; naive-bayes new round 2 session 3)
         ft_highlight, ft_nb_classify,
-        # pluggable similarities + feature fields (6; lmd/lmjm/dfr/ib new)
+        # pluggable similarities + feature fields (7; lmd/lmjm/dfr/ib new
+        # round-2 session 3; axiomatic F2EXP new session 4)
         ft_classic_sim, ft_lmd_sim, ft_lmjm_sim, ft_dfr_sim, ft_ib_sim,
-        ft_feature,
+        ft_ax_sim, ft_feature,
         # function scoring + rescoring + expressions (3, new round 2)
         ft_function_score, ft_rescore, ft_expr_score,
         # surround query-language parser (1, new round 2)
@@ -2411,6 +2424,24 @@ term_scores AS (
          -ln(CAST((df.df + 1.0) / (s.n + 1.0) AS REAL)
              / (tf.tf * ln(1.0 + (s.sttf / s.n) / dl.dl) / ln(2)
                 + CAST((df.df + 1.0) / (s.n + 1.0) AS REAL))) AS sc
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  WHERE tf.term IN ('batch', 'fast')
+),
+doc_scores AS (
+  SELECT doc_id, SUM(sc) AS score FROM term_scores GROUP BY doc_id
+)
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10""",
+        # Axiomatic F2EXP s=0.25 k=0.35:
+        # sc = tf/(tf + s + s*dl/avgdl) * ((n+1)/df)^k
+        "ft_ax_sim": _FT_PRELUDE + """,
+term_scores AS (
+  SELECT tf.doc_id,
+         (tf.tf / (tf.tf + 0.25 + 0.25 * dl.dl / (s.sttf / s.n)))
+         * pow((s.n + 1.0) / df.df, 0.35) AS sc
   FROM tf
   JOIN df USING (term)
   JOIN dl USING (doc_id)

@@ -652,6 +652,85 @@ class IBScorer:
         return float(np.max(self.score(np.asarray(freqs), np.asarray(norms))))
 
 
+class AxiomaticScorer:
+    """Axiomatic retrieval, the F2EXP configuration —
+    AxiomaticF2EXP.java:59-83 under Axiomatic.score (Axiomatic.java:96-106):
+
+      score = boost * tf * ln * tfln * idf - gamma, clamped at 0, with
+      tf = ln = 1, gamma = 0                        (F2EXP :59-65, :83)
+      tfln  = freq / (freq + s + s * dl / avgdl)    (:71-75)
+      idf   = ((N + 1) / df) ^ k                    (:77-81)
+      defaults s = 0.25, k = 0.35 (Axiomatic.java:91-93)
+
+    SimilarityBase contract: double math, float32 result cast.  tfln is
+    monotone increasing in freq and decreasing in dl, idf is per-term
+    constant — the per-block impact-frontier pruning bounds stay valid.
+    Uses only df/N/avgdl (no cf).
+    """
+
+    S = 0.25
+    K = 0.35
+
+    def __init__(
+        self,
+        doc_freq: int,
+        stats: CollectionStats,
+        k1: float = 1.2,
+        b: float = 0.75,
+        boost: float = 1.0,
+        precision: str = "lucene",
+        idf_value: float | None = None,
+        cf: int | None = None,
+    ):
+        if precision not in ("lucene", "float64"):
+            raise ValueError(f"unknown precision {precision!r}")
+        self.doc_freq = doc_freq
+        self.stats = stats
+        self.precision = precision
+        self.boost = float(boost)
+        self.avgdl = stats.sum_total_term_freq / float(stats.doc_count)
+        self.idf = (
+            (float(stats.doc_count) + 1.0) / float(doc_freq)
+        ) ** self.K
+        self.weight = (
+            np.float32(boost) if precision == "lucene" else float(boost)
+        )
+
+    @classmethod
+    def for_terms(cls, doc_freqs, stats, k1=1.2, b=0.75, boost=1.0,
+                  precision="lucene"):
+        raise NotImplementedError(
+            "phrase/synonym/span weights are not supported under "
+            "similarity='ax'"
+        )
+
+    def _score64(self, f: np.ndarray, dl: np.ndarray) -> np.ndarray:
+        tfln = f / (f + self.S + self.S * dl / self.avgdl)
+        return np.maximum(self.boost * tfln * self.idf, 0.0)
+
+    def score(self, freq: np.ndarray, norm: np.ndarray) -> np.ndarray:
+        if self.precision == "lucene":
+            f = np.asarray(freq, dtype=np.float64)
+            dl = LENGTH_TABLE[np.asarray(norm, dtype=np.int64)].astype(np.float64)
+            return self._score64(f, dl).astype(np.float32)
+        return self._score64(
+            np.asarray(freq, dtype=np.float64),
+            np.asarray(norm, dtype=np.float64),
+        )
+
+    def score_from_dl(self, freq: np.ndarray, dl: np.ndarray) -> np.ndarray:
+        if self.precision == "lucene":
+            from .smallfloat import int_to_byte4_np
+
+            return self.score(freq, int_to_byte4_np(np.asarray(dl)))
+        return self.score(freq, dl)
+
+    def max_score(self, freqs: np.ndarray, norms: np.ndarray) -> float:
+        if len(freqs) == 0:
+            return 0.0
+        return float(np.max(self.score(np.asarray(freqs), np.asarray(norms))))
+
+
 # similarity registry (IndexSearcher.setSimilarity analog,
 # search/IndexSearcher.java:286-294): name → scorer class
 SIMILARITIES = {
@@ -662,4 +741,5 @@ SIMILARITIES = {
     "lmjm": LMJelinekMercerScorer,
     "dfr": DFRScorer,
     "ib": IBScorer,
+    "ax": AxiomaticScorer,
 }

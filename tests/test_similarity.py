@@ -222,3 +222,34 @@ def test_ib_lldh2_formula():
     assert 0 < full.lam < 1.0 or full.lam != 1.0
     tfs = np.arange(1, 40)
     assert (np.diff(sc.score_from_dl(tfs, np.full(len(tfs), 100))) > 0).all()
+
+
+def test_axiomatic_f2exp_formula():
+    """Axiomatic F2EXP (AxiomaticF2EXP.java:59-83 under Axiomatic.score,
+    Axiomatic.java:96-106; defaults s=0.25, k=0.35, Axiomatic.java:91-93)."""
+    from lucene_spark.similarity import AxiomaticScorer
+
+    stats = CollectionStats(100, 5000)   # avgdl = 50
+    sc = AxiomaticScorer(10, stats, precision="float64")
+    tfln = 3.0 / (3.0 + 0.25 + 0.25 * 50.0 / 50.0)
+    idf = (101.0 / 10.0) ** 0.35
+    want = tfln * idf
+    got = sc.score_from_dl(np.array([3]), np.array([50]))[0]
+    assert got == pytest.approx(want, rel=1e-14) and got > 0
+    # boost multiplies (Axiomatic.java:104)
+    sc2 = AxiomaticScorer(10, stats, boost=2.0, precision="float64")
+    assert sc2.score_from_dl(np.array([3]), np.array([50]))[0] == pytest.approx(
+        2.0 * want, rel=1e-14)
+    # monotone contracts for the impact-frontier pruning bounds
+    tfs = np.arange(1, 40)
+    assert (np.diff(sc.score_from_dl(tfs, np.full(len(tfs), 100))) > 0).all()
+    dls = np.arange(5, 400)
+    assert (np.diff(sc.score_from_dl(np.full(len(dls), 3), dls)) < 0).all()
+    # no cf needed; phrase blending unsupported like the other SimilarityBase
+    # scorers
+    with pytest.raises(NotImplementedError):
+        AxiomaticScorer.for_terms([1], stats)
+    # lucene mode: double math over quantized norm, float32 cast
+    lsc = AxiomaticScorer(10, stats, precision="lucene")
+    v = lsc.score_from_dl(np.array([3]), np.array([50]))
+    assert v.dtype == np.float32
