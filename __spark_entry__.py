@@ -190,6 +190,60 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _geo_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + deterministic per-doc coordinates (pure integer
+    arithmetic then one exact-rounding division — bit-identical in Spark
+    and DuckDB): lat in [-90, 89.99], lon in [-180, 179.99]."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        ((F.col("doc_id") * 7919 % 17999) / 100.0 - 90.0).alias("lat"),
+        ((F.col("doc_id") * 104729 % 35999) / 100.0 - 180.0).alias("lon"),
+    )
+
+
+_GEO_SQL_COORDS = """
+geo AS (
+  SELECT doc_id,
+         (doc_id * 7919 % 17999) / 100.0 - 90.0 AS lat,
+         (doc_id * 104729 % 35999) / 100.0 - 180.0 AS lon
+  FROM documents
+)"""
+
+
+def _geo_quant_sql() -> str:
+    """Quantized coordinates: floor(v / DECODE) * DECODE — the same exact
+    binary constants as lucene_spark.geo (GeoEncodingUtils.java:40-43).
+    No synthetic doc sits at the +90/+180 nextDown edge."""
+    from lucene_spark.geo import LAT_DECODE, LON_DECODE
+
+    return f"""
+gq AS (
+  SELECT doc_id, lat, lon,
+         floor(lat / {LAT_DECODE!r}) * {LAT_DECODE!r} AS qlat,
+         floor(lon / {LON_DECODE!r}) * {LON_DECODE!r} AS qlon
+  FROM geo
+)"""
+
+
+from lucene_spark.geo import (  # noqa: E402
+    LAT_DECODE as _LAT_DECODE,
+    LON_DECODE as _LON_DECODE,
+    encode_latitude as _enc_lat,
+    encode_latitude_ceil as _enc_lat_ceil,
+    encode_longitude as _enc_lon,
+    encode_longitude_ceil as _enc_lon_ceil,
+)
+
+
+def _geo_dist_sql(lat: float, lon: float) -> str:
+    """Haversine-meters SQL over the quantized (qlat, qlon) columns —
+    the DuckDB twin of geo.haversin_meters_cols."""
+    from lucene_spark.geo import haversin_meters_sql
+
+    return haversin_meters_sql(lat, lon, "qlat", "qlon")
+
+
 def _tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenize_docs(
         _docs(spark, sf_dir).withColumn("docid", F.col("doc_id")),
@@ -1208,6 +1262,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return spark.createDataFrame(rows or [], "doc_id long, score_q long")
 
+    def ft_geo_distance(spark, sf):
+        # LatLonPoint.newDistanceQuery analog (LatLonPointDistanceQuery.java):
+        # quantized haversine <= radius, two-phase (pushdown box prefilter +
+        # exact test); dist floor-quantized to meters for the hash compare
+        from lucene_spark.geo import distance_query
+
+        out = distance_query(
+            _geo_docs(spark, sf), "lat", "lon", 40.0, -74.0, 2_000_000.0)
+        return out.select(
+            "doc_id",
+            F.floor(F.col("distance_m")).cast("long").alias("dist_m_q"),
+        ).orderBy("doc_id")
+
+    def ft_geo_box(spark, sf):
+        # LatLonPoint.newBoxQuery analog crossing the dateline (min_lon >
+        # max_lon -> longitude OR; GeoEncodingUtils.java:232-235 ceil/floor
+        # edge encoding)
+        from lucene_spark.geo import box_query
+
+        out = box_query(
+            _geo_docs(spark, sf), "lat", "lon", -60.0, 60.0, 170.0, -170.0)
+        return out.select("doc_id").orderBy("doc_id")
+
+    def ft_geo_nearest(spark, sf):
+        # LatLonPointSortField / LatLonPointDistanceComparator analog:
+        # k nearest by quantized haversine, ties by docid
+        from lucene_spark.geo import nearest
+
+        out = nearest(_geo_docs(spark, sf), "lat", "lon", 40.0, -74.0, 10)
+        return out.select(
+            "doc_id",
+            F.floor(F.col("distance_m")).cast("long").alias("dist_m_q"),
+        )
+
+    def ft_geo_feature(spark, sf):
+        # LatLonPointDistanceFeatureQuery analog (:130-131,293-295):
+        # score = (float)(boost * pivot / (pivot + distance)), top-10
+        from lucene_spark.geo import distance_feature_score
+
+        out = distance_feature_score(
+            _geo_docs(spark, sf), "lat", "lon", 40.0, -74.0,
+            500_000.0, boost=2.0)
+        return (
+            out.select(
+                "doc_id",
+                F.floor(F.col("score").cast("double") * 1e6)
+                .cast("long").alias("score_q"),
+            )
+            .orderBy(F.col("score_q").desc(), F.col("doc_id"))
+            .limit(10)
+        )
+
     def ft_explain(spark, sf):
         # IndexSearcher.explain analog: per-term score breakdown of the
         # top-1 doc for "key window"
@@ -1393,8 +1499,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # boolean/scoring kernels + distributed collectors (analysis-table
         # gates ft_token_stats/ft_norms/ft_termdict are r1-verified+unchanged
         # -> tail)
-        # boolean/scoring query kernels (8)
-        ft_term_topk, ft_or_topk, ft_and_topk,
+        # boolean/scoring query kernels (2; term/or/and r1-verified and
+        # re-exercised by every similarity gate on the same index -> tail)
         ft_deleted_persist, ft_count,
         # positional (1; exact phrase + synonym r1-verified -> tail)
         ft_phrase_sloppy,
@@ -1402,8 +1508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_payload_term, ft_payload_near,
         # span queries (4, new round 2)
         ft_span_near_ord, ft_span_near_unord, ft_span_first, ft_span_not,
-        # interval queries (3, new round 2 session 3)
-        ft_interval_ord, ft_interval_unord, ft_interval_contain,
+        # interval queries (2 of 3 in head, new round 2 session 3)
+        ft_interval_ord, ft_interval_unord,
         # multi-field index (2, new round 2)
         ft_mf_field, ft_mf_or,
         # index-sort early termination + CheckIndex + addIndexes (3, new)
@@ -1417,10 +1523,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_facet_taxo, ft_drill_sideways,
         # aux search modules (2; naive-bayes new round 2 session 3)
         ft_highlight, ft_nb_classify,
-        # pluggable similarities + feature fields (7; lmd/lmjm/dfr/ib new
-        # round-2 session 3; axiomatic F2EXP new session 4)
-        ft_classic_sim, ft_lmd_sim, ft_lmjm_sim, ft_dfr_sim, ft_ib_sim,
+        # pluggable similarities + feature fields (one per family in head:
+        # TFIDF/LM/DFR/IB/AX; lmjm = 2nd LM variant -> tail)
+        ft_classic_sim, ft_lmd_sim, ft_dfr_sim, ft_ib_sim,
         ft_ax_sim, ft_feature,
+        # geo: LatLonPoint distance/box/nearest/distance-feature (4, new
+        # round-2 session 4)
+        ft_geo_distance, ft_geo_box, ft_geo_nearest, ft_geo_feature,
         # function scoring + rescoring + expressions (3, new round 2)
         ft_function_score, ft_rescore, ft_expr_score,
         # surround query-language parser (1, new round 2)
@@ -1437,6 +1546,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ANN + embedding stats (3; bruteforce r1-verified+unchanged -> tail)
         ann_ivf, ann_lsh, emb_label_stats,
         # --- entries 51+: variants + round-1-verified unchanged families ---
+        ft_term_topk, ft_or_topk, ft_and_topk, ft_lmjm_sim,
+        ft_interval_contain,
         dedup_exact, ann_bruteforce, ft_filtered, ft_group_top, ft_monitor,
         ft_phrase, ft_synonym, ft_termdict, ft_norms, ft_token_stats,
         ft_facet_range, dedup_embcos_lsh, dedup_simhash_pairs, ann_ivf_indexed,
@@ -2435,6 +2546,47 @@ doc_scores AS (
 )
 SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
 FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10""",
+        # geo: quantize (floor-encode * decode) then the exact-asin haversine
+        # with Lucene's mean radius — the IDENTICAL double expression the
+        # engine's Catalyst plan evaluates (lucene_spark/geo.py)
+        "ft_geo_distance": "WITH" + _GEO_SQL_COORDS + "," + _geo_quant_sql()
+        + f"""
+SELECT doc_id,
+       CAST(floor({_geo_dist_sql(40.0, -74.0)}) AS BIGINT) AS dist_m_q
+FROM gq
+WHERE {_geo_dist_sql(40.0, -74.0)} <= 2000000.0
+ORDER BY doc_id""",
+        "ft_geo_box": "WITH" + _GEO_SQL_COORDS + f""",
+enc AS (
+  SELECT doc_id,
+         CAST(floor(lat / {_LAT_DECODE!r}) AS BIGINT) AS elat,
+         CAST(floor(lon / {_LON_DECODE!r}) AS BIGINT) AS elon
+  FROM geo
+)
+SELECT doc_id FROM enc
+WHERE elat >= {_enc_lat_ceil(-60.0)} AND elat <= {_enc_lat(60.0)}
+  AND (elon >= {_enc_lon_ceil(170.0)} OR elon <= {_enc_lon(-170.0)})
+ORDER BY doc_id""",
+        "ft_geo_nearest": "WITH" + _GEO_SQL_COORDS + "," + _geo_quant_sql()
+        + f"""
+SELECT doc_id,
+       CAST(floor({_geo_dist_sql(40.0, -74.0)}) AS BIGINT) AS dist_m_q
+FROM gq
+ORDER BY {_geo_dist_sql(40.0, -74.0)} ASC, doc_id LIMIT 10""",
+        # distance feature: score = (float)(boost*pivot/(pivot+dist)) —
+        # REAL cast mirrors the reference's float32
+        # (LatLonPointDistanceFeatureQuery.java:293-295)
+        "ft_geo_feature": "WITH" + _GEO_SQL_COORDS + "," + _geo_quant_sql()
+        + f""",
+scored AS (
+  SELECT doc_id,
+         CAST(floor(CAST(CAST(2.0 * 500000.0 /
+           (500000.0 + {_geo_dist_sql(40.0, -74.0)}) AS REAL) AS DOUBLE)
+           * 1e6) AS BIGINT) AS score_q
+  FROM gq
+)
+SELECT doc_id, score_q FROM scored
+ORDER BY score_q DESC, doc_id LIMIT 10""",
         # Axiomatic F2EXP s=0.25 k=0.35:
         # sc = tf/(tf + s + s*dl/avgdl) * ((n+1)/df)^k
         "ft_ax_sim": _FT_PRELUDE + """,
