@@ -1262,6 +1262,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return spark.createDataFrame(rows or [], "doc_id long, score_q long")
 
+    def ft_spell_direct(spark, sf):
+        # DirectSpellChecker.suggestSimilar analog (DirectSpellChecker.java:
+        # 292-468): Damerau candidates with prefix/length prefilters, score
+        # = 1 - ed/min(|cand|,|query|) (FuzzyTermsEnum.java:250-255), order
+        # score desc / df desc / term asc (SuggestWordScoreComparator)
+        from lucene_spark.suggest import direct_spell_suggest
+
+        idx = _ft_index(spark, sf)
+        out = direct_spell_suggest(idx, "windoq", num_sug=5)
+        return out.select(
+            "term", "df",
+            F.floor(F.col("score").cast("double") * 1e6)
+            .cast("long").alias("score_q"),
+        )
+
     def ft_geo_distance(spark, sf):
         # LatLonPoint.newDistanceQuery analog (LatLonPointDistanceQuery.java):
         # quantized haversine <= radius, two-phase (pushdown box prefilter +
@@ -1506,8 +1521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_phrase_sloppy,
         # payloads channel (2, new round 2 session 3)
         ft_payload_term, ft_payload_near,
-        # span queries (4, new round 2)
-        ft_span_near_ord, ft_span_near_unord, ft_span_first, ft_span_not,
+        # span queries (3 of 4 in head, new round 2)
+        ft_span_near_ord, ft_span_near_unord, ft_span_first,
         # interval queries (2 of 3 in head, new round 2 session 3)
         ft_interval_ord, ft_interval_unord,
         # multi-field index (2, new round 2)
@@ -1530,6 +1545,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # geo: LatLonPoint distance/box/nearest/distance-feature (4, new
         # round-2 session 4)
         ft_geo_distance, ft_geo_box, ft_geo_nearest, ft_geo_feature,
+        # DirectSpellChecker (1, new round-2 session 4)
+        ft_spell_direct,
         # function scoring + rescoring + expressions (3, new round 2)
         ft_function_score, ft_rescore, ft_expr_score,
         # surround query-language parser (1, new round 2)
@@ -1547,7 +1564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann_ivf, ann_lsh, emb_label_stats,
         # --- entries 51+: variants + round-1-verified unchanged families ---
         ft_term_topk, ft_or_topk, ft_and_topk, ft_lmjm_sim,
-        ft_interval_contain,
+        ft_interval_contain, ft_span_not,
         dedup_exact, ann_bruteforce, ft_filtered, ft_group_top, ft_monitor,
         ft_phrase, ft_synonym, ft_termdict, ft_norms, ft_token_stats,
         ft_facet_range, dedup_embcos_lsh, dedup_simhash_pairs, ann_ivf_indexed,
@@ -2546,6 +2563,25 @@ doc_scores AS (
 )
 SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
 FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10""",
+        # DirectSpellChecker: Damerau candidates over the vocabulary,
+        # score = 1 - ed/min(len) (double quotient, REAL cast — the
+        # engine's identical expression), order score/df/term, top 5
+        "ft_spell_direct": _FT_PRELUDE + """,
+cand AS (
+  SELECT df.term, df.df,
+         damerau_levenshtein(df.term, 'windoq') AS ed,
+         CAST(1.0 - damerau_levenshtein(df.term, 'windoq') * 1.0
+              / least(length(df.term), 6) AS REAL) AS score
+  FROM df
+  WHERE length(df.term) BETWEEN 4 AND 8
+    AND df.term LIKE 'w%'
+    AND df.term <> 'windoq'
+)
+SELECT term, df,
+       CAST(floor(CAST(score AS DOUBLE) * 1e6) AS BIGINT) AS score_q
+FROM cand
+WHERE ed <= 2 AND score >= 0.5 AND df > 0
+ORDER BY score DESC, df DESC, term LIMIT 5""",
         # geo: quantize (floor-encode * decode) then the exact-asin haversine
         # with Lucene's mean radius — the IDENTICAL double expression the
         # engine's Catalyst plan evaluates (lucene_spark/geo.py)

@@ -185,3 +185,55 @@ def test_classify_naive_bayes(aidx, docs):
     assert norm[0]["label"] == "en"
     assert abs(sum(r["score"] for r in norm) - 1.0) < 1e-12
     assert all(0.0 <= r["score"] <= 1.0 for r in norm)
+
+
+def test_direct_spell_checker(spark):
+    """DirectSpellChecker.java:292-468 semantics: gates, prefix, Damerau
+    scoring 1 - ed/min(|cand|,|query|), order (score desc, df desc, term)."""
+    from lucene_spark.suggest import direct_spell_suggest
+
+    corpus = [
+        (0, "spark sparks spars stark apple", "en"),
+        (1, "spark sparks space", "en"),
+        (2, "spark rapks sprak", "en"),
+        (3, "banana apple cherry", "en"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string, lang string")
+    idx = build_index(spark, docs, text_col="text", key_col="doc_id",
+                      docid_col="doc_id")
+
+    # "spakr" (transposed tail): spark is 1 Damerau edit -> score 0.8
+    out = direct_spell_suggest(idx, "spakr", num_sug=5,
+                               max_query_frequency=1e9)
+    rows = [(r.term, r.df, round(float(r.score), 4)) for r in out.collect()]
+    assert rows, "expected suggestions"
+    assert rows[0][0] == "spark" and rows[0][2] == pytest.approx(0.8)
+    # every candidate shares the min_prefix=1 first char and is within 2
+    # Damerau edits
+    from lucene_spark.search import damerau_levenshtein
+    for t, df, sc in rows:
+        assert t.startswith("s")
+        ed = damerau_levenshtein(t, "spakr", 2)
+        assert ed <= 2
+        assert sc == pytest.approx(1.0 - ed / min(len(t), 5), abs=1e-6)
+    # ordering: score desc, df desc, term asc
+    keys = [(-sc, -df, t) for t, df, sc in rows]
+    assert keys == sorted(keys)
+
+    # query term indexed -> empty under SUGGEST_WHEN_NOT_IN_INDEX
+    assert direct_spell_suggest(idx, "spark").count() == 0
+    assert direct_spell_suggest(
+        idx, "spark", suggest_when_in_index=True,
+        max_query_frequency=1e9).count() > 0
+    # min_query_length gate (default 4)
+    assert direct_spell_suggest(idx, "spa").count() == 0
+    # maxQueryFrequency: "spark" df=3 of maxDoc=4 > ceil(0.01*4)=1 -> empty
+    # even when suggesting for indexed terms
+    assert direct_spell_suggest(idx, "spark",
+                                suggest_when_in_index=True).count() == 0
+    # accuracy gate: raising accuracy above 0.8 drops the ed=1 5-char match
+    hi = direct_spell_suggest(idx, "spakr", accuracy=0.85,
+                              max_query_frequency=1e9)
+    assert all(r.score >= 0.85 for r in hi.collect())
+    with pytest.raises(ValueError):
+        direct_spell_suggest(idx, "spakr", max_edits=3)
