@@ -1176,6 +1176,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def ft_join_score(spark, sf):
+        # JoinUtil score modes (JoinUtil.java:56; TermsWithScoreCollector
+        # .java:36-120): from-query "dup" hits aggregated MAX per lang,
+        # applied to every to-doc with that lang
+        from lucene_spark.joins import query_time_join
+
+        idx = _ft_index(spark, sf)
+        docs = _docs(spark, sf)
+        out = query_time_join(
+            idx, "dup", docs, docs, "lang", "lang", score_mode="max")
+        return out.select(
+            "doc_id",
+            F.floor(F.col("score") * 10000).cast("long").alias("score_q"),
+        ).orderBy("doc_id")
+
     def ft_monitor(spark, sf):
         # reverse search / percolator (monitor/Monitor.java:47)
         return match_documents(
@@ -1519,8 +1534,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_deleted_persist, ft_count,
         # positional (1; exact phrase + synonym r1-verified -> tail)
         ft_phrase_sloppy,
-        # payloads channel (2, new round 2 session 3)
-        ft_payload_term, ft_payload_near,
+        # payloads channel (1 of 2 in head, new round 2 session 3)
+        ft_payload_term,
         # span queries (3 of 4 in head, new round 2)
         ft_span_near_ord, ft_span_near_unord, ft_span_first,
         # interval queries (2 of 3 in head, new round 2 session 3)
@@ -1545,8 +1560,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # geo: LatLonPoint distance/box/nearest/distance-feature (4, new
         # round-2 session 4)
         ft_geo_distance, ft_geo_box, ft_geo_nearest, ft_geo_feature,
-        # DirectSpellChecker (1, new round-2 session 4)
-        ft_spell_direct,
+        # DirectSpellChecker + JoinUtil score modes (2, new round-2
+        # session 4)
+        ft_spell_direct, ft_join_score,
         # function scoring + rescoring + expressions (3, new round 2)
         ft_function_score, ft_rescore, ft_expr_score,
         # surround query-language parser (1, new round 2)
@@ -1564,7 +1580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann_ivf, ann_lsh, emb_label_stats,
         # --- entries 51+: variants + round-1-verified unchanged families ---
         ft_term_topk, ft_or_topk, ft_and_topk, ft_lmjm_sim,
-        ft_interval_contain, ft_span_not,
+        ft_interval_contain, ft_span_not, ft_payload_near,
         dedup_exact, ann_bruteforce, ft_filtered, ft_group_top, ft_monitor,
         ft_phrase, ft_synonym, ft_termdict, ft_norms, ft_token_stats,
         ft_facet_range, dedup_embcos_lsh, dedup_simhash_pairs, ann_ivf_indexed,
@@ -2563,6 +2579,17 @@ doc_scores AS (
 )
 SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
 FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10""",
+        # JoinUtil MAX score mode: per-lang max of the "dup" hit scores
+        # applied to every doc with the lang
+        "ft_join_score": _FT_PRELUDE + "," + _score_sql(["dup"]) + """,
+val_scores AS (
+  SELECT d.lang AS jval, MAX(ds.score) AS vscore
+  FROM doc_scores ds JOIN documents d USING (doc_id)
+  GROUP BY d.lang
+)
+SELECT d.doc_id, CAST(floor(v.vscore * 10000) AS BIGINT) AS score_q
+FROM documents d JOIN val_scores v ON d.lang = v.jval
+ORDER BY d.doc_id""",
         # DirectSpellChecker: Damerau candidates over the vocabulary,
         # score = 1 - ed/min(len) (double quotient, REAL cast — the
         # engine's identical expression), order score/df/term, top 5

@@ -237,3 +237,56 @@ def test_direct_spell_checker(spark):
     assert all(r.score >= 0.85 for r in hi.collect())
     with pytest.raises(ValueError):
         direct_spell_suggest(idx, "spakr", max_edits=3)
+
+
+def test_query_time_join_score_modes(spark):
+    """JoinUtil.createJoinQuery score modes (JoinUtil.java:56,
+    TermsWithScoreCollector.java:36-120): per-from-value aggregate applied
+    to every to-doc carrying the value; None -> constant 1.0."""
+    from lucene_spark.joins import query_time_join
+    from lucene_spark.search import score_docs
+
+    corpus = [
+        (0, "spark window join", "en"),
+        (1, "spark spark window", "en"),
+        (2, "window spark", "de"),
+        (3, "nothing relevant", "fr"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string, lang string")
+    idx = build_index(spark, docs, text_col="text", key_col="doc_id",
+                      docid_col="doc_id")
+    hits = {
+        r.docid: r.score
+        for r in score_docs(idx, "spark", precision="float64").collect()
+    }
+    langs = {0: "en", 1: "en", 2: "de", 3: "fr"}
+    by_lang: dict = {}
+    for d, s in hits.items():
+        by_lang.setdefault(langs[d], []).append(s)
+
+    for mode, agg in [("max", max), ("min", min), ("total", sum),
+                      ("avg", lambda v: sum(v) / len(v))]:
+        out = {
+            r.doc_id: r.score
+            for r in query_time_join(
+                idx, "spark", docs, docs, "lang", "lang", score_mode=mode
+            ).collect()
+        }
+        want = {
+            d: agg(by_lang[lang]) for d, lang in langs.items()
+            if lang in by_lang
+        }
+        assert set(out) == set(want), mode
+        for d in want:
+            assert out[d] == pytest.approx(want[d], rel=1e-12), (mode, d)
+
+    none = {
+        r.doc_id: r.score
+        for r in query_time_join(
+            idx, "spark", docs, docs, "lang", "lang", score_mode="none"
+        ).collect()
+    }
+    assert set(none) == {0, 1, 2} and all(v == 1.0 for v in none.values())
+    with pytest.raises(ValueError):
+        query_time_join(idx, "spark", docs, docs, "lang", "lang",
+                        score_mode="bogus")
