@@ -1176,6 +1176,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def ft_word_break(spark, sf):
+        # WordBreakSpellChecker.suggestWordBreaks (WordBreakSpellChecker
+        # .java:71-142, recursion :248-312): every split of "windowtable"
+        # whose pieces are both indexed; LengthThenMaxFreqComparator order
+        from lucene_spark.suggest import suggest_word_breaks
+
+        idx = _ft_index(spark, sf)
+        out = suggest_word_breaks(idx, "windowtable", max_suggestions=5)
+        return out.select(
+            F.element_at("words", 1).alias("left_t"),
+            F.element_at("words", 2).alias("right_t"),
+            "freq_max",
+        )
+
+    def ft_word_combine(spark, sf):
+        # WordBreakSpellChecker.suggestWordCombinations (:145-238): adjacent
+        # input runs whose concatenation is indexed, >=1 constituent absent
+        from lucene_spark.suggest import suggest_word_combinations
+
+        idx = _ft_index(spark, sf)
+        out = suggest_word_combinations(
+            idx, ["win", "dow", "table"], max_suggestions=5)
+        return out.select("term", "first_idx", "last_idx", "df", "score")
+
     def ft_join_score(spark, sf):
         # JoinUtil score modes (JoinUtil.java:56; TermsWithScoreCollector
         # .java:36-120): from-query "dup" hits aggregated MAX per lang,
@@ -1540,8 +1564,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_span_near_ord, ft_span_near_unord, ft_span_first,
         # interval queries (2 of 3 in head, new round 2 session 3)
         ft_interval_ord, ft_interval_unord,
-        # multi-field index (2, new round 2)
-        ft_mf_field, ft_mf_or,
+        # multi-field index (1 of 2 in head, new round 2)
+        ft_mf_field,
         # index-sort early termination + CheckIndex + addIndexes (3, new)
         ft_sorted_early, ft_check_index, ft_add_indexes,
         # block join + multi-phrase + common-terms (3, new)
@@ -1549,8 +1573,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multi-term expansion (1, Damerau fuzzy changed round 2) +
         # parser nesting (1)
         ft_fuzzy, ft_qp_complex,
-        # collectors / facets / grouping (2; taxonomy + sideways new)
-        ft_facet_taxo, ft_drill_sideways,
+        # collectors / facets / grouping (1 of 2 in head; taxonomy new)
+        ft_facet_taxo,
         # aux search modules (2; naive-bayes new round 2 session 3)
         ft_highlight, ft_nb_classify,
         # pluggable similarities + feature fields (one per family in head:
@@ -1560,9 +1584,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # geo: LatLonPoint distance/box/nearest/distance-feature (4, new
         # round-2 session 4)
         ft_geo_distance, ft_geo_box, ft_geo_nearest, ft_geo_feature,
-        # DirectSpellChecker + JoinUtil score modes (2, new round-2
-        # session 4)
-        ft_spell_direct, ft_join_score,
+        # DirectSpellChecker + WordBreak + JoinUtil score modes (4, new
+        # round-2 session 4)
+        ft_spell_direct, ft_word_break, ft_word_combine, ft_join_score,
         # function scoring + rescoring + expressions (3, new round 2)
         ft_function_score, ft_rescore, ft_expr_score,
         # surround query-language parser (1, new round 2)
@@ -1580,7 +1604,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann_ivf, ann_lsh, emb_label_stats,
         # --- entries 51+: variants + round-1-verified unchanged families ---
         ft_term_topk, ft_or_topk, ft_and_topk, ft_lmjm_sim,
-        ft_interval_contain, ft_span_not, ft_payload_near,
+        ft_interval_contain, ft_span_not, ft_payload_near, ft_mf_or,
+        ft_drill_sideways,
         dedup_exact, ann_bruteforce, ft_filtered, ft_group_top, ft_monitor,
         ft_phrase, ft_synonym, ft_termdict, ft_norms, ft_token_stats,
         ft_facet_range, dedup_embcos_lsh, dedup_simhash_pairs, ann_ivf_indexed,
@@ -2579,6 +2604,39 @@ doc_scores AS (
 )
 SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
 FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10""",
+        # word breaks: all split points of 'windowtable', both pieces in
+        # the vocabulary, term itself absent; fewer-words-first is constant
+        # (one break), then max piece df desc, then left piece
+        "ft_word_break": _FT_PRELUDE + """,
+splits AS (SELECT i FROM generate_series(1, 10) t(i)),
+cand AS (
+  SELECT substr('windowtable', 1, i) AS left_t,
+         substr('windowtable', i + 1) AS right_t
+  FROM splits
+),
+ok AS (
+  SELECT c.left_t, c.right_t, greatest(dfl.df, dfr.df) AS freq_max
+  FROM cand c
+  JOIN df dfl ON dfl.term = c.left_t
+  JOIN df dfr ON dfr.term = c.right_t
+)
+SELECT left_t, right_t, freq_max FROM ok
+WHERE NOT EXISTS (SELECT 1 FROM df WHERE term = 'windowtable')
+ORDER BY freq_max DESC, left_t LIMIT 5""",
+        # word combinations over inputs (win, dow, table): adjacent pairs
+        # whose concat is indexed and >=1 constituent is absent
+        "ft_word_combine": _FT_PRELUDE + """,
+cands AS (
+  SELECT 'window' AS term, 0 AS first_idx, 1 AS last_idx,
+         'win' AS t1, 'dow' AS t2
+  UNION ALL
+  SELECT 'dowtable', 1, 2, 'dow', 'table'
+)
+SELECT c.term, c.first_idx, c.last_idx, d.df, 1 AS score
+FROM cands c JOIN df d ON d.term = c.term
+WHERE NOT EXISTS (SELECT 1 FROM df WHERE term = c.t1)
+   OR NOT EXISTS (SELECT 1 FROM df WHERE term = c.t2)
+ORDER BY d.df DESC, c.term LIMIT 5""",
         # JoinUtil MAX score mode: per-lang max of the "dup" hit scores
         # applied to every doc with the lang
         "ft_join_score": _FT_PRELUDE + "," + _score_sql(["dup"]) + """,

@@ -161,3 +161,139 @@ def direct_spell_suggest(
 def _empty_suggestions(index: Index) -> DataFrame:
     spark = index.termdict.sparkSession
     return spark.createDataFrame([], "term string, df long, score float")
+
+
+# --------------------------------------------------- WordBreakSpellChecker
+
+
+def _df_map(index: Index, strings: set[str]) -> dict[str, int]:
+    """One batched vocabulary probe for every candidate substring — the
+    `isin` list pushes to the term-sorted parquet scan, replacing the
+    reference's per-candidate ``ir.docFreq`` calls (WordBreakSpellChecker
+    .java:300-304) with a single pruned lookup."""
+    if not strings:
+        return {}
+    rows = (
+        index.termdict.filter(F.col("term").isin(sorted(strings)))
+        .select("term", "df")
+        .collect()
+    )
+    return {r["term"]: int(r["df"]) for r in rows}
+
+
+def suggest_word_breaks(
+    index: Index,
+    text: str,
+    max_suggestions: int = 5,
+    min_break_word_length: int = 1,
+    min_suggestion_frequency: int = 1,
+    max_changes: int = 1,
+    max_evaluations: int = 1000,
+    suggest_when_in_index: bool = False,
+) -> DataFrame:
+    """WordBreakSpellChecker.suggestWordBreaks analog (suggest/spell/
+    WordBreakSpellChecker.java:71-142, recursion :248-312): break ``text``
+    into indexed words at every split point >= minBreakWordLength from each
+    edge; each piece needs df >= minSuggestionFrequency; up to
+    ``max_changes`` breaks (default 1 — :34); empty when the term itself is
+    indexed (SUGGEST_WHEN_NOT_IN_INDEX, :96-99) unless
+    ``suggest_when_in_index``.  Order: fewer words first, then max piece
+    frequency desc (LengthThenMaxFreqComparator :333-344; ties broken by
+    the word tuple for determinism — the reference's PQ leaves them
+    unspecified).  Returns (words array, n_words, freq_max).
+
+    All vocabulary probes for the whole split lattice are batched into ONE
+    pushdown lookup (:func:`_df_map`); the recursion itself walks a
+    lattice of at most len(text)^max_changes candidates driver-side.
+    """
+    spark = index.termdict.sparkSession
+    empty = spark.createDataFrame(
+        [], "words array<string>, n_words int, freq_max long")
+    if max_suggestions < 1 or len(text) < 2 * max(min_break_word_length, 1):
+        return empty
+    subs = {
+        text[i:j]
+        for i in range(len(text))
+        for j in range(i + 1, len(text) + 1)
+    }
+    dfs = _df_map(index, subs)
+    if dfs.get(text, 0) > 0 and not suggest_when_in_index:
+        return empty
+    mbw = max(min_break_word_length, 1)
+    out: list[tuple[list[str], int]] = []
+    state = {"evals": 0}
+
+    def rec(term: str, number_breaks: int, prefix: list[str]):
+        n = len(term)
+        if n < mbw * 2:
+            return
+        for i in range(mbw, n - mbw + 1):
+            left, right = term[:i], term[i:]
+            lf = dfs.get(left, 0)
+            if lf >= min_suggestion_frequency:
+                rf = dfs.get(right, 0)
+                if rf >= min_suggestion_frequency:
+                    out.append((prefix + [left, right], 0))
+                if number_breaks + 1 <= max_changes:
+                    rec(right, number_breaks + 1, prefix + [left])
+            state["evals"] += 1
+            if state["evals"] >= max_evaluations:
+                break
+
+    rec(text, 1, [])
+    scored = [
+        (words, len(words), max(dfs.get(w, 0) for w in words))
+        for words, _ in out
+    ]
+    scored.sort(key=lambda t: (t[1], -t[2], t[0]))
+    return spark.createDataFrame(
+        scored[:max_suggestions] or [],
+        "words array<string>, n_words int, freq_max long",
+    )
+
+
+def suggest_word_combinations(
+    index: Index,
+    terms: list[str],
+    max_suggestions: int = 5,
+    max_combine_word_length: int = 20,
+    min_suggestion_frequency: int = 1,
+    max_changes: int = 1,
+    suggest_when_in_index: bool = False,
+) -> DataFrame:
+    """WordBreakSpellChecker.suggestWordCombinations analog (:145-238):
+    concatenate runs of up to ``max_changes``+1 adjacent input terms; the
+    combined word needs df >= minSuggestionFrequency, total length <=
+    maxCombineWordLength, and (SUGGEST_WHEN_NOT_IN_INDEX, :197) at least one
+    constituent absent from the index.  score = #terms combined - 1; order
+    score asc then freq desc (CombinationsThenFreqComparator), ties by
+    term.  Returns (term, first_idx, last_idx, df, score)."""
+    spark = index.termdict.sparkSession
+    schema = "term string, first_idx int, last_idx int, df long, score int"
+    if max_suggestions < 1 or len(terms) < 2:
+        return spark.createDataFrame([], schema)
+    probes = set(terms)
+    for i in range(len(terms) - 1):
+        comb = terms[i]
+        for j in range(i + 1, min(len(terms), i + max_changes + 1)):
+            comb = comb + terms[j]
+            probes.add(comb)
+    dfs = _df_map(index, probes)
+    rows = []
+    for i in range(len(terms) - 1):
+        if len(terms[i]) > max_combine_word_length:
+            continue
+        comb = terms[i]
+        min_freq = dfs.get(terms[i], 0)
+        for j in range(i + 1, min(len(terms), i + max_changes + 1)):
+            comb = comb + terms[j]
+            if len(comb) > max_combine_word_length:
+                break
+            min_freq = min(min_freq, dfs.get(terms[j], 0))
+            cdf = dfs.get(comb, 0)
+            if (min_freq == 0 or suggest_when_in_index) and (
+                cdf >= min_suggestion_frequency
+            ):
+                rows.append((comb, i, j, cdf, j - i))
+    rows.sort(key=lambda t: (t[4], -t[3], t[0]))
+    return spark.createDataFrame(rows[:max_suggestions] or [], schema)

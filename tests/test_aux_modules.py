@@ -290,3 +290,65 @@ def test_query_time_join_score_modes(spark):
     with pytest.raises(ValueError):
         query_time_join(idx, "spark", docs, docs, "lang", "lang",
                         score_mode="bogus")
+
+
+def test_word_break_spell_checker(spark):
+    """WordBreakSpellChecker.java:71-312: breaks need every piece indexed
+    with df >= minSuggestionFrequency; combinations need the concatenation
+    indexed and >= one constituent missing (SUGGEST_WHEN_NOT_IN_INDEX)."""
+    from lucene_spark.suggest import (
+        suggest_word_breaks,
+        suggest_word_combinations,
+    )
+
+    corpus = [
+        (0, "spark window table court", "en"),
+        (1, "spark window sparkwindow", "en"),
+        (2, "table window", "en"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string, lang string")
+    idx = build_index(spark, docs, text_col="text", key_col="doc_id",
+                      docid_col="doc_id")
+
+    # "sparktable" -> ["spark", "table"]
+    rows = suggest_word_breaks(idx, "sparktable").collect()
+    assert [list(r.words) for r in rows] == [["spark", "table"]]
+    assert rows[0].n_words == 2 and rows[0].freq_max == 2  # spark df=2, table df=2
+    # indexed term -> no suggestions under SUGGEST_WHEN_NOT_IN_INDEX
+    assert suggest_word_breaks(idx, "sparkwindow").count() == 0
+    assert suggest_word_breaks(
+        idx, "sparkwindow", suggest_when_in_index=True).count() > 0
+    # one break already works via the indexed compound "sparkwindow"
+    one = suggest_word_breaks(idx, "sparkwindowtable").collect()
+    assert [list(r.words) for r in one] == [["sparkwindow", "table"]]
+    # max_changes=2 adds the 3-word split, sorted fewer-words-first
+    # (LengthThenMaxFreqComparator)
+    two = suggest_word_breaks(idx, "sparkwindowtable", max_changes=2).collect()
+    assert [list(r.words) for r in two] == [
+        ["sparkwindow", "table"], ["spark", "window", "table"]]
+    # min_suggestion_frequency gate: court has df=1
+    assert suggest_word_breaks(idx, "sparkcourt").count() == 1
+    assert suggest_word_breaks(
+        idx, "sparkcourt", min_suggestion_frequency=2).count() == 0
+
+    # combinations: "spark"+"window" = indexed "sparkwindow"; but BOTH
+    # constituents are indexed -> excluded unless suggest_when_in_index
+    assert suggest_word_combinations(idx, ["spark", "window"]).count() == 0
+    rows = suggest_word_combinations(
+        idx, ["spark", "window"], suggest_when_in_index=True).collect()
+    assert [(r.term, r.first_idx, r.last_idx, r.df, r.score) for r in rows] == [
+        ("sparkwindow", 0, 1, 1, 1)
+    ]
+    # "sparkw"+"indow": constituents unindexed, concat IS the indexed
+    # compound -> the canonical SUGGEST_WHEN_NOT_IN_INDEX hit
+    rows = suggest_word_combinations(idx, ["sparkw", "indow"]).collect()
+    assert [(r.term, r.df, r.score) for r in rows] == [("sparkwindow", 1, 1)]
+    # "sparkwin"+"dow" not indexed either; "spark"+"window" with a missing
+    # middle term combines across max_changes+1 inputs only
+    rows = suggest_word_combinations(
+        idx, ["qq", "spark", "window"], suggest_when_in_index=True).collect()
+    assert ("sparkwindow", 1, 2) in [(r.term, r.first_idx, r.last_idx) for r in rows]
+    # at-least-one-missing satisfied by "qq"
+    rows = suggest_word_combinations(idx, ["qq", "sparkwindow"],
+                                     max_combine_word_length=30)
+    assert rows.count() == 0  # concat "qqsparkwindow" not indexed
