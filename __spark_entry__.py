@@ -1176,6 +1176,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def ft_freetext(spark, sf):
+        # FreeTextSuggester (FreeTextSuggester.java:383-596): 2-gram model,
+        # key "key w" -> bigram completions of "key w*" scored
+        # cnt/count('key'), unigram backoff at ALPHA=0.4 with seen-dedup
+        from lucene_spark.freetext import build_freetext, freetext_lookup
+
+        m = build_freetext(_docs(spark, sf), grams=2)
+        out = freetext_lookup(m, "key w", num=10)
+        return out.select(
+            "gram",
+            F.floor(F.col("score") * 1e9).cast("long").alias("score_q"),
+        )
+
     def ft_word_break(spark, sf):
         # WordBreakSpellChecker.suggestWordBreaks (WordBreakSpellChecker
         # .java:71-142, recursion :248-312): every split of "windowtable"
@@ -1587,8 +1600,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DirectSpellChecker + WordBreak + JoinUtil score modes (4, new
         # round-2 session 4)
         ft_spell_direct, ft_word_break, ft_word_combine, ft_join_score,
-        # function scoring + rescoring + expressions (3, new round 2)
-        ft_function_score, ft_rescore, ft_expr_score,
+        # FreeTextSuggester ngram-LM (1, new round-2 session 4)
+        ft_freetext,
+        # function scoring + expressions (2 of 3 in head, new round 2)
+        ft_function_score, ft_expr_score,
         # surround query-language parser (1, new round 2)
         ft_surround,
         # MemoryIndex single-doc prospective search (1, new round 2)
@@ -1605,7 +1620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- entries 51+: variants + round-1-verified unchanged families ---
         ft_term_topk, ft_or_topk, ft_and_topk, ft_lmjm_sim,
         ft_interval_contain, ft_span_not, ft_payload_near, ft_mf_or,
-        ft_drill_sideways,
+        ft_drill_sideways, ft_rescore,
         dedup_exact, ann_bruteforce, ft_filtered, ft_group_top, ft_monitor,
         ft_phrase, ft_synonym, ft_termdict, ft_norms, ft_token_stats,
         ft_facet_range, dedup_embcos_lsh, dedup_simhash_pairs, ann_ivf_indexed,
@@ -2604,6 +2619,34 @@ doc_scores AS (
 )
 SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
 FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10""",
+        # FreeTextSuggester: stop-filtered bigram/unigram counts, stupid
+        # backoff with seen-dedup across orders
+        "ft_freetext": f"""
+WITH toks AS (
+  SELECT list_filter(string_split(text, ' '), t -> t NOT IN ({_STOPS_SQL}))
+         AS ts
+  FROM documents
+),
+unic AS (SELECT g, CAST(count(*) AS BIGINT) AS c
+         FROM (SELECT unnest(ts) AS g FROM toks) GROUP BY g),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM unic),
+bic AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM (
+  SELECT ts[i] || ' ' || ts[i + 1] AS g
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) s
+  WHERE len(ts) >= 2) GROUP BY g),
+o2 AS (
+  SELECT g AS gram, 1.0 * c / (SELECT c FROM unic WHERE g = 'key') AS score,
+         string_split(g, ' ')[2] AS last_t
+  FROM bic WHERE g LIKE 'key w%' ORDER BY c DESC, g LIMIT 10
+),
+o1 AS (
+  SELECT g AS gram, 0.4 * c / (SELECT t FROM tot) AS score
+  FROM unic WHERE g LIKE 'w%' AND g NOT IN (SELECT last_t FROM o2)
+  ORDER BY c DESC, g LIMIT 10
+)
+SELECT gram, CAST(floor(score * 1e9) AS BIGINT) AS score_q
+FROM (SELECT gram, score FROM o2 UNION ALL SELECT gram, score FROM o1)
+ORDER BY score DESC, gram LIMIT 10""",
         # word breaks: all split points of 'windowtable', both pieces in
         # the vocabulary, term itself absent; fewer-words-first is constant
         # (one break), then max piece df desc, then left piece
