@@ -1176,6 +1176,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def ft_cached_filter(spark, sf):
+        # LRUQueryCache + UsageTrackingQueryCachingPolicy analog
+        # (LRUQueryCache.java; UsageTrackingQueryCachingPolicy.java:124-137:
+        # compound filters cache at 4 uses): the filter match set is
+        # computed once, persisted, and the 5th use must be a cache hit
+        from lucene_spark.querycache import LRUQueryCache
+
+        idx = _ft_index(spark, sf)
+        cache = LRUQueryCache()
+        fq = ("or", [("term", "key"), ("term", "window")])
+        for _ in range(5):
+            fdf = cache.get_filter(idx, fq)
+        assert cache.hit_count >= 1, "policy failed to cache the filter"
+        td = search(idx, "dup", k=10, precision="float64", prune=True,
+                    filter_docs=fdf)
+        rows = [
+            (int(d), int(math.floor(s * 10000)))
+            for d, s in zip(td.docids.tolist(), td.scores.tolist())
+        ]
+        return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
     def ft_freetext(spark, sf):
         # FreeTextSuggester (FreeTextSuggester.java:383-596): 2-gram model,
         # key "key w" -> bigram completions of "key w*" scored
@@ -1579,8 +1600,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_interval_ord, ft_interval_unord,
         # multi-field index (1 of 2 in head, new round 2)
         ft_mf_field,
-        # index-sort early termination + CheckIndex + addIndexes (3, new)
-        ft_sorted_early, ft_check_index, ft_add_indexes,
+        # index-sort early termination + CheckIndex (2 of 3 in head, new)
+        ft_sorted_early, ft_check_index,
         # block join + multi-phrase + common-terms (3, new)
         ft_block_join, ft_mphrase, ft_common_terms,
         # multi-term expansion (1, Damerau fuzzy changed round 2) +
@@ -1600,8 +1621,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DirectSpellChecker + WordBreak + JoinUtil score modes (4, new
         # round-2 session 4)
         ft_spell_direct, ft_word_break, ft_word_combine, ft_join_score,
-        # FreeTextSuggester ngram-LM (1, new round-2 session 4)
-        ft_freetext,
+        # FreeTextSuggester ngram-LM + LRUQueryCache (2, new round-2
+        # session 4)
+        ft_freetext, ft_cached_filter,
         # function scoring + expressions (2 of 3 in head, new round 2)
         ft_function_score, ft_expr_score,
         # surround query-language parser (1, new round 2)
@@ -1620,7 +1642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- entries 51+: variants + round-1-verified unchanged families ---
         ft_term_topk, ft_or_topk, ft_and_topk, ft_lmjm_sim,
         ft_interval_contain, ft_span_not, ft_payload_near, ft_mf_or,
-        ft_drill_sideways, ft_rescore,
+        ft_drill_sideways, ft_rescore, ft_add_indexes,
         dedup_exact, ann_bruteforce, ft_filtered, ft_group_top, ft_monitor,
         ft_phrase, ft_synonym, ft_termdict, ft_norms, ft_token_stats,
         ft_facet_range, dedup_embcos_lsh, dedup_simhash_pairs, ann_ivf_indexed,
@@ -2619,6 +2641,13 @@ doc_scores AS (
 )
 SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
 FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10""",
+        # cached filter: same semantics as an uncached FILTER clause
+        "ft_cached_filter": _FT_PRELUDE + "," + _score_sql(["dup"]) + """
+SELECT ds.doc_id, CAST(floor(ds.score * 10000) AS BIGINT) AS score_q
+FROM doc_scores ds
+WHERE ds.doc_id IN (SELECT DISTINCT doc_id FROM tf
+                    WHERE term IN ('key', 'window'))
+ORDER BY ds.score DESC, ds.doc_id LIMIT 10""",
         # FreeTextSuggester: stop-filtered bigram/unigram counts, stupid
         # backoff with seen-dedup across orders
         "ft_freetext": f"""
