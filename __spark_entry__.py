@@ -1176,6 +1176,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def ft_blended(spark, sf):
+        # BlendedTermQuery (search/BlendedTermQuery.java:271-302): both
+        # terms score under df = max(dfs), merged by dismax(tie=0.01)
+        from lucene_spark.search import blended_term_query
+
+        idx = _ft_index(spark, sf)
+        td = search(idx, blended_term_query(["batch", "fast"], tie=0.01),
+                    k=10, precision="float64", prune=True)
+        rows = [
+            (int(d), int(math.floor(s * 10000)))
+            for d, s in zip(td.docids.tolist(), td.scores.tolist())
+        ]
+        return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
     def ft_cached_filter(spark, sf):
         # LRUQueryCache + UsageTrackingQueryCachingPolicy analog
         # (LRUQueryCache.java; UsageTrackingQueryCachingPolicy.java:124-137:
@@ -1623,13 +1637,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_spell_direct, ft_word_break, ft_word_combine, ft_join_score,
         # FreeTextSuggester ngram-LM + LRUQueryCache (2, new round-2
         # session 4)
-        ft_freetext, ft_cached_filter,
+        ft_freetext, ft_cached_filter, ft_blended,
         # function scoring + expressions (2 of 3 in head, new round 2)
         ft_function_score, ft_expr_score,
         # surround query-language parser (1, new round 2)
         ft_surround,
-        # MemoryIndex single-doc prospective search (1, new round 2)
-        ft_memory,
         # replicator segment shipping (1, new round 2 session 3)
         ft_replica,
         # offsets channel + singleton pulsing (2, new round 2)
@@ -1642,7 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- entries 51+: variants + round-1-verified unchanged families ---
         ft_term_topk, ft_or_topk, ft_and_topk, ft_lmjm_sim,
         ft_interval_contain, ft_span_not, ft_payload_near, ft_mf_or,
-        ft_drill_sideways, ft_rescore, ft_add_indexes,
+        ft_drill_sideways, ft_rescore, ft_add_indexes, ft_memory,
         dedup_exact, ann_bruteforce, ft_filtered, ft_group_top, ft_monitor,
         ft_phrase, ft_synonym, ft_termdict, ft_norms, ft_token_stats,
         ft_facet_range, dedup_embcos_lsh, dedup_simhash_pairs, ann_ivf_indexed,
@@ -2638,6 +2650,24 @@ term_scores AS (
 ),
 doc_scores AS (
   SELECT doc_id, SUM(sc) AS score FROM term_scores GROUP BY doc_id
+)
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10""",
+        # BlendedTermQuery: df_blend = max(df), dismax(tie) combine
+        "ft_blended": _FT_PRELUDE + """,
+dfb AS (SELECT MAX(df) AS dfb FROM df WHERE term IN ('batch', 'fast')),
+term_scores AS (
+  SELECT tf.doc_id,
+         ln(1 + (s.n - b.dfb + 0.5) / (b.dfb + 0.5)) AS w,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (s.sttf / s.n))) AS inv,
+         tf.tf AS tf
+  FROM tf JOIN dl USING (doc_id) CROSS JOIN stats s CROSS JOIN dfb b
+  WHERE tf.term IN ('batch', 'fast')
+),
+per AS (SELECT doc_id, (w - w / (1.0 + tf * inv)) AS sc FROM term_scores),
+doc_scores AS (
+  SELECT doc_id, MAX(sc) + 0.01 * (SUM(sc) - MAX(sc)) AS score
+  FROM per GROUP BY doc_id
 )
 SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
 FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10""",

@@ -310,6 +310,23 @@ def multi_phrase(members: list) -> tuple:
     return ("mphrase_raw", list(members))
 
 
+def blended_term_query(
+    terms: list[str],
+    boosts: dict[str, float] | None = None,
+    tie: float = 0.01,
+    method: str = "dismax",
+) -> tuple:
+    """BlendedTermQuery builder (search/BlendedTermQuery.java:84-116):
+    every member term is scored with BLENDED statistics (df = max of member
+    dfs — :282-287) so cross-field/cross-spelling variants rank on equal
+    footing; results merge via ``DisjunctionMaxRewrite`` with ``tie``
+    (default 0.01, :168-171) or ``BOOLEAN_REWRITE`` (``method='or'``,
+    :138-149).  Per-term boosts mirror Builder.add(term, boost)."""
+    if method not in ("dismax", "or"):
+        raise ValueError("method must be 'dismax' or 'or'")
+    return ("blended", list(terms), dict(boosts or {}), float(tie), method)
+
+
 def common_terms_query(
     index,
     text: str,
@@ -414,6 +431,10 @@ def rewrite(node: tuple, stopwords=ENGLISH_STOP_WORDS) -> tuple | None:
         # multi-term queries are NOT analyzed (QueryParserBase handles them
         # via getFuzzyQuery/getWildcardQuery, bypassing the analyzer); they
         # are expanded against a concrete index by expand_multiterm
+        return node
+    if kind == "blended":
+        # BlendedTermQuery takes raw Terms (search/BlendedTermQuery.java:84
+        # Builder.add(Term)) — no analysis, like the multi-term family
         return node
     if kind == "boost":
         sub = rewrite(node[1], stopwords)
@@ -856,7 +877,7 @@ def query_terms(node: tuple) -> list[str]:
         from .feature import feature_term
 
         return [feature_term(node[1])]
-    if kind in ("and", "msm", "syn", "const"):
+    if kind in ("and", "msm", "syn", "const", "blended"):
         return list(node[1])
     if kind in ("phrase", "sloppy"):
         out = []
@@ -973,6 +994,35 @@ def attach_scorers(
             boost=boost, precision=precision,
         )
         return core + (scorer,)
+    if kind == "blended":
+        # BlendedTermQuery.rewrite (search/BlendedTermQuery.java:271-302):
+        # every member term is scored with the BLENDED statistics —
+        # df = max(member dfs), ttf = sum (ttf unused by BM25/TFIDF) — then
+        # the per-term queries merge via DisjunctionMaxRewrite (tie, :155)
+        # or BOOLEAN_REWRITE (:138).  Each member rides a single-member syn
+        # node, whose kernel path is exactly a term scan with a custom
+        # scorer.
+        terms, boosts, tie, method = node[1], node[2], node[3], node[4]
+        present = [t for t in terms if t in dfs]
+        if not present:
+            return None
+        df_blend = max(dfs[t] for t in present)
+        subs = [
+            (
+                "syn",
+                [t],
+                sim_cls(
+                    df_blend, stats_for(t), k1=k1, b=b,
+                    boost=float(boosts.get(t, 1.0)), precision=precision,
+                ),
+            )
+            for t in present
+        ]
+        if len(subs) == 1:
+            return subs[0]
+        if method == "dismax":
+            return ("dismax", subs, tie)
+        return ("or", subs)
     if kind == "syn":
         present = [t for t in node[1] if t in dfs]
         if not present:

@@ -352,3 +352,53 @@ def test_word_break_spell_checker(spark):
     rows = suggest_word_combinations(idx, ["qq", "sparkwindow"],
                                      max_combine_word_length=30)
     assert rows.count() == 0  # concat "qqsparkwindow" not indexed
+
+
+def test_blended_term_query(spark):
+    """BlendedTermQuery (search/BlendedTermQuery.java:271-302): every member
+    scores under df = max(member dfs); dismax(tie=0.01) / boolean rewrites."""
+    import math
+
+    import numpy as np
+
+    from lucene_spark.search import blended_term_query, search
+    from lucene_spark.similarity import BM25Scorer, CollectionStats
+
+    corpus = [(i, ("rare " if i == 0 else "") + "common filler" +
+               (" extra" * (i % 2)), "en") for i in range(10)]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string, lang string")
+    idx = build_index(spark, docs, text_col="text", key_col="doc_id",
+                      docid_col="doc_id")
+    # df(rare)=1, df(common)=10 -> blended df = 10 for BOTH
+    q = blended_term_query(["rare", "common"], method="or")
+    td = search(idx, q, k=10, precision="float64", prune=True)
+    stats = CollectionStats(idx.doc_count, idx.sum_total_term_freq)
+    blended = BM25Scorer(10, stats, precision="float64")
+    got = dict(zip(td.docids.tolist(), td.scores.tolist()))
+    # doc 0 holds both terms, each freq 1, dl 3 -> sum of two blended scores
+    want0 = float(blended.score_from_dl(np.array([1]), np.array([3]))[0]) * 2
+    assert got[0] == pytest.approx(want0, rel=1e-12)
+    # common-only docs score exactly one blended term (dl 3 for odd ids
+    # with the " extra" suffix, dl 2 for even)
+    want1 = float(blended.score_from_dl(np.array([1]), np.array([3]))[0])
+    assert got[1] == pytest.approx(want1, rel=1e-12)
+    want2 = float(blended.score_from_dl(np.array([1]), np.array([2]))[0])
+    assert got[2] == pytest.approx(want2, rel=1e-12)
+    # dismax rewrite: doc0 score = max + tie*min = (1 + 0.01) * s (equal subs)
+    td2 = search(idx, blended_term_query(["rare", "common"], tie=0.01),
+                 k=10, precision="float64", prune=True)
+    got2 = dict(zip(td2.docids.tolist(), td2.scores.tolist()))
+    s0 = want0 / 2
+    assert got2[0] == pytest.approx(s0 * 1.01, rel=1e-12)
+    # pruned == exhaustive
+    td3 = search(idx, blended_term_query(["rare", "common"], tie=0.01),
+                 k=10, precision="float64", prune=False)
+    assert td2.docids.tolist() == td3.docids.tolist()
+    assert td2.scores.tolist() == td3.scores.tolist()
+    # per-term boost
+    tdb = search(idx, blended_term_query(["rare"], boosts={"rare": 2.0}),
+                 k=3, precision="float64")
+    base = search(idx, blended_term_query(["rare"]), k=3, precision="float64")
+    assert tdb.scores[0] == pytest.approx(2 * base.scores[0], rel=1e-12)
+    with pytest.raises(ValueError):
+        blended_term_query(["a"], method="bogus")
