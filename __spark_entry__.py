@@ -1364,6 +1364,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .cast("long").alias("score_q"),
         )
 
+    def ft_sweetspot_sim(spark, sf):
+        # SweetSpotSimilarity (misc/SweetSpotSimilarity.java:94-140),
+        # configured setLengthNormFactors(1,3,0.5), baseline-tf defaults:
+        # score = (ln((n+1)/(df+1))+1) * sqrt(tf) * plateau norm
+        idx = _ft_index(spark, sf)
+        td = search(idx, "batch fast", k=10, precision="float64",
+                    prune=True, similarity="sweetspot")
+        rows = [
+            (int(d), int(math.floor(s * 10000)))
+            for d, s in zip(td.docids.tolist(), td.scores.tolist())
+        ]
+        return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
     def ft_geo_distance(spark, sf):
         # LatLonPoint.newDistanceQuery analog (LatLonPointDistanceQuery.java):
         # quantized haversine <= radius, two-phase (pushdown box prefilter +
@@ -1628,7 +1641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pluggable similarities + feature fields (one per family in head:
         # TFIDF/LM/DFR/IB/AX; lmjm = 2nd LM variant -> tail)
         ft_classic_sim, ft_lmd_sim, ft_dfr_sim, ft_ib_sim,
-        ft_ax_sim, ft_feature,
+        ft_ax_sim, ft_sweetspot_sim, ft_feature,
         # geo: LatLonPoint distance/box/nearest/distance-feature (4, new
         # round-2 session 4)
         ft_geo_distance, ft_geo_box, ft_geo_nearest, ft_geo_feature,
@@ -1640,8 +1653,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_freetext, ft_cached_filter, ft_blended,
         # function scoring + expressions (2 of 3 in head, new round 2)
         ft_function_score, ft_expr_score,
-        # surround query-language parser (1, new round 2)
-        ft_surround,
         # replicator segment shipping (1, new round 2 session 3)
         ft_replica,
         # offsets channel + singleton pulsing (2, new round 2)
@@ -1655,6 +1666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_term_topk, ft_or_topk, ft_and_topk, ft_lmjm_sim,
         ft_interval_contain, ft_span_not, ft_payload_near, ft_mf_or,
         ft_drill_sideways, ft_rescore, ft_add_indexes, ft_memory,
+        ft_surround,
         dedup_exact, ann_bruteforce, ft_filtered, ft_group_top, ft_monitor,
         ft_phrase, ft_synonym, ft_termdict, ft_norms, ft_token_stats,
         ft_facet_range, dedup_embcos_lsh, dedup_simhash_pairs, ann_ivf_indexed,
@@ -2769,6 +2781,24 @@ SELECT term, df,
 FROM cand
 WHERE ed <= 2 AND score >= 0.5 AND df > 0
 ORDER BY score DESC, df DESC, term LIMIT 5""",
+        # SweetSpot: plateau length norm 1/sqrt(0.5*(|dl-1|+|dl-3|-2)+1)
+        "ft_sweetspot_sim": _FT_PRELUDE + """,
+term_scores AS (
+  SELECT tf.doc_id,
+         (ln((s.n + 1.0) / (df.df + 1.0)) + 1.0) * sqrt(tf.tf)
+         * (1.0 / sqrt(0.5 * (abs(dl.dl - 1) + abs(dl.dl - 3) - 2) + 1.0))
+         AS sc
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  WHERE tf.term IN ('batch', 'fast')
+),
+doc_scores AS (
+  SELECT doc_id, SUM(sc) AS score FROM term_scores GROUP BY doc_id
+)
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10""",
         # geo: quantize (floor-encode * decode) then the exact-asin haversine
         # with Lucene's mean radius — the IDENTICAL double expression the
         # engine's Catalyst plan evaluates (lucene_spark/geo.py)

@@ -731,6 +731,73 @@ class AxiomaticScorer:
         return float(np.max(self.score(np.asarray(freqs), np.asarray(norms))))
 
 
+class SweetSpotScorer(ClassicScorer):
+    """SweetSpotSimilarity (misc/SweetSpotSimilarity.java:34-190): Classic
+    TF-IDF with a plateau length norm and a configurable tf:
+
+      lengthNorm(dl) = 1/sqrt(steep·(|dl−min| + |dl−max| − (max−min)) + 1)
+                                                   (:94-121 — flat 1.0 on
+                       the [min, max] plateau, falling off on both sides)
+      tf(freq)       = baselineTf (:123-140): 0 at 0, tf_base up to tf_min,
+                       sqrt(freq + tf_base² − tf_min) above
+
+    This registry entry is a CONFIGURED instance — setLengthNormFactors(1,
+    3, 0.5f) with baseline-tf defaults (tf_base = tf_min = 0, where
+    baselineTf degrades to Classic's sqrt) — since Lucene's own defaults
+    (min = max = 1) degrade to ClassicSimilarity exactly.
+
+    Pruning note: the plateau norm is NOT monotone in dl (it RISES toward
+    the plateau from the short side), so the (freq↑, dl↓) impact frontiers
+    do not bound it; ``max_score`` therefore bounds the norm by its global
+    maximum 1.0 (the plateau value) — a valid, slightly looser window
+    bound; duel tests assert pruned == exhaustive.
+    """
+
+    LN_MIN = 1
+    LN_MAX = 3
+    STEEP = 0.5
+    TF_BASE = 0.0
+    TF_MIN = 0.0
+
+    def _length_norm64(self, dl: np.ndarray) -> np.ndarray:
+        return 1.0 / np.sqrt(
+            self.STEEP
+            * (
+                np.abs(dl - self.LN_MIN)
+                + np.abs(dl - self.LN_MAX)
+                - (self.LN_MAX - self.LN_MIN)
+            )
+            + 1.0
+        )
+
+    def _tf64(self, f: np.ndarray) -> np.ndarray:
+        base, mn = self.TF_BASE, self.TF_MIN
+        out = np.where(
+            f <= mn, base, np.sqrt(np.maximum(f + base * base - mn, 0.0))
+        )
+        return np.where(f == 0.0, 0.0, out)
+
+    def score(self, freq: np.ndarray, norm: np.ndarray) -> np.ndarray:
+        if self.precision == "lucene":
+            f = np.asarray(freq, dtype=np.float64)
+            dl = LENGTH_TABLE[np.asarray(norm, dtype=np.int64)].astype(
+                np.float64
+            )
+            return (
+                float(self.weight) * self._tf64(f) * self._length_norm64(dl)
+            ).astype(np.float32)
+        f = np.asarray(freq, dtype=np.float64)
+        dl = np.asarray(norm, dtype=np.float64)
+        return self.weight * self._tf64(f) * self._length_norm64(dl)
+
+    def max_score(self, freqs: np.ndarray, norms: np.ndarray) -> float:
+        if len(freqs) == 0:
+            return 0.0
+        # plateau bound: lengthNorm <= 1.0 everywhere (see class docstring)
+        f = np.asarray(freqs, dtype=np.float64)
+        return float(np.max(float(self.weight) * self._tf64(f)))
+
+
 # similarity registry (IndexSearcher.setSimilarity analog,
 # search/IndexSearcher.java:286-294): name → scorer class
 SIMILARITIES = {
@@ -742,4 +809,5 @@ SIMILARITIES = {
     "dfr": DFRScorer,
     "ib": IBScorer,
     "ax": AxiomaticScorer,
+    "sweetspot": SweetSpotScorer,
 }

@@ -253,3 +253,37 @@ def test_axiomatic_f2exp_formula():
     lsc = AxiomaticScorer(10, stats, precision="lucene")
     v = lsc.score_from_dl(np.array([3]), np.array([50]))
     assert v.dtype == np.float32
+
+
+def test_sweetspot_formula():
+    """SweetSpotSimilarity (misc/SweetSpotSimilarity.java:94-140) with the
+    engine's configured plateau setLengthNormFactors(1, 3, 0.5)."""
+    from lucene_spark.similarity import SweetSpotScorer
+
+    stats = CollectionStats(100, 5000)
+    sc = SweetSpotScorer(10, stats, precision="float64")
+    w = math.log(101.0 / 11.0) + 1.0
+
+    def ln(dl):
+        return 1.0 / math.sqrt(0.5 * (abs(dl - 1) + abs(dl - 3) - 2) + 1.0)
+
+    # plateau: dl in [1, 3] -> norm exactly 1
+    assert ln(1) == ln(2) == ln(3) == 1.0
+    for dl in (1, 2, 3, 10, 50):
+        got = sc.score_from_dl(np.array([4]), np.array([dl]))[0]
+        assert got == pytest.approx(w * 2.0 * ln(dl), rel=1e-14), dl
+    # the norm RISES toward the plateau (non-monotone in dl) — the reason
+    # max_score uses the plateau bound
+    assert ln(2) > ln(10)
+    assert sc.max_score(np.array([4, 9]), np.array([200, 255])) == pytest.approx(
+        w * 3.0, rel=1e-14)
+    # baselineTf gates
+    class Based(SweetSpotScorer):
+        TF_BASE, TF_MIN = 1.5, 2.0
+
+    b = Based(10, stats, precision="float64")
+    assert b.score_from_dl(np.array([0]), np.array([2]))[0] == 0.0
+    assert b.score_from_dl(np.array([1]), np.array([2]))[0] == pytest.approx(
+        w * 1.5, rel=1e-14)  # freq <= tf_min -> tf_base
+    assert b.score_from_dl(np.array([6]), np.array([2]))[0] == pytest.approx(
+        w * math.sqrt(6 + 1.5 * 1.5 - 2.0), rel=1e-14)
