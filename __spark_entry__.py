@@ -1349,6 +1349,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return spark.createDataFrame(rows or [], "doc_id long, score_q long")
 
+    def ft_html_analyze(spark, sf):
+        # HTMLStripCharFilter analog (analysis/charfilter/HTMLStripCharFilter
+        # .java) in the Analyzer char-filter slot: an index built over
+        # wrapped HTML yields the same per-doc field lengths as raw text
+        from lucene_spark.analysis import Analyzer
+        from lucene_spark.filters import html_strip
+
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            F.concat(F.lit("<html><body><p>"), F.col("text"),
+                     F.lit("</p></body></html>")).alias("html"),
+        )
+        idx = build_index(
+            spark, docs, text_col="html", key_col="doc_id",
+            docid_col="doc_id", stopwords=Analyzer(char_filters=(html_strip,)),
+        )
+        return idx.docs.select(
+            F.col("docid").alias("doc_id"), "dl"
+        ).orderBy("doc_id")
+
     def ft_spell_direct(spark, sf):
         # DirectSpellChecker.suggestSimilar analog (DirectSpellChecker.java:
         # 292-468): Damerau candidates with prefix/length prefilters, score
@@ -1623,8 +1643,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_payload_term,
         # span queries (3 of 4 in head, new round 2)
         ft_span_near_ord, ft_span_near_unord, ft_span_first,
-        # interval queries (2 of 3 in head, new round 2 session 3)
-        ft_interval_ord, ft_interval_unord,
+        # interval queries (1 of 3 in head, new round 2 session 3)
+        ft_interval_ord,
         # multi-field index (1 of 2 in head, new round 2)
         ft_mf_field,
         # index-sort early termination + CheckIndex (2 of 3 in head, new)
@@ -1651,6 +1671,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # FreeTextSuggester ngram-LM + LRUQueryCache (2, new round-2
         # session 4)
         ft_freetext, ft_cached_filter, ft_blended,
+        # HTMLStripCharFilter char-filter slot (1, new round-2 session 4)
+        ft_html_analyze,
         # function scoring + expressions (2 of 3 in head, new round 2)
         ft_function_score, ft_expr_score,
         # replicator segment shipping (1, new round 2 session 3)
@@ -1666,7 +1688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_term_topk, ft_or_topk, ft_and_topk, ft_lmjm_sim,
         ft_interval_contain, ft_span_not, ft_payload_near, ft_mf_or,
         ft_drill_sideways, ft_rescore, ft_add_indexes, ft_memory,
-        ft_surround,
+        ft_surround, ft_interval_unord,
         dedup_exact, ann_bruteforce, ft_filtered, ft_group_top, ft_monitor,
         ft_phrase, ft_synonym, ft_termdict, ft_norms, ft_token_stats,
         ft_facet_range, dedup_embcos_lsh, dedup_simhash_pairs, ann_ivf_indexed,
@@ -2781,6 +2803,10 @@ SELECT term, df,
 FROM cand
 WHERE ed <= 2 AND score >= 0.5 AND df > 0
 ORDER BY score DESC, df DESC, term LIMIT 5""",
+        # HTML char filter: stripping the wrapper tags restores the raw
+        # token stream, so dl matches the plain-text prelude exactly
+        "ft_html_analyze": _FT_PRELUDE
+        + "SELECT doc_id, dl FROM dl ORDER BY doc_id",
         # SweetSpot: plateau length norm 1/sqrt(0.5*(|dl-1|+|dl-3|-2)+1)
         "ft_sweetspot_sim": _FT_PRELUDE + """,
 term_scores AS (

@@ -94,8 +94,15 @@ def tokenize(text: str, max_token_length: int = MAX_TOKEN_LENGTH) -> list[str]:
 
 class Analyzer:
     """Configurable analysis chain (the Analyzer + TokenFilter stack analog,
-    analysis/Analyzer.java:93-119): tokenize → pre_filters → lowercase →
-    stop-filter → post_filters.
+    analysis/Analyzer.java:93-119): char_filters → tokenize → pre_filters →
+    lowercase → stop-filter → post_filters.
+
+    ``char_filters`` are text→text transforms applied BEFORE tokenization
+    (the CharFilter slot, analysis/CharFilter.java:35; e.g.
+    ``filters.html_strip`` — the HTMLStripCharFilter analog).  Offset
+    correction (CharFilter.correctOffset) is NOT implemented — the
+    offsets entry point rejects analyzers with char filters rather than
+    report wrong spans.
 
     ``pre_filters`` run BEFORE the stop check (EnglishPossessiveFilter's slot
     in EnglishAnalyzer.java:110-118 — "it's" must strip to "it" and then be
@@ -108,15 +115,23 @@ class Analyzer:
     builds a stemmed index with zero extra plumbing.
     """
 
-    __slots__ = ("stopwords", "pre_filters", "post_filters", "max_token_length")
+    __slots__ = ("stopwords", "pre_filters", "post_filters",
+                 "max_token_length", "char_filters")
 
     def __init__(self, stopwords: frozenset[str] = ENGLISH_STOP_WORDS,
-                 pre_filters=(), post_filters=(),
+                 pre_filters=(), post_filters=(), char_filters=(),
                  max_token_length: int = MAX_TOKEN_LENGTH):
         self.stopwords = stopwords
         self.pre_filters = tuple(pre_filters)
         self.post_filters = tuple(post_filters)
+        self.char_filters = tuple(char_filters)
         self.max_token_length = max_token_length
+
+    def run_text(self, text: str) -> str:
+        """Apply the CharFilter stack to the raw text (pre-tokenizer)."""
+        for f in self.char_filters:
+            text = f(text)
+        return text
 
     def run_token(self, raw: str) -> str | None:
         """One raw tokenizer output → emitted term or None (removed)."""
@@ -161,7 +176,7 @@ def analyze(
     if isinstance(stopwords, Analyzer):
         a = stopwords
         return [
-            t for raw in tokenize(text, 10**9)
+            t for raw in tokenize(a.run_text(text), 10**9)
             if (t := a.run_token(raw)) is not None
         ]
     return [
@@ -190,7 +205,7 @@ def analyze_with_positions(
         return toks, poss
     if isinstance(stopwords, Analyzer):
         a = stopwords
-        for i, raw in enumerate(_TOKEN_RE.findall(text)):
+        for i, raw in enumerate(_TOKEN_RE.findall(a.run_text(text))):
             t = a.run_token(raw)
             if t is None:
                 continue
@@ -243,6 +258,11 @@ def analyze_with_offsets(
     if not text:
         return toks, poss, starts, ends
     an = stopwords if isinstance(stopwords, Analyzer) else None
+    if an is not None and an.char_filters:
+        raise ValueError(
+            "char_filters shift character offsets and CharFilter.correctOffset"
+            " is not implemented; offsets would point at the wrong spans"
+        )
     for i, m in enumerate(_TOKEN_RE.finditer(text)):
         raw = m.group(0)
         if an is not None:

@@ -306,3 +306,15 @@ def decimal_digit(token: str) -> str:
         d = unicodedata.digit(c, None)
         out.append(str(d) if d is not None and not c.isascii() else c)
     return "".join(out)
+
+
+_HTML_TAG_RE = __import__("re").compile(r"<[^>]+>")
+
+
+def html_strip(text: str) -> str:
+    """HTMLStripCharFilter analog (analysis/charfilter/HTMLStripCharFilter
+    .java — a CharFilter, i.e. runs BEFORE the tokenizer): removes markup
+    tags from the raw text.  Same tag semantics as the byte-exact
+    `multimodal.extract_text_from_html` (tags deleted, no replacement —
+    entity decoding and offset correction not implemented)."""
+    return _HTML_TAG_RE.sub("", text or "")

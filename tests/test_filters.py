@@ -163,3 +163,44 @@ def test_french_style_chain():
 
     an = Analyzer(stopwords=frozenset(), pre_filters=(elision,))
     assert analyze("L'avion de qu'il", an) == ["avion", "de", "il"]
+
+
+def test_html_strip_char_filter(spark):
+    """CharFilter slot: html_strip runs before the tokenizer; an index
+    built over HTML matches one built over the plain text."""
+    import pytest as _pt
+
+    from lucene_spark.analysis import (
+        Analyzer,
+        analyze,
+        analyze_with_offsets,
+        analyze_with_positions,
+    )
+    from lucene_spark.filters import html_strip
+    from lucene_spark.index import build_index
+    from lucene_spark.search import search
+
+    a = Analyzer(char_filters=(html_strip,))
+    assert html_strip("<p>spark <b>window</b></p>") == "spark window"
+    assert analyze("<p>spark the <b>window</b></p>", a) == ["spark", "window"]
+    # positions keep the stopword gap through the char filter
+    toks, poss = analyze_with_positions("<p>spark the <b>window</b></p>", a)
+    assert toks == ["spark", "window"] and poss == [0, 2]
+    # offsets honestly refuse (no correctOffset)
+    with _pt.raises(ValueError):
+        analyze_with_offsets("<p>x</p>", a)
+
+    rows = [(i, f"<html><body><p>spark window w{i}</p></body></html>")
+            for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, html string")
+    idx = build_index(spark, docs, text_col="html", key_col="doc_id",
+                      docid_col="doc_id", stopwords=a)
+    plain = spark.createDataFrame(
+        [(i, f"spark window w{i}") for i in range(6)],
+        "doc_id long, text string")
+    idx2 = build_index(spark, plain, text_col="text", key_col="doc_id",
+                       docid_col="doc_id")
+    t1 = search(idx, "spark window", k=6, precision="float64")
+    t2 = search(idx2, "spark window", k=6, precision="float64")
+    assert t1.docids.tolist() == t2.docids.tolist()
+    assert t1.scores.tolist() == t2.scores.tolist()
