@@ -1349,6 +1349,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return spark.createDataFrame(rows or [], "doc_id long, score_q long")
 
+    def ft_syn_graph(spark, sf):
+        # query-time SynonymGraphFilter (QueryBuilder.analyzeGraphBoolean,
+        # util/QueryBuilder.java:539-588): "table" expands to
+        # OR(SynonymQuery(table, window), PhraseQuery("key window"))
+        from lucene_spark.search import expand_synonyms
+
+        idx = _ft_index(spark, sf)
+        node = expand_synonyms(
+            ("term", "table"), {"table": ["window", "key window"]})
+        td = search(idx, node, k=10, precision="float64", prune=True)
+        rows = [
+            (int(d), int(math.floor(s * 10000)))
+            for d, s in zip(td.docids.tolist(), td.scores.tolist())
+        ]
+        return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
     def ft_html_analyze(spark, sf):
         # HTMLStripCharFilter analog (analysis/charfilter/HTMLStripCharFilter
         # .java) in the Analyzer char-filter slot: an index built over
@@ -1647,8 +1663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_interval_ord,
         # multi-field index (1 of 2 in head, new round 2)
         ft_mf_field,
-        # index-sort early termination + CheckIndex (2 of 3 in head, new)
-        ft_sorted_early, ft_check_index,
+        # index-sort early termination (1 of 3 in head, new round 2)
+        ft_sorted_early,
         # block join + multi-phrase + common-terms (3, new)
         ft_block_join, ft_mphrase, ft_common_terms,
         # multi-term expansion (1, Damerau fuzzy changed round 2) +
@@ -1671,8 +1687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # FreeTextSuggester ngram-LM + LRUQueryCache (2, new round-2
         # session 4)
         ft_freetext, ft_cached_filter, ft_blended,
-        # HTMLStripCharFilter char-filter slot (1, new round-2 session 4)
-        ft_html_analyze,
+        # HTMLStripCharFilter + synonym graph (2, new round-2 session 4)
+        ft_html_analyze, ft_syn_graph,
         # function scoring + expressions (2 of 3 in head, new round 2)
         ft_function_score, ft_expr_score,
         # replicator segment shipping (1, new round 2 session 3)
@@ -1688,7 +1704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_term_topk, ft_or_topk, ft_and_topk, ft_lmjm_sim,
         ft_interval_contain, ft_span_not, ft_payload_near, ft_mf_or,
         ft_drill_sideways, ft_rescore, ft_add_indexes, ft_memory,
-        ft_surround, ft_interval_unord,
+        ft_surround, ft_interval_unord, ft_check_index,
         dedup_exact, ann_bruteforce, ft_filtered, ft_group_top, ft_monitor,
         ft_phrase, ft_synonym, ft_termdict, ft_norms, ft_token_stats,
         ft_facet_range, dedup_embcos_lsh, dedup_simhash_pairs, ann_ivf_indexed,
@@ -2803,6 +2819,51 @@ SELECT term, df,
 FROM cand
 WHERE ed <= 2 AND score >= 0.5 AND df > 0
 ORDER BY score DESC, df DESC, term LIMIT 5""",
+        # synonym graph: syn(table, window) blended + phrase "key window"
+        # paths OR (scores sum per doc over the union)
+        "ft_syn_graph": _FT_PRELUDE + """,
+pos AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS p
+  FROM documents
+),
+syn AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tf FROM tf
+  WHERE term IN ('table', 'window') GROUP BY doc_id
+),
+dfm AS (SELECT max(df) AS df FROM df WHERE term IN ('table', 'window')),
+syn_doc AS (
+  SELECT syn.doc_id,
+         (ln(1 + (s.n - dfm.df + 0.5) / (dfm.df + 0.5))
+          - ln(1 + (s.n - dfm.df + 0.5) / (dfm.df + 0.5))
+            / (1.0 + syn.tf * (1.0 / (1.2 * ((1.0 - 0.75)
+               + 0.75 * dl.dl / (s.sttf / s.n)))))) AS sc
+  FROM syn JOIN dl USING (doc_id) CROSS JOIN dfm CROSS JOIN stats s
+),
+pm AS (
+  SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS pf
+  FROM pos p0
+  JOIN pos p1 ON p1.doc_id = p0.doc_id AND p1.p = p0.p + 1
+             AND p1.w = 'window'
+  WHERE p0.w = 'key' GROUP BY p0.doc_id
+),
+ph_doc AS (
+  SELECT pm.doc_id,
+         (((SELECT ln(1 + (s2.n - d.df + 0.5) / (d.df + 0.5))
+            FROM df d CROSS JOIN stats s2 WHERE d.term = 'key')
+           + (SELECT ln(1 + (s2.n - d.df + 0.5) / (d.df + 0.5))
+              FROM df d CROSS JOIN stats s2 WHERE d.term = 'window'))
+          * (1.0 - 1.0 / (1.0 + pm.pf * (1.0 / (1.2 * ((1.0 - 0.75)
+             + 0.75 * dl.dl / (s.sttf / s.n))))))) AS sc
+  FROM pm JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+u AS (
+  SELECT COALESCE(sd.doc_id, pd.doc_id) AS doc_id,
+         COALESCE(sd.sc, 0) + COALESCE(pd.sc, 0) AS score
+  FROM syn_doc sd FULL OUTER JOIN ph_doc pd ON sd.doc_id = pd.doc_id
+)
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM u ORDER BY score DESC, doc_id LIMIT 10""",
         # HTML char filter: stripping the wrapper tags restores the raw
         # token stream, so dl matches the plain-text prelude exactly
         "ft_html_analyze": _FT_PRELUDE

@@ -310,6 +310,49 @@ def multi_phrase(members: list) -> tuple:
     return ("mphrase_raw", list(members))
 
 
+def expand_synonyms(node: tuple, synonyms: dict[str, list[str]]) -> tuple:
+    """Query-time SynonymGraphFilter analog (analysis/synonym/
+    SynonymGraphFilter.java + SynonymMap; consumed by QueryBuilder
+    .analyzeGraphBoolean, util/QueryBuilder.java:539-588): a term with
+    synonyms becomes the OR of its graph paths —
+
+    - the original term and every SINGLE-token synonym collapse into ONE
+      SynonymQuery (merged df, summed freq — SynonymQuery.java:52,330-347;
+      the ``syn`` kernel node),
+    - every MULTI-word synonym ("new york") is its own phrase path
+      (QueryBuilder creates a PhraseQuery per multi-token side path).
+
+    ``synonyms`` maps term → list of synonym strings (space = multi-word).
+    Compound nodes rewrite recursively; only ``term`` leaves expand (the
+    filter applies per token)."""
+    kind = node[0]
+    if kind == "term":
+        syns = synonyms.get(node[1])
+        if not syns:
+            return node
+        singles = [s for s in syns if " " not in s]
+        multi = [s.split() for s in syns if " " in s]
+        base = ("syn", [node[1]] + singles) if singles else node
+        if not multi:
+            return base
+        paths = [base] + [
+            ("phrase", [(w, i) for i, w in enumerate(ws)]) for ws in multi
+        ]
+        return ("or", paths)
+    if kind == "and":
+        # expand each conjunct independently (graph paths stay required)
+        subs = [expand_synonyms(("term", t), synonyms) for t in node[1]]
+        if all(s[0] == "term" for s in subs):
+            return node
+        return ("andn", subs)
+    if kind in ("or", "dismax", "andn"):
+        out = [expand_synonyms(c, synonyms) for c in node[1]]
+        return (kind, out) + tuple(node[2:])
+    if kind == "boost":
+        return ("boost", expand_synonyms(node[1], synonyms), node[2])
+    return node
+
+
 def blended_term_query(
     terms: list[str],
     boosts: dict[str, float] | None = None,
@@ -435,6 +478,11 @@ def rewrite(node: tuple, stopwords=ENGLISH_STOP_WORDS) -> tuple | None:
     if kind == "blended":
         # BlendedTermQuery takes raw Terms (search/BlendedTermQuery.java:84
         # Builder.add(Term)) — no analysis, like the multi-term family
+        return node
+    if kind in ("phrase", "sloppy"):
+        # already-analyzed positioned members (e.g. synonym-graph phrase
+        # paths: SynonymMap entries are analyzed when the map is built,
+        # analysis/synonym/SynonymMap.java Builder.add) — pass through
         return node
     if kind == "boost":
         sub = rewrite(node[1], stopwords)

@@ -407,3 +407,42 @@ def test_sloppy_repeated_term_phrase_runs():
     f1 = lucene_sloppy_freq(adjs, [0, 1, 2], ["a", "b", "a"], 2, f32=False)
     f2 = lucene_sloppy_freq(adjs, [0, 1, 2], ["a", "b", "a"], 2, f32=False)
     assert f1 == f2 and f1 > 0
+
+
+def test_synonym_graph_expansion(spark):
+    """Query-time SynonymGraphFilter (QueryBuilder.analyzeGraphBoolean,
+    util/QueryBuilder.java:539-588): single-token syns blend into one
+    SynonymQuery; multi-word syns become phrase paths; paths OR."""
+    import numpy as np
+    import pytest as _pt
+
+    from lucene_spark.index import build_index
+    from lucene_spark.search import expand_synonyms, search
+
+    corpus = [
+        (0, "nyc pizza slice", "en"),
+        (1, "new york pizza crust", "en"),
+        (2, "newyork bagel", "en"),
+        (3, "boston chowder", "en"),
+        (4, "york new pizza", "en"),  # wrong order: no phrase match
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string, lang string")
+    idx = build_index(spark, docs, text_col="text", key_col="doc_id",
+                      docid_col="doc_id", with_positions=True)
+    node = expand_synonyms(
+        ("term", "nyc"), {"nyc": ["newyork", "new york"]})
+    assert node[0] == "or" and node[1][0] == ("syn", ["nyc", "newyork"])
+    assert node[1][1][0] == "phrase"
+    td = search(idx, node, k=10, precision="float64", prune=True)
+    hits = dict(zip(td.docids.tolist(), td.scores.tolist()))
+    # docs 0 (nyc), 1 (phrase "new york"), 2 (newyork) match; 3 and 4 don't
+    assert set(hits) == {0, 1, 2}
+    # pruned == exhaustive through the mixed node
+    te = search(idx, node, k=10, precision="float64", prune=False)
+    assert td.docids.tolist() == te.docids.tolist()
+    assert td.scores.tolist() == te.scores.tolist()
+    # no-synonym terms pass through untouched
+    assert expand_synonyms(("term", "pizza"), {"nyc": ["x"]}) == ("term", "pizza")
+    # compound rewrite
+    n2 = expand_synonyms(("and", ["nyc", "pizza"]), {"nyc": ["newyork"]})
+    assert n2[0] == "andn" and n2[1][0] == ("syn", ["nyc", "newyork"])
