@@ -1349,6 +1349,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return spark.createDataFrame(rows or [], "doc_id long, score_q long")
 
+    def ft_infix_suggest(spark, sf):
+        # AnalyzingInfixSuggester (AnalyzingInfixSuggester.java:504-660):
+        # documents as (text, weight=n_chars) suggestions; key "key w" =
+        # exact 'key' + prefix 'w*', weight-desc order
+        from lucene_spark.suggest import analyzing_infix_suggest
+
+        sugg = _docs(spark, sf).select(
+            "doc_id", "text", F.col("n_chars").alias("weight"))
+        out = analyzing_infix_suggest(
+            sugg, "key w", num=10, tie_col="doc_id")
+        return out.select("doc_id", "weight")
+
     def ft_syn_graph(spark, sf):
         # query-time SynonymGraphFilter (QueryBuilder.analyzeGraphBoolean,
         # util/QueryBuilder.java:539-588): "table" expands to
@@ -1672,8 +1684,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_fuzzy, ft_qp_complex,
         # collectors / facets / grouping (1 of 2 in head; taxonomy new)
         ft_facet_taxo,
-        # aux search modules (2; naive-bayes new round 2 session 3)
-        ft_highlight, ft_nb_classify,
+        # aux search modules (1 of 2 in head)
+        ft_highlight,
         # pluggable similarities + feature fields (one per family in head:
         # TFIDF/LM/DFR/IB/AX; lmjm = 2nd LM variant -> tail)
         ft_classic_sim, ft_lmd_sim, ft_dfr_sim, ft_ib_sim,
@@ -1687,8 +1699,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # FreeTextSuggester ngram-LM + LRUQueryCache (2, new round-2
         # session 4)
         ft_freetext, ft_cached_filter, ft_blended,
-        # HTMLStripCharFilter + synonym graph (2, new round-2 session 4)
-        ft_html_analyze, ft_syn_graph,
+        # HTMLStripCharFilter + synonym graph + infix suggester (3, new
+        # round-2 session 4)
+        ft_html_analyze, ft_syn_graph, ft_infix_suggest,
         # function scoring + expressions (2 of 3 in head, new round 2)
         ft_function_score, ft_expr_score,
         # replicator segment shipping (1, new round 2 session 3)
@@ -1704,7 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_term_topk, ft_or_topk, ft_and_topk, ft_lmjm_sim,
         ft_interval_contain, ft_span_not, ft_payload_near, ft_mf_or,
         ft_drill_sideways, ft_rescore, ft_add_indexes, ft_memory,
-        ft_surround, ft_interval_unord, ft_check_index,
+        ft_surround, ft_interval_unord, ft_check_index, ft_nb_classify,
         dedup_exact, ann_bruteforce, ft_filtered, ft_group_top, ft_monitor,
         ft_phrase, ft_synonym, ft_termdict, ft_norms, ft_token_stats,
         ft_facet_range, dedup_embcos_lsh, dedup_simhash_pairs, ann_ivf_indexed,
@@ -2819,6 +2832,19 @@ SELECT term, df,
 FROM cand
 WHERE ed <= 2 AND score >= 0.5 AND df > 0
 ORDER BY score DESC, df DESC, term LIMIT 5""",
+        # infix suggester: exact 'key' token + 'w%' prefix on any token,
+        # weight (n_chars) desc, doc_id tiebreak
+        "ft_infix_suggest": f"""
+WITH s AS (
+  SELECT doc_id, n_chars AS weight,
+         list_filter(string_split(text, ' '), t -> t NOT IN ({_STOPS_SQL}))
+         AS ts
+  FROM documents
+)
+SELECT doc_id, weight FROM s
+WHERE list_contains(ts, 'key')
+  AND len(list_filter(ts, t -> t LIKE 'w%')) > 0
+ORDER BY weight DESC, doc_id LIMIT 10""",
         # synonym graph: syn(table, window) blended + phrase "key window"
         # paths OR (scores sum per doc over the union)
         "ft_syn_graph": _FT_PRELUDE + """,

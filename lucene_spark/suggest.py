@@ -163,6 +163,58 @@ def _empty_suggestions(index: Index) -> DataFrame:
     return spark.createDataFrame([], "term string, df long, score float")
 
 
+def analyzing_infix_suggest(
+    suggestions: DataFrame,
+    key: str,
+    num: int = 10,
+    text_col: str = "text",
+    weight_col: str = "weight",
+    all_terms_required: bool = True,
+    stopwords=None,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """AnalyzingInfixSuggester.lookup analog (suggest/analyzing/
+    AnalyzingInfixSuggester.java:504-660): suggestions are (text, weight)
+    rows; the key's tokens must appear IN the suggestion text — every token
+    but the last matches exactly, the last matches as a PREFIX of any
+    suggestion token (:560-584 — TermQuery clauses + a PrefixQuery on the
+    last token); ``all_terms_required`` maps clauses to MUST vs SHOULD
+    (:216).  Results sort by weight desc (:158 SORT), ties by ``tie_col``
+    (the reference leaves ties in index order; pass a column for
+    determinism).
+
+    Plan: one Arrow-batched analyze pass over the suggestion table +
+    whole-stage-codegen array predicates; TakeOrderedAndProject returns
+    ``num`` rows.  At scale the suggestion table is a parquet table and
+    this is a single narrow scan."""
+    from .analysis import ENGLISH_STOP_WORDS, analyze, make_analyze_udf
+
+    sw = ENGLISH_STOP_WORDS if stopwords is None else stopwords
+    toks = analyze(key, sw)
+    if not toks:
+        return suggestions.limit(0)
+    last, full = toks[-1], toks[:-1]
+    df = suggestions.withColumn(
+        "_toks", make_analyze_udf(sw)(F.col(text_col))
+    )
+    preds = [F.array_contains("_toks", t) for t in full]
+    preds.append(
+        F.exists("_toks", lambda x: x.startswith(last))
+    )
+    if all_terms_required:
+        cond = preds[0]
+        for p in preds[1:]:
+            cond = cond & p
+    else:
+        cond = preds[0]
+        for p in preds[1:]:
+            cond = cond | p
+    order = [F.col(weight_col).desc()]
+    if tie_col is not None:
+        order.append(F.col(tie_col).asc())
+    return df.filter(cond).drop("_toks").orderBy(*order).limit(num)
+
+
 # --------------------------------------------------- WordBreakSpellChecker
 
 

@@ -402,3 +402,32 @@ def test_blended_term_query(spark):
     assert tdb.scores[0] == pytest.approx(2 * base.scores[0], rel=1e-12)
     with pytest.raises(ValueError):
         blended_term_query(["a"], method="bogus")
+
+
+def test_analyzing_infix_suggester(spark):
+    """AnalyzingInfixSuggester.java:504-660: full tokens match exactly, the
+    last key token prefix-matches ANY suggestion token, weight-desc order."""
+    from lucene_spark.suggest import analyzing_infix_suggest
+
+    sugg = spark.createDataFrame(
+        [
+            (0, "cheap wifi hotel", 10),
+            (1, "wild west hotel", 30),
+            (2, "wifi repair shop", 20),
+            (3, "hotel with pool", 5),
+        ],
+        "sid long, text string, weight long")
+    # key "hotel wi": 'hotel' exact + 'wi*' prefix
+    rows = analyzing_infix_suggest(
+        sugg, "hotel wi", num=10, tie_col="sid").collect()
+    assert [(r.sid, r.weight) for r in rows] == [(1, 30), (0, 10)]
+    # allTermsRequired=False -> SHOULD: any clause qualifies
+    rows = analyzing_infix_suggest(
+        sugg, "hotel wi", num=10, all_terms_required=False,
+        tie_col="sid").collect()
+    assert [r.sid for r in rows] == [1, 2, 0, 3]
+    # bare prefix key
+    rows = analyzing_infix_suggest(sugg, "wif", num=10, tie_col="sid").collect()
+    assert [r.sid for r in rows] == [2, 0]
+    # stopword-only key -> empty
+    assert analyzing_infix_suggest(sugg, "the", num=10).count() == 0
