@@ -1349,6 +1349,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return spark.createDataFrame(rows or [], "doc_id long, score_q long")
 
+    def ft_dv_update(spark, sf):
+        # updateNumericDocValue lifecycle (index/IndexWriter.java
+        # updateNumericDocValue; NumericDocValuesFieldUpdates): gen1 sets
+        # docs matching 'dup' to 777, gen2 overrides docs matching 'key'
+        # to 55; read-through = latest generation per doc over n_chars
+        from lucene_spark.docvalues import NumericDocValues
+
+        idx = _ft_index(spark, sf)
+        dv = NumericDocValues(
+            _docs(spark, sf), id_col="doc_id", val_col="n_chars")
+        dv.update_by_term(idx, "dup", 777)
+        dv.update_by_term(idx, "key", 55)
+        return dv.resolve().select(
+            F.col("docid").alias("doc_id"), "value"
+        ).orderBy("doc_id")
+
     def ft_infix_suggest(spark, sf):
         # AnalyzingInfixSuggester (AnalyzingInfixSuggester.java:504-660):
         # documents as (text, weight=n_chars) suggestions; key "key w" =
@@ -1684,8 +1700,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_fuzzy, ft_qp_complex,
         # collectors / facets / grouping (1 of 2 in head; taxonomy new)
         ft_facet_taxo,
-        # aux search modules (1 of 2 in head)
-        ft_highlight,
         # pluggable similarities + feature fields (one per family in head:
         # TFIDF/LM/DFR/IB/AX; lmjm = 2nd LM variant -> tail)
         ft_classic_sim, ft_lmd_sim, ft_dfr_sim, ft_ib_sim,
@@ -1702,6 +1716,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # HTMLStripCharFilter + synonym graph + infix suggester (3, new
         # round-2 session 4)
         ft_html_analyze, ft_syn_graph, ft_infix_suggest,
+        # numeric doc-values updates (1, new round-2 session 4)
+        ft_dv_update,
         # function scoring + expressions (2 of 3 in head, new round 2)
         ft_function_score, ft_expr_score,
         # replicator segment shipping (1, new round 2 session 3)
@@ -1718,6 +1734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_interval_contain, ft_span_not, ft_payload_near, ft_mf_or,
         ft_drill_sideways, ft_rescore, ft_add_indexes, ft_memory,
         ft_surround, ft_interval_unord, ft_check_index, ft_nb_classify,
+        ft_highlight,
         dedup_exact, ann_bruteforce, ft_filtered, ft_group_top, ft_monitor,
         ft_phrase, ft_synonym, ft_termdict, ft_norms, ft_token_stats,
         ft_facet_range, dedup_embcos_lsh, dedup_simhash_pairs, ann_ivf_indexed,
@@ -2832,6 +2849,17 @@ SELECT term, df,
 FROM cand
 WHERE ed <= 2 AND score >= 0.5 AND df > 0
 ORDER BY score DESC, df DESC, term LIMIT 5""",
+        # DV updates: latest generation per doc over the n_chars base
+        "ft_dv_update": _FT_PRELUDE + """
+SELECT d.doc_id,
+       CASE WHEN EXISTS (SELECT 1 FROM ftok f
+                         WHERE f.doc_id = d.doc_id AND f.term = 'key')
+            THEN 55
+            WHEN EXISTS (SELECT 1 FROM ftok f
+                         WHERE f.doc_id = d.doc_id AND f.term = 'dup')
+            THEN 777
+            ELSE d.n_chars END AS value
+FROM documents d ORDER BY d.doc_id""",
         # infix suggester: exact 'key' token + 'w%' prefix on any token,
         # weight (n_chars) desc, doc_id tiebreak
         "ft_infix_suggest": f"""

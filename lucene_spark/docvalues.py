@@ -1,0 +1,94 @@
+"""Numeric doc-values updates — IndexWriter.updateNumericDocValue analog.
+
+Reference:
+- ``index/IndexWriter.java`` ``updateNumericDocValue(Term, String field,
+  long value)`` — every document matching the term gets the new value for
+  the field WITHOUT reindexing the document.
+- ``index/NumericDocValuesFieldUpdates.java`` / ``BufferedUpdatesStream``
+  — updates buffer as (docid → value) packets stamped with a generation;
+  readers resolve the LATEST generation per doc on top of the base
+  doc-values file (the ``.dvm``/``.dvd`` gen-suffixed sidecars).
+
+Spark analog: the base doc values are any (docid, value) DataFrame (a
+column of the docs table, or a standalone side table the function-scoring
+path joins by docid); updates accumulate as small (docid, value, gen)
+frames.  ``resolve()`` applies latest-gen-wins read-through: the window
+shuffle is UPDATE-sized, never corpus-sized, and the final join against
+the base is a broadcast when updates are small — the same asymmetry that
+makes Lucene's DV updates cheap compared to reindexing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .index import Index
+
+
+class NumericDocValues:
+    """A numeric doc-values field with buffered updates (latest gen wins)."""
+
+    def __init__(self, base: DataFrame, id_col: str = "docid",
+                 val_col: str = "value"):
+        self.base = base.select(
+            F.col(id_col).alias("docid"), F.col(val_col).alias("value")
+        )
+        self._updates: list[DataFrame] = []
+        self._gen = 0
+
+    def update_by_term(self, index: Index, term: str, value: int) -> int:
+        """IndexWriter.updateNumericDocValue(Term, field, value): stamp a
+        new generation onto every doc matching ``term``.  Returns the
+        generation number (BufferedUpdatesStream's packet gen)."""
+        from .search import match_any_docs
+
+        self._gen += 1
+        docs = match_any_docs(index, [term]).select("docid")
+        self._updates.append(
+            docs.withColumn("value", F.lit(int(value)).cast("long"))
+            .withColumn("gen", F.lit(self._gen))
+        )
+        return self._gen
+
+    def update_docs(self, docids: DataFrame, value: int) -> int:
+        """Update an explicit docid set (the updateDocValues-by-query shape)."""
+        self._gen += 1
+        self._updates.append(
+            docids.select("docid")
+            .withColumn("value", F.lit(int(value)).cast("long"))
+            .withColumn("gen", F.lit(self._gen))
+        )
+        return self._gen
+
+    def resolve(self) -> DataFrame:
+        """Read-through view (docid, value): base overlaid with the latest
+        generation per doc — DocValuesFieldUpdates.Iterator merge order."""
+        if not self._updates:
+            return self.base
+        ups = self._updates[0]
+        for u in self._updates[1:]:
+            ups = ups.unionByName(u)
+        latest = (
+            ups.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("docid").orderBy(F.col("gen").desc())
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .select("docid", F.col("value").alias("_newv"))
+        )
+        return (
+            self.base.join(F.broadcast(latest), "docid", "left")
+            .select(
+                "docid",
+                F.coalesce(F.col("_newv"), F.col("value")).alias("value"),
+            )
+        )
+
+    def materialize(self) -> "NumericDocValues":
+        """Fold all update generations into a new base (the merge that
+        rewrites gen'd .dvd sidecars into the segment at forceMerge)."""
+        out = NumericDocValues(self.resolve())
+        return out
