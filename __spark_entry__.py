@@ -1582,6 +1582,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic md5-based sign-sum — exact DuckDB twin in oracle_sql
         return textops.simhash(_docs(spark, sf))
 
+    def dedup_cluster(spark, sf):
+        # connected components over the simhash hamming-banded pair table
+        # (hash-to-min propagation, Rastogi et al. ICDE 2013): node ->
+        # min-id component — the pairs->clusters step of a dedup pipeline
+        pairs = textops.simhash_pairs(_docs(spark, sf), max_hamming=3)
+        return textops.connected_components(pairs).orderBy("node")
+
+    def dedup_canonical(spark, sf):
+        # winner selection: ONE doc per near-dup component (best n_chars,
+        # ties by id), unpaired docs pass through
+        docs = _docs(spark, sf)
+        pairs = textops.simhash_pairs(docs, max_hamming=3)
+        comp = textops.connected_components(pairs)
+        kept = textops.canonical_docs(docs, comp, quality_col="n_chars")
+        return kept.select("doc_id").orderBy("doc_id")
+
     def dedup_simhash_pairs(spark, sf):
         # hamming-banded near-dup join (pigeonhole chunks + bit_count verify)
         return textops.simhash_pairs(_docs(spark, sf), max_hamming=3)
@@ -1683,8 +1699,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_deleted_persist, ft_count,
         # positional (1; exact phrase + synonym r1-verified -> tail)
         ft_phrase_sloppy,
-        # payloads channel (1 of 2 in head, new round 2 session 3)
-        ft_payload_term,
         # span queries (3 of 4 in head, new round 2)
         ft_span_near_ord, ft_span_near_unord, ft_span_first,
         # interval queries (1 of 3 in head, new round 2 session 3)
@@ -1716,16 +1730,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # HTMLStripCharFilter + synonym graph + infix suggester (3, new
         # round-2 session 4)
         ft_html_analyze, ft_syn_graph, ft_infix_suggest,
-        # numeric doc-values updates (1, new round-2 session 4)
-        ft_dv_update,
+        # numeric doc-values updates + dedup clustering/canonical (3,
+        # new round-2 session 4)
+        ft_dv_update, dedup_cluster, dedup_canonical,
         # function scoring + expressions (2 of 3 in head, new round 2)
         ft_function_score, ft_expr_score,
         # replicator segment shipping (1, new round 2 session 3)
         ft_replica,
         # offsets channel + singleton pulsing (2, new round 2)
         ft_offsets, ft_pulsed,
-        # dedup family (4; exact dedup r1-verified+unchanged -> tail)
-        dedup_jaccard, dedup_minhash_lsh, dedup_simhash,
+        # dedup family (3 of 4 in head; exact dedup r1-verified -> tail)
+        dedup_jaccard, dedup_minhash_lsh,
         dedup_embcos,
         # ANN + embedding stats (3; bruteforce r1-verified+unchanged -> tail)
         ann_ivf, ann_lsh, emb_label_stats,
@@ -1734,7 +1749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_interval_contain, ft_span_not, ft_payload_near, ft_mf_or,
         ft_drill_sideways, ft_rescore, ft_add_indexes, ft_memory,
         ft_surround, ft_interval_unord, ft_check_index, ft_nb_classify,
-        ft_highlight,
+        ft_highlight, ft_payload_term, dedup_simhash,
         dedup_exact, ann_bruteforce, ft_filtered, ft_group_top, ft_monitor,
         ft_phrase, ft_synonym, ft_termdict, ft_norms, ft_token_stats,
         ft_facet_range, dedup_embcos_lsh, dedup_simhash_pairs, ann_ivf_indexed,
@@ -3242,6 +3257,40 @@ JOIN sizes sb ON sb.doc_id = b
 WHERE CAST(n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - n_common) >= 0.5""",
         "dedup_minhash_lsh": _minhash_oracle_sql(n=3, num_perm=32, bands=8, seed=1),
         "dedup_simhash": _simhash_oracle_sql(),
+        # dedup clustering: recursive min-label walk over the simhash
+        # pair graph (both directions), component = min reachable id
+        "dedup_cluster": "WITH RECURSIVE pairs AS ("
+        + _simhash_pairs_oracle_sql(max_hamming=3) + """),
+edges AS (
+  SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs
+),
+walk(node, lab) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, w.lab FROM walk w JOIN edges e ON e.u = w.node
+)
+SELECT node, MIN(lab) AS component FROM walk GROUP BY node ORDER BY node""",
+        "dedup_canonical": "WITH RECURSIVE pairs AS ("
+        + _simhash_pairs_oracle_sql(max_hamming=3) + """),
+edges AS (
+  SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs
+),
+walk(node, lab) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, w.lab FROM walk w JOIN edges e ON e.u = w.node
+),
+cc AS (SELECT node, MIN(lab) AS component FROM walk GROUP BY node),
+j AS (
+  SELECT d.doc_id, d.n_chars, COALESCE(cc.component, d.doc_id) AS comp
+  FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+)
+SELECT doc_id FROM (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY comp
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM j
+) WHERE rn = 1 ORDER BY doc_id""",
         "dedup_simhash_pairs": _simhash_pairs_oracle_sql(max_hamming=3),
         "text_token_count": f"""
 WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)

@@ -380,3 +380,100 @@ def bpe_token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
         F.size(pieces).cast("long").alias("n_pretokens"),
         est.alias("est_subwords"),
     )
+
+
+# ------------------------------------------------ dedup: cluster + canonical
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate PAIR table → (node,
+    component), component = min node id in the component.
+
+    This is the step between pair generation (MinHash-LSH banding, SimHash
+    hamming join, exact-hash chains) and canonical-document selection: a
+    dedup pipeline must drop ALL BUT ONE doc per component, not per pair.
+
+    Algorithm: iterative min-label propagation (the "hash-to-min" scheme of
+    Rastogi et al., "Finding Connected Components in Map-Reduce in
+    Logarithmic Rounds", ICDE 2013 — the same family as the large-star/
+    small-star algorithm of Kiveris et al., MapReduce and Beyond 2014):
+    every round each node takes the min label in its closed neighborhood;
+    converges in O(diameter) rounds with per-round cost ONE shuffle over
+    the PAIR table (pairs << corpus at any scale — near-dup components are
+    small and star-shaped out of LSH buckets, so 2-4 rounds in practice).
+    Each round's frame is localCheckpoint'ed to cut lineage growth.
+
+    The driver-side loop only reads ONE aggregate per round (the change
+    count) — no per-row data leaves the cluster.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(
+            pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # candidate label for v = comp(u) over every edge (u, v)
+        cand = (
+            edges.join(labels, edges.u == labels.node)
+            .select(F.col("v").alias("node"), F.col("comp"))
+        )
+        new_labels = (
+            labels.select("node", "comp").unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("node", F.col("comp").alias("component"))
+
+
+def canonical_docs(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """Keep ONE document per duplicate component (plus every unpaired doc):
+    the min-id member, or the best by ``quality_col`` (ties by id) — the
+    "winner selection" step of a dedup pipeline.  Docs absent from
+    ``components`` pass through (they had no duplicate candidate)."""
+    from pyspark.sql import Window
+
+    joined = docs.join(
+        components.withColumnRenamed("node", id_col), id_col, "left"
+    ).withColumn(
+        "_comp", F.coalesce(F.col("component"), F.col(id_col))
+    )
+    order = [F.col(id_col).asc()]
+    if quality_col is not None:
+        order.insert(0, F.col(quality_col).desc())
+    w = Window.partitionBy("_comp").orderBy(*order)
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_comp", "component")
+    )

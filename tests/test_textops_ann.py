@@ -260,3 +260,37 @@ def test_bpe_token_count(spark):
     assert r[2]["n_pretokens"] == 0 and r[2]["est_subwords"] == 0
     # est_subwords = sum ceil(bytes/4): 1+1+1+2+1+1+2+2+2+1 = 14
     assert r[0]["est_subwords"] == 14
+
+
+def test_connected_components_and_canonical(spark):
+    """Hash-to-min CC (Rastogi et al. 2013): chains, stars, and singletons;
+    canonical_docs keeps one winner per component."""
+    from lucene_spark.textops import canonical_docs, connected_components
+
+    # chain 0-1-2-3 (diameter 3), star 10-{11,12,13}, pair 20-21
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11), (10, 12), (10, 13), (20, 21)],
+        "a long, b long")
+    cc = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert cc == {0: 0, 1: 0, 2: 0, 3: 0,
+                  10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+    # order of pair endpoints must not matter
+    cc2 = {r.node: r.component
+           for r in connected_components(
+               spark.createDataFrame([(3, 2), (1, 0), (2, 1)], "a long, b long")
+           ).collect()}
+    assert cc2 == {0: 0, 1: 0, 2: 0, 3: 0}
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}", float(i % 4)) for i in range(25)],
+        "doc_id long, text string, q double")
+    kept = canonical_docs(docs, connected_components(pairs))
+    ids = sorted(r.doc_id for r in kept.collect())
+    # one per component (0, 10, 20) + all unpaired docs
+    paired = {0, 1, 2, 3, 10, 11, 12, 13, 20, 21}
+    assert ids == sorted({0, 10, 20} | (set(range(25)) - paired))
+    # quality winner: component 0 members have q = 0,1,2,3 -> doc 3 wins
+    kept_q = canonical_docs(docs, connected_components(pairs),
+                            quality_col="q")
+    idsq = {r.doc_id for r in kept_q.collect()}
+    assert 3 in idsq and 0 not in idsq
