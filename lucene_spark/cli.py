@@ -121,6 +121,40 @@ def cmd_bench_queries(args) -> int:
     return 0
 
 
+def cmd_suggest(args) -> int:
+    """Suggest / spell CLI: prefix completions (FST-analog termdict scan),
+    DirectSpellChecker corrections, or WordBreak splits."""
+    from .index import read_index
+    from .suggest import (
+        direct_spell_suggest,
+        suggest_terms,
+        suggest_word_breaks,
+    )
+
+    spark = _session("lucene_spark_suggest")
+    idx = read_index(spark, args.index)
+    if args.mode == "prefix":
+        rows = suggest_terms(idx, args.text, args.n).collect()
+        out = [{"term": r["term"], "cf": int(r["cf"])} for r in rows]
+    elif args.mode == "spell":
+        rows = direct_spell_suggest(
+            idx, args.text, num_sug=args.n,
+            max_query_frequency=float("inf") if args.always else 0.01,
+        ).collect()
+        out = [
+            {"term": r["term"], "df": int(r["df"]), "score": float(r["score"])}
+            for r in rows
+        ]
+    else:  # wordbreak
+        rows = suggest_word_breaks(idx, args.text, max_suggestions=args.n).collect()
+        out = [
+            {"words": list(r["words"]), "freq_max": int(r["freq_max"])}
+            for r in rows
+        ]
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_check(args) -> int:
     """CheckIndex CLI analog (Lucene: java org.apache.lucene.index.CheckIndex
     <dir> — index/CheckIndex.java:79)."""
@@ -175,6 +209,16 @@ def main(argv=None) -> int:
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--precision", default="lucene", choices=["lucene", "float64"])
     q.set_defaults(fn=cmd_bench_queries)
+
+    g = sub.add_parser("suggest", help="prefix / spell / word-break suggestions")
+    g.add_argument("--index", required=True)
+    g.add_argument("--text", required=True)
+    g.add_argument("--mode", choices=["prefix", "spell", "wordbreak"],
+                   default="prefix")
+    g.add_argument("-n", type=int, default=5)
+    g.add_argument("--always", action="store_true",
+                   help="spell: disable the maxQueryFrequency gate")
+    g.set_defaults(fn=cmd_suggest)
 
     c = sub.add_parser("check", help="CheckIndex-style structural audit")
     c.add_argument("--index", required=True)

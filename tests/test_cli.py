@@ -60,3 +60,23 @@ def test_cli_search_surround_syntax(spark, tmp_path, capsys):
                          "--syntax", "surround", "-k", "5"])
     hits = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert [h["url"] for h in hits] == ["a"]
+
+
+def test_cli_suggest_modes(spark, pages_parquet, tmp_path, capsys):
+    out = str(tmp_path / "idx_sugg")
+    assert not cli_main(["build", "--input", pages_parquet, "--out", out])
+    capsys.readouterr()
+    # prefix completions
+    assert not cli_main(["suggest", "--index", out, "--text", "ga", "-n", "3"])
+    got = json.loads(capsys.readouterr().out)
+    assert got and got[0]["term"] == "gamma"
+    # spell correction (transposition): 'gamam' -> gamma
+    assert not cli_main(["suggest", "--index", out, "--text", "gamam",
+                         "--mode", "spell", "--always"])
+    got = json.loads(capsys.readouterr().out)
+    assert any(s["term"] == "gamma" for s in got)
+    # word break: 'alphabeta' -> [alpha, beta]
+    assert not cli_main(["suggest", "--index", out, "--text", "alphabeta",
+                         "--mode", "wordbreak"])
+    got = json.loads(capsys.readouterr().out)
+    assert got and got[0]["words"] == ["alpha", "beta"]
