@@ -1349,6 +1349,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return spark.createDataFrame(rows or [], "doc_id long, score_q long")
 
+    def ft_diversified(spark, sf):
+        # DiversifiedTopDocsCollector (misc/search/DiversifiedTopDocs
+        # Collector.java:67-82): top-10 "batch" hits, at most 3 per lang
+        from lucene_spark.funcscore import diversified_topk
+
+        idx = _ft_index(spark, sf)
+        keys = _docs(spark, sf).select(
+            F.col("doc_id").alias("docid"), F.col("lang").alias("key"))
+        out = diversified_topk(idx, "batch", keys, k=10, max_per_key=3)
+        return out.select(
+            F.col("docid").alias("doc_id"),
+            F.floor(F.col("score") * 10000).cast("long").alias("score_q"),
+            F.col("key").alias("lang"),
+        )
+
+    def ft_high_freq(spark, sf):
+        # HighFreqTerms tool (misc/HighFreqTerms.java:43-90): top vocabulary
+        # by docFreq, ties by term
+        from lucene_spark.index import high_freq_terms
+
+        return high_freq_terms(_ft_index(spark, sf), n=10)
+
     def ft_dv_update(spark, sf):
         # updateNumericDocValue lifecycle (index/IndexWriter.java
         # updateNumericDocValue; NumericDocValuesFieldUpdates): gen1 sets
@@ -1707,8 +1729,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_mf_field,
         # index-sort early termination (1 of 3 in head, new round 2)
         ft_sorted_early,
-        # block join + multi-phrase + common-terms (3, new)
-        ft_block_join, ft_mphrase, ft_common_terms,
+        # block join (1 of 3 in head, new round 2)
+        ft_block_join,
         # multi-term expansion (1, Damerau fuzzy changed round 2) +
         # parser nesting (1)
         ft_fuzzy, ft_qp_complex,
@@ -1733,6 +1755,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # numeric doc-values updates + dedup clustering/canonical (3,
         # new round-2 session 4)
         ft_dv_update, dedup_cluster, dedup_canonical,
+        # diversified collector + HighFreqTerms (2, new round-2 session 4)
+        ft_diversified, ft_high_freq,
         # function scoring + expressions (2 of 3 in head, new round 2)
         ft_function_score, ft_expr_score,
         # replicator segment shipping (1, new round 2 session 3)
@@ -1749,7 +1773,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_interval_contain, ft_span_not, ft_payload_near, ft_mf_or,
         ft_drill_sideways, ft_rescore, ft_add_indexes, ft_memory,
         ft_surround, ft_interval_unord, ft_check_index, ft_nb_classify,
-        ft_highlight, ft_payload_term, dedup_simhash,
+        ft_highlight, ft_payload_term, dedup_simhash, ft_mphrase,
+        ft_common_terms,
         dedup_exact, ann_bruteforce, ft_filtered, ft_group_top, ft_monitor,
         ft_phrase, ft_synonym, ft_termdict, ft_norms, ft_token_stats,
         ft_facet_range, dedup_embcos_lsh, dedup_simhash_pairs, ann_ivf_indexed,
@@ -2864,6 +2889,21 @@ SELECT term, df,
 FROM cand
 WHERE ed <= 2 AND score >= 0.5 AND df > 0
 ORDER BY score DESC, df DESC, term LIMIT 5""",
+        # diversified top-k: best 3 per lang, global score order
+        "ft_diversified": _FT_PRELUDE + "," + _score_sql(["batch"]) + """
+SELECT doc_id, score_q, lang FROM (
+  SELECT ds.doc_id, CAST(floor(ds.score * 10000) AS BIGINT) AS score_q,
+         d.lang, ds.score,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY ds.score DESC, ds.doc_id) AS rn
+  FROM doc_scores ds JOIN documents d USING (doc_id)
+) WHERE rn <= 3 ORDER BY score DESC, doc_id LIMIT 10""",
+        # HighFreqTerms: top-10 vocabulary by df, ties by term
+        "ft_high_freq": _FT_PRELUDE + """,
+cfs AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY term)
+SELECT df.term, df.df, cfs.cf
+FROM df JOIN cfs USING (term)
+ORDER BY df.df DESC, df.term LIMIT 10""",
         # DV updates: latest generation per doc over the n_chars base
         "ft_dv_update": _FT_PRELUDE + """
 SELECT d.doc_id,

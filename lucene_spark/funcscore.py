@@ -131,6 +131,48 @@ def boost_by_query(
     return _take_topk(rescored, k)
 
 
+def diversified_topk(
+    index,
+    query,
+    keys: "DataFrame",
+    k: int,
+    max_per_key: int,
+    key_col: str = "key",
+    id_col: str = "docid",
+    precision: str = "float64",
+) -> "DataFrame":
+    """DiversifiedTopDocsCollector analog (misc/search/
+    DiversifiedTopDocsCollector.java:67-82): top-``k`` hits with at most
+    ``max_per_key`` documents per key (the duplicate-source cap — "find
+    the top song hits without over-representing one artist").
+
+    Plan: distributed hit scoring (score_docs), a key join, a per-key
+    window keeping the best ``max_per_key`` (score desc, docid asc — the
+    per-key queue), then the global (score desc, docid asc) top-``k`` —
+    TakeOrderedAndProject, k rows to the driver.  The per-key window
+    shuffles only the HIT SET."""
+    from pyspark.sql import Window
+
+    from .search import score_docs
+
+    hits = score_docs(index, query, precision=precision)
+    joined = hits.join(
+        keys.select(F.col(id_col).alias("docid"), F.col(key_col).alias("_k")),
+        "docid",
+    )
+    w = Window.partitionBy("_k").orderBy(
+        F.col("score").desc(), F.col("docid").asc()
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_per_key)
+        .drop("_rn")
+        .withColumnRenamed("_k", key_col)
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )
+
+
 def rescore(
     index: Index,
     first: TopDocs,

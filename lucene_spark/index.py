@@ -1273,3 +1273,17 @@ def add_reversed_terms(index: Index) -> Index:
         seg_size=index.seg_size, tombstones=index.tombstones,
         pulsed=index.pulsed, rterms=rt,
     )
+
+
+def high_freq_terms(index: Index, n: int = 100, by: str = "df") -> DataFrame:
+    """HighFreqTerms tool analog (misc/HighFreqTerms.java:43-90): the top-n
+    vocabulary terms by docFreq or totalTermFreq — one
+    TakeOrderedAndProject over the term dictionary (n rows to the driver),
+    ties by term."""
+    if by not in ("df", "cf"):
+        raise ValueError("by must be 'df' (docFreq) or 'cf' (totalTermFreq)")
+    return (
+        index.termdict.select("term", "df", "cf")
+        .orderBy(F.col(by).desc(), F.col("term"))
+        .limit(n)
+    )

@@ -133,8 +133,16 @@ def main() -> None:
         json.dumps(results[32]["queries"], indent=2),
         "```",
     ]
-    with open("BENCH.md", "w") as f:
-        f.write("\n".join(lines) + "\n")
+    import os
+
+    if os.path.exists("BENCH.md"):
+        # never clobber the curated analysis: append a dated refresh section
+        lines[0] = f"## Ladder refresh (n_docs={args.n_docs})"
+        with open("BENCH.md", "a") as f:
+            f.write("\n\n" + "\n".join(lines) + "\n")
+    else:
+        with open("BENCH.md", "w") as f:
+            f.write("\n".join(lines) + "\n")
     print(json.dumps(summary))
 
 

@@ -431,3 +431,39 @@ def test_analyzing_infix_suggester(spark):
     assert [r.sid for r in rows] == [2, 0]
     # stopword-only key -> empty
     assert analyzing_infix_suggest(sugg, "the", num=10).count() == 0
+
+
+def test_diversified_topk_and_high_freq_terms(spark):
+    """DiversifiedTopDocsCollector (misc): <= max_per_key hits per key in
+    the global top-k; HighFreqTerms: top vocabulary by df/cf."""
+    from lucene_spark.funcscore import diversified_topk
+    from lucene_spark.index import high_freq_terms
+    from lucene_spark.search import score_docs
+
+    corpus = [(i, "hit " * (10 - i) + f"w{i}", "a" if i < 5 else "b")
+              for i in range(10)]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string, lang string")
+    idx = build_index(spark, docs, text_col="text", key_col="doc_id",
+                      docid_col="doc_id")
+    keys = docs.select(docs.doc_id.alias("docid"), docs.lang.alias("key"))
+    out = diversified_topk(idx, "hit", keys, k=4, max_per_key=2,
+                           id_col="docid")
+    rows = [(r.docid, r.key) for r in out.collect()]
+    assert len(rows) == 4
+    from collections import Counter
+    assert max(Counter(k for _, k in rows).values()) <= 2
+    # global order respected among the survivors
+    scores = {r.docid: r.score
+              for r in score_docs(idx, "hit", precision="float64").collect()}
+    got_scores = [scores[d] for d, _ in rows]
+    assert got_scores == sorted(got_scores, reverse=True)
+    # best two of each key (docs 0,1 for 'a'; 5,6 for 'b' — freq decreasing)
+    assert {d for d, _ in rows} == {0, 1, 5, 6}
+
+    hf = high_freq_terms(idx, n=1).collect()
+    assert hf[0]["term"] == "hit" and hf[0]["df"] == 10
+    hf_cf = high_freq_terms(idx, n=1, by="cf").collect()
+    assert hf_cf[0]["cf"] == sum(10 - i for i in range(10))
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        high_freq_terms(idx, by="zz")
