@@ -1349,6 +1349,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return spark.createDataFrame(rows or [], "doc_id long, score_q long")
 
+    def ft_combined_field(spark, sf):
+        # CombinedFieldQuery / BM25F (sandbox/search/CombinedFieldQuery
+        # .java:72,292-334; MultiNormsLeafSimScorer): "table" against the
+        # weighted union of (text x1, title x2)
+        from lucene_spark.search import combined_field_topk
+
+        idx = _mf_index(spark, sf)
+        out = combined_field_topk(
+            idx, "table", {"text": 1.0, "title": 2.0}, k=10)
+        return out.select(
+            F.col("docid").alias("doc_id"),
+            F.floor(F.col("score") * 10000).cast("long").alias("score_q"),
+        )
+
     def ft_diversified(spark, sf):
         # DiversifiedTopDocsCollector (misc/search/DiversifiedTopDocs
         # Collector.java:67-82): top-10 "batch" hits, at most 3 per lang
@@ -1731,9 +1745,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_sorted_early,
         # block join (1 of 3 in head, new round 2)
         ft_block_join,
-        # multi-term expansion (1, Damerau fuzzy changed round 2) +
-        # parser nesting (1)
-        ft_fuzzy, ft_qp_complex,
+        # multi-term expansion (1, Damerau fuzzy changed round 2)
+        ft_fuzzy,
         # collectors / facets / grouping (1 of 2 in head; taxonomy new)
         ft_facet_taxo,
         # pluggable similarities + feature fields (one per family in head:
@@ -1755,8 +1768,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # numeric doc-values updates + dedup clustering/canonical (3,
         # new round-2 session 4)
         ft_dv_update, dedup_cluster, dedup_canonical,
-        # diversified collector + HighFreqTerms (2, new round-2 session 4)
-        ft_diversified, ft_high_freq,
+        # CombinedFieldQuery BM25F + diversified collector + HighFreqTerms
+        # (3, new round-2 session 4)
+        ft_combined_field, ft_diversified, ft_high_freq,
         # function scoring + expressions (2 of 3 in head, new round 2)
         ft_function_score, ft_expr_score,
         # replicator segment shipping (1, new round 2 session 3)
@@ -1774,7 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_drill_sideways, ft_rescore, ft_add_indexes, ft_memory,
         ft_surround, ft_interval_unord, ft_check_index, ft_nb_classify,
         ft_highlight, ft_payload_term, dedup_simhash, ft_mphrase,
-        ft_common_terms,
+        ft_common_terms, ft_qp_complex,
         dedup_exact, ann_bruteforce, ft_filtered, ft_group_top, ft_monitor,
         ft_phrase, ft_synonym, ft_termdict, ft_norms, ft_token_stats,
         ft_facet_range, dedup_embcos_lsh, dedup_simhash_pairs, ann_ivf_indexed,
@@ -2889,6 +2903,39 @@ SELECT term, df,
 FROM cand
 WHERE ed <= 2 AND score >= 0.5 AND df > 0
 ORDER BY score DESC, df DESC, term LIMIT 5""",
+        # BM25F: cf = tf_text + 2*tf_title, cdl = dl + 2*tdl,
+        # df = max(field dfs), n = max(field docCounts),
+        # sttf = sttf_text + 2*sttf_title
+        "ft_combined_field": _FT_PRELUDE + _MF_TITLE_CTES + """,
+cfq AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         COALESCE(a.tf, 0) + 2.0 * COALESCE(b.tf, 0) AS cf
+  FROM (SELECT doc_id, tf FROM tf WHERE term = 'table') a
+  FULL OUTER JOIN (SELECT doc_id, tf FROM ttf WHERE term = 'table') b
+    ON a.doc_id = b.doc_id
+),
+cdl AS (
+  SELECT dl.doc_id, dl.dl + 2.0 * tdl.dl AS cdl
+  FROM dl JOIN tdl USING (doc_id)
+),
+pst AS (
+  SELECT greatest((SELECT df FROM df WHERE term = 'table'),
+                  COALESCE((SELECT df FROM tdf WHERE term = 'table'), 0))
+         AS df,
+         greatest(s.n, ts.n) AS n,
+         s.sttf + 2.0 * ts.sttf AS sttf
+  FROM stats s CROSS JOIN tstats ts
+),
+sc AS (
+  SELECT c.doc_id,
+         ln(1 + (p.n - p.df + 0.5) / (p.df + 0.5))
+         - ln(1 + (p.n - p.df + 0.5) / (p.df + 0.5))
+           / (1.0 + c.cf * (1.0 / (1.2 * ((1.0 - 0.75)
+              + 0.75 * d.cdl / (p.sttf / p.n))))) AS score
+  FROM cfq c JOIN cdl d USING (doc_id) CROSS JOIN pst p
+)
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM sc ORDER BY score DESC, doc_id LIMIT 10""",
         # diversified top-k: best 3 per lang, global score order
         "ft_diversified": _FT_PRELUDE + "," + _score_sql(["batch"]) + """
 SELECT doc_id, score_q, lang FROM (

@@ -85,6 +85,12 @@ class Index:
     # field then term — index/Term.java:30; per-field CollectionStatistics
     # via IndexSearcher.collectionStatistics, search/IndexSearcher.java:395)
     field_stats: dict | None = None
+    # multi-field: {field: DataFrame(docid, dl)} per NON-default field —
+    # the per-field norms channel (Lucene stores one norm per (field, doc);
+    # the default field's dl lives in ``docs``); needed by cross-field
+    # scorers that combine ALL fields' norms per doc (CombinedFieldQuery's
+    # MultiNormsLeafSimScorer)
+    field_docs: dict | None = None
 
     @property
     def avgdl(self) -> float:
@@ -949,6 +955,7 @@ def build_multifield_index(
     )
     postings, termdict = base.postings, base.termdict
     field_stats: dict[str, tuple[int, int]] = {}
+    field_docs: dict[str, DataFrame] = {}
     for f, col in fields.items():
         if f == default_field:
             continue
@@ -965,12 +972,14 @@ def build_multifield_index(
             F.sum("dl").alias("sttf"),
         ).collect()[0]
         field_stats[f] = (int(row["dc"]), int(row["sttf"] or 0))
+        field_docs[f] = fidx.docs.select("docid", "dl")
 
     ids.unpersist()
     return Index(
         docs=base.docs, postings=postings, termdict=termdict, norms=base.norms,
         doc_count=base.doc_count, sum_total_term_freq=base.sum_total_term_freq,
         seg_size=base.seg_size, field_stats=field_stats,
+        field_docs=field_docs,
     )
 
 
@@ -1084,6 +1093,12 @@ def write_index(index: Index, out_dir: str, mode: str = "overwrite") -> None:
         ).write.mode(mode).parquet(f"{out_dir}/fields")
     elif mode == "overwrite":
         shutil.rmtree(f"{out_dir}/fields", ignore_errors=True)
+    if index.field_docs:
+        for f, fd in index.field_docs.items():
+            fd.select("docid", "dl").write.mode(mode).parquet(
+                f"{out_dir}/field_docs/{f}")
+    elif mode == "overwrite":
+        shutil.rmtree(f"{out_dir}/field_docs", ignore_errors=True)
     if index.tombstones is not None:
         index.tombstones.select("docid").write.mode(mode).parquet(f"{out_dir}/tombstones")
     elif mode == "overwrite":
@@ -1121,6 +1136,12 @@ def read_index(spark: SparkSession, out_dir: str) -> Index:
             r["field"]: (r["doc_count"], r["sum_total_term_freq"])
             for r in spark.read.parquet(f"{out_dir}/fields").collect()
         }
+    field_docs = None
+    if os.path.isdir(f"{out_dir}/field_docs"):
+        field_docs = {
+            f: spark.read.parquet(f"{out_dir}/field_docs/{f}")
+            for f in os.listdir(f"{out_dir}/field_docs")
+        }
     return Index(
         docs=spark.read.parquet(f"{out_dir}/docs"),
         postings=spark.read.parquet(f"{out_dir}/postings"),
@@ -1133,6 +1154,7 @@ def read_index(spark: SparkSession, out_dir: str) -> Index:
         pulsed=pulsed,
         rterms=rterms,
         field_stats=field_stats,
+        field_docs=field_docs,
     )
 
 

@@ -23,6 +23,7 @@ The driver only ever collects k rows per segment — never postings.
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass
 
@@ -308,6 +309,150 @@ def multi_phrase(members: list) -> tuple:
     sloppy multi-phrase (UnionPostingsEnum + SloppyPhraseMatcher) is not
     implemented."""
     return ("mphrase_raw", list(members))
+
+
+def combined_field_score(
+    index: "Index",
+    term: str,
+    weights: dict[str, float],
+    k1: float = 1.2,
+    b: float = 0.75,
+    default_field: str = "text",
+) -> DataFrame:
+    """CombinedFieldQuery analog (sandbox/search/CombinedFieldQuery.java —
+    BM25F: "pretends there is a synthetic combined field", :72): one term
+    scored against the weighted union of fields —
+
+      freq(doc) = Σ_f w_f · freq_f(doc)            (CombinedFieldScorer
+                                                    .freq, :450-459)
+      dl(doc)   = Σ_f w_f · dl_f(doc)              (MultiNormsLeafSimScorer
+                                                    .java:59-95 sums weighted
+                                                    decoded norms; this
+                                                    engine's float64 mode
+                                                    uses exact lengths
+                                                    instead of the byte4
+                                                    re-quantization)
+      df        = max_f df_f;  ttf = Σ_f w_f·ttf_f  (:292-309)
+      docCount  = max_f docCount_f; sumTotalTermFreq = Σ_f w_f·sttf_f
+                                                     (:317-334)
+
+    Per-field weights must be >= 1 (Builder.addField, :115-118).  Requires a
+    multi-field index built with per-field dl tables (``Index.field_docs``).
+    Returns (docid, score) for every matching doc, distributed.
+
+    Plan shape: one isin-pruned postings scan decodes weighted freqs (hit-
+    sized output), the combined dl is a narrow scan of docs + field_docs
+    with the hit set BROADCAST onto it — no corpus shuffle.
+    """
+    for f, w in weights.items():
+        if w < 1:
+            raise ValueError(
+                f"weight must be >= 1, got {w} for field {f!r} "
+                "(CombinedFieldQuery.Builder.addField)"
+            )
+        if f != default_field and (index.field_docs or {}).get(f) is None:
+            raise ValueError(
+                f"index has no per-field dl table for {f!r} — rebuild with "
+                "build_multifield_index (field_docs)"
+            )
+    names = {
+        f: (term if f == default_field else f"{f}:{term}") for f in weights
+    }
+    spark = index.postings.sparkSession
+    td_rows = (
+        index.termdict.filter(F.col("term").isin(list(names.values())))
+        .select("term", "df")
+        .collect()
+    )
+    dfs = {r["term"]: int(r["df"]) for r in td_rows}
+    if not dfs:
+        return spark.createDataFrame([], "docid long, score double")
+    df_pseudo = max(dfs.values())
+    fstats = {default_field: (index.doc_count, index.sum_total_term_freq)}
+    for f, (dc, st) in (index.field_stats or {}).items():
+        fstats[f] = (int(dc), int(st))
+    n_pseudo = max(fstats[f][0] for f in weights)
+    sttf_pseudo = sum(weights[f] * fstats[f][1] for f in weights)
+    avgdl = sttf_pseudo / float(n_pseudo)
+    idf = math.log(1.0 + (n_pseudo - df_pseudo + 0.5) / (df_pseudo + 0.5))
+
+    seg_size = index.seg_size
+    wmap = {v: float(weights[f]) for f, v in names.items()}
+    rows = index.postings.filter(F.col("term").isin(list(names.values())))
+
+    def decode(batches):
+        from .kernel import TermPostings
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            outs = []
+            for _, row in pdf.iterrows():
+                d, fq, _dl = TermPostings(row, seg_size).decode()
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "docid": d + int(row["seg"]) * seg_size,
+                            "wf": fq.astype("float64") * wmap[row["term"]],
+                        }
+                    )
+                )
+            yield pd.concat(outs)
+
+    cf = (
+        rows.mapInPandas(decode, "docid long, wf double")
+        .groupBy("docid")
+        .agg(F.sum("wf").alias("cf"))
+    )
+    cdl = index.docs.select(
+        "docid",
+        (F.col("dl").cast("double") * F.lit(float(weights.get(default_field, 0.0))))
+        .alias("cdl"),
+    )
+    for f, w in weights.items():
+        if f == default_field:
+            continue
+        fd = index.field_docs[f].select(
+            "docid", F.col("dl").alias(f"_dl_{f}")
+        )
+        cdl = cdl.join(fd, "docid", "left").withColumn(
+            "cdl",
+            F.col("cdl")
+            + F.coalesce(F.col(f"_dl_{f}"), F.lit(0)).cast("double")
+            * F.lit(float(w)),
+        ).drop(f"_dl_{f}")
+    inv = F.lit(1.0) / (
+        F.lit(float(k1))
+        * (F.lit(1.0 - b) + F.lit(float(b)) * F.col("cdl") / F.lit(avgdl))
+    )
+    return (
+        cdl.join(F.broadcast(cf), "docid")
+        .select(
+            "docid",
+            (F.lit(idf) - F.lit(idf) / (F.lit(1.0) + F.col("cf") * inv))
+            .alias("score"),
+        )
+    )
+
+
+def combined_field_topk(
+    index: "Index",
+    term: str,
+    weights: dict[str, float],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    default_field: str = "text",
+) -> DataFrame:
+    """Top-k over :func:`combined_field_score` (score desc, docid asc) —
+    TakeOrderedAndProject, k rows to the driver."""
+    return (
+        combined_field_score(
+            index, term, weights, k1=k1, b=b, default_field=default_field
+        )
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )
 
 
 def expand_synonyms(node: tuple, synonyms: dict[str, list[str]]) -> tuple:

@@ -140,3 +140,68 @@ def test_multi_field_query_boosts_map(mf_index):
     unboosted = search(mf_index, multi_field_query("news", flds), k=10,
                        precision="float64")
     assert td.scores.tolist() != unboosted.scores.tolist()
+
+
+def test_combined_field_query(spark):
+    """CombinedFieldQuery / BM25F (sandbox/search/CombinedFieldQuery.java):
+    weighted-union freq and dl, max-df pseudo stats — duel vs a pure-Python
+    twin on a tiny corpus."""
+    import math
+
+    import pytest as _pt
+
+    from lucene_spark.analysis import analyze
+    from lucene_spark.index import build_multifield_index, read_index, write_index
+    from lucene_spark.search import combined_field_score, combined_field_topk
+
+    rows = [
+        (0, "spark window join", "spark guide"),
+        (1, "window join batch", "window"),
+        (2, "spark spark window", ""),
+        (3, "unrelated words", "spark spark"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, title string")
+    idx = build_multifield_index(
+        spark, docs, fields={"text": "text", "title": "title"},
+        key_col="doc_id", docid_col="doc_id")
+    W = {"text": 1.0, "title": 2.0}
+    got = {r.docid: r.score
+           for r in combined_field_score(idx, "spark", W).collect()}
+
+    # pure-Python twin
+    texts = [analyze(t) for _, t, _ in rows]
+    titles = [analyze(t) for _, _, t in rows]
+    dfs = [sum(1 for t in texts if "spark" in t),
+           sum(1 for t in titles if "spark" in t)]
+    df = max(dfs)
+    n = max(len([t for t in texts if t]), len([t for t in titles if t]))
+    sttf = 1.0 * sum(map(len, texts)) + 2.0 * sum(map(len, titles))
+    avgdl = sttf / n
+    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    want = {}
+    for i in range(4):
+        cf = 1.0 * texts[i].count("spark") + 2.0 * titles[i].count("spark")
+        if cf == 0:
+            continue
+        cdl = 1.0 * len(texts[i]) + 2.0 * len(titles[i])
+        inv = 1.0 / (1.2 * (0.25 + 0.75 * cdl / avgdl))
+        want[i] = idf - idf / (1.0 + cf * inv)
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i] == _pt.approx(want[i], rel=1e-12), i
+
+    top = combined_field_topk(idx, "spark", W, k=2).collect()
+    order = sorted(want, key=lambda d: (-want[d], d))[:2]
+    assert [r.docid for r in top] == order
+
+    # weight floor + missing field_docs guards
+    with _pt.raises(ValueError):
+        combined_field_score(idx, "spark", {"text": 0.5})
+    # persistence round-trip keeps the per-field dl channel
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        write_index(idx, d)
+        idx2 = read_index(spark, d)
+        got2 = {r.docid: r.score
+                for r in combined_field_score(idx2, "spark", W).collect()}
+        assert got2 == got
