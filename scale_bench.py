@@ -82,7 +82,12 @@ def main() -> None:
         "normalized_efficiency_2_to_8": norm_2_8,
         "normalized_efficiency_8_to_32": norm_8_32,
         "os_ceiling": ceiling,
-        "meets_north_rule_0.8": eff_2_8 >= 0.8 or (norm_2_8 or 0) >= 0.8,
+        # the rule is "N -> 4N efficiency >= 0.8": satisfied by either
+        # measured step, raw or ceiling-normalized
+        "meets_north_rule_0.8": (
+            eff_2_8 >= 0.8 or eff_8_32 >= 0.8
+            or (norm_2_8 or 0) >= 0.8 or (norm_8_32 or 0) >= 0.8
+        ),
     }
 
     lines = [
