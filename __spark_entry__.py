@@ -1449,6 +1449,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("docid").alias("doc_id"), "dl"
         ).orderBy("doc_id")
 
+    def ft_geo_polygon(spark, sf):
+        # LatLonPoint.newPolygonQuery analog (Polygon2D.java:107-117 —
+        # box prune + even-odd crossing test on quantized coords)
+        from lucene_spark.geo import polygon_query
+
+        poly = [(10.0, -20.0), (40.0, 0.0), (10.0, 25.0), (-25.0, 15.0),
+                (0.0, -2.0)]
+        out = polygon_query(_geo_docs(spark, sf), "lat", "lon", poly)
+        return out.select("doc_id").orderBy("doc_id")
+
     def ft_spell_direct(spark, sf):
         # DirectSpellChecker.suggestSimilar analog (DirectSpellChecker.java:
         # 292-468): Damerau candidates with prefix/length prefilters, score
@@ -1743,8 +1753,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_mf_field,
         # index-sort early termination (1 of 3 in head, new round 2)
         ft_sorted_early,
-        # block join (1 of 3 in head, new round 2)
-        ft_block_join,
         # multi-term expansion (1, Damerau fuzzy changed round 2)
         ft_fuzzy,
         # collectors / facets / grouping (1 of 2 in head; taxonomy new)
@@ -1756,6 +1764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # geo: LatLonPoint distance/box/nearest/distance-feature (4, new
         # round-2 session 4)
         ft_geo_distance, ft_geo_box, ft_geo_nearest, ft_geo_feature,
+        ft_geo_polygon,
         # DirectSpellChecker + WordBreak + JoinUtil score modes (4, new
         # round-2 session 4)
         ft_spell_direct, ft_word_break, ft_word_combine, ft_join_score,
@@ -1788,7 +1797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_drill_sideways, ft_rescore, ft_add_indexes, ft_memory,
         ft_surround, ft_interval_unord, ft_check_index, ft_nb_classify,
         ft_highlight, ft_payload_term, dedup_simhash, ft_mphrase,
-        ft_common_terms, ft_qp_complex,
+        ft_common_terms, ft_qp_complex, ft_block_join,
         dedup_exact, ann_bruteforce, ft_filtered, ft_group_top, ft_monitor,
         ft_phrase, ft_synonym, ft_termdict, ft_norms, ft_token_stats,
         ft_facet_range, dedup_embcos_lsh, dedup_simhash_pairs, ann_ivf_indexed,
@@ -3083,6 +3092,13 @@ scored AS (
 )
 SELECT doc_id, score_q FROM scored
 ORDER BY score_q DESC, doc_id LIMIT 10""",
+        # polygon: identical even-odd crossing predicate over quantized
+        # coordinates (geo.polygon_sql twin)
+        "ft_geo_polygon": "WITH" + _GEO_SQL_COORDS + "," + _geo_quant_sql()
+        + """
+SELECT doc_id FROM gq
+WHERE (((CASE WHEN ((10.0 > qlat) <> (40.0 > qlat)) AND (qlon < 20.0 * (qlat - 10.0) / 30.0 + -20.0) THEN 1 ELSE 0 END) + (CASE WHEN ((40.0 > qlat) <> (10.0 > qlat)) AND (qlon < 25.0 * (qlat - 40.0) / -30.0 + 0.0) THEN 1 ELSE 0 END) + (CASE WHEN ((10.0 > qlat) <> (-25.0 > qlat)) AND (qlon < -10.0 * (qlat - 10.0) / -35.0 + 25.0) THEN 1 ELSE 0 END) + (CASE WHEN ((-25.0 > qlat) <> (0.0 > qlat)) AND (qlon < -17.0 * (qlat - -25.0) / 25.0 + 15.0) THEN 1 ELSE 0 END) + (CASE WHEN ((0.0 > qlat) <> (10.0 > qlat)) AND (qlon < -18.0 * (qlat - 0.0) / 10.0 + -2.0) THEN 1 ELSE 0 END)) % 2 = 1)
+ORDER BY doc_id""",
         # Axiomatic F2EXP s=0.25 k=0.35:
         # sc = tf/(tf + s + s*dl/avgdl) * ((n+1)/df)^k
         "ft_ax_sim": _FT_PRELUDE + """,

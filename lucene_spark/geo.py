@@ -331,3 +331,79 @@ def distance_feature_score(
     s = (F.lit(float(boost)) * F.lit(float(pivot_m))
          / (F.lit(float(pivot_m)) + d)).cast("float")
     return docs.withColumn(score_name, s)
+
+
+def polygon_query(
+    docs: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    polygon: list[tuple[float, float]],
+) -> DataFrame:
+    """LatLonPoint.newPolygonQuery analog (geo/Polygon2D.java:107-117 —
+    contains = bounding-box test + edge-tree crossing test; geo/
+    EdgeTree.java implements the classic even-odd ray-crossing rule):
+    rows whose QUANTIZED coordinates fall inside the polygon.
+
+    ``polygon``: [(lat, lon), ...] vertices, implicitly closed, no holes
+    (single-ring subset; Lucene's holes/multi-polygons would compose as
+    AND NOT / OR of this predicate).
+
+    The crossing test is UNROLLED into a literal Catalyst expression —
+    one when()-term per edge XOR-folded via integer parity, whole-stage
+    codegen, no UDF — preceded by the vertex bounding box as a raw-column
+    prefilter that parquet min/max stats push down (the BKD-prune analog,
+    same two-phase shape as :func:`distance_query`).
+    """
+    if len(polygon) < 3:
+        raise ValueError("polygon needs >= 3 vertices")
+    lats = [float(p[0]) for p in polygon]
+    lons = [float(p[1]) for p in polygon]
+    min_lat, max_lat = min(lats), max(lats)
+    min_lon, max_lon = min(lons), max(lons)
+    out = docs.filter(
+        (F.col(lat_col) >= F.lit(min_lat - _Q_SLOP))
+        & (F.col(lat_col) <= F.lit(max_lat + _Q_SLOP))
+        & (F.col(lon_col) >= F.lit(min_lon - _Q_SLOP))
+        & (F.col(lon_col) <= F.lit(max_lon + _Q_SLOP))
+    )
+    y = quantize_lat_col(F.col(lat_col))
+    x = quantize_lon_col(F.col(lon_col))
+    crossings = F.lit(0)
+    m = len(polygon)
+    for i in range(m):
+        yi, xi = lats[i], lons[i]
+        yj, xj = lats[(i + 1) % m], lons[(i + 1) % m]
+        if yi == yj:
+            continue  # horizontal edge never crosses a horizontal ray test
+        cond = (
+            ((F.lit(yi) > y) != (F.lit(yj) > y))
+            & (
+                x
+                < (F.lit(xj - xi)) * (y - F.lit(yi)) / F.lit(yj - yi)
+                + F.lit(xi)
+            )
+        )
+        crossings = crossings + F.when(cond, F.lit(1)).otherwise(F.lit(0))
+    return out.filter(crossings % 2 == 1)
+
+
+def polygon_sql(
+    lat_expr: str, lon_expr: str, polygon: list[tuple[float, float]]
+) -> str:
+    """The IDENTICAL even-odd crossing predicate as ANSI SQL (the DuckDB
+    oracle twin of :func:`polygon_query`'s exact phase)."""
+    lats = [float(p[0]) for p in polygon]
+    lons = [float(p[1]) for p in polygon]
+    m = len(polygon)
+    terms = []
+    for i in range(m):
+        yi, xi = lats[i], lons[i]
+        yj, xj = lats[(i + 1) % m], lons[(i + 1) % m]
+        if yi == yj:
+            continue
+        terms.append(
+            f"(CASE WHEN (({yi!r} > {lat_expr}) <> ({yj!r} > {lat_expr}))"
+            f" AND ({lon_expr} < {xj - xi!r} * ({lat_expr} - {yi!r})"
+            f" / {yj - yi!r} + {xi!r}) THEN 1 ELSE 0 END)"
+        )
+    return "((" + " + ".join(terms) + ") % 2 = 1)"

@@ -177,3 +177,36 @@ def test_box_prefilter_pushes_down(spark, tmp_path):
         docs, "lat", "lon", 40.0, -74.0, 1e6
     )._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "GreaterThanOrEqual(lat" in plan
+
+
+def test_polygon_query_duel(spark):
+    """Even-odd crossing rule (Polygon2D.java:107-117 / EdgeTree) vs a
+    pure-Python ray-casting twin on quantized coordinates."""
+    from lucene_spark.geo import polygon_query
+
+    df, lats, lons = _geo_df(spark, n=2500, seed=23)
+    qlat, qlon = _quant(lats, lons)
+    # a non-convex pentagon around the origin
+    poly = [(10.0, -20.0), (40.0, 0.0), (10.0, 25.0), (-25.0, 15.0),
+            (0.0, -2.0)]
+
+    def inside(y, x):
+        c = 0
+        m = len(poly)
+        for i in range(m):
+            yi, xi = poly[i]
+            yj, xj = poly[(i + 1) % m]
+            if yi == yj:
+                continue
+            if ((yi > y) != (yj > y)) and (
+                x < (xj - xi) * (y - yi) / (yj - yi) + xi
+            ):
+                c += 1
+        return c % 2 == 1
+
+    got = sorted(r.doc_id for r in polygon_query(
+        df, "lat", "lon", poly).collect())
+    want = sorted(i for i in range(2500) if inside(qlat[i], qlon[i]))
+    assert got == want and len(want) > 10
+    with pytest.raises(ValueError):
+        polygon_query(df, "lat", "lon", [(0.0, 0.0), (1.0, 1.0)])
