@@ -1449,6 +1449,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("docid").alias("doc_id"), "dl"
         ).orderBy("doc_id")
 
+    def ft_phrase_wild(spark, sf):
+        # PhraseWildcardQuery (sandbox/search/PhraseWildcardQuery.java:
+        # 60-75): "key s*" — the wildcard position expands against the
+        # term dictionary, then executes as a MultiPhraseQuery union
+        from lucene_spark.search import phrase_wildcard_query
+
+        idx = _ft_index(spark, sf)
+        node = phrase_wildcard_query(idx, ["key", "s*"])
+        td = search(idx, node, k=10, precision="float64", prune=True)
+        rows = [
+            (int(d), int(math.floor(s * 10000)))
+            for d, s in zip(td.docids.tolist(), td.scores.tolist())
+        ]
+        return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
     def ft_geo_polygon(spark, sf):
         # LatLonPoint.newPolygonQuery analog (Polygon2D.java:107-117 —
         # box prune + even-odd crossing test on quantized coords)
@@ -1751,8 +1766,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_interval_ord,
         # multi-field index (1 of 2 in head, new round 2)
         ft_mf_field,
-        # index-sort early termination (1 of 3 in head, new round 2)
-        ft_sorted_early,
         # multi-term expansion (1, Damerau fuzzy changed round 2)
         ft_fuzzy,
         # collectors / facets / grouping (1 of 2 in head; taxonomy new)
@@ -1765,6 +1778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-2 session 4)
         ft_geo_distance, ft_geo_box, ft_geo_nearest, ft_geo_feature,
         ft_geo_polygon,
+        # PhraseWildcardQuery (1, new round-2 session 4)
+        ft_phrase_wild,
         # DirectSpellChecker + WordBreak + JoinUtil score modes (4, new
         # round-2 session 4)
         ft_spell_direct, ft_word_break, ft_word_combine, ft_join_score,
@@ -1797,7 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_drill_sideways, ft_rescore, ft_add_indexes, ft_memory,
         ft_surround, ft_interval_unord, ft_check_index, ft_nb_classify,
         ft_highlight, ft_payload_term, dedup_simhash, ft_mphrase,
-        ft_common_terms, ft_qp_complex, ft_block_join,
+        ft_common_terms, ft_qp_complex, ft_block_join, ft_sorted_early,
         dedup_exact, ann_bruteforce, ft_filtered, ft_group_top, ft_monitor,
         ft_phrase, ft_synonym, ft_termdict, ft_norms, ft_token_stats,
         ft_facet_range, dedup_embcos_lsh, dedup_simhash_pairs, ann_ivf_indexed,
@@ -3092,6 +3107,34 @@ scored AS (
 )
 SELECT doc_id, score_q FROM scored
 ORDER BY score_q DESC, doc_id LIMIT 10""",
+        # phrase wildcard: union position = df terms LIKE 's%', weight =
+        # idf(key) + sum idf over the expansions (flat Σ-idf PhraseWeight)
+        "ft_phrase_wild": _FT_PRELUDE + """,
+pos AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS p
+  FROM documents
+),
+pm AS (
+  SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS pf
+  FROM pos p0
+  JOIN pos p1 ON p1.doc_id = p0.doc_id AND p1.p = p0.p + 1
+             AND p1.w IN (SELECT term FROM df WHERE term LIKE 's%')
+  WHERE p0.w = 'key' GROUP BY p0.doc_id
+),
+sc AS (
+  SELECT pm.doc_id,
+         ((SELECT ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           FROM df d CROSS JOIN stats s WHERE d.term = 'key')
+          + (SELECT SUM(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)))
+             FROM df d CROSS JOIN stats s WHERE d.term LIKE 's%')) AS w,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (s.sttf / s.n))) AS inv,
+         pm.pf AS pf
+  FROM pm JOIN dl USING (doc_id) CROSS JOIN stats s
+)
+SELECT doc_id,
+       CAST(floor((w - w / (1.0 + pf * inv)) * 10000) AS BIGINT) AS score_q
+FROM sc ORDER BY (w - w / (1.0 + pf * inv)) DESC, doc_id LIMIT 10""",
         # polygon: identical even-odd crossing predicate over quantized
         # coordinates (geo.polygon_sql twin)
         "ft_geo_polygon": "WITH" + _GEO_SQL_COORDS + "," + _geo_quant_sql()

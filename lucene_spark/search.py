@@ -311,6 +311,38 @@ def multi_phrase(members: list) -> tuple:
     return ("mphrase_raw", list(members))
 
 
+def phrase_wildcard_query(
+    index: "Index",
+    members: list,
+    max_expansions: int | None = None,
+) -> tuple:
+    """PhraseWildcardQuery analog (sandbox/search/PhraseWildcardQuery.java:
+    60-75 — "A generalized version of PhraseQuery, built with one or more
+    MultiTermQuery that provides term expansions for multi-terms (one of
+    the expanded terms must match)"): phrase members containing ``*`` or
+    ``?`` expand against the term dictionary (the segment-based expansion
+    of the reference collapses to one pushdown LIKE scan here), then the
+    phrase executes as a MultiPhraseQuery — each expanded position is a
+    union of postings.
+
+    ``members``: list of terms in phrase order; any member with a wildcard
+    becomes the list of its expansions (a member expanding to nothing →
+    MatchNoDocs, like an empty MultiTermQuery position).
+    """
+    max_exp = max_expansions or MAX_EXPANSIONS
+    out: list = []
+    for m in members:
+        if isinstance(m, str) and ("*" in m or "?" in m):
+            like = m.replace("*", "%").replace("?", "_")
+            terms = expand_terms(index, like=like, max_expansions=max_exp)
+            if not terms:
+                return ("match_none",)
+            out.append(terms if len(terms) > 1 else terms[0])
+        else:
+            out.append(m)
+    return ("mphrase_raw", out)
+
+
 def combined_field_score(
     index: "Index",
     term: str,

@@ -446,3 +446,32 @@ def test_synonym_graph_expansion(spark):
     # compound rewrite
     n2 = expand_synonyms(("and", ["nyc", "pizza"]), {"nyc": ["newyork"]})
     assert n2[0] == "andn" and n2[1][0] == ("syn", ["nyc", "newyork"])
+
+
+def test_phrase_wildcard_query(spark):
+    """PhraseWildcardQuery (sandbox/search/PhraseWildcardQuery.java:60-75):
+    wildcard members expand to union positions; empty expansion ->
+    MatchNoDocs."""
+    from lucene_spark.index import build_index
+    from lucene_spark.search import phrase_wildcard_query, search
+
+    corpus = [
+        (0, "spark window aggregation", "en"),
+        (1, "spark windmill aggregation", "en"),
+        (2, "spark window join", "en"),
+        (3, "window spark aggregation", "en"),  # wrong order
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string, lang string")
+    idx = build_index(spark, docs, text_col="text", key_col="doc_id",
+                      docid_col="doc_id", with_positions=True)
+    node = phrase_wildcard_query(idx, ["spark", "wind*", "aggregation"])
+    assert node[0] == "mphrase_raw"
+    assert sorted(node[1][1]) == ["windmill", "window"]
+    td = search(idx, node, k=10, precision="float64")
+    assert sorted(td.docids.tolist()) == [0, 1]
+    # '?' single-char wildcard
+    node2 = phrase_wildcard_query(idx, ["spark", "windo?"])
+    td2 = search(idx, node2, k=10, precision="float64")
+    assert sorted(td2.docids.tolist()) == [0, 2]
+    # empty expansion -> MatchNoDocs
+    assert phrase_wildcard_query(idx, ["spark", "zz*"]) == ("match_none",)
