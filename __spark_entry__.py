@@ -1449,6 +1449,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("docid").alias("doc_id"), "dl"
         ).orderBy("doc_id")
 
+    def ft_split_search(spark, sf):
+        # IndexSplitter analog (misc/index/IndexSplitter.java:40-47):
+        # metadata-only segment split; part B is a standalone index with
+        # rebased docids and re-rolled per-side statistics
+        from lucene_spark.index import split_index
+
+        docs = _docs(spark, sf)
+        idx = build_index(spark, docs, text_col="text", key_col="doc_id",
+                          docid_col="doc_id", seg_size=256)
+        _a, bidx = split_index(idx, at_seg=1)
+        td = search(bidx, "batch fast", k=10, precision="float64",
+                    prune=True)
+        rows = [
+            (int(d), int(math.floor(s * 10000)))
+            for d, s in zip(td.docids.tolist(), td.scores.tolist())
+        ]
+        return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
     def ft_phrase_wild(spark, sf):
         # PhraseWildcardQuery (sandbox/search/PhraseWildcardQuery.java:
         # 60-75): "key s*" — the wildcard position expands against the
@@ -1766,8 +1784,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_interval_ord,
         # multi-field index (1 of 2 in head, new round 2)
         ft_mf_field,
-        # multi-term expansion (1, Damerau fuzzy changed round 2)
-        ft_fuzzy,
         # collectors / facets / grouping (1 of 2 in head; taxonomy new)
         ft_facet_taxo,
         # pluggable similarities + feature fields (one per family in head:
@@ -1778,8 +1794,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-2 session 4)
         ft_geo_distance, ft_geo_box, ft_geo_nearest, ft_geo_feature,
         ft_geo_polygon,
-        # PhraseWildcardQuery (1, new round-2 session 4)
-        ft_phrase_wild,
+        # PhraseWildcardQuery + IndexSplitter (2, new round-2 session 4)
+        ft_phrase_wild, ft_split_search,
         # DirectSpellChecker + WordBreak + JoinUtil score modes (4, new
         # round-2 session 4)
         ft_spell_direct, ft_word_break, ft_word_combine, ft_join_score,
@@ -1813,6 +1829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_surround, ft_interval_unord, ft_check_index, ft_nb_classify,
         ft_highlight, ft_payload_term, dedup_simhash, ft_mphrase,
         ft_common_terms, ft_qp_complex, ft_block_join, ft_sorted_early,
+        ft_fuzzy,
         dedup_exact, ann_bruteforce, ft_filtered, ft_group_top, ft_monitor,
         ft_phrase, ft_synonym, ft_termdict, ft_norms, ft_token_stats,
         ft_facet_range, dedup_embcos_lsh, dedup_simhash_pairs, ann_ivf_indexed,
@@ -3107,6 +3124,13 @@ scored AS (
 )
 SELECT doc_id, score_q FROM scored
 ORDER BY score_q DESC, doc_id LIMIT 10""",
+        # index split: part B = docs >= 256 rebased, per-side stats
+        "ft_split_search": _prelude(
+            "(SELECT * FROM documents WHERE doc_id >= 256)"
+        ) + "," + _score_sql(["batch", "fast"]) + """
+SELECT doc_id - 256 AS doc_id,
+       CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10""",
         # phrase wildcard: union position = df terms LIKE 's%', weight =
         # idf(key) + sum idf over the expansions (flat Σ-idf PhraseWeight)
         "ft_phrase_wild": _FT_PRELUDE + """,

@@ -1309,3 +1309,64 @@ def high_freq_terms(index: Index, n: int = 100, by: str = "df") -> DataFrame:
         .orderBy(F.col(by).desc(), F.col("term"))
         .limit(n)
     )
+
+
+def split_index(index: Index, at_seg: int) -> tuple[Index, Index]:
+    """IndexSplitter analog (misc/index/IndexSplitter.java:40-47 — "does
+    file-level copying of segments files ... unable to split apart a single
+    segment"): cut the index at a SEGMENT boundary into two standalone
+    indexes.  The inverse of :func:`add_indexes`, and metadata-only the
+    same way: posting blobs store segment-local docids, so no posting is
+    decoded or shuffled — part A keeps its rows verbatim (partition-pruned
+    filter on ``seg``), part B only shifts its ``seg`` column and rebases
+    the docs/norms docids; the term dictionaries re-roll up from each
+    side's postings (vocabulary-sized aggregates).
+
+    Query-based splitting (misc/index/PKIndexSplitter.java:43 — matching
+    docs to dir1, rest to dir2) composes from existing ops:
+    ``delete_docs`` (the complement set) + ``streaming.compact_index``
+    per side, which is exactly the reference's delete-then-forceMerge
+    implementation.
+
+    Sidecars: tombstones split and rebase; the reversed-term and pulsing
+    sidecars and per-field dl tables are NOT carried (rebuildable via
+    ``add_reversed_terms`` / ``build_pulsed`` — each side's handle sets
+    them to None rather than keeping stale supersets).
+    """
+    seg_size = index.seg_size
+    n_segs = (index.doc_count + seg_size - 1) // seg_size
+    if not 0 < at_seg < n_segs:
+        raise ValueError(
+            f"at_seg must be in (0, {n_segs}) — both sides need >= 1 segment"
+        )
+    cut = at_seg * seg_size
+
+    def side(lo_filter, shift: int, count: int) -> Index:
+        post = index.postings.filter(lo_filter(F.col("seg") * seg_size))
+        docs = index.docs.filter(lo_filter(F.col("docid")))
+        norms = index.norms.filter(lo_filter(F.col("seg") * seg_size))
+        tomb = (
+            index.tombstones.filter(lo_filter(F.col("docid")))
+            if index.tombstones is not None else None
+        )
+        if shift:
+            post = post.withColumn("seg", F.col("seg") - F.lit(at_seg))
+            norms = norms.withColumn("seg", F.col("seg") - F.lit(at_seg))
+            docs = docs.withColumn("docid", F.col("docid") - F.lit(shift))
+            if "seg" in docs.columns:
+                docs = docs.withColumn("seg", F.col("seg") - F.lit(at_seg))
+            if tomb is not None:
+                tomb = tomb.withColumn("docid", F.col("docid") - F.lit(shift))
+        termdict = post.groupBy("term").agg(
+            F.sum("df_local").alias("df"), F.sum("cf_local").alias("cf")
+        )
+        sttf = docs.agg(F.sum("dl")).collect()[0][0]
+        return Index(
+            docs=docs, postings=post, termdict=termdict, norms=norms,
+            doc_count=count, sum_total_term_freq=int(sttf or 0),
+            seg_size=seg_size, tombstones=tomb,
+        )
+
+    a = side(lambda c: c < F.lit(cut), 0, min(cut, index.doc_count))
+    b = side(lambda c: c >= F.lit(cut), cut, index.doc_count - min(cut, index.doc_count))
+    return a, b

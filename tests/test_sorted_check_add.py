@@ -154,3 +154,44 @@ def test_add_indexes_audit_clean(halves):
     a, b = halves
     rep = check_index(add_indexes(a, b))
     assert rep["status"] == "ok"
+
+
+def test_split_index_inverse_of_add(spark):
+    """IndexSplitter analog: split at a segment boundary, search each side,
+    re-join with add_indexes — results identical to the unsplit index."""
+    import pytest as _pt
+
+    from lucene_spark.index import add_indexes, build_index, split_index
+    from lucene_spark.search import count_hits, search
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 7} " + ("gamma " * (i % 3)), "en")
+         for i in range(300)],
+        "doc_id long, text string, lang string")
+    idx = build_index(spark, docs, text_col="text", key_col="doc_id",
+                      docid_col="doc_id", seg_size=64)
+    a, b = split_index(idx, at_seg=2)
+    assert a.doc_count == 128 and b.doc_count == 172
+    assert a.sum_total_term_freq + b.sum_total_term_freq == idx.sum_total_term_freq
+    # side A: identical hits below the cut
+    whole = search(idx, "gamma", k=300, precision="float64")
+    ta = search(a, "gamma", k=300, precision="float64")
+    want_a = [(d, s) for d, s in zip(whole.docids.tolist(), whole.scores.tolist())
+              if d < 128]
+    # scores differ (per-side stats) but the MATCH SET must partition
+    assert sorted(ta.docids.tolist()) == sorted(d for d, _ in want_a)
+    tb = search(b, "gamma", k=300, precision="float64")
+    want_b = sorted(d - 128 for d in whole.docids.tolist() if d >= 128)
+    assert sorted(tb.docids.tolist()) == want_b
+    # counts partition exactly
+    assert count_hits(a, "gamma") + count_hits(b, "gamma") == count_hits(idx, "gamma")
+    # add_indexes(a, b) rebuilds the original: identical hit docids+scores
+    rejoined = add_indexes(a, b)
+    tr = search(rejoined, "gamma alpha", k=20, precision="float64")
+    tw = search(idx, "gamma alpha", k=20, precision="float64")
+    assert tr.docids.tolist() == tw.docids.tolist()
+    assert tr.scores.tolist() == tw.scores.tolist()
+    with _pt.raises(ValueError):
+        split_index(idx, 0)
+    with _pt.raises(ValueError):
+        split_index(idx, 99)
