@@ -1449,6 +1449,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("docid").alias("doc_id"), "dl"
         ).orderBy("doc_id")
 
+    def ft_dv_stats(spark, sf):
+        # DocValuesStats collector (misc/search/DocValuesStats.java:29-141)
+        # over n_chars restricted to the 'dup' match set; float moments
+        # floor-quantized at 1e3 (population variance)
+        from lucene_spark.docvalues import doc_values_stats
+        from lucene_spark.search import score_docs
+
+        idx = _ft_index(spark, sf)
+        m = score_docs(idx, "dup", precision="float64").select("docid")
+        dv = _docs(spark, sf).select(
+            F.col("doc_id").alias("docid"), F.col("n_chars"))
+        out = doc_values_stats(dv, match=m, val_col="n_chars")
+        return out.select(
+            "count", "missing", "vmin", "vmax", "vsum",
+            F.floor(F.col("mean") * 1e3).cast("long").alias("mean_q"),
+            F.floor(F.col("variance") * 1e3).cast("long").alias("var_q"),
+        )
+
     def ft_split_search(spark, sf):
         # IndexSplitter analog (misc/index/IndexSplitter.java:40-47):
         # metadata-only segment split; part B is a standalone index with
@@ -1794,8 +1812,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-2 session 4)
         ft_geo_distance, ft_geo_box, ft_geo_nearest, ft_geo_feature,
         ft_geo_polygon,
-        # PhraseWildcardQuery + IndexSplitter (2, new round-2 session 4)
-        ft_phrase_wild, ft_split_search,
+        # PhraseWildcardQuery + IndexSplitter + DocValuesStats (3, new
+        # round-2 session 4)
+        ft_phrase_wild, ft_split_search, ft_dv_stats,
         # DirectSpellChecker + WordBreak + JoinUtil score modes (4, new
         # round-2 session 4)
         ft_spell_direct, ft_word_break, ft_word_combine, ft_join_score,
@@ -1817,9 +1836,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_replica,
         # offsets channel + singleton pulsing (2, new round 2)
         ft_offsets, ft_pulsed,
-        # dedup family (3 of 4 in head; exact dedup r1-verified -> tail)
+        # dedup family (2 of 4 in head; exact dedup r1-verified -> tail)
         dedup_jaccard, dedup_minhash_lsh,
-        dedup_embcos,
         # ANN + embedding stats (3; bruteforce r1-verified+unchanged -> tail)
         ann_ivf, ann_lsh, emb_label_stats,
         # --- entries 51+: variants + round-1-verified unchanged families ---
@@ -1829,7 +1847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_surround, ft_interval_unord, ft_check_index, ft_nb_classify,
         ft_highlight, ft_payload_term, dedup_simhash, ft_mphrase,
         ft_common_terms, ft_qp_complex, ft_block_join, ft_sorted_early,
-        ft_fuzzy,
+        ft_fuzzy, dedup_embcos,
         dedup_exact, ann_bruteforce, ft_filtered, ft_group_top, ft_monitor,
         ft_phrase, ft_synonym, ft_termdict, ft_norms, ft_token_stats,
         ft_facet_range, dedup_embcos_lsh, dedup_simhash_pairs, ann_ivf_indexed,
@@ -3124,6 +3142,16 @@ scored AS (
 )
 SELECT doc_id, score_q FROM scored
 ORDER BY score_q DESC, doc_id LIMIT 10""",
+        # DV stats over the 'dup' match set (population variance)
+        "ft_dv_stats": _FT_PRELUDE + """,
+m AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'dup'),
+v AS (SELECT d.n_chars AS v FROM m JOIN documents d USING (doc_id))
+SELECT CAST(count(v) AS BIGINT) AS count,
+       CAST(0 AS BIGINT) AS missing,
+       min(v) AS vmin, max(v) AS vmax, sum(v) AS vsum,
+       CAST(floor(avg(v) * 1e3) AS BIGINT) AS mean_q,
+       CAST(floor(var_pop(v) * 1e3) AS BIGINT) AS var_q
+FROM v""",
         # index split: part B = docs >= 256 rebased, per-side stats
         "ft_split_search": _prelude(
             "(SELECT * FROM documents WHERE doc_id >= 256)"

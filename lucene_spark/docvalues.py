@@ -92,3 +92,35 @@ class NumericDocValues:
         rewrites gen'd .dvd sidecars into the segment at forceMerge)."""
         out = NumericDocValues(self.resolve())
         return out
+
+
+def doc_values_stats(
+    dv: DataFrame,
+    match: DataFrame | None = None,
+    id_col: str = "docid",
+    val_col: str = "value",
+) -> DataFrame:
+    """DocValuesStats collector analog (misc/search/DocValuesStats.java:
+    29-141): ONE row of (count, missing, vmin, vmax, vsum, mean, variance,
+    stdev) over the matching documents' values — ``missing`` counts matched
+    docs with no value (:66-73), ``variance`` is the population variance
+    (variance/count, :130-132), stdev its square root.  ``match``: optional
+    docid frame (a query's match set, e.g. from ``score_docs`` or a cached
+    filter); None = the whole table.
+
+    Pure Catalyst partial aggregation — one narrow scan, a scalar to the
+    driver."""
+    base = dv.select(F.col(id_col).alias("docid"), F.col(val_col).alias("v"))
+    if match is not None:
+        base = match.select("docid").distinct().join(base, "docid", "left")
+    return base.agg(
+        F.count("v").alias("count"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+        .cast("long").alias("missing"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+        F.sum("v").alias("vsum"),
+        F.avg("v").alias("mean"),
+        F.var_pop("v").alias("variance"),
+        F.stddev_pop("v").alias("stdev"),
+    )

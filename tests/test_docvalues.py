@@ -40,3 +40,25 @@ def test_dv_update_lifecycle(spark, dv_idx):
     m = dv.materialize()
     assert not m._updates
     assert {r.docid: r.value for r in m.resolve().collect()} == got
+
+
+def test_doc_values_stats(spark, dv_idx):
+    """DocValuesStats (misc/search/DocValuesStats.java): count/missing/
+    min/max/sum/mean/population-variance over a match set."""
+    import statistics
+
+    from lucene_spark.docvalues import doc_values_stats
+
+    idx, docs = dv_idx
+    dv = docs.select("doc_id", "nv")
+    row = doc_values_stats(dv, id_col="doc_id", val_col="nv").collect()[0]
+    vals = [i * 10 for i in range(8)]
+    assert row["count"] == 8 and row["missing"] == 0
+    assert row["vmin"] == 0 and row["vmax"] == 70 and row["vsum"] == sum(vals)
+    assert row["mean"] == statistics.mean(vals)
+    assert abs(row["variance"] - statistics.pvariance(vals)) < 1e-9
+    # match set restriction + missing counting
+    m = spark.createDataFrame([(1,), (3,), (99,)], "docid long")
+    row = doc_values_stats(dv, match=m, id_col="doc_id", val_col="nv").collect()[0]
+    assert row["count"] == 2 and row["missing"] == 1  # 99 has no value
+    assert row["vsum"] == 40 and row["vmin"] == 10 and row["vmax"] == 30
