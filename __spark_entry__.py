@@ -1699,6 +1699,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hamming-banded near-dup join (pigeonhole chunks + bit_count verify)
         return textops.simhash_pairs(_docs(spark, sf), max_hamming=3)
 
+    def text_domain_cap(spark, sf):
+        # per-domain cap (C4/Gopher-style): best 20 docs per source by
+        # n_chars, ties by id
+        out = textops.cap_per_domain(
+            _docs(spark, sf), 20, domain_col="source",
+            quality_col="n_chars")
+        return out.select("doc_id").orderBy("doc_id")
+
+    def text_contamination(spark, sf):
+        # eval-decontamination: docs sharing any word 2-gram with the probe
+        # (GPT-3 appendix-C-style n-gram overlap; probes keep stopwords)
+        out = textops.ngram_contamination(
+            _docs(spark, sf), ["key window batch"], n=2)
+        return out.orderBy("doc_id")
+
     def text_token_count(spark, sf):
         return textops.token_stats(_docs(spark, sf))
 
@@ -1807,7 +1822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pluggable similarities + feature fields (one per family in head:
         # TFIDF/LM/DFR/IB/AX; lmjm = 2nd LM variant -> tail)
         ft_classic_sim, ft_lmd_sim, ft_dfr_sim, ft_ib_sim,
-        ft_ax_sim, ft_sweetspot_sim, ft_feature,
+        ft_ax_sim, ft_sweetspot_sim,
         # geo: LatLonPoint distance/box/nearest/distance-feature (4, new
         # round-2 session 4)
         ft_geo_distance, ft_geo_box, ft_geo_nearest, ft_geo_feature,
@@ -1815,6 +1830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # PhraseWildcardQuery + IndexSplitter + DocValuesStats (3, new
         # round-2 session 4)
         ft_phrase_wild, ft_split_search, ft_dv_stats,
+        # curation: domain cap + decontamination (2, new round-2 session 4)
+        text_domain_cap, text_contamination,
         # DirectSpellChecker + WordBreak + JoinUtil score modes (4, new
         # round-2 session 4)
         ft_spell_direct, ft_word_break, ft_word_combine, ft_join_score,
@@ -1830,8 +1847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CombinedFieldQuery BM25F + diversified collector + HighFreqTerms
         # (3, new round-2 session 4)
         ft_combined_field, ft_diversified, ft_high_freq,
-        # function scoring + expressions (2 of 3 in head, new round 2)
-        ft_function_score, ft_expr_score,
+        # function scoring (1 of 3 in head, new round 2)
+        ft_function_score,
         # replicator segment shipping (1, new round 2 session 3)
         ft_replica,
         # offsets channel + singleton pulsing (2, new round 2)
@@ -1847,7 +1864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_surround, ft_interval_unord, ft_check_index, ft_nb_classify,
         ft_highlight, ft_payload_term, dedup_simhash, ft_mphrase,
         ft_common_terms, ft_qp_complex, ft_block_join, ft_sorted_early,
-        ft_fuzzy, dedup_embcos,
+        ft_fuzzy, dedup_embcos, ft_feature, ft_expr_score,
         dedup_exact, ann_bruteforce, ft_filtered, ft_group_top, ft_monitor,
         ft_phrase, ft_synonym, ft_termdict, ft_norms, ft_token_stats,
         ft_facet_range, dedup_embcos_lsh, dedup_simhash_pairs, ann_ivf_indexed,
@@ -3142,6 +3159,25 @@ scored AS (
 )
 SELECT doc_id, score_q FROM scored
 ORDER BY score_q DESC, doc_id LIMIT 10""",
+        # domain cap: best 20 per source by n_chars then id
+        "text_domain_cap": """
+SELECT doc_id FROM (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+) WHERE rn <= 20 ORDER BY doc_id""",
+        # contamination: raw-token 2-grams shared with the probe
+        "text_contamination": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+bi AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS g
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) s
+  WHERE len(ts) >= 2
+)
+SELECT doc_id, 0 AS probe_i, CAST(count(*) AS BIGINT) AS shared
+FROM bi WHERE g IN ('key window', 'window batch')
+GROUP BY doc_id ORDER BY doc_id""",
         # DV stats over the 'dup' match set (population variance)
         "ft_dv_stats": _FT_PRELUDE + """,
 m AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'dup'),

@@ -477,3 +477,78 @@ def canonical_docs(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_comp", "component")
     )
+
+
+# --------------------------------------------- curation: domain caps, decontamination
+
+
+def cap_per_domain(
+    docs: DataFrame,
+    n: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """Per-domain document cap — the Common-Crawl-pipeline rule that no
+    single host may dominate the training mix (C4/Gopher-style "keep at
+    most N pages per domain"): keep the best ``n`` docs per ``domain_col``
+    (by ``quality_col`` desc when given, ties by id; else lowest ids).
+
+    One hit-free window per domain — the shuffle key is the domain, so the
+    cap runs in one exchange at any corpus size; a skewed mega-domain
+    bounds its partition at that domain's size, which is exactly the data
+    this op exists to trim."""
+    from pyspark.sql import Window
+
+    order = [F.col(id_col).asc()]
+    if quality_col is not None:
+        order.insert(0, F.col(quality_col).desc())
+    w = Window.partitionBy(domain_col).orderBy(*order)
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    probes: list[str],
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-decontamination flagging: documents sharing any word
+    ``n``-gram with a probe set (the standard eval-contamination check —
+    e.g. GPT-3 appendix C / PaLM used 8-13-gram overlap).  Returns
+    (id, probe_i, shared n-gram count) per contaminated (doc, probe) pair.
+
+    Spark shape: probe n-grams are a tiny broadcast side; docs shingle via
+    the pure-Catalyst ``shingle_col`` and join on the n-gram hash — one
+    broadcast hash join over the corpus scan, no shuffle."""
+    from .analysis import make_analyze_udf
+    from .filters import shingle_col, shingle_tokens
+
+    spark = docs.sparkSession
+    probe_rows = []
+    for i, p in enumerate(probes):
+        from .analysis import analyze
+
+        toks = analyze(p, frozenset())  # probes keep stopwords: verbatim text
+        for g in set(shingle_tokens(toks, n, n)):
+            probe_rows.append((i, g))
+    if not probe_rows:
+        return spark.createDataFrame(
+            [], f"{id_col} long, probe_i int, shared long")
+    pdf = spark.createDataFrame(probe_rows, "probe_i int, gram string")
+    toks = docs.select(
+        F.col(id_col), make_analyze_udf(frozenset())(F.col(text_col)).alias("ts")
+    )
+    grams = toks.select(
+        id_col, F.explode(shingle_col("ts", n)).alias("gram")
+    )
+    return (
+        grams.join(F.broadcast(pdf), "gram")
+        .groupBy(id_col, "probe_i")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )

@@ -294,3 +294,31 @@ def test_connected_components_and_canonical(spark):
                             quality_col="q")
     idsq = {r.doc_id for r in kept_q.collect()}
     assert 3 in idsq and 0 not in idsq
+
+
+def test_cap_per_domain_and_contamination(spark):
+    from lucene_spark.textops import cap_per_domain, ngram_contamination
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i % 3}", float(i), "alpha beta gamma delta w" + str(i))
+         for i in range(12)],
+        "doc_id long, source string, q double, text string")
+    kept = cap_per_domain(docs, 2, quality_col="q")
+    got = sorted(r.doc_id for r in kept.collect())
+    # best 2 per domain by q desc: domains 0/1/2 -> {9,6? ...}: per domain
+    # d0={0,3,6,9} -> 9,6; d1={1,4,7,10} -> 10,7; d2={2,5,8,11} -> 11,8
+    assert got == [6, 7, 8, 9, 10, 11]
+    # id-ordered variant
+    got2 = sorted(r.doc_id for r in cap_per_domain(docs, 1).collect())
+    assert got2 == [0, 1, 2]
+
+    # contamination: probe shares the 4-gram "alpha beta gamma delta"
+    out = ngram_contamination(
+        docs, ["xxx alpha beta gamma delta yyy", "nothing here at all"], n=4)
+    rows = [(r.doc_id, r.probe_i, r.shared) for r in out.collect()]
+    assert rows and all(p == 0 for _, p, _ in rows)
+    assert {d for d, _, _ in rows} == set(range(12))
+    # probe 1 shares no 4-gram -> absent
+    assert not [r for r in rows if r[1] == 1]
+    # empty probes
+    assert ngram_contamination(docs, [], n=4).count() == 0
