@@ -1485,6 +1485,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return spark.createDataFrame(rows or [], "doc_id long, score_q long")
 
+    def ft_complex_phrase(spark, sf):
+        # ComplexPhraseQueryParser subset (queryparser/complexPhrase/
+        # ComplexPhraseQueryParser.java:47-60): wildcard inside a quoted
+        # phrase in the STRING syntax, AND-composed with a bare term
+        from lucene_spark.search import parse_complex_phrase
+
+        idx = _ft_index(spark, sf)
+        node = parse_complex_phrase(idx, '"key s*" AND batch')
+        td = search(idx, node, k=10, precision="float64", prune=True)
+        rows = [
+            (int(d), int(math.floor(s * 10000)))
+            for d, s in zip(td.docids.tolist(), td.scores.tolist())
+        ]
+        return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
     def ft_phrase_wild(spark, sf):
         # PhraseWildcardQuery (sandbox/search/PhraseWildcardQuery.java:
         # 60-75): "key s*" — the wildcard position expands against the
@@ -1827,9 +1842,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-2 session 4)
         ft_geo_distance, ft_geo_box, ft_geo_nearest, ft_geo_feature,
         ft_geo_polygon,
-        # PhraseWildcardQuery + IndexSplitter + DocValuesStats (3, new
-        # round-2 session 4)
-        ft_phrase_wild, ft_split_search, ft_dv_stats,
+        # PhraseWildcardQuery/ComplexPhrase + IndexSplitter +
+        # DocValuesStats (4, new round-2 session 4)
+        ft_phrase_wild, ft_complex_phrase, ft_split_search, ft_dv_stats,
         # curation: domain cap + decontamination (2, new round-2 session 4)
         text_domain_cap, text_contamination,
         # DirectSpellChecker + WordBreak + JoinUtil score modes (4, new
@@ -1847,8 +1862,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CombinedFieldQuery BM25F + diversified collector + HighFreqTerms
         # (3, new round-2 session 4)
         ft_combined_field, ft_diversified, ft_high_freq,
-        # function scoring (1 of 3 in head, new round 2)
-        ft_function_score,
         # replicator segment shipping (1, new round 2 session 3)
         ft_replica,
         # offsets channel + singleton pulsing (2, new round 2)
@@ -1865,6 +1878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_highlight, ft_payload_term, dedup_simhash, ft_mphrase,
         ft_common_terms, ft_qp_complex, ft_block_join, ft_sorted_early,
         ft_fuzzy, dedup_embcos, ft_feature, ft_expr_score,
+        ft_function_score,
         dedup_exact, ann_bruteforce, ft_filtered, ft_group_top, ft_monitor,
         ft_phrase, ft_synonym, ft_termdict, ft_norms, ft_token_stats,
         ft_facet_range, dedup_embcos_lsh, dedup_simhash_pairs, ann_ivf_indexed,
@@ -3188,6 +3202,46 @@ SELECT CAST(count(v) AS BIGINT) AS count,
        CAST(floor(avg(v) * 1e3) AS BIGINT) AS mean_q,
        CAST(floor(var_pop(v) * 1e3) AS BIGINT) AS var_q
 FROM v""",
+        # complex phrase: wildcard phrase (as ft_phrase_wild) MUST-joined
+        # with the 'batch' term clause; conjunction score = sum
+        "ft_complex_phrase": _FT_PRELUDE + """,
+pos AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS p
+  FROM documents
+),
+pm AS (
+  SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS pf
+  FROM pos p0
+  JOIN pos p1 ON p1.doc_id = p0.doc_id AND p1.p = p0.p + 1
+             AND p1.w IN (SELECT term FROM df WHERE term LIKE 's%')
+  WHERE p0.w = 'key' GROUP BY p0.doc_id
+),
+psc AS (
+  SELECT pm.doc_id,
+         ((SELECT ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           FROM df d CROSS JOIN stats s WHERE d.term = 'key')
+          + (SELECT SUM(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)))
+             FROM df d CROSS JOIN stats s WHERE d.term LIKE 's%')) AS w,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (s.sttf / s.n))) AS inv,
+         pm.pf AS pf
+  FROM pm JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+bsc AS (
+  SELECT tf.doc_id,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+         - ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           / (1.0 + tf.tf / (1.2 * ((1.0 - 0.75)
+              + 0.75 * dl.dl / (s.sttf / s.n)))) AS sc
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term = 'batch'
+),
+comb AS (
+  SELECT p.doc_id, (p.w - p.w / (1.0 + p.pf * p.inv)) + b.sc AS score
+  FROM psc p JOIN bsc b USING (doc_id)
+)
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM comb ORDER BY score DESC, doc_id LIMIT 10""",
         # index split: part B = docs >= 256 rebased, per-side stats
         "ft_split_search": _prelude(
             "(SELECT * FROM documents WHERE doc_id >= 256)"

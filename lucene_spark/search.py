@@ -343,6 +343,53 @@ def phrase_wildcard_query(
     return ("mphrase_raw", out)
 
 
+def parse_complex_phrase(index: "Index", query: str, fields=None) -> tuple:
+    """ComplexPhraseQueryParser analog (queryparser/src/java/org/apache/
+    lucene/queryparser/complexPhrase/ComplexPhraseQueryParser.java:47-60 —
+    "performs potentially multiple passes over Query text to parse any
+    nested logic in PhraseQueries ... e.g. \\"(john jon jonathan~) peters*\\"):
+    the classic syntax, with QUOTED PHRASES allowed to contain wildcard
+    members — each such member expands against the term dictionary and the
+    phrase executes as a MultiPhraseQuery (the reference rewrites the inner
+    queries' spans; in this engine the union-position phrase kernel IS that
+    rewrite for the wildcard/prefix subset; fuzzy-in-phrase and
+    boolean-in-phrase are out of scope and parse as literals).
+
+    Implementation: parse with the classic parser, then rewrite every
+    ``phrase_raw`` whose text contains ``*``/``?`` via
+    :func:`phrase_wildcard_query`."""
+    node = parse_query(query, fields=fields or [])
+
+    def walk(n):
+        if not isinstance(n, tuple):
+            return n
+        kind = n[0]
+        if kind == "phrase_raw" and ("*" in n[1] or "?" in n[1]):
+            members = [t.lower() for t in n[1].split()]
+            out = phrase_wildcard_query(index, members)
+            if len(n) > 2 and out[0] == "mphrase_raw":
+                # slop on a wildcard phrase is unsupported (the sloppy
+                # kernel takes plain members) — exact only, like the
+                # engine's MultiPhraseQuery
+                raise ValueError(
+                    "slop is not supported on wildcard phrases"
+                )
+            return out
+        if kind in ("and", "msm", "syn", "const", "term"):
+            return n
+        if kind in ("or", "andn", "dismax"):
+            return (kind, [walk(c) for c in n[1]]) + tuple(n[2:])
+        if kind in ("notn", "reqoptn"):
+            return (kind, walk(n[1]), [walk(c) for c in n[2]])
+        if kind in ("not", "reqopt"):
+            return (kind, walk(n[1]), n[2])
+        if kind == "boost":
+            return ("boost", walk(n[1]), n[2])
+        return n
+
+    return walk(node)
+
+
 def combined_field_score(
     index: "Index",
     term: str,

@@ -475,3 +475,33 @@ def test_phrase_wildcard_query(spark):
     assert sorted(td2.docids.tolist()) == [0, 2]
     # empty expansion -> MatchNoDocs
     assert phrase_wildcard_query(idx, ["spark", "zz*"]) == ("match_none",)
+
+
+def test_complex_phrase_parser(spark):
+    """ComplexPhraseQueryParser subset: wildcards inside quoted phrases in
+    the string syntax expand to MultiPhrase unions."""
+    import pytest as _pt
+
+    from lucene_spark.index import build_index
+    from lucene_spark.search import parse_complex_phrase, search
+
+    corpus = [
+        (0, "spark window aggregation plus", "en"),
+        (1, "spark windmill aggregation", "en"),
+        (2, "nothing spark window here", "en"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string, lang string")
+    idx = build_index(spark, docs, text_col="text", key_col="doc_id",
+                      docid_col="doc_id", with_positions=True)
+    node = parse_complex_phrase(idx, '"spark wind*" AND plus')
+    td = search(idx, node, k=10, precision="float64")
+    assert td.docids.tolist() == [0]
+    node2 = parse_complex_phrase(idx, '"spark wind*"')
+    td2 = search(idx, node2, k=10, precision="float64")
+    assert sorted(td2.docids.tolist()) == [0, 1, 2]
+    # plain phrases still route through the classic path
+    td3 = search(idx, parse_complex_phrase(idx, '"spark window"'), k=10,
+                 precision="float64")
+    assert sorted(td3.docids.tolist()) == [0, 2]
+    with _pt.raises(ValueError):
+        parse_complex_phrase(idx, '"spark wind*"~2')
