@@ -1485,6 +1485,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return spark.createDataFrame(rows or [], "doc_id long, score_q long")
 
+    def ft_fuzzy_like_this(spark, sf):
+        # FuzzyLikeThisQuery (sandbox/queries/FuzzyLikeThisQuery.java:
+        # 64-337): fuzzified "windoq batct", variant score boost^2*idf,
+        # artificial df=1 term statistics
+        from lucene_spark.search import fuzzy_like_this
+
+        idx = _ft_index(spark, sf)
+        node = fuzzy_like_this(idx, "windoq batct", max_edits=1)
+        td = search(idx, node, k=10, precision="float64", prune=True)
+        rows = [
+            (int(d), int(math.floor(s * 10000)))
+            for d, s in zip(td.docids.tolist(), td.scores.tolist())
+        ]
+        return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
     def ft_complex_phrase(spark, sf):
         # ComplexPhraseQueryParser subset (queryparser/complexPhrase/
         # ComplexPhraseQueryParser.java:47-60): wildcard inside a quoted
@@ -1842,9 +1857,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-2 session 4)
         ft_geo_distance, ft_geo_box, ft_geo_nearest, ft_geo_feature,
         ft_geo_polygon,
-        # PhraseWildcardQuery/ComplexPhrase + IndexSplitter +
-        # DocValuesStats (4, new round-2 session 4)
-        ft_phrase_wild, ft_complex_phrase, ft_split_search, ft_dv_stats,
+        # PhraseWildcardQuery/ComplexPhrase/FuzzyLikeThis + IndexSplitter
+        # + DocValuesStats (5, new round-2 session 4)
+        ft_phrase_wild, ft_complex_phrase, ft_fuzzy_like_this,
+        ft_split_search, ft_dv_stats,
         # curation: domain cap + decontamination (2, new round-2 session 4)
         text_domain_cap, text_contamination,
         # DirectSpellChecker + WordBreak + JoinUtil score modes (4, new
@@ -1866,8 +1882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_replica,
         # offsets channel + singleton pulsing (2, new round 2)
         ft_offsets, ft_pulsed,
-        # dedup family (2 of 4 in head; exact dedup r1-verified -> tail)
-        dedup_jaccard, dedup_minhash_lsh,
+        # dedup family (1 of 4 in head; exact/jaccard r1-verified -> tail)
+        dedup_minhash_lsh,
         # ANN + embedding stats (3; bruteforce r1-verified+unchanged -> tail)
         ann_ivf, ann_lsh, emb_label_stats,
         # --- entries 51+: variants + round-1-verified unchanged families ---
@@ -1878,7 +1894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_highlight, ft_payload_term, dedup_simhash, ft_mphrase,
         ft_common_terms, ft_qp_complex, ft_block_join, ft_sorted_early,
         ft_fuzzy, dedup_embcos, ft_feature, ft_expr_score,
-        ft_function_score,
+        ft_function_score, dedup_jaccard,
         dedup_exact, ann_bruteforce, ft_filtered, ft_group_top, ft_monitor,
         ft_phrase, ft_synonym, ft_termdict, ft_norms, ft_token_stats,
         ft_facet_range, dedup_embcos_lsh, dedup_simhash_pairs, ann_ivf_indexed,
@@ -3202,6 +3218,46 @@ SELECT CAST(count(v) AS BIGINT) AS count,
        CAST(floor(avg(v) * 1e3) AS BIGINT) AS mean_q,
        CAST(floor(var_pop(v) * 1e3) AS BIGINT) AS var_q
 FROM v""",
+        # fuzzy-like-this: per-source Damerau variants, boost^2 * Classic
+        # idf with the integer-avg-df fallback, df=1 BM25 execution
+        "ft_fuzzy_like_this": _FT_PRELUDE + """,
+vars0 AS (
+  SELECT 'windoq' AS src, 6 AS slen, term, df,
+         damerau_levenshtein(term, 'windoq') AS ed
+  FROM df WHERE length(term) BETWEEN 5 AND 7
+  UNION ALL
+  SELECT 'batct', 5, term, df, damerau_levenshtein(term, 'batct')
+  FROM df WHERE length(term) BETWEEN 4 AND 6
+),
+vars AS (SELECT * FROM vars0 WHERE ed <= 1),
+dfsrc AS (
+  SELECT src,
+         COALESCE(MAX(CASE WHEN ed = 0 THEN df END),
+                  CAST(floor(SUM(df) * 1.0 / COUNT(*)) AS BIGINT)) AS sdf
+  FROM vars GROUP BY src
+),
+scorev AS (
+  SELECT v.term,
+         ((CASE WHEN v.ed = 0 THEN 1.0
+                ELSE 1.0 - v.ed * 1.0 / least(length(v.term), v.slen) END)
+          * (CASE WHEN v.ed = 0 THEN 1.0
+                  ELSE 1.0 - v.ed * 1.0 / least(length(v.term), v.slen) END))
+         * (ln((s.n + 1.0) / (d.sdf + 1.0)) + 1.0) AS vscore
+  FROM vars v JOIN dfsrc d USING (src) CROSS JOIN stats s
+),
+top AS (SELECT term, vscore FROM scorev ORDER BY vscore DESC, term LIMIT 25),
+docsc AS (
+  SELECT tf.doc_id,
+         SUM(t.vscore
+             * (ln(1 + (s.n - 1 + 0.5) / (1 + 0.5))
+                - ln(1 + (s.n - 1 + 0.5) / (1 + 0.5))
+                  / (1.0 + tf.tf * (1.0 / (1.2 * ((1.0 - 0.75)
+                     + 0.75 * dl.dl / (s.sttf / s.n))))))) AS score
+  FROM tf JOIN top t USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM docsc ORDER BY score DESC, doc_id LIMIT 10""",
         # complex phrase: wildcard phrase (as ft_phrase_wild) MUST-joined
         # with the 'batch' term clause; conjunction score = sum
         "ft_complex_phrase": _FT_PRELUDE + """,

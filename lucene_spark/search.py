@@ -343,6 +343,90 @@ def phrase_wildcard_query(
     return ("mphrase_raw", out)
 
 
+MAX_VARIANTS_PER_TERM = 50  # FuzzyLikeThisQuery.java:73
+
+
+def fuzzy_like_this(
+    index: "Index",
+    text: str,
+    max_edits: int = 1,
+    prefix_length: int = 0,
+    max_num_terms: int = 25,
+    ignore_tf: bool = False,
+    analyzer=ENGLISH_STOP_WORDS,
+    precision: str = "float64",
+) -> tuple | None:
+    """FuzzyLikeThisQuery analog (sandbox/queries/FuzzyLikeThisQuery.java:
+    64-337) — "fuzzifies" ALL terms of a free-text query:
+
+    - per input term: Damerau variants within ``max_edits``/``prefix_length``
+      (FuzzyTermsEnum, transpositions=true :213), best
+      MAX_VARIANTS_PER_TERM=50 by the FuzzyTermsEnum boost
+      1 − ed/min(|var|, |term|) (:224-234);
+    - the source term's df is shared by all its variants; when the source
+      is unindexed, the INTEGER average of the variant dfs stands in
+      (:238-243);
+    - variant score = boost² · ClassicSimilarity.idf(df, N)
+      = boost² · (ln((N+1)/(df+1)) + 1)   (:250);
+    - the best ``max_num_terms`` variants across all source terms survive
+      (:287-292; ties broken by term asc here — the reference's PQ leaves
+      them unspecified);
+    - query = SHOULD-of-SHOULDs of the variants, each a TermQuery BOOSTED
+      by its score and scored against ARTIFICIAL df=1/ttf=1 statistics
+      (newTermQuery :261-279) — or constant-score when ``ignore_tf``
+      (:262-264).  BooleanQuery SHOULD sums, so the nested shape flattens
+      to one OR here.
+
+    Returns an executable AST (scorers attached — the df=1 override can't
+    ride the normal attach path) or None when nothing survives.
+    """
+    from .similarity import BM25Scorer, CollectionStats
+
+    stats = CollectionStats(index.doc_count, index.sum_total_term_freq)
+    n = index.doc_count
+    seen: set[str] = set()
+    all_variants: list[tuple[float, str]] = []  # (score, variant term)
+    for t in analyze(text, analyzer):
+        if t in seen:
+            continue  # processedTerms de-dup (:205-206)
+        seen.add(t)
+        cand = expand_terms(index, fuzzy=(t, max_edits, prefix_length))
+        if not cand:
+            continue
+        td_rows = (
+            index.termdict.filter(F.col("term").isin(list(set(cand) | {t})))
+            .select("term", "df").collect()
+        )
+        dfs = {r["term"]: int(r["df"]) for r in td_rows}
+        scored = []
+        for v in cand:
+            ed = damerau_levenshtein(v, t, max_edits)
+            boost = 1.0 if ed == 0 else 1.0 - ed / min(len(v), len(t))
+            scored.append((boost, v))
+        scored.sort(key=lambda p: (-p[0], p[1]))
+        scored = scored[:MAX_VARIANTS_PER_TERM]
+        df_src = dfs.get(t, 0)
+        if df_src == 0:
+            df_src = sum(dfs.get(v, 0) for _, v in scored) // len(scored)
+        idf = math.log((n + 1) / (df_src + 1.0)) + 1.0
+        for boost, v in scored:
+            all_variants.append((boost * boost * idf, v))
+    if not all_variants:
+        return None
+    all_variants.sort(key=lambda p: (-p[0], p[1]))
+    kept = all_variants[:max_num_terms]
+    if ignore_tf:
+        subs = [("const", [v], float(sc)) for sc, v in kept]
+        return subs[0] if len(subs) == 1 else ("or", subs)
+    return (
+        "scored_or",
+        [
+            (v, BM25Scorer(1, stats, boost=float(sc), precision=precision))
+            for sc, v in kept
+        ],
+    )
+
+
 def parse_complex_phrase(index: "Index", query: str, fields=None) -> tuple:
     """ComplexPhraseQueryParser analog (queryparser/src/java/org/apache/
     lucene/queryparser/complexPhrase/ComplexPhraseQueryParser.java:47-60 —
@@ -707,6 +791,10 @@ def rewrite(node: tuple, stopwords=ENGLISH_STOP_WORDS) -> tuple | None:
         # already-analyzed positioned members (e.g. synonym-graph phrase
         # paths: SynonymMap entries are analyzed when the map is built,
         # analysis/synonym/SynonymMap.java Builder.add) — pass through
+        return node
+    if kind == "scored_or":
+        # pre-scored disjunction (FuzzyLikeThisQuery's rewritten form —
+        # each member carries its own artificial-statistics scorer)
         return node
     if kind == "boost":
         sub = rewrite(node[1], stopwords)
@@ -1151,6 +1239,8 @@ def query_terms(node: tuple) -> list[str]:
         return [feature_term(node[1])]
     if kind in ("and", "msm", "syn", "const", "blended"):
         return list(node[1])
+    if kind == "scored_or":
+        return [t for t, _ in node[1]]
     if kind in ("phrase", "sloppy"):
         out = []
         for m, _ in node[1]:
@@ -1266,6 +1356,12 @@ def attach_scorers(
             boost=boost, precision=precision,
         )
         return core + (scorer,)
+    if kind == "scored_or":
+        # (term, prebuilt scorer) members — keep only dictionary hits
+        subs = [("syn", [t], sc) for t, sc in node[1] if t in dfs]
+        if not subs:
+            return None
+        return subs[0] if len(subs) == 1 else ("or", subs)
     if kind == "blended":
         # BlendedTermQuery.rewrite (search/BlendedTermQuery.java:271-302):
         # every member term is scored with the BLENDED statistics —

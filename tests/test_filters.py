@@ -204,3 +204,58 @@ def test_html_strip_char_filter(spark):
     t2 = search(idx2, "spark window", k=6, precision="float64")
     assert t1.docids.tolist() == t2.docids.tolist()
     assert t1.scores.tolist() == t2.scores.tolist()
+
+
+def test_fuzzy_like_this(spark):
+    """FuzzyLikeThisQuery (sandbox/queries/FuzzyLikeThisQuery.java:64-337):
+    fuzzified free text, boost^2*idf variant scores, df=1 term statistics."""
+    import math
+
+    import numpy as np
+    import pytest as _pt
+
+    from lucene_spark.index import build_index
+    from lucene_spark.search import fuzzy_like_this, search
+    from lucene_spark.similarity import BM25Scorer, CollectionStats
+
+    corpus = [
+        (0, "spark window", "en"),
+        (1, "spark windom", "en"),
+        (2, "sparx window window", "en"),
+        (3, "unrelated terms", "en"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string, lang string")
+    idx = build_index(spark, docs, text_col="text", key_col="doc_id",
+                      docid_col="doc_id")
+    node = fuzzy_like_this(idx, "spark windoq", max_edits=1)
+    assert node[0] == "scored_or"
+    terms = {t for t, _ in node[1]}
+    # spark (exact, boost 1) + sparx (ed1) + window/windom (ed1 of windoq)
+    assert terms == {"spark", "sparx", "window", "windom"}
+    sc = dict(node[1])
+    n = 4
+    # scorer weight = variant score x BM25-idf at the ARTIFICIAL df=1
+    idf1 = math.log(1 + (n - 1 + 0.5) / (1 + 0.5))
+    idf_spark = math.log((n + 1) / (2 + 1)) + 1  # Classic idf, df(spark)=2
+    assert sc["spark"].weight == _pt.approx(1.0 * idf_spark * idf1, rel=1e-12)
+    # windoq unindexed -> integer-avg variant df: (df(window)=2 + df(windom)=1)//2 = 1
+    idf_w = math.log((n + 1) / (1 + 1)) + 1
+    b = 1.0 - 1.0 / 6.0
+    assert sc["window"].weight == _pt.approx(b * b * idf_w * idf1, rel=1e-12)
+
+    td = search(idx, node, k=10, precision="float64")
+    got = dict(zip(td.docids.tolist(), td.scores.tolist()))
+    assert set(got) == {0, 1, 2}
+    # per-doc duel: sum over matched variants of boost * bm25(tf, dl, df=1)
+    stats = CollectionStats(idx.doc_count, idx.sum_total_term_freq)
+    def bm25_df1(w, tf, dl):
+        s = BM25Scorer(1, stats, boost=w, precision="float64")
+        return float(s.score_from_dl(np.array([tf]), np.array([dl]))[0])
+    want0 = bm25_df1(1.0 * idf_spark, 1, 2) + bm25_df1(
+        b * b * idf_w, 1, 2)
+    assert got[0] == _pt.approx(want0, rel=1e-12)
+    # ignore_tf -> constant-score OR
+    nodec = fuzzy_like_this(idx, "spark windoq", max_edits=1, ignore_tf=True)
+    assert nodec[0] == "or" and all(c[0] == "const" for c in nodec[1])
+    # nothing survives
+    assert fuzzy_like_this(idx, "zzzzzz", max_edits=1) is None
