@@ -130,8 +130,15 @@ def classify_naive_bayes(
     if len(cls_pd) == 0 or not tokens:
         return spark.createDataFrame([], "label string, score double")
     docs_with_class = int(cls_pd["dwc"].sum())
-    # avg # of unique terms per doc: sumDocFreq / docCount over the text field
-    sum_doc_freq = int(index.termdict.agg(F.sum("df")).collect()[0][0])
+    # avg # of unique terms per doc: sumDocFreq / docCount over the TEXT
+    # field only — on a multi-field index the shared termdict also holds
+    # namespaced "field:term" rows, which belong to other fields'
+    # statistics (the reference reads per-field Terms.getSumDocFreq for
+    # the text field alone)
+    sum_doc_freq = int(
+        index.termdict.filter(~F.col("term").contains(":"))
+        .agg(F.sum("df")).collect()[0][0]
+    )
     avg_unique = sum_doc_freq / float(index.doc_count)
 
     distinct_terms = sorted(set(tokens))

@@ -359,6 +359,100 @@ def _unordered_pair_single_pos(sa, sb):
     return d, s, e, (e - s + 1) - 2
 
 
+def _unordered_nary_single_pos(subs, cand):
+    """N-ary unordered over single-position subs, vectorized — the lockstep
+    form of :func:`_walk_unordered` for the common all-term case.
+
+    The queue walk linearizes to a one-advance-per-step automaton (state per
+    doc: cursor positions, queue end ``q_end``, last emitted start, and a
+    skip/minimize phase flag), so ALL candidate docs advance together: one
+    numpy iteration performs one automaton step per still-active doc.  Ties
+    in the queue break by sub index asc — PhraseQueue order (start asc,
+    end desc, index), which for width-1 intervals is (pos, -pos, ix) — and
+    ``np.argmin`` picks the first minimum, matching.  Faithfulness to the
+    iterator transliteration (incl. the repeated-start skip and the
+    emit-on-q_end-growth minimization) is fuzz-asserted in
+    tests/test_intervals.py."""
+    n = len(subs)
+    nd = len(cand)
+    bounds = [_doc_slices(s, cand) for s in subs]
+    # flattened per-sub positions restricted to candidate docs
+    flats, starts, counts = [], [], []
+    for (lo, hi), (d, st, en, gp) in zip(bounds, subs):
+        cnt = (hi - lo).astype(np.int64)
+        total = int(cnt.sum())
+        news = np.cumsum(cnt) - cnt
+        idx = (np.arange(total, dtype=np.int64) - np.repeat(news, cnt)
+               + np.repeat(lo.astype(np.int64), cnt))
+        flats.append(st[idx])
+        starts.append(news)
+        counts.append(cnt)
+    ptr = np.stack(starts, axis=1)          # (nd, n) index into flats[j]
+    cnt = np.stack(counts, axis=1)
+    end_ptr = np.stack(starts, axis=1) + cnt
+    pos = np.empty((nd, n), dtype=np.int64)
+    for j in range(n):
+        pos[:, j] = flats[j][ptr[:, j]]
+    q_end = pos.max(axis=1)
+    last_start = np.full(nd, -1, dtype=np.int64)
+    phase = np.zeros(nd, dtype=np.int8)     # 0 = outer entry (skip), 1 = minimizing
+    active = np.ones(nd, dtype=bool)
+    rows = np.arange(nd, dtype=np.int64)
+    out_d, out_s, out_e = [], [], []
+    while active.any():
+        ai = rows[active]
+        apos = pos[ai]
+        top = np.argmin(apos, axis=1)
+        tpos = apos[np.arange(len(ai)), top]
+        skipm = (phase[ai] == 0) & (tpos == last_start[ai])
+        start = tpos
+        end = q_end[ai]
+        emit_now = ~skipm & (start == end)
+        advm = ~emit_now                     # skip docs and minimize docs advance
+        # --- advance the top cursor of advancing docs ---
+        adv_rows = ai[advm]
+        adv_sub = top[advm]
+        new_ptr = ptr[adv_rows, adv_sub] + 1
+        died = new_ptr >= end_ptr[adv_rows, adv_sub]
+        ok = ~died
+        ptr[adv_rows, adv_sub] = np.minimum(new_ptr, end_ptr[adv_rows, adv_sub] - 1)
+        for j in range(n):
+            m = ok & (adv_sub == j)
+            if m.any():
+                r = adv_rows[m]
+                newp = flats[j][ptr[r, j]]
+                pos[r, j] = newp
+                q_end[r] = np.maximum(q_end[r], newp)
+        # --- emissions ---
+        died_full = np.zeros(len(ai), dtype=bool)
+        died_full[advm] = died
+        grew = np.zeros(len(ai), dtype=bool)
+        grew[advm] = q_end[adv_rows] > end[advm]
+        emit_after = ~skipm & ~emit_now & (died_full | grew)
+        emit = emit_now | emit_after
+        if emit.any():
+            out_d.append(cand[ai[emit]])
+            out_s.append(start[emit])
+            out_e.append(end[emit])
+            last_start[ai[emit]] = start[emit]
+            phase[ai[emit]] = 0
+        mini = ~skipm & ~emit_now & ~emit_after
+        phase[ai[mini]] = 1
+        dead = ai[died_full]
+        if len(dead):
+            active[dead] = False
+    if not out_d:
+        return _EMPTY
+    d = np.concatenate(out_d)
+    s = np.concatenate(out_s)
+    e = np.concatenate(out_e)
+    # per-doc emission order is already start-ascending; global (doc, start)
+    # order for downstream combinators
+    order = np.lexsort((s, d))
+    d, s, e = d[order], s[order], e[order]
+    return d, s, e, (e - s + 1) - n
+
+
 # ------------------------------------------------------------ per-doc walks
 # General compositions: replicate the lazy iterators per candidate doc.
 # Sub-streams arrive as per-doc python slices of the numpy stream arrays.
@@ -627,6 +721,8 @@ def interval_stream(src, postings_by_term, pos_by_term):
         cand = _candidates(subs)
         if len(cand) == 0:
             return _EMPTY
+        if kind == "i_unord" and single:
+            return _unordered_nary_single_pos(subs, cand)
         return _per_doc_combine(kind, subs, cand)
     if kind in ("i_maxgaps", "i_maxwidth"):
         d, s, e, g = interval_stream(src[2], postings_by_term, pos_by_term)

@@ -381,6 +381,133 @@ def lucene_sloppy_freq(adjs, offsets, terms, slop, f32=True) -> float:
     return float(freq32) if f32 else freq64
 
 
+def _sloppy_freqs_2term_batch(arrs, offsets, cand, slop, f32) -> np.ndarray:
+    """Vectorized 2-distinct-term sloppy phrase frequencies for ALL candidate
+    docs at once — the numpy lockstep form of :func:`lucene_sloppy_freq`.
+
+    For two distinct members the SloppyPhraseMatcher PhraseQueue walk
+    (SloppyPhraseMatcher.java:178-206) reduces to an alternating leapfrog
+    over the two offset-adjusted position lists A and B of each doc:
+
+    - the first anchor is ``v0 = max(A[0], B[0])`` (on a tie the pp with the
+      larger (offset, ord) key stays in the queue — PhraseQueue.lessThan);
+    - each anchor ``v`` in list L contributes a match of length
+      ``v - pred_M(v)`` (predecessor = largest element <= v in the OTHER
+      list M — the inner advance-while-pos<=nxt loop), weighted
+      ``1/(1+len)`` when len <= slop;
+    - the next anchor is ``succ_M(v)`` (smallest element > v), switching
+      lists; the walk ends when no successor exists (the final match IS
+      counted, matching the positioned=False path).
+
+    Anchors are data-dependent per doc, so docs run in LOCKSTEP: one numpy
+    iteration advances every still-active doc by one anchor.  Per-doc
+    predecessor/successor lookups become ONE global ``searchsorted`` by
+    encoding (doc_index, adjusted_position) into a single int64 key — both
+    flattened lists are sorted by that key.  Iteration count = max anchors
+    over the batch (bounded by max freq per doc), so a head bigram over
+    thousands of candidate docs costs a handful of vectorized passes instead
+    of thousands of interpreted heap walks.
+
+    float32 mode accumulates per doc in anchor order with float32 adds —
+    identical rounding to PhraseScorer's ``float freq`` accumulation.
+    Equivalence with the scalar walk is fuzz-asserted in
+    tests/test_phrase_advanced.py (random position lists, both precisions).
+    """
+    (dA, fA, _dlA, posA, pstartA), (dB, fB, _dlB, posB, pstartB) = arrs
+    offA, offB = int(offsets[0]), int(offsets[1])
+    n = len(cand)
+    jA = np.searchsorted(dA, cand)
+    jB = np.searchsorted(dB, cand)
+    sA, cAcnt = pstartA[jA], fA[jA]
+    sB, cBcnt = pstartB[jB], fB[jB]
+
+    def gather(pos, starts, counts, off):
+        total = int(counts.sum())
+        news = np.cumsum(counts) - counts
+        idx = np.arange(total, dtype=np.int64) - np.repeat(news, counts) \
+            + np.repeat(starts, counts)
+        return pos[idx].astype(np.int64) - off, news.astype(np.int64), \
+            counts.astype(np.int64)
+
+    flatA, startA, cntA = gather(posA, sA, cAcnt, offA)
+    flatB, startB, cntB = gather(posB, sB, cBcnt, offB)
+    # composite (doc, pos) key: adjusted positions are >= -max(offA, offB)
+    shift_add = max(offA, offB) + 1
+    SHIFT = np.int64(1) << np.int64(40)  # positions+shift_add < 2^40
+    docsA = np.repeat(np.arange(n, dtype=np.int64), cntA)
+    docsB = np.repeat(np.arange(n, dtype=np.int64), cntB)
+    keyA = docsA * SHIFT + (flatA + shift_add)
+    keyB = docsB * SHIFT + (flatB + shift_add)
+
+    a0 = flatA[startA]
+    b0 = flatB[startB]
+    # anchor side: 1 = anchor in B (A advances), 0 = anchor in A.  On a
+    # position tie the pp with the LESSER (pos, off, ord) pops first and
+    # advances, leaving the other as the anchor.
+    if (offA, 0) < (offB, 1):
+        tie_side = np.int8(1)  # A pops -> anchor is B
+    else:
+        tie_side = np.int8(0)
+    side = np.where(b0 > a0, np.int8(1), np.where(a0 > b0, np.int8(0), tie_side))
+    v = np.maximum(a0, b0)
+
+    freq32 = np.zeros(n, dtype=np.float32)
+    freq64 = np.zeros(n, dtype=np.float64)
+    active = np.ones(n, dtype=bool)
+    docix = np.arange(n, dtype=np.int64)
+    while active.any():
+        ai = docix[active]
+        av = v[active]
+        aside = side[active]
+        akey = ai * SHIFT + (av + shift_add)
+        # opposite list per doc: B where anchor in A, A where anchor in B
+        inB = aside == 1  # anchor in B -> opposite is A
+        idxA = np.searchsorted(keyA, akey[inB], side="right")
+        idxB = np.searchsorted(keyB, akey[~inB], side="right")
+        gap = np.empty(len(ai), dtype=np.int64)
+        # predecessor always exists (the opposite pointer is <= anchor)
+        gap[inB] = av[inB] - (keyA[idxA - 1] - ai[inB] * SHIFT - shift_add)
+        gap[~inB] = av[~inB] - (keyB[idxB - 1] - ai[~inB] * SHIFT - shift_add)
+        # successor: next element of the opposite list still in this doc
+        # (adjusted positions may be NEGATIVE, so aliveness is a separate
+        # mask — no sentinel value can be reserved)
+        nv = np.zeros(len(ai), dtype=np.int64)
+        has_next = np.zeros(len(ai), dtype=bool)
+        endA = (startA + cntA)[ai[inB]]
+        okA = idxA < endA
+        tmp = np.zeros(idxA.shape, dtype=np.int64)
+        tmp[okA] = keyA[np.minimum(idxA, len(keyA) - 1)[okA]] \
+            - ai[inB][okA] * SHIFT - shift_add
+        nv[inB] = tmp
+        hn = np.zeros(len(ai), dtype=bool)
+        hn[inB] = okA
+        endB = (startB + cntB)[ai[~inB]]
+        okB = idxB < endB
+        tmp = np.zeros(idxB.shape, dtype=np.int64)
+        tmp[okB] = keyB[np.minimum(idxB, len(keyB) - 1)[okB]] \
+            - ai[~inB][okB] * SHIFT - shift_add
+        nv[~inB] = tmp
+        hn[~inB] = okB
+        has_next = hn
+        matched = gap <= slop
+        if f32:
+            w = (np.float32(1.0) / (np.float32(1.0) + gap.astype(np.float32)))
+            upd = freq32[ai]
+            upd[matched] = (upd[matched] + w[matched]).astype(np.float32)
+            freq32[ai] = upd
+        else:
+            w = 1.0 / (1.0 + gap.astype(np.float64))
+            upd = freq64[ai]
+            upd[matched] += w[matched]
+            freq64[ai] = upd
+        v[ai] = nv
+        side[ai] = 1 - aside  # anchor switches lists
+        act = active.copy()
+        act[ai[~has_next]] = False
+        active = act
+    return freq32.astype(np.float64) if f32 else freq64
+
+
 def _sloppy_eval(members, slop, postings_by_term, pos_by_term, scorer, precision):
     """SloppyPhraseMatcher semantics, per candidate document (candidates =
     the conjunction of all member terms, ConjunctionDISI in the reference —
@@ -403,14 +530,20 @@ def _sloppy_eval(members, slop, postings_by_term, pos_by_term, scorer, precision
     offsets = [qoff for _, qoff in members]
     terms = [t for t, _ in members]
     f32 = precision == "lucene"
-    freqs = np.empty(len(cand), dtype=np.float64)
-    for ci, doc in enumerate(cand):
-        adjs = []
-        for (d, f, dl, pos, pstart), off in zip(arrs, offsets):
-            j = int(np.searchsorted(d, doc))
-            s, c = int(pstart[j]), int(f[j])
-            adjs.append(pos[s : s + c] - off)
-        freqs[ci] = lucene_sloppy_freq(adjs, offsets, terms, slop, f32)
+    if len(members) == 2 and terms[0] != terms[1]:
+        # vectorized lockstep leapfrog — the common head-bigram shape;
+        # one numpy pass per anchor across ALL candidate docs
+        freqs = _sloppy_freqs_2term_batch(arrs, offsets, cand, slop, f32)
+    else:
+        # faithful scalar PhraseQueue walk: >= 3 members or repeat groups
+        freqs = np.empty(len(cand), dtype=np.float64)
+        for ci, doc in enumerate(cand):
+            adjs = []
+            for (d, f, dl, pos, pstart), off in zip(arrs, offsets):
+                j = int(np.searchsorted(d, doc))
+                s, c = int(pstart[j]), int(f[j])
+                adjs.append(pos[s : s + c] - off)
+            freqs[ci] = lucene_sloppy_freq(adjs, offsets, terms, slop, f32)
     hit = freqs > 0
     if not hit.any():
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)

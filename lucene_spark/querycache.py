@@ -112,9 +112,16 @@ class LRUQueryCache:
 
     def get_filter(self, index: Index, query) -> DataFrame:
         """The QueryCache.doCache wrapper: record the use, serve from cache
-        on hit, cache on miss once the policy approves."""
+        on hit, cache on miss once the policy approves.
+
+        The cache key includes the Index identity — Lucene's LRUQueryCache
+        keys per segment core and drops entries with the reader
+        (LRUQueryCache.java ``onDocIdSetCache`` / ``clearCoreCacheKey``);
+        Index objects here are immutable handles (mutation returns a NEW
+        Index), so ``id(index)`` is the coreCacheKey analog and a cache
+        shared across indexes can never serve a stale match set."""
         self.policy.on_use(query)
-        key = _canonical(query)
+        key = f"{id(index)}::{_canonical(query)}"
         hit = self._cache.get(key)
         if hit is not None:
             self._cache.move_to_end(key)

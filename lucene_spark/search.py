@@ -407,7 +407,10 @@ def fuzzy_like_this(
         scored = scored[:MAX_VARIANTS_PER_TERM]
         df_src = dfs.get(t, 0)
         if df_src == 0:
-            df_src = sum(dfs.get(v, 0) for _, v in scored) // len(scored)
+            # totalVariantDocFreqs / numVariants over ALL enumerated
+            # variants (FuzzyLikeThisQuery.addTerms :238-243 accumulates
+            # while iterating, BEFORE the variantsQ top-50 truncation)
+            df_src = sum(dfs.get(v, 0) for v in cand) // len(cand)
         idf = math.log((n + 1) / (df_src + 1.0)) + 1.0
         for boost, v in scored:
             all_variants.append((boost * boost * idf, v))

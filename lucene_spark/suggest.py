@@ -276,6 +276,12 @@ def suggest_word_breaks(
     state = {"evals": 0}
 
     def rec(term: str, number_breaks: int, prefix: list[str]):
+        # the evaluation budget is GLOBAL (the reference decrements one
+        # totalEvaluations across the whole recursion,
+        # WordBreakSpellChecker.generateBreakUpSuggestions:251-258) — bail
+        # at entry so sibling/parent levels stop too, not just this loop
+        if state["evals"] >= max_evaluations:
+            return
         n = len(term)
         if n < mbw * 2:
             return

@@ -82,11 +82,22 @@ def main() -> None:
         "normalized_efficiency_2_to_8": norm_2_8,
         "normalized_efficiency_8_to_32": norm_8_32,
         "os_ceiling": ceiling,
-        # the rule is "N -> 4N efficiency >= 0.8": satisfied by either
-        # measured step, raw or ceiling-normalized
+        # the rule is "N -> 4N efficiency >= 0.8"; report each measured
+        # step separately (raw, and normalized by the same-session Spark
+        # harness ceiling) so a failing step is visible, plus the chosen
+        # overall interpretation: EVERY measured N->4N step must reach 0.8
+        # raw or ceiling-normalized.
+        "meets_2_8_raw": eff_2_8 >= 0.8,
+        "meets_2_8_normalized": norm_2_8 is not None and norm_2_8 >= 0.8,
+        "meets_8_32_raw": eff_8_32 >= 0.8,
+        "meets_8_32_normalized": norm_8_32 is not None and norm_8_32 >= 0.8,
         "meets_north_rule_0.8": (
-            eff_2_8 >= 0.8 or eff_8_32 >= 0.8
-            or (norm_2_8 or 0) >= 0.8 or (norm_8_32 or 0) >= 0.8
+            (eff_2_8 >= 0.8 or (norm_2_8 or 0) >= 0.8)
+            and (eff_8_32 >= 0.8 or (norm_8_32 or 0) >= 0.8)
+        ),
+        "north_rule_interpretation": (
+            "every measured N->4N step must reach 0.8 raw or "
+            "ceiling-normalized (AND of per-step ORs)"
         ),
     }
 

@@ -49,6 +49,12 @@ def test_query_matches_oracle(spark, duck, name):
     assert list(got.columns) == list(want.columns), f"{name} schema"
     assert len(got) == len(want), f"{name} rows: {len(got)} vs {len(want)}"
     for c in got.columns:
+        # dtype-kind parity: the driver hashes rendered values, so an engine
+        # long vs an oracle HUGEINT->float (71968 vs 71968.0) hash-mismatches
+        # even though Python's int==float comparison below would pass.
+        assert got[c].dtype.kind == want[c].dtype.kind, (
+            f"{name}.{c} dtype kind {got[c].dtype} vs oracle {want[c].dtype}"
+        )
         gv, wv = got[c].tolist(), want[c].tolist()
         if got[c].dtype.kind == "f":
             assert all(

@@ -426,3 +426,49 @@ def test_spark_interval_multiterm_expansion(spark, interval_index):
     exact = search(interval_index, q, k=10, prune=False, precision="float64")
     assert td.docids.tolist() == exact.docids.tolist()
     assert len(td.docids) > 0
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_unordered_nary_batch_matches_walk(seed):
+    """The lockstep n-ary single-position unordered batch emits the exact
+    per-doc interval sequence (same order — float32 freq accumulation
+    depends on it) as the faithful queue-walk transliteration."""
+    import numpy as np
+
+    from lucene_spark.intervals import (
+        _doc_slices,
+        _unordered_nary_single_pos,
+        _walk_unordered,
+    )
+
+    rng = np.random.default_rng(3100 + seed)
+    for _ in range(40):
+        n = int(rng.integers(3, 6))
+        ndocs = int(rng.integers(1, 15))
+        subs = []
+        for _j in range(n):
+            ds, ps = [], []
+            for d in range(ndocs):
+                k = int(rng.integers(0, 6))
+                pp = np.sort(rng.choice(25, size=k, replace=False)).astype(np.int64)
+                ds.extend([d] * k)
+                ps.extend(pp.tolist())
+            d_arr = np.array(ds, dtype=np.int64)
+            p_arr = np.array(ps, dtype=np.int64)
+            subs.append((d_arr, p_arr, p_arr.copy(), np.zeros(len(p_arr), np.int64)))
+        cand = np.unique(subs[0][0])
+        for s in subs[1:]:
+            cand = cand[np.isin(cand, s[0])]
+        if len(cand) == 0:
+            continue
+        got = _unordered_nary_single_pos(subs, cand)
+        bounds = [_doc_slices(s, cand) for s in subs]
+        for ci in range(len(cand)):
+            per = []
+            for (lo, hi), (d, st, en, gp) in zip(bounds, subs):
+                a, b = int(lo[ci]), int(hi[ci])
+                per.append((st[a:b], en[a:b], gp[a:b]))
+            ss, ee, _gg = _walk_unordered(per)
+            m = got[0] == cand[ci]
+            assert got[1][m].tolist() == ss
+            assert got[2][m].tolist() == ee

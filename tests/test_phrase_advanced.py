@@ -505,3 +505,44 @@ def test_complex_phrase_parser(spark):
     assert sorted(td3.docids.tolist()) == [0, 2]
     with _pt.raises(ValueError):
         parse_complex_phrase(idx, '"spark wind*"~2')
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_sloppy_batch_matches_scalar_walk(seed):
+    """The vectorized 2-term lockstep leapfrog (_sloppy_freqs_2term_batch)
+    is bit-identical to the faithful scalar PhraseQueue walk on random
+    position lists, in BOTH float32 (lucene) and float64 accumulation."""
+    from lucene_spark.kernel import (
+        _sloppy_freqs_2term_batch,
+        lucene_sloppy_freq,
+    )
+
+    rng = np.random.default_rng(1000 + seed)
+    for _ in range(60):
+        ndocs = int(rng.integers(1, 25))
+        docs = np.arange(ndocs, dtype=np.int64)
+        offs = rng.choice(5, size=2, replace=False).tolist()
+        offA, offB = (sorted(offs) if rng.random() < 0.5 else offs)
+        posA_l, posB_l, fa, fb = [], [], [], []
+        for _d in range(ndocs):
+            na, nb = int(rng.integers(1, 9)), int(rng.integers(1, 9))
+            posA_l.append(np.sort(rng.choice(30, size=na, replace=False)).astype(np.int64))
+            posB_l.append(np.sort(rng.choice(30, size=nb, replace=False)).astype(np.int64))
+            fa.append(na)
+            fb.append(nb)
+        fA, fB = np.array(fa, dtype=np.int64), np.array(fb, dtype=np.int64)
+        posA, posB = np.concatenate(posA_l), np.concatenate(posB_l)
+        dl = np.full(ndocs, 30, dtype=np.int64)
+        arrs = [
+            (docs, fA, dl, posA, np.cumsum(fA) - fA),
+            (docs, fB, dl, posB, np.cumsum(fB) - fB),
+        ]
+        slop = int(rng.integers(0, 7))
+        for f32 in (True, False):
+            got = _sloppy_freqs_2term_batch(arrs, [offA, offB], docs, slop, f32)
+            for i in range(ndocs):
+                want = lucene_sloppy_freq(
+                    [posA_l[i] - offA, posB_l[i] - offB],
+                    [offA, offB], ["a", "b"], slop, f32,
+                )
+                assert got[i] == want, (slop, f32, posA_l[i], posB_l[i])
