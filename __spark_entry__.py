@@ -1807,6 +1807,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = ann.lsh_topk(emb, qvec, k=10, n_planes=10, dim=len(qvec))
         return out.select("vec_id", F.floor(F.col("cosine") * 1e6).cast("long").alias("cosine_q"))
 
+    def _recall_queries(spark, sf, nq=20):
+        emb = _emb(spark, sf)
+        rows = emb.filter(f"vec_id < {nq}").orderBy("vec_id").collect()
+        return emb, [
+            (r["vec_id"], np.asarray(r["embedding"], dtype=np.float64))
+            for r in rows
+        ]
+
+    def _recall_hits(bf, approx, spark):
+        out = (
+            bf.select("qid", "vec_id")
+            .join(approx.select("qid", "vec_id"), ["qid", "vec_id"], "left_semi")
+            .groupBy("qid")
+            .agg(F.count(F.lit(1)).alias("hits10"))
+            .orderBy("qid")
+        )
+        rows = out.collect()
+        mean_recall = sum(r["hits10"] for r in rows) / (10.0 * max(len(rows), 1))
+        assert mean_recall >= 0.9, f"recall@10 {mean_recall} < 0.9"
+        return spark.createDataFrame(
+            [(int(r["qid"]), int(r["hits10"])) for r in rows],
+            "qid long, hits10 long",
+        )
+
+    def ann_ivf_recall(spark, sf):
+        # retrieval-QUALITY gate (CheckHits-style duel applied to recall):
+        # IVF top-10 must overlap brute-force top-10 by >= 0.9 on average
+        # over a 20-query batch; the per-qid overlap counts are the output,
+        # so the DuckDB twin (which replicates BOTH algorithms) pins the
+        # exact recall, and the entry ASSERTS the >= 0.9 bar
+        emb, queries = _recall_queries(spark, sf)
+        bf = ann.brute_force_topk_many(emb, queries, k=10)
+        iv = ann.ivf_topk_many(emb, queries, k=10, n_centroids=8, nprobe=6,
+                               iters=0)
+        return _recall_hits(bf, iv, spark)
+
+    def ann_lsh_recall(spark, sf):
+        # multi-table hyperplane LSH (6 planes x 6 tables, hamming<=2
+        # multiprobe): the recall lever on this corpus, whose embeddings are
+        # near-random (worst case for ANN — top-10 neighbors sit at cosine
+        # ~0.3-0.5, per-plane agreement ~0.6)
+        emb, queries = _recall_queries(spark, sf)
+        bf = ann.brute_force_topk_many(emb, queries, k=10)
+        ls = ann.lsh_topk_many(emb, queries, k=10, n_planes=6, dim=64,
+                               multiprobe_hamming=2, n_tables=6)
+        return _recall_hits(bf, ls, spark)
+
+    def dedup_embcos_recall(spark, sf):
+        # banded pair-LSH recall vs the exact all-pairs baseline at the
+        # same threshold: approx pairs are exactly verified, so approx is a
+        # SUBSET of exact and recall = |approx| / |exact|; 3 planes x 12
+        # tables -> 1-(1-p^3)^12 >= 0.9 at the corpus's pair agreement p
+        emb = _emb(spark, sf)
+        n_exact = ann.embcos_pairs(emb, 0.42).count()
+        n_found = ann.embcos_pairs_lsh(emb, 0.42, n_planes=3, n_tables=12).count()
+        recall = n_found / max(n_exact, 1)
+        assert recall >= 0.9, f"pair recall {recall} < 0.9"
+        return spark.createDataFrame(
+            [(int(n_exact), int(n_found), int(recall * 1e4))],
+            "n_exact long, n_found long, recall_q long",
+        )
+
     def emb_label_stats(spark, sf):
         emb = _emb(spark, sf)
         norm = "sqrt(aggregate(CAST(embedding AS ARRAY<DOUBLE>), 0D, (s,x) -> s + x*x))"
@@ -1833,6 +1895,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the same DuckDB oracles every round by tests/test_entry_gate.py.
     for fn in [
         # ---- HEAD (driver records the first 50; see contract above) ----
+        # (0) families NEW this round:
+        ann_ivf_recall, ann_lsh_recall, dedup_embcos_recall,
         # (1) families whose semantics or oracle changed THIS round --
         # the driver must re-verify them:
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -2346,6 +2410,154 @@ FROM b CROSS JOIN q CROSS JOIN qb
 WHERE xor(b.bucket, qb.bucket) IN ({probe_set})
 ORDER BY list_cosine_similarity(ev, q.qv) DESC, vec_id
 LIMIT {k}"""
+
+
+def _plane_lit(p) -> str:
+    return "[" + ",".join(f"{x:.1f}" for x in p) + "]"
+
+
+def _table_bucket_exprs(n_tables: int, n_planes: int, dim: int, seed: int,
+                        vec: str) -> list[str]:
+    """Per-table sign-bucket expressions (twin of ann.table_planes +
+    ann._bucket_expr, seeds seed+t)."""
+    out = []
+    for t in range(n_tables):
+        planes = ann.rademacher_planes(n_planes, dim, seed + t)
+        out.append(" + ".join(
+            f"(CASE WHEN list_dot_product({vec}, {_plane_lit(p)}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        ))
+    return out
+
+
+def _ivf_recall_oracle_sql(n_centroids=8, nprobe=6, k=10, nq=20) -> str:
+    """DuckDB twin of ann_ivf_recall: replicates brute_force_topk_many AND
+    ivf_topk_many(iters=0), emits the per-qid top-k overlap."""
+    return f"""
+WITH qs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < {nq}),
+c AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         CAST(embedding AS DOUBLE[]) AS cv
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {n_centroids})
+),
+asg AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv) DESC, c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+           row_number() OVER (
+             PARTITION BY q.qid ORDER BY list_dot_product(c.cv, q.qv) DESC, c.cid
+           ) AS rn
+    FROM c CROSS JOIN qs q
+  ) WHERE rn <= {nprobe}
+),
+bf AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC, e.vec_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN qs q
+  ) WHERE rn <= {k}
+),
+ivf AS (
+  SELECT qid, vec_id FROM (
+    SELECT p.qid, e.vec_id,
+           row_number() OVER (
+             PARTITION BY p.qid
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC, e.vec_id
+           ) AS rn
+    FROM embeddings e
+    JOIN asg USING (vec_id)
+    JOIN probes p ON asg.cluster = p.cid
+    JOIN qs q ON q.qid = p.qid
+  ) WHERE rn <= {k}
+)
+SELECT bf.qid, CAST(count(ivf.vec_id) AS BIGINT) AS hits10
+FROM bf LEFT JOIN ivf ON bf.qid = ivf.qid AND bf.vec_id = ivf.vec_id
+GROUP BY bf.qid ORDER BY bf.qid"""
+
+
+def _lsh_recall_oracle_sql(n_planes=6, dim=64, seed=5, k=10, mh=2,
+                           n_tables=6, nq=20) -> str:
+    """DuckDB twin of ann_lsh_recall: multi-table sign buckets on corpus and
+    queries, hamming<=mh candidate test per table (bit_count(xor(..)) —
+    equivalent to the engine's enumerated probe buckets), exact re-rank,
+    per-qid overlap vs brute force."""
+    eb = _table_bucket_exprs(n_tables, n_planes, dim, seed,
+                             "CAST(embedding AS DOUBLE[])")
+    qb = _table_bucket_exprs(n_tables, n_planes, dim, seed, "qv")
+    e_cols = ", ".join(f"{x} AS b{t}" for t, x in enumerate(eb))
+    q_cols = ", ".join(f"{x} AS b{t}" for t, x in enumerate(qb))
+    ham = " OR ".join(
+        f"bit_count(xor(CAST(e.b{t} AS BIGINT), CAST(q.b{t} AS BIGINT))) <= {mh}"
+        for t in range(n_tables)
+    )
+    return f"""
+WITH qs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < {nq}),
+eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev, {e_cols} FROM embeddings),
+qb AS (SELECT qid, qv, {q_cols} FROM qs),
+lsh AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY list_cosine_similarity(e.ev, q.qv) DESC, e.vec_id
+           ) AS rn
+    FROM eb e JOIN qb q ON ({ham})
+  ) WHERE rn <= {k}
+),
+bf AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY list_cosine_similarity(e.ev, q.qv) DESC, e.vec_id
+           ) AS rn
+    FROM eb e CROSS JOIN qb q
+  ) WHERE rn <= {k}
+)
+SELECT bf.qid, CAST(count(lsh.vec_id) AS BIGINT) AS hits10
+FROM bf LEFT JOIN lsh ON bf.qid = lsh.qid AND bf.vec_id = lsh.vec_id
+GROUP BY bf.qid ORDER BY bf.qid"""
+
+
+def _embcos_recall_oracle_sql(n_planes=3, dim=64, seed=5, threshold=0.42,
+                              n_tables=12) -> str:
+    """DuckDB twin of dedup_embcos_recall: exact pair count vs banded
+    multi-table LSH pair count (bucket equality in ANY table), one row."""
+    eb = _table_bucket_exprs(n_tables, n_planes, dim, seed, "CAST(embedding AS DOUBLE[])")
+    e_cols = ", ".join(f"{x} AS b{t}" for t, x in enumerate(eb))
+    anyeq = " OR ".join(f"a.b{t} = b.b{t}" for t in range(n_tables))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {e_cols} FROM embeddings),
+exact AS (
+  SELECT a.vec_id AS pa, b.vec_id AS pb
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= {threshold}
+),
+found AS (
+  SELECT a.vec_id AS pa, b.vec_id AS pb
+  FROM e a JOIN e b ON a.vec_id < b.vec_id AND ({anyeq})
+  WHERE list_cosine_similarity(a.v, b.v) >= {threshold}
+)
+SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+       CAST((SELECT count(*) FROM found) AS BIGINT) AS n_found,
+       CAST(floor(1e4 * (SELECT count(*) FROM found)
+                  / greatest((SELECT count(*) FROM exact), 1)) AS BIGINT) AS recall_q
+FROM (VALUES (1)) t(x)"""
 
 
 def _norm_bounds_sql() -> str:
@@ -3632,6 +3844,13 @@ ORDER BY {cos} DESC, e.vec_id LIMIT 10""",
         "ann_ivf": _ivf_oracle_sql(n_centroids=8, nprobe=3, k=10),
         "ann_ivf_indexed": _ivf_oracle_sql(n_centroids=8, nprobe=3, k=10),
         "ann_lsh": _lsh_oracle_sql(n_planes=10, dim=64, seed=5, k=10),
+        "ann_ivf_recall": _ivf_recall_oracle_sql(n_centroids=8, nprobe=6,
+                                                 k=10, nq=20),
+        "ann_lsh_recall": _lsh_recall_oracle_sql(n_planes=6, dim=64, seed=5,
+                                                 k=10, mh=2, n_tables=6,
+                                                 nq=20),
+        "dedup_embcos_recall": _embcos_recall_oracle_sql(
+            n_planes=3, dim=64, seed=5, threshold=0.42, n_tables=12),
         "text_bpe_count": "\nWITH p AS (\n  SELECT doc_id, regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}'']+|\\s+') AS pieces FROM documents\n)\nSELECT doc_id,\n       CAST(len(pieces) AS BIGINT) AS n_pretokens,\n       CAST(list_sum(list_transform(pieces, x -> CAST(ceil(strlen(x) / 4.0) AS BIGINT))) AS BIGINT) AS est_subwords\nFROM p",
         "dedup_embcos": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -152,6 +152,68 @@ def run_bench(cpus: int, n_docs: int, sf: float, k1_queries=HEADLINE_QUERIES,
         probe_df.mapInPandas(_burn, "v double").count()
         ceiling_probe_s = time.time() - tp0
 
+        # positional kernel: head-bigram sloppy phrase over a
+        # positions-enabled build (separate index so the headline build
+        # number stays comparable round-over-round), plus a driver-side
+        # scalar-walk vs lockstep-batch duel on the SAME decoded postings
+        # the executor kernel sees — the evidence that the vectorized
+        # 2-term sloppy path beats the per-doc Python walk
+        tpos0 = time.time()
+        pidx = build_index(spark, pages, with_positions=True)
+        pidx.postings = pidx.postings.persist()
+        pidx.postings.count()
+        pos_build_s = time.time() - tpos0
+        search(pidx, '"court law"~2', k=10, precision="lucene", prune=True)
+        sloppy_best = None
+        for _ in range(max(1, q_repeat)):
+            tq = time.time()
+            search(pidx, '"court law"~2', k=10, precision="lucene", prune=True)
+            dt = time.time() - tq
+            sloppy_best = dt if sloppy_best is None else min(sloppy_best, dt)
+
+        import numpy as np
+
+        from lucene_spark.kernel import (
+            TermPostings,
+            _sloppy_freqs_2term_batch,
+            lucene_sloppy_freq,
+        )
+
+        prow = {}
+        for r in pidx.postings.filter(
+            "term in ('court', 'law')"
+        ).orderBy("term", "seg").collect():
+            t = r["term"]
+            tp = TermPostings(r.asDict(), pidx.seg_size)
+            d, f, dl = tp.decode()
+            g = d + int(r["seg"]) * pidx.seg_size
+            pos = tp.positions_flat()
+            if t in prow:
+                d0, f0, dl0, p0 = prow[t]
+                prow[t] = (np.concatenate([d0, g]), np.concatenate([f0, f]),
+                           np.concatenate([dl0, dl]), np.concatenate([p0, pos]))
+            else:
+                prow[t] = (g, f, dl, pos)
+        arrs = []
+        for t, off in (("court", 0), ("law", 1)):
+            d, f, dl, pos = prow[t]
+            arrs.append((d, f, dl, pos, np.cumsum(f) - f))
+        cand = arrs[0][0][np.isin(arrs[0][0], arrs[1][0], assume_unique=True)]
+        ts0 = time.time()
+        scal = np.empty(len(cand))
+        for ci, doc in enumerate(cand):
+            adjs = []
+            for (d, f, dl, pos, pstart), off in zip(arrs, (0, 1)):
+                j = int(np.searchsorted(d, doc))
+                s0, c0 = int(pstart[j]), int(f[j])
+                adjs.append(pos[s0:s0 + c0] - off)
+            scal[ci] = lucene_sloppy_freq(adjs, [0, 1], ["court", "law"], 2, True)
+        sloppy_scalar_s = time.time() - ts0
+        tb0 = time.time()
+        batc = _sloppy_freqs_2term_batch(arrs, [0, 1], cand, 2, True)
+        sloppy_batch_s = time.time() - tb0
+        assert np.array_equal(scal, batc), "sloppy batch != scalar walk"
+
         total = build_s + sum(q_times.values())
         return {
             "metric": "index-build + headline BM25 query suite wall time",
@@ -169,6 +231,12 @@ def run_bench(cpus: int, n_docs: int, sf: float, k1_queries=HEADLINE_QUERIES,
             "batched_suite_sec": round(batch_s, 3),
             "batched_queries_per_sec": round(len(k1_queries) / batch_s, 2),
             "spark_ceiling_probe_sec": round(ceiling_probe_s, 3),
+            "positions_build_sec": round(pos_build_s, 3),
+            "q_sloppy_head_sec": round(sloppy_best, 4),
+            "sloppy_candidates": int(len(cand)),
+            "sloppy_scalar_walk_sec": round(sloppy_scalar_s, 4),
+            "sloppy_batch_sec": round(sloppy_batch_s, 4),
+            "sloppy_batch_speedup": round(sloppy_scalar_s / max(sloppy_batch_s, 1e-9), 1),
         }
     finally:
         spark.stop()

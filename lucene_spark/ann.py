@@ -202,6 +202,12 @@ def _probe_buckets(
     probes = [qbucket]
     if multiprobe_hamming >= 1:
         probes += [qbucket ^ (1 << i) for i in range(len(planes))]
+    if multiprobe_hamming >= 2:
+        n = len(planes)
+        probes += [
+            qbucket ^ (1 << i) ^ (1 << j)
+            for i in range(n) for j in range(i + 1, n)
+        ]
     return probes
 
 
@@ -321,6 +327,171 @@ def lsh_topk_indexed(
     return brute_force_topk(cand, qv, k, id_col, vec_col)
 
 
+def _queries_df(spark, queries, qid_col: str = "qid"):
+    """Small query batch → broadcastable DataFrame (qid, qv DOUBLE[])."""
+    rows = [(int(q), [float(x) for x in v]) for q, v in queries]
+    return F.broadcast(
+        spark.createDataFrame(rows, f"{qid_col} long, qv array<double>")
+    )
+
+
+_PAIR_COS = (
+    "aggregate(zip_with(dv, qv, (x, y) -> x * y), 0D, (s, v) -> s + v) / "
+    "(sqrt(aggregate(dv, 0D, (s, x) -> s + x * x)) * "
+    "sqrt(aggregate(qv, 0D, (s, x) -> s + x * x)))"
+)
+
+
+def _topk_per_query(scored: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Per-query top-k (cosine desc, id asc).  The rank window carries a
+    rk <= k predicate, which Spark plans as WindowGroupLimit: each task
+    keeps only k rows per qid BEFORE the qid shuffle — the hierarchical
+    TopDocs.merge shape, k x n_queries rows ever cross the wire."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
+def brute_force_topk_many(
+    embeddings: DataFrame,
+    queries: list,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for a BATCH of queries [(qid, vector), ...]:
+    broadcast the tiny query table, one scan of the corpus scores every
+    (vector, query) pair JVM-side, WindowGroupLimit reduces to k rows per
+    query.  → (qid, vec_id, cosine)."""
+    qdf = _queries_df(embeddings.sparkSession, queries)
+    scored = (
+        embeddings.select(
+            F.col(id_col), F.expr(f"CAST({vec_col} AS ARRAY<DOUBLE>)").alias("dv")
+        )
+        .crossJoin(qdf)
+        .withColumn("cosine", F.expr(_PAIR_COS))
+        .select("qid", id_col, "cosine")
+    )
+    return _topk_per_query(scored, k, id_col)
+
+
+def ivf_topk_many(
+    embeddings: DataFrame,
+    queries: list,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Batched IVF: train/assign ONCE, per-query centroid shortlists on the
+    driver (tiny), broadcast (qid, cluster) probe pairs joined against the
+    assigned corpus, exact re-rank per query.  One corpus pass serves the
+    whole query batch — the query-log shape at 10^12 rows."""
+    spark = embeddings.sparkSession
+    if centroids is None:
+        centroids = ivf_train(embeddings, n_centroids, iters, id_col, vec_col)
+    probe_rows = []
+    for qid, qv in queries:
+        order = np.argsort(-(centroids @ np.asarray(qv, dtype=np.float64)),
+                           kind="stable")[:nprobe]
+        probe_rows += [(int(qid), int(c)) for c in order]
+    probes = F.broadcast(spark.createDataFrame(probe_rows, "qid long, cluster int"))
+    qdf = _queries_df(spark, queries)
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    scored = (
+        assigned.join(probes, "cluster")
+        .join(qdf, "qid")
+        .withColumn("dv", F.expr(f"CAST({vec_col} AS ARRAY<DOUBLE>)"))
+        .withColumn("cosine", F.expr(_PAIR_COS))
+        .select("qid", id_col, "cosine")
+    )
+    return _topk_per_query(scored, k, id_col)
+
+
+def table_planes(n_tables: int, n_planes: int, dim: int, seed: int = 5) -> list:
+    """L independent Rademacher plane sets (seed+t per table) — classic
+    multi-table LSH: a near neighbor split by one table's planes is caught
+    by another; recall = 1 - (1 - p^b)^L for per-plane agreement p."""
+    return [rademacher_planes(n_planes, dim, seed + t) for t in range(n_tables)]
+
+
+def _bucket_expr(planes: np.ndarray, vec_col: str) -> str:
+    terms = []
+    for i, p in enumerate(planes):
+        lit = _vec_literal(p)
+        dot = (f"aggregate(zip_with(CAST({vec_col} AS ARRAY<DOUBLE>), {lit}, "
+               f"(x,y) -> x*y), 0D, (s,v) -> s+v)")
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def lsh_topk_many(
+    embeddings: DataFrame,
+    queries: list,
+    k: int = 10,
+    n_planes: int = 12,
+    dim: int = 64,
+    seed: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe_hamming: int = 1,
+    planes: np.ndarray | None = None,
+    n_tables: int = 1,
+) -> DataFrame:
+    """Batched hyperplane-LSH: bucket the corpus ONCE (all ``n_tables``
+    bucket columns in one projection pass), per-query probe buckets on the
+    driver, broadcast (qid, table, bucket) probes joined against the
+    bucketed corpus, candidates deduped across tables, exact re-rank per
+    query.  Multi-table is the recall lever on weakly-clustered corpora —
+    a neighbor split by one table's hyperplanes is caught by another."""
+    spark = embeddings.sparkSession
+    if planes is not None:
+        plane_sets = [planes]
+    else:
+        plane_sets = table_planes(n_tables, n_planes, dim, seed)
+    probe_rows = []
+    for qid, qv in queries:
+        for t, ps in enumerate(plane_sets):
+            for b in _probe_buckets(ps, qv, multiprobe_hamming):
+                probe_rows.append((int(qid), int(t), int(b)))
+    probes = F.broadcast(
+        spark.createDataFrame(probe_rows, "qid long, tbl int, bucket long")
+    )
+    qdf = _queries_df(spark, queries)
+    # one corpus pass computes every table's bucket, then stacks to
+    # (id, vec, tbl, bucket) rows
+    cols = [F.col(id_col), F.col(vec_col)]
+    for t, ps in enumerate(plane_sets):
+        cols.append(F.expr(_bucket_expr(ps, vec_col)).cast("long").alias(f"b{t}"))
+    wide = embeddings.select(*cols)
+    stack = ", ".join(f"{t}, b{t}" for t in range(len(plane_sets)))
+    bucketed = wide.selectExpr(
+        id_col, vec_col,
+        f"stack({len(plane_sets)}, {stack}) AS (tbl, bucket)",
+    )
+    cand = (
+        bucketed.join(probes, ["tbl", "bucket"])
+        .dropDuplicates(["qid", id_col])
+    )
+    scored = (
+        cand.join(qdf, "qid")
+        .withColumn("dv", F.expr(f"CAST({vec_col} AS ARRAY<DOUBLE>)"))
+        .withColumn("cosine", F.expr(_PAIR_COS))
+        .select("qid", id_col, "cosine")
+    )
+    return _topk_per_query(scored, k, id_col)
+
+
 def embcos_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
@@ -356,6 +527,7 @@ def embcos_pairs_lsh(
     seed: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs at scale: candidates restricted to
     equal hyperplane-LSH sign buckets (Charikar rounding — vectors at angle
@@ -366,20 +538,36 @@ def embcos_pairs_lsh(
     Rademacher planes keep the bucket assignment DuckDB-replicable.
 
     Recall is approximate (a near-dup pair split by some plane is missed);
-    raise recall by unioning over rotated seeds or lowering n_planes."""
-    bucketed = hyperplane_buckets(
-        embeddings, n_planes, dim, seed, id_col, vec_col
-    ).select(F.col(id_col), F.expr(f"CAST({vec_col} AS ARRAY<DOUBLE>)").alias("dv"), "bucket")
-    a = bucketed.select(F.col(id_col).alias("a"), F.col("dv").alias("va"), "bucket")
-    b = bucketed.select(F.col(id_col).alias("b"), F.col("dv").alias("vb"), "bucket")
+    the recall lever is ``n_tables`` — L independent plane sets (seed+t),
+    candidate pairs unioned across tables and deduped BEFORE the exact
+    verification (classic banded LSH: recall = 1 - (1 - p^b)^L).  The join
+    stays bucket-equality per table — L hash-partitioned equi-joins, never
+    an all-pairs product."""
+    if n_tables <= 1:
+        plane_sets = [rademacher_planes(n_planes, dim, seed)]
+    else:
+        plane_sets = table_planes(n_tables, n_planes, dim, seed)
+    cols = [F.col(id_col), F.expr(f"CAST({vec_col} AS ARRAY<DOUBLE>)").alias("dv")]
+    for t, ps in enumerate(plane_sets):
+        cols.append(F.expr(_bucket_expr(ps, vec_col)).cast("long").alias(f"b{t}"))
+    wide = embeddings.select(*cols)
+    stack = ", ".join(f"{t}, b{t}" for t in range(len(plane_sets)))
+    bucketed = wide.selectExpr(
+        id_col, "dv", f"stack({len(plane_sets)}, {stack}) AS (tbl, bucket)"
+    )
+    a = bucketed.select(F.col(id_col).alias("a"), F.col("dv").alias("va"),
+                        "tbl", "bucket")
+    b = bucketed.select(F.col(id_col).alias("b"), F.col("dv").alias("vb"),
+                        "tbl", "bucket")
     cos = (
         "aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (s, v) -> s + v) / "
         "(sqrt(aggregate(va, 0D, (s, x) -> s + x * x)) * "
         "sqrt(aggregate(vb, 0D, (s, x) -> s + x * x)))"
     )
     return (
-        a.join(b, "bucket")
+        a.join(b, ["tbl", "bucket"])
         .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
         .withColumn("cosine", F.expr(cos))
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
