@@ -692,6 +692,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("end").cast("long").alias("off_end"),
         )
 
+    def ft_offsets_html(spark, sf):
+        # CharFilter.correctOffset: term vectors built over TAG-WRAPPED text
+        # through HTMLStripCharFilter carry offsets pointing at the RAW html
+        # string (BaseCharFilter cumulative-delta map,
+        # analysis/charfilter/BaseCharFilter.java:36-77) — the span of each
+        # top-hit's first 'dup' is the plain-text span shifted by the
+        # 15-char '<html><body><p>' prefix, which the oracle computes from
+        # the raw text
+        from lucene_spark.analysis import Analyzer
+        from lucene_spark.filters import HTMLStripCharFilter
+        from lucene_spark.termvectors import (
+            build_term_vectors,
+            first_occurrence_offsets,
+        )
+
+        idx = _ft_index(spark, sf)
+        td = search(idx, "dup", k=10, precision="float64", prune=True)
+        docids = [int(d) for d in td.docids.tolist()]
+        html_docs = (
+            _docs(spark, sf)
+            .withColumn("docid", F.col("doc_id"))
+            .filter(F.col("docid").isin(docids))
+            .select(
+                "docid",
+                F.concat(F.lit("<html><body><p>"), F.col("text"),
+                         F.lit(" </p></body></html>")).alias("text"),
+            )
+        )
+        tv = build_term_vectors(
+            html_docs,
+            stopwords=Analyzer(char_filters=(HTMLStripCharFilter(),)),
+        )
+        out = first_occurrence_offsets(tv, docids, ["dup"])
+        return out.select(
+            F.col("docid").alias("doc_id"),
+            F.col("start").cast("long").alias("off_start"),
+            F.col("end").cast("long").alias("off_end"),
+        )
+
     def ft_pulsed(spark, sf):
         # singleton pulsing (pulsing.py — BlockTree inlines df==1 postings
         # in term metadata): the lexicographically-first df==1 term is
@@ -987,6 +1026,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.createDataFrame(rows or [], "doc_id long, score_q long")
 
     # --- block join / multi-phrase / common-terms ---
+    def ft_block_join_child(spark, sf):
+        # ToChildBlockJoinQuery: parent hits ('dup' restricted to the
+        # doc_id%5==4 parent stripe via the reference's "+query +filter"
+        # composition) propagate their score to all 4 block children
+        from lucene_spark.blockjoin import block_join_children
+
+        idx = _ft_index(spark, sf)
+        docs = _docs(spark, sf)
+        parents = docs.filter(F.col("doc_id") % 5 == 4).select(
+            F.col("doc_id").alias("docid")
+        )
+        out = block_join_children(
+            idx, "dup", parents, k=10, filter_to_parents=True,
+            precision="float64",
+        )
+        rows = [
+            (int(r.child_docid), int(r.parent_docid),
+             int(math.floor(r.score * 10000)))
+            for r in out.itertuples()
+        ]
+        return spark.createDataFrame(
+            rows or [], "doc_id long, parent long, score_q long"
+        )
+
     def ft_block_join(spark, sf):
         # ToParentBlockJoinQuery ScoreMode.Avg: blocks of 4 children + a
         # parent every 5 docids; child query 'dup' restricted to child docs
@@ -1428,6 +1491,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             for d, s in zip(td.docids.tolist(), td.scores.tolist())
         ]
         return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
+    _LATIN36 = "abcdefghijklmnopqrstuvwxyz0123456789"
+    _HAN36 = "".join(chr(0x4E00 + i) for i in range(36))
+
+    def ft_cjk_analyze(spark, sf):
+        # language-aware analysis: RoutingAnalyzer detects CJK script per
+        # doc and routes it through the CJKBigramFilter chain
+        # (analysis/cjk/CJKBigramFilter.java:71 — adjacent ideographs
+        # combine into overlapping bigrams, a lone char stays a unigram)
+        # while Latin docs analyze through the standard chain.  Mixed-lang
+        # docs are synthesized deterministically: every third doc gains a
+        # Han run = translate() of its first two words (pure Catalyst,
+        # replicated bit-for-bit by DuckDB's translate)
+        from lucene_spark.analysis import RoutingAnalyzer
+
+        docs = _docs(spark, sf)
+        w = F.split(F.col("text"), " ")
+        han = F.translate(
+            F.concat(F.element_at(w, 1), F.element_at(w, 2)), _LATIN36, _HAN36
+        )
+        mixed = docs.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat_ws(" ", F.col("text"), han))
+            .otherwise(F.col("text")).alias("text"),
+        )
+        idx = build_index(
+            spark, mixed, text_col="text", key_col="doc_id",
+            docid_col="doc_id", stopwords=RoutingAnalyzer(),
+        )
+        return idx.termdict.select("term", "df", "cf").orderBy("term")
 
     def ft_html_analyze(spark, sf):
         # HTMLStripCharFilter analog (analysis/charfilter/HTMLStripCharFilter
@@ -1897,6 +1991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- HEAD (driver records the first 50; see contract above) ----
         # (0) families NEW this round:
         ann_ivf_recall, ann_lsh_recall, dedup_embcos_recall,
+        ft_block_join_child, ft_cjk_analyze, ft_offsets_html,
         # (1) families whose semantics or oracle changed THIS round --
         # the driver must re-verify them:
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -2650,6 +2745,23 @@ SELECT t.doc_id,
             ELSE length(array_to_string(t.s[1:o.i-1], ' ')) + 1 END)
             + length(t.s[o.i]) AS BIGINT) AS off_end
 FROM tokd t JOIN occ o USING (doc_id)""",
+        "ft_offsets_html": _FT_PRELUDE + "," + _score_sql(["dup"]) + """,
+hits AS (SELECT doc_id FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10),
+tokd AS (SELECT d.doc_id, string_split(d.text, ' ') AS s
+         FROM documents d JOIN hits USING (doc_id)),
+expanded AS (
+  SELECT doc_id, generate_subscripts(s, 1) AS gs, unnest(s) AS t FROM tokd
+),
+occ AS (
+  SELECT doc_id, min(gs) AS i FROM expanded WHERE t = 'dup' GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(15 + (CASE WHEN o.i = 1 THEN 0
+            ELSE length(array_to_string(t.s[1:o.i-1], ' ')) + 1 END) AS BIGINT) AS off_start,
+       CAST(15 + (CASE WHEN o.i = 1 THEN 0
+            ELSE length(array_to_string(t.s[1:o.i-1], ' ')) + 1 END)
+            + length(t.s[o.i]) AS BIGINT) AS off_end
+FROM tokd t JOIN occ o USING (doc_id)""",
         "ft_pulsed": _FT_PRELUDE + """,
 pt AS (SELECT min(term) AS term FROM df WHERE df = 1),
 sc AS (
@@ -2915,6 +3027,14 @@ sc AS (
 SELECT doc_id, CAST(floor((w - w / (1.0 + pf * inv)) * 10000) AS BIGINT) AS score_q
 FROM sc ORDER BY (w - w / (1.0 + pf * inv)) DESC, doc_id LIMIT 10""",
         "ft_phrase_gap": _phrase_sql([("part", 0), ("key", 2)], 10),
+        "ft_block_join_child": _FT_PRELUDE + "," + _score_sql(["dup"]) + """,
+par AS (SELECT doc_id, score FROM doc_scores WHERE doc_id % 5 = 4),
+ch AS (
+  SELECT p.doc_id - 4 + i AS doc_id, p.doc_id AS parent, p.score
+  FROM par p, LATERAL (SELECT unnest(generate_series(0, 3)) AS i) s
+)
+SELECT doc_id, parent, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM ch ORDER BY score DESC, doc_id LIMIT 10""",
         "ft_block_join": _FT_PRELUDE + "," + _score_sql(["dup"]) + """,
 child AS (
   SELECT doc_id, score FROM doc_scores WHERE doc_id % 5 != 4
@@ -3844,6 +3964,29 @@ ORDER BY {cos} DESC, e.vec_id LIMIT 10""",
         "ann_ivf": _ivf_oracle_sql(n_centroids=8, nprobe=3, k=10),
         "ann_ivf_indexed": _ivf_oracle_sql(n_centroids=8, nprobe=3, k=10),
         "ann_lsh": _lsh_oracle_sql(n_planes=10, dim=64, seed=5, k=10),
+        "ft_cjk_analyze": f"""
+WITH base AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+mix AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 3 = 0
+              THEN translate(ws[1] || ws[2], 'abcdefghijklmnopqrstuvwxyz0123456789', '一丁丂七丄丅丆万丈三上下丌不与丏丐丑丒专且丕世丗丘丙业丛东丝丞丟丠両丢丣')
+         END AS cjk
+  FROM base
+),
+etoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM mix),
+efilt AS (SELECT doc_id, term FROM etoks WHERE term NOT IN ({_STOPS_SQL})),
+ctoks AS (
+  SELECT doc_id,
+         CASE WHEN length(cjk) = 1 THEN cjk ELSE substr(cjk, i, 2) END AS term
+  FROM mix, LATERAL (
+    SELECT unnest(generate_series(1, greatest(length(cjk) - 1, 1))) AS i
+  ) s
+  WHERE cjk IS NOT NULL
+),
+alltoks AS (SELECT * FROM efilt UNION ALL SELECT * FROM ctoks)
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS cf
+FROM alltoks GROUP BY term ORDER BY term""",
         "ann_ivf_recall": _ivf_recall_oracle_sql(n_centroids=8, nprobe=6,
                                                  k=10, nq=20),
         "ann_lsh_recall": _lsh_recall_oracle_sql(n_planes=6, dim=64, seed=5,

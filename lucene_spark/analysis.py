@@ -98,11 +98,12 @@ class Analyzer:
     lowercase → stop-filter → post_filters.
 
     ``char_filters`` are text→text transforms applied BEFORE tokenization
-    (the CharFilter slot, analysis/CharFilter.java:35; e.g.
-    ``filters.html_strip`` — the HTMLStripCharFilter analog).  Offset
-    correction (CharFilter.correctOffset) is NOT implemented — the
-    offsets entry point rejects analyzers with char filters rather than
-    report wrong spans.
+    (the CharFilter slot, analysis/CharFilter.java:35).  Offset correction
+    (CharFilter.correctOffset) works when every char filter exposes
+    ``filter_with_offsets`` (the BaseCharFilter delta map —
+    ``filters.HTMLStripCharFilter``); plain ``str -> str`` filters like
+    ``filters.html_strip`` are rejected at the offsets entry point rather
+    than report wrong spans.
 
     ``pre_filters`` run BEFORE the stop check (EnglishPossessiveFilter's slot
     in EnglishAnalyzer.java:110-118 — "it's" must strip to "it" and then be
@@ -116,16 +117,22 @@ class Analyzer:
     """
 
     __slots__ = ("stopwords", "pre_filters", "post_filters",
-                 "max_token_length", "char_filters")
+                 "max_token_length", "char_filters", "stream_filters")
 
     def __init__(self, stopwords: frozenset[str] = ENGLISH_STOP_WORDS,
                  pre_filters=(), post_filters=(), char_filters=(),
-                 max_token_length: int = MAX_TOKEN_LENGTH):
+                 max_token_length: int = MAX_TOKEN_LENGTH,
+                 stream_filters=()):
         self.stopwords = stopwords
         self.pre_filters = tuple(pre_filters)
         self.post_filters = tuple(post_filters)
         self.char_filters = tuple(char_filters)
         self.max_token_length = max_token_length
+        # stream filters see the WHOLE emitted (tokens, positions) stream —
+        # the slot for graph/merging filters a per-token fn can't express
+        # (CJKBigramFilter combines adjacent tokens; ShingleFilter would
+        # also live here)
+        self.stream_filters = tuple(stream_filters)
 
     def run_text(self, text: str) -> str:
         """Apply the CharFilter stack to the raw text (pre-tokenizer)."""
@@ -149,6 +156,23 @@ class Analyzer:
             if t is None:
                 return None
         return t
+
+    def analyze_text(self, text: str) -> tuple[list[str], list[int]]:
+        """Whole chain over one text → (tokens, positions).  Positions are
+        raw-tokenizer indexes (removed tokens leave gaps); stream filters
+        run last and may merge/renumber."""
+        toks: list[str] = []
+        poss: list[int] = []
+        if text:
+            for i, raw in enumerate(_TOKEN_RE.findall(self.run_text(text))):
+                t = self.run_token(raw)
+                if t is None:
+                    continue
+                toks.append(t)
+                poss.append(i)
+        for sf in self.stream_filters:
+            toks, poss = sf(toks, poss)
+        return toks, poss
 
 
 def english_analyzer(stopwords: frozenset[str] = ENGLISH_STOP_WORDS) -> Analyzer:
@@ -174,11 +198,7 @@ def analyze(
     StopFilter removes tokens entirely).
     """
     if isinstance(stopwords, Analyzer):
-        a = stopwords
-        return [
-            t for raw in tokenize(a.run_text(text), 10**9)
-            if (t := a.run_token(raw)) is not None
-        ]
+        return stopwords.analyze_text(text)[0]
     return [
         lt
         for t in tokenize(text, max_token_length)
@@ -204,14 +224,7 @@ def analyze_with_positions(
     if not text:
         return toks, poss
     if isinstance(stopwords, Analyzer):
-        a = stopwords
-        for i, raw in enumerate(_TOKEN_RE.findall(a.run_text(text))):
-            t = a.run_token(raw)
-            if t is None:
-                continue
-            toks.append(t)
-            poss.append(i)
-        return toks, poss
+        return stopwords.analyze_text(text)
     for i, t in enumerate(_TOKEN_RE.findall(text)):
         if len(t) > max_token_length:
             continue
@@ -258,10 +271,26 @@ def analyze_with_offsets(
     if not text:
         return toks, poss, starts, ends
     an = stopwords if isinstance(stopwords, Analyzer) else None
+    corrections = []  # innermost-filter first, applied outside-in
     if an is not None and an.char_filters:
+        # CharFilter.correctOffset chain (analysis/CharFilter.java:35-77):
+        # each filter exposes (filtered_text, offsets, diffs); token spans
+        # over the FILTERED text map back through every correction,
+        # innermost last — requires offset-aware filters
+        for f in an.char_filters:
+            fo = getattr(f, "filter_with_offsets", None)
+            if fo is None:
+                raise ValueError(
+                    f"char filter {f!r} has no filter_with_offsets — "
+                    "correctOffset needs the BaseCharFilter delta map "
+                    "(use filters.HTMLStripCharFilter for HTML)"
+                )
+            text, offs, diffs = fo(text)
+            corrections.append((f, offs, diffs))
+    if an is not None and an.stream_filters:
         raise ValueError(
-            "char_filters shift character offsets and CharFilter.correctOffset"
-            " is not implemented; offsets would point at the wrong spans"
+            "stream filters merge tokens; offsets over merged spans are "
+            "not implemented"
         )
     for i, m in enumerate(_TOKEN_RE.finditer(text)):
         raw = m.group(0)
@@ -279,4 +308,57 @@ def analyze_with_offsets(
         poss.append(i)
         starts.append(m.start())
         ends.append(m.end())
+    # map filtered-text spans back to raw-text spans, outermost correction
+    # first is innermost filter last (corrections[k] maps filter k's output
+    # offsets to filter k's INPUT offsets)
+    for f, offs, diffs in reversed(corrections):
+        starts = [int(f.correct_offset(s, offs, diffs)) for s in starts]
+        ends = [int(f.correct_offset(e, offs, diffs)) for e in ends]
     return toks, poss, starts, ends
+
+
+def cjk_analyzer(stopwords: frozenset[str] = ENGLISH_STOP_WORDS) -> Analyzer:
+    """CJKAnalyzer chain analog (analysis/cjk/CJKAnalyzer.java:42-50:
+    StandardTokenizer → CJKWidthFilter → LowerCaseFilter → CJKBigramFilter →
+    StopFilter): ideograph/hiragana runs bigram, Latin text analyzes
+    normally.  Width folding is covered by the tokenizer's full-width
+    ranges; the stop check runs before the bigram merge here — single CJK
+    chars are never in the stop set, so emissions agree."""
+    from .filters import cjk_bigrams
+
+    return Analyzer(stopwords, stream_filters=(cjk_bigrams,))
+
+
+class RoutingAnalyzer(Analyzer):
+    """Per-document analyzer routing — the PerFieldAnalyzerWrapper idea
+    applied per ROW: web corpora carry a ``lang`` column, but the analyze
+    entry points see only text, so routing keys on SCRIPT DETECTION (the
+    deterministic function of the text itself; the lang tag and the script
+    agree on real corpora).  ``routes`` maps route keys to Analyzers;
+    ``detect(text)`` returns a key (default: 'cjk' when the text contains
+    any Han/hiragana char, else 'default').
+
+    ``for_lang(tag)`` gives explicit lang-column routing when the caller
+    HAS the tag (e.g. pre-partitioned per-language builds)."""
+
+    __slots__ = ("routes", "default", "detect")
+
+    def __init__(self, routes: dict | None = None,
+                 default: "Analyzer | None" = None, detect=None):
+        super().__init__()
+        self.default = default or Analyzer()
+        self.routes = dict(routes) if routes else {"cjk": cjk_analyzer()}
+        if detect is None:
+            import re as _re
+
+            cjk_re = _re.compile(rf"[{_IDEO}{_HIRA}]")
+            detect = lambda text: "cjk" if cjk_re.search(text) else None  # noqa: E731
+        self.detect = detect
+
+    def for_lang(self, tag: str) -> Analyzer:
+        return self.routes.get(tag, self.default)
+
+    def analyze_text(self, text: str):
+        key = self.detect(text) if text else None
+        a = self.routes.get(key, self.default) if key is not None else self.default
+        return a.analyze_text(text)

@@ -123,3 +123,92 @@ def block_join_parents(
         .toPandas()
     )
     return out
+
+
+def block_join_children(
+    index,
+    parent_query,
+    parents: DataFrame,
+    k: int = 10,
+    filter_to_parents: bool = False,
+    precision: str = "lucene",
+) -> pd.DataFrame:
+    """ToChildBlockJoinQuery analog — the parent→child direction
+    (join/ToChildBlockJoinQuery.java:43-260): every parent hit propagates
+    its score to ALL its children, the docids strictly between the previous
+    parent-filter bit and the parent (blocks are [child..., parent];
+    ``childDoc = 1 + parentBits.prevSetBit(parentDoc - 1)`` up to
+    ``parentDoc - 1``).  A parent-query hit NOT in the parent filter is an
+    illegal query (validateParentDoc, :266-272 INVALID_QUERY_MESSAGE) —
+    pass ``filter_to_parents=True`` to apply the reference's suggested
+    "+parentQuery +parentFilter" must-clause composition instead (a FILTER
+    clause, so scores are unchanged).
+
+    Same segment-local cogroup shape as :func:`block_join_parents`: blocks
+    never span docID-range segments, so child expansion is per-segment
+    numpy; k rows reach the driver.  → pandas (child_docid, parent_docid,
+    score) sorted (score desc, child asc) cut to k.
+    """
+    from .search import score_docs
+
+    hits = score_docs(index, parent_query, precision=precision)
+    if filter_to_parents:
+        hits = hits.join(parents.select("docid"), "docid", "left_semi")
+    seg_size = index.seg_size
+    hits = hits.withColumn("seg", (F.col("docid") / F.lit(seg_size)).cast("long"))
+    pseg = parents.select(
+        F.col("docid").alias("pdocid"),
+        (F.col("docid") / F.lit(seg_size)).cast("long").alias("seg"),
+    )
+
+    def join_seg(key, hit_pdf: pd.DataFrame, par_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "child_docid": pd.Series(dtype="int64"),
+            "parent_docid": pd.Series(dtype="int64"),
+            "score": pd.Series(dtype="float64"),
+        })
+        if len(hit_pdf) == 0 or len(par_pdf) == 0:
+            return empty
+        seg_start = int(key[0]) * seg_size
+        hp = hit_pdf["docid"].to_numpy(dtype=np.int64)
+        hs = hit_pdf["score"].to_numpy(dtype=np.float64)
+        order = np.argsort(hp)
+        hp, hs = hp[order], hs[order]
+        p = np.sort(par_pdf["pdocid"].to_numpy(dtype=np.int64))
+        bad = hp[~np.isin(hp, p)]
+        if len(bad):
+            raise ValueError(
+                "Parent query must not match any docs besides parent "
+                "filter. Combine them as must (+) and must-not (-) clauses "
+                f"to find a problem doc. docID={int(bad[0])} "
+                "(ToChildBlockJoinQuery.java:47-50)"
+            )
+        # first child of parent P = 1 + prevSetBit(P - 1); no previous
+        # parent in the leaf -> leaf start (prevSetBit returns -1)
+        pi = np.searchsorted(p, hp, side="left")
+        first = np.where(pi > 0, p[np.maximum(pi - 1, 0)] + 1, seg_start)
+        n_children = hp - first
+        keep = n_children > 0  # degenerate parent with no children: skip
+        hp, hs, first, n_children = hp[keep], hs[keep], first[keep], n_children[keep]
+        if len(hp) == 0:
+            return empty
+        total = int(n_children.sum())
+        news = np.cumsum(n_children) - n_children
+        child = (np.arange(total, dtype=np.int64)
+                 - np.repeat(news, n_children) + np.repeat(first, n_children))
+        return pd.DataFrame({
+            "child_docid": child,
+            "parent_docid": np.repeat(hp, n_children),
+            "score": np.repeat(hs, n_children),
+        })
+
+    return (
+        hits.groupBy("seg")
+        .cogroup(pseg.groupBy("seg"))
+        .applyInPandas(
+            join_seg, schema="child_docid long, parent_docid long, score double"
+        )
+        .orderBy(F.col("score").desc(), F.col("child_docid").asc())
+        .limit(k)
+        .toPandas()
+    )

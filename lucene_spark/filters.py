@@ -318,3 +318,112 @@ def html_strip(text: str) -> str:
     `multimodal.extract_text_from_html` (tags deleted, no replacement —
     entity decoding and offset correction not implemented)."""
     return _HTML_TAG_RE.sub("", text or "")
+
+
+def _is_cjk_single(tok: str) -> bool:
+    """One Han ideograph or hiragana char — the StandardTokenizer emission
+    shape CJKBigramFilter combines (katakana comes out of this tokenizer as
+    RUNS and hangul as word runs, so those flags are a documented subset)."""
+    if len(tok) != 1:
+        return False
+    cp = ord(tok)
+    return (
+        0x4E00 <= cp <= 0x9FFF      # CJK Unified Ideographs
+        or 0x3400 <= cp <= 0x4DBF   # Extension A
+        or 0x20000 <= cp <= 0x2FA1F  # Extensions B+ / compat supplement
+        or 0xF900 <= cp <= 0xFAFF   # compat ideographs
+        or 0x3041 <= cp <= 0x3096 or 0x309D <= cp <= 0x309F  # hiragana
+        or cp in (0x3006, 0x3007)   # 〆〇
+        or 0x3021 <= cp <= 0x3029 or 0x3038 <= cp <= 0x303A  # Suzhou/Hangzhou
+    )
+
+
+def cjk_bigrams(tokens: list[str], positions: list[int]):
+    """CJKBigramFilter analog (analysis/cjk/CJKBigramFilter.java:71-115,
+    outputUnigrams=false): runs of ADJACENT single CJK tokens (consecutive
+    tokenizer positions) combine into overlapping bigrams — a run of n
+    chars emits n-1 bigrams, each at the position of its first char; a
+    LONE CJK char stays a unigram (:312-320 "was the only token");
+    non-CJK tokens pass through untouched.  A stream filter for
+    ``Analyzer(stream_filters=...)``."""
+    out_t: list[str] = []
+    out_p: list[int] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        if not _is_cjk_single(tokens[i]):
+            out_t.append(tokens[i])
+            out_p.append(positions[i])
+            i += 1
+            continue
+        j = i
+        while (j + 1 < n and _is_cjk_single(tokens[j + 1])
+               and positions[j + 1] == positions[j] + 1):
+            j += 1
+        if j == i:  # lone CJK char: unigram
+            out_t.append(tokens[i])
+            out_p.append(positions[i])
+        else:
+            for x in range(i, j):
+                out_t.append(tokens[x] + tokens[x + 1])
+                out_p.append(positions[x])
+        i = j + 1
+    return out_t, out_p
+
+
+class HTMLStripCharFilter:
+    """HTMLStripCharFilter WITH offset correction — the BaseCharFilter
+    cumulative-delta machinery (analysis/charfilter/BaseCharFilter.java:
+    36-77): each removed tag records (output_offset, cumulative_removed);
+    ``correct_offset`` adds the diff at the LAST recorded output offset <=
+    the queried offset (Arrays.binarySearch semantics, :40-52), mapping
+    filtered-text spans back to raw-text spans so highlighting over
+    HTML-stripped analysis points at the right characters.
+
+    Instances are plain ``str -> str`` callables, so they drop into the
+    existing ``Analyzer(char_filters=...)`` slot; the offsets entry point
+    (``analysis.analyze_with_offsets``) detects ``filter_with_offsets``
+    and composes corrections through the chain (CharFilter.correctOffset
+    chains through nested filters, analysis/CharFilter.java:35-77)."""
+
+    def __call__(self, text: str) -> str:
+        return _HTML_TAG_RE.sub("", text or "")
+
+    def filter_with_offsets(self, text: str):
+        """→ (stripped_text, offsets int array, diffs int array)."""
+        import numpy as np
+
+        text = text or ""
+        parts = []
+        offs: list[int] = []
+        diffs: list[int] = []
+        cum = 0
+        last = 0
+        for m in _HTML_TAG_RE.finditer(text):
+            parts.append(text[last:m.start()])
+            out_off = m.start() - cum
+            cum += m.end() - m.start()
+            # same-offset corrections overwrite (BaseCharFilter:88-92:
+            # adjacent tags collapse to one entry with the summed diff)
+            if offs and offs[-1] == out_off:
+                diffs[-1] = cum
+            else:
+                offs.append(out_off)
+                diffs.append(cum)
+            last = m.end()
+        parts.append(text[last:])
+        return ("".join(parts), np.asarray(offs, dtype=np.int64),
+                np.asarray(diffs, dtype=np.int64))
+
+    @staticmethod
+    def correct_offset(off, offs, diffs):
+        """Vectorized BaseCharFilter.correct: off may be an int or array."""
+        import numpy as np
+
+        if len(offs) == 0:
+            return off
+        o = np.asarray(off, dtype=np.int64)
+        idx = np.searchsorted(offs, o, side="right") - 1
+        d = np.where(idx >= 0, diffs[np.maximum(idx, 0)], 0)
+        out = o + d
+        return out if out.ndim else int(out)

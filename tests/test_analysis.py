@@ -87,3 +87,64 @@ def test_emoji_single_tokens():
 def test_katakana_runs_hiragana_singles():
     assert tokenize("カタカナ") == ["カタカナ"]
     assert tokenize("ひらがな") == ["ひ", "ら", "が", "な"]
+
+
+def test_cjk_bigram_stream():
+    """CJKBigramFilter semantics: runs bigram, lone chars stay unigrams,
+    non-CJK passes through; bigrams merge ACROSS whitespace (positions are
+    tokenizer indexes, like Lucene's posIncrement chain)."""
+    from lucene_spark.analysis import analyze_with_positions, cjk_analyzer
+
+    a = cjk_analyzer()
+    toks, poss = analyze_with_positions("株式会社", a)
+    assert toks == ["株式", "式会", "会社"] and poss == [0, 1, 2]
+    toks, _ = analyze_with_positions("一", a)
+    assert toks == ["一"]
+    # whitespace between ideographs does not break the bigram chain
+    toks, _ = analyze_with_positions("東京 大学", a)
+    assert toks == ["東京", "京大", "大学"]
+    # Latin + the stop filter still apply
+    toks, _ = analyze_with_positions("the 東京 tower", a)
+    assert toks == ["東京", "tower"]
+
+
+def test_routing_analyzer_detects_script():
+    from lucene_spark.analysis import RoutingAnalyzer, analyze
+
+    r = RoutingAnalyzer()
+    assert analyze("the quick fox", r) == ["quick", "fox"]
+    assert analyze("ここは東京です", r) == ["ここ", "こは", "は東", "東京", "京で", "です"]
+    assert r.for_lang("cjk") is r.routes["cjk"]
+    assert r.for_lang("en") is r.default
+
+
+def test_lang_routed_build_partition_invariance(spark):
+    """A RoutingAnalyzer-built index is identical regardless of input
+    partitioning (the invariance contract every analyzer chain must keep)."""
+    import pandas as pd
+
+    from lucene_spark.analysis import RoutingAnalyzer
+    from lucene_spark.index import build_index
+
+    rows = []
+    for i in range(60):
+        if i % 3 == 0:
+            rows.append({"doc_id": i, "url": f"u{i}",
+                         "text": "spark 東京大学 batch 株式会社"})
+        else:
+            rows.append({"doc_id": i, "url": f"u{i}",
+                         "text": "the spark batch window key"})
+    pdf = pd.DataFrame(rows)
+    outs = []
+    for nparts in (2, 8):
+        docs = spark.createDataFrame(pdf).repartition(nparts)
+        idx = build_index(spark, docs, text_col="text", key_col="doc_id",
+                          docid_col="doc_id", stopwords=RoutingAnalyzer())
+        outs.append(
+            sorted(tuple(r) for r in
+                   idx.termdict.select("term", "df", "cf").collect())
+        )
+    assert outs[0] == outs[1]
+    terms = [t for t, _, _ in outs[0]]
+    assert "東京" in terms and "京大" in terms and "大学" in terms
+    assert "the" not in terms

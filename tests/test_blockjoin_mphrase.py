@@ -163,3 +163,40 @@ def test_common_terms_absolute_cutoff(ct_index):
     # absolute: df > 30 → half (50) is high, rare (10) is low
     td = search(ct_index, node, k=100)
     assert len(td.docids) == 10
+
+
+def test_to_child_block_join(bj_index):
+    """ToChildBlockJoinQuery: every 'parentdoc' hit propagates its score to
+    the 3 children of its block; child docids are (prevParent, parent)."""
+    from lucene_spark.blockjoin import block_join_children
+
+    idx, docs = bj_index
+    psc = search(idx, "parentdoc", k=10**6, prune=False, precision="float64")
+    pmap = dict(zip(psc.docids.tolist(), psc.scores.tolist()))
+    out = block_join_children(idx, "parentdoc", _parents(docs), k=10**6,
+                              precision="float64")
+    assert len(out) == 40 * 3
+    for r in out.itertuples():
+        p = int(r.parent_docid)
+        assert int(r.child_docid) in (p - 3, p - 2, p - 1)
+        assert r.score == pytest.approx(pmap[p], rel=0)
+    # top-k ordering: score desc, child docid asc
+    top = block_join_children(idx, "parentdoc", _parents(docs), k=5,
+                              precision="float64")
+    pairs = list(zip(top["score"], top["child_docid"]))
+    assert pairs == sorted(pairs, key=lambda t: (-t[0], t[1]))
+
+
+def test_to_child_rejects_nonparent_match(bj_index):
+    from lucene_spark.blockjoin import block_join_children
+
+    idx, docs = bj_index
+    # 'alpha' matches child docs -> parent query is illegal unless composed
+    # with the parent filter
+    with pytest.raises(Exception, match="must not match"):
+        block_join_children(idx, "alpha", _parents(docs), k=5)
+    # the reference's suggested +query +filter composition: no parent
+    # matches 'alpha', so the join is empty rather than illegal
+    out = block_join_children(idx, "alpha", _parents(docs), k=5,
+                              filter_to_parents=True)
+    assert len(out) == 0

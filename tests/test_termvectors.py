@@ -116,3 +116,43 @@ def test_reversed_terms_sidecar(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "StringStartsWith(rterm" in plan
+
+
+def test_offsets_through_html_char_filter():
+    """CharFilter.correctOffset: spans over HTML-stripped analysis point at
+    the RAW text (BaseCharFilter binary-search delta semantics, including
+    the end-at-tag-boundary jump the reference exhibits)."""
+    from lucene_spark.analysis import Analyzer, analyze_with_offsets
+    from lucene_spark.filters import HTMLStripCharFilter
+
+    a = Analyzer(char_filters=(HTMLStripCharFilter(),))
+    raw = "<html><p>key <b>window</b> batch</p></html>"
+    toks, poss, starts, ends = analyze_with_offsets(raw, a)
+    assert toks == ["key", "window", "batch"]
+    for t, s in zip(toks, starts):
+        assert raw[s:s + len(t)] == t
+    # 'window' ends exactly at the </b> boundary: the corrected end jumps
+    # past the closing tag (BaseCharFilter.correct on the boundary offset)
+    assert ends[toks.index("window")] == raw.index("</b>") + len("</b>")
+    # a plain str->str char filter cannot correct offsets: refused
+    from lucene_spark.filters import html_strip
+
+    with pytest.raises(ValueError, match="filter_with_offsets"):
+        analyze_with_offsets(raw, Analyzer(char_filters=(html_strip,)))
+
+
+def test_correct_offset_binary_search_semantics():
+    import numpy as np
+
+    from lucene_spark.filters import HTMLStripCharFilter
+
+    f = HTMLStripCharFilter()
+    out, offs, diffs = f.filter_with_offsets("<b>hi</b> there")
+    assert out == "hi there"
+    assert f.correct_offset(0, offs, diffs) == 3
+    assert f.correct_offset(1, offs, diffs) == 4
+    assert f.correct_offset(2, offs, diffs) == 9   # end boundary jumps tag
+    assert list(f.correct_offset(np.array([3, 7]), offs, diffs)) == [10, 14]
+    # adjacent tags collapse into one correction entry
+    out2, offs2, diffs2 = f.filter_with_offsets("<a><b>x</b></a>")
+    assert out2 == "x" and list(offs2) == [0, 1] and list(diffs2) == [6, 14]
