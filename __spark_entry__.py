@@ -1476,6 +1476,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             sugg, "key w", num=10, tie_col="doc_id")
         return out.select("doc_id", "weight")
 
+    def ft_fuzzy_suggest(spark, sf):
+        # FuzzySuggester analog (suggest/analyzing/FuzzySuggester.java:
+        # 36-90, minus the FST): key "kye wind" completes suggestions whose
+        # analyzed token-sequence PREFIX matches — 'kye' within Damerau 1
+        # of the first token (transposition -> 'key'), 'wind' within
+        # Damerau 1 of the second token's 4-char prefix; first char
+        # unedited (DEFAULT_NON_FUZZY_PREFIX=1), no edits under length 3
+        # (DEFAULT_MIN_FUZZY_LENGTH); rank weight desc
+        from lucene_spark.suggest import fuzzy_suggest
+
+        sugg = _docs(spark, sf).select(
+            "doc_id", "text", F.col("n_chars").alias("weight"))
+        out = fuzzy_suggest(sugg, "kye wind", num=10, tie_col="doc_id")
+        return out.select("doc_id", "weight")
+
     def ft_syn_graph(spark, sf):
         # query-time SynonymGraphFilter (QueryBuilder.analyzeGraphBoolean,
         # util/QueryBuilder.java:539-588): "table" expands to
@@ -1992,6 +2007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (0) families NEW this round:
         ann_ivf_recall, ann_lsh_recall, dedup_embcos_recall,
         ft_block_join_child, ft_cjk_analyze, ft_offsets_html,
+        ft_fuzzy_suggest,
         # (1) families whose semantics or oracle changed THIS round --
         # the driver must re-verify them:
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -2762,6 +2778,18 @@ SELECT t.doc_id,
             ELSE length(array_to_string(t.s[1:o.i-1], ' ')) + 1 END)
             + length(t.s[o.i]) AS BIGINT) AS off_end
 FROM tokd t JOIN occ o USING (doc_id)""",
+        "ft_fuzzy_suggest": f"""
+WITH s AS (
+  SELECT doc_id, n_chars AS weight,
+         list_filter(string_split(text, ' '), t -> t NOT IN ({_STOPS_SQL})) AS fts
+  FROM documents
+)
+SELECT doc_id, CAST(weight AS BIGINT) AS weight FROM s
+WHERE len(fts) >= 2
+  AND substr(fts[1], 1, 1) = 'k' AND damerau_levenshtein(fts[1], 'kye') <= 1
+  AND substr(fts[2], 1, 1) = 'w'
+  AND damerau_levenshtein(substr(fts[2], 1, 4), 'wind') <= 1
+ORDER BY weight DESC, doc_id LIMIT 10""",
         "ft_pulsed": _FT_PRELUDE + """,
 pt AS (SELECT min(term) AS term FROM df WHERE df = 1),
 sc AS (

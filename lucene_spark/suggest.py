@@ -215,6 +215,87 @@ def analyzing_infix_suggest(
     return df.filter(cond).drop("_toks").orderBy(*order).limit(num)
 
 
+def fuzzy_suggest(
+    suggestions: DataFrame,
+    key: str,
+    num: int = 10,
+    max_edits: int = 1,
+    non_fuzzy_prefix: int = 1,
+    min_fuzzy_length: int = 3,
+    transpositions: bool = True,
+    text_col: str = "text",
+    weight_col: str = "weight",
+    stopwords=None,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """FuzzySuggester analog (suggest/analyzing/FuzzySuggester.java:36-90,
+    minus the FST): fuzzy-prefix COMPLETION — the key's analyzed tokens
+    align with the PREFIX of each suggestion's analyzed token sequence;
+    every token but the last matches within Damerau-OSA ``max_edits``
+    (reference default 1, transpositions=true :90-99), the LAST key token
+    matches the length-|token| prefix of the aligned suggestion token
+    within the same distance.  Reference constraints kept: no edits until
+    the token reaches ``min_fuzzy_length`` (DEFAULT_MIN_FUZZY_LENGTH=3)
+    and the first ``non_fuzzy_prefix`` chars may not be edited
+    (DEFAULT_NON_FUZZY_PREFIX=1); results rank weight desc.  Documented
+    subset: the reference's Levenshtein automaton runs over the joined
+    byte sequence, so edits may cross token boundaries; this token-aligned
+    form cannot express those.
+
+    Plan shape: one Arrow analyze pass over the suggestion table + an
+    Arrow-batched match predicate; TakeOrderedAndProject returns ``num``
+    rows — a narrow scan at any table size."""
+    from .analysis import ENGLISH_STOP_WORDS, analyze, make_analyze_udf
+    from .search import damerau_levenshtein
+
+    sw = ENGLISH_STOP_WORDS if stopwords is None else stopwords
+    qtoks = analyze(key, sw)
+    if not qtoks:
+        return suggestions.limit(0)
+    me, nfp, mfl, tr = max_edits, non_fuzzy_prefix, min_fuzzy_length, transpositions
+
+    def _plain_lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    def tok_match(qt: str, st: str, is_last: bool) -> bool:
+        cand = st[: len(qt)] if is_last else st
+        if qt[:nfp] != cand[:nfp]:
+            return False  # non-fuzzy prefix byte(s)
+        allowed = me if len(qt) >= mfl else 0
+        if allowed == 0:
+            return qt == cand
+        if tr:
+            return damerau_levenshtein(cand, qt, allowed) <= allowed
+        return _plain_lev(cand, qt) <= allowed
+
+    @F.pandas_udf("boolean")
+    def _match(tok_lists: pd.Series) -> pd.Series:
+        def one(toks) -> bool:
+            if toks is None or len(toks) < len(qtoks):
+                return False
+            for i, qt in enumerate(qtoks):
+                if not tok_match(qt, toks[i], i == len(qtoks) - 1):
+                    return False
+            return True
+
+        return tok_lists.map(one)
+
+    df = suggestions.withColumn("_toks", make_analyze_udf(sw)(F.col(text_col)))
+    order = [F.col(weight_col).desc()]
+    if tie_col is not None:
+        order.append(F.col(tie_col).asc())
+    return (
+        df.filter(_match(F.col("_toks"))).drop("_toks").orderBy(*order).limit(num)
+    )
+
+
 # --------------------------------------------------- WordBreakSpellChecker
 
 

@@ -467,3 +467,29 @@ def test_diversified_topk_and_high_freq_terms(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         high_freq_terms(idx, by="zz")
+
+
+def test_fuzzy_suggest(spark):
+    """FuzzySuggester analog: token-sequence-prefix completion with
+    Damerau edits, non-fuzzy first char, no edits under length 3."""
+    from lucene_spark.suggest import fuzzy_suggest
+
+    sugg = spark.createDataFrame(
+        [
+            (0, "key window batch", 30),
+            (1, "key windmill", 20),
+            (2, "keg window", 10),     # 'keg' d=1 from 'kye'? k-y-e vs k-e-g = 2 -> no
+            (3, "window key", 40),     # wrong order: first token must match 'kye'
+            (4, "key", 5),             # too few tokens
+            (5, "the key window", 50), # stopword removed -> aligns
+        ],
+        "doc_id long, text string, weight long",
+    )
+    out = fuzzy_suggest(sugg, "kye wind", num=10, tie_col="doc_id").collect()
+    assert [(r["doc_id"], r["weight"]) for r in out] == [(5, 50), (0, 30), (1, 20)]
+    # no edits below min_fuzzy_length: 'ke' must match exactly as a prefix
+    out2 = fuzzy_suggest(sugg, "ke", num=10, tie_col="doc_id").collect()
+    assert [r["doc_id"] for r in out2] == [5, 0, 1, 2, 4]
+    # non-fuzzy prefix: first char may not be edited
+    out3 = fuzzy_suggest(sugg, "eky wind", num=10).collect()
+    assert out3 == []
