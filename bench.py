@@ -58,8 +58,30 @@ def make_session(cpus: int, shuffle_partitions: int | None = None):
     )
 
 
+def _ceiling_probe(spark) -> float:
+    """Spark-harness ceiling: a fixed single-threaded-numpy job in the SAME
+    session — what a perfectly-parallel Spark workload gets from this box
+    right now.  Engine efficiency normalized by this ratio isolates engine
+    scaling from host/JVM-harness effects."""
+    import numpy as _np
+    import pandas as _pd
+
+    def _burn(batches):
+        for _ in batches:
+            x = _np.arange(50_000, dtype=_np.float64)
+            s = 0.0
+            for _i in range(1500):
+                s += float((x * 1.0001 + 0.5).sum())
+            yield _pd.DataFrame({"v": [s]})
+
+    probe_df = spark.range(64).repartition(64)
+    tp0 = time.time()
+    probe_df.mapInPandas(_burn, "v double").count()
+    return time.time() - tp0
+
+
 def run_bench(cpus: int, n_docs: int, sf: float, k1_queries=HEADLINE_QUERIES,
-              repeat: int = 1) -> dict:
+              repeat: int = 1, build_only: bool = False) -> dict:
     from lucene_spark.corpus import generate_pages
     from lucene_spark.index import build_index
     from lucene_spark.search import search
@@ -77,6 +99,12 @@ def run_bench(cpus: int, n_docs: int, sf: float, k1_queries=HEADLINE_QUERIES,
         # the host scheduler)
         warm = spark.createDataFrame(pages_pdf.head(2000)).repartition(max(cpus, 4))
         build_index(spark, warm).postings.count()
+
+        # A-B-A pairing: ceiling probes IMMEDIATELY before and after the
+        # timed build measure the host in the same minutes the engine ran
+        # (one warm probe first — probe workers spin up like any stage)
+        _ceiling_probe(spark)
+        ceiling_pre_s = _ceiling_probe(spark)
 
         build_s = None
         for r in range(max(1, repeat)):
@@ -97,6 +125,22 @@ def run_bench(cpus: int, n_docs: int, sf: float, k1_queries=HEADLINE_QUERIES,
                 idx.postings.unpersist()
                 idx.termdict.unpersist()
                 idx.norms.unpersist()
+
+        ceiling_post_s = _ceiling_probe(spark)
+        if build_only:
+            return {
+                "metric": "index-build throughput (A-B-A paired ceiling)",
+                "value": round(build_s, 3),
+                "unit": "sec",
+                "queries": {},
+                "sf": sf,
+                "n_docs": n_docs,
+                "cpus": cpus,
+                "index_build_sec": round(build_s, 3),
+                "docs_per_sec": round(n_docs / build_s, 1),
+                "ceiling_probe_pre_sec": round(ceiling_pre_s, 3),
+                "ceiling_probe_post_sec": round(ceiling_post_s, 3),
+            }
 
         q_times: dict[str, float] = {}
         # warm-up every query shape once (JIT/UDF worker spin-up excluded)
@@ -131,26 +175,9 @@ def run_bench(cpus: int, n_docs: int, sf: float, k1_queries=HEADLINE_QUERIES,
         )
         batch_s = time.time() - tb
 
-        # Spark-harness ceiling probe: a fixed single-threaded-numpy job in
-        # the SAME session — what a perfectly-parallel Spark workload gets
-        # from this box right now.  Engine efficiency normalized by this
-        # ratio isolates engine scaling from host/JVM-harness effects.
-        import numpy as _np
-        import pandas as _pd
-
-        def _burn(batches):
-            for _ in batches:
-                x = _np.arange(50_000, dtype=_np.float64)
-                s = 0.0
-                for _i in range(1500):
-                    s += float((x * 1.0001 + 0.5).sum())
-                yield _pd.DataFrame({"v": [s]})
-
-        probe_df = spark.range(64).repartition(64)
-        probe_df.mapInPandas(_burn, "v double").count()  # warm
-        tp0 = time.time()
-        probe_df.mapInPandas(_burn, "v double").count()
-        ceiling_probe_s = time.time() - tp0
+        # post-queries ceiling probe (kept for round-over-round continuity;
+        # the A-B-A paired numbers are ceiling_probe_pre/post_sec above)
+        ceiling_probe_s = _ceiling_probe(spark)
 
         # positional kernel: head-bigram sloppy phrase over a
         # positions-enabled build (separate index so the headline build
@@ -231,6 +258,8 @@ def run_bench(cpus: int, n_docs: int, sf: float, k1_queries=HEADLINE_QUERIES,
             "batched_suite_sec": round(batch_s, 3),
             "batched_queries_per_sec": round(len(k1_queries) / batch_s, 2),
             "spark_ceiling_probe_sec": round(ceiling_probe_s, 3),
+            "ceiling_probe_pre_sec": round(ceiling_pre_s, 3),
+            "ceiling_probe_post_sec": round(ceiling_post_s, 3),
             "positions_build_sec": round(pos_build_s, 3),
             "q_sloppy_head_sec": round(sloppy_best, 4),
             "sloppy_candidates": int(len(cand)),
@@ -248,6 +277,8 @@ def main() -> None:
     ap.add_argument("--n-docs", type=int, default=None)
     ap.add_argument("--repeat", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_BUILD_REPEAT", "3")))
+    ap.add_argument("--build-only", action="store_true",
+                    help="time only the build + paired A-B-A ceiling probes")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -255,7 +286,8 @@ def main() -> None:
     sf = float(m.group(1)) if m else 0.1
     n_docs = args.n_docs or max(int(500_000 * sf), 1000)
 
-    result = run_bench(args.cpus, n_docs, sf, repeat=args.repeat)
+    result = run_bench(args.cpus, n_docs, sf, repeat=args.repeat,
+                       build_only=args.build_only)
     print(json.dumps(result))
 
 

@@ -50,11 +50,220 @@ def os_ceiling_probe(seconds: float = 3.0) -> dict:
     }
 
 
+def run_aba(n_docs: int, rounds: int = 5) -> dict:
+    """Interleaved A-B-A 8→32 protocol: each round runs a FRESH JVM at 8
+    then at 32 threads, and inside every JVM the ceiling probe runs
+    immediately before AND after the timed build (bench.py --build-only),
+    so engine and ceiling are measured in the same minutes.  Reports the
+    median across rounds — one defensible 8→32 number instead of
+    point-in-time snapshots an hour apart."""
+    import statistics
+
+    rows = []
+    for r in range(rounds):
+        pair = {}
+        for cpus in (8, 32):
+            out = subprocess.run(
+                [sys.executable, "bench.py", "--cpus", str(cpus),
+                 "--n-docs", str(n_docs), "--repeat", "1", "--build-only"],
+                capture_output=True, text=True, check=True,
+            )
+            pair[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+        rows.append(pair)
+        print(json.dumps({"round": r + 1,
+                          "tput8": pair[8]["docs_per_sec"],
+                          "tput32": pair[32]["docs_per_sec"],
+                          "ceil8_pre": pair[8]["ceiling_probe_pre_sec"],
+                          "ceil8_post": pair[8]["ceiling_probe_post_sec"],
+                          "ceil32_pre": pair[32]["ceiling_probe_pre_sec"],
+                          "ceil32_post": pair[32]["ceiling_probe_post_sec"]}),
+              file=sys.stderr)
+    med = statistics.median
+    t8 = med([p[8]["docs_per_sec"] for p in rows])
+    t32 = med([p[32]["docs_per_sec"] for p in rows])
+    # paired ceiling per level: mean of the pre/post probes, median of rounds
+    c8 = med([(p[8]["ceiling_probe_pre_sec"] + p[8]["ceiling_probe_post_sec"]) / 2
+              for p in rows])
+    c32 = med([(p[32]["ceiling_probe_pre_sec"] + p[32]["ceiling_probe_post_sec"]) / 2
+               for p in rows])
+    raw = t32 / (4 * t8)
+    ceil = c8 / (4 * c32)  # probe seconds: ideal 32-thread run is 4x faster
+    summary = {
+        "protocol": "A-B-A interleaved, fresh JVM per level per round, "
+                    "ceiling probes immediately pre+post each timed build",
+        "n_docs": n_docs,
+        "rounds": rounds,
+        "median_tput_8": t8,
+        "median_tput_32": t32,
+        "raw_eff_8_32": round(raw, 3),
+        "paired_ceiling_eff_8_32": round(ceil, 3),
+        "normalized_eff_8_32": round(raw / ceil, 3) if ceil else None,
+        "per_round": [
+            {"tput8": p[8]["docs_per_sec"], "tput32": p[32]["docs_per_sec"],
+             "eff": round(p[32]["docs_per_sec"] / (4 * p[8]["docs_per_sec"]), 3),
+             "ceil8": round((p[8]["ceiling_probe_pre_sec"]
+                             + p[8]["ceiling_probe_post_sec"]) / 2, 3),
+             "ceil32": round((p[32]["ceiling_probe_pre_sec"]
+                              + p[32]["ceiling_probe_post_sec"]) / 2, 3)}
+            for p in rows
+        ],
+    }
+    lines = [
+        f"## A-B-A interleaved 8→32 scaling (n_docs={n_docs}, {rounds} rounds)",
+        "",
+        "Protocol: per round, a fresh JVM at local[8] then local[32]; inside",
+        "each JVM the perfectly-parallel fixed-numpy ceiling probe runs",
+        "IMMEDIATELY before and after the timed build, so engine and ceiling",
+        "see the same host minutes.  Median across rounds.",
+        "",
+        "| round | tput@8 (docs/s) | tput@32 | raw eff 8→32 | paired ceil@8 (s) | ceil@32 (s) |",
+        "|---|---|---|---|---|---|",
+    ]
+    for i, p in enumerate(summary["per_round"], 1):
+        lines.append(f"| {i} | {p['tput8']} | {p['tput32']} | {p['eff']} | "
+                     f"{p['ceil8']} | {p['ceil32']} |")
+    lines += [
+        "",
+        f"**Median raw 8→32 efficiency: {summary['raw_eff_8_32']}**; paired "
+        f"Spark-harness ceiling: {summary['paired_ceiling_eff_8_32']}; "
+        f"**normalized: {summary['normalized_eff_8_32']}**.",
+    ]
+    with open("BENCH.md", "a") as f:
+        f.write("\n\n" + "\n".join(lines) + "\n")
+    print(json.dumps(summary))
+    return summary
+
+
+def run_zipf(n_docs: int, alpha: float = 2.0) -> dict:
+    """Adversarial head-term skew stress: build at ``zipf_s=alpha`` (the
+    rank-1 stem appears in nearly every doc) vs the standard 1.1 corpus, and
+    measure whether the docID-range-segment design really is structural
+    salting — no (term, seg) shuffle group can exceed seg_size docs, so the
+    encode stage has NO straggler partition even when one term's global df
+    is the whole corpus.  Evidence recorded: head-term df/cf, max per-group
+    postings rows vs seg_size, build wall time, and a per-partition
+    encode-time probe (decode + re-encode every (term,seg) blob under the
+    same term-hash partitioning as the build shuffle) whose max/median
+    ratio must stay <= 2."""
+    import statistics
+    import time as _time
+
+    import pandas as _pd
+    from pyspark.sql import functions as F
+
+    from bench import make_session
+    from lucene_spark.corpus import generate_pages
+    from lucene_spark.index import build_index
+
+    spark = make_session(32)
+    out = {"alpha": alpha, "n_docs": n_docs}
+    try:
+        for label, a in (("baseline", 1.1), ("skewed", alpha)):
+            pages = spark.createDataFrame(
+                generate_pages(n_docs, seed=42, zipf_s=a)
+            ).repartition(32).persist()
+            pages.count()
+            # warm-up (worker spin-up excluded, as in bench.py)
+            build_index(spark, pages.limit(2000))
+            t0 = _time.time()
+            idx = build_index(spark, pages)
+            idx.postings = idx.postings.persist()
+            idx.postings.count()
+            build_s = _time.time() - t0
+            head = (idx.termdict.orderBy(F.col("df").desc(), "term")
+                    .limit(1).collect()[0])
+            grp = idx.postings.agg(
+                F.max("df_local").alias("mx"),
+                F.expr("percentile_approx(df_local, 0.5)").alias("md"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+
+            seg_size = idx.seg_size
+
+            def probe(batches):
+                from lucene_spark.codecs import encode_postings
+                from lucene_spark.kernel import TermPostings
+
+                t0 = _time.time()
+                rows = 0
+                for pdf in batches:
+                    for _, row in pdf.iterrows():
+                        d, f, dl = TermPostings(row, seg_size).decode()
+                        encode_postings(d, f, dl)
+                        rows += len(d)
+                yield _pd.DataFrame({"elapsed": [_time.time() - t0],
+                                     "rows": [rows]})
+
+            times = (
+                idx.postings.repartition(64, "term")
+                .mapInPandas(probe, "elapsed double, rows long")
+                .collect()
+            )
+            el = sorted(r["elapsed"] for r in times)
+            med = statistics.median(el)
+            out[label] = {
+                "build_sec": round(build_s, 2),
+                "docs_per_sec": round(n_docs / build_s, 1),
+                "head_term": head["term"],
+                "head_df": int(head["df"]),
+                "head_cf": int(head["cf"]),
+                "max_group_rows": int(grp["mx"]),
+                "median_group_rows": int(grp["md"]),
+                "seg_size": seg_size,
+                "n_groups": int(grp["n"]),
+                "encode_partition_sec_max": round(el[-1], 3),
+                "encode_partition_sec_median": round(med, 3),
+                "encode_max_over_median": round(el[-1] / max(med, 1e-9), 2),
+            }
+            idx.postings.unpersist()
+            pages.unpersist()
+    finally:
+        spark.stop()
+    s = out["skewed"]
+    b = out["baseline"]
+    lines = [
+        f"## Head-term skew stress (zipf alpha {alpha} vs 1.1, n_docs={n_docs})",
+        "",
+        "DocID-range segments ARE the salting: a (term, seg) shuffle group",
+        "never exceeds seg_size docs, so one term's global df cannot create a",
+        "straggler encode task.  Probe = decode+re-encode every (term,seg)",
+        "blob under the build's term-hash partitioning, per-task wall time.",
+        "",
+        "| corpus | build s | docs/s | head df | max grp rows | seg_size | enc max s | enc med s | max/med |",
+        "|---|---|---|---|---|---|---|---|---|",
+        f"| zipf 1.1 | {b['build_sec']} | {b['docs_per_sec']} | {b['head_df']} | "
+        f"{b['max_group_rows']} | {b['seg_size']} | {b['encode_partition_sec_max']} | "
+        f"{b['encode_partition_sec_median']} | {b['encode_max_over_median']} |",
+        f"| zipf {alpha} | {s['build_sec']} | {s['docs_per_sec']} | {s['head_df']} | "
+        f"{s['max_group_rows']} | {s['seg_size']} | {s['encode_partition_sec_max']} | "
+        f"{s['encode_partition_sec_median']} | {s['encode_max_over_median']} |",
+        "",
+        f"**Skewed encode max/median = {s['encode_max_over_median']}"
+        f" (bar: <= 2); max group rows {s['max_group_rows']} <= seg_size"
+        f" {s['seg_size']}; build slowdown skewed/baseline ="
+        f" {round(s['build_sec'] / b['build_sec'], 2)}x.**",
+    ]
+    with open("BENCH.md", "a") as f:
+        f.write("\n\n" + "\n".join(lines) + "\n")
+    print(json.dumps(out))
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("n_docs", type=int, nargs="?", default=100_000)
     ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument("--aba", type=int, default=0, metavar="ROUNDS",
+                    help="run the interleaved A-B-A 8-vs-32 protocol instead")
+    ap.add_argument("--zipf-alpha", type=float, default=0.0,
+                    help="run the head-term skew stress at this alpha instead")
     args = ap.parse_args()
+    if args.aba:
+        run_aba(args.n_docs, args.aba)
+        return
+    if args.zipf_alpha:
+        run_zipf(args.n_docs, args.zipf_alpha)
+        return
 
     ceiling = os_ceiling_probe()
     results = {}
