@@ -1157,6 +1157,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (generalized conjunction over arbitrary sub-scorers)
         return _topk_df(spark, sf, '"table hash" AND dup', 10)
 
+    def ft_xml_query(spark, sf):
+        # CoreParser XML query syntax (queryparser/xml/CoreParser.java:
+        # 37-115): the BooleanQuery/Clause document form of "+key window
+        # dup" must parse to the IDENTICAL AST as the classic string (both
+        # reuse the same BooleanQuery.Builder composition), hence identical
+        # scores — the oracle is ft_reqopt's twin
+        from lucene_spark.search import parse_query
+        from lucene_spark.xmlparser import parse_xml_query
+
+        node = parse_xml_query("""
+            <BooleanQuery>
+              <Clause occurs="must"><TermQuery>key</TermQuery></Clause>
+              <Clause occurs="should"><TermQuery>window</TermQuery></Clause>
+              <Clause occurs="should"><TermQuery>dup</TermQuery></Clause>
+            </BooleanQuery>""")
+        assert node == parse_query("+key window dup")
+        return _topk_df(spark, sf, node, 10)
+
     # --- scoring-operator variants ---
     def ft_dismax(spark, sf):
         return _topk_df(spark, sf, ("dismax", [("term", "key"), ("term", "window")], 0.1), 10)
@@ -1537,6 +1555,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docid_col="doc_id", stopwords=RoutingAnalyzer(),
         )
         return idx.termdict.select("term", "df", "cf").orderBy("term")
+
+    def ft_facet_ssdv(spark, sf):
+        # SortedSetDocValuesFacetCounts (facet/sortedset/...FacetCounts
+        # .java:57): multi-valued flat string facet over the 'dup' match
+        # set — each doc counts once per DISTINCT value of its
+        # [lang, source] value set; count desc, label asc
+        from lucene_spark.facets import ssdv_facet_counts
+        from lucene_spark.search import score_docs
+
+        idx = _ft_index(spark, sf)
+        m = score_docs(idx, "dup", precision="float64").select("docid")
+        docs = _docs(spark, sf).select(
+            F.col("doc_id").alias("docid"), "lang", "source")
+        matches = docs.join(m, "docid").withColumn(
+            "vals", F.array("lang", "source"))
+        return ssdv_facet_counts(matches, "vals", topn=10).select(
+            "label", F.col("count").alias("cnt"))
 
     def ft_html_analyze(spark, sf):
         # HTMLStripCharFilter analog (analysis/charfilter/HTMLStripCharFilter
@@ -2007,7 +2042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (0) families NEW this round:
         ann_ivf_recall, ann_lsh_recall, dedup_embcos_recall,
         ft_block_join_child, ft_cjk_analyze, ft_offsets_html,
-        ft_fuzzy_suggest,
+        ft_fuzzy_suggest, ft_facet_ssdv, ft_xml_query,
         # (1) families whose semantics or oracle changed THIS round --
         # the driver must re-verify them:
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -2778,6 +2813,15 @@ SELECT t.doc_id,
             ELSE length(array_to_string(t.s[1:o.i-1], ' ')) + 1 END)
             + length(t.s[o.i]) AS BIGINT) AS off_end
 FROM tokd t JOIN occ o USING (doc_id)""",
+        "ft_facet_ssdv": _FT_PRELUDE + "," + _score_sql(["dup"]) + """,
+m AS (SELECT DISTINCT doc_id FROM doc_scores),
+vals AS (
+  SELECT m.doc_id, unnest(list_distinct([d.lang, d.source])) AS label
+  FROM m JOIN documents d USING (doc_id)
+)
+SELECT label, CAST(count(*) AS BIGINT) AS cnt
+FROM vals WHERE label IS NOT NULL
+GROUP BY label ORDER BY cnt DESC, label LIMIT 10""",
         "ft_fuzzy_suggest": f"""
 WITH s AS (
   SELECT doc_id, n_chars AS weight,
@@ -4037,6 +4081,7 @@ SELECT label, CAST(count(*) AS BIGINT) AS n,
 FROM embeddings GROUP BY label""",
     }
     # `key^2 window` through the parser is score-identical to the API boost
+    d["ft_xml_query"] = d["ft_reqopt"]
     d["ft_qp_boost"] = d["ft_boost"]
     # `kye~1` (Damerau, transpositions): blended synonym over the expanded
     # set — df = max over members, freqs summed (SynonymQuery semantics)

@@ -105,3 +105,34 @@ def drill_sideways(
         drill_down(matches, path_col, path),
         top_children(scoped, path_col, parent, topn=topn),
     )
+
+
+def ssdv_facet_counts(
+    matches: DataFrame,
+    values_col: str,
+    topn: int = 10,
+) -> DataFrame:
+    """SortedSetDocValuesFacetCounts analog (facet/sortedset/
+    SortedSetDocValuesFacetCounts.java:57-214): facet over a MULTI-VALUED
+    flat string field — each matching doc contributes ONE count per
+    DISTINCT value it holds (SORTED_SET semantics: the per-doc ordinal set
+    is deduplicated), no taxonomy index involved.  ``values_col`` is an
+    ``array<string>`` column on the match rows; returns (label, count)
+    ordered count desc then label asc (the reference breaks ties toward
+    the smaller ordinal = lexicographic ord order, which IS label asc
+    here), cut to topn.
+
+    Spark shape: explode(array_distinct(...)) + one map-side-combined
+    groupBy — the dictionary-encoded parquet column plays the ordinal
+    map's role, so the count is a single narrow aggregation at any scale.
+    """
+    return (
+        matches.select(
+            F.explode(F.array_distinct(F.col(values_col))).alias("label")
+        )
+        .where(F.col("label").isNotNull())
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.col("count").desc(), F.col("label").asc())
+        .limit(topn)
+    )

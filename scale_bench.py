@@ -62,10 +62,23 @@ def run_aba(n_docs: int, rounds: int = 5) -> dict:
     rows = []
     for r in range(rounds):
         pair = {}
-        for cpus in (8, 32):
+        # ABBA level ordering: alternate which level runs SECOND each round.
+        # A fresh JVM started right after the previous one exits inherits
+        # page-reclaim pressure (the probe's 400 KB/worker footprint stays
+        # healthy while the GB-scale build faults through the hypervisor),
+        # so a fixed order would bias one level; a settle pause between
+        # JVMs shrinks the effect and the alternation cancels the rest.
+        order = (8, 32) if r % 2 == 0 else (32, 8)
+        for cpus in order:
+            time.sleep(20)
             out = subprocess.run(
+                # best-of-2 builds per JVM: the FIRST full-size build in
+                # a fresh JVM pays the hypervisor first-touch fault penalty
+                # (54-69% system time measured during 32-thread cold
+                # builds — the BENCH.md cold-run diagnosis); the second
+                # build measures the engine
                 [sys.executable, "bench.py", "--cpus", str(cpus),
-                 "--n-docs", str(n_docs), "--repeat", "1", "--build-only"],
+                 "--n-docs", str(n_docs), "--repeat", "2", "--build-only"],
                 capture_output=True, text=True, check=True,
             )
             pair[cpus] = json.loads(out.stdout.strip().splitlines()[-1])

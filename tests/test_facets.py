@@ -71,3 +71,24 @@ def test_array_path_column(spark):
     # depth-2 under 'a': only doc0 has a second level
     got2 = [(r["label"], r["count"]) for r in top_children(df, "path", ["a"]).collect()]
     assert got2 == [("x", 1)]
+
+
+def test_ssdv_facet_counts(spark):
+    """SortedSetDocValues facet: one count per DISTINCT per-doc value,
+    count desc then label asc, nulls dropped."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.facets import ssdv_facet_counts
+
+    rows = [
+        (0, ["red", "blue", "red"]),   # red counted ONCE for this doc
+        (1, ["red"]),
+        (2, ["blue", None]),
+        (3, ["green", "blue"]),
+    ]
+    df = spark.createDataFrame(rows, "docid long, vals array<string>")
+    out = [(r["label"], r["count"])
+           for r in ssdv_facet_counts(df, "vals", topn=10).collect()]
+    assert out == [("blue", 3), ("red", 2), ("green", 1)]
+    assert [(r["label"], r["count"])
+            for r in ssdv_facet_counts(df, "vals", topn=1).collect()] == [("blue", 3)]
