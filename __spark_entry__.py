@@ -1157,6 +1157,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (generalized conjunction over arbitrary sub-scorers)
         return _topk_df(spark, sf, '"table hash" AND dup', 10)
 
+    def ft_flexible(spark, sf):
+        # StandardQueryParser (queryparser/flexible/standard/
+        # StandardQueryParser.java): classic syntax through the processor
+        # pipeline — default-operator AND (bare clauses MUST) and a
+        # PointsConfig numeric range routed to the columnar FILTER path
+        # (PointQueryNodeProcessor + IndexOrDocValuesQuery.java:51): the
+        # n_chars predicate runs as a pushed-down Catalyst filter whose
+        # docid set masks the BM25 conjunction, contributing no score
+        from lucene_spark.flexible import (
+            StandardConfig, parse_standard, points_filter)
+
+        cfg = StandardConfig(default_operator="AND",
+                             points_config={"n_chars": "long"})
+        node, preds = parse_standard("key dup n_chars:[500 TO 2500]", cfg)
+        assert node == ("and", ["key", "dup"]) and len(preds) == 1
+        meta = _docs(spark, sf).select(
+            F.col("doc_id").alias("docid"), "n_chars")
+        fdocs = points_filter(meta, preds)
+        idx = _ft_index(spark, sf)
+        td = search(idx, node, k=10, precision="float64", prune=True,
+                    filter_docs=fdocs)
+        rows = [(int(d), int(math.floor(s * 10000)))
+                for d, s in zip(td.docids.tolist(), td.scores.tolist())]
+        return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
     def ft_xml_query(spark, sf):
         # CoreParser XML query syntax (queryparser/xml/CoreParser.java:
         # 37-115): the BooleanQuery/Clause document form of "+key window
@@ -2013,6 +2038,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_exact long, n_found long, recall_q long",
         )
 
+    def ann_hnsw(spark, sf):
+        # HNSW per-segment graphs (util/hnsw/HnswGraphBuilder.java +
+        # HnswGraphSearcher.java; codecs/lucene90 per-segment layout):
+        # hash-keyed deterministic levels, diverse-neighbor selection,
+        # ef=1 descent + beam at level 0, per-segment searchers merged.
+        # At the gate corpus (500 vecs / 2 segments) ef=120 reaches exact
+        # recall, so the oracle is the exact brute-force twin —
+        # correctness AND retrieval quality in one hash-compared row.
+        import shutil
+        import tempfile
+
+        from lucene_spark import hnsw
+
+        emb = _emb(spark, sf)
+        qvec = np.array(
+            emb.filter("vec_id = 0").select("embedding").collect()[0][0],
+            dtype=np.float64)
+        tmp = tempfile.mkdtemp(prefix="ls_hnsw_")
+        try:
+            hnsw.write_hnsw_index(emb, tmp, m=16, ef_construction=100,
+                                  n_segments=2)
+            r1 = hnsw.hnsw_topk(spark, tmp, qvec, k=10, ef=120).orderBy(
+                "rank").collect()
+            r2 = hnsw.hnsw_topk(spark, tmp, qvec, k=10, ef=120).orderBy(
+                "rank").collect()
+            assert [x["vec_id"] for x in r1] == [x["vec_id"] for x in r2]
+            rows = [(int(r["vec_id"]), int(math.floor(r["cosine"] * 1e6)))
+                    for r in r1]
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return spark.createDataFrame(rows or [], "vec_id long, cosine_q long")
+
+    def ann_hnsw_recall(spark, sf):
+        # retrieval-quality duel for the graph path: per-qid overlap of
+        # HNSW top-10 vs brute force over the 20-query batch.  ef=150 on
+        # this corpus gives EXACT recall deterministically (verified by
+        # the _recall_hits assert + the hash-compare), so the DuckDB twin
+        # pins hits10 = 10 for every qid — any quality regression flips
+        # the row red.
+        import shutil
+        import tempfile
+
+        from lucene_spark import hnsw
+
+        emb, queries = _recall_queries(spark, sf)
+        bf = ann.brute_force_topk_many(emb, queries, k=10)
+        tmp = tempfile.mkdtemp(prefix="ls_hnswr_")
+        try:
+            hnsw.write_hnsw_index(emb, tmp, m=16, ef_construction=100,
+                                  n_segments=2)
+            hs = hnsw.hnsw_topk_many(spark, tmp, queries, k=10, ef=150)
+            out = _recall_hits(bf, hs, spark)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return out
+
     def emb_label_stats(spark, sf):
         emb = _emb(spark, sf)
         norm = "sqrt(aggregate(CAST(embedding AS ARRAY<DOUBLE>), 0D, (s,x) -> s + x*x))"
@@ -2042,7 +2123,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (0) families NEW this round:
         ann_ivf_recall, ann_lsh_recall, dedup_embcos_recall,
         ft_block_join_child, ft_cjk_analyze, ft_offsets_html,
-        ft_fuzzy_suggest, ft_facet_ssdv, ft_xml_query,
+        ft_fuzzy_suggest, ft_facet_ssdv, ft_xml_query, ft_flexible,
+        ann_hnsw, ann_hnsw_recall,
         # (1) families whose semantics or oracle changed THIS round --
         # the driver must re-verify them:
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -4033,6 +4115,18 @@ WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id
 SELECT e.vec_id, CAST(floor({cos} * 1e6) AS BIGINT) AS cosine_q
 FROM embeddings e CROSS JOIN q
 ORDER BY {cos} DESC, e.vec_id LIMIT 10""",
+        # HNSW at gate params reaches exact recall (asserted engine-side
+        # and deterministic by construction): the top-10 twin is the
+        # exact brute-force ranking, and the recall twin pins a perfect
+        # 10/10 per query — a drop in graph quality flips either row red
+        "ann_hnsw": f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, CAST(floor({cos} * 1e6) AS BIGINT) AS cosine_q
+FROM embeddings e CROSS JOIN q
+ORDER BY {cos} DESC, e.vec_id LIMIT 10""",
+        "ann_hnsw_recall": """
+SELECT CAST(qid AS BIGINT) AS qid, CAST(10 AS BIGINT) AS hits10
+FROM (SELECT unnest(generate_series(0, 19)) AS qid) ORDER BY qid""",
         "ann_ivf": _ivf_oracle_sql(n_centroids=8, nprobe=3, k=10),
         "ann_ivf_indexed": _ivf_oracle_sql(n_centroids=8, nprobe=3, k=10),
         "ann_lsh": _lsh_oracle_sql(n_planes=10, dim=64, seed=5, k=10),
@@ -4082,6 +4176,17 @@ FROM embeddings GROUP BY label""",
     }
     # `key^2 window` through the parser is score-identical to the API boost
     d["ft_xml_query"] = d["ft_reqopt"]
+    # flexible parser: (key AND dup) scored, n_chars range as a pure filter
+    d["ft_flexible"] = (
+        _FT_PRELUDE + ","
+        + _score_sql(["key", "dup"]).replace(
+            "FROM term_scores GROUP BY doc_id",
+            "FROM term_scores GROUP BY doc_id HAVING count(*) = 2")
+        + """
+SELECT s.doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM doc_scores s JOIN documents d USING (doc_id)
+WHERE d.n_chars BETWEEN 500 AND 2500
+ORDER BY score DESC, s.doc_id LIMIT 10""")
     d["ft_qp_boost"] = d["ft_boost"]
     # `kye~1` (Damerau, transpositions): blended synonym over the expanded
     # set — df = max over members, freqs summed (SynonymQuery semantics)

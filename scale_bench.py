@@ -50,13 +50,17 @@ def os_ceiling_probe(seconds: float = 3.0) -> dict:
     }
 
 
-def run_aba(n_docs: int, rounds: int = 5) -> dict:
-    """Interleaved A-B-A 8→32 protocol: each round runs a FRESH JVM at 8
-    then at 32 threads, and inside every JVM the ceiling probe runs
+def run_aba(n_docs: int, rounds: int = 5, lo: int = 8, hi: int = 32) -> dict:
+    """Interleaved A-B-A N→4N protocol: each round runs a FRESH JVM at the
+    lo then the hi thread level, and inside every JVM the ceiling probe runs
     immediately before AND after the timed build (bench.py --build-only),
     so engine and ceiling are measured in the same minutes.  Reports the
-    median across rounds — one defensible 8→32 number instead of
-    point-in-time snapshots an hour apart."""
+    median across rounds — one defensible N→4N number instead of
+    point-in-time snapshots an hour apart.  The level pair is a parameter
+    because on this shared microVM the two rungs are not equally
+    measurable: an 8-thread run keeps its speed when half the box is
+    stolen, a 32-thread run gets squeezed — so 2→8 is the rung pair the
+    host can reliably arbitrate, and 8→32 carries its paired ceiling."""
     import statistics
 
     rows = []
@@ -68,7 +72,7 @@ def run_aba(n_docs: int, rounds: int = 5) -> dict:
         # healthy while the GB-scale build faults through the hypervisor),
         # so a fixed order would bias one level; a settle pause between
         # JVMs shrinks the effect and the alternation cancels the rest.
-        order = (8, 32) if r % 2 == 0 else (32, 8)
+        order = (lo, hi) if r % 2 == 0 else (hi, lo)
         for cpus in order:
             time.sleep(20)
             out = subprocess.run(
@@ -84,62 +88,63 @@ def run_aba(n_docs: int, rounds: int = 5) -> dict:
             pair[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
         rows.append(pair)
         print(json.dumps({"round": r + 1,
-                          "tput8": pair[8]["docs_per_sec"],
-                          "tput32": pair[32]["docs_per_sec"],
-                          "ceil8_pre": pair[8]["ceiling_probe_pre_sec"],
-                          "ceil8_post": pair[8]["ceiling_probe_post_sec"],
-                          "ceil32_pre": pair[32]["ceiling_probe_pre_sec"],
-                          "ceil32_post": pair[32]["ceiling_probe_post_sec"]}),
+                          "tput_lo": pair[lo]["docs_per_sec"],
+                          "tput_hi": pair[hi]["docs_per_sec"],
+                          "ceil_lo_pre": pair[lo]["ceiling_probe_pre_sec"],
+                          "ceil_lo_post": pair[lo]["ceiling_probe_post_sec"],
+                          "ceil_hi_pre": pair[hi]["ceiling_probe_pre_sec"],
+                          "ceil_hi_post": pair[hi]["ceiling_probe_post_sec"]}),
               file=sys.stderr)
     med = statistics.median
-    t8 = med([p[8]["docs_per_sec"] for p in rows])
-    t32 = med([p[32]["docs_per_sec"] for p in rows])
+    t_lo = med([p[lo]["docs_per_sec"] for p in rows])
+    t_hi = med([p[hi]["docs_per_sec"] for p in rows])
     # paired ceiling per level: mean of the pre/post probes, median of rounds
-    c8 = med([(p[8]["ceiling_probe_pre_sec"] + p[8]["ceiling_probe_post_sec"]) / 2
-              for p in rows])
-    c32 = med([(p[32]["ceiling_probe_pre_sec"] + p[32]["ceiling_probe_post_sec"]) / 2
-               for p in rows])
-    raw = t32 / (4 * t8)
-    ceil = c8 / (4 * c32)  # probe seconds: ideal 32-thread run is 4x faster
+    c_lo = med([(p[lo]["ceiling_probe_pre_sec"] + p[lo]["ceiling_probe_post_sec"]) / 2
+                for p in rows])
+    c_hi = med([(p[hi]["ceiling_probe_pre_sec"] + p[hi]["ceiling_probe_post_sec"]) / 2
+                for p in rows])
+    raw = t_hi / (4 * t_lo)
+    ceil = c_lo / (4 * c_hi)  # probe seconds: ideal hi-level run is 4x faster
     summary = {
         "protocol": "A-B-A interleaved, fresh JVM per level per round, "
                     "ceiling probes immediately pre+post each timed build",
         "n_docs": n_docs,
         "rounds": rounds,
-        "median_tput_8": t8,
-        "median_tput_32": t32,
-        "raw_eff_8_32": round(raw, 3),
-        "paired_ceiling_eff_8_32": round(ceil, 3),
-        "normalized_eff_8_32": round(raw / ceil, 3) if ceil else None,
+        "levels": [lo, hi],
+        f"median_tput_{lo}": t_lo,
+        f"median_tput_{hi}": t_hi,
+        f"raw_eff_{lo}_{hi}": round(raw, 3),
+        f"paired_ceiling_eff_{lo}_{hi}": round(ceil, 3),
+        f"normalized_eff_{lo}_{hi}": round(raw / ceil, 3) if ceil else None,
         "per_round": [
-            {"tput8": p[8]["docs_per_sec"], "tput32": p[32]["docs_per_sec"],
-             "eff": round(p[32]["docs_per_sec"] / (4 * p[8]["docs_per_sec"]), 3),
-             "ceil8": round((p[8]["ceiling_probe_pre_sec"]
-                             + p[8]["ceiling_probe_post_sec"]) / 2, 3),
-             "ceil32": round((p[32]["ceiling_probe_pre_sec"]
-                              + p[32]["ceiling_probe_post_sec"]) / 2, 3)}
+            {"tput_lo": p[lo]["docs_per_sec"], "tput_hi": p[hi]["docs_per_sec"],
+             "eff": round(p[hi]["docs_per_sec"] / (4 * p[lo]["docs_per_sec"]), 3),
+             "ceil_lo": round((p[lo]["ceiling_probe_pre_sec"]
+                               + p[lo]["ceiling_probe_post_sec"]) / 2, 3),
+             "ceil_hi": round((p[hi]["ceiling_probe_pre_sec"]
+                               + p[hi]["ceiling_probe_post_sec"]) / 2, 3)}
             for p in rows
         ],
     }
     lines = [
-        f"## A-B-A interleaved 8→32 scaling (n_docs={n_docs}, {rounds} rounds)",
+        f"## A-B-A interleaved {lo}\u2192{hi} scaling (n_docs={n_docs}, {rounds} rounds)",
         "",
-        "Protocol: per round, a fresh JVM at local[8] then local[32]; inside",
+        f"Protocol: per round, a fresh JVM at local[{lo}] then local[{hi}]; inside",
         "each JVM the perfectly-parallel fixed-numpy ceiling probe runs",
         "IMMEDIATELY before and after the timed build, so engine and ceiling",
         "see the same host minutes.  Median across rounds.",
         "",
-        "| round | tput@8 (docs/s) | tput@32 | raw eff 8→32 | paired ceil@8 (s) | ceil@32 (s) |",
+        f"| round | tput@{lo} (docs/s) | tput@{hi} | raw eff | paired ceil@{lo} (s) | ceil@{hi} (s) |",
         "|---|---|---|---|---|---|",
     ]
     for i, p in enumerate(summary["per_round"], 1):
-        lines.append(f"| {i} | {p['tput8']} | {p['tput32']} | {p['eff']} | "
-                     f"{p['ceil8']} | {p['ceil32']} |")
+        lines.append(f"| {i} | {p['tput_lo']} | {p['tput_hi']} | {p['eff']} | "
+                     f"{p['ceil_lo']} | {p['ceil_hi']} |")
     lines += [
         "",
-        f"**Median raw 8→32 efficiency: {summary['raw_eff_8_32']}**; paired "
-        f"Spark-harness ceiling: {summary['paired_ceiling_eff_8_32']}; "
-        f"**normalized: {summary['normalized_eff_8_32']}**.",
+        f"**Median raw {lo}\u2192{hi} efficiency: {summary[f'raw_eff_{lo}_{hi}']}**; paired "
+        f"Spark-harness ceiling: {summary[f'paired_ceiling_eff_{lo}_{hi}']}; "
+        f"**normalized: {summary[f'normalized_eff_{lo}_{hi}']}**.",
     ]
     with open("BENCH.md", "a") as f:
         f.write("\n\n" + "\n".join(lines) + "\n")
@@ -267,12 +272,16 @@ def main() -> None:
     ap.add_argument("n_docs", type=int, nargs="?", default=100_000)
     ap.add_argument("--repeat", type=int, default=2)
     ap.add_argument("--aba", type=int, default=0, metavar="ROUNDS",
-                    help="run the interleaved A-B-A 8-vs-32 protocol instead")
+                    help="run the interleaved A-B-A N-vs-4N protocol instead")
+    ap.add_argument("--aba-lo", type=int, default=8,
+                    help="low thread level for --aba (default 8)")
+    ap.add_argument("--aba-hi", type=int, default=32,
+                    help="high thread level for --aba (default 32)")
     ap.add_argument("--zipf-alpha", type=float, default=0.0,
                     help="run the head-term skew stress at this alpha instead")
     args = ap.parse_args()
     if args.aba:
-        run_aba(args.n_docs, args.aba)
+        run_aba(args.n_docs, args.aba, lo=args.aba_lo, hi=args.aba_hi)
         return
     if args.zipf_alpha:
         run_zipf(args.n_docs, args.zipf_alpha)
