@@ -593,6 +593,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 rows.append((int(r.doc_id), int(math.floor(s * 10000))))
         return spark.createDataFrame(rows or [], "doc_id long, score_q long")
 
+    def ft_word_delimiter(spark, sf):
+        # WordDelimiterGraphFilter (analysis/common/.../miscellaneous/
+        # WordDelimiterGraphFilter.java:60-118) behind a whitespace
+        # tokenizer (the reference's documented pairing — StandardTokenizer
+        # already splits intra-word punctuation): golden oracle — the
+        # word/part/position triples are the class javadoc's own examples
+        # ("PowerShot", "500-42", "wi-fi", "j2se", "O'Neil's"), plus the
+        # acronym rule ("NFCCard"), catenation modes, and a multi-token
+        # probe pinning the flattened-graph position renumbering
+        from lucene_spark.filters import word_delimiter_graph
+
+        cases = [
+            ("split", "Hello PowerShot world"),
+            ("split", "500-42"), ("split", "wi-fi"), ("split", "j2se"),
+            ("split", "O'Neil's"), ("split", "NFCCard"), ("split", "SD500"),
+            ("catall", "wi-fi-4000"), ("catwords", "wi-fi x2000"),
+        ]
+        flt = {
+            "split": word_delimiter_graph(),
+            "catall": word_delimiter_graph(catenate_all=True,
+                                           preserve_original=True),
+            "catwords": word_delimiter_graph(catenate_words=True),
+        }
+        cdf = spark.createDataFrame(cases, "mode string, s string")
+
+        @F.pandas_udf("array<struct<part string, pos long>>")
+        def wdg_udf(modes: pd.Series, ss: pd.Series) -> pd.Series:
+            out = []
+            for mode, s in zip(modes, ss):
+                ws = s.split(" ")
+                toks, poss = flt[mode](ws, list(range(len(ws))))
+                out.append([(t.lower(), p) for t, p in zip(toks, poss)])
+            return pd.Series(out)
+
+        return (cdf.select("mode", F.col("s").alias("word"),
+                           F.explode(wdg_udf("mode", "s")).alias("e"))
+                .select("mode", "word", F.col("e.part").alias("part"),
+                        F.col("e.pos").alias("pos"))
+                .orderBy("mode", "word", "pos", "part"))
+
     def ft_porter(spark, sf):
         # PorterStemFilter (en/PorterStemmer.java, Porter 1980): golden
         # oracle — the word/stem pairs below are the algorithm's PUBLISHED
@@ -2124,7 +2164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann_ivf_recall, ann_lsh_recall, dedup_embcos_recall,
         ft_block_join_child, ft_cjk_analyze, ft_offsets_html,
         ft_fuzzy_suggest, ft_facet_ssdv, ft_xml_query, ft_flexible,
-        ann_hnsw, ann_hnsw_recall,
+        ann_hnsw, ann_hnsw_recall, ft_word_delimiter,
         # (1) families whose semantics or oracle changed THIS round --
         # the driver must re-verify them:
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -2904,6 +2944,37 @@ vals AS (
 SELECT label, CAST(count(*) AS BIGINT) AS cnt
 FROM vals WHERE label IS NOT NULL
 GROUP BY label ORDER BY cnt DESC, label LIMIT 10""",
+        "ft_word_delimiter": """
+SELECT mode, word, part, CAST(pos AS BIGINT) AS pos FROM (VALUES
+  ('split', 'Hello PowerShot world', 'hello', 0),
+  ('split', 'Hello PowerShot world', 'power', 1),
+  ('split', 'Hello PowerShot world', 'shot', 2),
+  ('split', 'Hello PowerShot world', 'world', 3),
+  ('split', '500-42', '500', 0),
+  ('split', '500-42', '42', 1),
+  ('split', 'wi-fi', 'wi', 0),
+  ('split', 'wi-fi', 'fi', 1),
+  ('split', 'j2se', 'j', 0),
+  ('split', 'j2se', '2', 1),
+  ('split', 'j2se', 'se', 2),
+  ('split', 'O''Neil''s', 'o', 0),
+  ('split', 'O''Neil''s', 'neil', 1),
+  ('split', 'NFCCard', 'nfc', 0),
+  ('split', 'NFCCard', 'card', 1),
+  ('split', 'SD500', 'sd', 0),
+  ('split', 'SD500', '500', 1),
+  ('catall', 'wi-fi-4000', 'wi-fi-4000', 0),
+  ('catall', 'wi-fi-4000', 'wi', 0),
+  ('catall', 'wi-fi-4000', 'wifi4000', 0),
+  ('catall', 'wi-fi-4000', 'fi', 1),
+  ('catall', 'wi-fi-4000', '4000', 2),
+  ('catwords', 'wi-fi x2000', 'wi', 0),
+  ('catwords', 'wi-fi x2000', 'wifi', 0),
+  ('catwords', 'wi-fi x2000', 'fi', 1),
+  ('catwords', 'wi-fi x2000', 'x', 2),
+  ('catwords', 'wi-fi x2000', '2000', 3)
+) AS t(mode, word, part, pos)
+ORDER BY mode, word, pos, part""",
         "ft_fuzzy_suggest": f"""
 WITH s AS (
   SELECT doc_id, n_chars AS weight,

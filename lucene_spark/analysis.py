@@ -117,17 +117,24 @@ class Analyzer:
     """
 
     __slots__ = ("stopwords", "pre_filters", "post_filters",
-                 "max_token_length", "char_filters", "stream_filters")
+                 "max_token_length", "char_filters", "stream_filters",
+                 "graph_filters")
 
     def __init__(self, stopwords: frozenset[str] = ENGLISH_STOP_WORDS,
                  pre_filters=(), post_filters=(), char_filters=(),
                  max_token_length: int = MAX_TOKEN_LENGTH,
-                 stream_filters=()):
+                 stream_filters=(), graph_filters=()):
         self.stopwords = stopwords
         self.pre_filters = tuple(pre_filters)
         self.post_filters = tuple(post_filters)
         self.char_filters = tuple(char_filters)
         self.max_token_length = max_token_length
+        # graph filters see the RAW (original-case, pre-stop) token stream
+        # straight off the tokenizer — the slot for filters that must see
+        # case and may expand one token into several positions
+        # (WordDelimiterGraphFilter runs before LowerCaseFilter in the
+        # reference chain for exactly this reason)
+        self.graph_filters = tuple(graph_filters)
         # stream filters see the WHOLE emitted (tokens, positions) stream —
         # the slot for graph/merging filters a per-token fn can't express
         # (CJKBigramFilter combines adjacent tokens; ShingleFilter would
@@ -164,7 +171,11 @@ class Analyzer:
         toks: list[str] = []
         poss: list[int] = []
         if text:
-            for i, raw in enumerate(_TOKEN_RE.findall(self.run_text(text))):
+            raw_toks = _TOKEN_RE.findall(self.run_text(text))
+            raw_poss = list(range(len(raw_toks)))
+            for gf in self.graph_filters:
+                raw_toks, raw_poss = gf(raw_toks, raw_poss)
+            for raw, i in zip(raw_toks, raw_poss):
                 t = self.run_token(raw)
                 if t is None:
                     continue
@@ -291,6 +302,12 @@ def analyze_with_offsets(
         raise ValueError(
             "stream filters merge tokens; offsets over merged spans are "
             "not implemented"
+        )
+    if an is not None and an.graph_filters:
+        raise ValueError(
+            "graph filters split tokens; per-part offset adjustment "
+            "(WordDelimiterGraphFilter adjustInternalOffsets) is not "
+            "implemented — index without graph filters for highlighting"
         )
     for i, m in enumerate(_TOKEN_RE.finditer(text)):
         raw = m.group(0)

@@ -427,3 +427,143 @@ class HTMLStripCharFilter:
         d = np.where(idx >= 0, diffs[np.maximum(idx, 0)], 0)
         out = o + d
         return out if out.ndim else int(out)
+
+
+# ------------------------------------------- WordDelimiterGraphFilter
+
+
+def word_delimiter_parts(token: str, split_on_case_change: bool = True,
+                         split_on_numerics: bool = True,
+                         stem_english_possessive: bool = True):
+    """WordDelimiterIterator.java:150-212 splitting core: break ``token``
+    into sub-word parts at (a) non-alphanumeric delimiter chars (dropped),
+    (b) lower→UPPER case transitions ("PowerShot" → Power|Shot), including
+    the acronym rule — an UPPER run followed by lower splits before its
+    LAST upper char ("NFCCard" → NFC|Card, WordDelimiterIterator.java:189),
+    (c) letter↔digit transitions ("j2se" → j|2|se, "SD500" → SD|500), and
+    strips a trailing English possessive ("O'Neil's" → O|Neil,
+    WordDelimiterIterator.java:226-236 endsWithPossessive).
+
+    Returns ``(parts, is_word)`` where ``is_word[i]`` is False for
+    all-digit parts (WordDelimiterGraphFilter.java isWord/isDigit part
+    typing, used by GENERATE_WORD_PARTS vs GENERATE_NUMBER_PARTS)."""
+    if stem_english_possessive and len(token) >= 2:
+        if token[-1] in ("s", "S") and token[-2] in ("'", "’", "ʼ"):
+            token = token[:-2]
+    parts: list[str] = []
+    cur: list[str] = []
+
+    def _kind(c: str) -> int:
+        if c.isdigit():
+            return 2
+        if c.isalpha():
+            return 3 if c.isupper() else 1
+        return 0  # delimiter
+
+    def _flush():
+        if cur:
+            parts.append("".join(cur))
+            cur.clear()
+
+    prev = 0
+    for ch in token:
+        k = _kind(ch)
+        if k == 0:
+            _flush()
+            prev = 0
+            continue
+        if cur:
+            if split_on_numerics and ((prev == 2) != (k == 2)) and prev != 0:
+                _flush()
+            elif split_on_case_change and k == 3 and prev == 1:
+                _flush()  # lower → UPPER boundary
+            elif (split_on_case_change and k == 1 and prev == 3
+                  and len(cur) > 1):
+                # UPPER run followed by lower: last upper starts new part
+                last = cur.pop()
+                _flush()
+                cur.append(last)
+        cur.append(ch)
+        prev = k
+    _flush()
+    return parts, [not p.isdigit() for p in parts]
+
+
+def word_delimiter_graph(generate_word_parts: bool = True,
+                         generate_number_parts: bool = True,
+                         catenate_words: bool = False,
+                         catenate_numbers: bool = False,
+                         catenate_all: bool = False,
+                         preserve_original: bool = False,
+                         split_on_case_change: bool = True,
+                         split_on_numerics: bool = True,
+                         stem_english_possessive: bool = True):
+    """WordDelimiterGraphFilter analog
+    (miscellaneous/WordDelimiterGraphFilter.java:60-118), FLATTENED: the
+    reference emits a token graph (multi-part catenations span several
+    positions); this stream filter emits the FlattenGraphFilter-equivalent
+    single-position-track stream — generated parts occupy consecutive
+    positions, catenations and the preserved original sit at the FIRST
+    part's position (posInc=0), and every downstream token's position
+    shifts by the expansion.  Runs on the RAW (pre-lowercase) token stream
+    via ``Analyzer(graph_filters=...)`` because case-change splitting needs
+    the original case (the reference places the filter before
+    LowerCaseFilter for the same reason).
+
+    CATENATE_WORDS joins each maximal run of adjacent alpha parts,
+    CATENATE_NUMBERS each run of digit parts, CATENATE_ALL the whole
+    token's parts (WordDelimiterGraphFilter.java flushConcatenation);
+    single-part catenations that duplicate an emitted part are suppressed
+    (:328-338 the "don't emit a token twice" guard)."""
+
+    def gf(tokens: list[str], positions: list[int]):
+        out_t: list[str] = []
+        out_p: list[int] = []
+        shift = 0
+        for tok, pos in zip(tokens, positions):
+            base = pos + shift
+            parts, is_word = word_delimiter_parts(
+                tok, split_on_case_change, split_on_numerics,
+                stem_english_possessive)
+            if len(parts) == 1 and parts[0] == tok and not preserve_original:
+                out_t.append(tok)
+                out_p.append(base)
+                continue
+            slots = 0
+            emitted_at: dict[int, set[str]] = {}
+
+            def _emit(term: str, slot: int):
+                seen = emitted_at.setdefault(slot, set())
+                if term in seen:
+                    return
+                seen.add(term)
+                out_t.append(term)
+                out_p.append(base + slot)
+
+            if preserve_original and parts != [tok]:
+                _emit(tok, 0)
+                slots = max(slots, 1)
+            slot = 0
+            for part, w in zip(parts, is_word):
+                if (generate_word_parts and w) or \
+                   (generate_number_parts and not w):
+                    _emit(part, slot)
+                    slot += 1
+            slots = max(slots, slot, 1)
+            if catenate_all and parts:
+                _emit("".join(parts), 0)
+            if (catenate_words or catenate_numbers) and parts:
+                i = 0
+                while i < len(parts):
+                    w = is_word[i]
+                    j = i
+                    while j + 1 < len(parts) and is_word[j + 1] == w:
+                        j += 1
+                    if (w and catenate_words) or (not w and catenate_numbers):
+                        _emit("".join(parts[i:j + 1]), 0 if i == 0 else
+                              min(i, slots - 1))
+                    i = j + 1
+            shift += slots - 1
+        return out_t, out_p
+
+    return gf

@@ -259,3 +259,74 @@ def test_fuzzy_like_this(spark):
     assert nodec[0] == "or" and all(c[0] == "const" for c in nodec[1])
     # nothing survives
     assert fuzzy_like_this(idx, "zzzzzz", max_edits=1) is None
+
+
+# -------------------------------------- WordDelimiterGraphFilter
+
+
+def test_word_delimiter_parts_javadoc_examples():
+    from lucene_spark.filters import word_delimiter_parts as wdp
+
+    assert wdp("PowerShot")[0] == ["Power", "Shot"]
+    assert wdp("500-42")[0] == ["500", "42"]
+    assert wdp("wi-fi")[0] == ["wi", "fi"]
+    assert wdp("j2se")[0] == ["j", "2", "se"]
+    assert wdp("O'Neil's")[0] == ["O", "Neil"]
+    assert wdp("NFCCard")[0] == ["NFC", "Card"]       # acronym rule
+    assert wdp("SD500")[0] == ["SD", "500"]
+    assert wdp("big")[0] == ["big"]
+    # flag toggles
+    assert wdp("j2se", split_on_numerics=False)[0] == ["j2se"]
+    assert wdp("PowerShot", split_on_case_change=False)[0] == ["PowerShot"]
+    assert wdp("O'Neil's", stem_english_possessive=False)[0] == [
+        "O", "Neil", "s"]
+    # part typing: digits are number parts
+    assert wdp("SD500")[1] == [True, False]
+
+
+def test_word_delimiter_graph_positions_and_catenation():
+    from lucene_spark.filters import word_delimiter_graph as wdg
+
+    f = wdg()
+    toks, poss = f(["Hello", "PowerShot", "world"], [0, 1, 2])
+    assert toks == ["Hello", "Power", "Shot", "world"]
+    assert poss == [0, 1, 2, 3]  # downstream positions shift
+    fc = wdg(catenate_all=True, preserve_original=True)
+    toks, poss = fc(["wi-fi-4000"], [0])
+    assert set(zip(toks, poss)) == {("wi-fi-4000", 0), ("wi", 0), ("fi", 1),
+                                    ("4000", 2), ("wifi4000", 0)}
+    fw = wdg(catenate_words=True)
+    toks, poss = fw(["wi-fi", "x2000"], [0, 1])
+    assert set(zip(toks, poss)) == {("wi", 0), ("fi", 1), ("wifi", 0),
+                                    ("x", 2), ("2000", 3)}
+    # number-part generation off: parts dropped, catenation still emitted
+    fn = wdg(generate_number_parts=False, catenate_numbers=True)
+    toks, poss = fn(["500-42"], [0])
+    assert ("50042", 0) in set(zip(toks, poss))
+    assert "500" not in toks and "42" not in toks
+
+
+def test_word_delimiter_index_phrase(spark):
+    """An index built with the WDGF analyzer matches phrase queries across
+    split parts ("PowerShot" answers "power shot") — the filter's canonical
+    use (WordDelimiterGraphFilter.java:60 javadoc)."""
+    from lucene_spark.analysis import Analyzer
+    from lucene_spark.filters import word_delimiter_graph
+    from lucene_spark.index import build_index
+    from lucene_spark.search import search
+
+    docs = spark.createDataFrame(
+        [(0, "the new PowerShot camera shipped"),
+         (1, "power shot separated words here"),
+         (2, "an unrelated document entirely")],
+        "doc_id long, text string")
+    an = Analyzer(graph_filters=(word_delimiter_graph(),))
+    idx = build_index(spark, docs, text_col="text", key_col="doc_id",
+                      docid_col="doc_id", stopwords=an, with_positions=True)
+    td = search(idx, '"power shot"', k=10)
+    assert set(td.docids.tolist()) == {0, 1}
+    # offsets entry point refuses graph-filtered analyzers (honest refusal)
+    import pytest as _pytest
+    from lucene_spark.analysis import analyze_with_offsets
+    with _pytest.raises(ValueError, match="graph filters"):
+        analyze_with_offsets("PowerShot", an)
