@@ -633,6 +633,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("e.pos").alias("pos"))
                 .orderBy("mode", "word", "pos", "part"))
 
+    def ft_common_grams(spark, sf):
+        # CommonGramsFilter (commongrams/CommonGramsFilter.java:33-60):
+        # adjacent pairs touching a stopword index as `w1_w2` bigrams
+        # alongside the unigrams; top-20 grams by collection frequency
+        from lucene_spark.analysis import ENGLISH_STOP_WORDS, Analyzer
+        from lucene_spark.filters import common_grams
+
+        an = Analyzer(stopwords=frozenset(),
+                      stream_filters=(common_grams(ENGLISH_STOP_WORDS),))
+
+        @F.pandas_udf("array<string>")
+        def cg_udf(texts: pd.Series) -> pd.Series:
+            return texts.map(lambda t: an.analyze_text(t or "")[0])
+
+        toks = _docs(spark, sf).select(
+            F.explode(cg_udf(F.col("text"))).alias("term"))
+        return (toks.filter(F.col("term").contains("_"))
+                .groupBy(F.col("term").alias("gram"))
+                .agg(F.count("*").alias("cnt"))
+                .orderBy(F.desc("cnt"), "gram").limit(20))
+
+    def ft_stem_override(spark, sf):
+        # StemmerOverrideFilter + KeywordMarkerFilter (miscellaneous/
+        # StemmerOverrideFilter.java:39, SetKeywordMarkerFilter.java:31):
+        # dictionary stems win, protected terms bypass Porter, the rest
+        # stem normally — golden pairs from the Porter-verified vectors
+        from lucene_spark.filters import (keyword_marker, porter_stem,
+                                          stemmer_override)
+
+        chain = stemmer_override(
+            {"mice": "mouse"}, keyword_marker({"meetings"}, porter_stem))
+        words = sorted(["meetings", "connections", "mice", "caresses",
+                        "generalizations"])
+        wdf = spark.createDataFrame([(w,) for w in words], "word string")
+
+        @F.pandas_udf("string")
+        def stem_udf(ws: pd.Series) -> pd.Series:
+            return ws.map(chain)
+
+        return wdf.select("word", stem_udf(F.col("word")).alias("stem"))
+
     def ft_porter(spark, sf):
         # PorterStemFilter (en/PorterStemmer.java, Porter 1980): golden
         # oracle — the word/stem pairs below are the algorithm's PUBLISHED
@@ -2164,7 +2205,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann_ivf_recall, ann_lsh_recall, dedup_embcos_recall,
         ft_block_join_child, ft_cjk_analyze, ft_offsets_html,
         ft_fuzzy_suggest, ft_facet_ssdv, ft_xml_query, ft_flexible,
-        ann_hnsw, ann_hnsw_recall, ft_word_delimiter,
+        ann_hnsw, ann_hnsw_recall, ft_word_delimiter, ft_common_grams,
+        ft_stem_override,
         # (1) families whose semantics or oracle changed THIS round --
         # the driver must re-verify them:
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -2944,6 +2986,27 @@ vals AS (
 SELECT label, CAST(count(*) AS BIGINT) AS cnt
 FROM vals WHERE label IS NOT NULL
 GROUP BY label ORDER BY cnt DESC, label LIMIT 10""",
+        "ft_common_grams": f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+pairs AS (
+  SELECT s[i] AS w1, s[i+1] AS w2
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, len(s) - 1)) AS i
+  ) t
+  WHERE len(s) >= 2
+)
+SELECT w1 || '_' || w2 AS gram, CAST(count(*) AS BIGINT) AS cnt
+FROM pairs
+WHERE w1 IN ({_STOPS_SQL}) OR w2 IN ({_STOPS_SQL})
+GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20""",
+        "ft_stem_override": """
+SELECT word, stem FROM (VALUES
+  ('caresses', 'caress'),
+  ('connections', 'connect'),
+  ('generalizations', 'gener'),
+  ('meetings', 'meetings'),
+  ('mice', 'mouse')
+) AS t(word, stem) ORDER BY word""",
         "ft_word_delimiter": """
 SELECT mode, word, part, CAST(pos AS BIGINT) AS pos FROM (VALUES
   ('split', 'Hello PowerShot world', 'hello', 0),

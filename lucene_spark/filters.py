@@ -567,3 +567,82 @@ def word_delimiter_graph(generate_word_parts: bool = True,
         return out_t, out_p
 
     return gf
+
+
+# --------------------------------- KeywordMarker / StemmerOverride
+
+
+def keyword_marker(keywords, inner):
+    """KeywordMarkerFilter (miscellaneous/SetKeywordMarkerFilter.java:31-38)
+    composed with its downstream stemmer: protected tokens bypass ``inner``
+    entirely (stemmers check KeywordAttribute.isKeyword and skip —
+    en/PorterStemFilter.java:48)."""
+    kw = frozenset(keywords)
+
+    def f(t: str):
+        return t if t in kw else inner(t)
+
+    return f
+
+
+def stemmer_override(mapping, inner=None):
+    """StemmerOverrideFilter (miscellaneous/StemmerOverrideFilter.java:
+    39-55): dictionary lookups replace the token AND mark it keyword so the
+    downstream stemmer leaves the override alone; unmapped tokens flow to
+    ``inner`` (the normal stemmer) unchanged."""
+    m = dict(mapping)
+
+    def f(t: str):
+        hit = m.get(t)
+        if hit is not None:
+            return hit
+        return inner(t) if inner is not None else t
+
+    return f
+
+
+# ------------------------------------------------ CommonGramsFilter
+
+
+def common_grams(common_words, query_mode: bool = False):
+    """CommonGramsFilter (commongrams/CommonGramsFilter.java:33-60): emit
+    unigrams PLUS a ``w1_w2`` bigram at the first word's position whenever
+    either member of an adjacent pair is a common word — high-df stopwords
+    stay searchable as precise phrases without positional postings.
+
+    ``query_mode=True`` is CommonGramsQueryFilter (commongrams/
+    CommonGramsQueryFilter.java:38-52): bigrams replace the unigrams they
+    cover; a unigram survives only when it joined no bigram, so the query
+    side matches what the index side stored.
+
+    A stream filter for ``Analyzer(stream_filters=...)`` — pair it with an
+    EMPTY stop set (the reference chain puts CommonGrams where StopFilter
+    would be; removing the words first would defeat it)."""
+    cw = frozenset(common_words)
+
+    def sf(tokens: list[str], positions: list[int]):
+        n = len(tokens)
+        gram_at = [
+            i + 1 < n and positions[i + 1] == positions[i] + 1
+            and (tokens[i] in cw or tokens[i + 1] in cw)
+            for i in range(n)
+        ]
+        out_t: list[str] = []
+        out_p: list[int] = []
+        for i in range(n):
+            if query_mode:
+                if gram_at[i]:
+                    out_t.append(tokens[i] + "_" + tokens[i + 1])
+                    out_p.append(positions[i])
+                elif not (i > 0 and gram_at[i - 1]):
+                    out_t.append(tokens[i])
+                    out_p.append(positions[i])
+            else:
+                out_t.append(tokens[i])
+                out_p.append(positions[i])
+                if gram_at[i]:
+                    out_t.append(tokens[i] + "_" + tokens[i + 1])
+                    out_p.append(positions[i])
+        return out_t, out_p
+
+    return sf

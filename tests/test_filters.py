@@ -330,3 +330,58 @@ def test_word_delimiter_index_phrase(spark):
     from lucene_spark.analysis import analyze_with_offsets
     with _pytest.raises(ValueError, match="graph filters"):
         analyze_with_offsets("PowerShot", an)
+
+
+# ------------------------- CommonGrams / KeywordMarker / StemmerOverride
+
+
+def test_common_grams_index_and_query_mode():
+    from lucene_spark.filters import common_grams
+
+    f = common_grams({"the"})
+    toks, poss = f(["the", "quick", "brown", "fox"], [0, 1, 2, 3])
+    assert toks == ["the", "the_quick", "quick", "brown", "fox"]
+    assert poss == [0, 0, 1, 2, 3]  # bigram at first word's position
+    q = common_grams({"the"}, query_mode=True)
+    assert q(["the", "quick", "brown", "fox"], [0, 1, 2, 3])[0] == [
+        "the_quick", "brown", "fox"]
+    # chained commons: every covered unigram drops, grams overlap
+    assert q(["brown", "the", "fox"], [0, 1, 2])[0] == [
+        "brown_the", "the_fox"]
+    # a position GAP between tokens blocks the gram (non-adjacent)
+    assert f(["the", "fox"], [0, 2])[0] == ["the", "fox"]
+
+
+def test_common_grams_searchable(spark):
+    """Index side emits grams; query side (query_mode) finds them — the
+    reference pairing (CommonGramsFilter + CommonGramsQueryFilter)."""
+    from lucene_spark.analysis import Analyzer
+    from lucene_spark.filters import common_grams
+    from lucene_spark.index import build_index
+    from lucene_spark.search import search
+
+    an = Analyzer(stopwords=frozenset(),
+                  stream_filters=(common_grams({"the"}),))
+    docs = spark.createDataFrame(
+        [(0, "over the lazy dog"), (1, "a lazy afternoon nap")],
+        "doc_id long, text string")
+    idx = build_index(spark, docs, text_col="text", key_col="doc_id",
+                      docid_col="doc_id", stopwords=an)
+    td = search(idx, "the_lazy", k=10)
+    assert td.docids.tolist() == [0]
+    td2 = search(idx, "lazy", k=10)
+    assert set(td2.docids.tolist()) == {0, 1}
+
+
+def test_keyword_marker_and_stemmer_override():
+    from lucene_spark.filters import (keyword_marker, porter_stem,
+                                      stemmer_override)
+
+    km = keyword_marker({"meetings"}, porter_stem)
+    assert km("meetings") == "meetings"      # protected: bypasses Porter
+    assert km("connections") == "connect"
+    so = stemmer_override({"mice": "mouse"}, porter_stem)
+    assert so("mice") == "mouse"             # dictionary wins
+    assert so("caresses") == "caress"        # fallthrough stems
+    so2 = stemmer_override({"x": "y"})       # no inner stemmer
+    assert so2("x") == "y" and so2("z") == "z"
