@@ -633,6 +633,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("e.pos").alias("pos"))
                 .orderBy("mode", "word", "pos", "part"))
 
+    def ft_phonetic(spark, sf):
+        # PhoneticFilter/Soundex (analysis/phonetic/PhoneticFilter.java:35,
+        # commons-codec American Soundex): golden oracle — the published
+        # NARA test vectors (Robert/Rupert → R163, the Ashcraft h/w rule,
+        # Tymczak vowel rule, Pfister, plus the canonical smith/smyth
+        # collision that makes sounds-like search work)
+        from lucene_spark.filters import soundex
+
+        names = sorted(["Robert", "Rupert", "Ashcraft", "Ashcroft",
+                        "Tymczak", "Pfister", "Honeyman", "Jackson",
+                        "Washington", "Lee", "Gutierrez", "smith", "smyth"])
+        ndf = spark.createDataFrame([(n,) for n in names], "name string")
+
+        @F.pandas_udf("string")
+        def sx_udf(ns: pd.Series) -> pd.Series:
+            return ns.map(soundex)
+
+        return ndf.select("name", sx_udf(F.col("name")).alias("code"))
+
+    def ft_pattern_replace(spark, sf):
+        # PatternReplaceCharFilter (charfilter/PatternReplaceCharFilter
+        # .java:40-74): digit runs collapse to '#' before tokenization;
+        # DuckDB's regexp_replace(..., 'g') is the exact twin
+        from lucene_spark.filters import PatternReplaceCharFilter
+
+        cf = PatternReplaceCharFilter(r"[0-9]+", "#")
+
+        @F.pandas_udf("string")
+        def pr_udf(ts: pd.Series) -> pd.Series:
+            return ts.map(lambda t: cf(t or ""))
+
+        return (_docs(spark, sf)
+                .select("doc_id", pr_udf(F.col("text")).alias("rep"))
+                .orderBy("doc_id").limit(100))
+
     def ft_common_grams(spark, sf):
         # CommonGramsFilter (commongrams/CommonGramsFilter.java:33-60):
         # adjacent pairs touching a stopword index as `w1_w2` bigrams
@@ -2206,7 +2241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_block_join_child, ft_cjk_analyze, ft_offsets_html,
         ft_fuzzy_suggest, ft_facet_ssdv, ft_xml_query, ft_flexible,
         ann_hnsw, ann_hnsw_recall, ft_word_delimiter, ft_common_grams,
-        ft_stem_override,
+        ft_stem_override, ft_phonetic, ft_pattern_replace,
         # (1) families whose semantics or oracle changed THIS round --
         # the driver must re-verify them:
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -2986,6 +3021,17 @@ vals AS (
 SELECT label, CAST(count(*) AS BIGINT) AS cnt
 FROM vals WHERE label IS NOT NULL
 GROUP BY label ORDER BY cnt DESC, label LIMIT 10""",
+        "ft_phonetic": """
+SELECT name, code FROM (VALUES
+  ('Ashcraft', 'A261'), ('Ashcroft', 'A261'), ('Gutierrez', 'G362'),
+  ('Honeyman', 'H555'), ('Jackson', 'J250'), ('Lee', 'L000'),
+  ('Pfister', 'P236'), ('Robert', 'R163'), ('Rupert', 'R163'),
+  ('Tymczak', 'T522'), ('Washington', 'W252'),
+  ('smith', 'S530'), ('smyth', 'S530')
+) AS t(name, code) ORDER BY name""",
+        "ft_pattern_replace": """
+SELECT doc_id, regexp_replace(text, '[0-9]+', '#', 'g') AS rep
+FROM documents ORDER BY doc_id LIMIT 100""",
         "ft_common_grams": f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
 pairs AS (

@@ -646,3 +646,126 @@ def common_grams(common_words, query_mode: bool = False):
         return out_t, out_p
 
     return sf
+
+
+# --------------------------------------------------- PatternReplace
+
+
+def pattern_replace(pattern: str, replacement: str = ""):
+    """PatternReplaceFilter (pattern/PatternReplaceFilter.java:30-45):
+    token-level regex substitution (replaceAll semantics); a token that
+    becomes empty is removed (None), matching the filter followed by the
+    zero-length drop every consumer applies."""
+    import re as _re
+
+    rx = _re.compile(pattern)
+
+    def f(t: str):
+        out = rx.sub(replacement, t)
+        return out if out else None
+
+    return f
+
+
+class PatternReplaceCharFilter:
+    """PatternReplaceCharFilter (charfilter/PatternReplaceCharFilter.java:
+    40-74) with BaseCharFilter offset correction: regex substitution over
+    the RAW text before tokenization; each replacement records
+    (output_offset, cumulative_net_removed) so ``correct_offset`` maps
+    spans over the replaced text back to raw-text offsets — same delta
+    machinery as :class:`HTMLStripCharFilter`, diffs may be negative when
+    the replacement is longer than the match."""
+
+    def __init__(self, pattern: str, replacement: str = ""):
+        import re as _re
+
+        self.rx = _re.compile(pattern)
+        self.replacement = replacement
+
+    def __call__(self, text: str) -> str:
+        return self.rx.sub(self.replacement, text or "")
+
+    def filter_with_offsets(self, text: str):
+        import numpy as np
+
+        text = text or ""
+        parts: list[str] = []
+        offs: list[int] = []
+        diffs: list[int] = []
+        cum = 0
+        last = 0
+        for m in self.rx.finditer(text):
+            repl = m.expand(self.replacement)
+            parts.append(text[last:m.start()])
+            parts.append(repl)
+            out_off = m.end() - cum - (m.end() - m.start()) + len(repl)
+            cum += (m.end() - m.start()) - len(repl)
+            if offs and offs[-1] == out_off:
+                diffs[-1] = cum
+            else:
+                offs.append(out_off)
+                diffs.append(cum)
+            last = m.end()
+        parts.append(text[last:])
+        return ("".join(parts), np.asarray(offs, dtype=np.int64),
+                np.asarray(diffs, dtype=np.int64))
+
+    correct_offset = staticmethod(HTMLStripCharFilter.correct_offset)
+
+
+# ----------------------------------------------------- Soundex
+
+
+_SOUNDEX_CODE = {}
+for _chars, _d in (("bfpv", "1"), ("cgjkqsxz", "2"), ("dt", "3"),
+                   ("l", "4"), ("mn", "5"), ("r", "6")):
+    for _c in _chars:
+        _SOUNDEX_CODE[_c] = _d
+
+
+def soundex(token: str) -> str:
+    """American Soundex (the NARA rules the reference's PhoneticFilter gets
+    from commons-codec Soundex, analysis/phonetic/PhoneticFilter.java:35):
+    first letter kept, consonants coded bfpv→1 cgjkqsxz→2 dt→3 l→4 mn→5
+    r→6, adjacent duplicate codes collapse INCLUDING across h/w (the
+    'Ashcraft → A261' rule), vowels break duplicate runs, pad/truncate to
+    letter + 3 digits.  Non-alphabetic tokens pass through unchanged."""
+    letters = [c for c in token.lower() if c.isalpha()]
+    if not letters:
+        return token
+    out = [letters[0].upper()]
+    prev = _SOUNDEX_CODE.get(letters[0], "")
+    for c in letters[1:]:
+        d = _SOUNDEX_CODE.get(c)
+        if d is None:
+            if c not in "hw":          # vowel (or y): breaks the run
+                prev = ""
+            continue
+        if d != prev:
+            out.append(d)
+            if len(out) == 4:
+                break
+        prev = d
+    return "".join(out) + "0" * (4 - len(out))
+
+
+def phonetic_inject(encoder=soundex):
+    """PhoneticFilter with inject=true (analysis/phonetic/PhoneticFilter
+    .java:35-66): every token also emits its phonetic code at the SAME
+    position (posInc=0), so exact and sounds-like queries both match.
+    Codes are lowercased to live in the lowercased term space.  A stream
+    filter for ``Analyzer(stream_filters=...)``."""
+
+    def sf(tokens: list[str], positions: list[int]):
+        out_t: list[str] = []
+        out_p: list[int] = []
+        for t, p in zip(tokens, positions):
+            out_t.append(t)
+            out_p.append(p)
+            code = encoder(t).lower()
+            if code != t:
+                out_t.append(code)
+                out_p.append(p)
+        return out_t, out_p
+
+    return sf

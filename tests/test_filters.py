@@ -385,3 +385,75 @@ def test_keyword_marker_and_stemmer_override():
     assert so("caresses") == "caress"        # fallthrough stems
     so2 = stemmer_override({"x": "y"})       # no inner stemmer
     assert so2("x") == "y" and so2("z") == "z"
+
+
+# ------------------------------- PatternReplace / Phonetic (Soundex)
+
+
+def test_pattern_replace_token_filter():
+    from lucene_spark.filters import pattern_replace
+
+    pr = pattern_replace(r"\d+", "#")
+    assert pr("abc123def45") == "abc#def#"
+    assert pr("nochange") == "nochange"
+    assert pattern_replace(r".*")("drop") is None  # emptied token removed
+
+
+def test_pattern_replace_char_filter_offsets():
+    from lucene_spark.filters import PatternReplaceCharFilter
+
+    cf = PatternReplaceCharFilter(r"\s+", " ")
+    out, offs, diffs = cf.filter_with_offsets("a   b    c")
+    assert out == "a b c"
+    # token spans over the collapsed text map back to raw offsets
+    assert cf.correct_offset(2, offs, diffs) == 4   # 'b'
+    assert cf.correct_offset(4, offs, diffs) == 9   # 'c'
+    assert cf.correct_offset(0, offs, diffs) == 0   # 'a' untouched
+    # longer replacement: negative deltas
+    cf2 = PatternReplaceCharFilter(r"x", "xxx")
+    out2, offs2, diffs2 = cf2.filter_with_offsets("ax b")
+    assert out2 == "axxx b"
+    assert cf2.correct_offset(5, offs2, diffs2) == 3  # 'b'
+
+
+def test_pattern_replace_char_filter_in_chain(spark):
+    """Offsets compose: highlighting over pattern-replaced analysis points
+    at the raw text (the CharFilter.correctOffset contract)."""
+    from lucene_spark.analysis import Analyzer, analyze_with_offsets
+    from lucene_spark.filters import PatternReplaceCharFilter
+
+    an = Analyzer(char_filters=(PatternReplaceCharFilter(r"-+", " "),))
+    raw = "well--known  spark"
+    toks, poss, starts, ends = analyze_with_offsets(raw, an)
+    assert toks == ["well", "known", "spark"]
+    spans = [raw[s:e] for s, e in zip(starts, ends)]
+    assert spans[0] == "well" and raw[starts[1]:].startswith("known")
+    assert raw[starts[2]:ends[2]] == "spark"
+
+
+def test_soundex_vectors_and_search(spark):
+    from lucene_spark.analysis import Analyzer
+    from lucene_spark.filters import phonetic_inject, soundex
+    from lucene_spark.index import build_index
+    from lucene_spark.search import search
+
+    assert soundex("Robert") == soundex("Rupert") == "R163"
+    assert soundex("Ashcraft") == "A261"   # h/w collapse rule
+    assert soundex("Tymczak") == "T522"    # vowel separation rule
+    assert soundex("Lee") == "L000"        # padding
+    assert soundex("123") == "123"         # non-alpha passthrough
+
+    an = Analyzer(stopwords=frozenset(),
+                  stream_filters=(phonetic_inject(),))
+    docs = spark.createDataFrame(
+        [(0, "john smith wrote this"), (1, "jane smyth replied today"),
+         (2, "someone else entirely")],
+        "doc_id long, text string")
+    idx = build_index(spark, docs, text_col="text", key_col="doc_id",
+                      docid_col="doc_id", stopwords=an)
+    # sounds-like: querying the CODE of smith matches both spellings
+    td = search(idx, soundex("smith").lower(), k=10)
+    assert set(td.docids.tolist()) == {0, 1}
+    # exact term still works (inject=true keeps the original)
+    td2 = search(idx, "smith", k=10)
+    assert td2.docids.tolist() == [0]
