@@ -1323,6 +1323,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ft_msm(spark, sf):
         return _topk_df(spark, sf, ("msm", ["spark", "window", "dup", "vector"], 2), 10)
 
+    def ft_covering(spark, sf):
+        # CoveringQuery (sandbox/CoveringQuery.java:42): per-document DYNAMIC
+        # minimumNumberShouldMatch read from a LongValuesSource — here the
+        # deterministic doc-values column doc_id % 4, floored at 1
+        from lucene_spark.covering import covering_query
+
+        idx = _ft_index(spark, sf)
+        mm = _docs(spark, sf).select(
+            F.col("doc_id").alias("docid"),
+            (F.col("doc_id") % 4).cast("long").alias("value"))
+        hits = covering_query(
+            idx, ["spark", "window", "dup", "vector"], mm, k=10,
+            precision="float64")
+        return hits.select(
+            F.col("docid").alias("doc_id"),
+            F.floor(F.col("score") * 10000).cast("long").alias("score_q"))
+
     def ft_boost(spark, sf):
         return _topk_df(spark, sf, "key window", 10, boosts={"key": 2.0})
 
@@ -2241,7 +2258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_block_join_child, ft_cjk_analyze, ft_offsets_html,
         ft_fuzzy_suggest, ft_facet_ssdv, ft_xml_query, ft_flexible,
         ann_hnsw, ann_hnsw_recall, ft_word_delimiter, ft_common_grams,
-        ft_stem_override, ft_phonetic, ft_pattern_replace,
+        ft_stem_override, ft_phonetic, ft_pattern_replace, ft_covering,
         # (1) families whose semantics or oracle changed THIS round --
         # the driver must re-verify them:
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -4024,6 +4041,15 @@ FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10""",
         ).replace(
             "FROM term_scores GROUP BY doc_id",
             "FROM term_scores GROUP BY doc_id HAVING count(*) >= 2",
+        ) + """
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10""",
+        "ft_covering": _FT_PRELUDE + "," + _score_sql(
+            ["spark", "window", "dup", "vector"]
+        ).replace(
+            "FROM term_scores GROUP BY doc_id",
+            "FROM term_scores GROUP BY doc_id"
+            " HAVING count(*) >= GREATEST(1, CAST(doc_id % 4 AS BIGINT))",
         ) + """
 SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
 FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10""",
