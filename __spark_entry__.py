@@ -1987,6 +1987,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # + ceil(len/4) subword estimate per piece - all JVM-side
         return textops.bpe_token_count(_docs(spark, sf))
 
+    def text_repetition(spark, sf):
+        # Gopher-style within-doc repetition filters (top n-gram coverage
+        # n=2..4, duplicated-5-gram fraction), token-restated — one shingle
+        # union, every shuffle keyed by doc_id
+        return textops.repetition_signals(_docs(spark, sf))
+
+    def text_pii_redact(spark, sf):
+        # rule-based PII scrub: the gate plants deterministic PII derived
+        # from doc_id (the synthetic corpus has none), then counts + redacts;
+        # identical expression on the DuckDB side
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            F.concat(
+                F.col("text"), F.lit(" contact user"),
+                F.col("doc_id").cast("string"), F.lit("@example.com or "),
+                F.lit("10.0."), (F.col("doc_id") % 256).cast("string"),
+                F.lit("."), ((F.col("doc_id") * 7) % 256).cast("string"),
+                F.lit(" phone 555-123-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ).alias("text"),
+        )
+        out = textops.redact_pii(docs)
+        return out.select(
+            "doc_id", "n_emails", "n_phones", "n_ipv4",
+            F.md5(F.col("clean_text")).alias("clean_md5"))
+
+    def text_lm_score(spark, sf):
+        # CCNet-style LM quality filter: bigram stupid-backoff cross-entropy,
+        # trained on the even-doc_id half so the backoff path is exercised
+        docs = _docs(spark, sf)
+        return textops.lm_score(docs, docs.filter(F.col("doc_id") % 2 == 0))
+
     def dedup_exact(spark, sf):
         return textops.exact_duplicates(_docs(spark, sf))
 
@@ -2259,6 +2291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_fuzzy_suggest, ft_facet_ssdv, ft_xml_query, ft_flexible,
         ann_hnsw, ann_hnsw_recall, ft_word_delimiter, ft_common_grams,
         ft_stem_override, ft_phonetic, ft_pattern_replace, ft_covering,
+        text_repetition, text_pii_redact, text_lm_score,
         # (1) families whose semantics or oracle changed THIS round --
         # the driver must re-verify them:
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -4367,6 +4400,84 @@ FROM alltoks GROUP BY term ORDER BY term""",
         "dedup_embcos_recall": _embcos_recall_oracle_sql(
             n_planes=3, dim=64, seed=5, threshold=0.42, n_tables=12),
         "text_bpe_count": "\nWITH p AS (\n  SELECT doc_id, regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}'']+|\\s+') AS pieces FROM documents\n)\nSELECT doc_id,\n       CAST(len(pieces) AS BIGINT) AS n_pretokens,\n       CAST(list_sum(list_transform(pieces, x -> CAST(ceil(strlen(x) / 4.0) AS BIGINT))) AS BIGINT) AS est_subwords\nFROM p",
+        "text_repetition": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id, n,
+         unnest(list_transform(range(1, len(t) - n + 2),
+                               i -> array_to_string(t[i:i+n-1], ' '))) AS gram
+  FROM toks CROSS JOIN (VALUES (2),(3),(4),(5)) AS v(n)
+  WHERE len(t) >= n
+),
+c AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY doc_id, n, gram),
+pn AS (
+  SELECT doc_id, n, max(c) AS max_c, sum(CASE WHEN c > 1 THEN c END) AS dup_c
+  FROM c GROUP BY doc_id, n
+),
+base AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents)
+SELECT b.doc_id, b.n_tokens,
+  CAST(coalesce(max(CASE WHEN n=2 THEN floor(max_c * 2 * 10000 / n_tokens) END), 0) AS BIGINT) AS top2_frac_q,
+  CAST(coalesce(max(CASE WHEN n=3 THEN floor(max_c * 3 * 10000 / n_tokens) END), 0) AS BIGINT) AS top3_frac_q,
+  CAST(coalesce(max(CASE WHEN n=4 THEN floor(max_c * 4 * 10000 / n_tokens) END), 0) AS BIGINT) AS top4_frac_q,
+  CAST(coalesce(max(CASE WHEN n=5 THEN floor(dup_c * 5 * 10000 / n_tokens) END), 0) AS BIGINT) AS dup5_frac_q
+FROM base b LEFT JOIN pn pn ON pn.doc_id = b.doc_id
+GROUP BY b.doc_id, b.n_tokens""",
+        "text_pii_redact": """
+WITH aug AS (
+  SELECT doc_id,
+         concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                '@example.com or 10.0.', CAST(doc_id % 256 AS VARCHAR), '.',
+                CAST((doc_id * 7) % 256 AS VARCHAR), ' phone 555-123-',
+                lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS t
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+         regexp_replace(t, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+  FROM aug
+),
+s2 AS (
+  SELECT doc_id, n_emails,
+         CAST(len(regexp_extract_all(t, '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b')) AS BIGINT) AS n_phones,
+         regexp_replace(t, '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '<PHONE>', 'g') AS t
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_emails, n_phones,
+         CAST(len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+         regexp_replace(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS t
+  FROM s2
+)
+SELECT doc_id, n_emails, n_phones, n_ipv4, md5(t) AS clean_md5 FROM s3""",
+        "text_lm_score": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pairs AS (
+  SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+  FROM toks WHERE len(t) >= 2
+),
+big AS (SELECT w1, w2, count(*) AS c12 FROM pairs WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+uw AS (SELECT doc_id, unnest(t) AS w FROM toks),
+uni AS (SELECT w, count(*) AS c1 FROM uw WHERE doc_id % 2 = 0 GROUP BY w),
+nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM uw WHERE doc_id % 2 = 0),
+sc AS (
+  SELECT p.doc_id,
+         CASE WHEN b.c12 IS NOT NULL AND u1.c1 IS NOT NULL
+              THEN b.c12 / CAST(u1.c1 AS DOUBLE)
+              ELSE 0.4 * (coalesce(u2.c1, 0) + 0.5) / (nt.n + 0.5) END AS p
+  FROM pairs p
+  LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+  LEFT JOIN uni u1 ON u1.w = p.w1
+  LEFT JOIN uni u2 ON u2.w = p.w2
+  CROSS JOIN nt
+),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(floor(-avg(ln(p)) * 10000) AS BIGINT) AS xent_q
+        FROM sc GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(coalesce(a.xent_q, 0) AS BIGINT) AS xent_q
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""",
         "dedup_embcos": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT a.vec_id AS a, b.vec_id AS b,

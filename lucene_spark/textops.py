@@ -552,3 +552,196 @@ def ngram_contamination(
         .groupBy(id_col, "probe_i")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
+
+
+# ------------------------------------------------ quality: repetition signals
+
+
+def repetition_signals(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1: "fraction of characters in the most common n-gram" for n=2..4
+    and "fraction of characters in duplicated n-grams" for n>=5), restated
+    over TOKENS so the measure is analyzer-independent and exactly
+    DuckDB-replicable:
+
+    - ``top{n}_frac_q`` (n = 2, 3, 4): count(most frequent n-gram) * n
+      / n_tokens, floor-quantized at 1e-4.  Overlapping occurrences each
+      count, so the ratio may exceed 1 for degenerate docs — that is the
+      point of the filter.
+    - ``dup5_frac_q``: sum over 5-grams occurring more than once of
+      (count * 5) / n_tokens, same quantization.
+    - docs shorter than n tokens score 0 for that n.
+
+    Spark shape: ONE union of per-n sliding shingles (pure Catalyst
+    transform/slice — no UDF), one (id, n, gram) count, one per-(id, n)
+    aggregate, conditional-aggregated back to one row per doc.  Every
+    shuffle key includes the doc id, so there is no skew and the plan is
+    corpus-partitionable at any scale.
+    """
+    toks = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("toks"))
+    grams = None
+    for n in (2, 3, 4, 5):
+        expr = (
+            f"transform(sequence(0, size(toks)-{n}), i -> "
+            f"concat_ws(' ', slice(toks, i+1, {n})))"
+        )
+        g = (
+            toks.filter(F.size("toks") >= n)
+            .select(F.col(id_col), F.lit(n).alias("n"),
+                    F.explode(F.expr(expr)).alias("gram"))
+        )
+        grams = g if grams is None else grams.unionAll(g)
+    counts = grams.groupBy(id_col, "n", "gram").agg(
+        F.count(F.lit(1)).alias("c"))
+    per_n = counts.groupBy(id_col, "n").agg(
+        F.max("c").alias("max_c"),
+        F.sum(F.when(F.col("c") > 1, F.col("c"))).alias("dup_c"),
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"))
+
+    def _q(col):
+        return F.floor(col * 10000 / F.col("n_tokens")).cast("long")
+
+    wide = base.join(per_n, id_col, "left").groupBy(id_col, "n_tokens").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, _q(F.col("max_c") * n))),
+                F.lit(0).cast("long"),
+            ).alias(f"top{n}_frac_q")
+            for n in (2, 3, 4)
+        ],
+        F.coalesce(
+            F.max(F.when(F.col("n") == 5, _q(F.col("dup_c") * 5))),
+            F.lit(0).cast("long"),
+        ).alias("dup5_frac_q"),
+    )
+    return wide
+
+
+# ------------------------------------------------ curation: PII redaction
+
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+
+
+def redact_pii(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rule-based PII scrubbing for training corpora (the C4/RefinedWeb-
+    style pre-release step): emails, IPv4 addresses, and NANP-style phone
+    numbers are counted then replaced with typed placeholder tokens.
+
+    Patterns are RE2-safe (no lookaround) so the Spark (Java regex) and
+    DuckDB (RE2) engines match identically.  Replacement order matters and
+    is fixed: emails first (their domains contain dots an IPv4 pattern
+    could clip), then phones (longer digit runs), then IPv4.
+
+    Returns (id, n_emails, n_phones, n_ipv4, clean_text) — all JVM-side
+    regexp ops, one projection, no shuffle.
+    """
+    t = F.col(text_col)
+    n_email = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), 0))
+    step1 = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    n_phone = F.size(F.regexp_extract_all(step1, F.lit(PII_PHONE_RE), 0))
+    step2 = F.regexp_replace(step1, PII_PHONE_RE, "<PHONE>")
+    n_ip = F.size(F.regexp_extract_all(step2, F.lit(PII_IPV4_RE), 0))
+    step3 = F.regexp_replace(step2, PII_IPV4_RE, "<IP>")
+    return docs.select(
+        F.col(id_col),
+        n_email.cast("long").alias("n_emails"),
+        n_phone.cast("long").alias("n_phones"),
+        n_ip.cast("long").alias("n_ipv4"),
+        step3.alias("clean_text"),
+    )
+
+
+# ------------------------------------------------ quality: LM cross-entropy
+
+
+def lm_score(
+    docs: DataFrame,
+    train_docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    backoff: float = 0.4,
+) -> DataFrame:
+    """Per-document bigram-LM cross-entropy — the CCNet-style "perplexity
+    of a reference LM" quality filter (Wenzek et al. 2020), with the
+    KenLM model replaced by a corpus-trained bigram model with stupid
+    backoff (Brants et al. 2007), the same LM family the engine's
+    FreeTextSuggester uses:
+
+    - train on ``train_docs`` (default: the scored corpus itself),
+    - P(w2 | w1) = c(w1 w2) / c(w1) when the bigram was seen, else
+      ``backoff`` * (c(w2) + 0.5) / (N + 0.5) — the +0.5 keeps OOV
+      continuations finite and deterministic,
+    - ``xent_q`` = floor(-mean ln P over the doc's adjacent pairs * 1e4);
+      docs with fewer than 2 tokens are returned with n_pairs = 0 and
+      xent_q = 0.
+
+    Spark shape: the bigram/unigram tables are vocabulary-sized aggregates
+    (map-side combined); scoring is two standard equi-joins on term keys
+    against the corpus pair stream — no driver materialization, no skewed
+    keys beyond natural term frequency (AQE handles the head).
+    """
+    train = train_docs if train_docs is not None else docs
+
+    def _pairs(d):
+        toks = d.select(F.col(id_col), F.split(F.col(text_col), " ").alias("t"))
+        expr = ("transform(sequence(0, size(t)-2), i -> "
+                "struct(t[i] AS w1, t[i+1] AS w2))")
+        return (
+            toks.filter(F.size("t") >= 2)
+            .select(F.col(id_col), F.explode(F.expr(expr)).alias("p"))
+            .select(F.col(id_col), F.col("p.w1").alias("w1"),
+                    F.col("p.w2").alias("w2"))
+        )
+
+    tr_pairs = _pairs(train)
+    big = tr_pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = (
+        train.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    )
+    n_total = train.select(
+        F.sum(F.size(F.split(F.col(text_col), " ")))).collect()[0][0] or 0
+
+    sc = (
+        _pairs(docs)
+        .join(big, ["w1", "w2"], "left")
+        .join(uni.select(F.col("w").alias("w1"), F.col("c1").alias("c_w1")),
+              "w1", "left")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c1").alias("c_w2")),
+              "w2", "left")
+    )
+    p = F.when(
+        F.col("c12").isNotNull() & F.col("c_w1").isNotNull(),
+        F.col("c12") / F.col("c_w1"),
+    ).otherwise(
+        F.lit(backoff) * (F.coalesce(F.col("c_w2"), F.lit(0)) + 0.5)
+        / F.lit(float(n_total) + 0.5)
+    )
+    per_doc = sc.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.floor(-F.avg(F.log(p)) * 10000).cast("long").alias("xent_q"),
+    )
+    base = docs.select(F.col(id_col))
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_pairs"), F.lit(0).cast("long")).alias("n_pairs"),
+            F.coalesce(F.col("xent_q"), F.lit(0).cast("long")).alias("xent_q"),
+        )
+    )
