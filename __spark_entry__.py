@@ -1045,6 +1045,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SpanNotQuery: 'scan' with no 'table' within [p-1, p+2]
         return _topk_df(spark, sf, span_not("scan", "table", pre=1, post=2), 10)
 
+    def ft_span_containing(spark, sf):
+        from lucene_spark.spans import span_containing, span_near
+
+        # SpanContainingQuery: ordered near(table, hash)~4 spans that
+        # contain a 'value' occurrence (ContainSpans big-side filter)
+        return _topk_df(
+            spark, sf,
+            span_containing(span_near(["table", "hash"], slop=4), "value"), 10)
+
+    def ft_span_within(spark, sf):
+        from lucene_spark.spans import span_near, span_within
+
+        # SpanWithinQuery: 'value' occurrences inside a near(table, hash)~4
+        # span (the little-side mirror; width-0 spans → freq = count)
+        return _topk_df(
+            spark, sf,
+            span_within(span_near(["table", "hash"], slop=4), "value"), 10)
+
     # --- interval queries (queries/intervals; minimal-interval algebra,
     #     IntervalScorer freq = Σ 1/max(len − minExtent + 1, 1), saturation
     #     score w·(1 − 1/(1 + freq)) — IntervalQuery.java:71) ---
@@ -2292,6 +2310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann_hnsw, ann_hnsw_recall, ft_word_delimiter, ft_common_grams,
         ft_stem_override, ft_phonetic, ft_pattern_replace, ft_covering,
         text_repetition, text_pii_redact, text_lm_score,
+        ft_span_containing, ft_span_within,
         # (1) families whose semantics or oracle changed THIS round --
         # the driver must re-verify them:
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -2490,6 +2509,45 @@ fr AS (
   SELECT doc_id, CAST(count(*) AS DOUBLE) AS pf FROM iv GROUP BY doc_id
 )""" + _iv_sat_tail(k)
     )
+
+
+def _span_contain_sql(ta: str, tb: str, slop: int, little: str, k: int,
+                      within: bool = False) -> str:
+    """SpanContaining/SpanWithin oracle over big = ordered-near(ta, tb):
+    containing keeps big spans with a ``little`` position inside (freq =
+    Σ 1/(1+width) over kept big spans); within emits the little spans
+    themselves (width 0 → freq = count).  Weight = Σ idf over all three
+    terms (SpanContainQuery extracts both sides' terms)."""
+    base = f"""
+c0 AS (SELECT doc_id, p AS p0, p + 1 AS e0 FROM pos WHERE w = '{ta}'),
+c1 AS (
+  SELECT c.*, (SELECT min(b.p) FROM pos b
+               WHERE b.doc_id = c.doc_id AND b.w = '{tb}' AND b.p >= c.e0) AS q1
+  FROM c0 c
+),
+big AS (
+  SELECT doc_id, p0, q1 + 1 AS e1, q1 - e0 AS width FROM c1
+  WHERE q1 IS NOT NULL AND q1 - e0 <= {slop}
+)"""
+    if within:
+        fr = f""",
+fr AS (
+  SELECT l.doc_id, CAST(count(*) AS DOUBLE) AS pf FROM pos l
+  WHERE l.w = '{little}'
+    AND EXISTS (SELECT 1 FROM big b WHERE b.doc_id = l.doc_id
+                AND b.p0 <= l.p AND l.p + 1 <= b.e1)
+  GROUP BY l.doc_id
+)"""
+    else:
+        fr = f""",
+fr AS (
+  SELECT doc_id, SUM(1.0/(1.0 + width)) AS pf FROM big b
+  WHERE EXISTS (SELECT 1 FROM pos l WHERE l.doc_id = b.doc_id
+                AND l.w = '{little}' AND l.p >= b.p0 AND l.p + 1 <= b.e1)
+  GROUP BY doc_id
+)"""
+    return (_FT_PRELUDE + "," + _SPAN_POS_CTE + "," + base + fr
+            + _span_score_tail([ta, tb, little], k))
 
 
 def _span_near_ord_sql(members: list[str], slop: int, k: int) -> str:
@@ -3491,6 +3549,8 @@ combined AS (
 SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
 FROM combined ORDER BY score DESC, doc_id LIMIT 10""",
         "ft_span_near_ord": _span_near_ord_sql(["table", "hash", "part"], 4, 10),
+        "ft_span_containing": _span_contain_sql("table", "hash", 4, "value", 10),
+        "ft_span_within": _span_contain_sql("table", "hash", 4, "value", 10, within=True),
         "ft_surround": _span_near_ord_sql(["table", "hash", "part"], 4, 10),
         "ft_lmd_sim": _FT_PRELUDE + """,
 cfs AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY term),

@@ -837,7 +837,8 @@ def rewrite(node: tuple, stopwords=ENGLISH_STOP_WORDS) -> tuple | None:
         # term) pairs in one dictionary — index/Term.java:30)
         sub = rewrite(node[2], stopwords)
         return _prefix_field(sub, node[1]) if sub is not None else None
-    if kind in ("span_near", "span_or", "span_first", "span_not"):
+    if kind in ("span_near", "span_or", "span_first", "span_not",
+                "span_containing", "span_within"):
         return _rewrite_span(node, stopwords)
     if kind == "interval_query":
         return _rewrite_interval(node, stopwords)
@@ -1007,10 +1008,20 @@ def _rewrite_span(node: tuple, stopwords) -> tuple | None:
         pre = node[3] if len(node) > 3 else 0
         post = node[4] if len(node) > 4 else 0
         return ("spannot", inc, exc, pre, post)
+    if kind in ("span_containing", "span_within"):
+        # both sides required (ContainSpans is a conjunction); any vanished
+        # side → MatchNoDocs (SpanContainQuery rewrites through both subs)
+        big = _rewrite_span(node[1], stopwords)
+        little = _rewrite_span(node[2], stopwords)
+        if big is None or little is None:
+            return None
+        return ("spancontaining" if kind == "span_containing"
+                else "spanwithin", big, little)
     raise ValueError(f"bad span node {node!r}")
 
 
-_SPAN_BASE_LEN = {"spannear": 4, "spanor": 2, "spanfirst": 3, "spannot": 5}
+_SPAN_BASE_LEN = {"spannear": 4, "spanor": 2, "spanfirst": 3, "spannot": 5,
+                  "spancontaining": 3, "spanwithin": 3}
 
 
 def _iv_analyze(src: tuple, stopwords) -> tuple | None:
@@ -1217,6 +1228,8 @@ def _prefix_field(n: tuple, f: str) -> tuple:
         return ("spanfirst", _prefix_field(n[1], f), n[2])
     if kind == "spannot":
         return ("spannot", _prefix_field(n[1], f), _prefix_field(n[2], f), n[3], n[4])
+    if kind in ("spancontaining", "spanwithin"):
+        return (kind, _prefix_field(n[1], f), _prefix_field(n[2], f))
     if kind == "interval_query":
         return ("interval_query", _iv_prefix_field(n[1], f)) + n[2:]
     if kind == "match_none":
@@ -1228,7 +1241,7 @@ def query_terms(node: tuple) -> list[str]:
     kind = node[0]
     if kind == "term":
         return [node[1]]
-    if kind in ("spannear", "spanor", "spanfirst", "spannot"):
+    if kind in ("spannear", "spanor", "spanfirst", "spannot", "spancontaining", "spanwithin"):
         from .spans import span_terms
 
         return span_terms(node[: _SPAN_BASE_LEN[kind]])
@@ -1329,7 +1342,7 @@ def attach_scorers(
             if not any(t in dfs for t in group):
                 return None
         return node
-    if kind in ("spannear", "spanor", "spanfirst", "spannot"):
+    if kind in ("spannear", "spanor", "spanfirst", "spannot", "spancontaining", "spanwithin"):
         # SpanWeight (spans/SpanWeight.java:99-117): one SimScorer over all
         # member terms' stats (Σ idf, like PhraseWeight); SpanNot uses the
         # include side only (SpanNotQuery.java:117).  A required sub-span
@@ -1489,7 +1502,7 @@ def apply_boosts(node: tuple, factor: float = 1.0) -> tuple[tuple | None, dict[s
             return ("syn", n[1], f)
         if kind == "const":
             return ("const", n[1], n[2] * f)
-        if kind in ("spannear", "spanor", "spanfirst", "spannot"):
+        if kind in ("spannear", "spanor", "spanfirst", "spannot", "spancontaining", "spanwithin"):
             # boost folds into the SpanWeight (trailing factor read by
             # attach_scorers, like phrase/sloppy)
             return n + (f,) if f != 1.0 else n

@@ -77,6 +77,19 @@ def span_not(include, exclude, pre: int = 0, post: int = 0) -> tuple:
     ``pre`` tokens before / ``post`` tokens after."""
     return ("span_not", _sub(include), _sub(exclude), pre, post)
 
+
+def span_containing(big, little) -> tuple:
+    """SpanContainingQuery: ``big`` spans that contain a ``little`` span
+    (big.start <= little.start and little.end <= big.end, same doc) —
+    SpanContainingQuery.java:33-41 / ContainSpans.java."""
+    return ("span_containing", _sub(big), _sub(little))
+
+
+def span_within(big, little) -> tuple:
+    """SpanWithinQuery: ``little`` spans that lie within a ``big`` span —
+    SpanWithinQuery.java:33-41 (the mirror direction of containing)."""
+    return ("span_within", _sub(big), _sub(little))
+
 _EMPTY = (
     np.empty(0, dtype=np.int64),
     np.empty(0, dtype=np.int64),
@@ -219,6 +232,47 @@ def _not_stream(inc, exc, pre, post):
     return d[keep], s[keep], e[keep], w[keep]
 
 
+def _containing_stream(big, little):
+    """SpanContainingQuery filter: keep big spans with some little span
+    inside.  Vectorized existence test: with little (doc, start)-sorted,
+    the minimal little END-key among little spans with start-key >=
+    big-start-key is a per-position suffix minimum; doc occupies the key
+    high bits, so spans of later docs carry strictly larger keys and can
+    never satisfy ``min end-key <= big end-key`` for an earlier doc —
+    one searchsorted + one reverse-accumulate, no per-span walk
+    (ContainSpans.java does this span-at-a-time)."""
+    d, s, e, w = big
+    ld, ls, le, _ = little
+    if len(d) == 0 or len(ld) == 0:
+        return _EMPTY
+    skeys = (ld << _SHIFT) + ls
+    suffmin = np.minimum.accumulate(((ld << _SHIFT) + le)[::-1])[::-1]
+    lo = np.searchsorted(skeys, (d << _SHIFT) + s, side="left")
+    ok = lo < len(skeys)
+    loc = np.minimum(lo, len(skeys) - 1)
+    keep = ok & (suffmin[loc] <= (d << _SHIFT) + e)
+    return d[keep], s[keep], e[keep], w[keep]
+
+
+def _within_stream(little, big):
+    """SpanWithinQuery filter: keep little spans lying inside some big
+    span.  Mirror of ``_containing_stream``: the maximal big END-key among
+    big spans with start-key <= little-start-key is a prefix maximum;
+    earlier docs' keys are strictly smaller than (doc << SHIFT) so they
+    can never satisfy ``max end-key >= little end-key``."""
+    ld, ls, le, lw = little
+    d, s, e, _ = big
+    if len(ld) == 0 or len(d) == 0:
+        return _EMPTY
+    bkeys = (d << _SHIFT) + s
+    prefmax = np.maximum.accumulate((d << _SHIFT) + e)
+    hi = np.searchsorted(bkeys, (ld << _SHIFT) + ls, side="right") - 1
+    ok = hi >= 0
+    hic = np.maximum(hi, 0)
+    keep = ok & (prefmax[hic] >= (ld << _SHIFT) + le)
+    return ld[keep], ls[keep], le[keep], lw[keep]
+
+
 def span_stream(node, postings_by_term, pos_by_term):
     """Evaluate a span node → (docids, starts, ends, widths), (doc, start)
     sorted.  Node kinds: ("sterm", t) | ("sor", [t...]) |
@@ -247,6 +301,14 @@ def span_stream(node, postings_by_term, pos_by_term):
         inc = span_stream(node[1], postings_by_term, pos_by_term)
         exc = span_stream(node[2], postings_by_term, pos_by_term)
         return _not_stream(inc, exc, node[3], node[4])
+    if kind == "spancontaining":
+        big = span_stream(node[1], postings_by_term, pos_by_term)
+        little = span_stream(node[2], postings_by_term, pos_by_term)
+        return _containing_stream(big, little)
+    if kind == "spanwithin":
+        big = span_stream(node[1], postings_by_term, pos_by_term)
+        little = span_stream(node[2], postings_by_term, pos_by_term)
+        return _within_stream(little, big)
     raise ValueError(f"bad span node {node!r}")
 
 
@@ -266,6 +328,8 @@ def span_terms(node) -> list[str]:
     if kind == "spanfirst":
         return span_terms(node[1])
     if kind == "spannot":
+        return span_terms(node[1]) + span_terms(node[2])
+    if kind in ("spancontaining", "spanwithin"):
         return span_terms(node[1]) + span_terms(node[2])
     raise ValueError(f"bad span node {node!r}")
 
@@ -297,6 +361,10 @@ def span_required_groups(node) -> list[list[str]]:
         return span_required_groups(node[1])
     if kind == "spannot":
         return span_required_groups(node[1])
+    if kind in ("spancontaining", "spanwithin"):
+        # both sides must match somewhere in the doc (ContainSpans advances
+        # big and little conjunctively)
+        return span_required_groups(node[1]) + span_required_groups(node[2])
     raise ValueError(f"bad span node {node!r}")
 
 

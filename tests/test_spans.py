@@ -307,3 +307,80 @@ def test_span_float32_precision_mode(span_index):
     assert td32.scores.tolist() == td32e.scores.tolist()
     for s in td32.scores:
         assert s == float(np.float32(s))
+
+
+# ----------------------------------------- SpanContaining / SpanWithin
+
+
+def brute_contain(docs_tokens, big_node, little_node, within):
+    """Per-doc O(n²) reference: filter big (or little) spans by containment."""
+    post, pos = corpus_arrays(docs_tokens)
+    out = []
+    for d in range(len(docs_tokens)):
+        bigs = [
+            (s, e, w)
+            for doc, s, e, w in zip(*span_stream(big_node, post, pos))
+            if doc == d
+        ]
+        littles = [
+            (s, e, w)
+            for doc, s, e, w in zip(*span_stream(little_node, post, pos))
+            if doc == d
+        ]
+        if within:
+            for ls, le, lw in littles:
+                if any(bs <= ls and le <= be for bs, be, _ in bigs):
+                    out.append((d, ls, le, lw))
+        else:
+            for bs, be, bw in bigs:
+                if any(bs <= ls and le <= be for ls, le, _ in littles):
+                    out.append((d, bs, be, bw))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("within", [False, True])
+def test_containing_within_basic(within):
+    docs = [
+        "aa bb cc dd ee".split(),   # big [0,5), cc inside
+        "aa bb dd dd ee cc".split(),  # big [0,5), cc outside
+        "cc aa bb".split(),          # no big
+        "aa cc cc ee zz".split(),    # big [0,4), two cc inside
+    ]
+    post, pos = corpus_arrays(docs)
+    big = ("spannear", [("sterm", "aa"), ("sterm", "ee")], 3, True)
+    kind = "spanwithin" if within else "spancontaining"
+    node = (kind, big, ("sterm", "cc"))
+    got = sorted(zip(*(a.tolist() for a in span_stream(node, post, pos))))
+    assert got == brute_contain(docs, big, ("sterm", "cc"), within)
+    docs_hit = sorted({d for d, *_ in got})
+    assert docs_hit == [0, 3]
+    if within:
+        # doc 3 emits BOTH contained cc occurrences
+        assert sum(1 for d, *_ in got if d == 3) == 2
+
+
+@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("within", [False, True])
+def test_containing_within_fuzz(seed, within):
+    rng = np.random.default_rng(seed)
+    vocab = ["aa", "bb", "cc", "dd"]
+    docs = [
+        [vocab[i] for i in rng.integers(0, len(vocab), rng.integers(4, 16))]
+        for _ in range(12)
+    ]
+    post, pos = corpus_arrays(docs)
+    big = ("spannear", [("sterm", "aa"), ("sterm", "bb")], 4, True)
+    little = ("sor", ["cc", "dd"])
+    kind = "spanwithin" if within else "spancontaining"
+    got = sorted(zip(*(a.tolist() for a in
+                       span_stream((kind, big, little), post, pos))))
+    assert got == brute_contain(docs, big, little, within)
+
+
+def test_containing_empty_sides():
+    docs = ["aa bb".split()]
+    post, pos = corpus_arrays(docs)
+    big = ("spannear", [("sterm", "aa"), ("sterm", "bb")], 4, True)
+    for kind in ("spancontaining", "spanwithin"):
+        d, s, e, w = span_stream((kind, big, ("sterm", "zz")), post, pos)
+        assert len(d) == 0
