@@ -1241,6 +1241,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, sf, multi_field_query("table", ["text", "title"]), 10
         )
 
+    def ft_field_exists(spark, sf):
+        # FieldExistsQuery: docs whose 'title' field produced >= 1 token
+        # (norms-present semantics — an all-stopword or absent title does
+        # NOT exist); title synthesized only for doc_id % 3 != 0
+        from lucene_spark.index import build_multifield_index
+        from lucene_spark.search import field_exists_docs
+
+        docs = _docs(spark, sf).select(
+            "doc_id", "text",
+            F.when(
+                F.col("doc_id") % 3 != 0,
+                F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 5)),
+            ).otherwise(F.lit("")).alias("title"))
+        idx = build_multifield_index(
+            spark, docs, {"text": "text", "title": "title"},
+            key_col="doc_id", docid_col="doc_id", seg_size=2048)
+        return (field_exists_docs(idx, "title")
+                .select(F.col("docid").alias("doc_id")).orderBy("doc_id"))
+
+    def ft_distance_feature(spark, sf):
+        # LongPoint.newDistanceFeatureQuery: proximity boost on the n_chars
+        # doc-values column, origin 300 / pivot 50, float32 score
+        from lucene_spark.funcscore import long_distance_feature
+
+        d = long_distance_feature(
+            _docs(spark, sf), "n_chars", origin=300, pivot=50)
+        return (
+            d.orderBy(F.desc("score"), "doc_id").limit(10)
+            .select("doc_id",
+                    F.floor(F.col("score").cast("double") * 1e6)
+                    .cast("long").alias("score_q"))
+        )
+
     # --- MultiTermQuery family (expansion vs term dictionary) ---
     def ft_wildcard(spark, sf):
         idx = _ft_index(spark, sf)
@@ -2311,6 +2344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_stem_override, ft_phonetic, ft_pattern_replace, ft_covering,
         text_repetition, text_pii_redact, text_lm_score,
         ft_span_containing, ft_span_within,
+        ft_field_exists, ft_distance_feature,
         # (1) families whose semantics or oracle changed THIS round --
         # the driver must re-verify them:
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -4137,6 +4171,21 @@ FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10""",
         ) + """
 SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
 FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10""",
+        "ft_field_exists": f"""
+WITH t5 AS (SELECT doc_id, string_split(text, ' ')[1:5] AS t FROM documents)
+SELECT doc_id FROM t5
+WHERE doc_id % 3 <> 0
+  AND len(list_filter(t, w -> w NOT IN ({_STOPS_SQL}))) > 0
+ORDER BY doc_id""",
+        "ft_distance_feature": """
+WITH s AS (
+  SELECT doc_id,
+         CAST(1.0 * 50 / (50 + abs(n_chars - 300)) AS REAL) AS score
+  FROM documents
+)
+SELECT doc_id,
+       CAST(floor(CAST(score AS DOUBLE) * 1e6) AS BIGINT) AS score_q
+FROM s ORDER BY score DESC, doc_id LIMIT 10""",
         "ft_covering": _FT_PRELUDE + "," + _score_sql(
             ["spark", "window", "dup", "vector"]
         ).replace(

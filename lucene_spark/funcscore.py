@@ -226,3 +226,25 @@ def _take_topk(rescored: DataFrame, k: int) -> TopDocs:
     scores = np.array([r["score"] for r in out], dtype=np.float64)
     order = np.lexsort((docids, -scores))[:k]
     return TopDocs(docids[order], scores[order])
+
+
+def long_distance_feature(
+    docs: DataFrame,
+    value_col: str,
+    origin: int,
+    pivot: int,
+    boost: float = 1.0,
+    score_name: str = "score",
+) -> DataFrame:
+    """LongPoint.newDistanceFeatureQuery analog
+    (document/LongDistanceFeatureQuery.java:46-61,344-352): score =
+    (float)(boost * pivot / (pivot + |value - origin|)) over a numeric
+    doc-values column — recency/proximity boosting on longs/dates.  The
+    float32 cast is the reference's, kept so a DuckDB twin casting to REAL
+    matches bit-for-bit.  Pure Catalyst projection, no shuffle."""
+    if pivot <= 0:
+        raise ValueError(f"pivotDistance must be > 0, got {pivot}")
+    d = F.abs(F.col(value_col).cast("long") - F.lit(int(origin)))
+    s = (F.lit(float(boost)) * F.lit(float(pivot))
+         / (F.lit(float(pivot)) + d.cast("double"))).cast("float")
+    return docs.withColumn(score_name, s)

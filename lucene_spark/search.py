@@ -2637,6 +2637,46 @@ def expand_terms(
     return [r["term"] for r in rows]
 
 
+def field_exists_docs(index: Index, field: str,
+                      default_field: str = "text") -> DataFrame:
+    """FieldExistsQuery (search/FieldExistsQuery.java:40-118): docIDs where
+    the field is present.  For indexed text fields the reference iterates
+    the field's norms — norms exist iff the field produced >= 1 token in
+    the doc, so an all-stopword value does NOT exist.  Constant-score
+    (the reference's scorer emits 1.0 for every hit).
+
+    Our layout: the default field's dl rides the norms table (dl > 0 ⟺
+    norms present); any other field's terms are namespaced 'field:term',
+    so existence = >= 1 posting row under the namespace — a term-RANGE
+    filter on the term-sorted postings parquet (pushdown scan), one
+    distinct, never a full-corpus pass."""
+    if field == default_field:
+        return (index.norms.filter(F.col("dl") > 0)
+                .select("docid").distinct())
+    pref = field + ":"
+    seg_size = index.seg_size
+    # [field + ':', field + ';') — ';' is chr(ord(':') + 1): a sargable
+    # range over the term-sorted postings parquet (pushdown scan);
+    # matched rows decode distributed, exactly the match_any_docs shape
+    rows = index.postings.filter(
+        (F.col("term") >= pref) & (F.col("term") < field + ";"))
+
+    def explode(batches):
+        from .kernel import TermPostings
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            segs = pdf["seg"].to_numpy(dtype=np.int64)
+            for i, (_, row) in enumerate(pdf.iterrows()):
+                docids = TermPostings(row, seg_size).decode()[0]
+                out.append(docids + segs[i] * seg_size)
+            yield pd.DataFrame({"docid": np.concatenate(out)})
+
+    return rows.mapInPandas(explode, schema="docid long").distinct()
+
+
 def match_any_docs(index: Index, terms: list[str]) -> DataFrame:
     """docIDs matching ANY of ``terms`` — the CONSTANT_SCORE rewrite of an
     expanded MultiTermQuery / TermInSetQuery (search/TermInSetQuery.java:74):
