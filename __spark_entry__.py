@@ -510,6 +510,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "depth", F.array_join("path", "/").alias("path"), "count"
         )
 
+    def ft_facet_assoc(spark, sf):
+        # TaxonomyFacetSumIntAssociations: per source label under lang=en,
+        # the sum of n_chars associations over the 'dup' match set
+        from lucene_spark.facets import sum_associations
+
+        idx = _ft_index(spark, sf)
+        m = match_any_docs(idx, ["dup"]).join(
+            _docs(spark, sf).withColumn("docid", F.col("doc_id")), "docid"
+        )
+        return sum_associations(
+            m, ["lang", "source"], "n_chars", path=["en"], topn=10)
+
     def ft_drill_sideways(spark, sf):
         # DrillSideways (facet/DrillSideways.java:56): drill into
         # lang=en/source=src1 over the 'dup' match set; emit the sibling
@@ -2345,6 +2357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         text_repetition, text_pii_redact, text_lm_score,
         ft_span_containing, ft_span_within,
         ft_field_exists, ft_distance_feature,
+        ft_facet_assoc,
         # (1) families whose semantics or oracle changed THIS round --
         # the driver must re-verify them:
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -3349,6 +3362,11 @@ l2 AS (SELECT 2 AS depth, lang || '/' || source AS path,
        FROM j GROUP BY lang, source)
 SELECT depth, path, count FROM (SELECT * FROM l1 UNION ALL SELECT * FROM l2)
 ORDER BY depth ASC, count DESC, path ASC""",
+        "ft_facet_assoc": _FT_PRELUDE + """,
+m AS (SELECT DISTINCT doc_id FROM ftok WHERE term = 'dup'),
+j AS (SELECT d.source, d.n_chars FROM documents d JOIN m USING (doc_id) WHERE d.lang = 'en')
+SELECT source AS label, CAST(sum(n_chars) AS BIGINT) AS sum
+FROM j GROUP BY source ORDER BY sum DESC, label ASC LIMIT 10""",
         "ft_drill_sideways": _FT_PRELUDE + """,
 m AS (SELECT DISTINCT doc_id FROM ftok WHERE term = 'dup'),
 j AS (SELECT d.lang, d.source FROM documents d JOIN m USING (doc_id))

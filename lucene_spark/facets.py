@@ -136,3 +136,36 @@ def ssdv_facet_counts(
         .orderBy(F.col("count").desc(), F.col("label").asc())
         .limit(topn)
     )
+
+
+def sum_associations(
+    matches: DataFrame,
+    path_col: str | list,
+    value_col: str,
+    path: list[str] | None = None,
+    topn: int = 10,
+    float_assoc: bool = False,
+) -> DataFrame:
+    """TaxonomyFacetSumIntAssociations / TaxonomyFacetSumFloatAssociations
+    (facet/taxonomy/TaxonomyFacetSumIntAssociations.java:33,
+    TaxonomyFacetSumFloatAssociations.java:33): per child label directly
+    under ``path``, the SUM of each matching doc's association value —
+    ordered sum desc then label asc, cut to topn.
+
+    ``float_assoc`` selects the float accumulator (sum double) vs the int
+    one (sum long).  Same map-side-combined one-groupBy shape as
+    ``top_children``."""
+    path = path or []
+    depth = len(path)
+    df = _with_path(matches, path_col)
+    if depth:
+        prefix = F.array(*[F.lit(p) for p in path])
+        df = df.filter(F.slice(F.col("__path"), 1, depth) == prefix)
+    df = df.filter(F.size("__path") > depth)
+    val = F.col(value_col).cast("double" if float_assoc else "long")
+    return (
+        df.groupBy(F.element_at("__path", depth + 1).alias("label"))
+        .agg(F.sum(val).alias("sum"))
+        .orderBy(F.col("sum").desc(), F.col("label").asc())
+        .limit(topn)
+    )
