@@ -190,6 +190,18 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _xy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + deterministic cartesian coordinates (integer arithmetic
+    then one exact-rounding division — bit-identical in Spark and DuckDB):
+    x in [-200, 200.0], y in [-300, 300.6]."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        ((F.col("doc_id") * 131 % 4001) / 10.0 - 200.0).alias("x"),
+        ((F.col("doc_id") * 257 % 6007) / 10.0 - 300.0).alias("y"),
+    )
+
+
 def _geo_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents + deterministic per-doc coordinates (pure integer
     arithmetic then one exact-rounding division — bit-identical in Spark
@@ -233,6 +245,7 @@ from lucene_spark.geo import (  # noqa: E402
     encode_latitude_ceil as _enc_lat_ceil,
     encode_longitude as _enc_lon,
     encode_longitude_ceil as _enc_lon_ceil,
+    polygon_sql,
 )
 
 
@@ -1956,6 +1969,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _geo_docs(spark, sf), "lat", "lon", -60.0, 60.0, 170.0, -170.0)
         return out.select("doc_id").orderBy("doc_id")
 
+    def ft_xy_box(spark, sf):
+        # XYPointField.newBoxQuery: inclusive cartesian box over float32-
+        # quantized synthetic coords (exact integer-arithmetic derivation)
+        from lucene_spark.geo import xy_box_query
+
+        out = xy_box_query(
+            _xy_docs(spark, sf), "x", "y", -50.0, 60.0, -100.0, 20.0)
+        return out.select("doc_id").orderBy("doc_id")
+
+    def ft_xy_distance(spark, sf):
+        # XYPointField.newDistanceQuery: planar dx²+dy² <= r² in double
+        # over float32 coords (exact, no sqrt)
+        from lucene_spark.geo import xy_distance_query
+
+        out = xy_distance_query(
+            _xy_docs(spark, sf), "x", "y", 12.3, -45.6, 80.0)
+        return out.select("doc_id").orderBy("doc_id")
+
+    def ft_xy_polygon(spark, sf):
+        # XYPointField.newPolygonQuery: even-odd crossing over cartesian
+        # coords — same unrolled predicate family as ft_geo_polygon
+        from lucene_spark.geo import xy_polygon_query
+
+        out = xy_polygon_query(
+            _xy_docs(spark, sf), "x", "y",
+            [(0.0, -250.0), (180.0, 40.0), (-160.0, 230.0)])
+        return out.select("doc_id").orderBy("doc_id")
+
     def ft_geo_nearest(spark, sf):
         # LatLonPointSortField / LatLonPointDistanceComparator analog:
         # k nearest by quantized haversine, ties by docid
@@ -2358,6 +2399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_span_containing, ft_span_within,
         ft_field_exists, ft_distance_feature,
         ft_facet_assoc,
+        ft_xy_box, ft_xy_distance, ft_xy_polygon,
         # (1) families whose semantics or oracle changed THIS round --
         # the driver must re-verify them:
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -3944,6 +3986,37 @@ SELECT doc_id,
        CAST(floor({_geo_dist_sql(40.0, -74.0)}) AS BIGINT) AS dist_m_q
 FROM gq
 WHERE {_geo_dist_sql(40.0, -74.0)} <= 2000000.0
+ORDER BY doc_id""",
+        "ft_xy_box": """
+WITH xy AS (
+  SELECT doc_id,
+         CAST(CAST((doc_id * 131 % 4001) / 10.0 - 200.0 AS REAL) AS DOUBLE) AS qx,
+         CAST(CAST((doc_id * 257 % 6007) / 10.0 - 300.0 AS REAL) AS DOUBLE) AS qy
+  FROM documents
+)
+SELECT doc_id FROM xy
+WHERE qx >= -50.0 AND qx <= 60.0 AND qy >= -100.0 AND qy <= 20.0
+ORDER BY doc_id""",
+        "ft_xy_distance": """
+WITH xy AS (
+  SELECT doc_id,
+         CAST(CAST((doc_id * 131 % 4001) / 10.0 - 200.0 AS REAL) AS DOUBLE) AS qx,
+         CAST(CAST((doc_id * 257 % 6007) / 10.0 - 300.0 AS REAL) AS DOUBLE) AS qy
+  FROM documents
+)
+SELECT doc_id FROM xy
+WHERE (qx - 12.3) * (qx - 12.3) + (qy - (-45.6)) * (qy - (-45.6)) <= 80.0 * 80.0
+ORDER BY doc_id""",
+        "ft_xy_polygon": """
+WITH xy AS (
+  SELECT doc_id,
+         CAST(CAST((doc_id * 131 % 4001) / 10.0 - 200.0 AS REAL) AS DOUBLE) AS qx,
+         CAST(CAST((doc_id * 257 % 6007) / 10.0 - 300.0 AS REAL) AS DOUBLE) AS qy
+  FROM documents
+)
+SELECT doc_id FROM xy
+WHERE """ + polygon_sql("qy", "qx",
+                        [(-250.0, 0.0), (40.0, 180.0), (230.0, -160.0)]) + """
 ORDER BY doc_id""",
         "ft_geo_box": "WITH" + _GEO_SQL_COORDS + f""",
 enc AS (

@@ -407,3 +407,103 @@ def polygon_sql(
             f" / {yj - yi!r} + {xi!r}) THEN 1 ELSE 0 END)"
         )
     return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+# --------------------------------------------------------- XYPoint (cartesian)
+
+_XY_SLOP = 1e-3  # raw-column prefilter slop covering float32 quantization
+
+
+def quantize_xy_col(c: Column) -> Column:
+    """XYEncodingUtils analog (geo/XYEncodingUtils.java:29-45): XYPoint
+    stores coordinates as exact float32 — quantization is one float cast."""
+    return c.cast("float").cast("double")
+
+
+def xy_box_query(
+    docs: DataFrame,
+    x_col: str,
+    y_col: str,
+    min_x: float,
+    max_x: float,
+    min_y: float,
+    max_y: float,
+) -> DataFrame:
+    """XYPointField.newBoxQuery (document/XYPointField.java:118): inclusive
+    cartesian box over float32-quantized coords.  Two-phase like the
+    lat/lon path: raw-column slop prefilter (parquet min/max pushdown —
+    the BKD prune analog) then the exact quantized test."""
+    out = docs.filter(
+        (F.col(x_col) >= F.lit(float(min_x) - _XY_SLOP))
+        & (F.col(x_col) <= F.lit(float(max_x) + _XY_SLOP))
+        & (F.col(y_col) >= F.lit(float(min_y) - _XY_SLOP))
+        & (F.col(y_col) <= F.lit(float(max_y) + _XY_SLOP))
+    )
+    x = quantize_xy_col(F.col(x_col))
+    y = quantize_xy_col(F.col(y_col))
+    return out.filter(
+        (x >= F.lit(float(min_x))) & (x <= F.lit(float(max_x)))
+        & (y >= F.lit(float(min_y))) & (y <= F.lit(float(max_y)))
+    )
+
+
+def xy_distance_query(
+    docs: DataFrame,
+    x_col: str,
+    y_col: str,
+    x: float,
+    y: float,
+    radius: float,
+) -> DataFrame:
+    """XYPointField.newDistanceQuery (document/XYPointField.java:150;
+    comparator math in geo/XYGeometry cartesian distance): planar
+    (dx² + dy²) <= r² in double over float32-quantized coords — no sqrt,
+    so the predicate is exact.  Bounding-box prefilter pushes down."""
+    r = float(radius)
+    out = docs.filter(
+        (F.col(x_col) >= F.lit(float(x) - r - _XY_SLOP))
+        & (F.col(x_col) <= F.lit(float(x) + r + _XY_SLOP))
+        & (F.col(y_col) >= F.lit(float(y) - r - _XY_SLOP))
+        & (F.col(y_col) <= F.lit(float(y) + r + _XY_SLOP))
+    )
+    dx = quantize_xy_col(F.col(x_col)) - F.lit(float(x))
+    dy = quantize_xy_col(F.col(y_col)) - F.lit(float(y))
+    return out.filter(dx * dx + dy * dy <= F.lit(r * r))
+
+
+def xy_polygon_query(
+    docs: DataFrame,
+    x_col: str,
+    y_col: str,
+    polygon: list[tuple[float, float]],
+) -> DataFrame:
+    """XYPointField.newPolygonQuery: even-odd crossing test over float32-
+    quantized cartesian coords — the identical unrolled whole-stage-codegen
+    predicate as :func:`polygon_query`, with (x, y) in place of (lon, lat).
+    ``polygon``: [(x, y), ...] vertices, implicitly closed, single ring."""
+    if len(polygon) < 3:
+        raise ValueError("polygon needs >= 3 vertices")
+    xs = [float(p[0]) for p in polygon]
+    ys = [float(p[1]) for p in polygon]
+    out = docs.filter(
+        (F.col(x_col) >= F.lit(min(xs) - _XY_SLOP))
+        & (F.col(x_col) <= F.lit(max(xs) + _XY_SLOP))
+        & (F.col(y_col) >= F.lit(min(ys) - _XY_SLOP))
+        & (F.col(y_col) <= F.lit(max(ys) + _XY_SLOP))
+    )
+    x = quantize_xy_col(F.col(x_col))
+    y = quantize_xy_col(F.col(y_col))
+    crossings = F.lit(0)
+    m = len(polygon)
+    for i in range(m):
+        yi, xi = ys[i], xs[i]
+        yj, xj = ys[(i + 1) % m], xs[(i + 1) % m]
+        if yi == yj:
+            continue
+        cond = (
+            ((F.lit(yi) > y) != (F.lit(yj) > y))
+            & (x < (F.lit(xj - xi)) * (y - F.lit(yi)) / F.lit(yj - yi)
+               + F.lit(xi))
+        )
+        crossings = crossings + F.when(cond, F.lit(1)).otherwise(F.lit(0))
+    return out.filter(crossings % 2 == 1)
