@@ -123,6 +123,30 @@ def _mf_index(spark: SparkSession, sf_dir: str) -> Index:
     return _MF_INDEX_CACHE[sf_dir]
 
 
+_MF_POS_INDEX_CACHE: dict[str, Index] = {}
+
+
+def _mf_pos_index(spark: SparkSession, sf_dir: str) -> Index:
+    """Positions-enabled twin of ``_mf_index`` (same fields) for span
+    queries that compose across fields (FieldMaskingSpanQuery gate)."""
+    if sf_dir not in _MF_POS_INDEX_CACHE:
+        from lucene_spark.index import build_multifield_index
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+            "title", F.array_join(F.slice(F.split(F.col("text"), " "), 1, 5), " ")
+        )
+        idx = build_multifield_index(
+            spark, docs, fields={"text": "text", "title": "title"},
+            key_col="doc_id", default_field="text", seg_size=2048,
+            docid_col="doc_id", with_positions=True,
+        )
+        idx.postings = idx.postings.persist()
+        idx.termdict = idx.termdict.persist()
+        idx.postings.count()
+        _MF_POS_INDEX_CACHE[sf_dir] = idx
+    return _MF_POS_INDEX_CACHE[sf_dir]
+
+
 def _mf_topk_df(spark: SparkSession, sf_dir: str, query, k: int = 10) -> DataFrame:
     td = search(_mf_index(spark, sf_dir), query, k=k, precision="float64", prune=True)
     rows = [
@@ -1266,6 +1290,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, sf, multi_field_query("table", ["text", "title"]), 10
         )
 
+    def ft_span_field_masked(spark, sf):
+        # FieldMaskingSpanQuery: ordered near(mask(title: 'table'), text
+        # 'hash') slop 6 over parallel fields (title = first 5 text tokens,
+        # so the position spaces align as the reference requires);
+        # weight = Σ idf(title:table, hash) under the TITLE field's stats
+        # (SpanWeight stats resolve through wterms[0] — documented)
+        from lucene_spark.spans import span_field_masked, span_near, span_term
+
+        idx = _mf_pos_index(spark, sf)
+        q = span_near(
+            [span_field_masked(span_term("table"), "title"),
+             span_term("hash")], slop=6, ordered=True)
+        td = search(idx, q, k=10, precision="float64", prune=True)
+        rows = [
+            (int(d), int(math.floor(s * 10000)))
+            for d, s in zip(td.docids.tolist(), td.scores.tolist())
+        ]
+        return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
     def ft_field_exists(spark, sf):
         # FieldExistsQuery: docs whose 'title' field produced >= 1 token
         # (norms-present semantics — an all-stopword or absent title does
@@ -2400,6 +2443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_field_exists, ft_distance_feature,
         ft_facet_assoc,
         ft_xy_box, ft_xy_distance, ft_xy_polygon,
+        ft_span_field_masked,
         # (1) families whose semantics or oracle changed THIS round --
         # the driver must re-verify them:
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -4262,6 +4306,39 @@ FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10""",
         ) + """
 SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
 FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10""",
+        "ft_span_field_masked": _FT_PRELUDE + "," + _SPAN_POS_CTE + f""",
+tdl AS (
+  SELECT d.doc_id,
+         (SELECT count(*) FROM pos t
+          WHERE t.doc_id = d.doc_id AND t.p <= 4
+            AND t.w NOT IN ({_STOPS_SQL})) AS tdl
+  FROM documents d
+),
+tstat AS (SELECT CAST(count(*) FILTER (WHERE tdl > 0) AS BIGINT) AS n,
+                 CAST(sum(tdl) AS BIGINT) AS sttf FROM tdl),
+df1 AS (SELECT count(DISTINCT doc_id) AS df FROM pos WHERE p <= 4 AND w = 'table'),
+df2 AS (SELECT count(DISTINCT doc_id) AS df FROM ftok WHERE term = 'hash'),
+c0 AS (SELECT doc_id, p AS p0, p + 1 AS e0 FROM pos WHERE p <= 4 AND w = 'table'),
+c1 AS (
+  SELECT c.*, (SELECT min(b.p) FROM pos b
+               WHERE b.doc_id = c.doc_id AND b.w = 'hash' AND b.p >= c.e0) AS q1
+  FROM c0 c
+),
+fr AS (
+  SELECT doc_id, SUM(1.0 / (1.0 + (q1 - e0))) AS pf FROM c1
+  WHERE q1 IS NOT NULL AND q1 - e0 <= 6 GROUP BY doc_id
+),
+sc AS (
+  SELECT fr.doc_id,
+         (ln(1 + (t.n - d1.df + 0.5) / (d1.df + 0.5))
+          + ln(1 + (t.n - d2.df + 0.5) / (d2.df + 0.5))) AS w,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (t.sttf * 1.0 / t.n))) AS inv,
+         fr.pf AS pf
+  FROM fr JOIN dl USING (doc_id)
+  CROSS JOIN tstat t CROSS JOIN df1 d1 CROSS JOIN df2 d2
+)
+SELECT doc_id, CAST(floor((w - w / (1.0 + pf * inv)) * 10000) AS BIGINT) AS score_q
+FROM sc ORDER BY (w - w / (1.0 + pf * inv)) DESC, doc_id LIMIT 10""",
         "ft_field_exists": f"""
 WITH t5 AS (SELECT doc_id, string_split(text, ' ')[1:5] AS t FROM documents)
 SELECT doc_id FROM t5

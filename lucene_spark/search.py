@@ -838,7 +838,7 @@ def rewrite(node: tuple, stopwords=ENGLISH_STOP_WORDS) -> tuple | None:
         sub = rewrite(node[2], stopwords)
         return _prefix_field(sub, node[1]) if sub is not None else None
     if kind in ("span_near", "span_or", "span_first", "span_not",
-                "span_containing", "span_within"):
+                "span_containing", "span_within", "span_mask"):
         return _rewrite_span(node, stopwords)
     if kind == "interval_query":
         return _rewrite_interval(node, stopwords)
@@ -1017,6 +1017,15 @@ def _rewrite_span(node: tuple, stopwords) -> tuple | None:
             return None
         return ("spancontaining" if kind == "span_containing"
                 else "spanwithin", big, little)
+    if kind == "span_mask":
+        # FieldMaskingSpanQuery: analyze the sub, then namespace its terms
+        # into the masked field — it then composes with same-field spans
+        # (the reference lies about getField(); we lie about the term
+        # namespace, same effect on the composition)
+        sub = _rewrite_span(node[1], stopwords)
+        if sub is None:
+            return None
+        return _prefix_field(sub, node[2])
     raise ValueError(f"bad span node {node!r}")
 
 

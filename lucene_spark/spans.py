@@ -78,6 +78,16 @@ def span_not(include, exclude, pre: int = 0, post: int = 0) -> tuple:
     return ("span_not", _sub(include), _sub(exclude), pre, post)
 
 
+def span_field_masked(sub, field: str) -> tuple:
+    """FieldMaskingSpanQuery (spans/FieldMaskingSpanQuery.java:55-78): run
+    ``sub`` against ``field``'s postings while composing with the enclosing
+    span query as if it lived on that query's field — the parallel-fields
+    trick (matching teacher:james near(masked) first-name:smith).  Our
+    per-field position sequences share the doc's coordinate space exactly
+    when the fields are parallel, as the reference requires."""
+    return ("span_mask", _sub(sub), field)
+
+
 def span_containing(big, little) -> tuple:
     """SpanContainingQuery: ``big`` spans that contain a ``little`` span
     (big.start <= little.start and little.end <= big.end, same doc) —
