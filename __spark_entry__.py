@@ -1833,6 +1833,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return idx.termdict.select("term", "df", "cf").orderBy("term")
 
+    def ft_keyword_analyze(spark, sf):
+        # KeywordAnalyzer (analysis/core/KeywordAnalyzer.java:26-34): the
+        # whole field is ONE verbatim term — case and punctuation kept —
+        # the exact-match ID-field analyzer
+        from lucene_spark.tokenizers import keyword_analyzer
+
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            F.concat(F.lit("Src-"), F.upper("source"), F.lit("/"),
+                     F.col("lang")).alias("key"),
+        )
+        idx = build_index(spark, docs, text_col="key", key_col="doc_id",
+                          docid_col="doc_id", stopwords=keyword_analyzer())
+        return idx.termdict.select("term", "df", "cf").orderBy("term")
+
+    def ft_whitespace_analyze(spark, sf):
+        # WhitespaceAnalyzer (analysis/core/WhitespaceTokenizer.java): runs
+        # of non-whitespace, NO lowercasing, NO stop filter — indexing
+        # upper(text) must keep the uppercase terms the standard chain
+        # would fold
+        from lucene_spark.tokenizers import whitespace_analyzer
+
+        docs = _docs(spark, sf).select(
+            "doc_id", F.upper("text").alias("utext"))
+        idx = build_index(spark, docs, text_col="utext", key_col="doc_id",
+                          docid_col="doc_id", stopwords=whitespace_analyzer())
+        return idx.termdict.select("term", "df", "cf").orderBy("term")
+
+    def ft_path_tokens(spark, sf):
+        # PathHierarchyTokenizer (analysis/common/.../path/
+        # PathHierarchyTokenizer.java:110-180): '/src0/es/3' emits the
+        # cumulative prefixes '/src0', '/src0/es', '/src0/es/3', all at one
+        # position — the drill-down-by-path indexing pattern
+        from lucene_spark.analysis import Analyzer
+        from lucene_spark.tokenizers import path_hierarchy_tokenizer
+
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            F.concat(F.lit("/"), "source", F.lit("/"), "lang", F.lit("/"),
+                     (F.col("doc_id") % 10).cast("string")).alias("path"),
+        )
+        an = Analyzer(stopwords=frozenset(),
+                      tokenizer=path_hierarchy_tokenizer(), lowercase=False)
+        idx = build_index(spark, docs, text_col="path", key_col="doc_id",
+                          docid_col="doc_id", stopwords=an)
+        return idx.termdict.select("term", "df", "cf").orderBy("term")
+
+    def ft_url_email(spark, sf):
+        # UAX29URLEmailTokenizer (analysis/common/.../standard/
+        # UAX29URLEmailTokenizer.java, documented subset): URLs and emails
+        # survive tokenization as single whole tokens instead of being
+        # split on punctuation like the standard chain would
+        from lucene_spark.tokenizers import url_email_analyzer
+
+        d = (F.col("doc_id") % 7).cast("string")
+        p = (F.col("doc_id") % 13).cast("string")
+        u = (F.col("doc_id") % 5).cast("string")
+        m = (F.col("doc_id") % 3).cast("string")
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.col("text"),
+                F.concat(F.lit("https://host"), d, F.lit(".example/p"), p),
+                F.concat(F.lit("user"), u, F.lit("@mail"), m, F.lit(".org")),
+            ).alias("wtext"),
+        )
+        idx = build_index(spark, docs, text_col="wtext", key_col="doc_id",
+                          docid_col="doc_id", stopwords=url_email_analyzer())
+        return (
+            idx.termdict
+            .filter(F.col("term").contains("://") | F.col("term").contains("@"))
+            .select("term", "df", "cf").orderBy("term")
+        )
+
     def ft_facet_ssdv(spark, sf):
         # SortedSetDocValuesFacetCounts (facet/sortedset/...FacetCounts
         # .java:57): multi-valued flat string facet over the 'dup' match
@@ -2444,6 +2518,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_facet_assoc,
         ft_xy_box, ft_xy_distance, ft_xy_polygon,
         ft_span_field_masked,
+        ft_keyword_analyze, ft_whitespace_analyze, ft_path_tokens,
+        ft_url_email,
         # (1) families whose semantics or oracle changed THIS round --
         # the driver must re-verify them:
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -4669,6 +4745,48 @@ alltoks AS (SELECT * FROM efilt UNION ALL SELECT * FROM ctoks)
 SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
        CAST(count(*) AS BIGINT) AS cf
 FROM alltoks GROUP BY term ORDER BY term""",
+        "ft_keyword_analyze": """
+WITH tok AS (
+  SELECT doc_id, 'Src-' || upper(source) || '/' || lang AS term FROM documents
+)
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS cf
+FROM tok GROUP BY term ORDER BY term""",
+        "ft_whitespace_analyze": """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(upper(text), '\\S+')) AS term
+  FROM documents
+)
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS cf
+FROM tok GROUP BY term ORDER BY term""",
+        "ft_path_tokens": """
+WITH tok AS (
+  SELECT doc_id, '/' || source AS term FROM documents
+  UNION ALL
+  SELECT doc_id, '/' || source || '/' || lang FROM documents
+  UNION ALL
+  SELECT doc_id,
+         '/' || source || '/' || lang || '/' || CAST(doc_id % 10 AS VARCHAR)
+  FROM documents
+)
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS cf
+FROM tok GROUP BY term ORDER BY term""",
+        "ft_url_email": """
+WITH tok AS (
+  SELECT doc_id,
+         'https://host' || (doc_id % 7) || '.example/p' || (doc_id % 13)
+         AS term
+  FROM documents
+  UNION ALL
+  SELECT doc_id,
+         'user' || (doc_id % 5) || '@mail' || (doc_id % 3) || '.org'
+  FROM documents
+)
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS cf
+FROM tok GROUP BY term ORDER BY term""",
         "ann_ivf_recall": _ivf_recall_oracle_sql(n_centroids=8, nprobe=6,
                                                  k=10, nq=20),
         "ann_lsh_recall": _lsh_recall_oracle_sql(n_planes=6, dim=64, seed=5,

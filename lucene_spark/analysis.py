@@ -118,17 +118,27 @@ class Analyzer:
 
     __slots__ = ("stopwords", "pre_filters", "post_filters",
                  "max_token_length", "char_filters", "stream_filters",
-                 "graph_filters")
+                 "graph_filters", "tokenizer", "lowercase")
 
     def __init__(self, stopwords: frozenset[str] = ENGLISH_STOP_WORDS,
                  pre_filters=(), post_filters=(), char_filters=(),
                  max_token_length: int = MAX_TOKEN_LENGTH,
-                 stream_filters=(), graph_filters=()):
+                 stream_filters=(), graph_filters=(),
+                 tokenizer=None, lowercase: bool = True):
         self.stopwords = stopwords
         self.pre_filters = tuple(pre_filters)
         self.post_filters = tuple(post_filters)
         self.char_filters = tuple(char_filters)
         self.max_token_length = max_token_length
+        # the Tokenizer slot (analysis/Tokenizer.java): None = the standard
+        # UAX#29 regex tokenizer; else a callable ``str -> list[str]`` or
+        # ``str -> (tokens, positions)`` (tokenizers.py — path-hierarchy
+        # tokenizers emit every token at the same position, matching
+        # PathHierarchyTokenizer's posInc 1,0,0,... contract)
+        self.tokenizer = tokenizer
+        # WhitespaceAnalyzer/KeywordAnalyzer have no LowerCaseFilter —
+        # lowercase=False drops that stage from run_token
+        self.lowercase = lowercase
         # graph filters see the RAW (original-case, pre-stop) token stream
         # straight off the tokenizer — the slot for filters that must see
         # case and may expand one token into several positions
@@ -151,7 +161,7 @@ class Analyzer:
         """One raw tokenizer output → emitted term or None (removed)."""
         if len(raw) > self.max_token_length:
             return None
-        t = raw.lower()
+        t = raw.lower() if self.lowercase else raw
         for f in self.pre_filters:
             t = f(t)
             if t is None:
@@ -171,8 +181,17 @@ class Analyzer:
         toks: list[str] = []
         poss: list[int] = []
         if text:
-            raw_toks = _TOKEN_RE.findall(self.run_text(text))
-            raw_poss = list(range(len(raw_toks)))
+            filtered = self.run_text(text)
+            if self.tokenizer is not None:
+                out = self.tokenizer(filtered)
+                if isinstance(out, tuple):
+                    raw_toks, raw_poss = list(out[0]), list(out[1])
+                else:
+                    raw_toks = list(out)
+                    raw_poss = list(range(len(raw_toks)))
+            else:
+                raw_toks = _TOKEN_RE.findall(filtered)
+                raw_poss = list(range(len(raw_toks)))
             for gf in self.graph_filters:
                 raw_toks, raw_poss = gf(raw_toks, raw_poss)
             for raw, i in zip(raw_toks, raw_poss):
@@ -308,6 +327,11 @@ def analyze_with_offsets(
             "graph filters split tokens; per-part offset adjustment "
             "(WordDelimiterGraphFilter adjustInternalOffsets) is not "
             "implemented — index without graph filters for highlighting"
+        )
+    if an is not None and an.tokenizer is not None:
+        raise ValueError(
+            "custom tokenizers do not expose character spans; offsets "
+            "need the standard tokenizer (finditer spans)"
         )
     for i, m in enumerate(_TOKEN_RE.finditer(text)):
         raw = m.group(0)

@@ -1,0 +1,153 @@
+"""Alternative tokenizers for the Analyzer tokenizer slot.
+
+Reference (lucene/analysis/common/src/java/org/apache/lucene/analysis/...):
+  core/WhitespaceTokenizer.java      — runs of non-whitespace
+  core/KeywordTokenizer.java         — whole input as one token
+  core/LetterTokenizer.java          — runs of Character.isLetter chars
+  core/SimpleAnalyzer.java           — LetterTokenizer + LowerCaseFilter
+  core/WhitespaceAnalyzer.java       — WhitespaceTokenizer alone (no casing)
+  core/KeywordAnalyzer.java:26-34    — KeywordTokenizer alone (no casing)
+  core/StopAnalyzer.java:33-41       — LetterTokenizer + lowercase + stop
+  path/PathHierarchyTokenizer.java:110-180 — cumulative path prefixes,
+      posInc 1,0,0,... (all prefixes share one position), ``skip`` leading
+      segments dropped with the boundary delimiter kept on emitted tokens
+  path/ReversePathHierarchyTokenizer.java  — path suffixes (domain-style),
+      ``skip`` trailing segments dropped
+  standard/UAX29URLEmailTokenizer.java     — StandardTokenizer plus <URL>
+      and <EMAIL> token types kept whole (documented SUBSET here: the
+      reference implements the full RFC 3986/5321 grammars via generated
+      JFlex tables; this module recognizes scheme://… , www.… and
+      local@domain.tld shapes, which covers web-corpus link/contact text)
+
+Each tokenizer is a plain callable ``str -> list[str]`` (or
+``str -> (tokens, positions)`` when the position contract is not
+one-position-per-token) that plugs into ``Analyzer(tokenizer=...)``.
+Tokenization runs inside Arrow-batched pandas UDFs at index-build time, so
+these stay pure-Python per text but vectorized per batch — same execution
+shape as the standard chain.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .analysis import Analyzer, ENGLISH_STOP_WORDS, _TOKEN_RE
+
+_WS_RE = re.compile(r"\S+")
+_LETTER_RE = re.compile(r"[^\W\d_]+")
+
+# UAX29URLEmailTokenizer subset: full URLs (scheme:// or www.) and emails
+# win over the standard word rules at the same start position, exactly like
+# the reference grammar's longest-match precedence.
+_URL_PAT = r"(?:(?:https?|ftp)://|www\.)[^\s<>\"'()]+[^\s<>\"'().,;!?]"
+_EMAIL_PAT = r"[A-Za-z0-9._%+\-]+@(?:[A-Za-z0-9\-]+\.)+[A-Za-z]{2,}"
+_URLEMAIL_RE = re.compile(
+    "|".join([_URL_PAT, _EMAIL_PAT, _TOKEN_RE.pattern]))
+
+
+def whitespace_tokenize(text: str) -> list[str]:
+    """WhitespaceTokenizer.java: maximal runs of non-whitespace."""
+    return _WS_RE.findall(text) if text else []
+
+
+def keyword_tokenize(text: str) -> list[str]:
+    """KeywordTokenizer.java: the entire input is one token."""
+    return [text] if text else []
+
+
+def letter_tokenize(text: str) -> list[str]:
+    """LetterTokenizer.java: maximal runs of letters (digits/_ split)."""
+    return _LETTER_RE.findall(text) if text else []
+
+
+def url_email_tokenize(text: str) -> list[str]:
+    """UAX29URLEmailTokenizer subset: URLs and emails stay whole, all
+    other text follows the standard UAX#29 word rules."""
+    return _URLEMAIL_RE.findall(text) if text else []
+
+
+def path_hierarchy_tokenizer(delimiter: str = "/", replacement: str | None = None,
+                             skip: int = 0):
+    """PathHierarchyTokenizer.java:110-180: '/a/b/c' → '/a', '/a/b',
+    '/a/b/c'; a trailing delimiter yields one more token ('/a/b/c/');
+    ``skip`` drops that many leading segments and emitted tokens then start
+    with the (replacement) delimiter: skip=1 on '/a/b/c' → '/b', '/b/c'.
+    All tokens share one position (posInc 1,0,0,...)."""
+    rep = delimiter if replacement is None else replacement
+
+    def tok(text: str):
+        if not text:
+            return [], []
+        segs = text.split(delimiter)
+        if segs[0] == "":
+            segs = segs[1:]
+            lead = rep
+        else:
+            lead = ""
+        if skip > 0:
+            segs = segs[skip:]
+            lead = rep
+        toks = [lead + rep.join(segs[:i]) for i in range(1, len(segs) + 1)]
+        toks = [t for t in toks if t]
+        return toks, [0] * len(toks)
+
+    return tok
+
+
+def reverse_path_hierarchy_tokenizer(delimiter: str = "/",
+                                     replacement: str | None = None,
+                                     skip: int = 0):
+    """ReversePathHierarchyTokenizer.java: '/a/b/c' → '/a/b/c', 'a/b/c',
+    'b/c', 'c' (every suffix after a delimiter); ``skip`` drops the last
+    ``skip`` segments and emitted tokens keep the trailing delimiter:
+    skip=1 on '/a/b/c' → '/a/b/', 'a/b/', 'b/'."""
+    rep = delimiter if replacement is None else replacement
+
+    def tok(text: str):
+        if not text:
+            return [], []
+        if skip > 0:
+            segs = text.split(delimiter)
+            if segs and segs[-1] == "":
+                segs = segs[:-1]
+            segs = segs[: len(segs) - skip]
+            if not segs and not text.startswith(delimiter):
+                return [], []
+            text = delimiter.join(segs) + delimiter
+        out = text if rep == delimiter else text.replace(delimiter, rep)
+        toks = [out]
+        for i, c in enumerate(text):
+            if c == delimiter and i + 1 < len(text):
+                toks.append(out[i + 1:])
+        return toks, [0] * len(toks)
+
+    return tok
+
+
+def whitespace_analyzer() -> Analyzer:
+    """WhitespaceAnalyzer.java: WhitespaceTokenizer, no filters, no casing."""
+    return Analyzer(stopwords=frozenset(), tokenizer=whitespace_tokenize,
+                    lowercase=False)
+
+
+def simple_analyzer() -> Analyzer:
+    """SimpleAnalyzer.java: LetterTokenizer + LowerCaseFilter."""
+    return Analyzer(stopwords=frozenset(), tokenizer=letter_tokenize)
+
+
+def keyword_analyzer(max_token_length: int = 1 << 20) -> Analyzer:
+    """KeywordAnalyzer.java:26-34: whole field = one term, verbatim (the
+    exact-match ID-field analyzer)."""
+    return Analyzer(stopwords=frozenset(), tokenizer=keyword_tokenize,
+                    lowercase=False, max_token_length=max_token_length)
+
+
+def stop_analyzer(stopwords: frozenset[str] = ENGLISH_STOP_WORDS) -> Analyzer:
+    """StopAnalyzer.java:33-41: LetterTokenizer + lowercase + stop filter."""
+    return Analyzer(stopwords=stopwords, tokenizer=letter_tokenize)
+
+
+def url_email_analyzer(stopwords: frozenset[str] = ENGLISH_STOP_WORDS) -> Analyzer:
+    """UAX29URLEmailAnalyzer.java: URL/email-aware tokenizer + lowercase +
+    stop filter."""
+    return Analyzer(stopwords=stopwords, tokenizer=url_email_tokenize)
