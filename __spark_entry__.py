@@ -1392,6 +1392,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (generalized conjunction over arbitrary sub-scorers)
         return _topk_df(spark, sf, '"table hash" AND dup', 10)
 
+    def ft_simple_qp(spark, sf):
+        # SimpleQueryParser (queryparser/simple/SimpleQueryParser.java):
+        # `dup + (table | hash)` — '+' AND, '|' OR, parens precedence;
+        # complement-free so it lowers onto the engine AST and runs the
+        # pruned kernel path
+        from lucene_spark.simpleqp import simple_search
+
+        idx = _ft_index(spark, sf)
+        td = simple_search(idx, "dup + (table | hash)", k=10)
+        rows = [(int(d), int(math.floor(s * 10000)))
+                for d, s in zip(td.docids.tolist(), td.scores.tolist())]
+        return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
+    def ft_simple_neg(spark, sf):
+        # SimpleQueryParser negation under the default OR operator:
+        # `table -dup` = OR(table, complement(dup)) — the reference wraps
+        # '-' in bq(MUST_NOT sub, SHOULD MatchAll) (:448-453), so every doc
+        # WITHOUT 'dup' matches at MatchAll's constant 1.0 and docs with
+        # 'table' add BM25; runs the DataFrame BooleanQuery evaluator
+        # (anti-join complement + union-sum), not the kernel
+        from lucene_spark.simpleqp import simple_search
+
+        idx = _ft_index(spark, sf)
+        td = simple_search(idx, "table -dup", k=10)
+        rows = [(int(d), int(math.floor(s * 10000)))
+                for d, s in zip(td.docids.tolist(), td.scores.tolist())]
+        return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
     def ft_flexible(spark, sf):
         # StandardQueryParser (queryparser/flexible/standard/
         # StandardQueryParser.java): classic syntax through the processor
@@ -2519,7 +2547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_xy_box, ft_xy_distance, ft_xy_polygon,
         ft_span_field_masked,
         ft_keyword_analyze, ft_whitespace_analyze, ft_path_tokens,
-        ft_url_email,
+        ft_url_email, ft_simple_qp, ft_simple_neg,
         # (1) families whose semantics or oracle changed THIS round --
         # the driver must re-verify them:
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -4787,6 +4815,45 @@ WITH tok AS (
 SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
        CAST(count(*) AS BIGINT) AS cf
 FROM tok GROUP BY term ORDER BY term""",
+        "ft_simple_qp": _FT_PRELUDE + """,
+ts AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) AS w,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (s.sttf / s.n))) AS inv,
+         tf.tf AS tf
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term IN ('dup', 'table', 'hash')
+),
+doc_scores AS (
+  SELECT doc_id, SUM(w - w / (1.0 + tf * inv)) AS score,
+         MAX(CASE WHEN term = 'dup' THEN 1 ELSE 0 END) AS has_dup,
+         MAX(CASE WHEN term IN ('table', 'hash') THEN 1 ELSE 0 END) AS has_th
+  FROM ts GROUP BY doc_id
+)
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM doc_scores WHERE has_dup = 1 AND has_th = 1
+ORDER BY score DESC, doc_id LIMIT 10""",
+        "ft_simple_neg": _FT_PRELUDE + """,
+ts AS (
+  SELECT tf.doc_id,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) AS w,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (s.sttf / s.n))) AS inv,
+         tf.tf AS tf
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term = 'table'
+),
+tscore AS (SELECT doc_id, w - w / (1.0 + tf * inv) AS s FROM ts),
+dup_docs AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'dup'),
+scored AS (
+  SELECT d.doc_id,
+         coalesce(t.s, 0) +
+         CASE WHEN dd.doc_id IS NULL THEN 1.0 ELSE 0.0 END AS score
+  FROM dl d
+  LEFT JOIN tscore t USING (doc_id)
+  LEFT JOIN dup_docs dd ON dd.doc_id = d.doc_id
+)
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM scored WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10""",
         "ann_ivf_recall": _ivf_recall_oracle_sql(n_centroids=8, nprobe=6,
                                                  k=10, nq=20),
         "ann_lsh_recall": _lsh_recall_oracle_sql(n_planes=6, dim=64, seed=5,
