@@ -1935,6 +1935,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("term", "df", "cf").orderBy("term")
         )
 
+    def text_line_dedup(spark, sf):
+        # cross-document line-level boilerplate removal (CCNet paragraph
+        # dedup / RefinedWeb line-wise dedup): docs are synthesized with 3
+        # lines — two content slices and an injected 'share this page k'
+        # banner shared by every 5th doc — lines in >3 distinct docs drop
+        from lucene_spark.textops import dedup_lines
+
+        docs = _docs(spark, sf)
+        w = F.split(F.col("text"), " ")
+        mdocs = docs.select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.array_join(F.slice(w, 1, 6), " "),
+                F.concat(F.lit("share this page "),
+                         (F.col("doc_id") % 5).cast("string")),
+                F.array_join(F.slice(w, 7, 6), " "),
+            ).alias("text"),
+        )
+        out = dedup_lines(mdocs, max_line_df=3)
+        return out.select("doc_id", "n_lines", "n_kept", "text").orderBy("doc_id")
+
     def ft_facet_ssdv(spark, sf):
         # SortedSetDocValuesFacetCounts (facet/sortedset/...FacetCounts
         # .java:57): multi-valued flat string facet over the 'dup' match
@@ -2547,7 +2569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_xy_box, ft_xy_distance, ft_xy_polygon,
         ft_span_field_masked,
         ft_keyword_analyze, ft_whitespace_analyze, ft_path_tokens,
-        ft_url_email, ft_simple_qp, ft_simple_neg,
+        ft_url_email, ft_simple_qp, ft_simple_neg, text_line_dedup,
         # (1) families whose semantics or oracle changed THIS round --
         # the driver must re-verify them:
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -4854,6 +4876,33 @@ scored AS (
 )
 SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
 FROM scored WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10""",
+        "text_line_dedup": """
+WITH mixed AS (
+  SELECT doc_id,
+         array_to_string(ws[1:6], ' ') || chr(10) ||
+         'share this page ' || (doc_id % 5) || chr(10) ||
+         array_to_string(ws[7:12], ' ') AS t2
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+),
+lines AS (
+  SELECT doc_id, generate_subscripts(string_split(t2, chr(10)), 1) AS pos,
+         unnest(string_split(t2, chr(10))) AS line
+  FROM mixed
+),
+norm AS (SELECT doc_id, pos, line, lower(trim(line)) AS nl FROM lines),
+boiler AS (
+  SELECT nl FROM norm WHERE length(nl) >= 1
+  GROUP BY nl HAVING count(DISTINCT doc_id) > 3
+),
+marked AS (
+  SELECT n.doc_id, n.pos, n.line, b.nl IS NOT NULL AS isb
+  FROM norm n LEFT JOIN boiler b ON n.nl = b.nl
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN isb THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN isb THEN NULL ELSE line END,
+                           chr(10) ORDER BY pos), '') AS text
+FROM marked GROUP BY doc_id ORDER BY doc_id""",
         "ann_ivf_recall": _ivf_recall_oracle_sql(n_centroids=8, nprobe=6,
                                                  k=10, nq=20),
         "ann_lsh_recall": _lsh_recall_oracle_sql(n_planes=6, dim=64, seed=5,

@@ -511,6 +511,70 @@ def cap_per_domain(
     )
 
 
+def dedup_lines(
+    docs: DataFrame,
+    max_line_df: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Cross-document line-level boilerplate removal — the CCNet paragraph
+    dedup / RefinedWeb line-wise dedup step every web-corpus pipeline runs:
+    a line whose normalized form (lower + trim) appears in MORE THAN
+    ``max_line_df`` distinct documents is boilerplate (cookie banners, nav
+    menus, share buttons) and is dropped from every document.  Lines whose
+    normalized form is shorter than ``min_chars`` are never dropped (guards
+    one-word lines like "yes").
+
+    Returns one row per input doc: (id, n_lines, n_kept, text) with the
+    surviving lines re-joined by newline in their original order (a doc
+    whose every line is boilerplate survives with empty text — dropping
+    docs is a separate quality decision).
+
+    Spark shape: posexplode lines, count line-df grouped on md5(norm) (a
+    32-hex shuffle key instead of arbitrarily long line strings), one join
+    of lines against the boilerplate key set, one groupBy(id) rebuild with
+    an order-restoring array_sort — two exchanges total, both keyed on
+    bounded-width columns, no driver traffic.  At 100 TB the line-df
+    aggregation is the heavy stage and it map-side combines; the rebuild
+    shuffle is corpus-sized but carries each line exactly once.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("nl", F.lower(F.trim("line")))
+    lines = lines.withColumn("lkey", F.md5("nl"))
+    boiler = (
+        lines.filter(F.length("nl") >= max(min_chars, 1))
+        .groupBy("lkey")
+        .agg(F.countDistinct(id_col).alias("ldf"))
+        .filter(F.col("ldf") > max_line_df)
+        .select("lkey")
+        .withColumn("_boiler", F.lit(True))
+    )
+    marked = lines.join(boiler, "lkey", "left").withColumn(
+        "keep", F.col("_boiler").isNull()
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("pos", "line"))
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
+                "\n",
+            ).alias(text_col),
+        )
+    )
+
+
 def ngram_contamination(
     docs: DataFrame,
     probes: list[str],

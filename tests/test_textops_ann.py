@@ -322,3 +322,28 @@ def test_cap_per_domain_and_contamination(spark):
     assert not [r for r in rows if r[1] == 1]
     # empty probes
     assert ngram_contamination(docs, [], n=4).count() == 0
+
+
+def test_dedup_lines(spark):
+    from lucene_spark.textops import dedup_lines
+
+    rows = [
+        (0, "unique alpha\ncookie banner\nbody zero"),
+        (1, " Cookie Banner \nbody one"),   # normalization: trim + lower
+        (2, "cookie banner\nbody two\n"),   # trailing empty line kept
+        (3, "solo text\n\nyes"),            # interior empty line kept
+        (4, "yes\nbody four"),              # 'yes' df=2 but < min_chars
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup_lines(d, max_line_df=1, min_chars=4).collect()}
+    assert out[0]["text"] == "unique alpha\nbody zero"
+    assert (out[0]["n_lines"], out[0]["n_kept"]) == (3, 2)
+    assert out[1]["text"] == "body one"
+    assert out[2]["text"] == "body two\n"
+    assert out[3]["text"] == "solo text\n\nyes"
+    assert out[4]["text"] == "yes\nbody four"
+    # raising the threshold keeps the banner
+    out2 = {r["doc_id"]: r["text"]
+            for r in dedup_lines(d, max_line_df=3, min_chars=4).collect()}
+    assert out2[0] == rows[0][1]
