@@ -1094,6 +1094,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SpanNotQuery: 'scan' with no 'table' within [p-1, p+2]
         return _topk_df(spark, sf, span_not("scan", "table", pre=1, post=2), 10)
 
+    def ft_span_prange(spark, sf):
+        from lucene_spark.spans import span_position_range
+
+        # SpanPositionRangeQuery: 'table' spans with start >= 2, end <= 9
+        return _topk_df(spark, sf, span_position_range("table", 2, 9), 10)
+
     def ft_span_containing(spark, sf):
         from lucene_spark.spans import span_containing, span_near
 
@@ -1521,6 +1527,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("lang", "doc_id",
                     F.floor(F.col("score") * 10000).cast("long").alias("score_q"))
         )
+
+    def ft_group_all(spark, sf):
+        # AllGroupsCollector (grouping/AllGroupsCollector.java:28-38): the
+        # distinct group (lang) values among the 'batch' hits
+        from lucene_spark.grouping import all_groups
+
+        idx = _ft_index(spark, sf)
+        m = score_docs(idx, "batch", precision="float64")
+        docs = _docs(spark, sf).select(
+            F.col("doc_id").alias("docid"), "lang")
+        return all_groups(m, docs, "lang").select(
+            F.col("group").alias("grp")).orderBy("grp")
+
+    def ft_group_heads(spark, sf):
+        # AllGroupHeadsCollector (grouping/AllGroupHeadsCollector.java:37-60)
+        # score sort: per lang, the single most relevant 'batch' hit
+        from lucene_spark.grouping import all_group_heads
+
+        idx = _ft_index(spark, sf)
+        m = score_docs(idx, "batch", precision="float64")
+        docs = _docs(spark, sf).select(
+            F.col("doc_id").alias("docid"), "lang")
+        h = all_group_heads(m, docs, group_col="lang")
+        return h.select(
+            "lang", F.col("docid").alias("doc_id"),
+            F.floor(F.col("score") * 10000).cast("long").alias("score_q"),
+        ).orderBy("lang")
+
+    def ft_group_distinct(spark, sf):
+        # DistinctValuesCollector (grouping/DistinctValuesCollector.java:
+        # 28-35): per lang group, the distinct source values among hits
+        from lucene_spark.grouping import distinct_values
+
+        idx = _ft_index(spark, sf)
+        m = score_docs(idx, "batch", precision="float64")
+        docs = _docs(spark, sf).select(
+            F.col("doc_id").alias("docid"), "lang", "source")
+        dv = distinct_values(m, docs, "lang", "source")
+        return dv.select(
+            F.col("group").alias("grp"),
+            F.array_join("values", ",").alias("values_s"),
+            "n_hits",
+        ).orderBy("grp")
+
+    def ft_group_facet(spark, sf):
+        # TermGroupFacetCollector (grouping/GroupFacetCollector.java:33-41):
+        # source facet counts where each lang group counts once per value
+        from lucene_spark.grouping import group_facet_counts
+
+        idx = _ft_index(spark, sf)
+        m = score_docs(idx, "batch", precision="float64")
+        docs = _docs(spark, sf).select(
+            F.col("doc_id").alias("docid"), "lang", "source")
+        gf = group_facet_counts(m, docs, "lang", "source")
+        return gf.select("label", F.col("count").alias("cnt"))
 
     def ft_facet_range(spark, sf):
         # LongRangeFacetCounts analog: n_chars buckets over matching docs
@@ -2570,6 +2631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_span_field_masked,
         ft_keyword_analyze, ft_whitespace_analyze, ft_path_tokens,
         ft_url_email, ft_simple_qp, ft_simple_neg, text_line_dedup,
+        ft_span_prange, ft_group_all, ft_group_heads, ft_group_distinct,
+        ft_group_facet,
         # (1) families whose semantics or oracle changed THIS round --
         # the driver must re-verify them:
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -2910,6 +2973,19 @@ def _span_first_sql(t: str, limit: int, k: int) -> str:
 fr AS (
   SELECT doc_id, CAST(count(*) AS DOUBLE) AS pf
   FROM pos WHERE w = '{t}' AND p + 1 <= {limit}
+  GROUP BY doc_id
+)""" + _span_score_tail([t], k)
+    )
+
+
+def _span_prange_sql(t: str, start: int, end: int, k: int) -> str:
+    """SpanPositionRangeQuery oracle: term spans (width 1) with
+    position >= start and position + 1 <= end."""
+    return (
+        _FT_PRELUDE + "," + _SPAN_POS_CTE + f""",
+fr AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS pf
+  FROM pos WHERE w = '{t}' AND p >= {start} AND p + 1 <= {end}
   GROUP BY doc_id
 )""" + _span_score_tail([t], k)
     )
@@ -4404,6 +4480,7 @@ SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
 FROM mem WHERE score > 0.0""",
         "ft_span_near_unord": _span_near_unord2_sql("window", "scan", 3, 10),
         "ft_span_first": _span_first_sql("key", 6, 10),
+        "ft_span_prange": _span_prange_sql("table", 2, 9, 10),
         "ft_span_not": _span_not_sql("scan", "table", 1, 2, 10),
         "ft_interval_ord": _iv_ord_sql("table", "hash", 3, 10),
         "ft_interval_unord": _iv_unord_sql("window", "scan", 10),
@@ -4876,6 +4953,35 @@ scored AS (
 )
 SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
 FROM scored WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10""",
+        "ft_group_all": _FT_PRELUDE + """
+SELECT DISTINCT d.lang AS grp FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'batch')
+ORDER BY grp""",
+        "ft_group_heads": _FT_PRELUDE + "," + _score_sql(["batch"]) + """,
+hd AS (
+  SELECT d.lang, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY s.score DESC, s.doc_id) AS rn
+  FROM doc_scores s JOIN documents d USING (doc_id)
+)
+SELECT lang, doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM hd WHERE rn = 1 ORDER BY lang""",
+        "ft_group_distinct": _FT_PRELUDE + """,
+hits AS (
+  SELECT d.doc_id, d.lang, d.source FROM documents d
+  WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'batch')
+)
+SELECT lang AS grp,
+       string_agg(DISTINCT source, ',' ORDER BY source) AS values_s,
+       CAST(count(*) AS BIGINT) AS n_hits
+FROM hits GROUP BY lang ORDER BY grp""",
+        "ft_group_facet": _FT_PRELUDE + """,
+hits AS (
+  SELECT d.doc_id, d.lang, d.source FROM documents d
+  WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'batch')
+)
+SELECT source AS label, CAST(count(DISTINCT lang) AS BIGINT) AS cnt
+FROM hits GROUP BY source ORDER BY cnt DESC, label""",
         "text_line_dedup": """
 WITH mixed AS (
   SELECT doc_id,

@@ -565,7 +565,7 @@ def score_query_node(node, postings_by_term, scorers_by_term, precision, pos_by_
     pos_by_term: {term: flat positions} (phrase nodes only).
     """
     kind = node[0]
-    if kind in ("spannear", "spanor", "spanfirst", "spannot", "spancontaining", "spanwithin"):
+    if kind in ("spannear", "spanor", "spanfirst", "spanprange", "spannot", "spancontaining", "spanwithin"):
         from .spans import span_eval
 
         return span_eval(node, postings_by_term, pos_by_term or {}, precision)
@@ -842,7 +842,7 @@ def match_docids(node, postings_by_term, pos_by_term=None) -> np.ndarray:
         if not subs:
             return np.empty(0, dtype=np.int64)
         return np.unique(np.concatenate(subs))
-    if kind in ("phrase", "sloppy", "spannear", "spanor", "spanfirst",
+    if kind in ("phrase", "sloppy", "spannear", "spanor", "spanfirst", "spanprange",
                 "spannot", "spancontaining", "spanwithin", "interval_query"):
         # positional nodes need the scored evaluation to decide matching
         d, _ = score_query_node(node, postings_by_term, {}, "float64", pos_by_term)
@@ -1021,7 +1021,7 @@ def segment_topk(
             out = np.zeros(n_windows, dtype=np.float64)
             out[present] = float(scorer.weight)
             return out
-        if kind_ in ("spannear", "spanor", "spanfirst", "spannot", "spancontaining", "spanwithin"):
+        if kind_ in ("spannear", "spanor", "spanfirst", "spanprange", "spannot", "spancontaining", "spanwithin"):
             # span scores are bounded by the asymptotic weight (score =
             # w - w/(1+f*inv) < w, same argument as the sloppy-phrase bound;
             # Lucene likewise uses dummy MAX_VALUE impacts for spans) on
@@ -1157,7 +1157,7 @@ def _after_mask(d: np.ndarray, s: np.ndarray, after: tuple[float, int]) -> np.nd
 def _phrase_member_terms(node) -> set[str]:
     """Terms whose positions the node needs (phrase members, recursively)."""
     kind = node[0]
-    if kind in ("spannear", "spanor", "spanfirst", "spannot", "spancontaining", "spanwithin"):
+    if kind in ("spannear", "spanor", "spanfirst", "spanprange", "spannot", "spancontaining", "spanwithin"):
         from .spans import span_terms
 
         return set(span_terms(node))

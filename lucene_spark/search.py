@@ -837,7 +837,7 @@ def rewrite(node: tuple, stopwords=ENGLISH_STOP_WORDS) -> tuple | None:
         # term) pairs in one dictionary — index/Term.java:30)
         sub = rewrite(node[2], stopwords)
         return _prefix_field(sub, node[1]) if sub is not None else None
-    if kind in ("span_near", "span_or", "span_first", "span_not",
+    if kind in ("span_near", "span_or", "span_first", "span_position_range", "span_not",
                 "span_containing", "span_within", "span_mask"):
         return _rewrite_span(node, stopwords)
     if kind == "interval_query":
@@ -989,6 +989,14 @@ def _rewrite_span(node: tuple, stopwords) -> tuple | None:
         if sub is None:
             return None
         return ("spanfirst", sub, node[2])
+    if kind == "span_position_range":
+        # SpanPositionRangeQuery (spans/SpanPositionRangeQuery.java:30-60):
+        # spans with start >= range start AND end <= range end; SpanFirst
+        # is the (0, n) special case (SpanFirstQuery.java:38-43)
+        sub = _rewrite_span(node[1], stopwords)
+        if sub is None:
+            return None
+        return ("spanprange", sub, node[2], node[3])
     if kind == "span_not":
         inc = _rewrite_span(node[1], stopwords)
         if inc is None:
@@ -1029,7 +1037,8 @@ def _rewrite_span(node: tuple, stopwords) -> tuple | None:
     raise ValueError(f"bad span node {node!r}")
 
 
-_SPAN_BASE_LEN = {"spannear": 4, "spanor": 2, "spanfirst": 3, "spannot": 5,
+_SPAN_BASE_LEN = {"spannear": 4, "spanor": 2, "spanfirst": 3,
+                  "spanprange": 4, "spannot": 5,
                   "spancontaining": 3, "spanwithin": 3}
 
 
@@ -1235,6 +1244,8 @@ def _prefix_field(n: tuple, f: str) -> tuple:
         return ("spannear", [_prefix_field(c, f) for c in n[1]], n[2], n[3])
     if kind == "spanfirst":
         return ("spanfirst", _prefix_field(n[1], f), n[2])
+    if kind == "spanprange":
+        return ("spanprange", _prefix_field(n[1], f), n[2], n[3])
     if kind == "spannot":
         return ("spannot", _prefix_field(n[1], f), _prefix_field(n[2], f), n[3], n[4])
     if kind in ("spancontaining", "spanwithin"):
@@ -1250,7 +1261,7 @@ def query_terms(node: tuple) -> list[str]:
     kind = node[0]
     if kind == "term":
         return [node[1]]
-    if kind in ("spannear", "spanor", "spanfirst", "spannot", "spancontaining", "spanwithin"):
+    if kind in ("spannear", "spanor", "spanfirst", "spanprange", "spannot", "spancontaining", "spanwithin"):
         from .spans import span_terms
 
         return span_terms(node[: _SPAN_BASE_LEN[kind]])
@@ -1351,7 +1362,7 @@ def attach_scorers(
             if not any(t in dfs for t in group):
                 return None
         return node
-    if kind in ("spannear", "spanor", "spanfirst", "spannot", "spancontaining", "spanwithin"):
+    if kind in ("spannear", "spanor", "spanfirst", "spanprange", "spannot", "spancontaining", "spanwithin"):
         # SpanWeight (spans/SpanWeight.java:99-117): one SimScorer over all
         # member terms' stats (Σ idf, like PhraseWeight); SpanNot uses the
         # include side only (SpanNotQuery.java:117).  A required sub-span
@@ -1511,7 +1522,7 @@ def apply_boosts(node: tuple, factor: float = 1.0) -> tuple[tuple | None, dict[s
             return ("syn", n[1], f)
         if kind == "const":
             return ("const", n[1], n[2] * f)
-        if kind in ("spannear", "spanor", "spanfirst", "spannot", "spancontaining", "spanwithin"):
+        if kind in ("spannear", "spanor", "spanfirst", "spanprange", "spannot", "spancontaining", "spanwithin"):
             # boost folds into the SpanWeight (trailing factor read by
             # attach_scorers, like phrase/sloppy)
             return n + (f,) if f != 1.0 else n

@@ -72,6 +72,13 @@ def span_first(sub, end: int) -> tuple:
     return ("span_first", _sub(sub), end)
 
 
+def span_position_range(sub, start: int, end: int) -> tuple:
+    """SpanPositionRangeQuery (spans/SpanPositionRangeQuery.java:30-60):
+    spans of ``sub`` with start >= ``start`` and end <= ``end`` —
+    SpanFirst is the (0, n) special case."""
+    return ("span_position_range", _sub(sub), start, end)
+
+
 def span_not(include, exclude, pre: int = 0, post: int = 0) -> tuple:
     """SpanNotQuery: ``include`` spans with no ``exclude`` span within
     ``pre`` tokens before / ``post`` tokens after."""
@@ -307,6 +314,10 @@ def span_stream(node, postings_by_term, pos_by_term):
         d, s, e, w = span_stream(node[1], postings_by_term, pos_by_term)
         keep = e <= node[2]
         return d[keep], s[keep], e[keep], w[keep]
+    if kind == "spanprange":
+        d, s, e, w = span_stream(node[1], postings_by_term, pos_by_term)
+        keep = (s >= node[2]) & (e <= node[3])
+        return d[keep], s[keep], e[keep], w[keep]
     if kind == "spannot":
         inc = span_stream(node[1], postings_by_term, pos_by_term)
         exc = span_stream(node[2], postings_by_term, pos_by_term)
@@ -335,7 +346,7 @@ def span_terms(node) -> list[str]:
         for c in node[1]:
             out.extend(span_terms(c))
         return out
-    if kind == "spanfirst":
+    if kind in ("spanfirst", "spanprange"):
         return span_terms(node[1])
     if kind == "spannot":
         return span_terms(node[1]) + span_terms(node[2])
@@ -367,7 +378,7 @@ def span_required_groups(node) -> list[list[str]]:
         for c in node[1]:
             out.extend(span_required_groups(c))
         return out
-    if kind == "spanfirst":
+    if kind in ("spanfirst", "spanprange"):
         return span_required_groups(node[1])
     if kind == "spannot":
         return span_required_groups(node[1])

@@ -384,3 +384,19 @@ def test_containing_empty_sides():
     for kind in ("spancontaining", "spanwithin"):
         d, s, e, w = span_stream((kind, big, ("sterm", "zz")), post, pos)
         assert len(d) == 0
+
+
+def test_span_position_range(spark, span_index):
+    from lucene_spark.search import search
+    from lucene_spark.spans import span_first, span_position_range
+
+    # SpanFirst(t, n) is PositionRange(t, 0, n) (SpanFirstQuery.java:38-43)
+    a = search(span_index, span_first("table", 5), k=300, precision="float64")
+    b = search(span_index, span_position_range("table", 0, 5), k=300,
+               precision="float64")
+    assert a.docids.tolist() == b.docids.tolist()
+    assert a.scores.tolist() == b.scores.tolist()
+    # a non-zero start must be a strict subset of the first-query matches
+    c = search(span_index, span_position_range("table", 2, 5), k=300,
+               precision="float64")
+    assert set(c.docids.tolist()) <= set(a.docids.tolist())
