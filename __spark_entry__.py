@@ -1528,6 +1528,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.floor(F.col("score") * 10000).cast("long").alias("score_q"))
         )
 
+    def ft_passage_score(spark, sf):
+        # UnifiedHighlighter PassageScorer (uhighlight/PassageScorer.java:
+        # 77-136): docs synthesized into three sentences (7 words each,
+        # '. ' separators); the top passage per doc for query {table, hash}
+        # under norm(start) * sum tf(f,plen)*weight(clen,ttf), float64
+        from lucene_spark.highlight import unified_passages
+
+        docs = _docs(spark, sf)
+        w = F.split(F.col("text"), " ")
+        sdocs = docs.select(
+            "doc_id",
+            F.concat(
+                F.array_join(F.slice(w, 1, 7), " "), F.lit(". "),
+                F.array_join(F.slice(w, 8, 7), " "), F.lit(". "),
+                F.array_join(F.slice(w, 15, 7), " "),
+            ).alias("text"),
+        )
+        out = unified_passages(sdocs, ["table", "hash"])
+        return out.select(
+            "doc_id", "start",
+            F.floor(F.col("score") * 10000).cast("long").alias("score_q"),
+            "snippet",
+        ).orderBy("doc_id")
+
     def ft_group_all(spark, sf):
         # AllGroupsCollector (grouping/AllGroupsCollector.java:28-38): the
         # distinct group (lang) values among the 'batch' hits
@@ -2632,7 +2656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_keyword_analyze, ft_whitespace_analyze, ft_path_tokens,
         ft_url_email, ft_simple_qp, ft_simple_neg, text_line_dedup,
         ft_span_prange, ft_group_all, ft_group_heads, ft_group_distinct,
-        ft_group_facet,
+        ft_group_facet, ft_passage_score,
         # (1) families whose semantics or oracle changed THIS round --
         # the driver must re-verify them:
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -4953,6 +4977,53 @@ scored AS (
 )
 SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
 FROM scored WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10""",
+        "ft_passage_score": """
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sent AS (
+  SELECT doc_id,
+         coalesce(array_to_string(w[1:7], ' '), '') AS s1,
+         coalesce(array_to_string(w[8:14], ' '), '') AS s2,
+         coalesce(array_to_string(w[15:21], ' '), '') AS s3
+  FROM ws
+),
+pass AS (
+  SELECT doc_id, 0 AS p_start, s1 || '.' AS snippet, s1 AS body,
+         length(s1) + length(s2) + length(s3) + 4 AS clen FROM sent
+  UNION ALL
+  SELECT doc_id, length(s1) + 2, s2 || '.', s2,
+         length(s1) + length(s2) + length(s3) + 4 FROM sent
+  UNION ALL
+  SELECT doc_id, length(s1) + length(s2) + 4, s3, s3,
+         length(s1) + length(s2) + length(s3) + 4 FROM sent
+),
+ptf AS (
+  SELECT doc_id, p_start, snippet, clen, length(snippet) AS plen,
+         len(list_filter(string_split(body, ' '), x -> x = 'table')) AS ft,
+         len(list_filter(string_split(body, ' '), x -> x = 'hash')) AS fh
+  FROM pass
+),
+dtf AS (SELECT doc_id, sum(ft) AS dt, sum(fh) AS dh FROM ptf GROUP BY doc_id),
+sc AS (
+  SELECT p.doc_id, p.p_start, p.snippet, p.ft + p.fh AS nm,
+         (1 + 1 / ln(87.0 + p.p_start)) * (
+           CASE WHEN p.ft > 0 THEN
+             (p.ft / (p.ft + 1.2 * ((1 - 0.75) + 0.75 * (p.plen / 87.0))))
+             * ((1.2 + 1) * ln(1 + ((1 + p.clen / 87.0) + 0.5) / (d.dt + 0.5)))
+           ELSE 0 END
+           + CASE WHEN p.fh > 0 THEN
+             (p.fh / (p.fh + 1.2 * ((1 - 0.75) + 0.75 * (p.plen / 87.0))))
+             * ((1.2 + 1) * ln(1 + ((1 + p.clen / 87.0) + 0.5) / (d.dh + 0.5)))
+           ELSE 0 END) AS score
+  FROM ptf p JOIN dtf d USING (doc_id)
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, p_start) AS rn
+  FROM sc WHERE nm > 0
+)
+SELECT doc_id, CAST(p_start AS BIGINT) AS start,
+       CAST(floor(score * 10000) AS BIGINT) AS score_q, snippet
+FROM rk WHERE rn = 1 ORDER BY doc_id""",
         "ft_group_all": _FT_PRELUDE + """
 SELECT DISTINCT d.lang AS grp FROM documents d
 WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'batch')

@@ -493,3 +493,38 @@ def test_fuzzy_suggest(spark):
     # non-fuzzy prefix: first char may not be edited
     out3 = fuzzy_suggest(sugg, "eky wind", num=10).collect()
     assert out3 == []
+
+
+def test_unified_passages(spark):
+    import math
+
+    from lucene_spark.highlight import unified_passages
+
+    rows = [
+        # passage 2 has two hits vs one -> must win despite the later-start
+        # norm penalty (norm decays slowly: 1 + 1/ln(87+start))
+        (0, "alpha spark beta gamma. spark delta spark epsilon. zeta eta"),
+        (1, "nothing to see here. still nothing"),
+        (2, "spark at the start. unrelated tail"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in unified_passages(d, ["spark"]).collect()}
+    assert 1 not in out                      # no match -> no passage
+    assert out[0]["snippet"] == "spark delta spark epsilon."
+    assert out[0]["start"] == 24
+    assert out[2]["snippet"] == "spark at the start."
+    assert out[2]["start"] == 0
+    # faithful formula spot-check for doc 2, passage at start=0:
+    # f=1, plen=19, clen=len(text), ttf=1
+    text = rows[2][1]
+    plen, clen, k1, b, piv = 19, len(text), 1.2, 0.75, 87.0
+    tf = 1 / (1 + k1 * ((1 - b) + b * (plen / piv)))
+    w = (k1 + 1) * math.log(1 + ((1 + clen / piv) + 0.5) / (1 + 0.5))
+    want = (1 + 1 / math.log(piv + 0)) * tf * w
+    assert abs(out[2]["score"] - want) < 1e-12
+    # max_passages=2 returns both matching passages for doc 0, score desc
+    two = sorted((r["start"], r["score"]) for r in
+                 unified_passages(d, ["spark"], max_passages=2).collect()
+                 if r["doc_id"] == 0)
+    assert len(two) == 2 and two[0][0] == 0 and two[1][0] == 24
