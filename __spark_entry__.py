@@ -1528,6 +1528,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.floor(F.col("score") * 10000).cast("long").alias("score_q"))
         )
 
+    def ft_fingerprint(spark, sf):
+        # FingerprintFilter (analysis/miscellaneous/FingerprintFilter.java:
+        # 38-70): each doc's stream collapses to one sorted-unique-joined
+        # token; termdict df counts docs sharing a fingerprint (the
+        # Solr/ES near-dup key pattern)
+        from lucene_spark.analysis import Analyzer
+        from lucene_spark.filters import fingerprint_filter
+
+        docs = _docs(spark, sf)
+        idx = build_index(
+            spark, docs, text_col="text", key_col="doc_id",
+            docid_col="doc_id",
+            stopwords=Analyzer(stream_filters=(fingerprint_filter(),)),
+        )
+        return idx.termdict.select("term", "df").orderBy("term")
+
+    def ft_facet_longval(spark, sf):
+        # LongValueFacetCounts (facet/LongValueFacetCounts.java:41-60):
+        # count per distinct value of n_chars % 7 over the 'dup' match set,
+        # all-values form (value asc)
+        from lucene_spark.facets import long_value_facet_counts
+        from lucene_spark.search import score_docs as _sd
+
+        idx = _ft_index(spark, sf)
+        m = _sd(idx, "dup", precision="float64").select("docid")
+        dv = _docs(spark, sf).select(
+            F.col("doc_id").alias("docid"), (F.col("n_chars") % 7).alias("v"))
+        return long_value_facet_counts(dv.join(m, "docid"), "v").select(
+            "value", F.col("count").alias("cnt"))
+
+    def ft_facet_sampled(spark, sf):
+        # RandomSamplingFacetsCollector analog (facet/
+        # RandomSamplingFacetsCollector.java:33-60) with a deterministic
+        # md5-bernoulli sampler at rate 0.5 and integer amortization
+        from lucene_spark.facets import sampled_facet_counts
+        from lucene_spark.search import score_docs as _sd
+
+        idx = _ft_index(spark, sf)
+        m = _sd(idx, "dup", precision="float64").select("docid")
+        docs = _docs(spark, sf).select(F.col("doc_id").alias("docid"), "lang")
+        return sampled_facet_counts(docs.join(m, "docid"), "lang", 0.5, seed=7)
+
     def ft_passage_score(spark, sf):
         # UnifiedHighlighter PassageScorer (uhighlight/PassageScorer.java:
         # 77-136): docs synthesized into three sentences (7 words each,
@@ -2656,7 +2698,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_keyword_analyze, ft_whitespace_analyze, ft_path_tokens,
         ft_url_email, ft_simple_qp, ft_simple_neg, text_line_dedup,
         ft_span_prange, ft_group_all, ft_group_heads, ft_group_distinct,
-        ft_group_facet, ft_passage_score,
+        ft_group_facet, ft_passage_score, ft_fingerprint, ft_facet_longval,
+        ft_facet_sampled,
         # (1) families whose semantics or oracle changed THIS round --
         # the driver must re-verify them:
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -4977,6 +5020,29 @@ scored AS (
 )
 SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
 FROM scored WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10""",
+        "ft_fingerprint": _FT_PRELUDE + """,
+fp AS (
+  SELECT doc_id,
+         array_to_string(list_sort(list_distinct(list(term))), ' ') AS term
+  FROM ftok GROUP BY doc_id
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df FROM fp GROUP BY term
+ORDER BY term""",
+        "ft_facet_longval": _FT_PRELUDE + """
+SELECT CAST(d.n_chars % 7 AS BIGINT) AS value, CAST(count(*) AS BIGINT) AS cnt
+FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'dup')
+GROUP BY value ORDER BY value""",
+        "ft_facet_sampled": _FT_PRELUDE + """,
+hits AS (
+  SELECT d.doc_id, d.lang FROM documents d
+  WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'dup')
+    AND ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':7'), 1, 8))::BIGINT
+        < 2147483648
+)
+SELECT lang AS label, CAST(count(*) AS BIGINT) AS sampled,
+       CAST(floor(count(*) / 0.5) AS BIGINT) AS amortized
+FROM hits GROUP BY lang ORDER BY sampled DESC, label""",
         "ft_passage_score": """
 WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 sent AS (

@@ -169,3 +169,64 @@ def sum_associations(
         .orderBy(F.col("sum").desc(), F.col("label").asc())
         .limit(topn)
     )
+
+
+def long_value_facet_counts(
+    matches: DataFrame,
+    value_col,
+    topn: int | None = None,
+) -> DataFrame:
+    """LongValueFacetCounts (facet/LongValueFacetCounts.java:41-60): a
+    count per DISTINCT long value of ``value_col`` among the matching docs
+    (the all-values form, getAllChildrenSortByValue — ordered by value
+    asc; pass ``topn`` for getTopChildren ordering: count desc, value
+    asc).  ``value_col`` may be any numeric Column expression — the
+    LongValuesSource analog.  One map-side-combined aggregation."""
+    out = (
+        matches.select(F.col(value_col).cast("long").alias("value")
+                       if isinstance(value_col, str)
+                       else value_col.cast("long").alias("value"))
+        .where(F.col("value").isNotNull())
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    if topn is not None:
+        return out.orderBy(F.col("count").desc(), F.col("value").asc()).limit(topn)
+    return out.orderBy(F.col("value").asc())
+
+
+def sampled_facet_counts(
+    matches: DataFrame,
+    label_col: str,
+    sample_rate: float,
+    seed: int = 7,
+    id_col: str = "docid",
+) -> DataFrame:
+    """RandomSamplingFacetsCollector analog (facet/
+    RandomSamplingFacetsCollector.java:33-60: facet over a bernoulli
+    sample of the hit set, then amortize counts by 1/rate): here the
+    sampler is DETERMINISTIC — a doc is sampled when the first 8 hex chars
+    of md5(docid:seed) fall below rate * 2^32 — so results are exactly
+    reproducible across engines (the reference uses XORShift with a
+    per-run seed; determinism replaces the seed contract, the sampling
+    distribution is the same uniform-hash bernoulli).  Returns (label,
+    sampled count, amortized count) — amortized = sampled/rate floor-cast,
+    mirroring the reference's integer amortization (:156-170).
+
+    At scale this is the cheap-facets path: the md5 predicate prunes the
+    hit set BEFORE the aggregation shuffle, so the exchange carries only
+    the sample."""
+    threshold = int(sample_rate * 4294967296.0)
+    key = F.conv(F.substring(F.md5(
+        F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))
+    ), 1, 8), 16, 10).cast("long")
+    return (
+        matches.filter(key < threshold)
+        .groupBy(F.col(label_col).alias("label"))
+        .agg(F.count(F.lit(1)).alias("sampled"))
+        .withColumn(
+            "amortized",
+            F.floor(F.col("sampled") / F.lit(sample_rate)).cast("long"),
+        )
+        .orderBy(F.col("sampled").desc(), F.col("label").asc())
+    )

@@ -769,3 +769,74 @@ def phonetic_inject(encoder=soundex):
         return out_t, out_p
 
     return sf
+
+
+def fingerprint_filter(max_output_token_size: int = 1024, separator: str = " "):
+    """FingerprintFilter (analysis/miscellaneous/FingerprintFilter.java:
+    38-39,56-70): the whole token stream collapses into ONE output token —
+    the sorted, de-duplicated tokens joined by ``separator``; if the
+    combined length would exceed ``max_output_token_size`` nothing is
+    emitted.  The Solr/ES near-duplicate "fingerprint" key.  Plugs into
+    ``Analyzer(stream_filters=...)``."""
+
+    def sf(toks: list[str], poss: list[int]):
+        if not toks:
+            return [], []
+        out = separator.join(sorted(set(toks)))
+        if len(out) > max_output_token_size:
+            return [], []
+        return [out], [0]
+
+    return sf
+
+
+def limit_token_count(max_token_count: int):
+    """LimitTokenCountFilter (miscellaneous/LimitTokenCountFilter.java:36):
+    only the first ``max_token_count`` tokens pass (the IndexWriter
+    maxFieldLength idiom).  Stream-filter slot."""
+
+    def sf(toks: list[str], poss: list[int]):
+        return toks[:max_token_count], poss[:max_token_count]
+
+    return sf
+
+
+def reverse_string(token: str) -> str:
+    """ReverseStringFilter (reverse/ReverseStringFilter.java:58): reverses
+    each token — the classic leading-wildcard indexing trick.  Post-filter
+    slot."""
+    return token[::-1]
+
+
+def truncate_filter(length: int):
+    """TruncateTokenFilter (miscellaneous/TruncateTokenFilter.java:33):
+    tokens are chopped to ``length`` chars (crude stemming for
+    agglutinative languages).  Post-filter slot."""
+
+    def f(token: str) -> str:
+        return token[:length]
+
+    return f
+
+
+def keyword_repeat_stem(stem):
+    """KeywordRepeatFilter + stemmer + RemoveDuplicatesTokenFilter
+    (miscellaneous/KeywordRepeatFilter.java:33 emits every token twice,
+    once keyword-marked so the stemmer skips it;
+    RemoveDuplicatesTokenFilter.java:34 then drops same-position
+    duplicates): each position emits the original token and, when
+    different, its stem — both searchable.  Stream-filter slot."""
+
+    def sf(toks: list[str], poss: list[int]):
+        out_t: list[str] = []
+        out_p: list[int] = []
+        for t, p in zip(toks, poss):
+            out_t.append(t)
+            out_p.append(p)
+            s = stem(t)
+            if s != t:
+                out_t.append(s)
+                out_p.append(p)
+        return out_t, out_p
+
+    return sf

@@ -457,3 +457,41 @@ def test_soundex_vectors_and_search(spark):
     # exact term still works (inject=true keeps the original)
     td2 = search(idx, "smith", k=10)
     assert td2.docids.tolist() == [0]
+
+
+def test_fingerprint_and_stream_filters():
+    from lucene_spark.analysis import Analyzer
+    from lucene_spark.filters import (
+        fingerprint_filter,
+        keyword_repeat_stem,
+        limit_token_count,
+        porter_stem,
+        reverse_string,
+        truncate_filter,
+    )
+
+    an = Analyzer(stream_filters=(fingerprint_filter(),))
+    # sorted + dedup + single token; stopwords removed first
+    assert an.analyze_text("the Quick quick Brown fox")[0] == [
+        "brown fox quick"]
+    # over the cap -> nothing (FingerprintFilter.java:63-64)
+    an2 = Analyzer(stream_filters=(fingerprint_filter(max_output_token_size=5),))
+    assert an2.analyze_text("alpha beta")[0] == []
+    # separator
+    an3 = Analyzer(stream_filters=(fingerprint_filter(separator="_"),))
+    assert an3.analyze_text("bb aa")[0] == ["aa_bb"]
+
+    lim = Analyzer(stream_filters=(limit_token_count(2),))
+    assert lim.analyze_text("one two three four")[0] == ["one", "two"]
+
+    rev = Analyzer(stopwords=frozenset(), post_filters=(reverse_string,))
+    assert rev.analyze_text("abc xyz")[0] == ["cba", "zyx"]
+
+    tr = Analyzer(stopwords=frozenset(), post_filters=(truncate_filter(3),))
+    assert tr.analyze_text("abcdef ab")[0] == ["abc", "ab"]
+
+    kr = Analyzer(stream_filters=(keyword_repeat_stem(porter_stem),))
+    toks, poss = kr.analyze_text("running fox")
+    # original + stem at the same position; unchanged tokens emit once
+    assert toks == ["running", "run", "fox"]
+    assert poss == [0, 0, 1]
