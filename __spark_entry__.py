@@ -1100,6 +1100,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SpanPositionRangeQuery: 'table' spans with start >= 2, end <= 9
         return _topk_df(spark, sf, span_position_range("table", 2, 9), 10)
 
+    def ft_term_automaton(spark, sf):
+        # TermAutomatonQuery (sandbox/search/TermAutomatonQuery.java): the
+        # automaton 0 -table-> s1 -hash-> ACC, 0 -hash-> ACC — accepts the
+        # single token 'hash' or the bigram 'table hash'; freq per doc =
+        # hash occurrences + adjacent (table,hash) pairs (each accept-state
+        # arrival counts, TermAutomatonScorer.java:318-337), scored under
+        # the summed-idf multi-term weight
+        from lucene_spark.termautomaton import TermAutomatonQuery
+
+        q = TermAutomatonQuery()
+        s1 = q.create_state()
+        s2 = q.create_state()
+        q.add_transition(0, s1, "table")
+        q.add_transition(s1, s2, "hash")
+        q.add_transition(0, s2, "hash")
+        q.set_accept(s2, True)
+        return _topk_df(spark, sf, q.finish(), 10)
+
     def ft_span_containing(spark, sf):
         from lucene_spark.spans import span_containing, span_near
 
@@ -2699,7 +2717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_url_email, ft_simple_qp, ft_simple_neg, text_line_dedup,
         ft_span_prange, ft_group_all, ft_group_heads, ft_group_distinct,
         ft_group_facet, ft_passage_score, ft_fingerprint, ft_facet_longval,
-        ft_facet_sampled,
+        ft_facet_sampled, ft_term_automaton,
         # (1) families whose semantics or oracle changed THIS round --
         # the driver must re-verify them:
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -4548,6 +4566,17 @@ FROM mem WHERE score > 0.0""",
         "ft_span_near_unord": _span_near_unord2_sql("window", "scan", 3, 10),
         "ft_span_first": _span_first_sql("key", 6, 10),
         "ft_span_prange": _span_prange_sql("table", 2, 9, 10),
+        "ft_term_automaton": _FT_PRELUDE + "," + _SPAN_POS_CTE + """,
+fr AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS pf FROM (
+    SELECT doc_id FROM pos WHERE w = 'hash'
+    UNION ALL
+    SELECT p0.doc_id FROM pos p0
+    JOIN pos p1 ON p1.doc_id = p0.doc_id AND p1.p = p0.p + 1
+               AND p1.w = 'hash'
+    WHERE p0.w = 'table'
+  ) GROUP BY doc_id
+)""" + _span_score_tail(["table", "hash"], 10),
         "ft_span_not": _span_not_sql("scan", "table", 1, 2, 10),
         "ft_interval_ord": _iv_ord_sql("table", "hash", 3, 10),
         "ft_interval_unord": _iv_unord_sql("window", "scan", 10),

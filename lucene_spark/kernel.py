@@ -569,6 +569,10 @@ def score_query_node(node, postings_by_term, scorers_by_term, precision, pos_by_
         from .spans import span_eval
 
         return span_eval(node, postings_by_term, pos_by_term or {}, precision)
+    if kind == "termauto":
+        from .termautomaton import termauto_eval
+
+        return termauto_eval(node, postings_by_term, pos_by_term or {}, precision)
     if kind == "interval_query":
         from .intervals import interval_eval
 
@@ -843,7 +847,8 @@ def match_docids(node, postings_by_term, pos_by_term=None) -> np.ndarray:
             return np.empty(0, dtype=np.int64)
         return np.unique(np.concatenate(subs))
     if kind in ("phrase", "sloppy", "spannear", "spanor", "spanfirst", "spanprange",
-                "spannot", "spancontaining", "spanwithin", "interval_query"):
+                "spannot", "spancontaining", "spanwithin", "interval_query",
+                "termauto"):
         # positional nodes need the scored evaluation to decide matching
         d, _ = score_query_node(node, postings_by_term, {}, "float64", pos_by_term)
         return d
@@ -1039,6 +1044,19 @@ def segment_topk(
             out = np.zeros(n_windows, dtype=np.float64)
             out[present] = float(scorer.weight)
             return out
+        if kind_ == "termauto":
+            # TermAutomatonScorer.getMaxScore is sim.score(MAX_VALUE, 1)
+            # (TermAutomatonScorer.java:377-379) — bounded by the asymptotic
+            # weight; a match needs at least one query-term position, so
+            # windows with no member term present bound to zero
+            scorer = n_[-1]
+            present = np.zeros(n_windows, dtype=bool)
+            for t in n_[1]["terms"]:
+                if t in tps:
+                    present |= window_max_scores(tps[t], scorer, n_windows, window_bits) > 0
+            out = np.zeros(n_windows, dtype=np.float64)
+            out[present] = float(scorer.weight)
+            return out
         if kind_ == "interval_query":
             # IntervalScorer.getMaxScore(upTo) == boost (saturation and
             # sigmoid are both < 1 · weight) — bound every window where all
@@ -1165,6 +1183,8 @@ def _phrase_member_terms(node) -> set[str]:
         from .intervals import interval_terms
 
         return set(interval_terms(node[1]))
+    if kind == "termauto":
+        return set(node[1]["terms"])
     if kind in ("phrase", "sloppy"):
         out: set[str] = set()
         for m, _ in node[1]:

@@ -790,6 +790,10 @@ def rewrite(node: tuple, stopwords=ENGLISH_STOP_WORDS) -> tuple | None:
         # BlendedTermQuery takes raw Terms (search/BlendedTermQuery.java:84
         # Builder.add(Term)) — no analysis, like the multi-term family
         return node
+    if kind == "termauto":
+        # TermAutomatonQuery takes exact index terms (sandbox/search/
+        # TermAutomatonQuery.java addTransition(BytesRef)) — no analysis
+        return node
     if kind in ("phrase", "sloppy"):
         # already-analyzed positioned members (e.g. synonym-graph phrase
         # paths: SynonymMap entries are analyzed when the map is built,
@@ -1273,6 +1277,8 @@ def query_terms(node: tuple) -> list[str]:
         from .feature import feature_term
 
         return [feature_term(node[1])]
+    if kind == "termauto":
+        return list(node[1]["terms"])
     if kind in ("and", "msm", "syn", "const", "blended"):
         return list(node[1])
     if kind == "scored_or":
@@ -1392,6 +1398,19 @@ def attach_scorers(
             boost=boost, precision=precision,
         )
         return core + (scorer,)
+    if kind == "termauto":
+        # TermAutomatonWeight (sandbox/search/TermAutomatonQuery.java:
+        # 365-405): ONE SimScorer over every query term present in the
+        # dictionary (summed idf); all terms absent -> no candidate docs
+        # ("will not use sim") -> MatchNoDocs
+        wterms = [t for t in node[1]["terms"] if t in dfs]
+        if not wterms:
+            return None
+        scorer = sim_cls.for_terms(
+            [dfs[t] for t in wterms], stats_for(wterms[0]), k1=k1, b=b,
+            boost=1.0, precision=precision,
+        )
+        return ("termauto", node[1], scorer)
     if kind == "scored_or":
         # (term, prebuilt scorer) members — keep only dictionary hits
         subs = [("syn", [t], sc) for t, sc in node[1] if t in dfs]
