@@ -2006,6 +2006,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return idx.termdict.select("term", "df", "cf").orderBy("term")
 
+    def ft_spanish_light(spark, sf):
+        # SpanishLightStemmer (analysis/es/SpanishLightStemmer.java:62-113,
+        # Savoy CLEF-2001) routed from the lang column: the es-slice of the
+        # corpus indexes through the light-stem chain; termdict proves the
+        # stemmed vocabulary (de/fr stemmers are vocabulary-parity-tested
+        # against the reference's 35k/20k-pair files in test_stemmers.py)
+        from lucene_spark.stemmers import light_stem_analyzer
+
+        docs = _docs(spark, sf).filter(F.col("lang") == "es")
+        idx = build_index(spark, docs, text_col="text", key_col="doc_id",
+                          docid_col="doc_id",
+                          stopwords=light_stem_analyzer("es"))
+        return idx.termdict.select("term", "df", "cf").orderBy("term")
+
     def ft_keyword_analyze(spark, sf):
         # KeywordAnalyzer (analysis/core/KeywordAnalyzer.java:26-34): the
         # whole field is ONE verbatim term — case and punctuation kept —
@@ -2717,7 +2731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_url_email, ft_simple_qp, ft_simple_neg, text_line_dedup,
         ft_span_prange, ft_group_all, ft_group_heads, ft_group_distinct,
         ft_group_facet, ft_passage_score, ft_fingerprint, ft_facet_longval,
-        ft_facet_sampled, ft_term_automaton,
+        ft_facet_sampled, ft_term_automaton, ft_spanish_light,
         # (1) families whose semantics or oracle changed THIS round --
         # the driver must re-verify them:
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -4968,6 +4982,30 @@ alltoks AS (SELECT * FROM efilt UNION ALL SELECT * FROM ctoks)
 SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
        CAST(count(*) AS BIGINT) AS cf
 FROM alltoks GROUP BY term ORDER BY term""",
+        "ft_spanish_light": f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+  FROM documents WHERE lang = 'es'
+),
+ftok AS (SELECT doc_id, t FROM tok WHERE t NOT IN ({_STOPS_SQL})),
+stemmed AS (
+  SELECT doc_id,
+         CASE
+           WHEN length(t) < 5 THEN t
+           WHEN substr(t, -1) IN ('o', 'a', 'e') THEN substr(t, 1, length(t) - 1)
+           WHEN substr(t, -1) = 's' AND substr(t, -4) = 'eses'
+             THEN substr(t, 1, length(t) - 2)
+           WHEN substr(t, -1) = 's' AND substr(t, -3) = 'ces'
+             THEN substr(t, 1, length(t) - 3) || 'z'
+           WHEN substr(t, -1) = 's' AND substr(t, -2, 1) IN ('o', 'a', 'e')
+             THEN substr(t, 1, length(t) - 2)
+           ELSE t
+         END AS term
+  FROM ftok
+)
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS cf
+FROM stemmed GROUP BY term ORDER BY term""",
         "ft_keyword_analyze": """
 WITH tok AS (
   SELECT doc_id, 'Src-' || upper(source) || '/' || lang AS term FROM documents

@@ -1,0 +1,73 @@
+"""Light-stemmer tests: full reference vocabulary parity (es/de/fr) plus
+the inline reference test vectors (TestFrenchLightStemFilter etc.)."""
+
+import os
+import zipfile
+
+import pytest
+
+from lucene_spark.stemmers import (
+    LIGHT_STEMMERS,
+    french_light_stem,
+    german_light_stem,
+    light_stem_analyzer,
+    spanish_light_stem,
+)
+
+_REF = "/root/reference/lucene/analysis/common/src/test/org/apache/lucene/analysis"
+
+
+@pytest.mark.parametrize("lang,zp", [
+    ("es", f"{_REF}/es/eslighttestdata.zip"),
+    ("de", f"{_REF}/de/delighttestdata.zip"),
+    ("fr", f"{_REF}/fr/frlighttestdata.zip"),
+])
+def test_full_reference_vocabulary(lang, zp):
+    """Every (word, stem) pair from the reference impl's vocabulary file
+    (the same data TestXLightStemFilter.testVocabulary asserts against)."""
+    if not os.path.exists(zp):
+        pytest.skip("reference vocabulary not available")
+    stem = LIGHT_STEMMERS[lang]
+    with zipfile.ZipFile(zp) as z:
+        txt = [n for n in z.namelist() if n.endswith(".txt")][0]
+        data = z.read(txt).decode("utf-8")
+    n = 0
+    for line in data.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split("\t") if "\t" in line else line.split()
+        if len(parts) != 2:
+            continue
+        w, want = parts
+        assert stem(w.lower()) == want.lower(), (lang, w)
+        n += 1
+    assert n > 10000  # the vocabularies are 20k-35k pairs each
+
+
+def test_inline_vectors():
+    # TestFrenchLightStemFilter.java:56-151 highlights
+    for w, want in [("chevaux", "cheval"), ("chantés", "chant"),
+                    ("justificatrice", "justifi"), ("folle", "fou"),
+                    ("ritualisation", "rituel"), ("créées", "cre"),
+                    ("abcccddeef", "abcdef"), ("22hh00", "22h00"),
+                    ("1234555", "1234555")]:
+        assert french_light_stem(w) == want, w
+    # SpanishLightStemmer rules: vowel drop, -es, -ces -> z
+    assert spanish_light_stem("casa") == "casa"  # len < 5 untouched
+    assert spanish_light_stem("casas") == "cas"
+    assert spanish_light_stem("veces") == "vez"
+    assert spanish_light_stem("meses") == "mes"
+    assert spanish_light_stem("canción") == "cancion"  # ó folds, -n kept
+    # GermanLightStemmer steps
+    assert german_light_stem("häuser") == "haus"
+    assert german_light_stem("bücher") == "buch"
+
+
+def test_analyzer_factory():
+    an = light_stem_analyzer("es")
+    assert an.analyze_text("las casas grandes")[0] == ["las", "cas", "grand"]
+    with pytest.raises(ValueError):
+        light_stem_analyzer("xx")
+    # 'en' routes to the Porter chain
+    assert light_stem_analyzer("en").analyze_text("running")[0] == ["run"]
