@@ -2715,7 +2715,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the same DuckDB oracles every round by tests/test_entry_gate.py.
     for fn in [
         # ---- HEAD (driver records the first 50; see contract above) ----
-        # (0) families NEW this round:
+        # (0) families whose semantics or oracle changed THIS round — the
+        # driver must re-verify them (ft_dv_stats was the r2 red row; its
+        # oracle cast fix needs the hard signal first):
+        ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
+        ft_word_break, ft_word_combine, ft_fuzzy, ft_paging,
+        # (1) families NEW this round (42 fit in the 50-row window with the
+        # 8 above; the remaining 6 new-but-simplest sit just below the cap
+        # in section 1b, oracle-verified by pytest every run):
         ann_ivf_recall, ann_lsh_recall, dedup_embcos_recall,
         ft_block_join_child, ft_cjk_analyze, ft_offsets_html,
         ft_fuzzy_suggest, ft_facet_ssdv, ft_xml_query, ft_flexible,
@@ -2727,15 +2734,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_facet_assoc,
         ft_xy_box, ft_xy_distance, ft_xy_polygon,
         ft_span_field_masked,
-        ft_keyword_analyze, ft_whitespace_analyze, ft_path_tokens,
-        ft_url_email, ft_simple_qp, ft_simple_neg, text_line_dedup,
-        ft_span_prange, ft_group_all, ft_group_heads, ft_group_distinct,
-        ft_group_facet, ft_passage_score, ft_fingerprint, ft_facet_longval,
-        ft_facet_sampled, ft_term_automaton, ft_spanish_light,
-        # (1) families whose semantics or oracle changed THIS round --
-        # the driver must re-verify them:
-        ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
-        ft_word_break, ft_word_combine, ft_fuzzy, ft_paging,
+        ft_term_automaton, ft_spanish_light, ft_simple_qp, ft_simple_neg,
+        text_line_dedup, ft_span_prange, ft_passage_score,
+        ft_group_all, ft_group_heads, ft_group_distinct, ft_group_facet,
+        ft_fingerprint,
+        # (1b) new this round, below the 50-row cap:
+        ft_facet_sampled, ft_facet_longval, ft_keyword_analyze,
+        ft_whitespace_analyze, ft_path_tokens, ft_url_email,
         # (2) families that have NEVER carried a driver CORRECTNESS row
         # (r1+r2 recorded 95 distinct entries; these 38 are the rest,
         # substantive operators first, trivial token filters last):
