@@ -585,3 +585,108 @@ LIGHT_STEMMERS.update({
     "fi": finnish_light_stem,
     "hu": hungarian_light_stem,
 })
+
+
+BOKMAAL, NYNORSK = 1, 2
+
+
+def norwegian_light_stem(flags: int = BOKMAAL):
+    """NorwegianLightStemmer.java:84-181 — hand-crafted light stemmer for
+    Bokmål (flags=1), Nynorsk (flags=2), or both (3): possessive -s, the
+    het/heit/leik/dom/else noun-forming suffixes, adjective comparison
+    endings, and definite/indefinite noun endings."""
+    if flags <= 0 or flags > BOKMAAL + NYNORSK:
+        raise ValueError("invalid flags")
+    bm = bool(flags & BOKMAAL)
+    nn = bool(flags & NYNORSK)
+
+    def stem(w: str) -> str:
+        if len(w) > 4 and w[-1] == "s":
+            w = w[:-1]
+        n = len(w)
+        if n > 7 and ((w.endswith("heter") and bm)
+                      or (w.endswith("heten") and bm)
+                      or (w.endswith("heita") and nn)):
+            return w[:-5]
+        if n > 8 and nn and (w.endswith("heiter") or w.endswith("leiken")
+                             or w.endswith("leikar")):
+            return w[:-6]
+        if n > 5 and (w.endswith("dom") or (w.endswith("het") and bm)):
+            return w[:-3]
+        if n > 6 and nn and (w.endswith("heit") or w.endswith("semd")
+                             or w.endswith("leik")):
+            return w[:-4]
+        if n > 7 and (w.endswith("elser") or w.endswith("elsen")):
+            return w[:-5]
+        if n > 6 and ((w.endswith("ende") and bm)
+                      or (w.endswith("ande") and nn)
+                      or w.endswith("else")
+                      or (w.endswith("este") and bm)
+                      or (w.endswith("aste") and nn)
+                      or (w.endswith("eren") and bm)
+                      or (w.endswith("aren") and nn)):
+            return w[:-4]
+        if n > 5 and ((w.endswith("ere") and bm)
+                      or (w.endswith("are") and nn)
+                      or (w.endswith("est") and bm)
+                      or (w.endswith("ast") and nn)
+                      or w.endswith("ene")
+                      or (w.endswith("ane") and nn)):
+            return w[:-3]
+        if n > 4 and (w.endswith("er") or w.endswith("en") or w.endswith("et")
+                      or (w.endswith("ar") and nn)
+                      or (w.endswith("st") and bm)
+                      or w.endswith("te")):
+            return w[:-2]
+        if n > 3 and w[-1] in "aen":
+            return w[:-1]
+        return w
+
+    return stem
+
+
+def norwegian_minimal_stem(flags: int = BOKMAAL):
+    """NorwegianMinimalStemmer.java:81-110 — known noun plural forms and
+    genitive -s only."""
+    if flags <= 0 or flags > BOKMAAL + NYNORSK:
+        raise ValueError("invalid flags")
+    nn = bool(flags & NYNORSK)
+
+    def stem(w: str) -> str:
+        if len(w) > 4 and w[-1] == "s":
+            w = w[:-1]
+        n = len(w)
+        if n > 5 and (w.endswith("ene") or (w.endswith("ane") and nn)):
+            return w[:-3]
+        if n > 4 and (w.endswith("er") or w.endswith("en") or w.endswith("et")
+                      or (w.endswith("ar") and nn)):
+            return w[:-2]
+        if n > 3 and w[-1] in "ae":
+            return w[:-1]
+        return w
+
+    return stem
+
+
+def english_minimal_stem(w: str) -> str:
+    """EnglishMinimalStemmer.java:26-44 (S-stemmer, Harman 1991): plural-
+    only stemming — drop -s except -us/-ss, -ies → y (but not -aies/-eies),
+    keep -ies/-aes/-oes/-ees len-3 forms."""
+    if len(w) < 3 or w[-1] != "s":
+        return w
+    p = w[-2]
+    if p in "us":
+        return w
+    if p == "e":
+        if len(w) > 3 and w[-3] == "i" and w[-4] not in "ae":
+            return w[:-3] + "y"
+        if w[-3] in "iaoe":
+            return w
+    return w[:-1]
+
+
+LIGHT_STEMMERS.update({
+    "nb": norwegian_light_stem(BOKMAAL),
+    "nn": norwegian_light_stem(NYNORSK),
+    "no": norwegian_light_stem(BOKMAAL),
+})

@@ -71,3 +71,50 @@ def test_analyzer_factory():
         light_stem_analyzer("xx")
     # 'en' routes to the Porter chain
     assert light_stem_analyzer("en").analyze_text("running")[0] == ["run"]
+
+
+def test_norwegian_vocabulary():
+    """nb/nn light + minimal vocabulary files from the reference tests."""
+    from lucene_spark.stemmers import (
+        BOKMAAL,
+        NYNORSK,
+        norwegian_light_stem,
+        norwegian_minimal_stem,
+    )
+
+    base = f"{_REF}/no"
+    if not os.path.exists(base):
+        pytest.skip("reference vocabulary not available")
+    for fn, factory, flags in [("nb_light.txt", norwegian_light_stem, BOKMAAL),
+                               ("nn_light.txt", norwegian_light_stem, NYNORSK),
+                               ("nb_minimal.txt", norwegian_minimal_stem, BOKMAAL),
+                               ("nn_minimal.txt", norwegian_minimal_stem, NYNORSK)]:
+        stem = factory(flags)
+        n = 0
+        with open(f"{base}/{fn}", encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                parts = line.split("\t") if "\t" in line else line.split()
+                if len(parts) != 2:
+                    continue
+                w, want = parts
+                assert stem(w) == want, (fn, w)
+                n += 1
+        assert n > 50
+    with pytest.raises(ValueError):
+        norwegian_light_stem(0)
+
+
+def test_english_minimal():
+    # TestEnglishMinimalStemFilter.java:51-59 + algorithm edge cases
+    from lucene_spark.stemmers import english_minimal_stem as em
+
+    for w, want in [("queries", "query"), ("phrases", "phrase"),
+                    ("corpus", "corpus"), ("stress", "stress"),
+                    ("kings", "king"), ("panels", "panel"),
+                    ("aerodynamics", "aerodynamic"), ("congress", "congress"),
+                    ("serious", "serious"), ("dies", "dy"), ("does", "does"),
+                    ("goes", "goes"), ("aies", "aies"), ("", "")]:
+        assert em(w) == want, w
