@@ -690,3 +690,55 @@ LIGHT_STEMMERS.update({
     "nn": norwegian_light_stem(NYNORSK),
     "no": norwegian_light_stem(BOKMAAL),
 })
+
+
+_DE_MIN_FOLD = str.maketrans("äöü", "aou")
+
+
+def german_minimal_stem(w: str) -> str:
+    """GermanMinimalStemmer.java:62-105 ("Morphologie et recherche
+    d'information", Savoy): umlaut fold, -nen, the en/se/es/er pairs, then
+    single n/e/s/r."""
+    if len(w) < 5:
+        return w
+    w = w.translate(_DE_MIN_FOLD)
+    if len(w) > 6 and w.endswith("nen"):
+        return w[:-3]
+    if len(w) > 5 and w[-2:] in ("en", "se", "es", "er"):
+        return w[:-2]
+    if w[-1] in "nesr":
+        return w[:-1]
+    return w
+
+
+def french_minimal_stem(w: str) -> str:
+    """FrenchMinimalStemmer.java:61-76 ("A Stemming procedure and stopword
+    list for general French corpora", Savoy): -x (aux→al), then sequential
+    s/r/e/é strips and a final double-letter strip."""
+    if len(w) < 6:
+        return w
+    s = list(w)
+    if s[-1] == "x":
+        if s[-3] == "a" and s[-2] == "u":
+            s[-2] = "l"
+        return "".join(s[:-1])
+    if s[-1] == "s":
+        s = s[:-1]
+    if s[-1] == "r":
+        s = s[:-1]
+    if s[-1] == "e":
+        s = s[:-1]
+    if s[-1] == "é":
+        s = s[:-1]
+    if s[-1] == s[-2] and s[-1].isalpha():
+        s = s[:-1]
+    return "".join(s)
+
+
+MINIMAL_STEMMERS = {
+    "en": english_minimal_stem,
+    "de": german_minimal_stem,
+    "fr": french_minimal_stem,
+    "nb": norwegian_minimal_stem(BOKMAAL),
+    "nn": norwegian_minimal_stem(NYNORSK),
+}

@@ -118,3 +118,28 @@ def test_english_minimal():
                     ("serious", "serious"), ("dies", "dy"), ("does", "does"),
                     ("goes", "goes"), ("aies", "aies"), ("", "")]:
         assert em(w) == want, w
+
+
+@pytest.mark.parametrize("lang,zname", [("de", "deminimal"), ("fr", "frminimal")])
+def test_minimal_reference_vocabulary(lang, zname):
+    from lucene_spark.stemmers import MINIMAL_STEMMERS
+
+    zp = f"{_REF}/{lang}/{zname}testdata.zip"
+    if not os.path.exists(zp):
+        pytest.skip("reference vocabulary not available")
+    stem = MINIMAL_STEMMERS[lang]
+    with zipfile.ZipFile(zp) as z:
+        txt = [n for n in z.namelist() if n.endswith(".txt")][0]
+        data = z.read(txt).decode("utf-8")
+    n = 0
+    for line in data.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split("\t") if "\t" in line else line.split()
+        if len(parts) != 2:
+            continue
+        w, want = parts
+        assert stem(w) == want, (lang, w)
+        n += 1
+    assert n > 10000
