@@ -44,6 +44,29 @@ def suggest_fuzzy(index: Index, text: str, max_edits: int = 1, n: int = 10) -> D
     )
 
 
+def _spell_score_col(text: str, n_cp: int, distance):
+    """Score column: internal 1 - ed/min(len) or a pluggable StringDistance
+    (DirectSpellChecker.setDistance)."""
+    if distance is None:
+        return (
+            F.lit(1.0)
+            - F.col("ed").cast("double")
+            / F.least(F.length("term"), F.lit(n_cp)).cast("double")
+        ).cast("float")
+    if isinstance(distance, str):
+        fn = {"jaro_winkler": jaro_winkler_distance,
+              "ngram": ngram_distance,
+              "lucene_levenshtein": lucene_levenshtein_distance}[distance]
+    else:
+        fn = distance
+
+    @F.pandas_udf("float")
+    def _dist(terms: pd.Series) -> pd.Series:
+        return terms.map(lambda t: float(fn(text, t)))
+
+    return _dist(F.col("term"))
+
+
 def direct_spell_suggest(
     index: Index,
     text: str,
@@ -56,6 +79,7 @@ def direct_spell_suggest(
     min_query_length: int = 4,
     max_query_length: int = 64,
     suggest_when_in_index: bool = False,
+    distance=None,
 ) -> DataFrame:
     """DirectSpellChecker.suggestSimilar analog — suggest/spell/
     DirectSpellChecker.java:292-468 semantics, distributed:
@@ -76,6 +100,14 @@ def direct_spell_suggest(
       default 0.5 — SpellChecker.DEFAULT_ACCURACY)
     - order: score desc, df desc, term asc (SuggestWordScoreComparator
       .java:31-53 under reverseOrder), top ``num_sug``.
+
+    ``distance``: None = the internal FuzzyTermsEnum score above
+    (DirectSpellChecker.INTERNAL_LEVENSHTEIN); else a StringDistance —
+    "jaro_winkler" | "ngram" | "lucene_levenshtein" or any callable
+    (query, candidate) -> [0, 1] — applied to the SAME candidate set, the
+    setDistance(...) contract (DirectSpellChecker.java:440-446: when the
+    distance is not INTERNAL, score = distance.getDistance(term, candidate)
+    over the enumerated candidates).
 
     The reference's two FuzzyTermsEnum passes + numSug*maxInspections
     priority queue are a traversal detail of its term enum; the exact
@@ -141,14 +173,7 @@ def direct_spell_suggest(
         # float32, FuzzyTermsEnum.java:254 — ≤1 ulp apart on the small
         # rationals ed/len; the SQL oracle twin evaluates this identical
         # double-then-REAL expression)
-        .withColumn(
-            "score",
-            (
-                F.lit(1.0)
-                - F.col("ed").cast("double")
-                / F.least(F.length("term"), F.lit(n_cp)).cast("double")
-            ).cast("float"),
-        )
+        .withColumn("score", _spell_score_col(text, n_cp, distance))
         .filter(F.col("score") >= F.lit(float(accuracy)))
         .filter(F.col("df") > F.lit(df_floor))
         .select("term", "df", "score")
@@ -436,3 +461,102 @@ def suggest_word_combinations(
                 rows.append((comb, i, j, cdf, j - i))
     rows.sort(key=lambda t: (t[4], -t[3], t[0]))
     return spark.createDataFrame(rows[:max_suggestions] or [], schema)
+
+
+# ------------------------------------------------ StringDistance implementations
+
+
+def jaro_winkler_distance(s1: str, s2: str, threshold: float = 0.7) -> float:
+    """JaroWinklerDistance (search/spell/JaroWinklerDistance.java:39-108):
+    Jaro similarity with the Winkler common-prefix bonus applied when the
+    Jaro score exceeds ``threshold`` (default 0.7; negative = plain Jaro).
+    Returns similarity in [0, 1], 1 = identical (StringDistance contract).
+    """
+    if len(s1) > len(s2):
+        mx, mn = s1, s2
+    else:
+        mx, mn = s2, s1
+    rng = max(len(mx) // 2 - 1, 0)
+    match_idx = [-1] * len(mn)
+    match_flags = [False] * len(mx)
+    matches = 0
+    for mi, c1 in enumerate(mn):
+        for xi in range(max(mi - rng, 0), min(mi + rng + 1, len(mx))):
+            if not match_flags[xi] and c1 == mx[xi]:
+                match_idx[mi] = xi
+                match_flags[xi] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    ms1 = [mn[i] for i in range(len(mn)) if match_idx[i] != -1]
+    ms2 = [mx[i] for i in range(len(mx)) if match_flags[i]]
+    transpositions = sum(1 for a, b in zip(ms1, ms2) if a != b) // 2
+    prefix = 0
+    for a, b in zip(s1, s2):
+        if a != b:
+            break
+        prefix += 1
+    m = float(matches)
+    j = (m / len(s1) + m / len(s2) + (m - transpositions) / m) / 3
+    if j < threshold:
+        return j
+    return j + min(0.1, 1.0 / len(mx)) * prefix * (1 - j)
+
+
+def ngram_distance(source: str, target: str, n: int = 2) -> float:
+    """NGramDistance (search/spell/NGramDistance.java:49-134, Kondrak
+    2005): edit distance over n-gram overlaps with prefix padding and
+    per-gram fractional substitution cost; similarity in [0, 1]."""
+    sl, tl = len(source), len(target)
+    if sl == 0 or tl == 0:
+        return 1.0 if sl == tl else 0.0
+    if sl < n or tl < n:
+        cost = sum(1 for a, b in zip(source, target) if a == b)
+        return cost / max(sl, tl)
+    sa = "\0" * (n - 1) + source
+    p = list(range(sl + 1))
+    d = [0.0] * (sl + 1)
+    for j in range(1, tl + 1):
+        if j < n:
+            t_j = "\0" * (n - j) + target[:j]
+        else:
+            t_j = target[j - n:j]
+        d[0] = j
+        for i in range(1, sl + 1):
+            cost = 0
+            tn = n
+            for ni in range(n):
+                if sa[i - 1 + ni] != t_j[ni]:
+                    cost += 1
+                elif sa[i - 1 + ni] == "\0":
+                    tn -= 1  # discount matches on the padding prefix
+            ec = cost / tn
+            d[i] = min(d[i - 1] + 1, p[i] + 1, p[i - 1] + ec)
+        p, d = d, p
+    return 1.0 - p[sl] / max(tl, sl)
+
+
+def lucene_levenshtein_distance(target: str, other: str) -> float:
+    """LuceneLevenshteinDistance (search/spell/LuceneLevenshteinDistance
+    .java:47-105): Damerau-Levenshtein (transpositions) normalized by
+    min(len) — the distance DirectSpellChecker's shard-merge comparator
+    uses; similarity in [0, 1]."""
+    n, m = len(target), len(other)
+    if n == 0 or m == 0:
+        return 1.0 if n == m else 0.0
+    d = [[0] * (m + 1) for _ in range(n + 1)]
+    for i in range(n + 1):
+        d[i][0] = i
+    for j in range(m + 1):
+        d[0][j] = j
+    for j in range(1, m + 1):
+        t_j = other[j - 1]
+        for i in range(1, n + 1):
+            cost = 0 if target[i - 1] == t_j else 1
+            d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1,
+                          d[i - 1][j - 1] + cost)
+            if (i > 1 and j > 1 and target[i - 1] == other[j - 2]
+                    and target[i - 2] == other[j - 1]):
+                d[i][j] = min(d[i][j], d[i - 2][j - 2] + cost)
+    return 1.0 - d[n][m] / min(m, n)

@@ -528,3 +528,43 @@ def test_unified_passages(spark):
                  unified_passages(d, ["spark"], max_passages=2).collect()
                  if r["doc_id"] == 0)
     assert len(two) == 2 and two[0][0] == 0 and two[1][0] == 24
+
+
+def test_string_distances():
+    # TestJaroWinklerDistance.java:25-46 / TestNGramDistance.java:23-120
+    from lucene_spark.suggest import (
+        jaro_winkler_distance as jw,
+        lucene_levenshtein_distance as ll,
+        ngram_distance as ng,
+    )
+
+    assert jw("al", "al") == 1.0
+    assert 0.961 < jw("martha", "marhta") < 0.962
+    assert 0.832 < jw("jones", "johnson") < 0.833
+    assert 0.958 < jw("abcvwxyz", "cabvwxyz") < 0.959
+    assert 0.84 < jw("dwayne", "duane") < 0.841
+    assert 0.813 < jw("dixon", "dicksonx") < 0.814
+    assert jw("fvie", "ten") == 0.0
+    assert jw("zac ephron", "zac efron") > jw("zac ephron", "kai ephron")
+
+    for a, b, want in [("al", "al", 1.0), ("a", "a", 1.0), ("b", "a", 0.0),
+                       ("martha", "marhta", 0.6666),
+                       ("jones", "johnson", 0.4285),
+                       ("natural", "contrary", 0.25),
+                       ("abcvwxyz", "cabvwxyz", 0.75),
+                       ("dwayne", "duane", 0.666),
+                       ("dixon", "dicksonx", 0.5), ("six", "ten", 0.0)]:
+        assert abs(ng(a, b, n=1) - want) < 0.001, (a, b)
+    for a, b, want in [("a", "aa", 0.5), ("martha", "marhta", 0.6666),
+                       ("jones", "johnson", 0.4285),
+                       ("abcvwxyz", "cabvwxyz", 0.625),
+                       ("dwayne", "duane", 0.5833),
+                       ("dixon", "dicksonx", 0.5)]:
+        assert abs(ng(a, b, n=2) - want) < 0.001, (a, b)
+    assert ng("", "", 2) == 1.0 and ng("", "x", 2) == 0.0
+
+    # LuceneLevenshtein: transposition = one edit, normalized by min(len)
+    assert ll("martha", "marhta") == 1.0 - 1 / 6
+    assert ll("ab", "ba") == 1.0 - 1 / 2
+    assert ll("abc", "abc") == 1.0
+    assert ll("", "") == 1.0 and ll("", "abc") == 0.0
