@@ -198,6 +198,26 @@ def run_bench(cpus: int, n_docs: int, sf: float, k1_queries=HEADLINE_QUERIES,
             dt = time.time() - tq
             sloppy_best = dt if sloppy_best is None else min(sloppy_best, dt)
 
+        # TermAutomatonQuery on the same positions index: the synonym-graph
+        # shape 0 -court-> ACC | 0 -court-> s1 -law-> ACC (single token or
+        # bigram), same head terms as the sloppy query for comparability
+        from lucene_spark.termautomaton import TermAutomatonQuery
+
+        taq = TermAutomatonQuery()
+        ta1, ta2 = taq.create_state(), taq.create_state()
+        taq.add_transition(0, ta2, "court")
+        taq.add_transition(0, ta1, "court")
+        taq.add_transition(ta1, ta2, "law")
+        taq.set_accept(ta2, True)
+        ta_node = taq.finish()
+        search(pidx, ta_node, k=10, precision="lucene", prune=True)
+        termauto_best = None
+        for _ in range(max(1, q_repeat)):
+            tq = time.time()
+            search(pidx, ta_node, k=10, precision="lucene", prune=True)
+            dt = time.time() - tq
+            termauto_best = dt if termauto_best is None else min(termauto_best, dt)
+
         import numpy as np
 
         from lucene_spark.kernel import (
@@ -262,6 +282,7 @@ def run_bench(cpus: int, n_docs: int, sf: float, k1_queries=HEADLINE_QUERIES,
             "ceiling_probe_post_sec": round(ceiling_post_s, 3),
             "positions_build_sec": round(pos_build_s, 3),
             "q_sloppy_head_sec": round(sloppy_best, 4),
+            "q_termauto_sec": round(termauto_best, 4),
             "sloppy_candidates": int(len(cand)),
             "sloppy_scalar_walk_sec": round(sloppy_scalar_s, 4),
             "sloppy_batch_sec": round(sloppy_batch_s, 4),
