@@ -1667,6 +1667,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         gf = group_facet_counts(m, docs, "lang", "source")
         return gf.select("label", F.col("count").alias("cnt"))
 
+    def ft_block_group(spark, sf):
+        # BlockGroupingCollector (grouping/BlockGroupingCollector.java:
+        # 42-75): doc blocks of 16 (group end = every docid ≡ 15 mod 16);
+        # top-5 blocks by best 'batch' hit, top-2 hits per block
+        from lucene_spark.grouping import block_grouping
+
+        idx = _ft_index(spark, sf)
+        m = score_docs(idx, "batch", precision="float64")
+        nd = _docs(spark, sf).count()
+        ends = list(range(15, nd + 16, 16))
+        out = block_grouping(m, ends, k_groups=5, k_in_group=2)
+        return out.select(
+            "group_end",
+            F.floor(F.col("group_score") * 10000).cast("long").alias("gscore_q"),
+            "rank_in_group",
+            F.col("docid").alias("doc_id"),
+            F.floor(F.col("score") * 10000).cast("long").alias("score_q"),
+        )
+
     def ft_facet_range(spark, sf):
         # LongRangeFacetCounts analog: n_chars buckets over matching docs
         idx = _ft_index(spark, sf)
@@ -2739,7 +2758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_group_all, ft_group_heads, ft_group_distinct, ft_group_facet,
         ft_fingerprint,
         # (1b) new this round, below the 50-row cap:
-        ft_facet_sampled, ft_facet_longval, ft_keyword_analyze,
+        ft_block_group, ft_facet_sampled, ft_facet_longval, ft_keyword_analyze,
         ft_whitespace_analyze, ft_path_tokens, ft_url_email,
         # (2) families that have NEVER carried a driver CORRECTNESS row
         # (r1+r2 recorded 95 distinct entries; these 38 are the rest,
@@ -5162,6 +5181,26 @@ rk AS (
 SELECT doc_id, CAST(p_start AS BIGINT) AS start,
        CAST(floor(score * 10000) AS BIGINT) AS score_q, snippet
 FROM rk WHERE rn = 1 ORDER BY doc_id""",
+        "ft_block_group": _FT_PRELUDE + "," + _score_sql(["batch"]) + """,
+hb AS (
+  SELECT doc_id, score, (doc_id - (doc_id % 16) + 15) AS group_end
+  FROM doc_scores
+),
+g AS (
+  SELECT *, max(score) OVER (PARTITION BY group_end) AS gs,
+         row_number() OVER (PARTITION BY group_end
+                            ORDER BY score DESC, doc_id) AS rn
+  FROM hb
+),
+tg AS (
+  SELECT DISTINCT group_end, gs FROM g
+  ORDER BY gs DESC, group_end LIMIT 5
+)
+SELECT g.group_end, CAST(floor(g.gs * 10000) AS BIGINT) AS gscore_q,
+       g.rn AS rank_in_group, g.doc_id,
+       CAST(floor(g.score * 10000) AS BIGINT) AS score_q
+FROM g JOIN tg USING (group_end) WHERE g.rn <= 2
+ORDER BY gscore_q DESC, g.group_end, rank_in_group""",
         "ft_group_all": _FT_PRELUDE + """
 SELECT DISTINCT d.lang AS grp FROM documents d
 WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'batch')

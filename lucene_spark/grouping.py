@@ -100,3 +100,63 @@ def group_facet_counts(matches: DataFrame, docs: DataFrame,
         .agg(F.count(F.lit(1)).alias("count"))
         .orderBy(F.col("count").desc(), F.col("label").asc())
     )
+
+
+def block_grouping(matches: DataFrame, group_end_docids,
+                   k_groups: int = 10, k_in_group: int = 2,
+                   id_col: str = "docid") -> DataFrame:
+    """BlockGroupingCollector (grouping/BlockGroupingCollector.java:42-75):
+    single-pass grouping over doc BLOCKS — documents indexed contiguously
+    (IndexWriter.addDocuments), each block delimited by its last ("group
+    end") docid.  Each hit maps to the first group-end >= its docid; the
+    top ``k_groups`` blocks rank by their best hit's score (the default
+    Sort.RELEVANCE group sort) and carry their ``k_in_group`` best hits.
+
+    ``group_end_docids``: sorted array-like of block-final docids (the
+    groupEndDocs filter's match set).  It broadcasts to the executors and
+    each partition does one vectorized searchsorted — no shuffle is added
+    beyond the two group-keyed windows.  Returns (group_end, group_score,
+    rank_in_group, docid, score) rows, group_score desc then group_end,
+    rank asc within.
+    """
+    import numpy as np
+
+    ends = np.asarray(sorted(int(x) for x in group_end_docids), dtype=np.int64)
+    spark = matches.sparkSession
+    bc = spark.sparkContext.broadcast(ends)
+
+    def assign(batches):
+        arr = bc.value
+        for pdf in batches:
+            i = np.searchsorted(arr, pdf[id_col].to_numpy(dtype=np.int64))
+            # hits after the last group end belong to no block (the
+            # reference silently drops them: no group end -> not collected)
+            ok = i < len(arr)
+            out = pdf[ok].copy()
+            out["group_end"] = arr[i[ok]]
+            yield out
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        list(matches.schema.fields) + [StructField("group_end", LongType())])
+    assigned = matches.mapInPandas(assign, schema=schema)
+    wg = Window.partitionBy("group_end")
+    wr = Window.partitionBy("group_end").orderBy(
+        F.col("score").desc(), F.col(id_col).asc())
+    ranked = (
+        assigned.withColumn("group_score", F.max("score").over(wg))
+        .withColumn("rank_in_group", F.row_number().over(wr))
+        .filter(F.col("rank_in_group") <= k_in_group)
+    )
+    top_groups = (
+        ranked.select("group_end", "group_score").distinct()
+        .orderBy(F.col("group_score").desc(), F.col("group_end").asc())
+        .limit(k_groups)
+    )
+    return (
+        ranked.join(F.broadcast(top_groups.select("group_end")), "group_end")
+        .select("group_end", "group_score", "rank_in_group", id_col, "score")
+        .orderBy(F.col("group_score").desc(), F.col("group_end").asc(),
+                 F.col("rank_in_group").asc())
+    )
