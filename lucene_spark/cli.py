@@ -89,10 +89,25 @@ def cmd_search(args) -> int:
     spark = _session("lucene_spark_search")
     idx = read_index(spark, args.index)
     query = args.query
-    if getattr(args, "syntax", "classic") == "surround":
+    syntax = getattr(args, "syntax", "classic")
+    if syntax == "surround":
         from .surround import parse_surround
 
         query = parse_surround(args.query, fields=index_fields(idx))
+    elif syntax == "simple":
+        # SimpleQueryParser (forgiving +/|/-/"..."/*/~ syntax); negation
+        # and match-all route through the DataFrame BooleanQuery evaluator
+        from .simpleqp import simple_search
+
+        td = simple_search(idx, args.query, k=args.k,
+                           precision=args.precision,
+                           similarity=args.similarity,
+                           analyzer=_analyzer(args))
+        for rank, (d, sc) in enumerate(zip(td.docids.tolist(),
+                                           td.scores.tolist())):
+            print(json.dumps({"rank": rank, "docid": int(d),
+                              "score": float(sc)}))
+        return 0
     td = search(idx, query, k=args.k, precision=args.precision,
                 prune=not args.no_prune, with_urls=True,
                 similarity=args.similarity, analyzer=_analyzer(args))
@@ -194,9 +209,10 @@ def main(argv=None) -> int:
     s.add_argument("--precision", default="lucene", choices=["lucene", "float64"])
     s.add_argument("--no-prune", action="store_true")
     s.add_argument("--syntax", default="classic",
-                   choices=["classic", "surround"],
-                   help="query language: classic QueryParser or surround "
-                        "proximity syntax (nW/nN distance operators)")
+                   choices=["classic", "surround", "simple"],
+                   help="query language: classic QueryParser, surround "
+                        "proximity syntax (nW/nN distance operators), or "
+                        "SimpleQueryParser (+/|/- forgiving syntax)")
     s.add_argument("--similarity", default="bm25",
                    choices=sorted(SIMILARITIES))
     s.add_argument("--english-analyzer", action="store_true",

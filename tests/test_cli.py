@@ -80,3 +80,23 @@ def test_cli_suggest_modes(spark, pages_parquet, tmp_path, capsys):
                          "--mode", "wordbreak"])
     got = json.loads(capsys.readouterr().out)
     assert got and got[0]["words"] == ["alpha", "beta"]
+
+
+def test_cli_search_simple_syntax(spark, tmp_path, capsys):
+    # SimpleQueryParser syntax through the CLI: 'beta -alpha' under the
+    # default OR operator = docs with beta plus all docs lacking alpha
+    rows = [("a", "alpha beta x"), ("b", "beta only here"),
+            ("c", "gamma delta"), ("d", "alpha solo")]
+    src = str(tmp_path / "sqp.parquet")
+    spark.createDataFrame(rows, "url string, text string").write.parquet(src)
+    out = str(tmp_path / "idx_sqp")
+    assert not cli_main(["build", "--input", src, "--out", out])
+    capsys.readouterr()
+    assert not cli_main(["search", "--index", out, "--query", "beta -alpha",
+                         "--syntax", "simple", "-k", "10",
+                         "--precision", "float64"])
+    hits = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    got = {h["docid"]: h["score"] for h in hits}
+    # doc a: beta only (has alpha); b: beta + 1.0; c: 1.0; d: no match
+    assert set(got) == {0, 1, 2}
+    assert got[1] > got[0] and got[2] == 1.0
