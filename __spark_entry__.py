@@ -642,6 +642,90 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 rows.append((int(r.doc_id), int(math.floor(s * 10000))))
         return spark.createDataFrame(rows or [], "doc_id long, score_q long")
 
+    # --- ValueSource / FunctionQuery framework (queries/function/*.java) ---
+    def _vs_values(spark, sf):
+        return _docs(spark, sf).select(
+            F.col("doc_id").alias("docid"), F.col("n_chars"))
+
+    def _vs_rows(spark, td):
+        rows = [
+            (int(d), int(math.floor(s * 10000)))
+            for d, s in zip(td.docids.tolist(), td.scores.tolist())
+        ]
+        return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
+    def ft_function_query(spark, sf):
+        # FunctionQuery (queries/function/FunctionQuery.java:33-120):
+        # matches ALL docs, score = value; source is
+        # ReciprocalFloatFunction a/(m*x+b) (ReciprocalFloatFunction.java:
+        # 66-67) over the n_chars doc-values column — rational arithmetic,
+        # so the DuckDB twin agrees bit-for-bit.
+        from lucene_spark import valuesource as vs
+
+        idx = _ft_index(spark, sf)
+        td = vs.function_query(
+            idx, vs.recip(vs.field("n_chars"), 1.0, 1000.0, 10.0),
+            values=_vs_values(spark, sf), k=10)
+        return _vs_rows(spark, td)
+
+    def ft_function_range(spark, sf):
+        # FunctionRangeQuery (FunctionRangeQuery.java:32-64): docs whose
+        # value is in [200, 400) — "The score is the float value" (:32)
+        from lucene_spark import valuesource as vs
+
+        idx = _ft_index(spark, sf)
+        td = vs.function_range_query(
+            idx, vs.field("n_chars"), lower=200.0, upper=400.0,
+            include_upper=False, values=_vs_values(spark, sf), k=10)
+        return _vs_rows(spark, td)
+
+    def ft_function_match(spark, sf):
+        # FunctionMatchQuery (FunctionMatchQuery.java:38-107): predicate
+        # over the double value, ConstantScoreWeight score = boost (:89)
+        from lucene_spark import valuesource as vs
+
+        idx = _ft_index(spark, sf)
+        td = vs.function_match_query(
+            idx, vs.field("n_chars"), "v >= 100.0 AND v < 150.0",
+            values=_vs_values(spark, sf), k=10, boost=2.5)
+        return _vs_rows(spark, td)
+
+    def ft_vs_scale(spark, sf):
+        # ScaleFloatFunction (ScaleFloatFunction.java:30-90): corpus-wide
+        # min/max traversal at weight creation (one Spark agg), then a
+        # linear map of n_chars onto [0, 100]
+        from lucene_spark import valuesource as vs
+
+        idx = _ft_index(spark, sf)
+        td = vs.function_query(
+            idx, vs.scale(vs.field("n_chars"), 0.0, 100.0),
+            values=_vs_values(spark, sf), k=10)
+        return _vs_rows(spark, td)
+
+    def ft_vs_query_blend(spark, sf):
+        # QueryValueSource (QueryValueSource.java): BM25('batch') score as
+        # a source (defVal=0 on no match), blended with a doc-values term —
+        # sum(query('batch'), product(0.001, n_chars)) over ALL docs
+        from lucene_spark import valuesource as vs
+
+        idx = _ft_index(spark, sf)
+        src = vs.vs_sum(vs.query_vs("batch", defval=0.0),
+                        vs.vs_product(vs.const(0.001), vs.field("n_chars")))
+        td = vs.function_query(idx, src, values=_vs_values(spark, sf), k=10)
+        return _vs_rows(spark, td)
+
+    def ft_vs_tf_idf(spark, sf):
+        # TFValueSource (TFValueSource.java:138-157, tf=sqrt(freq), 0 on
+        # non-match) x IDFValueSource (IDFValueSource.java:56-58,
+        # ClassicSimilarity idf = ln((n+1)/(df+1)) + 1, a createWeight-time
+        # constant) — the classic tf*idf as a function query
+        from lucene_spark import valuesource as vs
+
+        idx = _ft_index(spark, sf)
+        td = vs.function_query(
+            idx, vs.vs_product(vs.tf("dup"), vs.idf("dup")), k=10)
+        return _vs_rows(spark, td)
+
     def ft_word_delimiter(spark, sf):
         # WordDelimiterGraphFilter (analysis/common/.../miscellaneous/
         # WordDelimiterGraphFilter.java:60-118) behind a whitespace
@@ -2754,10 +2838,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_xy_box, ft_xy_distance, ft_xy_polygon,
         ft_span_field_masked,
         ft_term_automaton, ft_spanish_light, ft_simple_qp, ft_simple_neg,
-        text_line_dedup, ft_span_prange, ft_passage_score,
-        ft_group_all, ft_group_heads, ft_group_distinct, ft_group_facet,
-        ft_fingerprint,
+        ft_span_prange, ft_passage_score,
+        ft_function_query, ft_function_range, ft_function_match,
+        ft_vs_scale, ft_vs_query_blend, ft_vs_tf_idf,
         # (1b) new this round, below the 50-row cap:
+        text_line_dedup, ft_group_all, ft_group_heads, ft_group_distinct,
+        ft_group_facet, ft_fingerprint,
         ft_block_group, ft_facet_sampled, ft_facet_longval, ft_keyword_analyze,
         ft_whitespace_analyze, ft_path_tokens, ft_url_email,
         # (2) families that have NEVER carried a driver CORRECTNESS row
@@ -3784,6 +3870,44 @@ j AS (SELECT d.lang, d.source FROM documents d JOIN m USING (doc_id))
 SELECT source AS label, CAST(count(*) AS BIGINT) AS count
 FROM j WHERE lang = 'en'
 GROUP BY source ORDER BY count DESC, label ASC LIMIT 100""",
+        "ft_function_query": """
+SELECT doc_id,
+       CAST(floor((1000.0 / (1.0 * CAST(n_chars AS DOUBLE) + 10.0)) * 10000) AS BIGINT) AS score_q
+FROM documents
+ORDER BY 1000.0 / (1.0 * CAST(n_chars AS DOUBLE) + 10.0) DESC, doc_id LIMIT 10""",
+        "ft_function_range": """
+SELECT doc_id,
+       CAST(floor(CAST(n_chars AS DOUBLE) * 10000) AS BIGINT) AS score_q
+FROM documents WHERE n_chars >= 200 AND n_chars < 400
+ORDER BY n_chars DESC, doc_id LIMIT 10""",
+        "ft_function_match": """
+SELECT doc_id, CAST(25000 AS BIGINT) AS score_q
+FROM documents WHERE n_chars >= 100 AND n_chars < 150
+ORDER BY doc_id LIMIT 10""",
+        "ft_vs_scale": """
+SELECT doc_id,
+       CAST(floor(((CAST(n_chars AS DOUBLE) - m.mn) * (100.0 / (m.mx - m.mn)) + 0.0) * 10000) AS BIGINT) AS score_q
+FROM documents
+CROSS JOIN (SELECT CAST(min(n_chars) AS DOUBLE) AS mn,
+                   CAST(max(n_chars) AS DOUBLE) AS mx FROM documents) m
+ORDER BY (CAST(n_chars AS DOUBLE) - m.mn) * (100.0 / (m.mx - m.mn)) DESC, doc_id LIMIT 10""",
+        "ft_vs_query_blend": _FT_PRELUDE + "," + _score_sql(["batch"]) + """
+SELECT d.doc_id,
+       CAST(floor((COALESCE(ds.score, 0.0) + 0.001 * CAST(d.n_chars AS DOUBLE)) * 10000) AS BIGINT) AS score_q
+FROM documents d LEFT JOIN doc_scores ds USING (doc_id)
+ORDER BY COALESCE(ds.score, 0.0) + 0.001 * CAST(d.n_chars AS DOUBLE) DESC, d.doc_id LIMIT 10""",
+        "ft_vs_tf_idf": _FT_PRELUDE + """,
+s2 AS (
+  SELECT d.doc_id,
+         sqrt(COALESCE(CAST(t.tf AS DOUBLE), 0.0)) *
+         (ln((s.n + 1.0) / (COALESCE(df.df, 0) + 1.0)) + 1.0) AS score
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, tf FROM tf WHERE term = 'dup') t USING (doc_id)
+  CROSS JOIN stats s
+  CROSS JOIN (SELECT df FROM df WHERE term = 'dup') df
+)
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM s2 ORDER BY score DESC, doc_id LIMIT 10""",
         "ft_function_score": _FT_PRELUDE + "," + _score_sql(["batch"]) + """
 SELECT ds.doc_id,
        CAST(floor(ds.score * (1.0 + d.n_chars / 1000.0) * 10000) AS BIGINT) AS score_q
