@@ -726,6 +726,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             idx, vs.vs_product(vs.tf("dup"), vs.idf("dup")), k=10)
         return _vs_rows(spark, td)
 
+    # --- sandbox doc-values queries (sandbox/search/*.java) ---
+    def ft_dv_terms(spark, sf):
+        # DocValuesTermsQuery (sandbox/search/DocValuesTermsQuery.java:
+        # 49-110): docs whose lang doc-value is in {en, fr}; constant-score
+        # membership filter, first 100 docids
+        from lucene_spark.dvqueries import dv_terms_query
+
+        vals = _docs(spark, sf).select(F.col("doc_id").alias("docid"), "lang")
+        return (dv_terms_query(vals, "lang", ["en", "fr"])
+                .select(F.col("docid").alias("doc_id")).limit(100))
+
+    def ft_dv_numbers(spark, sf):
+        # DocValuesNumbersQuery (sandbox/search/DocValuesNumbersQuery.java:
+        # 52-69): numeric-set membership over the n_chars doc value
+        from lucene_spark.dvqueries import dv_numbers_query
+
+        vals = _docs(spark, sf).select(
+            F.col("doc_id").alias("docid"), "n_chars")
+        return (dv_numbers_query(vals, "n_chars",
+                                 [120, 180, 240, 300, 360])
+                .select(F.col("docid").alias("doc_id")).limit(100))
+
+    def ft_multi_range(spark, sf):
+        # MultiRangeQuery (sandbox/search/MultiRangeQuery.java:42-60):
+        # OR of ranges over n_chars, overlapping clauses merged at rewrite
+        # time ([100,150) ∪ [140,200) → [100,200))
+        from lucene_spark.dvqueries import multi_range_query
+
+        vals = _docs(spark, sf).select(
+            F.col("doc_id").alias("docid"), "n_chars")
+        got = multi_range_query(
+            vals, "n_chars",
+            [(100, 150, True, False), (140, 200, True, False),
+             (400, 450, True, True)])
+        return got.select(F.col("docid").alias("doc_id")).limit(100)
+
+    def ft_sorted_dv_range(spark, sf):
+        # IndexSortSortedNumericDocValuesRangeQuery (sandbox/search/
+        # IndexSortSortedNumericDocValuesRangeQuery.java:42-71): the values
+        # channel is persisted SORTED by n_chars (repartitionByRange +
+        # sortWithinPartitions), so the range filter's binary search is
+        # realized as parquet min/max file/row-group skipping
+        import shutil
+        import tempfile
+
+        from lucene_spark.dvqueries import (index_sort_range_query,
+                                            write_sorted_values)
+
+        vals = _docs(spark, sf).select(
+            F.col("doc_id").alias("docid"), "n_chars")
+        tmp = tempfile.mkdtemp(prefix="ls_dvsorted_")
+        try:
+            write_sorted_values(vals, tmp, "n_chars", num_partitions=8)
+            got = index_sort_range_query(
+                spark, tmp, "n_chars", lower=200, upper=260,
+                include_upper=False)
+            rows = [(int(r["docid"]), int(r["n_chars"]))
+                    for r in got.limit(100).collect()]
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return spark.createDataFrame(rows or [], "doc_id long, n_chars long")
+
     def ft_word_delimiter(spark, sf):
         # WordDelimiterGraphFilter (analysis/common/.../miscellaneous/
         # WordDelimiterGraphFilter.java:60-118) behind a whitespace
@@ -2835,13 +2897,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_span_containing, ft_span_within,
         ft_field_exists, ft_distance_feature,
         ft_facet_assoc,
-        ft_xy_box, ft_xy_distance, ft_xy_polygon,
+        ft_xy_box,
         ft_span_field_masked,
-        ft_term_automaton, ft_spanish_light, ft_simple_qp, ft_simple_neg,
-        ft_span_prange, ft_passage_score,
+        ft_term_automaton, ft_spanish_light, ft_simple_qp,
+        ft_passage_score,
         ft_function_query, ft_function_range, ft_function_match,
         ft_vs_scale, ft_vs_query_blend, ft_vs_tf_idf,
+        ft_dv_terms, ft_dv_numbers, ft_multi_range, ft_sorted_dv_range,
         # (1b) new this round, below the 50-row cap:
+        ft_xy_distance, ft_xy_polygon, ft_simple_neg, ft_span_prange,
         text_line_dedup, ft_group_all, ft_group_heads, ft_group_distinct,
         ft_group_facet, ft_fingerprint,
         ft_block_group, ft_facet_sampled, ft_facet_longval, ft_keyword_analyze,
@@ -3908,6 +3972,20 @@ s2 AS (
 )
 SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
 FROM s2 ORDER BY score DESC, doc_id LIMIT 10""",
+        "ft_dv_terms": """
+SELECT doc_id FROM documents WHERE lang IN ('en', 'fr')
+ORDER BY doc_id LIMIT 100""",
+        "ft_dv_numbers": """
+SELECT doc_id FROM documents WHERE n_chars IN (120, 180, 240, 300, 360)
+ORDER BY doc_id LIMIT 100""",
+        "ft_multi_range": """
+SELECT doc_id FROM documents
+WHERE (n_chars >= 100 AND n_chars < 200) OR (n_chars >= 400 AND n_chars <= 450)
+ORDER BY doc_id LIMIT 100""",
+        "ft_sorted_dv_range": """
+SELECT doc_id, n_chars FROM documents
+WHERE n_chars >= 200 AND n_chars < 260
+ORDER BY doc_id LIMIT 100""",
         "ft_function_score": _FT_PRELUDE + "," + _score_sql(["batch"]) + """
 SELECT ds.doc_id,
        CAST(floor(ds.score * (1.0 + d.n_chars / 1000.0) * 10000) AS BIGINT) AS score_q
