@@ -788,6 +788,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             shutil.rmtree(tmp, ignore_errors=True)
         return spark.createDataFrame(rows or [], "doc_id long, n_chars long")
 
+    def ft_legacy_bm25(spark, sf):
+        # LegacyBM25Similarity (misc/search/similarity/
+        # LegacyBM25Similarity.java:84): BM25 with boost*(1+k1) — the
+        # pre-8.0 (k1+1) numerator as a constant weight factor; rank order
+        # identical to BM25, scale x2.2 at the default k1
+        idx = _ft_index(spark, sf)
+        td = search(idx, "spark window dup", k=10, precision="float64",
+                    prune=True, similarity="legacy_bm25")
+        rows = [
+            (int(d), int(math.floor(s * 10000)))
+            for d, s in zip(td.docids.tolist(), td.scores.tolist())
+        ]
+        return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
+    # --- index surgery tools (misc/index/*.java) ---
+    def ft_pk_split(spark, sf):
+        # PKIndexSplitter (misc/index/PKIndexSplitter.java:43-57): docs
+        # matching 'dup' → side 0, the rest → side 1; each side is
+        # delete-then-compacted, so its stats count only survivors
+        import shutil
+        import tempfile
+
+        from lucene_spark.rearrange import pk_split_index
+
+        idx = _ft_index(spark, sf)
+        t1, t2 = tempfile.mkdtemp(), tempfile.mkdtemp()
+        try:
+            a, b = pk_split_index(spark, idx, "dup", t1, t2, seg_size=2048)
+            rows = [(0, a.doc_count, a.sum_total_term_freq),
+                    (1, b.doc_count, b.sum_total_term_freq)]
+        finally:
+            shutil.rmtree(t1, ignore_errors=True)
+            shutil.rmtree(t2, ignore_errors=True)
+        return spark.createDataFrame(rows, "side long, n_docs long, sum_ttf long")
+
+    def ft_multipass_split(spark, sf):
+        # MultiPassIndexSplitter (misc/index/MultiPassIndexSplitter.java:
+        # 43-110): 3 equal round-robin parts (keep docid % 3 == i, :103);
+        # per-part stats rebuilt over the kept docs
+        import shutil
+        import tempfile
+
+        from lucene_spark.rearrange import multipass_split_index
+
+        idx = _ft_index(spark, sf)
+        dirs = [tempfile.mkdtemp() for _ in range(3)]
+        try:
+            parts = multipass_split_index(spark, idx, dirs, seq=False,
+                                          seg_size=2048)
+            rows = [(i, p.doc_count, p.sum_total_term_freq)
+                    for i, p in enumerate(parts)]
+        finally:
+            for d in dirs:
+                shutil.rmtree(d, ignore_errors=True)
+        return spark.createDataFrame(rows, "part long, n_docs long, sum_ttf long")
+
+    def ft_rearrange(spark, sf):
+        # IndexRearranger (misc/index/IndexRearranger.java:41-58): one
+        # output segment per document selector — selectors are the lang
+        # buckets in lexical order; per-segment doc count + dl sum prove
+        # the layout and the rebuilt norms/docs channels
+        from lucene_spark.rearrange import rearrange_index
+
+        idx = _ft_index(spark, sf)
+        docs = _docs(spark, sf)
+        langs = sorted(r["lang"] for r in docs.select("lang").distinct().collect())
+        sels = [docs.filter(F.col("lang") == l)
+                .select(F.col("doc_id").alias("docid")) for l in langs]
+        out = rearrange_index(idx, sels, seg_size=2048)
+        return (out.docs
+                .groupBy((F.col("docid") / 2048).cast("long").alias("seg"))
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum("dl").alias("sum_dl"))
+                .orderBy("seg"))
+
     def ft_word_delimiter(spark, sf):
         # WordDelimiterGraphFilter (analysis/common/.../miscellaneous/
         # WordDelimiterGraphFilter.java:60-118) behind a whitespace
@@ -2891,8 +2966,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann_ivf_recall, ann_lsh_recall, dedup_embcos_recall,
         ft_block_join_child, ft_cjk_analyze, ft_offsets_html,
         ft_fuzzy_suggest, ft_facet_ssdv, ft_xml_query, ft_flexible,
-        ann_hnsw, ann_hnsw_recall, ft_word_delimiter, ft_common_grams,
-        ft_stem_override, ft_phonetic, ft_pattern_replace, ft_covering,
+        ann_hnsw, ann_hnsw_recall, ft_word_delimiter,
+        ft_covering,
         text_repetition, text_pii_redact, text_lm_score,
         ft_span_containing, ft_span_within,
         ft_field_exists, ft_distance_feature,
@@ -2904,7 +2979,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_function_query, ft_function_range, ft_function_match,
         ft_vs_scale, ft_vs_query_blend, ft_vs_tf_idf,
         ft_dv_terms, ft_dv_numbers, ft_multi_range, ft_sorted_dv_range,
+        ft_pk_split, ft_multipass_split, ft_rearrange, ft_legacy_bm25,
         # (1b) new this round, below the 50-row cap:
+        ft_phonetic, ft_common_grams, ft_stem_override, ft_pattern_replace,
         ft_xy_distance, ft_xy_polygon, ft_simple_neg, ft_span_prange,
         text_line_dedup, ft_group_all, ft_group_heads, ft_group_distinct,
         ft_group_facet, ft_fingerprint,
@@ -3972,6 +4049,41 @@ s2 AS (
 )
 SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
 FROM s2 ORDER BY score DESC, doc_id LIMIT 10""",
+        "ft_legacy_bm25": _FT_PRELUDE + """,
+term_scores AS (
+  SELECT tf.doc_id,
+         (1.0 + 1.2) * ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) AS w,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (s.sttf / s.n))) AS inv,
+         tf.tf AS tf
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term IN ('spark', 'window', 'dup')
+),
+doc_scores AS (
+  SELECT doc_id, SUM(w - w / (1.0 + tf * inv)) AS score
+  FROM term_scores GROUP BY doc_id
+)
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10""",
+        "ft_pk_split": _FT_PRELUDE + """,
+m AS (SELECT DISTINCT doc_id FROM ftok WHERE term = 'dup'),
+sides AS (
+  SELECT CASE WHEN m.doc_id IS NOT NULL THEN 0 ELSE 1 END AS side, dl.dl
+  FROM dl LEFT JOIN m USING (doc_id)
+)
+SELECT side, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(dl) AS BIGINT) AS sum_ttf
+FROM sides GROUP BY side ORDER BY side""",
+        "ft_multipass_split": _FT_PRELUDE + """
+SELECT doc_id % 3 AS part, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(dl) AS BIGINT) AS sum_ttf
+FROM dl GROUP BY doc_id % 3 ORDER BY part""",
+        "ft_rearrange": _FT_PRELUDE + """,
+ranked AS (SELECT lang, dense_rank() OVER (ORDER BY lang) - 1 AS seg
+           FROM (SELECT DISTINCT lang FROM documents))
+SELECT r.seg, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(dl.dl) AS BIGINT) AS sum_dl
+FROM documents d JOIN ranked r USING (lang) JOIN dl ON dl.doc_id = d.doc_id
+GROUP BY r.seg ORDER BY r.seg""",
         "ft_dv_terms": """
 SELECT doc_id FROM documents WHERE lang IN ('en', 'fr')
 ORDER BY doc_id LIMIT 100""",

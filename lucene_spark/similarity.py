@@ -798,10 +798,36 @@ class SweetSpotScorer(ClassicScorer):
         return float(np.max(float(self.weight) * self._tf64(f)))
 
 
+class LegacyBM25Scorer(BM25Scorer):
+    """LegacyBM25Similarity (misc/src/java/org/apache/lucene/misc/search/
+    similarity/LegacyBM25Similarity.java:33-84): delegates to BM25 with
+    ``boost * (1 + k1)`` (:84) — the pre-Lucene-8 ``(k1 + 1)`` tf
+    numerator restored as a constant weight factor, "to ease migration"
+    for scores users pinned to the old scale.  Rank order is identical to
+    BM25; only the scale changes, so every pruning bound scales by the
+    same factor and remains valid.
+
+    The factor is applied in the similarity's own arithmetic mode:
+    float32 rounding under precision='lucene' (the Java expression is
+    float), plain double under 'float64' (keeps the DuckDB twin's
+    rational arithmetic exact)."""
+
+    def __init__(self, doc_freq, stats, k1=1.2, b=0.75, boost=1.0,
+                 precision="lucene", idf_value=None):
+        if precision == "lucene":
+            eff = float(np.float32(
+                np.float32(boost) * (np.float32(1.0) + np.float32(k1))))
+        else:
+            eff = float(boost) * (1.0 + float(k1))
+        super().__init__(doc_freq, stats, k1=k1, b=b, boost=eff,
+                         precision=precision, idf_value=idf_value)
+
+
 # similarity registry (IndexSearcher.setSimilarity analog,
 # search/IndexSearcher.java:286-294): name → scorer class
 SIMILARITIES = {
     "bm25": BM25Scorer,
+    "legacy_bm25": LegacyBM25Scorer,
     "classic": ClassicScorer,
     "boolean": BooleanScorer,
     "lmd": LMDirichletScorer,
