@@ -2120,6 +2120,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return spark.createDataFrame(rows or [], "doc_id long, score_q long")
 
+    def ft_ax_f2log_sim(spark, sf):
+        # Axiomatic F2LOG (AxiomaticF2LOG.java:53-83): F2EXP's tfln with
+        # idf = ln((N+1)/df)
+        idx = _ft_index(spark, sf)
+        td = search(idx, "batch fast", k=10, precision="float64",
+                    prune=True, similarity="ax_f2log")
+        rows = [
+            (int(d), int(math.floor(s * 10000)))
+            for d, s in zip(td.docids.tolist(), td.scores.tolist())
+        ]
+        return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
+    def ft_dfi_sim(spark, sf):
+        # DFI standardized (DFISimilarity.java:45-68 +
+        # IndependenceStandardized.java:33): expected = (cf+1)*dl/(sttf+1);
+        # score = log2((f-e)/sqrt(e) + 1) when f > e else 0
+        idx = _ft_index(spark, sf)
+        td = search(idx, "batch fast", k=10, precision="float64",
+                    prune=True, similarity="dfi_standardized")
+        rows = [
+            (int(d), int(math.floor(s * 10000)))
+            for d, s in zip(td.docids.tolist(), td.scores.tolist())
+        ]
+        return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
     def ft_combined_field(spark, sf):
         # CombinedFieldQuery / BM25F (sandbox/search/CombinedFieldQuery
         # .java:72,292-334; MultiNormsLeafSimScorer): "table" against the
@@ -2966,10 +2991,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann_ivf_recall, ann_lsh_recall, dedup_embcos_recall,
         ft_block_join_child, ft_cjk_analyze, ft_offsets_html,
         ft_fuzzy_suggest, ft_facet_ssdv, ft_xml_query, ft_flexible,
-        ann_hnsw, ann_hnsw_recall, ft_word_delimiter,
+        ann_hnsw, ann_hnsw_recall,
         ft_covering,
         text_repetition, text_pii_redact, text_lm_score,
-        ft_span_containing, ft_span_within,
+        ft_span_containing,
         ft_field_exists, ft_distance_feature,
         ft_facet_assoc,
         ft_xy_box,
@@ -2980,8 +3005,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_vs_scale, ft_vs_query_blend, ft_vs_tf_idf,
         ft_dv_terms, ft_dv_numbers, ft_multi_range, ft_sorted_dv_range,
         ft_pk_split, ft_multipass_split, ft_rearrange, ft_legacy_bm25,
+        ft_ax_f2log_sim, ft_dfi_sim,
         # (1b) new this round, below the 50-row cap:
-        ft_phonetic, ft_common_grams, ft_stem_override, ft_pattern_replace,
+        ft_word_delimiter, ft_span_within, ft_phonetic, ft_common_grams, ft_stem_override, ft_pattern_replace,
         ft_xy_distance, ft_xy_polygon, ft_simple_neg, ft_span_prange,
         text_line_dedup, ft_group_all, ft_group_heads, ft_group_distinct,
         ft_group_facet, ft_fingerprint,
@@ -4049,6 +4075,31 @@ s2 AS (
 )
 SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
 FROM s2 ORDER BY score DESC, doc_id LIMIT 10""",
+        "ft_ax_f2log_sim": _FT_PRELUDE + """,
+term_scores AS (
+  SELECT tf.doc_id,
+         (tf.tf / (tf.tf + 0.25 + 0.25 * dl.dl / (s.sttf / s.n)))
+         * ln((s.n + 1.0) / df.df) AS sc
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term IN ('batch', 'fast')
+),
+doc_scores AS (SELECT doc_id, SUM(sc) AS score FROM term_scores GROUP BY doc_id)
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10""",
+        "ft_dfi_sim": _FT_PRELUDE + """,
+cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term),
+term_scores AS (
+  SELECT tf.doc_id,
+         CASE WHEN tf.tf > (cf.cf + 1.0) * dl.dl / (s.sttf + 1.0)
+              THEN log2((tf.tf - (cf.cf + 1.0) * dl.dl / (s.sttf + 1.0))
+                        / sqrt((cf.cf + 1.0) * dl.dl / (s.sttf + 1.0)) + 1.0)
+              ELSE 0.0 END AS sc
+  FROM tf JOIN cf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term IN ('batch', 'fast')
+),
+doc_scores AS (SELECT doc_id, SUM(sc) AS score FROM term_scores GROUP BY doc_id)
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10""",
         "ft_legacy_bm25": _FT_PRELUDE + """,
 term_scores AS (
   SELECT tf.doc_id,

@@ -689,9 +689,6 @@ class AxiomaticScorer:
         self.precision = precision
         self.boost = float(boost)
         self.avgdl = stats.sum_total_term_freq / float(stats.doc_count)
-        self.idf = (
-            (float(stats.doc_count) + 1.0) / float(doc_freq)
-        ) ** self.K
         self.weight = (
             np.float32(boost) if precision == "lucene" else float(boost)
         )
@@ -704,9 +701,29 @@ class AxiomaticScorer:
             "similarity='ax'"
         )
 
+    # component hooks (Axiomatic.java:96-106 score = boost * tf * ln *
+    # tfln * idf - gamma, clamped at 0); F2EXP overrides below, the
+    # F1EXP/F1LOG/F2LOG subclasses swap individual components exactly as
+    # the Java subclasses do
+    def _tf64(self, f: np.ndarray) -> np.ndarray:
+        return np.ones_like(f)
+
+    def _ln64(self, dl: np.ndarray) -> np.ndarray:
+        return np.ones_like(dl)
+
+    def _tfln64(self, f: np.ndarray, dl: np.ndarray) -> np.ndarray:
+        # F2EXP/F2LOG tfln (AxiomaticF2EXP.java:71-75)
+        return f / (f + self.S + self.S * dl / self.avgdl)
+
+    def _idf64(self) -> float:
+        # F2EXP idf = ((N+1)/df)^k (AxiomaticF2EXP.java:77-81)
+        return ((float(self.stats.doc_count) + 1.0)
+                / float(self.doc_freq)) ** self.K
+
     def _score64(self, f: np.ndarray, dl: np.ndarray) -> np.ndarray:
-        tfln = f / (f + self.S + self.S * dl / self.avgdl)
-        return np.maximum(self.boost * tfln * self.idf, 0.0)
+        comp = (self._tf64(f) * self._ln64(dl) * self._tfln64(f, dl)
+                * self._idf64())
+        return np.maximum(self.boost * comp, 0.0)
 
     def score(self, freq: np.ndarray, norm: np.ndarray) -> np.ndarray:
         if self.precision == "lucene":
@@ -798,6 +815,142 @@ class SweetSpotScorer(ClassicScorer):
         return float(np.max(float(self.weight) * self._tf64(f)))
 
 
+class AxiomaticF1EXPScorer(AxiomaticScorer):
+    """AxiomaticF1EXP (search/similarities/AxiomaticF1EXP.java:59-90):
+      tf   = 1 + ln(1 + ln(freq + 1))            (:63-67, freq+1 guard)
+      ln   = (avgdl + s) / (avgdl + dl·s)        (:70-73)
+      tfln = 1, gamma = 0                        (:76-80, :83-87)
+      idf  = ((N + 1) / df)^k                    (:82-86)
+    defaults s = 0.25, k = 0.35 (Axiomatic.java:91-93).  tf is monotone
+    increasing in freq and ln decreasing in dl, so the impact-frontier
+    pruning bounds stay valid."""
+
+    def _tf64(self, f):
+        return 1.0 + np.log(1.0 + np.log(f + 1.0))
+
+    def _ln64(self, dl):
+        return (self.avgdl + self.S) / (self.avgdl + dl * self.S)
+
+    def _tfln64(self, f, dl):
+        return np.ones_like(f)
+
+
+class AxiomaticF1LOGScorer(AxiomaticF1EXPScorer):
+    """AxiomaticF1LOG (AxiomaticF1LOG.java:55-85): F1EXP's tf and ln with
+    idf = ln((N + 1) / df) (:80-84)."""
+
+    def _idf64(self):
+        return math.log(
+            (float(self.stats.doc_count) + 1.0) / float(self.doc_freq))
+
+
+class AxiomaticF2LOGScorer(AxiomaticScorer):
+    """AxiomaticF2LOG (AxiomaticF2LOG.java:53-83): F2EXP's tfln with
+    idf = ln((N + 1) / df) (:78-82)."""
+
+    def _idf64(self):
+        return math.log(
+            (float(self.stats.doc_count) + 1.0) / float(self.doc_freq))
+
+
+class DFIScorer:
+    """Divergence From Independence (search/similarities/
+    DFISimilarity.java:45-70):
+
+      expected = (cf + 1) · dl / (sttf + 1)          (:61-62)
+      score    = 0 when freq <= expected             (:64-65)
+                 boost · log2(measure + 1) otherwise (:67-68)
+
+    with the independence measure plugged per subclass
+    (IndependenceStandardized.java:33 (f−e)/√e, IndependenceSaturated.java:32
+    (f−e)/e, IndependenceChiSquared.java:33 (f−e)²/e).  Parameter-free;
+    needs cf (NEEDS_CF plumbing, like the LM family).
+
+    SimilarityBase contract: double math, float32 result cast in 'lucene'
+    mode.  Monotone: the measure rises in freq and falls in dl (expected
+    grows with dl), so per-block (freq↑, dl↓) impact frontiers remain
+    valid upper bounds for pruning; duel tests assert pruned ==
+    exhaustive.  The javadoc's advice to KEEP stopwords (:33-35) is the
+    caller's analyzer choice — the scorer itself is analyzer-agnostic.
+    """
+
+    NEEDS_CF = True
+
+    def __init__(self, doc_freq, stats, k1=1.2, b=0.75, boost=1.0,
+                 precision="lucene", idf_value=None, cf=None):
+        if precision not in ("lucene", "float64"):
+            raise ValueError(f"unknown precision {precision!r}")
+        if cf is None:
+            raise ValueError("DFI requires the term's collection frequency")
+        self.doc_freq = doc_freq
+        self.stats = stats
+        self.precision = precision
+        self.boost = float(boost)
+        self.cf = int(cf)
+        self.weight = (
+            np.float32(boost) if precision == "lucene" else float(boost))
+
+    @classmethod
+    def for_terms(cls, doc_freqs, stats, k1=1.2, b=0.75, boost=1.0,
+                  precision="lucene"):
+        raise NotImplementedError(
+            "phrase/synonym/span weights are not supported under "
+            "similarity='dfi_*'")
+
+    def _measure64(self, f: np.ndarray, e: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+    def _score64(self, f: np.ndarray, dl: np.ndarray) -> np.ndarray:
+        expected = ((self.cf + 1.0) * dl
+                    / (self.stats.sum_total_term_freq + 1.0))
+        m = self._measure64(f, np.maximum(expected, 1e-300))
+        out = self.boost * np.log2(m + 1.0)
+        return np.where(f <= expected, 0.0, out)
+
+    def score(self, freq: np.ndarray, norm: np.ndarray) -> np.ndarray:
+        if self.precision == "lucene":
+            f = np.asarray(freq, dtype=np.float64)
+            dl = LENGTH_TABLE[np.asarray(norm, dtype=np.int64)].astype(np.float64)
+            return self._score64(f, dl).astype(np.float32)
+        return self._score64(
+            np.asarray(freq, dtype=np.float64),
+            np.asarray(norm, dtype=np.float64),
+        )
+
+    def score_from_dl(self, freq: np.ndarray, dl: np.ndarray) -> np.ndarray:
+        if self.precision == "lucene":
+            from .smallfloat import int_to_byte4_np
+
+            return self.score(freq, int_to_byte4_np(np.asarray(dl)))
+        return self.score(freq, dl)
+
+    def max_score(self, freqs: np.ndarray, norms: np.ndarray) -> float:
+        if len(freqs) == 0:
+            return 0.0
+        return float(np.max(self.score(np.asarray(freqs), np.asarray(norms))))
+
+
+class DFIStandardizedScorer(DFIScorer):
+    """(f − e)/√e — IndependenceStandardized.java:33."""
+
+    def _measure64(self, f, e):
+        return (f - e) / np.sqrt(e)
+
+
+class DFISaturatedScorer(DFIScorer):
+    """(f − e)/e — IndependenceSaturated.java:32."""
+
+    def _measure64(self, f, e):
+        return (f - e) / e
+
+
+class DFIChiSquaredScorer(DFIScorer):
+    """(f − e)²/e — IndependenceChiSquared.java:33."""
+
+    def _measure64(self, f, e):
+        return (f - e) * (f - e) / e
+
+
 class LegacyBM25Scorer(BM25Scorer):
     """LegacyBM25Similarity (misc/src/java/org/apache/lucene/misc/search/
     similarity/LegacyBM25Similarity.java:33-84): delegates to BM25 with
@@ -835,5 +988,11 @@ SIMILARITIES = {
     "dfr": DFRScorer,
     "ib": IBScorer,
     "ax": AxiomaticScorer,
+    "ax_f1exp": AxiomaticF1EXPScorer,
+    "ax_f1log": AxiomaticF1LOGScorer,
+    "ax_f2log": AxiomaticF2LOGScorer,
+    "dfi_standardized": DFIStandardizedScorer,
+    "dfi_saturated": DFISaturatedScorer,
+    "dfi_chisquared": DFIChiSquaredScorer,
     "sweetspot": SweetSpotScorer,
 }

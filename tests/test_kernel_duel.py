@@ -160,7 +160,8 @@ def test_tie_break_by_docid():
 @pytest.mark.parametrize(
     "sim_name",
     ["classic", "boolean", "lmd", "lmjm", "dfr", "ib", "ax", "sweetspot",
-     "legacy_bm25"])
+     "legacy_bm25", "ax_f1exp", "ax_f1log", "ax_f2log",
+     "dfi_standardized", "dfi_saturated", "dfi_chisquared"])
 @pytest.mark.parametrize("precision", ["lucene", "float64"])
 def test_duel_other_similarities(sim_name, precision):
     """Pruned kernel == exhaustive under non-BM25 similarities: the SimScorer
