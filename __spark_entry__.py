@@ -2145,6 +2145,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return spark.createDataFrame(rows or [], "doc_id long, score_q long")
 
+    def ft_bm25_nb_classify(spark, sf):
+        # BM25NBClassifier (classification/BM25NBClassifier.java:43-231):
+        # naive bayes approximated by pure BM25 queries — logPrior from the
+        # class term's score, logLikelihood from per-(class, word) top-1
+        # conjunction scores, log-sum-exp normalized
+        from lucene_spark.classify import classify_bm25_nb
+
+        idx = _ft_index(spark, sf)
+        labels = _docs(spark, sf).select("doc_id", "lang")
+        got = classify_bm25_nb(idx, "spark window dup batch", labels,
+                               label_col="lang", normalize=True)
+        return got.select(
+            "label",
+            F.floor(F.col("score") * 10000).cast("long").alias("score_q"))
+
+    def ft_fuzzy_classify(spark, sf):
+        # KNearestFuzzyClassifier (classification/KNearestFuzzyClassifier
+        # .java:44-148): top-10 under the NearestFuzzyQuery (fuzzified
+        # free text, maxEdits=1), majority vote on lang
+        from lucene_spark.classify import classify_knn_fuzzy
+
+        idx = _ft_index(spark, sf)
+        labels = _docs(spark, sf).select("doc_id", "lang")
+        return classify_knn_fuzzy(idx, "windoq batct", labels,
+                                  label_col="lang", k=10)
+
     def ft_combined_field(spark, sf):
         # CombinedFieldQuery / BM25F (sandbox/search/CombinedFieldQuery
         # .java:72,292-334; MultiNormsLeafSimScorer): "table" against the
@@ -2995,7 +3021,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_covering,
         text_repetition, text_pii_redact, text_lm_score,
         ft_span_containing,
-        ft_field_exists, ft_distance_feature,
         ft_facet_assoc,
         ft_xy_box,
         ft_span_field_masked,
@@ -3005,8 +3030,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_vs_scale, ft_vs_query_blend, ft_vs_tf_idf,
         ft_dv_terms, ft_dv_numbers, ft_multi_range, ft_sorted_dv_range,
         ft_pk_split, ft_multipass_split, ft_rearrange, ft_legacy_bm25,
-        ft_ax_f2log_sim, ft_dfi_sim,
+        ft_ax_f2log_sim, ft_dfi_sim, ft_bm25_nb_classify, ft_fuzzy_classify,
         # (1b) new this round, below the 50-row cap:
+        ft_field_exists, ft_distance_feature,
         ft_word_delimiter, ft_span_within, ft_phonetic, ft_common_grams, ft_stem_override, ft_pattern_replace,
         ft_xy_distance, ft_xy_polygon, ft_simple_neg, ft_span_prange,
         text_line_dedup, ft_group_all, ft_group_heads, ft_group_distinct,
@@ -4037,6 +4063,37 @@ j AS (SELECT d.lang, d.source FROM documents d JOIN m USING (doc_id))
 SELECT source AS label, CAST(count(*) AS BIGINT) AS count
 FROM j WHERE lang = 'en'
 GROUP BY source ORDER BY count DESC, label ASC LIMIT 100""",
+        "ft_bm25_nb_classify": _FT_PRELUDE + """,
+cls AS (SELECT lang AS label, CAST(count(*) AS BIGINT) AS dfc FROM documents GROUP BY lang),
+clsc AS (
+  SELECT label,
+         ln(1 + (s.n - dfc + 0.5) / (dfc + 0.5))
+         - ln(1 + (s.n - dfc + 0.5) / (dfc + 0.5))
+           / (1.0 + 1.0 * (1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * 1.0 / 1.0)))) AS cs
+  FROM cls CROSS JOIN stats s),
+ws AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+         - ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           / (1.0 + tf.tf * (1.0 / (1.2 * ((1.0 - 0.75)
+              + 0.75 * dl.dl / (s.sttf / s.n))))) AS sc
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term IN ('spark', 'window', 'dup', 'batch')),
+mx AS (SELECT d.lang AS label, w.term, max(w.sc) AS mx
+       FROM ws w JOIN documents d USING (doc_id) GROUP BY d.lang, w.term),
+qterms(term) AS (VALUES ('spark'), ('window'), ('dup'), ('batch')),
+ll AS (SELECT c.label, c.cs, SUM(ln(c.cs + COALESCE(m.mx, 0.0))) AS lsum
+       FROM clsc c CROSS JOIN qterms t
+       LEFT JOIN mx m ON m.label = c.label AND m.term = t.term
+       GROUP BY c.label, c.cs),
+raw AS (SELECT label, ln(cs) + lsum AS s FROM ll),
+norm AS (
+  SELECT label,
+         exp(s - (SELECT max(s) FROM raw)
+             - ln((SELECT SUM(exp(s - (SELECT max(s) FROM raw))) FROM raw))) AS p
+  FROM raw)
+SELECT label, CAST(floor(p * 10000) AS BIGINT) AS score_q
+FROM norm ORDER BY p DESC, label""",
         "ft_function_query": """
 SELECT doc_id,
        CAST(floor((1000.0 / (1.0 * CAST(n_chars AS DOUBLE) + 10.0)) * 10000) AS BIGINT) AS score_q
@@ -5794,4 +5851,13 @@ SELECT p.doc_id,
 FROM psc p JOIN tsc t USING (doc_id)
 ORDER BY ((p.w - p.w / (1.0 + p.pf * p.inv))
           + (t.w - t.w / (1.0 + t.tf * t.inv))) DESC, p.doc_id LIMIT 10"""
+    # KNearestFuzzyClassifier twin: the FuzzyLikeThis top-10 window
+    # (same CTE chain as ft_fuzzy_like_this) re-aggregated as a lang vote
+    d["ft_fuzzy_classify"] = d["ft_fuzzy_like_this"].replace(
+        """SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM docsc ORDER BY score DESC, doc_id LIMIT 10""",
+        """SELECT dd.lang AS label, CAST(count(*) AS BIGINT) AS votes
+FROM (SELECT doc_id FROM docsc ORDER BY score DESC, doc_id LIMIT 10) t
+JOIN documents dd USING (doc_id)
+GROUP BY dd.lang ORDER BY votes DESC, label LIMIT 1""")
     return d

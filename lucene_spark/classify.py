@@ -169,3 +169,175 @@ def classify_naive_bayes(
         out = [(lb, math.exp(s - loga)) for lb, s in out]
     out.sort(key=lambda p: (-p[1], p[0]))
     return spark.createDataFrame(out, "label string, score double")
+
+
+def classify_bm25_nb(
+    index: Index,
+    text: str,
+    labels: DataFrame,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    normalize: bool = True,
+    stopwords=ENGLISH_STOP_WORDS,
+) -> DataFrame:
+    """BM25NBClassifier analog (classification/src/java/org/apache/lucene/
+    classification/BM25NBClassifier.java:43-231) — "a classifier
+    approximating naive bayes ... by using pure queries on BM25":
+
+    - logPrior(c)  = ln(top-1 BM25 score of TermQuery(classField:c))
+      (:222-231).  The class field indexes ONE label token per document,
+      so its per-field statistics are (N docs, N tokens, avgdl=1) and
+      every class-c document scores identically:
+      w_c − w_c/(1 + 1/k1), w_c = ln(1 + (N − df_c + 0.5)/(df_c + 0.5)).
+    - logLikelihood(c) = Σ_w ln(P(c, w)) over every analyzed token
+      occurrence (:199-204), P = top-1 score of (MUST class:c, SHOULD
+      text:w) (:206-220): the class clause scores on every class-c doc,
+      the word clause adds its text-field BM25 where it matches — so the
+      top-1 is classScore_c + max_{doc∈c, doc∋w} BM25_text(w, doc)
+      (0 when no class-c doc contains w; P = 1 when the class itself is
+      empty, :219).
+    - normalize → the reference's log-sum-exp softmax
+      (normClassificationResults, :146-174).
+
+    Distributed shape: ONE pruned postings scan over the query's words
+    (posting rows decoded to (term, docid, tf)), one join against dl and
+    the label table, one (label, term) max aggregation — the driver sees
+    O(#classes · #words) rows, never per-class search jobs.  All float64
+    (SQL-replicable).
+    """
+    spark = labels.sparkSession
+    tokens = analyze(text, stopwords)
+    if not tokens:
+        return spark.createDataFrame([], "label string, score double")
+    words = sorted(set(tokens))
+    tok_counts = {w: tokens.count(w) for w in words}
+
+    n = index.doc_count
+    avgdl = index.sum_total_term_freq / float(n)
+    lab = labels.select(
+        F.col(id_col).alias("docid"), F.col(label_col).alias("label")
+    )
+    cls_pd = lab.groupBy("label").agg(F.count(F.lit(1)).alias("dfc")).toPandas()
+
+    # class-term BM25 on the one-token-per-doc class field (constant per class)
+    inv_cls = 1.0 / (k1 * ((1.0 - b) + b * 1.0 / 1.0))
+    cls_score = {}
+    for r in cls_pd.itertuples(index=False):
+        w_c = math.log(1.0 + (n - int(r.dfc) + 0.5) / (int(r.dfc) + 0.5))
+        cls_score[r.label] = w_c - w_c / (1.0 + 1.0 * inv_cls)
+
+    # per-(class, word) max text-field BM25 over that class's docs
+    from .search import term_dfs
+
+    dfs = term_dfs(words, index.termdict)
+    weights = spark.createDataFrame(
+        [(t, math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5)))
+         for t in words if t in dfs] or [("", 0.0)],
+        "term string, w double",
+    )
+    tfs = _term_tfs(index, [t for t in words if t in dfs])
+    scored = (
+        tfs.join(index.docs.select("docid", "dl"), "docid")
+        .join(F.broadcast(weights), "term")
+        .withColumn(
+            "score",
+            F.col("w") - F.col("w") / (
+                1.0 + F.col("tf") * (1.0 / (k1 * ((1.0 - b)
+                    + b * F.col("dl") / F.lit(avgdl))))
+            ),
+        )
+    )
+    mx_pd = (
+        scored.join(lab, "docid")
+        .groupBy("label", "term")
+        .agg(F.max("score").alias("mx"))
+        .toPandas()
+    )
+    mx = {(r.label, r.term): float(r.mx) for r in mx_pd.itertuples(index=False)}
+
+    out = []
+    for r in cls_pd.itertuples(index=False):
+        cs = cls_score[r.label]
+        score = math.log(cs)
+        for t in words:
+            score += tok_counts[t] * math.log(cs + mx.get((r.label, t), 0.0))
+        out.append((r.label, score))
+    if normalize:
+        smax = max(s for _, s in out)
+        loga = smax + math.log(sum(math.exp(s - smax) for _, s in out))
+        out = [(lb, math.exp(s - loga)) for lb, s in out]
+    out.sort(key=lambda p: (-p[1], p[0]))
+    return spark.createDataFrame(out, "label string, score double")
+
+
+def _term_tfs(index: Index, terms: list[str]) -> DataFrame:
+    """(term, docid, tf) for the given terms — _term_docids keeping freqs."""
+    spark = index.postings.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "term string, docid long, tf long")
+    seg_size = index.seg_size
+    rows = index.postings.filter(F.col("term").isin(sorted(set(terms))))
+
+    def explode(batches):
+        from .kernel import TermPostings
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            segs = pdf["seg"].to_numpy(dtype=np.int64)
+            out_t, out_d, out_f = [], [], []
+            for i, (_, row) in enumerate(pdf.iterrows()):
+                docids, tfs, _ = TermPostings(row, seg_size).decode()
+                out_d.append(docids.astype(np.int64) + segs[i] * seg_size)
+                out_f.append(tfs.astype(np.int64))
+                out_t.append(np.repeat(np.array([row["term"]], dtype=object),
+                                       len(docids)))
+            yield pd.DataFrame({
+                "term": np.concatenate(out_t),
+                "docid": np.concatenate(out_d),
+                "tf": np.concatenate(out_f),
+            })
+
+    return rows.mapInPandas(explode, schema="term string, docid long, tf long")
+
+
+def classify_knn_fuzzy(
+    index: Index,
+    text: str,
+    labels: DataFrame,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    k: int = 10,
+    max_edits: int = 1,
+    prefix_length: int = 0,
+    precision: str = "float64",
+    stopwords=ENGLISH_STOP_WORDS,
+) -> DataFrame:
+    """KNearestFuzzyClassifier analog (classification/src/java/org/apache/
+    lucene/classification/KNearestFuzzyClassifier.java:44-148): top-k
+    neighbors under a NearestFuzzyQuery (:136-148) — the FuzzyLikeThis
+    machinery with maxEdits=1 (classification/utils/NearestFuzzyQuery.java
+    is that query "simplified", same variant scoring) — then majority
+    vote on the class field (buildListFromTopDocs).  Returns a single-row
+    (label, votes) frame like :func:`classify_knn`."""
+    from .search import fuzzy_like_this, search
+
+    spark = labels.sparkSession
+    node = fuzzy_like_this(index, text, max_edits=max_edits,
+                           prefix_length=prefix_length, analyzer=stopwords,
+                           precision=precision)
+    if node is None:
+        return spark.createDataFrame([], "label string, votes long")
+    td = search(index, node, k=k, precision=precision, prune=True)
+    if len(td.docids) == 0:
+        return spark.createDataFrame([], "label string, votes long")
+    ids = [int(d) for d in td.docids]
+    return (
+        labels.filter(F.col(id_col).isin(ids))
+        .groupBy(F.col(label_col).alias("label"))
+        .agg(F.count(F.lit(1)).alias("votes"))
+        .orderBy(F.col("votes").desc(), F.col("label"))
+        .limit(1)
+    )
