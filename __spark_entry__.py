@@ -2171,6 +2171,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return classify_knn_fuzzy(idx, "windoq batct", labels,
                                   label_col="lang", k=10)
 
+    def ft_perceptron(spark, sf):
+        # BooleanPerceptronClassifier (classification/BooleanPerceptron
+        # Classifier.java:58-235): weights init = per-term totalTermFreq,
+        # bias = sumTotalTermFreq/docCount, one online pass over the
+        # training docs (docid asc), weight update max(0, w + mod*tf) on
+        # misclassification; class of the probe text = sum(weights) >= bias
+        from lucene_spark.classify import classify_boolean_perceptron
+
+        idx = _ft_index(spark, sf)
+        train = (_docs(spark, sf)
+                 .filter("doc_id < 60 AND lang IN ('en', 'de')")
+                 .select("doc_id", "text",
+                         (F.col("lang") == "en").alias("cls")))
+        out = classify_boolean_perceptron(
+            idx, train, "spark window dup table", batch_size=1)
+        return out.select(
+            "assigned", "output",
+            F.floor(F.col("score") * 10000).cast("long").alias("score_q"))
+
     def ft_combined_field(spark, sf):
         # CombinedFieldQuery / BM25F (sandbox/search/CombinedFieldQuery
         # .java:72,292-334; MultiNormsLeafSimScorer): "table" against the
@@ -3031,6 +3050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verified every run by tests/test_entry_gate.py, and rotates into
         # the head in rounds 4-5 ----
         # (3) remaining families new this round:
+        ft_perceptron,
         ft_span_containing, ft_facet_assoc, ft_xy_box, ft_span_field_masked,
         ft_spanish_light,
         ft_function_range, ft_function_match,
@@ -4095,6 +4115,43 @@ norm AS (
   FROM raw)
 SELECT label, CAST(floor(p * 10000) AS BIGINT) AS score_q
 FROM norm ORDER BY p DESC, label""",
+        # sequential perceptron replay: the weight vector (BIGINT list
+        # aligned to the sorted vocab) rides through a recursive CTE, one
+        # step per training doc in docid order — all-integer arithmetic, so
+        # the reference's FST longValue() truncation is exact
+        "ft_perceptron": _FT_PRELUDE.replace("WITH tok", "WITH RECURSIVE tok", 1) + """,
+vocab AS (SELECT term, CAST(count(*) AS BIGINT) AS cf,
+                 row_number() OVER (ORDER BY term) AS i
+          FROM ftok GROUP BY term),
+train AS (SELECT doc_id, (lang = 'en') AS cls,
+                 row_number() OVER (ORDER BY doc_id) AS n
+          FROM documents WHERE doc_id < 60 AND lang IN ('en', 'de')),
+dv AS (SELECT t.n, any_value(t.cls) AS cls,
+              list(COALESCE(tf.tf, 0) ORDER BY v.i) AS vec
+       FROM train t CROSS JOIN vocab v
+       LEFT JOIN tf ON tf.doc_id = t.doc_id AND tf.term = v.term
+       GROUP BY t.n),
+biasv AS (SELECT s.sttf / CAST(s.n AS DOUBLE) AS b FROM stats s),
+steps(n, w) AS (
+  SELECT CAST(0 AS BIGINT), (SELECT list(cf ORDER BY i) FROM vocab)
+  UNION ALL
+  SELECT s.n + 1,
+    CASE WHEN (CASE WHEN list_sum(list_transform(list_zip(s.w, d.vec),
+                                                 z -> z[1] * z[2]))
+                    >= (SELECT b FROM biasv)
+               THEN NOT d.cls ELSE d.cls END)
+    THEN list_transform(list_zip(s.w, d.vec),
+           z -> greatest(0, z[1] + (CASE WHEN d.cls THEN 1 ELSE -1 END) * z[2]))
+    ELSE s.w END
+  FROM steps s JOIN dv d ON d.n = s.n + 1
+),
+final AS (SELECT w FROM steps ORDER BY n DESC LIMIT 1),
+qt(term, cnt) AS (VALUES ('spark', 1), ('window', 1), ('dup', 1), ('table', 1)),
+qo AS (SELECT CAST(COALESCE(sum(q.cnt * f.w[v.i]), 0) AS BIGINT) AS output
+       FROM qt q JOIN vocab v USING (term) CROSS JOIN final f)
+SELECT (qo.output >= bb.b) AS assigned, qo.output AS output,
+       CAST(floor((1 - exp(-abs(bb.b - qo.output) / bb.b)) * 10000) AS BIGINT) AS score_q
+FROM qo CROSS JOIN biasv bb""",
         "ft_function_query": """
 SELECT doc_id,
        CAST(floor((1000.0 / (1.0 * CAST(n_chars AS DOUBLE) + 10.0)) * 10000) AS BIGINT) AS score_q

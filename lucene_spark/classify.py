@@ -341,3 +341,101 @@ def classify_knn_fuzzy(
         .orderBy(F.col("votes").desc(), F.col("label"))
         .limit(1)
     )
+
+
+def classify_boolean_perceptron(
+    index: Index,
+    docs: DataFrame,
+    text: str,
+    text_col: str = "text",
+    class_col: str = "cls",
+    id_col: str = "doc_id",
+    batch_size: int = 1,
+    bias: float | None = None,
+    stopwords=ENGLISH_STOP_WORDS,
+) -> DataFrame:
+    """BooleanPerceptronClassifier analog (classification/src/java/org/
+    apache/lucene/classification/BooleanPerceptronClassifier.java:58-235):
+    an online boolean perceptron whose weights start at each term's
+    totalTermFreq (:118-122) and whose bias defaults to
+    sumTotalTermFreq/docCount (:99-104).
+
+    Training replays the reference loop exactly: docs with a class value in
+    hit order (the training query is a constant-scoring wildcard MUST on
+    the class field, :130-136, so every score ties and the order is docid
+    asc); each doc is classified with the CURRENT FST snapshot
+    (assignClass, :218-235: output = sum of snapshot weights per token
+    occurrence, class = output >= bias); on a misclassification
+    (modifier = correct.compareTo(assigned), :151-155) every term of the
+    doc gets weights[t] = max(0, fst[t] + modifier*tf) — the base value
+    read from the possibly-stale FST, not the live map (:195-199) — and
+    the FST is rebuilt when batchCount % batchSize == 0 (:156-160).  All
+    arithmetic stays in integers (init = cf, updates = ±tf), so the
+    reference's longValue() truncation at FST build (:204-215) is exact.
+
+    Distributed shape: the perceptron is the reference's inherently
+    sequential online learner, so the weight loop runs on the driver — but
+    only over the TRAINING docs' (docid, term, tf) triples, tokenized
+    Spark-side with the index analyzer, and only the touched slice of the
+    vocabulary (training-doc terms + query tokens) is collected from the
+    term dictionary (pushdown isin scan), never the full corpus vocab.
+
+    → one-row DataFrame (assigned boolean, output long, score double):
+    score = 1 - exp(-|bias - output|/bias) (:233).
+    """
+    from .analysis import make_analyze_udf
+
+    spark = docs.sparkSession
+    if bias is None or bias == 0.0:
+        bias = index.sum_total_term_freq / float(index.doc_count)
+    tok_udf = make_analyze_udf(stopwords)
+    tr_pdf = (
+        docs.filter(F.col(class_col).isNotNull())
+        .select(
+            F.col(id_col).cast("long").alias("docid"),
+            F.col(class_col).cast("boolean").alias("cls"),
+            F.explode(tok_udf(F.col(text_col))).alias("term"),
+        )
+        .groupBy("docid", "cls", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .toPandas()
+    )
+    q_tokens = analyze(text, stopwords)
+    needed = sorted(set(tr_pdf["term"]) | set(q_tokens))
+    cf_rows = (
+        index.termdict.filter(~F.col("term").contains(":"))
+        .filter(F.col("term").isin(needed))
+        .select("term", "cf")
+        .collect()
+    ) if needed else []
+    fst = {r["term"]: int(r["cf"]) for r in cf_rows}
+    weights = dict(fst)
+    batch_count = 0
+    for _, g in tr_pdf.sort_values("docid").groupby("docid", sort=True):
+        terms = g["term"].tolist()
+        tfs = [int(v) for v in g["tf"].tolist()]
+        output = 0
+        for t, tfv in zip(terms, tfs):
+            d = fst.get(t)
+            if d is not None:
+                output += d * tfv
+        assigned = output >= bias
+        correct = bool(g["cls"].iloc[0])
+        modifier = int(correct) - int(assigned)
+        if modifier != 0:
+            for t, tfv in zip(terms, tfs):
+                prev = fst.get(t)
+                weights[t] = 0 if prev is None else max(0, prev + modifier * tfv)
+            if batch_count % batch_size == 0:
+                fst = dict(weights)
+        batch_count += 1
+    output = 0
+    for t in q_tokens:
+        d = fst.get(t)
+        if d is not None:
+            output += d
+    score = 1.0 - math.exp(-abs(bias - output) / bias)
+    return spark.createDataFrame(
+        [(bool(output >= bias), int(output), float(score))],
+        "assigned boolean, output long, score double",
+    )

@@ -99,3 +99,68 @@ def test_knn_fuzzy_classifies_typos(spark, nb_setup):
     row = classify_knn_fuzzy(idx, "pazta tomaot", labels, k=3).collect()
     assert row and row[0]["label"] == "food"
     assert classify_knn_fuzzy(idx, "zzzzzzz", labels, k=3).collect() == []
+
+
+# ---------------------------------------------------------------- perceptron
+
+
+PERC_ROWS = [
+    ("u0", "spark shuffle partition executor spark", True),
+    ("u1", "pasta tomato basil olive pasta pasta", False),
+    ("u2", "spark executor memory", True),
+    ("u3", "basil olive sauce", False),
+    ("u4", "spark shuffle executor partition", True),
+    ("u5", "tomato pasta sauce olive basil tomato", False),
+]
+
+
+def _brute_perceptron(rows, query_tokens, batch_size):
+    """BooleanPerceptronClassifier.java:58-235 replayed in plain python:
+    weights init = cf, bias = sttf/doccount, FST snapshot refreshed on
+    misclassification when batchCount % batchSize == 0."""
+    texts = [t.split() for _, t, _ in rows]
+    cf = {}
+    for toks in texts:
+        for t in toks:
+            cf[t] = cf.get(t, 0) + 1
+    bias = sum(len(t) for t in texts) / len(texts)
+    fst = dict(cf)
+    weights = dict(cf)
+    batch_count = 0
+    for toks, (_, _, cls) in zip(texts, rows):
+        out = sum(fst.get(t, 0) for t in toks)
+        assigned = out >= bias
+        modifier = int(cls) - int(assigned)
+        if modifier != 0:
+            tfd = {}
+            for t in toks:
+                tfd[t] = tfd.get(t, 0) + 1
+            for t, tf in tfd.items():
+                prev = fst.get(t)
+                weights[t] = 0 if prev is None else max(0, prev + modifier * tf)
+            if batch_count % batch_size == 0:
+                fst = dict(weights)
+        batch_count += 1
+    out = sum(fst.get(t, 0) for t in query_tokens)
+    return out >= bias, out, 1.0 - math.exp(-abs(bias - out) / bias)
+
+
+@pytest.mark.parametrize("batch_size", [1, 3])
+def test_boolean_perceptron_duel(spark, batch_size):
+    from lucene_spark.classify import classify_boolean_perceptron
+
+    docs = spark.createDataFrame(
+        [(u, t) for u, t, _ in PERC_ROWS], "url string, text string")
+    idx = build_index(spark, docs, seg_size=4)
+    u2c = {u: c for u, _, c in PERC_ROWS}
+    train = idx.docs.select("docid", "url").withColumn(
+        "cls", F.udf(lambda u: u2c[u], "boolean")("url")
+    ).join(docs, "url").select(F.col("docid").alias("doc_id"), "text", "cls")
+    for q in ["spark shuffle", "pasta tomato basil", "unseen words only"]:
+        got = classify_boolean_perceptron(
+            idx, train, q, batch_size=batch_size, stopwords=frozenset()
+        ).collect()[0]
+        want_cls, want_out, want_score = _brute_perceptron(
+            PERC_ROWS, q.split(), batch_size)
+        assert (got["assigned"], got["output"]) == (want_cls, want_out), q
+        assert abs(got["score"] - want_score) < 1e-12, q
