@@ -1503,6 +1503,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rows or [], "doc_id long, n_children long, score_q long"
         )
 
+    def ft_parent_children(spark, sf):
+        # ParentChildrenBlockJoinQuery (join/ParentChildrenBlockJoinQuery
+        # .java:40-180): the matching 'table' children of the single parent
+        # doc 494 (blocks of 4 children + parent every 5 docids) — child
+        # hits in [prevParent+1, 494), scored by the child query itself
+        from lucene_spark.blockjoin import parent_children
+
+        idx = _ft_index(spark, sf)
+        parents = _docs(spark, sf).filter(F.col("doc_id") % 5 == 4).select(
+            F.col("doc_id").alias("docid")
+        )
+        out = parent_children(idx, "table", parents, 494, k=10,
+                              precision="float64")
+        rows = [
+            (int(r.child_docid), int(math.floor(r.score * 10000)))
+            for r in out.itertuples()
+        ]
+        return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
     def ft_mphrase(spark, sf):
         # MultiPhraseQuery: "table (hash|merge)" — position 1 is a union
         from lucene_spark.search import multi_phrase
@@ -3050,7 +3069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verified every run by tests/test_entry_gate.py, and rotates into
         # the head in rounds 4-5 ----
         # (3) remaining families new this round:
-        ft_perceptron,
+        ft_perceptron, ft_parent_children,
         ft_span_containing, ft_facet_assoc, ft_xy_box, ft_span_field_masked,
         ft_spanish_light,
         ft_function_range, ft_function_match,
@@ -4420,6 +4439,10 @@ ch AS (
 )
 SELECT doc_id, parent, CAST(floor(score * 10000) AS BIGINT) AS score_q
 FROM ch ORDER BY score DESC, doc_id LIMIT 10""",
+        "ft_parent_children": _FT_PRELUDE + "," + _score_sql(["table"]) + """
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM doc_scores WHERE doc_id >= 490 AND doc_id < 494
+ORDER BY score DESC, doc_id LIMIT 10""",
         "ft_block_join": _FT_PRELUDE + "," + _score_sql(["dup"]) + """,
 child AS (
   SELECT doc_id, score FROM doc_scores WHERE doc_id % 5 != 4

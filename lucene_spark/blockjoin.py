@@ -212,3 +212,60 @@ def block_join_children(
         .limit(k)
         .toPandas()
     )
+
+
+def parent_children(
+    index,
+    child_query,
+    parents: DataFrame,
+    parent_docid: int,
+    k: int = 10,
+    precision: str = "lucene",
+) -> pd.DataFrame:
+    """ParentChildrenBlockJoinQuery analog (join/ParentChildrenBlockJoin
+    Query.java:40-180): the matching child documents of ONE specific parent
+    — child-query hits whose docid lies in [firstChild, parentDocId), where
+    firstChild = prevSetBit(parent - 1) + 1 within the parent's segment
+    (:130-134; the per-leaf bitset floors at the segment start).  Scores
+    are the child query's own scores.
+
+    Scale shape: the reference short-circuits every leaf but the parent's
+    (:115-118 ``context.ord != readerIndex``); here the single docID-range
+    segment is pruned BEFORE postings decode via ``score_docs(segs=[...])``,
+    so exactly one segment's postings are scanned no matter the corpus
+    size.  Returns pandas (child_docid, score) sorted (score desc, docid
+    asc) cut to k — k rows reach the driver.
+
+    Early exits mirror the reference: a parent at its segment start has no
+    children (:124-128 ``localParentDocId == 0``), and a parent whose
+    previous parent is adjacent has none either (:135-137).
+    """
+    from .search import score_docs
+
+    empty = pd.DataFrame({
+        "child_docid": pd.Series(dtype="int64"),
+        "score": pd.Series(dtype="float64"),
+    })
+    seg_size = index.seg_size
+    seg = int(parent_docid) // seg_size
+    seg_start = seg * seg_size
+    if parent_docid == seg_start:
+        return empty
+    prev = (
+        parents.filter(
+            (F.col("docid") >= seg_start) & (F.col("docid") < parent_docid)
+        ).agg(F.max("docid")).collect()[0][0]
+    )
+    first_child = int(prev) + 1 if prev is not None else seg_start
+    if first_child == parent_docid:
+        return empty
+    hits = score_docs(index, child_query, precision=precision, segs=[seg])
+    return (
+        hits.filter(
+            (F.col("docid") >= first_child) & (F.col("docid") < parent_docid)
+        )
+        .select(F.col("docid").alias("child_docid"), "score")
+        .orderBy(F.col("score").desc(), F.col("child_docid").asc())
+        .limit(k)
+        .toPandas()
+    )

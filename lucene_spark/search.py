@@ -2004,12 +2004,18 @@ def score_docs(
     b: float = 0.75,
     similarity: str = "bm25",
     analyzer=ENGLISH_STOP_WORDS,
+    segs: list[int] | None = None,
 ) -> DataFrame:
     """ALL matching docs scored, returned as a distributed DataFrame
     (docid, score) — the collector-chaining primitive behind facets/grouping
     (FacetsCollector.java:46 collects every hit; grouping's first pass
     likewise).  Nothing is collected: downstream aggregations (facet counts,
-    per-group top-n windows) stay in Spark.  Tombstones are masked."""
+    per-group top-n windows) stay in Spark.  Tombstones are masked.
+
+    ``segs`` restricts evaluation to the given docID-range segments before
+    any postings decode (the LeafReaderContext-ord short-circuit pattern,
+    e.g. ParentChildrenBlockJoinQuery.java:115-118) — global stats are
+    unchanged, so per-doc scores are identical to a full scan."""
     node = rewrite(
         parse_query(query, fields=index_fields(index))
         if isinstance(query, str) else query, analyzer,
@@ -2040,6 +2046,8 @@ def score_docs(
     if node[0] == "and" and any(t not in scorers for t in terms):
         return empty
     rows = index.postings.filter(F.col("term").isin(sorted(scorers)))
+    if segs is not None:
+        rows = rows.filter(F.col("seg").isin([int(s) for s in segs]))
     seg_size, node_b, prec = index.seg_size, node, precision
 
     def _score(post_pdf: pd.DataFrame, deny: np.ndarray | None) -> pd.DataFrame:

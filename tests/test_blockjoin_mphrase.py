@@ -200,3 +200,41 @@ def test_to_child_rejects_nonparent_match(bj_index):
     out = block_join_children(idx, "alpha", _parents(docs), k=5,
                               filter_to_parents=True)
     assert len(out) == 0
+
+
+def test_parent_children_basic(bj_index, spark):
+    # children of parent 7 (block 1: docids 4,5,6) matching 'alpha'
+    from lucene_spark.blockjoin import parent_children
+
+    idx, docs = bj_index
+    child = search(idx, "alpha", k=10**6, prune=False, precision="float64")
+    cmap = dict(zip(child.docids.tolist(), child.scores.tolist()))
+    out = parent_children(idx, "alpha", _parents(docs), 7, k=10,
+                          precision="float64")
+    got = {int(r.child_docid): r.score for r in out.itertuples()}
+    assert set(got) == {4, 6}  # texts 0 and 2 contain alpha, text 1 not
+    for d, s in got.items():
+        assert s == pytest.approx(cmap[d], rel=1e-12)
+    # sorted score desc: doc 6 ('alpha alpha beta') beats doc 4
+    assert out["child_docid"].tolist()[0] == 6
+
+
+def test_parent_children_early_exits(bj_index, spark):
+    from lucene_spark.blockjoin import parent_children
+
+    idx, docs = bj_index
+    parents = _parents(docs)
+    # parent at a segment start (docid 16*k) has no children by contract
+    # (ParentChildrenBlockJoinQuery.java:124-128); nearest parent docid at
+    # a seg start here: none are (parents are %4==3), so craft one: treat
+    # doc 16 as the parent id — localParentDocId == 0 -> empty
+    assert len(parent_children(idx, "alpha", parents, 16, k=10)) == 0
+    # adjacent parents -> firstChild == parent -> empty: add docid 2 as a
+    # parent so parent 3's first child becomes 3 itself
+    aug = parents.union(spark.createDataFrame([(2,)], "docid long"))
+    assert len(parent_children(idx, "alpha", aug, 3, k=10)) == 0
+    # per-leaf bitset floor: parent 19 sits in segment [16, 32); its
+    # previous parent 15 is in the PREVIOUS segment, so firstChild floors
+    # at the segment start 16 (the reference's per-leaf prevSetBit)
+    out = parent_children(idx, "alpha", parents, 19, k=10, precision="float64")
+    assert set(out["child_docid"].tolist()) == {16, 18}
