@@ -2273,6 +2273,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             sugg, "key w", num=10, tie_col="doc_id")
         return out.select("doc_id", "weight")
 
+    def ft_blended_infix(spark, sf):
+        # BlendedInfixSuggester (suggest/analyzing/BlendedInfixSuggester
+        # .java:46-380): same infix match as ft_infix_suggest, weight
+        # blended by 1/(first-match-position + 1), score = (long)(w*coef)
+        from lucene_spark.suggest import blended_infix_suggest
+
+        sugg = _docs(spark, sf).select(
+            "doc_id", "text", F.col("n_chars").alias("weight"))
+        out = blended_infix_suggest(
+            sugg, "key w", num=10, blender_type="reciprocal",
+            tie_col="doc_id")
+        return out.select("doc_id", "score")
+
     def ft_fuzzy_suggest(spark, sf):
         # FuzzySuggester analog (suggest/analyzing/FuzzySuggester.java:
         # 36-90, minus the FST): key "kye wind" completes suggestions whose
@@ -3069,7 +3082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verified every run by tests/test_entry_gate.py, and rotates into
         # the head in rounds 4-5 ----
         # (3) remaining families new this round:
-        ft_perceptron, ft_parent_children,
+        ft_perceptron, ft_parent_children, ft_blended_infix,
         ft_span_containing, ft_facet_assoc, ft_xy_box, ft_span_field_masked,
         ft_spanish_light,
         ft_function_range, ft_function_match,
@@ -4771,6 +4784,43 @@ SELECT d.doc_id,
 FROM documents d ORDER BY d.doc_id""",
         # infix suggester: exact 'key' token + 'w%' prefix on any token,
         # weight (n_chars) desc, doc_id tiebreak
+        "ft_blended_infix": f"""
+WITH s AS (
+  SELECT doc_id, n_chars AS weight, text,
+         list_filter(string_split(text, ' '), t -> t NOT IN ({_STOPS_SQL}))
+         AS ts
+  FROM documents
+),
+hits AS (
+  SELECT * FROM s
+  WHERE list_contains(ts, 'key')
+    AND len(list_filter(ts, t -> t LIKE 'w%')) > 0
+),
+poss AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS p
+  FROM documents
+),
+mp AS (
+  SELECT doc_id, min(p) AS p FROM poss
+  WHERE w NOT IN ({_STOPS_SQL}) AND (w = 'key' OR w LIKE 'w%')
+  GROUP BY doc_id
+),
+w1 AS (
+  SELECT h.doc_id, h.text, m.p,
+         CASE WHEN h.weight = 0 THEN 1.0
+              ELSE CAST(h.weight AS DOUBLE) END AS w
+  FROM hits h JOIN mp m USING (doc_id)
+),
+w2 AS (
+  SELECT doc_id, text, p,
+         CASE WHEN w < 10.0 AND w > -10.0 THEN w * 10.0 ELSE w END AS w
+  FROM w1
+)
+SELECT doc_id,
+       CAST(trunc(w * (CASE WHEN starts_with(text, 'key w') THEN 1.0
+                            ELSE 1.0 / (p + 1.0) END)) AS BIGINT) AS score
+FROM w2 ORDER BY score DESC, doc_id LIMIT 10""",
         "ft_infix_suggest": f"""
 WITH s AS (
   SELECT doc_id, n_chars AS weight,

@@ -568,3 +568,43 @@ def test_string_distances():
     assert ll("ab", "ba") == 1.0 - 1 / 2
     assert ll("abc", "abc") == 1.0
     assert ll("", "") == 1.0 and ll("", "abc") == 0.0
+
+
+def test_blended_infix_suggest(spark):
+    # BlendedInfixSuggester.java:46-380 semantics: position blending,
+    # raw-prefix coef=1 escape, weight floor/scale, (long) truncation
+    from lucene_spark.suggest import blended_infix_suggest
+
+    sugg = spark.createDataFrame(
+        [
+            (0, "wombat runs deep", 100),     # match pos 0
+            (1, "big wombat", 200),           # match pos 1
+            (2, "a big brown wombat", 300),   # pos 3 ('a' is a stopword: position gap kept)
+            (3, "wombat exact", 0),           # weight 0 -> 1 -> x10 scale
+            (4, "nothing here", 999),
+        ],
+        "doc_id long, text string, weight long",
+    )
+    out = {r["doc_id"]: r["score"]
+           for r in blended_infix_suggest(
+               sugg, "womb", num=10, blender_type="reciprocal",
+               tie_col="doc_id").collect()}
+    assert 4 not in out
+    assert out[0] == 100          # startswith-key? no ('womb' raw prefix of text) -> yes! 'wombat...' starts with 'womb' -> coef 1
+    assert out[1] == 100          # 200 * 1/(1+1)
+    assert out[2] == 75           # 300 * 1/(3+1)
+    assert out[3] == 10           # weight 0 -> 1 -> |w|<10 -> 10; coef 1 (raw startswith)
+    # linear blending can go negative at position > 10, faithfully
+    longtail = spark.createDataFrame(
+        [(7, " ".join(["filler"] * 12) + " wombat", 50)],
+        "doc_id long, text string, weight long")
+    got = blended_infix_suggest(
+        longtail, "womb", num=10, blender_type="linear",
+        tie_col="doc_id").collect()
+    assert got[0]["score"] == int(50 * (1 - 0.10 * 12))  # -10
+    # exponential reciprocal
+    got = blended_infix_suggest(
+        sugg, "womb", num=10, blender_type="exponential_reciprocal",
+        exponent=2.0, tie_col="doc_id").collect()
+    m = {r["doc_id"]: r["score"] for r in got}
+    assert m[2] == int(300 / 16)
