@@ -100,6 +100,7 @@ FROM doc_scores ORDER BY score DESC, doc_id LIMIT {k} OFFSET {offset}"""
 
 _INDEX_CACHE: dict[str, Index] = {}
 _MF_INDEX_CACHE: dict[str, Index] = {}
+_BLOOM_CACHE: dict[str, tuple] = {}
 
 
 def _mf_index(spark: SparkSession, sf_dir: str) -> Index:
@@ -2190,6 +2191,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return classify_knn_fuzzy(idx, "windoq batct", labels,
                                   label_col="lang", k=10)
 
+    def ft_bloom_search(spark, sf):
+        # BloomFilteringPostingsFormat (codecs/bloom/BloomFilteringPostings
+        # Format.java:66-90 + FuzzySet.java:40-60): per-segment single-hash
+        # term blooms consulted BEFORE postings decode; conjunctive search
+        # over bloom-surviving segments only — identical results to the
+        # unpruned path because the set has no false negatives
+        from lucene_spark.bloom import bloom_pruned_score_docs, build_term_blooms
+
+        if sf not in _BLOOM_CACHE:
+            docs = _docs(spark, sf)
+            idx = build_index(spark, docs, text_col="text", key_col="doc_id",
+                              docid_col="doc_id", seg_size=64)
+            blooms = build_term_blooms(idx, num_bits=4096).persist()
+            blooms.count()
+            _BLOOM_CACHE[sf] = (idx, blooms)
+        idx, blooms = _BLOOM_CACHE[sf]
+        hits = bloom_pruned_score_docs(
+            idx, blooms, "key AND window", ["key", "window"],
+            precision="float64")
+        rows = [
+            (int(r["docid"]), int(math.floor(r["score"] * 10000)))
+            for r in hits.orderBy(F.desc("score"), "docid").limit(10).collect()
+        ]
+        return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
     def ft_perceptron(spark, sf):
         # BooleanPerceptronClassifier (classification/BooleanPerceptron
         # Classifier.java:58-235): weights init = per-term totalTermFreq,
@@ -3082,7 +3108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verified every run by tests/test_entry_gate.py, and rotates into
         # the head in rounds 4-5 ----
         # (3) remaining families new this round:
-        ft_perceptron, ft_parent_children, ft_blended_infix,
+        ft_perceptron, ft_parent_children, ft_blended_infix, ft_bloom_search,
         ft_span_containing, ft_facet_assoc, ft_xy_box, ft_span_field_masked,
         ft_spanish_light,
         ft_function_range, ft_function_match,
@@ -3825,6 +3851,9 @@ FROM tf GROUP BY term""",
         "ft_term_topk": _topk_sql(["dup"], 10),
         "ft_or_topk": _topk_sql(["spark", "window", "dup"], 10),
         "ft_and_topk": _topk_sql(["key", "window"], 10, require_all=2),
+        # bloom pruning has no false negatives, so the end-to-end result is
+        # the plain conjunction (pruning itself is asserted in pytest)
+        "ft_bloom_search": _topk_sql(["key", "window"], 10, require_all=2),
         "ft_and3_topk": _topk_sql(["batch", "scan", "agg"], 100, require_all=3),
         "ft_mixed_topk": _FT_PRELUDE + """,
 term_scores AS (
