@@ -98,6 +98,84 @@ FROM doc_scores ORDER BY score DESC, doc_id LIMIT {k} OFFSET {offset}"""
     )
 
 
+def _shape_rel_preds(mnla: float, mxla: float, mnlo: float, mxlo: float):
+    """SQL fragments (intersects, within, contains) for one query box over
+    the gate's diamond rings: the same three exact predicates as
+    geo.shape_box_query (vertex-in-box / even-odd corner-in-polygon /
+    segment-vs-AABB separating-axis edge test) expanded to literal SQL
+    over the 4 edges x 4 corners."""
+    cy = "((doc_id * 7) % 40 - 20 + 0.25)"
+    h = "(((doc_id // 4) % 3) + 0.5)"
+    cx = "((doc_id % 60) - 30 + 0.25)"
+    w = "((doc_id % 4) + 0.5)"
+    verts = [(f"({cy} + {h})", cx), (cy, f"({cx} + {w})"),
+             (f"({cy} - {h})", cx), (cy, f"({cx} - {w})")]
+    corners = [(mnla, mnlo), (mnla, mxlo), (mxla, mnlo), (mxla, mxlo)]
+    vin = " OR ".join(
+        f"({y} >= {mnla} AND {y} <= {mxla} AND {x} >= {mnlo} AND {x} <= {mxlo})"
+        for y, x in verts)
+    within = " AND ".join(
+        f"({y} >= {mnla} AND {y} <= {mxla} AND {x} >= {mnlo} AND {x} <= {mxlo})"
+        for y, x in verts)
+
+    def corner_in(cy_, cx_):
+        terms = []
+        for i in range(4):
+            yi, xi = verts[i]
+            yj, xj = verts[(i + 1) % 4]
+            terms.append(
+                f"(CASE WHEN (({yi} > {cy_}) <> ({yj} > {cy_}))"
+                f" AND ({cx_} < ({xj} - {xi}) * ({cy_} - {yi}) / ({yj} - {yi}) + {xi})"
+                f" THEN 1 ELSE 0 END)")
+        return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+    corner_tests = [corner_in(cy_, cx_) for cy_, cx_ in corners]
+    any_corner = "(" + " OR ".join(corner_tests) + ")"
+    all_corners = "(" + " AND ".join(corner_tests) + ")"
+    edge_hits = []
+    for i in range(4):
+        yi, xi = verts[i]
+        yj, xj = verts[(i + 1) % 4]
+        overlap = (
+            f"(greatest({yi}, {yj}) >= {mnla} AND least({yi}, {yj}) <= {mxla}"
+            f" AND greatest({xi}, {xj}) >= {mnlo} AND least({xi}, {xj}) <= {mxlo})")
+        sp, sn = [], []
+        for cy_, cx_ in corners:
+            side = (f"(({xj} - {xi}) * ({cy_} - {yi})"
+                    f" - ({yj} - {yi}) * ({cx_} - {xi}))")
+            sp.append(f"{side} > 0")
+            sn.append(f"{side} < 0")
+        edge_hits.append(
+            f"({overlap} AND NOT (({' AND '.join(sp)}) OR ({' AND '.join(sn)})))")
+    any_edge = "(" + " OR ".join(edge_hits) + ")"
+    inter = f"(({vin}) OR {any_corner} OR {any_edge})"
+    contains = f"({all_corners} AND NOT {any_edge})"
+    return inter, f"({within})", contains
+
+
+_SHAPE_BIG_BOX = (-5.3, 6.7, -8.3, 9.7)
+_SHAPE_SMALL_BOX = (16.95, 17.65, -19.2, -18.4)
+
+
+def _shape_oracle_sql() -> str:
+    inter, within, _ = _shape_rel_preds(*_SHAPE_BIG_BOX)
+    _, _, contains = _shape_rel_preds(*_SHAPE_SMALL_BOX)
+    return f"""
+WITH rels AS (
+  SELECT doc_id,
+         {inter} AS r_intersects,
+         {within} AS r_within,
+         {contains} AS r_contains
+  FROM documents
+)
+SELECT doc_id, rel FROM (
+  SELECT doc_id, 'intersects' AS rel FROM rels WHERE r_intersects
+  UNION ALL SELECT doc_id, 'within' AS rel FROM rels WHERE r_within
+  UNION ALL SELECT doc_id, 'disjoint' AS rel FROM rels WHERE NOT r_intersects
+  UNION ALL SELECT doc_id, 'contains' AS rel FROM rels WHERE r_contains
+) ORDER BY rel, doc_id"""
+
+
 _INDEX_CACHE: dict[str, Index] = {}
 _MF_INDEX_CACHE: dict[str, Index] = {}
 _BLOOM_CACHE: dict[str, tuple] = {}
@@ -2191,6 +2269,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return classify_knn_fuzzy(idx, "windoq batct", labels,
                                   label_col="lang", k=10)
 
+    def ft_shape_box(spark, sf):
+        # LatLonShape + ShapeQuery relations (document/LatLonShape.java:
+        # 60-120, LatLonShapeBoundingBoxQuery, QueryRelation INTERSECTS/
+        # WITHIN/DISJOINT/CONTAINS): each doc is a diamond ring derived
+        # deterministically from doc_id; one box queried under all four
+        # relations
+        from lucene_spark.geo import shape_box_query
+
+        shp = _docs(spark, sf).select(
+            "doc_id",
+            F.expr("array((doc_id * 7) % 40 - 20 + 0.25 + ((doc_id DIV 4) % 3) + 0.5,"
+                   "      (doc_id * 7) % 40 - 20 + 0.25,"
+                   "      (doc_id * 7) % 40 - 20 + 0.25 - ((doc_id DIV 4) % 3) - 0.5,"
+                   "      (doc_id * 7) % 40 - 20 + 0.25)").alias("lats"),
+            F.expr("array((doc_id % 60) - 30 + 0.25,"
+                   "      (doc_id % 60) - 30 + 0.25 + (doc_id % 4) + 0.5,"
+                   "      (doc_id % 60) - 30 + 0.25,"
+                   "      (doc_id % 60) - 30 + 0.25 - (doc_id % 4) - 0.5)").alias("lons"),
+        )
+        outs = []
+        for rel in ["disjoint", "intersects", "within"]:
+            outs.append(
+                shape_box_query(shp, *_SHAPE_BIG_BOX, relation=rel)
+                .withColumn("rel", F.lit(rel)))
+        # CONTAINS needs a box small enough to fit inside a ring
+        outs.append(
+            shape_box_query(shp, *_SHAPE_SMALL_BOX, relation="contains")
+            .withColumn("rel", F.lit("contains")))
+        u = outs[0]
+        for o in outs[1:]:
+            u = u.unionByName(o)
+        return u.select("doc_id", "rel").orderBy("rel", "doc_id")
+
     def ft_bloom_search(spark, sf):
         # BloomFilteringPostingsFormat (codecs/bloom/BloomFilteringPostings
         # Format.java:66-90 + FuzzySet.java:40-60): per-segment single-hash
@@ -3109,6 +3220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the head in rounds 4-5 ----
         # (3) remaining families new this round:
         ft_perceptron, ft_parent_children, ft_blended_infix, ft_bloom_search,
+        ft_shape_box,
         ft_span_containing, ft_facet_assoc, ft_xy_box, ft_span_field_masked,
         ft_spanish_light,
         ft_function_range, ft_function_match,
@@ -3854,6 +3966,7 @@ FROM tf GROUP BY term""",
         # bloom pruning has no false negatives, so the end-to-end result is
         # the plain conjunction (pruning itself is asserted in pytest)
         "ft_bloom_search": _topk_sql(["key", "window"], 10, require_all=2),
+        "ft_shape_box": _shape_oracle_sql(),
         "ft_and3_topk": _topk_sql(["batch", "scan", "agg"], 100, require_all=3),
         "ft_mixed_topk": _FT_PRELUDE + """,
 term_scores AS (

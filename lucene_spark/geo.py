@@ -507,3 +507,149 @@ def xy_polygon_query(
         )
         crossings = crossings + F.when(cond, F.lit(1)).otherwise(F.lit(0))
     return out.filter(crossings % 2 == 1)
+
+
+# ---------------------------------------------------------------- shapes
+# LatLonShape analog: documents ARE shapes (vertex-ring arrays), queries
+# are boxes with the four ShapeQuery relations.  Reference:
+# document/LatLonShape.java:60-120 (createIndexableFields tessellates a
+# polygon and indexes per-triangle bboxes), document/
+# LatLonShapeBoundingBoxQuery.java + spatial/ShapeQuery QueryRelation
+# {INTERSECTS, WITHIN, DISJOINT, CONTAINS}.  The Spark shape: the ring's
+# bbox rides as plain min/max columns (the triangulated-bbox BKD analog —
+# parquet min/max stats prune files/row-groups), the exact phase is one
+# vectorized numpy pass over the surviving rows' edges.
+
+SHAPE_RELATIONS = ("intersects", "within", "disjoint", "contains")
+
+
+def _shape_exact_flags(
+    lats_list, lons_list, min_lat, max_lat, min_lon, max_lon
+):
+    """Per-row (any_vertex_in_box, any_corner_in_polygon, any_edge_hits_box,
+    all_corners_in_polygon) over a batch of vertex rings — fully
+    vectorized: every ring's edges are flattened into one edge table.
+
+    Exact contracts (shared verbatim with the SQL oracle twins):
+    - vertex-in-box: inclusive bounds.
+    - corner-in-polygon: even-odd ray crossing, the PNPOLY/EdgeTree rule
+      (geo/EdgeTree.java) — boundary behavior follows the raw predicate.
+    - edge-hits-box: edge bbox overlaps the box (inclusive) AND the four
+      box corners are NOT all strictly on one side of the edge's line
+      (the separating-axis test for a segment vs an AABB; touching
+      counts as a hit).
+    """
+    lens = np.array([len(a) for a in lats_list], dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        z = np.zeros(len(lats_list), dtype=bool)
+        return z, z, z, z
+    y = np.concatenate([np.asarray(a, dtype=np.float64) for a in lats_list])
+    x = np.concatenate([np.asarray(a, dtype=np.float64) for a in lons_list])
+    row = np.repeat(np.arange(len(lens)), lens)
+    starts = np.cumsum(lens) - lens
+    nxt = np.arange(total) + 1
+    ends = np.cumsum(lens) - 1
+    nxt[ends] = starts
+    y2, x2 = y[nxt], x[nxt]
+    n_rows = len(lens)
+
+    # (a) any vertex inside the box
+    vin = (y >= min_lat) & (y <= max_lat) & (x >= min_lon) & (x <= max_lon)
+    any_vin = np.zeros(n_rows, dtype=bool)
+    np.logical_or.at(any_vin, row, vin)
+
+    # (b) box corners inside the polygon (even-odd crossings per corner)
+    corners = [(min_lat, min_lon), (min_lat, max_lon),
+               (max_lat, min_lon), (max_lat, max_lon)]
+    inside = np.zeros((4, n_rows), dtype=np.int64)
+    nz = y2 != y
+    for ci, (cy, cx) in enumerate(corners):
+        cross = nz & ((y > cy) != (y2 > cy))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xs = np.where(nz, (x2 - x) * (cy - y) / np.where(nz, y2 - y, 1.0) + x, 0.0)
+        hit = cross & (cx < xs)
+        np.add.at(inside[ci], row, hit.astype(np.int64))
+    corner_in = (inside % 2) == 1          # (4, n_rows)
+    any_corner = corner_in.any(axis=0)
+    all_corners = corner_in.all(axis=0)
+
+    # (c) any edge hits the box: bbox overlap + segment-vs-AABB side test
+    elo_y, ehi_y = np.minimum(y, y2), np.maximum(y, y2)
+    elo_x, ehi_x = np.minimum(x, x2), np.maximum(x, x2)
+    overlap = (ehi_y >= min_lat) & (elo_y <= max_lat) \
+        & (ehi_x >= min_lon) & (elo_x <= max_lon)
+    dx, dy = x2 - x, y2 - y
+    all_pos = np.ones(total, dtype=bool)
+    all_neg = np.ones(total, dtype=bool)
+    for cy, cx in corners:
+        side = dx * (cy - y) - dy * (cx - x)
+        all_pos &= side > 0
+        all_neg &= side < 0
+    edge_hit = overlap & ~(all_pos | all_neg)
+    any_edge = np.zeros(n_rows, dtype=bool)
+    np.logical_or.at(any_edge, row, edge_hit)
+    return any_vin, any_corner, any_edge, all_corners
+
+
+def shape_box_query(
+    shapes: DataFrame,
+    min_lat: float,
+    max_lat: float,
+    min_lon: float,
+    max_lon: float,
+    relation: str = "intersects",
+    id_col: str = "doc_id",
+    lats_col: str = "lats",
+    lons_col: str = "lons",
+) -> DataFrame:
+    """ShapeQuery-relation box query over indexed vertex rings — ids of
+    shapes whose relation to the box holds.
+
+    - ``within``  (shape inside box): every vertex inside — for a convex
+      query region this is exact, and it is PURE Catalyst (array_min/max
+      against the bounds: the whole relation folds into the bbox columns
+      the scan pushes down).
+    - ``intersects``: bbox-overlap Catalyst prefilter, then the exact
+      phase: any vertex in box OR any box corner in the polygon OR any
+      edge hitting the box.
+    - ``disjoint``: NOT intersects (full scan by nature — same as the
+      reference's DISJOINT, LatLonShapeBoundingBoxQuery semantics).
+    - ``contains`` (shape contains box): all four corners in the polygon
+      AND no edge hits the box.
+    """
+    if relation not in SHAPE_RELATIONS:
+        raise ValueError(f"relation must be one of {SHAPE_RELATIONS}")
+    la, lo = F.col(lats_col), F.col(lons_col)
+    bbox_within = (
+        (F.array_min(la) >= F.lit(min_lat)) & (F.array_max(la) <= F.lit(max_lat))
+        & (F.array_min(lo) >= F.lit(min_lon)) & (F.array_max(lo) <= F.lit(max_lon))
+    )
+    if relation == "within":
+        return shapes.filter(bbox_within).select(id_col)
+    bbox_overlap = (
+        (F.array_max(la) >= F.lit(min_lat)) & (F.array_min(la) <= F.lit(max_lat))
+        & (F.array_max(lo) >= F.lit(min_lon)) & (F.array_min(lo) <= F.lit(max_lon))
+    )
+    cand = shapes if relation == "disjoint" else shapes.filter(bbox_overlap)
+    rel = relation
+    mnla, mxla, mnlo, mxlo = (
+        float(min_lat), float(max_lat), float(min_lon), float(max_lon))
+
+    def exact(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vin, any_c, any_e, all_c = _shape_exact_flags(
+                pdf[lats_col].tolist(), pdf[lons_col].tolist(),
+                mnla, mxla, mnlo, mxlo)
+            inter = vin | any_c | any_e
+            if rel == "intersects":
+                keep = inter
+            elif rel == "disjoint":
+                keep = ~inter
+            else:  # contains
+                keep = all_c & ~any_e
+            yield pdf.loc[keep, [id_col]]
+
+    return cand.mapInPandas(exact, schema=f"{id_col} long")

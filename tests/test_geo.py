@@ -210,3 +210,53 @@ def test_polygon_query_duel(spark):
     assert got == want and len(want) > 10
     with pytest.raises(ValueError):
         polygon_query(df, "lat", "lon", [(0.0, 0.0), (1.0, 1.0)])
+
+
+# ------------------------------------------------------- LatLonShape analog
+
+
+def test_shape_box_relations(spark):
+    from lucene_spark.geo import shape_box_query
+
+    # shapes: (id, lats, lons)
+    shapes = spark.createDataFrame(
+        [
+            # 1: small triangle fully inside the box
+            (1, [1.0, 2.0, 1.0], [1.0, 2.0, 3.0]),
+            # 2: big diamond that CONTAINS the box
+            (2, [20.0, 0.0, -20.0, 0.0], [0.0, 25.0, 0.0, -25.0]),
+            # 3: far away -> disjoint
+            (3, [50.0, 51.0, 50.0], [50.0, 51.0, 52.0]),
+            # 4: long thin triangle PASSING THROUGH the box: no vertex in
+            #    the box, no box corner inside it -> pure edge-hit case
+            (4, [0.1, 0.3, 40.0], [-40.0, 40.0, 40.0]),
+            # 5: overlaps the boundary (one vertex in, rest out)
+            (5, [4.0, 30.0, 30.0], [4.0, 30.0, 35.0]),
+        ],
+        "doc_id long, lats array<double>, lons array<double>",
+    )
+    box = (-5.0, 5.0, -5.0, 5.0)
+
+    def ids(rel):
+        return sorted(
+            r["doc_id"]
+            for r in shape_box_query(shapes, *box, relation=rel).collect())
+
+    assert ids("within") == [1]
+    assert ids("intersects") == [1, 2, 4, 5]
+    assert ids("disjoint") == [3]
+    assert ids("contains") == [2]
+
+
+def test_shape_box_bbox_prefilter_is_catalyst(spark):
+    # WITHIN compiles to pure column predicates (no python stage): the
+    # plan must show a Filter over array_min/array_max, no mapInPandas
+    from lucene_spark.geo import shape_box_query
+
+    shapes = spark.createDataFrame(
+        [(1, [1.0, 2.0], [1.0, 2.0])],
+        "doc_id long, lats array<double>, lons array<double>")
+    plan = shape_box_query(
+        shapes, -5.0, 5.0, -5.0, 5.0, relation="within"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan
