@@ -2269,6 +2269,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return classify_knn_fuzzy(idx, "windoq batct", labels,
                                   label_col="lang", k=10)
 
+    def ft_minhash_filter(spark, sf):
+        # MinHashFilter (analysis/minhash/MinHashFilter.java:46-240):
+        # 5-shingles, one md5-base60 hash, range-bucketed into 16 buckets,
+        # 2 smallest distinct hashes kept per bucket
+        from lucene_spark.textops import minhash_filter
+
+        out = minhash_filter(
+            _docs(spark, sf).filter("doc_id < 40"), n=5, bucket_count=16,
+            hash_set_size=2, with_rotation=False)
+        return out.orderBy("doc_id", "bucket", "rank")
+
+    def ft_concat_graph(spark, sf):
+        # ConcatenateGraphFilter (analysis/miscellaneous/ConcatenateGraph
+        # Filter.java:50-140): whole analyzed stream -> one suggester key
+        from pyspark.sql.functions import pandas_udf
+
+        from lucene_spark.analysis import analyze
+        from lucene_spark.filters import concatenate_graph
+
+        @pandas_udf("string")
+        def key_udf(texts: pd.Series) -> pd.Series:
+            return texts.map(
+                lambda t: (concatenate_graph(analyze(t), " ") or [""])[0])
+
+        return (_docs(spark, sf).filter("doc_id < 30")
+                .select("doc_id", key_udf("text").alias("key"))
+                .orderBy("doc_id"))
+
+    def ft_hyphenated(spark, sf):
+        # HyphenatedWordsFilter (analysis/miscellaneous/HyphenatedWords
+        # Filter.java:53-120) over whitespace tokens: the first word is
+        # hyphen-broken ('word- rest'), the filter reassembles 'wordrest'
+        from pyspark.sql.functions import pandas_udf
+
+        from lucene_spark.filters import hyphenated_words
+
+        @pandas_udf("string")
+        def first_tok(texts: pd.Series) -> pd.Series:
+            return texts.map(
+                lambda t: (hyphenated_words(t.split(" ")) or [""])[0])
+
+        hy = _docs(spark, sf).filter("doc_id < 40").select(
+            "doc_id", F.regexp_replace("text", r"^(\w+) ", "$1- ").alias("t2"))
+        return hy.select("doc_id", first_tok("t2").alias("tok")).orderBy("doc_id")
+
     def ft_shape_box(spark, sf):
         # LatLonShape + ShapeQuery relations (document/LatLonShape.java:
         # 60-120, LatLonShapeBoundingBoxQuery, QueryRelation INTERSECTS/
@@ -3220,7 +3265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the head in rounds 4-5 ----
         # (3) remaining families new this round:
         ft_perceptron, ft_parent_children, ft_blended_infix, ft_bloom_search,
-        ft_shape_box,
+        ft_shape_box, ft_minhash_filter, ft_concat_graph, ft_hyphenated,
         ft_span_containing, ft_facet_assoc, ft_xy_box, ft_span_field_masked,
         ft_spanish_light,
         ft_function_range, ft_function_match,
@@ -3967,6 +4012,33 @@ FROM tf GROUP BY term""",
         # the plain conjunction (pruning itself is asserted in pytest)
         "ft_bloom_search": _topk_sql(["key", "window"], 10, require_all=2),
         "ft_shape_box": _shape_oracle_sql(),
+        "ft_minhash_filter": f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+              FROM documents WHERE doc_id < 40),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(t[CAST(i AS BIGINT) : CAST(i + 4 AS BIGINT)], ' ') AS g
+  FROM toks, unnest(range(1, len(t) - 5 + 2)) AS u(i)
+  WHERE len(t) >= 5
+),
+hx AS (SELECT DISTINCT doc_id, {_B60.format(col='g')} AS h FROM grams),
+bk AS (SELECT doc_id, h, h // {((1 << 60) - 1) // 16 + 1} AS bucket FROM hx),
+rk AS (SELECT doc_id, bucket, h,
+              row_number() OVER (PARTITION BY doc_id, bucket ORDER BY h) - 1
+              AS rank FROM bk)
+SELECT doc_id, bucket, CAST(rank AS INT) AS rank, h AS minh
+FROM rk WHERE rank < 2 ORDER BY doc_id, bucket, rank""",
+        "ft_concat_graph": f"""
+SELECT doc_id,
+       array_to_string(list_filter(string_split(text, ' '),
+                                   t -> t NOT IN ({_STOPS_SQL})), ' ') AS key
+FROM documents WHERE doc_id < 30 ORDER BY doc_id""",
+        "ft_hyphenated": """
+SELECT doc_id,
+       CASE WHEN len(t) >= 2 THEN t[1] || t[2] ELSE t[1] END AS tok
+FROM (SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents WHERE doc_id < 40)
+ORDER BY doc_id""",
         "ft_and3_topk": _topk_sql(["batch", "scan", "agg"], 100, require_all=3),
         "ft_mixed_topk": _FT_PRELUDE + """,
 term_scores AS (

@@ -840,3 +840,40 @@ def keyword_repeat_stem(stem):
         return out_t, out_p
 
     return sf
+
+
+def hyphenated_words(tokens: list[str]) -> list[str]:
+    """HyphenatedWordsFilter analog (analysis/miscellaneous/HyphenatedWords
+    Filter.java:53-120): a token ending in '-' opens (or extends) a
+    hyphenation chain; the chain joins with following tokens until one
+    does not end in '-'; the '-' characters themselves are dropped.  A
+    chain left open at end-of-stream is emitted as accumulated (the
+    reference's exhausted branch).  Meant to run over WHITESPACE tokens
+    (the standard chain strips '-' before this filter could see it)."""
+    out: list[str] = []
+    pending = ""
+    for t in tokens:
+        if t.endswith("-") and len(t) > 1:
+            pending += t[:-1]
+        elif pending:
+            out.append(pending + t)
+            pending = ""
+        else:
+            out.append(t)
+    if pending:
+        out.append(pending)
+    return out
+
+
+def concatenate_graph(tokens: list[str], token_separator: str | None = " ",
+                      ) -> list[str]:
+    """ConcatenateGraphFilter analog (analysis/miscellaneous/Concatenate
+    GraphFilter.java:50-140): concatenates the whole token stream into ONE
+    output token, tokens joined by ``token_separator`` (None = no
+    separator, :101-104) — the suggester-key builder behind
+    CompletionAnalyzer.  The graph flattening the reference does for
+    multi-path streams is a no-op for our linear chains."""
+    if not tokens:
+        return []
+    sep = token_separator if token_separator is not None else ""
+    return [sep.join(tokens)]

@@ -809,3 +809,76 @@ def lm_score(
             F.coalesce(F.col("xent_q"), F.lit(0).cast("long")).alias("xent_q"),
         )
     )
+
+
+def minhash_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    bucket_count: int = 512,
+    hash_set_size: int = 1,
+    with_rotation: bool = False,
+) -> DataFrame:
+    """MinHashFilter analog (analysis/minhash/MinHashFilter.java:46-240):
+    word ``n``-shingles hashed once, RANGE-bucketed into ``bucket_count``
+    buckets (bucketSize = maxHash/bucketCount + 1, bucket = hash/bucketSize
+    — :163-170), keeping the ``hash_set_size`` smallest DISTINCT hashes
+    per bucket (FixedSizeTreeSet, :59).  ``with_rotation`` fills each
+    empty bucket with the first value of the next non-empty bucket,
+    cyclically (:176-198) — the trick that keeps the signature length
+    fixed for short fields.
+
+    → (id, bucket, rank, minh): one row per kept hash, rank 0-based by
+    hash asc within the bucket.  The hash is the md5-base60 JVM expression
+    every dedup kernel here uses (the reference's 128-bit murmur swapped
+    for a cross-engine-reproducible hash; structure and semantics equal).
+
+    Plan shape: shingle + hash are whole-stage codegen; one hash-aggregate
+    (distinct) and one window per (id, bucket) — at 100 TB this is the
+    same single-shuffle shape as minhash_signatures; rotation is a per-doc
+    array completion over at most ``bucket_count`` rows.
+    """
+    from pyspark.sql import Window
+
+    grams = token_ngrams(docs, id_col, text_col, n)
+    bucket_size = ((1 << 60) - 1) // bucket_count + 1
+    hashed = (
+        grams.withColumn("h", base60_expr("ngram"))
+        # integer DIV, not double /: hashes exceed double's 53-bit mantissa
+        .withColumn("bucket", F.expr(f"h DIV {bucket_size}"))
+        .select(id_col, "bucket", "h")
+        .distinct()
+    )
+    w = Window.partitionBy(id_col, "bucket").orderBy("h")
+    kept = (
+        hashed.withColumn("rank", F.row_number().over(w) - 1)
+        .filter(F.col("rank") < hash_set_size)
+        .select(id_col, "bucket", "rank", F.col("h").alias("minh"))
+    )
+    if not with_rotation:
+        return kept
+    bc = bucket_count
+
+    def rotate(pdf: pd.DataFrame) -> pd.DataFrame:
+        filled = {}
+        for r in pdf.itertuples():
+            filled.setdefault(int(r.bucket), []).append((int(r.rank), int(r.minh)))
+        nonempty = sorted(filled)
+        rows = []
+        did = pdf[id_col].iloc[0]
+        for b in range(bc):
+            if b in filled:
+                for rk, mh in sorted(filled[b]):
+                    rows.append((did, b, rk, mh))
+            elif nonempty:
+                # first value of the next non-empty bucket, cyclically
+                import bisect
+                i = bisect.bisect_left(nonempty, b)
+                src = nonempty[i % len(nonempty)]
+                rows.append((did, b, 0, min(mh for _, mh in filled[src])))
+        return pd.DataFrame(
+            rows, columns=[id_col, "bucket", "rank", "minh"])
+
+    return kept.groupBy(id_col).applyInPandas(
+        rotate, schema=f"{id_col} long, bucket long, rank int, minh long")

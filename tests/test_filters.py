@@ -495,3 +495,62 @@ def test_fingerprint_and_stream_filters():
     # original + stem at the same position; unchanged tokens emit once
     assert toks == ["running", "run", "fox"]
     assert poss == [0, 0, 1]
+
+
+# ------------------------------------------- hyphenated / concat / minhash
+
+
+def test_hyphenated_words_chains():
+    from lucene_spark.filters import hyphenated_words
+
+    # single join, chain of three, pending chain at end-of-stream
+    assert hyphenated_words(["multi-", "part"]) == ["multipart"]
+    assert hyphenated_words(["a-", "b-", "c", "x"]) == ["abc", "x"]
+    assert hyphenated_words(["tail-"]) == ["tail"]
+    assert hyphenated_words(["plain", "words"]) == ["plain", "words"]
+    # a bare '-' token is NOT a chain opener (len > 1 guard)
+    assert hyphenated_words(["-", "x"]) == ["-", "x"]
+
+
+def test_concatenate_graph():
+    from lucene_spark.filters import concatenate_graph
+
+    assert concatenate_graph(["a", "b", "c"]) == ["a b c"]
+    assert concatenate_graph(["a", "b"], token_separator=None) == ["ab"]
+    assert concatenate_graph([]) == []
+
+
+def test_minhash_filter_rotation(spark):
+    from lucene_spark.textops import minhash_filter
+
+    # 3 tokens -> exactly one 3-shingle -> one non-empty bucket; with
+    # rotation every one of the 8 buckets must carry that single hash
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id long, text string")
+    plain = minhash_filter(docs, n=3, bucket_count=8,
+                           with_rotation=False).collect()
+    assert len(plain) == 1
+    h = plain[0]["minh"]
+    rot = minhash_filter(docs, n=3, bucket_count=8,
+                         with_rotation=True).collect()
+    assert len(rot) == 8
+    assert all(r["minh"] == h for r in rot)
+    assert sorted(r["bucket"] for r in rot) == list(range(8))
+
+
+def test_minhash_filter_hash_set_size(spark):
+    from lucene_spark.textops import minhash_filter
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"tok{i}" for i in range(40)))],
+        "doc_id long, text string")
+    one = minhash_filter(docs, n=3, bucket_count=4, hash_set_size=1)
+    two = minhash_filter(docs, n=3, bucket_count=4, hash_set_size=2)
+    p1 = one.toPandas().sort_values(["bucket", "rank"])
+    p2 = two.toPandas().sort_values(["bucket", "rank"])
+    # rank-0 rows agree; rank-1 rows are strictly larger within the bucket
+    m1 = dict(zip(p1["bucket"], p1["minh"]))
+    for b, g in p2.groupby("bucket"):
+        hs = g.sort_values("rank")["minh"].tolist()
+        assert hs[0] == m1[b]
+        assert hs == sorted(hs) and len(set(hs)) == len(hs)
