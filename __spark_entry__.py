@@ -2269,6 +2269,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return classify_knn_fuzzy(idx, "windoq batct", labels,
                                   label_col="lang", k=10)
 
+    def ft_hits_relation(spark, sf):
+        # TotalHits relation (search/TotalHits.java:33-47 + TopScoreDoc
+        # Collector.create(k, totalHitsThreshold)): 'table' blows past a
+        # 50-hit threshold -> GREATER_THAN_OR_EQUAL_TO; 'dup' stays under
+        # 1000 -> EQUAL_TO
+        from lucene_spark.search import search_with_total
+
+        idx = _ft_index(spark, sf)
+        rows = []
+        for q, th in [("table", 50), ("dup", 1000)]:
+            _, total, rel = search_with_total(
+                idx, q, k=5, total_hits_threshold=th, precision="float64")
+            rows.append((q, int(total), rel))
+        return spark.createDataFrame(
+            rows, "query string, total long, relation string").orderBy("query")
+
     def ft_minhash_filter(spark, sf):
         # MinHashFilter (analysis/minhash/MinHashFilter.java:46-240):
         # 5-shingles, one md5-base60 hash, range-bucketed into 16 buckets,
@@ -3266,6 +3282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (3) remaining families new this round:
         ft_perceptron, ft_parent_children, ft_blended_infix, ft_bloom_search,
         ft_shape_box, ft_minhash_filter, ft_concat_graph, ft_hyphenated,
+        ft_hits_relation,
         ft_span_containing, ft_facet_assoc, ft_xy_box, ft_span_field_masked,
         ft_spanish_light,
         ft_function_range, ft_function_match,
@@ -4012,6 +4029,19 @@ FROM tf GROUP BY term""",
         # the plain conjunction (pruning itself is asserted in pytest)
         "ft_bloom_search": _topk_sql(["key", "window"], 10, require_all=2),
         "ft_shape_box": _shape_oracle_sql(),
+        "ft_hits_relation": _FT_PRELUDE + """,
+cnt AS (
+  SELECT 'table' AS query, CAST(count(DISTINCT doc_id) AS BIGINT) AS total,
+         50 AS th
+  FROM ftok WHERE term = 'table'
+  UNION ALL
+  SELECT 'dup', CAST(count(DISTINCT doc_id) AS BIGINT), 1000
+  FROM ftok WHERE term = 'dup'
+)
+SELECT query, total,
+       CASE WHEN total <= th THEN 'EQUAL_TO'
+            ELSE 'GREATER_THAN_OR_EQUAL_TO' END AS relation
+FROM cnt ORDER BY query""",
         "ft_minhash_filter": f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
               FROM documents WHERE doc_id < 40),

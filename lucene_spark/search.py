@@ -2748,3 +2748,29 @@ def match_any_docs(index: Index, terms: list[str]) -> DataFrame:
             yield pd.DataFrame({"docid": np.concatenate(out)})
 
     return rows.mapInPandas(explode, schema="docid long").distinct()
+
+
+def search_with_total(
+    index: Index,
+    query: str | tuple,
+    k: int = 10,
+    total_hits_threshold: int = 1000,
+    **kw,
+) -> tuple[TopDocs, int, str]:
+    """Top-k plus a TotalHits (value, relation) — the TopScoreDocCollector
+    .create(k, totalHitsThreshold) surface (search/TopScoreDocCollector
+    .java:50-76, search/TotalHits.java:33-47): collectors stop counting
+    exactly at the threshold and report GREATER_THAN_OR_EQUAL_TO beyond
+    it, which is what unlocks block-max pruning in the reference.
+
+    Distributed contract: the count is ONE aggregate (per-segment counts
+    summed Spark-side, count_hits), so the exact value is kept even past
+    the threshold; the RELATION still follows the reference's API —
+    'EQUAL_TO' when count <= threshold, else 'GREATER_THAN_OR_EQUAL_TO'
+    (the reported value is trivially a valid >= bound).  Consumers that
+    branch on TotalHits.Relation behave identically.
+    """
+    td = search(index, query, k=k, **kw)
+    total = count_hits(index, query, analyzer=kw.get("analyzer", ENGLISH_STOP_WORDS))
+    rel = "EQUAL_TO" if total <= total_hits_threshold else "GREATER_THAN_OR_EQUAL_TO"
+    return td, total, rel
