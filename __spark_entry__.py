@@ -179,6 +179,7 @@ SELECT doc_id, rel FROM (
 _INDEX_CACHE: dict[str, Index] = {}
 _MF_INDEX_CACHE: dict[str, Index] = {}
 _BLOOM_CACHE: dict[str, tuple] = {}
+_DTF_CACHE: dict[str, tuple] = {}
 
 
 def _mf_index(spark: SparkSession, sf_dir: str) -> Index:
@@ -2269,6 +2270,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return classify_knn_fuzzy(idx, "windoq batct", labels,
                                   label_col="lang", k=10)
 
+    def ft_delimited_tf(spark, sf):
+        # DelimitedTermFrequencyTokenFilter (analysis/miscellaneous/
+        # DelimitedTermFrequencyTokenFilter.java:30-77): each doc's first
+        # token carries '|3'; the index counts it as tf 3 and the field
+        # length grows by 2 — BM25 over the custom frequencies
+        from lucene_spark.analysis import Analyzer
+        from lucene_spark.filters import delimited_term_frequency
+        from lucene_spark.tokenizers import whitespace_tokenize
+
+        if sf not in _DTF_CACHE:
+            docs2 = _docs(spark, sf).select(
+                "doc_id",
+                F.regexp_replace("text", r"^(\S+) ", "$1|3 ").alias("text"))
+            an = Analyzer(stopwords=frozenset(),
+                          tokenizer=whitespace_tokenize,
+                          stream_filters=[delimited_term_frequency()])
+            _DTF_CACHE[sf] = (build_index(
+                spark, docs2, text_col="text", key_col="doc_id",
+                docid_col="doc_id", seg_size=2048, stopwords=an), an)
+        idx, an = _DTF_CACHE[sf]
+        td = search(idx, "table", k=10, precision="float64", prune=True,
+                    analyzer=an)
+        rows = [
+            (int(d), int(math.floor(s * 10000)))
+            for d, s in zip(td.docids.tolist(), td.scores.tolist())
+        ]
+        return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
     def ft_hits_relation(spark, sf):
         # TotalHits relation (search/TotalHits.java:33-47 + TopScoreDoc
         # Collector.create(k, totalHitsThreshold)): 'table' blows past a
@@ -3282,7 +3311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (3) remaining families new this round:
         ft_perceptron, ft_parent_children, ft_blended_infix, ft_bloom_search,
         ft_shape_box, ft_minhash_filter, ft_concat_graph, ft_hyphenated,
-        ft_hits_relation,
+        ft_hits_relation, ft_delimited_tf,
         ft_span_containing, ft_facet_assoc, ft_xy_box, ft_span_field_masked,
         ft_spanish_light,
         ft_function_range, ft_function_match,
@@ -4029,6 +4058,35 @@ FROM tf GROUP BY term""",
         # the plain conjunction (pruning itself is asserted in pytest)
         "ft_bloom_search": _topk_sql(["key", "window"], 10, require_all=2),
         "ft_shape_box": _shape_oracle_sql(),
+        # custom tf: first token tf -> 3, dl -> len + 2 (single-token docs
+        # have no following space, so no delimiter and no change)
+        "ft_delimited_tf": """
+WITH raw AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) AS i,
+               len(t) AS n
+        FROM raw),
+tf AS (SELECT doc_id, term,
+              CAST(sum(CASE WHEN i = 1 AND n > 1 THEN 3 ELSE 1 END) AS BIGINT) AS tf
+       FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id,
+              CAST(len(t) + CASE WHEN len(t) > 1 THEN 2 ELSE 0 END AS BIGINT) AS dl
+       FROM raw),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sttf FROM dl),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+term_scores AS (
+  SELECT tf.doc_id,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) AS w,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (s.sttf / s.n))) AS inv,
+         tf.tf AS tf
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term = 'table'
+),
+doc_scores AS (
+  SELECT doc_id, SUM(w - w / (1.0 + tf * inv)) AS score
+  FROM term_scores GROUP BY doc_id
+)
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10""",
         "ft_hits_relation": _FT_PRELUDE + """,
 cnt AS (
   SELECT 'table' AS query, CAST(count(DISTINCT doc_id) AS BIGINT) AS total,

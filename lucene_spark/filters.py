@@ -877,3 +877,38 @@ def concatenate_graph(tokens: list[str], token_separator: str | None = " ",
         return []
     sep = token_separator if token_separator is not None else ""
     return [sep.join(tokens)]
+
+
+def delimited_term_frequency(delimiter: str = "|"):
+    """DelimitedTermFrequencyTokenFilter analog (analysis/miscellaneous/
+    DelimitedTermFrequencyTokenFilter.java:30-77): a token ``term|N`` sets
+    the term-frequency attribute to N.  A DOCS_AND_FREQS inverter that
+    COUNTS occurrences receives identical postings when the token expands
+    to N copies — and the field length grows by N exactly as the
+    reference's ``invertState.length += termFrequency``.  N must parse and
+    be >= 1 (TermFrequencyAttribute contract); custom tf with positions
+    is illegal in the reference (IndexOptions must omit positions), and
+    the copies here share one position for the same reason.
+
+    Stream-filter slot: pair with the whitespace tokenizer — the standard
+    UAX#29 tokenizer would split on the delimiter before this filter ran.
+    """
+
+    def stream_filter(tokens, positions):
+        out_t: list = []
+        out_p: list = []
+        for t, p in zip(tokens, positions):
+            if delimiter in t:
+                term, _, freq = t.rpartition(delimiter)
+                n = int(freq)
+                if n < 1:
+                    raise ValueError(
+                        f"Term frequency must be 1 or greater: {t!r}")
+                out_t.extend([term] * n)
+                out_p.extend([p] * n)
+            else:
+                out_t.append(t)
+                out_p.append(p)
+        return out_t, out_p
+
+    return stream_filter

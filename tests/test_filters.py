@@ -554,3 +554,39 @@ def test_minhash_filter_hash_set_size(spark):
         hs = g.sort_values("rank")["minh"].tolist()
         assert hs[0] == m1[b]
         assert hs == sorted(hs) and len(set(hs)) == len(hs)
+
+
+def test_delimited_term_frequency():
+    from lucene_spark.filters import delimited_term_frequency
+
+    f = delimited_term_frequency()
+    toks, poss = f(["cat|3", "dog", "bird|1"], [0, 1, 2])
+    assert toks == ["cat", "cat", "cat", "dog", "bird"]
+    assert poss == [0, 0, 0, 1, 2]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        f(["x|0"], [0])
+    with _pt.raises(ValueError):
+        f(["x|-2"], [0])
+
+
+def test_delimited_tf_index_roundtrip(spark):
+    # custom tf flows into postings tf and field length, like
+    # invertState.length += termFrequency
+    from lucene_spark.analysis import Analyzer
+    from lucene_spark.filters import delimited_term_frequency
+    from lucene_spark.index import build_index
+    from lucene_spark.tokenizers import whitespace_tokenize
+    from pyspark.sql import functions as F
+
+    an = Analyzer(stopwords=frozenset(), tokenizer=whitespace_tokenize,
+                  stream_filters=[delimited_term_frequency()])
+    docs = spark.createDataFrame(
+        [("u1", "cat|5 dog"), ("u2", "cat dog dog")],
+        "url string, text string")
+    idx = build_index(spark, docs, text_col="text", key_col="url",
+                      seg_size=8, stopwords=an)
+    td = idx.termdict.orderBy("term").collect()
+    assert {r["term"]: (r["df"], r["cf"]) for r in td} == {
+        "cat": (2, 6), "dog": (2, 3)}
+    assert idx.sum_total_term_freq == 9  # dl 6 + 3
