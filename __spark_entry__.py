@@ -2270,6 +2270,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return classify_knn_fuzzy(idx, "windoq batct", labels,
                                   label_col="lang", k=10)
 
+    def ft_indri_sim(spark, sf):
+        # IndriDirichletSimilarity (IndriDirichletSimilarity.java:35-66,
+        # mu=2000): score = ln((tf + mu*p_c)/(dl + mu)), p_c = cf/sttf
+        # (IndriCollectionModel, no +1 smoothing), NOT clamped at 0 —
+        # log-probabilities are negative, so the engine forces the
+        # exhaustive path (ALLOW_PRUNE=False; WAND needs scores >= 0)
+        idx = _ft_index(spark, sf)
+        td = search(idx, "batch fast", k=10, precision="float64",
+                    prune=True, similarity="indri")
+        rows = [
+            (int(d), int(math.floor(s * 10000)))
+            for d, s in zip(td.docids.tolist(), td.scores.tolist())
+        ]
+        return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
     def ft_delimited_tf(spark, sf):
         # DelimitedTermFrequencyTokenFilter (analysis/miscellaneous/
         # DelimitedTermFrequencyTokenFilter.java:30-77): each doc's first
@@ -3311,7 +3326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (3) remaining families new this round:
         ft_perceptron, ft_parent_children, ft_blended_infix, ft_bloom_search,
         ft_shape_box, ft_minhash_filter, ft_concat_graph, ft_hyphenated,
-        ft_hits_relation, ft_delimited_tf,
+        ft_hits_relation, ft_delimited_tf, ft_indri_sim,
         ft_span_containing, ft_facet_assoc, ft_xy_box, ft_span_field_masked,
         ft_spanish_light,
         ft_function_range, ft_function_match,
@@ -4833,6 +4848,22 @@ FROM combined ORDER BY score DESC, doc_id LIMIT 10""",
         "ft_span_containing": _span_contain_sql("table", "hash", 4, "value", 10),
         "ft_span_within": _span_contain_sql("table", "hash", 4, "value", 10, within=True),
         "ft_surround": _span_near_ord_sql(["table", "hash", "part"], 4, 10),
+        "ft_indri_sim": _FT_PRELUDE + """,
+cfs AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY term),
+term_scores AS (
+  SELECT tf.doc_id,
+         ln((tf + 2000.0 * (CAST(cfs.cf AS DOUBLE) / s.sttf)) / (dl.dl + 2000.0)) AS sc
+  FROM tf
+  JOIN cfs USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  WHERE tf.term IN ('batch', 'fast')
+),
+doc_scores AS (
+  SELECT doc_id, SUM(sc) AS score FROM term_scores GROUP BY doc_id
+)
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10""",
         "ft_lmd_sim": _FT_PRELUDE + """,
 cfs AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY term),
 term_scores AS (

@@ -1879,6 +1879,8 @@ def search(
     # the only shuffle is the query's own rows grouped by seg — segment ==
     # Lucene leaf, executor == searcher slice; the driver collects k rows/seg.
     seg_size = index.seg_size
+    if not getattr(sim_cls, "ALLOW_PRUNE", True):
+        prune = False  # negative-score similarities void the zero lower bound
     node_b, kparam, prec, pr = node, k, precision, prune
     after_b = (float(after[0]), int(after[1])) if after is not None else None
     out_schema = "seg long, docid long, score double"
@@ -2401,6 +2403,8 @@ def search_many(
         )
     seg_size = index.seg_size
     ks = {qid: (ks or {}).get(qid, k) for qid in exec_nodes}
+    if not getattr(sim_cls, "ALLOW_PRUNE", True):
+        prune = False  # negative-score similarities void the zero lower bound
     nodes_b, kmap, prec, pr = exec_nodes, ks, precision, prune
     afters_b = {
         qid: (float(a[0]), int(a[1])) for qid, a in (afters or {}).items()

@@ -488,6 +488,38 @@ class LMJelinekMercerScorer:
         return float(np.max(self.score(np.asarray(freqs), np.asarray(norms))))
 
 
+class IndriDirichletScorer(LMDirichletScorer):
+    """Indri's Dirichlet-smoothed language model —
+    IndriDirichletSimilarity.java:35-66 (mu default 2000):
+
+      p_c   = totalTermFreq / sumTotalTermFreq    (IndriCollectionModel,
+              :97-110 — no +1 smoothing, unlike LMSimilarity's default)
+      score = boost * ln((freq + mu * p_c) / (dl + mu))      (:62-66)
+
+    NOT clamped at zero: Indri scores are log-probabilities and almost
+    always negative.  That breaks the zero-lower-bound assumption the
+    block-max pruning kernels share with Lucene's WAND (WANDScorer
+    requires non-negative scores), so ``ALLOW_PRUNE = False`` forces the
+    exhaustive per-segment path — exactly the reference's situation, where
+    an always-negative similarity cannot benefit from impact pruning.
+    Monotonicity (increasing in freq, decreasing in dl) still holds.
+    """
+
+    ALLOW_PRUNE = False
+
+    def __init__(self, doc_freq, stats, k1=1.2, b=0.75, boost=1.0,
+                 precision="lucene", idf_value=None, cf=None):
+        super().__init__(doc_freq, stats, k1=k1, b=b, boost=boost,
+                         precision=precision, idf_value=idf_value, cf=cf)
+        self.p_c = float(cf) / float(stats.sum_total_term_freq)
+
+    def _score64(self, f: np.ndarray, dl: np.ndarray) -> np.ndarray:
+        return self.boost * np.log(
+            (f + self.mu * self.p_c) / (dl + self.mu)
+        )
+
+
+
 class DFRScorer:
     """Divergence from Randomness, the DFR G-B-H2 configuration —
     DFRSimilarity.java:104-107 over:
@@ -985,6 +1017,7 @@ SIMILARITIES = {
     "boolean": BooleanScorer,
     "lmd": LMDirichletScorer,
     "lmjm": LMJelinekMercerScorer,
+    "indri": IndriDirichletScorer,
     "dfr": DFRScorer,
     "ib": IBScorer,
     "ax": AxiomaticScorer,

@@ -287,3 +287,45 @@ def test_sweetspot_formula():
         w * 1.5, rel=1e-14)  # freq <= tf_min -> tf_base
     assert b.score_from_dl(np.array([6]), np.array([2]))[0] == pytest.approx(
         w * math.sqrt(6 + 1.5 * 1.5 - 2.0), rel=1e-14)
+
+
+def test_indri_formula_negative_and_prune_override():
+    """IndriDirichletSimilarity.java:62-66: score = ln((tf + mu*p_c)/(dl+mu)),
+    p_c = cf/sttf (IndriCollectionModel, :97-110, no +1), NO zero clamp."""
+    import numpy as np
+
+    from lucene_spark.similarity import IndriDirichletScorer
+
+    stats = CollectionStats(100, 5000)
+    sc = IndriDirichletScorer(10, stats, precision="float64", cf=40)
+    p_c = 40.0 / 5000.0
+    want = math.log((3.0 + 2000.0 * p_c) / (50.0 + 2000.0))
+    got = sc.score_from_dl(np.array([3]), np.array([50]))[0]
+    assert got == pytest.approx(want, rel=1e-12)
+    assert got < 0  # log-probability: negative, and stays negative
+    assert IndriDirichletScorer.ALLOW_PRUNE is False
+    # monotone in tf, anti-monotone in dl (bounds stay ordered)
+    tfs = np.arange(1, 50)
+    assert (np.diff(sc.score_from_dl(tfs, np.full(len(tfs), 100))) >= 0).all()
+    dls = np.arange(5, 500)
+    assert (np.diff(sc.score_from_dl(np.full(len(dls), 3), dls)) <= 0).all()
+
+
+def test_indri_search_prune_flag_is_overridden(spark):
+    # prune=True must silently fall back to the exhaustive path and give
+    # the same ranking as prune=False (negative scores break WAND bounds)
+    from lucene_spark.index import build_index
+    from lucene_spark.search import search
+
+    docs = spark.createDataFrame(
+        [(f"u{i}", "alpha beta " + ("alpha " * (i % 4)) + "tail")
+         for i in range(30)],
+        "url string, text string")
+    idx = build_index(spark, docs, seg_size=8)
+    a = search(idx, "alpha tail", k=10, precision="float64",
+               similarity="indri", prune=True)
+    b = search(idx, "alpha tail", k=10, precision="float64",
+               similarity="indri", prune=False)
+    assert a.docids.tolist() == b.docids.tolist()
+    assert a.scores.tolist() == b.scores.tolist()
+    assert (a.scores < 0).all()
