@@ -2270,6 +2270,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return classify_knn_fuzzy(idx, "windoq batct", labels,
                                   label_col="lang", k=10)
 
+    def ft_dfr_inl1_sim(spark, sf):
+        # DFR I(n)-L-H1 (BasicModelIn.java:34-45 + AfterEffectL + H1, c=1):
+        # score = log2((N+1)/(df+0.5)) * (1 - 1/(1+tfn)), tfn = tf*avgdl/dl
+        idx = _ft_index(spark, sf)
+        td = search(idx, "batch fast", k=10, precision="float64",
+                    prune=True, similarity="dfr_inl1")
+        rows = [
+            (int(d), int(math.floor(s * 10000)))
+            for d, s in zip(td.docids.tolist(), td.scores.tolist())
+        ]
+        return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
+    def ft_multi_sim(spark, sf):
+        # MultiSimilarity (MultiSimilarity.java:36-68): per-term score =
+        # SUM of sub-similarity scores; registry pair BM25 + Classic
+        idx = _ft_index(spark, sf)
+        td = search(idx, "spark window dup", k=10, precision="float64",
+                    prune=True, similarity="multi")
+        rows = [
+            (int(d), int(math.floor(s * 10000)))
+            for d, s in zip(td.docids.tolist(), td.scores.tolist())
+        ]
+        return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
     def ft_indri_sim(spark, sf):
         # IndriDirichletSimilarity (IndriDirichletSimilarity.java:35-66,
         # mu=2000): score = ln((tf + mu*p_c)/(dl + mu)), p_c = cf/sttf
@@ -3326,7 +3350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (3) remaining families new this round:
         ft_perceptron, ft_parent_children, ft_blended_infix, ft_bloom_search,
         ft_shape_box, ft_minhash_filter, ft_concat_graph, ft_hyphenated,
-        ft_hits_relation, ft_delimited_tf, ft_indri_sim,
+        ft_hits_relation, ft_delimited_tf, ft_indri_sim, ft_dfr_inl1_sim,
+        ft_multi_sim,
         ft_span_containing, ft_facet_assoc, ft_xy_box, ft_span_field_masked,
         ft_spanish_light,
         ft_function_range, ft_function_match,
@@ -4848,6 +4873,36 @@ FROM combined ORDER BY score DESC, doc_id LIMIT 10""",
         "ft_span_containing": _span_contain_sql("table", "hash", 4, "value", 10),
         "ft_span_within": _span_contain_sql("table", "hash", 4, "value", 10, within=True),
         "ft_surround": _span_near_ord_sql(["table", "hash", "part"], 4, 10),
+        "ft_dfr_inl1_sim": _FT_PRELUDE + """,
+term_scores AS (
+  SELECT tf.doc_id,
+         (ln((s.n + 1.0) / (df.df + 0.5)) / ln(2.0))
+         * (1.0 - 1.0 / (1.0 + tf.tf * (s.sttf / CAST(s.n AS DOUBLE)) / dl.dl)) AS sc
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term IN ('batch', 'fast')
+),
+doc_scores AS (
+  SELECT doc_id, SUM(sc) AS score FROM term_scores GROUP BY doc_id
+)
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10""",
+        "ft_multi_sim": _FT_PRELUDE + """,
+term_scores AS (
+  SELECT tf.doc_id,
+         (ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+          - ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+            / (1.0 + tf.tf * (1.0 / (1.2 * ((1.0 - 0.75)
+               + 0.75 * dl.dl / (s.sttf / s.n))))))
+         + ((ln((s.n + 1) / (df.df + 1.0)) + 1.0)
+            * sqrt(CAST(tf.tf AS DOUBLE)) / sqrt(CAST(dl.dl AS DOUBLE))) AS sc
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term IN ('spark', 'window', 'dup')
+),
+doc_scores AS (
+  SELECT doc_id, SUM(sc) AS score FROM term_scores GROUP BY doc_id
+)
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10""",
         "ft_indri_sim": _FT_PRELUDE + """,
 cfs AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY term),
 term_scores AS (

@@ -1010,6 +1010,130 @@ class LegacyBM25Scorer(BM25Scorer):
 
 # similarity registry (IndexSearcher.setSimilarity analog,
 # search/IndexSearcher.java:286-294): name → scorer class
+class DFRInL1Scorer:
+    """DFR I(n)-L-H1 — the parameter-free second canonical DFR
+    configuration (BasicModelIn.java:34-45, AfterEffectL.java:31-35,
+    NormalizationH1.java:55-58, c = 1):
+
+      tfn   = freq * avgdl/dl                       (H1)
+      score = boost * log2((N+1)/(df+0.5)) * (1 - 1/(1+tfn))
+              (= A * tfn/(1+tfn): I(n) rewritten to compose with the L
+              after-effect while staying non-decreasing in tfn,
+              BasicModelIn.java:38-44)
+
+    Unlike G-B-H2 this needs no collection frequency (I(n) is df-based).
+    Monotone in tfn, anti-monotone in dl -> pruning bounds stay valid.
+    """
+
+    def __init__(self, doc_freq, stats, k1=1.2, b=0.75, boost=1.0,
+                 precision="lucene", idf_value=None):
+        if precision not in ("lucene", "float64"):
+            raise ValueError(f"unknown precision {precision!r}")
+        self.doc_freq = doc_freq
+        self.stats = stats
+        self.precision = precision
+        self.boost = float(boost)
+        self.avgdl = stats.sum_total_term_freq / float(stats.doc_count)
+        self.A = math.log2((float(stats.doc_count) + 1.0)
+                           / (float(doc_freq) + 0.5))
+        self.weight = (
+            np.float32(boost) if precision == "lucene" else float(boost)
+        )
+
+    @classmethod
+    def for_terms(cls, doc_freqs, stats, k1=1.2, b=0.75, boost=1.0,
+                  precision="lucene"):
+        raise NotImplementedError(
+            "phrase/synonym/span weights are not supported under "
+            "similarity='dfr_inl1'"
+        )
+
+    def _score64(self, f, dl):
+        tfn = f * (self.avgdl / dl)
+        return self.boost * self.A * (1.0 - 1.0 / (1.0 + tfn))
+
+    def score(self, freq, norm):
+        if self.precision == "lucene":
+            f = np.asarray(freq, dtype=np.float64)
+            dl = LENGTH_TABLE[np.asarray(norm, dtype=np.int64)].astype(np.float64)
+            return self._score64(f, dl).astype(np.float32)
+        return self._score64(np.asarray(freq, dtype=np.float64),
+                             np.asarray(norm, dtype=np.float64))
+
+    def score_from_dl(self, freq, dl):
+        if self.precision == "lucene":
+            from .smallfloat import int_to_byte4_np
+
+            return self.score(freq, int_to_byte4_np(np.asarray(dl)))
+        return self.score(freq, dl)
+
+    def max_score(self, freqs, norms):
+        if len(freqs) == 0:
+            return 0.0
+        return float(np.max(self.score(np.asarray(freqs), np.asarray(norms))))
+
+
+class MultiScorer:
+    """MultiSimilarity — SUM of sub-similarity scores per (freq, norm)
+    (MultiSimilarity.java:36-68: "will sum the scores of the provided
+    sims"; the SimScorer accumulates in float).  Default pair BM25 +
+    Classic, the composition the reference's tests use; sub-scorer classes
+    ride on the SUBS attribute so other pairs subclass in one line.
+
+    max_score = sum of sub max_scores — a valid upper bound, so the
+    block-max pruning kernels stay correct.
+    """
+
+    SUBS: tuple = ()
+
+    def __init__(self, doc_freq, stats, k1=1.2, b=0.75, boost=1.0,
+                 precision="lucene", idf_value=None):
+        self.precision = precision
+        self.subs = [
+            cls(doc_freq, stats, k1=k1, b=b, boost=boost, precision=precision)
+            for cls in type(self).SUBS
+        ]
+        self.weight = sum(float(s.weight) for s in self.subs)
+
+    @classmethod
+    def for_terms(cls, doc_freqs, stats, k1=1.2, b=0.75, boost=1.0,
+                  precision="lucene"):
+        raise NotImplementedError(
+            "phrase/synonym/span weights are not supported under "
+            "similarity='multi'"
+        )
+
+    def score(self, freq, norm):
+        if self.precision == "lucene":
+            acc = np.zeros(len(np.asarray(freq)), dtype=np.float32)
+            for s in self.subs:
+                acc = acc + s.score(freq, norm)  # float32 accumulation
+            return acc
+        acc = np.zeros(len(np.asarray(freq)), dtype=np.float64)
+        for s in self.subs:
+            acc = acc + s.score(freq, norm)
+        return acc
+
+    def score_from_dl(self, freq, dl):
+        if self.precision == "lucene":
+            from .smallfloat import int_to_byte4_np
+
+            return self.score(freq, int_to_byte4_np(np.asarray(dl)))
+        return self.score(freq, dl)
+
+    def max_score(self, freqs, norms):
+        if len(freqs) == 0:
+            return 0.0
+        return float(sum(s.max_score(freqs, norms) for s in self.subs))
+
+
+class BM25ClassicMultiScorer(MultiScorer):
+    """MultiSimilarity(BM25, Classic) — the registry's 'multi' entry."""
+
+    SUBS = (BM25Scorer, ClassicScorer)
+
+
+
 SIMILARITIES = {
     "bm25": BM25Scorer,
     "legacy_bm25": LegacyBM25Scorer,
@@ -1019,6 +1143,7 @@ SIMILARITIES = {
     "lmjm": LMJelinekMercerScorer,
     "indri": IndriDirichletScorer,
     "dfr": DFRScorer,
+    "dfr_inl1": DFRInL1Scorer,
     "ib": IBScorer,
     "ax": AxiomaticScorer,
     "ax_f1exp": AxiomaticF1EXPScorer,
@@ -1028,4 +1153,5 @@ SIMILARITIES = {
     "dfi_saturated": DFISaturatedScorer,
     "dfi_chisquared": DFIChiSquaredScorer,
     "sweetspot": SweetSpotScorer,
+    "multi": BM25ClassicMultiScorer,
 }

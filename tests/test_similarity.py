@@ -329,3 +329,39 @@ def test_indri_search_prune_flag_is_overridden(spark):
     assert a.docids.tolist() == b.docids.tolist()
     assert a.scores.tolist() == b.scores.tolist()
     assert (a.scores < 0).all()
+
+
+def test_dfr_inl1_and_multi_pruned_vs_exhaustive(spark):
+    from lucene_spark.index import build_index
+    from lucene_spark.search import search
+
+    docs = spark.createDataFrame(
+        [(f"u{i}", " ".join(["alpha"] * (1 + i % 5) + ["beta"] * (i % 3)
+                            + ["pad"] * (i % 7)))
+         for i in range(60)],
+        "url string, text string")
+    idx = build_index(spark, docs, seg_size=16)
+    for sim in ("dfr_inl1", "multi"):
+        a = search(idx, "alpha beta", k=10, precision="float64",
+                   similarity=sim, prune=True)
+        b = search(idx, "alpha beta", k=10, precision="float64",
+                   similarity=sim, prune=False)
+        assert a.docids.tolist() == b.docids.tolist(), sim
+        assert a.scores.tolist() == pytest.approx(b.scores.tolist()), sim
+
+
+def test_multi_is_sum_of_subs():
+    import numpy as np
+
+    from lucene_spark.similarity import (
+        BM25ClassicMultiScorer, BM25Scorer, ClassicScorer,
+    )
+
+    stats = CollectionStats(100, 5000)
+    m = BM25ClassicMultiScorer(10, stats, precision="float64")
+    b = BM25Scorer(10, stats, precision="float64")
+    c = ClassicScorer(10, stats, precision="float64")
+    f = np.array([1.0, 3.0, 7.0])
+    dl = np.array([10.0, 50.0, 200.0])
+    want = b.score_from_dl(f, dl) + c.score_from_dl(f, dl)
+    assert m.score_from_dl(f, dl).tolist() == pytest.approx(want.tolist())
