@@ -2270,6 +2270,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return classify_knn_fuzzy(idx, "windoq batct", labels,
                                   label_col="lang", k=10)
 
+    def text_chunk(spark, sf):
+        # training-window chunking: 50-token chunks every 30 tokens
+        # (overlapping), drop-remainder except single-window short docs
+        from lucene_spark.textops import chunk_documents
+
+        out = chunk_documents(
+            _docs(spark, sf).filter("doc_id < 40"),
+            chunk_tokens=50, stride=30)
+        return (out.select(
+            "doc_id", "chunk_id", "n_tokens",
+            F.md5("chunk_text").alias("chunk_md5"))
+            .orderBy("doc_id", "chunk_id"))
+
     def ft_dfr_inl1_sim(spark, sf):
         # DFR I(n)-L-H1 (BasicModelIn.java:34-45 + AfterEffectL + H1, c=1):
         # score = log2((N+1)/(df+0.5)) * (1 - 1/(1+tfn)), tfn = tf*avgdl/dl
@@ -3351,7 +3364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_perceptron, ft_parent_children, ft_blended_infix, ft_bloom_search,
         ft_shape_box, ft_minhash_filter, ft_concat_graph, ft_hyphenated,
         ft_hits_relation, ft_delimited_tf, ft_indri_sim, ft_dfr_inl1_sim,
-        ft_multi_sim,
+        ft_multi_sim, text_chunk,
         ft_span_containing, ft_facet_assoc, ft_xy_box, ft_span_field_masked,
         ft_spanish_light,
         ft_function_range, ft_function_match,
@@ -4873,6 +4886,20 @@ FROM combined ORDER BY score DESC, doc_id LIMIT 10""",
         "ft_span_containing": _span_contain_sql("table", "hash", 4, "value", 10),
         "ft_span_within": _span_contain_sql("table", "hash", 4, "value", 10, within=True),
         "ft_surround": _span_near_ord_sql(["table", "hash", "part"], 4, 10),
+        "text_chunk": """
+WITH raw AS (SELECT doc_id, string_split(text, ' ') AS t
+             FROM documents WHERE doc_id < 40),
+st AS (SELECT doc_id, t,
+              CASE WHEN len(t) <= 50 THEN [CAST(0 AS BIGINT)]
+                   ELSE range(0, len(t) - 50 + 1, 30) END AS ss
+       FROM raw),
+ch AS (SELECT doc_id, CAST(generate_subscripts(ss, 1) - 1 AS INT) AS chunk_id,
+              unnest(ss) AS start, t
+       FROM st)
+SELECT doc_id, chunk_id,
+       CAST(least(len(t) - start, 50) AS BIGINT) AS n_tokens,
+       md5(array_to_string(t[CAST(start + 1 AS BIGINT) : CAST(start + 50 AS BIGINT)], ' ')) AS chunk_md5
+FROM ch ORDER BY doc_id, chunk_id""",
         "ft_dfr_inl1_sim": _FT_PRELUDE + """,
 term_scores AS (
   SELECT tf.doc_id,

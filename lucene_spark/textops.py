@@ -882,3 +882,47 @@ def minhash_filter(
 
     return kept.groupBy(id_col).applyInPandas(
         rotate, schema=f"{id_col} long, bucket long, rank int, minh long")
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    stride: int = 128,
+) -> DataFrame:
+    """Split documents into fixed-token training windows — the context-
+    window chunking step of an LLM data pipeline (docs → examples).
+
+    ``chunk_tokens`` per chunk, windows starting every ``stride`` tokens
+    (stride < chunk_tokens = overlapping windows); the final partial
+    window is kept iff it is the document's ONLY window (short docs are
+    one short example; trailing partials of long docs are dropped, the
+    common drop-remainder convention).
+
+    → (id, chunk_id, chunk_text, n_tokens), chunk_id 0-based.
+
+    Pure Catalyst: split + sequence + slice + concat_ws, whole-stage
+    codegen, no shuffle — at 100 TB this is a map-only pass that parquet
+    scans stream through.
+    """
+    toks = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("t"))
+    c, s = int(chunk_tokens), int(stride)
+    starts = (
+        f"CASE WHEN size(t) <= {c} THEN array(0) "
+        f"ELSE sequence(0, size(t) - {c}, {s}) END"
+    )
+    return (
+        toks.select(
+            F.col(id_col),
+            F.posexplode(F.expr(starts)).alias("chunk_id", "start"),
+        )
+        .join(toks, id_col)
+        .select(
+            id_col,
+            "chunk_id",
+            F.expr(f"concat_ws(' ', slice(t, start + 1, {c}))").alias("chunk_text"),
+            F.expr(f"least(size(t) - start, {c})").cast("long").alias("n_tokens"),
+        )
+    )

@@ -347,3 +347,24 @@ def test_dedup_lines(spark):
     out2 = {r["doc_id"]: r["text"]
             for r in dedup_lines(d, max_line_df=3, min_chars=4).collect()}
     assert out2[0] == rows[0][1]
+
+
+def test_chunk_documents(spark):
+    from lucene_spark.textops import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))),   # 10 toks, c=4, s=3
+         (2, "a b"),                                   # short: one window
+         (3, " ".join(f"x{i}" for i in range(7)))],    # starts 0, 3 (7-4=3)
+        "doc_id long, text string")
+    out = chunk_documents(docs, chunk_tokens=4, stride=3).toPandas()
+    g = out.sort_values(["doc_id", "chunk_id"]).groupby("doc_id")
+    d1 = g.get_group(1)
+    # starts 0, 3, 6 (sequence stops at size-chunk = 6): full windows only
+    assert d1["chunk_text"].tolist() == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9"]
+    assert d1["n_tokens"].tolist() == [4, 4, 4]
+    d2 = g.get_group(2)
+    assert d2["chunk_text"].tolist() == ["a b"] and d2["n_tokens"].tolist() == [2]
+    d3 = g.get_group(3)
+    assert d3["chunk_text"].tolist() == ["x0 x1 x2 x3", "x3 x4 x5 x6"]
