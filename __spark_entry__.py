@@ -318,6 +318,21 @@ def _geo_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CCW ring smaller than a hemisphere for the Geo3D convex-polygon gate
+_GEO3D_POLY = [(-20.0, -30.0), (-15.0, 10.0), (25.0, 20.0), (30.0, -25.0)]
+
+
+def _geo3d_oracle_sql() -> str:
+    from lucene_spark.geo3d import circle3d_sql, convex_polygon3d_sql
+
+    circ = circle3d_sql("lat", "lon", 10.0, 175.0, 30.0)
+    poly = convex_polygon3d_sql("lat", "lon", _GEO3D_POLY)
+    return "WITH" + _GEO_SQL_COORDS + f"""
+SELECT doc_id, rel FROM (
+  SELECT doc_id, 'circle' AS rel FROM geo WHERE {circ}
+  UNION ALL SELECT doc_id, 'polygon' AS rel FROM geo WHERE {poly}
+) ORDER BY rel, doc_id"""
+
 _GEO_SQL_COORDS = """
 geo AS (
   SELECT doc_id,
@@ -2270,6 +2285,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return classify_knn_fuzzy(idx, "windoq batct", labels,
                                   label_col="lang", k=10)
 
+    def ft_geo3d(spark, sf):
+        # spatial3d (Geo3D): unit-sphere membership — GeoStandardCircle
+        # (arc distance <= cutoff, GeoStandardCircle.java:73-87) and
+        # GeoConvexPolygon (within every edge SidedPlane, GeoConvexPolygon
+        # .java:338-352) over deterministic per-doc coords; note the
+        # circle straddles the dateline, which the 2D quantized path
+        # cannot express without splitting
+        from lucene_spark.geo3d import circle3d_query, convex_polygon3d_query
+
+        g = _geo_docs(spark, sf)
+        circ = circle3d_query(g, "lat", "lon", 10.0, 175.0, 30.0) \
+            .select("doc_id").withColumn("rel", F.lit("circle"))
+        poly = convex_polygon3d_query(
+            g, "lat", "lon", _GEO3D_POLY
+        ).select("doc_id").withColumn("rel", F.lit("polygon"))
+        return circ.unionByName(poly).orderBy("rel", "doc_id")
+
     def text_chunk(spark, sf):
         # training-window chunking: 50-token chunks every 30 tokens
         # (overlapping), drop-remainder except single-window short docs
@@ -3364,7 +3396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_perceptron, ft_parent_children, ft_blended_infix, ft_bloom_search,
         ft_shape_box, ft_minhash_filter, ft_concat_graph, ft_hyphenated,
         ft_hits_relation, ft_delimited_tf, ft_indri_sim, ft_dfr_inl1_sim,
-        ft_multi_sim, text_chunk,
+        ft_multi_sim, text_chunk, ft_geo3d,
         ft_span_containing, ft_facet_assoc, ft_xy_box, ft_span_field_masked,
         ft_spanish_light,
         ft_function_range, ft_function_match,
@@ -4886,6 +4918,7 @@ FROM combined ORDER BY score DESC, doc_id LIMIT 10""",
         "ft_span_containing": _span_contain_sql("table", "hash", 4, "value", 10),
         "ft_span_within": _span_contain_sql("table", "hash", 4, "value", 10, within=True),
         "ft_surround": _span_near_ord_sql(["table", "hash", "part"], 4, 10),
+        "ft_geo3d": _geo3d_oracle_sql(),
         "text_chunk": """
 WITH raw AS (SELECT doc_id, string_split(text, ' ') AS t
              FROM documents WHERE doc_id < 40),

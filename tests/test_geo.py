@@ -260,3 +260,28 @@ def test_shape_box_bbox_prefilter_is_catalyst(spark):
         shapes, -5.0, 5.0, -5.0, 5.0, relation="within"
     )._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in plan
+
+
+def test_geo3d_circle_dateline_and_polygon(spark):
+    from lucene_spark.geo3d import circle3d_query, convex_polygon3d_query
+
+    pts = spark.createDataFrame(
+        [
+            (1, 10.0, 175.0),    # center itself
+            (2, 10.0, -178.0),   # across the dateline, ~7 deg away
+            (3, 10.0, 140.0),    # 35 deg west: outside cutoff 30
+            (4, 60.0, 175.0),    # 50 deg north: outside, band-pruned
+            (5, 0.0, 0.0),
+        ],
+        "doc_id long, lat double, lon double",
+    )
+    got = sorted(r["doc_id"] for r in circle3d_query(
+        pts, "lat", "lon", 10.0, 175.0, 30.0).collect())
+    assert got == [1, 2]  # dateline wrap works without splitting the circle
+    tri = [(0.0, 0.0), (0.0, 20.0), (20.0, 10.0)]  # CCW triangle
+    pts2 = spark.createDataFrame(
+        [(1, 5.0, 10.0), (2, 19.0, 10.0), (3, 5.0, 25.0), (4, -1.0, 10.0)],
+        "doc_id long, lat double, lon double")
+    got2 = sorted(r["doc_id"] for r in convex_polygon3d_query(
+        pts2, "lat", "lon", tri).collect())
+    assert got2 == [1, 2]  # inside; near-apex inside; east/south outside
