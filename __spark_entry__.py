@@ -322,6 +322,38 @@ def _geo_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GEO3D_POLY = [(-20.0, -30.0), (-15.0, 10.0), (25.0, 20.0), (30.0, -25.0)]
 
 
+def _box_field_oracle_sql() -> str:
+    """DuckDB twin of ft_box_field: per-axis interval algebra over the
+    same doc-id-derived boxes."""
+    def preds(mnla, mxla, mnlo, mxlo):
+        inter = (f"(bmaxla >= {mnla} AND bminla <= {mxla} AND "
+                 f"bmaxlo >= {mnlo} AND bminlo <= {mxlo})")
+        within = (f"(bminla >= {mnla} AND bmaxla <= {mxla} AND "
+                  f"bminlo >= {mnlo} AND bmaxlo <= {mxlo})")
+        contains = (f"(bminla <= {mnla} AND bmaxla >= {mxla} AND "
+                    f"bminlo <= {mnlo} AND bmaxlo >= {mxlo})")
+        return inter, within, contains
+
+    i_b, w_b, c_b = preds(*_SHAPE_BIG_BOX)
+    _, w_s, c_s = preds(*_SHAPE_SMALL_BOX)
+    return f"""
+WITH bx AS (
+  SELECT doc_id,
+         (doc_id * 7) % 40 - 20 + 0.25 - ((doc_id // 4) % 3) - 0.5 AS bminla,
+         (doc_id * 7) % 40 - 20 + 0.25 + ((doc_id // 4) % 3) + 0.5 AS bmaxla,
+         (doc_id % 60) - 30 + 0.25 - (doc_id % 4) - 0.5 AS bminlo,
+         (doc_id % 60) - 30 + 0.25 + (doc_id % 4) + 0.5 AS bmaxlo
+  FROM documents
+)
+SELECT doc_id, rel FROM (
+  SELECT doc_id, 'intersects' AS rel FROM bx WHERE {i_b}
+  UNION ALL SELECT doc_id, 'within' AS rel FROM bx WHERE {w_b}
+  UNION ALL SELECT doc_id, 'crosses' AS rel FROM bx
+    WHERE {i_b} AND NOT {w_b} AND NOT {c_b}
+  UNION ALL SELECT doc_id, 'contains' AS rel FROM bx WHERE {c_s}
+) ORDER BY rel, doc_id"""
+
+
 def _geo3d_oracle_sql() -> str:
     from lucene_spark.geo3d import circle3d_sql, convex_polygon3d_sql
 
@@ -2285,6 +2317,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return classify_knn_fuzzy(idx, "windoq batct", labels,
                                   label_col="lang", k=10)
 
+    def ft_box_field(spark, sf):
+        # LatLonBoundingBox (sandbox/document/LatLonBoundingBox.java:40-210):
+        # docs are boxes (2D range field); the four RangeFieldQuery
+        # relations against a search box — CROSSES = overlap w/o either
+        # containment
+        from lucene_spark.geo import box_field_query
+
+        bx = _docs(spark, sf).select(
+            "doc_id",
+            F.expr("(doc_id * 7) % 40 - 20 + 0.25 - ((doc_id DIV 4) % 3) - 0.5").alias("min_lat"),
+            F.expr("(doc_id * 7) % 40 - 20 + 0.25 + ((doc_id DIV 4) % 3) + 0.5").alias("max_lat"),
+            F.expr("(doc_id % 60) - 30 + 0.25 - (doc_id % 4) - 0.5").alias("min_lon"),
+            F.expr("(doc_id % 60) - 30 + 0.25 + (doc_id % 4) + 0.5").alias("max_lon"),
+        )
+        outs = []
+        for rel in ["crosses", "intersects", "within"]:
+            outs.append(box_field_query(bx, *_SHAPE_BIG_BOX, relation=rel)
+                        .withColumn("rel", F.lit(rel)))
+        outs.append(box_field_query(bx, *_SHAPE_SMALL_BOX, relation="contains")
+                    .withColumn("rel", F.lit("contains")))
+        u = outs[0]
+        for o in outs[1:]:
+            u = u.unionByName(o)
+        return u.select("doc_id", "rel").orderBy("rel", "doc_id")
+
     def ft_geo3d(spark, sf):
         # spatial3d (Geo3D): unit-sphere membership — GeoStandardCircle
         # (arc distance <= cutoff, GeoStandardCircle.java:73-87) and
@@ -3396,7 +3453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_perceptron, ft_parent_children, ft_blended_infix, ft_bloom_search,
         ft_shape_box, ft_minhash_filter, ft_concat_graph, ft_hyphenated,
         ft_hits_relation, ft_delimited_tf, ft_indri_sim, ft_dfr_inl1_sim,
-        ft_multi_sim, text_chunk, ft_geo3d,
+        ft_multi_sim, text_chunk, ft_geo3d, ft_box_field,
         ft_span_containing, ft_facet_assoc, ft_xy_box, ft_span_field_masked,
         ft_spanish_light,
         ft_function_range, ft_function_match,
@@ -4919,6 +4976,7 @@ FROM combined ORDER BY score DESC, doc_id LIMIT 10""",
         "ft_span_within": _span_contain_sql("table", "hash", 4, "value", 10, within=True),
         "ft_surround": _span_near_ord_sql(["table", "hash", "part"], 4, 10),
         "ft_geo3d": _geo3d_oracle_sql(),
+        "ft_box_field": _box_field_oracle_sql(),
         "text_chunk": """
 WITH raw AS (SELECT doc_id, string_split(text, ' ') AS t
              FROM documents WHERE doc_id < 40),

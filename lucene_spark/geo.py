@@ -653,3 +653,57 @@ def shape_box_query(
             yield pdf.loc[keep, [id_col]]
 
     return cand.mapInPandas(exact, schema=f"{id_col} long")
+
+
+# ------------------------------------------------------- indexed box fields
+# LatLonBoundingBox (sandbox/document/LatLonBoundingBox.java:40-210): docs
+# ARE boxes (a 2D range field); queries relate a search box to each doc box
+# with the RangeFieldQuery relations INTERSECTS / WITHIN / CONTAINS /
+# CROSSES (sandbox RangeFieldQuery.QueryType semantics: CROSSES = overlaps
+# without either containment).
+
+BOX_RELATIONS = ("intersects", "within", "contains", "crosses")
+
+
+def box_field_query(
+    boxes: DataFrame,
+    min_lat: float,
+    max_lat: float,
+    min_lon: float,
+    max_lon: float,
+    relation: str = "intersects",
+    id_col: str = "doc_id",
+    cols: tuple = ("min_lat", "max_lat", "min_lon", "max_lon"),
+) -> DataFrame:
+    """Ids of doc boxes whose relation to the query box holds — interval
+    algebra per axis, 100% Catalyst column predicates (every relation is
+    sargable: parquet min/max stats prune the scan, the BKD analog).
+
+    - intersects: inclusive overlap on both axes
+    - within: doc box inside the query box
+    - contains: doc box contains the query box
+    - crosses: intersects AND NOT within AND NOT contains
+      (RangeFieldQuery.QueryType.CROSSES)
+    """
+    if relation not in BOX_RELATIONS:
+        raise ValueError(f"relation must be one of {BOX_RELATIONS}")
+    dmnla, dmxla, dmnlo, dmxlo = (F.col(c) for c in cols)
+    inter = (
+        (dmxla >= F.lit(min_lat)) & (dmnla <= F.lit(max_lat))
+        & (dmxlo >= F.lit(min_lon)) & (dmnlo <= F.lit(max_lon))
+    )
+    within = (
+        (dmnla >= F.lit(min_lat)) & (dmxla <= F.lit(max_lat))
+        & (dmnlo >= F.lit(min_lon)) & (dmxlo <= F.lit(max_lon))
+    )
+    contains = (
+        (dmnla <= F.lit(min_lat)) & (dmxla >= F.lit(max_lat))
+        & (dmnlo <= F.lit(min_lon)) & (dmxlo >= F.lit(max_lon))
+    )
+    pred = {
+        "intersects": inter,
+        "within": within,
+        "contains": contains,
+        "crosses": inter & ~within & ~contains,
+    }[relation]
+    return boxes.filter(pred).select(id_col)

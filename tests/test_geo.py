@@ -285,3 +285,28 @@ def test_geo3d_circle_dateline_and_polygon(spark):
     got2 = sorted(r["doc_id"] for r in convex_polygon3d_query(
         pts2, "lat", "lon", tri).collect())
     assert got2 == [1, 2]  # inside; near-apex inside; east/south outside
+
+
+def test_box_field_relations(spark):
+    from lucene_spark.geo import box_field_query
+
+    boxes = spark.createDataFrame(
+        [
+            (1, -1.0, 1.0, -1.0, 1.0),      # inside the query box
+            (2, -10.0, 10.0, -10.0, 10.0),  # contains the query box
+            (3, 4.0, 8.0, 0.0, 2.0),        # crosses the top edge
+            (4, 20.0, 30.0, 20.0, 30.0),    # disjoint
+            (5, -5.0, 5.0, -5.0, 5.0),      # equal: within AND contains
+        ],
+        "doc_id long, min_lat double, max_lat double, min_lon double, max_lon double",
+    )
+    box = (-5.0, 5.0, -5.0, 5.0)
+
+    def ids(rel):
+        return sorted(r["doc_id"] for r in
+                      box_field_query(boxes, *box, relation=rel).collect())
+
+    assert ids("intersects") == [1, 2, 3, 5]
+    assert ids("within") == [1, 5]
+    assert ids("contains") == [2, 5]
+    assert ids("crosses") == [3]  # equal box is NOT crosses
