@@ -180,6 +180,7 @@ _INDEX_CACHE: dict[str, Index] = {}
 _MF_INDEX_CACHE: dict[str, Index] = {}
 _BLOOM_CACHE: dict[str, tuple] = {}
 _DTF_CACHE: dict[str, tuple] = {}
+_SYN_IDX_CACHE: dict[str, tuple] = {}
 
 
 def _mf_index(spark: SparkSession, sf_dir: str) -> Index:
@@ -2317,6 +2318,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return classify_knn_fuzzy(idx, "windoq batct", labels,
                                   label_col="lang", k=10)
 
+    def ft_index_synonym(spark, sf):
+        # index-time SynonymFilter (analysis/synonym/SynonymFilter.java):
+        # 'window' additionally emits 'casement' at the same position;
+        # searching the synonym scores with the stacked tf/df and the
+        # grown field length
+        from lucene_spark.analysis import Analyzer
+        from lucene_spark.filters import synonym_inject
+
+        if sf not in _SYN_IDX_CACHE:
+            an = Analyzer(stream_filters=[
+                synonym_inject({"window": ["casement"]})])
+            _SYN_IDX_CACHE[sf] = (build_index(
+                spark, _docs(spark, sf), text_col="text", key_col="doc_id",
+                docid_col="doc_id", seg_size=2048, stopwords=an), an)
+        idx, an = _SYN_IDX_CACHE[sf]
+        td = search(idx, "casement", k=10, precision="float64", prune=True,
+                    analyzer=an)
+        rows = [
+            (int(d), int(math.floor(s * 10000)))
+            for d, s in zip(td.docids.tolist(), td.scores.tolist())
+        ]
+        return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
     def ft_box_field(spark, sf):
         # LatLonBoundingBox (sandbox/document/LatLonBoundingBox.java:40-210):
         # docs are boxes (2D range field); the four RangeFieldQuery
@@ -3453,7 +3477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_perceptron, ft_parent_children, ft_blended_infix, ft_bloom_search,
         ft_shape_box, ft_minhash_filter, ft_concat_graph, ft_hyphenated,
         ft_hits_relation, ft_delimited_tf, ft_indri_sim, ft_dfr_inl1_sim,
-        ft_multi_sim, text_chunk, ft_geo3d, ft_box_field,
+        ft_multi_sim, text_chunk, ft_geo3d, ft_box_field, ft_index_synonym,
         ft_span_containing, ft_facet_assoc, ft_xy_box, ft_span_field_masked,
         ft_spanish_light,
         ft_function_range, ft_function_match,
@@ -4977,6 +5001,32 @@ FROM combined ORDER BY score DESC, doc_id LIMIT 10""",
         "ft_surround": _span_near_ord_sql(["table", "hash", "part"], 4, 10),
         "ft_geo3d": _geo3d_oracle_sql(),
         "ft_box_field": _box_field_oracle_sql(),
+        "ft_index_synonym": _FT_PRELUDE.replace(
+            "df AS (", """inj AS (SELECT doc_id, 'casement' AS term
+        FROM ftok WHERE term = 'window'),
+alltok AS (SELECT doc_id, term FROM ftok UNION ALL SELECT doc_id, term FROM inj),
+tf2 AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM alltok GROUP BY doc_id, term),
+dl2 AS (SELECT d.doc_id, CAST(count(a.term) AS BIGINT) AS dl
+        FROM documents d LEFT JOIN alltok a ON d.doc_id = a.doc_id
+        GROUP BY d.doc_id),
+stats2 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sttf FROM dl2),
+df2 AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf2 GROUP BY term),
+df AS (""") + """,
+term_scores AS (
+  SELECT tf2.doc_id,
+         ln(1 + (s.n - df2.df + 0.5) / (df2.df + 0.5)) AS w,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * dl2.dl / (s.sttf / s.n))) AS inv,
+         tf2.tf AS tf
+  FROM tf2 JOIN df2 USING (term) JOIN dl2 USING (doc_id) CROSS JOIN stats2 s
+  WHERE tf2.term = 'casement'
+),
+doc_scores AS (
+  SELECT doc_id, SUM(w - w / (1.0 + tf * inv)) AS score
+  FROM term_scores GROUP BY doc_id
+)
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10""",
         "text_chunk": """
 WITH raw AS (SELECT doc_id, string_split(text, ' ') AS t
              FROM documents WHERE doc_id < 40),

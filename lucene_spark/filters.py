@@ -912,3 +912,32 @@ def delimited_term_frequency(delimiter: str = "|"):
         return out_t, out_p
 
     return stream_filter
+
+
+def synonym_inject(mapping: dict):
+    """Index-time SynonymFilter (analysis/synonym/SynonymFilter.java:
+    the classic index-time mode; SynonymMap single-token rules): every
+    token that heads a rule ALSO emits its synonyms at the SAME position
+    (posIncrement 0 — the "stacked token" contract), so the synonym is
+    searchable with correct phrase/position semantics and each stacked
+    token counts toward field length exactly as the reference's
+    invertState.length++ per emitted token.
+
+    Single-token→single-token rules only (the multi-word graph cases live
+    in the query-time SynonymGraph expansion, search.synonym_graph);
+    stream-filter slot, runs on the post-stop emitted stream.
+    """
+    mp = {k: tuple(v) for k, v in mapping.items()}
+
+    def stream_filter(tokens, positions):
+        out_t: list = []
+        out_p: list = []
+        for t, p in zip(tokens, positions):
+            out_t.append(t)
+            out_p.append(p)
+            for s in mp.get(t, ()):
+                out_t.append(s)
+                out_p.append(p)
+        return out_t, out_p
+
+    return stream_filter

@@ -590,3 +590,27 @@ def test_delimited_tf_index_roundtrip(spark):
     assert {r["term"]: (r["df"], r["cf"]) for r in td} == {
         "cat": (2, 6), "dog": (2, 3)}
     assert idx.sum_total_term_freq == 9  # dl 6 + 3
+
+
+def test_synonym_inject_phrase_positions(spark):
+    # stacked synonym shares its head's position: a phrase across the
+    # synonym must match exactly like the original term
+    from lucene_spark.analysis import Analyzer
+    from lucene_spark.filters import synonym_inject
+    from lucene_spark.index import build_index
+    from lucene_spark.search import search
+
+    an = Analyzer(stopwords=frozenset(),
+                  stream_filters=[synonym_inject({"car": ["auto"]})])
+    docs = spark.createDataFrame(
+        [("u1", "fast car race"), ("u2", "fast boat race")],
+        "url string, text string")
+    idx = build_index(spark, docs, text_col="text", key_col="url",
+                      seg_size=8, with_positions=True, stopwords=an)
+    # synonym searchable
+    assert search(idx, "auto", k=5, analyzer=an).docids.tolist() == [0]
+    # phrase through the stacked position
+    assert search(idx, '"fast auto"', k=5, analyzer=an,
+                  precision="float64").docids.tolist() == [0]
+    # field length includes the stacked token (dl 4 vs 3)
+    assert idx.sum_total_term_freq == 7
