@@ -2318,6 +2318,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return classify_knn_fuzzy(idx, "windoq batct", labels,
                                   label_col="lang", k=10)
 
+    def ft_per_field_sim(spark, sf):
+        # PerFieldSimilarityWrapper (similarities/PerFieldSimilarity
+        # Wrapper.java:28-45): text:'table' scores under BM25, title:
+        # 'table' under Classic TF-IDF (each with its field's stats);
+        # the enclosing SHOULD sums per doc
+        from lucene_spark.search import per_field_similarity_search
+
+        idx = _mf_index(spark, sf)
+        out = per_field_similarity_search(
+            idx, {"": ("table", "bm25"), "title": ("table", "classic")},
+            k=10, precision="float64")
+        return out.select(
+            F.col("docid").alias("doc_id"),
+            F.floor(F.col("score") * 10000).cast("long").alias("score_q"))
+
     def ft_index_synonym(spark, sf):
         # index-time SynonymFilter (analysis/synonym/SynonymFilter.java):
         # 'window' additionally emits 'casement' at the same position;
@@ -3478,6 +3493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_shape_box, ft_minhash_filter, ft_concat_graph, ft_hyphenated,
         ft_hits_relation, ft_delimited_tf, ft_indri_sim, ft_dfr_inl1_sim,
         ft_multi_sim, text_chunk, ft_geo3d, ft_box_field, ft_index_synonym,
+        ft_per_field_sim,
         ft_span_containing, ft_facet_assoc, ft_xy_box, ft_span_field_masked,
         ft_spanish_light,
         ft_function_range, ft_function_match,
@@ -5001,6 +5017,33 @@ FROM combined ORDER BY score DESC, doc_id LIMIT 10""",
         "ft_surround": _span_near_ord_sql(["table", "hash", "part"], 4, 10),
         "ft_geo3d": _geo3d_oracle_sql(),
         "ft_box_field": _box_field_oracle_sql(),
+        "ft_per_field_sim": _FT_PRELUDE + "," + _score_sql(["table"]) + """,
+ttok0 AS (
+  SELECT doc_id, unnest(list_slice(string_split(text, ' '), 1, 5)) AS term
+  FROM documents
+),
+ttok AS (SELECT doc_id, term FROM ttok0 WHERE term NOT IN (""" + _STOPS_SQL + """)),
+ttf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM ttok
+        GROUP BY doc_id, term),
+tdl AS (SELECT d.doc_id, CAST(count(t.term) AS BIGINT) AS dl
+        FROM documents d LEFT JOIN ttok t ON d.doc_id = t.doc_id
+        GROUP BY d.doc_id),
+tstats AS (SELECT CAST(count(*) FILTER (dl > 0) AS BIGINT) AS n FROM tdl),
+tdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM ttf GROUP BY term),
+tclassic AS (
+  SELECT ttf.doc_id,
+         (ln((s.n + 1) / (tdf.df + 1.0)) + 1.0)
+         * sqrt(CAST(ttf.tf AS DOUBLE)) / sqrt(CAST(tdl.dl AS DOUBLE)) AS score
+  FROM ttf JOIN tdf USING (term) JOIN tdl USING (doc_id) CROSS JOIN tstats s
+  WHERE ttf.term = 'table'
+),
+combined AS (
+  SELECT COALESCE(d.doc_id, t.doc_id) AS doc_id,
+         COALESCE(d.score, 0.0) + COALESCE(t.score, 0.0) AS score
+  FROM doc_scores d FULL OUTER JOIN tclassic t ON d.doc_id = t.doc_id
+)
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM combined ORDER BY score DESC, doc_id LIMIT 10""",
         "ft_index_synonym": _FT_PRELUDE.replace(
             "df AS (", """inj AS (SELECT doc_id, 'casement' AS term
         FROM ftok WHERE term = 'window'),

@@ -2778,3 +2778,44 @@ def search_with_total(
     total = count_hits(index, query, analyzer=kw.get("analyzer", ENGLISH_STOP_WORDS))
     rel = "EQUAL_TO" if total <= total_hits_threshold else "GREATER_THAN_OR_EQUAL_TO"
     return td, total, rel
+
+
+def per_field_similarity_search(
+    index: Index,
+    field_queries: dict,
+    k: int = 10,
+    precision: str = "lucene",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """PerFieldSimilarityWrapper analog (similarities/PerFieldSimilarity
+    Wrapper.java:28-45: "provides the ability to use a different Similarity
+    for different fields"): each field clause scores under its OWN
+    similarity over its own field statistics, and the enclosing boolean
+    SHOULD sums the clause scores per doc (BooleanWeight sum).
+
+    ``field_queries``: {field: (query, similarity_name)}; field "" = the
+    default field.  → distributed (docid, score) DataFrame cut to k by
+    one TakeOrderedAndProject.
+
+    Shape: one pruned postings scan per field clause (each is a plain
+    score_docs pass — the per-field stats resolve through the namespaced
+    term dictionary), one union + hash-aggregate sum; no collects.
+    """
+    parts = []
+    for field, (query, sim) in sorted(field_queries.items()):
+        q = query if not field else f"{field}:{query}"
+        parts.append(
+            score_docs(index, q, precision=precision, similarity=sim,
+                       k1=k1, b=b))
+    if not parts:
+        return index.postings.sparkSession.createDataFrame(
+            [], "docid long, score double")
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy("docid").agg(F.sum("score").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )
