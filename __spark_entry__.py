@@ -2318,6 +2318,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return classify_knn_fuzzy(idx, "windoq batct", labels,
                                   label_col="lang", k=10)
 
+    def ft_id_version(spark, sf):
+        # IDVersionPostingsFormat (sandbox/IDVersionPostingsFormat.java:
+        # 40-80): primary-key map with versions; highest version wins per
+        # pk, batch realtime-get with a min-version acceptance gate
+        from lucene_spark.idversion import build_id_version_index, lookup_versions
+
+        docs = _docs(spark, sf)
+        # two generations of the same pk space: doc_id and doc_id+1000
+        # rows share pk doc_id%250, version = n_chars + doc_id DIV 250
+        src = docs.select(
+            F.expr("doc_id % 250").cast("string").alias("pk"),
+            F.col("doc_id").alias("docid"),
+            (F.col("n_chars") + F.expr("doc_id DIV 250")).alias("version"))
+        iv = build_id_version_index(src, pk_col="pk", version_col="version",
+                                    docid_col="docid")
+        pks = spark.createDataFrame(
+            [(str(i), 300) for i in range(0, 250, 7)],
+            "pk string, min_version long")
+        return (lookup_versions(iv, pks)
+                .select(F.col("pk").cast("long").alias("pk_n"),
+                        "docid", "version", "accepted")
+                .orderBy("pk_n"))
+
+    def ft_point_nearest(spark, sf):
+        # FloatPointNearestNeighbor (sandbox/search/FloatPointNearest
+        # Neighbor.java:40-300): k nearest by euclidean distance in
+        # float32 point space, squared-distance comparisons, ties by id
+        from lucene_spark.geo import point_nearest
+
+        out = point_nearest(
+            _geo_docs(spark, sf), ["lat", "lon"], [40.0, -74.0], 10)
+        return out.select(
+            "doc_id",
+            F.floor(F.col("dist_sq") * 100).cast("long").alias("dist_q"))
+
     def ft_per_field_sim(spark, sf):
         # PerFieldSimilarityWrapper (similarities/PerFieldSimilarity
         # Wrapper.java:28-45): text:'table' scores under BM25, title:
@@ -3493,7 +3528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_shape_box, ft_minhash_filter, ft_concat_graph, ft_hyphenated,
         ft_hits_relation, ft_delimited_tf, ft_indri_sim, ft_dfr_inl1_sim,
         ft_multi_sim, text_chunk, ft_geo3d, ft_box_field, ft_index_synonym,
-        ft_per_field_sim,
+        ft_per_field_sim, ft_point_nearest, ft_id_version,
         ft_span_containing, ft_facet_assoc, ft_xy_box, ft_span_field_masked,
         ft_spanish_light,
         ft_function_range, ft_function_match,
@@ -5017,6 +5052,29 @@ FROM combined ORDER BY score DESC, doc_id LIMIT 10""",
         "ft_surround": _span_near_ord_sql(["table", "hash", "part"], 4, 10),
         "ft_geo3d": _geo3d_oracle_sql(),
         "ft_box_field": _box_field_oracle_sql(),
+        "ft_id_version": """
+WITH src AS (SELECT doc_id % 250 AS pkn, doc_id AS docid,
+                    n_chars + (doc_id // 250) AS version FROM documents),
+w AS (SELECT pkn, docid, version,
+             row_number() OVER (PARTITION BY pkn
+                                ORDER BY version DESC, docid DESC) AS rn
+      FROM src),
+iv AS (SELECT pkn, docid, version FROM w WHERE rn = 1),
+req AS (SELECT unnest(range(0, 250, 7)) AS pkn)
+SELECT CAST(iv.pkn AS BIGINT) AS pk_n, CAST(iv.docid AS BIGINT) AS docid,
+       CAST(iv.version AS BIGINT) AS version, iv.version >= 300 AS accepted
+FROM iv JOIN req USING (pkn) ORDER BY pk_n""",
+        "ft_point_nearest": "WITH" + _GEO_SQL_COORDS + """,
+d AS (
+  SELECT doc_id,
+         (CAST(CAST(lat AS REAL) AS DOUBLE) - 40.0)
+           * (CAST(CAST(lat AS REAL) AS DOUBLE) - 40.0)
+         + (CAST(CAST(lon AS REAL) AS DOUBLE) - (-74.0))
+           * (CAST(CAST(lon AS REAL) AS DOUBLE) - (-74.0)) AS ds
+  FROM geo
+)
+SELECT doc_id, CAST(floor(ds * 100) AS BIGINT) AS dist_q
+FROM d ORDER BY ds ASC, doc_id LIMIT 10""",
         "ft_per_field_sim": _FT_PRELUDE + "," + _score_sql(["table"]) + """,
 ttok0 AS (
   SELECT doc_id, unnest(list_slice(string_split(text, ' '), 1, 5)) AS term

@@ -707,3 +707,37 @@ def box_field_query(
         "crosses": inter & ~within & ~contains,
     }[relation]
     return boxes.filter(pred).select(id_col)
+
+
+def point_nearest(
+    docs: DataFrame,
+    cols: list,
+    origin: list,
+    k: int,
+    id_col: str = "doc_id",
+    dist_name: str = "dist_sq",
+) -> DataFrame:
+    """FloatPointNearestNeighbor analog (sandbox/search/FloatPointNearest
+    Neighbor.java:40-300): the k docs nearest an origin in n-dimensional
+    euclidean point space, ties by id.  The reference's best-first BKD
+    cell traversal becomes a TakeOrderedAndProject over the squared-
+    distance expression (per-partition top-k, k rows to the driver); the
+    comparison key is the SQUARED distance exactly as the reference
+    compares (euclideanDistanceSquared — no sqrt in the hot loop).
+
+    ``cols``: the point's dimension columns; ``origin``: matching floats.
+    Values are float32-quantized first (FloatPoint stores float32) so the
+    distances every comparison sees are the indexed ones.
+    """
+    if len(cols) != len(origin):
+        raise ValueError("origin arity must match cols")
+    d = None
+    for c, o in zip(cols, origin):
+        q = F.col(c).cast("float").cast("double")
+        t = (q - F.lit(float(np.float32(o)))) * (q - F.lit(float(np.float32(o))))
+        d = t if d is None else d + t
+    return (
+        docs.withColumn(dist_name, d)
+        .orderBy(F.col(dist_name).asc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -608,3 +608,34 @@ def test_blended_infix_suggest(spark):
         exponent=2.0, tie_col="doc_id").collect()
     m = {r["doc_id"]: r["score"] for r in got}
     assert m[2] == int(300 / 16)
+
+
+def test_id_version_semantics(spark):
+    from lucene_spark.idversion import (
+        build_id_version_index, lookup_versions, seek_exact,
+    )
+
+    docs = spark.createDataFrame(
+        [("a", 1, 5), ("a", 2, 9), ("b", 3, 2), ("c", 4, 7), ("a", 5, 9)],
+        "url string, docid long, version long")
+    iv = build_id_version_index(docs)
+    got = {r["pk"]: (r["docid"], r["version"]) for r in iv.collect()}
+    # highest version wins; version tie -> highest docid (latest write)
+    assert got == {"a": (5, 9), "b": (3, 2), "c": (4, 7)}
+    assert seek_exact(iv, "a") == (5, 9)
+    assert seek_exact(iv, "a", min_version=10) is None   # version fast-fail
+    assert seek_exact(iv, "zz") is None
+    pks = spark.createDataFrame(
+        [("a", 9), ("b", 3), ("zz", 0)], "pk string, min_version long")
+    out = {r["pk"]: r["accepted"] for r in lookup_versions(iv, pks).collect()}
+    assert out == {"a": True, "b": False}  # zz absent entirely
+
+
+def test_id_version_bounds(spark):
+    import pytest as _pt
+
+    from lucene_spark.idversion import build_id_version_index
+
+    bad = spark.createDataFrame([("a", 1, -3)], "url string, docid long, version long")
+    with _pt.raises(Exception):
+        build_id_version_index(bad).collect()
