@@ -182,6 +182,45 @@ def cmd_check(args) -> int:
     return 0 if rep["status"] == "ok" else 1
 
 
+def cmd_info(args) -> int:
+    """Luke/IndexInfo analog (the overview panel of lucene/luke — doc
+    counts, vocabulary size, per-segment layout, top terms by docFreq,
+    index/CheckIndex.java's Status.SegmentInfoStatus surface as JSON)."""
+    from pyspark.sql import functions as F
+
+    from .index import high_freq_terms, read_index
+
+    spark = _session("lucene_spark_info")
+    idx = read_index(spark, args.index)
+    segs = (
+        idx.postings.groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("posting_rows"),
+             F.sum("df_local").alias("postings"))
+        .orderBy("seg")
+        .collect()
+    )
+    top = high_freq_terms(idx, n=args.top_terms, by="df").collect()
+    rep = {
+        "doc_count": int(idx.doc_count),
+        "sum_total_term_freq": int(idx.sum_total_term_freq),
+        "vocab_size": int(idx.termdict.count()),
+        "seg_size": int(idx.seg_size),
+        "n_segments": len(segs),
+        "has_tombstones": idx.tombstones is not None,
+        "segments": [
+            {"seg": int(r["seg"]), "posting_rows": int(r["posting_rows"]),
+             "postings": int(r["postings"])}
+            for r in segs
+        ],
+        "top_terms": [
+            {"term": r["term"], "df": int(r["df"]), "cf": int(r["cf"])}
+            for r in top
+        ],
+    }
+    print(json.dumps(rep))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="lucene_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -239,6 +278,12 @@ def main(argv=None) -> int:
     c = sub.add_parser("check", help="CheckIndex-style structural audit")
     c.add_argument("--index", required=True)
     c.set_defaults(fn=cmd_check)
+
+    i = sub.add_parser("info", help="Luke-style index overview (stats, "
+                                    "segments, top terms) as JSON")
+    i.add_argument("--index", required=True)
+    i.add_argument("--top-terms", type=int, default=10)
+    i.set_defaults(fn=cmd_info)
 
     args = ap.parse_args(argv)
     return args.fn(args)

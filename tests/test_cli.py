@@ -100,3 +100,19 @@ def test_cli_search_simple_syntax(spark, tmp_path, capsys):
     # doc a: beta only (has alpha); b: beta + 1.0; c: 1.0; d: no match
     assert set(got) == {0, 1, 2}
     assert got[1] > got[0] and got[2] == 1.0
+
+
+def test_cli_info(spark, pages_parquet, tmp_path, capsys):
+    out = str(tmp_path / "idx_info")
+    assert not cli_main(["build", "--input", pages_parquet, "--out", out,
+                         "--seg-size", "16"])
+    capsys.readouterr()
+    assert not cli_main(["info", "--index", out, "--top-terms", "3"])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["doc_count"] == 40
+    assert rep["n_segments"] == 3  # 40 docs / seg_size 16
+    assert rep["vocab_size"] > 3
+    assert len(rep["top_terms"]) == 3
+    assert rep["top_terms"][0]["term"] in ("alpha", "beta")
+    assert rep["top_terms"][0]["df"] == 40
+    assert sum(s["posting_rows"] for s in rep["segments"]) > 0
