@@ -2318,6 +2318,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return classify_knn_fuzzy(idx, "windoq batct", labels,
                                   label_col="lang", k=10)
 
+    def ft_big_int_range(spark, sf):
+        # BigIntegerPoint (sandbox/BigIntegerPoint.java:36-90): 128-bit-
+        # class integer range query over DECIMAL(38,0) values ~ 5e28
+        from lucene_spark.points import big_integer_range_query
+
+        vals = _docs(spark, sf).select(
+            "doc_id",
+            F.expr("CAST(doc_id AS DECIMAL(38,0)) "
+                   "* CAST('10000000000000000000000000' AS DECIMAL(38,0)) "
+                   "+ CAST(doc_id * doc_id AS DECIMAL(38,0))").alias("big"))
+        out = big_integer_range_query(
+            vals, "big",
+            "1000000000000000000000000000", "3000000000000000000000000000")
+        return out.orderBy("doc_id")
+
+    def ft_half_float_range(spark, sf):
+        # HalfFloatPoint (sandbox/document/HalfFloatPoint.java:35-190):
+        # values quantize fp16 round-to-even before the range test; the
+        # [1024, 2048) band has ulp exactly 1, so ties at .5 land on even
+        # integers (round_even twin in the oracle)
+        from lucene_spark.points import half_float_range_query
+
+        vals = _docs(spark, sf).select(
+            "doc_id",
+            F.expr("1024.0 + (doc_id % 1024) + (doc_id % 4) * 0.25")
+            .alias("hf"))
+        out = half_float_range_query(vals, "hf", 1200.0, 1382.0)
+        return out.orderBy("doc_id")
+
     def ft_id_version(spark, sf):
         # IDVersionPostingsFormat (sandbox/IDVersionPostingsFormat.java:
         # 40-80): primary-key map with versions; highest version wins per
@@ -3528,7 +3557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_shape_box, ft_minhash_filter, ft_concat_graph, ft_hyphenated,
         ft_hits_relation, ft_delimited_tf, ft_indri_sim, ft_dfr_inl1_sim,
         ft_multi_sim, text_chunk, ft_geo3d, ft_box_field, ft_index_synonym,
-        ft_per_field_sim, ft_point_nearest, ft_id_version,
+        ft_per_field_sim, ft_point_nearest, ft_id_version, ft_big_int_range,
+        ft_half_float_range,
         ft_span_containing, ft_facet_assoc, ft_xy_box, ft_span_field_masked,
         ft_spanish_light,
         ft_function_range, ft_function_match,
@@ -5052,6 +5082,22 @@ FROM combined ORDER BY score DESC, doc_id LIMIT 10""",
         "ft_surround": _span_near_ord_sql(["table", "hash", "part"], 4, 10),
         "ft_geo3d": _geo3d_oracle_sql(),
         "ft_box_field": _box_field_oracle_sql(),
+        "ft_big_int_range": """
+SELECT doc_id FROM (
+  SELECT doc_id,
+         doc_id::HUGEINT * 10000000000000000000000000::HUGEINT
+         + (doc_id * doc_id)::HUGEINT AS big
+  FROM documents
+) WHERE big >= 1000000000000000000000000000::HUGEINT
+    AND big <= 3000000000000000000000000000::HUGEINT
+ORDER BY doc_id""",
+        "ft_half_float_range": """
+SELECT doc_id FROM (
+  SELECT doc_id,
+         round_even(1024.0 + (doc_id % 1024) + (doc_id % 4) * 0.25, 0) AS q
+  FROM documents
+) WHERE q >= 1200.0 AND q <= 1382.0
+ORDER BY doc_id""",
         "ft_id_version": """
 WITH src AS (SELECT doc_id % 250 AS pkn, doc_id AS docid,
                     n_chars + (doc_id // 250) AS version FROM documents),

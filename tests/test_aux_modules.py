@@ -639,3 +639,34 @@ def test_id_version_bounds(spark):
     bad = spark.createDataFrame([("a", 1, -3)], "url string, docid long, version long")
     with _pt.raises(Exception):
         build_id_version_index(bad).collect()
+
+
+def test_half_float_quantize_vectors():
+    # HalfFloatPoint.java round-to-even + nextUp/nextDown semantics
+    from lucene_spark.points import (
+        half_float_next_down, half_float_next_up, half_float_quantize,
+    )
+
+    assert half_float_quantize(1202.5) == 1202.0   # tie -> even
+    assert half_float_quantize(1203.5) == 1204.0   # tie -> even
+    assert half_float_quantize(1202.3) == 1202.0
+    assert half_float_quantize(0.1) == 0.0999755859375  # fp16 nearest
+    assert half_float_next_up(1202.0) == 1203.0    # ulp 1 in [1024, 2048)
+    assert half_float_next_down(1202.0) == 1201.0
+    assert half_float_next_up(1.0) == 1.0009765625  # ulp 2^-10 at 1.0
+
+
+def test_big_integer_range(spark):
+    from lucene_spark.points import big_integer_range_query
+    from pyspark.sql import functions as F
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.expr("CAST(id AS DECIMAL(38,0)) "
+               "* CAST('1000000000000000000000000000000000000' AS DECIMAL(38,0))"
+               ).alias("v"))
+    got = sorted(r["doc_id"] for r in big_integer_range_query(
+        docs, "v",
+        "2000000000000000000000000000000000000",
+        "5000000000000000000000000000000000000").collect())
+    assert got == [2, 3, 4, 5]
