@@ -2984,6 +2984,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.floor(F.col("variance") * 1e3).cast("long").alias("var_q"),
         )
 
+    def ft_sdv_stats(spark, sf):
+        # SortedDocValuesStats (misc/search/DocValuesStats.java:213-260):
+        # string min/max/count/missing over the 'dup' match set's source
+        # column (null source for doc_id % 7 == 0 exercises missing)
+        from lucene_spark.docvalues import sorted_doc_values_stats
+        from lucene_spark.search import score_docs
+
+        idx = _ft_index(spark, sf)
+        m = score_docs(idx, "dup", precision="float64").select("docid")
+        dv = _docs(spark, sf).select(
+            F.col("doc_id").alias("docid"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(None))
+            .otherwise(F.col("source")).alias("value"))
+        return sorted_doc_values_stats(dv, match=m)
+
     def ft_split_search(spark, sf):
         # IndexSplitter analog (misc/index/IndexSplitter.java:40-47):
         # metadata-only segment split; part B is a standalone index with
@@ -3558,7 +3573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_hits_relation, ft_delimited_tf, ft_indri_sim, ft_dfr_inl1_sim,
         ft_multi_sim, text_chunk, ft_geo3d, ft_box_field, ft_index_synonym,
         ft_per_field_sim, ft_point_nearest, ft_id_version, ft_big_int_range,
-        ft_half_float_range,
+        ft_half_float_range, ft_sdv_stats,
         ft_span_containing, ft_facet_assoc, ft_xy_box, ft_span_field_masked,
         ft_spanish_light,
         ft_function_range, ft_function_match,
@@ -5082,6 +5097,16 @@ FROM combined ORDER BY score DESC, doc_id LIMIT 10""",
         "ft_surround": _span_near_ord_sql(["table", "hash", "part"], 4, 10),
         "ft_geo3d": _geo3d_oracle_sql(),
         "ft_box_field": _box_field_oracle_sql(),
+        "ft_sdv_stats": _FT_PRELUDE + """,
+m AS (SELECT DISTINCT doc_id FROM ftok WHERE term = 'dup'),
+vals AS (
+  SELECT CASE WHEN d.doc_id % 7 = 0 THEN NULL ELSE d.source END AS v
+  FROM documents d JOIN m USING (doc_id)
+)
+SELECT CAST(count(v) AS BIGINT) AS count,
+       CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing,
+       min(v) AS vmin, max(v) AS vmax
+FROM vals""",
         "ft_big_int_range": """
 SELECT doc_id FROM (
   SELECT doc_id,

@@ -124,3 +124,27 @@ def doc_values_stats(
         F.var_pop("v").alias("variance"),
         F.stddev_pop("v").alias("stdev"),
     )
+
+
+def sorted_doc_values_stats(
+    dv: DataFrame,
+    match: DataFrame | None = None,
+    id_col: str = "docid",
+    val_col: str = "value",
+) -> DataFrame:
+    """SortedDocValuesStats analog (misc/search/DocValuesStats.java:
+    213-260, SortedDocValuesStats): ONE row of (count, missing, vmin,
+    vmax) over the matching docs' STRING values — min/max by BytesRef
+    order (:239-249 compareTo accumulation); ``missing`` counts matched
+    docs whose value is null.  Same single partial-aggregation shape as
+    the numeric collector."""
+    rows = dv
+    if match is not None:
+        rows = rows.join(match.select(id_col), id_col, "left_semi")
+    v = F.col(val_col)
+    return rows.agg(
+        F.count(v).alias("count"),
+        F.sum(F.when(v.isNull(), 1).otherwise(0)).cast("long").alias("missing"),
+        F.min(v).alias("vmin"),
+        F.max(v).alias("vmax"),
+    )
