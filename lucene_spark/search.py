@@ -43,7 +43,7 @@ from .similarity import SIMILARITIES, BM25Scorer, CollectionStats
 _LEX_RE = re.compile(
     r"""\s+
       | (?P<lp>\() | (?P<rp>\))
-      | (?P<quoted>"[^"]*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?)
+      | (?P<quoted>"(?:\\.|[^"\\])*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?)
       | (?P<rangei>\[[^\]]*?\s+TO\s+[^\]]*?\](?:\^\d+(?:\.\d+)?)?)
       | (?P<rangee>\{[^}]*?\s+TO\s+[^}]*?\}(?:\^\d+(?:\.\d+)?)?)
       | (?P<andop>AND\b|&&)
@@ -51,7 +51,7 @@ _LEX_RE = re.compile(
       | (?P<notop>NOT\b|!)
       | (?P<plus>\+(?=\S))
       | (?P<minus>-(?=\S))
-      | (?P<term>[^\s()"{}\[\]]+)
+      | (?P<term>(?:\\.|[^\s()"{}\[\]\\])+)
     """,
     re.VERBOSE,
 )
@@ -75,16 +75,23 @@ def _lex(q: str) -> list[tuple[str, str]]:
     return out
 
 
+def _discard_escapes(s: str) -> str:
+    """QueryParserBase.discardEscapeChar analog: drop every backslash,
+    keeping the escaped character literally."""
+    return re.sub(r"\\(.)", r"\1", s)
+
+
 def _strip_suffixes(raw: str) -> tuple[str, float | None, int | None, bool]:
-    """term[~N][^F] (either order) → (base, boost, fuzzy_edits, had_tilde)."""
+    """term[~N][^F] (either order) → (base, boost, fuzzy_edits, had_tilde);
+    escaped \^ / \~ are literal term characters, never suffixes."""
     boost: float | None = None
     edits: int | None = None
     had_tilde = False
     while True:
-        if (m := re.search(r"\^(\d+(?:\.\d+)?)$", raw)):
+        if (m := re.search(r"(?<!\\)\^(\d+(?:\.\d+)?)$", raw)):
             boost = float(m.group(1))
             raw = raw[: m.start()]
-        elif (m := re.search(r"~(\d*)$", raw)):
+        elif (m := re.search(r"(?<!\\)~(\d*)$", raw)):
             had_tilde = True
             edits = int(m.group(1)) if m.group(1) else 2  # FuzzyQuery default
             raw = raw[: m.start()]
@@ -206,7 +213,7 @@ class _Parser:
         if (m := re.search(r"~(\d+)$", text)):
             slop = int(m.group(1))
             text = text[: m.start()]
-        body = text[1:-1]
+        body = _discard_escapes(text[1:-1])
         node = ("phrase_raw", body, slop) if slop else ("phrase_raw", body)
         return ("boost", node, boost) if boost is not None else node
 
@@ -223,8 +230,8 @@ class _Parser:
 
     def _term_node(self, text: str) -> tuple | None:
         field = None
-        if ":" in text:
-            field, rest = text.split(":", 1)
+        if re.search(r"(?<!\\):", text):
+            field, rest = re.split(r"(?<!\\):", text, maxsplit=1)
             if rest == "":
                 # `field:(...)` / `field:"..."` — field applies to next atom
                 atom = self._parse_atom()
@@ -242,14 +249,16 @@ class _Parser:
         base, boost, edits, had_tilde = _strip_suffixes(text)
         if not base:
             return None
-        if "*" in base or "?" in base:
-            # lowercase like Lucene's lowercase_expanded_terms default
-            pat = base.lower().replace("*", "%").replace("?", "_")
-            node: tuple = ("wildcard_raw", pat)
+        if re.search(r"(?<!\\)[*?]", base):
+            # lowercase like Lucene's lowercase_expanded_terms default;
+            # escaped \* / \? stay literal characters (discardEscapeChar)
+            pat = re.sub(r"(?<!\\)\*", "%", base.lower())
+            pat = re.sub(r"(?<!\\)\?", "_", pat)
+            node: tuple = ("wildcard_raw", _discard_escapes(pat))
         elif had_tilde:
-            node = ("fuzzy_raw", base.lower(), min(edits, 2), 0)
+            node = ("fuzzy_raw", _discard_escapes(base.lower()), min(edits, 2), 0)
         else:
-            node = ("term", base)
+            node = ("term", _discard_escapes(base))
         if field is not None:
             node = ("field", field, node)
         return ("boost", node, boost) if boost is not None else node

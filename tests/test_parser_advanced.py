@@ -114,3 +114,22 @@ def test_field_syntax(idx):
 def test_pure_negative_matches_nothing(idx):
     assert len(search(idx, "NOT court", k=10).docids) == 0
     assert len(search(idx, "-court", k=10).docids) == 0
+
+
+def test_escape_handling():
+    # QueryParserBase.discardEscapeChar: escaped specials are literal term
+    # chars; unescaped keep their operator meaning
+    from lucene_spark.search import parse_query
+
+    assert parse_query(r"foo\*bar") == ("term", "foo*bar")
+    assert parse_query(r"a\:b") == ("term", "a:b")
+    assert parse_query(r"esc\~term") == ("term", "esc~term")
+    assert parse_query(r"p\^q") == ("term", "p^q")
+    assert parse_query(r"field\:x") == ("term", "field:x")
+    # mixed: escaped star literal, unescaped star wildcard
+    assert parse_query(r"a\*b*c") == ("wildcard_raw", "a*b%c")
+    # escaped chars inside phrases
+    assert parse_query(r'"say \"hi\""') == ("phrase_raw", 'say "hi"')
+    # suffixes still strip when unescaped
+    assert parse_query(r"boost\^x^3") == (
+        "boost", ("term", "boost^x"), 3.0)
