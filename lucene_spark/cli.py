@@ -182,6 +182,51 @@ def cmd_check(args) -> int:
     return 0 if rep["status"] == "ok" else 1
 
 
+def cmd_term_info(args) -> int:
+    """GetTermInfo analog (misc/GetTermInfo.java:30-60: prints docFreq and
+    totalTermFreq of a term) — a pushdown point lookup on the termdict."""
+    from pyspark.sql import functions as F
+
+    from .index import read_index
+
+    spark = _session("lucene_spark_term_info")
+    idx = read_index(spark, args.index)
+    rows = (idx.termdict.filter(F.col("term") == args.term)
+            .select("df", "cf").collect())
+    if rows:
+        out = {"term": args.term, "doc_freq": int(rows[0]["df"]),
+               "total_term_freq": int(rows[0]["cf"])}
+    else:
+        out = {"term": args.term, "doc_freq": 0, "total_term_freq": 0}
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_merge(args) -> int:
+    """IndexMergeTool analog (misc/IndexMergeTool.java:30-60: merges
+    multiple indexes into one via addIndexes + forceMerge) — the docBase-
+    rebase append-merge followed by a compaction."""
+    import shutil
+    import tempfile
+
+    from .index import add_indexes, read_index, write_index
+    from .streaming import compact_index
+
+    spark = _session("lucene_spark_merge")
+    merged = read_index(spark, args.indexes[0])
+    for p in args.indexes[1:]:
+        merged = add_indexes(merged, read_index(spark, p))
+    tmp = tempfile.mkdtemp(prefix="ls_merge_")
+    try:
+        write_index(merged, tmp)
+        out_idx = compact_index(spark, tmp, args.out,
+                                seg_size=merged.seg_size)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    print(json.dumps({"out": args.out, "doc_count": int(out_idx.doc_count)}))
+    return 0
+
+
 def cmd_info(args) -> int:
     """Luke/IndexInfo analog (the overview panel of lucene/luke — doc
     counts, vocabulary size, per-segment layout, top terms by docFreq,
@@ -284,6 +329,16 @@ def main(argv=None) -> int:
     i.add_argument("--index", required=True)
     i.add_argument("--top-terms", type=int, default=10)
     i.set_defaults(fn=cmd_info)
+
+    t = sub.add_parser("term-info", help="docFreq/totalTermFreq of one term")
+    t.add_argument("--index", required=True)
+    t.add_argument("--term", required=True)
+    t.set_defaults(fn=cmd_term_info)
+
+    m = sub.add_parser("merge", help="merge indexes (addIndexes + compact)")
+    m.add_argument("--out", required=True)
+    m.add_argument("indexes", nargs="+")
+    m.set_defaults(fn=cmd_merge)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -116,3 +116,25 @@ def test_cli_info(spark, pages_parquet, tmp_path, capsys):
     assert rep["top_terms"][0]["term"] in ("alpha", "beta")
     assert rep["top_terms"][0]["df"] == 40
     assert sum(s["posting_rows"] for s in rep["segments"]) > 0
+
+
+def test_cli_term_info_and_merge(spark, pages_parquet, tmp_path, capsys):
+    a = str(tmp_path / "idx_a")
+    b = str(tmp_path / "idx_b")
+    assert not cli_main(["build", "--input", pages_parquet, "--out", a])
+    # second index from the same source with different keys
+    p2 = str(tmp_path / "pages2.parquet")
+    spark.createDataFrame(
+        [(f"v{i}", "alpha delta") for i in range(10)],
+        "url string, text string").write.parquet(p2)
+    assert not cli_main(["build", "--input", p2, "--out", b])
+    capsys.readouterr()
+    assert not cli_main(["term-info", "--index", a, "--term", "alpha"])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["doc_freq"] == 40 and rep["total_term_freq"] == 40
+    out = str(tmp_path / "idx_m")
+    assert not cli_main(["merge", "--out", out, a, b])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["doc_count"] == 50
+    idx = read_index(spark, out)
+    assert len(search(idx, "delta", k=20).docids) == 10
