@@ -2984,6 +2984,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.floor(F.col("variance") * 1e3).cast("long").alias("var_q"),
         )
 
+    def ft_normalizers(spark, sf):
+        # GermanNormalizationFilter / ScandinavianFolding / Scandinavian
+        # Normalization / ApostropheFilter — golden vectors from each
+        # filter's documented equivalence classes (javadoc examples)
+        from pyspark.sql.functions import pandas_udf
+
+        from lucene_spark.filters import (
+            apostrophe, german_normalize, scandinavian_fold,
+            scandinavian_normalize,
+        )
+
+        fns = {"de": german_normalize, "scfold": scandinavian_fold,
+               "scnorm": scandinavian_normalize, "apos": apostrophe}
+        rows = [
+            ("de", "weißbier"), ("de", "häuser"), ("de", "müller"),
+            ("de", "quelle"), ("de", "mueller"), ("de", "frauen"),
+            ("scfold", "blåbærsyltetøj"), ("scfold", "blaabaarsyltetoej"),
+            ("scfold", "räksmörgås"), ("scfold", "raeksmoergaas"),
+            ("scnorm", "blåbärsyltetöj"), ("scnorm", "blaabaersyltetoej"),
+            ("apos", "türkiye'nin"), ("apos", "plain"),
+        ]
+        df = spark.createDataFrame(rows, "f string, tok string")
+
+        @pandas_udf("string")
+        def norm_udf(f: pd.Series, tok: pd.Series) -> pd.Series:
+            return pd.Series([fns[a](b) for a, b in zip(f, tok)])
+
+        return df.select("f", "tok", norm_udf("f", "tok").alias("out")) \
+            .orderBy("f", "tok")
+
     def ft_sdv_stats(spark, sf):
         # SortedDocValuesStats (misc/search/DocValuesStats.java:213-260):
         # string min/max/count/missing over the 'dup' match set's source
@@ -3573,7 +3603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_hits_relation, ft_delimited_tf, ft_indri_sim, ft_dfr_inl1_sim,
         ft_multi_sim, text_chunk, ft_geo3d, ft_box_field, ft_index_synonym,
         ft_per_field_sim, ft_point_nearest, ft_id_version, ft_big_int_range,
-        ft_half_float_range, ft_sdv_stats,
+        ft_half_float_range, ft_sdv_stats, ft_normalizers,
         ft_span_containing, ft_facet_assoc, ft_xy_box, ft_span_field_masked,
         ft_spanish_light,
         ft_function_range, ft_function_match,
@@ -5097,6 +5127,23 @@ FROM combined ORDER BY score DESC, doc_id LIMIT 10""",
         "ft_surround": _span_near_ord_sql(["table", "hash", "part"], 4, 10),
         "ft_geo3d": _geo3d_oracle_sql(),
         "ft_box_field": _box_field_oracle_sql(),
+        "ft_normalizers": """
+SELECT f, tok, out FROM (VALUES
+  ('apos', 'plain', 'plain'),
+  ('apos', 'türkiye''nin', 'türkiye'),
+  ('de', 'frauen', 'frauen'),
+  ('de', 'häuser', 'hauser'),
+  ('de', 'mueller', 'muller'),
+  ('de', 'müller', 'muller'),
+  ('de', 'quelle', 'quelle'),
+  ('de', 'weißbier', 'weissbier'),
+  ('scfold', 'blaabaarsyltetoej', 'blabarsyltetoj'),
+  ('scfold', 'blåbærsyltetøj', 'blabarsyltetoj'),
+  ('scfold', 'raeksmoergaas', 'raksmorgas'),
+  ('scfold', 'räksmörgås', 'raksmorgas'),
+  ('scnorm', 'blaabaersyltetoej', 'blåbærsyltetøj'),
+  ('scnorm', 'blåbärsyltetöj', 'blåbærsyltetøj')
+) AS t(f, tok, out) ORDER BY f, tok""",
         "ft_sdv_stats": _FT_PRELUDE + """,
 m AS (SELECT DISTINCT doc_id FROM ftok WHERE term = 'dup'),
 vals AS (

@@ -941,3 +941,122 @@ def synonym_inject(mapping: dict):
         return out_t, out_p
 
     return stream_filter
+
+
+def apostrophe(token: str) -> str:
+    """ApostropheFilter (analysis/tr/ApostropheFilter.java:25-55): strips
+    everything from the first apostrophe (' or U+2019) on — Turkish
+    proper-name suffix separation."""
+    for i, c in enumerate(token):
+        if c == "'" or c == "’":
+            return token[:i]
+    return token
+
+
+def german_normalize(token: str) -> str:
+    """GermanNormalizationFilter (analysis/de/GermanNormalizationFilter
+    .java:28-107): ß→ss, ä/ö/ü→a/o/u, ae/oe→a/o, ue→u unless following a
+    vowel or q — the exact 3-state FSM (N/V/U) of the reference."""
+    buf = list(token)
+    i = 0
+    state = 0  # 0=N ordinary, 1=V vowel-guard, 2=U umlaut (e-deletion)
+    while i < len(buf):
+        c = buf[i]
+        if c in ("a", "o"):
+            state = 2
+        elif c == "u":
+            state = 2 if state == 0 else 1
+        elif c == "e":
+            if state == 2:
+                del buf[i]
+                state = 1
+                continue
+            state = 1
+        elif c in ("i", "q", "y"):
+            state = 1
+        elif c == "ä":
+            buf[i] = "a"
+            state = 1
+        elif c == "ö":
+            buf[i] = "o"
+            state = 1
+        elif c == "ü":
+            buf[i] = "u"
+            state = 1
+        elif c == "ß":
+            buf[i] = "s"
+            buf.insert(i + 1, "s")
+            i += 1
+            state = 0
+        else:
+            state = 0
+        i += 1
+    return "".join(buf)
+
+
+def scandinavian_fold(token: str) -> str:
+    """ScandinavianFoldingFilter (analysis/miscellaneous/Scandinavian
+    FoldingFilter.java:48-122): åäæ→a, öø→o (both cases) and the digraphs
+    aa/ae/ao→a, oe/oo→o — the aggressive cross-language fold
+    (raksmorgas == räksmörgås)."""
+    buf = list(token)
+    i = 0
+    while i < len(buf):
+        c = buf[i]
+        if c in ("å", "ä", "æ"):
+            buf[i] = "a"
+        elif c in ("Å", "Ä", "Æ"):
+            buf[i] = "A"
+        elif c in ("ø", "ö"):
+            buf[i] = "o"
+        elif c in ("Ø", "Ö"):
+            buf[i] = "O"
+        elif i < len(buf) - 1:
+            if c in ("a", "A") and buf[i + 1] in ("a", "A", "e", "E", "o", "O"):
+                del buf[i + 1]
+            elif c in ("o", "O") and buf[i + 1] in ("e", "E", "o", "O"):
+                del buf[i + 1]
+        i += 1
+    return "".join(buf)
+
+
+def scandinavian_normalize(token: str) -> str:
+    """ScandinavianNormalizationFilter (analysis/miscellaneous/Scandinavian
+    NormalizationFilter.java:40-130): ä→æ, ö→ø and the typed digraphs
+    aa→å, ae→æ, ao→å, oe/oo→ø (both cases) — normalizes the
+    interchangeable Norwegian/Danish/Swedish spellings to the native
+    single characters (blaabaersyltetoej → blåbærsyltetøj)."""
+    buf = list(token)
+    i = 0
+    while i < len(buf):
+        c = buf[i]
+        if c == "ä":
+            buf[i] = "æ"
+        elif c == "Ä":
+            buf[i] = "Æ"
+        elif c == "ö":
+            buf[i] = "ø"
+        elif c == "Ö":
+            buf[i] = "Ø"
+        elif i < len(buf) - 1:
+            n = buf[i + 1]
+            if c == "a" and n in ("a", "o", "A", "O"):
+                del buf[i + 1]
+                buf[i] = "å"
+            elif c == "A" and n in ("a", "A", "o", "O"):
+                del buf[i + 1]
+                buf[i] = "Å"
+            elif c == "a" and n in ("e", "E"):
+                del buf[i + 1]
+                buf[i] = "æ"
+            elif c == "A" and n in ("e", "E"):
+                del buf[i + 1]
+                buf[i] = "Æ"
+            elif c == "o" and n in ("e", "E", "o", "O"):
+                del buf[i + 1]
+                buf[i] = "ø"
+            elif c == "O" and n in ("e", "E", "o", "O"):
+                del buf[i + 1]
+                buf[i] = "Ø"
+        i += 1
+    return "".join(buf)

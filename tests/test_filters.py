@@ -614,3 +614,28 @@ def test_synonym_inject_phrase_positions(spark):
                   precision="float64").docids.tolist() == [0]
     # field length includes the stacked token (dl 4 vs 3)
     assert idx.sum_total_term_freq == 7
+
+
+def test_normalization_filters():
+    from lucene_spark.filters import (
+        apostrophe, german_normalize, scandinavian_fold,
+        scandinavian_normalize,
+    )
+
+    # full javadoc equivalence classes collapse to one form
+    fold_cls = ["blåbærsyltetøj", "blåbärsyltetöj", "blaabaarsyltetoej",
+                "blabarsyltetoj"]
+    assert {scandinavian_fold(w) for w in fold_cls} == {"blabarsyltetoj"}
+    fold_cls2 = ["räksmörgås", "ræksmørgås", "raeksmoergaas", "raksmorgas"]
+    assert {scandinavian_fold(w) for w in fold_cls2} == {"raksmorgas"}
+    norm_cls = ["blåbærsyltetøj", "blåbärsyltetöj", "blaabaersyltetoej"]
+    assert {scandinavian_normalize(w) for w in norm_cls} == {"blåbærsyltetøj"}
+    # German FSM: ue folds only when not after vowel/q; ß doubles
+    assert german_normalize("weißbier") == "weissbier"
+    assert german_normalize("mueller") == "muller"
+    assert german_normalize("quelle") == "quelle"     # q guards ue
+    assert german_normalize("frauen") == "frauen"     # vowel guards ue
+    assert german_normalize("häuser") == "hauser"
+    assert apostrophe("türkiye'nin") == "türkiye"
+    assert apostrophe("o’brien") == "o"
+    assert apostrophe("none") == "none"
