@@ -170,3 +170,77 @@ def test_memory_index_duels_single_doc_oracle(doc_toks, q_terms):
         assert mem == 0.0
     else:
         assert mem == float(want["score"].iloc[0])
+
+
+# --- shape-vs-box relation algebra (geo.shape_box_query's exact kernel) -----
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.data())
+def test_shape_relation_algebra(data):
+    """WITHIN implies INTERSECTS; DISJOINT is the exact complement of
+    INTERSECTS; CONTAINS implies INTERSECTS — over random diamonds/boxes,
+    evaluated on the same numpy kernel the Spark exact phase runs."""
+    import numpy as np
+
+    from lucene_spark.geo import _shape_exact_flags
+
+    f = st.floats(min_value=-50, max_value=50, allow_nan=False,
+                  allow_infinity=False)
+    cy = data.draw(f); cx = data.draw(f)
+    h = data.draw(st.floats(min_value=0.1, max_value=20))
+    w = data.draw(st.floats(min_value=0.1, max_value=20))
+    lats = [cy + h, cy, cy - h, cy]
+    lons = [cx, cx + w, cx, cx - w]
+    b1 = data.draw(f); b2 = data.draw(f)
+    b3 = data.draw(f); b4 = data.draw(f)
+    mnla, mxla = min(b1, b2), max(b1, b2)
+    mnlo, mxlo = min(b3, b4), max(b3, b4)
+    vin, any_c, any_e, all_c = _shape_exact_flags(
+        [lats], [lons], mnla, mxla, mnlo, mxlo)
+    inter = bool(vin[0] or any_c[0] or any_e[0])
+    within = all(
+        mnla <= y <= mxla and mnlo <= x <= mxlo
+        for y, x in zip(lats, lons))
+    contains = bool(all_c[0] and not any_e[0])
+    if within:
+        assert inter
+    if contains:
+        assert inter
+    # vertex-in-box implies intersects by construction; sanity: the box
+    # center inside the diamond implies intersects (corner OR edge OR
+    # vertex must fire for an overlapping pair)
+    bcy, bcx = (mnla + mxla) / 2, (mnlo + mxlo) / 2
+    if abs(bcy - cy) / h + abs(bcx - cx) / w < 0.999 and not within:
+        assert inter
+
+
+# --- bloom sidecar: fold preserves membership over random bit sets ----------
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.data())
+def test_bloom_fold_membership(data):
+    """OR-folding halves preserves membership under h & (size-1): for any
+    bit set at full size, the folded set still claims MAYBE (no false
+    negatives) — the FuzzySet.downsize contract the Spark pack() applies."""
+    import numpy as np
+
+    size = data.draw(st.sampled_from([64, 128, 256, 512]))
+    hashes = data.draw(st.lists(
+        st.integers(min_value=0, max_value=(1 << 60) - 1),
+        min_size=1, max_size=40))
+    mask = np.zeros(size, dtype=bool)
+    for hv in hashes:
+        mask[hv & (size - 1)] = True
+    folds = data.draw(st.integers(min_value=0, max_value=3))
+    cur = mask
+    s = size
+    for _ in range(folds):
+        if s <= 8:
+            break
+        half = s // 2
+        cur = cur[:half] | cur[half:]
+        s = half
+    for hv in hashes:
+        assert cur[hv & (s - 1)]
