@@ -254,3 +254,116 @@ def audio_features(
             ])
 
     return df.mapInPandas(run, schema=schema)
+
+
+# ------------------------------------------------------------- raw video
+# A deterministic uncompressed container (magic RAWV + u32 n/w/h/fps +
+# raw RGB24 frames) makes the video PLUMBING — schema, partitioning,
+# frame sampling, batch shapes — fully real while compressed codecs
+# (mp4/h264/vp9) stay honestly stubbed behind NotImplementedError.
+
+
+def encode_rawvideo(frames: np.ndarray, fps: int = 30) -> bytes:
+    """(n, h, w, 3) uint8 frames → RAWV container bytes."""
+    import struct
+
+    frames = np.asarray(frames, dtype=np.uint8)
+    if frames.ndim != 4 or frames.shape[3] != 3:
+        raise ValueError("frames must be (n, h, w, 3) uint8")
+    n, h, w, _ = frames.shape
+    return b"RAWV" + struct.pack("<IIII", n, w, h, fps) + frames.tobytes()
+
+
+def decode_rawvideo(payload: bytes) -> tuple[np.ndarray, int]:
+    """RAWV container → ((n, h, w, 3) uint8 frames, fps); compressed
+    containers raise NotImplementedError (no codec library here — swap
+    this decode for pyav/ffmpeg at deploy time, the plumbing is real)."""
+    if payload is None or len(payload) < 20:
+        raise NotImplementedError("video decode of non-RAWV payload")
+    if payload[:4] != b"RAWV":
+        raise NotImplementedError(
+            f"no video codec for container magic {payload[:4]!r} "
+            "(only the RAWV raw container decodes in this environment)")
+    import struct
+
+    n, w, h, fps = struct.unpack("<IIII", payload[4:20])
+    need = n * h * w * 3
+    body = payload[20:20 + need]
+    if len(body) != need:
+        raise ValueError("truncated RAWV payload")
+    return np.frombuffer(body, dtype=np.uint8).reshape(n, h, w, 3), fps
+
+
+def frame_sample(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    every_n: int = 10,
+) -> DataFrame:
+    """Video → sampled frames: every ``every_n``-th frame of each doc's
+    RAWV payload, emitted as one row per frame with a BMP re-encode of
+    the frame — (id, frame_idx, width, height, mean_intensity,
+    frame_bmp binary).  Arrow-batched mapInPandas; undecodable payloads
+    are skipped (the usual corrupt-sample drop in a curation pipeline)."""
+    schema = (f"{id_col} long, frame_idx int, width int, height int, "
+              "mean_intensity double, frame_bmp binary")
+    step = int(every_n)
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    frames, _ = decode_rawvideo(
+                        bytes(payload) if payload is not None else None)
+                except (NotImplementedError, ValueError):
+                    continue
+                for fi in range(0, len(frames), step):
+                    fr = frames[fi]
+                    rows.append({
+                        id_col: int(i), "frame_idx": fi,
+                        "width": int(fr.shape[1]), "height": int(fr.shape[0]),
+                        "mean_intensity": float(fr.mean()),
+                        "frame_bmp": encode_bmp(fr),
+                    })
+            yield pd.DataFrame(rows, columns=[
+                id_col, "frame_idx", "width", "height", "mean_intensity",
+                "frame_bmp"])
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def video_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-video temporal features over the RAWV container: frame count,
+    fps, duration, mean intensity, and temporal-difference energy (mean
+    |frame_t - frame_{t-1}|) — the motion-proxy a data-quality filter
+    thresholds on.  (id, n_frames, fps, duration_s, mean_intensity,
+    temporal_energy)."""
+    schema = (f"{id_col} long, n_frames int, fps int, duration_s double, "
+              "mean_intensity double, temporal_energy double")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    frames, fps = decode_rawvideo(
+                        bytes(payload) if payload is not None else None)
+                except (NotImplementedError, ValueError):
+                    continue
+                f64 = frames.astype(np.float64)
+                te = (float(np.abs(np.diff(f64, axis=0)).mean())
+                      if len(frames) > 1 else 0.0)
+                rows.append({
+                    id_col: int(i), "n_frames": len(frames), "fps": int(fps),
+                    "duration_s": len(frames) / float(fps) if fps else 0.0,
+                    "mean_intensity": float(f64.mean()),
+                    "temporal_energy": te,
+                })
+            yield pd.DataFrame(rows, columns=[
+                id_col, "n_frames", "fps", "duration_s", "mean_intensity",
+                "temporal_energy"])
+
+    return df.mapInPandas(run, schema=schema)
