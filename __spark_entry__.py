@@ -3453,6 +3453,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "qid long, hits10 long",
         )
 
+    def ann_pq(spark, sf):
+        # product quantization (Jegou et al. TPAMI'11) with deterministic
+        # sample-init codebooks (iters=0, m=8 subspaces, k=16 codes):
+        # encode = per-subspace argmin L2, score = ADC lookup-table sum —
+        # both replicated exactly by the DuckDB twin
+        emb = _emb(spark, sf)
+        qvec = np.array(
+            emb.filter("vec_id = 0").select("embedding").collect()[0][0],
+            dtype=np.float64)
+        books = ann.pq_train(emb, m=8, k=16, iters=0)
+        out = ann.pq_topk(emb, books, qvec, k=10)
+        return out.select(
+            "vec_id", F.floor(F.col("score") * 1e6).cast("long").alias("score_q"))
+
+    def ann_pq_codes(spark, sf):
+        # the materialized-codes path (pq_encode -> score from m ints per
+        # row, never touching the embedding column) must agree exactly
+        # with the fused path / the same oracle
+        emb = _emb(spark, sf)
+        qvec = np.array(
+            emb.filter("vec_id = 0").select("embedding").collect()[0][0],
+            dtype=np.float64)
+        books = ann.pq_train(emb, m=8, k=16, iters=0)
+        codes = ann.pq_encode(emb, books)
+        out = ann.pq_topk(emb, books, qvec, k=10, codes=codes)
+        return out.select(
+            "vec_id", F.floor(F.col("score") * 1e6).cast("long").alias("score_q"))
+
     def ann_ivf_recall(spark, sf):
         # retrieval-QUALITY gate (CheckHits-style duel applied to recall):
         # IVF top-10 must overlap brute-force top-10 by >= 0.9 on average
@@ -3603,7 +3631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_hits_relation, ft_delimited_tf, ft_indri_sim, ft_dfr_inl1_sim,
         ft_multi_sim, text_chunk, ft_geo3d, ft_box_field, ft_index_synonym,
         ft_per_field_sim, ft_point_nearest, ft_id_version, ft_big_int_range,
-        ft_half_float_range, ft_sdv_stats, ft_normalizers,
+        ft_half_float_range, ft_sdv_stats, ft_normalizers, ann_pq,
+        ann_pq_codes,
         ft_span_containing, ft_facet_assoc, ft_xy_box, ft_span_field_masked,
         ft_spanish_light,
         ft_function_range, ft_function_match,
@@ -4085,6 +4114,39 @@ SELECT a, b, hamming FROM (
     ON x.chunk_i = y.chunk_i AND x.chunk_v = y.chunk_v AND x.doc_id < y.doc_id
 ) WHERE hamming <= {max_hamming}"""
     )
+
+
+def _pq_oracle_sql(m: int = 8, k: int = 16, topk: int = 10, dim: int = 64) -> str:
+    """DuckDB twin of ann.pq_train(iters=0)/pq_topk: sample-init per-
+    subspace codebooks, argmin-L2 encode (ties to lowest code), ADC
+    lookup-table sum."""
+    sub = dim // m
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+ms AS (SELECT unnest(range(0, {m})) AS m),
+init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+         FROM (SELECT * FROM e ORDER BY vec_id LIMIT {k})),
+cent AS (SELECT i.cid, ms.m,
+                list_slice(i.v, ms.m * {sub} + 1, ms.m * {sub} + {sub}) AS cv
+         FROM init i CROSS JOIN ms),
+subv AS (SELECT e.vec_id, ms.m,
+                list_slice(e.v, ms.m * {sub} + 1, ms.m * {sub} + {sub}) AS sv
+         FROM e CROSS JOIN ms),
+codes AS (SELECT vec_id, m, cid FROM (
+    SELECT s.vec_id, s.m, c.cid,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY list_distance(s.sv, c.cv) ASC, c.cid) AS rn
+    FROM subv s JOIN cent c USING (m)) WHERE rn = 1),
+qsub AS (SELECT ms.m, list_slice(q.qv, ms.m * {sub} + 1, ms.m * {sub} + {sub}) AS qsv
+         FROM q CROSS JOIN ms),
+scores AS (SELECT cd.vec_id, sum(list_dot_product(qs.qsv, c.cv)) AS s
+           FROM codes cd
+           JOIN cent c ON c.m = cd.m AND c.cid = cd.cid
+           JOIN qsub qs ON qs.m = cd.m
+           GROUP BY cd.vec_id)
+SELECT vec_id, CAST(floor(s * 1e6) AS BIGINT) AS score_q
+FROM scores ORDER BY s DESC, vec_id LIMIT {topk}"""
 
 
 def _ivf_oracle_sql(n_centroids: int = 8, nprobe: int = 3, k: int = 10) -> str:
@@ -6308,6 +6370,8 @@ ORDER BY {cos} DESC, e.vec_id LIMIT 10""",
         "ann_hnsw_recall": """
 SELECT CAST(qid AS BIGINT) AS qid, CAST(10 AS BIGINT) AS hits10
 FROM (SELECT unnest(generate_series(0, 19)) AS qid) ORDER BY qid""",
+        "ann_pq": _pq_oracle_sql(m=8, k=16, topk=10, dim=64),
+        "ann_pq_codes": _pq_oracle_sql(m=8, k=16, topk=10, dim=64),
         "ann_ivf": _ivf_oracle_sql(n_centroids=8, nprobe=3, k=10),
         "ann_ivf_indexed": _ivf_oracle_sql(n_centroids=8, nprobe=3, k=10),
         "ann_lsh": _lsh_oracle_sql(n_planes=10, dim=64, seed=5, k=10),

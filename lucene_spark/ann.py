@@ -572,3 +572,164 @@ def embcos_pairs_lsh(
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
+
+
+# ---------------------------------------------------------------- product
+# quantization (ADC) — the embedding-compression scale path: M bytes per
+# vector instead of 4*dim, scored against a query via per-subspace lookup
+# tables.  (Jegou, Douze, Schmid, "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011 — public method; this reference ships no
+# PQ, so this is a pipeline addition, not a parity row.)
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Per-subspace codebooks (m, k, dim/m) — deterministic init (the
+    first ``k`` vectors' subvectors by id), then ``iters`` distributed
+    Lloyd rounds per subspace with L2 assignment.  Same partial-sums
+    shape as :func:`ivf_train`: per-partition (sum, count) per (subspace,
+    code) — no vector ever shuffles."""
+    import pandas as pd
+
+    seed_rows = (
+        embeddings.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    )
+    C = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in seed_rows])
+    dim = C.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    books = np.stack([C[:, j * sub:(j + 1) * sub] for j in range(m)])  # (m,k,sub)
+
+    for _ in range(iters):
+        Bb = np.ascontiguousarray(books)
+
+        def partials(batches):
+            sums = np.zeros((m, k, sub))
+            counts = np.zeros((m, k), dtype=np.int64)
+            for pdf in batches:
+                X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+                for j in range(m):
+                    Xj = X[:, j * sub:(j + 1) * sub]
+                    d = ((Xj[:, None, :] - Bb[j][None, :, :]) ** 2).sum(axis=2)
+                    cl = np.argmin(d, axis=1)
+                    np.add.at(sums[j], cl, Xj)
+                    np.add.at(counts[j], cl, 1)
+            yield pd.DataFrame({
+                "m": np.repeat(np.arange(m), k),
+                "code": np.tile(np.arange(k), m),
+                "count": counts.ravel(),
+                "vsum": [r.tolist() for r in sums.reshape(m * k, sub)],
+            })
+
+        rows = embeddings.select(vec_col).mapInPandas(
+            partials, schema="m int, code int, count long, vsum array<double>"
+        ).collect()
+        sums = np.zeros((m, k, sub))
+        counts = np.zeros((m, k), dtype=np.int64)
+        for r in rows:
+            sums[r["m"], r["code"]] += np.asarray(r["vsum"])
+            counts[r["m"], r["code"]] += r["count"]
+        nz = counts > 0
+        books[nz] = sums[nz] / counts[nz][:, None]
+    return books
+
+
+def _pq_codes_np(X: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, dim) → (n, m) int32 codes: per-subspace argmin L2, ties to the
+    lowest code id (np.argmin contract)."""
+    m, k, sub = books.shape
+    out = np.empty((X.shape[0], m), dtype=np.int32)
+    for j in range(m):
+        Xj = X[:, j * sub:(j + 1) * sub]
+        d = ((Xj[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        out[:, j] = np.argmin(d, axis=1)
+    return out
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — the compressed representation (m small
+    ints per vector; parquet dictionary-encodes them to ~m bytes)."""
+    import pandas as pd
+
+    Bb = np.ascontiguousarray(books)
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            codes = _pq_codes_np(X, Bb)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "codes": [c.tolist() for c in codes],
+            })
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        run, schema=f"{id_col} long, codes array<int>")
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    books: np.ndarray,
+    query: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k by ADC (asymmetric distance computation): the query builds
+    one (m, k) lookup table of subspace dot products; every vector scores
+    as the SUM of its codes' LUT entries — a gather + sum per row, never
+    a full dot product.  Pass ``codes`` (from :func:`pq_encode`,
+    persisted) for the materialized-index path; otherwise codes are
+    computed on the fly.  → (id, score) DataFrame cut to k.
+
+    At 10^12 vectors the materialized path reads m ints per row instead
+    of the embedding column — the whole point of PQ.
+    """
+    import pandas as pd
+
+    m, kk, sub = books.shape
+    q = np.asarray(query, dtype=np.float64)
+    lut = np.stack([
+        books[j] @ q[j * sub:(j + 1) * sub] for j in range(m)
+    ])  # (m, k)
+
+    if codes is None:
+        Bb = np.ascontiguousarray(books)
+
+        def score_vec(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+                cd = _pq_codes_np(X, Bb)
+                s = lut[np.arange(m)[None, :], cd].sum(axis=1)
+                yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "score": s})
+
+        scored = embeddings.select(id_col, vec_col).mapInPandas(
+            score_vec, schema=f"{id_col} long, score double")
+    else:
+        def score_codes(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                cd = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+                s = lut[np.arange(m)[None, :], cd].sum(axis=1)
+                yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "score": s})
+
+        scored = codes.mapInPandas(
+            score_codes, schema=f"{id_col} long, score double")
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
