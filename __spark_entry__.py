@@ -2984,6 +2984,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.floor(F.col("variance") * 1e3).cast("long").alias("var_q"),
         )
 
+    def dedup_substring(spark, sf):
+        # exact shared-substring pairs (Lee et al. 2022 criterion at
+        # window granularity, k=60 chars, every offset hashed — exact)
+        from lucene_spark.textops import substring_dup_pairs
+
+        out = substring_dup_pairs(_docs(spark, sf), k=60)
+        return out.orderBy("a", "b")
+
+    def ft_refined_soundex(spark, sf):
+        # RefinedSoundex encoder (PhoneticFilter slot, commons-codec
+        # RefinedSoundex): first letter + one digit per letter, adjacent
+        # dup digits collapsed, no length cap — golden vectors derived
+        # mechanically from the documented 10-class mapping (the javadoc's
+        # own 'testing' -> T6036084 among them)
+        from pyspark.sql.functions import pandas_udf
+
+        from lucene_spark.filters import refined_soundex
+
+        words = ["testing", "braz", "brass", "aabbcc", "lee", "dogs"]
+        df = spark.createDataFrame([(w,) for w in words], "word string")
+
+        @pandas_udf("string")
+        def enc(w: pd.Series) -> pd.Series:
+            return w.map(refined_soundex)
+
+        return df.select("word", enc("word").alias("code")).orderBy("word")
+
     def ft_normalizers(spark, sf):
         # GermanNormalizationFilter / ScandinavianFolding / Scandinavian
         # Normalization / ApostropheFilter — golden vectors from each
@@ -3631,8 +3658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_hits_relation, ft_delimited_tf, ft_indri_sim, ft_dfr_inl1_sim,
         ft_multi_sim, text_chunk, ft_geo3d, ft_box_field, ft_index_synonym,
         ft_per_field_sim, ft_point_nearest, ft_id_version, ft_big_int_range,
-        ft_half_float_range, ft_sdv_stats, ft_normalizers, ann_pq,
-        ann_pq_codes,
+        ft_half_float_range, ft_sdv_stats, ft_normalizers, ft_refined_soundex,
+        ann_pq, ann_pq_codes, dedup_substring,
         ft_span_containing, ft_facet_assoc, ft_xy_box, ft_span_field_masked,
         ft_spanish_light,
         ft_function_range, ft_function_match,
@@ -5189,6 +5216,22 @@ FROM combined ORDER BY score DESC, doc_id LIMIT 10""",
         "ft_surround": _span_near_ord_sql(["table", "hash", "part"], 4, 10),
         "ft_geo3d": _geo3d_oracle_sql(),
         "ft_box_field": _box_field_oracle_sql(),
+        "dedup_substring": f"""
+WITH d AS (SELECT doc_id, text FROM documents),
+wins AS (
+  SELECT DISTINCT doc_id,
+         {_B60.format(col="substr(text, CAST(i AS BIGINT), 60)")} AS h
+  FROM d, unnest(range(1, length(text) - 60 + 2)) AS u(i)
+  WHERE length(text) >= 60
+)
+SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS n_shared
+FROM wins x JOIN wins y ON x.h = y.h AND x.doc_id < y.doc_id
+GROUP BY x.doc_id, y.doc_id ORDER BY a, b""",
+        "ft_refined_soundex": """
+SELECT word, code FROM (VALUES
+  ('aabbcc', 'A013'), ('brass', 'B1903'), ('braz', 'B1905'),
+  ('dogs', 'D6043'), ('lee', 'L70'), ('testing', 'T6036084')
+) AS t(word, code) ORDER BY word""",
         "ft_normalizers": """
 SELECT f, tok, out FROM (VALUES
   ('apos', 'plain', 'plain'),

@@ -1060,3 +1060,33 @@ def scandinavian_normalize(token: str) -> str:
                 buf[i] = "Ø"
         i += 1
     return "".join(buf)
+
+
+_REFINED_SOUNDEX_CODE = {}
+for _cs, _d in (("bp", "1"), ("fv", "2"), ("cks", "3"), ("gj", "4"),
+                ("qxz", "5"), ("dt", "6"), ("l", "7"), ("mn", "8"),
+                ("r", "9"), ("aeiouhwy", "0")):
+    for _c in _cs:
+        _REFINED_SOUNDEX_CODE[_c] = _d
+
+
+def refined_soundex(token: str) -> str:
+    """RefinedSoundex (analysis/phonetic PhoneticFilter with commons-codec
+    RefinedSoundex): first letter verbatim, then one digit per letter
+    under the 10-class mapping (BP=1 FV=2 CKS=3 GJ=4 QXZ=5 DT=6 L=7 MN=8
+    R=9, vowels+HWY=0), adjacent duplicate digits collapsed, NO length
+    cap and vowels kept as 0 — the differences from American Soundex that
+    make it stricter ('t6036084' style codes)."""
+    t = [c for c in token.lower() if c.isalpha()]
+    if not t:
+        return ""
+    out = [token[0].upper()]
+    last = None
+    for c in t:
+        d = _REFINED_SOUNDEX_CODE.get(c)
+        if d is None:
+            continue
+        if d != last:
+            out.append(d)
+        last = d
+    return "".join(out)

@@ -926,3 +926,53 @@ def chunk_documents(
             F.expr(f"least(size(t) - start, {c})").cast("long").alias("n_tokens"),
         )
     )
+
+
+def substring_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 64,
+    max_window_df: int | None = None,
+) -> DataFrame:
+    """Exact shared-substring pair detection — the exact-substring dedup
+    criterion (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better") at window granularity: docs a < b pair iff
+    they share ANY ``k``-character substring, with (a, b, n_shared) the
+    count of distinct shared windows.  EXACT: windows are hashed at EVERY
+    character offset, so any common substring of length >= k is detected
+    (an aligned k-window exists at every offset of it).
+
+    Scale shape: windowing + md5-base60 hashing are whole-stage codegen;
+    only DISTINCT (hash, id) pairs reach the join shuffle (~n_chars rows
+    per doc pre-distinct — the price of the exact criterion; the suffix-
+    array pipelines of the paper trade exactness setup cost the same
+    way).  ``max_window_df`` is the stop-window guard: windows appearing
+    in more than that many docs (boilerplate) generate no candidates,
+    bounding any single join key's fan-out exactly as
+    :func:`ngram_jaccard_pairs`'s shingle guard does.
+    """
+    kk = int(k)
+    grams = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.expr(
+                f"CASE WHEN length({text_col}) >= {kk} THEN "
+                f"transform(sequence(1, length({text_col}) - {kk} + 1), "
+                f"i -> substring({text_col}, i, {kk})) "
+                f"ELSE array() END")).alias("w"))
+        .select(id_col, base60_expr("w").alias("h"))
+        .distinct()
+    )
+    if max_window_df is not None:
+        keep = (grams.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") <= int(max_window_df)).select("h"))
+        grams = grams.join(keep, "h", "left_semi")
+    a = grams.select(F.col(id_col).alias("a"), "h")
+    b = grams.select(F.col(id_col).alias("b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

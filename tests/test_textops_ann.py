@@ -417,3 +417,26 @@ def test_pq_roundtrip_and_lloyd(spark):
     assert all(v < 25 for v in a["vec_id"].tolist())
     # compression shape: m ints per row
     assert codes.toPandas()["codes"].map(len).eq(4).all()
+
+
+def test_substring_dup_pairs(spark):
+    from lucene_spark.textops import substring_dup_pairs
+
+    base = "x y z " * 30                       # 180 chars of shared tail
+    docs = spark.createDataFrame(
+        [(1, "alpha " + base), (2, "beta " + base),
+         (3, "gamma unrelated text " + "q " * 40),
+         (4, "short")],
+        "doc_id long, text string")
+    out = substring_dup_pairs(docs, k=50).toPandas()
+    pairs = set(zip(out["a"], out["b"]))
+    assert (1, 2) in pairs                    # long shared substring found
+    assert all(p == (1, 2) for p in pairs)    # nothing else pairs
+    # df guard: a window shared by ALL docs generates no candidates
+    docs2 = spark.createDataFrame(
+        [(i, "common prefix shared by every doc here padpadpadpadpad "
+          + f"tail{i} " * 10) for i in range(6)],
+        "doc_id long, text string")
+    guarded = substring_dup_pairs(docs2, k=50, max_window_df=2).count()
+    unguarded = substring_dup_pairs(docs2, k=50).count()
+    assert unguarded == 15 and guarded == 0
