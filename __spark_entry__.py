@@ -2984,6 +2984,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.floor(F.col("variance") * 1e3).cast("long").alias("var_q"),
         )
 
+    def text_winnow(spark, sf):
+        # robust winnowing (Schleimer/Wilkerson/Aiken SIGMOD'03, MOSS):
+        # 16-char k-grams, window 8, per-window rightmost minimum —
+        # the guaranteed-coverage fingerprint sampler
+        from lucene_spark.textops import winnow_fingerprints
+
+        out = winnow_fingerprints(
+            _docs(spark, sf).filter("doc_id < 30"), k=16, window=8)
+        return out.orderBy("doc_id", "off")
+
     def dedup_substring(spark, sf):
         # exact shared-substring pairs (Lee et al. 2022 criterion at
         # window granularity, k=60 chars, every offset hashed — exact)
@@ -3659,7 +3669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_multi_sim, text_chunk, ft_geo3d, ft_box_field, ft_index_synonym,
         ft_per_field_sim, ft_point_nearest, ft_id_version, ft_big_int_range,
         ft_half_float_range, ft_sdv_stats, ft_normalizers, ft_refined_soundex,
-        ann_pq, ann_pq_codes, dedup_substring,
+        ann_pq, ann_pq_codes, dedup_substring, text_winnow,
         ft_span_containing, ft_facet_assoc, ft_xy_box, ft_span_field_masked,
         ft_spanish_light,
         ft_function_range, ft_function_match,
@@ -5216,6 +5226,24 @@ FROM combined ORDER BY score DESC, doc_id LIMIT 10""",
         "ft_surround": _span_near_ord_sql(["table", "hash", "part"], 4, 10),
         "ft_geo3d": _geo3d_oracle_sql(),
         "ft_box_field": _box_field_oracle_sql(),
+        "text_winnow": f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 30),
+kg AS (SELECT doc_id, CAST(i - 1 AS INT) AS off,
+              {_B60.format(col="substr(text, CAST(i AS BIGINT), 16)")} AS h
+       FROM d, unnest(range(1, length(text) - 16 + 2)) AS u(i)
+       WHERE length(text) >= 16),
+n AS (SELECT doc_id, count(*) AS n FROM kg GROUP BY doc_id),
+starts AS (SELECT doc_id, unnest(range(0, greatest(n - 8 + 1, 1))) AS s FROM n),
+wmin AS (SELECT st.doc_id, st.s, min(k.h) AS mh
+         FROM starts st JOIN kg k ON k.doc_id = st.doc_id
+              AND k.off BETWEEN st.s AND st.s + 7
+         GROUP BY st.doc_id, st.s),
+sel AS (SELECT w.doc_id, max(k.off) AS off, w.mh AS h
+        FROM wmin w JOIN kg k ON k.doc_id = w.doc_id
+             AND k.off BETWEEN w.s AND w.s + 7 AND k.h = w.mh
+        GROUP BY w.doc_id, w.s, w.mh)
+SELECT DISTINCT doc_id, CAST(off AS INT) AS off, h
+FROM sel ORDER BY doc_id, off""",
         "dedup_substring": f"""
 WITH d AS (SELECT doc_id, text FROM documents),
 wins AS (

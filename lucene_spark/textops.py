@@ -976,3 +976,61 @@ def substring_dup_pairs(
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    window: int = 8,
+) -> DataFrame:
+    """Robust winnowing fingerprints (Schleimer, Wilkerson, Aiken —
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03,
+    the MOSS algorithm): hash every ``k``-gram (character window), then in
+    every window of ``window`` consecutive hashes select the MINIMUM, the
+    RIGHTMOST one on ties — the selected (offset, hash) set is the doc's
+    fingerprint.  Guarantee (Thm. in the paper): any shared substring of
+    length >= window + k - 1 produces a shared fingerprint, while storage
+    drops to ~2/(window+1) of the k-gram stream.
+
+    → (id, off, h): 0-based k-gram offset + md5-base60 hash of each
+    selected fingerprint.  Per-doc numpy selection inside one Arrow batch
+    pass (docs never shuffle); pair detection is then the same hash join
+    as :func:`substring_dup_pairs` over ~window-times fewer rows.
+    """
+    kk, w = int(k), int(window)
+
+    def run(batches):
+        import hashlib
+
+        for pdf in batches:
+            ids, offs, hs = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                t = text if isinstance(text, str) else ""
+                n = len(t) - kk + 1
+                if n <= 0:
+                    continue
+                h = np.empty(n, dtype=np.int64)
+                for i in range(n):
+                    h[i] = int(hashlib.md5(
+                        t[i:i + kk].encode("utf-8")).hexdigest()[:15], 16)
+                sel = set()
+                if n <= w:
+                    # fewer hashes than one window: rightmost global min
+                    m = h.min()
+                    sel.add(int(np.flatnonzero(h == m)[-1]))
+                else:
+                    win = np.lib.stride_tricks.sliding_window_view(h, w)
+                    mins = win.min(axis=1)
+                    for s in range(len(win)):
+                        # rightmost argmin within the window (robust rule)
+                        sel.add(s + int(np.flatnonzero(win[s] == mins[s])[-1]))
+                for off in sorted(sel):
+                    ids.append(int(did))
+                    offs.append(off)
+                    hs.append(int(h[off]))
+            yield pd.DataFrame({id_col: ids, "off": offs, "h": hs})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} long, off int, h long")

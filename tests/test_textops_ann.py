@@ -440,3 +440,24 @@ def test_substring_dup_pairs(spark):
     guarded = substring_dup_pairs(docs2, k=50, max_window_df=2).count()
     unguarded = substring_dup_pairs(docs2, k=50).count()
     assert unguarded == 15 and guarded == 0
+
+
+def test_winnow_guarantee(spark):
+    # SIGMOD'03 theorem: any shared substring of length >= window + k - 1
+    # (8 + 16 - 1 = 23 here) yields a shared fingerprint hash
+    from lucene_spark.textops import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over it"   # 33 chars >= 23
+    docs = spark.createDataFrame(
+        [(1, "AAA " + shared + " BBB"), (2, "CCCCC " + shared + " DD"),
+         (3, "totally different content with no common run at all")],
+        "doc_id long, text string")
+    fp = winnow_fingerprints(docs, k=16, window=8).toPandas()
+    h1 = set(fp[fp.doc_id == 1]["h"])
+    h2 = set(fp[fp.doc_id == 2]["h"])
+    h3 = set(fp[fp.doc_id == 3]["h"])
+    assert h1 & h2            # guaranteed shared fingerprint
+    assert not (h1 & h3)
+    # density: ~2/(w+1) of the k-gram stream, far below every-offset
+    n_kgrams = len("AAA " + shared + " BBB") - 16 + 1
+    assert len(fp[fp.doc_id == 1]) < n_kgrams / 2
