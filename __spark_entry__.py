@@ -3051,6 +3051,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return df.select("f", "tok", norm_udf("f", "tok").alias("out")) \
             .orderBy("f", "tok")
 
+    def ft_intl_stem(spark, sf):
+        # International analyzer chains (intl.py): Arabic normalize+stem
+        # (ArabicAnalyzer.java:121-131), Persian normalize
+        # (PersianAnalyzer.java:121-127), Hindi normalize+stem
+        # (HindiAnalyzer.java:109-119), Indonesian / Czech / Bulgarian
+        # stemmers — golden vectors from the reference analysis tests
+        from pyspark.sql.functions import pandas_udf
+
+        from lucene_spark.intl import intl_analyzer
+
+        rows = [
+            ("ar", "والحسن"), ("ar", "فاطمة"),
+            ("ar", "زوجها"), ("ar", "الو"),
+            ("fa", "کشاندن"), ("fa", "زادہ"),
+            ("hi", "लडकियों"), ("hi", "कठिनाइयां"),
+            ("id", "mengambilkan"), ("id", "kepolisian"), ("id", "bukunya"),
+            ("cs", "předsedou"), ("cs", "soudcích"),
+            ("bg", "пътищата"), ("bg", "дядовците"),
+        ]
+        df = spark.createDataFrame(rows, "lang string, tok string")
+        chains = {lang: intl_analyzer(lang)
+                  for lang in ("ar", "fa", "hi", "id", "cs", "bg")}
+
+        @pandas_udf("string")
+        def stem_udf(lang: pd.Series, tok: pd.Series) -> pd.Series:
+            return pd.Series([chains[a].run_token(b)
+                              for a, b in zip(lang, tok)])
+
+        return df.select("lang", "tok", stem_udf("lang", "tok").alias("out")) \
+            .orderBy("lang", "tok")
+
+    def ft_intl_index(spark, sf):
+        # End-to-end: a literal Indonesian corpus indexed through the
+        # derivational-stemmer chain (IndonesianAnalyzer.java:103-110);
+        # termdict proves the stemmed vocabulary aggregates correctly
+        # across docs (df/cf roll up on the STEM, not the surface form)
+        from lucene_spark.intl import intl_analyzer
+
+        rows = [
+            (1, "mengukur berlari bukunya"),
+            (2, "pengukur tersapu makanan"),
+            (3, "menyapu kenaikan bukuku mengukur"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        idx = build_index(spark, docs, text_col="text", key_col="doc_id",
+                          docid_col="doc_id",
+                          stopwords=intl_analyzer("id"))
+        return idx.termdict.select("term", "df", "cf").orderBy("term")
+
     def ft_sdv_stats(spark, sf):
         # SortedDocValuesStats (misc/search/DocValuesStats.java:213-260):
         # string min/max/count/missing over the 'dup' match set's source
@@ -3671,7 +3720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_half_float_range, ft_sdv_stats, ft_normalizers, ft_refined_soundex,
         ann_pq, ann_pq_codes, dedup_substring, text_winnow,
         ft_span_containing, ft_facet_assoc, ft_xy_box, ft_span_field_masked,
-        ft_spanish_light,
+        ft_spanish_light, ft_intl_stem, ft_intl_index,
         ft_function_range, ft_function_match,
         ft_vs_scale, ft_vs_query_blend, ft_vs_tf_idf,
         ft_dv_terms, ft_dv_numbers, ft_multi_range, ft_sorted_dv_range,
@@ -5277,6 +5326,43 @@ SELECT f, tok, out FROM (VALUES
   ('scnorm', 'blaabaersyltetoej', 'blåbærsyltetøj'),
   ('scnorm', 'blåbärsyltetöj', 'blåbærsyltetøj')
 ) AS t(f, tok, out) ORDER BY f, tok""",
+        "ft_intl_stem": """
+SELECT lang, tok, out FROM (VALUES
+  ('ar', 'والحسن', 'حسن'),
+  ('ar', 'فاطمة', 'فاطم'),
+  ('ar', 'زوجها', 'زوج'),
+  ('ar', 'الو', 'الو'),
+  ('fa', 'کشاندن', 'كشاندن'),
+  ('fa', 'زادہ', 'زاده'),
+  ('hi', 'लडकियों', 'लडक'),
+  ('hi', 'कठिनाइयां', 'कठिन'),
+  ('id', 'mengambilkan', 'ambil'),
+  ('id', 'kepolisian', 'polisi'),
+  ('id', 'bukunya', 'buku'),
+  ('cs', 'předsedou', 'předsd'),
+  ('cs', 'soudcích', 'soudk'),
+  ('bg', 'пътищата', 'път'),
+  ('bg', 'дядовците', 'дяд')
+) AS t(lang, tok, out) ORDER BY lang, tok""",
+        "ft_intl_index": """
+WITH docs(doc_id, text) AS (VALUES
+  (1, 'mengukur berlari bukunya'),
+  (2, 'pengukur tersapu makanan'),
+  (3, 'menyapu kenaikan bukuku mengukur')
+),
+stems(w, s) AS (VALUES
+  ('mengukur', 'ukur'), ('pengukur', 'ukur'),
+  ('berlari', 'lari'), ('tersapu', 'sapu'), ('menyapu', 'sapu'),
+  ('bukunya', 'buku'), ('bukuku', 'buku'),
+  ('makanan', 'makan'), ('kenaikan', 'naik')
+),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM docs
+)
+SELECT s.s AS term, CAST(count(DISTINCT t.doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS cf
+FROM tok t JOIN stems s ON t.w = s.w
+GROUP BY s.s ORDER BY term""",
         "ft_sdv_stats": _FT_PRELUDE + """,
 m AS (SELECT DISTINCT doc_id FROM ftok WHERE term = 'dup'),
 vals AS (
