@@ -3100,6 +3100,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           stopwords=intl_analyzer("id"))
         return idx.termdict.select("term", "df", "cf").orderBy("term")
 
+    def ft_compound(spark, sf):
+        # DictionaryCompoundWordTokenFilter (analysis/compound/
+        # DictionaryCompoundWordTokenFilter.java:63-90): compounds emit
+        # the original token PLUS every dictionary subword stacked at the
+        # same position; the termdict proves both surface and subword
+        # vocabularies index (so querying 'borr' finds 'slagborr' docs)
+        from lucene_spark.analysis import Analyzer
+        from lucene_spark.filters import dictionary_compound
+
+        dic = ["bil", "dörr", "borr", "slag", "hammar", "glas",
+               "ögon", "fodral", "sko", "makare"]
+        an = Analyzer(stream_filters=(dictionary_compound(dic),))
+        rows = [
+            (1, "slagborr bildörr"),
+            (2, "hammarborr glasögonfodral"),
+            (3, "skomakare abba"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        idx = build_index(spark, docs, text_col="text", key_col="doc_id",
+                          docid_col="doc_id", stopwords=an)
+        return idx.termdict.select("term", "df", "cf").orderBy("term")
+
     def ft_sdv_stats(spark, sf):
         # SortedDocValuesStats (misc/search/DocValuesStats.java:213-260):
         # string min/max/count/missing over the 'dup' match set's source
@@ -3720,7 +3742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_half_float_range, ft_sdv_stats, ft_normalizers, ft_refined_soundex,
         ann_pq, ann_pq_codes, dedup_substring, text_winnow,
         ft_span_containing, ft_facet_assoc, ft_xy_box, ft_span_field_masked,
-        ft_spanish_light, ft_intl_stem, ft_intl_index,
+        ft_spanish_light, ft_intl_stem, ft_intl_index, ft_compound,
         ft_function_range, ft_function_match,
         ft_vs_scale, ft_vs_query_blend, ft_vs_tf_idf,
         ft_dv_terms, ft_dv_numbers, ft_multi_range, ft_sorted_dv_range,
@@ -5363,6 +5385,30 @@ SELECT s.s AS term, CAST(count(DISTINCT t.doc_id) AS BIGINT) AS df,
        CAST(count(*) AS BIGINT) AS cf
 FROM tok t JOIN stems s ON t.w = s.w
 GROUP BY s.s ORDER BY term""",
+        "ft_compound": """
+WITH docs(doc_id, text) AS (VALUES
+  (1, 'slagborr bildörr'),
+  (2, 'hammarborr glasögonfodral'),
+  (3, 'skomakare abba')
+),
+expand(w, e) AS (VALUES
+  ('slagborr', 'slagborr'), ('slagborr', 'slag'), ('slagborr', 'borr'),
+  ('bildörr', 'bildörr'), ('bildörr', 'bil'), ('bildörr', 'dörr'),
+  ('hammarborr', 'hammarborr'), ('hammarborr', 'hammar'),
+  ('hammarborr', 'borr'),
+  ('glasögonfodral', 'glasögonfodral'), ('glasögonfodral', 'glas'),
+  ('glasögonfodral', 'ögon'), ('glasögonfodral', 'fodral'),
+  ('skomakare', 'skomakare'), ('skomakare', 'sko'),
+  ('skomakare', 'makare'),
+  ('abba', 'abba')
+),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM docs
+)
+SELECT e.e AS term, CAST(count(DISTINCT t.doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS cf
+FROM tok t JOIN expand e ON t.w = e.w
+GROUP BY e.e ORDER BY term""",
         "ft_sdv_stats": _FT_PRELUDE + """,
 m AS (SELECT DISTINCT doc_id FROM ftok WHERE term = 'dup'),
 vals AS (

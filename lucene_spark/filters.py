@@ -1090,3 +1090,55 @@ def refined_soundex(token: str) -> str:
             out.append(d)
         last = d
     return "".join(out)
+
+
+def dictionary_compound(dictionary, min_word_size: int = 5,
+                        min_subword_size: int = 2,
+                        max_subword_size: int = 15,
+                        only_longest_match: bool = False):
+    """DictionaryCompoundWordTokenFilter (analysis/compound/
+    DictionaryCompoundWordTokenFilter.java:63-90, defaults from
+    CompoundWordTokenFilterBase.java:31-37): brute-force decomposition of
+    Germanic compounds — the ORIGINAL token always passes through, then
+    every dictionary subword found at any offset is stacked at the SAME
+    position (posIncrement 0, CompoundWordTokenFilterBase.java:93-100).
+
+    Matching is case-insensitive (the reference's CharArraySet ignoreCase
+    convention in its tests); the emitted subword text is the original-case
+    SLICE of the compound.  Scan order is the reference's: start offsets
+    left-to-right, lengths ascending per start; ``only_longest_match``
+    keeps only the longest hit per start offset.
+
+    Stream-filter slot (runs on the emitted (tokens, positions) stream);
+    decomposition is per token with a broadcast-sized dictionary — no
+    shuffle, scale-neutral.
+    """
+    words = frozenset(w.lower() for w in dictionary)
+
+    def stream_filter(tokens, positions):
+        out_t: list = []
+        out_p: list = []
+        for t, p in zip(tokens, positions):
+            out_t.append(t)
+            out_p.append(p)
+            n = len(t)
+            if n < min_word_size:
+                continue
+            low = t.lower()
+            for i in range(0, n - min_subword_size + 1):
+                longest = None
+                for j in range(min_subword_size, max_subword_size + 1):
+                    if i + j > n:
+                        break
+                    if low[i:i + j] in words:
+                        if only_longest_match:
+                            longest = t[i:i + j]
+                        else:
+                            out_t.append(t[i:i + j])
+                            out_p.append(p)
+                if longest is not None:
+                    out_t.append(longest)
+                    out_p.append(p)
+        return out_t, out_p
+
+    return stream_filter
