@@ -3122,6 +3122,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           docid_col="doc_id", stopwords=an)
         return idx.termdict.select("term", "df", "cf").orderBy("term")
 
+    def text_bpe_train(spark, sf):
+        # Distributed BPE merge training (Sennrich ACL'16 Algorithm 1,
+        # textops.bpe_train): corpus reduced once to a word-freq table,
+        # every merge round is vocab-sized. Sennrich's worked example
+        # {low:5, lower:2, newest:6, widest:3} — the classic merge
+        # sequence (e,s) (es,t) (est,</w>) ... is the oracle, duel-tested
+        # against a direct Algorithm-1 transcription in
+        # tests/test_bpe_train.py
+        from lucene_spark.textops import bpe_merges_df
+
+        bag = [w for w, f in (("low", 5), ("lower", 2), ("newest", 6),
+                              ("widest", 3)) for _ in range(f)]
+        rows = [(i, " ".join(bag[i::4])) for i in range(4)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        return bpe_merges_df(spark, docs, num_merges=8).orderBy("rank")
+
     def ft_sdv_stats(spark, sf):
         # SortedDocValuesStats (misc/search/DocValuesStats.java:213-260):
         # string min/max/count/missing over the 'dup' match set's source
@@ -3743,6 +3759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann_pq, ann_pq_codes, dedup_substring, text_winnow,
         ft_span_containing, ft_facet_assoc, ft_xy_box, ft_span_field_masked,
         ft_spanish_light, ft_intl_stem, ft_intl_index, ft_compound,
+        text_bpe_train,
         ft_function_range, ft_function_match,
         ft_vs_scale, ft_vs_query_blend, ft_vs_tf_idf,
         ft_dv_terms, ft_dv_numbers, ft_multi_range, ft_sorted_dv_range,
@@ -5409,6 +5426,17 @@ SELECT e.e AS term, CAST(count(DISTINCT t.doc_id) AS BIGINT) AS df,
        CAST(count(*) AS BIGINT) AS cf
 FROM tok t JOIN expand e ON t.w = e.w
 GROUP BY e.e ORDER BY term""",
+        "text_bpe_train": """
+SELECT rank, lft AS left, rght AS right, pair_count FROM (VALUES
+  (0, 'e', 's', 9),
+  (1, 'es', 't', 9),
+  (2, 'est', '</w>', 9),
+  (3, 'l', 'o', 7),
+  (4, 'lo', 'w', 7),
+  (5, 'e', 'w', 6),
+  (6, 'ew', 'est</w>', 6),
+  (7, 'n', 'ewest</w>', 6)
+) AS t(rank, lft, rght, pair_count) ORDER BY rank""",
         "ft_sdv_stats": _FT_PRELUDE + """,
 m AS (SELECT DISTINCT doc_id FROM ftok WHERE term = 'dup'),
 vals AS (

@@ -1034,3 +1034,101 @@ def winnow_fingerprints(
 
     return docs.select(id_col, text_col).mapInPandas(
         run, schema=f"{id_col} long, off int, h long")
+
+
+def bpe_train(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text", num_merges: int = 10,
+              min_pair_count: int = 2,
+              end_of_word: str = "</w>") -> list[tuple[str, str, int]]:
+    """Byte-pair-encoding merge training (Sennrich, Haddow & Birch,
+    ACL 2016, Algorithm 1) as a distributed pipeline op: learn the top
+    ``num_merges`` merge rules from a corpus.
+
+    Scale shape — the one decision that matters at 100 TB: the corpus is
+    reduced ONCE to a word-frequency table (one corpus-sized shuffle on the
+    word hash); every merge round after that operates on the
+    vocabulary-sized table only (pair counts via a Catalyst
+    transform+explode+sum, argmax = one orderBy().limit(1) row to the
+    driver, merge application = one Arrow batch pass rewriting the symbol
+    arrays).  Rounds never touch the corpus again, and the vocab table is
+    re-persisted per round so the plan doesn't grow with the merge count.
+
+    Semantics: words are lowercase letter runs; each word starts as its
+    character sequence plus a terminal ``end_of_word`` symbol; pair counts
+    weight by word frequency and count overlapping occurrences per
+    position (zip(s, s[1:]) — exactly the paper's get_stats); merge
+    application is greedy left-to-right, non-overlapping.  Ties break
+    deterministically: highest count, then lexicographically smallest
+    (left, right).
+
+    Returns the learned merge list [(left, right, pair_count), ...] in
+    rank order — driver-sized by construction (``num_merges`` entries).
+    """
+    words = (
+        docs.select(F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)),
+                                 F.lit(r"[\p{L}]+"), 0)).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("freq"))
+    )
+    vocab = words.select(
+        F.concat(F.split(F.col("w"), ""),
+                 F.array(F.lit(end_of_word))).alias("syms"),
+        "freq",
+    ).persist()
+    vocab.count()  # materialize before the loop
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        best = (
+            vocab.select(
+                F.explode(F.expr(
+                    # sequence(0, -1) is a DESCENDING sequence in Spark,
+                    # not empty — fully-merged single-symbol words must
+                    # short-circuit to an empty pair array
+                    "CASE WHEN size(syms) < 2 THEN "
+                    "array() "
+                    "ELSE transform(sequence(0, size(syms) - 2), "
+                    "i -> struct(syms[i] AS l, syms[i + 1] AS r)) END"
+                )).alias("p"), "freq")
+            .groupBy("p.l", "p.r").agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), "l", "r")
+            .limit(1).collect()
+        )
+        if not best or best[0]["n"] < min_pair_count:
+            break
+        left, right, n = best[0]["l"], best[0]["r"], int(best[0]["n"])
+        merges.append((left, right, n))
+
+        def apply_merge(batches, _l=left, _r=right):
+            for pdf in batches:
+                out = []
+                for syms in pdf["syms"]:
+                    s = list(syms)
+                    i, res = 0, []
+                    while i < len(s):
+                        if (i + 1 < len(s) and s[i] == _l
+                                and s[i + 1] == _r):
+                            res.append(_l + _r)
+                            i += 2
+                        else:
+                            res.append(s[i])
+                            i += 1
+                    out.append(res)
+                yield pd.DataFrame({"syms": out, "freq": pdf["freq"]})
+
+        new_vocab = vocab.mapInPandas(
+            apply_merge, schema="syms array<string>, freq long").persist()
+        new_vocab.count()
+        vocab.unpersist()
+        vocab = new_vocab
+    vocab.unpersist()
+    return merges
+
+
+def bpe_merges_df(spark, docs: DataFrame, **kw) -> DataFrame:
+    """DataFrame wrapper over :func:`bpe_train` for the gate surface:
+    (rank, left, right, pair_count)."""
+    merges = bpe_train(docs, **kw)
+    rows = [(i, l, r, n) for i, (l, r, n) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, pair_count long")
