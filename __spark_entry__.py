@@ -3138,6 +3138,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = spark.createDataFrame(rows, "doc_id long, text string")
         return bpe_merges_df(spark, docs, num_merges=8).orderBy("rank")
 
+    def text_bpe_encode(spark, sf):
+        # BPE inference (textops.bpe_encode): lowest-rank-pair-first merge
+        # application, broadcast-sized rank table, one mapInPandas pass.
+        # Train on the Sennrich corpus then encode it; expected encodings
+        # frozen from the rank-ordered merge rules (duel-tested in
+        # tests/test_bpe_train.py)
+        from lucene_spark.textops import bpe_encode, bpe_train
+
+        bag = [w for w, f in (("low", 5), ("lower", 2), ("newest", 6),
+                              ("widest", 3)) for _ in range(f)]
+        rows = [(i, " ".join(bag[i::4])) for i in range(4)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        merges = bpe_train(docs, num_merges=8)
+        enc = bpe_encode(docs, merges)
+        return enc.select(
+            "doc_id", "n_tokens",
+            F.concat_ws(" ", "tokens").alias("toks")).orderBy("doc_id")
+
     def ft_sdv_stats(spark, sf):
         # SortedDocValuesStats (misc/search/DocValuesStats.java:213-260):
         # string min/max/count/missing over the 'dup' match set's source
@@ -3759,7 +3777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann_pq, ann_pq_codes, dedup_substring, text_winnow,
         ft_span_containing, ft_facet_assoc, ft_xy_box, ft_span_field_masked,
         ft_spanish_light, ft_intl_stem, ft_intl_index, ft_compound,
-        text_bpe_train,
+        text_bpe_train, text_bpe_encode,
         ft_function_range, ft_function_match,
         ft_vs_scale, ft_vs_query_blend, ft_vs_tf_idf,
         ft_dv_terms, ft_dv_numbers, ft_multi_range, ft_sorted_dv_range,
@@ -5437,6 +5455,13 @@ SELECT rank, lft AS left, rght AS right, pair_count FROM (VALUES
   (6, 'ew', 'est</w>', 6),
   (7, 'n', 'ewest</w>', 6)
 ) AS t(rank, lft, rght, pair_count) ORDER BY rank""",
+        "text_bpe_encode": """
+SELECT doc_id, n_tokens, toks FROM (VALUES
+  (0, 6, 'low </w> low </w> newest</w> newest</w>'),
+  (1, 11, 'low </w> low e r </w> newest</w> w i d est</w>'),
+  (2, 11, 'low </w> low e r </w> newest</w> w i d est</w>'),
+  (3, 8, 'low </w> newest</w> newest</w> w i d est</w>')
+) AS t(doc_id, n_tokens, toks) ORDER BY doc_id""",
         "ft_sdv_stats": _FT_PRELUDE + """,
 m AS (SELECT DISTINCT doc_id FROM ftok WHERE term = 'dup'),
 vals AS (

@@ -1132,3 +1132,59 @@ def bpe_merges_df(spark, docs: DataFrame, **kw) -> DataFrame:
     rows = [(i, l, r, n) for i, (l, r, n) in enumerate(merges)]
     return spark.createDataFrame(
         rows, "rank int, left string, right string, pair_count long")
+
+
+def bpe_encode(docs: DataFrame, merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+               id_col: str = "doc_id", text_col: str = "text",
+               end_of_word: str = "</w>") -> DataFrame:
+    """Apply learned BPE merges (from :func:`bpe_train`) to a corpus →
+    (id, tokens, n_tokens).  Encoding follows the standard inference rule:
+    repeatedly merge the pair with the LOWEST merge rank present in the
+    word until none applies (Sennrich ACL'16 §3; the ordered-merge
+    application every BPE tokenizer uses).
+
+    Scale shape: the merge table is tiny (vocab-sized rank dict) and ships
+    inside the Arrow UDF closure — a broadcast by construction; encoding
+    is one mapInPandas pass over the corpus with a per-batch memo cache
+    keyed on word (Zipf makes the cache hit rate the dominant term), no
+    shuffle at all.
+    """
+    ranks = {(l, r): i for i, (l, r, *_) in enumerate(merges)}
+
+    def encode_word(w: str, memo: dict) -> list[str]:
+        got = memo.get(w)
+        if got is not None:
+            return got
+        syms = list(w) + [end_of_word]
+        while len(syms) > 1:
+            best_i, best_rank = -1, len(ranks)
+            for i in range(len(syms) - 1):
+                rk = ranks.get((syms[i], syms[i + 1]), len(ranks))
+                if rk < best_rank:
+                    best_i, best_rank = i, rk
+            if best_i < 0:
+                break
+            syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        memo[w] = syms
+        return syms
+
+    import re
+
+    word_re = re.compile(r"[^\W\d_]+", re.UNICODE)
+
+    def run(batches):
+        memo: dict = {}
+        for pdf in batches:
+            toks, counts = [], []
+            for text in pdf[text_col]:
+                t = text if isinstance(text, str) else ""
+                out: list[str] = []
+                for w in word_re.findall(t.lower()):
+                    out.extend(encode_word(w, memo))
+                toks.append(out)
+                counts.append(len(out))
+            yield pd.DataFrame({id_col: pdf[id_col], "tokens": toks,
+                                "n_tokens": counts})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} long, tokens array<string>, n_tokens int")

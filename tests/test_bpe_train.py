@@ -87,3 +87,34 @@ def test_bpe_random_duel(spark, seed):
     }
     got = bpe_train(_corpus_df(spark, freqs), num_merges=6)
     assert got == naive_bpe(freqs, 6)
+
+
+def test_bpe_encode_duel(spark):
+    from lucene_spark.textops import bpe_encode
+
+    merges = naive_bpe(SENNRICH, 8)
+    ranks = {(l, r): i for i, (l, r, _) in enumerate(merges)}
+
+    def enc(w):
+        s = list(w) + [EOW]
+        while len(s) > 1:
+            cand = [(ranks.get((a, b), len(ranks)), i)
+                    for i, (a, b) in enumerate(zip(s, s[1:]))]
+            rk, i = min(cand)
+            if rk == len(ranks):
+                break
+            s[i:i + 2] = [s[i] + s[i + 1]]
+        return s
+
+    df = _corpus_df(spark, SENNRICH)
+    got = {r["doc_id"]: (list(r["tokens"]), r["n_tokens"])
+           for r in bpe_encode(df, merges).collect()}
+    for r in df.collect():
+        want = [t for w in r["text"].split() for t in enc(w)]
+        assert got[r["doc_id"]] == (want, len(want))
+    # unseen word degrades to the longest learned pieces, never crashes
+    df2 = spark.createDataFrame([(9, "lowest Newish 42")],
+                                "doc_id long, text string")
+    row = bpe_encode(df2, merges).collect()[0]
+    assert list(row["tokens"]) == ["low", "est</w>",
+                                   "n", "ew", "i", "s", "h", "</w>"]
