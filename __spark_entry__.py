@@ -3156,6 +3156,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "n_tokens",
             F.concat_ws(" ", "tokens").alias("toks")).orderBy("doc_id")
 
+    def ft_lowercase_intl(spark, sf):
+        # Language-aware lowercase stages: GreekLowerCaseFilter (final
+        # sigma + tonos/dialytika fold), TurkishLowerCaseFilter
+        # (dotted/dotless i, composed and decomposed), IrishLowerCaseFilter
+        # (n/t prothesis hyphenation) — golden vectors from the reference
+        # filter tests
+        from pyspark.sql.functions import pandas_udf
+
+        from lucene_spark.filters import (
+            greek_lowercase, irish_lowercase, turkish_lowercase,
+        )
+
+        fns = {"el": greek_lowercase, "tr": turkish_lowercase,
+               "ga": irish_lowercase}
+        rows = [
+            ("el", "Μάϊος"), ("el", "ΜΆΪΟΣ"),
+            ("tr", "İSTANBUL"), ("tr", "I" + "̇" + "ZMI" + "̇" + "R"),
+            ("tr", "ISPARTA"),
+            ("ga", "nAthair"), ("ga", "tUISCE"), ("ga", "hARD"),
+        ]
+        df = spark.createDataFrame(rows, "f string, tok string")
+
+        @pandas_udf("string")
+        def lc_udf(f: pd.Series, tok: pd.Series) -> pd.Series:
+            return pd.Series([fns[a](b) for a, b in zip(f, tok)])
+
+        return df.select("f", "tok", lc_udf("f", "tok").alias("out")) \
+            .orderBy("f", "tok")
+
     def ft_sdv_stats(spark, sf):
         # SortedDocValuesStats (misc/search/DocValuesStats.java:213-260):
         # string min/max/count/missing over the 'dup' match set's source
@@ -3777,7 +3806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann_pq, ann_pq_codes, dedup_substring, text_winnow,
         ft_span_containing, ft_facet_assoc, ft_xy_box, ft_span_field_masked,
         ft_spanish_light, ft_intl_stem, ft_intl_index, ft_compound,
-        text_bpe_train, text_bpe_encode,
+        text_bpe_train, text_bpe_encode, ft_lowercase_intl,
         ft_function_range, ft_function_match,
         ft_vs_scale, ft_vs_query_blend, ft_vs_tf_idf,
         ft_dv_terms, ft_dv_numbers, ft_multi_range, ft_sorted_dv_range,
@@ -5462,6 +5491,17 @@ SELECT doc_id, n_tokens, toks FROM (VALUES
   (2, 11, 'low </w> low e r </w> newest</w> w i d est</w>'),
   (3, 8, 'low </w> newest</w> newest</w> w i d est</w>')
 ) AS t(doc_id, n_tokens, toks) ORDER BY doc_id""",
+        "ft_lowercase_intl": """
+SELECT f, tok, out FROM (VALUES
+  ('el', 'Μάϊος', 'μαιοσ'),
+  ('el', 'ΜΆΪΟΣ', 'μαιοσ'),
+  ('tr', 'İSTANBUL', 'istanbul'),
+  ('tr', 'I' || chr(775) || 'ZMI' || chr(775) || 'R', 'izmir'),
+  ('tr', 'ISPARTA', 'ısparta'),
+  ('ga', 'nAthair', 'n-athair'),
+  ('ga', 'tUISCE', 't-uisce'),
+  ('ga', 'hARD', 'hard')
+) AS t(f, tok, out) ORDER BY f, tok""",
         "ft_sdv_stats": _FT_PRELUDE + """,
 m AS (SELECT DISTINCT doc_id FROM ftok WHERE term = 'dup'),
 vals AS (

@@ -1142,3 +1142,84 @@ def dictionary_compound(dictionary, min_word_size: int = 5,
         return out_t, out_p
 
     return stream_filter
+
+
+_GREEK_LOWER = str.maketrans({
+    "ς": "σ",                      # final sigma -> sigma
+    "Ά": "α", "ά": "α",  # alpha with tonos
+    "Έ": "ε", "έ": "ε",  # epsilon with tonos
+    "Ή": "η", "ή": "η",  # eta with tonos
+    "Ί": "ι", "Ϊ": "ι", "ί": "ι",
+    "ϊ": "ι", "ΐ": "ι",  # iota variants
+    "Ύ": "υ", "Ϋ": "υ", "ύ": "υ",
+    "ϋ": "υ", "ΰ": "υ",  # upsilon variants
+    "Ό": "ο", "ό": "ο",  # omicron with tonos
+    "Ώ": "ω", "ώ": "ω",  # omega with tonos
+    "΢": "ς",                      # reserved (back-compat)
+})
+
+
+def greek_lowercase(token: str) -> str:
+    """GreekLowerCaseFilter (analysis/el/GreekLowerCaseFilter.java:48-115):
+    lowercase + strip tonos/dialytika diacritics + standardize final sigma
+    to sigma.  The special table runs BEFORE the default lowering so the
+    capital accented forms fold straight to the bare lowercase letter.
+    Use on a chain with lowercase=False (this IS the lowercase stage)."""
+    return token.translate(_GREEK_LOWER).lower().translate(_GREEK_LOWER)
+
+
+def turkish_lowercase(token: str) -> str:
+    """TurkishLowerCaseFilter (analysis/tr/TurkishLowerCaseFilter.java:
+    39-91): dotted/dotless-i aware lowering, composed AND decomposed —
+    I followed by a combining dot above (other non-spacing marks may
+    intervene, isBeforeDot :77-86) lowers to 'i' and the dot is removed;
+    bare I lowers to dotless 'ı'; composed 'İ' (U+0130) lowers to plain
+    'i' (Java's simple per-codepoint toLowerCase, unlike Python's
+    str.lower which expands it).  Use with lowercase=False."""
+    import unicodedata
+
+    dot = "\u0307"
+    s = token
+    n = len(s)
+    out: list[str] = []
+    i_or_after = False
+    i = 0
+    while i < n:
+        ch = s[i]
+        i_or_after = (ch == "I" or
+                      (i_or_after and unicodedata.category(ch) == "Mn"))
+        if i_or_after:
+            if ch == dot:          # composed-lowercase mimicry: drop it
+                i += 1
+                continue
+            if ch == "I":
+                dotted = False
+                for k in range(i + 1, n):
+                    if s[k] == dot:
+                        dotted = True
+                        break
+                    if unicodedata.category(s[k]) != "Mn":
+                        break
+                if dotted:
+                    out.append("i")
+                else:
+                    out.append("\u0131")
+                    i_or_after = False
+                i += 1
+                continue
+        out.append("i" if ch == "\u0130" else ch.lower())
+        i += 1
+    return "".join(out)
+
+
+_GA_UPPER_VOWELS = frozenset("AEIOUÁÉÍÓÚ")
+
+
+def irish_lowercase(token: str) -> str:
+    """IrishLowerCaseFilter (analysis/ga/IrishLowerCaseFilter.java:35-63):
+    n/t prothesis — 'nAthair' -> 'n-athair' (hyphen inserted, prefix
+    letter kept) — then lowercase.  Use with lowercase=False."""
+    if (len(token) > 1 and token[0] in ("n", "t")
+            and token[1] in _GA_UPPER_VOWELS):
+        return token[0] + "-" + token[1:].lower()
+    return token.lower()
