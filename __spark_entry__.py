@@ -3185,6 +3185,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return df.select("f", "tok", lc_udf("f", "tok").alias("out")) \
             .orderBy("f", "tok")
 
+    def ft_latvian_stem(spark, sf):
+        # LatvianStemmer (analysis/lv/LatvianStemmer.java:32-43): ordered
+        # affix scan with vowel/length guards + declension II/V/VI
+        # unpalatalization; vectors from the reference's
+        # TestLatvianStemmer (full 172-pair parity in
+        # tests/test_latvian_stem.py)
+        from pyspark.sql.functions import pandas_udf
+
+        from lucene_spark.stemmers import latvian_stem
+
+        words = ["tēviem", "lāčus", "akmeņos", "kurmju", "lietū",
+                 "asariem", "līdakai", "zivs", "mazajiem", "krāsns"]
+        df = spark.createDataFrame([(w,) for w in words], "word string")
+
+        @pandas_udf("string")
+        def st(w: pd.Series) -> pd.Series:
+            return w.map(latvian_stem)
+
+        return df.select("word", st("word").alias("stem")).orderBy("word")
+
     def ft_sdv_stats(spark, sf):
         # SortedDocValuesStats (misc/search/DocValuesStats.java:213-260):
         # string min/max/count/missing over the 'dup' match set's source
@@ -3806,7 +3826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann_pq, ann_pq_codes, dedup_substring, text_winnow,
         ft_span_containing, ft_facet_assoc, ft_xy_box, ft_span_field_masked,
         ft_spanish_light, ft_intl_stem, ft_intl_index, ft_compound,
-        text_bpe_train, text_bpe_encode, ft_lowercase_intl,
+        text_bpe_train, text_bpe_encode, ft_lowercase_intl, ft_latvian_stem,
         ft_function_range, ft_function_match,
         ft_vs_scale, ft_vs_query_blend, ft_vs_tf_idf,
         ft_dv_terms, ft_dv_numbers, ft_multi_range, ft_sorted_dv_range,
@@ -5502,6 +5522,19 @@ SELECT f, tok, out FROM (VALUES
   ('ga', 'tUISCE', 't-uisce'),
   ('ga', 'hARD', 'hard')
 ) AS t(f, tok, out) ORDER BY f, tok""",
+        "ft_latvian_stem": """
+SELECT word, stem FROM (VALUES
+  ('akmeņos', 'akmen'),
+  ('asariem', 'asar'),
+  ('krāsns', 'krāsn'),
+  ('kurmju', 'kurm'),
+  ('lietū', 'liet'),
+  ('lāčus', 'lāc'),
+  ('līdakai', 'līdak'),
+  ('mazajiem', 'maz'),
+  ('tēviem', 'tēv'),
+  ('zivs', 'ziv')
+) AS t(word, stem) ORDER BY word""",
         "ft_sdv_stats": _FT_PRELUDE + """,
 m AS (SELECT DISTINCT doc_id FROM ftok WHERE term = 'dup'),
 vals AS (

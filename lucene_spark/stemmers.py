@@ -742,3 +742,59 @@ MINIMAL_STEMMERS = {
     "nb": norwegian_minimal_stem(BOKMAAL),
     "nn": norwegian_minimal_stem(NYNORSK),
 }
+
+
+_LV_VOWELS = frozenset("aeiouāīēū")
+# (affix, vowel-count threshold, palatalizes) in scan order —
+# LatvianStemmer.java:48-66; only the FIRST match strips (stem :34-43)
+_LV_AFFIXES = (
+    ("ajiem", 3, False), ("ajai", 3, False), ("ajam", 2, False),
+    ("ajām", 2, False), ("ajos", 2, False), ("ajās", 2, False),
+    ("iem", 2, True), ("ajā", 2, False), ("ais", 2, False),
+    ("ai", 2, False), ("ei", 2, False), ("ām", 1, False),
+    ("am", 1, False), ("ēm", 1, False), ("īm", 1, False),
+    ("im", 1, False), ("um", 1, False), ("us", 1, True),
+    ("as", 1, False), ("ās", 1, False), ("es", 1, False),
+    ("os", 1, True), ("ij", 1, False), ("īs", 1, False),
+    ("ēs", 1, False), ("is", 1, False), ("ie", 1, False),
+    ("u", 1, True), ("a", 1, True), ("i", 1, True),
+    ("e", 1, False), ("ā", 1, False), ("ē", 1, False),
+    ("ī", 1, False), ("ū", 1, False), ("o", 1, False),
+    ("s", 0, False), ("š", 0, False),
+)
+
+
+def _lv_unpalatalize(w: str, removed: str) -> str:
+    """LatvianStemmer.unpalatalize (:75-135): undo declension II/V/VI
+    palatalization after a palatalizing suffix strip; ``removed`` is the
+    first char of the removed suffix (the s[len] the reference checks)."""
+    if removed == "u":
+        if w.endswith("kš"):
+            return w[:-2] + "kst"
+        if w.endswith("ņņ"):
+            return w[:-2] + "nn"
+    if w.endswith(("pj", "bj", "mj", "vj")):
+        return w[:-1]
+    for pal, plain in (("šņ", "sn"), ("žņ", "zn"), ("šļ", "sl"),
+                       ("žļ", "zl"), ("ļņ", "ln"), ("ļļ", "ll")):
+        if w.endswith(pal):
+            return w[:-2] + plain
+    if w and w[-1] in "čļņ":
+        return w[:-1] + {"č": "c", "ļ": "l", "ņ": "n"}[w[-1]]
+    return w
+
+
+def latvian_stem(w: str) -> str:
+    """LatvianStemmer (analysis/lv/LatvianStemmer.java:32-43, light version
+    of Kreslins' thesis algorithm): first affix in scan order whose vowel
+    threshold and length guard pass strips, with unpalatalization on the
+    declension II/V/VI suffixes."""
+    nv = sum(1 for c in w if c in _LV_VOWELS)
+    for affix, vc, pal in _LV_AFFIXES:
+        if nv > vc and len(w) >= len(affix) + 3 and w.endswith(affix):
+            stem = w[: -len(affix)]
+            return _lv_unpalatalize(stem, affix[0]) if pal else stem
+    return w
+
+
+LIGHT_STEMMERS["lv"] = latvian_stem
