@@ -3205,6 +3205,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return df.select("word", st("word").alias("stem")).orderBy("word")
 
+    def ft_serbian_norm(spark, sf):
+        # SerbianNormalizationFilter bald + regular variants (analysis/sr/
+        # SerbianNormalizationFilter.java, ...RegularFilter.java): Cyrillic
+        # -> Latin with digraph expansion; bald also folds Latin diacritics.
+        # Alphabet-spanning vectors from the reference tests
+        from pyspark.sql.functions import pandas_udf
+
+        from lucene_spark.filters import (
+            serbian_normalize, serbian_normalize_regular,
+        )
+
+        fns = {"bald": serbian_normalize, "reg": serbian_normalize_regular}
+        cyr = "абвгдђежзијклљмнњопрстћуфхцчџш"
+        rows = [("bald", cyr), ("bald", "đubrište"),
+                ("bald", "čokančićem"), ("reg", cyr), ("reg", "đubrište")]
+        df = spark.createDataFrame(rows, "f string, tok string")
+
+        @pandas_udf("string")
+        def norm(f: pd.Series, tok: pd.Series) -> pd.Series:
+            return pd.Series([fns[a](b) for a, b in zip(f, tok)])
+
+        return df.select("f", "tok", norm("f", "tok").alias("out")) \
+            .orderBy("f", "tok")
+
     def ft_sdv_stats(spark, sf):
         # SortedDocValuesStats (misc/search/DocValuesStats.java:213-260):
         # string min/max/count/missing over the 'dup' match set's source
@@ -3827,6 +3851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_span_containing, ft_facet_assoc, ft_xy_box, ft_span_field_masked,
         ft_spanish_light, ft_intl_stem, ft_intl_index, ft_compound,
         text_bpe_train, text_bpe_encode, ft_lowercase_intl, ft_latvian_stem,
+        ft_serbian_norm,
         ft_function_range, ft_function_match,
         ft_vs_scale, ft_vs_query_blend, ft_vs_tf_idf,
         ft_dv_terms, ft_dv_numbers, ft_multi_range, ft_sorted_dv_range,
@@ -5535,6 +5560,16 @@ SELECT word, stem FROM (VALUES
   ('tēviem', 'tēv'),
   ('zivs', 'ziv')
 ) AS t(word, stem) ORDER BY word""",
+        "ft_serbian_norm": """
+SELECT f, tok, out FROM (VALUES
+  ('bald', 'абвгдђежзијклљмнњопрстћуфхцчџш',
+   'abvgddjezzijklljmnnjoprstcufhccdzs'),
+  ('bald', 'đubrište', 'djubriste'),
+  ('bald', 'čokančićem', 'cokancicem'),
+  ('reg', 'абвгдђежзијклљмнњопрстћуфхцчџш',
+   'abvgdđežzijklljmnnjoprstćufhcčdžš'),
+  ('reg', 'đubrište', 'đubrište')
+) AS t(f, tok, out) ORDER BY f, tok""",
         "ft_sdv_stats": _FT_PRELUDE + """,
 m AS (SELECT DISTINCT doc_id FROM ftok WHERE term = 'dup'),
 vals AS (

@@ -1223,3 +1223,33 @@ def irish_lowercase(token: str) -> str:
             and token[1] in _GA_UPPER_VOWELS):
         return token[0] + "-" + token[1:].lower()
     return token.lower()
+
+
+_SR_CYR = "абвгдђежзијклљмнњопрстћуфхцчџш"
+_SR_BALD = str.maketrans(dict(zip(
+    _SR_CYR,
+    ["a", "b", "v", "g", "d", "dj", "e", "z", "z", "i", "j", "k", "l",
+     "lj", "m", "n", "nj", "o", "p", "r", "s", "t", "c", "u", "f", "h",
+     "c", "c", "dz", "s"])) | {
+    "đ": "dj", "ž": "z", "č": "c", "ć": "c", "š": "s"})
+_SR_REGULAR = str.maketrans(dict(zip(
+    _SR_CYR,
+    ["a", "b", "v", "g", "d", "đ", "e", "ž", "z", "i", "j", "k", "l",
+     "lj", "m", "n", "nj", "o", "p", "r", "s", "t", "ć", "u", "f", "h",
+     "c", "č", "dž", "š"])))
+
+
+def serbian_normalize(token: str) -> str:
+    """SerbianNormalizationFilter (analysis/sr/SerbianNormalizationFilter
+    .java:36-175, the 'bald' latin variant): Cyrillic -> bald Latin with
+    digraph expansion (ђ->dj, љ->lj, њ->nj, џ->dz) AND Latin diacritic
+    folding (đ->dj, ž->z, č/ć->c, š->s)."""
+    return token.translate(_SR_BALD)
+
+
+def serbian_normalize_regular(token: str) -> str:
+    """SerbianNormalizationRegularFilter (analysis/sr/
+    SerbianNormalizationRegularFilter.java): Cyrillic -> regular Latin
+    keeping diacritics (ђ->đ, ж->ž, ћ->ć, ч->č, џ->dž, ш->š); Latin text
+    passes through unchanged."""
+    return token.translate(_SR_REGULAR)
