@@ -3229,6 +3229,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return df.select("f", "tok", norm("f", "tok").alias("out")) \
             .orderBy("f", "tok")
 
+    def ft_rslp_minimal(spark, sf):
+        # RSLP-S plural-only stemmers (pt/RSLPStemmerBase.java Step.apply
+        # + portuguese.rslp / galician.rslp Plural steps): ordered rule
+        # scan, whole-word exceptions FALL THROUGH to later rules.
+        # Portuguese side carries a 32,016-pair vocabulary parity test
+        # (tests/test_rslp_minimal.py)
+        from pyspark.sql.functions import pandas_udf
+
+        from lucene_spark.stemmers import (
+            galician_minimal_stem, portuguese_minimal_stem,
+        )
+
+        fns = {"pt": portuguese_minimal_stem, "gl": galician_minimal_stem}
+        rows = [("pt", "balões"), ("pt", "normais"), ("pt", "mães"),
+                ("pt", "cais"), ("pt", "casas"), ("pt", "bons"),
+                ("gl", "elefantes"), ("gl", "luces"), ("gl", "xamós"),
+                ("gl", "país")]
+        df = spark.createDataFrame(rows, "f string, tok string")
+
+        @pandas_udf("string")
+        def st(f: pd.Series, tok: pd.Series) -> pd.Series:
+            return pd.Series([fns[a](b) for a, b in zip(f, tok)])
+
+        return df.select("f", "tok", st("f", "tok").alias("out")) \
+            .orderBy("f", "tok")
+
     def ft_sdv_stats(spark, sf):
         # SortedDocValuesStats (misc/search/DocValuesStats.java:213-260):
         # string min/max/count/missing over the 'dup' match set's source
@@ -3851,7 +3877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_span_containing, ft_facet_assoc, ft_xy_box, ft_span_field_masked,
         ft_spanish_light, ft_intl_stem, ft_intl_index, ft_compound,
         text_bpe_train, text_bpe_encode, ft_lowercase_intl, ft_latvian_stem,
-        ft_serbian_norm,
+        ft_serbian_norm, ft_rslp_minimal,
         ft_function_range, ft_function_match,
         ft_vs_scale, ft_vs_query_blend, ft_vs_tf_idf,
         ft_dv_terms, ft_dv_numbers, ft_multi_range, ft_sorted_dv_range,
@@ -5569,6 +5595,19 @@ SELECT f, tok, out FROM (VALUES
   ('reg', 'абвгдђежзијклљмнњопрстћуфхцчџш',
    'abvgdđežzijklljmnnjoprstćufhcčdžš'),
   ('reg', 'đubrište', 'đubrište')
+) AS t(f, tok, out) ORDER BY f, tok""",
+        "ft_rslp_minimal": """
+SELECT f, tok, out FROM (VALUES
+  ('pt', 'balões', 'balão'),
+  ('pt', 'normais', 'normal'),
+  ('pt', 'mães', 'mãe'),
+  ('pt', 'cais', 'cais'),
+  ('pt', 'casas', 'casa'),
+  ('pt', 'bons', 'bom'),
+  ('gl', 'elefantes', 'elefante'),
+  ('gl', 'luces', 'luz'),
+  ('gl', 'xamós', 'xamón'),
+  ('gl', 'país', 'país')
 ) AS t(f, tok, out) ORDER BY f, tok""",
         "ft_sdv_stats": _FT_PRELUDE + """,
 m AS (SELECT DISTINCT doc_id FROM ftok WHERE term = 'dup'),

@@ -798,3 +798,86 @@ def latvian_stem(w: str) -> str:
 
 
 LIGHT_STEMMERS["lv"] = latvian_stem
+
+
+def _rslp_plural(rules):
+    """Tiny RSLP-S engine (pt/RSLPStemmerBase.java Step.apply :214-235 +
+    RuleWithSetExceptions): step gate = len >= 3 and ends with 's'; first
+    rule whose suffix matches with post-strip stem >= min and whose
+    whole-word exception set doesn't contain the word fires; a rule blocked
+    by an exception or a min-length guard FALLS THROUGH to later rules
+    (which is why 'mães' — an ães-rule exception — still plural-strips to
+    'mãe' via the generic s-rule)."""
+    compiled = tuple((suf, mn, rep, frozenset(exc)) for suf, mn, rep, exc
+                     in rules)
+
+    def stem(w: str) -> str:
+        if len(w) < 3 or not w.endswith("s"):
+            return w
+        for suf, mn, rep, exc in compiled:
+            if (w.endswith(suf) and len(w) - len(suf) >= mn
+                    and w not in exc):
+                return w[: -len(suf)] + rep
+        return w
+
+    return stem
+
+
+# resources/org/apache/lucene/analysis/pt/portuguese.rslp "Plural" step
+portuguese_minimal_stem = _rslp_plural((
+    ("ns", 1, "m", ()),
+    ("ões", 3, "ão", ()),
+    ("ães", 1, "ão", ("mães",)),
+    ("ais", 1, "al", ("cais", "mais")),
+    ("éis", 2, "el", ()),
+    ("eis", 2, "el", ()),
+    ("óis", 2, "ol", ()),
+    ("is", 2, "il", ("lápis", "cais", "mais", "crúcis", "biquínis",
+                     "pois", "depois", "dois", "leis")),
+    ("les", 3, "l", ()),
+    ("res", 3, "r", ("árvores",)),
+    ("s", 2, "", ("aliás", "pires", "lápis", "cais", "mais", "mas",
+                  "menos", "férias", "fezes", "pêsames", "crúcis", "gás",
+                  "atrás", "moisés", "através", "convés", "ês", "país",
+                  "após", "ambas", "ambos", "messias", "depois")),
+))
+
+# resources/org/apache/lucene/analysis/gl/galician.rslp "Plural" step
+galician_minimal_stem = _rslp_plural((
+    ("ns", 1, "n", ("luns", "furatapóns", "furatapons")),
+    ("ós", 3, "ón", ()),
+    ("ões", 3, "ón", ()),
+    ("ães", 1, "ão", ("mães", "magalhães")),
+    ("ais", 2, "al", ("cais", "tais", "mais", "pais", "ademais")),
+    ("áis", 2, "al", ("cáis", "táis", "máis", "páis", "ademáis")),
+    ("éis", 2, "el", ()),
+    ("eis", 2, "el", ()),
+    ("óis", 2, "ol", ("escornabóis",)),
+    ("ois", 2, "ol", ("escornabois",)),
+    ("ís", 2, "il", ("país",)),
+    ("is", 2, "il", ("menfis", "pais", "kinguis")),
+    ("les", 2, "l", ("ingles", "marselles", "montreales", "senegales",
+                     "manizales", "móstoles", "nápoles")),
+    ("res", 3, "r", ("petres", "henares", "cáceres", "baleares",
+                     "linares", "londres", "mieres", "miraflores",
+                     "mércores", "venres", "pires")),
+    ("ces", 2, "z", ()),
+    ("zes", 2, "z", ()),
+    ("ises", 3, "z", ()),
+    ("ás", 1, "al", ("más",)),
+    ("ses", 2, "s", ()),
+    ("s", 2, "", ("barbadés", "barcelonés", "cantonés", "gabonés",
+                  "llanés", "medinés", "escocés", "escocês", "francês",
+                  "barcelonês", "cantonês", "macramés", "reves",
+                  "barcelones", "cantones", "gabones", "llanes",
+                  "magallanes", "medines", "escoces", "frances", "xoves",
+                  "martes", "aliás", "pires", "lápis", "cais", "mais",
+                  "mas", "menos", "férias", "pêsames", "crúcis", "país",
+                  "cangas", "atenas", "asturias", "canarias", "filipinas",
+                  "honduras", "molucas", "caldas", "mascareñas",
+                  "micenas", "covarrubias", "psoas", "óculos", "nupcias",
+                  "xoves", "martes", "llanes")),
+))
+
+MINIMAL_STEMMERS["pt"] = portuguese_minimal_stem
+MINIMAL_STEMMERS["gl"] = galician_minimal_stem
