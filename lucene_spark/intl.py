@@ -433,3 +433,27 @@ NORMALIZERS = {
     "fa": persian_normalize,
     "hi": hindi_normalize,
 }
+
+
+def routing_analyzer_with_intl(extra_routes: dict | None = None):
+    """A :class:`analysis.RoutingAnalyzer` preloaded with every language
+    chain the engine ships: the CJK script-detected route plus explicit
+    ``for_lang`` routes for ar/fa/hi/id/cs/bg (this module), the nine
+    LIGHT_STEMMERS languages, lv, and the pt/gl RSLP-S minimals — the
+    PerFieldAnalyzerWrapper-style entry point for lang-partitioned builds
+    over a web corpus with a ``lang`` column."""
+    from .analysis import (
+        Analyzer, RoutingAnalyzer, cjk_analyzer, english_analyzer,
+    )
+    from .stemmers import LIGHT_STEMMERS, MINIMAL_STEMMERS
+
+    routes: dict = {"en": english_analyzer(), "cjk": cjk_analyzer()}
+    for lang, fn in LIGHT_STEMMERS.items():
+        routes[lang] = Analyzer(post_filters=(fn,))
+    for lang in ("ar", "fa", "hi", "id", "cs", "bg"):
+        routes[lang] = intl_analyzer(lang)
+    for lang in ("pt", "gl"):
+        routes[lang] = Analyzer(post_filters=(MINIMAL_STEMMERS[lang],))
+    if extra_routes:
+        routes.update(extra_routes)
+    return RoutingAnalyzer(routes=routes)

@@ -201,3 +201,21 @@ def test_intl_analyzer_chains():
     assert intl_analyzer("bg").run_token("градът") == "град"
     with pytest.raises(ValueError):
         intl_analyzer("xx")
+
+
+def test_routing_analyzer_with_intl():
+    from lucene_spark.intl import routing_analyzer_with_intl
+
+    r = routing_analyzer_with_intl()
+    # one route per shipped language chain, CJK script detection intact
+    for lang, tok, want in [("id", "mengukur", "ukur"),
+                            ("lv", "tēviem", "tēv"),
+                            ("pt", "balões", "balão"),
+                            ("gl", "luces", "luz"),
+                            ("es", "casas", "cas"),
+                            ("ar", "والحسن", "حسن"),
+                            ("cs", "páni", "pán"),
+                            ("bg", "градът", "град")]:
+        assert r.for_lang(lang).run_token(tok) == want, lang
+    toks, _ = r.analyze_text("spark 漢字 text")
+    assert "漢字" in "".join(toks) or "漢" in toks[1]
