@@ -3255,6 +3255,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return df.select("f", "tok", st("f", "tok").alias("out")) \
             .orderBy("f", "tok")
 
+    def ft_capitalization(spark, sf):
+        # CapitalizationFilter + KeepWordFilter (analysis/miscellaneous/
+        # CapitalizationFilter.java:66-160, KeepWordFilter.java:28-46):
+        # Title-Case display normalization with keep-set passthrough,
+        # okPrefix, minWordLength, maxWordCount restore; keep_word is the
+        # inverse stop filter. Vectors from the reference tests
+        from pyspark.sql.functions import pandas_udf
+
+        from lucene_spark.filters import capitalization, keep_word
+
+        keep = {"and", "the", "it", "BIG"}
+        fns = {
+            "cap": capitalization(keep=keep),
+            "each": capitalization(only_first_word=False, keep=keep),
+            "pref": capitalization(keep=keep, ok_prefix=("McK",)),
+            "kw": lambda t: keep_word(["aaa", "bbb"])(t) or "",
+        }
+        rows = [("cap", "kiTTEN"), ("cap", "and"), ("cap", "BIG"),
+                ("cap", "McKinley"), ("pref", "McKinley"),
+                ("each", "Hello thEre my Name is Ryan"),
+                ("each", "the The the"),
+                ("kw", "aaa"), ("kw", "xxx")]
+        df = spark.createDataFrame(rows, "f string, tok string")
+
+        @pandas_udf("string")
+        def run(f: pd.Series, tok: pd.Series) -> pd.Series:
+            return pd.Series([fns[a](b) for a, b in zip(f, tok)])
+
+        return df.select("f", "tok", run("f", "tok").alias("out")) \
+            .orderBy("f", "tok")
+
     def ft_sdv_stats(spark, sf):
         # SortedDocValuesStats (misc/search/DocValuesStats.java:213-260):
         # string min/max/count/missing over the 'dup' match set's source
@@ -3877,7 +3908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_span_containing, ft_facet_assoc, ft_xy_box, ft_span_field_masked,
         ft_spanish_light, ft_intl_stem, ft_intl_index, ft_compound,
         text_bpe_train, text_bpe_encode, ft_lowercase_intl, ft_latvian_stem,
-        ft_serbian_norm, ft_rslp_minimal,
+        ft_serbian_norm, ft_rslp_minimal, ft_capitalization,
         ft_function_range, ft_function_match,
         ft_vs_scale, ft_vs_query_blend, ft_vs_tf_idf,
         ft_dv_terms, ft_dv_numbers, ft_multi_range, ft_sorted_dv_range,
@@ -5608,6 +5639,18 @@ SELECT f, tok, out FROM (VALUES
   ('gl', 'luces', 'luz'),
   ('gl', 'xamós', 'xamón'),
   ('gl', 'país', 'país')
+) AS t(f, tok, out) ORDER BY f, tok""",
+        "ft_capitalization": """
+SELECT f, tok, out FROM (VALUES
+  ('cap', 'kiTTEN', 'Kitten'),
+  ('cap', 'and', 'And'),
+  ('cap', 'BIG', 'BIG'),
+  ('cap', 'McKinley', 'Mckinley'),
+  ('pref', 'McKinley', 'McKinley'),
+  ('each', 'Hello thEre my Name is Ryan', 'Hello There My Name Is Ryan'),
+  ('each', 'the The the', 'The The the'),
+  ('kw', 'aaa', 'aaa'),
+  ('kw', 'xxx', '')
 ) AS t(f, tok, out) ORDER BY f, tok""",
         "ft_sdv_stats": _FT_PRELUDE + """,
 m AS (SELECT DISTINCT doc_id FROM ftok WHERE term = 'dup'),

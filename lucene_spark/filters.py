@@ -1253,3 +1253,81 @@ def serbian_normalize_regular(token: str) -> str:
     keeping diacritics (ђ->đ, ж->ž, ћ->ć, ч->č, џ->dž, ш->š); Latin text
     passes through unchanged."""
     return token.translate(_SR_REGULAR)
+
+
+def keep_word(words, lowercase_match: bool = False):
+    """KeepWordFilter (analysis/miscellaneous/KeepWordFilter.java:28-46):
+    the inverse of a stop filter — only tokens IN the set survive; removed
+    tokens leave a position gap (FilteringTokenFilter semantics, same as
+    the stop stage).  Token-filter slot returning None to delete."""
+    ws = frozenset(w.lower() for w in words) if lowercase_match \
+        else frozenset(words)
+
+    def f(token: str):
+        key = token.lower() if lowercase_match else token
+        return token if key in ws else None
+
+    return f
+
+
+def capitalization(only_first_word: bool = True, keep=None,
+                   force_first_letter: bool = True, ok_prefix=(),
+                   min_word_length: int = 0, max_word_count: int = 2**31 - 1,
+                   max_token_length: int = 2**31 - 1):
+    """CapitalizationFilter (analysis/miscellaneous/CapitalizationFilter
+    .java:66-160): Title-Case normalization for facet display values —
+    words inside the token split on whitespace/'.', first word capitalized
+    and the rest lowercased (onlyFirstWord), with keep-set passthrough
+    (forceFirstLetter still uppercases word 0), okPrefix passthrough,
+    minWordLength guard, and the maxWordCount/maxTokenLength bail-outs
+    that restore the original token."""
+    keepset = frozenset(keep) if keep else None
+    prefixes = tuple(ok_prefix)
+
+    def process(w: str, word_count: int) -> str:
+        if not w:
+            return w
+        if only_first_word and word_count > 0:
+            return w.lower()
+        if keepset is not None and w in keepset:
+            if word_count == 0 and force_first_letter:
+                return w[0].upper() + w[1:]
+            return w
+        if len(w) < min_word_length:
+            return w
+        for p in prefixes:
+            if w.startswith(p):
+                return w
+        return w[0].upper() + w[1:].lower()
+
+    def f(token: str) -> str:
+        if len(token) >= max_token_length:
+            return token
+        # split on runs at ' '/control chars/'.', preserving separators
+        words = []
+        cur = []
+        seps = []
+        sep_cur = []
+        for c in token:
+            if c <= " " or c == ".":
+                if cur:
+                    words.append("".join(cur))
+                    cur = []
+                    seps.append("".join(sep_cur) + c)
+                    sep_cur = []
+                else:
+                    sep_cur.append(c)
+            else:
+                cur.append(c)
+        if cur:
+            words.append("".join(cur))
+            seps.append("")
+        if len(words) > max_word_count:
+            return token
+        out = []
+        for i, w in enumerate(words):
+            out.append(process(w, i))
+            out.append(seps[i] if i < len(seps) else "")
+        return "".join(sep_cur) if not words else "".join(out)
+
+    return f
