@@ -2985,9 +2985,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def text_winnow(spark, sf):
-        # robust winnowing (Schleimer/Wilkerson/Aiken SIGMOD'03, MOSS):
-        # 16-char k-grams, window 8, per-window rightmost minimum —
-        # the guaranteed-coverage fingerprint sampler
+        # standard winnowing (Schleimer/Wilkerson/Aiken SIGMOD'03, MOSS):
+        # 16-char k-grams, window 8, per-window rightmost minimum (the
+        # robust tie rule is the robust=True variant, unit-fuzzed) —
+        # k-gram hashing runs JVM-side (md5-base60 codegen expression),
+        # only the windowed-min selection is numpy
         from lucene_spark.textops import winnow_fingerprints
 
         out = winnow_fingerprints(

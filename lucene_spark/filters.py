@@ -847,20 +847,25 @@ def hyphenated_words(tokens: list[str]) -> list[str]:
     Filter.java:53-120): a token ending in '-' opens (or extends) a
     hyphenation chain; the chain joins with following tokens until one
     does not end in '-'; the '-' characters themselves are dropped.  A
-    chain left open at end-of-stream is emitted as accumulated (the
-    reference's exhausted branch).  Meant to run over WHITESPACE tokens
-    (the standard chain strips '-' before this filter could see it)."""
+    chain left open at end-of-stream is emitted as accumulated IF non-empty
+    (the reference's exhausted branch guards hyphenated.length() > 0).
+    A bare '-' token opens a chain with an empty accumulation, exactly as
+    the reference does.  Meant to run over WHITESPACE tokens (the standard
+    chain strips '-' before this filter could see it)."""
     out: list[str] = []
     pending = ""
+    open_chain = False
     for t in tokens:
-        if t.endswith("-") and len(t) > 1:
+        if t.endswith("-"):
             pending += t[:-1]
-        elif pending:
+            open_chain = True
+        elif open_chain:
             out.append(pending + t)
             pending = ""
+            open_chain = False
         else:
             out.append(t)
-    if pending:
+    if open_chain and pending:
         out.append(pending)
     return out
 
@@ -1280,54 +1285,70 @@ def capitalization(only_first_word: bool = True, keep=None,
     and the rest lowercased (onlyFirstWord), with keep-set passthrough
     (forceFirstLetter still uppercases word 0), okPrefix passthrough,
     minWordLength guard, and the maxWordCount/maxTokenLength bail-outs
-    that restore the original token."""
+    that restore the original token.
+
+    Faithful in-buffer scan port, INCLUDING the reference's ``i++``
+    separator quirk (:122-129): after processing a word the char right
+    after its separator is skipped, so a second consecutive separator is
+    folded into the NEXT word (which therefore starts with the separator
+    char and, since toUpperCase(' ')==' ', is not visibly capitalized),
+    and a '.' stranded between two separators is processed as a bare
+    one-char word that counts toward maxWordCount."""
     keepset = frozenset(keep) if keep else None
     prefixes = tuple(ok_prefix)
 
-    def process(w: str, word_count: int) -> str:
-        if not w:
-            return w
+    def _up(c: str) -> str:
+        u = c.upper()
+        return u if len(u) == 1 else c  # Character.toUpperCase is 1:1
+
+    def _low(c: str) -> str:
+        l = c.lower()
+        return l if len(l) == 1 else c
+
+    def process(buf: list, off: int, length: int, word_count: int) -> None:
+        if length < 1:
+            return
+        w = "".join(buf[off:off + length])
         if only_first_word and word_count > 0:
-            return w.lower()
+            for i in range(off, off + length):
+                buf[i] = _low(buf[i])
+            return
         if keepset is not None and w in keepset:
             if word_count == 0 and force_first_letter:
-                return w[0].upper() + w[1:]
-            return w
-        if len(w) < min_word_length:
-            return w
+                buf[off] = _up(buf[off])
+            return
+        if length < min_word_length:
+            return
         for p in prefixes:
             if w.startswith(p):
-                return w
-        return w[0].upper() + w[1:].lower()
+                return
+        buf[off] = _up(buf[off])
+        for i in range(off + 1, off + length):
+            buf[i] = _low(buf[i])
 
     def f(token: str) -> str:
-        if len(token) >= max_token_length:
-            return token
-        # split on runs at ' '/control chars/'.', preserving separators
-        words = []
-        cur = []
-        seps = []
-        sep_cur = []
-        for c in token:
-            if c <= " " or c == ".":
-                if cur:
-                    words.append("".join(cur))
-                    cur = []
-                    seps.append("".join(sep_cur) + c)
-                    sep_cur = []
-                else:
-                    sep_cur.append(c)
-            else:
-                cur.append(c)
-        if cur:
-            words.append("".join(cur))
-            seps.append("")
-        if len(words) > max_word_count:
-            return token
-        out = []
-        for i, w in enumerate(words):
-            out.append(process(w, i))
-            out.append(seps[i] if i < len(seps) else "")
-        return "".join(sep_cur) if not words else "".join(out)
+        buf = list(token)
+        n = len(buf)
+        if n < max_token_length:
+            word_count = 0
+            last_word_start = 0
+            i = 0
+            while i < n:
+                c = buf[i]
+                if c <= " " or c == ".":
+                    length = i - last_word_start
+                    if length > 0:
+                        process(buf, last_word_start, length, word_count)
+                        word_count += 1
+                        last_word_start = i + 1
+                        i += 1  # the reference's i++ quirk (see docstring)
+                i += 1
+            if last_word_start < n:
+                process(buf, last_word_start, n - last_word_start,
+                        word_count)
+                word_count += 1
+            if word_count > max_word_count:
+                return token
+        return "".join(buf)
 
     return f

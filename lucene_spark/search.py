@@ -81,17 +81,43 @@ def _discard_escapes(s: str) -> str:
     return re.sub(r"\\(.)", r"\1", s)
 
 
+def _is_escaped(s: str, i: int) -> bool:
+    """True when the char at ``s[i]`` is escaped: preceded by an ODD number
+    of backslashes (an even run is pairs of escaped literal backslashes, so
+    the char itself is unescaped — e.g. in ``foo\\\\^2`` the ``^`` starts a
+    real boost suffix after the literal-backslash pair)."""
+    n = 0
+    j = i - 1
+    while j >= 0 and s[j] == "\\":
+        n += 1
+        j -= 1
+    return n % 2 == 1
+
+
+def _find_unescaped(s: str, chars: str, start: int = 0) -> int:
+    """Index of the first unescaped occurrence of any char in ``chars``
+    (escape-pairs counted, not single-char lookbehind), or -1."""
+    for i in range(start, len(s)):
+        if s[i] in chars and not _is_escaped(s, i):
+            return i
+    return -1
+
+
 def _strip_suffixes(raw: str) -> tuple[str, float | None, int | None, bool]:
-    """term[~N][^F] (either order) → (base, boost, fuzzy_edits, had_tilde);
-    escaped \^ / \~ are literal term characters, never suffixes."""
+    r"""term[~N][^F] (either order) → (base, boost, fuzzy_edits, had_tilde);
+    escaped \^ / \~ are literal term characters, never suffixes (escape
+    runs counted pairwise so ``foo\\^2`` — escaped backslash then a real
+    boost — still parses as a boost)."""
     boost: float | None = None
     edits: int | None = None
     had_tilde = False
     while True:
-        if (m := re.search(r"(?<!\\)\^(\d+(?:\.\d+)?)$", raw)):
+        if (m := re.search(r"\^(\d+(?:\.\d+)?)$", raw)) \
+                and not _is_escaped(raw, m.start()):
             boost = float(m.group(1))
             raw = raw[: m.start()]
-        elif (m := re.search(r"(?<!\\)~(\d*)$", raw)):
+        elif (m := re.search(r"~(\d*)$", raw)) \
+                and not _is_escaped(raw, m.start()):
             had_tilde = True
             edits = int(m.group(1)) if m.group(1) else 2  # FuzzyQuery default
             raw = raw[: m.start()]
@@ -230,8 +256,9 @@ class _Parser:
 
     def _term_node(self, text: str) -> tuple | None:
         field = None
-        if re.search(r"(?<!\\):", text):
-            field, rest = re.split(r"(?<!\\):", text, maxsplit=1)
+        if (ci := _find_unescaped(text, ":")) >= 0:
+            field, rest = text[:ci], text[ci + 1:]
+            field = _discard_escapes(field)
             if rest == "":
                 # `field:(...)` / `field:"..."` — field applies to next atom
                 atom = self._parse_atom()
@@ -249,11 +276,17 @@ class _Parser:
         base, boost, edits, had_tilde = _strip_suffixes(text)
         if not base:
             return None
-        if re.search(r"(?<!\\)[*?]", base):
+        if _find_unescaped(base, "*?") >= 0:
             # lowercase like Lucene's lowercase_expanded_terms default;
-            # escaped \* / \? stay literal characters (discardEscapeChar)
-            pat = re.sub(r"(?<!\\)\*", "%", base.lower())
-            pat = re.sub(r"(?<!\\)\?", "_", pat)
+            # escaped \* / \? stay literal characters (discardEscapeChar),
+            # escape runs counted pairwise so \\* is a real wildcard after
+            # a literal backslash
+            low = base.lower()
+            pat = "".join(
+                ("%" if c == "*" else "_") if c in "*?"
+                and not _is_escaped(low, i) else c
+                for i, c in enumerate(low)
+            )
             node: tuple = ("wildcard_raw", _discard_escapes(pat))
         elif had_tilde:
             node = ("fuzzy_raw", _discard_escapes(base.lower()), min(edits, 2), 0)

@@ -978,62 +978,100 @@ def substring_dup_pairs(
     )
 
 
+def _winnow_select(h: "np.ndarray", w: int, robust: bool) -> "np.ndarray":
+    """Window-minimum selection over a per-offset hash array ``h`` —
+    standard winnowing (rightmost minimum per window) or robust winnowing
+    (on ties, keep the PREVIOUS window's selection while it remains
+    minimal and in-window; new selections take the rightmost minimum).
+    Returns the sorted unique selected offsets.  Pure numpy on the
+    already-hashed array; the hashes themselves come from the JVM."""
+    n = len(h)
+    if n <= w:
+        # fewer hashes than one window: rightmost global minimum
+        return np.flatnonzero(h == h.min())[-1:]
+    win = np.lib.stride_tricks.sliding_window_view(h, w)
+    # rightmost argmin per window, vectorized: argmin of the reversed
+    # window gives the DISTANCE from the right edge
+    r = np.arange(len(win)) + (w - 1) - np.argmin(win[:, ::-1], axis=1)
+    if not robust:
+        return np.unique(r)
+    mins = h[r]
+    ties = mins[1:] == mins[:-1]
+    if not ties.any():
+        # no equal adjacent window minima → the previous selection is
+        # never re-selectable on a tie; robust == standard here
+        return np.unique(r)
+    # sequential correction, only reachable through equal-min runs: keep
+    # the previous selection while it is still in-window AND still equal
+    # to the window minimum (by induction h[prev] == mins[s-1], so the
+    # check reduces to mins[s] == mins[s-1] and prev >= s)
+    sel = [int(r[0])]
+    prev = int(r[0])
+    for s in range(1, len(win)):
+        if prev >= s and mins[s] == mins[s - 1]:
+            continue
+        prev = int(r[s])
+        sel.append(prev)
+    return np.unique(sel)
+
+
 def winnow_fingerprints(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 16,
     window: int = 8,
+    robust: bool = False,
 ) -> DataFrame:
-    """Robust winnowing fingerprints (Schleimer, Wilkerson, Aiken —
-    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03,
-    the MOSS algorithm): hash every ``k``-gram (character window), then in
-    every window of ``window`` consecutive hashes select the MINIMUM, the
-    RIGHTMOST one on ties — the selected (offset, hash) set is the doc's
-    fingerprint.  Guarantee (Thm. in the paper): any shared substring of
-    length >= window + k - 1 produces a shared fingerprint, while storage
-    drops to ~2/(window+1) of the k-gram stream.
+    """Winnowing fingerprints (Schleimer, Wilkerson, Aiken — "Winnowing:
+    Local Algorithms for Document Fingerprinting", SIGMOD'03, the MOSS
+    algorithm): hash every ``k``-gram (character window), then in every
+    window of ``window`` consecutive hashes select the MINIMUM — the
+    selected (offset, hash) set is the doc's fingerprint.  Guarantee
+    (Thm. in the paper): any shared substring of length >= window + k - 1
+    produces a shared fingerprint, while storage drops to ~2/(window+1)
+    of the k-gram stream.
+
+    ``robust=False`` (default) is STANDARD winnowing with rightmost
+    tie-break; ``robust=True`` is the paper's robust winnowing — on a tie
+    the previous window's selection is re-selected while still minimal,
+    so equal-hash runs contribute fewer fingerprints (the two differ ONLY
+    on equal adjacent window minima, i.e. repeated k-grams within one
+    window).
 
     → (id, off, h): 0-based k-gram offset + md5-base60 hash of each
-    selected fingerprint.  Per-doc numpy selection inside one Arrow batch
-    pass (docs never shuffle); pair detection is then the same hash join
-    as :func:`substring_dup_pairs` over ~window-times fewer rows.
-    """
+    selected fingerprint.  Scale shape: the per-offset k-gram hashing is
+    a JVM whole-stage-codegen expression (``transform(sequence(...))``
+    over md5-base60, the :func:`substring_dup_pairs` pattern) — NO
+    interpreted per-character Python; only the windowed minimum selection
+    runs Python-side, vectorized numpy over the Arrow-delivered int64
+    hash array, one pass, no shuffle.  Pair detection is then the same
+    hash join as :func:`substring_dup_pairs` over ~window-times fewer
+    rows."""
     kk, w = int(k), int(window)
+    harr = (
+        f"CASE WHEN length({text_col}) >= {kk} THEN "
+        f"transform(sequence(1, length({text_col}) - {kk} + 1), "
+        f"i -> CAST(conv(substring(md5(substring({text_col}, i, {kk})), "
+        f"1, 15), 16, 10) AS BIGINT)) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+    hashed = docs.select(F.col(id_col), F.expr(harr).alias("harr"))
 
     def run(batches):
-        import hashlib
-
         for pdf in batches:
             ids, offs, hs = [], [], []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
-                t = text if isinstance(text, str) else ""
-                n = len(t) - kk + 1
-                if n <= 0:
+            for did, hv in zip(pdf[id_col], pdf["harr"]):
+                h = np.asarray(hv, dtype=np.int64)
+                if len(h) == 0:
                     continue
-                h = np.empty(n, dtype=np.int64)
-                for i in range(n):
-                    h[i] = int(hashlib.md5(
-                        t[i:i + kk].encode("utf-8")).hexdigest()[:15], 16)
-                sel = set()
-                if n <= w:
-                    # fewer hashes than one window: rightmost global min
-                    m = h.min()
-                    sel.add(int(np.flatnonzero(h == m)[-1]))
-                else:
-                    win = np.lib.stride_tricks.sliding_window_view(h, w)
-                    mins = win.min(axis=1)
-                    for s in range(len(win)):
-                        # rightmost argmin within the window (robust rule)
-                        sel.add(s + int(np.flatnonzero(win[s] == mins[s])[-1]))
-                for off in sorted(sel):
-                    ids.append(int(did))
-                    offs.append(off)
-                    hs.append(int(h[off]))
+                sel = _winnow_select(h, w, robust)
+                ids.extend([int(did)] * len(sel))
+                offs.extend(int(o) for o in sel)
+                hs.extend(int(x) for x in h[sel])
             yield pd.DataFrame({id_col: ids, "off": offs, "h": hs})
 
-    return docs.select(id_col, text_col).mapInPandas(
-        run, schema=f"{id_col} long, off int, h long")
+    return hashed.mapInPandas(run, schema=f"{id_col} long, off int, h long")
 
 
 def bpe_train(docs: DataFrame, id_col: str = "doc_id",

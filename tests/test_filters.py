@@ -508,8 +508,13 @@ def test_hyphenated_words_chains():
     assert hyphenated_words(["a-", "b-", "c", "x"]) == ["abc", "x"]
     assert hyphenated_words(["tail-"]) == ["tail"]
     assert hyphenated_words(["plain", "words"]) == ["plain", "words"]
-    # a bare '-' token is NOT a chain opener (len > 1 guard)
-    assert hyphenated_words(["-", "x"]) == ["-", "x"]
+    # a bare '-' token OPENS a chain with an empty accumulation (the
+    # reference has no length guard), so the next token closes it alone
+    assert hyphenated_words(["foo", "-", "bar"]) == ["foo", "bar"]
+    assert hyphenated_words(["-", "x"]) == ["x"]
+    # empty chain left open at end-of-stream emits nothing (the
+    # reference's exhausted branch guards hyphenated.length() > 0)
+    assert hyphenated_words(["-"]) == []
 
 
 def test_concatenate_graph():

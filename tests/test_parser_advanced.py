@@ -133,3 +133,29 @@ def test_escape_handling():
     # suffixes still strip when unescaped
     assert parse_query(r"boost\^x^3") == (
         "boost", ("term", "boost^x"), 3.0)
+
+
+def test_escape_pairs_counted_not_single_lookbehind():
+    # an ESCAPED BACKSLASH before a special char leaves the special char
+    # unescaped: 'foo\\^2' = term 'foo\' with a real ^2 boost (escape runs
+    # counted pairwise, ADVICE r3)
+    from lucene_spark.search import parse_query
+
+    assert parse_query("foo\\\\^2") == ("boost", ("term", "foo\\"), 2.0)
+    assert parse_query("foo\\\\~1") == (
+        "fuzzy_raw", "foo\\", 1, 0)
+    # triple backslash: pair + escape → the suffix char is literal
+    assert parse_query("foo\\\\\\^2") == ("term", "foo\\^2")
+    # escaped backslash then a wildcard: the '*' is a REAL wildcard
+    assert parse_query("a\\\\*b") == ("wildcard_raw", "a\\%b")
+
+
+def test_field_name_unescaped():
+    # 'text' reached via an escaped char in the field name must resolve to
+    # the same (default) field, and the split must honour escape pairs
+    from lucene_spark.search import parse_query
+
+    assert parse_query(r"te\xt:foo") == ("term", "foo")
+    # escaped ':' inside what would otherwise be a field prefix keeps the
+    # whole thing one term
+    assert parse_query(r"a\:b:foo", fields=()) == ("match_none",)

@@ -461,3 +461,66 @@ def test_winnow_guarantee(spark):
     # density: ~2/(w+1) of the k-gram stream, far below every-offset
     n_kgrams = len("AAA " + shared + " BBB") - 16 + 1
     assert len(fp[fp.doc_id == 1]) < n_kgrams / 2
+
+
+def _winnow_naive(h, w, robust):
+    """Scalar reference walk of both winnowing rules (paper text)."""
+    import numpy as np
+
+    n = len(h)
+    if n <= w:
+        m = min(h)
+        return [max(i for i in range(n) if h[i] == m)]
+    sel = set()
+    prev = -1
+    for s in range(n - w + 1):
+        m = min(h[s:s + w])
+        if robust and prev >= s and h[prev] == m:
+            continue  # re-select the previous fingerprint on a tie
+        prev = max(i for i in range(s, s + w) if h[i] == m)
+        sel.add(prev)
+    return sorted(sel)
+
+
+def test_winnow_select_matches_naive_fuzz():
+    # vectorized _winnow_select vs the scalar paper walk, both rules,
+    # adversarial small alphabets so equal-hash ties are COMMON
+    import numpy as np
+    from lucene_spark.textops import _winnow_select
+
+    rng = np.random.default_rng(7)
+    for trial in range(300):
+        n = int(rng.integers(1, 60))
+        alpha = int(rng.integers(1, 6))  # tiny alphabet → many ties
+        h = rng.integers(0, alpha, size=n).astype(np.int64)
+        w = int(rng.integers(1, 12))
+        for robust in (False, True):
+            got = _winnow_select(h, w, robust).tolist()
+            want = _winnow_naive(h.tolist(), w, robust)
+            assert got == want, (trial, n, w, robust, h.tolist(), got, want)
+
+
+def test_winnow_robust_fewer_on_tie_runs():
+    # equal-hash run: robust keeps re-selecting the previous fingerprint,
+    # standard picks the rightmost min of EVERY window (ADVICE r3 example)
+    import numpy as np
+    from lucene_spark.textops import _winnow_select
+
+    h = np.array([3, 3, 3], dtype=np.int64)
+    assert _winnow_select(h, 2, robust=False).tolist() == [1, 2]
+    assert _winnow_select(h, 2, robust=True).tolist() == [1]
+
+
+def test_winnow_jvm_hash_parity(spark):
+    # the JVM md5-base60 expression must equal the hashlib twin the old
+    # Python path used (and the DuckDB oracle still uses)
+    import hashlib
+    from lucene_spark.textops import winnow_fingerprints
+
+    text = "winnowing parity check text with some repeats repeats repeats"
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    fp = winnow_fingerprints(docs, k=16, window=8).toPandas()
+    for _, row in fp.iterrows():
+        sub = text[row["off"]:row["off"] + 16]
+        want = int(hashlib.md5(sub.encode("utf-8")).hexdigest()[:15], 16)
+        assert int(row["h"]) == want
