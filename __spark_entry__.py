@@ -3875,83 +3875,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the same DuckDB oracles every round by tests/test_entry_gate.py.
     for fn in [
         # ---- HEAD (driver records the first 50; see contract above) ----
-        # (0) families whose semantics or oracle changed THIS round — the
-        # driver must re-verify them (ft_dv_stats was the r2 red row; its
-        # oracle cast fix needs the hard signal first):
+        # ROUND-4 ROTATION (r3 VERDICT "Next round" #1): all 50 head slots
+        # go to families that have NEVER carried a driver CORRECTNESS row
+        # (102 remained after r3; cumulative distinct driver-verified was
+        # 137/239 — this head takes it to 187).  Order inside the head:
+        # (a) the three families whose semantics changed this round
+        # (text_winnow's JVM-side hashing rewrite, the capitalization
+        # separator-quirk port, the hyphenated bare-'-' fix), then the
+        # judge-named priorities — (b) the oldest r2-era block, (c) the
+        # span/interval tails, (d) the text_* curation rows, (e) ann_pq*
+        # + substring dedup, (f) the highest-traffic r3 families.
+        text_winnow, ft_capitalization, ft_hyphenated, ft_expr_score,
+        ft_drill_sideways, ft_payload_term, ft_payload_near, ft_nb_classify,
+        ft_mf_or, ft_span_not, ft_interval_unord, ft_interval_contain,
+        ft_lmjm_sim, ft_boolean_sim, ft_length_filter, ft_shingle,
+        ft_edge_ngram, ft_ascii_fold, ft_porter, ft_span_containing,
+        ft_span_within, ft_span_field_masked, ft_span_prange, ft_simple_neg,
+        text_chunk, text_bpe_train, text_bpe_encode, text_line_dedup, ann_pq,
+        ann_pq_codes, dedup_substring, ft_word_delimiter, ft_phonetic,
+        ft_common_grams, ft_stem_override, ft_pattern_replace, ft_perceptron,
+        ft_parent_children, ft_blended_infix, ft_bloom_search, ft_shape_box,
+        ft_minhash_filter, ft_concat_graph, ft_hits_relation, ft_delimited_tf,
+        ft_group_all, ft_group_heads, ft_group_distinct, ft_group_facet,
+        ft_fingerprint,
+        # ---- below the 50-row cap ----
+        # (g) the remaining 52 never-driver-verified families — ROUND 5's
+        # head takes these (the rotation's final leg); all still oracle-
+        # verified every run by tests/test_entry_gate.py:
+        ft_indri_sim, ft_dfr_inl1_sim, ft_multi_sim, ft_geo3d, ft_box_field,
+        ft_index_synonym, ft_per_field_sim, ft_point_nearest, ft_id_version,
+        ft_big_int_range, ft_half_float_range, ft_sdv_stats, ft_normalizers,
+        ft_refined_soundex, ft_facet_assoc, ft_xy_box, ft_spanish_light,
+        ft_intl_stem, ft_intl_index, ft_compound, ft_lowercase_intl,
+        ft_latvian_stem, ft_serbian_norm, ft_rslp_minimal, ft_function_range,
+        ft_function_match, ft_vs_scale, ft_vs_query_blend, ft_vs_tf_idf,
+        ft_dv_terms, ft_dv_numbers, ft_multi_range, ft_sorted_dv_range,
+        ft_pk_split, ft_multipass_split, ft_rearrange, ft_legacy_bm25,
+        ft_ax_f2log_sim, ft_dfi_sim, ft_bm25_nb_classify, ft_fuzzy_classify,
+        ft_field_exists, ft_distance_feature, ft_xy_distance, ft_xy_polygon,
+        ft_block_group, ft_facet_sampled, ft_facet_longval,
+        ft_keyword_analyze, ft_whitespace_analyze, ft_path_tokens,
+        ft_url_email,
+        # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
+        # still oracle-checked every run by tests/test_entry_gate.py ----
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
-        ft_word_break, ft_word_combine, ft_fuzzy, ft_paging,
-        # (1) the 22 round-2 families the r2 judge NAMED as never having
-        # carried a driver CORRECTNESS row (VERDICT.md "Next round" #1b):
-        ft_qp_boost, ft_qp_fuzzy, ft_qp_range, ft_qp_complex, ft_feature,
+        ft_word_break, ft_word_combine, ft_fuzzy, ft_paging, ft_qp_boost,
+        ft_qp_fuzzy, ft_qp_range, ft_qp_complex, ft_feature,
         ft_function_score, ft_boost_by_query, ft_rescore, ft_memory,
         ft_surround, ft_update, ft_mphrase, ft_common_terms, ft_block_join,
         ft_sorted_early, ft_check_index, ft_add_indexes, dedup_simhash_pairs,
         dedup_embcos, dedup_embcos_lsh, ann_ivf_indexed, text_bpe_count,
-        # (2) the 20 most substantive families NEW this round (recall
-        # gates, both block-join directions, CJK routing, offsets-through-
-        # charfilter, fuzzy suggest, new parsers, HNSW):
-        ann_ivf_recall, ann_lsh_recall, dedup_embcos_recall,
-        ann_hnsw, ann_hnsw_recall,
-        ft_block_join_child, ft_cjk_analyze, ft_offsets_html,
+        ann_ivf_recall, ann_lsh_recall, dedup_embcos_recall, ann_hnsw,
+        ann_hnsw_recall, ft_block_join_child, ft_cjk_analyze, ft_offsets_html,
         ft_fuzzy_suggest, ft_facet_ssdv, ft_xml_query, ft_flexible,
         ft_covering, text_repetition, text_pii_redact, text_lm_score,
         ft_term_automaton, ft_simple_qp, ft_passage_score, ft_function_query,
-        # ---- below the 50-row cap: everything here is still oracle-
-        # verified every run by tests/test_entry_gate.py, and rotates into
-        # the head in rounds 4-5 ----
-        # (3) remaining families new this round:
-        ft_perceptron, ft_parent_children, ft_blended_infix, ft_bloom_search,
-        ft_shape_box, ft_minhash_filter, ft_concat_graph, ft_hyphenated,
-        ft_hits_relation, ft_delimited_tf, ft_indri_sim, ft_dfr_inl1_sim,
-        ft_multi_sim, text_chunk, ft_geo3d, ft_box_field, ft_index_synonym,
-        ft_per_field_sim, ft_point_nearest, ft_id_version, ft_big_int_range,
-        ft_half_float_range, ft_sdv_stats, ft_normalizers, ft_refined_soundex,
-        ann_pq, ann_pq_codes, dedup_substring, text_winnow,
-        ft_span_containing, ft_facet_assoc, ft_xy_box, ft_span_field_masked,
-        ft_spanish_light, ft_intl_stem, ft_intl_index, ft_compound,
-        text_bpe_train, text_bpe_encode, ft_lowercase_intl, ft_latvian_stem,
-        ft_serbian_norm, ft_rslp_minimal, ft_capitalization,
-        ft_function_range, ft_function_match,
-        ft_vs_scale, ft_vs_query_blend, ft_vs_tf_idf,
-        ft_dv_terms, ft_dv_numbers, ft_multi_range, ft_sorted_dv_range,
-        ft_pk_split, ft_multipass_split, ft_rearrange, ft_legacy_bm25,
-        ft_ax_f2log_sim, ft_dfi_sim, ft_bm25_nb_classify, ft_fuzzy_classify,
-        ft_field_exists, ft_distance_feature,
-        ft_word_delimiter, ft_span_within, ft_phonetic, ft_common_grams,
-        ft_stem_override, ft_pattern_replace,
-        ft_xy_distance, ft_xy_polygon, ft_simple_neg, ft_span_prange,
-        text_line_dedup, ft_group_all, ft_group_heads, ft_group_distinct,
-        ft_group_facet, ft_fingerprint,
-        ft_block_group, ft_facet_sampled, ft_facet_longval, ft_keyword_analyze,
-        ft_whitespace_analyze, ft_path_tokens, ft_url_email,
-        # (4) round-2 families never driver-verified but not judge-named
-        # (trivial token filters and low-risk variants — round-4 head):
-        ft_expr_score, ft_drill_sideways, ft_payload_term, ft_payload_near,
-        ft_nb_classify, ft_mf_or, ft_span_not, ft_interval_unord,
-        ft_interval_contain, ft_lmjm_sim, ft_boolean_sim, ft_length_filter,
-        ft_shingle, ft_edge_ngram, ft_ascii_fold, ft_porter,
-        # ---- TAIL: driver-verified in r1/r2 and unchanged since; all
-        # still oracle-checked every run by tests/test_entry_gate.py ----
         ft_deleted_persist, ft_count, ft_span_near_ord, ft_span_near_unord,
         ft_span_first, ft_interval_ord, ft_mf_field, ft_facet_taxo,
         ft_classic_sim, ft_lmd_sim, ft_dfr_sim, ft_ib_sim, ft_ax_sim,
         ft_sweetspot_sim, ft_geo_distance, ft_geo_box, ft_geo_nearest,
         ft_geo_feature, ft_geo_polygon, ft_phrase_wild, ft_complex_phrase,
-        ft_split_search, text_domain_cap, text_contamination,
-        ft_spell_direct, ft_join_score, ft_freetext, ft_blended,
-        ft_html_analyze, ft_syn_graph, ft_infix_suggest, ft_dv_update,
-        dedup_cluster, dedup_canonical, ft_combined_field, ft_diversified,
-        ft_high_freq, ft_replica, ft_offsets, ft_pulsed, dedup_minhash_lsh,
-        ann_ivf, ann_lsh, emb_label_stats, ft_term_topk, ft_or_topk,
-        ft_and_topk, ft_highlight, dedup_simhash, dedup_jaccard, dedup_exact,
-        ann_bruteforce, ft_filtered, ft_group_top, ft_monitor, ft_phrase,
-        ft_synonym, ft_termdict, ft_norms, ft_token_stats, ft_facet_range,
-        ft_suggest, ft_knn_classify, ft_explain, ft_mlt, text_token_count,
-        text_quality, text_langid, text_fingerprint, ft_deleted,
-        ft_bm25_params, ft_and3_topk, ft_prefix_match, ft_wildcard,
-        ft_term_range, ft_msm, ft_boost, ft_facet_lang, ft_query_join,
-        ft_mixed_topk, ft_must_not, ft_term_in_set, ft_reqopt, ft_phrase_gap,
-        ft_stats, ft_dismax, ft_sort_field,
+        ft_split_search, text_domain_cap, text_contamination, ft_spell_direct,
+        ft_join_score, ft_freetext, ft_blended, ft_html_analyze, ft_syn_graph,
+        ft_infix_suggest, ft_dv_update, dedup_cluster, dedup_canonical,
+        ft_combined_field, ft_diversified, ft_high_freq, ft_replica,
+        ft_offsets, ft_pulsed, dedup_minhash_lsh, ann_ivf, ann_lsh,
+        emb_label_stats, ft_term_topk, ft_or_topk, ft_and_topk, ft_highlight,
+        dedup_simhash, dedup_jaccard, dedup_exact, ann_bruteforce,
+        ft_filtered, ft_group_top, ft_monitor, ft_phrase, ft_synonym,
+        ft_termdict, ft_norms, ft_token_stats, ft_facet_range, ft_suggest,
+        ft_knn_classify, ft_explain, ft_mlt, text_token_count, text_quality,
+        text_langid, text_fingerprint, ft_deleted, ft_bm25_params,
+        ft_and3_topk, ft_prefix_match, ft_wildcard, ft_term_range, ft_msm,
+        ft_boost, ft_facet_lang, ft_query_join, ft_mixed_topk, ft_must_not,
+        ft_term_in_set, ft_reqopt, ft_phrase_gap, ft_stats, ft_dismax,
+        ft_sort_field,
     ]:
         q[fn.__name__] = fn
     return q
