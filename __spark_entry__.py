@@ -1128,6 +1128,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return wdf.select("word", stem_udf(F.col("word")).alias("stem"))
 
+    def ft_snowball(spark, sf):
+        # SnowballFilter(in, "English") — the Porter2 / English Snowball
+        # stemmer (snowball/SnowballFilter.java:47 → org/tartarus/snowball/
+        # ext/EnglishStemmer.java).  Golden oracle: word/stem pairs drawn
+        # from the reference's OWN published test vocabulary
+        # (analysis/common/src/test/.../snowball/english.zip voc/output)
+        # plus the algorithm's verbatim exception-list entries — both
+        # implementation-independent sources.  Full-vocabulary parity
+        # (2000 pairs, zero diffs) asserted in tests/test_stemmers.py.
+        from lucene_spark.stemmers import porter2_stem
+
+        words = sorted([
+            "skies", "dying", "lying", "early", "only", "news", "skis",
+            "idly", "gently", "betrayed", "toyed", "buoy", "spy", "turkey",
+            "holidays", "earnestly", "profoundly", "distinctly",
+            "advertisement", "affirmative", "allegiance", "allowable",
+            "approbation", "carnivorous", "comical", "consignment",
+            "deceitful", "forgetfulness", "nervousness", "plaintiveness",
+            "sensational",
+        ])
+        wdf = spark.createDataFrame([(w,) for w in words], "word string")
+
+        @F.pandas_udf("string")
+        def stem_udf(ws: pd.Series) -> pd.Series:
+            return ws.map(porter2_stem)
+
+        return wdf.select("word", stem_udf(F.col("word")).alias("stem"))
+
     def ft_ascii_fold(spark, sf):
         # ASCIIFoldingFilter analog: accent rows check against DuckDB's own
         # strip_accents(); ligature/stroke rows are golden (the documented
@@ -3916,6 +3944,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_block_group, ft_facet_sampled, ft_facet_longval,
         ft_keyword_analyze, ft_whitespace_analyze, ft_path_tokens,
         ft_url_email,
+        # (h) NEW round-4 families queue after the round-5 head block:
+        ft_snowball,
         # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
         # still oracle-checked every run by tests/test_entry_gate.py ----
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -4946,6 +4976,9 @@ SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
 FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10""",
         "ft_porter": """
 SELECT word, stem FROM (VALUES ('caress', 'caress'),('caresses', 'caress'),('cats', 'cat'),('connect', 'connect'),('connected', 'connect'),('connecting', 'connect'),('connection', 'connect'),('connections', 'connect'),('generalizations', 'gener'),('happy', 'happi'),('mating', 'mate'),('matting', 'mat'),('meeting', 'meet'),('meetings', 'meet'),('messing', 'mess'),('milling', 'mill'),('oscillators', 'oscil'),('ponies', 'poni'),('sky', 'sky'),('ties', 'ti')) AS t(word, stem)
+ORDER BY word""",
+        "ft_snowball": """
+SELECT word, stem FROM (VALUES ('advertisement', 'advertis'),('affirmative', 'affirm'),('allegiance', 'allegi'),('allowable', 'allow'),('approbation', 'approb'),('betrayed', 'betray'),('buoy', 'buoy'),('carnivorous', 'carnivor'),('comical', 'comic'),('consignment', 'consign'),('deceitful', 'deceit'),('distinctly', 'distinct'),('dying', 'die'),('early', 'earli'),('earnestly', 'earnest'),('forgetfulness', 'forget'),('gently', 'gentl'),('holidays', 'holiday'),('idly', 'idl'),('lying', 'lie'),('nervousness', 'nervous'),('news', 'news'),('only', 'onli'),('plaintiveness', 'plaintiv'),('profoundly', 'profound'),('sensational', 'sensat'),('skies', 'sky'),('skis', 'ski'),('spy', 'spi'),('toyed', 'toy'),('turkey', 'turkey')) AS t(word, stem)
 ORDER BY word""",
         "ft_ascii_fold": """
 WITH w AS (

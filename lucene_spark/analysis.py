@@ -205,14 +205,22 @@ class Analyzer:
         return toks, poss
 
 
-def english_analyzer(stopwords: frozenset[str] = ENGLISH_STOP_WORDS) -> Analyzer:
+def english_analyzer(stopwords: frozenset[str] = ENGLISH_STOP_WORDS,
+                     stemmer: str = "porter") -> Analyzer:
     """EnglishAnalyzer.java:104-119 chain: StandardTokenizer →
     EnglishPossessiveFilter → LowerCaseFilter → StopFilter →
-    PorterStemFilter (keyword marking not applicable — no per-field types)."""
-    from .filters import porter_stem, strip_possessive
+    PorterStemFilter (keyword marking not applicable — no per-field types).
 
+    ``stemmer="porter2"`` swaps the final stage for the English Snowball
+    stemmer (SnowballFilter(in, "English") — snowball/SnowballFilter
+    .java:47 → org/tartarus/snowball/ext/EnglishStemmer.java), the
+    Porter2 variant most production English chains configure."""
+    from .filters import porter_stem, strip_possessive
+    from .stemmers import porter2_stem
+
+    stem = {"porter": porter_stem, "porter2": porter2_stem}[stemmer]
     return Analyzer(stopwords, pre_filters=(strip_possessive,),
-                    post_filters=(porter_stem,))
+                    post_filters=(stem,))
 
 
 def analyze(

@@ -881,3 +881,184 @@ galician_minimal_stem = _rslp_plural((
 
 MINIMAL_STEMMERS["pt"] = portuguese_minimal_stem
 MINIMAL_STEMMERS["gl"] = galician_minimal_stem
+
+
+# --------------------------------------------------------------- Porter2
+# English Snowball stemmer ("Porter2") — the published snowballstem.org
+# english algorithm, the one SnowballFilter(in, "English") runs (reference
+# analysis/common/src/java/org/apache/lucene/analysis/snowball/
+# SnowballFilter.java:47 dispatching to org/tartarus/snowball/ext/
+# EnglishStemmer.java).  Full-vocabulary parity asserted against the
+# reference test data (analysis/common/src/test/.../snowball/english.zip).
+
+_P2_V = frozenset("aeiouy")
+_P2_DOUBLE = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+_P2_LI = frozenset("cdeghkmnrt")
+_P2_EXC1 = {
+    "skis": "ski", "skies": "sky", "dying": "die", "lying": "lie",
+    "tying": "tie", "idly": "idl", "gently": "gentl", "ugly": "ugli",
+    "early": "earli", "only": "onli", "singly": "singl",
+    "sky": "sky", "news": "news", "howe": "howe", "atlas": "atlas",
+    "cosmos": "cosmos", "bias": "bias", "andes": "andes",
+}
+_P2_EXC2 = frozenset(
+    "inning outing canning herring earring proceed exceed succeed".split())
+_P2_STEP2 = [  # (suffix, replacement, extra-precondition char set or None)
+    ("ization", "ize", None), ("ational", "ate", None),
+    ("fulness", "ful", None), ("ousness", "ous", None),
+    ("iveness", "ive", None), ("tional", "tion", None),
+    ("biliti", "ble", None), ("lessli", "less", None),
+    ("entli", "ent", None), ("fulli", "ful", None), ("ousli", "ous", None),
+    ("alism", "al", None), ("aliti", "al", None), ("ation", "ate", None),
+    ("iviti", "ive", None), ("izer", "ize", None), ("ator", "ate", None),
+    ("abli", "able", None), ("alli", "al", None), ("anci", "ance", None),
+    ("enci", "ence", None), ("ogi", "og", frozenset("l")),
+    ("bli", "ble", None), ("li", "", _P2_LI),
+]
+_P2_STEP3 = [
+    ("ational", "ate"), ("tional", "tion"), ("alize", "al"),
+    ("icate", "ic"), ("iciti", "ic"), ("ative", None),  # None → R2 delete
+    ("ical", "ic"), ("ness", ""), ("ful", ""),
+]
+_P2_STEP4 = [
+    "ement", "ance", "ence", "able", "ible", "ment", "ant", "ent",
+    "ism", "ate", "iti", "ous", "ive", "ize", "ion", "al", "er", "ic",
+]
+
+
+def _p2_short_syllable_end(w: str) -> bool:
+    """True when ``w`` ends in a short syllable: non-vowel other than
+    w/x/Y preceded by a vowel preceded by a non-vowel — or, for a 2-char
+    word, vowel at the beginning followed by a non-vowel."""
+    n = len(w)
+    if n >= 3:
+        return (w[-1] not in _P2_V and w[-1] not in "wxY"
+                and w[-2] in _P2_V and w[-3] not in _P2_V)
+    return n == 2 and w[0] in _P2_V and w[1] not in _P2_V
+
+
+def porter2_stem(word: str) -> str:
+    """English Snowball / Porter2 stem of one (already-lowercased) token."""
+    if word in _P2_EXC1:
+        return _P2_EXC1[word]
+    if len(word) < 3:
+        return word
+    w = word
+    # prelude: drop one leading apostrophe; mark consonant y as Y
+    if w.startswith("'"):
+        w = w[1:]
+    buf = list(w)
+    y_found = False
+    for i, c in enumerate(buf):
+        if c == "y" and (i == 0 or buf[i - 1] in _P2_V):
+            buf[i] = "Y"
+            y_found = True
+    w = "".join(buf)
+
+    # R1 / R2 (R1 fast-forwarded past the exceptional prefixes)
+    def _region(s: str, start: int) -> int:
+        i, n = start, len(s)
+        while i < n and s[i] not in _P2_V:
+            i += 1
+        while i < n and s[i] in _P2_V:
+            i += 1
+        return min(i + 1, n)
+
+    for pre in ("gener", "commun", "arsen"):
+        if w.startswith(pre):
+            p1 = len(pre)
+            break
+    else:
+        p1 = _region(w, 0)
+    p2 = _region(w, p1)
+
+    def in_r1(pos: int) -> bool:
+        return pos >= p1
+
+    def in_r2(pos: int) -> bool:
+        return pos >= p2
+
+    # step 0: longest of 's' / 's / '
+    for suf in ("'s'", "'s", "'"):
+        if w.endswith(suf):
+            w = w[: -len(suf)]
+            break
+
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith(("ied", "ies")):
+        w = w[:-3] + ("i" if len(w) - 3 > 1 else "ie")
+    elif w.endswith(("ss", "us")):
+        pass
+    elif w.endswith("s"):
+        if any(c in _P2_V for c in w[:-2]):
+            w = w[:-1]
+
+    # exception list 2 applies to the whole word between steps 1a and 1b
+    if w in _P2_EXC2:
+        return w
+
+    # step 1b
+    for suf in ("eedly", "ingly", "edly", "eed", "ing", "ed"):
+        if not w.endswith(suf):
+            continue
+        pos = len(w) - len(suf)
+        if suf in ("eed", "eedly"):
+            if in_r1(pos):
+                w = w[:pos] + "ee"
+        elif any(c in _P2_V for c in w[:pos]):
+            w = w[:pos]
+            if w.endswith(("at", "bl", "iz")):
+                w += "e"
+            elif w.endswith(_P2_DOUBLE):
+                w = w[:-1]
+            elif len(w) == p1 and _p2_short_syllable_end(w):
+                w += "e"
+        break
+
+    # step 1c: y/Y → i after a non-vowel that is not the first letter
+    if len(w) > 2 and w[-1] in "yY" and w[-2] not in _P2_V:
+        w = w[:-1] + "i"
+
+    # step 2 (longest suffix; condition failure means NO action)
+    for suf, rep, need in _P2_STEP2:
+        if w.endswith(suf):
+            pos = len(w) - len(suf)
+            if in_r1(pos) and (need is None
+                               or (pos > 0 and w[pos - 1] in need)):
+                w = w[:pos] + rep
+            break
+
+    # step 3
+    for suf, rep in _P2_STEP3:
+        if w.endswith(suf):
+            pos = len(w) - len(suf)
+            if in_r1(pos):
+                if rep is None:  # ative: delete only when in R2
+                    if in_r2(pos):
+                        w = w[:pos]
+                else:
+                    w = w[:pos] + rep
+            break
+
+    # step 4
+    for suf in _P2_STEP4:
+        if w.endswith(suf):
+            pos = len(w) - len(suf)
+            if in_r2(pos) and (suf != "ion"
+                               or (pos > 0 and w[pos - 1] in "st")):
+                w = w[:pos]
+            break
+
+    # step 5
+    if w.endswith("e"):
+        pos = len(w) - 1
+        if in_r2(pos) or (in_r1(pos)
+                          and not _p2_short_syllable_end(w[:pos])):
+            w = w[:pos]
+    elif w.endswith("l") and in_r2(len(w) - 1) and len(w) >= 2 \
+            and w[-2] == "l":
+        w = w[:-1]
+
+    return w.replace("Y", "y") if y_found else w

@@ -143,3 +143,46 @@ def test_minimal_reference_vocabulary(lang, zname):
         assert stem(w) == want, (lang, w)
         n += 1
     assert n > 10000
+
+
+def test_porter2_english_zip_parity():
+    """Full-vocabulary parity for the English Snowball ("Porter2") stemmer
+    against the reference's own test data — the same 2000 (voc, output)
+    pairs TestSnowballVocab runs for SnowballFilter(in, "English")
+    (analysis/common/src/test/.../snowball/english.zip)."""
+    from lucene_spark.stemmers import porter2_stem
+
+    zp = f"{_REF}/snowball/english.zip"
+    if not os.path.exists(zp):
+        pytest.skip("reference vocabulary not available")
+    with zipfile.ZipFile(zp) as z:
+        voc = z.read("voc.txt").decode("utf-8").split()
+        out = z.read("output.txt").decode("utf-8").split()
+    assert len(voc) == len(out) == 2000
+    for w, want in zip(voc, out):
+        assert porter2_stem(w) == want, w
+
+
+def test_porter2_exception_lists():
+    """The algorithm's verbatim exception entries (published spec)."""
+    from lucene_spark.stemmers import porter2_stem
+
+    for w, want in [("skis", "ski"), ("skies", "sky"), ("dying", "die"),
+                    ("lying", "lie"), ("tying", "tie"), ("idly", "idl"),
+                    ("gently", "gentl"), ("ugly", "ugli"), ("early", "earli"),
+                    ("only", "onli"), ("singly", "singl"), ("sky", "sky"),
+                    ("news", "news"), ("atlas", "atlas"), ("inning", "inning"),
+                    ("proceed", "proceed"), ("exceed", "exceed")]:
+        assert porter2_stem(w) == want, w
+
+
+def test_porter2_analyzer_wiring():
+    """english_analyzer(stemmer="porter2") swaps the final stage."""
+    from lucene_spark.analysis import english_analyzer
+
+    a1 = english_analyzer()
+    a2 = english_analyzer(stemmer="porter2")
+    t1, _ = a1.analyze_text("the generously negotiated conditional agreement")
+    t2, _ = a2.analyze_text("the generously negotiated conditional agreement")
+    assert t2 == ["generous", "negoti", "condit", "agreement"]
+    assert t1 != t2  # porter1: generos
