@@ -2637,6 +2637,39 @@ def more_like_this(
 
 MAX_EXPANSIONS = 1024  # IndexSearcher max clause count (IndexSearcher.java:97)
 
+_LUCENE_REGEXP_INTERVAL = re.compile(r"<\d+-\d+>")
+
+
+def _reject_lucene_regexp_ops(pattern: str) -> None:
+    """Refuse the Lucene-RegExp-only operators this engine does not
+    implement, instead of silently mis-matching them as literal chars.
+
+    Lucene's regexp syntax (util/automaton/RegExp.java class javadoc) adds
+    intersection ``&`` (INTERSECTION flag), complement ``~`` (COMPLEMENT)
+    and numeric intervals ``<n-m>`` (INTERVAL) on top of the common core.
+    ``expand_terms`` evaluates regexps with the JVM's ``rlike``, where
+    ``&``/``~`` are ordinary literals and ``<n-m>`` never parses — a query
+    written against Lucene semantics would silently match nothing (or the
+    wrong terms).  An unescaped occurrence therefore raises; escape the
+    char (``\\&``) to match it literally, exactly as Lucene users must do
+    when those syntax flags are enabled."""
+    for i, ch in enumerate(pattern):
+        if ch in "&~" and not _is_escaped(pattern, i):
+            raise ValueError(
+                f"Lucene RegExp operator '{ch}' (at {i}) is not supported: "
+                "this engine evaluates regexps with RE2/Java semantics where "
+                f"'{ch}' is a literal. Escape it as '\\{ch}' to match "
+                "literally; intersection/complement must be rewritten as "
+                "separate boolean clauses."
+            )
+    m = _LUCENE_REGEXP_INTERVAL.search(pattern)
+    if m is not None and not _is_escaped(pattern, m.start()):
+        raise ValueError(
+            f"Lucene RegExp numeric interval '{m.group(0)}' (at {m.start()}) "
+            "is not supported: rewrite as an explicit digit-range regex or "
+            "use a TermRangeQuery (lower=/upper=)."
+        )
+
 
 def expand_terms(
     index: Index,
@@ -2694,7 +2727,12 @@ def expand_terms(
         else:
             td = td.filter(F.col(tcol).like(like))
     if rlike is not None:
-        td = td.filter(F.col(tcol).rlike(rlike))
+        _reject_lucene_regexp_ops(rlike)
+        # RegexpQuery matches the ENTIRE term (the automaton accepts whole
+        # strings — RegexpQuery.java:44 builds RegExp(...).toAutomaton() and
+        # intersects it with the term dict), while Spark's rlike is an
+        # unanchored contains-match (Java Matcher.find) — so anchor.
+        td = td.filter(F.col(tcol).rlike(f"^(?:{rlike})$"))
     if fuzzy is not None:
         term, max_edits = fuzzy[0], fuzzy[1]
         prefix_len = fuzzy[2] if len(fuzzy) > 2 else 0

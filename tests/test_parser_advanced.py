@@ -159,3 +159,51 @@ def test_field_name_unescaped():
     # escaped ':' inside what would otherwise be a field prefix keeps the
     # whole thing one term
     assert parse_query(r"a\:b:foo", fields=()) == ("match_none",)
+
+
+class TestLuceneRegexpOperatorRejection:
+    """Unsupported Lucene-RegExp operators must raise, not silently
+    mis-match via RE2/Java literal semantics (RegExp.java syntax flags
+    INTERSECTION '&', COMPLEMENT '~', INTERVAL '<n-m>')."""
+
+    def test_intersection_rejected(self):
+        import pytest
+        from lucene_spark.search import _reject_lucene_regexp_ops
+        with pytest.raises(ValueError, match="'&'"):
+            _reject_lucene_regexp_ops("abc&def")
+
+    def test_complement_rejected(self):
+        import pytest
+        from lucene_spark.search import _reject_lucene_regexp_ops
+        with pytest.raises(ValueError, match="'~'"):
+            _reject_lucene_regexp_ops("~abc")
+
+    def test_interval_rejected(self):
+        import pytest
+        from lucene_spark.search import _reject_lucene_regexp_ops
+        with pytest.raises(ValueError, match="interval"):
+            _reject_lucene_regexp_ops("foo<1-100>")
+
+    def test_escaped_ops_pass(self):
+        from lucene_spark.search import _reject_lucene_regexp_ops
+        _reject_lucene_regexp_ops(r"abc\&def")
+        _reject_lucene_regexp_ops(r"\~abc")
+        _reject_lucene_regexp_ops(r"foo\<1-100>")
+
+    def test_plain_regex_passes(self):
+        from lucene_spark.search import _reject_lucene_regexp_ops
+        _reject_lucene_regexp_ops("ab[cd]+e.*f{2,3}(g|h)?")
+        _reject_lucene_regexp_ops("<tag>")  # not a numeric interval
+
+    def test_regexp_whole_term_anchoring(self, spark):
+        """RegexpQuery matches the entire term (RegexpQuery.java:44), so
+        'test.*' must NOT match 'contest'/'retest' (unanchored rlike would)."""
+        from lucene_spark.index import build_index
+        from lucene_spark.search import expand_terms
+        pages = spark.createDataFrame(
+            [("u1", "testing tester tested retest contest toast")],
+            "url string, text string")
+        idx = build_index(spark, pages)
+        assert expand_terms(idx, rlike="test.*") == [
+            "tested", "tester", "testing"]
+        assert expand_terms(idx, rlike=".*test") == ["contest", "retest"]
