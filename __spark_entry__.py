@@ -156,6 +156,143 @@ def _shape_rel_preds(mnla: float, mxla: float, mnlo: float, mxlo: float):
 _SHAPE_BIG_BOX = (-5.3, 6.7, -8.3, 9.7)
 _SHAPE_SMALL_BOX = (16.95, 17.65, -19.2, -18.4)
 
+# query geometries for the polygon/line shape gates, (lat, lon) vertices —
+# the pentagon covers the mid-field, the tiny triangle fits inside the
+# widest diamonds, the polyline cuts the field diagonally, the short
+# segment sits inside the same wide diamonds as the triangle
+_SHAPE_QPOLY = ((-6.1, -2.3), (-2.2, 8.4), (5.3, 6.1), (7.2, -4.6), (0.1, -9.3))
+_SHAPE_QPOLY_SMALL = ((17.05, -19.05), (17.35, -18.55), (17.55, -19.15))
+_SHAPE_QLINE = ((-15.3, -25.4), (0.2, 0.3), (12.4, 20.1))
+_SHAPE_QLINE_SHORT = ((17.1, -18.95), (17.4, -18.65))
+
+
+def _geom_rel_preds(qverts, closed: bool):
+    """SQL fragments (intersects, within, contains) for one query POLYGON
+    (closed=True) or POLYLINE (closed=False) over the gate's diamond rings —
+    the same exact predicates as geo._shape_geom_flags (PNPOLY even-odd
+    crossing for point-in-ring both ways; orientation-products-and-bbox
+    segment intersection) expanded to literal SQL over the 4 doc edges x
+    len(qverts) query vertices/edges."""
+    cy = "((doc_id * 7) % 40 - 20 + 0.25)"
+    h = "(((doc_id // 4) % 3) + 0.5)"
+    cx = "((doc_id % 60) - 30 + 0.25)"
+    w = "((doc_id % 4) + 0.5)"
+    verts = [(f"({cy} + {h})", cx), (cy, f"({cx} + {w})"),
+             (f"({cy} - {h})", cx), (cy, f"({cx} - {w})")]
+
+    def dl(v) -> str:
+        # double literal: DuckDB parses bare decimals as DECIMAL and the
+        # chained orientation products overflow DECIMAL(38) — the e0
+        # exponent forces DOUBLE, matching the numpy kernel's arithmetic
+        return f"{float(v)!r}e0"
+
+    m = len(qverts)
+    if closed:
+        qedges = [(qverts[i], qverts[(i + 1) % m]) for i in range(m)]
+    else:
+        qedges = [(qverts[i], qverts[i + 1]) for i in range(m - 1)]
+
+    # (a) doc vertex inside the query polygon (PNPOLY over Q's edges);
+    # vacuous for a polyline (within is rejected for lines anyway)
+    def vert_in_q(y, x):
+        terms = []
+        for (qy1, qx1), (qy2, qx2) in (
+            [(qverts[i], qverts[(i + 1) % m]) for i in range(m)]):
+            if qy1 == qy2:
+                continue
+            terms.append(
+                f"(CASE WHEN (({dl(qy1)} > {y}) <> ({dl(qy2)} > {y}))"
+                f" AND ({x} < ({dl(qx2)} - {dl(qx1)}) * ({y} - {dl(qy1)})"
+                f" / ({dl(qy2)} - {dl(qy1)}) + {dl(qx1)}) THEN 1 ELSE 0 END)")
+        return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+    if closed:
+        vin_tests = [vert_in_q(y, x) for y, x in verts]
+        any_vin = "(" + " OR ".join(vin_tests) + ")"
+        all_vin = "(" + " AND ".join(vin_tests) + ")"
+    else:
+        any_vin, all_vin = "FALSE", "FALSE"
+
+    # (b) query vertex inside the doc ring (even-odd over the 4 doc edges)
+    def q_in_doc(qy, qx):
+        qy, qx = dl(qy), dl(qx)
+        terms = []
+        for i in range(4):
+            yi, xi = verts[i]
+            yj, xj = verts[(i + 1) % 4]
+            terms.append(
+                f"(CASE WHEN (({yi} > {qy}) <> ({yj} > {qy}))"
+                f" AND ({qx} < ({xj} - {xi}) * ({qy} - {yi}) / ({yj} - {yi})"
+                f" + {xi}) THEN 1 ELSE 0 END)")
+        return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+    qin_tests = [q_in_doc(qy, qx) for qy, qx in qverts]
+    any_qin = "(" + " OR ".join(qin_tests) + ")"
+    all_qin = "(" + " AND ".join(qin_tests) + ")"
+
+    # (c) any doc edge hits any query edge: orientation products <= 0 both
+    # ways AND the two segments' bboxes overlap (exact incl. collinear)
+    hits = []
+    for i in range(4):
+        yi, xi = verts[i]
+        yj, xj = verts[(i + 1) % 4]
+        dx, dy = f"({xj} - {xi})", f"({yj} - {yi})"
+        for (qy1, qx1), (qy2, qx2) in qedges:
+            o1 = f"({dx} * ({dl(qy1)} - {yi}) - {dy} * ({dl(qx1)} - {xi}))"
+            o2 = f"({dx} * ({dl(qy2)} - {yi}) - {dy} * ({dl(qx2)} - {xi}))"
+            qdx, qdy = dl(qx2 - qx1), dl(qy2 - qy1)
+            o3 = f"({qdx} * ({yi} - {dl(qy1)}) - {qdy} * ({xi} - {dl(qx1)}))"
+            o4 = f"({qdx} * ({yj} - {dl(qy1)}) - {qdy} * ({xj} - {dl(qx1)}))"
+            bb = (
+                f"(greatest({yi}, {yj}) >= {dl(min(qy1, qy2))}"
+                f" AND least({yi}, {yj}) <= {dl(max(qy1, qy2))}"
+                f" AND greatest({xi}, {xj}) >= {dl(min(qx1, qx2))}"
+                f" AND least({xi}, {xj}) <= {dl(max(qx1, qx2))})")
+            hits.append(
+                f"({bb} AND {o1} * {o2} <= 0 AND {o3} * {o4} <= 0)")
+    any_cross = "(" + " OR ".join(hits) + ")"
+
+    inter = f"(({any_vin}) OR {any_qin} OR {any_cross})"
+    within = f"({all_vin} AND NOT {any_cross})"
+    contains = f"({all_qin} AND NOT {any_cross})"
+    return inter, within, contains
+
+
+def _shape_polygon_oracle_sql() -> str:
+    inter, within, _ = _geom_rel_preds(_SHAPE_QPOLY, True)
+    _, _, contains = _geom_rel_preds(_SHAPE_QPOLY_SMALL, True)
+    return f"""
+WITH rels AS (
+  SELECT doc_id,
+         {inter} AS r_intersects,
+         {within} AS r_within,
+         {contains} AS r_contains
+  FROM documents
+)
+SELECT doc_id, rel FROM (
+  SELECT doc_id, 'intersects' AS rel FROM rels WHERE r_intersects
+  UNION ALL SELECT doc_id, 'within' AS rel FROM rels WHERE r_within
+  UNION ALL SELECT doc_id, 'disjoint' AS rel FROM rels WHERE NOT r_intersects
+  UNION ALL SELECT doc_id, 'contains' AS rel FROM rels WHERE r_contains
+) ORDER BY rel, doc_id"""
+
+
+def _shape_line_oracle_sql() -> str:
+    inter, _, _ = _geom_rel_preds(_SHAPE_QLINE, False)
+    _, _, contains = _geom_rel_preds(_SHAPE_QLINE_SHORT, False)
+    return f"""
+WITH rels AS (
+  SELECT doc_id,
+         {inter} AS r_intersects,
+         {contains} AS r_contains
+  FROM documents
+)
+SELECT doc_id, rel FROM (
+  SELECT doc_id, 'intersects' AS rel FROM rels WHERE r_intersects
+  UNION ALL SELECT doc_id, 'disjoint' AS rel FROM rels WHERE NOT r_intersects
+  UNION ALL SELECT doc_id, 'contains' AS rel FROM rels WHERE r_contains
+) ORDER BY rel, doc_id"""
+
 
 def _shape_oracle_sql() -> str:
     inter, within, _ = _shape_rel_preds(*_SHAPE_BIG_BOX)
@@ -2664,6 +2801,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             u = u.unionByName(o)
         return u.select("doc_id", "rel").orderBy("rel", "doc_id")
 
+    def _shape_rings(spark, sf):
+        return _docs(spark, sf).select(
+            "doc_id",
+            F.expr("array((doc_id * 7) % 40 - 20 + 0.25 + ((doc_id DIV 4) % 3) + 0.5,"
+                   "      (doc_id * 7) % 40 - 20 + 0.25,"
+                   "      (doc_id * 7) % 40 - 20 + 0.25 - ((doc_id DIV 4) % 3) - 0.5,"
+                   "      (doc_id * 7) % 40 - 20 + 0.25)").alias("lats"),
+            F.expr("array((doc_id % 60) - 30 + 0.25,"
+                   "      (doc_id % 60) - 30 + 0.25 + (doc_id % 4) + 0.5,"
+                   "      (doc_id % 60) - 30 + 0.25,"
+                   "      (doc_id % 60) - 30 + 0.25 - (doc_id % 4) - 0.5)").alias("lons"),
+        )
+
+    def ft_shape_polygon(spark, sf):
+        # LatLonShape.newPolygonQuery (document/LatLonShape.java:152 →
+        # LatLonShapeQuery + Component2D): the diamond rings queried with a
+        # pentagon under intersects/within/disjoint, plus a tiny triangle
+        # under contains; PNPOLY both ways + orientation-product segment
+        # tests, DuckDB twin shares the predicates verbatim
+        from lucene_spark.geo import shape_polygon_query
+
+        shp = _shape_rings(spark, sf)
+        qy = [v[0] for v in _SHAPE_QPOLY]
+        qx = [v[1] for v in _SHAPE_QPOLY]
+        outs = []
+        for rel in ["disjoint", "intersects", "within"]:
+            outs.append(shape_polygon_query(shp, qy, qx, relation=rel)
+                        .withColumn("rel", F.lit(rel)))
+        outs.append(shape_polygon_query(
+            shp, [v[0] for v in _SHAPE_QPOLY_SMALL],
+            [v[1] for v in _SHAPE_QPOLY_SMALL], relation="contains")
+            .withColumn("rel", F.lit("contains")))
+        u = outs[0]
+        for o in outs[1:]:
+            u = u.unionByName(o)
+        return u.select("doc_id", "rel").orderBy("rel", "doc_id")
+
+    def ft_shape_line(spark, sf):
+        # LatLonShape.newLineQuery (document/LatLonShape.java:144): polyline
+        # under intersects/disjoint, short in-ring segment under contains;
+        # WITHIN is rejected like the reference (LatLonShapeQuery.java:45-53)
+        from lucene_spark.geo import shape_line_query
+
+        shp = _shape_rings(spark, sf)
+        qy = [v[0] for v in _SHAPE_QLINE]
+        qx = [v[1] for v in _SHAPE_QLINE]
+        outs = []
+        for rel in ["disjoint", "intersects"]:
+            outs.append(shape_line_query(shp, qy, qx, relation=rel)
+                        .withColumn("rel", F.lit(rel)))
+        outs.append(shape_line_query(
+            shp, [v[0] for v in _SHAPE_QLINE_SHORT],
+            [v[1] for v in _SHAPE_QLINE_SHORT], relation="contains")
+            .withColumn("rel", F.lit("contains")))
+        u = outs[0]
+        for o in outs[1:]:
+            u = u.unionByName(o)
+        return u.select("doc_id", "rel").orderBy("rel", "doc_id")
+
     def ft_bloom_search(spark, sf):
         # BloomFilteringPostingsFormat (codecs/bloom/BloomFilteringPostings
         # Format.java:66-90 + FuzzySet.java:40-60): per-segment single-hash
@@ -3948,7 +4144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_keyword_analyze, ft_whitespace_analyze, ft_path_tokens,
         ft_url_email,
         # (h) NEW round-4 families queue after the round-5 head block:
-        ft_snowball,
+        ft_snowball, ft_shape_polygon, ft_shape_line,
         # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
         # still oracle-checked every run by tests/test_entry_gate.py ----
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -4756,6 +4952,8 @@ FROM tf GROUP BY term""",
         # the plain conjunction (pruning itself is asserted in pytest)
         "ft_bloom_search": _topk_sql(["key", "window"], 10, require_all=2),
         "ft_shape_box": _shape_oracle_sql(),
+        "ft_shape_polygon": _shape_polygon_oracle_sql(),
+        "ft_shape_line": _shape_line_oracle_sql(),
         # custom tf: first token tf -> 3, dl -> len + 2 (single-token docs
         # have no following space, so no delimiter and no change)
         "ft_delimited_tf": """

@@ -655,6 +655,237 @@ def shape_box_query(
     return cand.mapInPandas(exact, schema=f"{id_col} long")
 
 
+# ----------------------------------------------- polygon / line shape queries
+# LatLonShape.newPolygonQuery / newLineQuery (document/LatLonShape.java:144,
+# 152 → LatLonShapeQuery.java wrapping a Component2D) — the query geometry is
+# a polygon or polyline instead of a box, under the same QueryRelation set.
+# Line queries reject WITHIN exactly as the reference does
+# (LatLonShapeQuery.java:45-53: "line queries do not support within").
+#
+# Exact contracts (shared verbatim with the SQL oracle twins):
+# - point-in-polygon: even-odd ray crossing, the PNPOLY/EdgeTree rule — the
+#   same predicate _shape_exact_flags uses for box corners.
+# - segment-vs-segment: orientation products ≤ 0 on both segments AND the
+#   segments' bboxes overlap (the bbox guard makes the collinear case exact:
+#   collinear-disjoint pairs have zero orientations but disjoint bboxes).
+#   Touching counts as a hit, matching the box-relation contracts above.
+
+
+def _pnpoly_many(y: np.ndarray, x: np.ndarray, qys, qxs) -> np.ndarray:
+    """Even-odd crossing test of N points against ONE query ring (m small,
+    constant per query) — vectorized over the points, looped over the m
+    query edges."""
+    inside = np.zeros(len(y), dtype=bool)
+    m = len(qys)
+    for i in range(m):
+        yi, xi = qys[i], qxs[i]
+        yj, xj = qys[(i + 1) % m], qxs[(i + 1) % m]
+        if yi == yj:
+            continue
+        cross = (yi > y) != (yj > y)
+        xs = (xj - xi) * (y - yi) / (yj - yi) + xi
+        inside ^= cross & (x < xs)
+    return inside
+
+
+def _edges_cross_query(y, x, y2, x2, qedges) -> np.ndarray:
+    """True per doc edge (y,x)->(y2,x2) when it hits ANY query edge in
+    ``qedges`` (list of (cy, cx, cy2, cx2)) — orientation products ≤ 0 both
+    ways plus the bbox-overlap guard; touching counts."""
+    hit = np.zeros(len(y), dtype=bool)
+    dlo_y, dhi_y = np.minimum(y, y2), np.maximum(y, y2)
+    dlo_x, dhi_x = np.minimum(x, x2), np.maximum(x, x2)
+    dx, dy = x2 - x, y2 - y
+    for cy, cx, cy2, cx2 in qedges:
+        # orientations of the query endpoints about the doc edge
+        o1 = dx * (cy - y) - dy * (cx - x)
+        o2 = dx * (cy2 - y) - dy * (cx2 - x)
+        # orientations of the doc endpoints about the query edge
+        qdx, qdy = cx2 - cx, cy2 - cy
+        o3 = qdx * (y - cy) - qdy * (x - cx)
+        o4 = qdx * (y2 - cy) - qdy * (x2 - cx)
+        bb = (
+            (dhi_y >= min(cy, cy2)) & (dlo_y <= max(cy, cy2))
+            & (dhi_x >= min(cx, cx2)) & (dlo_x <= max(cx, cx2))
+        )
+        hit |= bb & (o1 * o2 <= 0) & (o3 * o4 <= 0)
+    return hit
+
+
+def _shape_geom_flags(lats_list, lons_list, qys, qxs, closed: bool):
+    """Per-row (any_doc_vertex_in_Q, any_Q_vertex_in_doc, any_edge_cross,
+    all_doc_vertices_in_Q, all_Q_vertices_in_doc) for a batch of doc rings
+    against ONE query geometry — ``closed`` distinguishes a polygon ring
+    (its closing edge participates and point-in-Q is meaningful) from an
+    open polyline (no closing edge; point-in-Q tests are vacuous and
+    reported False/True-by-convention as documented on the callers)."""
+    lens = np.array([len(a) for a in lats_list], dtype=np.int64)
+    n_rows = len(lens)
+    total = int(lens.sum())
+    if total == 0:
+        z = np.zeros(n_rows, dtype=bool)
+        return z, z, z, z, z
+    y = np.concatenate([np.asarray(a, dtype=np.float64) for a in lats_list])
+    x = np.concatenate([np.asarray(a, dtype=np.float64) for a in lons_list])
+    row = np.repeat(np.arange(n_rows), lens)
+    starts = np.cumsum(lens) - lens
+    nxt = np.arange(total) + 1
+    ends = np.cumsum(lens) - 1
+    nxt[ends] = starts
+    y2, x2 = y[nxt], x[nxt]
+
+    qys = [float(v) for v in qys]
+    qxs = [float(v) for v in qxs]
+    m = len(qys)
+    if closed:
+        qedges = [(qys[i], qxs[i], qys[(i + 1) % m], qxs[(i + 1) % m])
+                  for i in range(m)]
+    else:
+        qedges = [(qys[i], qxs[i], qys[i + 1], qxs[i + 1])
+                  for i in range(m - 1)]
+
+    # (a) doc vertices inside the query polygon (vacuously False for lines)
+    if closed:
+        vin = _pnpoly_many(y, x, qys, qxs)
+    else:
+        vin = np.zeros(total, dtype=bool)
+    any_vin = np.zeros(n_rows, dtype=bool)
+    np.logical_or.at(any_vin, row, vin)
+    all_vin = np.ones(n_rows, dtype=bool)
+    np.logical_and.at(all_vin, row, vin)
+
+    # (b) query vertices inside each doc ring (even-odd over doc edges)
+    inside_counts = np.zeros((m, n_rows), dtype=np.int64)
+    nz = y2 != y
+    for qi in range(m):
+        cy, cx = qys[qi], qxs[qi]
+        cross = nz & ((y > cy) != (y2 > cy))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xs = np.where(
+                nz, (x2 - x) * (cy - y) / np.where(nz, y2 - y, 1.0) + x, 0.0)
+        hit = cross & (cx < xs)
+        np.add.at(inside_counts[qi], row, hit.astype(np.int64))
+    q_in = (inside_counts % 2) == 1       # (m, n_rows)
+    any_qin = q_in.any(axis=0)
+    all_qin = q_in.all(axis=0)
+
+    # (c) any doc edge hits any query edge
+    cross_e = _edges_cross_query(y, x, y2, x2, qedges)
+    any_cross = np.zeros(n_rows, dtype=bool)
+    np.logical_or.at(any_cross, row, cross_e)
+    return any_vin, any_qin, any_cross, all_vin, all_qin
+
+
+def _shape_geometry_query(
+    shapes: DataFrame,
+    qlats,
+    qlons,
+    relation: str,
+    closed: bool,
+    id_col: str,
+    lats_col: str,
+    lons_col: str,
+) -> DataFrame:
+    qys = [float(v) for v in qlats]
+    qxs = [float(v) for v in qlons]
+    qmin_lat, qmax_lat = min(qys), max(qys)
+    qmin_lon, qmax_lon = min(qxs), max(qxs)
+    la, lo = F.col(lats_col), F.col(lons_col)
+    bbox_within = (
+        (F.array_min(la) >= F.lit(qmin_lat)) & (F.array_max(la) <= F.lit(qmax_lat))
+        & (F.array_min(lo) >= F.lit(qmin_lon)) & (F.array_max(lo) <= F.lit(qmax_lon))
+    )
+    bbox_overlap = (
+        (F.array_max(la) >= F.lit(qmin_lat)) & (F.array_min(la) <= F.lit(qmax_lat))
+        & (F.array_max(lo) >= F.lit(qmin_lon)) & (F.array_min(lo) <= F.lit(qmax_lon))
+    )
+    # bbox prefilter (the BKD/triangle-bbox analog — pure Catalyst, pushed
+    # down to the scan); DISJOINT is a full scan by nature, WITHIN's exact
+    # candidates are bbox-within by necessity
+    if relation == "disjoint":
+        cand = shapes
+    elif relation == "within":
+        cand = shapes.filter(bbox_within)
+    else:
+        cand = shapes.filter(bbox_overlap)
+    rel = relation
+
+    def exact(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            any_vin, any_qin, any_cross, all_vin, all_qin = _shape_geom_flags(
+                pdf[lats_col].tolist(), pdf[lons_col].tolist(), qys, qxs,
+                closed)
+            inter = any_vin | any_qin | any_cross
+            if rel == "intersects":
+                keep = inter
+            elif rel == "disjoint":
+                keep = ~inter
+            elif rel == "within":
+                keep = all_vin & ~any_cross
+            else:  # contains: doc shape contains the whole query geometry
+                keep = all_qin & ~any_cross
+            yield pdf.loc[keep, [id_col]]
+
+    return cand.mapInPandas(exact, schema=f"{id_col} long")
+
+
+def shape_polygon_query(
+    shapes: DataFrame,
+    qlats,
+    qlons,
+    relation: str = "intersects",
+    id_col: str = "doc_id",
+    lats_col: str = "lats",
+    lons_col: str = "lons",
+) -> DataFrame:
+    """LatLonShape.newPolygonQuery analog (LatLonShape.java:152): ids of
+    indexed rings whose relation to the query POLYGON holds.
+
+    - ``intersects``: any doc vertex in Q, any Q vertex in the doc ring,
+      or any edge pair hitting (touching counts).
+    - ``within`` (doc ring inside Q): every doc vertex in Q and no edge
+      pair hitting — exact for simple rings (a vertex-inside ring whose
+      edge escapes a concavity necessarily crosses Q's boundary).
+    - ``disjoint``: NOT intersects (full scan by nature).
+    - ``contains`` (doc ring contains Q): every Q vertex inside the doc
+      ring and no edge pair hitting.
+    """
+    if relation not in SHAPE_RELATIONS:
+        raise ValueError(f"relation must be one of {SHAPE_RELATIONS}")
+    if len(qlats) < 3:
+        raise ValueError("a query polygon needs >= 3 vertices")
+    return _shape_geometry_query(
+        shapes, qlats, qlons, relation, True, id_col, lats_col, lons_col)
+
+
+def shape_line_query(
+    shapes: DataFrame,
+    qlats,
+    qlons,
+    relation: str = "intersects",
+    id_col: str = "doc_id",
+    lats_col: str = "lats",
+    lons_col: str = "lons",
+) -> DataFrame:
+    """LatLonShape.newLineQuery analog (LatLonShape.java:144): ids of
+    indexed rings whose relation to the query POLYLINE (open; m-1 segments)
+    holds.  WITHIN is rejected exactly as the reference rejects it
+    (LatLonShapeQuery.java:45-53); ``contains`` = every line vertex inside
+    the doc ring and no segment hitting the ring's boundary."""
+    if relation not in SHAPE_RELATIONS:
+        raise ValueError(f"relation must be one of {SHAPE_RELATIONS}")
+    if relation == "within":
+        raise ValueError(
+            "line queries do not support the WITHIN relation "
+            "(LatLonShapeQuery.java:45-53)")
+    if len(qlats) < 2:
+        raise ValueError("a query line needs >= 2 vertices")
+    return _shape_geometry_query(
+        shapes, qlats, qlons, relation, False, id_col, lats_col, lons_col)
+
+
 # ------------------------------------------------------- indexed box fields
 # LatLonBoundingBox (sandbox/document/LatLonBoundingBox.java:40-210): docs
 # ARE boxes (a 2D range field); queries relate a search box to each doc box

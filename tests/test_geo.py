@@ -310,3 +310,59 @@ def test_box_field_relations(spark):
     assert ids("within") == [1, 5]
     assert ids("contains") == [2, 5]
     assert ids("crosses") == [3]  # equal box is NOT crosses
+
+
+def test_shape_polygon_relations(spark):
+    """shape_polygon_query under all four relations on hand-verifiable
+    rings: doc 1 inside Q, doc 2 far away, doc 3 containing Q, doc 4
+    straddling Q's boundary."""
+    from lucene_spark.geo import shape_polygon_query
+
+    rows = [
+        (1, [0.0, 0.0, 1.0, 1.0], [0.0, 1.0, 1.0, 0.0]),
+        (2, [50.0, 50.0, 51.0, 51.0], [50.0, 51.0, 51.0, 50.0]),
+        (3, [-20.0, -20.0, 20.0, 20.0], [-20.0, 20.0, 20.0, -20.0]),
+        (4, [4.0, 4.0, 6.0, 6.0], [4.0, 6.0, 6.0, 4.0]),
+    ]
+    shp = spark.createDataFrame(
+        rows, "doc_id long, lats array<double>, lons array<double>")
+    q_lats, q_lons = [-5.0, -5.0, 5.0, 5.0], [-5.0, 5.0, 5.0, -5.0]
+    want = {"intersects": [1, 3, 4], "within": [1],
+            "disjoint": [2], "contains": [3]}
+    for rel, ids in want.items():
+        got = sorted(r.doc_id for r in
+                     shape_polygon_query(shp, q_lats, q_lons, rel).collect())
+        assert got == ids, rel
+
+
+def test_shape_line_relations(spark):
+    """shape_line_query: diagonal polyline intersections, containment of a
+    short in-ring segment, and the reference's WITHIN rejection
+    (LatLonShapeQuery.java:45-53)."""
+    import pytest as _pytest
+    from lucene_spark.geo import shape_line_query
+
+    rows = [
+        (1, [0.0, 0.0, 1.0, 1.0], [0.0, 1.0, 1.0, 0.0]),
+        (2, [50.0, 50.0, 51.0, 51.0], [50.0, 51.0, 51.0, 50.0]),
+        (3, [-20.0, -20.0, 20.0, 20.0], [-20.0, 20.0, 20.0, -20.0]),
+        (4, [4.0, 4.0, 6.0, 6.0], [4.0, 6.0, 6.0, 4.0]),
+    ]
+    shp = spark.createDataFrame(
+        rows, "doc_id long, lats array<double>, lons array<double>")
+    # the y=x diagonal passes through docs 1, 3, 4; it is fully inside 3
+    got = sorted(r.doc_id for r in shape_line_query(
+        shp, [-10.0, 10.0], [-10.0, 10.0], "intersects").collect())
+    assert got == [1, 3, 4]
+    got = sorted(r.doc_id for r in shape_line_query(
+        shp, [-10.0, 10.0], [-10.0, 10.0], "disjoint").collect())
+    assert got == [2]
+    got = sorted(r.doc_id for r in shape_line_query(
+        shp, [-10.0, 10.0], [-10.0, 10.0], "contains").collect())
+    assert got == [3]
+    # endpoint exactly on doc 4's boundary corner: touching counts
+    got = sorted(r.doc_id for r in shape_line_query(
+        shp, [6.0, 8.0], [6.0, 8.0], "intersects").collect())
+    assert 4 in got
+    with _pytest.raises(ValueError, match="WITHIN"):
+        shape_line_query(shp, [-10.0, 10.0], [-10.0, 10.0], "within")
