@@ -1293,6 +1293,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return wdf.select("word", stem_udf(F.col("word")).alias("stem"))
 
+    def ft_icu_fold(spark, sf):
+        # ICUFoldingFilter analog (analysis/icu/.../ICUFoldingFilter.java —
+        # UTR#30 search folding): golden oracle = the reference's OWN
+        # TestICUFoldingFilter.testDefaults vectors (case folding incl.
+        # supplementary + Turkish dotted I, Greek accent removal, NFKC of
+        # presentation forms, default-ignorable removal, native digits,
+        # stroke/multigraph folds)
+        from lucene_spark.icu import icu_fold
+
+        words = ["This", "Ruß", "ΜΆΪΟΣ", "Μάϊος", "ﴳﴺﰧ",
+                 "क्‍ष", "résumé", "৭০৬", "đis", "cræzy", "ELİF"]
+        wdf = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(words)], "i long, word string")
+
+        @F.pandas_udf("string")
+        def fold_udf(ws: pd.Series) -> pd.Series:
+            return ws.map(icu_fold)
+
+        return wdf.select("i", fold_udf(F.col("word")).alias("folded")) \
+                  .orderBy("i")
+
     def ft_ascii_fold(spark, sf):
         # ASCIIFoldingFilter analog: accent rows check against DuckDB's own
         # strip_accents(); ligature/stroke rows are golden (the documented
@@ -4144,7 +4165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_keyword_analyze, ft_whitespace_analyze, ft_path_tokens,
         ft_url_email,
         # (h) NEW round-4 families queue after the round-5 head block:
-        ft_snowball, ft_shape_polygon, ft_shape_line,
+        ft_snowball, ft_shape_polygon, ft_shape_line, ft_icu_fold,
         # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
         # still oracle-checked every run by tests/test_entry_gate.py ----
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -5215,6 +5236,11 @@ FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10""",
         "ft_porter": """
 SELECT word, stem FROM (VALUES ('caress', 'caress'),('caresses', 'caress'),('cats', 'cat'),('connect', 'connect'),('connected', 'connect'),('connecting', 'connect'),('connection', 'connect'),('connections', 'connect'),('generalizations', 'gener'),('happy', 'happi'),('mating', 'mate'),('matting', 'mat'),('meeting', 'meet'),('meetings', 'meet'),('messing', 'mess'),('milling', 'mill'),('oscillators', 'oscil'),('ponies', 'poni'),('sky', 'sky'),('ties', 'ti')) AS t(word, stem)
 ORDER BY word""",
+        "ft_icu_fold": """
+SELECT i, folded FROM (VALUES (CAST(0 AS BIGINT), 'this'), (1, 'russ'),
+  (2, 'μαιοσ'), (3, 'μαιοσ'), (4, 'طمطمطم'), (5, 'कष'), (6, 'resume'),
+  (7, '706'), (8, 'dis'), (9, 'craezy'), (10, 'elif')) AS t(i, folded)
+ORDER BY i""",
         "ft_snowball": """
 SELECT word, stem FROM (VALUES ('advertisement', 'advertis'),('affirmative', 'affirm'),('allegiance', 'allegi'),('allowable', 'allow'),('approbation', 'approb'),('betrayed', 'betray'),('buoy', 'buoy'),('carnivorous', 'carnivor'),('comical', 'comic'),('consignment', 'consign'),('deceitful', 'deceit'),('distinctly', 'distinct'),('dying', 'die'),('early', 'earli'),('earnestly', 'earnest'),('forgetfulness', 'forget'),('gently', 'gentl'),('holidays', 'holiday'),('idly', 'idl'),('lying', 'lie'),('nervousness', 'nervous'),('news', 'news'),('only', 'onli'),('plaintiveness', 'plaintiv'),('profoundly', 'profound'),('sensational', 'sensat'),('skies', 'sky'),('skis', 'ski'),('spy', 'spi'),('toyed', 'toy'),('turkey', 'turkey')) AS t(word, stem)
 ORDER BY word""",
