@@ -1293,6 +1293,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return wdf.select("word", stem_udf(F.col("word")).alias("stem"))
 
+    def ft_ja_analyze(spark, sf):
+        # kuromoji-lite morphological analysis (analysis/kuromoji/.../ja/
+        # JapaneseTokenizer.java Viterbi lattice + JapaneseAnalyzer.java:
+        # 94-103 chain): mixed ja/en sentences → (sid, pos, token) table.
+        # The segmentations are pinned to the reference's own goldens in
+        # tests/test_ja.py (これは本ではない, 関西国際空港に行った, search-mode
+        # decompounding of 東京大学 etc.); the VALUES oracle pins them at the
+        # gate so any lattice/cost regression hash-mismatches.
+        from lucene_spark.ja import ja_analyze
+
+        sents = [
+            "これは本ではない", "関西国際空港に行った",
+            "麻薬の密売は根こそぎ絶やさなければならない", "東京大学と京都大学",
+            "シニアソフトウェアエンジニア", "コンピューターで計算する",
+            "the quick brown fox", "Sparkで検索する",
+        ]
+        sdf = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(sents)], "sid long, text string")
+
+        def run(batches):
+            for pdf in batches:
+                rows = []
+                for sid, text in zip(pdf["sid"], pdf["text"]):
+                    for pos, tok in enumerate(ja_analyze(text)):
+                        rows.append((int(sid), pos, tok))
+                yield pd.DataFrame(rows, columns=["sid", "pos", "token"])
+
+        return sdf.mapInPandas(run, schema="sid long, pos int, token string") \
+                  .orderBy("sid", "pos")
+
     def ft_icu_fold(spark, sf):
         # ICUFoldingFilter analog (analysis/icu/.../ICUFoldingFilter.java —
         # UTR#30 search folding): golden oracle = the reference's OWN
@@ -4166,6 +4196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_url_email,
         # (h) NEW round-4 families queue after the round-5 head block:
         ft_snowball, ft_shape_polygon, ft_shape_line, ft_icu_fold,
+        ft_ja_analyze,
         # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
         # still oracle-checked every run by tests/test_entry_gate.py ----
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -5236,6 +5267,17 @@ FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10""",
         "ft_porter": """
 SELECT word, stem FROM (VALUES ('caress', 'caress'),('caresses', 'caress'),('cats', 'cat'),('connect', 'connect'),('connected', 'connect'),('connecting', 'connect'),('connection', 'connect'),('connections', 'connect'),('generalizations', 'gener'),('happy', 'happi'),('mating', 'mate'),('matting', 'mat'),('meeting', 'meet'),('meetings', 'meet'),('messing', 'mess'),('milling', 'mill'),('oscillators', 'oscil'),('ponies', 'poni'),('sky', 'sky'),('ties', 'ti')) AS t(word, stem)
 ORDER BY word""",
+        "ft_ja_analyze": """
+SELECT sid, pos, token FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(0 AS INT), '本'),
+  (1, 0, '関西'), (1, 1, '国際'), (1, 2, '空港'), (1, 3, '行く'),
+  (2, 0, '麻薬'), (2, 1, '密売'), (2, 2, '根こそぎ'), (2, 3, '絶やす'),
+  (3, 0, '東京'), (3, 1, '大学'), (3, 2, '京都'), (3, 3, '大学'),
+  (4, 0, 'シニア'), (4, 1, 'ソフトウェア'), (4, 2, 'エンジニア'),
+  (5, 0, 'コンピュータ'), (5, 1, '計算'),
+  (6, 0, 'the'), (6, 1, 'quick'), (6, 2, 'brown'), (6, 3, 'fox'),
+  (7, 0, 'spark'), (7, 1, '検索')) AS t(sid, pos, token)
+ORDER BY sid, pos""",
         "ft_icu_fold": """
 SELECT i, folded FROM (VALUES (CAST(0 AS BIGINT), 'this'), (1, 'russ'),
   (2, 'μαιοσ'), (3, 'μαιοσ'), (4, 'طمطمطم'), (5, 'कष'), (6, 'resume'),

