@@ -224,8 +224,12 @@ def run_zipf(n_docs: int, alpha: float = 2.0) -> dict:
             # live-group-matched partition count (see docstring: the
             # pinned metric's partitioning rule)
             parts = max(4, min(64, n_groups // 512))
+            # hash on (term, seg) — the build's ACTUAL shuffle keys
+            # (index.py:630,737: repartition(parts, "term", "seg")); the
+            # earlier probe hashed on term alone, a partitioning the build
+            # never uses, which co-located every segment of the head term
             times = (
-                idx.postings.repartition(parts, "term")
+                idx.postings.repartition(parts, "term", "seg")
                 .mapInPandas(probe, "elapsed double, rows long")
                 .collect()
             )
