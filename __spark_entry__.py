@@ -1187,6 +1187,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return ndf.select("name", sx_udf(F.col("name")).alias("code"))
 
+    def ft_double_metaphone(spark, sf):
+        # DoubleMetaphoneFilter (analysis/phonetic/DoubleMetaphoneFilter
+        # .java:36, commons-codec DoubleMetaphone / Philips 2000): golden
+        # oracle — the reference's own TestDoubleMetaphoneFilter vectors
+        # plus published algorithm pairs; inject=False stream semantics
+        # (codes replace the token; alternates emit as extra tokens;
+        # unencodable tokens pass through)
+        from lucene_spark.metaphone import double_metaphone_inject
+
+        words = ["international", "Kuczewski", "smith", "schmidt",
+                 "snider", "schneider", "jose", "thomas", "xavier",
+                 "12345", "hello"]
+        wdf = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(words)], "i long, word string")
+
+        def run(batches):
+            for pdf in batches:
+                rows = []
+                for i, w in zip(pdf["i"], pdf["word"]):
+                    for j, c in enumerate(double_metaphone_inject([w], 4, False)):
+                        rows.append((int(i), j, c))
+                yield pd.DataFrame(rows, columns=["i", "j", "code"])
+
+        return wdf.mapInPandas(run, schema="i long, j int, code string") \
+                  .orderBy("i", "j")
+
     def ft_pattern_replace(spark, sf):
         # PatternReplaceCharFilter (charfilter/PatternReplaceCharFilter
         # .java:40-74): digit runs collapse to '#' before tokenization;
@@ -4196,7 +4222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_url_email,
         # (h) NEW round-4 families queue after the round-5 head block:
         ft_snowball, ft_shape_polygon, ft_shape_line, ft_icu_fold,
-        ft_ja_analyze,
+        ft_ja_analyze, ft_double_metaphone,
         # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
         # still oracle-checked every run by tests/test_entry_gate.py ----
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -5267,6 +5293,14 @@ FROM doc_scores ORDER BY score DESC, doc_id LIMIT 10""",
         "ft_porter": """
 SELECT word, stem FROM (VALUES ('caress', 'caress'),('caresses', 'caress'),('cats', 'cat'),('connect', 'connect'),('connected', 'connect'),('connecting', 'connect'),('connection', 'connect'),('connections', 'connect'),('generalizations', 'gener'),('happy', 'happi'),('mating', 'mate'),('matting', 'mat'),('meeting', 'meet'),('meetings', 'meet'),('messing', 'mess'),('milling', 'mill'),('oscillators', 'oscil'),('ponies', 'poni'),('sky', 'sky'),('ties', 'ti')) AS t(word, stem)
 ORDER BY word""",
+        "ft_double_metaphone": """
+SELECT i, j, code FROM (VALUES (CAST(0 AS BIGINT), CAST(0 AS INT), 'ANTR'),
+  (1, 0, 'KSSK'), (1, 1, 'KXFS'), (2, 0, 'SM0'), (2, 1, 'XMT'),
+  (3, 0, 'XMT'), (3, 1, 'SMT'), (4, 0, 'SNTR'), (4, 1, 'XNTR'),
+  (5, 0, 'XNTR'), (5, 1, 'SNTR'), (6, 0, 'HS'), (7, 0, 'TMS'),
+  (8, 0, 'SF'), (8, 1, 'SFR'), (9, 0, '12345'), (10, 0, 'HL')
+) AS t(i, j, code)
+ORDER BY i, j""",
         "ft_ja_analyze": """
 SELECT sid, pos, token FROM (VALUES
   (CAST(0 AS BIGINT), CAST(0 AS INT), '本'),
