@@ -1349,6 +1349,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sdf.mapInPandas(run, schema="sid long, pos int, token string") \
                   .orderBy("sid", "pos")
 
+    def ft_ko_analyze(spark, sf):
+        # nori-lite Korean morphological analysis (analysis/nori/.../ko/
+        # KoreanTokenizer.java lattice + KoreanAnalyzer chain, DISCARD
+        # decompound, default POS stop tags): mixed ko sentences →
+        # (sid, pos, token); the segmentations are pinned to the
+        # reference's TestKoreanAnalyzer goldens in tests/test_ko.py
+        from lucene_spark.ko import ko_analyze
+
+        sents = [
+            "한국은 대단한 나라입니다.", "2018 평창 동계올림픽대회",
+            "검색엔진을 합니다", "서울은 나라의 대회",
+        ]
+        sdf = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(sents)], "sid long, text string")
+
+        def run(batches):
+            for pdf in batches:
+                rows = []
+                for sid, text in zip(pdf["sid"], pdf["text"]):
+                    for pos, tok in enumerate(ko_analyze(text)):
+                        rows.append((int(sid), pos, tok))
+                yield pd.DataFrame(rows, columns=["sid", "pos", "token"])
+
+        return sdf.mapInPandas(run, schema="sid long, pos int, token string") \
+                  .orderBy("sid", "pos")
+
     def ft_icu_fold(spark, sf):
         # ICUFoldingFilter analog (analysis/icu/.../ICUFoldingFilter.java —
         # UTR#30 search folding): golden oracle = the reference's OWN
@@ -4222,7 +4248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_url_email,
         # (h) NEW round-4 families queue after the round-5 head block:
         ft_snowball, ft_shape_polygon, ft_shape_line, ft_icu_fold,
-        ft_ja_analyze, ft_double_metaphone,
+        ft_ja_analyze, ft_double_metaphone, ft_ko_analyze,
         # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
         # still oracle-checked every run by tests/test_entry_gate.py ----
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -5311,6 +5337,15 @@ SELECT sid, pos, token FROM (VALUES
   (5, 0, 'コンピュータ'), (5, 1, '計算'),
   (6, 0, 'the'), (6, 1, 'quick'), (6, 2, 'brown'), (6, 3, 'fox'),
   (7, 0, 'spark'), (7, 1, '検索')) AS t(sid, pos, token)
+ORDER BY sid, pos""",
+        "ft_ko_analyze": """
+SELECT sid, pos, token FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(0 AS INT), '한국'), (0, 1, '대단'),
+  (0, 2, '나라'), (0, 3, '이'),
+  (1, 0, '2018'), (1, 1, '평창'), (1, 2, '동계'), (1, 3, '올림픽'),
+  (1, 4, '대회'),
+  (2, 0, '검색'), (2, 1, '엔진'), (2, 2, '하'),
+  (3, 0, '서울'), (3, 1, '나라'), (3, 2, '대회')) AS t(sid, pos, token)
 ORDER BY sid, pos""",
         "ft_icu_fold": """
 SELECT i, folded FROM (VALUES (CAST(0 AS BIGINT), 'this'), (1, 'russ'),

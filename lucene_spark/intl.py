@@ -448,9 +448,10 @@ def routing_analyzer_with_intl(extra_routes: dict | None = None):
     from .stemmers import LIGHT_STEMMERS, MINIMAL_STEMMERS
 
     from .ja import JapaneseAnalyzer
+    from .ko import KoreanAnalyzer
 
     routes: dict = {"en": english_analyzer(), "cjk": cjk_analyzer(),
-                    "ja": JapaneseAnalyzer()}
+                    "ja": JapaneseAnalyzer(), "ko": KoreanAnalyzer()}
     for lang, fn in LIGHT_STEMMERS.items():
         routes[lang] = Analyzer(post_filters=(fn,))
     for lang in ("ar", "fa", "hi", "id", "cs", "bg"):
@@ -460,11 +461,13 @@ def routing_analyzer_with_intl(extra_routes: dict | None = None):
     if extra_routes:
         routes.update(extra_routes)
 
-    # script detection: kana is a Japanese-only signal → the morphological
-    # route; Han without kana stays on the CJK-bigram zh fallback
+    # script detection: kana is a Japanese-only signal and hangul a
+    # Korean-only one → the morphological routes; Han without either
+    # stays on the CJK-bigram zh fallback
     import re as _re
 
     kana_re = _re.compile(r"[぀-ヿ]")
+    hangul_re = _re.compile(r"[가-힣ᄀ-ᇿㄱ-ㆎ]")
     from .analysis import _HIRA, _IDEO
 
     cjk_re = _re.compile(rf"[{_IDEO}{_HIRA}]")
@@ -472,6 +475,8 @@ def routing_analyzer_with_intl(extra_routes: dict | None = None):
     def detect(text: str):
         if kana_re.search(text):
             return "ja"
+        if hangul_re.search(text):
+            return "ko"
         if cjk_re.search(text):
             return "cjk"
         return None
