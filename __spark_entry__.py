@@ -1349,6 +1349,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sdf.mapInPandas(run, schema="sid long, pos int, token string") \
                   .orderBy("sid", "pos")
 
+    def ft_ja_number(spark, sf):
+        # JapaneseNumberFilter (kuromoji JapaneseNumberFilter.java) +
+        # JapaneseIterationMarkCharFilter: golden oracle — the reference's
+        # own test vectors (kanji power grammar incl. the dumb-sum 十十=20,
+        # exact decimals, separators; iteration-mark kana voicing)
+        from lucene_spark.ja import (iteration_mark_normalize,
+                                     parse_japanese_number)
+
+        rows = [
+            ("六百二万五千一", "num"), ("垓京兆億万千百十一", "num"),
+            ("１．２万３４５．６７", "num"), ("４，６４７", "num"),
+            ("十十", "num"), ("〇〇七", "num"), ("３．２千", "num"),
+            ("時々", "iter"), ("馬鹿々々しい", "iter"),
+            ("ところゞゝゝ", "iter"), ("みすゞ", "iter"), ("じゝ", "iter"),
+        ]
+        rdf = spark.createDataFrame(
+            [(i, s, kind) for i, (s, kind) in enumerate(rows)],
+            "i long, s string, kind string")
+
+        @F.pandas_udf("string")
+        def norm_udf(ss: pd.Series, kinds: pd.Series) -> pd.Series:
+            return pd.Series([
+                parse_japanese_number(s) if k == "num"
+                else iteration_mark_normalize(s)
+                for s, k in zip(ss, kinds)])
+
+        return rdf.select(
+            "i", norm_udf(F.col("s"), F.col("kind")).alias("norm")
+        ).orderBy("i")
+
     def ft_ko_analyze(spark, sf):
         # nori-lite Korean morphological analysis (analysis/nori/.../ko/
         # KoreanTokenizer.java lattice + KoreanAnalyzer chain, DISCARD
@@ -4248,7 +4278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_url_email,
         # (h) NEW round-4 families queue after the round-5 head block:
         ft_snowball, ft_shape_polygon, ft_shape_line, ft_icu_fold,
-        ft_ja_analyze, ft_double_metaphone, ft_ko_analyze,
+        ft_ja_analyze, ft_double_metaphone, ft_ko_analyze, ft_ja_number,
         # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
         # still oracle-checked every run by tests/test_entry_gate.py ----
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -5338,6 +5368,12 @@ SELECT sid, pos, token FROM (VALUES
   (6, 0, 'the'), (6, 1, 'quick'), (6, 2, 'brown'), (6, 3, 'fox'),
   (7, 0, 'spark'), (7, 1, '検索')) AS t(sid, pos, token)
 ORDER BY sid, pos""",
+        "ft_ja_number": """
+SELECT i, norm FROM (VALUES (CAST(0 AS BIGINT), '6025001'),
+  (1, '100010001000100011111'), (2, '12345.67'), (3, '4647'), (4, '20'),
+  (5, '7'), (6, '3200'), (7, '時時'), (8, '馬鹿馬鹿しい'),
+  (9, 'ところどころ'), (10, 'みすず'), (11, 'じし')) AS t(i, norm)
+ORDER BY i""",
         "ft_ko_analyze": """
 SELECT sid, pos, token FROM (VALUES
   (CAST(0 AS BIGINT), CAST(0 AS INT), '한국'), (0, 1, '대단'),

@@ -338,6 +338,180 @@ def katakana_stem(surface: str, minimum_length: int = 4) -> str:
     return surface
 
 
+_ITER_MARKS = {"々": None, "ゝ": False, "ゞ": True, "ヽ": False, "ヾ": True}
+_DAKUTEN = "゙"
+
+
+def _voice(ch: str) -> str:
+    """Add a dakuten to a kana char when a voiced form exists."""
+    v = unicodedata.normalize("NFC", ch + _DAKUTEN)
+    return v if len(v) == 1 else ch
+
+
+def _unvoice(ch: str) -> str:
+    """Strip a dakuten from a kana char."""
+    d = unicodedata.normalize("NFD", ch)
+    if len(d) == 2 and d[1] == _DAKUTEN:
+        return d[0]
+    return ch
+
+
+def iteration_mark_normalize(text: str) -> str:
+    """JapaneseIterationMarkCharFilter analog (kuromoji
+    JapaneseIterationMarkCharFilter.java): a run of N iteration marks
+    repeats the N characters immediately preceding the run — the kanji
+    mark 々 copies, ゞ/ヾ voice the source kana (す→ず), ゝ/ヽ unvoice it
+    (じ→し).  Marks with no available source (start of stream, beyond the
+    preceding window, or after the 。 flush marker) emit as-is.  Output
+    length equals input length, so the filter needs no offset correction
+    (every mark maps to exactly one output char)."""
+    out: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c not in _ITER_MARKS:
+            out.append(c)
+            i += 1
+            continue
+        # run of marks
+        j = i
+        while j < n and text[j] in _ITER_MARKS:
+            j += 1
+        k = j - i
+        # source window: the k chars of OUTPUT immediately before the run,
+        # not crossing a 。 flush marker or the start of stream
+        avail = 0
+        while (avail < k and len(out) - 1 - avail >= 0
+               and out[len(out) - 1 - avail] != "。"):
+            avail += 1
+        src = out[len(out) - avail:] if avail else []
+        for m in range(k):
+            mark = text[i + m]
+            if m >= avail:
+                out.append(mark)            # no source: emit the mark as-is
+                continue
+            ch = src[m]
+            voiced = _ITER_MARKS[mark]
+            if voiced is True:
+                out.append(_voice(ch))
+            elif voiced is False:
+                out.append(_unvoice(ch))
+            else:
+                out.append(ch)
+        i = j
+    return "".join(out)
+
+
+# --- JapaneseNumberFilter (kuromoji JapaneseNumberFilter.java) --------------
+
+_JN_DIGITS = {**{chr(ord("0") + d): d for d in range(10)},
+              **{chr(ord("０") + d): d for d in range(10)},
+              "〇": 0, "零": 0, "一": 1, "二": 2, "三": 3, "四": 4,
+              "五": 5, "六": 6, "七": 7, "八": 8, "九": 9}
+_JN_MID = {"十": 10, "百": 100, "千": 1000}
+_JN_LARGE = {"万": 10 ** 4, "億": 10 ** 8, "兆": 10 ** 12,
+             "京": 10 ** 16, "垓": 10 ** 20}
+_JN_POINT = {".", "．"}
+_JN_SEP = {",", "，"}
+JA_NUMERAL_CHARS = (set(_JN_DIGITS) | set(_JN_MID) | set(_JN_LARGE)
+                    | _JN_POINT | _JN_SEP)
+
+
+def parse_japanese_number(s: str) -> str | None:
+    """Normalize a Japanese numeral string to its decimal value
+    (JapaneseNumberFilter.java's grammar): kanji/ASCII/full-width digit
+    literals, mid powers 十/百/千 (coefficient defaults to 1, groups SUM —
+    十十 = 20), large powers 万/億/兆/京/垓 closing a group (empty group =
+    coefficient 1: 垓京兆億万千百十一 = 100010001000100011111), thousand
+    separators stripped, decimal literals exact (３．２千 = 3200,
+    trailing fraction zeros trimmed).  Returns None when ``s`` is not
+    entirely a numeral."""
+    from fractions import Fraction
+
+    if not s or any(c not in JA_NUMERAL_CHARS for c in s):
+        return None
+    total = Fraction(0)
+    current = Fraction(0)
+    pending: Fraction | None = None
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c in _JN_DIGITS or c in _JN_POINT or c in _JN_SEP:
+            digs, frac = [], None
+            while i < n and (s[i] in _JN_DIGITS or s[i] in _JN_POINT
+                             or s[i] in _JN_SEP):
+                if s[i] in _JN_SEP:
+                    i += 1          # thousand separator (kuromoji strips it)
+                    continue
+                if s[i] in _JN_POINT:
+                    if frac is not None:
+                        return None
+                    frac = []
+                    i += 1
+                    continue
+                (digs if frac is None else frac).append(_JN_DIGITS[s[i]])
+                i += 1
+            if not digs and not frac:
+                return None
+            val = Fraction(int("".join(map(str, digs)) or "0"))
+            if frac:
+                val += Fraction(int("".join(map(str, frac))),
+                                10 ** len(frac))
+            if pending is not None:
+                return None         # two adjacent literals never happens
+            pending = val
+            continue
+        if c in _JN_MID:
+            current += (pending if pending is not None else 1) * _JN_MID[c]
+            pending = None
+            i += 1
+            continue
+        # large power: close the group
+        group = current + (pending if pending is not None else 0)
+        if group == 0:
+            group = Fraction(1)
+        total += group * _JN_LARGE[c]
+        current = Fraction(0)
+        pending = None
+        i += 1
+    total += current + (pending if pending is not None else 0)
+    # exact decimal rendering with trailing fraction zeros trimmed
+    num, den = total.numerator, total.denominator
+    if den == 1:
+        return str(num)
+    k = 0
+    while den % 10 == 0:
+        den //= 10
+        k += 1
+    if den != 1:          # not a power of ten — cannot happen with base-10 input
+        return None
+    txt = str(num).rjust(k + 1, "0")
+    whole, fracpart = txt[:-k], txt[-k:].rstrip("0")
+    return whole + ("." + fracpart if fracpart else "")
+
+
+def japanese_number_filter(tokens: list[str]) -> list[str]:
+    """Token-stream form: adjacent numeral tokens concatenate and normalize
+    (JapaneseNumberFilter composes split numerals like １０ / 万 back into
+    one value); non-numeral tokens pass through."""
+    out: list[str] = []
+    i, n = 0, len(tokens)
+    while i < n:
+        if tokens[i] and all(c in JA_NUMERAL_CHARS for c in tokens[i]):
+            j = i
+            while j < n and tokens[j] and all(
+                    c in JA_NUMERAL_CHARS for c in tokens[j]):
+                j += 1
+            joined = "".join(tokens[i:j])
+            norm = parse_japanese_number(joined)
+            out.append(norm if norm is not None else joined)
+            i = j
+        else:
+            out.append(tokens[i])
+            i += 1
+    return out
+
+
 class JapaneseAnalyzer:
     """Analyzer-interface wrapper (duck-typed against analysis.Analyzer:
     ``analyze_text(text) -> (tokens, positions)``) for RoutingAnalyzer

@@ -99,3 +99,59 @@ def test_routing_kana_vs_han():
     assert toks == ["関西", "国際", "空港", "行く"]
     toks, _ = ra.analyze_text("这是一个测试")       # Han only → CJK bigrams
     assert toks == ["这是", "是一", "一个", "个测", "测试"]
+
+
+def test_iteration_mark_reference_goldens():
+    # TestJapaneseIterationMarkCharFilter.java:73-131 (keywordAnalyzer
+    # column = the raw char-filter output)
+    from lucene_spark.ja import iteration_mark_normalize as f
+
+    for s, want in [
+        ("時々", "時時"), ("馬鹿々々しい", "馬鹿馬鹿しい"),
+        ("ミスヾ", "ミスズ"), ("おゝの", "おおの"), ("みすゞ", "みすず"),
+        ("じゞ", "じじ"), ("じゝ", "じし"), ("ところゞゝゝ", "ところどころ"),
+        ("abcところゝゝゝゝ", "abcところcところ"),
+        ("abcところゞゝゝゝ", "abcところcところ"),
+        ("ところゞゝゝゞゝゞ", "ところどころゞゝゞ"),
+        ("々", "々"), ("ゞ", "ゞ"), ("ゞゝ", "ゞゝ"),
+        ("。ゝ", "。ゝ"), ("。。ゝゝ", "。。ゝゝ"), ("？ゝ", "？？"),
+    ]:
+        assert f(s) == want, s
+        assert len(f(s)) == len(s)      # 1:1 mapping — offsets preserved
+
+
+def test_japanese_number_reference_goldens():
+    # TestJapaneseNumberFilter.java:88-239
+    from lucene_spark.ja import parse_japanese_number as p
+
+    for s, want in [
+        ("3", "3"), ("３", "3"), ("三", "3"), ("〇三", "3"), ("００３", "3"),
+        ("千", "1000"), ("1千", "1000"), ("一千", "1000"),
+        ("一〇〇〇", "1000"), ("１０百", "1000"),
+        ("三五七八九", "35789"), ("六百二万五千一", "6025001"),
+        ("兆六百万五千一", "1000006005001"),
+        ("十兆六百万五千一", "10000006005001"),
+        ("一京一", "10000000000000001"), ("十京十", "100000000000000010"),
+        ("垓京兆億万千百十一", "100010001000100011111"),
+        ("三千2百２十三", "3223"), ("３２二三", "3223"),
+        ("十十", "20"), ("百百百", "300"), ("千千千千", "4000"),
+        ("〇一二三四五六七八九九八七六五四三二一〇", "1234567899876543210"),
+        ("〇〇七", "7"), ("〇〇", "0"),
+        ("１．２万３４５．６７", "12345.67"), ("３．２千", "3200"),
+        ("4,647", "4647"), ("4,647.0010", "4647.001"), ("15,7", "157"),
+        ("1000.1000", "1000.1"), ("1000.0000", "1000"),
+        ("十万二千五百", "102500"), ("１０万", "100000"),
+        ("６００万", "6000000"), ("100万", "1000000"),
+    ]:
+        assert p(s) == want, s
+    assert p("abc") is None
+    assert p("") is None
+
+
+def test_japanese_number_token_stream():
+    from lucene_spark.ja import japanese_number_filter
+
+    assert japanese_number_filter(["１０", "万"]) == ["100000"]
+    assert japanese_number_filter(["-", "100", "万"]) == ["-", "1000000"]
+    assert japanese_number_filter(["ワイン", "十", "万", "円"]) == [
+        "ワイン", "100000", "円"]
