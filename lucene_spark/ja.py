@@ -417,18 +417,16 @@ JA_NUMERAL_CHARS = (set(_JN_DIGITS) | set(_JN_MID) | set(_JN_LARGE)
                     | _JN_POINT | _JN_SEP)
 
 
-def parse_japanese_number(s: str) -> str | None:
-    """Normalize a Japanese numeral string to its decimal value
-    (JapaneseNumberFilter.java's grammar): kanji/ASCII/full-width digit
-    literals, mid powers 十/百/千 (coefficient defaults to 1, groups SUM —
-    十十 = 20), large powers 万/億/兆/京/垓 closing a group (empty group =
-    coefficient 1: 垓京兆億万千百十一 = 100010001000100011111), thousand
-    separators stripped, decimal literals exact (３．２千 = 3200,
-    trailing fraction zeros trimmed).  Returns None when ``s`` is not
-    entirely a numeral."""
+def _parse_cjk_number(s: str, digits: dict, mid: dict, large: dict,
+                      charset: set) -> str | None:
+    """Shared numeral grammar core for the kuromoji JapaneseNumberFilter
+    and nori KoreanNumberFilter (identical grammar, different char sets):
+    digit literals, mid powers (coefficient defaults to 1, groups SUM),
+    large powers closing a group (empty group = coefficient 1), thousand
+    separators stripped, exact decimals with trailing zeros trimmed."""
     from fractions import Fraction
 
-    if not s or any(c not in JA_NUMERAL_CHARS for c in s):
+    if not s or any(c not in charset for c in s):
         return None
     total = Fraction(0)
     current = Fraction(0)
@@ -436,9 +434,9 @@ def parse_japanese_number(s: str) -> str | None:
     i, n = 0, len(s)
     while i < n:
         c = s[i]
-        if c in _JN_DIGITS or c in _JN_POINT or c in _JN_SEP:
+        if c in digits or c in _JN_POINT or c in _JN_SEP:
             digs, frac = [], None
-            while i < n and (s[i] in _JN_DIGITS or s[i] in _JN_POINT
+            while i < n and (s[i] in digits or s[i] in _JN_POINT
                              or s[i] in _JN_SEP):
                 if s[i] in _JN_SEP:
                     i += 1          # thousand separator (kuromoji strips it)
@@ -449,7 +447,7 @@ def parse_japanese_number(s: str) -> str | None:
                     frac = []
                     i += 1
                     continue
-                (digs if frac is None else frac).append(_JN_DIGITS[s[i]])
+                (digs if frac is None else frac).append(digits[s[i]])
                 i += 1
             if not digs and not frac:
                 return None
@@ -461,8 +459,8 @@ def parse_japanese_number(s: str) -> str | None:
                 return None         # two adjacent literals never happens
             pending = val
             continue
-        if c in _JN_MID:
-            current += (pending if pending is not None else 1) * _JN_MID[c]
+        if c in mid:
+            current += (pending if pending is not None else 1) * mid[c]
             pending = None
             i += 1
             continue
@@ -470,7 +468,7 @@ def parse_japanese_number(s: str) -> str | None:
         group = current + (pending if pending is not None else 0)
         if group == 0:
             group = Fraction(1)
-        total += group * _JN_LARGE[c]
+        total += group * large[c]
         current = Fraction(0)
         pending = None
         i += 1
@@ -488,6 +486,18 @@ def parse_japanese_number(s: str) -> str | None:
     txt = str(num).rjust(k + 1, "0")
     whole, fracpart = txt[:-k], txt[-k:].rstrip("0")
     return whole + ("." + fracpart if fracpart else "")
+
+
+def parse_japanese_number(s: str) -> str | None:
+    """Normalize a Japanese numeral string to its decimal value
+    (JapaneseNumberFilter.java's grammar): kanji/ASCII/full-width digit
+    literals, mid powers 十/百/千 (coefficient defaults to 1, groups SUM —
+    十十 = 20), large powers 万/億/兆/京/垓 closing a group (empty group =
+    coefficient 1: 垓京兆億万千百十一 = 100010001000100011111), thousand
+    separators stripped, decimal literals exact (３．２千 = 3200).
+    Returns None when ``s`` is not entirely a numeral."""
+    return _parse_cjk_number(s, _JN_DIGITS, _JN_MID, _JN_LARGE,
+                             JA_NUMERAL_CHARS)
 
 
 def japanese_number_filter(tokens: list[str]) -> list[str]:

@@ -172,6 +172,31 @@ def ko_tokenize(text: str, decompound: str = "discard") -> list[KoToken]:
     return toks
 
 
+# --- KoreanNumberFilter (nori KoreanNumberFilter.java) ----------------------
+# identical grammar to the kuromoji number filter, hangul char sets
+
+_KN_DIGITS = {**{chr(ord("0") + d): d for d in range(10)},
+              **{chr(ord("０") + d): d for d in range(10)},
+              "영": 0, "일": 1, "이": 2, "삼": 3, "사": 4,
+              "오": 5, "육": 6, "칠": 7, "팔": 8, "구": 9}
+_KN_MID = {"십": 10, "백": 100, "천": 1000}
+_KN_LARGE = {"만": 10 ** 4, "억": 10 ** 8, "조": 10 ** 12,
+             "경": 10 ** 16, "해": 10 ** 20}
+KO_NUMERAL_CHARS = (set(_KN_DIGITS) | set(_KN_MID) | set(_KN_LARGE)
+                    | {".", "．", ",", "，"})
+
+
+def parse_korean_number(s: str) -> str | None:
+    """KoreanNumberFilter.java's numeral grammar — hangul digits 영…구,
+    mid powers 십/백/천 (dumb-sum: 십십 = 20), large powers 만/억/조/경/해
+    with implicit-1 groups (해경조억만천백십일 = 100010001000100011111),
+    separators and exact decimals — via the shared grammar core."""
+    from .ja import _parse_cjk_number
+
+    return _parse_cjk_number(s, _KN_DIGITS, _KN_MID, _KN_LARGE,
+                             KO_NUMERAL_CHARS)
+
+
 def ko_analyze(text: str) -> list[str]:
     """KoreanAnalyzer chain (KoreanAnalyzer.java: tokenizer(DISCARD) →
     KoreanPartOfSpeechStopFilter(default tags) → lowercase)."""

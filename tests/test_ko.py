@@ -62,3 +62,26 @@ def test_routing_hangul_detection():
     assert toks == ["関西", "国際", "空港", "行く"]
     toks, _ = ra.analyze_text("这是一个测试")               # Han → cjk
     assert toks == ["这是", "是一", "一个", "个测", "测试"]
+
+
+def test_korean_number_reference_goldens():
+    # TestKoreanNumberFilter.java:120-176
+    from lucene_spark.ko import parse_korean_number as p
+
+    for s, want in [
+        ("3", "3"), ("３", "3"), ("삼", "3"), ("03", "3"), ("영삼", "3"),
+        ("영영삼", "3"),
+        ("천", "1000"), ("1천", "1000"), ("일천", "1000"),
+        ("일영영영", "1000"), ("１０백", "1000"),
+        ("삼오칠팔구", "35789"), ("육백이만오천일", "6025001"),
+        ("조육백만오천일", "1000006005001"),
+        ("십조육백만오천일", "10000006005001"),
+        ("일경일", "10000000000000001"), ("십경십", "100000000000000010"),
+        ("해경조억만천백십일", "100010001000100011111"),
+        ("삼천2백２십삼", "3223"), ("３２이삼", "3223"),
+        ("십십", "20"), ("백백백", "300"), ("천천천천", "4000"),
+        ("영일이삼사오육칠팔구구팔칠육오사삼이일영", "1234567899876543210"),
+        ("십만이천오백", "102500"), ("600만", "6000000"), ("백만", "1000000"),
+    ]:
+        assert p(s) == want, s
+    assert p("가나다") is None
