@@ -138,6 +138,10 @@ JA_LEXICON: dict[str, tuple[str, int, str | None]] = {
     "根こそぎ": ("副詞-一般", 3200, None),
     "高い": ("形容詞-自立", 3000, "高い"),
     "そして": ("接続詞", 2000, None),
+    # reading-form test vocabulary
+    "今夜": ("名詞-副詞可能", 3000, None),
+    "先生": ("名詞-一般", 3000, None),
+    "話し": ("動詞-自立", 3000, "話す"), "話す": ("動詞-自立", 3000, "話す"),
     # katakana nouns (exercise the lexicon-vs-unknown-run duel and the
     # katakana stem filter)
     "シニア": ("名詞-一般", 3000, None),
@@ -400,6 +404,110 @@ def iteration_mark_normalize(text: str) -> str:
                 out.append(ch)
         i = j
     return "".join(out)
+
+
+# --- JapaneseReadingFormFilter (kuromoji JapaneseReadingFormFilter.java) ----
+# readings for the curated lexicon (the ReadingAttribute kuromoji's
+# dictionary rows carry); katakana surfaces read as themselves, tokens
+# without a reading keep their surface (the filter's null-reading rule)
+
+JA_READINGS: dict[str, str] = {
+    "今夜": "コンヤ", "先生": "センセイ", "話し": "ハナシ", "話す": "ハナス",
+    "は": "ハ", "と": "ト", "た": "タ", "の": "ノ", "に": "ニ",
+    "が": "ガ", "を": "ヲ", "で": "デ", "も": "モ", "本": "ホン",
+    "東京": "トウキョウ", "京都": "キョウト", "大学": "ダイガク",
+    "関西": "カンサイ", "国際": "コクサイ", "空港": "クウコウ",
+    "成田": "ナリタ", "奈良": "ナラ", "日本": "ニッポン",
+    "経済": "ケイザイ", "新聞": "シンブン", "数学": "スウガク",
+    "行っ": "イッ", "行く": "イク", "する": "スル", "し": "シ",
+    "これ": "コレ", "それ": "ソレ", "ない": "ナイ",
+}
+
+_ROMAJI = {
+    "ア": "a", "イ": "i", "ウ": "u", "エ": "e", "オ": "o",
+    "カ": "ka", "キ": "ki", "ク": "ku", "ケ": "ke", "コ": "ko",
+    "サ": "sa", "シ": "shi", "ス": "su", "セ": "se", "ソ": "so",
+    "タ": "ta", "チ": "chi", "ツ": "tsu", "テ": "te", "ト": "to",
+    "ナ": "na", "ニ": "ni", "ヌ": "nu", "ネ": "ne", "ノ": "no",
+    "ハ": "ha", "ヒ": "hi", "フ": "fu", "ヘ": "he", "ホ": "ho",
+    "マ": "ma", "ミ": "mi", "ム": "mu", "メ": "me", "モ": "mo",
+    "ヤ": "ya", "ユ": "yu", "ヨ": "yo",
+    "ラ": "ra", "リ": "ri", "ル": "ru", "レ": "re", "ロ": "ro",
+    "ワ": "wa", "ヰ": "i", "ヱ": "e", "ヲ": "o",
+    "ガ": "ga", "ギ": "gi", "グ": "gu", "ゲ": "ge", "ゴ": "go",
+    "ザ": "za", "ジ": "ji", "ズ": "zu", "ゼ": "ze", "ゾ": "zo",
+    "ダ": "da", "ヂ": "ji", "ヅ": "zu", "デ": "de", "ド": "do",
+    "バ": "ba", "ビ": "bi", "ブ": "bu", "ベ": "be", "ボ": "bo",
+    "パ": "pa", "ピ": "pi", "プ": "pu", "ペ": "pe", "ポ": "po",
+    "ヴ": "v",
+}
+_ROMAJI_SMALL = {"ャ": "ya", "ュ": "yu", "ョ": "yo",
+                 "ァ": "a", "ィ": "i", "ゥ": "u", "ェ": "e", "ォ": "o"}
+
+
+def romanize(katakana: str) -> str:
+    """Katakana → romaji (kuromoji ToStringUtil.getRomanization's shape:
+    Hepburn-like digraphs — キャ → kya, シャ → sha; ッ doubles the next
+    consonant; ン → n, with an apostrophe before a following vowel or y;
+    the prolonged mark ー drops)."""
+    out: list[str] = []
+    i, n = 0, len(katakana)
+    geminate = False
+    while i < n:
+        c = katakana[i]
+        if c == "ー":
+            i += 1
+            continue
+        if c == "ッ":
+            geminate = True
+            i += 1
+            continue
+        if c == "ン":
+            nxt = _ROMAJI.get(katakana[i + 1], "") if i + 1 < n else ""
+            out.append("n'" if nxt and nxt[0] in "aiueoy" else "n")
+            i += 1
+            continue
+        syl = _ROMAJI.get(c)
+        if syl is None:
+            out.append(c)
+            i += 1
+            continue
+        if i + 1 < n and katakana[i + 1] in _ROMAJI_SMALL:
+            small = _ROMAJI_SMALL[katakana[i + 1]]
+            if small.startswith("y") and len(syl) == 2 and syl[1] == "i":
+                # キ+ャ → kya; シ(shi)+ャ → sha; チ(chi)+ャ → cha; ジ+ャ → ja
+                head = syl[:-1]
+                if head in ("sh", "ch"):
+                    syl = head + small[1:]
+                elif head == "j":
+                    syl = "j" + small[1:]
+                else:
+                    syl = head + small
+            else:
+                syl = syl[:-1] + small[-1]
+            i += 1
+        if geminate and syl and syl[0] not in "aiueo":
+            out.append(syl[0])
+            geminate = False
+        out.append(syl)
+        i += 1
+    return "".join(out)
+
+
+def reading_form(tokens: list[JaToken], use_romaji: bool = False) -> list[str]:
+    """JapaneseReadingFormFilter: replace each token with its reading —
+    the lexicon reading when known, the surface itself when it is already
+    katakana, else the surface unchanged (null-reading rule);
+    ``use_romaji`` romanizes the reading."""
+    out = []
+    for t in tokens:
+        r = JA_READINGS.get(t.surface)
+        if r is None and all(_char_class(c) == "katakana" or c == "ー"
+                             for c in t.surface):
+            r = t.surface
+        r = r if r is not None else t.surface
+        out.append(romanize(r).lower() if use_romaji else r)
+    return out
 
 
 # --- JapaneseNumberFilter (kuromoji JapaneseNumberFilter.java) --------------

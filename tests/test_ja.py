@@ -155,3 +155,25 @@ def test_japanese_number_token_stream():
     assert japanese_number_filter(["-", "100", "万"]) == ["-", "1000000"]
     assert japanese_number_filter(["ワイン", "十", "万", "円"]) == [
         "ワイン", "100000", "円"]
+
+
+def test_reading_form_reference_goldens():
+    # TestJapaneseReadingFormFilter.java:66-96
+    from lucene_spark.ja import ja_tokenize, reading_form
+
+    toks = ja_tokenize("今夜はロバート先生と話した")
+    assert reading_form(toks) == [
+        "コンヤ", "ハ", "ロバート", "センセイ", "ト", "ハナシ", "タ"]
+    assert reading_form(toks, use_romaji=True) == [
+        "kon'ya", "ha", "robato", "sensei", "to", "hanashi", "ta"]
+
+
+def test_romanize_digraphs_and_gemination():
+    from lucene_spark.ja import romanize
+
+    assert romanize("キャット") == "kyatto"
+    assert romanize("シャシン") == "shashin"
+    assert romanize("ジョジョ") == "jojo"
+    assert romanize("チャチ") == "chachi"
+    assert romanize("ニッポン") == "nippon"
+    assert romanize("トウキョウ") == "toukyou"
