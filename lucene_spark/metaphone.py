@@ -460,7 +460,6 @@ def _handle_s(st: _State):
 
 
 def _handle_t(st: _State):
-    w = st.w
     if st.s(st.i, 4) == "TION" or st.s(st.i, 3) in ("TIA", "TCH"):
         st.add("X")
         st.i += 3
