@@ -153,6 +153,44 @@ def _shape_rel_preds(mnla: float, mxla: float, mnlo: float, mxlo: float):
     return inter, f"({within})", contains
 
 
+# word list + patterns for the ft_regexp_ops gate (engine and oracle both
+# derive their answers from these — the oracle via DuckDB regexp functions)
+_REGEXP_OPS_WORDS = (
+    "testing", "tester", "tested", "retest", "contest", "toast",
+    "word", "work", "worm", "item1", "item27", "item007", "item99",
+    "item100", "wand",
+)
+_REGEXP_OPS_PATTERNS = (
+    "test.*&.*ing",        # intersection
+    "wor(d|k)|toast",      # union + group
+    "test.*&~(testing)",   # whole-branch complement
+    "item<2-99>",          # numeric interval (leading zeros accepted)
+)
+
+
+def _regexp_ops_oracle_sql() -> str:
+    words = ", ".join(f"('{w}')" for w in sorted(set(_REGEXP_OPS_WORDS)))
+    return f"""
+WITH words(term) AS (SELECT * FROM (VALUES {words})),
+q0 AS (SELECT 0 AS qid, term FROM words
+       WHERE regexp_full_match(term, 'test.*')
+         AND regexp_full_match(term, '.*ing')),
+q1 AS (SELECT 1, term FROM words
+       WHERE regexp_full_match(term, 'wor(d|k)')
+          OR regexp_full_match(term, 'toast')),
+q2 AS (SELECT 2, term FROM words
+       WHERE regexp_full_match(term, 'test.*')
+         AND NOT regexp_full_match(term, 'testing')),
+q3 AS (SELECT 3, term FROM words
+       WHERE regexp_full_match(term, 'item(\\d+)')
+         AND CAST(regexp_extract(term, '^item(\\d+)$', 1) AS BIGINT)
+             BETWEEN 2 AND 99)
+SELECT CAST(qid AS BIGINT) AS qid, term FROM (
+  SELECT * FROM q0 UNION ALL SELECT * FROM q1
+  UNION ALL SELECT * FROM q2 UNION ALL SELECT * FROM q3)
+ORDER BY qid, term"""
+
+
 _SHAPE_BIG_BOX = (-5.3, 6.7, -8.3, 9.7)
 _SHAPE_SMALL_BOX = (16.95, 17.65, -19.2, -18.4)
 
@@ -2038,6 +2076,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return match_any_docs(idx, expand_terms(idx, like="%er%")).select(
             F.col("docid").alias("doc_id")
         )
+
+    def ft_regexp_ops(spark, sf):
+        # Lucene-RegExp-only operators compiled to Catalyst
+        # (search.lucene_regexp_predicate; RegExp.java:1159-1205 grammar):
+        # intersection, whole-branch complement, union, and the numeric
+        # interval with makeDecimalInterval leading-zero semantics — the
+        # expanded TERM SETS are the output and the DuckDB twin computes
+        # the same sets from the same word list with regexp/boolean/cast
+        # equivalents (a semantic twin, not a golden)
+        from lucene_spark.index import build_index
+
+        pages = spark.createDataFrame(
+            [("u1", " ".join(_REGEXP_OPS_WORDS))], "url string, text string")
+        idx = build_index(spark, pages)
+        rows = []
+        for qid, pat in enumerate(_REGEXP_OPS_PATTERNS):
+            for t in expand_terms(idx, rlike=pat):
+                rows.append((qid, t))
+        return spark.createDataFrame(rows, "qid long, term string") \
+                    .orderBy("qid", "term")
 
     def ft_fuzzy(spark, sf):
         # FuzzyQuery with transpositions=false (plain Levenshtein — the
@@ -4279,6 +4337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (h) NEW round-4 families queue after the round-5 head block:
         ft_snowball, ft_shape_polygon, ft_shape_line, ft_icu_fold,
         ft_ja_analyze, ft_double_metaphone, ft_ko_analyze, ft_ja_number,
+        ft_regexp_ops,
         # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
         # still oracle-checked every run by tests/test_entry_gate.py ----
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -5368,6 +5427,7 @@ SELECT sid, pos, token FROM (VALUES
   (6, 0, 'the'), (6, 1, 'quick'), (6, 2, 'brown'), (6, 3, 'fox'),
   (7, 0, 'spark'), (7, 1, '検索')) AS t(sid, pos, token)
 ORDER BY sid, pos""",
+        "ft_regexp_ops": _regexp_ops_oracle_sql(),
         "ft_ja_number": """
 SELECT i, norm FROM (VALUES (CAST(0 AS BIGINT), '6025001'),
   (1, '100010001000100011111'), (2, '12345.67'), (3, '4647'), (4, '20'),

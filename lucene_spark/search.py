@@ -2637,38 +2637,163 @@ def more_like_this(
 
 MAX_EXPANSIONS = 1024  # IndexSearcher max clause count (IndexSearcher.java:97)
 
-_LUCENE_REGEXP_INTERVAL = re.compile(r"<\d+-\d+>")
+_LUCENE_REGEXP_INTERVAL = re.compile(r"<(\d+)-(\d+)>")
 
 
-def _reject_lucene_regexp_ops(pattern: str) -> None:
-    """Refuse the Lucene-RegExp-only operators this engine does not
-    implement, instead of silently mis-matching them as literal chars.
+def _regexp_split_top(pattern: str, sep: str) -> list[str]:
+    """Split on an unescaped ``sep`` at nesting depth 0 (outside groups
+    and character classes)."""
+    parts, cur = [], []
+    depth, in_cls = 0, False
+    i, n = 0, len(pattern)
+    while i < n:
+        c = pattern[i]
+        if c == "\\" and i + 1 < n:
+            cur.append(pattern[i:i + 2])
+            i += 2
+            continue
+        if in_cls:
+            if c == "]":
+                in_cls = False
+        elif c == "[":
+            in_cls = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+            i += 1
+            continue
+        cur.append(c)
+        i += 1
+    parts.append("".join(cur))
+    return parts
 
-    Lucene's regexp syntax (util/automaton/RegExp.java class javadoc) adds
-    intersection ``&`` (INTERSECTION flag), complement ``~`` (COMPLEMENT)
-    and numeric intervals ``<n-m>`` (INTERVAL) on top of the common core.
-    ``expand_terms`` evaluates regexps with the JVM's ``rlike``, where
-    ``&``/``~`` are ordinary literals and ``<n-m>`` never parses — a query
-    written against Lucene semantics would silently match nothing (or the
-    wrong terms).  An unescaped occurrence therefore raises; escape the
-    char (``\\&``) to match it literally, exactly as Lucene users must do
-    when those syntax flags are enabled."""
-    for i, ch in enumerate(pattern):
-        if ch in "&~" and not _is_escaped(pattern, i):
+
+def _regexp_is_single_element(s: str) -> bool:
+    """True when ``s`` is ONE regex element (a group, a char class, or a
+    single char — optionally with one trailing quantifier), so a leading
+    ``~`` applied to it covers the whole branch."""
+    if not s:
+        return False
+    i = 0
+    if s[0] == "(":
+        depth = 0
+        while i < len(s):
+            if s[i] == "\\":
+                i += 2
+                continue
+            if s[i] == "(":
+                depth += 1
+            elif s[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    i += 1
+                    break
+            i += 1
+    elif s[0] == "[":
+        while i < len(s):
+            if s[i] == "\\":
+                i += 2
+                continue
+            if s[i] == "]" and i > 0:
+                i += 1
+                break
+            i += 1
+    elif s[0] == "\\":
+        i = 2
+    else:
+        i = 1
+    rest = s[i:]
+    return rest == "" or re.fullmatch(r"[?*+]|\{\d+(,\d*)?\}", rest) is not None
+
+
+def _regexp_branch_predicate(col: Column, branch: str) -> Column:
+    """One intersection branch → a Catalyst predicate: anchored whole-term
+    rlike, with Lucene numeric intervals ``<n-m>`` translated to capture
+    groups checked via BIGINT casts (the makeDecimalInterval semantics —
+    any number of leading zeros, value within [n, m]; Automata.java:
+    445-457), and a branch-spanning leading ``~`` as NOT-match."""
+    neg = False
+    if branch.startswith("~"):
+        operand = branch[1:]
+        if not _regexp_is_single_element(operand):
             raise ValueError(
-                f"Lucene RegExp operator '{ch}' (at {i}) is not supported: "
-                "this engine evaluates regexps with RE2/Java semantics where "
-                f"'{ch}' is a literal. Escape it as '\\{ch}' to match "
-                "literally; intersection/complement must be rewritten as "
-                "separate boolean clauses."
+                "Lucene RegExp '~' mid-concatenation is not supported: "
+                "complement binds to the next element (RegExp.java "
+                "parseComplExp) and a complemented sub-language inside a "
+                "concatenation needs an automaton. Supported: '~' applied "
+                "to a whole branch, e.g. 'abc&~(ab.*)'."
             )
-    m = _LUCENE_REGEXP_INTERVAL.search(pattern)
-    if m is not None and not _is_escaped(pattern, m.start()):
+        neg = True
+        branch = operand
+    elif any(c == "~" and not _is_escaped(branch, i)
+             for i, c in enumerate(branch)):
         raise ValueError(
-            f"Lucene RegExp numeric interval '{m.group(0)}' (at {m.start()}) "
-            "is not supported: rewrite as an explicit digit-range regex or "
-            "use a TermRangeQuery (lower=/upper=)."
+            "Lucene RegExp '~' mid-concatenation is not supported; "
+            "escape it ('\\~') to match a literal tilde or move the "
+            "complement to a whole intersection branch."
         )
+    # make user groups non-capturing so interval capture indices are stable
+    out, i, n = [], 0, len(branch)
+    while i < n:
+        c = branch[i]
+        if c == "\\" and i + 1 < n:
+            out.append(branch[i:i + 2])
+            i += 2
+            continue
+        if c == "(" and not branch.startswith("(?", i):
+            out.append("(?:")
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    converted = "".join(out)
+    bounds: list[tuple[int, int]] = []
+
+    def _iv(m: "re.Match") -> str:
+        bounds.append((int(m.group(1)), int(m.group(2))))
+        return r"(\d+)"
+
+    converted = _LUCENE_REGEXP_INTERVAL.sub(_iv, converted)
+    anchored = f"^(?:{converted})$"
+    pred = col.rlike(anchored)
+    for k, (lo, hi) in enumerate(bounds, start=1):
+        if lo > hi:
+            raise ValueError(f"invalid interval <{lo}-{hi}>: min > max")
+        g = F.regexp_extract(col, anchored, k).cast("bigint")
+        pred = pred & g.between(lo, hi)
+    return (~pred) if neg else pred
+
+
+def lucene_regexp_predicate(col: Column, pattern: str) -> Column:
+    """Compile a Lucene-RegExp pattern to a Catalyst whole-term predicate
+    (RegexpQuery.java:44 matches the ENTIRE term).  Supported beyond the
+    RE2/Java core, by boolean composition at the automaton level Lucene's
+    grammar makes unambiguous (RegExp.java:1159-1205 — union lowest, then
+    intersection, then concatenation):
+
+    - union ``|`` at top level → OR of branch predicates
+    - intersection ``&`` → AND of branch predicates (``abc.*&.*xyz``)
+    - complement ``~`` spanning a whole branch → NOT (``.*a.*&~(ab.*)``);
+      a mid-concatenation complement still raises (needs an automaton)
+    - numeric interval ``<n-m>`` → digit-capture + BIGINT range check
+      (leading zeros accepted, exactly makeDecimalInterval's contract)
+    """
+    union = _regexp_split_top(pattern, "|")
+    upreds = []
+    for ubranch in union:
+        parts = _regexp_split_top(ubranch, "&")
+        p = _regexp_branch_predicate(col, parts[0])
+        for part in parts[1:]:
+            p = p & _regexp_branch_predicate(col, part)
+        upreds.append(p)
+    pred = upreds[0]
+    for p in upreds[1:]:
+        pred = pred | p
+    return pred
 
 
 def expand_terms(
@@ -2727,12 +2852,11 @@ def expand_terms(
         else:
             td = td.filter(F.col(tcol).like(like))
     if rlike is not None:
-        _reject_lucene_regexp_ops(rlike)
-        # RegexpQuery matches the ENTIRE term (the automaton accepts whole
-        # strings — RegexpQuery.java:44 builds RegExp(...).toAutomaton() and
-        # intersects it with the term dict), while Spark's rlike is an
-        # unanchored contains-match (Java Matcher.find) — so anchor.
-        td = td.filter(F.col(tcol).rlike(f"^(?:{rlike})$"))
+        # RegexpQuery matches the ENTIRE term (RegexpQuery.java:44 builds
+        # RegExp(...).toAutomaton() and intersects it with the term dict);
+        # lucene_regexp_predicate anchors and also compiles the
+        # Lucene-only |, &, ~-branch and <n-m> operators to Catalyst
+        td = td.filter(lucene_regexp_predicate(F.col(tcol), rlike))
     if fuzzy is not None:
         term, max_edits = fuzzy[0], fuzzy[1]
         prefix_len = fuzzy[2] if len(fuzzy) > 2 else 0

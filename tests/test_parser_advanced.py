@@ -161,39 +161,59 @@ def test_field_name_unescaped():
     assert parse_query(r"a\:b:foo", fields=()) == ("match_none",)
 
 
-class TestLuceneRegexpOperatorRejection:
-    """Unsupported Lucene-RegExp operators must raise, not silently
-    mis-match via RE2/Java literal semantics (RegExp.java syntax flags
-    INTERSECTION '&', COMPLEMENT '~', INTERVAL '<n-m>')."""
+class TestLuceneRegexpOperators:
+    """Lucene-RegExp operators compile to Catalyst predicates where the
+    grammar is unambiguous (union/intersection/whole-branch complement/
+    numeric interval); a mid-concatenation complement still raises."""
 
-    def test_intersection_rejected(self):
+    def test_mid_concat_complement_rejected(self):
         import pytest
-        from lucene_spark.search import _reject_lucene_regexp_ops
-        with pytest.raises(ValueError, match="'&'"):
-            _reject_lucene_regexp_ops("abc&def")
+        from pyspark.sql import functions as F
+        from lucene_spark.search import lucene_regexp_predicate
+        with pytest.raises(ValueError, match="mid-concatenation"):
+            lucene_regexp_predicate(F.col("t"), "ab~cd")
 
-    def test_complement_rejected(self):
+    def test_whole_branch_complement_builds(self):
+        from pyspark.sql import functions as F
+        from lucene_spark.search import lucene_regexp_predicate
+        lucene_regexp_predicate(F.col("t"), "~(abc)")
+        lucene_regexp_predicate(F.col("t"), ".*a.*&~(ab.*)")
+
+    def test_escaped_ops_are_literal(self):
+        from pyspark.sql import functions as F
+        from lucene_spark.search import lucene_regexp_predicate
+        lucene_regexp_predicate(F.col("t"), r"abc\&def")
+        lucene_regexp_predicate(F.col("t"), r"\~abc")
+
+    def test_invalid_interval_rejected(self):
         import pytest
-        from lucene_spark.search import _reject_lucene_regexp_ops
-        with pytest.raises(ValueError, match="'~'"):
-            _reject_lucene_regexp_ops("~abc")
+        from pyspark.sql import functions as F
+        from lucene_spark.search import lucene_regexp_predicate
+        with pytest.raises(ValueError, match="min > max"):
+            lucene_regexp_predicate(F.col("t"), "foo<9-1>")
 
-    def test_interval_rejected(self):
-        import pytest
-        from lucene_spark.search import _reject_lucene_regexp_ops
-        with pytest.raises(ValueError, match="interval"):
-            _reject_lucene_regexp_ops("foo<1-100>")
-
-    def test_escaped_ops_pass(self):
-        from lucene_spark.search import _reject_lucene_regexp_ops
-        _reject_lucene_regexp_ops(r"abc\&def")
-        _reject_lucene_regexp_ops(r"\~abc")
-        _reject_lucene_regexp_ops(r"foo\<1-100>")
-
-    def test_plain_regex_passes(self):
-        from lucene_spark.search import _reject_lucene_regexp_ops
-        _reject_lucene_regexp_ops("ab[cd]+e.*f{2,3}(g|h)?")
-        _reject_lucene_regexp_ops("<tag>")  # not a numeric interval
+    def test_regexp_operators_end_to_end(self, spark):
+        """Intersection, union, complement-branch and interval against a
+        real term dictionary."""
+        from lucene_spark.index import build_index
+        from lucene_spark.search import expand_terms
+        pages = spark.createDataFrame(
+            [("u1", "testing tester tested retest contest item1 item27 "
+                    "item99 item100 toast")],
+            "url string, text string")
+        idx = build_index(spark, pages)
+        # intersection: starts with test AND ends with ing
+        assert expand_terms(idx, rlike="test.*&.*ing") == ["testing"]
+        # union
+        assert expand_terms(idx, rlike="toast|contest") == [
+            "contest", "toast"]
+        # whole-branch complement: all test.* except testing
+        assert expand_terms(idx, rlike="test.*&~(testing)") == [
+            "tested", "tester"]
+        # numeric interval with leading-zero semantics
+        assert expand_terms(idx, rlike="item<2-99>") == ["item27", "item99"]
+        assert expand_terms(idx, rlike="item<1-100>") == [
+            "item1", "item100", "item27", "item99"]
 
     def test_regexp_whole_term_anchoring(self, spark):
         """RegexpQuery matches the entire term (RegexpQuery.java:44), so
