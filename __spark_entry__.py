@@ -3276,6 +3276,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           docid_col="doc_id", stopwords=whitespace_analyzer())
         return idx.termdict.select("term", "df", "cf").orderBy("term")
 
+    def ft_classic_analyze(spark, sf):
+        # ClassicAnalyzer (analysis/classic/ClassicTokenizerImpl.jflex:116-127
+        # grammar + ClassicFilter.java): the pre-UAX#29 StandardTokenizer —
+        # emails/hosts/NUM product codes kept whole, acronym dots stripped,
+        # possessive 's stripped.  Each doc gains a deterministic tail
+        # exercising every token type: EMAIL (src@lang.org), HOST
+        # (www.src.example.com), NUM (d-d-d), ACRONYM (U.S.A. → usa),
+        # APOSTROPHE (O'Reilly's → o'reilly), COMPANY (lang&lang).
+        from lucene_spark.tokenizers import classic_analyzer
+
+        docs = _docs(spark, sf)
+        mixed = docs.select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.col("text"),
+                F.concat("source", F.lit("@"), "lang", F.lit(".org")),
+                F.concat(F.lit("www."), "source", F.lit(".example.com")),
+                F.concat((F.col("doc_id") % 10).cast("string"), F.lit("-"),
+                         (F.col("doc_id") % 7).cast("string"), F.lit("-"),
+                         (F.col("doc_id") % 3).cast("string")),
+                F.lit("U.S.A."),
+                F.lit("O'Reilly's"),
+                F.concat("lang", F.lit("&"), "lang"),
+            ).alias("ctext"),
+        )
+        idx = build_index(spark, mixed, text_col="ctext", key_col="doc_id",
+                          docid_col="doc_id", stopwords=classic_analyzer())
+        return idx.termdict.select("term", "df", "cf").orderBy("term")
+
     def ft_path_tokens(spark, sf):
         # PathHierarchyTokenizer (analysis/common/.../path/
         # PathHierarchyTokenizer.java:110-180): '/src0/es/3' emits the
@@ -4337,7 +4367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (h) NEW round-4 families queue after the round-5 head block:
         ft_snowball, ft_shape_polygon, ft_shape_line, ft_icu_fold,
         ft_ja_analyze, ft_double_metaphone, ft_ko_analyze, ft_ja_number,
-        ft_regexp_ops,
+        ft_regexp_ops, ft_classic_analyze,
         # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
         # still oracle-checked every run by tests/test_entry_gate.py ----
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -7387,6 +7417,26 @@ WITH tok AS (
 SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
        CAST(count(*) AS BIGINT) AS cf
 FROM tok GROUP BY term ORDER BY term""",
+        "ft_classic_analyze": f"""
+WITH etoks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+efilt AS (SELECT doc_id, term FROM etoks WHERE term NOT IN ({_STOPS_SQL})),
+synth AS (
+  SELECT doc_id, unnest([
+    source || '@' || lang || '.org',
+    'www.' || source || '.example.com',
+    CAST(doc_id % 10 AS VARCHAR) || '-' || CAST(doc_id % 7 AS VARCHAR)
+      || '-' || CAST(doc_id % 3 AS VARCHAR),
+    'usa',
+    'o''reilly',
+    lang || '&' || lang
+  ]) AS term FROM documents
+),
+alltoks AS (SELECT * FROM efilt UNION ALL SELECT * FROM synth)
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS cf
+FROM alltoks GROUP BY term ORDER BY term""",
         "ft_path_tokens": """
 WITH tok AS (
   SELECT doc_id, '/' || source AS term FROM documents

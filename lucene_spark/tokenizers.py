@@ -124,6 +124,95 @@ def reverse_path_hierarchy_tokenizer(delimiter: str = "/",
     return tok
 
 
+# --- ClassicTokenizer (classic/ClassicTokenizerImpl.jflex grammar) ----------
+# Longest match wins at each position; ties break by rule priority, the
+# jflex file's order (ClassicTokenizerImpl.jflex:116-127).  ALPHANUM is
+# letters+digits minus '_' and minus the CJ ranges (jflex LETTER =
+# [:letter:] ! CJ, line 109-112); CJ chars emit one single-char token each.
+# The NUM alternation (jflex:93-98) keeps joined product codes where every
+# OTHER segment carries a digit (1-2-3, a1-b-c3) while plain slashed pairs
+# split (ac/dc).  ACRONYM_DEP (trailing-dot host like 1.2.3.) re-types to
+# HOST with the extra '.' removed (ClassicTokenizer.java:147-149).
+
+_CT_CJ = ("㄀-ㄯ぀-ゟ゠-ヿㇰ-ㇿ"
+          "㌀-㍿㐀-䶿一-鿿豈-﫿"
+          "･-ﾟ")
+_CT_ANC = rf"(?:(?![{_CT_CJ}])[^\W_])"       # ALPHANUM char (letter|digit)
+_CT_A = rf"{_CT_ANC}+"                       # ALPHANUM
+_CT_ALPHA = rf"(?:(?![{_CT_CJ}])[^\W\d_])+"  # ALPHA (letters only)
+_CT_D = rf"(?={_CT_ANC}*\d){_CT_ANC}+"       # HAS_DIGIT
+_CT_P = r"[-_/.,]"                           # punctuation joiner
+_CT_RULES = [
+    ("ALPHANUM", re.compile(_CT_A)),
+    ("APOSTROPHE", re.compile(rf"{_CT_ALPHA}(?:'{_CT_ALPHA})+")),
+    ("ACRONYM", re.compile(r"[^\W\d_]\.(?:[^\W\d_]\.)+")),
+    ("COMPANY", re.compile(rf"{_CT_ALPHA}[&@]{_CT_ALPHA}")),
+    ("EMAIL", re.compile(
+        rf"{_CT_A}(?:[-._]{_CT_A})*@{_CT_A}(?:[-.]{_CT_A})+")),
+    ("HOST", re.compile(rf"{_CT_A}(?:\.{_CT_A})+")),
+    # NUM as two branches (digits in odd / in even segments) so the rule
+    # loop's max-length pick reproduces flex longest-match exactly.
+    ("NUM", re.compile(
+        rf"{_CT_A}{_CT_P}{_CT_D}(?:{_CT_P}{_CT_A}{_CT_P}{_CT_D})*"
+        rf"(?:{_CT_P}{_CT_A})?")),
+    ("NUM", re.compile(
+        rf"{_CT_D}{_CT_P}{_CT_A}(?:{_CT_P}{_CT_D}{_CT_P}{_CT_A})*"
+        rf"(?:{_CT_P}{_CT_D})?")),
+    ("CJ", re.compile(rf"[{_CT_CJ}]")),
+    ("ACRONYM_DEP", re.compile(rf"{_CT_A}\.(?:{_CT_A}\.)+")),
+]
+
+
+def classic_tokenize(text: str, max_token_length: int = 255,
+                     with_types: bool = False):
+    """ClassicTokenizer: the pre-UAX#29 StandardTokenizer grammar — emails,
+    acronyms (U.S.A.), company names (AT&T, Excite@Home), hosts
+    (www.nutch.org, 216.239.63.104, 21.35), apostrophe words (O'Reilly),
+    digit-bearing joined products (1-2-3, a1-b-c3), CJ chars one-by-one,
+    plain alphanumerics.  Tokens longer than ``max_token_length`` are
+    discarded (ClassicTokenizer.java:141 checks the raw match length)."""
+    toks, types = [], []
+    i, n = 0, len(text)
+    while i < n:
+        best, best_type = None, None
+        for name, rx in _CT_RULES:
+            m = rx.match(text, i)
+            if m and (best is None or len(m.group(0)) > len(best)):
+                best, best_type = m.group(0), name
+        if best is None:
+            i += 1
+            continue
+        width = len(best)
+        if best_type == "ACRONYM_DEP":       # → HOST, strip the extra '.'
+            best, best_type = best[:-1], "HOST"
+        if width <= max_token_length:
+            toks.append(best)
+            types.append(best_type)
+        i += width
+    return (toks, types) if with_types else toks
+
+
+def classic_filter(token: str, token_type: str) -> str:
+    """ClassicFilter.java: strip dots from ACRONYM tokens and a trailing
+    's (apostrophe-s) from APOSTROPHE tokens."""
+    if token_type == "ACRONYM":
+        return token.replace(".", "")
+    if token_type == "APOSTROPHE" and token.lower().endswith("'s"):
+        return token[:-2]
+    return token
+
+
+def classic_analyzer(stopwords: frozenset[str] = ENGLISH_STOP_WORDS,
+                     max_token_length: int = 255) -> Analyzer:
+    """ClassicAnalyzer.java: ClassicTokenizer → ClassicFilter →
+    LowerCaseFilter → StopFilter."""
+    def tok(text: str) -> list[str]:
+        toks, types = classic_tokenize(text, max_token_length, True)
+        return [classic_filter(t, ty) for t, ty in zip(toks, types)]
+
+    return Analyzer(stopwords=stopwords, tokenizer=tok)
+
+
 def whitespace_analyzer() -> Analyzer:
     """WhitespaceAnalyzer.java: WhitespaceTokenizer, no filters, no casing."""
     return Analyzer(stopwords=frozenset(), tokenizer=whitespace_tokenize,
