@@ -1387,6 +1387,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sdf.mapInPandas(run, schema="sid long, pos int, token string") \
                   .orderBy("sid", "pos")
 
+    def ft_zh_analyze(spark, sf):
+        # smartcn-lite Chinese morphological analysis (analysis/smartcn/
+        # .../hhmm/HHMMSegmenter.java + BiSegGraph.java bigram shortest
+        # path; SmartChineseAnalyzer.java:123-134 chain).  Segmentations
+        # pinned to the reference's TestSmartChineseAnalyzer goldens in
+        # tests/test_zh.py; the VALUES oracle pins them at the gate.
+        from lucene_spark.zh import smart_chinese_analyzer
+
+        an = smart_chinese_analyzer()
+        sents = [
+            "我购买了道具和服装。", "我购买 Tests 了道具和服装1234",
+            "优素福·拉扎·吉拉尼", "中国经济发展很快",
+            "自然语言处理和搜索引擎", "Title:San",
+        ]
+        sdf = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(sents)], "sid long, text string")
+
+        def run(batches):
+            for pdf in batches:
+                rows = []
+                for sid, text in zip(pdf["sid"], pdf["text"]):
+                    for pos, tok in enumerate(an.analyze_text(text)[0]):
+                        rows.append((int(sid), pos, tok))
+                yield pd.DataFrame(rows, columns=["sid", "pos", "token"])
+
+        return sdf.mapInPandas(run, schema="sid long, pos int, token string") \
+                  .orderBy("sid", "pos")
+
     def ft_ja_number(spark, sf):
         # JapaneseNumberFilter (kuromoji JapaneseNumberFilter.java) +
         # JapaneseIterationMarkCharFilter: golden oracle — the reference's
@@ -4367,7 +4395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (h) NEW round-4 families queue after the round-5 head block:
         ft_snowball, ft_shape_polygon, ft_shape_line, ft_icu_fold,
         ft_ja_analyze, ft_double_metaphone, ft_ko_analyze, ft_ja_number,
-        ft_regexp_ops, ft_classic_analyze,
+        ft_regexp_ops, ft_classic_analyze, ft_zh_analyze,
         # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
         # still oracle-checked every run by tests/test_entry_gate.py ----
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -5456,6 +5484,19 @@ SELECT sid, pos, token FROM (VALUES
   (5, 0, 'コンピュータ'), (5, 1, '計算'),
   (6, 0, 'the'), (6, 1, 'quick'), (6, 2, 'brown'), (6, 3, 'fox'),
   (7, 0, 'spark'), (7, 1, '検索')) AS t(sid, pos, token)
+ORDER BY sid, pos""",
+        "ft_zh_analyze": """
+SELECT sid, pos, token FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(0 AS INT), '我'), (0, 1, '购买'), (0, 2, '了'),
+  (0, 3, '道具'), (0, 4, '和'), (0, 5, '服装'),
+  (1, 0, '我'), (1, 1, '购买'), (1, 2, 'test'), (1, 3, '了'),
+  (1, 4, '道具'), (1, 5, '和'), (1, 6, '服装'), (1, 7, '1234'),
+  (2, 0, '优'), (2, 1, '素'), (2, 2, '福'), (2, 3, '拉'), (2, 4, '扎'),
+  (2, 5, '吉'), (2, 6, '拉'), (2, 7, '尼'),
+  (3, 0, '中国'), (3, 1, '经济'), (3, 2, '发展'), (3, 3, '很'), (3, 4, '快'),
+  (4, 0, '自然'), (4, 1, '语言'), (4, 2, '处理'), (4, 3, '和'),
+  (4, 4, '搜索'), (4, 5, '引擎'),
+  (5, 0, 'titl'), (5, 1, 'san')) AS t(sid, pos, token)
 ORDER BY sid, pos""",
         "ft_regexp_ops": _regexp_ops_oracle_sql(),
         "ft_ja_number": """
