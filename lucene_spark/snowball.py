@@ -1,0 +1,820 @@
+"""Snowball stemmers (the SnowballFilter family) as plain Python
+``str -> str`` functions for the analyzer chain's Arrow batch path.
+
+Reference: ``analysis/common/src/java/org/tartarus/snowball/ext/*.java``
+(machine-generated from the published Snowball sources; the shipped
+revision is the pre-2021 classic algorithm set — e.g. German step 1 has
+no ``erin/erinnen`` suffixes) wired through
+``analysis/common/src/java/org/apache/lucene/analysis/snowball/
+SnowballFilter.java:47``.  Each function here is written from the
+published algorithm description at snowballstem.org (regions R1/R2/RV +
+longest-suffix groups), NOT a translation of the generated Java, and is
+parity-tested against the reference's own full test vocabularies
+(``analysis/common/src/test/.../snowball/<lang>.zip`` — 2,000
+(voc, output) pairs per language) in tests/test_snowball.py.
+
+English ("Porter2") lives in :mod:`lucene_spark.stemmers` (round-4,
+english.zip parity); the original Porter stemmer in
+:mod:`lucene_spark.filters`.
+"""
+
+from __future__ import annotations
+
+__all__ = ["SNOWBALL_STEMMERS", "snowball_stem", "snowball_analyzer"]
+
+
+def _standard_regions(word: str, vowels: str) -> tuple[int, int]:
+    """R1/R2 per the Snowball definition: R1 is the region after the first
+    non-vowel following a vowel (or the null region at the end); R2 is the
+    same definition applied inside R1."""
+    n = len(word)
+
+    # the classic scan: first vowel, then first following non-vowel
+    def scan(start: int) -> int:
+        i = start
+        while i < n and word[i] not in vowels:
+            i += 1
+        while i < n and word[i] in vowels:
+            i += 1
+        if i >= n:
+            return n
+        return i + 1
+
+    r1 = scan(0)
+    r2 = scan(r1)
+    return r1, r2
+
+
+# ---------------------------------------------------------------------------
+# German / German2 — ext/GermanStemmer.java, ext/German2Stemmer.java
+# ---------------------------------------------------------------------------
+
+_DE_VOWELS = "aeiouyäöü"
+_DE_S_ENDING = set("bdfghklmnrt")
+_DE_ST_ENDING = set("bdfghklmnt")
+
+
+def _de_prelude(word: str, german2: bool) -> str:
+    word = word.replace("ß", "ss")
+    out = []
+    i, n = 0, len(word)
+    while i < n:
+        c = word[i]
+        if german2 and c in "aou" and i + 1 < n and word[i + 1] == "e":
+            # german2 prelude: ae/oe/ue → ä/ö/ü, except ue after q or
+            # directly after a vowel (feuer, quelle keep literal ue)
+            if c == "a":
+                out.append("ä"); i += 2; continue
+            if c == "o":
+                out.append("ö"); i += 2; continue
+            prev = word[i - 1] if i > 0 else ""
+            if prev != "q" and prev not in _DE_VOWELS:
+                out.append("ü"); i += 2; continue
+        if c in ("u", "y") and 0 < i < n - 1 \
+                and word[i - 1] in _DE_VOWELS and word[i + 1] in _DE_VOWELS:
+            out.append(c.upper())
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _de_postlude(word: str) -> str:
+    return (word.replace("Y", "y").replace("U", "u")
+                .replace("ä", "a").replace("ö", "o").replace("ü", "u"))
+
+
+def _german_stem(word: str, german2: bool = False) -> str:
+    w = _de_prelude(word.lower(), german2)
+    # marked U/Y are consonants for region + suffix purposes (g_v grouping
+    # holds only the lowercase vowels)
+    r1, r2 = _standard_regions(w, _DE_VOWELS)
+    # "R1 is adjusted so that the region before it contains at least 3
+    # letters" (mark_regions: I_p1 < I_x → I_p1 = I_x with x = 3)
+    if r1 < 3:
+        r1 = 3
+
+    def in_r1(pos): return pos >= r1
+    def in_r2(pos): return pos >= r2
+
+    # step 1 (longest of em ern er | e en es | s)
+    for suf in ("ern", "em", "er"):
+        if w.endswith(suf):
+            if in_r1(len(w) - len(suf)):
+                w = w[:-len(suf)]
+            break
+    else:
+        for suf in ("en", "es", "e"):
+            if w.endswith(suf):
+                if in_r1(len(w) - len(suf)):
+                    w = w[:-len(suf)]
+                    if w.endswith("niss"):
+                        w = w[:-1]
+                break
+        else:
+            if w.endswith("s") and in_r1(len(w) - 1) \
+                    and len(w) >= 2 and w[-2] in _DE_S_ENDING:
+                w = w[:-1]
+
+    # step 2 (longest of en er est | st)
+    for suf in ("est", "en", "er"):
+        if w.endswith(suf):
+            if in_r1(len(w) - len(suf)):
+                w = w[:-len(suf)]
+            break
+    else:
+        if w.endswith("st") and in_r1(len(w) - 2) and len(w) >= 6 \
+                and w[-3] in _DE_ST_ENDING:
+            w = w[:-2]
+
+    # step 3 (d-suffixes, longest of end ung | ig ik isch | lich heit | keit)
+    for suf in ("isch", "lich", "heit", "keit", "end", "ung", "ig", "ik"):
+        if not w.endswith(suf):
+            continue
+        pos = len(w) - len(suf)
+        if not in_r2(pos):
+            break
+        if suf in ("end", "ung"):
+            w = w[:-len(suf)]
+            if w.endswith("ig") and not w.endswith("eig") \
+                    and in_r2(len(w) - 2):
+                w = w[:-2]
+        elif suf in ("ig", "ik", "isch"):
+            if pos >= 1 and w[pos - 1] == "e":
+                break
+            w = w[:-len(suf)]
+        elif suf in ("lich", "heit"):
+            w = w[:-len(suf)]
+            for s2 in ("er", "en"):
+                if w.endswith(s2) and in_r1(len(w) - 2):
+                    w = w[:-2]
+                    break
+        else:  # keit
+            w = w[:-len(suf)]
+            for s2 in ("lich", "ig"):
+                if w.endswith(s2) and in_r2(len(w) - len(s2)):
+                    w = w[:-len(s2)]
+                    break
+        break
+
+    return _de_postlude(w)
+
+
+def german_stem(word: str) -> str:
+    """Snowball German (SnowballFilter(in, "German"))."""
+    return _german_stem(word, german2=False)
+
+
+def german2_stem(word: str) -> str:
+    """Snowball German2: German plus ae/oe/ue recognized as umlaut forms
+    in the prelude (ext/German2Stemmer.java)."""
+    return _german_stem(word, german2=True)
+
+
+# ---------------------------------------------------------------------------
+# Spanish — ext/SpanishStemmer.java
+# ---------------------------------------------------------------------------
+
+_ES_VOWELS = "aeiouáéíóúü"
+
+
+def _rv_roman(w: str, vowels: str) -> int:
+    """RV for the Romance languages: if the second letter is a consonant,
+    the region after the next following vowel; if the first two letters are
+    vowels, the region after the next consonant; otherwise (C-V case) the
+    region after the third letter.  End of word if not found."""
+    n = len(w)
+    if n < 3:
+        return n
+    if w[1] not in vowels:
+        i = 2
+        while i < n and w[i] not in vowels:
+            i += 1
+        return min(i + 1, n)
+    if w[0] in vowels and w[1] in vowels:
+        i = 2
+        while i < n and w[i] in vowels:
+            i += 1
+        return min(i + 1, n)
+    return 3
+
+
+def _longest_suffix(w: str, sufs) -> str | None:
+    best = None
+    for s in sufs:
+        if w.endswith(s) and (best is None or len(s) > len(best)):
+            best = s
+    return best
+
+
+def _longest_in(w: str, sufs, lim: int) -> str | None:
+    """Longest suffix lying entirely within the limit region (the Snowball
+    ``setlimit tomark pV for ([substring] among ...)`` shape: candidates
+    crossing the region boundary are invisible, NOT matched-then-failed)."""
+    best = None
+    for s in sufs:
+        if (w.endswith(s) and len(w) - len(s) >= lim
+                and (best is None or len(s) > len(best))):
+            best = s
+    return best
+
+
+_ES_PRONOUNS = ("me", "se", "sela", "selo", "selas", "selos", "la", "le",
+                "lo", "las", "les", "los", "nos")
+_ES_PRON_PRE_A = ("iéndo", "ándo", "ár", "ér", "ír")
+_ES_PRON_PRE_B = ("ando", "iendo", "ar", "er", "ir")
+_ES_STEP1 = {}
+for _s in ("anza anzas ico ica icos icas ismo ismos able ables ible ibles "
+           "ista istas oso osa osos osas amiento amientos imiento "
+           "imientos").split():
+    _ES_STEP1[_s] = "plain"
+for _s in ("adora ador ación adoras adores aciones ante antes ancia "
+           "ancias").split():
+    _ES_STEP1[_s] = "ic"
+_ES_STEP1["logía"] = _ES_STEP1["logías"] = "log"
+_ES_STEP1["ución"] = _ES_STEP1["uciones"] = "u"
+_ES_STEP1["encia"] = _ES_STEP1["encias"] = "ente"
+_ES_STEP1["amente"] = "amente"
+_ES_STEP1["mente"] = "mente"
+_ES_STEP1["idad"] = _ES_STEP1["idades"] = "idad"
+for _s in ("iva", "ivo", "ivas", "ivos"):
+    _ES_STEP1[_s] = "at"
+_ES_STEP2A = ("ya ye yan yen yeron yendo yo yó yas yes yais yamos").split()
+_ES_STEP2B_GU = ("en", "es", "éis", "emos")
+_ES_STEP2B = ("arían arías arán arás aríais aría aréis aríamos aremos ará "
+              "aré erían erías erán erás eríais ería eréis eríamos eremos "
+              "erá eré irían irías irán irás iríais iría iréis iríamos "
+              "iremos irá iré aba ada ida ía ara iera ad ed id ase iese "
+              "aste iste an aban ían aran ieran asen iesen aron ieron ado "
+              "ido ando iendo ió ar er ir as abas adas idas ías aras ieras "
+              "ases ieses ís áis abais íais arais ierais aseis ieseis "
+              "asteis isteis ados idos amos ábamos íamos imos áramos "
+              "iéramos iésemos ásemos").split()
+_ES_ACCENT = str.maketrans("áéíóú", "aeiou")
+
+
+def spanish_stem(word: str) -> str:
+    w = word.lower()
+    r1, r2 = _standard_regions(w, _ES_VOWELS)
+    rv = _rv_roman(w, _ES_VOWELS)
+
+    # step 0: attached pronoun
+    pron = _longest_in(w, _ES_PRONOUNS, rv)
+    if pron:
+        base = w[:-len(pron)]
+        pre = _longest_suffix(base, _ES_PRON_PRE_A + _ES_PRON_PRE_B
+                              + ("yendo",))
+        if pre and len(base) - len(pre) >= rv:
+            if pre in _ES_PRON_PRE_A:
+                # delete pronoun, remove the accent from the preceding form
+                w = base[:-len(pre)] + pre.translate(_ES_ACCENT)
+            elif pre == "yendo":
+                if base.endswith("uyendo"):
+                    w = base
+            else:
+                w = base
+
+    n0 = len(w)
+    # step 1: standard suffixes
+    suf = _longest_suffix(w, _ES_STEP1)
+    if suf:
+        kind = _ES_STEP1[suf]
+        pos = len(w) - len(suf)
+        if kind == "plain":
+            if pos >= r2:
+                w = w[:-len(suf)]
+        elif kind == "ic":
+            if pos >= r2:
+                w = w[:-len(suf)]
+                if w.endswith("ic") and len(w) - 2 >= r2:
+                    w = w[:-2]
+        elif kind in ("log", "u", "ente"):
+            if pos >= r2:
+                w = w[:-len(suf)] + kind
+        elif kind == "amente":
+            if pos >= r1:
+                w = w[:-6]
+                if w.endswith("iv") and len(w) - 2 >= r2:
+                    w = w[:-2]
+                    if w.endswith("at") and len(w) - 2 >= r2:
+                        w = w[:-2]
+                else:
+                    for s2 in ("os", "ic", "ad"):
+                        if w.endswith(s2) and len(w) - 2 >= r2:
+                            w = w[:-2]
+                            break
+        elif kind == "mente":
+            if pos >= r2:
+                w = w[:-5]
+                for s2 in ("ante", "able", "ible"):
+                    if w.endswith(s2) and len(w) - 4 >= r2:
+                        w = w[:-4]
+                        break
+        elif kind == "idad":
+            if pos >= r2:
+                w = w[:-len(suf)]
+                for s2 in ("abil", "ic", "iv"):
+                    if w.endswith(s2) and len(w) - len(s2) >= r2:
+                        w = w[:-len(s2)]
+                        break
+        elif kind == "at":
+            if pos >= r2:
+                w = w[:-len(suf)]
+                if w.endswith("at") and len(w) - 2 >= r2:
+                    w = w[:-2]
+
+    if len(w) == n0:
+        # step 2a: verb suffixes beginning y (only if step 1 removed nothing)
+        suf = _longest_in(w, _ES_STEP2A, rv)
+        did2a = False
+        if suf and w[:-len(suf)].endswith("u"):
+            w = w[:-len(suf)]
+            did2a = True
+        if not did2a:
+            # step 2b
+            suf = _longest_in(w, _ES_STEP2B + list(_ES_STEP2B_GU), rv)
+            if suf:
+                w = w[:-len(suf)]
+                if suf in _ES_STEP2B_GU and w.endswith("gu"):
+                    w = w[:-1]
+
+    # step 3: residual suffix
+    suf = _longest_in(w, ("os", "a", "o", "á", "í", "ó", "e", "é"), rv)
+    if suf:
+        if suf in ("e", "é"):
+            w = w[:-1]
+            if w.endswith("gu") and len(w) - 1 >= rv:
+                w = w[:-1]
+        else:
+            w = w[:-len(suf)]
+
+    return w.translate(_ES_ACCENT)
+
+
+# ---------------------------------------------------------------------------
+# Italian — ext/ItalianStemmer.java
+# ---------------------------------------------------------------------------
+
+_IT_VOWELS = "aeiouàèìòù"
+_IT_PRONOUNS = ("ci gli la le li lo mi ne si ti vi sene gliela gliele glieli "
+                "glielo gliene mela mele meli melo mene tela tele teli telo "
+                "tene cela cele celi celo cene vela vele veli velo "
+                "vene").split()
+_IT_STEP1 = {}
+for _s in ("anza anze ico ici ica ice iche ichi ismo ismi abile abili ibile "
+           "ibili ista iste isti istà istè istì oso osi osa ose mente "
+           "atrice atrici ante anti").split():
+    _IT_STEP1[_s] = "plain"
+for _s in ("azione", "azioni", "atore", "atori"):
+    _IT_STEP1[_s] = "ic"
+_IT_STEP1["logia"] = _IT_STEP1["logie"] = "log"
+for _s in ("uzione", "uzioni", "usione", "usioni"):
+    _IT_STEP1[_s] = "u"
+_IT_STEP1["enza"] = _IT_STEP1["enze"] = "ente"
+for _s in ("amento", "amenti", "imento", "imenti"):
+    _IT_STEP1[_s] = "rv"
+_IT_STEP1["amente"] = "amente"
+_IT_STEP1["ità"] = "ità"
+for _s in ("ivo", "ivi", "iva", "ive"):
+    _IT_STEP1[_s] = "at_ic"
+_IT_STEP2 = ("ammo ando ano are arono asse assero assi assimo ata ate ati "
+             "ato ava avamo avano avate avi avo emmo enda ende endi endo "
+             "erà erai eranno ere erebbe erebbero erei eremmo eremo ereste "
+             "eresti erete erò erono essero ete eva evamo evano evate evi "
+             "evo Yamo iamo immo irà irai iranno ire irebbe irebbero irei "
+             "iremmo iremo ireste iresti irete irò irono isca iscano isce "
+             "isci isco iscono issero ita ite iti ito iva ivamo ivano ivate "
+             "ivi ivo ono uta ute uti uto ar ir").split()
+_IT_PRELUDE_ACCENT = str.maketrans("áéíóú", "àèìòù")
+
+
+def _it_prelude(word: str) -> str:
+    w = word.translate(_IT_PRELUDE_ACCENT).replace("qu", "qU")
+    out = []
+    n = len(w)
+    for i, c in enumerate(w):
+        if c in ("u", "i") and 0 < i < n - 1 \
+                and w[i - 1] in _IT_VOWELS and w[i + 1] in _IT_VOWELS:
+            out.append(c.upper())
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+def italian_stem(word: str) -> str:
+    w = _it_prelude(word.lower())
+    r1, r2 = _standard_regions(w, _IT_VOWELS)
+    rv = _rv_roman(w, _IT_VOWELS)
+
+    # attached pronoun: longest pronoun (not RV-limited), then the
+    # imperative/gerund ending whose START must be in RV
+    pron = _longest_suffix(w, _IT_PRONOUNS)
+    if pron:
+        base = w[:-len(pron)]
+        pre = _longest_suffix(base, ("ando", "endo", "ar", "er", "ir"))
+        if pre and len(base) - len(pre) >= rv:
+            w = base if pre in ("ando", "endo") else base + "e"
+
+    # standard suffixes; the verb step runs only when this step FAILS
+    # (no suffix matched, or the region test on the matched one failed —
+    # a slice_from that keeps the length, enza→ente, still counts as done)
+    did_standard = False
+    suf = _longest_suffix(w, _IT_STEP1)
+    if suf:
+        kind = _IT_STEP1[suf]
+        pos = len(w) - len(suf)
+        if kind == "plain" and pos >= r2:
+            w = w[:-len(suf)]
+            did_standard = True
+        elif kind == "ic" and pos >= r2:
+            w = w[:-len(suf)]
+            did_standard = True
+            if w.endswith("ic") and len(w) - 2 >= r2:
+                w = w[:-2]
+        elif kind in ("log", "u", "ente") and pos >= r2:
+            w = w[:-len(suf)] + kind
+            did_standard = True
+        elif kind == "rv" and pos >= rv:
+            w = w[:-len(suf)]
+            did_standard = True
+        elif kind == "amente" and pos >= r1:
+            w = w[:-6]
+            did_standard = True
+            s2 = _longest_suffix(w, ("ic", "abil", "os", "iv"))
+            if s2 and len(w) - len(s2) >= r2:
+                w = w[:-len(s2)]
+                if s2 == "iv" and w.endswith("at") and len(w) - 2 >= r2:
+                    w = w[:-2]
+        elif kind == "ità" and pos >= r2:
+            w = w[:-len(suf)]
+            did_standard = True
+            for s2 in ("abil", "ic", "iv"):
+                if w.endswith(s2) and len(w) - len(s2) >= r2:
+                    w = w[:-len(s2)]
+                    break
+        elif kind == "at_ic" and pos >= r2:
+            w = w[:-len(suf)]
+            did_standard = True
+            if w.endswith("at") and len(w) - 2 >= r2:
+                w = w[:-2]
+                if w.endswith("ic") and len(w) - 2 >= r2:
+                    w = w[:-2]
+
+    if not did_standard:
+        suf = _longest_in(w, _IT_STEP2, rv)
+        if suf:
+            w = w[:-len(suf)]
+
+    # vowel suffix: final vowel in RV (then a preceding i in RV), then ch/gh
+    if w and w[-1] in "aeioàèìò" + "i" and len(w) - 1 >= rv:
+        w = w[:-1]
+        if w.endswith("i") and len(w) - 1 >= rv:
+            w = w[:-1]
+    # the RV test sits at the c/g position (in_grouping_b consumed it)
+    if (w.endswith("ch") or w.endswith("gh")) and len(w) - 2 >= rv:
+        w = w[:-1]
+
+    return w.replace("I", "i").replace("U", "u")
+
+
+# ---------------------------------------------------------------------------
+# Portuguese — ext/PortugueseStemmer.java
+# ---------------------------------------------------------------------------
+
+_PT_VOWELS = "aeiouáéíóúâêô"
+_PT_STEP1 = {}
+for _s in ("ica icas ico icos ância adora adoras ador adores osa osas oso "
+           "osos ista istas eza ezas ante antes ável ível ismo ismos "
+           "amento amentos imento imentos aça~o aço~es").split():
+    _PT_STEP1[_s] = "plain"
+_PT_STEP1["logia"] = _PT_STEP1["logias"] = "log"
+_PT_STEP1["uça~o"] = _PT_STEP1["uço~es"] = "u"
+_PT_STEP1["ência"] = _PT_STEP1["ências"] = "ente"
+_PT_STEP1["amente"] = "amente"
+_PT_STEP1["mente"] = "mente"
+_PT_STEP1["idade"] = _PT_STEP1["idades"] = "idade"
+for _s in ("iva", "ivo", "ivas", "ivos"):
+    _PT_STEP1[_s] = "at"
+_PT_STEP1["ira"] = _PT_STEP1["iras"] = "ira"
+_PT_STEP2 = ("ada ida ia aria eria iria ara era ira ava asse esse isse "
+             "aste este iste ei arei erei irei am iam ariam eriam iriam "
+             "aram eram iram avam em arem erem irem assem essem issem ado "
+             "ido ando endo indo ara~o era~o ira~o ar er ir as adas idas "
+             "ias arias erias irias aras eras iras avas es ardes erdes "
+             "irdes ares eres ires asses esses isses astes estes istes is "
+             "ais eis areis ereis ireis áreis éreis íreis ásseis ésseis "
+             "ísseis áveis íeis aríeis eríeis iríeis ados idos amos áramos "
+             "éramos íramos ávamos íamos aríamos eríamos iríamos emos "
+             "aremos eremos iremos ássemos êssemos íssemos imos armos "
+             "ermos irmos ámos arás erás irás eu iu ou ará erá irá").split()
+
+
+def portuguese_stem(word: str) -> str:
+    w = word.lower().replace("ã", "a~").replace("õ", "o~")
+    r1, r2 = _standard_regions(w, _PT_VOWELS)
+    rv = _rv_roman(w, _PT_VOWELS)
+
+    did = False
+    suf = _longest_suffix(w, _PT_STEP1)
+    if suf:
+        kind = _PT_STEP1[suf]
+        pos = len(w) - len(suf)
+        if kind == "plain" and pos >= r2:
+            w = w[:-len(suf)]
+            did = True
+        elif kind in ("log", "u", "ente") and pos >= r2:
+            w = w[:-len(suf)] + kind
+            did = True
+        elif kind == "amente" and pos >= r1:
+            w = w[:-6]
+            did = True
+            s2 = _longest_suffix(w, ("ic", "ad", "os", "iv"))
+            if s2 and len(w) - 2 >= r2:
+                w = w[:-2]
+                if s2 == "iv" and w.endswith("at") and len(w) - 2 >= r2:
+                    w = w[:-2]
+        elif kind == "mente" and pos >= r2:
+            w = w[:-5]
+            did = True
+            s2 = _longest_suffix(w, ("ante", "avel", "ível"))
+            if s2 and len(w) - len(s2) >= r2:
+                w = w[:-len(s2)]
+        elif kind == "idade" and pos >= r2:
+            w = w[:-len(suf)]
+            did = True
+            s2 = _longest_suffix(w, ("abil", "ic", "iv"))
+            if s2 and len(w) - len(s2) >= r2:
+                w = w[:-len(s2)]
+        elif kind == "at" and pos >= r2:
+            w = w[:-len(suf)]
+            did = True
+            if w.endswith("at") and len(w) - 2 >= r2:
+                w = w[:-2]
+        elif kind == "ira" and pos >= rv and w.endswith("e" + suf):
+            w = w[:-len(suf)] + "ir"
+            did = True
+
+    if not did:
+        suf = _longest_in(w, _PT_STEP2, rv)
+        if suf:
+            w = w[:-len(suf)]
+            did = True
+
+    if did:
+        # final i preceded by c, the i in RV
+        if w.endswith("ci") and len(w) - 1 >= rv:
+            w = w[:-1]
+    else:
+        # residual suffix (test-based, no shorter-suffix fallback)
+        suf = _longest_suffix(w, ("os", "a", "i", "o", "á", "í", "ó"))
+        if suf and len(w) - len(suf) >= rv:
+            w = w[:-len(suf)]
+
+    # residual form
+    if w and w[-1] in "eéê":
+        if len(w) - 1 >= rv:
+            w = w[:-1]
+            if (w.endswith("gu") or w.endswith("ci")) and len(w) - 1 >= rv:
+                w = w[:-1]
+    elif w.endswith("ç"):
+        w = w[:-1] + "c"
+
+    return w.replace("a~", "ã").replace("o~", "õ")
+
+
+# ---------------------------------------------------------------------------
+# Russian — ext/RussianStemmer.java
+# ---------------------------------------------------------------------------
+
+_RU_VOWELS = "аеиоуыэюя"
+_RU_PERF_GERUND_AY = ("в", "вши", "вшись")
+_RU_PERF_GERUND = ("ив", "ивши", "ившись", "ыв", "ывши", "ывшись")
+_RU_ADJECTIVE = ("ее ие ые ое ими ыми ей ий ый ой ем им ым ом его ого ему "
+                 "ому их ых ую юю ая яя ою ею").split()
+_RU_PARTICIPLE_AY = ("ем", "нн", "вш", "ющ", "щ")
+_RU_PARTICIPLE = ("ивш", "ывш", "ующ")
+_RU_REFLEXIVE = ("ся", "сь")
+_RU_VERB_AY = ("ла на ете йте ли й л ем н ло но ет ют ны ть ешь "
+               "нно").split()
+_RU_VERB = ("ила ыла ена ейте уйте ите или ыли ей уй ил ыл им ым ен ило "
+            "ыло ено ят ует уют ит ыт ены ить ыть ишь ую ю").split()
+_RU_NOUN = ("а ев ов ие ье е иями ями ами еи ии и ией ей ой ий й иям ям "
+            "ием ем ам ом о у ах иях ях ы ь ию ью ю ия ья я").split()
+
+
+def _ru_longest(w: str, groups, rv: int):
+    """Longest suffix within RV across (suffix, needs_ay) pairs; if the
+    winner needs а/я and lacks it, the whole step fails (no backtrack)."""
+    best, need = None, False
+    for s, n in groups:
+        if w.endswith(s) and len(w) - len(s) >= rv \
+                and (best is None or len(s) > len(best)):
+            best, need = s, n
+    if best is None:
+        return None
+    if need:
+        pos = len(w) - len(best)
+        if not (pos - 1 >= rv and w[pos - 1] in "ая"):
+            return None
+    return best
+
+
+def russian_stem(word: str) -> str:
+    w = word.lower().replace("ё", "е")
+    n = len(w)
+    # RV: after the first vowel; R2: standard second region
+    rv = n
+    for i, c in enumerate(w):
+        if c in _RU_VOWELS:
+            rv = i + 1
+            break
+    _, r2 = _standard_regions(w, _RU_VOWELS)
+
+    # main suffix removal (everything constrained within RV)
+    pg = _ru_longest(w, [(s, True) for s in _RU_PERF_GERUND_AY]
+                     + [(s, False) for s in _RU_PERF_GERUND], rv)
+    if pg:
+        w = w[:-len(pg)]
+    else:
+        refl = _ru_longest(w, [(s, False) for s in _RU_REFLEXIVE], rv)
+        if refl:
+            w = w[:-len(refl)]
+        adj = _ru_longest(w, [(s, False) for s in _RU_ADJECTIVE], rv)
+        if adj:
+            w = w[:-len(adj)]
+            part = _ru_longest(w, [(s, True) for s in _RU_PARTICIPLE_AY]
+                               + [(s, False) for s in _RU_PARTICIPLE], rv)
+            if part:
+                w = w[:-len(part)]
+        else:
+            vb = _ru_longest(w, [(s, True) for s in _RU_VERB_AY]
+                             + [(s, False) for s in _RU_VERB], rv)
+            if vb:
+                w = w[:-len(vb)]
+            else:
+                nn = _ru_longest(w, [(s, False) for s in _RU_NOUN], rv)
+                if nn:
+                    w = w[:-len(nn)]
+
+    if w.endswith("и") and len(w) - 1 >= rv:
+        w = w[:-1]
+
+    # derivational: ость/ост in R2 (and within RV)
+    der = _ru_longest(w, [("ость", False), ("ост", False)], rv)
+    if der and len(w) - len(der) >= r2:
+        w = w[:-len(der)]
+
+    # tidy up: ейше/ейш (then undouble нн), нн → н, or final ь
+    t = _ru_longest(w, [("ейше", False), ("ейш", False), ("н", False),
+                        ("ь", False)], rv)
+    if t in ("ейше", "ейш"):
+        w = w[:-len(t)]
+        if w.endswith("нн") and len(w) - 2 >= rv:
+            w = w[:-1]
+    elif t == "н":
+        if w.endswith("нн") and len(w) - 2 >= rv:
+            w = w[:-1]
+    elif t == "ь":
+        w = w[:-1]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Swedish / Norwegian / Danish — ext/{Swedish,Norwegian,Danish}Stemmer.java
+# ---------------------------------------------------------------------------
+
+_SV_VOWELS = "aeiouyäåö"
+_SV_MAIN = ("a arna erna heterna orna ad e ade ande arne are aste en anden "
+            "aren heten ern ar er heter or as arnas ernas ornas es ades "
+            "andes ens arens hetens erns at andet het ast").split()
+_SV_S_ENDING = set("bcdfghjklmnoprtvy")
+_SV_PAIRS = ("dd", "gd", "nn", "dt", "gt", "kt", "tt")
+
+_NO_VOWELS = "aeiouyæåø"
+_NO_MAIN = ("a e ede ande ende ane ene hetene en heten ar er heter as es "
+            "edes endes enes hetenes ens hetens ers ets et het ast").split()
+_NO_S_ENDING = set("bcdfghjlmnoprtvyz")
+_NO_OTHER = ("leg eleg ig eig lig elig els lov elov slov hetslov").split()
+
+_DA_VOWELS = "aeiouyæåø"
+_DA_MAIN = ("hed ethed ered e erede ende erende ene erne ere en heden eren "
+            "er heder erer heds es endes erendes enes ernes eres ens hedens "
+            "erens ers ets erets et eret").split()
+_DA_S_ENDING = set("abcdfghjklmnoprtvyzå")
+_DA_PAIRS = ("gd", "dt", "gt", "kt")
+_DA_CONSONANTS = set("bcdfghjklmnpqrstvwxz")
+
+
+def _scand_r1(w: str, vowels: str) -> int:
+    r1, _ = _standard_regions(w, vowels)
+    return max(r1, 3) if len(w) >= 3 else len(w)
+
+
+def _pair_del(w: str, pairs, r1: int) -> str:
+    """consonant_pair: the whole pair within R1 → delete the last letter."""
+    for p in pairs:
+        if w.endswith(p) and len(w) - 2 >= r1:
+            return w[:-1]
+    return w
+
+
+def swedish_stem(word: str) -> str:
+    w = word.lower()
+    r1 = _scand_r1(w, _SV_VOWELS)
+    suf = _longest_in(w, _SV_MAIN + ["s"], r1)
+    if suf == "s":
+        # the s-ending letter itself may sit before R1
+        if len(w) >= 2 and w[-2] in _SV_S_ENDING:
+            w = w[:-1]
+    elif suf:
+        w = w[:-len(suf)]
+    w = _pair_del(w, _SV_PAIRS, r1)
+    suf = _longest_in(w, ("ig", "lig", "els", "fullt", "löst"), r1)
+    if suf in ("fullt", "löst"):
+        w = w[:-1]
+    elif suf:
+        w = w[:-len(suf)]
+    return w
+
+
+def norwegian_stem(word: str) -> str:
+    w = word.lower()
+    r1 = _scand_r1(w, _NO_VOWELS)
+    suf = _longest_in(w, _NO_MAIN + ["s", "erte", "ert"], r1)
+    if suf == "s":
+        # valid s-ending, or k not preceded by a vowel (checks outside R1)
+        prev = w[-2] if len(w) >= 2 else ""
+        if prev in _NO_S_ENDING or (
+                prev == "k" and (len(w) < 3 or w[-3] not in _NO_VOWELS)):
+            w = w[:-1]
+    elif suf in ("erte", "ert"):
+        w = w[:-len(suf)] + "er"
+    elif suf:
+        w = w[:-len(suf)]
+    w = _pair_del(w, ("dt", "vt"), r1)
+    suf = _longest_in(w, _NO_OTHER, r1)
+    if suf:
+        w = w[:-len(suf)]
+    return w
+
+
+def danish_stem(word: str) -> str:
+    w = word.lower()
+    r1 = _scand_r1(w, _DA_VOWELS)
+    suf = _longest_in(w, _DA_MAIN + ["s"], r1)
+    if suf == "s":
+        if len(w) >= 2 and w[-2] in _DA_S_ENDING:
+            w = w[:-1]
+    elif suf:
+        w = w[:-len(suf)]
+    w = _pair_del(w, _DA_PAIRS, r1)
+    # other_suffix: 'st' preceded by 'ig' deleted with no region test
+    if w.endswith("igst"):
+        w = w[:-2]
+    suf = _longest_in(w, ("ig", "lig", "elig", "els", "løst"), r1)
+    if suf == "løst":
+        w = w[:-1]
+    elif suf:
+        w = w[:-len(suf)]
+        w = _pair_del(w, _DA_PAIRS, r1)
+    # undouble: final consonant in R1 doubled → drop one
+    if (len(w) >= 2 and w[-1] in _DA_CONSONANTS and w[-1] == w[-2]
+            and len(w) - 1 >= r1):
+        w = w[:-1]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# registry + analyzer factory
+# ---------------------------------------------------------------------------
+
+SNOWBALL_STEMMERS = {
+    "german": german_stem,
+    "german2": german2_stem,
+    "spanish": spanish_stem,
+    "italian": italian_stem,
+    "portuguese": portuguese_stem,
+    "russian": russian_stem,
+    "swedish": swedish_stem,
+    "norwegian": norwegian_stem,
+    "danish": danish_stem,
+}
+
+
+def snowball_stem(lang: str):
+    """SnowballFilter(in, name) analog: the stemmer callable for ``lang``."""
+    try:
+        return SNOWBALL_STEMMERS[lang.lower()]
+    except KeyError:
+        raise ValueError(
+            f"unsupported Snowball language {lang!r}; "
+            f"available: {sorted(SNOWBALL_STEMMERS)}") from None
+
+
+def snowball_analyzer(lang: str, stopwords=frozenset()):
+    """Analyzer with the Snowball stemmer as the post-stop stage, the
+    SnowballFilter position in e.g. GermanAnalyzer's chain."""
+    from .analysis import Analyzer
+    return Analyzer(stopwords=frozenset(stopwords),
+                    post_filters=(snowball_stem(lang),))
