@@ -71,7 +71,8 @@ def _de_prelude(word: str, german2: bool) -> str:
             if prev != "q" and prev not in _DE_VOWELS:
                 out.append("ü"); i += 2; continue
         if c in ("u", "y") and 0 < i < n - 1 \
-                and word[i - 1] in _DE_VOWELS and word[i + 1] in _DE_VOWELS:
+                and out and out[-1] in _DE_VOWELS \
+                and word[i + 1] in _DE_VOWELS:
             out.append(c.upper())
             i += 1
             continue
@@ -395,7 +396,7 @@ def _it_prelude(word: str) -> str:
     n = len(w)
     for i, c in enumerate(w):
         if c in ("u", "i") and 0 < i < n - 1 \
-                and w[i - 1] in _IT_VOWELS and w[i + 1] in _IT_VOWELS:
+                and out[-1] in _IT_VOWELS and w[i + 1] in _IT_VOWELS:
             out.append(c.upper())
         else:
             out.append(c)
@@ -786,6 +787,227 @@ def danish_stem(word: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Dutch — ext/DutchStemmer.java
+# ---------------------------------------------------------------------------
+
+_NL_VOWELS = "aeiouyè"
+_NL_ACCENTS = str.maketrans("áäéëíïóöúü", "aaeeiioouu")
+
+
+def _nl_prelude(word: str) -> str:
+    w = word.translate(_NL_ACCENTS)
+    out = []
+    n = len(w)
+    for i, c in enumerate(w):
+        if c == "y" and (i == 0 or out[-1] in _NL_VOWELS):
+            out.append("Y")
+        elif c == "i" and 0 < i < n - 1 and out[-1] in _NL_VOWELS \
+                and w[i + 1] in _NL_VOWELS:
+            out.append("I")
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+def _nl_undouble(w: str) -> str:
+    if w[-2:] in ("dd", "kk", "tt"):
+        return w[:-1]
+    return w
+
+
+def dutch_stem(word: str) -> str:
+    w = _nl_prelude(word.lower())
+    r1, r2 = _standard_regions(w, _NL_VOWELS)
+    if r1 < 3:
+        r1 = 3
+
+    def en_ending(base: str, pos: int) -> str | None:
+        # R1 at the suffix start, preceded by a non-vowel, not by 'gem'
+        if pos >= r1 and pos >= 1 and base[pos - 1] not in _NL_VOWELS \
+                and not base[:pos].endswith("gem"):
+            return _nl_undouble(base[:pos])
+        return None
+
+    # step 1
+    suf = _longest_suffix(w, ("heden", "ene", "en", "se", "s"))
+    if suf == "heden":
+        if len(w) - 5 >= r1:
+            w = w[:-5] + "heid"
+    elif suf in ("ene", "en"):
+        res = en_ending(w, len(w) - len(suf))
+        if res is not None:
+            w = res
+    elif suf in ("se", "s"):
+        pos = len(w) - len(suf)
+        if pos >= r1 and pos >= 1 and w[pos - 1] not in _NL_VOWELS + "j":
+            w = w[:pos]
+
+    # step 2: e-ending
+    e_found = False
+    if w.endswith("e") and len(w) - 1 >= r1 \
+            and len(w) >= 2 and w[-2] not in _NL_VOWELS:
+        w = _nl_undouble(w[:-1])
+        e_found = True
+
+    # step 3a: heid (not preceded by c), then a mandatory en-ending
+    if w.endswith("heid") and len(w) - 4 >= r2 \
+            and not w[:-4].endswith("c"):
+        w = w[:-4]
+        if w.endswith("en"):
+            res = en_ending(w, len(w) - 2)
+            if res is not None:
+                w = res
+
+    # step 3b: d-suffixes
+    suf = _longest_suffix(w, ("end", "ing", "ig", "lijk", "baar", "bar"))
+    if suf:
+        pos = len(w) - len(suf)
+        if suf in ("end", "ing") and pos >= r2:
+            w = w[:pos]
+            if w.endswith("ig") and len(w) - 2 >= r2 \
+                    and not w[:-2].endswith("e"):
+                w = w[:-2]
+            else:
+                w = _nl_undouble(w)
+        elif suf == "ig" and pos >= r2 and not w[:pos].endswith("e"):
+            w = w[:pos]
+        elif suf == "lijk" and pos >= r2:
+            w = w[:pos]
+            if w.endswith("e") and len(w) - 1 >= r1 \
+                    and len(w) >= 2 and w[-2] not in _NL_VOWELS:
+                w = _nl_undouble(w[:-1])
+        elif suf == "baar" and pos >= r2:
+            w = w[:pos]
+        elif suf == "bar" and pos >= r2 and e_found:
+            w = w[:pos]
+
+    # step 4: undouble vowel (C V V D → C V D; D ≠ vowel and ≠ I)
+    if (len(w) >= 4 and w[-1] not in _NL_VOWELS + "I"
+            and w[-3:-1] in ("aa", "ee", "oo", "uu")
+            and w[-4] not in _NL_VOWELS):
+        w = w[:-2] + w[-1]
+
+    return w.replace("Y", "y").replace("I", "i")
+
+
+# ---------------------------------------------------------------------------
+# Romanian — ext/RomanianStemmer.java (cedilla forms ş/ţ, the shipped
+# revision's character set)
+# ---------------------------------------------------------------------------
+
+_RO_VOWELS = "aăâeiîou"
+_RO_STEP0 = {
+    "ul": "", "ului": "",
+    "aua": "a",
+    "ea": "e", "ele": "e", "elor": "e",
+    "ii": "i", "iua": "i", "iei": "i", "iile": "i", "iilor": "i",
+    "ilor": "i",
+    "ile": "i!ab",  # not preceded by ab
+    "atei": "at",
+    "aţie": "aţi", "aţia": "aţi",
+}
+_RO_COMBO = {}
+for _s in ("abilitate", "abilitati", "abilităi", "abilităţi"):
+    _RO_COMBO[_s] = "abil"
+_RO_COMBO["ibilitate"] = "ibil"
+for _s in ("ivitate", "ivitati", "ivităi", "ivităţi"):
+    _RO_COMBO[_s] = "iv"
+for _s in ("icitate icitati icităi icităţi icator icatori iciv iciva "
+           "icive icivi icivă ical icala icale icali icală").split():
+    _RO_COMBO[_s] = "ic"
+for _s in ("ativ ativa ative ativi ativă aţiune atoare ator atori "
+           "ătoare ător ători").split():
+    _RO_COMBO[_s] = "at"
+for _s in ("itiv itiva itive itivi itivă iţiune itoare itor itori").split():
+    _RO_COMBO[_s] = "it"
+_RO_STEP2_DEL = ("ica abila ibila oasa ata ita anta uta iva ic ice abile "
+                 "ibile oase ate itate ite ante ute ive ici abili ibili "
+                 "atori osi ati itati iti anti uti ivi ităi oşi ităţi abil "
+                 "ibil ator os at it ant ut iv ică abilă ibilă oasă ată "
+                 "ită antă ută ivă").split()
+_RO_STEP2_IST = ("ism isme ist ista iste isti istă işti").split()
+_RO_VERB_C = ("ea ia esc ăsc ind ând are ere ire âre ase ise use âse eşte "
+              "ăşte eze ai eai iai eşti ăşti ui ezi âi aşi aseşi iseşi "
+              "useşi âseşi işi uşi âşi eaţi iaţi arăţi aserăţi iserăţi "
+              "userăţi âserăţi irăţi urăţi ârăţi am eam iam asem isem usem "
+              "âsem arăm aserăm iserăm userăm âserăm irăm urăm ârăm au eau "
+              "iau indu ându ez ească ară aseră iseră useră âseră iră ură "
+              "âră ează").split()
+_RO_VERB_PLAIN = ("se sese sei aţi eţi iţi âţi serăţi seserăţi em sesem im "
+                  "âm ăm serăm seserăm seră seseră seşi seseşi").split()
+
+
+def romanian_stem(word: str) -> str:
+    w0 = word.lower()
+    out = []
+    n = len(w0)
+    # left context is the evolving string: a just-marked U/I is a consonant
+    for i, c in enumerate(w0):
+        if c in ("u", "i") and 0 < i < n - 1 \
+                and out[-1] in _RO_VOWELS and w0[i + 1] in _RO_VOWELS:
+            out.append(c.upper())
+        else:
+            out.append(c)
+    w = "".join(out)
+    r1, r2 = _standard_regions(w, _RO_VOWELS)
+    rv = _rv_roman(w, _RO_VOWELS)
+
+    # step 0: plural/article removal (R1 tests)
+    suf = _longest_suffix(w, _RO_STEP0)
+    if suf and len(w) - len(suf) >= r1:
+        rep = _RO_STEP0[suf]
+        if rep == "i!ab":
+            if not w[:-len(suf)].endswith("ab"):
+                w = w[:-len(suf)] + "i"
+        else:
+            w = w[:-len(suf)] + rep
+
+    # step 1: combining suffixes, repeated to fixpoint (R1 tests)
+    removed = False
+    while True:
+        suf = _longest_suffix(w, _RO_COMBO)
+        if suf and len(w) - len(suf) >= r1:
+            w = w[:-len(suf)] + _RO_COMBO[suf]
+            removed = True
+        else:
+            break
+
+    # step 2: standard suffixes (R2 tests)
+    suf = _longest_suffix(w, _RO_STEP2_DEL + _RO_STEP2_IST
+                          + ["iune", "iuni"])
+    if suf and len(w) - len(suf) >= r2:
+        if suf in ("iune", "iuni"):
+            if w[:-len(suf)].endswith("ţ"):
+                w = w[:-len(suf) - 1] + "t"
+                removed = True
+        elif suf in _RO_STEP2_IST:
+            w = w[:-len(suf)] + "ist"
+            removed = True
+        else:
+            w = w[:-len(suf)]
+            removed = True
+
+    # step 3: verb suffixes, only if steps 1-2 changed nothing; the whole
+    # match (and the consonant/u look-behind) is limited to RV
+    if not removed:
+        suf = _longest_in(w, _RO_VERB_C + _RO_VERB_PLAIN, rv)
+        if suf:
+            pos = len(w) - len(suf)
+            if suf in _RO_VERB_PLAIN:
+                w = w[:pos]
+            elif pos - 1 >= rv and (w[pos - 1] not in _RO_VOWELS
+                                    or w[pos - 1] == "u"):
+                w = w[:pos]
+
+    # step 4: final vowel (longest match, RV test, no fallback)
+    suf = _longest_suffix(w, ("a", "e", "ie", "i", "ă"))
+    if suf and len(w) - len(suf) >= rv:
+        w = w[:-len(suf)]
+
+    return w.replace("I", "i").replace("U", "u")
+
+
+# ---------------------------------------------------------------------------
 # registry + analyzer factory
 # ---------------------------------------------------------------------------
 
@@ -799,6 +1021,8 @@ SNOWBALL_STEMMERS = {
     "swedish": swedish_stem,
     "norwegian": norwegian_stem,
     "danish": danish_stem,
+    "dutch": dutch_stem,
+    "romanian": romanian_stem,
 }
 
 
