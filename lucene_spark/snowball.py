@@ -87,7 +87,7 @@ def _de_postlude(word: str) -> str:
 
 
 def _german_stem(word: str, german2: bool = False) -> str:
-    w = _de_prelude(word.lower(), german2)
+    w = _de_prelude(word, german2)
     # marked U/Y are consonants for region + suffix purposes (g_v grouping
     # holds only the lowercase vowels)
     r1, r2 = _standard_regions(w, _DE_VOWELS)
@@ -256,7 +256,7 @@ _ES_ACCENT = str.maketrans("áéíóú", "aeiou")
 
 
 def spanish_stem(word: str) -> str:
-    w = word.lower()
+    w = word
     r1, r2 = _standard_regions(w, _ES_VOWELS)
     rv = _rv_roman(w, _ES_VOWELS)
 
@@ -404,7 +404,7 @@ def _it_prelude(word: str) -> str:
 
 
 def italian_stem(word: str) -> str:
-    w = _it_prelude(word.lower())
+    w = _it_prelude(word)
     r1, r2 = _standard_regions(w, _IT_VOWELS)
     rv = _rv_roman(w, _IT_VOWELS)
 
@@ -512,7 +512,7 @@ _PT_STEP2 = ("ada ida ia aria eria iria ara era ira ava asse esse isse "
 
 
 def portuguese_stem(word: str) -> str:
-    w = word.lower().replace("ã", "a~").replace("õ", "o~")
+    w = word.replace("ã", "a~").replace("õ", "o~")
     r1, r2 = _standard_regions(w, _PT_VOWELS)
     rv = _rv_roman(w, _PT_VOWELS)
 
@@ -622,7 +622,7 @@ def _ru_longest(w: str, groups, rv: int):
 
 
 def russian_stem(word: str) -> str:
-    w = word.lower().replace("ё", "е")
+    w = word.replace("ё", "е")
     n = len(w)
     # RV: after the first vowel; R2: standard second region
     rv = n
@@ -721,7 +721,7 @@ def _pair_del(w: str, pairs, r1: int) -> str:
 
 
 def swedish_stem(word: str) -> str:
-    w = word.lower()
+    w = word
     r1 = _scand_r1(w, _SV_VOWELS)
     suf = _longest_in(w, _SV_MAIN + ["s"], r1)
     if suf == "s":
@@ -740,7 +740,7 @@ def swedish_stem(word: str) -> str:
 
 
 def norwegian_stem(word: str) -> str:
-    w = word.lower()
+    w = word
     r1 = _scand_r1(w, _NO_VOWELS)
     suf = _longest_in(w, _NO_MAIN + ["s", "erte", "ert"], r1)
     if suf == "s":
@@ -761,7 +761,7 @@ def norwegian_stem(word: str) -> str:
 
 
 def danish_stem(word: str) -> str:
-    w = word.lower()
+    w = word
     r1 = _scand_r1(w, _DA_VOWELS)
     suf = _longest_in(w, _DA_MAIN + ["s"], r1)
     if suf == "s":
@@ -816,7 +816,7 @@ def _nl_undouble(w: str) -> str:
 
 
 def dutch_stem(word: str) -> str:
-    w = _nl_prelude(word.lower())
+    w = _nl_prelude(word)
     r1, r2 = _standard_regions(w, _NL_VOWELS)
     if r1 < 3:
         r1 = 3
@@ -938,7 +938,7 @@ _RO_VERB_PLAIN = ("se sese sei aţi eţi iţi âţi serăţi seserăţi em sesem
 
 
 def romanian_stem(word: str) -> str:
-    w0 = word.lower()
+    w0 = word
     out = []
     n = len(w0)
     # left context is the evolving string: a just-marked U/I is a consonant
@@ -1008,6 +1008,323 @@ def romanian_stem(word: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Finnish — ext/FinnishStemmer.java
+# ---------------------------------------------------------------------------
+
+_FI_V1 = "aeiouyäö"
+_FI_V2 = "aeiouäö"
+_FI_AEI = "aeiä"
+_FI_CONS = set("bcdfghjklmnpqrstvwxz")
+_FI_LONG = ("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+_FI_PARTICLE_END = set(_FI_V1) | {"n", "t"}
+_FI_CASE = ("lla na ssa ta lta sta tta lle ine ksi n han den seen hen tten "
+            "hin siin hon hän hön a ä llä nä ssä tä ltä stä ttä").split()
+
+
+def finnish_stem(word: str) -> str:
+    w = word
+    r1, r2 = _standard_regions(w, _FI_V1)
+    ending_removed = False
+
+    # particle etc (suffix within R1; look-behind unrestricted)
+    suf = _longest_in(w, ("kin", "kaan", "kään", "ko", "kö", "han", "hän",
+                          "pa", "pä", "sti"), r1)
+    if suf == "sti":
+        if len(w) - 3 >= r2:
+            w = w[:-3]
+    elif suf:
+        pos = len(w) - len(suf)
+        if pos >= 1 and w[pos - 1] in _FI_PARTICLE_END:
+            w = w[:pos]
+
+    # possessive
+    suf = _longest_in(w, ("si", "ni", "nsa", "nsä", "mme", "nne", "an",
+                          "än", "en"), r1)
+    if suf:
+        pos = len(w) - len(suf)
+        if suf == "si":
+            if not (pos >= 1 and w[pos - 1] == "k"):
+                w = w[:pos]
+        elif suf == "ni":
+            w = w[:pos]
+            if w.endswith("kse"):
+                w = w[:-3] + "ksi"
+        elif suf in ("nsa", "nsä", "mme", "nne"):
+            w = w[:pos]
+        elif suf == "an":
+            if _longest_suffix(w[:pos], ("lla", "na", "ssa", "ta", "lta",
+                                         "sta")):
+                w = w[:pos]
+        elif suf == "än":
+            if _longest_suffix(w[:pos], ("llä", "nä", "ssä", "tä", "ltä",
+                                         "stä")):
+                w = w[:pos]
+        elif suf == "en":
+            if _longest_suffix(w[:pos], ("lle", "ine")):
+                w = w[:pos]
+
+    # case ending.  den/seen/tten/siin carry inline Vi/LONG conditions
+    # checked DURING matching (within the R1 limit); on failure the among
+    # falls back to their trie parent 'n'.
+    suf = _longest_in(w, _FI_CASE, r1)
+    if suf in ("den", "tten", "siin"):
+        pos = len(w) - len(suf)
+        if not (pos - 2 >= r1 and w[pos - 1] == "i" and w[pos - 2] in _FI_V2):
+            suf = "n" if len(w) - 1 >= r1 else None
+    elif suf == "seen":
+        pos = len(w) - len(suf)
+        if not (pos - 2 >= r1 and w[pos - 2:pos] in _FI_LONG):
+            suf = "n" if len(w) - 1 >= r1 else None
+    if suf:
+        pos = len(w) - len(suf)
+        pre = {"han": "a", "hen": "e", "hin": "i", "hon": "o",
+               "hän": "ä", "hön": "ö", "tta": "e", "ttä": "e"}.get(suf)
+        if pre is not None:
+            if pos >= 1 and w[pos - 1] == pre:
+                w = w[:pos]
+                ending_removed = True
+        elif suf == "n":
+            w = w[:pos]
+            ending_removed = True
+            if w[-2:] in _FI_LONG or w.endswith("ie"):
+                w = w[:-1]
+        elif suf in ("a", "ä"):
+            if pos >= 2 and w[pos - 1] in _FI_V1 and w[pos - 2] in _FI_CONS:
+                w = w[:pos]
+                ending_removed = True
+        else:
+            w = w[:pos]
+            ending_removed = True
+
+    # other endings (within R2; 'po' look-behind unrestricted)
+    suf = _longest_in(w, ("mpi", "mpa", "mpä", "mmi", "mma", "mmä", "impi",
+                          "impa", "impä", "immi", "imma", "immä", "eja",
+                          "ejä"), r2)
+    if suf:
+        if len(suf) == 3 and suf not in ("eja", "ejä"):
+            if not w[:-3].endswith("po"):
+                w = w[:-3]
+        else:
+            w = w[:-len(suf)]
+
+    if ending_removed:
+        # i-plural: final i or j within R1
+        if w and w[-1] in "ij" and len(w) - 1 >= r1:
+            w = w[:-1]
+    else:
+        # t-plural: final t within R1 preceded by a V1 vowel also in R1
+        if w.endswith("t") and len(w) - 1 >= r1 \
+                and len(w) - 2 >= r1 and w[-2] in _FI_V1:
+            w = w[:-1]
+            suf = _longest_in(w, ("mma", "imma"), r2)
+            if suf == "imma":
+                w = w[:-4]
+            elif suf == "mma" and not w[:-3].endswith("po"):
+                w = w[:-3]
+
+    # tidy (each sub-step within R1 unless noted)
+    if w[-2:] in _FI_LONG and len(w) - 2 >= r1:
+        w = w[:-1]
+    if (len(w) >= 2 and w[-1] in _FI_AEI and len(w) - 2 >= r1
+            and w[-2] in _FI_CONS):
+        w = w[:-1]
+    if (w.endswith("oj") or w.endswith("uj")) and len(w) - 2 >= r1:
+        w = w[:-1]
+    if w.endswith("jo") and len(w) - 2 >= r1:
+        w = w[:-1]
+    # undouble: final consonant run's last consonant, looking through any
+    # trailing vowels (unrestricted region)
+    i = len(w) - 1
+    while i >= 0 and w[i] not in _FI_CONS:
+        i -= 1
+    if i >= 1 and w[i - 1] == w[i]:
+        w = w[:i] + w[i + 1:]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Hungarian — ext/HungarianStemmer.java
+# ---------------------------------------------------------------------------
+
+_HU_VOWELS = "aeiouáéíóöúüőű"
+_HU_DIGRAPHS = ("dzs", "ccs", "zzs", "ggy", "lly", "nny", "tty", "ssz",
+                "cs", "gy", "ly", "ny", "sz", "ty", "zs")
+_HU_INITIAL_DIGRAPHS = ("dzs", "cs", "gy", "ly", "ny", "sz", "ty", "zs")
+_HU_DOUBLES = ("bb cc ccs dd ff gg ggy jj kk ll lly mm nn nny pp rr ss ssz "
+               "tt tty vv zz zzs").split()
+_HU_CASE = ("ba ra be re ig nak nek val vel ul nál nél ból ról tól ül ből "
+            "ről től n an ban en ben képpen on ön képp kor t at et ként "
+            "anként enként onként ot ért öt hez hoz höz vá vé").split()
+_HU_OWNED = {"éi": "", "áéi": "a", "ééi": "e", "é": "", "ké": "",
+             "aké": "", "eké": "", "oké": "", "áké": "a", "éké": "e",
+             "öké": "", "éé": "e"}
+_HU_SING_OWNER = {}
+for _s in ("a ja d ad ed od öd e je nk unk ünk uk juk ük jük m am em om "
+           "o").split():
+    _HU_SING_OWNER[_s] = ""
+for _s in ("ád", "ánk", "ájuk", "ám", "á"):
+    _HU_SING_OWNER[_s] = "a"
+for _s in ("éd", "énk", "éjük", "ém", "é"):
+    _HU_SING_OWNER[_s] = "e"
+_HU_PLUR_OWNER = {}
+for _s in ("id aid jaid eid jeid i ai jai ei jei itek eitek jeitek ik aik "
+           "jaik eik jeik ink aink jaink eink jeink aitok jaitok im aim "
+           "jaim eim jeim").split():
+    _HU_PLUR_OWNER[_s] = ""
+for _s in ("áid", "ái", "áik", "áink", "áitok", "áim"):
+    _HU_PLUR_OWNER[_s] = "a"
+for _s in ("éid", "éi", "éitek", "éik", "éink", "éim"):
+    _HU_PLUR_OWNER[_s] = "e"
+
+
+def _hu_r1(w: str) -> int:
+    n = len(w)
+    if not w:
+        return 0
+    if w[0] in _HU_VOWELS:
+        i = 0
+        while i < n and w[i] in _HU_VOWELS:
+            i += 1
+        if i >= n:
+            return n
+        for d in _HU_INITIAL_DIGRAPHS:
+            if w.startswith(d, i):
+                return i + len(d)
+        return i + 1
+    i = 0
+    while i < n and w[i] not in _HU_VOWELS:
+        i += 1
+    return min(i + 1, n)
+
+
+def _hu_undouble(w: str) -> str:
+    return w[:-2] + w[-1] if len(w) >= 2 else w
+
+
+def _hu_double(w: str) -> bool:
+    return any(w.endswith(d) for d in _HU_DOUBLES)
+
+
+def hungarian_stem(word: str) -> str:
+    w = word
+    r1 = _hu_r1(w)
+
+    def v_ending(w: str) -> str:
+        if w and w[-1] in "áé" and len(w) - 1 >= r1:
+            return w[:-1] + ("a" if w[-1] == "á" else "e")
+        return w
+
+    # instrumental: al/el in R1 preceded by a double consonant
+    suf = _longest_suffix(w, ("al", "el"))
+    if suf and len(w) - 2 >= r1 and _hu_double(w[:-2]):
+        w = _hu_undouble(w[:-2])
+    # case endings, then á/é normalization
+    suf = _longest_suffix(w, _HU_CASE)
+    if suf and len(w) - len(suf) >= r1:
+        w = v_ending(w[:-len(suf)])
+    # special cases: én → e, án/ánként → a
+    suf = _longest_suffix(w, ("én", "án", "ánként"))
+    if suf and len(w) - len(suf) >= r1:
+        w = w[:-len(suf)] + ("e" if suf == "én" else "a")
+    # -stul/-stül family
+    suf = _longest_suffix(w, ("stul", "astul", "ástul", "stül", "estül",
+                              "éstül"))
+    if suf and len(w) - len(suf) >= r1:
+        rep = {"ástul": "a", "éstül": "e"}.get(suf, "")
+        w = w[:-len(suf)] + rep
+    # factive á/é preceded by a double consonant
+    if w and w[-1] in "áé" and len(w) - 1 >= r1 and _hu_double(w[:-1]):
+        w = _hu_undouble(w[:-1])
+    # owned
+    suf = _longest_suffix(w, _HU_OWNED)
+    if suf and len(w) - len(suf) >= r1:
+        w = w[:-len(suf)] + _HU_OWNED[suf]
+    # singular owner
+    suf = _longest_suffix(w, _HU_SING_OWNER)
+    if suf and len(w) - len(suf) >= r1:
+        w = w[:-len(suf)] + _HU_SING_OWNER[suf]
+    # plural owner
+    suf = _longest_suffix(w, _HU_PLUR_OWNER)
+    if suf and len(w) - len(suf) >= r1:
+        w = w[:-len(suf)] + _HU_PLUR_OWNER[suf]
+    # plural
+    suf = _longest_suffix(w, ("k", "ak", "ek", "ok", "ák", "ék", "ök"))
+    if suf and len(w) - len(suf) >= r1:
+        rep = {"ák": "a", "ék": "e"}.get(suf, "")
+        w = w[:-len(suf)] + rep
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Irish — ext/IrishStemmer.java
+# ---------------------------------------------------------------------------
+
+_GA_VOWELS = "aeiouáéíóú"
+_GA_INITIAL = {"b'": "", "bhf": "f", "bh": "b", "bp": "p", "ch": "c",
+               "d'fh": "f", "d'": "", "dh": "d", "dt": "t", "fh": "f",
+               "gc": "c", "gh": "g", "h-": "", "m'": "", "mb": "b",
+               "mh": "m", "n-": "", "nd": "d", "ng": "g", "ph": "p",
+               "sh": "s", "t-": "", "th": "t", "ts": "s"}
+_GA_NOUN_R1 = ("íochta aíochta abh eabh ibh aibh amh eamh imh aimh íocht "
+               "aíocht").split()
+_GA_NOUN_R2 = ("ire", "aire", "irí", "airí")
+_GA_DERIV_R2 = ("achta", "eachta", "ach", "each", "achtúil", "eachtúil",
+                "acht", "eacht")
+_GA_DERIV_REP = {"arcachta": "arc", "arcacht": "arc", "arcachtaí": "arc",
+                 "gineach": "gin", "gineas": "gin", "ginis": "gin",
+                 "grafaíochta": "graf", "grafaíoch": "graf",
+                 "grafaíocht": "graf", "grafaíochtaí": "graf",
+                 "patacha": "paite", "paite": "paite", "patach": "paite",
+                 "pataigh": "paite",
+                 "óideacha": "óid", "óideach": "óid", "óidigh": "óid"}
+_GA_VERB_RV = ("imid", "aimid", "ímid", "aímid", "faidh", "fidh")
+_GA_VERB_R1 = ("adh", "eadh", "áil", "ain", "tear", "tar")
+
+
+def irish_stem(word: str) -> str:
+    w = word
+    # initial mutation/morph strip runs BEFORE region marking
+    pre = None
+    for p in _GA_INITIAL:
+        if w.startswith(p) and (pre is None or len(p) > len(pre)):
+            pre = p
+    if pre:
+        w = _GA_INITIAL[pre] + w[len(pre):]
+    rv = len(w)
+    for i, c in enumerate(w):
+        if c in _GA_VOWELS:
+            rv = i + 1
+            break
+    r1, r2 = _standard_regions(w, _GA_VOWELS)
+
+    suf = _longest_suffix(w, _GA_NOUN_R1 + list(_GA_NOUN_R2))
+    if suf:
+        pos = len(w) - len(suf)
+        if suf in _GA_NOUN_R2:
+            if pos >= r2:
+                w = w[:pos]
+        elif pos >= r1:
+            w = w[:pos]
+
+    suf = _longest_suffix(w, list(_GA_DERIV_R2) + list(_GA_DERIV_REP))
+    if suf:
+        if suf in _GA_DERIV_REP:
+            w = w[:-len(suf)] + _GA_DERIV_REP[suf]
+        elif len(w) - len(suf) >= r2:
+            w = w[:-len(suf)]
+
+    suf = _longest_suffix(w, _GA_VERB_RV + _GA_VERB_R1)
+    if suf:
+        pos = len(w) - len(suf)
+        if suf in _GA_VERB_RV:
+            if pos >= rv:
+                w = w[:pos]
+        elif pos >= r1:
+            w = w[:pos]
+    return w
+
+
+# ---------------------------------------------------------------------------
 # registry + analyzer factory
 # ---------------------------------------------------------------------------
 
@@ -1023,6 +1340,9 @@ SNOWBALL_STEMMERS = {
     "danish": danish_stem,
     "dutch": dutch_stem,
     "romanian": romanian_stem,
+    "finnish": finnish_stem,
+    "hungarian": hungarian_stem,
+    "irish": irish_stem,
 }
 
 
