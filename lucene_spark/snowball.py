@@ -1325,6 +1325,482 @@ def irish_stem(word: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Nepali — ext/NepaliStemmer.java
+# ---------------------------------------------------------------------------
+
+_NE_CAT1_PLAIN = ("लाइ लाई सँग संग मार्फत रत मा द्वारा पछि ले सँगै "
+                  "मै").split()
+_NE_CAT1_COND = ("का", "कि", "की", "कै", "को")
+_NE_CAT3 = ("थिए छ इछ एछ िछ ेछ नेछ हुनेछ इन्छ िन्छ हुन्छ एका इएका िएका ेका "
+            "नेका दा इदा िदा देखि माथि एकी इएकी िएकी ेकी देखी थी दी छु एछु "
+            "ेछु नेछु नु हरु हरू छे थे ने एकै ेकै नेकै दै इदै िदै एको इएको "
+            "िएको ेको नेको दो इदो िदो यो इयो भयो ियो थियो दियो थ्यो छौ इछौ "
+            "एछौ िछौ ेछौ नेछौ यौ थियौ छ्यौ थ्यौ छन् इछन् एछन् िछन् ेछन् "
+            "नेछन् लान् छिन् थिन् पर् इस् थिइस् छस् इछस् एछस् िछस् ेछस् "
+            "नेछस् िस् थिस् छेस् होस्").split()
+
+
+def nepali_stem(word: str) -> str:
+    w = word
+    # category 1: postpositions; का-family deleted unless preceded by ए / े
+    suf = _longest_suffix(w, _NE_CAT1_PLAIN + list(_NE_CAT1_COND))
+    if suf:
+        if suf in _NE_CAT1_COND:
+            if not (w[:-len(suf)].endswith("ए")
+                    or w[:-len(suf)].endswith("े")):
+                w = w[:-len(suf)]
+        else:
+            w = w[:-len(suf)]
+    # loop: optional category-2 halant/matra removal, then category 3
+    while True:
+        if w and w[-1] in "ँंै":
+            base = w[:-1]
+            if w[-1] in "ँं":
+                if base.endswith(("यौ", "छौ", "नौ", "थे")):
+                    w = base
+            else:
+                if base.endswith("त्र"):
+                    w = base
+        suf = _longest_suffix(w, _NE_CAT3)
+        if suf:
+            w = w[:-len(suf)]
+        else:
+            break
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Turkish — ext/TurkishStemmer.java (Cilden's affix-stripping algorithm)
+# ---------------------------------------------------------------------------
+
+_TR_V = "aeıioöuü"
+_TR_U = "ıiuü"
+# vowel-harmony classes: last vowel → the set an earlier vowel must hit
+_TR_HARMONY = {"a": "aıou", "ı": "aı", "o": "ou", "u": "ou",
+               "e": "eiöü", "i": "ei", "ö": "öü", "ü": "öü"}
+
+
+class _Turkish:
+    """Backward cursor machine over (w, c): marks move c, cut() truncates.
+    Mirrors the reference's mark_*/stem_* routine contract."""
+
+    __slots__ = ("w", "c", "cont")
+
+    def __init__(self, w: str):
+        self.w = w
+        self.c = len(w)
+        self.cont = True
+
+    def cut(self):
+        self.w = self.w[:self.c]
+
+    # -- primitives ------------------------------------------------------
+    def eq(self, s: str) -> bool:
+        if self.w[:self.c].endswith(s):
+            self.c -= len(s)
+            return True
+        return False
+
+    def among(self, sufs) -> bool:
+        s = _longest_suffix(self.w[:self.c], sufs)
+        if s:
+            self.c -= len(s)
+            return True
+        return False
+
+    def harmony(self) -> bool:
+        s = self.w[:self.c]
+        for i in range(len(s) - 1, -1, -1):
+            if s[i] in _TR_V:
+                cls = _TR_HARMONY[s[i]]
+                return any(ch in cls for ch in s[:i])
+        return False
+
+    def opt_cons(self, ch: str) -> bool:
+        """suffix with optional n/s/y consonant: consume ch if present and
+        vowel-preceded; else require no ch there and a vowel two back."""
+        w, c = self.w, self.c
+        if c >= 2 and w[c - 1] == ch and w[c - 2] in _TR_V:
+            self.c -= 1
+            return True
+        if c >= 2 and w[c - 1] != ch and w[c - 2] in _TR_V:
+            return True
+        return False
+
+    def opt_U(self) -> bool:
+        w, c = self.w, self.c
+        if c >= 2 and w[c - 1] in _TR_U and w[c - 2] not in _TR_V:
+            self.c -= 1
+            return True
+        if c >= 2 and w[c - 1] not in _TR_U and w[c - 2] not in _TR_V:
+            return True
+        return False
+
+    def _try(self, fn) -> bool:
+        c0 = self.c
+        if fn():
+            return True
+        self.c = c0
+        return False
+
+    # -- mark functions (TurkishStemmer.java:641-987) ----------------------
+    def possessives(self):
+        return self._try(lambda: self.among(
+            ("m", "n", "miz", "niz", "muz", "nuz", "müz", "nüz", "mız",
+             "nız")) and self.opt_U())
+
+    def sU(self):
+        def f():
+            if not self.harmony():
+                return False
+            if self.c >= 1 and self.w[self.c - 1] in _TR_U:
+                self.c -= 1
+                return self.opt_cons("s")
+            return False
+        return self._try(f)
+
+    def lArI(self):
+        return self._try(lambda: self.among(("leri", "ları")))
+
+    def yU(self):
+        def f():
+            if not self.harmony():
+                return False
+            if self.c >= 1 and self.w[self.c - 1] in _TR_U:
+                self.c -= 1
+                return self.opt_cons("y")
+            return False
+        return self._try(f)
+
+    def nU(self):
+        return self._try(lambda: self.harmony()
+                         and self.among(("ni", "nu", "nü", "nı")))
+
+    def nUn(self):
+        return self._try(lambda: self.harmony()
+                         and self.among(("in", "un", "ün", "ın"))
+                         and self.opt_cons("n"))
+
+    def yA(self):
+        return self._try(lambda: self.harmony() and self.among(("a", "e"))
+                         and self.opt_cons("y"))
+
+    def nA(self):
+        return self._try(lambda: self.harmony()
+                         and self.among(("na", "ne")))
+
+    def DA(self):
+        return self._try(lambda: self.harmony()
+                         and self.among(("da", "ta", "de", "te")))
+
+    def ndA(self):
+        return self._try(lambda: self.harmony()
+                         and self.among(("nda", "nde")))
+
+    def DAn(self):
+        return self._try(lambda: self.harmony()
+                         and self.among(("dan", "tan", "den", "ten")))
+
+    def ndAn(self):
+        return self._try(lambda: self.harmony()
+                         and self.among(("ndan", "nden")))
+
+    def ylA(self):
+        return self._try(lambda: self.harmony() and self.among(("la", "le"))
+                         and self.opt_cons("y"))
+
+    def ki(self):
+        return self._try(lambda: self.eq("ki"))
+
+    def ncA(self):
+        return self._try(lambda: self.harmony() and self.among(("ca", "ce"))
+                         and self.opt_cons("n"))
+
+    def yUm(self):
+        return self._try(lambda: self.harmony()
+                         and self.among(("im", "um", "üm", "ım"))
+                         and self.opt_cons("y"))
+
+    def sUn(self):
+        return self._try(lambda: self.harmony()
+                         and self.among(("sin", "sun", "sün", "sın")))
+
+    def yUz(self):
+        return self._try(lambda: self.harmony()
+                         and self.among(("iz", "uz", "üz", "ız"))
+                         and self.opt_cons("y"))
+
+    def sUnUz(self):
+        return self._try(lambda: self.among(
+            ("siniz", "sunuz", "sünüz", "sınız")))
+
+    def lAr(self):
+        return self._try(lambda: self.harmony()
+                         and self.among(("lar", "ler")))
+
+    def nUz(self):
+        return self._try(lambda: self.harmony()
+                         and self.among(("niz", "nuz", "nüz", "nız")))
+
+    def DUr(self):
+        return self._try(lambda: self.harmony() and self.among(
+            ("dir", "tir", "dur", "tur", "dür", "tür", "dır", "tır")))
+
+    def cAsInA(self):
+        return self._try(lambda: self.among(("casına", "cesine")))
+
+    def yDU(self):
+        return self._try(lambda: self.harmony() and self.among(
+            ("di ti dik tik duk tuk dük tük dık tık dim tim dum tum düm "
+             "tüm dım tım din tin dun tun dün tün dın tın du tu dü tü dı "
+             "tı").split()) and self.opt_cons("y"))
+
+    def ysA(self):
+        return self._try(lambda: self.among(
+            ("sa", "se", "sak", "sek", "sam", "sem", "san", "sen"))
+            and self.opt_cons("y"))
+
+    def ymUs(self):
+        return self._try(lambda: self.harmony()
+                         and self.among(("miş", "muş", "müş", "mış"))
+                         and self.opt_cons("y"))
+
+    def yken(self):
+        return self._try(lambda: self.eq("ken") and self.opt_cons("y"))
+
+    # -- stem routines (TurkishStemmer.java:989-1945) ----------------------
+    def nominal_verb(self):
+        c0 = self.c
+        if self.ymUs() or self.yDU() or self.ysA() or self.yken():
+            self.cut()
+            return
+        self.c = c0
+        if self.cAsInA():
+            cs = self.c
+            if not (self.sUnUz() or self.lAr() or self.yUm() or self.sUn()
+                    or self.yUz()):
+                self.c = cs
+            if self.ymUs():
+                self.cut()
+                return
+        self.c = c0
+        if self.lAr():
+            self.cut()
+            if self.DUr() or self.yDU() or self.ysA() or self.ymUs():
+                self.cut()
+            self.cont = False
+            return
+        self.c = c0
+        if self.nUz():
+            if self.yDU() or self.ysA():
+                self.cut()
+                return
+        self.c = c0
+        if self.sUnUz() or self.yUz() or self.sUn() or self.yUm():
+            self.cut()
+            if self.ymUs():
+                self.cut()
+            return
+        self.c = c0
+        if self.DUr():
+            self.cut()
+            cs = self.c
+            if not (self.sUnUz() or self.lAr() or self.yUm() or self.sUn()
+                    or self.yUz()):
+                self.c = cs
+            if self.ymUs():
+                self.cut()
+            else:
+                self.c = cs
+
+    def chain_ki(self) -> bool:
+        """May be entered mid-word (ket = entry cursor): its cuts splice
+        out [c, ket) and leave any already-matched tail in place."""
+        c0 = self.c
+        k = self.c
+
+        def cutk():
+            nonlocal k
+            self.w = self.w[:self.c] + self.w[k:]
+            k = self.c
+
+        if not self.ki():
+            self.c = c0
+            return False
+        if self.DA():
+            cutk()
+            if self.lAr():
+                cutk()
+                self.chain_ki()
+            elif self.possessives():
+                cutk()
+                if self.lAr():
+                    cutk()
+                    self.chain_ki()
+            return True
+        if self.nUn():
+            cutk()
+            if self.lArI():
+                cutk()
+            elif self.possessives() or self.sU():
+                cutk()
+                if self.lAr():
+                    cutk()
+                    self.chain_ki()
+            else:
+                self.chain_ki()
+            return True
+        if self.ndA():
+            if self.lArI():
+                cutk()
+                return True
+            if self.sU():
+                cutk()
+                if self.lAr():
+                    cutk()
+                    self.chain_ki()
+                return True
+            if self.chain_ki():
+                return True
+            self.c = c0
+            return False
+        self.c = c0
+        return False
+
+    def noun_suffixes(self):
+        c0 = self.c
+        if self.lAr():
+            self.cut()
+            self.chain_ki()
+            return
+        self.c = c0
+        if self.ncA():
+            self.cut()
+            if self.lArI():
+                self.cut()
+            elif self.possessives() or self.sU():
+                self.cut()
+                if self.lAr():
+                    self.cut()
+                    self.chain_ki()
+            elif self.lAr():
+                self.cut()
+                self.chain_ki()
+            return
+        self.c = c0
+        if self.ndA() or self.nA():
+            if self.lArI():
+                self.cut()
+                return
+            if self.sU():
+                self.cut()
+                if self.lAr():
+                    self.cut()
+                    self.chain_ki()
+                return
+            if self.chain_ki():
+                return
+        self.c = c0
+        if self.ndAn() or self.nU():
+            if self.sU():
+                self.cut()
+                if self.lAr():
+                    self.cut()
+                    self.chain_ki()
+                return
+            if self.lArI():
+                self.cut()
+                return
+        self.c = c0
+        if self.DAn():
+            self.cut()
+            if self.possessives():
+                self.cut()
+                if self.lAr():
+                    self.cut()
+                    self.chain_ki()
+            elif self.lAr():
+                self.cut()
+                self.chain_ki()
+            else:
+                self.chain_ki()
+            return
+        self.c = c0
+        if self.nUn() or self.ylA():
+            self.cut()
+            done = False
+            if self.lAr():
+                self.cut()
+                done = self.chain_ki()
+            if not done:
+                # the lAr cut (if any) persists; later alternatives match
+                # against the shortened word
+                if self.possessives() or self.sU():
+                    self.cut()
+                    if self.lAr():
+                        self.cut()
+                        self.chain_ki()
+                else:
+                    self.chain_ki()
+            return
+        self.c = c0
+        if self.lArI():
+            self.cut()
+            return
+        self.c = c0
+        if self.chain_ki():
+            return
+        self.c = c0
+        if self.DA() or self.yU() or self.yA():
+            self.cut()
+            if self.possessives():
+                self.cut()
+                self.lAr()
+                self.cut()
+                self.chain_ki()
+            elif self.lAr():
+                self.cut()
+                self.chain_ki()
+            return
+        self.c = c0
+        if self.possessives() or self.sU():
+            self.cut()
+            if self.lAr():
+                self.cut()
+                self.chain_ki()
+
+
+def turkish_stem(word: str) -> str:
+    # more_than_one_syllable_word gate
+    if sum(1 for ch in word if ch in _TR_V) < 2:
+        return word
+    m = _Turkish(word)
+    m.c = len(m.w)
+    m.nominal_verb()
+    if not m.cont:
+        # stemming stops entirely (postlude skipped) after a bare -lAr
+        return m.w
+    m.c = len(m.w)
+    m.noun_suffixes()
+    w = m.w
+    # postlude: reserved words bypass the final transformations
+    if w in ("ad", "soyad"):
+        return w
+    # append U to stems ending with d or g, harmonized with the last vowel
+    if w.endswith(("d", "g")):
+        for ch in reversed(w):
+            if ch in _TR_V:
+                w += {"a": "ı", "ı": "ı", "e": "i", "i": "i", "o": "u",
+                      "u": "u", "ö": "ü", "ü": "ü"}[ch]
+                break
+    # final consonant devoicing
+    rep = {"b": "p", "c": "ç", "d": "t", "ğ": "k"}.get(w[-1:])
+    if rep:
+        w = w[:-1] + rep
+    return w
+
+
+# ---------------------------------------------------------------------------
 # registry + analyzer factory
 # ---------------------------------------------------------------------------
 
@@ -1343,6 +1819,8 @@ SNOWBALL_STEMMERS = {
     "finnish": finnish_stem,
     "hungarian": hungarian_stem,
     "irish": irish_stem,
+    "nepali": nepali_stem,
+    "turkish": turkish_stem,
 }
 
 
