@@ -1801,6 +1801,100 @@ def turkish_stem(word: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Porter (Snowball dialect) — ext/PorterStemmer.java.  This is the Snowball
+# project's rendering of the 1980 algorithm; it differs from Lucene's
+# PorterStemFilter (en/PorterStemmer.java, = filters.porter_stem) in the
+# length guard, y-marking, and step-1c details.
+# ---------------------------------------------------------------------------
+
+_PO_V = "aeiouy"
+_PO_STEP2 = {"tional": "tion", "enci": "ence", "anci": "ance",
+             "abli": "able", "entli": "ent", "eli": "e", "ousli": "ous",
+             "ization": "ize", "izer": "ize", "ational": "ate",
+             "ation": "ate", "ator": "ate", "alli": "al", "aliti": "al",
+             "alism": "al", "fulness": "ful", "ousness": "ous",
+             "iveness": "ive", "iviti": "ive", "biliti": "ble"}
+_PO_STEP3 = {"alize": "al", "icate": "ic", "iciti": "ic", "ical": "ic",
+             "ful": "", "ness": "", "ative": ""}
+_PO_STEP4 = ("ic ance ence able ible ate ive ize iti al ism er ous ant ent "
+             "ment ement ou").split()
+
+
+def _po_shortv(w: str) -> bool:
+    return (len(w) >= 3 and w[-1] not in _PO_V + "wxY"
+            and w[-2] in _PO_V and w[-3] not in _PO_V)
+
+
+def porter_snowball_stem(word: str) -> str:
+    # prelude: initial y and y-after-vowel marked as consonant Y
+    out = []
+    y_found = False
+    for i, c in enumerate(word):
+        if c == "y" and (i == 0 or out[-1] in _PO_V):
+            out.append("Y")
+            y_found = True
+        else:
+            out.append(c)
+    w = "".join(out)
+    r1, r2 = _standard_regions(w, _PO_V)
+
+    # step 1a
+    suf = _longest_suffix(w, ("sses", "ies", "ss", "s"))
+    if suf == "sses":
+        w = w[:-4] + "ss"
+    elif suf == "ies":
+        w = w[:-3] + "i"
+    elif suf == "s":
+        w = w[:-1]
+
+    # step 1b
+    if w.endswith("eed"):
+        if len(w) - 3 >= r1:
+            w = w[:-3] + "ee"
+    else:
+        suf = _longest_suffix(w, ("ed", "ing"))
+        if suf and any(ch in _PO_V for ch in w[:-len(suf)]):
+            w = w[:-len(suf)]
+            if _longest_suffix(w, ("at", "bl", "iz")):
+                w += "e"
+            elif _longest_suffix(w, ("bb", "dd", "ff", "gg", "mm", "nn",
+                                     "pp", "rr", "tt")):
+                w = w[:-1]
+            elif len(w) == r1 and _po_shortv(w):
+                w += "e"
+
+    # step 1c: final y/Y with a vowel anywhere before it → i
+    if w and w[-1] in "yY" and any(ch in _PO_V for ch in w[:-1]):
+        w = w[:-1] + "i"
+
+    # step 2 (R1)
+    suf = _longest_suffix(w, _PO_STEP2)
+    if suf and len(w) - len(suf) >= r1:
+        w = w[:-len(suf)] + _PO_STEP2[suf]
+
+    # step 3 (R1)
+    suf = _longest_suffix(w, _PO_STEP3)
+    if suf and len(w) - len(suf) >= r1:
+        w = w[:-len(suf)] + _PO_STEP3[suf]
+
+    # step 4 (R2); ion only after s/t
+    suf = _longest_suffix(w, _PO_STEP4 + ["ion"])
+    if suf and len(w) - len(suf) >= r2:
+        if suf != "ion" or w[:-3].endswith(("s", "t")):
+            w = w[:-len(suf)]
+
+    # step 5a: final e
+    if w.endswith("e"):
+        if len(w) - 1 >= r2 or (len(w) - 1 >= r1 and not _po_shortv(w[:-1])):
+            w = w[:-1]
+    # step 5b: -ll with the second l in R2
+    if w.endswith("ll") and len(w) - 1 >= r2:
+        w = w[:-1]
+
+    return w.replace("Y", "y") if y_found else w
+
+
+# ---------------------------------------------------------------------------
 # registry + analyzer factory
 # ---------------------------------------------------------------------------
 
@@ -1821,6 +1915,7 @@ SNOWBALL_STEMMERS = {
     "irish": irish_stem,
     "nepali": nepali_stem,
     "turkish": turkish_stem,
+    "porter": porter_snowball_stem,
 }
 
 
