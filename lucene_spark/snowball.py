@@ -1894,6 +1894,185 @@ def porter_snowball_stem(word: str) -> str:
     return w.replace("Y", "y") if y_found else w
 
 
+
+
+# ---------------------------------------------------------------------------
+# Lovins (1968) — ext/LovinsStemmer.java (the Snowball project's rendering of
+# J.B. Lovins, "Development of a stemming algorithm", Mech. Trans. 11:1968).
+# One longest-match pass over the 294-ending table (each ending gated by a
+# context condition A..CC evaluated on the remaining stem), then undoubling,
+# then the 33-rule respell table.
+# ---------------------------------------------------------------------------
+
+_LOV_TABLE = {
+    "A": (
+        "s' a ia ata ic aic aric istic aristic ivistic enced ished ied ioned "
+        "arized oid aroid hood ehood ihood ward e ae icance ence icide otide "
+        "able atable arizable ible encible ese wise ate entiate inate ive "
+        "ative alize icalize ialize entialize ionalize arize encing ioning "
+        "arizing yish i ical aical istical oidal ial ancial arial ential "
+        "ional izational ental ful eful iful icism oidism icalism ionalism "
+        "ativism ium ian ician ogen entiation ination isation arisation "
+        "entation arization o ier ariser arizer ator 's ics istics ences "
+        "oides acies ancies encies aries ities alities ivities nesses ates "
+        "atives is ials entials ionals ians icians arisations entations "
+        "izations arizations iers ators less eless ness ableness ibleness "
+        "ateness iteness iveness ativeness ingness ishness iness alness "
+        "icalness antialness entialness ionalness fulness lessness ousness "
+        "eousness iousness itousness entness ists icists ous eous aceous "
+        "antaneous ious itous icant ement izement ist icist alist icalist "
+        "ialist ionist entist acy ency ably ibly iedly ately ively atively "
+        "atingly ily lily arily ically aically istically oidally ially "
+        "entially ionally entally fully efully ifully lessly ously eously "
+        "iously ently icianry atory ity acity icity eity ality icality iality "
+        "antiality entiality ionality elity ability izability arizability "
+        "ibility ivity"),
+    "B": (
+        "atic alistic anced ance age ancing aging ying ational ism alism "
+        "ation as ances ages isms ions ations ants acious ant y ancy ly ingly "
+        "ally alistically ationally izationally arity"),
+    "C": (
+        "antic ented enting ish ent allically"),
+    "D": (
+        "ionate"),
+    "E": (
+        "ed ened elihood izable ene ature ening es eness eableness ariness "
+        "edly ely enly ery"),
+    "F": (
+        "ized ize izing en ization izer izers ary"),
+    "G": (
+        "ication action"),
+    "H": (
+        "itic"),
+    "I": (
+        "ated idine ating"),
+    "J": (
+        "inism"),
+    "K": (
+        "arly"),
+    "L": (
+        "ide ides"),
+    "M": (
+        "ine ines"),
+    "N": (
+        "ing ings"),
+    "O": (
+        "ars"),
+    "P": (
+        "ies"),
+    "Q": (
+        "ion"),
+    "R": (
+        "one yl"),
+    "S": (
+        "on"),
+    "T": (
+        "or"),
+    "U": (
+        "um"),
+    "V": (
+        "us"),
+    "W": (
+        "s"),
+    "X": (
+        "ar"),
+    "Y": (
+        "eal ear ealy early"),
+    "Z": (
+        "eature"),
+    "AA": (
+        "ite"),
+    "BB": (
+        "allic al als"),
+    "CC": (
+        "inity"),
+}
+
+# condition predicates on the candidate stem s (the word minus the ending);
+# hop-N in the reference = len(s) >= N
+_LOV_COND = {
+    "A": lambda s: len(s) >= 2,
+    "B": lambda s: len(s) >= 3,
+    "C": lambda s: len(s) >= 4,
+    "D": lambda s: len(s) >= 5,
+    "E": lambda s: len(s) >= 2 and s[-1] != "e",
+    "F": lambda s: len(s) >= 3 and s[-1] != "e",
+    "G": lambda s: len(s) >= 3 and s[-1] == "f",
+    "H": lambda s: len(s) >= 2 and (s[-1] == "t" or s.endswith("ll")),
+    "I": lambda s: len(s) >= 2 and s[-1] not in "oe",
+    "J": lambda s: len(s) >= 2 and s[-1] not in "ae",
+    "K": lambda s: len(s) >= 3 and (s[-1] in "li"
+                                    or (s[-1] == "e" and s[-3] == "u")),
+    "L": lambda s: (len(s) >= 2 and s[-1] not in "ux"
+                    and (s[-1] != "s" or s.endswith("os"))),
+    "M": lambda s: len(s) >= 2 and s[-1] not in "acem",
+    "N": lambda s: len(s) >= 3 and (s[-3] != "s" or len(s) >= 4),
+    "O": lambda s: len(s) >= 2 and s[-1] in "li",
+    "P": lambda s: len(s) >= 2 and s[-1] != "c",
+    "Q": lambda s: len(s) >= 3 and s[-1] not in "ln",
+    "R": lambda s: len(s) >= 2 and s[-1] in "nr",
+    "S": lambda s: len(s) >= 2 and (s.endswith("dr")
+                                    or (s[-1] == "t" and not s.endswith("tt"))),
+    "T": lambda s: len(s) >= 2 and (s[-1] == "s"
+                                    or (s[-1] == "t" and not s.endswith("ot"))),
+    "U": lambda s: len(s) >= 2 and s[-1] in "lmnr",
+    "V": lambda s: len(s) >= 2 and s[-1] == "c",
+    "W": lambda s: len(s) >= 2 and s[-1] not in "su",
+    "X": lambda s: len(s) >= 2 and (s[-1] in "li"
+                                    or (s[-1] == "e" and len(s) >= 3
+                                        and s[-3] == "u")),
+    "Y": lambda s: len(s) >= 2 and s.endswith("in"),
+    "Z": lambda s: len(s) >= 2 and s[-1] != "f",
+    "AA": lambda s: len(s) >= 2 and s.endswith(
+        ("d", "f", "ph", "th", "l", "er", "or", "es", "t")),
+    "BB": lambda s: (len(s) >= 3 and not s.endswith("met")
+                     and not s.endswith("ryst")),
+    "CC": lambda s: len(s) >= 2 and s[-1] == "l",
+}
+
+_LOV_ENDINGS = sorted(
+    ((e, c) for c, es in _LOV_TABLE.items() for e in es.split()),
+    key=lambda p: -len(p[0]))
+
+_LOV_UNDOUBLE = ("bb", "dd", "gg", "ll", "mm", "nn", "pp", "rr", "ss", "tt")
+
+# respell: (suffix, replacement, forbidden-preceding-letters); longest match
+# wins, and a failed precondition ends the pass (no backtracking)
+_LOV_RESPELL = sorted([
+    ("iev", "ief", ""), ("uct", "uc", ""), ("umpt", "um", ""),
+    ("rpt", "rb", ""), ("urs", "ur", ""), ("istr", "ister", ""),
+    ("metr", "meter", ""), ("olv", "olut", ""), ("ul", "l", "aio"),
+    ("bex", "bic", ""), ("dex", "dic", ""), ("pex", "pic", ""),
+    ("tex", "tic", ""), ("ax", "ac", ""), ("ex", "ec", ""),
+    ("ix", "ic", ""), ("lux", "luc", ""), ("uad", "uas", ""),
+    ("vad", "vas", ""), ("cid", "cis", ""), ("lid", "lis", ""),
+    ("erid", "eris", ""), ("pand", "pans", ""), ("end", "ens", "s"),
+    ("ond", "ons", ""), ("lud", "lus", ""), ("rud", "rus", ""),
+    ("her", "hes", "pt"), ("mit", "mis", ""), ("ent", "ens", "m"),
+    ("ert", "ers", ""), ("et", "es", "n"), ("yt", "ys", ""),
+    ("yz", "ys", ""),
+], key=lambda r: -len(r[0]))
+
+
+def lovins_stem(word: str) -> str:
+    w = word
+    # endings: longest suffix whose condition accepts the remaining stem
+    for e, c in _LOV_ENDINGS:
+        if w.endswith(e) and _LOV_COND[c](w[:-len(e)]):
+            w = w[:-len(e)]
+            break
+    if w.endswith(_LOV_UNDOUBLE):
+        w = w[:-1]
+    for suf, rep, forbid in _LOV_RESPELL:
+        if w.endswith(suf):
+            stem = w[:-len(suf)]
+            if not (forbid and stem and stem[-1] in forbid):
+                w = stem + rep
+            break
+    return w
+
+
+
 # ---------------------------------------------------------------------------
 # registry + analyzer factory
 # ---------------------------------------------------------------------------
@@ -1916,6 +2095,7 @@ SNOWBALL_STEMMERS = {
     "nepali": nepali_stem,
     "turkish": turkish_stem,
     "porter": porter_snowball_stem,
+    "lovins": lovins_stem,
 }
 
 
