@@ -2074,6 +2074,367 @@ def lovins_stem(word: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Kraaij-Pohlmann (Dutch) — ext/KpStemmer.java (the Snowball rendering of
+# W. Kraaij & R. Pohlmann, "Porter's stemming algorithm for Dutch", 1994).
+# Distinct from dutch_stem: measure counts 'ij' as one vowel unit, removed
+# suffixes trigger open-syllable vowel lengthening (dag -> daag), and 'ge-'
+# prefixes/infixes are stripped with a -d/-t cleanup pass.
+# ---------------------------------------------------------------------------
+
+_KP_V = "aeiouy"
+_KP_V_WX = "aeiouywx"
+_KP_AOU = "aou"
+_KP_AIOU = "aiou"
+
+
+def _kp_measure(s: str) -> tuple[int, int]:
+    """R1/R2 starts; a vowel run is any mix of vowels and 'ij' units."""
+    n = len(s)
+    p1 = p2 = n
+    i = 0
+    for mark in range(2):
+        while i < n and s[i] not in _KP_V:
+            i += 1
+        units = 0
+        while i < n:
+            if s[i:i + 2] == "ij":
+                i += 2
+            elif s[i] in _KP_V:
+                i += 1
+            else:
+                break
+            units += 1
+        if units == 0 or i >= n or s[i] in _KP_V:
+            return p1, p2
+        i += 1
+        if mark == 0:
+            p1 = i
+        else:
+            p2 = i
+    return p1, p2
+
+
+def _kp_V(s: str, pos: int) -> bool:
+    # char before pos is a vowel, or the two chars before pos are 'ij'
+    return (pos >= 1 and s[pos - 1] in _KP_V) or s[pos - 2:pos] == "ij"
+
+
+def _kp_VX(s: str, pos: int) -> bool:
+    # same test one char further back (skip one)
+    return pos >= 1 and _kp_V(s, pos - 1)
+
+
+def _kp_C(s: str, pos: int) -> bool:
+    # char before pos is a consonant and the pair before pos is not 'ij'
+    return (pos >= 1 and s[pos - 1] not in _KP_V
+            and s[pos - 2:pos] != "ij")
+
+
+def _kp_lengthen(s: str, pos: int) -> str:
+    """Double the vowel of a newly opened syllable ending at ``pos``
+    (r_lengthen_V): a consonant outside v+wx, preceded by a/o/u after a
+    consonant or at the start — or by such an 'e' that is not part of a
+    diphthong or a second open e-syllable."""
+    if pos < 1 or s[pos - 1] in _KP_V_WX:
+        return s
+    ket = pos - 1
+    if ket >= 1 and s[ket - 1] in _KP_AOU:
+        bra = ket - 1
+        if bra == 0 or s[bra - 1] not in _KP_V:
+            return s[:bra] + s[bra] + s[bra:]
+        return s
+    if ket >= 1 and s[ket - 1] == "e":
+        bra = ket - 1
+        if bra > 0 and s[bra - 1] in _KP_V:
+            return s
+        cur = bra - 1 if bra > 0 else bra
+        if cur >= 1 and s[cur - 1] in _KP_AIOU:
+            return s
+        if cur >= 2 and s[cur - 2] in _KP_AIOU and cur >= 3 \
+                and s[cur - 3] not in _KP_V:
+            return s
+        return s[:bra] + "e" + s[bra:]
+    return s
+
+
+def _kp_step1(s: str, p1: int, p2: int) -> str | None:
+    n = len(s)
+    R1 = lambda pos: pos >= p1
+    for suf in ("nde", "ies", "aus", "'s", "es", "en", "s"):
+        if s.endswith(suf):
+            cur = n - len(suf)
+            if suf == "'s":
+                return s[:cur]
+            if suf == "s":
+                if (R1(cur) and not (s[cur - 1:cur] == "t" and R1(cur - 1))
+                        and _kp_C(s, cur)):
+                    return s[:cur]
+                return None
+            if suf == "ies":
+                return s[:cur] + "ie" if R1(cur) else None
+            if suf == "es":
+                if s[cur - 2:cur] == "ar" and R1(cur - 2) and _kp_C(s, cur - 2):
+                    return _kp_lengthen(s[:cur - 2], cur - 2)
+                if s[cur - 2:cur] == "er" and R1(cur - 2) and _kp_C(s, cur - 2):
+                    return s[:cur - 2]
+                if R1(cur) and _kp_C(s, cur):
+                    return s[:cur] + "e"
+                return None
+            if suf == "aus":
+                return s[:cur] + "au" if R1(cur) and _kp_V(s, cur) else None
+            if suf == "en":
+                if s[cur - 3:cur] == "hed" and R1(cur - 3):
+                    return s[:cur - 3] + "heid"
+                if s[cur - 2:cur] == "nd":
+                    return s[:cur]
+                if s[cur - 1:cur] == "d" and R1(cur - 1) and _kp_C(s, cur - 1):
+                    return s[:cur - 1]
+                if s[cur - 1:cur] in ("i", "j") and _kp_V(s, cur - 1):
+                    return s[:cur]
+                if R1(cur) and _kp_C(s, cur):
+                    return _kp_lengthen(s[:cur], cur)
+                return None
+            if suf == "nde":
+                return s[:cur] + "nd"
+    return None
+
+
+def _kp_step2(s: str, p1: int, p2: int) -> str | None:
+    n = len(s)
+    R1 = lambda pos: pos >= p1
+    for suf in ("ische", "lijke", "ieve", "ene", "de", "ge", "je", "le",
+                "re", "se", "te"):
+        if not s.endswith(suf):
+            continue
+        cur = n - len(suf)
+        if suf == "je":
+            if s[cur - 2:cur] == "'t":
+                return s[:cur - 2]
+            if s[cur - 2:cur] == "et" and R1(cur - 2) and _kp_C(s, cur - 2):
+                return s[:cur - 2]
+            if s[cur - 3:cur] == "rnt":
+                return s[:cur - 3] + "rn"
+            if s[cur - 1:cur] == "t" and R1(cur - 1) and _kp_VX(s, cur - 1):
+                return s[:cur - 1]
+            if s[cur - 3:cur] == "ink":
+                return s[:cur - 3] + "ing"
+            if s[cur - 2:cur] == "mp":
+                return s[:cur - 2] + "m"
+            if s[cur - 1:cur] == "'" and R1(cur - 1):
+                return s[:cur - 1]
+            if R1(cur) and _kp_C(s, cur):
+                return s[:cur]
+            return None
+        if suf == "ge":
+            return s[:cur] + "g" if R1(cur) else None
+        if suf == "lijke":
+            return s[:cur] + "lijk" if R1(cur) else None
+        if suf == "ische":
+            return s[:cur] + "isch" if R1(cur) else None
+        if suf == "de":
+            return s[:cur] if R1(cur) and _kp_C(s, cur) else None
+        if suf == "te":
+            return s[:cur] + "t" if R1(cur) else None
+        if suf == "se":
+            return s[:cur] + "s" if R1(cur) else None
+        if suf == "re":
+            return s[:cur] + "r" if R1(cur) else None
+        if suf == "le":
+            if R1(cur):
+                return _kp_lengthen(s[:cur] + "l", cur + 1)
+            return None
+        if suf == "ene":
+            if R1(cur) and _kp_C(s, cur):
+                return _kp_lengthen(s[:cur] + "en", cur + 2)
+            return None
+        if suf == "ieve":
+            return s[:cur] + "ief" if R1(cur) and _kp_C(s, cur) else None
+    return None
+
+
+def _kp_step3(s: str, p1: int, p2: int) -> str | None:
+    n = len(s)
+    R1 = lambda pos: pos >= p1
+    for suf in ("iteit", "heid", "atie", "isme", "arij", "erij", "rder",
+                "ster", "fie", "gie", "ing", "sel", "dst", "tst"):
+        if not s.endswith(suf):
+            continue
+        cur = n - len(suf)
+        if suf == "atie":
+            return s[:cur] + "eer" if R1(cur) else None
+        if suf in ("isme", "ing", "erij", "iteit"):
+            return _kp_lengthen(s[:cur], cur) if R1(cur) else None
+        if suf in ("heid", "sel", "ster"):
+            return s[:cur] if R1(cur) else None
+        if suf == "rder":
+            return s[:cur] + "r"
+        if suf == "arij":
+            return s[:cur] + "aar" if R1(cur) and _kp_C(s, cur) else None
+        if suf == "fie":
+            if cur >= p2:
+                return _kp_lengthen(s[:cur] + "f", cur + 1)
+            return None
+        if suf == "gie":
+            if cur >= p2:
+                return _kp_lengthen(s[:cur] + "g", cur + 1)
+            return None
+        if suf == "tst":
+            return s[:cur] + "t" if R1(cur) and _kp_C(s, cur) else None
+        if suf == "dst":
+            return s[:cur] + "d" if R1(cur) and _kp_C(s, cur) else None
+    return None
+
+
+def _kp_step4(s: str, p1: int, p2: int) -> str | None:
+    n = len(s)
+    R1 = lambda pos: pos >= p1
+    for suf in ("achtigst", "achtiger", "erigst", "achtig", "eriger",
+                "ioneel", "lijker", "lijkst", "atief", "erig", "baar",
+                "laar", "naar", "raar", "tant", "end"):
+        if not s.endswith(suf):
+            continue
+        cur = n - len(suf)
+        if suf == "ioneel":
+            if R1(cur):
+                return s[:cur] + "ie"
+        elif suf == "atief":
+            if R1(cur):
+                return s[:cur] + "eer"
+        elif suf in ("achtig", "baar", "achtiger", "achtigst"):
+            if R1(cur):
+                return s[:cur]
+        elif suf == "naar":
+            if R1(cur) and _kp_V(s, cur):
+                return s[:cur] + "n"
+        elif suf == "laar":
+            if R1(cur) and _kp_V(s, cur):
+                return s[:cur] + "l"
+        elif suf == "raar":
+            if R1(cur) and _kp_V(s, cur):
+                return s[:cur] + "r"
+        elif suf == "tant":
+            if R1(cur):
+                return s[:cur] + "teer"
+        elif suf in ("lijker", "lijkst"):
+            if R1(cur):
+                return s[:cur] + "lijk"
+        else:  # end / erig / eriger / erigst
+            if R1(cur) and _kp_C(s, cur):
+                return _kp_lengthen(s[:cur], cur)
+        break
+    # fallback: plain superlative/comparative -ig endings
+    for suf in ("iger", "igst", "ig"):
+        if s.endswith(suf):
+            cur = n - len(suf)
+            if R1(cur) and _kp_C(s, cur):
+                return _kp_lengthen(s[:cur], cur)
+            return None
+    return None
+
+
+def _kp_step1c(s: str, p1: int, p2: int) -> str | None:
+    """After a removed ge- prefix/infix: drop a trailing -d/-t unless it
+    opens an -nd/-ht inflection inside R1."""
+    n = len(s)
+    if not s or s[-1] not in "dt":
+        return None
+    cur = n - 1
+    if not (cur >= p1 and _kp_C(s, cur)):
+        return None
+    if s[-1] == "d":
+        if s[cur - 1:cur] == "n" and cur - 1 >= p1:
+            return None
+        return s[:cur]
+    if s[cur - 1:cur] == "h" and cur - 1 >= p1:
+        return None
+    return s[:cur]
+
+
+def _kp_has_open_syllable(s: str, start: int) -> bool:
+    # a vowel at/after ``start`` eventually followed by a consonant
+    n = len(s)
+    i = start
+    while i < n and s[i] not in _KP_V:
+        i += 1
+    if i >= n:
+        return False
+    while i < n and s[i] in _KP_V:
+        i += 1
+    return i < n
+
+
+def _kp_lose_prefix(s: str) -> str | None:
+    if s.startswith("ge") and len(s) >= 5 and _kp_has_open_syllable(s, 2):
+        return s[2:]
+    return None
+
+
+def _kp_lose_infix(s: str) -> str | None:
+    at = s.find("ge", 1)
+    if at < 0:
+        return None
+    ket = at + 2
+    if len(s) >= ket + 3 and _kp_has_open_syllable(s, ket):
+        return s[:at] + s[ket:]
+    return None
+
+
+_KP_FINAL = {"ft": "f", "kt": "k", "pt": "p"}
+_KP_UNDOUBLE = {c * 2: c for c in "bcdfghjklmnpqrstvwxz"}
+
+
+def kp_stem(word: str) -> str:
+    # mark an initial y, and every y after a vowel, as consonant Y
+    out = []
+    y_found = False
+    for i, c in enumerate(word):
+        if c == "y" and (i == 0 or (out[-1] in _KP_V)):
+            out.append("Y")
+            y_found = True
+        else:
+            out.append(c)
+    s = "".join(out)
+    p1, p2 = _kp_measure(s)
+
+    stemmed = False
+    for step in (_kp_step1, _kp_step2, _kp_step3, _kp_step4):
+        r = step(s, p1, p2)
+        if r is not None:
+            s, stemmed = r, True
+
+    ge_removed = False
+    r = _kp_lose_prefix(s)
+    if r is not None:
+        s = r
+        p1, p2 = _kp_measure(s)
+        r = _kp_step1c(s, p1, p2)
+        if r is not None:
+            s = r
+    ge_removed = False
+    r = _kp_lose_infix(s)
+    if r is not None:
+        s = r
+        ge_removed = True
+        p1, p2 = _kp_measure(s)
+        r = _kp_step1c(s, p1, p2)
+        if r is not None:
+            s = r
+
+    if s[-2:] in _KP_FINAL:
+        s = s[:-2] + _KP_FINAL[s[-2:]]
+        stemmed = True
+    if stemmed or ge_removed:
+        if s[-2:] in _KP_UNDOUBLE:
+            s = s[:-1]
+        elif s.endswith("v"):
+            s = s[:-1] + "f"
+        elif s.endswith("z"):
+            s = s[:-1] + "s"
+
+    return s.replace("Y", "y") if y_found else s
+
+
+# ---------------------------------------------------------------------------
 # registry + analyzer factory
 # ---------------------------------------------------------------------------
 
@@ -2096,6 +2457,7 @@ SNOWBALL_STEMMERS = {
     "turkish": turkish_stem,
     "porter": porter_snowball_stem,
     "lovins": lovins_stem,
+    "kp": kp_stem,
 }
 
 
