@@ -1357,6 +1357,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return wdf.select("word", stem_udf(F.col("word")).alias("stem"))
 
+    def _stem_golden_query(spark, stem_fn, words):
+        wdf = spark.createDataFrame([(w,) for w in sorted(words)],
+                                    "word string")
+
+        @F.pandas_udf("string")
+        def stem_udf(ws: pd.Series) -> pd.Series:
+            return ws.map(stem_fn)
+
+        return wdf.select("word", stem_udf(F.col("word")).alias("stem"))
+
+    def ft_lovins(spark, sf):
+        # Lovins stemmer (snowball/ext/LovinsStemmer.java): golden pairs
+        # drawn from the reference's own lovins.zip test vocabulary (every
+        # 80th pair); full 2000-pair parity in tests/test_snowball.py.
+        from lucene_spark.snowball import lovins_stem
+
+        return _stem_golden_query(spark, lovins_stem, [
+            "actinia", "apprehensions", "approachin", "discount", "error",
+            "exhibiting", "felt", "ferocious", "filtered", "milliner",
+            "moped", "obsequiousness", "orsono", "persecutor", "retaliate",
+            "sarandis", "scene", "skittles", "smash", "sufferers", "thu",
+            "venting", "vex", "wielded", "woo",
+        ])
+
+    def ft_kp_stem(spark, sf):
+        # Kraaij-Pohlmann Dutch stemmer (snowball/ext/KpStemmer.java):
+        # golden pairs from the reference's kp.zip vocabulary; full
+        # 2000-pair parity in tests/test_snowball.py.
+        from lucene_spark.snowball import kp_stem
+
+        return _stem_golden_query(spark, kp_stem, [
+            "aandrijving", "argumenten", "beschrijven", "broeder",
+            "cellcrete", "dcs", "dormagen", "eic", "energiebeheersysteem",
+            "fabriceren", "galant", "getild", "glastuinbouwcomplex",
+            "hoevele", "kwaliteitscriteria", "natuurbeschermingswet",
+            "regelgevingslast", "schotse", "souvenirs", "stikstofdepositie",
+            "straatjongen", "uitgedroogd", "verfrissends", "vlamde",
+            "vreemdeling",
+        ])
+
+    def ft_porter_snowball(spark, sf):
+        # Porter, Snowball dialect (snowball/ext/PorterStemmer.java) —
+        # distinct from both porter2 and the PorterStemFilter analog;
+        # goldens from porter.zip, full parity in tests/test_snowball.py.
+        from lucene_spark.snowball import porter_snowball_stem
+
+        return _stem_golden_query(spark, porter_snowball_stem, [
+            "assuredly", "debitor", "defeatures", "discoursing", "eve",
+            "forethink", "guidance", "injurious", "insured", "interests",
+            "jesu", "mail", "marlow", "mistakings", "misused", "pible",
+            "sawn", "scrolls", "sweepers", "tankard", "tattooed",
+            "unbearable", "vaumond", "vouchsafed", "wrong",
+        ])
+
+    def ft_kstem(spark, sf):
+        # KStemFilter (en/KStemFilter.java:49, Krovetz SIGIR'93
+        # dictionary-gated stemmer): goldens from the reference's own
+        # kstem_examples.txt (3 extras re-derived and hand-checked against
+        # the dictionary-gating rules); full 12,130-pair parity in
+        # tests/test_kstem.py.
+        from lucene_spark.kstem import kstem
+
+        return _stem_golden_query(spark, kstem, [
+            "aided", "aides", "anticipated", "bearings", "californians",
+            "colonial", "councils", "destination", "eagerly", "excess",
+            "flung", "greedy", "idea", "immunity", "invalidity", "italians",
+            "limitation", "memorial", "memorized", "migration",
+            "observance", "pequots", "printed", "recover", "roads", "sharp",
+            "starved", "taverns",
+        ])
+
     def ft_ja_analyze(spark, sf):
         # kuromoji-lite morphological analysis (analysis/kuromoji/.../ja/
         # JapaneseTokenizer.java Viterbi lattice + JapaneseAnalyzer.java:
@@ -4396,6 +4467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_snowball, ft_shape_polygon, ft_shape_line, ft_icu_fold,
         ft_ja_analyze, ft_double_metaphone, ft_ko_analyze, ft_ja_number,
         ft_regexp_ops, ft_classic_analyze, ft_zh_analyze,
+        ft_lovins, ft_kp_stem, ft_porter_snowball, ft_kstem,
         # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
         # still oracle-checked every run by tests/test_entry_gate.py ----
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -5521,6 +5593,18 @@ SELECT i, folded FROM (VALUES (CAST(0 AS BIGINT), 'this'), (1, 'russ'),
 ORDER BY i""",
         "ft_snowball": """
 SELECT word, stem FROM (VALUES ('advertisement', 'advertis'),('affirmative', 'affirm'),('allegiance', 'allegi'),('allowable', 'allow'),('approbation', 'approb'),('betrayed', 'betray'),('buoy', 'buoy'),('carnivorous', 'carnivor'),('comical', 'comic'),('consignment', 'consign'),('deceitful', 'deceit'),('distinctly', 'distinct'),('dying', 'die'),('early', 'earli'),('earnestly', 'earnest'),('forgetfulness', 'forget'),('gently', 'gentl'),('holidays', 'holiday'),('idly', 'idl'),('lying', 'lie'),('nervousness', 'nervous'),('news', 'news'),('only', 'onli'),('plaintiveness', 'plaintiv'),('profoundly', 'profound'),('sensational', 'sensat'),('skies', 'sky'),('skis', 'ski'),('spy', 'spi'),('toyed', 'toy'),('turkey', 'turkey')) AS t(word, stem)
+ORDER BY word""",
+        "ft_lovins": """
+SELECT word, stem FROM (VALUES ('actinia', 'actin'),('apprehensions', 'apprehens'),('approachin', 'approachin'),('discount', 'discount'),('error', 'error'),('exhibiting', 'exhibit'),('felt', 'felt'),('ferocious', 'feroc'),('filtered', 'filter'),('milliner', 'milliner'),('moped', 'mop'),('obsequiousness', 'obsequ'),('orsono', 'orson'),('persecutor', 'persecut'),('retaliate', 'retali'),('sarandis', 'sarand'),('scene', 'sc'),('skittles', 'skittl'),('smash', 'smash'),('sufferers', 'sufferer'),('thu', 'thu'),('venting', 'vens'),('vex', 'vec'),('wielded', 'wield'),('woo', 'wo')) AS t(word, stem)
+ORDER BY word""",
+        "ft_kp_stem": """
+SELECT word, stem FROM (VALUES ('aandrijving', 'aandrijf'),('argumenten', 'argument'),('beschrijven', 'beschrijf'),('broeder', 'broeder'),('cellcrete', 'cellcret'),('dcs', 'dcs'),('dormagen', 'dormaag'),('eic', 'eic'),('energiebeheersysteem', 'energiebeheersysteem'),('fabriceren', 'fabricer'),('galant', 'galant'),('getild', 'til'),('glastuinbouwcomplex', 'glastuinbouwcomplex'),('hoevele', 'hoevel'),('kwaliteitscriteria', 'kwaliteitscriteria'),('natuurbeschermingswet', 'natuurbeschermingswet'),('regelgevingslast', 'relgevingslas'),('schotse', 'schots'),('souvenirs', 'souvenir'),('stikstofdepositie', 'stikstofdepositie'),('straatjongen', 'straatjong'),('uitgedroogd', 'uitdroog'),('verfrissends', 'verfris'),('vlamde', 'vlam'),('vreemdeling', 'vreemdeel')) AS t(word, stem)
+ORDER BY word""",
+        "ft_porter_snowball": """
+SELECT word, stem FROM (VALUES ('assuredly', 'assuredli'),('debitor', 'debitor'),('defeatures', 'defeatur'),('discoursing', 'discours'),('eve', 'ev'),('forethink', 'forethink'),('guidance', 'guidanc'),('injurious', 'injuri'),('insured', 'insur'),('interests', 'interest'),('jesu', 'jesu'),('mail', 'mail'),('marlow', 'marlow'),('mistakings', 'mistak'),('misused', 'misus'),('pible', 'pibl'),('sawn', 'sawn'),('scrolls', 'scroll'),('sweepers', 'sweeper'),('tankard', 'tankard'),('tattooed', 'tattoo'),('unbearable', 'unbear'),('vaumond', 'vaumond'),('vouchsafed', 'vouchsaf'),('wrong', 'wrong')) AS t(word, stem)
+ORDER BY word""",
+        "ft_kstem": """
+SELECT word, stem FROM (VALUES ('aided', 'aid'),('aides', 'aide'),('anticipated', 'anticipate'),('bearings', 'bearings'),('californians', 'california'),('colonial', 'colonial'),('councils', 'council'),('destination', 'destination'),('eagerly', 'eager'),('excess', 'excess'),('flung', 'flung'),('greedy', 'greedy'),('idea', 'idea'),('immunity', 'immune'),('invalidity', 'invalid'),('italians', 'italy'),('limitation', 'limitation'),('memorial', 'memorial'),('memorized', 'memorize'),('migration', 'migration'),('observance', 'observance'),('pequots', 'pequot'),('printed', 'print'),('recover', 'recover'),('roads', 'road'),('sharp', 'sharp'),('starved', 'starve'),('taverns', 'tavern')) AS t(word, stem)
 ORDER BY word""",
         "ft_ascii_fold": """
 WITH w AS (

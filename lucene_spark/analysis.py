@@ -214,11 +214,16 @@ def english_analyzer(stopwords: frozenset[str] = ENGLISH_STOP_WORDS,
     ``stemmer="porter2"`` swaps the final stage for the English Snowball
     stemmer (SnowballFilter(in, "English") — snowball/SnowballFilter
     .java:47 → org/tartarus/snowball/ext/EnglishStemmer.java), the
-    Porter2 variant most production English chains configure."""
+    Porter2 variant most production English chains configure;
+    ``stemmer="kstem"`` swaps in the dictionary-gated KStemFilter analog
+    (en/KStemFilter.java:49)."""
     from .filters import porter_stem, strip_possessive
     from .stemmers import porter2_stem
 
-    stem = {"porter": porter_stem, "porter2": porter2_stem}[stemmer]
+    if stemmer == "kstem":
+        from .kstem import kstem as stem
+    else:
+        stem = {"porter": porter_stem, "porter2": porter2_stem}[stemmer]
     return Analyzer(stopwords, pre_filters=(strip_possessive,),
                     post_filters=(stem,))
 
