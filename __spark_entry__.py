@@ -1411,6 +1411,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "unbearable", "vaumond", "vouchsafed", "wrong",
         ])
 
+    def ft_french(spark, sf):
+        # French Snowball stemmer (snowball/ext/FrenchStemmer.java).  No
+        # reference vocabulary ships for French; goldens hand-traced
+        # against the algorithm (tests/test_snowball.py
+        # ::test_french_stemmer_goldens documents the traces).
+        from lucene_spark.snowball import french_stem
+
+        return _stem_golden_query(spark, french_stem, [
+            "abstraction", "activités", "biologie", "chevaux", "chiens",
+            "conditionnellement", "continuait", "continuation",
+            "continuelle", "ennuyeuse", "essayant", "finissions",
+            "habitables", "importantes", "logiquement", "majestueusement",
+            "mangeait", "mangent", "mangerons", "nationaux", "payaient",
+            "rapidement", "rugissante", "souffrirent", "sérieusement",
+            "volontairement",
+        ])
+
     def ft_kstem(spark, sf):
         # KStemFilter (en/KStemFilter.java:49, Krovetz SIGIR'93
         # dictionary-gated stemmer): goldens from the reference's own
@@ -4467,7 +4484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_snowball, ft_shape_polygon, ft_shape_line, ft_icu_fold,
         ft_ja_analyze, ft_double_metaphone, ft_ko_analyze, ft_ja_number,
         ft_regexp_ops, ft_classic_analyze, ft_zh_analyze,
-        ft_lovins, ft_kp_stem, ft_porter_snowball, ft_kstem,
+        ft_lovins, ft_kp_stem, ft_porter_snowball, ft_kstem, ft_french,
         # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
         # still oracle-checked every run by tests/test_entry_gate.py ----
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -5602,6 +5619,9 @@ SELECT word, stem FROM (VALUES ('aandrijving', 'aandrijf'),('argumenten', 'argum
 ORDER BY word""",
         "ft_porter_snowball": """
 SELECT word, stem FROM (VALUES ('assuredly', 'assuredli'),('debitor', 'debitor'),('defeatures', 'defeatur'),('discoursing', 'discours'),('eve', 'ev'),('forethink', 'forethink'),('guidance', 'guidanc'),('injurious', 'injuri'),('insured', 'insur'),('interests', 'interest'),('jesu', 'jesu'),('mail', 'mail'),('marlow', 'marlow'),('mistakings', 'mistak'),('misused', 'misus'),('pible', 'pibl'),('sawn', 'sawn'),('scrolls', 'scroll'),('sweepers', 'sweeper'),('tankard', 'tankard'),('tattooed', 'tattoo'),('unbearable', 'unbear'),('vaumond', 'vaumond'),('vouchsafed', 'vouchsaf'),('wrong', 'wrong')) AS t(word, stem)
+ORDER BY word""",
+        "ft_french": """
+SELECT word, stem FROM (VALUES ('abstraction', 'abstract'),('activités', 'activ'),('biologie', 'biolog'),('chevaux', 'cheval'),('chiens', 'chien'),('conditionnellement', 'conditionnel'),('continuait', 'continu'),('continuation', 'continu'),('continuelle', 'continuel'),('ennuyeuse', 'ennui'),('essayant', 'essai'),('finissions', 'fin'),('habitables', 'habit'),('importantes', 'import'),('logiquement', 'logiqu'),('majestueusement', 'majestu'),('mangeait', 'mang'),('mangent', 'mangent'),('mangerons', 'mang'),('nationaux', 'national'),('payaient', 'pai'),('rapidement', 'rapid'),('rugissante', 'rug'),('souffrirent', 'souffr'),('sérieusement', 'sérieux'),('volontairement', 'volontair')) AS t(word, stem)
 ORDER BY word""",
         "ft_kstem": """
 SELECT word, stem FROM (VALUES ('aided', 'aid'),('aides', 'aide'),('anticipated', 'anticipate'),('bearings', 'bearings'),('californians', 'california'),('colonial', 'colonial'),('councils', 'council'),('destination', 'destination'),('eagerly', 'eager'),('excess', 'excess'),('flung', 'flung'),('greedy', 'greedy'),('idea', 'idea'),('immunity', 'immune'),('invalidity', 'invalid'),('italians', 'italy'),('limitation', 'limitation'),('memorial', 'memorial'),('memorized', 'memorize'),('migration', 'migration'),('observance', 'observance'),('pequots', 'pequot'),('printed', 'print'),('recover', 'recover'),('roads', 'road'),('sharp', 'sharp'),('starved', 'starve'),('taverns', 'tavern')) AS t(word, stem)

@@ -2435,6 +2435,317 @@ def kp_stem(word: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# French — ext/FrenchStemmer.java (the Snowball French algorithm).  No
+# reference test vocabulary ships for French, so parity evidence is the
+# reference's own published spec-example pairs plus chain goldens in
+# tests/test_snowball.py::test_french_spec_goldens.
+# ---------------------------------------------------------------------------
+
+_FR_V = "aeiouyàâèéêëîïôùû"
+_FR_KEEP_S = "aiosuè"
+
+_FR_STD = {  # a_4: suffix -> case id
+    "iqUe": 1, "atrice": 2, "ance": 1, "ence": 5, "logie": 3, "able": 1,
+    "isme": 1, "euse": 11, "iste": 1, "ive": 8, "if": 8, "usion": 4,
+    "ation": 2, "ution": 4, "ateur": 2, "iqUes": 1, "atrices": 2,
+    "ances": 1, "ences": 5, "logies": 3, "ables": 1, "ismes": 1,
+    "euses": 11, "istes": 1, "ives": 8, "ifs": 8, "usions": 4,
+    "ations": 2, "utions": 4, "ateurs": 2, "ments": 15, "ements": 6,
+    "issements": 12, "ités": 7, "ment": 15, "ement": 6, "issement": 12,
+    "amment": 13, "emment": 14, "aux": 10, "eaux": 9, "eux": 1, "ité": 7,
+}
+
+_FR_IVERB = (  # a_5, all delete in RV after a non-vowel
+    "issaIent iraIent issantes issante issants issions issez irions "
+    "issais issait issant issent issiez issons isses irais irait irent "
+    "iront irons iriez isse irai iras irez îmes îtes ira ies ir is it "
+    "ie ît i").split()
+
+_FR_VERB = {  # a_6
+    "a": 3, "era": 2, "asse": 3, "ante": 3, "ée": 2, "ai": 3, "erai": 2,
+    "er": 2, "as": 3, "eras": 2, "âmes": 3, "asses": 3, "antes": 3,
+    "âtes": 3, "ées": 2, "ais": 3, "erais": 2, "ions": 1, "erions": 2,
+    "assions": 3, "erons": 2, "ants": 3, "és": 2, "ait": 3, "erait": 2,
+    "ant": 3, "aIent": 3, "eraIent": 2, "èrent": 2, "assent": 3,
+    "eront": 2, "ât": 3, "ez": 2, "iez": 2, "eriez": 2, "assiez": 3,
+    "erez": 2, "é": 2,
+}
+
+_FR_RESIDUAL = {"Ière": 2, "ière": 2, "ion": 1, "Ier": 2, "ier": 2, "e": 3}
+
+
+def _fr_prelude(w: str) -> str:
+    """Mark u/i between vowels, y next to a vowel, u after q as U/I/Y;
+    ë -> He, ï -> Hi (protected from the backward steps, unmarked by the
+    postlude)."""
+    out = []
+    i, n = 0, len(w)
+    while i < n:
+        c = w[i]
+        if c in _FR_V and i + 1 < n:
+            nxt = w[i + 1]
+            if nxt in "ui" and i + 2 < n and w[i + 2] in _FR_V:
+                out.append(c)
+                out.append("U" if nxt == "u" else "I")
+                i += 2
+                continue
+            if nxt == "y":
+                out.append(c)
+                out.append("Y")
+                i += 2
+                continue
+        if c == "ë":
+            out.append("He")
+        elif c == "ï":
+            out.append("Hi")
+        elif c == "y" and i + 1 < n and w[i + 1] in _FR_V:
+            out.append("Y")
+        elif c == "q" and i + 1 < n and w[i + 1] == "u":
+            out.append("qU")
+            i += 2
+            continue
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _fr_regions(w: str) -> tuple[int, int, int]:
+    n = len(w)
+    pV = p1 = p2 = n
+    if n >= 3 and w[0] in _FR_V and w[1] in _FR_V:
+        pV = 3
+    elif w.startswith(("col", "par", "tap")):
+        pV = 3
+    else:
+        for i in range(1, n):
+            if w[i] in _FR_V:
+                pV = i + 1
+                break
+    i = 0
+    for mark in range(2):
+        while i < n and w[i] not in _FR_V:
+            i += 1
+        while i < n and w[i] in _FR_V:
+            i += 1
+        if i >= n:
+            break
+        i += 1
+        if mark == 0:
+            p1 = i
+        else:
+            p2 = i
+    return pV, p1, p2
+
+
+def _fr_postlude(w: str) -> str:
+    return (w.replace("He", "ë").replace("Hi", "ï").replace("H", "")
+             .replace("I", "i").replace("U", "u").replace("Y", "y"))
+
+
+def _fr_standard(w: str, pV: int, p1: int, p2: int):
+    """standard_suffix: returns (new_word, status) where status is True
+    (succeeded), False (no change / condition miss), or 'fall' (cases
+    13-15: sliced but fails the step so verb removal still runs)."""
+    for suf in sorted(_FR_STD, key=len, reverse=True):
+        if not w.endswith(suf):
+            continue
+        cur = len(w) - len(suf)
+        case = _FR_STD[suf]
+        R1, R2, RV = cur >= p1, cur >= p2, cur >= pV
+        if case == 1:
+            return (w[:cur], True) if R2 else (w, False)
+        if case == 2:
+            if not R2:
+                return w, False
+            w = w[:cur]
+            if w.endswith("ic"):
+                if len(w) - 2 >= p2:
+                    w = w[:-2]
+                else:
+                    w = w[:-2] + "iqU"
+            return w, True
+        if case == 3:
+            return (w[:cur] + "log", True) if R2 else (w, False)
+        if case == 4:
+            return (w[:cur] + "u", True) if R2 else (w, False)
+        if case == 5:
+            return (w[:cur] + "ent", True) if R2 else (w, False)
+        if case == 6:  # ement(s), in RV
+            if not RV:
+                return w, False
+            w = w[:cur]
+            for s2 in ("iqU", "abl", "Ièr", "ièr", "eus", "iv"):
+                if w.endswith(s2):
+                    c2 = len(w) - len(s2)
+                    if s2 == "iv":
+                        if c2 >= p2:
+                            w = w[:c2]
+                            if w.endswith("at") and len(w) - 2 >= p2:
+                                w = w[:-2]
+                    elif s2 == "eus":
+                        if c2 >= p2:
+                            w = w[:c2]
+                        elif c2 >= p1:
+                            w = w[:c2] + "eux"
+                    elif s2 in ("abl", "iqU"):
+                        if c2 >= p2:
+                            w = w[:c2]
+                    else:  # Ièr / ièr
+                        if c2 >= pV:
+                            w = w[:c2] + "i"
+                    break
+            return w, True
+        if case == 7:  # ité(s)
+            if not R2:
+                return w, False
+            w = w[:cur]
+            for s2 in ("abil", "ic", "iv"):
+                if w.endswith(s2):
+                    c2 = len(w) - len(s2)
+                    if s2 == "abil":
+                        w = w[:c2] if c2 >= p2 else w[:c2] + "abl"
+                    elif s2 == "ic":
+                        w = w[:c2] if c2 >= p2 else w[:c2] + "iqU"
+                    else:
+                        if c2 >= p2:
+                            w = w[:c2]
+                    break
+            return w, True
+        if case == 8:  # if / ive(s)
+            if not R2:
+                return w, False
+            w = w[:cur]
+            if w.endswith("at") and len(w) - 2 >= p2:
+                w = w[:-2]
+                if w.endswith("ic"):
+                    if len(w) - 2 >= p2:
+                        w = w[:-2]
+                    else:
+                        w = w[:-2] + "iqU"
+            return w, True
+        if case == 9:
+            return w[:cur] + "eau", True
+        if case == 10:
+            return (w[:cur] + "al", True) if R1 else (w, False)
+        if case == 11:  # euse(s)
+            if R2:
+                return w[:cur], True
+            if R1:
+                return w[:cur] + "eux", True
+            return w, False
+        if case == 12:  # issement(s), preceded by a non-vowel
+            if R1 and cur >= 1 and w[cur - 1] not in _FR_V:
+                return w[:cur], True
+            return w, False
+        if case == 13:  # amment -> ant, then fall through to verbs
+            return (w[:cur] + "ant", "fall") if RV else (w, False)
+        if case == 14:  # emment -> ent
+            return (w[:cur] + "ent", "fall") if RV else (w, False)
+        if case == 15:  # ment(s) after a vowel in RV; delete, fall through
+            if cur >= 1 and w[cur - 1] in _FR_V and cur - 1 >= pV:
+                return w[:cur], "fall"
+            return w, False
+    return w, False
+
+
+def _fr_i_verb(w: str, pV: int):
+    for suf in sorted(_FR_IVERB, key=len, reverse=True):
+        if w.endswith(suf):
+            cur = len(w) - len(suf)
+            if cur < pV:
+                return w, False
+            # not after H (protects Hi/He marks), and after a non-vowel,
+            # both within RV
+            if cur - 1 >= pV and w[cur - 1] == "H":
+                return w, False
+            if cur - 1 < pV or w[cur - 1] in _FR_V:
+                return w, False
+            return w[:cur], True
+    return w, False
+
+
+def _fr_verb(w: str, pV: int, p2: int):
+    for suf in sorted(_FR_VERB, key=len, reverse=True):
+        if w.endswith(suf):
+            cur = len(w) - len(suf)
+            if cur < pV:
+                return w, False
+            case = _FR_VERB[suf]
+            if case == 1:
+                if cur < p2:
+                    return w, False
+                return w[:cur], True
+            if case == 2:
+                return w[:cur], True
+            w = w[:cur]
+            if cur - 1 >= pV and w.endswith("e"):
+                w = w[:-1]
+            return w, True
+    return w, False
+
+
+def _fr_residual(w: str, pV: int, p2: int):
+    # final s not kept by a/i/o/u/è/s (or protected by a Hi mark)
+    if w.endswith("s"):
+        cur = len(w) - 1
+        if ((cur >= 2 and w[cur - 2:cur] == "Hi")
+                or (cur >= 1 and w[cur - 1] not in _FR_KEEP_S)):
+            w = w[:cur]
+    n = len(w)
+    if n < pV:
+        return w, False
+    for suf in sorted(_FR_RESIDUAL, key=len, reverse=True):
+        if w.endswith(suf):
+            cur = n - len(suf)
+            if cur < pV:
+                return w, False
+            case = _FR_RESIDUAL[suf]
+            if case == 1:  # ion, in R2, after s/t (s/t within RV)
+                if cur >= p2 and cur - 1 >= pV and w[cur - 1] in "st":
+                    return w[:cur], True
+                return w, False
+            if case == 2:
+                return w[:cur] + "i", True
+            return w[:cur], True
+    return w, False
+
+
+def french_stem(word: str) -> str:
+    w = _fr_prelude(word)
+    pV, p1, p2 = _fr_regions(w)
+
+    w2, st = _fr_standard(w, pV, p1, p2)
+    done = st is True
+    w = w2
+    if not done:
+        w2, ok = _fr_i_verb(w, pV)
+        if ok:
+            done, w = True, w2
+        else:
+            w2, ok = _fr_verb(w, pV, p2)
+            if ok:
+                done, w = True, w2
+    if done:
+        if w.endswith("Y"):
+            w = w[:-1] + "i"
+        elif w.endswith("ç"):
+            w = w[:-1] + "c"
+    else:
+        w, _ = _fr_residual(w, pV, p2)
+
+    if w.endswith(("ell", "eill", "enn", "onn", "ett")):
+        w = w[:-1]
+    # un_accent: é/è before one or more final non-vowels -> e
+    i = len(w)
+    while i >= 1 and w[i - 1] not in _FR_V:
+        i -= 1
+    if i < len(w) and i >= 1 and w[i - 1] in "éè":
+        w = w[:i - 1] + "e" + w[i:]
+    return _fr_postlude(w)
+
+
+# ---------------------------------------------------------------------------
 # registry + analyzer factory
 # ---------------------------------------------------------------------------
 
@@ -2458,6 +2769,7 @@ SNOWBALL_STEMMERS = {
     "porter": porter_snowball_stem,
     "lovins": lovins_stem,
     "kp": kp_stem,
+    "french": french_stem,
 }
 
 

@@ -57,3 +57,52 @@ def test_german2_umlaut_digraphs():
     # 'ue' after a vowel or q stays literal: same result as plain german
     assert german2_stem("feuer") == german_stem("feuer")
     assert german2_stem("quelle") == german_stem("quelle")
+
+
+def test_french_stemmer_goldens():
+    # No French vocabulary zip ships with the reference, so these goldens
+    # were hand-traced against the Snowball French algorithm
+    # (ext/FrenchStemmer.java): prelude marking, RV/R1/R2, standard/verb/
+    # residual suffix interplay, un_double, un_accent, postlude.
+    from lucene_spark.snowball import french_stem
+
+    golden = {
+        # standard suffixes with the R2/RV gates
+        "continuation": "continu", "abstraction": "abstract",
+        "majestueusement": "majestu", "sérieusement": "sérieux",
+        "généreusement": "géner", "rapidement": "rapid",
+        "volontairement": "volontair", "logiquement": "logiqu",
+        "biologie": "biolog", "activité": "activ", "activités": "activ",
+        "habitables": "habit", "importantes": "import",
+        # amment/emment fall through to the verb step
+        "précisément": "précis",
+        # aux/eaux
+        "chevaux": "cheval", "nationaux": "national",
+        # verb suffixes, incl. the trailing-e absorption and aIent marking
+        "continuait": "continu", "mangeait": "mang", "mangerons": "mang",
+        "payaient": "pai", "essayant": "essai",
+        # i-verb suffixes require a preceding non-vowel inside RV
+        "finissions": "fin", "souffrirent": "souffr",
+        "rugissante": "rug", "haïssait": "haïss",
+        # -ent (3rd-person plural) is deliberately not a verb suffix
+        "mangent": "mangent",
+        # residual s / e, un_double, Y unmarking
+        "chiens": "chien", "conditionnellement": "conditionnel",
+        "continuelle": "continuel", "ennuyeuse": "ennui",
+        "voyions": "voyion",
+    }
+    for w, want in golden.items():
+        assert french_stem(w) == want, (w, french_stem(w), want)
+
+
+def test_french_prelude_marking():
+    from lucene_spark.snowball import _fr_prelude, _fr_postlude
+
+    assert _fr_prelude("payer") == "paYer"
+    assert _fr_prelude("oui") == "oUi"
+    assert _fr_prelude("quand") == "qUand"
+    assert _fr_prelude("naïve") == "naHive"
+    assert _fr_prelude("noël") == "noHel"
+    # postlude restores every mark
+    for w in ("payer", "oui", "quand", "naïve", "noël"):
+        assert _fr_postlude(_fr_prelude(w)) == w
