@@ -458,6 +458,18 @@ def routing_analyzer_with_intl(extra_routes: dict | None = None):
         routes[lang] = intl_analyzer(lang)
     for lang in ("pt", "gl"):
         routes[lang] = Analyzer(post_filters=(MINIMAL_STEMMERS[lang],))
+    # languages whose reference *Analyzer stems with SnowballFilter in
+    # createComponents (ru/da/nl/no/sv/fi/hu/ro/tr/ga — e.g.
+    # RussianAnalyzer.java, DanishAnalyzer.java); the stemmers carry full
+    # reference-vocabulary parity (tests/test_snowball.py)
+    from .snowball import snowball_analyzer
+
+    for lang, sb in (("ru", "russian"), ("da", "danish"), ("nl", "dutch"),
+                     ("no", "norwegian"), ("sv", "swedish"),
+                     ("fi", "finnish"), ("hu", "hungarian"),
+                     ("ro", "romanian"), ("tr", "turkish"),
+                     ("ga", "irish"), ("ne", "nepali")):
+        routes.setdefault(lang, snowball_analyzer(sb))
     if extra_routes:
         routes.update(extra_routes)
 
