@@ -1411,6 +1411,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "unbearable", "vaumond", "vouchsafed", "wrong",
         ])
 
+    def ft_greek(spark, sf):
+        # GreekStemFilter chain (el/GreekStemmer.java, Ntais stemmer):
+        # goldens are the reference's OWN TestGreekStemmer pairs (every
+        # 12th of 342; the full set asserted in tests/test_el.py), run
+        # through GreekLowerCaseFilter + stem like the reference test.
+        from lucene_spark.el import greek_stem
+        from lucene_spark.filters import greek_lowercase
+
+        return _stem_golden_query(
+            spark, lambda w: greek_stem(greek_lowercase(w)), [
+                "άνθρωπε", "ανοίχτηκα", "βράδυ", "γαλάκτων", "γραμματέως",
+                "γόης", "ελεφάντων", "ενδιαφερόντων", "ζάχαρη", "καλούμαι",
+                "καφέδων", "κοιμισμένο", "κράτησα", "κρατηθεί", "κρεάτων",
+                "λεωφόρος", "μέντορες", "ορίζομαι", "ορισμένη", "πέρασα",
+                "παππούδων", "περασμένος", "πετάξει", "πρόβλημα",
+                "σύνηθες", "φορεθώ", "φορούσα", "ψηλότερος",
+            ])
+
     def ft_french(spark, sf):
         # French Snowball stemmer (snowball/ext/FrenchStemmer.java).  No
         # reference vocabulary ships for French; goldens hand-traced
@@ -4485,6 +4503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_ja_analyze, ft_double_metaphone, ft_ko_analyze, ft_ja_number,
         ft_regexp_ops, ft_classic_analyze, ft_zh_analyze,
         ft_lovins, ft_kp_stem, ft_porter_snowball, ft_kstem, ft_french,
+        ft_greek,
         # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
         # still oracle-checked every run by tests/test_entry_gate.py ----
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -5619,6 +5638,9 @@ SELECT word, stem FROM (VALUES ('aandrijving', 'aandrijf'),('argumenten', 'argum
 ORDER BY word""",
         "ft_porter_snowball": """
 SELECT word, stem FROM (VALUES ('assuredly', 'assuredli'),('debitor', 'debitor'),('defeatures', 'defeatur'),('discoursing', 'discours'),('eve', 'ev'),('forethink', 'forethink'),('guidance', 'guidanc'),('injurious', 'injuri'),('insured', 'insur'),('interests', 'interest'),('jesu', 'jesu'),('mail', 'mail'),('marlow', 'marlow'),('mistakings', 'mistak'),('misused', 'misus'),('pible', 'pibl'),('sawn', 'sawn'),('scrolls', 'scroll'),('sweepers', 'sweeper'),('tankard', 'tankard'),('tattooed', 'tattoo'),('unbearable', 'unbear'),('vaumond', 'vaumond'),('vouchsafed', 'vouchsaf'),('wrong', 'wrong')) AS t(word, stem)
+ORDER BY word""",
+        "ft_greek": """
+SELECT word, stem FROM (VALUES ('άνθρωπε', 'ανθρωπ'),('ανοίχτηκα', 'ανοιχτ'),('βράδυ', 'βραδ'),('γαλάκτων', 'γαλακτ'),('γραμματέως', 'γραμματ'),('γόης', 'γο'),('ελεφάντων', 'ελεφαντ'),('ενδιαφερόντων', 'ενδιαφεροντ'),('ζάχαρη', 'ζαχαρ'),('καλούμαι', 'καλ'),('καφέδων', 'καφ'),('κοιμισμένο', 'κοιμισμεν'),('κράτησα', 'κρατ'),('κρατηθεί', 'κρατ'),('κρεάτων', 'κρε'),('λεωφόρος', 'λεωφορ'),('μέντορες', 'μεντορ'),('ορίζομαι', 'οριζ'),('ορισμένη', 'ορισμεν'),('πέρασα', 'περασ'),('παππούδων', 'παππ'),('περασμένος', 'περασμεν'),('πετάξει', 'πεταξ'),('πρόβλημα', 'προβλημ'),('σύνηθες', 'συνηθ'),('φορεθώ', 'φορεθ'),('φορούσα', 'φορ'),('ψηλότερος', 'ψηλ')) AS t(word, stem)
 ORDER BY word""",
         "ft_french": """
 SELECT word, stem FROM (VALUES ('abstraction', 'abstract'),('activités', 'activ'),('biologie', 'biolog'),('chevaux', 'cheval'),('chiens', 'chien'),('conditionnellement', 'conditionnel'),('continuait', 'continu'),('continuation', 'continu'),('continuelle', 'continuel'),('ennuyeuse', 'ennui'),('essayant', 'essai'),('finissions', 'fin'),('habitables', 'habit'),('importantes', 'import'),('logiquement', 'logiqu'),('majestueusement', 'majestu'),('mangeait', 'mang'),('mangent', 'mangent'),('mangerons', 'mang'),('nationaux', 'national'),('payaient', 'pai'),('rapidement', 'rapid'),('rugissante', 'rug'),('souffrirent', 'souffr'),('sérieusement', 'sérieux'),('volontairement', 'volontair')) AS t(word, stem)

@@ -470,6 +470,11 @@ def routing_analyzer_with_intl(extra_routes: dict | None = None):
                      ("ro", "romanian"), ("tr", "turkish"),
                      ("ga", "irish"), ("ne", "nepali")):
         routes.setdefault(lang, snowball_analyzer(sb))
+    # GreekAnalyzer chain (el/GreekAnalyzer.java): GreekLowerCaseFilter +
+    # GreekStemFilter, all 342 reference stemmer goldens (tests/test_el.py)
+    from .el import greek_analyzer
+
+    routes.setdefault("el", greek_analyzer())
     if extra_routes:
         routes.update(extra_routes)
 
