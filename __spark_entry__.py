@@ -1411,6 +1411,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "unbearable", "vaumond", "vouchsafed", "wrong",
         ])
 
+    def ft_bengali(spark, sf):
+        # BengaliStemFilter (bn/BengaliStemmer.java, Sengupta & Chaudhuri):
+        # goldens are the reference's OWN TestBengaliStemmer pairs (all 16;
+        # also asserted with the normalizer goldens in tests/test_bn_ckb.py).
+        from lucene_spark.intl import bengali_stem
+
+        return _stem_golden_query(spark, bengali_stem, [
+            "একটি", "করছিলাম", "করছিলে", "করতাম", "করি", "করিতেছিলে",
+            "করেছিলাম", "করো", "খাইতাম", "মানুষগুলি", "মেয়েদের",
+            "মেয়েদেরকে", "মেয়েরা", "যাইবে", "যাব", "যাবে",
+        ])
+
+    def ft_sorani(spark, sf):
+        # SoraniStemFilter chain (ckb/SoraniStemmer.java +
+        # SoraniNormalizer.java): the reference's OWN TestSoraniStemFilter
+        # pairs (all 21), run lowercase -> normalize -> stem like
+        # SoraniAnalyzer.
+        from lucene_spark.intl import sorani_normalize, sorani_stem
+
+        return _stem_golden_query(
+            spark, lambda w: sorani_stem(sorani_normalize(w.lower())), [
+                "دوورەوە", "دەرگاكە", "دەرگاکان", "دەرگایان", "دەرگایانە",
+                "دەرگایە", "دەرگایەک", "سۆرانا", "نیوەشەودا", "هۆتیلانی",
+                "هۆتیلی", "هۆتیلێکی", "پارەتان", "پارەمان", "پارەیان",
+                "پیاوان", "پیاوانە", "پیاوێک", "پیاوەكە", "پیاوەکان",
+                "کتاویە",
+            ])
+
     def ft_greek(spark, sf):
         # GreekStemFilter chain (el/GreekStemmer.java, Ntais stemmer):
         # goldens are the reference's OWN TestGreekStemmer pairs (every
@@ -4503,7 +4531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_ja_analyze, ft_double_metaphone, ft_ko_analyze, ft_ja_number,
         ft_regexp_ops, ft_classic_analyze, ft_zh_analyze,
         ft_lovins, ft_kp_stem, ft_porter_snowball, ft_kstem, ft_french,
-        ft_greek,
+        ft_greek, ft_bengali, ft_sorani,
         # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
         # still oracle-checked every run by tests/test_entry_gate.py ----
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -5638,6 +5666,12 @@ SELECT word, stem FROM (VALUES ('aandrijving', 'aandrijf'),('argumenten', 'argum
 ORDER BY word""",
         "ft_porter_snowball": """
 SELECT word, stem FROM (VALUES ('assuredly', 'assuredli'),('debitor', 'debitor'),('defeatures', 'defeatur'),('discoursing', 'discours'),('eve', 'ev'),('forethink', 'forethink'),('guidance', 'guidanc'),('injurious', 'injuri'),('insured', 'insur'),('interests', 'interest'),('jesu', 'jesu'),('mail', 'mail'),('marlow', 'marlow'),('mistakings', 'mistak'),('misused', 'misus'),('pible', 'pibl'),('sawn', 'sawn'),('scrolls', 'scroll'),('sweepers', 'sweeper'),('tankard', 'tankard'),('tattooed', 'tattoo'),('unbearable', 'unbear'),('vaumond', 'vaumond'),('vouchsafed', 'vouchsaf'),('wrong', 'wrong')) AS t(word, stem)
+ORDER BY word""",
+        "ft_bengali": """
+SELECT word, stem FROM (VALUES ('একটি', 'এক'),('করছিলাম', 'কর'),('করছিলে', 'কর'),('করতাম', 'কর'),('করি', 'কর'),('করিতেছিলে', 'কর'),('করেছিলাম', 'কর'),('করো', 'কর'),('খাইতাম', 'খাই'),('মানুষগুলি', 'মানুষ'),('মেয়েদের', 'মে'),('মেয়েদেরকে', 'মে'),('মেয়েরা', 'মে'),('যাইবে', 'যা'),('যাব', 'যা'),('যাবে', 'যা')) AS t(word, stem)
+ORDER BY word""",
+        "ft_sorani": """
+SELECT word, stem FROM (VALUES ('دوورەوە', 'دوور'),('دەرگاكە', 'دەرگا'),('دەرگاکان', 'دەرگا'),('دەرگایان', 'دەرگا'),('دەرگایانە', 'دەرگا'),('دەرگایە', 'دەرگا'),('دەرگایەک', 'دەرگا'),('سۆرانا', 'سۆران'),('نیوەشەودا', 'نیوەشەو'),('هۆتیلانی', 'هۆتیل'),('هۆتیلی', 'هۆتیل'),('هۆتیلێکی', 'هۆتیل'),('پارەتان', 'پارە'),('پارەمان', 'پارە'),('پارەیان', 'پارە'),('پیاوان', 'پیاو'),('پیاوانە', 'پیاو'),('پیاوێک', 'پیاو'),('پیاوەكە', 'پیاو'),('پیاوەکان', 'پیاو'),('کتاویە', 'کتاوی')) AS t(word, stem)
 ORDER BY word""",
         "ft_greek": """
 SELECT word, stem FROM (VALUES ('άνθρωπε', 'ανθρωπ'),('ανοίχτηκα', 'ανοιχτ'),('βράδυ', 'βραδ'),('γαλάκτων', 'γαλακτ'),('γραμματέως', 'γραμματ'),('γόης', 'γο'),('ελεφάντων', 'ελεφαντ'),('ενδιαφερόντων', 'ενδιαφεροντ'),('ζάχαρη', 'ζαχαρ'),('καλούμαι', 'καλ'),('καφέδων', 'καφ'),('κοιμισμένο', 'κοιμισμεν'),('κράτησα', 'κρατ'),('κρατηθεί', 'κρατ'),('κρεάτων', 'κρε'),('λεωφόρος', 'λεωφορ'),('μέντορες', 'μεντορ'),('ορίζομαι', 'οριζ'),('ορισμένη', 'ορισμεν'),('πέρασα', 'περασ'),('παππούδων', 'παππ'),('περασμένος', 'περασμεν'),('πετάξει', 'πεταξ'),('πρόβλημα', 'προβλημ'),('σύνηθες', 'συνηθ'),('φορεθώ', 'φορεθ'),('φορούσα', 'φορ'),('ψηλότερος', 'ψηλ')) AS t(word, stem)

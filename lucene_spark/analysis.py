@@ -55,6 +55,33 @@ _CJK = _IDEO + _HIRA + _KATA
 _WC = rf"[^\W{_CJK}]"
 _LETTER = rf"[^\W\d_{_CJK}]"
 
+
+def _mark_ranges() -> str:
+    """Regex class body for every BMP combining mark (categories Mn/Mc/Me).
+    UAX#29 WB4 treats these as Extend: they glue to the preceding word char
+    and never start a word — without this, Indic words split at every vowel
+    sign and Arabic words at every harakat (Python's \\w excludes marks,
+    unlike the reference StandardTokenizer)."""
+    import unicodedata
+
+    parts, start, prev = [], None, None
+    for cp in range(0x10000):
+        if unicodedata.category(chr(cp)).startswith("M"):
+            if start is None:
+                start = prev = cp
+            elif cp == prev + 1:
+                prev = cp
+            else:
+                parts.append((start, prev))
+                start = prev = cp
+    if start is not None:
+        parts.append((start, prev))
+    return "".join(
+        chr(a) if a == b else f"{chr(a)}-{chr(b)}" for a, b in parts)
+
+
+_EXTEND = _mark_ranges()
+
 _EMOJI_BASE = "\U0001f000-\U0001faff☀-➿⬀-⯿←-⇿"
 _EMOJI = (
     rf"(?:[\U0001f1e6-\U0001f1ff]{{2}}|[{_EMOJI_BASE}])"
@@ -65,6 +92,7 @@ _EMOJI = (
 _WORD = (
     rf"{_WC}"
     rf"(?:{_WC}"
+    rf"|[{_EXTEND}]"
     rf"|(?<={_LETTER})['’ʼ](?={_LETTER})"
     rf"|(?<={_LETTER})\.(?={_LETTER})"
     rf"|(?<=\d)\.(?=\d)"

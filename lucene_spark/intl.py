@@ -428,8 +428,223 @@ STEMMERS = {
     "cs": czech_stem,
     "bg": bulgarian_stem,
 }
+# ---------------------------------------------------------------------------
+# Bengali — bn/BengaliNormalizer.java (UzZaman & Khan double-metaphone
+# normalization) and bn/BengaliStemmer.java (Sengupta & Chaudhuri verb-
+# phrase suffixes + Savoy light-stemmer criteria).  All reference
+# TestBengaliStemmer / TestBengaliFilters goldens in tests/test_intl_bn_ckb.py.
+# ---------------------------------------------------------------------------
+
+# (min length guard, suffix group); first matching group wins, the whole
+# suffix is removed
+_BN_GROUPS = (
+    (9, ("িয়াছিলাম", "িতেছিলাম", "িতেছিলেন", "ইতেছিলেন", "িয়াছিলেন", "ইয়াছিলেন")),
+    (8, ("িতেছিলি", "িতেছিলে", "িয়াছিলা", "িয়াছিলে", "িতেছিলা", "িয়াছিলি", "য়েদেরকে")),
+    (7, ("িতেছিস", "িতেছেন", "িয়াছিস", "িয়াছেন", "েছিলাম", "েছিলেন", "েদেরকে")),
+    (6, ("িতেছি", "িতেছা", "িতেছে", "ছিলাম", "ছিলেন", "িয়াছি", "িয়াছা", "িয়াছে", "েছিলে", "েছিলা", "য়েদের", "দেরকে")),
+    (5, ("িলাম", "িলেন", "িতাম", "িতেন", "িবেন", "ছিলি", "ছিলে", "ছিলা", "তেছে", "িতেছ", "খানা", "খানি", "গুলো", "গুলি", "য়েরা", "েদের")),
+    (4, ("লাম", "িলি", "ইলি", "িলে", "ইলে", "লেন", "িলা", "ইলা", "তাম", "িতি", "ইতি", "িতে", "ইতে", "তেন", "িতা", "িবা", "ইবা", "িবি", "ইবি", "বেন", "িবে", "ইবে", "ছেন", "য়োন", "য়ের", "েরা", "দের")),
+    (3, ("িস", "েন", "লি", "লে", "লা", "তি", "তে", "তা", "বি", "বে", "বা", "ছি", "ছা", "ছে", "ুন", "ুক", "টা", "টি", "নি", "ের", "তে", "রা", "কে")),
+    (2, ("ি", "ী", "া", "ো", "ে", "ব", "ত")),
+)
+
+
+def bengali_stem(word: str) -> str:
+    n = len(word)
+    for guard, sufs in _BN_GROUPS:
+        if n > guard and word.endswith(sufs):
+            for s in sufs:
+                if word.endswith(s):
+                    return word[:n - len(s)]
+    return word
+
+
+def bengali_normalize(word: str) -> str:
+    s = list(word)
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "\u0981":  # chandrabindu: delete
+            del s[i]
+            continue
+        if c == "\u09c0":  # dirgho-i -> rossho-i
+            s[i] = "\u09bf"
+        elif c == "\u09c2":  # dirgho-u -> rossho-u
+            s[i] = "\u09c1"
+        elif c == "\u0995":  # khio (ka + hoshonto + murdorno-sh)
+            if i + 2 < len(s) and s[i + 1] == "\u09cd" and s[i + 2] == "\u09bf":
+                if i == 0:
+                    s[i] = "\u0996"
+                    del s[i + 2]
+                    del s[i + 1]
+                else:
+                    s[i + 1] = "\u0996"
+                    del s[i + 2]
+        elif c == "\u0999":  # nga -> anusvara
+            s[i] = "\u0982"
+        elif c == "\u09af":  # ja phala
+            if i == 2 and s[i - 1] == "\u09cd":
+                s[i - 1] = "\u09c7"
+                if i + 1 < len(s) and s[i + 1] == "\u09be":
+                    del s[i + 1]
+                del s[i]
+                continue
+            elif i >= 1 and s[i - 1] == "\u09cd":
+                del s[i]
+                del s[i - 1]
+                i -= 1
+                continue
+        elif c == "\u09ac":  # ba phala
+            if i == 0 or s[i - 1] != "\u09cd":
+                pass
+            elif i == 2:
+                del s[i]
+                del s[i - 1]
+                i -= 1
+                continue
+            elif i >= 5 and s[i - 3] == "\u09cd":
+                del s[i]
+                del s[i - 1]
+                i -= 1
+                continue
+            elif i >= 2:
+                s[i - 1] = s[i - 2]
+                del s[i]
+                continue
+        elif c == "\u0983":  # visarga
+            if i == len(s) - 1:
+                if len(s) <= 3:
+                    s[i] = "\u09b9"
+                else:
+                    del s[i]
+                    continue
+            else:
+                s[i] = s[i + 1]
+        elif c in "\u09b6\u09b7":  # sh -> s
+            s[i] = "\u09b8"
+        elif c == "\u09a3":  # murdhanya na -> na
+            s[i] = "\u09a8"
+        elif c in "\u09dc\u09dd":  # rra/rha -> ra
+            s[i] = "\u09b0"
+        elif c == "\u09ce":  # khanda-ta -> ta
+            s[i] = "\u09a4"
+        i += 1
+    return "".join(s)
+
+
+# ---------------------------------------------------------------------------
+# Sorani Kurdish — ckb/SoraniNormalizer.java (yeh/kaf/heh/reh unification,
+# harakat + format-char removal) and ckb/SoraniStemmer.java (light stemmer:
+# postposition, possessive, ezafe/definite/plural articles).
+# ---------------------------------------------------------------------------
+
+_CKB_HARAKAT = "\u0640\u064b\u064c\u064d\u064e\u064f\u0650\u0651\u0652"
+
+
+def sorani_normalize(word: str) -> str:
+    import unicodedata
+
+    s = list(word)
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c in "\u064a\u0649":  # yeh variants -> farsi yeh
+            s[i] = "\u06cc"
+        elif c == "\u0643":  # kaf -> keheh
+            s[i] = "\u06a9"
+        elif c == "\u200c":  # zwnj: preceding heh becomes ae
+            if i > 0 and s[i - 1] == "\u0647":
+                s[i - 1] = "\u06d5"
+            del s[i]
+            continue
+        elif c == "\u0647":  # word-final heh -> ae
+            if i == len(s) - 1:
+                s[i] = "\u06d5"
+        elif c == "\u0629":  # teh marbuta -> ae
+            s[i] = "\u06d5"
+        elif c == "\u06be":  # heh doachashmee -> heh
+            s[i] = "\u0647"
+        elif c == "\u0631":  # word-initial reh -> rreh
+            if i == 0:
+                s[i] = "\u0695"
+        elif c == "\u0692":  # rreh-above -> rreh
+            s[i] = "\u0695"
+        elif c in _CKB_HARAKAT:
+            del s[i]
+            continue
+        elif unicodedata.category(c) == "Cf":
+            del s[i]
+            continue
+        i += 1
+    return "".join(s)
+
+
+def sorani_stem(word: str) -> str:
+    w = word
+    n = len(w)
+    # postposition
+    if n > 5 and w.endswith("\u062f\u0627"):
+        w = w[:-2]
+    elif n > 4 and w.endswith("\u0646\u0627"):
+        w = w[:-1]
+    elif n > 6 and w.endswith("\u06d5\u0648\u06d5"):
+        w = w[:-3]
+    # possessive pronoun
+    n = len(w)
+    if n > 6 and (w.endswith("\u0645\u0627\u0646")
+                  or w.endswith("\u06cc\u0627\u0646")
+                  or w.endswith("\u062a\u0627\u0646")):
+        w = w[:-3]
+    n = len(w)
+    # ezafe / articles: first match returns
+    for guard, suf in (
+        (6, "\u06ce\u06a9\u06cc"),          # indefinite singular ezafe
+        (7, "\u06cc\u06d5\u06a9\u06cc"),
+        (5, "\u06ce\u06a9"),                  # indefinite singular
+        (6, "\u06cc\u06d5\u06a9"),
+        (6, "\u06d5\u06a9\u06d5"),          # definite singular
+        (5, "\u06a9\u06d5"),
+        (7, "\u06d5\u06a9\u0627\u0646"),   # definite plural
+        (6, "\u06a9\u0627\u0646"),
+        (7, "\u06cc\u0627\u0646\u06cc"),   # indefinite plural ezafe
+        (6, "\u0627\u0646\u06cc"),
+        (6, "\u06cc\u0627\u0646"),          # indefinite plural
+        (5, "\u0627\u0646"),
+        (7, "\u06cc\u0627\u0646\u06d5"),   # demonstrative plural
+        (6, "\u0627\u0646\u06d5"),
+    ):
+        if n > guard and w.endswith(suf):
+            return w[:n - len(suf)]
+    # demonstrative singular
+    if n > 5 and (w.endswith("\u0627\u06cc\u06d5")
+                  or w.endswith("\u06d5\u06cc\u06d5")):
+        return w[:-2]
+    if n > 4 and w.endswith("\u06d5"):
+        return w[:-1]
+    # absolute singular ezafe
+    if n > 4 and w.endswith("\u06cc"):
+        return w[:-1]
+    return w
+
+
+def bengali_analyzer():
+    """BengaliAnalyzer.java chain stages that apply here: normalize + stem."""
+    from .analysis import Analyzer
+
+    return Analyzer(post_filters=(bengali_normalize, bengali_stem))
+
+
+def sorani_analyzer():
+    """SoraniAnalyzer.java chain stages that apply here: normalize + stem."""
+    from .analysis import Analyzer
+
+    return Analyzer(post_filters=(sorani_normalize, sorani_stem))
+
+
 NORMALIZERS = {
     "ar": arabic_normalize,
+    "bn": bengali_normalize,
+    "ckb": sorani_normalize,
     "fa": persian_normalize,
     "hi": hindi_normalize,
 }
@@ -475,6 +690,10 @@ def routing_analyzer_with_intl(extra_routes: dict | None = None):
     from .el import greek_analyzer
 
     routes.setdefault("el", greek_analyzer())
+    # BengaliAnalyzer / SoraniAnalyzer chains (normalize + stem, all
+    # reference goldens — tests/test_bn_ckb.py)
+    routes.setdefault("bn", bengali_analyzer())
+    routes.setdefault("ckb", sorani_analyzer())
     if extra_routes:
         routes.update(extra_routes)
 
