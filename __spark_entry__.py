@@ -1411,6 +1411,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "unbearable", "vaumond", "vouchsafed", "wrong",
         ])
 
+    def ft_brazilian(spark, sf):
+        # BrazilianStemFilter (br/BrazilianStemmer.java): goldens are the
+        # reference's OWN TestBrazilianAnalyzer pairs (every 3rd of 84;
+        # the full set asserted in tests/test_br.py), lowercased first
+        # like the analyzer chain.
+        from lucene_spark.br import brazilian_stem
+
+        return _stem_golden_query(
+            spark, lambda w: brazilian_stem(w.lower()), [
+                "boa", "boassu", "boates", "boba", "bobalhões", "bobinho",
+                "bobs", "bocadinho", "bocarra", "bodoque", "boem", "boi",
+                "boêmio", "quiabo", "quieto", "quilates", "quilombo",
+                "quilos", "quimica", "quimicos", "quincas", "quinn",
+                "quintal", "quintessência", "quintos", "quinze",
+            ])
+
     def ft_bengali(spark, sf):
         # BengaliStemFilter (bn/BengaliStemmer.java, Sengupta & Chaudhuri):
         # goldens are the reference's OWN TestBengaliStemmer pairs (all 16;
@@ -4531,7 +4547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_ja_analyze, ft_double_metaphone, ft_ko_analyze, ft_ja_number,
         ft_regexp_ops, ft_classic_analyze, ft_zh_analyze,
         ft_lovins, ft_kp_stem, ft_porter_snowball, ft_kstem, ft_french,
-        ft_greek, ft_bengali, ft_sorani,
+        ft_greek, ft_bengali, ft_sorani, ft_brazilian,
         # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
         # still oracle-checked every run by tests/test_entry_gate.py ----
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -5666,6 +5682,9 @@ SELECT word, stem FROM (VALUES ('aandrijving', 'aandrijf'),('argumenten', 'argum
 ORDER BY word""",
         "ft_porter_snowball": """
 SELECT word, stem FROM (VALUES ('assuredly', 'assuredli'),('debitor', 'debitor'),('defeatures', 'defeatur'),('discoursing', 'discours'),('eve', 'ev'),('forethink', 'forethink'),('guidance', 'guidanc'),('injurious', 'injuri'),('insured', 'insur'),('interests', 'interest'),('jesu', 'jesu'),('mail', 'mail'),('marlow', 'marlow'),('mistakings', 'mistak'),('misused', 'misus'),('pible', 'pibl'),('sawn', 'sawn'),('scrolls', 'scroll'),('sweepers', 'sweeper'),('tankard', 'tankard'),('tattooed', 'tattoo'),('unbearable', 'unbear'),('vaumond', 'vaumond'),('vouchsafed', 'vouchsaf'),('wrong', 'wrong')) AS t(word, stem)
+ORDER BY word""",
+        "ft_brazilian": """
+SELECT word, stem FROM (VALUES ('boa', 'boa'),('boassu', 'boassu'),('boates', 'boat'),('boba', 'bob'),('bobalhões', 'bobalho'),('bobinho', 'bobinh'),('bobs', 'bobs'),('bocadinho', 'bocadinh'),('bocarra', 'bocarr'),('bodoque', 'bodoqu'),('boem', 'boem'),('boi', 'boi'),('boêmio', 'boemi'),('quiabo', 'quiab'),('quieto', 'quiet'),('quilates', 'quilat'),('quilombo', 'quilomb'),('quilos', 'quil'),('quimica', 'quimic'),('quimicos', 'quimic'),('quincas', 'quinc'),('quinn', 'quinn'),('quintal', 'quintal'),('quintessência', 'quintessente'),('quintos', 'quint'),('quinze', 'quinz')) AS t(word, stem)
 ORDER BY word""",
         "ft_bengali": """
 SELECT word, stem FROM (VALUES ('একটি', 'এক'),('করছিলাম', 'কর'),('করছিলে', 'কর'),('করতাম', 'কর'),('করি', 'কর'),('করিতেছিলে', 'কর'),('করেছিলাম', 'কর'),('করো', 'কর'),('খাইতাম', 'খাই'),('মানুষগুলি', 'মানুষ'),('মেয়েদের', 'মে'),('মেয়েদেরকে', 'মে'),('মেয়েরা', 'মে'),('যাইবে', 'যা'),('যাব', 'যা'),('যাবে', 'যা')) AS t(word, stem)
