@@ -1411,6 +1411,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "unbearable", "vaumond", "vouchsafed", "wrong",
         ])
 
+    def ft_pt_rslp(spark, sf):
+        # Full RSLP (pt/PortugueseStemmer.java + portuguese.rslp): goldens
+        # from the reference's ptrslptestdata.zip (26 spread pairs; all
+        # 32,016 asserted in tests/test_rslp_full.py).
+        from lucene_spark.rslp import portuguese_rslp_stem
+
+        return _stem_golden_query(spark, portuguese_rslp_stem, [
+            "abominação", "alter", "arriscado", "bélgica", "capitulou",
+            "cocô", "conterrâneo", "dedicam", "devotados", "embrutecidos",
+            "espetáculo", "fatalidades", "garagens", "humildemente",
+            "interdesign", "lendário", "massagista", "mundos",
+            "ostentatória", "pet", "profissionais", "reeduca", "rozas",
+            "sobreviver", "térreo", "vadia",
+        ])
+
+    def ft_gl_rslp(spark, sf):
+        # Full RSLG (gl/GalicianStemmer.java + galician.rslp): goldens
+        # from the reference's gltestdata.zip (26 spread pairs; all 9,416
+        # asserted in tests/test_rslp_full.py).
+        from lucene_spark.rslp import galician_rslp_stem
+
+        return _stem_golden_query(spark, galician_rslp_stem, [
+            "aceiro", "alternativas", "asomando", "busca", "choromicar",
+            "confeccionar", "creadores", "demora", "dirixía", "enerven",
+            "esteas", "favores", "gran", "inexorablemente", "levareinos",
+            "mercantil", "notificaranse", "partes", "poderás", "procesos",
+            "rebeiraba", "respectivos", "seguírense", "sucesión",
+            "tranquilo", "vivos",
+        ])
+
     def ft_brazilian(spark, sf):
         # BrazilianStemFilter (br/BrazilianStemmer.java): goldens are the
         # reference's OWN TestBrazilianAnalyzer pairs (every 3rd of 84;
@@ -4547,7 +4577,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_ja_analyze, ft_double_metaphone, ft_ko_analyze, ft_ja_number,
         ft_regexp_ops, ft_classic_analyze, ft_zh_analyze,
         ft_lovins, ft_kp_stem, ft_porter_snowball, ft_kstem, ft_french,
-        ft_greek, ft_bengali, ft_sorani, ft_brazilian,
+        ft_greek, ft_bengali, ft_sorani, ft_brazilian, ft_pt_rslp,
+        ft_gl_rslp,
         # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
         # still oracle-checked every run by tests/test_entry_gate.py ----
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -5682,6 +5713,12 @@ SELECT word, stem FROM (VALUES ('aandrijving', 'aandrijf'),('argumenten', 'argum
 ORDER BY word""",
         "ft_porter_snowball": """
 SELECT word, stem FROM (VALUES ('assuredly', 'assuredli'),('debitor', 'debitor'),('defeatures', 'defeatur'),('discoursing', 'discours'),('eve', 'ev'),('forethink', 'forethink'),('guidance', 'guidanc'),('injurious', 'injuri'),('insured', 'insur'),('interests', 'interest'),('jesu', 'jesu'),('mail', 'mail'),('marlow', 'marlow'),('mistakings', 'mistak'),('misused', 'misus'),('pible', 'pibl'),('sawn', 'sawn'),('scrolls', 'scroll'),('sweepers', 'sweeper'),('tankard', 'tankard'),('tattooed', 'tattoo'),('unbearable', 'unbear'),('vaumond', 'vaumond'),('vouchsafed', 'vouchsaf'),('wrong', 'wrong')) AS t(word, stem)
+ORDER BY word""",
+        "ft_pt_rslp": """
+SELECT word, stem FROM (VALUES ('abominação', 'abomin'),('alter', 'alt'),('arriscado', 'arrisc'),('bélgica', 'belg'),('capitulou', 'capitul'),('cocô', 'coco'),('conterrâneo', 'conterrane'),('dedicam', 'dedic'),('devotados', 'devot'),('embrutecidos', 'embrutec'),('espetáculo', 'espetacul'),('fatalidades', 'fatal'),('garagens', 'gar'),('humildemente', 'humild'),('interdesign', 'interdesign'),('lendário', 'lend'),('massagista', 'massag'),('mundos', 'mund'),('ostentatória', 'ostentator'),('pet', 'pet'),('profissionais', 'profiss'),('reeduca', 'reeduc'),('rozas', 'roz'),('sobreviver', 'sobreviv'),('térreo', 'terre'),('vadia', 'vad')) AS t(word, stem)
+ORDER BY word""",
+        "ft_gl_rslp": """
+SELECT word, stem FROM (VALUES ('aceiro', 'aceir'),('alternativas', 'alternativ'),('asomando', 'asom'),('busca', 'busc'),('choromicar', 'choromic'),('confeccionar', 'confeccion'),('creadores', 'cre'),('demora', 'demor'),('dirixía', 'dirix'),('enerven', 'enerv'),('esteas', 'este'),('favores', 'favor'),('gran', 'gr'),('inexorablemente', 'inexorabl'),('levareinos', 'levarein'),('mercantil', 'mercantil'),('notificaranse', 'notificarans'),('partes', 'part'),('poderás', 'poder'),('procesos', 'proces'),('rebeiraba', 'rebeir'),('respectivos', 'respect'),('seguírense', 'seguirens'),('sucesión', 'suces'),('tranquilo', 'tranquil'),('vivos', 'viv')) AS t(word, stem)
 ORDER BY word""",
         "ft_brazilian": """
 SELECT word, stem FROM (VALUES ('boa', 'boa'),('boassu', 'boassu'),('boates', 'boat'),('boba', 'bob'),('bobalhões', 'bobalho'),('bobinho', 'bobinh'),('bobs', 'bobs'),('bocadinho', 'bocadinh'),('bocarra', 'bocarr'),('bodoque', 'bodoqu'),('boem', 'boem'),('boi', 'boi'),('boêmio', 'boemi'),('quiabo', 'quiab'),('quieto', 'quiet'),('quilates', 'quilat'),('quilombo', 'quilomb'),('quilos', 'quil'),('quimica', 'quimic'),('quimicos', 'quimic'),('quincas', 'quinc'),('quinn', 'quinn'),('quintal', 'quintal'),('quintessência', 'quintessente'),('quintos', 'quint'),('quinze', 'quinz')) AS t(word, stem)
