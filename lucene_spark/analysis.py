@@ -61,7 +61,9 @@ def _mark_ranges() -> str:
     UAX#29 WB4 treats these as Extend: they glue to the preceding word char
     and never start a word — without this, Indic words split at every vowel
     sign and Arabic words at every harakat (Python's \\w excludes marks,
-    unlike the reference StandardTokenizer)."""
+    unlike the reference StandardTokenizer).  ZWNJ/ZWJ (Format) get the
+    same WB4 treatment in the token pattern itself: Persian "می‌روم" and
+    Bengali khanda-ta "ত্‍" stay single tokens, as in the reference."""
     import unicodedata
 
     parts, start, prev = [], None, None
@@ -92,7 +94,7 @@ _EMOJI = (
 _WORD = (
     rf"{_WC}"
     rf"(?:{_WC}"
-    rf"|[{_EXTEND}]"
+    rf"|[{_EXTEND}‌‍]"
     rf"|(?<={_LETTER})['’ʼ](?={_LETTER})"
     rf"|(?<={_LETTER})\.(?={_LETTER})"
     rf"|(?<=\d)\.(?=\d)"

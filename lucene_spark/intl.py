@@ -398,7 +398,8 @@ def intl_analyzer(lang: str):
     - ``ar``: ArabicAnalyzer.java:121-131 — normalize then stem
     - ``fa``: PersianAnalyzer.java:121-127 — Arabic normalize then Persian
       normalize (no stemmer)
-    - ``hi``: HindiAnalyzer.java:109-119 — normalize then stem
+    - ``hi``: HindiAnalyzer.java:109-120 — Indic normalize, Hindi
+      normalize, then stem
     - ``id``: IndonesianAnalyzer.java:103-110 — derivational stemmer
     - ``cs``: CzechAnalyzer.java:107-114
     - ``bg``: BulgarianAnalyzer.java:99-106
@@ -411,7 +412,7 @@ def intl_analyzer(lang: str):
     chains = {
         "ar": (arabic_normalize, arabic_stem),
         "fa": (arabic_normalize, persian_normalize),
-        "hi": (hindi_normalize, hindi_stem),
+        "hi": (indic_normalize, hindi_normalize, hindi_stem),
         "id": (indonesian_stem,),
         "cs": (czech_stem,),
         "bg": (bulgarian_stem,),
@@ -628,10 +629,12 @@ def sorani_stem(word: str) -> str:
 
 
 def bengali_analyzer():
-    """BengaliAnalyzer.java chain stages that apply here: normalize + stem."""
+    """BengaliAnalyzer.java chain stages that apply here: Indic normalize
+    (BengaliAnalyzer.java:119) + Bengali normalize + stem."""
     from .analysis import Analyzer
 
-    return Analyzer(post_filters=(bengali_normalize, bengali_stem))
+    return Analyzer(post_filters=(indic_normalize, bengali_normalize,
+                                  bengali_stem))
 
 
 def sorani_analyzer():
@@ -641,9 +644,88 @@ def sorani_analyzer():
     return Analyzer(post_filters=(sorani_normalize, sorani_stem))
 
 
+# ---------------------------------------------------------------------------
+# IndicNormalizer — in/IndicNormalizer.java (Unicode 5.2 ch.6 South Asian
+# scripts: compose split matras / nukta letters / chillus into standard
+# form across nine Indic scripts).  HindiAnalyzer runs this BEFORE
+# HindiNormalizationFilter (hi/HindiAnalyzer.java:119-120).
+# ---------------------------------------------------------------------------
+
+# (ch0, ch1, ch2-or-minus-1, composed, script-flag-mask); offsets are
+# relative to the script block base; 0xFF in ch2 means ZWJ
+_INDIC_ROWS = (
+    (5, 62, 69, 17, 9), (5, 62, 70, 18, 1), (5, 62, 71, 19, 9),
+    (5, 62, 72, 20, 9), (5, 62, -1, 6, 31), (5, 69, -1, 114, 1),
+    (5, 69, -1, 13, 8), (5, 70, -1, 4, 1), (5, 71, -1, 15, 8),
+    (5, 72, -1, 16, 12), (5, 73, -1, 17, 9), (5, 74, -1, 18, 1),
+    (5, 75, -1, 19, 9), (5, 76, -1, 20, 13), (6, 69, -1, 17, 9),
+    (6, 70, -1, 18, 1), (6, 71, -1, 19, 9), (6, 72, -1, 20, 9),
+    (7, 87, -1, 8, 256), (9, 65, -1, 10, 1), (9, 87, -1, 10, 288),
+    (14, 70, -1, 16, 256), (15, 69, -1, 13, 1), (15, 70, -1, 14, 1),
+    (15, 71, -1, 16, 1), (15, 87, -1, 16, 16), (18, 62, -1, 19, 256),
+    (18, 76, -1, 20, 192), (18, 85, -1, 19, 64), (18, 87, -1, 20, 288),
+    (19, 87, -1, 20, 16), (21, 60, -1, 88, 1), (22, 60, -1, 89, 5),
+    (23, 60, -1, 90, 5), (28, 60, -1, 91, 5), (33, 60, -1, 92, 19),
+    (34, 60, -1, 93, 19), (35, 77, 255, 122, 256), (36, 77, 255, 78, 2),
+    (40, 60, -1, 41, 1), (40, 77, 255, 123, 256), (43, 60, -1, 94, 5),
+    (47, 60, -1, 95, 3), (44, 65, 65, 11, 64), (48, 60, -1, 49, 1),
+    (48, 77, 255, 124, 256), (50, 77, 255, 125, 256), (51, 60, -1, 52, 1),
+    (51, 77, 255, 126, 256), (53, 65, -1, 46, 64), (62, 69, -1, 73, 9),
+    (62, 70, -1, 74, 1), (62, 71, -1, 75, 9), (62, 72, -1, 76, 9),
+    (63, 85, -1, 64, 128), (65, 65, -1, 66, 4), (70, 62, -1, 74, 288),
+    (70, 66, 85, 75, 128), (70, 66, -1, 74, 128), (70, 70, -1, 72, 256),
+    (70, 85, -1, 71, 192), (70, 86, -1, 72, 192), (70, 87, -1, 76, 288),
+    (71, 62, -1, 75, 306), (71, 87, -1, 76, 18), (74, 85, -1, 75, 128),
+    (114, 63, -1, 7, 4), (114, 64, -1, 8, 4), (114, 71, -1, 15, 4),
+    (115, 65, -1, 9, 4), (115, 66, -1, 10, 4), (115, 75, -1, 19, 4),
+)
+
+# script base -> flag; each block spans base..base+0x7F
+_INDIC_SCRIPTS = {0x0900: 1, 0x0980: 2, 0x0A00: 4, 0x0A80: 8, 0x0B00: 16,
+                  0x0B80: 32, 0x0C00: 64, 0x0C80: 128, 0x0D00: 256}
+
+_INDIC_MASK = {}
+for _r in _INDIC_ROWS:
+    for _base, _fl in _INDIC_SCRIPTS.items():
+        if _r[4] & _fl:
+            _INDIC_MASK.setdefault(_base, set()).add(_r[0])
+
+
+def indic_normalize(word: str) -> str:
+    s = list(word)
+    i = 0
+    while i < len(s):
+        cp = ord(s[i])
+        base = cp & ~0x7F
+        fl = _INDIC_SCRIPTS.get(base)
+        if fl is not None and (cp - base) in _INDIC_MASK.get(base, ()):
+            ch0 = cp - base
+            if i + 1 < len(s):
+                cp1 = ord(s[i + 1])
+                if (cp1 & ~0x7F) == base:
+                    ch1 = cp1 - base
+                    ch2 = -1
+                    if i + 2 < len(s):
+                        cp2 = ord(s[i + 2])
+                        if cp2 == 0x200D:
+                            ch2 = 0xFF
+                        elif (cp2 & ~0x7F) == base:
+                            ch2 = cp2 - base
+                    for a, b, c, res, flags in _INDIC_ROWS:
+                        if a == ch0 and (flags & fl) and b == ch1 \
+                                and (c < 0 or c == ch2):
+                            s[i] = chr(base + res)
+                            del s[i + 1]
+                            if c >= 0:
+                                del s[i + 1]
+                            break
+        i += 1
+    return "".join(s)
+
 NORMALIZERS = {
     "ar": arabic_normalize,
     "bn": bengali_normalize,
+    "indic": indic_normalize,
     "ckb": sorani_normalize,
     "fa": persian_normalize,
     "hi": hindi_normalize,

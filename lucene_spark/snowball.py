@@ -2746,6 +2746,186 @@ def french_stem(word: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Lithuanian — ext/LithuanianStemmer.java (LithuanianAnalyzer.java wires
+# SnowballFilter(in, new LithuanianStemmer())).  Pipeline: fix_conflicts
+# (suffix respellings), one R1-bounded case-ending delete, fix_chdz,
+# repeated R1-bounded derivational deletes, fix_chdz, fix_gd.
+# ---------------------------------------------------------------------------
+
+_LT_VOWELS = set("aeiouyąėęįūų")
+
+# case/verb endings, longest match wins, delete when the match starts in R1
+_LT_STEP1 = sorted((
+    "a", "ia", "eria", "osna", "iosna", "uosna", "iuosna", "ysna", "ėsna",
+    "e", "ie", "enie", "erie", "oje", "ioje", "uje", "iuje", "yje", "enyje",
+    "eryje", "ėje", "ame", "iame", "sime", "ome", "ėme", "tumėme", "ose",
+    "iose", "uose", "iuose", "yse", "enyse", "eryse", "ėse", "ate", "iate",
+    "ite", "kite", "site", "ote", "tute", "ėte", "tumėte", "i", "ai", "iai",
+    "eriai", "ei", "tumei", "ki", "imi", "erimi", "umi", "iumi", "si", "asi",
+    "iasi", "esi", "iesi", "siesi", "isi", "aisi", "eisi", "tumeisi", "uisi",
+    "osi", "ėjosi", "uosi", "iuosi", "siuosi", "usi", "ausi", "čiausi",
+    "ąsi", "ėsi", "ųsi", "tųsi", "ti", "enti", "inti", "oti", "ioti", "uoti",
+    "iuoti", "auti", "iauti", "yti", "ėti", "telėti", "inėti", "terėti",
+    "ui", "iui", "eniui", "oj", "ėj", "k", "am", "iam", "iem", "im", "sim",
+    "om", "tum", "ėm", "tumėm", "an", "on", "ion", "un", "iun", "ėn", "o",
+    "io", "enio", "ėjo", "uo", "s", "as", "ias", "es", "ies", "is", "ais",
+    "iais", "tumeis", "imis", "enimis", "omis", "iomis", "umis", "ėmis",
+    "enis", "asis", "ysis", "ams", "iams", "iems", "ims", "enims", "erims",
+    "oms", "ioms", "ums", "ėms", "ens", "os", "ios", "uos", "iuos", "ers",
+    "us", "aus", "iaus", "ius", "ys", "enys", "erys", "ąs", "iąs", "ės",
+    "amės", "iamės", "imės", "kimės", "simės", "omės", "ėmės", "tumėmės",
+    "atės", "iatės", "sitės", "otės", "ėtės", "tumėtės", "įs", "ūs", "tųs",
+    "at", "iat", "it", "sit", "ot", "ėt", "tumėt", "u", "au", "iau", "čiau",
+    "iu", "eniu", "siu", "y", "ą", "ią", "ė", "ę", "į", "enį", "erį", "ų",
+    "ių", "erų",
+), key=len, reverse=True)
+
+# derivational suffixes, stripped repeatedly while still in R1
+_LT_STEP2 = sorted((
+    "ing", "aj", "iaj", "iej", "oj", "ioj", "uoj", "iuoj", "auj", "ąj",
+    "iąj", "ėj", "ųj", "iųj", "ok", "iok", "iuk", "uliuk", "učiuk", "išk",
+    "iul", "yl", "ėl", "am", "dam", "jam", "zgan", "ain", "esn", "op",
+    "iop", "ias", "ies", "ais", "iais", "os", "ios", "uos", "iuos", "aus",
+    "iaus", "ąs", "iąs", "ęs", "utėait", "ant", "iant", "siant", "int",
+    "ot", "uot", "iuot", "yt", "ėt", "ykšt", "iau", "dav", "sv", "šv",
+    "ykšč", "ę", "ėję",
+), key=len, reverse=True)
+
+# conflict respellings (run before step 1, unbounded), longest match wins
+_LT_CONFLICTS = sorted((
+    ("ojime", "ojimas"), ("ėjime", "ėjimas"), ("avime", "avimas"),
+    ("okate", "okatė"), ("aite", "aitė"), ("uote", "uotė"),
+    ("asius", "asys"), ("okatės", "okatė"), ("aitės", "aitė"),
+    ("uotės", "uotė"), ("esiu", "esys"),
+), key=lambda p: len(p[0]), reverse=True)
+
+
+def lithuanian_stem(word: str) -> str:
+    """Snowball Lithuanian (SnowballFilter(in, "Lithuanian"))."""
+    w = word
+    n = len(w)
+    # R1, except a leading 'a' of a >6-letter word doesn't count as the
+    # first vowel (the algorithm's genitive-prefix quirk)
+    start = 1 if n > 6 and w[:1] == "a" else 0
+    i = start
+    while i < n and w[i] not in _LT_VOWELS:
+        i += 1
+    while i < n and w[i] in _LT_VOWELS:
+        i += 1
+    p1 = n if i >= n else i + 1
+
+    for suf, repl in _LT_CONFLICTS:
+        if w.endswith(suf):
+            w = w[:-len(suf)] + repl
+            break
+
+    for suf in _LT_STEP1:
+        if w.endswith(suf) and len(w) - len(suf) >= p1:
+            w = w[:-len(suf)]
+            break
+
+    def fix_chdz(w: str) -> str:
+        if w.endswith("č"):
+            return w[:-1] + "t"
+        if w.endswith("dž"):
+            return w[:-2] + "d"
+        return w
+
+    w = fix_chdz(w)
+
+    while True:
+        for suf in _LT_STEP2:
+            if w.endswith(suf) and len(w) - len(suf) >= p1:
+                w = w[:-len(suf)]
+                break
+        else:
+            break
+
+    w = fix_chdz(w)
+    if w.endswith("gd"):
+        w = w[:-1]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Armenian — ext/ArmenianStemmer.java (ArmenianAnalyzer.java wires
+# SnowballFilter(in, new ArmenianStemmer())).  pV = after the first vowel;
+# R2 standard; four suffix passes (ending gated on R2, then verb,
+# adjective, noun), every match bounded to start at or after pV.
+# ---------------------------------------------------------------------------
+
+_HY_VOWELS = set("աեէըիուօ")
+
+_HY_ADJECTIVE = sorted((
+    "երորդ", "րորդ", "որակ", "ական", "արան", "եկեն", "երեն", "որէն",
+    "ովին", "լայն", "վուն", "ավետ", "ալի", "ակի", "գին", "պես", "կոտ",
+    "բար", "եղ", "են", "ին", "իվ", "ատ",
+), key=len, reverse=True)
+
+_HY_VERB = sorted((
+    "ացրինք", "վեցինք", "ացնալ", "եցնել", "ացվել", "եցվել", "կոտել",
+    "ացրին", "վեցին", "ացրիր", "վեցիր", "ացրեց", "ալուց", "ելուց",
+    "ացրիք", "վեցիք", "ացանք", "ացինք", "եցինք", "ացրի", "վեցի", "անալ",
+    "ենալ", "ցնել", "ատել", "ոտել", "վում", "ացան", "ացին", "եցին",
+    "ալիս", "ելիս", "ացավ", "եցավ", "ալով", "ելով", "ացար", "եցար",
+    "ացիր", "եցիր", "ալու", "ելու", "ացաք", "ացիք", "եցիք", "ցանք",
+    "ացա", "եցա", "ացի", "եցի", "ըալ", "ըել", "նել", "չել", "վել", "տել",
+    "ված", "ում", "ցան", "ցաք", "անք", "վե", "ալ", "ել", "ան", "ավ",
+    "ար", "աց", "եց", "աք", "ա",
+), key=len, reverse=True)
+
+_HY_NOUN = sorted((
+    "ություն", "մունք", "ույթ", "ուհի", "անակ", "ստան", "արան", "եղէն",
+    "յուն", "ուստ", "ավոր", "անօց", "ալիք", "անիք", "վածք", "ույք",
+    "ունք", "որդ", "յակ", "ուկ", "պան", "ածո", "ուս", "գար", "վոր",
+    "չեք", "ենք", "ոնք", "իչք", "արք", "ցի", "իլ", "ակ", "իկ", "ան",
+    "իչ", "ոց", "ու", "իք", "ք",
+), key=len, reverse=True)
+
+_HY_ENDING = sorted((
+    "ությանդ", "ությանը", "ությանն", "ությանս", "ներում", "ության",
+    "անում", "երում", "ներին", "ներով", "վանից", "ներից", "վանդ", "ներդ",
+    "վանը", "ները", "ների", "երին", "ներն", "վանս", "անով", "երով",
+    "ոջից", "երից", "ամբ", "անդ", "ոջդ", "երդ", "ուդ", "անը", "ոջը",
+    "երը", "երի", "վան", "երն", "ուն", "ոջս", "վով", "ներ", "վից", "ցից",
+    "ուց", "սա", "վա", "վի", "ան", "ին", "ոջ", "ով", "եր", "ից", "ոց",
+    "դ", "ը", "ի", "ն", "ց",
+), key=len, reverse=True)
+
+
+def _longest_bounded(w: str, suffixes, bound: int) -> str | None:
+    """Longest suffix of ``w`` from ``suffixes`` whose start is at or
+    after ``bound`` (find_among_b under ``limit_backward = bound``)."""
+    for suf in suffixes:
+        if w.endswith(suf) and len(w) - len(suf) >= bound:
+            return suf
+    return None
+
+
+def armenian_stem(word: str) -> str:
+    """Snowball Armenian (SnowballFilter(in, "Armenian"))."""
+    w = word
+    n = len(w)
+    i = 0
+    while i < n and w[i] not in _HY_VOWELS:
+        i += 1
+    pv = n if i >= n else i + 1
+    _, p2 = _standard_regions(w, _HY_VOWELS)
+
+    # ending: longest pV-bounded match deletes only when it sits in R2
+    # (no shorter-suffix retry — the R2 test is outside the among scan)
+    suf = _longest_bounded(w, _HY_ENDING, pv)
+    if suf is not None and len(w) - len(suf) >= p2:
+        w = w[:-len(suf)]
+
+    for table in (_HY_VERB, _HY_ADJECTIVE, _HY_NOUN):
+        suf = _longest_bounded(w, table, pv)
+        if suf is not None:
+            w = w[:-len(suf)]
+    return w
+
+
+# ---------------------------------------------------------------------------
 # registry + analyzer factory
 # ---------------------------------------------------------------------------
 
@@ -2770,6 +2950,7 @@ SNOWBALL_STEMMERS = {
     "lovins": lovins_stem,
     "kp": kp_stem,
     "french": french_stem,
+    "lithuanian": lithuanian_stem,
 }
 
 

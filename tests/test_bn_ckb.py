@@ -69,3 +69,29 @@ def test_analyzer_factories():
     assert toks == ["মানুস"]
     toks, _ = sorani_analyzer().analyze_text("پیاوەکان")
     assert toks == ["پیاو"]
+
+
+def test_indic_normalizer_goldens():
+    # in/TestIndicNormalizer.java testBasics — split-matra composition
+    # across Devanagari plus the Bengali khanda-ta row
+    from lucene_spark.intl import indic_normalize
+
+    pairs = _pairs(f"{_T}/in/TestIndicNormalizer.java", _CHECK)
+    assert len(pairs) >= 7
+    for w, want in pairs:
+        assert indic_normalize(w) == want, w
+    assert indic_normalize("") == ""
+
+
+def test_indic_in_hi_and_bn_chains():
+    # HindiAnalyzer.java:119 / BengaliAnalyzer.java:119 both run
+    # IndicNormalizationFilter ahead of the language normalizer
+    from lucene_spark.intl import bengali_analyzer, intl_analyzer
+
+    # Indic composes अा+ै -> औ, then HindiNormalizer.java:168 maps ौ -> ो
+    toks, _ = intl_analyzer("hi").analyze_text("अाैर")
+    assert toks == ["ओर"]
+    # Indic composes ta+virama+ZWJ -> khanda-ta, then
+    # BengaliNormalizer.java:142 maps khanda-ta back to plain ta
+    toks, _ = bengali_analyzer().analyze_text("ত্‍")
+    assert toks == ["ত"]

@@ -106,3 +106,22 @@ def test_french_prelude_marking():
     # postlude restores every mark
     for w in ("payer", "oui", "quand", "naïve", "noël"):
         assert _fr_postlude(_fr_prelude(w)) == w
+
+
+def test_lithuanian_reference_goldens():
+    # lt/TestLithuanianStemming.java — no snowball vocab zip ships for
+    # Lithuanian; the reference's own 372 checkOneTerm goldens are the
+    # parity set (noun/adjective templates + high-frequency corpus terms)
+    import re
+
+    from lucene_spark.snowball import lithuanian_stem
+
+    path = ("/root/reference/lucene/analysis/common/src/test/org/apache/"
+            "lucene/analysis/lt/TestLithuanianStemming.java")
+    if not os.path.exists(path):
+        pytest.skip("reference test source not available")
+    src = open(path, encoding="utf-8").read()
+    pairs = re.findall(r'checkOneTerm\(a,\s*"([^"]+)",\s*"([^"]+)"\)', src)
+    assert len(pairs) >= 372
+    for w, want in pairs:
+        assert lithuanian_stem(w) == want, w
