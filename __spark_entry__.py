@@ -1441,6 +1441,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "tranquilo", "vivos",
         ])
 
+    def ft_baltic_snowball(spark, sf):
+        # Snowball Lithuanian / Armenian / Basque / Catalan / Estonian
+        # (snowball/ext/{Lithuanian,Armenian,Basque,Catalan,Estonian}
+        # Stemmer.java): goldens are the reference's OWN analyzer-test
+        # pairs (TestLithuanianStemming every 24th of 372 + all
+        # Test{Armenian,Basque,Catalan,Estonian}Analyzer pairs); the full
+        # sets are asserted in tests/test_snowball.py.
+        from lucene_spark.snowball import snowball_stem
+
+        rows = [
+            ("ca", "llengua"), ("ca", "llengües"), ("et", "teadaoleva"),
+            ("et", "teadaolevad"), ("et", "teadaolevaid"),
+            ("et", "teadaolevail"), ("et", "teadaolevais"),
+            ("et", "teadaolevaks"), ("et", "teadaoleval"),
+            ("et", "teadaolevale"), ("et", "teadaolevalt"),
+            ("et", "teadaolevas"), ("et", "teadaolevast"),
+            ("et", "teadaolevat"), ("et", "teadaolevate"),
+            ("et", "teadaolevateks"), ("et", "teadaolevatel"),
+            ("et", "teadaolevatele"), ("et", "teadaolevates"),
+            ("et", "teadaolevatesse"), ("et", "teadaolevatest"),
+            ("eu", "zaldi"), ("eu", "zaldiak"), ("hy", "արծիվ"),
+            ("hy", "արծիվներ"), ("lt", "ar"), ("lt", "bent"),
+            ("lt", "brolyje"), ("lt", "daugiau"), ("lt", "gerai"),
+            ("lt", "geros"), ("lt", "gražios"), ("lt", "metų"),
+            ("lt", "motiną"), ("lt", "pagal"), ("lt", "pačios"),
+            ("lt", "sūnumi"), ("lt", "vagie"), ("lt", "vaikas"),
+            ("lt", "vandeniui"), ("lt", "vidutinės"),
+        ]
+        names = {"lt": "lithuanian", "hy": "armenian", "eu": "basque",
+                 "ca": "catalan", "et": "estonian"}
+        wdf = spark.createDataFrame(rows, "lang string, word string")
+
+        @F.pandas_udf("string")
+        def stem_udf(langs: pd.Series, ws: pd.Series) -> pd.Series:
+            return pd.Series([snowball_stem(names[l])(w)
+                              for l, w in zip(langs, ws)])
+
+        return (wdf.select("lang", "word",
+                           stem_udf("lang", "word").alias("stem"))
+                .orderBy("lang", "word"))
+
+    def ft_indic_normalize(spark, sf):
+        # IndicNormalizationFilter (in/IndicNormalizer.java): goldens are
+        # the reference's OWN TestIndicNormalizer pairs (split-matra
+        # composition + Bengali khanda-ta), plus the hi/bn chain positions
+        # asserted in tests/test_bn_ckb.py.
+        from lucene_spark.intl import indic_normalize
+
+        words = ["अाॅअाॅ", "अाॆअाॆ", "अाेअाे", "अाैअाै", "अाअा", "अाैर",
+                 "ত্‍"]
+        wdf = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(words)], "i long, word string")
+
+        @F.pandas_udf("string")
+        def norm_udf(ws: pd.Series) -> pd.Series:
+            return ws.map(indic_normalize)
+
+        return (wdf.select("i", norm_udf("word").alias("normalized"))
+                .orderBy("i"))
+
     def ft_brazilian(spark, sf):
         # BrazilianStemFilter (br/BrazilianStemmer.java): goldens are the
         # reference's OWN TestBrazilianAnalyzer pairs (every 3rd of 84;
@@ -4578,7 +4638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_regexp_ops, ft_classic_analyze, ft_zh_analyze,
         ft_lovins, ft_kp_stem, ft_porter_snowball, ft_kstem, ft_french,
         ft_greek, ft_bengali, ft_sorani, ft_brazilian, ft_pt_rslp,
-        ft_gl_rslp,
+        ft_gl_rslp, ft_baltic_snowball, ft_indic_normalize,
         # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
         # still oracle-checked every run by tests/test_entry_gate.py ----
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -5717,6 +5777,13 @@ ORDER BY word""",
         "ft_pt_rslp": """
 SELECT word, stem FROM (VALUES ('abominação', 'abomin'),('alter', 'alt'),('arriscado', 'arrisc'),('bélgica', 'belg'),('capitulou', 'capitul'),('cocô', 'coco'),('conterrâneo', 'conterrane'),('dedicam', 'dedic'),('devotados', 'devot'),('embrutecidos', 'embrutec'),('espetáculo', 'espetacul'),('fatalidades', 'fatal'),('garagens', 'gar'),('humildemente', 'humild'),('interdesign', 'interdesign'),('lendário', 'lend'),('massagista', 'massag'),('mundos', 'mund'),('ostentatória', 'ostentator'),('pet', 'pet'),('profissionais', 'profiss'),('reeduca', 'reeduc'),('rozas', 'roz'),('sobreviver', 'sobreviv'),('térreo', 'terre'),('vadia', 'vad')) AS t(word, stem)
 ORDER BY word""",
+        "ft_baltic_snowball": """
+SELECT lang, word, stem FROM (VALUES ('ca', 'llengua', 'llengu'),('ca', 'llengües', 'llengu'),('et', 'teadaoleva', 'teadaole'),('et', 'teadaolevad', 'teadaole'),('et', 'teadaolevaid', 'teadaole'),('et', 'teadaolevail', 'teadaole'),('et', 'teadaolevais', 'teadaole'),('et', 'teadaolevaks', 'teadaole'),('et', 'teadaoleval', 'teadaole'),('et', 'teadaolevale', 'teadaole'),('et', 'teadaolevalt', 'teadaole'),('et', 'teadaolevas', 'teadaole'),('et', 'teadaolevast', 'teadaole'),('et', 'teadaolevat', 'teadaole'),('et', 'teadaolevate', 'teadaole'),('et', 'teadaolevateks', 'teadaole'),('et', 'teadaolevatel', 'teadaole'),('et', 'teadaolevatele', 'teadaole'),('et', 'teadaolevates', 'teadaole'),('et', 'teadaolevatesse', 'teadaole'),('et', 'teadaolevatest', 'teadaole'),('eu', 'zaldi', 'zaldi'),('eu', 'zaldiak', 'zaldi'),('hy', 'արծիվ', 'արծ'),('hy', 'արծիվներ', 'արծ'),('lt', 'ar', 'ar'),('lt', 'bent', 'bent'),('lt', 'brolyje', 'brol'),('lt', 'daugiau', 'daug'),('lt', 'gerai', 'ger'),('lt', 'geros', 'ger'),('lt', 'gražios', 'graž'),('lt', 'metų', 'met'),('lt', 'motiną', 'motin'),('lt', 'pagal', 'pagal'),('lt', 'pačios', 'pat'),('lt', 'sūnumi', 'sūn'),('lt', 'vagie', 'vag'),('lt', 'vaikas', 'vaik'),('lt', 'vandeniui', 'vand'),('lt', 'vidutinės', 'vidutin')) AS t(lang, word, stem)
+ORDER BY lang, word""",
+        "ft_indic_normalize": """
+SELECT i, normalized FROM (VALUES (CAST(0 AS BIGINT), 'ऑऑ'), (1, 'ऒऒ'),
+  (2, 'ओओ'), (3, 'औऔ'), (4, 'आआ'), (5, 'और'), (6, 'ৎ')) AS t(i, normalized)
+ORDER BY i""",
         "ft_gl_rslp": """
 SELECT word, stem FROM (VALUES ('aceiro', 'aceir'),('alternativas', 'alternativ'),('asomando', 'asom'),('busca', 'busc'),('choromicar', 'choromic'),('confeccionar', 'confeccion'),('creadores', 'cre'),('demora', 'demor'),('dirixía', 'dirix'),('enerven', 'enerv'),('esteas', 'este'),('favores', 'favor'),('gran', 'gr'),('inexorablemente', 'inexorabl'),('levareinos', 'levarein'),('mercantil', 'mercantil'),('notificaranse', 'notificarans'),('partes', 'part'),('poderás', 'poder'),('procesos', 'proces'),('rebeiraba', 'rebeir'),('respectivos', 'respect'),('seguírense', 'seguirens'),('sucesión', 'suces'),('tranquilo', 'tranquil'),('vivos', 'viv')) AS t(word, stem)
 ORDER BY word""",

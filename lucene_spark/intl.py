@@ -765,7 +765,10 @@ def routing_analyzer_with_intl(extra_routes: dict | None = None):
                      ("no", "norwegian"), ("sv", "swedish"),
                      ("fi", "finnish"), ("hu", "hungarian"),
                      ("ro", "romanian"), ("tr", "turkish"),
-                     ("ga", "irish"), ("ne", "nepali")):
+                     ("ga", "irish"), ("ne", "nepali"),
+                     ("lt", "lithuanian"), ("hy", "armenian"),
+                     ("eu", "basque"), ("ca", "catalan"),
+                     ("et", "estonian")):
         routes.setdefault(lang, snowball_analyzer(sb))
     # GreekAnalyzer chain (el/GreekAnalyzer.java): GreekLowerCaseFilter +
     # GreekStemFilter, all 342 reference stemmer goldens (tests/test_el.py)

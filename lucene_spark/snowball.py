@@ -2926,6 +2926,559 @@ def armenian_stem(word: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Basque — ext/BasqueStemmer.java (BasqueAnalyzer.java wires
+# SnowballFilter(in, new BasqueStemmer())).  RV is the Romance RV; R1/R2
+# standard.  Verb endings (aditzak) strip repeatedly, then noun endings
+# (izenak) repeatedly, then one adjective pass; each table entry carries a
+# rule code: 1 = RV-gated delete, 2 = R2-gated delete, 4 = R1-gated
+# delete, others = respellings.
+# ---------------------------------------------------------------------------
+
+_EU_VOWELS = "aeiou"
+
+_EU_ADITZAK = (
+    ('tzailea', 1), ('arabera', 4), ('atseden', 3), ('kundea', 1),
+    ('tailea', 1), ('taldia', 1), ('garria', 2), ('karria', 1),
+    ('tezina', 1), ('kizuna', 1), ('gailua', 1), ('erreza', 1),
+    ('gaitza', 1), ('kaitza', 1), ('kuntza', 1), ('tzaile', 1),
+    ('tarazi', 1), ('aldatu', 1), ('baditu', 5), ('bidea', 1), ('kidea',
+    1), ('pidea', 1), ('galea', 1), ('gunea', 1), ('kunea', 1),
+    ('tzaga', 1), ('aldia', 1), ('karia', 1), ('tzaka', 1), ('ezina',
+    1), ('korra', 1), ('kunde', 1), ('tzake', 1), ('tzeke', 1),
+    ('taile', 1), ('taldi', 1), ('etari', 1), ('garri', 2), ('karri',
+    1), ('arazi', 1), ('rekin', 1), ('tezin', 1), ('kizun', 1),
+    ('gailu', 1), ('errez', 1), ('gaitz', 1), ('kaitz', 1), ('idea', 1),
+    ('gaia', 1), ('mena', 1), ('pena', 1), ('kina', 1), ('kuna', 1),
+    ('tuna', 1), ('bera', 1), ('kera', 1), ('pera', 1), ('orra', 1),
+    ('dura', 1), ('gura', 1), ('kura', 1), ('tura', 1), ('keta', 1),
+    ('bide', 1), ('kide', 1), ('pide', 1), ('gale', 1), ('gune', 1),
+    ('kune', 1), ('atze', 1), ('aldi', 1), ('kari', 1), ('lari', 1),
+    ('tari', 1), ('rean', 1), ('etan', 1), ('ezin', 1), ('dako', 1),
+    ('tzat', 1), ('tatu', 1), ('tzez', 1), ('era', 1), ('eta', 1),
+    ('eza', 1), ('tza', 2), ('ide', 1), ('tze', 1), ('gai', 1), ('ari',
+    1), ('ean', 1), ('kan', 1), ('men', 1), ('pen', 1), ('kin', 1),
+    ('tun', 1), ('ago', 1), ('tio', 1), ('kor', 1), ('atu', 1), ('ka',
+    1), ('la', 1), ('le', 1), ('ki', 1), ('an', 1), ('go', 1), ('or',
+    1), ('du', 1), ('tu', 1), ('ez', 1),
+)
+
+_EU_IZENAK = (
+    ('minutuko', 6), ('garrena', 1), ('gerrena', 1), ('kaldea', 1),
+    ('taldea', 1), ('tzalea', 1), ('zionea', 1), ('aurrea', 1),
+    ('taldia', 1), ('handia', 1), ('mendia', 1), ('garria', 2),
+    ('larria', 1), ('kirria', 1), ('ontzia', 1), ('gibela', 1),
+    ('urrena', 1), ('tzaina', 1), ('tasuna', 1), ('kondoa', 1),
+    ('tzarra', 1), ('mendua', 1), ('mentua', 1), ('koitza', 1),
+    ('gintza', 1), ('kintza', 1), ('kuntza', 1), ('garren', 1),
+    ('gerren', 1), ('tariko', 1), ('gintzo', 1), ('gintzu', 1),
+    ('denda', 1), ('gabea', 1), ('kabea', 1), ('aldea', 1), ('ordea',
+    1), ('zalea', 1), ('gilea', 1), ('kumea', 1), ('gunea', 1),
+    ('kotea', 1), ('artea', 1), ('ostea', 1), ('etxea', 1), ('aldia',
+    1), ('degia', 1), ('tegia', 1), ('nahia', 1), ('tokia', 1),
+    ('karia', 1), ('laria', 1), ('taria', 1), ('keria', 1), ('teria',
+    1), ('duria', 1), ('bizia', 1), ('aurka', 10), ('kaila', 1),
+    ('skila', 1), ('zaina', 1), ('garna', 1), ('asuna', 1), ('ondoa',
+    1), ('takoa', 1), ('zinoa', 1), ('taroa', 1), ('zaroa', 1),
+    ('liara', 1), ('tiara', 1), ('etara', 1), ('tzara', 1), ('korra',
+    1), ('ordua', 1), ('lekua', 1), ('burua', 1), ('durua', 1),
+    ('estua', 1), ('eroza', 1), ('antza', 1), ('kalde', 1), ('talde',
+    1), ('tzale', 1), ('zione', 1), ('aurre', 1), ('taldi', 1),
+    ('geldi', 8), ('handi', 1), ('mendi', 1), ('garri', 2), ('larri',
+    1), ('kirri', 1), ('ontzi', 1), ('tarik', 1), ('gibel', 1),
+    ('urren', 1), ('tzain', 1), ('tasun', 1), ('aizun', 1), ('kondo',
+    1), ('trako', 5), ('etako', 1), ('igaro', 9), ('behar', 1),
+    ('zehar', 7), ('mendu', 1), ('mentu', 1), ('koitz', 1), ('kada', 1),
+    ('anda', 1), ('emea', 1), ('enea', 1), ('unea', 1), ('anga', 1),
+    ('gaia', 1), ('geia', 1), ('egia', 1), ('ohia', 1), ('koia', 1),
+    ('aria', 1), ('eria', 1), ('asia', 1), ('ezia', 1), ('joka', 3),
+    ('gela', 1), ('tila', 1), ('kana', 1), ('kina', 1), ('mina', 1),
+    ('duna', 1), ('ngoa', 1), ('zioa', 1), ('zkoa', 1), ('aroa', 1),
+    ('eroa', 1), ('oroa', 1), ('osoa', 1), ('ttoa', 1), ('ztoa', 1),
+    ('txoa', 1), ('tzoa', 1), ('dara', 1), ('tara', 1), ('bera', 1),
+    ('kera', 1), ('pera', 1), ('keta', 1), ('tsua', 1), ('txua', 1),
+    ('tzua', 1), ('gabe', 1), ('kabe', 1), ('kide', 1), ('alde', 1),
+    ('orde', 1), ('zale', 1), ('gile', 1), ('kume', 1), ('gune', 1),
+    ('kote', 1), ('arte', 1), ('oste', 1), ('etxe', 1), ('aldi', 1),
+    ('degi', 1), ('tegi', 1), ('nahi', 1), ('toki', 1), ('kari', 1),
+    ('lari', 1), ('tari', 1), ('duri', 1), ('kail', 1), ('etan', 1),
+    ('tzen', 4), ('zain', 1), ('asun', 1), ('ondo', 1), ('tako', 1),
+    ('tuko', 1), ('zino', 1), ('taro', 1), ('zaro', 1), ('giro', 1),
+    ('liar', 1), ('tiar', 1), ('tzar', 1), ('ordu', 1), ('leku', 1),
+    ('buru', 2), ('duru', 1), ('tatu', 4), ('estu', 1), ('eroz', 1),
+    ('ada', 1), ('nea', 1), ('pea', 1), ('tea', 1), ('kia', 1), ('oia',
+    1), ('tia', 1), ('ska', 1), ('xka', 1), ('zka', 1), ('ola', 1),
+    ('ena', 1), ('una', 1), ('koa', 1), ('noa', 1), ('toa', 1), ('ñoa',
+    1), ('ara', 1), ('ora', 2), ('tra', 1), ('osa', 1), ('eta', 1),
+    ('sta', 1), ('dua', 1), ('tua', 1), ('zua', 1), ('eza', 1), ('tza',
+    2), ('eme', 1), ('une', 1), ('gai', 1), ('gei', 1), ('egi', 1),
+    ('ohi', 1), ('goi', 1), ('koi', 1), ('ari', 1), ('asi', 1), ('ail',
+    1), ('kan', 1), ('tan', 1), ('ren', 2), ('ten', 4), ('kin', 1),
+    ('min', 1), ('dun', 1), ('ngo', 1), ('zio', 1), ('eko', 1), ('sko',
+    1), ('zko', 1), ('aro', 1), ('ero', 1), ('oro', 1), ('oso', 1),
+    ('tto', 1), ('zto', 1), ('txo', 1), ('tzo', 1), ('dar', 1), ('tar',
+    1), ('kor', 1), ('ket', 1), ('tsu', 1), ('txu', 1), ('tzu', 1),
+    ('ga', 1), ('ka', 1), ('na', 1), ('ra', 1), ('sa', 1), ('ta', 1),
+    ('za', 1), ('ge', 1), ('ne', 1), ('pe', 1), ('te', 1), ('di', 1),
+    ('ki', 1), ('oi', 1), ('ti', 1), ('ñi', 1), ('ak', 1), ('ek', 1),
+    ('en', 4), ('go', 1), ('ko', 1), ('no', 1), ('ro', 1), ('to', 1),
+    ('ño', 1), ('zp', 1), ('ar', 1), ('or', 2), ('os', 1), ('du', 1),
+    ('tu', 1), ('zu', 1), ('ez', 1), ('tz', 1), ('z', 1),
+)
+
+_EU_ADJETIBOAK = (
+    ('keria', 1), ('lanik', 1), ('larik', 1), ('zlea', 2), ('dade', 1),
+    ('tade', 1), ('date', 1), ('tate', 1), ('ztik', 1), ('era', 1),
+    ('rik', 1), ('ero', 1), ('la', 1), ('gi', 1), ('ki', 1), ('ik', 1),
+    ('go', 1), ('ro', 1), ('to', 1),
+)
+
+_EU_ADITZAK_REPL = {3: "atseden", 4: "arabera", 5: "baditu"}
+_EU_IZENAK_REPL = {3: "jok", 5: "tra", 6: "minutu", 7: "zehar",
+                   8: "geldi", 9: "igaro", 10: "aurka"}
+
+
+def _eu_rule(w, table, repl, pv, p1, p2):
+    """One find_among_b pass: longest suffix decides the rule; a failed
+    region gate aborts with no shorter-suffix retry."""
+    for suf, code in table:
+        if not w.endswith(suf):
+            continue
+        start = len(w) - len(suf)
+        if code == 1:
+            return (w[:start], True) if start >= pv else (w, False)
+        if code == 2:
+            return (w[:start], True) if start >= p2 else (w, False)
+        if code == 4 and repl is not _EU_ADITZAK_REPL:
+            return (w[:start], True) if start >= p1 else (w, False)
+        return w[:start] + repl[code], True
+    return w, False
+
+
+def basque_stem(word: str) -> str:
+    """Snowball Basque (SnowballFilter(in, "Basque"))."""
+    w = word
+    pv = _rv_roman(w, _EU_VOWELS)
+    p1, p2 = _standard_regions(w, _EU_VOWELS)
+
+    changed = True
+    while changed:
+        w, changed = _eu_rule(w, _EU_ADITZAK, _EU_ADITZAK_REPL, pv, p1, p2)
+    changed = True
+    while changed:
+        w, changed = _eu_rule(w, _EU_IZENAK, _EU_IZENAK_REPL, pv, p1, p2)
+
+    for suf, code in _EU_ADJETIBOAK:
+        if w.endswith(suf):
+            start = len(w) - len(suf)
+            if code == 1:
+                if start >= pv:
+                    w = w[:start]
+            else:
+                w = w[:start] + "z"
+            break
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Catalan — ext/CatalanStemmer.java (CatalanAnalyzer.java wires ElisionFilter
+# + SnowballFilter(in, new CatalanStemmer())).  R1/R2 standard over the
+# accented-vowel grouping.  attached_pronoun (R1 delete), then
+# standard_suffix OR-ELSE verb_suffix, then residual_suffix, then a forward
+# cleaning pass stripping accents (and middot -> '.').
+# ---------------------------------------------------------------------------
+
+_CA_VOWELS = "aeiou\u00e0\u00e1\u00e8\u00e9\u00ed\u00ef\u00f2\u00f3\u00fa\u00fc"
+
+_CA_PRONOUN = (
+    'selas', 'selos', 'sela', 'selo', '-les', '-nos', '-la', '-me',
+    '-te', "'hi", '-li', "'ho", 'las', 'les', "'ls", '-ls', "'ns",
+    '-ns', 'ens', 'los', 'nos', 'vos', '-us', 'la', 'le', 'me', 'se',
+    'hi', 'li', "'l", "'m", '-m', "'n", '-n', 'ho', 'lo', "'s", 'us',
+    "'t",
+)
+
+_CA_STANDARD = (
+    ('quíssimes', 5), ('allengües', 1), ('ativitats', 1), ('quíssima',
+    5), ('ialismes', 1), ('ialistes', 1), ('ionistes', 1), ('lógiques',
+    3), ('quíssims', 5), ('bilitats', 1), ('ativitat', 1), ('ialista',
+    1), ('ionista', 1), ('ialisme', 1), ('ionisme', 1), ('quíssim', 5),
+    ('atòries', 1), ('íssimes', 1), ('ivitats', 1), ('bilitat', 1),
+    ('isament', 1), ('lógica', 3), ('atòria', 1), ('íssima', 1),
+    ('ivisme', 1), ('ificar', 1), ('lógics', 3), ('ancies', 1),
+    ('encies', 1), ('ències', 1), ('logies', 3), ('formes', 1),
+    ('idores', 1), ('atives', 1), ('logíes', 3), ('íssims', 1),
+    ('acions', 2), ('aments', 1), ('ivitat', 1), ('ancia', 1), ('encia',
+    1), ('ència', 1), ('logia', 3), ('íinia', 1), ('ívola', 1),
+    ('sfera', 1), ('adora', 1), ('adura', 1), ('ativa', 1), ('logía',
+    3), ('ístic', 1), ('issem', 1), ('ìssem', 1), ('íssem', 1),
+    ('íssim', 1), ('ìssin', 1), ('itzar', 1), ('doras', 1), ('ícies',
+    1), ('inies', 1), ('ínies', 1), ('eries', 1), ('àries', 1),
+    ('ables', 1), ('ibles', 1), ('ismes', 1), ('dores', 1), ('dures',
+    1), ('asses', 1), ('ictes', 1), ('istes', 1), ('iques', 4),
+    ('logis', 3), ('toris', 1), ('cions', 1), ('assos', 1), ('issos',
+    1), ('adors', 1), ('idors', 1), ('itats', 1), ('ïtats', 1),
+    ('ments', 1), ('trius', 1), ('atius', 1), ('ament', 1), ('isseu',
+    1), ('ìsseu', 1), ('ísseu', 1), ('íssiu', 1), ('enca', 1), ('ícia',
+    1), ('inia', 1), ('eria', 1), ('ària', 1), ('alla', 1), ('ella', 1),
+    ('dora', 1), ('assa', 1), ('essa', 1), ('issa', 1), ('ista', 1),
+    ('atge', 1), ('able', 1), ('ible', 1), ('isme', 1), ('aire', 1),
+    ('icte', 1), ('iste', 1), ('logi', 3), ('tori', 1), ('ívol', 1),
+    ('isam', 1), ('amen', 1), ('egar', 1), ('ejar', 1), ('itar', 1),
+    ('nces', 1), ('ades', 2), ('bles', 1), ('imes', 1), ('ines', 1),
+    ('eres', 1), ('ores', 1), ('eses', 1), ('oses', 1), ('ites', 1),
+    ('otes', 1), ('ives', 1), ('icis', 1), ('ícis', 1), ('aris', 1),
+    ('ells', 1), ('ions', 1), ('esos', 1), ('osos', 1), ('dors', 1),
+    ('ants', 1), ('ents', 1), ('itat', 1), ('ïtat', 1), ('ient', 1),
+    ('ment', 1), ('triu', 1), ('atiu', 1), ('ació', 1), ('ica', 4),
+    ('ada', 2), ('ima', 1), ('ana', 1), ('ina', 1), ('era', 1), ('ora',
+    1), ('esa', 1), ('osa', 1), ('eta', 1), ('ita', 1), ('ota', 1),
+    ('iva', 1), ('nça', 1), ('enc', 1), ('esc', 1), ('ble', 1), ('ici',
+    1), ('íci', 1), ('ari', 1), ('all', 1), ('ell', 1), ('fer', 1),
+    ('dor', 1), ('dur', 1), ('ics', 4), ('uds', 1), ('als', 1), ('ims',
+    1), ('ers', 1), ('ors', 1), ('ats', 1), ('ets', 1), ('ots', 1),
+    ('uts', 1), ('ius', 1), ('dís', 1), ('ant', 1), ('ent', 1), ('ció',
+    1), ('ic', 4), ('ud', 1), ('al', 1), ('il', 1), ('ar', 1), ('or',
+    1), ('ls', 1), ('ès', 1), ('és', 1), ('ís', 1), ('ós', 1), ('et',
+    1), ('ot', 1), ('ió', 1), ('ó', 1),
+)
+
+_CA_VERB = (
+    ('iéramos', 1), ('aríamos', 1), ('eríamos', 1), ('iríamos', 1),
+    ('iésemos', 1), ('eresseu', 1), ('esquen', 1), ('isquen', 1),
+    ('ïsquen', 1), ('esquin', 1), ('adores', 1), ('esques', 1),
+    ('ïsques', 1), ('ierais', 1), ('aríais', 1), ('eríais', 1),
+    ('iríais', 1), ('ieseis', 1), ('asteis', 1), ('isteis', 1),
+    ('esquis', 1), ('ábamos', 1), ('áramos', 1), ('aremos', 1),
+    ('eremos', 1), ('iremos', 1), ('ásemos', 1), ('adora', 1), ('esqui',
+    1), ('àssem', 1), ('éssem', 1), ('iguem', 1), ('ïguem', 1),
+    ('irìem', 1), ('aríem', 1), ('iríem', 1), ('assim', 1), ('essim',
+    1), ('issim', 1), ('àssim', 1), ('èssim', 1), ('éssim', 1),
+    ('íssim', 1), ('arian', 1), ('ieran', 1), ('arían', 1), ('erían',
+    1), ('irían', 1), ('arien', 1), ('irien', 1), ('iesen', 1),
+    ('assen', 1), ('essen', 1), ('issen', 1), ('éssen', 1), ('ïssen',
+    1), ('eixen', 1), ('assin', 1), ('essin', 1), ('issin', 1),
+    ('ïssin', 1), ('eixin', 1), ('ieron', 1), ('iendo', 1), ('eixer',
+    1), ('ieras', 1), ('arías', 1), ('erías', 1), ('irías', 1),
+    ('atges', 1), ('aries', 1), ('iries', 1), ('ieses', 1), ('asses',
+    1), ('esses', 1), ('isses', 1), ('ïsses', 1), ('eixes', 1),
+    ('abais', 1), ('arais', 1), ('aseis', 1), ('assis', 1), ('essis',
+    1), ('issis', 1), ('ïssis', 1), ('eixis', 1), ('itzis', 1),
+    ('aréis', 1), ('eréis', 1), ('iréis', 1), ('íamos', 1), ('adors',
+    1), ('erass', 1), ('asseu', 1), ('esseu', 1), ('àsseu', 1),
+    ('ésseu', 1), ('igueu', 1), ('ïgueu', 1), ('itzeu', 1), ('irìeu',
+    1), ('aríeu', 1), ('iríeu', 1), ('assiu', 1), ('issiu', 1),
+    ('àssiu', 1), ('èssiu', 1), ('éssiu', 1), ('íssiu', 1), ('esca', 1),
+    ('isca', 1), ('ïsca', 1), ('aria', 1), ('iria', 1), ('iera', 1),
+    ('itza', 1), ('aría', 1), ('ería', 1), ('iría', 1), ('iese', 1),
+    ('aste', 1), ('iste', 1), ('eixi', 1), ('itzi', 1), ('arem', 1),
+    ('irem', 1), ('àrem', 1), ('írem', 1), ('avem', 1), ('àvem', 1),
+    ('ávem', 1), ('aban', 1), ('aran', 1), ('iran', 1), ('aren', 1),
+    ('eren', 1), ('iren', 1), ('àren', 1), ('ïren', 1), ('asen', 1),
+    ('aven', 1), ('ixen', 1), ('ïxen', 1), ('inin', 1), ('isin', 1),
+    ('aron', 1), ('arán', 1), ('erán', 1), ('irán', 1), ('ando', 2),
+    ('eixo', 1), ('itzo', 1), ('tzar', 1), ('ador', 1), ('abas', 1),
+    ('adas', 1), ('idas', 1), ('aras', 1), ('ades', 1), ('ides', 1),
+    ('udes', 1), ('ïdes', 1), ('ares', 1), ('ires', 1), ('ïres', 1),
+    ('ases', 1), ('ques', 1), ('aves', 1), ('ixes', 1), ('ïxes', 1),
+    ('íais', 1), ('inis', 1), ('isis', 1), ('ados', 1), ('idos', 1),
+    ('amos', 1), ('imos', 1), ('ents', 1), ('aràs', 1), ('iràs', 1),
+    ('arás', 1), ('erás', 1), ('irás', 1), ('arés', 1), ('erau', 1),
+    ('ineu', 1), ('areu', 1), ('ireu', 1), ('àreu', 1), ('íreu', 1),
+    ('àveu', 1), ('áveu', 1), ('itzà', 1), ('aba', 1), ('ada', 1),
+    ('ida', 1), ('uda', 1), ('ïda', 1), ('ara', 1), ('ira', 1), ('ïra',
+    1), ('ava', 1), ('ixa', 1), ('isc', 1), ('ïsc', 1), ('dre', 1),
+    ('ase', 1), ('ini', 1), ('íem', 1), ('ían', 1), ('ien', 1), ('ïen',
+    1), ('sin', 1), ('iïn', 1), ('ado', 1), ('ido', 1), ('ixo', 1),
+    ('ïxo', 1), ('ías', 1), ('ids', 1), ('ies', 1), ('ïes', 1), ('sis',
+    1), ('áis', 1), ('ams', 1), ('ass', 1), ('ess', 1), ('ats', 1),
+    ('its', 1), ('iïs', 1), ('ant', 1), ('ent', 1), ('int', 1), ('ieu',
+    1), ('ìeu', 1), ('íeu', 1), ('eix', 1), ('itz', 1), ('arà', 1),
+    ('irà', 1), ('ará', 1), ('erá', 1), ('irá', 1), ('irè', 1), ('aré',
+    1), ('eré', 1), ('iré', 1), ('ia', 1), ('ía', 1), ('ïa', 1), ('ad',
+    1), ('ed', 1), ('id', 1), ('ie', 1), ('re', 1), ('ii', 1), ('am',
+    1), ('em', 1), ('ïm', 1), ('an', 1), ('en', 1), ('in', 1), ('io',
+    1), ('ar', 1), ('er', 1), ('ir', 1), ('as', 1), ('es', 1), ('às',
+    1), ('és', 1), ('ís', 1), ('at', 1), ('it', 1), ('ut', 1), ('ït',
+    1), ('au', 1), ('ïu', 1), ('ix', 1), ('ïx', 1), ('ià', 1), ('iï',
+    1), ('ió', 1), ('í', 1),
+)
+
+_CA_RESIDUAL = (
+    ('iqu', 2), ('itz', 1), ('ïn', 1), ('ir', 1), ('is', 1), ('os', 1),
+    ('ïs', 1), ('it', 1), ('eu', 1), ('iu', 1), ('a', 1), ('e', 1),
+    ('i', 1), ('o', 1), ('s', 1), ('à', 1), ('á', 1), ('é', 1), ('ì',
+    1), ('í', 1), ('ï', 1), ('ó', 1),
+)
+
+_CA_CLEAN = str.maketrans("\u00e0\u00e1\u00e8\u00e9\u00ec\u00ed\u00ef\u00f2\u00f3\u00fa\u00fc\u00b7",
+                          "aaeeiiioouu.")
+
+
+def _ca_coded(w, table, p1, p2, repl=None):
+    """find_among_b + gate: longest suffix decides; failed gate = no-op
+    (returns success=False so OR-else chains can try the next rule)."""
+    for suf, code in table:
+        if not w.endswith(suf):
+            continue
+        start = len(w) - len(suf)
+        bound = p2 if code in (2, 3, 4) else p1
+        if start < bound:
+            return w, False
+        if repl and code in repl:
+            return w[:start] + repl[code], True
+        return w[:start], True
+    return w, False
+
+
+def catalan_stem(word: str) -> str:
+    """Snowball Catalan (SnowballFilter(in, "Catalan"))."""
+    w = word
+    p1, p2 = _standard_regions(w, _CA_VOWELS)
+
+    for suf in _CA_PRONOUN:
+        if w.endswith(suf):
+            if len(w) - len(suf) >= p1:
+                w = w[:-len(suf)]
+            break
+
+    w2, ok = _ca_coded(w, _CA_STANDARD, p1, p2, repl={3: "log", 4: "ic", 5: "c"})
+    if ok:
+        w = w2
+    else:
+        w, _ = _ca_coded(w, _CA_VERB, p1, p2)
+
+    w, _ = _ca_coded(w, _CA_RESIDUAL, p1, p2, repl={2: "ic"})
+    return w.translate(_CA_CLEAN)
+
+
+# ---------------------------------------------------------------------------
+# Estonian — ext/EstonianStemmer.java (EstonianAnalyzer.java wires
+# SnowballFilter(in, new EstonianStemmer())).  Whole-word irregular-verb
+# lookup first; else emphasis (gi/ki), verb endings (which suppress the
+# noun pipeline), the six-step substantive pipeline, and a final
+# doubled-kpt undouble.  All suffix matches are R1-bounded.
+# ---------------------------------------------------------------------------
+
+_ET_V1 = set("aeiouäõöü")
+_ET_RV = set("aeiou")
+_ET_KI = set("bdfghkpstzšž")
+_ET_GI = set("aceijlmnoqruvwxäõöü")
+_ET_LONGVS = {"aa", "ee", "ii", "oo", "uu", "ää", "õõ", "öö", "üü"}
+
+_ET_VERB = sorted((
+    ("da", 3), ("mata", 1), ("b", 3), ("ksid", 1), ("nuksid", 1),
+    ("me", 3), ("sime", 1), ("ksime", 1), ("nuksime", 1), ("akse", 2),
+    ("dakse", 1), ("takse", 1), ("site", 1), ("ksite", 1), ("nuksite", 1),
+    ("n", 3), ("sin", 1), ("ksin", 1), ("nuksin", 1), ("daks", 1),
+    ("taks", 1),
+), key=lambda p: len(p[0]), reverse=True)
+_ET_VERB_CODE = dict(_ET_VERB)
+
+_ET_SPECIAL_NOUN = sorted((
+    ("lane", "lase"), ("line", "lise"), ("mine", "mise"),
+    ("lasse", "lase"), ("lisse", "lise"), ("misse", "mise"),
+    ("lasi", "lase"), ("lisi", "lise"), ("misi", "mise"),
+    ("last", "lase"), ("list", "lise"), ("mist", "mise"),
+), key=lambda p: len(p[0]), reverse=True)
+_ET_SPECIAL_REPL = dict(_ET_SPECIAL_NOUN)
+
+_ET_CASE = sorted(("ga", "ta", "le", "sse", "l", "s", "ks", "t", "lt",
+                   "st"), key=len, reverse=True)
+
+_ET_PLURAL3 = sorted((
+    ("d", 4), ("sid", 2), ("de", 4), ("ikkude", 1), ("ike", 1),
+    ("ikke", 1), ("te", 3),
+), key=lambda p: len(p[0]), reverse=True)
+_ET_PLURAL3_CODE = dict(_ET_PLURAL3)
+
+_ET_DEGREES = (("mai", 1), ("ma", 2), ("m", 1))
+_ET_DEGREES_CODE = dict(_ET_DEGREES)
+
+_ET_NU = ("va", "du", "nu", "tu")
+
+_ET_VERB_EXCEPTIONS = {
+    'joob': 'joo', 'jood': 'joo', 'joodakse': 'joo', 'jooma': 'joo',
+    'joomata': 'joo', 'joome': 'joo', 'joon': 'joo', 'joote': 'joo',
+    'joovad': 'joo', 'juua': 'joo', 'juuakse': 'joo', 'jäi': 'jääma',
+    'jäid': 'jääma', 'jäime': 'jääma', 'jäin': 'jääma', 'jäite':
+    'jääma', 'jääb': 'jääma', 'jääd': 'jääma', 'jääda': 'jääma',
+    'jäädakse': 'jääma', 'jäädi': 'jääma', 'jääks': 'jääma', 'jääksid':
+    'jääma', 'jääksime': 'jääma', 'jääksin': 'jääma', 'jääksite':
+    'jääma', 'jääma': 'jääma', 'jäämata': 'jääma', 'jääme': 'jääma',
+    'jään': 'jääma', 'jääte': 'jääma', 'jäävad': 'jääma', 'jõi': 'joo',
+    'jõid': 'joo', 'jõime': 'joo', 'jõin': 'joo', 'jõite': 'joo',
+    'keeb': 'keesi', 'keed': 'keesi', 'keedakse': 'keesi', 'keeks':
+    'keesi', 'keeksid': 'keesi', 'keeksime': 'keesi', 'keeksin':
+    'keesi', 'keeksite': 'keesi', 'keema': 'keesi', 'keemata': 'keesi',
+    'keeme': 'keesi', 'keen': 'keesi', 'kees': 'keesi', 'keeta':
+    'keesi', 'keete': 'keesi', 'keevad': 'keesi', 'käia': 'käisi',
+    'käiakse': 'käisi', 'käib': 'käisi', 'käid': 'käisi', 'käidi':
+    'käisi', 'käiks': 'käisi', 'käiksid': 'käisi', 'käiksime': 'käisi',
+    'käiksin': 'käisi', 'käiksite': 'käisi', 'käima': 'käisi',
+    'käimata': 'käisi', 'käime': 'käisi', 'käin': 'käisi', 'käis':
+    'käisi', 'käite': 'käisi', 'käivad': 'käisi', 'laob': 'ladu',
+    'laod': 'ladu', 'laoks': 'ladu', 'laoksid': 'ladu', 'laoksime':
+    'ladu', 'laoksin': 'ladu', 'laoksite': 'ladu', 'laome': 'ladu',
+    'laon': 'ladu', 'laote': 'ladu', 'laovad': 'ladu', 'loeb': 'luge',
+    'loed': 'luge', 'loeks': 'luge', 'loeksid': 'luge', 'loeksime':
+    'luge', 'loeksin': 'luge', 'loeksite': 'luge', 'loeme': 'luge',
+    'loen': 'luge', 'loete': 'luge', 'loevad': 'luge', 'loob': 'loo',
+    'lood': 'loo', 'loodi': 'loo', 'looks': 'loo', 'looksid': 'loo',
+    'looksime': 'loo', 'looksin': 'loo', 'looksite': 'loo', 'looma':
+    'loo', 'loomata': 'loo', 'loome': 'loo', 'loon': 'loo', 'loote':
+    'loo', 'loovad': 'loo', 'luua': 'loo', 'luuakse': 'loo', 'lõi':
+    'lõi', 'lõid': 'lõi', 'lõime': 'lõi', 'lõin': 'lõi', 'lõite': 'lõi',
+    'lööb': 'löö', 'lööd': 'löö', 'löödakse': 'löö', 'löödi': 'löö',
+    'lööks': 'löö', 'lööksid': 'löö', 'lööksime': 'löö', 'lööksin':
+    'löö', 'lööksite': 'löö', 'lööma': 'löö', 'löömata': 'löö', 'lööme':
+    'löö', 'löön': 'löö', 'lööte': 'löö', 'löövad': 'löö', 'lüüa':
+    'löö', 'lüüakse': 'löö', 'müüa': 'müüsi', 'müüakse': 'müüsi',
+    'müüb': 'müüsi', 'müüd': 'müüsi', 'müüdi': 'müüsi', 'müüks':
+    'müüsi', 'müüksid': 'müüsi', 'müüksime': 'müüsi', 'müüksin':
+    'müüsi', 'müüksite': 'müüsi', 'müüma': 'müüsi', 'müümata': 'müüsi',
+    'müüme': 'müüsi', 'müün': 'müüsi', 'müüs': 'müüsi', 'müüte':
+    'müüsi', 'müüvad': 'müüsi', 'näeb': 'nägi', 'näed': 'nägi', 'näeks':
+    'nägi', 'näeksid': 'nägi', 'näeksime': 'nägi', 'näeksin': 'nägi',
+    'näeksite': 'nägi', 'näeme': 'nägi', 'näen': 'nägi', 'näete':
+    'nägi', 'näevad': 'nägi', 'nägema': 'nägi', 'nägemata': 'nägi',
+    'näha': 'nägi', 'nähakse': 'nägi', 'nähti': 'nägi', 'põeb': 'põde',
+    'põed': 'põde', 'põeks': 'põde', 'põeksid': 'põde', 'põeksime':
+    'põde', 'põeksin': 'põde', 'põeksite': 'põde', 'põeme': 'põde',
+    'põen': 'põde', 'põete': 'põde', 'põevad': 'põde', 'saab': 'saa',
+    'saad': 'saa', 'saada': 'saa', 'saadakse': 'saa', 'saadi': 'saa',
+    'saaks': 'saa', 'saaksid': 'saa', 'saaksime': 'saa', 'saaksin':
+    'saa', 'saaksite': 'saa', 'saama': 'saa', 'saamata': 'saa', 'saame':
+    'saa', 'saan': 'saa', 'saate': 'saa', 'saavad': 'saa', 'sai': 'saa',
+    'said': 'saa', 'saime': 'saa', 'sain': 'saa', 'saite': 'saa', 'sõi':
+    'söö', 'sõid': 'söö', 'sõime': 'söö', 'sõin': 'söö', 'sõite': 'söö',
+    'sööb': 'söö', 'sööd': 'söö', 'söödakse': 'söö', 'söödi': 'söö',
+    'sööks': 'söö', 'sööksid': 'söö', 'sööksime': 'söö', 'sööksin':
+    'söö', 'sööksite': 'söö', 'sööma': 'söö', 'söömata': 'söö', 'sööme':
+    'söö', 'söön': 'söö', 'sööte': 'söö', 'söövad': 'söö', 'süüa':
+    'söö', 'süüakse': 'söö', 'teeb': 'tegi', 'teed': 'tegi', 'teeks':
+    'tegi', 'teeksid': 'tegi', 'teeksime': 'tegi', 'teeksin': 'tegi',
+    'teeksite': 'tegi', 'teeme': 'tegi', 'teen': 'tegi', 'teete':
+    'tegi', 'teevad': 'tegi', 'tegema': 'tegi', 'tegemata': 'tegi',
+    'teha': 'tegi', 'tehakse': 'tegi', 'tehti': 'tegi', 'toob': 'too',
+    'tood': 'too', 'toodi': 'too', 'tooks': 'too', 'tooksid': 'too',
+    'tooksime': 'too', 'tooksin': 'too', 'tooksite': 'too', 'tooma':
+    'too', 'toomata': 'too', 'toome': 'too', 'toon': 'too', 'toote':
+    'too', 'toovad': 'too', 'tuua': 'too', 'tuuakse': 'too', 'tõi':
+    'too', 'tõid': 'too', 'tõime': 'too', 'tõin': 'too', 'tõite': 'too',
+    'viia': 'viima', 'viiakse': 'viima', 'viib': 'viima', 'viid':
+    'viima', 'viidi': 'viima', 'viiks': 'viima', 'viiksid': 'viima',
+    'viiksime': 'viima', 'viiksin': 'viima', 'viiksite': 'viima',
+    'viima': 'viima', 'viimata': 'viima', 'viime': 'viima', 'viin':
+    'viima', 'viisime': 'viima', 'viisin': 'viima', 'viisite': 'viima',
+    'viite': 'viima', 'viivad': 'viima', 'võib': 'võisi', 'võid':
+    'võisi', 'võida': 'võisi', 'võidakse': 'võisi', 'võidi': 'võisi',
+    'võiks': 'võisi', 'võiksid': 'võisi', 'võiksime': 'võisi',
+    'võiksin': 'võisi', 'võiksite': 'võisi', 'võima': 'võisi',
+    'võimata': 'võisi', 'võime': 'võisi', 'võin': 'võisi', 'võis':
+    'võisi', 'võite': 'võisi', 'võivad': 'võisi',
+}
+
+
+def _et_longv(prev: str) -> bool:
+    return prev[-2:] in _ET_LONGVS
+
+
+def estonian_stem(word: str) -> str:
+    """Snowball Estonian (SnowballFilter(in, "Estonian"))."""
+    exc = _ET_VERB_EXCEPTIONS.get(word)
+    if exc is not None:
+        return exc
+
+    w = word
+    n = len(w)
+    i = 0
+    while i < n and w[i] not in _ET_V1:
+        i += 1
+    while i < n and w[i] in _ET_V1:
+        i += 1
+    p1 = n if i >= n else i + 1
+
+    # emphasis: gi/ki with at least four stem chars before the suffix
+    suf = _longest_bounded(w, ("gi", "ki"), p1)
+    if suf is not None:
+        start = len(w) - 2
+        if start >= 4:
+            prev = w[:start]
+            if suf == "gi":
+                if prev[-1] in _ET_GI and not _et_longv(prev):
+                    w = prev
+            elif prev[-1] in _ET_KI:
+                w = prev
+
+    is_verb = False
+    suf = _longest_bounded(w, [s for s, _ in _ET_VERB], p1)
+    if suf is not None:
+        code = _ET_VERB_CODE[suf]
+        start = len(w) - len(suf)
+        if code == 1:
+            w, is_verb = w[:start], True
+        elif code == 2:
+            w, is_verb = w[:start] + "a", True
+        elif w[start - 1:start] in _ET_V1:
+            w, is_verb = w[:start], True
+
+    if not is_verb:
+        suf = _longest_bounded(w, [s for s, _ in _ET_SPECIAL_NOUN], p1)
+        if suf is not None:
+            w = w[:-len(suf)] + _ET_SPECIAL_REPL[suf]
+
+        suf = _longest_bounded(w, _ET_CASE, p1)
+        if suf is not None:
+            prev = w[:-len(suf)]
+            if prev[-1:] in _ET_RV or _et_longv(prev):
+                w = prev
+
+        suf = _longest_bounded(w, [s for s, _ in _ET_PLURAL3], p1)
+        if suf is not None:
+            code = _ET_PLURAL3_CODE[suf]
+            start = len(w) - len(suf)
+            prev = w[:start]
+            if code == 1:
+                w = prev + "iku"
+            elif code == 2:
+                if not _et_longv(prev):
+                    w = prev
+            elif code == 3:
+                # 'te': respell to 'e' after mis/las/lis, drop after a
+                # long-enough stem, 't' after a short one; no-op after 't'
+                if start >= 4 and prev.endswith(("mis", "las", "lis")):
+                    w = prev + "e"
+                elif prev.endswith("t"):
+                    pass
+                elif start >= 4:
+                    w = prev
+                else:
+                    w = prev + "t"
+            elif prev[-1:] in _ET_RV or _et_longv(prev):
+                w = prev
+
+        suf = _longest_bounded(w, [s for s, _ in _ET_DEGREES], p1)
+        if suf is not None:
+            prev = w[:-len(suf)]
+            if _ET_DEGREES_CODE[suf] == 2:
+                w = prev
+            elif prev[-1:] in _ET_RV:
+                w = prev
+
+        if _longest_bounded(w, ("i",), p1) is not None \
+                and w[-2:-1] in _ET_RV:
+            w = w[:-1]
+
+        suf = _longest_bounded(w, _ET_NU, p1)
+        if suf is not None:
+            w = w[:-2]
+
+    if len(w) >= 3 and w[-1] in _ET_V1 and w[-3:-1] in ("kk", "pp", "tt"):
+        w = w[:-3] + w[-2:]
+    return w
+
+
+# ---------------------------------------------------------------------------
 # registry + analyzer factory
 # ---------------------------------------------------------------------------
 
@@ -2951,6 +3504,10 @@ SNOWBALL_STEMMERS = {
     "kp": kp_stem,
     "french": french_stem,
     "lithuanian": lithuanian_stem,
+    "armenian": armenian_stem,
+    "basque": basque_stem,
+    "catalan": catalan_stem,
+    "estonian": estonian_stem,
 }
 
 

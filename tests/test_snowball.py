@@ -125,3 +125,37 @@ def test_lithuanian_reference_goldens():
     assert len(pairs) >= 372
     for w, want in pairs:
         assert lithuanian_stem(w) == want, w
+
+
+def _analyzer_goldens(lang_dir, test_file):
+    # checkOneTerm goldens from the reference's Test<Lang>Analyzer (the
+    # SnowballFilter output; stopword assertions are skipped)
+    import re
+
+    path = ("/root/reference/lucene/analysis/common/src/test/org/apache/"
+            f"lucene/analysis/{lang_dir}/{test_file}")
+    if not os.path.exists(path):
+        pytest.skip("reference test source not available")
+    src = open(path, encoding="utf-8").read()
+    # drop the exclusion-set section: those assert UNstemmed output
+    src = src.split("testExclude", 1)[0]
+    unesc = lambda s: re.sub(r"\\u([0-9a-fA-F]{4})",
+                             lambda m: chr(int(m.group(1), 16)), s)
+    return [(unesc(a), unesc(b))
+            for a, b in re.findall(
+                r'checkOneTerm\(a,\s*"((?:[^"\\]|\\.)+)",\s*'
+                r'"((?:[^"\\]|\\.)+)"\)', src)]
+
+
+@pytest.mark.parametrize("lang_dir,test_file,stem_name", [
+    ("hy", "TestArmenianAnalyzer.java", "armenian"),
+    ("eu", "TestBasqueAnalyzer.java", "basque"),
+    ("ca", "TestCatalanAnalyzer.java", "catalan"),
+    ("et", "TestEstonianAnalyzer.java", "estonian"),
+])
+def test_analyzer_stemmer_goldens(lang_dir, test_file, stem_name):
+    stem = SNOWBALL_STEMMERS[stem_name]
+    pairs = _analyzer_goldens(lang_dir, test_file)
+    assert len(pairs) >= 2
+    for w, want in pairs:
+        assert stem(w) == want, (stem_name, w)
