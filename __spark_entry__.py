@@ -1482,6 +1482,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            stem_udf("lang", "word").alias("stem"))
                 .orderBy("lang", "word"))
 
+    def ft_serbian_snowball(spark, sf):
+        # Snowball Serbian through the full SerbianAnalyzer chain
+        # (sr/SerbianAnalyzer.java:111-112 — SnowballFilter(SerbianStemmer)
+        # then SerbianNormalizationFilter): goldens are the reference's OWN
+        # TestSerbianAnalyzer pairs plus the Cyrillic twin of the first
+        # (the stemmer transliterates Cyrillic; tests/test_serbian.py).
+        from lucene_spark.filters import serbian_normalize
+        from lucene_spark.sr import serbian_stem
+
+        return _stem_golden_query(
+            spark, lambda w: serbian_normalize(serbian_stem(w)), [
+                "abdiciraće", "абдицираће", "decimalnim", "decimalni",
+                "đubrište", "djevojka", "pjesma", "krvi",
+            ])
+
     def ft_indic_normalize(spark, sf):
         # IndicNormalizationFilter (in/IndicNormalizer.java): goldens are
         # the reference's OWN TestIndicNormalizer pairs (split-matra
@@ -4639,6 +4654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_lovins, ft_kp_stem, ft_porter_snowball, ft_kstem, ft_french,
         ft_greek, ft_bengali, ft_sorani, ft_brazilian, ft_pt_rslp,
         ft_gl_rslp, ft_baltic_snowball, ft_indic_normalize,
+        ft_serbian_snowball,
         # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
         # still oracle-checked every run by tests/test_entry_gate.py ----
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -5776,6 +5792,9 @@ SELECT word, stem FROM (VALUES ('assuredly', 'assuredli'),('debitor', 'debitor')
 ORDER BY word""",
         "ft_pt_rslp": """
 SELECT word, stem FROM (VALUES ('abominação', 'abomin'),('alter', 'alt'),('arriscado', 'arrisc'),('bélgica', 'belg'),('capitulou', 'capitul'),('cocô', 'coco'),('conterrâneo', 'conterrane'),('dedicam', 'dedic'),('devotados', 'devot'),('embrutecidos', 'embrutec'),('espetáculo', 'espetacul'),('fatalidades', 'fatal'),('garagens', 'gar'),('humildemente', 'humild'),('interdesign', 'interdesign'),('lendário', 'lend'),('massagista', 'massag'),('mundos', 'mund'),('ostentatória', 'ostentator'),('pet', 'pet'),('profissionais', 'profiss'),('reeduca', 'reeduc'),('rozas', 'roz'),('sobreviver', 'sobreviv'),('térreo', 'terre'),('vadia', 'vad')) AS t(word, stem)
+ORDER BY word""",
+        "ft_serbian_snowball": """
+SELECT word, stem FROM (VALUES ('abdiciraće', 'abdicirac'),('decimalni', 'decimaln'),('decimalnim', 'decimaln'),('djevojka', 'devojk'),('krvi', 'krv'),('pjesma', 'pesm'),('đubrište', 'djubrist'),('абдицираће', 'abdicirac')) AS t(word, stem)
 ORDER BY word""",
         "ft_baltic_snowball": """
 SELECT lang, word, stem FROM (VALUES ('ca', 'llengua', 'llengu'),('ca', 'llengües', 'llengu'),('et', 'teadaoleva', 'teadaole'),('et', 'teadaolevad', 'teadaole'),('et', 'teadaolevaid', 'teadaole'),('et', 'teadaolevail', 'teadaole'),('et', 'teadaolevais', 'teadaole'),('et', 'teadaolevaks', 'teadaole'),('et', 'teadaoleval', 'teadaole'),('et', 'teadaolevale', 'teadaole'),('et', 'teadaolevalt', 'teadaole'),('et', 'teadaolevas', 'teadaole'),('et', 'teadaolevast', 'teadaole'),('et', 'teadaolevat', 'teadaole'),('et', 'teadaolevate', 'teadaole'),('et', 'teadaolevateks', 'teadaole'),('et', 'teadaolevatel', 'teadaole'),('et', 'teadaolevatele', 'teadaole'),('et', 'teadaolevates', 'teadaole'),('et', 'teadaolevatesse', 'teadaole'),('et', 'teadaolevatest', 'teadaole'),('eu', 'zaldi', 'zaldi'),('eu', 'zaldiak', 'zaldi'),('hy', 'արծիվ', 'արծ'),('hy', 'արծիվներ', 'արծ'),('lt', 'ar', 'ar'),('lt', 'bent', 'bent'),('lt', 'brolyje', 'brol'),('lt', 'daugiau', 'daug'),('lt', 'gerai', 'ger'),('lt', 'geros', 'ger'),('lt', 'gražios', 'graž'),('lt', 'metų', 'met'),('lt', 'motiną', 'motin'),('lt', 'pagal', 'pagal'),('lt', 'pačios', 'pat'),('lt', 'sūnumi', 'sūn'),('lt', 'vagie', 'vag'),('lt', 'vaikas', 'vaik'),('lt', 'vandeniui', 'vand'),('lt', 'vidutinės', 'vidutin')) AS t(lang, word, stem)

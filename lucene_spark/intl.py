@@ -775,6 +775,11 @@ def routing_analyzer_with_intl(extra_routes: dict | None = None):
     from .el import greek_analyzer
 
     routes.setdefault("el", greek_analyzer())
+    # SerbianAnalyzer chain (sr/SerbianAnalyzer.java:111-112): Snowball
+    # Serbian stemmer + SerbianNormalizationFilter
+    from .sr import serbian_analyzer
+
+    routes.setdefault("sr", serbian_analyzer())
     # BengaliAnalyzer / SoraniAnalyzer chains (normalize + stem, all
     # reference goldens — tests/test_bn_ckb.py)
     routes.setdefault("bn", bengali_analyzer())

@@ -24,3 +24,24 @@ def test_serbian_bald_latin_folding():
 def test_serbian_regular_latin_passthrough():
     assert serbian_normalize_regular("đubrište") == "đubrište"
     assert serbian_normalize_regular("") == ""
+
+
+def test_serbian_snowball_analyzer_goldens():
+    # sr/TestSerbianAnalyzer.java: the full SerbianAnalyzer chain —
+    # Snowball SerbianStemmer then SerbianNormalizationFilter
+    from lucene_spark.sr import serbian_analyzer, serbian_stem
+
+    a = serbian_analyzer()
+    for w, want in [("abdiciraće", "abdicirac"),
+                    ("decimalnim", "decimaln"),
+                    ("đubrište", "djubrist"),
+                    ("decimalni", "decimaln")]:
+        toks, _ = a.analyze_text(w)
+        assert toks == [want], w
+    # the Cyrillic form transliterates inside the stemmer
+    toks, _ = a.analyze_text("абдицираће")
+    assert toks == ["abdicirac"]
+    # ije/je prelude runs before dj-folding (the algorithm's order):
+    # consonant-je-consonant contracts first, so dj+e never becomes đe
+    assert serbian_stem("djevojka") == "devojk"
+    assert serbian_stem("đevojka") == "đevojk"
