@@ -1497,6 +1497,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "đubrište", "djevojka", "pjesma", "krvi",
             ])
 
+    def ft_thai_analyze(spark, sf):
+        # ThaiAnalyzer chain (th/ThaiAnalyzer.java:93-99: dictionary word
+        # segmentation -> lowercase -> DecimalDigitFilter -> Thai stops):
+        # the token table over the reference's OWN TestThaiAnalyzer inputs;
+        # expected rows are the reference goldens (tests/test_th.py runs
+        # the full set with position-gap assertions).
+        from lucene_spark.th import thai_analyzer
+
+        texts = [
+            (0, "การที่ได้ต้องแสดงว่างานดี"),
+            (1, "บริษัทชื่อ XY&Z - คุยกับ xyz@demo.com"),
+            (2, "ภาษาไทย"),
+            (3, "๑๒๓๔"),
+        ]
+        tdf = spark.createDataFrame(texts, "i long, text string")
+        # EMPTY stop set, like the reference's testOffsets /
+        # testReusableTokenStream goldens; the Thai-stop path (แสดง งาน ดี
+        # with posinc 5,2,1) is asserted in tests/test_th.py
+        an = thai_analyzer(stopwords=())
+
+        @F.pandas_udf("array<string>")
+        def an_udf(ts: pd.Series) -> pd.Series:
+            return ts.map(lambda t: an.analyze_text(t)[0])
+
+        return (tdf.select("i", F.explode(an_udf("text")).alias("token"))
+                .groupBy("i", "token").count()
+                .select("i", "token", F.col("count").cast("long")
+                        .alias("n"))
+                .orderBy("i", "token"))
+
     def ft_indic_normalize(spark, sf):
         # IndicNormalizationFilter (in/IndicNormalizer.java): goldens are
         # the reference's OWN TestIndicNormalizer pairs (split-matra
@@ -4654,7 +4684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_lovins, ft_kp_stem, ft_porter_snowball, ft_kstem, ft_french,
         ft_greek, ft_bengali, ft_sorani, ft_brazilian, ft_pt_rslp,
         ft_gl_rslp, ft_baltic_snowball, ft_indic_normalize,
-        ft_serbian_snowball,
+        ft_serbian_snowball, ft_thai_analyze,
         # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
         # still oracle-checked every run by tests/test_entry_gate.py ----
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -5793,6 +5823,10 @@ ORDER BY word""",
         "ft_pt_rslp": """
 SELECT word, stem FROM (VALUES ('abominação', 'abomin'),('alter', 'alt'),('arriscado', 'arrisc'),('bélgica', 'belg'),('capitulou', 'capitul'),('cocô', 'coco'),('conterrâneo', 'conterrane'),('dedicam', 'dedic'),('devotados', 'devot'),('embrutecidos', 'embrutec'),('espetáculo', 'espetacul'),('fatalidades', 'fatal'),('garagens', 'gar'),('humildemente', 'humild'),('interdesign', 'interdesign'),('lendário', 'lend'),('massagista', 'massag'),('mundos', 'mund'),('ostentatória', 'ostentator'),('pet', 'pet'),('profissionais', 'profiss'),('reeduca', 'reeduc'),('rozas', 'roz'),('sobreviver', 'sobreviv'),('térreo', 'terre'),('vadia', 'vad')) AS t(word, stem)
 ORDER BY word""",
+        "ft_thai_analyze": """
+SELECT CAST(i AS BIGINT) AS i, token, CAST(n AS BIGINT) AS n
+FROM (VALUES (0, 'การ', 1),(0, 'งาน', 1),(0, 'ดี', 1),(0, 'ต้อง', 1),(0, 'ที่', 1),(0, 'ว่า', 1),(0, 'แสดง', 1),(0, 'ได้', 1),(1, 'demo.com', 1),(1, 'xy', 1),(1, 'xyz', 1),(1, 'z', 1),(1, 'กับ', 1),(1, 'คุย', 1),(1, 'ชื่อ', 1),(1, 'บริษัท', 1),(2, 'ภาษา', 1),(2, 'ไทย', 1),(3, '1234', 1)) AS t(i, token, n)
+ORDER BY i, token""",
         "ft_serbian_snowball": """
 SELECT word, stem FROM (VALUES ('abdiciraće', 'abdicirac'),('decimalni', 'decimaln'),('decimalnim', 'decimaln'),('djevojka', 'devojk'),('krvi', 'krv'),('pjesma', 'pesm'),('đubrište', 'djubrist'),('абдицираће', 'abdicirac')) AS t(word, stem)
 ORDER BY word""",

@@ -780,6 +780,11 @@ def routing_analyzer_with_intl(extra_routes: dict | None = None):
     from .sr import serbian_analyzer
 
     routes.setdefault("sr", serbian_analyzer())
+    # ThaiAnalyzer chain (th/ThaiAnalyzer.java:93-99): dictionary word
+    # segmentation + decimal-digit fold + Thai stop set
+    from .th import thai_analyzer
+
+    routes.setdefault("th", thai_analyzer())
     # BengaliAnalyzer / SoraniAnalyzer chains (normalize + stem, all
     # reference goldens — tests/test_bn_ckb.py)
     routes.setdefault("bn", bengali_analyzer())
