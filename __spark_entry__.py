@@ -1482,6 +1482,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            stem_udf("lang", "word").alias("stem"))
                 .orderBy("lang", "word"))
 
+    def ft_phonetic_all(spark, sf):
+        # The remaining PhoneticFilterFactory encoder set + Daitch-Mokotoff
+        # (phonetic/PhoneticFilter.java, DaitchMokotoffSoundexFilter.java:60):
+        # every expected row is a reference TestPhoneticFilter /
+        # TestDaitchMokotoffSoundexFilter golden (D-M emits every branch —
+        # the six-way 'ccc' split included) or a published worked example
+        # (Caverphone 2.0 / Kölner Phonetik papers).
+        from lucene_spark.phonetic import (caverphone2, cologne_phonetic,
+                                           daitch_mokotoff, metaphone,
+                                           nysiis)
+
+        rows = []
+        for w in ("aaa", "bbb", "ccc", "easgasg"):
+            rows.append(("metaphone", w, [metaphone(w)]))
+            rows.append(("nysiis", w, [nysiis(w)]))
+            rows.append(("dm", w, daitch_mokotoff(w)))
+        for w in ("Darda", "Karleen", "Datha", "Carlene"):
+            rows.append(("caverphone2", w, [caverphone2(w)]))
+        for w in ("Müller-Lüdenscheidt", "Breschnew", "Wikipedia"):
+            rows.append(("cologne", w, [cologne_phonetic(w)]))
+        flat = [(enc, w, c) for enc, w, cs in rows for c in cs]
+        return (spark.createDataFrame(flat,
+                                      "encoder string, word string, "
+                                      "code string")
+                .orderBy("encoder", "word", "code"))
+
     def ft_serbian_snowball(spark, sf):
         # Snowball Serbian through the full SerbianAnalyzer chain
         # (sr/SerbianAnalyzer.java:111-112 — SnowballFilter(SerbianStemmer)
@@ -4684,7 +4710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_lovins, ft_kp_stem, ft_porter_snowball, ft_kstem, ft_french,
         ft_greek, ft_bengali, ft_sorani, ft_brazilian, ft_pt_rslp,
         ft_gl_rslp, ft_baltic_snowball, ft_indic_normalize,
-        ft_serbian_snowball, ft_thai_analyze,
+        ft_serbian_snowball, ft_thai_analyze, ft_phonetic_all,
         # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
         # still oracle-checked every run by tests/test_entry_gate.py ----
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -5827,6 +5853,9 @@ ORDER BY word""",
 SELECT CAST(i AS BIGINT) AS i, token, CAST(n AS BIGINT) AS n
 FROM (VALUES (0, 'การ', 1),(0, 'งาน', 1),(0, 'ดี', 1),(0, 'ต้อง', 1),(0, 'ที่', 1),(0, 'ว่า', 1),(0, 'แสดง', 1),(0, 'ได้', 1),(1, 'demo.com', 1),(1, 'xy', 1),(1, 'xyz', 1),(1, 'z', 1),(1, 'กับ', 1),(1, 'คุย', 1),(1, 'ชื่อ', 1),(1, 'บริษัท', 1),(2, 'ภาษา', 1),(2, 'ไทย', 1),(3, '1234', 1)) AS t(i, token, n)
 ORDER BY i, token""",
+        "ft_phonetic_all": """
+SELECT encoder, word, code FROM (VALUES ('caverphone2', 'Carlene', 'KLN1111111'),('caverphone2', 'Darda', 'TTA1111111'),('caverphone2', 'Datha', 'TTA1111111'),('caverphone2', 'Karleen', 'KLN1111111'),('cologne', 'Breschnew', '17863'),('cologne', 'Müller-Lüdenscheidt', '65752682'),('cologne', 'Wikipedia', '3412'),('dm', 'aaa', '000000'),('dm', 'bbb', '700000'),('dm', 'ccc', '400000'),('dm', 'ccc', '450000'),('dm', 'ccc', '454000'),('dm', 'ccc', '500000'),('dm', 'ccc', '540000'),('dm', 'ccc', '545000'),('dm', 'easgasg', '045450'),('metaphone', 'aaa', 'A'),('metaphone', 'bbb', 'B'),('metaphone', 'ccc', 'KKK'),('metaphone', 'easgasg', 'ESKS'),('nysiis', 'aaa', 'A'),('nysiis', 'bbb', 'B'),('nysiis', 'ccc', 'C'),('nysiis', 'easgasg', 'EASGAS')) AS t(encoder, word, code)
+ORDER BY encoder, word, code""",
         "ft_serbian_snowball": """
 SELECT word, stem FROM (VALUES ('abdiciraće', 'abdicirac'),('decimalni', 'decimaln'),('decimalnim', 'decimaln'),('djevojka', 'devojk'),('krvi', 'krv'),('pjesma', 'pesm'),('đubrište', 'djubrist'),('абдицираће', 'abdicirac')) AS t(word, stem)
 ORDER BY word""",
