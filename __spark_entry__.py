@@ -1482,6 +1482,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            stem_udf("lang", "word").alias("stem"))
                 .orderBy("lang", "word"))
 
+    def ft_collation_key(spark, sf):
+        # ICUCollationKeyAnalyzer analog (icu/ICUCollationKeyAnalyzer.java:
+        # 51 — terms index as collation keys so ranges and sorts collate):
+        # orderBy the binary key must put case variants before accent
+        # variants before longer words, untailored root order.  Oracle is
+        # the expected linguistic order as a VALUES table.
+        from lucene_spark.icu import collation_key_udf
+
+        words = ["côte", "coast", "resumes", "résumé", "RESUME", "resume",
+                 "couch", "peach", "péché", "peche", "sin", "zebra",
+                 "apple", "Äpfel"]
+        df = spark.createDataFrame([(w,) for w in words], "word string")
+        w = Window.orderBy(collation_key_udf()(F.col("word")))
+        return (df.select(F.row_number().over(w).alias("rank"), "word")
+                .orderBy("rank"))
+
     def ft_phonetic_all(spark, sf):
         # The remaining PhoneticFilterFactory encoder set + Daitch-Mokotoff
         # (phonetic/PhoneticFilter.java, DaitchMokotoffSoundexFilter.java:60):
@@ -4711,6 +4727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_greek, ft_bengali, ft_sorani, ft_brazilian, ft_pt_rslp,
         ft_gl_rslp, ft_baltic_snowball, ft_indic_normalize,
         ft_serbian_snowball, ft_thai_analyze, ft_phonetic_all,
+        ft_collation_key,
         # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
         # still oracle-checked every run by tests/test_entry_gate.py ----
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -5853,6 +5870,10 @@ ORDER BY word""",
 SELECT CAST(i AS BIGINT) AS i, token, CAST(n AS BIGINT) AS n
 FROM (VALUES (0, 'การ', 1),(0, 'งาน', 1),(0, 'ดี', 1),(0, 'ต้อง', 1),(0, 'ที่', 1),(0, 'ว่า', 1),(0, 'แสดง', 1),(0, 'ได้', 1),(1, 'demo.com', 1),(1, 'xy', 1),(1, 'xyz', 1),(1, 'z', 1),(1, 'กับ', 1),(1, 'คุย', 1),(1, 'ชื่อ', 1),(1, 'บริษัท', 1),(2, 'ภาษา', 1),(2, 'ไทย', 1),(3, '1234', 1)) AS t(i, token, n)
 ORDER BY i, token""",
+        "ft_collation_key": """
+SELECT CAST(rank AS INT) AS rank, word
+FROM (VALUES (1, 'Äpfel'),(2, 'apple'),(3, 'coast'),(4, 'côte'),(5, 'couch'),(6, 'peach'),(7, 'peche'),(8, 'péché'),(9, 'resume'),(10, 'RESUME'),(11, 'résumé'),(12, 'resumes'),(13, 'sin'),(14, 'zebra')) AS t(rank, word)
+ORDER BY rank""",
         "ft_phonetic_all": """
 SELECT encoder, word, code FROM (VALUES ('caverphone2', 'Carlene', 'KLN1111111'),('caverphone2', 'Darda', 'TTA1111111'),('caverphone2', 'Datha', 'TTA1111111'),('caverphone2', 'Karleen', 'KLN1111111'),('cologne', 'Breschnew', '17863'),('cologne', 'Müller-Lüdenscheidt', '65752682'),('cologne', 'Wikipedia', '3412'),('dm', 'aaa', '000000'),('dm', 'bbb', '700000'),('dm', 'ccc', '400000'),('dm', 'ccc', '450000'),('dm', 'ccc', '454000'),('dm', 'ccc', '500000'),('dm', 'ccc', '540000'),('dm', 'ccc', '545000'),('dm', 'easgasg', '045450'),('metaphone', 'aaa', 'A'),('metaphone', 'bbb', 'B'),('metaphone', 'ccc', 'KKK'),('metaphone', 'easgasg', 'ESKS'),('nysiis', 'aaa', 'A'),('nysiis', 'bbb', 'B'),('nysiis', 'ccc', 'C'),('nysiis', 'easgasg', 'EASGAS')) AS t(encoder, word, code)
 ORDER BY encoder, word, code""",

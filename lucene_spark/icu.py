@@ -30,6 +30,8 @@ from __future__ import annotations
 
 import unicodedata
 
+import pandas as pd
+
 # UTR#30 DiacriticFolding's stroke/hook/descender cases + Multigraph
 # Expansions for the Latin repertoire NFKD cannot reach (these letters have
 # no decomposition), plus Greek letterforms (final sigma).
@@ -103,3 +105,90 @@ def icu_normalize(token: str) -> str:
         t = "".join(ch for ch in t if not _is_default_ignorable(ch))
         t = unicodedata.normalize("NFKC", t)
     return t
+
+
+# ---------------------------------------------------------------------------
+# ICUCollationKeyAnalyzer analog — locale-root multi-level sort keys
+# (ICUCollationKeyAnalyzer.java:51: term -> collation key bytes indexed as
+# the term, so ORDER BY / TermRangeQuery collate linguistically).
+#
+# Documented subset: a three-level key in UCA spirit built on unicodedata
+# (no ICU tailoring data in the container) — level 1 compares base
+# letters (NFKD, marks stripped, case folded), level 2 accents, level 3
+# case.  Root-order only: locale tailorings (Danish å > z, Farsi digit
+# reorder) are out of scope and documented as such.
+# ---------------------------------------------------------------------------
+
+def collation_key(term: str) -> bytes:
+    """Sort key: primary \\x01 secondary \\x02 tertiary.  Comparing keys
+    with plain byte order gives accent- and case-insensitive PRIMARY
+    order, accents deciding only between primary-equal terms, case last —
+    the Collator.TERTIARY contract for untailored text."""
+    nfkd = unicodedata.normalize("NFKD", term)
+    primary = []
+    secondary = []
+    tertiary = []
+    for ch in nfkd:
+        cat = unicodedata.category(ch)
+        if cat.startswith("M"):
+            secondary.append(ch)
+            continue
+        if _is_default_ignorable(ch):
+            continue
+        folded = ch.casefold()
+        primary.append(folded)
+        tertiary.append("u" if ch != folded else "l")
+    return ("".join(primary) + "\x01" + "".join(secondary) + "\x02"
+            + "".join(tertiary)).encode("utf-8")
+
+
+def collation_key_udf():
+    """Pandas UDF producing binary collation keys — the
+    ICUCollationDocValuesField analog for DataFrame ``orderBy`` and range
+    predicates over a string column."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _keys(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: None if t is None else collation_key(t))
+
+    return pandas_udf(_keys, "binary")
+
+
+# ---------------------------------------------------------------------------
+# ICUTokenizer analog — script-composite segmentation
+# (segmentation/ICUTokenizer.java + DefaultICUTokenizerConfig.java:62:
+# per-script break iterators; Thai/Lao/Myanmar/Khmer get dictionary or
+# syllable rules, everything else UAX#29).
+#
+# Documented subset: Thai runs use the curated-lexicon segmenter
+# (lucene_spark.th); Lao/Myanmar/Khmer runs are kept whole per run (no
+# dictionaries in the container); all other text takes the standard
+# UAX#29 tokenizer, which already covers CJK, emoji, and Extend/Format
+# glue.  cjkAsWords CJ-dictionary compounds are served by the ja/zh
+# morphological routes instead.
+# ---------------------------------------------------------------------------
+
+_SEA_SCRIPTS = __import__("re").compile(
+    "(?P<thai>[ก-๛]+)|(?P<run>[ກ-໿က-႟"
+    "ក-៿]+)")
+
+
+def icu_tokenize(text: str) -> list[str]:
+    """Script-aware word segmentation: Thai via dictionary, other
+    Southeast-Asian scripts one token per run, the rest UAX#29."""
+    from .analysis import tokenize
+    from .th import thai_tokenize
+
+    out: list[str] = []
+    pos = 0
+    for m in _SEA_SCRIPTS.finditer(text):
+        if m.start() > pos:
+            out.extend(tokenize(text[pos:m.start()]))
+        if m.lastgroup == "thai":
+            out.extend(thai_tokenize(m.group()))
+        else:
+            out.append(m.group())
+        pos = m.end()
+    if pos < len(text):
+        out.extend(tokenize(text[pos:]))
+    return out
