@@ -1482,6 +1482,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            stem_udf("lang", "word").alias("stem"))
                 .orderBy("lang", "word"))
 
+    def ft_beider_morse(spark, sf):
+        # BeiderMorseFilter (phonetic/BeiderMorseFilter.java:49, engine
+        # GENERIC/EXACT/concat): every expected row is a reference
+        # TestBeiderMorseFilter golden — the 6-way Angelo branch, the
+        # 12-way D'Angelo prefix-alternate, the italian/greek/spanish
+        # LanguageSet restriction, and the numbers pass-through.
+        from lucene_spark.beidermorse import beider_morse
+
+        rows = []
+        for w in ("Angelo", "D'Angelo", "1234"):
+            codes = beider_morse(w) or [w]
+            rows += [(w, "any", c) for c in codes]
+        for c in beider_morse("Angelo",
+                              languages={"italian", "greek", "spanish"}):
+            rows.append(("Angelo", "it-el-es", c))
+        return (spark.createDataFrame(rows,
+                                      "word string, langs string, "
+                                      "code string")
+                .orderBy("word", "langs", "code"))
+
     def ft_collation_key(spark, sf):
         # ICUCollationKeyAnalyzer analog (icu/ICUCollationKeyAnalyzer.java:
         # 51 — terms index as collation keys so ranges and sorts collate):
@@ -4727,7 +4747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_greek, ft_bengali, ft_sorani, ft_brazilian, ft_pt_rslp,
         ft_gl_rslp, ft_baltic_snowball, ft_indic_normalize,
         ft_serbian_snowball, ft_thai_analyze, ft_phonetic_all,
-        ft_collation_key,
+        ft_collation_key, ft_beider_morse,
         # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
         # still oracle-checked every run by tests/test_entry_gate.py ----
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -5870,6 +5890,9 @@ ORDER BY word""",
 SELECT CAST(i AS BIGINT) AS i, token, CAST(n AS BIGINT) AS n
 FROM (VALUES (0, 'การ', 1),(0, 'งาน', 1),(0, 'ดี', 1),(0, 'ต้อง', 1),(0, 'ที่', 1),(0, 'ว่า', 1),(0, 'แสดง', 1),(0, 'ได้', 1),(1, 'demo.com', 1),(1, 'xy', 1),(1, 'xyz', 1),(1, 'z', 1),(1, 'กับ', 1),(1, 'คุย', 1),(1, 'ชื่อ', 1),(1, 'บริษัท', 1),(2, 'ภาษา', 1),(2, 'ไทย', 1),(3, '1234', 1)) AS t(i, token, n)
 ORDER BY i, token""",
+        "ft_beider_morse": """
+SELECT word, langs, code FROM (VALUES ('1234', 'any', '1234'),('Angelo', 'any', 'anZelo'),('Angelo', 'any', 'andZelo'),('Angelo', 'any', 'angelo'),('Angelo', 'any', 'anhelo'),('Angelo', 'any', 'anjelo'),('Angelo', 'any', 'anxelo'),('Angelo', 'it-el-es', 'andZelo'),('Angelo', 'it-el-es', 'angelo'),('Angelo', 'it-el-es', 'anxelo'),('D''Angelo', 'any', 'anZelo'),('D''Angelo', 'any', 'andZelo'),('D''Angelo', 'any', 'angelo'),('D''Angelo', 'any', 'anhelo'),('D''Angelo', 'any', 'anjelo'),('D''Angelo', 'any', 'anxelo'),('D''Angelo', 'any', 'danZelo'),('D''Angelo', 'any', 'dandZelo'),('D''Angelo', 'any', 'dangelo'),('D''Angelo', 'any', 'danhelo'),('D''Angelo', 'any', 'danjelo'),('D''Angelo', 'any', 'danxelo')) AS t(word, langs, code)
+ORDER BY word, langs, code""",
         "ft_collation_key": """
 SELECT CAST(rank AS INT) AS rank, word
 FROM (VALUES (1, 'Äpfel'),(2, 'apple'),(3, 'coast'),(4, 'côte'),(5, 'couch'),(6, 'peach'),(7, 'peche'),(8, 'péché'),(9, 'resume'),(10, 'RESUME'),(11, 'résumé'),(12, 'resumes'),(13, 'sin'),(14, 'zebra')) AS t(rank, word)
