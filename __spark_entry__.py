@@ -1502,6 +1502,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                       "code string")
                 .orderBy("word", "langs", "code"))
 
+    def ft_hunspell(spark, sf):
+        # HunspellStemFilter (hunspell/Stemmer.java two-stage affix
+        # stripping; every in-tree fixture golden asserted in
+        # tests/test_hunspell.py).  This gate runs a self-contained
+        # dictionary exercising prefix+suffix cross-product, twofold
+        # suffix continuation, NEEDAFFIX, and conditions.
+        from lucene_spark.hunspell import HunspellDictionary
+
+        aff = """SET UTF-8
+NEEDAFFIX Z
+PFX P Y 1
+PFX P 0 re .
+SFX S Y 2
+SFX S 0 ed [^y]
+SFX S y ied y
+SFX T Y 1
+SFX T 0 ing/S .
+"""
+        dic = """4
+work/PS
+try/S
+jump/T
+stem/Z
+"""
+        d = HunspellDictionary(aff, dic)
+        words = ["work", "worked", "rework", "reworked", "tried",
+                 "tryed", "jumping", "jumpinged", "stem", "stems"]
+        rows = []
+        for w in sorted(words):
+            stems = d.unique_stems(w)
+            rows += [(w, s) for s in stems] or [(w, "<none>")]
+        return (spark.createDataFrame(rows, "word string, stem string")
+                .orderBy("word", "stem"))
+
     def ft_collation_key(spark, sf):
         # ICUCollationKeyAnalyzer analog (icu/ICUCollationKeyAnalyzer.java:
         # 51 — terms index as collation keys so ranges and sorts collate):
@@ -4747,7 +4781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_greek, ft_bengali, ft_sorani, ft_brazilian, ft_pt_rslp,
         ft_gl_rslp, ft_baltic_snowball, ft_indic_normalize,
         ft_serbian_snowball, ft_thai_analyze, ft_phonetic_all,
-        ft_collation_key, ft_beider_morse,
+        ft_collation_key, ft_beider_morse, ft_hunspell,
         # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
         # still oracle-checked every run by tests/test_entry_gate.py ----
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -5893,6 +5927,9 @@ ORDER BY i, token""",
         "ft_beider_morse": """
 SELECT word, langs, code FROM (VALUES ('1234', 'any', '1234'),('Angelo', 'any', 'anZelo'),('Angelo', 'any', 'andZelo'),('Angelo', 'any', 'angelo'),('Angelo', 'any', 'anhelo'),('Angelo', 'any', 'anjelo'),('Angelo', 'any', 'anxelo'),('Angelo', 'it-el-es', 'andZelo'),('Angelo', 'it-el-es', 'angelo'),('Angelo', 'it-el-es', 'anxelo'),('D''Angelo', 'any', 'anZelo'),('D''Angelo', 'any', 'andZelo'),('D''Angelo', 'any', 'angelo'),('D''Angelo', 'any', 'anhelo'),('D''Angelo', 'any', 'anjelo'),('D''Angelo', 'any', 'anxelo'),('D''Angelo', 'any', 'danZelo'),('D''Angelo', 'any', 'dandZelo'),('D''Angelo', 'any', 'dangelo'),('D''Angelo', 'any', 'danhelo'),('D''Angelo', 'any', 'danjelo'),('D''Angelo', 'any', 'danxelo')) AS t(word, langs, code)
 ORDER BY word, langs, code""",
+        "ft_hunspell": """
+SELECT word, stem FROM (VALUES ('jumping', 'jump'),('jumpinged', 'jump'),('rework', 'work'),('reworked', 'work'),('stem', '<none>'),('stems', '<none>'),('tried', 'try'),('tryed', '<none>'),('work', 'work'),('worked', 'work')) AS t(word, stem)
+ORDER BY word, stem""",
         "ft_collation_key": """
 SELECT CAST(rank AS INT) AS rank, word
 FROM (VALUES (1, 'Äpfel'),(2, 'apple'),(3, 'coast'),(4, 'côte'),(5, 'couch'),(6, 'peach'),(7, 'peche'),(8, 'péché'),(9, 'resume'),(10, 'RESUME'),(11, 'résumé'),(12, 'resumes'),(13, 'sin'),(14, 'zebra')) AS t(rank, word)
