@@ -270,8 +270,9 @@ class HunspellDictionary:
               do_prefix, prev_was_prefix, out) -> None:
         if do_prefix:
             for a in self.prefixes:
-                if a is previous or not w.startswith(a.append) \
-                        or not a.append and not self.fullstrip:
+                if a is previous or not w.startswith(a.append):
+                    continue
+                if a.append == w and not self.fullstrip:
                     continue
                 if not self._compatible(a, prev_flag, depth,
                                         prev_was_prefix):
@@ -284,9 +285,7 @@ class HunspellDictionary:
                 self._apply(root, a, previous, prefix_affix, depth,
                             out)
         for a in self.suffixes:
-            if a is previous or not w.endswith(a.append) \
-                    or (not a.append and not self.fullstrip
-                        and previous is None):
+            if a is previous or not w.endswith(a.append):
                 continue
             if a.append == w and not self.fullstrip:
                 continue

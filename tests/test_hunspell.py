@@ -50,6 +50,11 @@ def _goldens(test_file):
     ("TestConv.java", "conv.aff", "conv.dic", False),
     ("TestHomonyms.java", "homonyms.aff", "homonyms.dic", False),
     ("TestCaseInsensitive.java", "simple.aff", "mixedcase.dic", True),
+    ("TestZeroAffix.java", "zeroaffix.aff", "zeroaffix.dic", False),
+    ("TestOptionalCondition.java", "optional-condition.aff",
+     "condition.dic", False),
+    ("TestDoubleEscape.java", "double-escaped.aff", "double-escaped.dic",
+     False),
 ])
 def test_reference_fixture_goldens(test_file, aff, dic, ic):
     d = _load(aff, dic, ignore_case=ic)
