@@ -1502,6 +1502,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                       "code string")
                 .orderBy("word", "langs", "code"))
 
+    def ft_wikipedia(spark, sf):
+        # WikipediaTokenizer (wikipedia/WikipediaTokenizer.java +
+        # WikipediaTokenizerImpl.jflex): the token/type table over the
+        # reference's OWN TestWikipediaTokenizer inputs; every expected
+        # row is a reference golden (tests/test_wikipedia.py runs the full
+        # suite incl. offsets, modes, and flags).
+        from lucene_spark.wikipedia import wikipedia_tokenize
+
+        texts = [
+            (0, "This is a [[Category:foo]]"),
+            (1, "click [[link here again]] click "
+                "[http://lucene.apache.org here again] "
+                "[[Category:a b c d]]"),
+            (2, "==heading== ===sub head=== <ref>Citation</ref> "
+                "''italics'' '''bold''' [[link|display info]]"),
+        ]
+        tdf = spark.createDataFrame(texts, "i long, text string")
+
+        @F.pandas_udf("array<string>")
+        def tok_udf(ts: pd.Series) -> pd.Series:
+            return ts.map(lambda t: [f"{w.text}{w.type}"
+                                     for w in wikipedia_tokenize(t)])
+
+        return (tdf.select("i", F.posexplode(tok_udf("text"))
+                           .alias("j", "tt"))
+                .select("i", "j",
+                        F.split("tt", "")[0].alias("token"),
+                        F.split("tt", "")[1].alias("type"))
+                .orderBy("i", "j"))
+
     def ft_hunspell(spark, sf):
         # HunspellStemFilter (hunspell/Stemmer.java two-stage affix
         # stripping; every in-tree fixture golden asserted in
@@ -4781,7 +4811,7 @@ stem/Z
         ft_greek, ft_bengali, ft_sorani, ft_brazilian, ft_pt_rslp,
         ft_gl_rslp, ft_baltic_snowball, ft_indic_normalize,
         ft_serbian_snowball, ft_thai_analyze, ft_phonetic_all,
-        ft_collation_key, ft_beider_morse, ft_hunspell,
+        ft_collation_key, ft_beider_morse, ft_hunspell, ft_wikipedia,
         # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
         # still oracle-checked every run by tests/test_entry_gate.py ----
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -5927,6 +5957,10 @@ ORDER BY i, token""",
         "ft_beider_morse": """
 SELECT word, langs, code FROM (VALUES ('1234', 'any', '1234'),('Angelo', 'any', 'anZelo'),('Angelo', 'any', 'andZelo'),('Angelo', 'any', 'angelo'),('Angelo', 'any', 'anhelo'),('Angelo', 'any', 'anjelo'),('Angelo', 'any', 'anxelo'),('Angelo', 'it-el-es', 'andZelo'),('Angelo', 'it-el-es', 'angelo'),('Angelo', 'it-el-es', 'anxelo'),('D''Angelo', 'any', 'anZelo'),('D''Angelo', 'any', 'andZelo'),('D''Angelo', 'any', 'angelo'),('D''Angelo', 'any', 'anhelo'),('D''Angelo', 'any', 'anjelo'),('D''Angelo', 'any', 'anxelo'),('D''Angelo', 'any', 'danZelo'),('D''Angelo', 'any', 'dandZelo'),('D''Angelo', 'any', 'dangelo'),('D''Angelo', 'any', 'danhelo'),('D''Angelo', 'any', 'danjelo'),('D''Angelo', 'any', 'danxelo')) AS t(word, langs, code)
 ORDER BY word, langs, code""",
+        "ft_wikipedia": """
+SELECT CAST(i AS BIGINT) AS i, CAST(j AS INT) AS j, token, type
+FROM (VALUES (0, 0, 'This', '<ALPHANUM>'),(0, 1, 'is', '<ALPHANUM>'),(0, 2, 'a', '<ALPHANUM>'),(0, 3, 'foo', 'c'),(1, 0, 'click', '<ALPHANUM>'),(1, 1, 'link', 'il'),(1, 2, 'here', 'il'),(1, 3, 'again', 'il'),(1, 4, 'click', '<ALPHANUM>'),(1, 5, 'http://lucene.apache.org', 'elu'),(1, 6, 'here', 'el'),(1, 7, 'again', 'el'),(1, 8, 'a', 'c'),(1, 9, 'b', 'c'),(1, 10, 'c', 'c'),(1, 11, 'd', 'c'),(2, 0, 'heading', 'h'),(2, 1, 'sub', 'sh'),(2, 2, 'head', 'sh'),(2, 3, 'Citation', 'ci'),(2, 4, 'italics', 'i'),(2, 5, 'bold', 'b'),(2, 6, 'link', 'il'),(2, 7, 'display', 'il'),(2, 8, 'info', 'il')) AS t(i, j, token, type)
+ORDER BY i, j""",
         "ft_hunspell": """
 SELECT word, stem FROM (VALUES ('jumping', 'jump'),('jumpinged', 'jump'),('rework', 'work'),('reworked', 'work'),('stem', '<none>'),('stems', '<none>'),('tried', 'try'),('tryed', '<none>'),('work', 'work'),('worked', 'work')) AS t(word, stem)
 ORDER BY word, stem""",
