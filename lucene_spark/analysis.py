@@ -446,3 +446,31 @@ class RoutingAnalyzer(Analyzer):
         key = self.detect(text) if text else None
         a = self.routes.get(key, self.default) if key is not None else self.default
         return a.analyze_text(text)
+
+
+def query_auto_stop_words(index, delegate: "Analyzer | None" = None,
+                          max_doc_freq: int | None = None,
+                          max_percent_docs: float | None = None
+                          ) -> "Analyzer":
+    """QueryAutoStopWordAnalyzer analog (analysis/query/
+    QueryAutoStopWordAnalyzer.java:79,94): wrap ``delegate`` with extra
+    stopwords for every index term whose document frequency exceeds
+    ``max_doc_freq`` (absolute) or ``max_percent_docs`` (fraction of the
+    doc count).  The df scan is a Catalyst filter over the termdict;
+    only the resulting stop set (bounded by construction) reaches the
+    driver."""
+    from pyspark.sql import functions as F
+
+    if (max_doc_freq is None) == (max_percent_docs is None):
+        raise ValueError("exactly one of max_doc_freq/max_percent_docs")
+    if max_percent_docs is not None:
+        max_doc_freq = int(index.doc_count * max_percent_docs)
+    rows = (index.termdict.filter(F.col("df") > max_doc_freq)
+            .select("term").collect())
+    auto = frozenset(r["term"] for r in rows)
+    base = delegate if delegate is not None else english_analyzer()
+    import copy
+
+    out = copy.copy(base)
+    out.stopwords = frozenset(base.stopwords) | auto
+    return out

@@ -1352,3 +1352,40 @@ def capitalization(only_first_word: bool = True, keep=None,
         return "".join(buf)
 
     return f
+
+
+def delimited_boost(delimiter: str = "|"):
+    """DelimitedBoostTokenFilter analog (analysis/boost/
+    DelimitedBoostTokenFilter.java:33-55): a token ``term|f`` carries a
+    query-time boost attribute.  The batch stream has no attribute side
+    channel, so this returns a stream filter producing the bare terms
+    plus a ``collected`` dict of per-term boosts — feed it to
+    ``search(..., boosts=...)`` (the BoostAttribute consumer's slot).
+    """
+    boosts: dict = {}
+
+    def stream_filter(tokens, positions):
+        out_t: list = []
+        for t in tokens:
+            if delimiter in t:
+                term, _, val = t.rpartition(delimiter)
+                boosts[term] = float(val)
+                out_t.append(term)
+            else:
+                out_t.append(t)
+        return out_t, list(positions)
+
+    stream_filter.collected = boosts
+    return stream_filter
+
+
+class TeeSink:
+    """TeeSinkTokenFilter analog (analysis/sinks/TeeSinkTokenFilter.java:
+    38 — analyze once, feed several consumers).  In the batch model the
+    tee is a cached (tokens, positions) pair handed to each sink."""
+
+    def __init__(self, analyzer, text: str):
+        self.tokens, self.positions = analyzer.analyze_text(text)
+
+    def new_sink(self):
+        return list(self.tokens), list(self.positions)

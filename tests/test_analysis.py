@@ -148,3 +148,26 @@ def test_lang_routed_build_partition_invariance(spark):
     terms = [t for t, _, _ in outs[0]]
     assert "東京" in terms and "京大" in terms and "大学" in terms
     assert "the" not in terms
+
+
+def test_query_auto_stop_words(spark):
+    # query/QueryAutoStopWordAnalyzer.java:79,94 — df-derived stop set
+    import pytest
+
+    from lucene_spark.analysis import english_analyzer, query_auto_stop_words
+    from lucene_spark.index import build_index
+
+    pages = spark.createDataFrame(
+        [(f"u{i}", "common filler " + ("rare " if i == 0 else ""))
+         for i in range(10)],
+        "url string, text string")
+    idx = build_index(spark, pages)
+    an = query_auto_stop_words(idx, english_analyzer(),
+                               max_percent_docs=0.5)
+    assert an.analyze_text("common rare filler")[0] == ["rare"]
+    an = query_auto_stop_words(idx, english_analyzer(), max_doc_freq=9)
+    assert an.analyze_text("common rare filler")[0] == ["rare"]
+    # the base analyzer's own stop set is preserved
+    assert an.analyze_text("the rare")[0] == ["rare"]
+    with pytest.raises(ValueError):
+        query_auto_stop_words(idx)

@@ -644,3 +644,21 @@ def test_normalization_filters():
     assert apostrophe("türkiye'nin") == "türkiye"
     assert apostrophe("o’brien") == "o"
     assert apostrophe("none") == "none"
+
+
+def test_delimited_boost_and_tee_sink():
+    # boost/DelimitedBoostTokenFilter.java:33-55 + sinks/TeeSinkTokenFilter
+    from lucene_spark.analysis import english_analyzer
+    from lucene_spark.filters import TeeSink, delimited_boost
+
+    f = delimited_boost()
+    toks, poss = f(["hello|2.0", "world", "x|0.5"], [0, 1, 2])
+    assert toks == ["hello", "world", "x"]
+    assert poss == [0, 1, 2]
+    assert f.collected == {"hello": 2.0, "x": 0.5}
+
+    tee = TeeSink(english_analyzer(), "quick brown foxes")
+    s1, s2 = tee.new_sink(), tee.new_sink()
+    assert s1 == s2 == (["quick", "brown", "fox"], [0, 1, 2])
+    s1[0].append("mutated")
+    assert tee.new_sink()[0] == ["quick", "brown", "fox"]
