@@ -10,13 +10,16 @@ cross-product prefix+suffix chaining, continuation-flag gating,
 case-variation lookups) and ``HunspellStemFilter.java`` (all unique stems
 at one position; tokens with no stems pass through).
 
+``st:`` stem exceptions and the capitalize-after-apostrophe UPPER
+variant (L'AFRIQUE) are included; KEEPCASE is parsed but — like the
+reference Stemmer — not enforced (it gates spellchecking, not stemming).
 Documented subset: compounding (COMPOUNDFLAG/COMPOUNDRULE), suggestion
-machinery, morphological output (``st:`` exceptions aside), COMPLEXPREFIXES,
-and sharp-s/apostrophe case variants are out of scope; everything the
-in-tree fixture dictionaries below exercise is implemented and verified
-against the reference's own test goldens (tests/test_hunspell.py):
-simple, condition, needaffix, circumfix, fullstrip, ignore, escaped,
-flaglong, flagnum, conv, homonyms, mixedcase/ignoreCase.
+machinery, and COMPLEXPREFIXES are out of scope; everything the in-tree
+fixture dictionaries below exercise is implemented and verified against
+the reference's own test goldens (tests/test_hunspell.py): simple,
+condition, needaffix, circumfix, fullstrip, ignore, escaped, flaglong,
+flagnum, conv, homonyms, mixedcase/ignoreCase, zeroaffix,
+optional-condition, double-escaped, morphdata, keepcase, allcaps.
 """
 
 from __future__ import annotations
@@ -105,7 +108,8 @@ class HunspellDictionary:
         # flags that may chain as the second stripped suffix
         self.second_stage = frozenset(
             f for a in self.suffixes for f in a.cont)
-        self.entries: dict[str, list[frozenset]] = {}
+        # word -> [(flags, st-exception-or-None), ...]
+        self.entries: dict[str, list[tuple[frozenset, str | None]]] = {}
         for t in dic_texts:
             self._parse_dic(t)
 
@@ -185,29 +189,39 @@ class HunspellDictionary:
         lines = text.splitlines()
         start = 1 if lines and lines[0].strip().isdigit() else 0
         for line in lines[start:]:
-            line = re.split(r"[\t]", line.strip(), 1)[0].strip()
+            line = line.strip()
             if not line or line.startswith("#"):
                 continue
-            m = re.match(r"^(.*[^\\])/([^/]*)$", line)
+            head, _, morph = line.partition("\t")
+            if not morph:
+                head, _, morph = line.partition(" ")
+            # the st: morphological field replaces the reported stem
+            # (Stemmer.java stemException)
+            st = None
+            for field in morph.split():
+                if field.startswith("st:"):
+                    st = field[3:]
+                    break
+            m = re.match(r"^(.*[^\\])/([^/]*)$", head)
             if m:
                 word, flags = m.group(1), self._flags(m.group(2))
             else:
-                word, flags = line, frozenset()
+                word, flags = head, frozenset()
             word = word.replace("\\/", "/")
             word = self._strip_ignored(word)
             if not word:
                 continue
             if self.ignore_case:
-                self.entries.setdefault(word.lower(), []).append(flags)
+                self.entries.setdefault(word.lower(), []).append((flags, st))
                 continue
-            self.entries.setdefault(word, []).append(flags)
+            self.entries.setdefault(word, []).append((flags, st))
             wc = _word_case(word)
             if wc == "MIXED" or (wc == "UPPER" and flags):
                 # hidden title-cased twin (Dictionary.java:1036)
                 hidden = word[0].upper() + word[1:].lower()
                 if hidden != word:
                     self.entries.setdefault(hidden, []).append(
-                        flags | {_HIDDEN})
+                        (flags | {_HIDDEN}, st))
 
     # -- input cleaning / case variants -----------------------------------
 
@@ -239,6 +253,10 @@ class HunspellDictionary:
             wc = _word_case(w)
             if wc == "UPPER":
                 title = w[0] + w[1:].lower()
+                apos = re.sub(r"(?<=')[a-z]",
+                              lambda m: m.group().upper(), title)
+                if apos != title:
+                    self._do_stem(apos, out)
                 self._do_stem(title, out)
                 self._do_stem(title.lower(), out)
             elif wc == "TITLE":
@@ -258,11 +276,11 @@ class HunspellDictionary:
         return flag is not None and flag in flags
 
     def _do_stem(self, w: str, out: list[str]) -> None:
-        for flags in self.entries.get(w, ()):
+        for flags, st in self.entries.get(w, ()):
             if self._has(flags, self.needaffix) \
                     or self._has(flags, self.onlyincompound):
                 continue
-            out.append(w)
+            out.append(st if st is not None else w)
         self._stem(w, previous=None, prev_flag=None, prefix_affix=None,
                    depth=0, do_prefix=True, prev_was_prefix=False, out=out)
 
@@ -322,7 +340,7 @@ class HunspellDictionary:
 
     def _apply(self, root, a, previous, prefix_affix, depth, out) -> None:
         if not self._needs_another(a, previous, prefix_affix):
-            for flags in self.entries.get(root, ()):
+            for flags, st in self.entries.get(root, ()):
                 ok = a.flag in flags or (
                     prefix_affix is not None and a.flag in prefix_affix.cont)
                 if not ok:
@@ -333,7 +351,7 @@ class HunspellDictionary:
                     continue
                 if self._has(flags, self.onlyincompound):
                     continue
-                out.append(root)
+                out.append(st if st is not None else root)
         if a.cross and depth <= 1:
             if depth == 0:
                 if a.is_prefix:

@@ -55,6 +55,9 @@ def _goldens(test_file):
      "condition.dic", False),
     ("TestDoubleEscape.java", "double-escaped.aff", "double-escaped.dic",
      False),
+    ("TestMorphData.java", "morphdata.aff", "morphdata.dic", False),
+    ("TestKeepCase.java", "keepcase.aff", "keepcase.dic", False),
+    ("TestAllCaps.java", "allcaps.aff", "allcaps.dic", False),
 ])
 def test_reference_fixture_goldens(test_file, aff, dic, ic):
     d = _load(aff, dic, ignore_case=ic)
