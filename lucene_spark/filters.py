@@ -1389,3 +1389,323 @@ class TeeSink:
 
     def new_sink(self):
         return list(self.tokens), list(self.positions)
+
+
+# --------------------------------------- round-4 analysis/common closures
+
+
+def codepoint_count_filter(min_len: int, max_len: int):
+    """CodepointCountFilter (miscellaneous/CodepointCountFilter.java:30-55):
+    keep tokens whose CODEPOINT count is within [min, max] (Python strings
+    are codepoint sequences, so len() is already the codepoint count the
+    Java version derives from its UTF-16 buffer)."""
+    if min_len < 0:
+        raise ValueError("minimum length must be greater than or equal to zero")
+    if min_len > max_len:
+        raise ValueError("maximum length must not be greater than minimum length")
+
+    def f(token: str) -> str | None:
+        return token if min_len <= len(token) <= max_len else None
+
+    return f
+
+
+def date_recognizer(fmt: str = "%m/%d/%Y"):
+    """DateRecognizerFilter (miscellaneous/DateRecognizerFilter.java:29-60):
+    keep only tokens parseable as a date under ``fmt`` (strptime syntax;
+    the reference takes a java.text.DateFormat)."""
+    from datetime import datetime
+
+    def f(token: str) -> str | None:
+        try:
+            datetime.strptime(token, fmt)
+            return token
+        except ValueError:
+            return None
+
+    return f
+
+
+def drop_if_flagged(tokens_flags, drop_flags: int):
+    """DropIfFlaggedFilter (miscellaneous/DropIfFlaggedFilter.java:28-40):
+    drop tokens carrying ALL bits of ``drop_flags`` in their flags
+    attribute.  Takes (token, flags) pairs, returns surviving tokens."""
+    return [t for t, fl in tokens_flags
+            if (fl & drop_flags) != drop_flags]
+
+
+def fix_broken_offsets(offsets):
+    """FixBrokenOffsetsFilter (miscellaneous/FixBrokenOffsetsFilter.java:
+    44-60): clamp each (start, end) so starts never go backwards and
+    end >= start — graph-mangling filters can break both invariants."""
+    out = []
+    last_start = 0
+    for start, end in offsets:
+        if start < last_start:
+            start = last_start
+        if end < start:
+            end = start
+        out.append((start, end))
+        last_start = start
+    return out
+
+
+def limit_token_offset(tokens_offsets, max_start_offset: int):
+    """LimitTokenOffsetFilter (miscellaneous/LimitTokenOffsetFilter.java:
+    30-55): truncate the stream at the first token whose start offset
+    exceeds the limit.  Takes (token, (start, end)) pairs."""
+    if max_start_offset < 0:
+        raise ValueError("maxStartOffset must be >= zero")
+    out = []
+    for t, (start, _end) in tokens_offsets:
+        if start > max_start_offset:
+            break
+        out.append(t)
+    return out
+
+
+def limit_token_position(tokens: list[str], max_position: int,
+                         positions: list[int] | None = None):
+    """LimitTokenPositionFilter (miscellaneous/LimitTokenPositionFilter.
+    java:33-70): truncate at the first token whose 1-based position
+    exceeds ``max_position``; honors position increments when absolute
+    ``positions`` (0-based, StopFilter-style gaps) are supplied."""
+    if max_position < 1:
+        raise ValueError("maxTokenPosition must be greater than zero")
+    out = []
+    for i, t in enumerate(tokens):
+        pos = (positions[i] + 1) if positions is not None else (i + 1)
+        if pos > max_position:
+            break
+        out.append(t)
+    return out
+
+
+def encode_payload_float(value: float) -> bytes:
+    """PayloadHelper.encodeFloat — big-endian IEEE-754 float32, the payload
+    byte layout every payload-aware scorer reads back."""
+    import struct
+
+    return struct.pack(">f", value)
+
+
+def numeric_payload(tokens_types, payload: float, type_match: str):
+    """NumericPayloadTokenFilter (payloads/NumericPayloadTokenFilter.java:
+    30-52): attach the encoded float payload to tokens whose type equals
+    ``type_match``.  Takes (token, type) pairs, returns
+    (token, payload-bytes-or-None)."""
+    enc = encode_payload_float(payload)
+    return [(t, enc if ty == type_match else None) for t, ty in tokens_types]
+
+
+def token_offset_payload(tokens_offsets):
+    """TokenOffsetPayloadTokenFilter (payloads/TokenOffsetPayloadToken
+    Filter.java:28-47): payload = startOffset (4 bytes BE) + endOffset
+    (4 bytes BE)."""
+    import struct
+
+    return [(t, struct.pack(">ii", s, e)) for t, (s, e) in tokens_offsets]
+
+
+def type_as_payload(tokens_types):
+    """TypeAsPayloadTokenFilter (payloads/TypeAsPayloadTokenFilter.java:
+    28-47): payload = UTF-8 bytes of the type (empty/None types attach
+    nothing)."""
+    return [(t, ty.encode("utf-8") if ty else None) for t, ty in tokens_types]
+
+
+def type_as_synonym(tokens_types, prefix: str | None = None,
+                    ignore: set | None = None):
+    """TypeAsSynonymFilter (miscellaneous/TypeAsSynonymFilter.java:34-90):
+    after each token, emit its type (optionally prefixed) as a synonym at
+    the same position; types in ``ignore`` emit nothing.  Returns
+    (tokens, positions)."""
+    out, poss = [], []
+    for pos, (t, ty) in enumerate(tokens_types):
+        out.append(t)
+        poss.append(pos)
+        if ty is not None and (ignore is None or ty not in ignore):
+            out.append((prefix or "") + ty)
+            poss.append(pos)
+    return out, poss
+
+
+def pattern_capture_group(patterns, preserve_original: bool = False):
+    """PatternCaptureGroupTokenFilter (pattern/PatternCaptureGroupToken
+    Filter.java:60-150): emit every capture group of every pattern as a
+    token at the original position, merged across patterns by start
+    offset (ties keep pattern order); empty captures and — with
+    preserveOriginal — whole-token captures are skipped; a token with no
+    captures passes through."""
+    import re as _re
+
+    rxs = [_re.compile(p) for p in patterns]
+
+    def f(token: str) -> list[str]:
+        seqs = []
+        for rx in rxs:
+            caps = []
+            for m in rx.finditer(token):
+                for g in range(1, (rx.groups or 0) + 1):
+                    s, e = m.start(g), m.end(g)
+                    if s == -1 or s == e:
+                        continue
+                    if preserve_original and s == 0 and e == len(token):
+                        continue
+                    caps.append((s, token[s:e]))
+            seqs.append(caps)
+        # stable merge by current start offset, first pattern wins ties
+        idx = [0] * len(seqs)
+        merged = []
+        while True:
+            best = -1
+            best_start = None
+            for i, caps in enumerate(seqs):
+                if idx[i] < len(caps):
+                    s = caps[idx[i]][0]
+                    if best_start is None or s < best_start:
+                        best_start, best = s, i
+            if best < 0:
+                break
+            merged.append(seqs[best][idx[best]][1])
+            idx[best] += 1
+        if not merged:
+            return [token]
+        return ([token] if preserve_original else []) + merged
+
+    return f
+
+
+def pattern_keyword_marker(pattern: str, inner):
+    """PatternKeywordMarkerFilter (miscellaneous/PatternKeywordMarker
+    Filter.java:33-48): tokens fully matching the pattern are keyword-
+    protected from the downstream stemmer ``inner``."""
+    import re as _re
+
+    rx = _re.compile(pattern)
+
+    def f(t: str):
+        return t if rx.fullmatch(t) else inner(t)
+
+    return f
+
+
+def pattern_typing(rules):
+    """PatternTypingFilter (pattern/PatternTypingFilter.java:38-62): the
+    first rule whose pattern FINDS in the term sets type = replaceFirst of
+    its template and the rule's flags; later rules don't fire.  ``rules``
+    is a list of (pattern, flags, type_template) with $1-style template
+    refs.  Takes tokens, returns (token, type, flags) triples (type 'word'
+    / flags 0 when no rule fires)."""
+    import re as _re
+
+    compiled = [(_re.compile(p), fl,
+                 _re.sub(r"\$(\d)", r"\\\1", tmpl)) for p, fl, tmpl in rules]
+
+    def f(token: str):
+        for rx, fl, tmpl in compiled:
+            m = rx.search(token)
+            if m:
+                return (token, rx.sub(tmpl, token, count=1), fl)
+        return (token, "word", 0)
+
+    return f
+
+
+def protected_term_filter(protected, inner):
+    """ProtectedTermFilter (miscellaneous/ProtectedTermFilter.java:40-56,
+    a ConditionalTokenFilter): protected terms bypass the wrapped filter
+    chain ``inner`` (which may drop or rewrite); everything else flows
+    through it."""
+    prot = frozenset(protected)
+
+    def f(t: str):
+        return t if t in prot else inner(t)
+
+    return f
+
+
+def fixed_shingle(tokens: list[str], size: int,
+                  positions: list[int] | None = None,
+                  offsets: list[tuple[int, int]] | None = None,
+                  trailing_positions: int = 0,
+                  sep: str = " ", filler: str = "_"):
+    """FixedShingleFilter (shingle/FixedShingleFilter.java:47-130) over a
+    flat (single-token-per-position) stream: shingles of EXACTLY ``size``
+    positions starting at each real token; position holes (stopword gaps,
+    including ``trailing_positions`` at stream end) contribute the filler.
+    Returns (shingles, start_positions, (start, end) offsets) — the end
+    offset is the last REAL token's end, like the reference."""
+    if size <= 1 or size > 4:
+        raise ValueError(f"Shingle size must be between 2 and 4, got {size}")
+    n = len(tokens)
+    pos = positions if positions is not None else list(range(n))
+    offs = offsets if offsets is not None else [(0, 0)] * n
+    by_pos = {p: i for i, p in enumerate(pos)}
+    total = (max(pos) + 1 + trailing_positions) if n else 0
+    out, out_pos, out_off = [], [], []
+    for i, p in enumerate(pos):
+        if p + size > total:
+            break
+        parts, end_off = [], offs[i][1]
+        for q in range(p, p + size):
+            j = by_pos.get(q)
+            if j is None:
+                parts.append(filler)
+            else:
+                parts.append(tokens[j])
+                end_off = offs[j][1]
+        out.append(sep.join(parts))
+        out_pos.append(p)
+        out_off.append((offs[i][0], end_off))
+    return out, out_pos, out_off
+
+
+class MappingCharFilter:
+    """MappingCharFilter (charfilter/MappingCharFilter.java:36-120 with
+    NormalizeCharMap): greedy longest-match single-pass text rewriting
+    BEFORE tokenization, with BaseCharFilter offset correction mapping
+    token offsets in the rewritten text back to raw-text offsets."""
+
+    def __init__(self, mappings: dict[str, str]):
+        if any(not k for k in mappings):
+            raise ValueError("cannot match the empty string")
+        self.mappings = dict(mappings)
+        self._by_len = sorted(self.mappings, key=len, reverse=True)
+
+    def __call__(self, text: str) -> str:
+        return self.filter_with_offsets(text or "")[0]
+
+    def filter_with_offsets(self, text: str):
+        import numpy as np
+
+        text = text or ""
+        out: list[str] = []
+        offs: list[int] = []
+        diffs: list[int] = []
+        cum = 0
+        out_len = 0
+        i = 0
+        n = len(text)
+        while i < n:
+            for key in self._by_len:
+                if text.startswith(key, i):
+                    repl = self.mappings[key]
+                    out.append(repl)
+                    out_len += len(repl)
+                    i += len(key)
+                    cum += len(key) - len(repl)
+                    if offs and offs[-1] == out_len:
+                        diffs[-1] = cum
+                    else:
+                        offs.append(out_len)
+                        diffs.append(cum)
+                    break
+            else:
+                out.append(text[i])
+                out_len += 1
+                i += 1
+        return ("".join(out), np.asarray(offs, dtype=np.int64),
+                np.asarray(diffs, dtype=np.int64))
+
+    correct_offset = staticmethod(HTMLStripCharFilter.correct_offset)

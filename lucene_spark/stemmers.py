@@ -1062,3 +1062,26 @@ def porter2_stem(word: str) -> str:
         w = w[:-1]
 
     return w.replace("Y", "y") if y_found else w
+
+
+_ES_MIN_FOLD = str.maketrans("àáâäòóôöèéêëùúûüìíîïñ",
+                             "aaaaoooo" + "eeee" + "uuuu" + "iiii" + "n")
+
+
+def spanish_minimal_stem(w: str) -> str:
+    """SpanishMinimalStemmer (es/SpanishMinimalStemFilter.java +
+    SpanishMinimalStemmer.java:28-75): plural-only stemming — fold accented
+    vowels/ñ, then strip -s after a/o, -es (with ces→z respelling and
+    eses→es), else bare -s."""
+    if len(w) < 4 or not w.endswith("s"):
+        return w
+    w = w.translate(_ES_MIN_FOLD)
+    if w[-2] in "ao":
+        return w[:-1]
+    if w[-2] == "e":
+        if w[-3] == "s" and w[-4] == "e":
+            return w[:-2]
+        if w[-3] == "c":
+            return w[:-3] + "z"
+        return w[:-2]
+    return w[:-1]

@@ -240,3 +240,99 @@ def url_email_analyzer(stopwords: frozenset[str] = ENGLISH_STOP_WORDS) -> Analyz
     """UAX29URLEmailAnalyzer.java: URL/email-aware tokenizer + lowercase +
     stop filter."""
     return Analyzer(stopwords=stopwords, tokenizer=url_email_tokenize)
+
+
+# --------------------------------------- round-4 analysis/common closures
+
+# Unicode White_Space property (UnicodeProps.WHITESPACE — what
+# UnicodeWhitespaceTokenizer splits on; differs from Java
+# Character.isWhitespace by INCLUDING U+00A0/U+2007/U+202F and excluding
+# the U+001C-001F separators)
+_UNICODE_WS = ("\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f \x85\xa0 "
+               "         "
+               "      　")
+_UNICODE_WS_SET = frozenset(_UNICODE_WS) - frozenset("\x1c\x1d\x1e\x1f")
+
+
+def unicode_whitespace_tokenize(text: str) -> list[str]:
+    """UnicodeWhitespaceTokenizer (core/UnicodeWhitespaceTokenizer.java:
+    28-60): maximal runs of characters without the Unicode White_Space
+    property (so NBSP U+00A0 splits here but not in WhitespaceTokenizer)."""
+    out, cur = [], []
+    for c in text or "":
+        if c in _UNICODE_WS_SET:
+            if cur:
+                out.append("".join(cur))
+                cur = []
+        else:
+            cur.append(c)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def pattern_tokenize(text: str, pattern: str, group: int = -1):
+    """PatternTokenizer (pattern/PatternTokenizer.java:43-120): group >= 0
+    emits that capture group of every match; group == -1 splits on matches
+    (Java String.split semantics — but unlike split, trailing empties are
+    dropped because empty tokens are never emitted).  Returns (tokens,
+    (start, end) offsets)."""
+    import re as _re
+
+    rx = _re.compile(pattern)
+    text = text or ""
+    toks, offs = [], []
+    if group >= 0:
+        if group > (rx.groups or 0):
+            raise ValueError(
+                f"invalid group specified: pattern only has: {rx.groups}"
+                " capturing groups")
+        for m in rx.finditer(text):
+            s, e = m.start(group), m.end(group)
+            if s == -1 or s == e:
+                continue
+            toks.append(text[s:e])
+            offs.append((s, e))
+    else:
+        last = 0
+        for m in rx.finditer(text):
+            if m.start() > last:
+                toks.append(text[last:m.start()])
+                offs.append((last, m.start()))
+            last = m.end()
+            if m.start() == m.end():  # zero-width match: avoid livelock
+                last = max(last, m.end())
+        if last < len(text):
+            toks.append(text[last:])
+            offs.append((last, len(text)))
+    return toks, offs
+
+
+def simple_pattern_tokenize(text: str, pattern: str):
+    """SimplePatternTokenizer (pattern/SimplePatternTokenizer.java:40-130):
+    emit every maximal non-overlapping match of the pattern (the reference
+    runs a deterministic automaton; re.finditer over the same
+    regular-language pattern yields the same tokens)."""
+    import re as _re
+
+    return [m.group() for m in _re.finditer(pattern, text or "")
+            if m.group()]
+
+
+def simple_pattern_split_tokenize(text: str, pattern: str):
+    """SimplePatternSplitTokenizer (pattern/SimplePatternSplitTokenizer.
+    java:38-120): the matches are the separators; emit the non-empty text
+    between them."""
+    import re as _re
+
+    out, last = [], 0
+    text = text or ""
+    for m in _re.finditer(pattern, text):
+        if m.start() > last:
+            out.append(text[last:m.start()])
+        last = max(last, m.end())
+        if m.start() == m.end():
+            break  # zero-width separator would livelock; stop like a DFA
+    if last < len(text):
+        out.append(text[last:])
+    return out
