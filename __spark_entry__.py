@@ -1566,6 +1566,119 @@ stem/Z
         return (spark.createDataFrame(rows, "word string, stem string")
                 .orderBy("word", "stem"))
 
+    def ft_hyphenation_compound(spark, sf):
+        # HyphenationCompoundWordTokenFilter (compound/HyphenationCompound
+        # WordTokenFilter.java + hyphenation/HyphenationTree.java Liang
+        # patterns); every reference TestCompoundWordTokenFilter golden
+        # asserted in tests/test_hyphenation.py.  Self-contained Danish
+        # pattern subset (curated from the public FOP dkcommon patterns).
+        from lucene_spark.hyphenation import HyphenationTree, \
+            hyphenation_compound
+
+        t = HyphenationTree()
+        for line in ("aA bB cC dD eE fF gG hH iI jJ kK lL mM nN oO pP qQ "
+                     "rR sS tT uU vV wW xX yY zZ æÆ øØ åÅ").split():
+            t.add_class(line)
+        for p in ("1ba 1be 1bi 1bo 1bu 1by b1l b1r 4b5n 1ce 1ci 1cy "
+                  "1da 1de 1di 1do 1du 1dy 1ge 1gi 1gy g1l g1r 1he 1hi "
+                  "1hu 1hy i1a i1e i1o 1ka 1ke 1ki 1ko 1ku 1ky k1l k1n "
+                  "k1r 1la 1le 1li 1lo 1lu 1ly 1ma 1me 1mi 1mo 1mu 1my "
+                  "1na 1ne 1ni 1no 1nu 1ny 1pa 1pe 1pi 1po 1pu 1py p1l "
+                  "p1r 1ra 1re 1ri 1ro 1ru 1ry 1sa 1se 1si 1so 1su 1sy "
+                  "s1l s1n s1p 1ta 1te 1ti 1to 1tu 1ty t1r 1va 1ve 1vi "
+                  "1vo 1vu 1vy").split():
+            t.add_pattern(p)
+        f = hyphenation_compound(
+            t, dictionary=["læse", "hest", "basket", "ball", "kurv"])
+
+        @F.pandas_udf("array<string>")
+        def decompose_udf(ts: pd.Series) -> pd.Series:
+            return ts.map(lambda s: f(s.split(), list(range(len(s.split()))))[0])
+
+        tdf = spark.createDataFrame(
+            [(0, "min veninde som er lidt af en læsehest"),
+             (1, "basketballkurv"), (2, "hest")], "i long, text string")
+        return (tdf.select("i", F.posexplode(decompose_udf("text"))
+                           .alias("j", "token"))
+                .orderBy("i", "j"))
+
+    def ft_mapping_char(spark, sf):
+        # MappingCharFilter (charfilter/MappingCharFilter.java) with
+        # BaseCharFilter raw-offset correction: tokens of the rewritten
+        # text carry offsets into the RAW text.
+        from lucene_spark.filters import MappingCharFilter
+
+        m = MappingCharFilter({"aa": "a", "bbb": "b", "cccc": "cc",
+                               "h": "i", "j": "jj", "k": "kkk",
+                               "ll": "llll"})
+
+        @F.pandas_udf("array<struct<token:string,start:int,end:int>>")
+        def map_udf(ts: pd.Series) -> pd.Series:
+            def run(raw):
+                out, offs, diffs = m.filter_with_offsets(raw)
+                rows, pos = [], 0
+                for tok in out.split(" "):
+                    if not tok:
+                        pos += 1
+                        continue
+                    s = out.index(tok, pos)
+                    e = s + len(tok)
+                    pos = e
+                    rows.append((tok, int(m.correct_offset(s, offs, diffs)),
+                                 int(m.correct_offset(e, offs, diffs))))
+                return rows
+            return ts.map(run)
+
+        tdf = spark.createDataFrame(
+            [(0, "h i j k ll cccc bbb aa")], "i long, text string")
+        return (tdf.select("i", F.posexplode(map_udf("text"))
+                           .alias("j", "t"))
+                .select("i", "j", F.col("t.token").alias("token"),
+                        F.col("t.start").alias("start"),
+                        F.col("t.end").alias("end"))
+                .orderBy("i", "j"))
+
+    def ft_fixed_shingle(spark, sf):
+        # FixedShingleFilter (shingle/FixedShingleFilter.java): exactly-N
+        # shingles with '_' fillers in stopword gaps — JVM-side via the
+        # same transform/sequence codegen shape as shingle_col, over the
+        # position-indexed token arrays of real documents.
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        toks = docs.select(
+            "doc_id",
+            F.expr(r"filter(split(lower(text), '[^a-z0-9]+'), "
+                   r"x -> x <> '')").alias("toks")).filter(
+                       F.size("toks") >= 3)
+        sh = toks.select(
+            "doc_id",
+            F.expr("transform(sequence(0, size(toks) - 3), i -> "
+                   "concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")
+            .alias("shingles"))
+        return (sh.select(F.explode("shingles").alias("shingle"))
+                .groupBy("shingle").agg(F.count("*").alias("cnt"))
+                .orderBy(F.desc("cnt"), "shingle").limit(20))
+
+    def ft_pattern_capture(spark, sf):
+        # PatternCaptureGroupTokenFilter (pattern/PatternCaptureGroupToken
+        # Filter.java): camelCase splitting via capture groups, merged
+        # across patterns by start offset.
+        from lucene_spark.filters import pattern_capture_group
+
+        f = pattern_capture_group([
+            r"([A-Z]{2,})", r"(?<![A-Z])([A-Z][a-z]+)",
+            r"(?:^|\b|(?<=[0-9_])|(?<=[A-Z]{2}))([a-z]+)", r"([0-9]+)"],
+            preserve_original=True)
+
+        @F.pandas_udf("array<string>")
+        def cap_udf(ts: pd.Series) -> pd.Series:
+            return ts.map(f)
+
+        tdf = spark.createDataFrame(
+            [(0, "letsPartyLIKEits1999_dude"), (1, "foobarbaz"),
+             (2, "camelCaseFilter")], "i long, term string")
+        return (tdf.select("i", F.posexplode(cap_udf("term"))
+                           .alias("j", "token")).orderBy("i", "j"))
+
     def ft_collation_key(spark, sf):
         # ICUCollationKeyAnalyzer analog (icu/ICUCollationKeyAnalyzer.java:
         # 51 — terms index as collation keys so ranges and sorts collate):
@@ -4812,6 +4925,8 @@ stem/Z
         ft_gl_rslp, ft_baltic_snowball, ft_indic_normalize,
         ft_serbian_snowball, ft_thai_analyze, ft_phonetic_all,
         ft_collation_key, ft_beider_morse, ft_hunspell, ft_wikipedia,
+        ft_hyphenation_compound, ft_mapping_char, ft_fixed_shingle,
+        ft_pattern_capture,
         # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
         # still oracle-checked every run by tests/test_entry_gate.py ----
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -5964,6 +6079,40 @@ ORDER BY i, j""",
         "ft_hunspell": """
 SELECT word, stem FROM (VALUES ('jumping', 'jump'),('jumpinged', 'jump'),('rework', 'work'),('reworked', 'work'),('stem', '<none>'),('stems', '<none>'),('tried', 'try'),('tryed', '<none>'),('work', 'work'),('worked', 'work')) AS t(word, stem)
 ORDER BY word, stem""",
+        "ft_hyphenation_compound": """
+SELECT CAST(i AS BIGINT) AS i, CAST(j AS INT) AS j, token
+FROM (VALUES (0,0,'min'),(0,1,'veninde'),(0,2,'som'),(0,3,'er'),
+  (0,4,'lidt'),(0,5,'af'),(0,6,'en'),(0,7,'læsehest'),(0,8,'læse'),
+  (0,9,'hest'),(1,0,'basketballkurv'),(1,1,'basket'),(1,2,'ball'),
+  (1,3,'kurv'),(2,0,'hest')) AS t(i, j, token)
+ORDER BY i, j""",
+        "ft_mapping_char": """
+SELECT CAST(i AS BIGINT) AS i, CAST(j AS INT) AS j, token,
+       CAST(s AS INT) AS start, CAST(e AS INT) AS "end"
+FROM (VALUES (0,0,'i',0,1),(0,1,'i',2,3),(0,2,'jj',4,5),(0,3,'kkk',6,7),
+  (0,4,'llll',8,10),(0,5,'cc',11,15),(0,6,'b',16,19),(0,7,'a',20,22))
+  AS t(i, j, token, s, e)
+ORDER BY i, j""",
+        "ft_fixed_shingle": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                 FOR i IN range(1, len(t) - 1)]) AS shingle
+  FROM toks WHERE len(t) >= 3
+)
+SELECT shingle, COUNT(*) AS cnt FROM sh
+GROUP BY shingle ORDER BY cnt DESC, shingle LIMIT 20""",
+        "ft_pattern_capture": """
+SELECT CAST(i AS BIGINT) AS i, CAST(j AS INT) AS j, token
+FROM (VALUES (0,0,'letsPartyLIKEits1999_dude'),(0,1,'lets'),
+  (0,2,'Party'),(0,3,'LIKE'),(0,4,'its'),(0,5,'1999'),(0,6,'dude'),
+  (1,0,'foobarbaz'),(2,0,'camelCaseFilter'),(2,1,'camel'),(2,2,'Case'),
+  (2,3,'Filter')) AS t(i, j, token)
+ORDER BY i, j""",
         "ft_collation_key": """
 SELECT CAST(rank AS INT) AS rank, word
 FROM (VALUES (1, 'Äpfel'),(2, 'apple'),(3, 'coast'),(4, 'côte'),(5, 'couch'),(6, 'peach'),(7, 'peche'),(8, 'péché'),(9, 'resume'),(10, 'RESUME'),(11, 'résumé'),(12, 'resumes'),(13, 'sin'),(14, 'zebra')) AS t(rank, word)
