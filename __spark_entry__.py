@@ -1566,6 +1566,38 @@ stem/Z
         return (spark.createDataFrame(rows, "word string, stem string")
                 .orderBy("word", "stem"))
 
+    def ft_hunspell_spell(spark, sf):
+        # Hunspell.spell (hunspell/Hunspell.java:79-130): dictionary
+        # compounding (COMPOUNDFLAG + COMPOUNDMIN), FORBIDDENWORD, BREAK,
+        # KEEPCASE, trailing dots, numbers; all 49 reference fixture
+        # suites asserted in tests/test_hunspell_spell.py.
+        from lucene_spark.hunspell import HunspellDictionary
+
+        aff = """SET UTF-8
+COMPOUNDFLAG X
+COMPOUNDMIN 3
+FORBIDDENWORD Z
+KEEPCASE K
+SFX S Y 1
+SFX S 0 s .
+"""
+        dic = """6
+foo/XS
+bar/X
+baz/Z
+qux
+McDonald/K
+forty four
+"""
+        d = HunspellDictionary(aff, dic)
+        words = ["foo", "foos", "foobar", "barfoo", "foofoo", "baz",
+                 "bazfoo", "qux", "quxfoo", "McDonald", "mcdonald",
+                 "MCDONALD", "foo.", "42", "4,2", "foo-bar", "fo",
+                 "forty four", "fortyfour"]
+        rows = [(w, bool(d.spell(w))) for w in sorted(words)]
+        return (spark.createDataFrame(rows, "word string, ok boolean")
+                .orderBy("word"))
+
     def ft_hyphenation_compound(spark, sf):
         # HyphenationCompoundWordTokenFilter (compound/HyphenationCompound
         # WordTokenFilter.java + hyphenation/HyphenationTree.java Liang
@@ -4926,7 +4958,7 @@ stem/Z
         ft_serbian_snowball, ft_thai_analyze, ft_phonetic_all,
         ft_collation_key, ft_beider_morse, ft_hunspell, ft_wikipedia,
         ft_hyphenation_compound, ft_mapping_char, ft_fixed_shingle,
-        ft_pattern_capture,
+        ft_pattern_capture, ft_hunspell_spell,
         # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
         # still oracle-checked every run by tests/test_entry_gate.py ----
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -6079,6 +6111,14 @@ ORDER BY i, j""",
         "ft_hunspell": """
 SELECT word, stem FROM (VALUES ('jumping', 'jump'),('jumpinged', 'jump'),('rework', 'work'),('reworked', 'work'),('stem', '<none>'),('stems', '<none>'),('tried', 'try'),('tryed', '<none>'),('work', 'work'),('worked', 'work')) AS t(word, stem)
 ORDER BY word, stem""",
+        "ft_hunspell_spell": """
+SELECT word, ok FROM (VALUES ('4,2', true),('42', true),
+  ('MCDONALD', false),('McDonald', true),('barfoo', true),('baz', false),
+  ('bazfoo', false),('fo', false),('foo', true),('foo-bar', true),
+  ('foo.', true),('foobar', true),('foofoo', true),('foos', true),
+  ('forty four', true),('fortyfour', false),('mcdonald', false),
+  ('qux', true),('quxfoo', false)) AS t(word, ok)
+ORDER BY word""",
         "ft_hyphenation_compound": """
 SELECT CAST(i AS BIGINT) AS i, CAST(j AS INT) AS j, token
 FROM (VALUES (0,0,'min'),(0,1,'veninde'),(0,2,'som'),(0,3,'er'),
