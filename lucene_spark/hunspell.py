@@ -191,6 +191,21 @@ def _decode(data, aff_bytes) -> str:
     return data.decode(enc, "replace")
 
 
+def _parse_map_entry(unparsed: str) -> list[str]:
+    """Dictionary.parseMapEntry: chars, with (multi-char) groups."""
+    entry = []
+    j = 0
+    while j < len(unparsed):
+        if unparsed[j] == "(":
+            closing = unparsed.index(")", j)
+            entry.append(unparsed[j + 1:closing])
+            j = closing + 1
+        else:
+            entry.append(unparsed[j])
+            j += 1
+    return entry
+
+
 class _RepEntry:
     """RepEntry.java: a REP table row with ^/$ anchors; '_' in the
     replacement is a space."""
@@ -363,6 +378,17 @@ class HunspellDictionary:
         self.compound_rules: list[_CompoundRule] = []
         self.check_compound_patterns: list[_CheckCompoundPattern] = []
         self.rep_table: list[_RepEntry] = []
+        self.try_chars = ""
+        self.neighbor_key_groups = ("qwertyuiop", "asdfghjkl", "zxcvbnm")
+        self.enable_split_suggestions = True
+        self.map_table: list[list[str]] = []
+        self.max_diff = 5
+        self.max_ngram_suggestions = 4
+        self.only_max_diff = False
+        self.no_suggest = None
+        self.sub_standard = None
+        self.language = None
+        self._reject_nosuggest = False
         # BREAK: (starting, ending, middle); Breaks.DEFAULT is "-" in
         # all three slots (Dictionary.java:1543)
         self.breaks = (("-",), ("-",), ("-",))
@@ -445,6 +471,7 @@ class HunspellDictionary:
             elif key == "CHECKSHARPS":
                 self.check_sharp_s = True
             elif key == "LANG" and len(parts) > 1:
+                self.language = parts[1]
                 lang = parts[1].lower()
                 self.alternate_casing = lang.startswith(("tr", "az"))
             elif key in ("NEEDAFFIX", "PSEUDOROOT") and len(parts) > 1:
@@ -494,6 +521,26 @@ class HunspellDictionary:
                     _CheckCompoundPattern(parts[1:], self))
             elif key == "REP" and len(parts) > 2:
                 self.rep_table.append(_RepEntry(parts[1], parts[2]))
+            elif key == "TRY" and len(parts) > 1:
+                self.try_chars = parts[1]
+            elif key == "KEY" and len(parts) > 1:
+                self.neighbor_key_groups = tuple(parts[1].split("|"))
+            elif key == "NOSPLITSUGS":
+                self.enable_split_suggestions = False
+            elif key == "MAXNGRAMSUGS" and len(parts) > 1:
+                self.max_ngram_suggestions = int(parts[1])
+            elif key == "MAXDIFF" and len(parts) > 1:
+                self.max_diff = int(parts[1])
+            elif key == "ONLYMAXDIFF":
+                self.only_max_diff = True
+            elif key == "NOSUGGEST" and len(parts) > 1:
+                self.no_suggest = self._one_flag(parts[1])
+            elif key == "SUBSTANDARD" and len(parts) > 1:
+                self.sub_standard = self._one_flag(parts[1])
+            elif key == "MAP" and len(parts) > 1:
+                if not (parts[1].isdigit() and len(parts) == 2
+                        and not self.map_table):
+                    self.map_table.append(_parse_map_entry(parts[1]))
             elif key == "BREAK" and len(parts) > 1:
                 if parts[1].isdigit():
                     n = int(parts[1])
@@ -590,7 +637,12 @@ class HunspellDictionary:
             # the st: morphological field replaces the reported stem
             # (Stemmer.stemException; fields are sorted before the search)
             st = None
-            for field in sorted(self._split_morph(morph)):
+            fields = self._split_morph(morph)
+            for field in fields:
+                if field.startswith("ph:"):
+                    self._add_phonetic_rep(
+                        "".join(word_chars), field[3:])
+            for field in sorted(fields):
                 if field.startswith("st:"):
                     st = field[3:]
                     break
@@ -947,7 +999,12 @@ class HunspellDictionary:
             if check_case and not self._accept_case(original_case, flags,
                                                     root):
                 return _HIDDEN in flags
-            result.append((root, flags))
+            # the suggestion speller rejects NOSUGGEST/SUBSTANDARD roots
+            # (Hunspell.doSuggest acceptsStem override) but still stops
+            if not (self._reject_nosuggest
+                    and (self._has(flags, self.no_suggest)
+                         or self._has(flags, self.sub_standard))):
+                result.append((root, flags))
             return False
 
         self._walk(word, context, proc)
@@ -1166,6 +1223,546 @@ class HunspellDictionary:
         return (pos > 0 and pos < len(word) - len(br)
                 and self.spell(word[:pos])
                 and self.spell(word[pos + len(br):]))
+
+
+
+    # -- language / case helpers for suggestions ----------------------------
+
+    def _has_language(self, *codes) -> bool:
+        if not self.language:
+            return False
+        code = re.split("[_-]", self.language)[0].lower()
+        return code in codes
+
+    def _to_lower(self, w: str) -> str:
+        return "".join(self._case_fold(c) for c in w)
+
+    def _to_title(self, w: str) -> str:
+        return _java_upper(w[0]) + self._to_lower(w[1:]) if w else w
+
+    def _add_phonetic_rep(self, word: str, ph: str) -> None:
+        """Dictionary.addPhoneticRepEntries: ``ph:`` morphological fields
+        become REP rows used by the suggesters."""
+        arrow = ph.find("->")
+        if arrow > 0:
+            pattern, replacement = ph[:arrow], ph[arrow + 2:]
+        else:
+            pattern, replacement = ph, word
+        if pattern.endswith("*") and len(pattern) > 2 \
+                and len(replacement) > 1:
+            pattern = pattern[:-2]
+            replacement = replacement[:-1]
+        if word and _word_case(word) == "TITLE" \
+                and _word_case(pattern) == "LOWER":
+            if self._has_language("de", "hu"):
+                self.rep_table.append(
+                    _RepEntry(pattern, self._to_lower(replacement)))
+            self.rep_table.append(
+                _RepEntry(self._to_title(pattern), replacement))
+        self.rep_table.append(_RepEntry(pattern, replacement))
+
+    # -- suggestions (Hunspell.suggest + ModifyingSuggester +
+    #    GeneratingSuggester) ------------------------------------------------
+
+    def suggest(self, word: str) -> list[str]:
+        """Hunspell.suggest (NO_TIMEOUT policy)."""
+        if len(word) >= 100:
+            return []
+        word = self._clean(word)
+        word_case = _word_case(word) if word else "NEUTRAL"
+        if self.force_ucase is not None and word_case == "LOWER":
+            title = self._to_title(word)
+            if self.spell(title):
+                return [title]
+        suggestions: dict[str, None] = {}
+        self._reject_nosuggest = True
+        try:
+            has_good = self._modifying_suggest(word, word_case, suggestions)
+            if not has_good and self.max_ngram_suggestions > 0:
+                for s in self._generating_suggest(self._to_lower(word),
+                                                  word_case, suggestions):
+                    suggestions[s] = None
+            if "-" in word and not any("-" in s for s in suggestions):
+                for s in self._modify_chunks_between_dashes(word):
+                    suggestions[s] = None
+        finally:
+            self._reject_nosuggest = False
+        return self._postprocess(word, word_case, suggestions)
+
+    def _postprocess(self, word, word_case, suggestions) -> list[str]:
+        result: dict[str, None] = {}
+        for candidate in suggestions:
+            result[self._adjust_suggestion_case(candidate, word_case,
+                                                word)] = None
+            if word_case == "UPPER" and self.check_sharp_s \
+                    and "ß" in candidate:
+                result[candidate] = None
+        return [self._oconv(s) for s in result]
+
+    def _adjust_suggestion_case(self, candidate, original_case,
+                                original) -> str:
+        if original_case == "UPPER":
+            upper = candidate.upper()
+            if " " in upper or self.spell(upper):
+                return upper
+        if original[:1].isupper():
+            title = _java_upper(candidate[0]) + candidate[1:] \
+                if candidate else candidate
+            if " " in title or self.spell(title):
+                return title
+        return candidate
+
+    def _modify_chunks_between_dashes(self, word: str) -> list[str]:
+        result = []
+        chunk_start = 0
+        while chunk_start < len(word):
+            chunk_end = word.find("-", chunk_start)
+            if chunk_end < 0:
+                chunk_end = len(word)
+            if chunk_end > chunk_start:
+                chunk = word[chunk_start:chunk_end]
+                if not self.spell(chunk):
+                    for chunk_sug in self.suggest(chunk):
+                        replaced = word[:chunk_start] + chunk_sug \
+                            + word[chunk_end:]
+                        if self.spell(replaced):
+                            result.append(replaced)
+            chunk_start = chunk_end + 1
+        return result
+
+    # ModifyingSuggester.java
+
+    _MAX_CHAR_DISTANCE = 4
+
+    def _modifying_suggest(self, word, word_case, result) -> bool:
+        low = self._to_lower(word) if word_case != "LOWER" else word
+        if word_case in ("UPPER", "MIXED"):
+            self._try_suggestion(low, result)
+        has_good = self._try_variations_of(word, result)
+        if word_case == "TITLE":
+            has_good |= self._try_variations_of(low, result)
+        elif word_case == "UPPER":
+            has_good |= self._try_variations_of(low, result)
+            has_good |= self._try_variations_of(self._to_title(word), result)
+        elif word_case == "MIXED":
+            dot = word.find(".")
+            if 0 < dot < len(word) - 1 \
+                    and _word_case(word[dot + 1:]) == "TITLE":
+                result[word[:dot + 1] + " " + word[dot + 1:]] = None
+            capitalized = word[:1].isupper()
+            if capitalized:
+                has_good |= self._try_variations_of(
+                    self._case_fold(word[0]) + word[1:], result)
+            has_good |= self._try_variations_of(low, result)
+            if capitalized:
+                has_good |= self._try_variations_of(self._to_title(low),
+                                                    result)
+            adjusted: list[str] = []
+            for candidate in result:
+                s = self._capitalize_after_space(word, candidate)
+                if s == candidate:
+                    adjusted.append(s)
+                else:
+                    adjusted.insert(0, s)
+            result.clear()
+            for s in adjusted:
+                result[s] = None
+        return has_good
+
+    @staticmethod
+    def _capitalize_after_space(misspelled, candidate) -> str:
+        space = candidate.find(" ")
+        tail = len(candidate) - space - 1
+        if space > 0 and misspelled[len(misspelled) - tail:] \
+                != candidate[space + 1:]:
+            return candidate[:space + 1] \
+                + _java_upper(candidate[space + 1]) + candidate[space + 2:]
+        return candidate
+
+    def _try_variations_of(self, word, result) -> bool:
+        has_good = self._try_suggestion(word.upper(), result)
+        has_good |= self._try_rep(word, result)
+        if self.map_table:
+            self._enumerate_map_replacements(word, "", 0, result)
+        self._try_swapping_chars(word, result)
+        self._try_long_swap(word, result)
+        self._try_neighbor_keys(word, result)
+        self._try_removing_char(word, result)
+        self._try_adding_char(word, result)
+        self._try_moving_char(word, result)
+        self._try_replacing_char(word, result)
+        self._try_two_duplicate_chars(word, result)
+        good_split = self._check_dictionary_for_split_suggestions(word)
+        if good_split:
+            copy = list(result)
+            result.clear()
+            for s in good_split:
+                result[s] = None
+            if has_good:
+                for s in copy:
+                    result[s] = None
+            has_good = True
+        if not has_good and self.enable_split_suggestions:
+            self._try_splitting(word, result)
+        return has_good
+
+    def _try_suggestion(self, candidate, result) -> bool:
+        if self._check_word(candidate, None) and candidate not in result:
+            result[candidate] = None
+            return True
+        return False
+
+    def _try_rep(self, word, result) -> bool:
+        before = len(result)
+        for entry in self.rep_table:
+            for candidate in entry.substitute(word):
+                if self._try_suggestion(candidate, result):
+                    continue
+                if " " in candidate and all(
+                        self._check_simple_word(p, None) is True
+                        for p in candidate.split(" ")):
+                    result[candidate] = None
+        return len(result) > before
+
+    def _enumerate_map_replacements(self, word, accumulated, offset,
+                                    result) -> None:
+        if offset == len(word):
+            self._try_suggestion(accumulated, result)
+            return
+        for entries in self.map_table:
+            for entry in entries:
+                if word.startswith(entry, offset):
+                    for replacement in entries:
+                        if replacement != entry:
+                            self._enumerate_map_replacements(
+                                word, accumulated + replacement,
+                                offset + len(entry), result)
+        self._enumerate_map_replacements(word, accumulated + word[offset],
+                                         offset + 1, result)
+
+    def _try_swapping_chars(self, word, result) -> None:
+        n = len(word)
+        for i in range(n - 1):
+            self._try_suggestion(
+                word[:i] + word[i + 1] + word[i] + word[i + 2:], result)
+        if n in (4, 5):
+            # ahev -> have, owudl -> would
+            cand = list(word)
+            cand[0], cand[1] = word[1], word[0]
+            cand[n - 1], cand[n - 2] = word[n - 2], word[n - 1]
+            self._try_suggestion("".join(cand), result)
+            if n == 5:
+                cand[0] = word[0]
+                cand[1] = word[2]
+                cand[2] = word[1]
+                self._try_suggestion("".join(cand), result)
+
+    def _try_neighbor_keys(self, word, result) -> None:
+        for i, c in enumerate(word):
+            up = _java_upper(c)
+            if up != c:
+                self._try_suggestion(word[:i] + up + word[i + 1:], result)
+            for group in self.neighbor_key_groups:
+                if c in group:
+                    for g in group:
+                        if g != c:
+                            self._try_suggestion(
+                                word[:i] + g + word[i + 1:], result)
+
+    def _try_long_swap(self, word, result) -> None:
+        for i in range(len(word)):
+            for j in range(i + 2,
+                           min(len(word), i + self._MAX_CHAR_DISTANCE + 1)):
+                self._try_suggestion(
+                    word[:i] + word[j] + word[i + 1:j] + word[i]
+                    + word[j + 1:], result)
+
+    def _try_removing_char(self, word, result) -> None:
+        if len(word) == 1:
+            return
+        for i in range(len(word)):
+            self._try_suggestion(word[:i] + word[i + 1:], result)
+
+    def _try_adding_char(self, word, result) -> None:
+        for i in range(len(word) + 1):
+            for c in self.try_chars:
+                self._try_suggestion(word[:i] + c + word[i:], result)
+
+    def _try_moving_char(self, word, result) -> None:
+        for i in range(len(word)):
+            prefix = word[:i]
+            for j in range(i + 2,
+                           min(len(word), i + self._MAX_CHAR_DISTANCE + 1)):
+                self._try_suggestion(
+                    prefix + word[i + 1:j] + word[i] + word[j:], result)
+                self._try_suggestion(
+                    prefix + word[j] + word[i:j] + word[j + 1:], result)
+            if i < len(word) - 1:
+                self._try_suggestion(prefix + word[i + 1:] + word[i], result)
+
+    def _try_replacing_char(self, word, result) -> None:
+        for i in range(len(word)):
+            for c in self.try_chars:
+                if c != word[i]:
+                    self._try_suggestion(word[:i] + c + word[i + 1:], result)
+
+    def _try_two_duplicate_chars(self, word, result) -> None:
+        # vacation -> vacacation
+        dup_len = 0
+        for i in range(2, len(word)):
+            if word[i] == word[i - 2]:
+                dup_len += 1
+                if dup_len == 3 or (dup_len == 2 and i >= 4):
+                    self._try_suggestion(word[:i - 1] + word[i + 1:], result)
+                    dup_len = 0
+            else:
+                dup_len = 0
+
+    def _check_dictionary_for_split_suggestions(self, word) -> list[str]:
+        out = []
+        for i in range(1, len(word) - 1):
+            w1, w2 = word[:i], word[i:]
+            spaced = w1 + " " + w2
+            if self._check_word(spaced, None):
+                out.append(spaced)
+            if self._should_split_by_dash():
+                dashed = w1 + "-" + w2
+                if self._check_word(dashed, None):
+                    out.append(dashed)
+        return out
+
+    def _try_splitting(self, word, result) -> None:
+        for i in range(1, len(word)):
+            w1, w2 = word[:i], word[i:]
+            if self._check_simple_word(w1, None) is True \
+                    and self._check_simple_word(w2, None) is True:
+                result[w1 + " " + w2] = None
+                if len(w1) > 1 and len(w2) > 1 \
+                        and self._should_split_by_dash():
+                    result[w1 + "-" + w2] = None
+
+    def _should_split_by_dash(self) -> bool:
+        return "-" in self.try_chars or "a" in self.try_chars
+
+    # GeneratingSuggester.java
+
+    def _generating_suggest(self, word, original_case,
+                            prev_suggestions) -> list[str]:
+        roots = self._find_similar_roots(word, original_case)
+        expanded = self._expand_roots(word, roots)
+        ranked = self._rank_by_similarity(word, expanded)
+        return self._most_relevant(ranked, prev_suggestions)
+
+    def _find_similar_roots(self, word, original_case):
+        ignore_title = original_case == "LOWER" \
+            and not self._has_language("de")
+        scored = []
+        for root in sorted(self.entries):
+            if abs(len(root) - len(word)) > 4:
+                continue
+            suitable = [
+                (root, flags, st)
+                for flags, st in self.entries[root]
+                if not (self._has(flags, self.forbiddenword)
+                        or self._has(flags, self.no_suggest)
+                        or _HIDDEN in flags
+                        or self._has(flags, self.onlyincompound))]
+            if not suitable:
+                continue
+            if ignore_title and _word_case(root) == "TITLE":
+                continue
+            lower = self._to_lower(root)
+            sc = _ngram_score(3, word, lower, False) \
+                - max(len(lower) - len(word) - 2, 0) \
+                + _common_prefix(word, root)
+            for entry in suitable:
+                scored.append((sc, entry))
+        scored.sort(key=lambda t: (-t[0], t[1][0]))
+        return scored[:100]
+
+    def _expand_roots(self, misspelled, roots):
+        # minimum acceptable score from three mangled self-comparisons
+        thresh = 0
+        for sp in range(1, 4):
+            mw = list(misspelled)
+            for k in range(sp, len(misspelled), 4):
+                mw[k] = "*"
+            thresh += _any_mismatch_ngram(len(misspelled), misspelled,
+                                          "".join(mw), False)
+        thresh = thresh // 3 - 1
+        expanded: dict[tuple, None] = {}
+        for sc_root, (root, flags, _st) in roots:
+            for guess in self._expand_root(root, flags, misspelled):
+                lower = self._to_lower(guess)
+                sc = _any_mismatch_ngram(len(misspelled), misspelled,
+                                         lower, False) \
+                    + _common_prefix(misspelled, guess)
+                if sc > thresh:
+                    expanded[(guess, sc)] = None
+        ranked = sorted(expanded, key=lambda t: (-t[1], t[0]))
+        return ranked[:200]
+
+    def _expand_root(self, root, flags, misspelled) -> list[str]:
+        cross_products = []
+        result: dict[str, None] = {}
+        if not self._has(flags, self.needaffix):
+            result[root] = None
+
+        def affix_ok(a):
+            return a.flag in flags \
+                and not self._has(a.cont, self.needaffix) \
+                and not self._has(a.cont, self.circumfix) \
+                and not self._has(a.cont, self.onlyincompound)
+
+        for a in self.suffixes:
+            if not misspelled.endswith(a.append):
+                continue
+            if not affix_ok(a):
+                continue
+            stem = root[:len(root) - len(a.strip)] if a.strip else root
+            if a.cond is not None and not a.cond.search(root):
+                continue
+            if a.strip and not root.endswith(a.strip):
+                continue
+            with_suffix = stem + (a.append or
+                                  misspelled[len(misspelled):])
+            result[with_suffix] = None
+            if a.cross:
+                cross_products.append(with_suffix)
+        for a in self.prefixes:
+            if not misspelled.startswith(a.append) or not a.cross:
+                continue
+            if a.flag not in flags:
+                continue
+            for suffixed in cross_products:
+                if a.strip and not suffixed.startswith(a.strip):
+                    continue
+                if a.cond is not None and not a.cond.search(suffixed):
+                    continue
+                result[a.append + suffixed[len(a.strip):]] = None
+        for a in self.prefixes:
+            if not misspelled.startswith(a.append):
+                continue
+            if not affix_ok(a):
+                continue
+            if a.strip and not root.startswith(a.strip):
+                continue
+            if a.cond is not None and not a.cond.search(root):
+                continue
+            result[a.append + root[len(a.strip):]] = None
+        return list(result)[:100]
+
+    def _rank_by_similarity(self, word, expanded):
+        fact = (10.0 - self.max_diff) / 5.0
+        ranked = []
+        for guess, base in expanded:
+            lower = self._to_lower(guess)
+            if lower == word:
+                ranked.append((base + 2000, guess))
+                break
+            re_score = _any_mismatch_ngram(2, word, lower, True) \
+                + _any_mismatch_ngram(2, lower, word, True)
+            score = (2 * _lcs_len(word, lower)
+                     - abs(len(word) - len(lower))
+                     + _common_char_position_score(word, lower)
+                     + _common_prefix(word, lower)
+                     + _any_mismatch_ngram(4, word, lower, False)
+                     + re_score
+                     + (-1000 if re_score < (len(word) + len(lower)) * fact
+                        else 0))
+            ranked.append((score, guess))
+        ranked.sort(key=lambda t: (-t[0], t[1]))
+        return ranked
+
+    def _most_relevant(self, ranked, prev_suggestions) -> list[str]:
+        result: list[str] = []
+        has_excellent = False
+        for score, guess in ranked:
+            if score > 1000:
+                has_excellent = True
+            elif has_excellent:
+                break  # leave only excellent suggestions, if any
+            bad = score < -100
+            if bad and (result or self.only_max_diff):
+                break
+            if not any(p in guess for p in prev_suggestions) \
+                    and not any(r in guess for r in result) \
+                    and self._check_word(guess, None):
+                result.append(guess)
+                if len(result) >= self.max_ngram_suggestions:
+                    break
+            if bad:
+                break
+        return result
+
+def _common_prefix(s1: str, s2: str) -> int:
+    i = 0
+    limit = min(len(s1), len(s2))
+    while i < limit and s1[i] == s2[i]:
+        i += 1
+    return i
+
+
+def _ngram_score(n: int, s1: str, s2: str, weighted: bool) -> int:
+    """GeneratingSuggester.ngramScore."""
+    l1 = len(s1)
+    score = 0
+    last_starts = [0] * l1
+    for j in range(1, n + 1):
+        ns = 0
+        for i in range(l1 - j + 1):
+            if last_starts[i] >= 0:
+                pos = s2.find(s1[i:i + j], last_starts[i])
+                last_starts[i] = pos
+                if pos >= 0:
+                    ns += 1
+                    continue
+            if weighted:
+                ns -= 1
+                if i == 0 or i == l1 - j:
+                    ns -= 1  # side weight
+        score += ns
+        if ns < 2 and not weighted:
+            break
+    return score
+
+
+def _any_mismatch_ngram(n: int, s1: str, s2: str, weighted: bool) -> int:
+    return _ngram_score(n, s1, s2, weighted) \
+        - max(abs(len(s2) - len(s1)) - 2, 0)
+
+
+def _lcs_len(s1: str, s2: str) -> int:
+    lengths = [0] * (len(s2) + 1)
+    for i in range(1, len(s1) + 1):
+        prev = 0
+        for j in range(1, len(s2) + 1):
+            cur = lengths[j]
+            lengths[j] = prev + 1 if s1[i - 1] == s2[j - 1] \
+                else max(cur, lengths[j - 1])
+            prev = cur
+    return lengths[len(s2)]
+
+
+def _common_char_position_score(s1: str, s2: str) -> int:
+    num = 0
+    diff = 0
+    diff_pos = [-1, -1]
+    i = 0
+    for i in range(min(len(s1), len(s2))):
+        if s1[i] == s2[i]:
+            num += 1
+        else:
+            if diff < 2:
+                diff_pos[diff] = i
+            diff += 1
+    common = 1 if num > 0 else 0
+    end = min(len(s1), len(s2))
+    if diff == 2 and end == len(s1) and end == len(s2) \
+            and s1[diff_pos[0]] == s2[diff_pos[1]] \
+            and s1[diff_pos[1]] == s2[diff_pos[0]]:
+        return common + 10
+    return common
 
 
 def _is_number(s: str) -> bool:

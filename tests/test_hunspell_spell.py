@@ -61,3 +61,28 @@ def test_spell_basics():
     assert d.spell("foo.") and d.spell("foo...")    # trailing dots
     assert d.spell("foo-foo")               # default middle break "-"
     assert not d.spell("foo-bar")
+
+
+_SUG_SUITES = [
+    "IJ", "allcaps", "base_utf", "breakdefault", "checksharps",
+    "forceucase", "i58202", "keepcase", "keyDefault", "map",
+    "maxNGramSugsDefault", "ngram", "nosuggest", "oconv",
+    "opentaal_forbiddenword1", "opentaal_forbiddenword2", "ph", "ph2",
+    "rep", "sug", "sug2",
+]
+
+
+@pytest.mark.parametrize("name", _SUG_SUITES)
+def test_suggestion_fixture(name):
+    """TestSpellChecking's .sug protocol: for each .wrong word, the
+    suggestion list (joined ', ') must equal the fixture line."""
+    aff = f"{_T}/{name}.aff"
+    if not os.path.exists(aff):
+        pytest.skip("reference fixtures not available")
+    d = HunspellDictionary(open(aff, "rb").read(),
+                           open(f"{_T}/{name}.dic", "rb").read())
+    wrong = _lines(f"{_T}/{name}.wrong")
+    got = "\n".join(", ".join(d.suggest(w)) for w in wrong
+                    if d.suggest(w))
+    want = open(f"{_T}/{name}.sug", "rb").read().decode("utf-8").strip()
+    assert got == want, name
