@@ -1566,6 +1566,84 @@ stem/Z
         return (spark.createDataFrame(rows, "word string, stem string")
                 .orderBy("word", "stem"))
 
+    def ft_spellchecker(spark, sf):
+        # Classic n-gram SpellChecker (spell/SpellChecker.java — gram1-4
+        # fields, boosted start/end grams, Levenshtein accuracy filter,
+        # suggest modes; reference TestSpellChecker goldens in
+        # tests/test_spellchecker.py).  Dictionary = distinct terms of the
+        # documents index head words, deterministic.
+        from lucene_spark.spellchecker import SpellChecker
+
+        words = ["search", "query", "document", "documents", "language",
+                 "retrieval", "index", "ranking", "quick", "brown",
+                 "analyzer", "token", "tokens", "field", "query-time",
+                 "searcher"]
+        sc = SpellChecker()
+        sc.index_dictionary(sorted(words))
+        probes = ["qick", "documnet", "lenguage", "retrievel", "serch",
+                  "tokn", "search"]
+        rows = []
+        for w in probes:
+            for rank, sug in enumerate(sc.suggest_similar(w, 3)):
+                rows.append((w, rank, sug))
+        return (spark.createDataFrame(
+            rows, "word string, rank int, suggestion string")
+            .orderBy("word", "rank"))
+
+    def ft_confusion(spark, sf):
+        # ConfusionMatrixGenerator (classification/utils/
+        # ConfusionMatrixGenerator.java): the distributed confusion matrix
+        # of the language-id heuristic against the documents' lang column —
+        # one |classes|²-row groupBy regardless of corpus size.
+        from lucene_spark.classify import confusion_matrix_df
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        pred = textops.language_id(docs).select(
+            "doc_id", F.col("lang_pred"))
+        joined = docs.select("doc_id", "lang").join(pred, "doc_id")
+        counts, _cm = confusion_matrix_df(joined, "lang", "lang_pred")
+        return counts.orderBy("actual", "predicted")
+
+    def ft_payload_check(spark, sf):
+        # SpanPayloadCheckQuery (queries/payloads/SpanPayloadCheckQuery.
+        # java): ordered-adjacent span matches gated on per-position
+        # payload comparisons (EQ/GTE/LTE; None = payload must be absent).
+        from lucene_spark.payloads import build_payload_sidecar, \
+            payload_check_docs
+
+        pages = spark.createDataFrame(
+            [(0, "quick|2.0 brown|3.0 fox|4.0"),
+             (1, "quick|1.0 brown|3.0 fox|4.0"),
+             (2, "quick|2.0 red fox|4.0"),
+             (3, "brown|3.0 quick|2.0 fox|4.0"),
+             (4, "quick|2.0 brown|3.0 fox|4.0 quick|9.0 brown|3.0 fox|4.0")],
+            "docid long, text string")
+        sidecar = build_payload_sidecar(pages, stopwords=frozenset())
+        out = []
+        for op in ("eq", "gte", "lte"):
+            df = payload_check_docs(sidecar, ["quick", "brown", "fox"],
+                                    [2.0, 3.0, 4.0], operation=op)
+            out.append(df.select(F.lit(op).alias("op"), "docid",
+                                 "accepted"))
+        res = out[0].union(out[1]).union(out[2])
+        return res.orderBy("op", "docid")
+
+    def ft_dataset_split(spark, sf):
+        # DatasetSplitter (classification/utils/DatasetSplitter.java):
+        # deterministic stratified train/test/cv split — per-(split, lang)
+        # counts are stable across runs because the split is a hash, not a
+        # random sample.
+        from lucene_spark.classify import dataset_splitter
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        train, test, cv = dataset_splitter(docs, 0.2, 0.1, "lang", "doc_id")
+        parts = [train.withColumn("split", F.lit("train")),
+                 test.withColumn("split", F.lit("test")),
+                 cv.withColumn("split", F.lit("cv"))]
+        allp = parts[0].unionByName(parts[1]).unionByName(parts[2])
+        return (allp.groupBy("split", "lang").agg(F.count("*").alias("cnt"))
+                .orderBy("split", "lang"))
+
     def ft_hunspell_spell(spark, sf):
         # Hunspell.spell (hunspell/Hunspell.java:79-130): dictionary
         # compounding (COMPOUNDFLAG + COMPOUNDMIN), FORBIDDENWORD, BREAK,
@@ -4958,7 +5036,8 @@ forty four
         ft_serbian_snowball, ft_thai_analyze, ft_phonetic_all,
         ft_collation_key, ft_beider_morse, ft_hunspell, ft_wikipedia,
         ft_hyphenation_compound, ft_mapping_char, ft_fixed_shingle,
-        ft_pattern_capture, ft_hunspell_spell,
+        ft_pattern_capture, ft_hunspell_spell, ft_spellchecker,
+        ft_confusion, ft_payload_check, ft_dataset_split,
         # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
         # still oracle-checked every run by tests/test_entry_gate.py ----
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -6111,6 +6190,45 @@ ORDER BY i, j""",
         "ft_hunspell": """
 SELECT word, stem FROM (VALUES ('jumping', 'jump'),('jumpinged', 'jump'),('rework', 'work'),('reworked', 'work'),('stem', '<none>'),('stems', '<none>'),('tried', 'try'),('tryed', '<none>'),('work', 'work'),('worked', 'work')) AS t(word, stem)
 ORDER BY word, stem""",
+        "ft_spellchecker": """
+SELECT word, CAST(rank AS INT) AS rank, suggestion
+FROM (VALUES ('qick', 0, 'quick'),('documnet', 0, 'document'),
+  ('documnet', 1, 'documents'),('lenguage', 0, 'language'),
+  ('retrievel', 0, 'retrieval'),('serch', 0, 'search'),
+  ('serch', 1, 'searcher'),('tokn', 0, 'token'),
+  ('search', 0, 'searcher')) AS t(word, rank, suggestion)
+ORDER BY word, rank""",
+        "ft_confusion": f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+              FROM documents),
+st AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         count(CASE WHEN t IN ({_STOPS_SQL}) THEN 1 END) AS n_stop
+  FROM toks GROUP BY doc_id
+),
+pred AS (
+  SELECT doc_id,
+         CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens >= 0.05
+              THEN 'en' ELSE 'unk' END AS lang_pred
+  FROM st
+)
+SELECT d.lang AS actual, p.lang_pred AS predicted, COUNT(*) AS cnt
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY d.lang, p.lang_pred
+ORDER BY actual, predicted""",
+        "ft_payload_check": """
+SELECT op, CAST(docid AS BIGINT) AS docid, CAST(accepted AS INT) AS accepted
+FROM (VALUES ('eq', 0, 1),('eq', 4, 1),('gte', 0, 1),('gte', 4, 2),
+  ('lte', 0, 1),('lte', 1, 1),('lte', 4, 1)) AS t(op, docid, accepted)
+ORDER BY op, docid""",
+        "ft_dataset_split": """
+SELECT split, lang, CAST(cnt AS BIGINT) AS cnt
+FROM (VALUES ('cv','de',7),('cv','en',20),('cv','es',6),('cv','fr',3),
+  ('cv','zh',5),('test','de',15),('test','en',42),('test','es',18),
+  ('test','fr',12),('test','zh',15),('train','de',48),('train','en',156),
+  ('train','es',49),('train','fr',49),('train','zh',55))
+  AS t(split, lang, cnt)
+ORDER BY split, lang""",
         "ft_hunspell_spell": """
 SELECT word, ok FROM (VALUES ('4,2', true),('42', true),
   ('MCDONALD', false),('McDonald', true),('barfoo', true),('baz', false),

@@ -439,3 +439,92 @@ def classify_boolean_perceptron(
         [(bool(output >= bias), int(output), float(score))],
         "assigned boolean, output long, score double",
     )
+
+
+# ---------------- classification/utils: evaluation + dataset splitting
+
+
+class ConfusionMatrix:
+    """ConfusionMatrixGenerator.ConfusionMatrix (classification/utils/
+    ConfusionMatrixGenerator.java:120-260): linearized {actual:
+    {predicted: count}} with the reference's accuracy (including its
+    per-class true-negative counting), precision, recall, and F-1."""
+
+    def __init__(self, rows):
+        """rows: iterable of (actual, predicted, count)."""
+        self.matrix: dict[str, dict[str, int]] = {}
+        for actual, predicted, count in rows:
+            self.matrix.setdefault(actual, {})[predicted] = \
+                self.matrix.get(actual, {}).get(predicted, 0) + int(count)
+
+    def precision(self, klass: str) -> float:
+        classifications = self.matrix.get(klass)
+        tp = den = 0.0
+        if classifications is not None:
+            tp = float(classifications.get(klass, 0))
+            for values in self.matrix.values():
+                den += values.get(klass, 0)
+        return tp / den if tp > 0 else 0.0
+
+    def recall(self, klass: str) -> float:
+        classifications = self.matrix.get(klass)
+        tp = fn = 0.0
+        if classifications is not None:
+            for pred, count in classifications.items():
+                if pred == klass:
+                    tp += count
+                else:
+                    fn += count
+        return tp / (tp + fn) if tp + fn > 0 else 0.0
+
+    def f1(self, klass: str) -> float:
+        r, p = self.recall(klass), self.precision(klass)
+        return 2 * p * r / (p + r) if p > 0 and r > 0 else 0.0
+
+    def accuracy(self) -> float:
+        tp = tn = tfp = fn = 0.0
+        for klass, classifications in self.matrix.items():
+            for pred, count in classifications.items():
+                if pred == klass:
+                    tp += count
+                else:
+                    fn += count
+            for values in self.matrix.values():
+                if klass in values:
+                    tfp += values[klass]
+                else:
+                    tn += 1
+        return (tp + tn) / (tfp + fn + tn) if tfp + fn + tn else 0.0
+
+
+def confusion_matrix_df(df, actual_col: str, predicted_col: str):
+    """The distributed half of ConfusionMatrixGenerator: one groupBy over
+    (actual, predicted) — the matrix is |classes|² rows regardless of
+    corpus size.  Returns (DataFrame[actual, predicted, cnt],
+    ConfusionMatrix)."""
+    from pyspark.sql import functions as F
+
+    counts = (df.groupBy(F.col(actual_col).alias("actual"),
+                         F.col(predicted_col).alias("predicted"))
+              .agg(F.count("*").alias("cnt"))
+              .orderBy("actual", "predicted"))
+    cm = ConfusionMatrix((r["actual"], r["predicted"], r["cnt"])
+                         for r in counts.collect())
+    return counts, cm
+
+
+def dataset_splitter(df, test_ratio: float, cv_ratio: float,
+                     class_col: str, id_col: str):
+    """DatasetSplitter (classification/utils/DatasetSplitter.java:45-150):
+    stratified train/test/cross-validation split — each class contributes
+    its own fractions.  Deterministic (hash of the id column, not a random
+    split), so re-runs and resumes see identical partitions; a pure
+    projection per output, no shuffle."""
+    from pyspark.sql import functions as F
+
+    bucket = (F.pmod(F.xxhash64(F.col(id_col), F.col(class_col)), 1000000)
+              / 1000000.0)
+    test = df.filter(bucket < test_ratio)
+    cv = df.filter((bucket >= test_ratio) & (bucket < test_ratio + cv_ratio))
+    train = df.filter(bucket >= test_ratio + cv_ratio)
+    return train, test, cv

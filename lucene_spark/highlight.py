@@ -150,3 +150,107 @@ def unified_passages(
     return docs_with_text.select(id_col, text_col).mapInPandas(
         run, schema=f"{id_col} {id_type}, start long, score double, snippet string"
     )
+
+
+# --------- UnifiedHighlighter break iterators (passage boundary sources)
+
+
+def whole_boundaries(text: str) -> list[int]:
+    """WholeBreakIterator: the entire text is one passage."""
+    return [0, len(text)]
+
+
+def custom_separator_boundaries(text: str, sep: str) -> list[int]:
+    """CustomSeparatorBreakIterator (postingshighlight/
+    CustomSeparatorBreakIterator.java): a boundary AFTER every separator
+    char, plus the text edges."""
+    bounds = [0]
+    for i, c in enumerate(text):
+        if c == sep:
+            bounds.append(i + 1)
+    if bounds[-1] != len(text):
+        bounds.append(len(text))
+    return bounds
+
+
+def sentence_boundaries(text: str) -> list[int]:
+    """The engine's documented getSentenceInstance subset (terminator run +
+    whitespace) as a boundary list."""
+    bounds = [0]
+    for m in _SENT_RE.finditer(text):
+        bounds.append(m.end())
+    if bounds[-1] != len(text):
+        bounds.append(len(text))
+    return bounds
+
+
+def length_goal_passage(boundaries: list[int], content_length: int,
+                        start: int, end: int, length_goal: int,
+                        alignment: float = 0.0, minimum: bool = False,
+                        last_passage_end: int = 0,
+                        custom_separator: bool = True) -> tuple[int, int]:
+    """LengthGoalBreakIterator (uhighlight/LengthGoalBreakIterator.java:
+    100-170) driven exactly like FieldHighlighter.java:165-185: the
+    passage around a match [start, end) targets ``length_goal`` chars,
+    positioned by ``alignment`` (0 = match at the start); ``minimum``
+    never undershoots the goal (createMinLength) while the default picks
+    the closest base boundary (createClosestToLength).
+
+    ``custom_separator=True`` reproduces CustomSeparatorBreakIterator's
+    CharacterIterator off-by-ones (its following(pos) starts scanning at
+    pos+1 so a separator AT pos is skipped, and its preceding(pos) may
+    return pos itself) — the reference tests' observable behavior hinges
+    on them.  False gives the standard strict <' / '> boundary contract
+    for regex-derived boundary lists."""
+    if not 0.0 <= alignment <= 1.0:
+        raise ValueError("fragmentAlignment must be in [0, 1]")
+    internal = [b for b in boundaries if 0 < b < content_length]
+
+    if custom_separator:
+        def following(pos):
+            c = [b for b in internal if b >= pos + 2]
+            return min(c) if c else content_length
+
+        def preceding(pos):
+            c = [b for b in internal if b <= pos]
+            return max(c) if c else 0
+    else:
+        def following(pos):
+            c = [b for b in internal if b > pos]
+            return min(c) if c else content_length
+
+        def preceding(pos):
+            c = [b for b in internal if b < pos]
+            return max(c) if c else 0
+
+    def bi_following(match_end_index):
+        target = (match_end_index + 1) + int(length_goal * (1.0 - alignment))
+        if target >= content_length:
+            return content_length
+        after = following(target - 1)
+        if after == target or minimum:
+            return after
+        before = preceding(target)
+        if target - before < after - target and before > match_end_index:
+            return before
+        return after
+
+    def bi_preceding(match_start_index):
+        target = (match_start_index - 1) - int(length_goal * alignment)
+        if target <= 0:
+            return 0
+        before = preceding(target + 1)
+        if before == target or minimum:
+            return before
+        after = following(target - 1)
+        if after - target < target - before and after < match_start_index:
+            return after
+        return before
+
+    # FieldHighlighter: fragment from the middle of the match
+    center = start + (end - start) // 2
+    p_start = min(start, max(bi_preceding(max(start + 1, center)),
+                             last_passage_end))
+    p_end = max(end, min(bi_following(min(end - 1, center)),
+                         content_length))
+    return p_start, p_end

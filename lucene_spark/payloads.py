@@ -251,3 +251,79 @@ def payload_score_topk(
     scores = np.array([r["score"] for r in out], dtype=np.float64)
     order = np.lexsort((docids, -scores))[:k]
     return TopDocs(docids[order], scores[order])
+
+
+_PAYLOAD_OPS = {
+    "eq": lambda a, b: a == b,
+    "gt": lambda a, b: a > b,
+    "gte": lambda a, b: a >= b,
+    "lt": lambda a, b: a < b,
+    "lte": lambda a, b: a <= b,
+}
+
+
+def payload_check_docs(
+    sidecar: DataFrame,
+    terms: list[str],
+    payload_to_match: list[float | None],
+    operation: str = "eq",
+) -> DataFrame:
+    """SpanPayloadCheckQuery (queries/payloads/SpanPayloadCheckQuery.java:
+    80-240): keep docs where some ordered-adjacent occurrence of ``terms``
+    carries payloads matching ``payload_to_match`` position-by-position
+    under ``operation`` (EQ/GT/GTE/LT/LTE; None in the reference list
+    requires an ABSENT payload, PayloadChecker.collectLeaf).  Sidecar
+    floats are the decoded payloads; docs are returned with the count of
+    accepted spans.  One term-pruned scan + one Arrow pass — scale-safe."""
+    if operation not in _PAYLOAD_OPS:
+        raise ValueError(f"operation must be one of {sorted(_PAYLOAD_OPS)}")
+    if len(payload_to_match) != len(terms):
+        raise ValueError("payloadToMatch must align with the span terms")
+    op = _PAYLOAD_OPS[operation]
+    want = list(payload_to_match)
+    term_list = list(terms)
+    rows = sidecar.filter(F.col("term").isin(term_list))
+    schema = "docid long, accepted int"
+
+    def check(pdfs):
+        import pandas as pd
+
+        for pdf in pdfs:
+            out_docs, out_cnt = [], []
+            for docid, grp in pdf.groupby("docid"):
+                per_term = {}
+                for _, r in grp.iterrows():
+                    per_term[r["term"]] = dict(
+                        zip(list(r["positions"]), list(r["payloads"])))
+                first = per_term.get(term_list[0])
+                if first is None:
+                    continue
+                accepted = 0
+                for p0 in first:
+                    ok = True
+                    for j, t in enumerate(term_list):
+                        pos_map = per_term.get(t)
+                        if pos_map is None or (p0 + j) not in pos_map:
+                            ok = False
+                            break
+                        got = pos_map[p0 + j]
+                        ref = want[j]
+                        # an absent payload arrives as None or NaN
+                        # (float32 through Arrow), never a float subclass
+                        absent = got is None or got != got
+                        if ref is None:
+                            ok = absent
+                        elif absent:
+                            ok = False
+                        else:
+                            ok = op(float(got), float(ref))
+                        if not ok:
+                            break
+                    if ok:
+                        accepted += 1
+                if accepted:
+                    out_docs.append(docid)
+                    out_cnt.append(accepted)
+            yield pd.DataFrame({"docid": out_docs, "accepted": out_cnt})
+
+    return rows.mapInPandas(check, schema)

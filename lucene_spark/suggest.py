@@ -645,3 +645,70 @@ def blended_infix_suggest(
     if tie_col is not None:
         order.append(F.col(tie_col).asc())
     return out.orderBy(*order).limit(num)
+
+
+def suggest_stop_filter(tokens, end_offsets, final_offset, stopwords):
+    """SuggestStopFilter (suggest/analyzing/SuggestStopFilter.java:40-105):
+    stopwords are removed EXCEPT a trailing stopword that ends exactly at
+    the end of the input (the user may still be typing it) — that one is
+    kept and keyword-marked.  Returns (tokens, keyword_flags)."""
+    stops = frozenset(stopwords)
+    out, flags = [], []
+    for i, t in enumerate(tokens):
+        if t not in stops:
+            out.append(t)
+            flags.append(False)
+            continue
+        last = i == len(tokens) - 1
+        if last and end_offsets[i] == final_offset:
+            out.append(t)
+            flags.append(True)
+    return out, flags
+
+
+def analyzing_suggest(entries, query, analyzer_tokens, num: int,
+                      exact_first: bool = True, preserve_sep: bool = True):
+    """AnalyzingSuggester (suggest/analyzing/AnalyzingSuggester.java:
+    80-220): completions keyed by the ANALYZED form of each surface (so
+    stopword/case differences still match), duplicate surfaces keep their
+    max weight, results ordered by weight desc (ties: surface asc), and
+    with EXACT_FIRST an exact analyzed match outranks higher-weighted
+    longer completions.  ``analyzer_tokens``: str -> token list.  The
+    completion table is dictionary-sized (one groupBy at corpus scale)."""
+    sep = "\x1f" if preserve_sep else ""
+    table: dict[str, dict[str, float]] = {}
+    for surface, weight in entries:
+        key = sep.join(analyzer_tokens(surface))
+        d = table.setdefault(key, {})
+        if surface not in d or weight > d[surface]:
+            d[surface] = weight
+    qkey = sep.join(analyzer_tokens(query))
+    exact, rest = [], []
+    for key, surfaces in table.items():
+        if not key.startswith(qkey):
+            continue
+        bucket = exact if (exact_first and key == qkey) else rest
+        bucket.extend(surfaces.items())
+    exact.sort(key=lambda t: (-t[1], t[0]))
+    rest.sort(key=lambda t: (-t[1], t[0]))
+    return (exact + rest)[:num]
+
+
+def context_suggest(entries, prefix: str, contexts: dict[str, float] | None,
+                    num: int):
+    """ContextQuery + ContextSuggestField (suggest/document/ContextQuery.
+    java, ContextSuggestField.java): completions carry context labels; a
+    lookup filters to the requested contexts and scores weight × context
+    boost (TestContextQuery.testSimpleContextQuery).  ``contexts`` None
+    matches ALL contexts with boost 1.  ``entries``: (surface, weight,
+    context) triples."""
+    out = []
+    for surface, weight, ctx in entries:
+        if not surface.startswith(prefix):
+            continue
+        if contexts is None:
+            out.append((surface, ctx, float(weight)))
+        elif ctx in contexts:
+            out.append((surface, ctx, float(weight) * contexts[ctx]))
+    out.sort(key=lambda t: (-t[2], t[0]))
+    return out[:num]
