@@ -344,6 +344,96 @@ def parse_query(q: str, default_field: str = "text", fields=None) -> tuple:
     return _Parser(q, default_field, fields).parse()
 
 
+class _PrecedenceParser(_Parser):
+    """PrecedenceQueryParser (queryparser/flexible/precedence/
+    PrecedenceQueryParser.java + BooleanModifiersQueryNodeProcessor):
+    unlike the classic parser, AND binds tighter than OR, and OR binds
+    tighter than juxtaposition — 'A AND B OR C AND D' groups as
+    (+A +B) (+C +D) (TestPrecedenceQueryParser.testPrecedence).  Explicit
+    +/-/NOT modifiers stick to their atom through the grouping."""
+
+    def __init__(self, q, default_field="text", fields=None,
+                 operator: str = "or"):
+        super().__init__(q, default_field, fields)
+        self.default_must = operator == "and"
+
+    def _parse_level(self) -> tuple | None:
+        items: list[list] = []  # [connector, explicit_occur, node]
+        next_occur = None
+        connector = None
+        while True:
+            kind, _text = self.peek()
+            if kind in ("eof", "rp"):
+                break
+            if kind == "andop":
+                self.next()
+                connector = "and"
+                continue
+            if kind == "orop":
+                self.next()
+                connector = "or"
+                continue
+            if kind in ("notop", "minus"):
+                self.next()
+                next_occur = MUST_NOT
+                continue
+            if kind == "plus":
+                self.next()
+                next_occur = MUST
+                continue
+            atom = self._parse_atom()
+            if atom is None:
+                next_occur = None
+                continue
+            items.append([connector, next_occur, atom])
+            next_occur = None
+            connector = None
+        if not items:
+            return None
+        # 1) AND runs → MUST groups (explicit modifiers win)
+        and_groups: list[list] = []
+        for it in items:
+            if it[0] == "and" and and_groups:
+                and_groups[-1].append(it)
+            else:
+                and_groups.append([it])
+        or_units: list[list] = []
+        for g in and_groups:
+            if len(g) == 1:
+                or_units.append([g[0][0], g[0][1], g[0][2]])
+            else:
+                clauses = [(it[1] if it[1] is not None else MUST, it[2])
+                           for it in g]
+                or_units.append([g[0][0], None, self._combine(clauses)])
+        # 2) OR runs → SHOULD groups
+        or_groups: list[list] = []
+        for u in or_units:
+            if u[0] == "or" and or_groups:
+                or_groups[-1].append(u)
+            else:
+                or_groups.append([u])
+        default_occur = MUST if self.default_must else SHOULD
+        top: list[tuple[int, tuple]] = []
+        for g in or_groups:
+            if len(g) == 1:
+                occ = g[0][1] if g[0][1] is not None else default_occur
+                top.append((occ, g[0][2]))
+            else:
+                clauses = [(it[1] if it[1] is not None else SHOULD, it[2])
+                           for it in g]
+                top.append((default_occur, self._combine(clauses)))
+        if len(top) == 1 and top[0][0] != MUST_NOT:
+            return top[0][1]
+        return self._combine(top)
+
+
+def precedence_parse(q: str, default_field: str = "text", fields=None,
+                     operator: str = "or") -> tuple:
+    """Parse with PrecedenceQueryParser semantics (AND > OR >
+    juxtaposition); same AST contract as :func:`parse_query`."""
+    return _PrecedenceParser(q, default_field, fields, operator).parse()
+
+
 def multi_phrase(members: list) -> tuple:
     """MultiPhraseQuery builder: ``members`` is a list of positions, each a
     term or a list of alternative terms (MultiPhraseQuery.Builder.add(Term[]),
