@@ -1566,6 +1566,29 @@ stem/Z
         return (spark.createDataFrame(rows, "word string, stem string")
                 .orderBy("word", "stem"))
 
+    def ft_range_field(spark, sf):
+        # RangeFieldQuery (document/RangeFieldQuery.java — IntRange/
+        # LongRange/DoubleRange docs ARE ranges) under all four relations,
+        # pure Catalyst interval algebra (sargable, no UDF).
+        from lucene_spark.rangefield import range_field_query
+
+        orders = spark.read.parquet(f"{sf}/orders.parquet")
+        ranges = orders.select(
+            F.col("o_orderkey").alias("doc_id"),
+            (F.col("o_orderkey") % 1000).cast("long").alias("lo"),
+            ((F.col("o_orderkey") % 1000)
+             + (F.col("o_orderkey") % 50)).cast("long").alias("hi"))
+        out = None
+        for rel in ("intersects", "within", "contains", "crosses"):
+            ids = range_field_query(ranges, ["lo"], ["hi"], [100], [160],
+                                    relation=rel)
+            agg = ids.agg(F.count("*").alias("cnt"),
+                          F.coalesce(F.sum("doc_id"), F.lit(0))
+                          .alias("id_sum")).select(
+                F.lit(rel).alias("relation"), "cnt", "id_sum")
+            out = agg if out is None else out.union(agg)
+        return out.orderBy("relation")
+
     def ft_spellchecker(spark, sf):
         # Classic n-gram SpellChecker (spell/SpellChecker.java — gram1-4
         # fields, boosted start/end grams, Levenshtein accuracy filter,
@@ -5036,7 +5059,8 @@ forty four
         ft_serbian_snowball, ft_thai_analyze, ft_phonetic_all,
         ft_collation_key, ft_beider_morse, ft_hunspell, ft_wikipedia,
         ft_hyphenation_compound, ft_mapping_char, ft_fixed_shingle,
-        ft_pattern_capture, ft_hunspell_spell, ft_spellchecker,
+        ft_pattern_capture, ft_hunspell_spell, ft_range_field,
+        ft_spellchecker,
         ft_confusion, ft_payload_check, ft_dataset_split,
         # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
         # still oracle-checked every run by tests/test_entry_gate.py ----
@@ -6190,6 +6214,29 @@ ORDER BY i, j""",
         "ft_hunspell": """
 SELECT word, stem FROM (VALUES ('jumping', 'jump'),('jumpinged', 'jump'),('rework', 'work'),('reworked', 'work'),('stem', '<none>'),('stems', '<none>'),('tried', 'try'),('tryed', '<none>'),('work', 'work'),('worked', 'work')) AS t(word, stem)
 ORDER BY word, stem""",
+        "ft_range_field": """
+WITH ranges AS (
+  SELECT o_orderkey AS doc_id,
+         CAST(o_orderkey % 1000 AS BIGINT) AS lo,
+         CAST((o_orderkey % 1000) + (o_orderkey % 50) AS BIGINT) AS hi
+  FROM orders
+), rels AS (
+  SELECT 'intersects' AS relation, doc_id FROM ranges
+   WHERE hi >= 100 AND lo <= 160
+  UNION ALL
+  SELECT 'within', doc_id FROM ranges WHERE lo >= 100 AND hi <= 160
+  UNION ALL
+  SELECT 'contains', doc_id FROM ranges WHERE lo <= 100 AND hi >= 160
+  UNION ALL
+  SELECT 'crosses', doc_id FROM ranges
+   WHERE (hi >= 100 AND lo <= 160)
+     AND NOT (lo >= 100 AND hi <= 160) AND NOT (lo <= 100 AND hi >= 160)
+), base AS (SELECT unnest(['intersects','within','contains','crosses'])
+            AS relation)
+SELECT b.relation, COUNT(r.doc_id) AS cnt,
+       CAST(COALESCE(SUM(r.doc_id), 0) AS BIGINT) AS id_sum
+FROM base b LEFT JOIN rels r ON b.relation = r.relation
+GROUP BY b.relation ORDER BY b.relation""",
         "ft_spellchecker": """
 SELECT word, CAST(rank AS INT) AS rank, suggestion
 FROM (VALUES ('qick', 0, 'quick'),('documnet', 0, 'document'),

@@ -528,3 +528,32 @@ def dataset_splitter(df, test_ratio: float, cv_ratio: float,
     cv = df.filter((bucket >= test_ratio) & (bucket < test_ratio + cv_ratio))
     train = df.filter(bucket >= test_ratio + cv_ratio)
     return train, test, cv
+
+
+def doc_term_freq_vectors(docs, vocab=None, id_col: str = "doc_id",
+                          text_col: str = "text"):
+    """DocToDoubleVectorUtils (classification/utils/DocToDoubleVectorUtils
+    .java): per-doc term-frequency vectors.  With ``vocab`` (the field's
+    term list, term order) the vector is the vocabulary-aligned sparse
+    form (toSparseLocalFreqDoubleArray); without it, the doc's own sorted
+    terms (toDenseLocalFreqDoubleArray).  One Arrow pass, no shuffle; the
+    vocabulary is broadcast-sized."""
+    from pyspark.sql import functions as F
+
+    toks = docs.select(
+        id_col,
+        F.expr(rf"filter(split(lower({text_col}), '[^a-z0-9]+'), "
+               rf"x -> x <> '')").alias("toks"))
+    if vocab is None:
+        return toks.select(
+            id_col,
+            F.expr("array_sort(array_distinct(toks))").alias("terms"),
+            F.expr("transform(array_sort(array_distinct(toks)), k -> "
+                   "cast(size(filter(toks, x -> x = k)) as double))")
+            .alias("vector"))
+    arr = ", ".join("'" + v.replace("'", "''") + "'" for v in vocab)
+    return toks.select(
+        id_col,
+        F.expr(f"transform(array({arr}), v -> "
+               "cast(size(filter(toks, x -> x = v)) as double))")
+        .alias("vector"))

@@ -327,3 +327,42 @@ def payload_check_docs(
             yield pd.DataFrame({"docid": out_docs, "accepted": out_cnt})
 
     return rows.mapInPandas(check, schema)
+
+
+def payload_span_util(sidecar: DataFrame, terms: list[str]) -> DataFrame:
+    """PayloadSpanUtil (queries/payloads/PayloadSpanUtil.java:50-120):
+    collect the payloads at every matched position of an ordered-adjacent
+    span — (docid, position, term, payload) rows for the span's member
+    terms where the full span matches at that start position."""
+    term_list = list(terms)
+    rows = sidecar.filter(F.col("term").isin(term_list))
+    schema = "docid long, position int, term string, payload float"
+
+    def collect(pdfs):
+        import pandas as pd
+
+        for pdf in pdfs:
+            out = {"docid": [], "position": [], "term": [], "payload": []}
+            for docid, grp in pdf.groupby("docid"):
+                per_term = {}
+                for _, r in grp.iterrows():
+                    per_term[r["term"]] = dict(
+                        zip(list(r["positions"]), list(r["payloads"])))
+                first = per_term.get(term_list[0])
+                if first is None:
+                    continue
+                for p0 in sorted(first):
+                    positions = [p0 + j for j in range(len(term_list))]
+                    if all(t in per_term and p in per_term[t]
+                           for t, p in zip(term_list, positions)):
+                        for t, p in zip(term_list, positions):
+                            pay = per_term[t][p]
+                            out["docid"].append(docid)
+                            out["position"].append(int(p))
+                            out["term"].append(t)
+                            out["payload"].append(
+                                None if pay is None or pay != pay
+                                else float(pay))
+            yield pd.DataFrame(out)
+
+    return rows.mapInPandas(collect, schema)

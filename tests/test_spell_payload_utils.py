@@ -151,3 +151,40 @@ def test_context_query():
     # filtering
     assert context_suggest(ents, "sugg", {"type2": 1}, 5) == [
         ("suggestion2", "type2", 7.0)]
+
+
+@pytest.mark.spark
+def test_doc_term_freq_vectors(spark):
+    from lucene_spark.classify import doc_term_freq_vectors
+
+    docs = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "dog dog dog")],
+        "doc_id long, text string")
+    dense = {r["doc_id"]: (r["terms"], r["vector"])
+             for r in doc_term_freq_vectors(docs).collect()}
+    assert dense[0][0] == ["cat", "mat", "on", "sat", "the"]
+    assert dense[0][1] == [1.0, 1.0, 1.0, 1.0, 2.0]
+    assert dense[1] == (["dog"], [3.0])
+    sparse = {r["doc_id"]: r["vector"] for r in doc_term_freq_vectors(
+        docs, vocab=["cat", "dog", "the"]).collect()}
+    assert sparse[0] == [1.0, 0.0, 2.0]
+    assert sparse[1] == [0.0, 3.0, 0.0]
+
+
+@pytest.mark.spark
+def test_payload_span_util(spark):
+    from lucene_spark.payloads import build_payload_sidecar, \
+        payload_span_util
+
+    pages = spark.createDataFrame(
+        [(0, "quick|2.0 brown|3.0 fox quick|9.0 brown|8.0"),
+         (1, "brown|1.0 quick|1.0")],
+        "docid long, text string")
+    sidecar = build_payload_sidecar(pages, stopwords=frozenset())
+    rows = sorted((r["docid"], r["position"], r["term"], r["payload"])
+                  for r in payload_span_util(
+                      sidecar, ["quick", "brown"]).collect())
+    # doc 0 matches the span twice (positions 0-1 and 3-4); doc 1 has the
+    # terms out of order → no rows
+    assert rows == [(0, 0, "quick", 2.0), (0, 1, "brown", 3.0),
+                    (0, 3, "quick", 9.0), (0, 4, "brown", 8.0)]
