@@ -1566,6 +1566,30 @@ stem/Z
         return (spark.createDataFrame(rows, "word string, stem string")
                 .orderBy("word", "stem"))
 
+    def ft_monitor_queries(spark, sf):
+        # Full-query Monitor (monitor/TermFilteredPresearcher.java +
+        # CandidateMatcher): presearcher broadcast join filters candidate
+        # (query, doc) pairs, each verified against a single-document
+        # MemoryIndex — phrases, wildcards, and negation included.
+        from lucene_spark.monitor import monitor_match_queries
+
+        docs = spark.createDataFrame([
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "a slow green turtle walks past"),
+            (2, "quick quick brown bears"),
+            (3, "exact phrase matching works here"),
+        ], "doc_id long, text string")
+        queries = [
+            ("q_and", "quick AND brown"),
+            ("q_phrase", '"exact phrase"'),
+            ("q_or", "turtle fox"),
+            ("q_wild", "bear*"),
+            ("q_neg", "quick -bears"),
+            ("q_none", "zebra AND quick"),
+        ]
+        out = monitor_match_queries(spark, docs, queries)
+        return out.select("qid", "doc_id").orderBy("qid", "doc_id")
+
     def ft_range_field(spark, sf):
         # RangeFieldQuery (document/RangeFieldQuery.java — IntRange/
         # LongRange/DoubleRange docs ARE ranges) under all four relations,
@@ -5059,7 +5083,8 @@ forty four
         ft_serbian_snowball, ft_thai_analyze, ft_phonetic_all,
         ft_collation_key, ft_beider_morse, ft_hunspell, ft_wikipedia,
         ft_hyphenation_compound, ft_mapping_char, ft_fixed_shingle,
-        ft_pattern_capture, ft_hunspell_spell, ft_range_field,
+        ft_pattern_capture, ft_hunspell_spell, ft_monitor_queries,
+        ft_range_field,
         ft_spellchecker,
         ft_confusion, ft_payload_check, ft_dataset_split,
         # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
@@ -6214,6 +6239,34 @@ ORDER BY i, j""",
         "ft_hunspell": """
 SELECT word, stem FROM (VALUES ('jumping', 'jump'),('jumpinged', 'jump'),('rework', 'work'),('reworked', 'work'),('stem', '<none>'),('stems', '<none>'),('tried', 'try'),('tryed', '<none>'),('work', 'work'),('worked', 'work')) AS t(word, stem)
 ORDER BY word, stem""",
+        "ft_monitor_queries": """
+WITH docs(doc_id, text) AS (VALUES
+  (0, 'the quick brown fox jumps over the lazy dog'),
+  (1, 'a slow green turtle walks past'),
+  (2, 'quick quick brown bears'),
+  (3, 'exact phrase matching works here')),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM docs),
+matches AS (
+  SELECT 'q_and' AS qid, doc_id FROM docs
+   WHERE doc_id IN (SELECT doc_id FROM toks WHERE t = 'quick')
+     AND doc_id IN (SELECT doc_id FROM toks WHERE t = 'brown')
+  UNION ALL
+  SELECT 'q_phrase', doc_id FROM docs
+   WHERE text LIKE '%exact phrase%'
+  UNION ALL
+  SELECT 'q_or', doc_id FROM docs
+   WHERE doc_id IN (SELECT doc_id FROM toks
+                    WHERE t IN ('turtle', 'fox'))
+  UNION ALL
+  SELECT 'q_wild', doc_id FROM docs
+   WHERE doc_id IN (SELECT doc_id FROM toks WHERE t LIKE 'bear%')
+  UNION ALL
+  SELECT 'q_neg', doc_id FROM docs
+   WHERE doc_id IN (SELECT doc_id FROM toks WHERE t = 'quick')
+     AND doc_id NOT IN (SELECT doc_id FROM toks WHERE t = 'bears')
+)
+SELECT qid, CAST(doc_id AS BIGINT) AS doc_id FROM matches
+ORDER BY qid, doc_id""",
         "ft_range_field": """
 WITH ranges AS (
   SELECT o_orderkey AS doc_id,
