@@ -86,3 +86,33 @@ def test_suggestion_fixture(name):
                     if d.suggest(w))
     want = open(f"{_T}/{name}.sug", "rb").read().decode("utf-8").strip()
     assert got == want, name
+
+
+@pytest.mark.parametrize("name", [
+    "base", "base_utf", "keepcase", "allcaps", "rep", "forceucase",
+    "checksharps", "map", "sug", "sug2", "nosuggest", "ngram",
+])
+def test_suggestions_always_spell(name):
+    """Invariant: every suggestion for a misspelled word must itself
+    spell (the reference's suggesters verify candidates through the same
+    speller before emitting them)."""
+    aff = f"{_T}/{name}.aff"
+    if not os.path.exists(aff):
+        pytest.skip("reference fixtures not available")
+    d = HunspellDictionary(open(aff, "rb").read(),
+                           open(f"{_T}/{name}.dic", "rb").read())
+    if d.oconv:
+        pytest.skip("OCONV rewrites output tokens before spelling")
+    wrong_path = f"{_T}/{name}.wrong"
+    if not os.path.exists(wrong_path):
+        pytest.skip("no .wrong fixture")
+    for word in _lines(wrong_path):
+        for sug in d.suggest(word):
+            # split suggestions are verified part-wise by the
+            # reference; case-adjusted space candidates skip the final
+            # spell check (Hunspell.adjustSuggestionCase), so accept the
+            # lowercase form too
+            for chunk in sug.replace("-", " ").split(" "):
+                if chunk:
+                    assert d.spell(chunk) or d.spell(chunk.lower()), \
+                        (name, word, sug, chunk)
