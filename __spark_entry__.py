@@ -1566,6 +1566,20 @@ stem/Z
         return (spark.createDataFrame(rows, "word string, stem string")
                 .orderBy("word", "stem"))
 
+    def ft_precedence_qp(spark, sf):
+        # PrecedenceQueryParser (queryparser/flexible/precedence): AND
+        # binds tighter than OR — 'table AND hash OR dup' scores as the
+        # disjunction of the (+table +hash) group and the dup term.
+        from lucene_spark.search import precedence_parse
+
+        node = precedence_parse("table AND hash OR dup")
+        idx = _ft_index(spark, sf)
+        td = search(idx, node, k=10, precision="float64", prune=True)
+        rows = [(int(d), int(math.floor(s * 10000)))
+                for d, s in zip(td.docids.tolist(), td.scores.tolist())]
+        return spark.createDataFrame(rows or [],
+                                     "doc_id long, score_q long")
+
     def ft_monitor_queries(spark, sf):
         # Full-query Monitor (monitor/TermFilteredPresearcher.java +
         # CandidateMatcher): presearcher broadcast join filters candidate
@@ -5083,7 +5097,8 @@ forty four
         ft_serbian_snowball, ft_thai_analyze, ft_phonetic_all,
         ft_collation_key, ft_beider_morse, ft_hunspell, ft_wikipedia,
         ft_hyphenation_compound, ft_mapping_char, ft_fixed_shingle,
-        ft_pattern_capture, ft_hunspell_spell, ft_monitor_queries,
+        ft_pattern_capture, ft_hunspell_spell, ft_precedence_qp,
+        ft_monitor_queries,
         ft_range_field,
         ft_spellchecker,
         ft_confusion, ft_payload_check, ft_dataset_split,
@@ -6239,6 +6254,34 @@ ORDER BY i, j""",
         "ft_hunspell": """
 SELECT word, stem FROM (VALUES ('jumping', 'jump'),('jumpinged', 'jump'),('rework', 'work'),('reworked', 'work'),('stem', '<none>'),('stems', '<none>'),('tried', 'try'),('tryed', '<none>'),('work', 'work'),('worked', 'work')) AS t(word, stem)
 ORDER BY word, stem""",
+        "ft_precedence_qp": _FT_PRELUDE + """,
+ts AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) AS w,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (s.sttf / s.n))) AS inv,
+         tf.tf AS tf
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term IN ('table', 'hash', 'dup')
+),
+per_term AS (
+  SELECT doc_id, term, w - w / (1.0 + tf * inv) AS s FROM ts
+),
+agg AS (
+  SELECT doc_id,
+         MAX(CASE WHEN term = 'table' THEN 1 ELSE 0 END) AS has_t,
+         MAX(CASE WHEN term = 'hash' THEN 1 ELSE 0 END) AS has_h,
+         MAX(CASE WHEN term = 'dup' THEN 1 ELSE 0 END) AS has_d,
+         SUM(CASE WHEN term IN ('table', 'hash') THEN s ELSE 0 END) AS s_th,
+         SUM(CASE WHEN term = 'dup' THEN s ELSE 0 END) AS s_d
+  FROM per_term GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(floor((CASE WHEN has_t = 1 AND has_h = 1 THEN s_th ELSE 0 END
+                   + s_d) * 10000) AS BIGINT) AS score_q
+FROM agg
+WHERE (has_t = 1 AND has_h = 1) OR has_d = 1
+ORDER BY (CASE WHEN has_t = 1 AND has_h = 1 THEN s_th ELSE 0 END + s_d)
+         DESC, doc_id LIMIT 10""",
         "ft_monitor_queries": """
 WITH docs(doc_id, text) AS (VALUES
   (0, 'the quick brown fox jumps over the lazy dog'),
