@@ -1580,6 +1580,51 @@ stem/Z
         return spark.createDataFrame(rows or [],
                                      "doc_id long, score_q long")
 
+    def ft_quality_eval(spark, sf):
+        # QualityBenchmark / QualityStats / TrecJudge (benchmark/quality):
+        # three single-term runs ranked by the engine, judged relevant iff
+        # tf >= 2, scored with the reference's precision/MRR-top-5/AvP/
+        # recall formulas; integer-exact projections (floor(stat*10000)).
+        from lucene_spark.quality import LCM20, quality_stats
+
+        terms = ["table", "hash", "dup"]
+        idx = _ft_index(spark, sf)
+        rows = []
+        for t in terms:
+            td = search(idx, t, k=10, precision="float64", prune=True)
+            rows += [(t, int(d), r + 1)
+                     for r, d in enumerate(td.docids.tolist())]
+        results = spark.createDataFrame(rows, "qid string, doc long, rank long")
+        judgments = (
+            _docs(spark, sf)
+            .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+            .filter(F.col("term").isin(terms))
+            .groupBy("doc_id", "term").count()
+            .filter(F.col("count") >= 2)
+            .select(F.col("term").alias("qid"), F.col("doc_id").alias("doc"))
+        )
+        q = quality_stats(results, judgments)
+        mg = F.col("max_good")
+        return q.select(
+            "qid",
+            F.col("num_points").cast("long").alias("num_ret"),
+            F.col("num_good").cast("long").alias("num_good"),
+            mg.cast("long").alias("max_good"),
+            F.coalesce(
+                F.when(F.col("first_rel_rank") <= 5,
+                       (F.lit(10000) / F.col("first_rel_rank")).cast("long")),
+                F.lit(0).cast("long"),
+            ).alias("mrr_q"),
+            F.when(mg > 0,
+                   F.floor(F.col("avp_num") * 10000 / (F.lit(LCM20) * mg)))
+            .otherwise(0).cast("long").alias("avp_q"),
+            F.when(mg > 0, F.floor(F.col("num_good") * 10000 / mg))
+            .otherwise(0).cast("long").alias("recall_q"),
+            (F.element_at("good_at", 1) * 10000).cast("long").alias("p1_q"),
+            (F.element_at("good_at", 5) * 2000).cast("long").alias("p5_q"),
+            (F.element_at("good_at", 10) * 1000).cast("long").alias("p10_q"),
+        ).orderBy("qid")
+
     def ft_monitor_queries(spark, sf):
         # Full-query Monitor (monitor/TermFilteredPresearcher.java +
         # CandidateMatcher): presearcher broadcast join filters candidate
@@ -5098,6 +5143,7 @@ forty four
         ft_collation_key, ft_beider_morse, ft_hunspell, ft_wikipedia,
         ft_hyphenation_compound, ft_mapping_char, ft_fixed_shingle,
         ft_pattern_capture, ft_hunspell_spell, ft_precedence_qp,
+        ft_quality_eval,
         ft_monitor_queries,
         ft_range_field,
         ft_spellchecker,
@@ -6282,6 +6328,65 @@ FROM agg
 WHERE (has_t = 1 AND has_h = 1) OR has_d = 1
 ORDER BY (CASE WHEN has_t = 1 AND has_h = 1 THEN s_th ELSE 0 END + s_d)
          DESC, doc_id LIMIT 10""",
+        "ft_quality_eval": _FT_PRELUDE + """,
+ts AS (
+  SELECT tf.doc_id, tf.term AS qid,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) AS w,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (s.sttf / s.n))) AS inv,
+         tf.tf AS tf
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term IN ('table', 'hash', 'dup')
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY (w - w / (1.0 + tf * inv)) DESC,
+                                     doc_id) AS rank
+  FROM ts
+),
+run AS (SELECT qid, doc_id, rank FROM ranked WHERE rank <= 10),
+judg AS (SELECT term AS qid, doc_id FROM tf
+         WHERE term IN ('table', 'hash', 'dup') AND tf >= 2),
+mg AS (SELECT qid, CAST(count(*) AS BIGINT) AS max_good FROM judg GROUP BY qid),
+j AS (
+  SELECT r.qid, r.rank,
+         CASE WHEN judg.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM run r LEFT JOIN judg ON r.qid = judg.qid AND r.doc_id = judg.doc_id
+),
+cum AS (
+  SELECT qid, rank, rel,
+         SUM(rel) OVER (PARTITION BY qid ORDER BY rank) AS cum_good
+  FROM j
+),
+agg AS (
+  SELECT qid,
+         CAST(MAX(rank) AS BIGINT) AS num_ret,
+         CAST(SUM(rel) AS BIGINT) AS num_good,
+         MIN(CASE WHEN rel = 1 THEN rank END) AS frr,
+         CAST(SUM(CASE WHEN rel = 1
+                       THEN cum_good * (232792560 // rank) ELSE 0 END)
+              AS BIGINT) AS avp_num,
+         CAST(MAX(CASE WHEN rank <= 1 THEN cum_good ELSE 0 END) AS BIGINT) AS g1,
+         CAST(MAX(CASE WHEN rank <= 5 THEN cum_good ELSE 0 END) AS BIGINT) AS g5,
+         CAST(MAX(CASE WHEN rank <= 10 THEN cum_good ELSE 0 END) AS BIGINT) AS g10
+  FROM cum GROUP BY qid
+)
+SELECT a.qid, a.num_ret, a.num_good,
+       COALESCE(m.max_good, 0) AS max_good,
+       CAST(COALESCE(CASE WHEN a.frr <= 5
+                          THEN CAST(floor(10000.0 / a.frr) AS BIGINT) END, 0)
+            AS BIGINT) AS mrr_q,
+       CAST(CASE WHEN COALESCE(m.max_good, 0) > 0
+                 THEN floor(a.avp_num * 10000 / (232792560.0 * m.max_good))
+                 ELSE 0 END AS BIGINT) AS avp_q,
+       CAST(CASE WHEN COALESCE(m.max_good, 0) > 0
+                 THEN floor(a.num_good * 10000.0 / m.max_good)
+                 ELSE 0 END AS BIGINT) AS recall_q,
+       a.g1 * 10000 AS p1_q,
+       a.g5 * 2000 AS p5_q,
+       a.g10 * 1000 AS p10_q
+FROM agg a LEFT JOIN mg m ON a.qid = m.qid
+ORDER BY a.qid""",
         "ft_monitor_queries": """
 WITH docs(doc_id, text) AS (VALUES
   (0, 'the quick brown fox jumps over the lazy dog'),
