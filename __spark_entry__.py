@@ -165,6 +165,11 @@ _REGEXP_OPS_PATTERNS = (
     "wor(d|k)|toast",      # union + group
     "test.*&~(testing)",   # whole-branch complement
     "item<2-99>",          # numeric interval (leading zeros accepted)
+    # automaton-only shapes (regexp.py engine; the pre-engine Catalyst
+    # translator refused all three):
+    "te~(x)ed",            # mid-concatenation complement
+    "item<005-099>",       # same-length operands -> FIXED 3 digits
+    r"\w{4}&~(t.*)",       # predefined class + repeat + complement
 )
 
 
@@ -184,10 +189,21 @@ q2 AS (SELECT 2, term FROM words
 q3 AS (SELECT 3, term FROM words
        WHERE regexp_full_match(term, 'item(\\d+)')
          AND CAST(regexp_extract(term, '^item(\\d+)$', 1) AS BIGINT)
-             BETWEEN 2 AND 99)
+             BETWEEN 2 AND 99),
+q4 AS (SELECT 4, term FROM words          -- te~(x)ed: te + (!= 'x') + ed
+       WHERE regexp_full_match(term, 'te.*ed') AND term <> 'texed'),
+q5 AS (SELECT 5, term FROM words          -- <005-099>: exactly 3 digits
+       WHERE regexp_full_match(term, 'item\\d{{3}}')
+         AND CAST(regexp_extract(term, '^item(\\d+)$', 1) AS BIGINT)
+             BETWEEN 5 AND 99),
+q6 AS (SELECT 6, term FROM words          -- \\w{4} & ~(t.*)
+       WHERE regexp_full_match(term, '[0-9A-Za-z_]{{4}}')
+         AND NOT regexp_full_match(term, 't.*'))
 SELECT CAST(qid AS BIGINT) AS qid, term FROM (
   SELECT * FROM q0 UNION ALL SELECT * FROM q1
-  UNION ALL SELECT * FROM q2 UNION ALL SELECT * FROM q3)
+  UNION ALL SELECT * FROM q2 UNION ALL SELECT * FROM q3
+  UNION ALL SELECT * FROM q4 UNION ALL SELECT * FROM q5
+  UNION ALL SELECT * FROM q6)
 ORDER BY qid, term"""
 
 

@@ -2727,163 +2727,62 @@ def more_like_this(
 
 MAX_EXPANSIONS = 1024  # IndexSearcher max clause count (IndexSearcher.java:97)
 
-_LUCENE_REGEXP_INTERVAL = re.compile(r"<(\d+)-(\d+)>")
-
-
-def _regexp_split_top(pattern: str, sep: str) -> list[str]:
-    """Split on an unescaped ``sep`` at nesting depth 0 (outside groups
-    and character classes)."""
-    parts, cur = [], []
-    depth, in_cls = 0, False
-    i, n = 0, len(pattern)
-    while i < n:
-        c = pattern[i]
-        if c == "\\" and i + 1 < n:
-            cur.append(pattern[i:i + 2])
-            i += 2
-            continue
-        if in_cls:
-            if c == "]":
-                in_cls = False
-        elif c == "[":
-            in_cls = True
-        elif c == "(":
-            depth += 1
-        elif c == ")":
-            depth -= 1
-        elif c == sep and depth == 0:
-            parts.append("".join(cur))
-            cur = []
-            i += 1
-            continue
-        cur.append(c)
-        i += 1
-    parts.append("".join(cur))
-    return parts
-
-
-def _regexp_is_single_element(s: str) -> bool:
-    """True when ``s`` is ONE regex element (a group, a char class, or a
-    single char — optionally with one trailing quantifier), so a leading
-    ``~`` applied to it covers the whole branch."""
-    if not s:
-        return False
-    i = 0
-    if s[0] == "(":
-        depth = 0
-        while i < len(s):
-            if s[i] == "\\":
-                i += 2
-                continue
-            if s[i] == "(":
-                depth += 1
-            elif s[i] == ")":
-                depth -= 1
-                if depth == 0:
-                    i += 1
-                    break
-            i += 1
-    elif s[0] == "[":
-        while i < len(s):
-            if s[i] == "\\":
-                i += 2
-                continue
-            if s[i] == "]" and i > 0:
-                i += 1
-                break
-            i += 1
-    elif s[0] == "\\":
-        i = 2
-    else:
-        i = 1
-    rest = s[i:]
-    return rest == "" or re.fullmatch(r"[?*+]|\{\d+(,\d*)?\}", rest) is not None
-
-
-def _regexp_branch_predicate(col: Column, branch: str) -> Column:
-    """One intersection branch → a Catalyst predicate: anchored whole-term
-    rlike, with Lucene numeric intervals ``<n-m>`` translated to capture
-    groups checked via BIGINT casts (the makeDecimalInterval semantics —
-    any number of leading zeros, value within [n, m]; Automata.java:
-    445-457), and a branch-spanning leading ``~`` as NOT-match."""
-    neg = False
-    if branch.startswith("~"):
-        operand = branch[1:]
-        if not _regexp_is_single_element(operand):
-            raise ValueError(
-                "Lucene RegExp '~' mid-concatenation is not supported: "
-                "complement binds to the next element (RegExp.java "
-                "parseComplExp) and a complemented sub-language inside a "
-                "concatenation needs an automaton. Supported: '~' applied "
-                "to a whole branch, e.g. 'abc&~(ab.*)'."
-            )
-        neg = True
-        branch = operand
-    elif any(c == "~" and not _is_escaped(branch, i)
-             for i, c in enumerate(branch)):
-        raise ValueError(
-            "Lucene RegExp '~' mid-concatenation is not supported; "
-            "escape it ('\\~') to match a literal tilde or move the "
-            "complement to a whole intersection branch."
-        )
-    # make user groups non-capturing so interval capture indices are stable
-    out, i, n = [], 0, len(branch)
-    while i < n:
-        c = branch[i]
-        if c == "\\" and i + 1 < n:
-            out.append(branch[i:i + 2])
-            i += 2
-            continue
-        if c == "(" and not branch.startswith("(?", i):
-            out.append("(?:")
-            i += 1
-            continue
-        out.append(c)
-        i += 1
-    converted = "".join(out)
-    bounds: list[tuple[int, int]] = []
-
-    def _iv(m: "re.Match") -> str:
-        bounds.append((int(m.group(1)), int(m.group(2))))
-        return r"(\d+)"
-
-    converted = _LUCENE_REGEXP_INTERVAL.sub(_iv, converted)
-    anchored = f"^(?:{converted})$"
-    pred = col.rlike(anchored)
-    for k, (lo, hi) in enumerate(bounds, start=1):
-        if lo > hi:
-            raise ValueError(f"invalid interval <{lo}-{hi}>: min > max")
-        g = F.regexp_extract(col, anchored, k).cast("bigint")
-        pred = pred & g.between(lo, hi)
-    return (~pred) if neg else pred
-
-
-def lucene_regexp_predicate(col: Column, pattern: str) -> Column:
+def lucene_regexp_predicate(col: Column, pattern: str,
+                            match_flags: int = 0) -> Column:
     """Compile a Lucene-RegExp pattern to a Catalyst whole-term predicate
-    (RegexpQuery.java:44 matches the ENTIRE term).  Supported beyond the
-    RE2/Java core, by boolean composition at the automaton level Lucene's
-    grammar makes unambiguous (RegExp.java:1159-1205 — union lowest, then
-    intersection, then concatenation):
+    via the full automaton engine (regexp.py — grammar-exact parser, NFA
+    over codepoint intervals, DFA with intersection/complement/decimal-
+    interval; RegexpQuery.java:44 matches the ENTIRE term).  Rewrite
+    ladder, mirroring Lucene's CompiledAutomaton classification:
 
-    - union ``|`` at top level → OR of branch predicates
-    - intersection ``&`` → AND of branch predicates (``abc.*&.*xyz``)
-    - complement ``~`` spanning a whole branch → NOT (``.*a.*&~(ab.*)``);
-      a mid-concatenation complement still raises (needs an automaton)
-    - numeric interval ``<n-m>`` → digit-capture + BIGINT range check
-      (leading zeros accepted, exactly makeDecimalInterval's contract)
+    1. finite language of ≤ 512 strings → ``isin`` (the TermInSetQuery /
+       CompiledAutomaton SINGLE-or-set rewrite; an IN-list pushes to the
+       parquet term-dictionary scan)
+    2. otherwise, common-prefix ``startswith`` + min/max length bounds
+       as Catalyst PREFILTERS (both reach the scan), then
+       a. a pure-JVM anchored ``rlike`` when the AST has a faithful
+          Java-regex rendering (no complement / intersection / numeric
+          interval anywhere in the tree), or
+       b. an Arrow-batched vectorized DFA walk (numpy transition table,
+          O(max_len) gathers per batch) for the automaton-only operators
+          — the analog of Lucene intersecting the automaton with the
+          term-dictionary FST.
     """
-    union = _regexp_split_top(pattern, "|")
-    upreds = []
-    for ubranch in union:
-        parts = _regexp_split_top(ubranch, "&")
-        p = _regexp_branch_predicate(col, parts[0])
-        for part in parts[1:]:
-            p = p & _regexp_branch_predicate(col, part)
-        upreds.append(p)
-    pred = upreds[0]
-    for p in upreds[1:]:
-        pred = pred | p
-    return pred
+    from .regexp import LuceneRegexp
+
+    rx = LuceneRegexp(pattern, match_flags=match_flags)
+    fs = rx.finite_strings(limit=512)
+    if fs is not None:
+        if not fs:
+            return F.lit(False)
+        if len(fs) == 1:
+            return col == fs[0]
+        return col.isin(fs)
+    preds: list[Column] = []
+    pre = rx.common_prefix()
+    if pre:
+        preds.append(col.startswith(pre))
+    mn = rx.min_len()
+    if mn > 0:
+        preds.append(F.length(col) >= mn)
+    mx = rx.max_len()
+    if mx is not None:
+        preds.append(F.length(col) <= mx)
+    jr = rx.java_regex()
+    if jr is not None:
+        preds.append(col.rlike(jr))
+    else:
+
+        @F.pandas_udf("boolean")
+        def _dfa_match(terms: pd.Series) -> pd.Series:
+            return pd.Series(rx.match_batch(terms.tolist()),
+                             index=terms.index)
+
+        preds.append(_dfa_match(col))
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return out
 
 
 def expand_terms(
@@ -2944,8 +2843,11 @@ def expand_terms(
     if rlike is not None:
         # RegexpQuery matches the ENTIRE term (RegexpQuery.java:44 builds
         # RegExp(...).toAutomaton() and intersects it with the term dict);
-        # lucene_regexp_predicate anchors and also compiles the
-        # Lucene-only |, &, ~-branch and <n-m> operators to Catalyst
+        # lucene_regexp_predicate compiles the FULL Lucene grammar —
+        # including nested ~ complement, & intersection and <n-m> decimal
+        # intervals — to a DFA (regexp.py) and rewrites: finite language →
+        # isin pushdown, else prefix/length prefilters + rlike or a
+        # vectorized DFA walk
         td = td.filter(lucene_regexp_predicate(F.col(tcol), rlike))
     if fuzzy is not None:
         term, max_edits = fuzzy[0], fuzzy[1]

@@ -162,16 +162,22 @@ def test_field_name_unescaped():
 
 
 class TestLuceneRegexpOperators:
-    """Lucene-RegExp operators compile to Catalyst predicates where the
-    grammar is unambiguous (union/intersection/whole-branch complement/
-    numeric interval); a mid-concatenation complement still raises."""
+    """The full Lucene-RegExp grammar compiles through the automaton
+    engine (lucene_spark.regexp): nested complement, intersection at any
+    depth, and <n-m> decimal intervals with makeDecimalInterval's exact
+    digits rule are all first-class now."""
 
-    def test_mid_concat_complement_rejected(self):
-        import pytest
+    def test_mid_concat_complement_supported(self):
+        # '~' binds to the NEXT element (RegExp.java parseComplExp), so
+        # ab~cd = "ab" + (any string != "c") + "d"
         from pyspark.sql import functions as F
+        from lucene_spark.regexp import LuceneRegexp
         from lucene_spark.search import lucene_regexp_predicate
-        with pytest.raises(ValueError, match="mid-concatenation"):
-            lucene_regexp_predicate(F.col("t"), "ab~cd")
+        lucene_regexp_predicate(F.col("t"), "ab~cd")  # builds
+        rx = LuceneRegexp("ab~cd")
+        assert rx.matches("abd") and rx.matches("abxd")
+        assert rx.matches("abccd")
+        assert not rx.matches("abcd") and not rx.matches("ab")
 
     def test_whole_branch_complement_builds(self):
         from pyspark.sql import functions as F
@@ -182,15 +188,18 @@ class TestLuceneRegexpOperators:
     def test_escaped_ops_are_literal(self):
         from pyspark.sql import functions as F
         from lucene_spark.search import lucene_regexp_predicate
+        from lucene_spark.regexp import LuceneRegexp
         lucene_regexp_predicate(F.col("t"), r"abc\&def")
         lucene_regexp_predicate(F.col("t"), r"\~abc")
+        assert LuceneRegexp(r"abc\&def").matches("abc&def")
+        assert LuceneRegexp(r"\~abc").matches("~abc")
 
-    def test_invalid_interval_rejected(self):
-        import pytest
-        from pyspark.sql import functions as F
-        from lucene_spark.search import lucene_regexp_predicate
-        with pytest.raises(ValueError, match="min > max"):
-            lucene_regexp_predicate(F.col("t"), "foo<9-1>")
+    def test_reversed_interval_swaps_like_reference(self):
+        # RegExp.parseSimpleExp:1352 SWAPS min>max instead of rejecting
+        from lucene_spark.regexp import LuceneRegexp
+        rx = LuceneRegexp("foo<9-1>")
+        assert rx.matches("foo5") and rx.matches("foo1") and rx.matches("foo9")
+        assert not rx.matches("foo0")
 
     def test_regexp_operators_end_to_end(self, spark):
         """Intersection, union, complement-branch and interval against a
@@ -214,6 +223,11 @@ class TestLuceneRegexpOperators:
         assert expand_terms(idx, rlike="item<2-99>") == ["item27", "item99"]
         assert expand_terms(idx, rlike="item<1-100>") == [
             "item1", "item100", "item27", "item99"]
+        # automaton-only shapes that the pre-engine translator rejected:
+        # mid-concatenation complement
+        assert expand_terms(idx, rlike="te~(x)ed") == ["tested"]
+        # nested complement-of-complement
+        assert expand_terms(idx, rlike="~(~(toast))") == ["toast"]
 
     def test_regexp_whole_term_anchoring(self, spark):
         """RegexpQuery matches the entire term (RegexpQuery.java:44), so
