@@ -769,6 +769,32 @@ def _merge_classes(dfa: DFA) -> DFA:
                dfa.accept, dfa.start)
 
 
+def _dfa_common_prefix(dfa: DFA) -> str:
+    """Longest string every accepted string starts with: walk singleton
+    single-char transitions from the start until an accept, branch, or
+    cycle."""
+    C = len(dfa.bounds)
+    pre: list[str] = []
+    st = dfa.start
+    seen: set[int] = set()
+    while st not in seen:
+        seen.add(st)
+        if dfa.accept[st]:
+            break
+        row = dfa.trans[st]
+        live = np.nonzero(row >= 0)[0]
+        if live.size != 1:
+            break
+        c = int(live[0])
+        lo = int(dfa.bounds[c])
+        hi = int(dfa.bounds[c + 1]) - 1 if c + 1 < C else MAX_CP
+        if lo != hi:
+            break
+        pre.append(chr(lo))
+        st = int(row[c])
+    return "".join(pre)
+
+
 # ---------------------------------------------------------------------
 # Public API
 # ---------------------------------------------------------------------
@@ -837,27 +863,40 @@ class LuceneRegexp:
     def common_prefix(self) -> str:
         """Longest string every match must start with (pushdown prefilter —
         the analog of Lucene's CompiledAutomaton commonPrefix)."""
+        return _dfa_common_prefix(self.dfa)
+
+    def common_suffix(self) -> str:
+        """Longest string every match must END with (the CompiledAutomaton
+        commonSuffixRef analog used for leading-wildcard pushdown against
+        a reversed-term sidecar).  Computed as the common prefix of the
+        reversed language: reverse every DFA edge, determinize from the
+        accept states, walk.  Returns "" when reversal would blow the
+        state budget."""
         dfa = self.dfa
+        if not dfa.accept.any():
+            return ""
+        n = _NFA(DEFAULT_MAX_DETERMINIZED_STATES)
+        base = [n.state() for _ in range(dfa.n_states)]
         C = len(dfa.bounds)
-        pre: list[str] = []
-        st = dfa.start
-        seen = set()
-        while st not in seen:
-            seen.add(st)
-            if dfa.accept[st]:
-                break
+        for st in range(dfa.n_states):
             row = dfa.trans[st]
-            live = np.nonzero(row >= 0)[0]
-            if live.size != 1:
-                break
-            c = int(live[0])
-            lo = int(dfa.bounds[c])
-            hi = int(dfa.bounds[c + 1]) - 1 if c + 1 < C else MAX_CP
-            if lo != hi:
-                break
-            pre.append(chr(lo))
-            st = int(row[c])
-        return "".join(pre)
+            for c in range(C):
+                d = int(row[c])
+                if d < 0:
+                    continue
+                lo = int(dfa.bounds[c])
+                hi = int(dfa.bounds[c + 1]) - 1 if c + 1 < C else MAX_CP
+                n.add(base[d], lo, hi, base[st])  # reversed edge
+        start = n.state()
+        for st in np.nonzero(dfa.accept)[0]:
+            n.addeps(start, base[int(st)])
+        try:
+            rev = _minimize(_trim(_determinize(
+                n, start, [base[dfa.start]],
+                DEFAULT_MAX_DETERMINIZED_STATES)))
+        except ValueError:
+            return ""
+        return _dfa_common_prefix(rev)[::-1]
 
     def min_len(self) -> int:
         """Shortest accepted string length (∞ → 0 for the empty language)."""

@@ -2750,7 +2750,8 @@ def lucene_regexp_predicate(col: Column, pattern: str,
     """
     from .regexp import LuceneRegexp
 
-    rx = LuceneRegexp(pattern, match_flags=match_flags)
+    rx = (pattern if isinstance(pattern, LuceneRegexp)
+          else LuceneRegexp(pattern, match_flags=match_flags))
     fs = rx.finite_strings(limit=512)
     if fs is not None:
         if not fs:
@@ -2848,7 +2849,25 @@ def expand_terms(
         # intervals — to a DFA (regexp.py) and rewrites: finite language →
         # isin pushdown, else prefix/length prefilters + rlike or a
         # vectorized DFA walk
-        td = td.filter(lucene_regexp_predicate(F.col(tcol), rlike))
+        from .regexp import LuceneRegexp
+
+        rx = LuceneRegexp(rlike)
+        rt = getattr(index, "rterms", None)
+        if (
+            field is None
+            and rt is not None
+            and not rx.common_prefix()
+            and rx.finite_strings(limit=512) is None
+        ):
+            # no prefix to push down (e.g. '.*ing'): mine the automaton's
+            # common SUFFIX and prune via the reversed-term sidecar — the
+            # CompiledAutomaton commonSuffixRef trick, turned into a
+            # parquet PREFIX range scan on rterm
+            suf = rx.common_suffix()
+            if suf:
+                td = rt.filter(
+                    F.col("rterm").startswith(suf[::-1])).select("term")
+        td = td.filter(lucene_regexp_predicate(F.col(tcol), rx))
     if fuzzy is not None:
         term, max_edits = fuzzy[0], fuzzy[1]
         prefix_len = fuzzy[2] if len(fuzzy) > 2 else 0

@@ -250,3 +250,39 @@ class TestRewriteHelpers:
         assert rx.matches("日本語")
         assert not rx.matches("日语")
         assert LuceneRegexp("[あ-ん]+").matches("かな")
+
+
+class TestSuffixPushdown:
+    def test_common_suffix(self):
+        assert LuceneRegexp(".*ing").common_suffix() == "ing"
+        assert LuceneRegexp("(test|blest)ing").common_suffix() == "esting"
+        assert LuceneRegexp("test.*").common_suffix() == ""
+        assert LuceneRegexp("a.*b|c.*b").common_suffix() == "b"
+        assert LuceneRegexp(r"\w*tion").common_suffix() == "tion"
+        assert LuceneRegexp("#").common_suffix() == ""
+        assert LuceneRegexp("abc").common_suffix() == "abc"
+
+    def test_suffix_pattern_prunes_via_reversed_sidecar(self, spark, tmp_path):
+        # '.*ing' has no common prefix; the reversed-term sidecar turns the
+        # common SUFFIX into a StringStartsWith(rterm) pushdown, like the
+        # leading-wildcard LIKE fast path
+        from lucene_spark.index import build_index, write_index, read_index
+        from lucene_spark.search import expand_terms
+
+        pages = spark.createDataFrame(
+            [("u1", "testing racing raced tester ring contest")],
+            "url string, text string")
+        idx = build_index(spark, pages)
+        assert expand_terms(idx, rlike=".*ing") == [
+            "racing", "ring", "testing"]
+        # against a written index the prefilter must reach the parquet scan
+        out = str(tmp_path / "idx")
+        write_index(idx, out)
+        ridx = read_index(spark, out)
+        if ridx.rterms is not None:
+            plan = ridx.rterms.filter(
+                ridx.rterms["rterm"].startswith("gni"))._jdf.queryExecution(
+                ).executedPlan().toString()
+            assert "StringStartsWith(rterm" in plan
+            assert expand_terms(ridx, rlike=".*ing") == [
+                "racing", "ring", "testing"]
