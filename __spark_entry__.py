@@ -2643,6 +2643,64 @@ forty four
             10,
         )
 
+    def ft_interval_atleast(spark, sf):
+        from lucene_spark.intervals import interval_query, iv_at_least
+
+        # Intervals.atLeast(2, merge, scan, sort)
+        # (MinimumShouldMatchIntervalsSource): for m=2 over single-position
+        # sources with distinct positions the two-queue walk emits exactly
+        # the consecutive hetero-source pairs of the merged position list
+        # (fuzz-pinned in tests/test_intervals.py::
+        # test_atleast_m2_closed_form_fuzz) — the oracle's closed form;
+        # contribution 1/(p2−p1) (minExtent = two smallest extents = 2)
+        return _topk_df(
+            spark, sf, interval_query(iv_at_least(2, "merge", "scan", "sort")),
+            10,
+        )
+
+    def ft_interval_before(spark, sf):
+        from lucene_spark.intervals import interval_query, iv_before
+
+        # Intervals.before(key, filter) = containedBy(key, extend(offset(
+        # filter, before), MAX, 0)) (Intervals.java:421-424): 'key'
+        # occurrences at p with p <= max over refs of max(0, ref.p − 1);
+        # each is a [p,p] interval → contribution 1 (minExtent 1)
+        return _topk_df(
+            spark, sf, interval_query(iv_before("key", "filter")), 10,
+        )
+
+    def ft_interval_notwithin(spark, sf):
+        from lucene_spark.intervals import (
+            interval_query, iv_not_within, iv_ordered,
+        )
+
+        # Intervals.notWithin(ordered(table, hash), 2, join) =
+        # nonOverlapping(minuend, extend(join, 2, 2)) (Intervals.java:
+        # 333-337): minimal table→hash pairs with no 'join' occurrence
+        # within 2 positions of [p1, p2]; difference semantics — docs
+        # without 'join' keep all pairs; contribution 1/(p2−p1)
+        return _topk_df(
+            spark, sf,
+            interval_query(iv_not_within(iv_ordered("table", "hash"), 2,
+                                         "join")),
+            10,
+        )
+
+    def ft_interval_overlap(spark, sf):
+        from lucene_spark.intervals import (
+            interval_query, iv_ordered, iv_overlapping,
+        )
+
+        # Intervals.overlapping(ordered(table, scan), key)
+        # (OverlappingIntervalsSource — conjunction): minimal table→scan
+        # pairs [p1,p2] with a 'key' occurrence in [p1, p2]
+        return _topk_df(
+            spark, sf,
+            interval_query(iv_overlapping(iv_ordered("table", "scan"),
+                                          "key")),
+            10,
+        )
+
     # --- index-sort early termination / integrity audit / addIndexes ---
     def ft_sorted_early(spark, sf):
         # EarlyTerminatingSortingCollector analog: first 10 matches in index
@@ -5164,6 +5222,8 @@ forty four
         ft_range_field,
         ft_spellchecker,
         ft_confusion, ft_payload_check, ft_dataset_split,
+        ft_interval_atleast, ft_interval_before, ft_interval_notwithin,
+        ft_interval_overlap,
         # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
         # still oracle-checked every run by tests/test_entry_gate.py ----
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -5338,6 +5398,83 @@ iv AS (
 ),
 fr AS (
   SELECT doc_id, SUM(1.0 / greatest(e - s, 1)) AS pf FROM iv GROUP BY doc_id
+)""" + _iv_sat_tail(k)
+    )
+
+
+def _iv_atleast_sql(t1: str, t2: str, t3: str, k: int) -> str:
+    """Intervals.atLeast(2, t1, t2, t3) oracle: with single-position sources
+    whose positions are globally distinct (always true for distinct terms of
+    one field), the MinimumShouldMatchIntervalIterator walk emits exactly
+    the consecutive hetero-term pairs of the merged per-doc position list
+    (fuzz-pinned in tests/test_intervals.py); freq contribution
+    1/(p2 − p1) (minExtent = sum of the two smallest sub extents = 2)."""
+    return (
+        _FT_PRELUDE + "," + _SPAN_POS_CTE + f""",
+mp AS (
+  SELECT doc_id, p, w,
+         lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS np,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS nw
+  FROM pos WHERE w IN ('{t1}', '{t2}', '{t3}')
+),
+fr AS (
+  SELECT doc_id, SUM(1.0 / greatest(np - p, 1)) AS pf FROM mp
+  WHERE np IS NOT NULL AND nw <> w
+  GROUP BY doc_id
+)""" + _iv_sat_tail(k)
+    )
+
+
+def _iv_before_sql(src: str, ref: str, k: int) -> str:
+    """Intervals.before(src, ref) oracle: containedBy(src, extend(offset(
+    ref, before), MAX, 0)) keeps src occurrences p with
+    p <= max over refs of max(0, ref.p − 1) (the position-0 quirk of
+    OffsetIntervalsSource.java:55-64 included); freq = count (minExtent 1)."""
+    return (
+        _FT_PRELUDE + "," + _SPAN_POS_CTE + f""",
+fr AS (
+  SELECT a.doc_id, CAST(count(*) AS DOUBLE) AS pf
+  FROM pos a
+  WHERE a.w = '{src}'
+    AND a.p <= (SELECT max(greatest(r.p - 1, 0)) FROM pos r
+                WHERE r.doc_id = a.doc_id AND r.w = '{ref}')
+  GROUP BY a.doc_id
+)""" + _iv_sat_tail(k)
+    )
+
+
+def _iv_notwithin_sql(ta: str, tb: str, positions: int, tc: str,
+                      k: int) -> str:
+    """Intervals.notWithin(ordered(ta, tb), N, tc) oracle: minimal ordered
+    pairs [p1, p2] (the _iv_ord_pairs_cte closed form) with NO tc occurrence
+    r satisfying r ± N overlapping [p1, p2], i.e. r >= p1 − N and
+    r <= p2 + N; difference semantics — docs without tc keep every pair;
+    contribution 1/(p2 − p1) (minExtent 2)."""
+    return (
+        _FT_PRELUDE + "," + _SPAN_POS_CTE + "," + _iv_ord_pairs_cte(ta, tb) + f""",
+fr AS (
+  SELECT doc_id, SUM(1.0 / greatest(p2 - p1, 1)) AS pf FROM m
+  WHERE NOT EXISTS (SELECT 1 FROM pos r WHERE r.doc_id = m.doc_id
+                    AND r.w = '{tc}'
+                    AND r.p >= m.p1 - {positions}
+                    AND r.p <= m.p2 + {positions})
+  GROUP BY doc_id
+)""" + _iv_sat_tail(k)
+    )
+
+
+def _iv_overlap_sql(ta: str, tb: str, tc: str, k: int) -> str:
+    """Intervals.overlapping(ordered(ta, tb), tc) oracle: minimal ordered
+    pairs with a tc occurrence inside [p1, p2] (single-position reference →
+    overlap ⇔ containment); conjunction — the EXISTS filter naturally drops
+    docs without tc; contribution 1/(p2 − p1) (minExtent 2)."""
+    return (
+        _FT_PRELUDE + "," + _SPAN_POS_CTE + "," + _iv_ord_pairs_cte(ta, tb) + f""",
+fr AS (
+  SELECT doc_id, SUM(1.0 / greatest(p2 - p1, 1)) AS pf FROM m
+  WHERE EXISTS (SELECT 1 FROM pos r WHERE r.doc_id = m.doc_id
+                AND r.w = '{tc}' AND r.p BETWEEN m.p1 AND m.p2)
+  GROUP BY doc_id
 )""" + _iv_sat_tail(k)
     )
 
@@ -8081,6 +8218,11 @@ fr AS (
         "ft_interval_ord": _iv_ord_sql("table", "hash", 3, 10),
         "ft_interval_unord": _iv_unord_sql("window", "scan", 10),
         "ft_interval_contain": _iv_contained_by_sql("key", "table", "part", 5, 10),
+        "ft_interval_atleast": _iv_atleast_sql("merge", "scan", "sort", 10),
+        "ft_interval_before": _iv_before_sql("key", "filter", 10),
+        "ft_interval_notwithin": _iv_notwithin_sql("table", "hash", 2,
+                                                   "join", 10),
+        "ft_interval_overlap": _iv_overlap_sql("table", "scan", "key", 10),
         "ft_wildcard": _FT_PRELUDE + """
 SELECT DISTINCT doc_id FROM ftok WHERE term LIKE '%er%'""",
         "ft_fuzzy": _FT_PRELUDE + """

@@ -132,6 +132,82 @@ def iv_unordered_no_overlaps(a, b) -> tuple:
     return iv_or(iv_ordered(_sub(a), _sub(b)), iv_ordered(_sub(b), _sub(a)))
 
 
+def iv_offset(sub, before: bool) -> tuple:
+    """OffsetIntervalsSource: one single-position interval per sub interval —
+    [max(0, start−1)] when ``before`` else [end+1] (OffsetIntervalsSource.java:
+    52-84; gaps() = 0).  Internal building block of before/after."""
+    return ("i_offset", _sub(sub), bool(before))
+
+
+def iv_before(source, reference) -> tuple:
+    """Intervals.before(source, reference): source intervals that appear
+    before reference intervals — containedBy(source, extend(offset(ref,
+    before), MAX_INT, 0)) exactly as Intervals.java:421-424 composes it."""
+    return iv_contained_by(
+        _sub(source), iv_extend(iv_offset(reference, True), _MAX_POS, 0)
+    )
+
+
+def iv_after(source, reference) -> tuple:
+    """Intervals.before's mirror (Intervals.java:427-430): containedBy(
+    source, extend(offset(ref, after), 0, MAX_INT))."""
+    return iv_contained_by(
+        _sub(source), iv_extend(iv_offset(reference, False), 0, _MAX_POS)
+    )
+
+
+def iv_overlapping(source, reference) -> tuple:
+    """Intervals.overlapping (OverlappingIntervalsSource.java:42-62): source
+    intervals overlapping some reference interval; conjunction — both sides
+    must match the doc; minExtent/gaps come from the source side."""
+    return ("i_overlapping", _sub(source), _sub(reference))
+
+
+def iv_non_overlapping(minuend, subtrahend) -> tuple:
+    """Intervals.nonOverlapping (NonOverlappingIntervalsSource.java:58-86):
+    minuend intervals that do not overlap any subtrahend interval; the
+    minuend stands alone in docs without the subtrahend (difference)."""
+    return ("i_non_overlapping", _sub(minuend), _sub(subtrahend))
+
+
+def iv_not_within(minuend, positions: int, subtrahend) -> tuple:
+    """Intervals.notWithin = nonOverlapping(minuend, extend(subtrahend,
+    positions, positions)) (Intervals.java:333-337) — structural, like
+    unorderedNoOverlaps."""
+    return iv_non_overlapping(
+        _sub(minuend), iv_extend(subtrahend, int(positions), int(positions))
+    )
+
+
+def iv_within(source, positions: int, reference) -> tuple:
+    """Intervals.within = containedBy(source, extend(reference, positions,
+    positions)) (Intervals.java:348-351)."""
+    return iv_contained_by(
+        _sub(source), iv_extend(reference, int(positions), int(positions))
+    )
+
+
+def iv_at_least(min_should_match: int, *subs) -> tuple:
+    """Intervals.atLeast (Intervals.java:406-418): intervals spanning
+    combinations of intervals from ``min_should_match`` of the sources.
+    Factory rewrites mirror the reference: m == n → unordered; m > n → a
+    no-match source."""
+    m = int(min_should_match)
+    if m <= 0:
+        raise ValueError("atLeast requires min_should_match >= 1")
+    if m == len(subs):
+        return iv_unordered(*subs)
+    if m > len(subs):
+        return ("i_none",)
+    return ("i_atleast", m, [_sub(s) for s in subs])
+
+
+# OffsetIntervalsSource clips end+1 overflow at Integer.MAX_VALUE−1 and
+# extend() saturates rather than overflowing — positions here are small
+# int64s, so Java's Integer.MAX_VALUE stands in as the unbounded extent.
+_MAX_POS = 2**31 - 1
+
+
 def iv_prefix(prefix: str) -> tuple:
     """Intervals.prefix — expands against the term dictionary at rewrite
     (MultiTermIntervalsSource) into an or-of-terms."""
@@ -170,8 +246,17 @@ def interval_terms(src) -> list[str]:
     if kind == "i_extend":
         return interval_terms(src[1])
     if kind in ("i_containing", "i_contained_by", "i_not_containing",
-                "i_not_contained_by"):
+                "i_not_contained_by", "i_overlapping", "i_non_overlapping"):
         return interval_terms(src[1]) + interval_terms(src[2])
+    if kind == "i_offset":
+        return interval_terms(src[1])
+    if kind == "i_atleast":
+        out = []
+        for c in src[2]:
+            out.extend(interval_terms(c))
+        return out
+    if kind == "i_none":
+        return []
     raise ValueError(f"bad interval node {src!r}")
 
 
@@ -198,10 +283,22 @@ def interval_required_groups(src) -> list[list[str]]:
         return interval_required_groups(src[2])
     if kind == "i_extend":
         return interval_required_groups(src[1])
-    if kind in ("i_containing", "i_contained_by"):
+    if kind in ("i_containing", "i_contained_by", "i_overlapping"):
         return interval_required_groups(src[1]) + interval_required_groups(src[2])
-    if kind in ("i_not_containing", "i_not_contained_by"):
+    if kind in ("i_not_containing", "i_not_contained_by",
+                "i_non_overlapping"):
         return interval_required_groups(src[1])
+    if kind == "i_offset":
+        return interval_required_groups(src[1])
+    if kind == "i_atleast":
+        # only m of n sources must match — the strongest per-term requirement
+        # is "some term of some source present" (one any-of group)
+        group: list[str] = []
+        for c in src[2]:
+            group.extend(interval_terms(c))
+        return [group]
+    if kind == "i_none":
+        return [[]]
     raise ValueError(f"bad interval node {src!r}")
 
 
@@ -223,8 +320,18 @@ def interval_min_extent(src) -> int:
     if kind == "i_extend":
         return src[2] + interval_min_extent(src[1]) + src[3]
     if kind in ("i_containing", "i_not_containing", "i_contained_by",
-                "i_not_contained_by"):
+                "i_not_contained_by", "i_overlapping", "i_non_overlapping"):
         return interval_min_extent(src[1])
+    if kind == "i_offset":
+        # start() == end() → width always 1 (OffsetIntervalIterator)
+        return 1
+    if kind == "i_atleast":
+        # MinimumShouldMatchIntervalsSource.minExtent: sum of the m smallest
+        # sub extents (MinimumShouldMatchIntervalsSource.java:102-112)
+        exts = sorted(interval_min_extent(c) for c in src[2])
+        return sum(exts[: src[1]])
+    if kind == "i_none":
+        return 0
     raise ValueError(f"bad interval node {src!r}")
 
 
@@ -646,12 +753,135 @@ def _candidates(streams):
     return cand
 
 
+def _walk_atleast(subs, m):
+    """MinimumShouldMatchIntervalIterator per-doc walk
+    (MinimumShouldMatchIntervalsSource.java:215-280), faithful to the
+    reference's two-queue algorithm and its quirks:
+
+      - proximity queue (size m) ordered (start asc, end desc); background
+        queue ordered (end asc, start desc); ties broken by sub index
+        (Java's PriorityQueue tie order is insertion-dependent — sub index
+        IS the insertion order of reset(), making this deterministic).
+      - ``queueEnd`` is the max end ever to ENTER the proximity queue —
+        monotone, never recomputed downward (updateRightExtreme).
+      - emitted end = queueEnd; gaps = (end−start+1) − Σ current sub widths.
+      - quirk kept: when the leading iterator exhausts inside the
+        start-advancing loop, the background queue is NOT consulted and
+        iteration ends for the doc (java:219-227 — the refill happens only
+        on the nextInterval-success path there, unlike the minimizing loop).
+
+    ``subs``: per-sub (starts, ends, gaps) arrays for one doc, each
+    non-empty.  Returns (starts, ends, gaps) lists.
+    """
+    import heapq
+
+    n = len(subs)
+    ptr = [0] * n
+    cs = [int(s[0][0]) for s in subs]
+    ce = [int(s[1][0]) for s in subs]
+
+    def adv(i):
+        ptr[i] += 1
+        if ptr[i] >= len(subs[i][0]):
+            return False
+        cs[i] = int(subs[i][0][ptr[i]])
+        ce[i] = int(subs[i][1][ptr[i]])
+        return True
+
+    bg = [(ce[i], -cs[i], i) for i in range(n)]
+    heapq.heapify(bg)
+    prox: list = []
+    queue_end = -1
+    for _ in range(m):
+        _, _, i = heapq.heappop(bg)
+        heapq.heappush(prox, (cs[i], -ce[i], i))
+        queue_end = max(queue_end, ce[i])
+    start = end = -1
+    out_s: list[int] = []
+    out_e: list[int] = []
+    out_g: list[int] = []
+    while True:
+        # advance past the previously returned start
+        while len(prox) == m and prox[0][0] == start:
+            _, _, i = heapq.heappop(prox)
+            if adv(i):
+                heapq.heappush(bg, (ce[i], -cs[i], i))
+                _, _, j = heapq.heappop(bg)
+                heapq.heappush(prox, (cs[j], -ce[j], j))
+                queue_end = max(queue_end, ce[j])
+        if len(prox) < m:
+            break
+        while True:  # the minimizing do-while
+            start = prox[0][0]
+            end = queue_end
+            slop = end - start + 1
+            for _, _, i in prox:
+                slop -= ce[i] - cs[i] + 1
+            if -prox[0][1] == end:
+                break
+            _, _, i = heapq.heappop(prox)
+            if adv(i):
+                heapq.heappush(bg, (ce[i], -cs[i], i))
+            if bg:
+                _, _, j = heapq.heappop(bg)
+                heapq.heappush(prox, (cs[j], -ce[j], j))
+                queue_end = max(queue_end, ce[j])
+            if not (len(prox) == m and end == queue_end):
+                break
+        out_s.append(start)
+        out_e.append(end)
+        out_g.append(slop)
+    return out_s, out_e, out_g
+
+
+def _atleast_stream(sub_nodes, m, postings_by_term, pos_by_term):
+    """i_atleast evaluation: sources with no intervals at all drop out
+    (intervals() == null), docs need ≥ m live sources
+    (MinimumShouldMatchIntervalsSource.java:51-63 + the disjunction
+    approximation), then the per-doc queue walk runs on the matching subs."""
+    streams = [interval_stream(c, postings_by_term, pos_by_term)
+               for c in sub_nodes]
+    streams = [s for s in streams if len(s[0])]
+    if len(streams) < m:
+        return _EMPTY
+    alldocs = np.concatenate([np.unique(s[0]) for s in streams])
+    vals, counts = np.unique(alldocs, return_counts=True)
+    cand = vals[counts >= m]
+    if len(cand) == 0:
+        return _EMPTY
+    bounds = [_doc_slices(s, cand) for s in streams]
+    out_d, out_s, out_e, out_g = [], [], [], []
+    for ci in range(len(cand)):
+        subs = []
+        for (lo, hi), (d, st, en, gp) in zip(bounds, streams):
+            a, b = int(lo[ci]), int(hi[ci])
+            if a < b:
+                subs.append((st[a:b], en[a:b], gp[a:b]))
+        if len(subs) < m:
+            continue
+        ss, ee, gg = _walk_atleast(subs, m)
+        out_d.extend([int(cand[ci])] * len(ss))
+        out_s.extend(ss)
+        out_e.extend(ee)
+        out_g.extend(gg)
+    if not out_d:
+        return _EMPTY
+    return (np.asarray(out_d, np.int64), np.asarray(out_s, np.int64),
+            np.asarray(out_e, np.int64), np.asarray(out_g, np.int64))
+
+
 def _contain_mask(inner, outer, mode):
     """For each interval in ``inner``'s stream, does an interval of
     ``outer`` (dis)satisfy the containment relation?
 
     mode 'has_within': ∃ outer interval o ⊆ inner interval i  (containing)
     mode 'within':     ∃ outer interval o ⊇ inner interval i  (containedBy)
+    mode 'overlaps':   ∃ outer interval o with o.start ≤ i.end and
+                       o.end ≥ i.start  (Overlapping/NonOverlapping — the
+                       lazy RelativeIterator walks are existence-equivalent:
+                       the b-cursor only discards intervals whose end is
+                       below every later a.start, and the first surviving
+                       b's start bounds all later ones)
     """
     d, s, e, _ = inner
     od, os_, oe, _ = outer
@@ -676,17 +906,18 @@ def _contain_mask(inner, outer, mode):
         valid = lo < hi
         lo_c = np.minimum(lo, len(okey) - 1)
         mask[valid] = suff_min[lo_c[valid]] <= e[valid]
-    else:  # within
-        # outer with start <= i.start, end >= i.end: prefix-max of ends
+    else:  # within / overlaps: prefix-max of ends over start-bounded outers
         pref_max = oe.copy()
         for i in range(1, len(oe)):
             if od[i] == od[i - 1]:
                 pref_max[i] = max(pref_max[i], pref_max[i - 1])
-        hi = np.searchsorted(okey, (d << _SHIFT) + s, side="right")
+        bound = s if mode == "within" else e
+        need = e if mode == "within" else s
+        hi = np.searchsorted(okey, (d << _SHIFT) + bound, side="right")
         doc_lo = np.searchsorted(okey, d << _SHIFT, side="left")
         valid = hi > doc_lo
         hi_c = np.maximum(hi - 1, 0)
-        mask[valid] = pref_max[hi_c[valid]] >= e[valid]
+        mask[valid] = pref_max[hi_c[valid]] >= need[valid]
     return mask
 
 
@@ -747,6 +978,25 @@ def interval_stream(src, postings_by_term, pos_by_term):
             mask = ~mask
         d, s, e, g = small
         return d[mask], s[mask], e[mask], g[mask]
+    if kind in ("i_overlapping", "i_non_overlapping"):
+        a = interval_stream(src[1], postings_by_term, pos_by_term)
+        b = interval_stream(src[2], postings_by_term, pos_by_term)
+        mask = _contain_mask(a, b, "overlaps")
+        if kind == "i_non_overlapping":
+            mask = ~mask
+        d, s, e, g = a
+        return d[mask], s[mask], e[mask], g[mask]
+    if kind == "i_offset":
+        d, s, e, g = interval_stream(src[1], postings_by_term, pos_by_term)
+        if src[2]:  # before: [max(0, start−1)]
+            p = np.maximum(s - 1, 0)
+        else:  # after: [end+1], clipped at MAX_VALUE−1 like the reference
+            p = np.minimum(e + 1, _MAX_POS - 1)
+        return d, p, p.copy(), np.zeros(len(p), dtype=np.int64)
+    if kind == "i_atleast":
+        return _atleast_stream(src[2], src[1], postings_by_term, pos_by_term)
+    if kind == "i_none":
+        return _EMPTY
     raise ValueError(f"bad interval node {src!r}")
 
 

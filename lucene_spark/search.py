@@ -1219,12 +1219,32 @@ def _iv_analyze(src: tuple, stopwords) -> tuple | None:
         if a is None or b is None:
             return None
         return (kind, a, b)
-    if kind in ("i_not_containing", "i_not_contained_by"):
+    if kind in ("i_not_containing", "i_not_contained_by",
+                "i_non_overlapping"):
         a = _iv_analyze(src[1], stopwords)
         if a is None:
             return None
         b = _iv_analyze(src[2], stopwords)
         return a if b is None else (kind, a, b)
+    if kind == "i_overlapping":
+        a = _iv_analyze(src[1], stopwords)
+        b = _iv_analyze(src[2], stopwords)
+        if a is None or b is None:
+            return None
+        return (kind, a, b)
+    if kind == "i_offset":
+        sub = _iv_analyze(src[1], stopwords)
+        return None if sub is None else ("i_offset", sub, src[2])
+    if kind == "i_atleast":
+        # a vanished source is one whose intervals() is null everywhere —
+        # it drops from the iterator pool; fewer than m left → no match
+        subs = [s for s in (_iv_analyze(c, stopwords) for c in src[2])
+                if s is not None]
+        if len(subs) < src[1]:
+            return None
+        return ("i_atleast", src[1], subs)
+    if kind == "i_none":
+        return None
     raise ValueError(f"bad interval node {src!r}")
 
 
@@ -1252,8 +1272,14 @@ def _iv_prefix_field(src: tuple, f: str) -> tuple:
     if kind == "i_extend":
         return ("i_extend", _iv_prefix_field(src[1], f), src[2], src[3])
     if kind in ("i_containing", "i_contained_by", "i_not_containing",
-                "i_not_contained_by"):
+                "i_not_contained_by", "i_overlapping", "i_non_overlapping"):
         return (kind, _iv_prefix_field(src[1], f), _iv_prefix_field(src[2], f))
+    if kind == "i_offset":
+        return ("i_offset", _iv_prefix_field(src[1], f), src[2])
+    if kind == "i_atleast":
+        return ("i_atleast", src[1], [_iv_prefix_field(c, f) for c in src[2]])
+    if kind == "i_none":
+        return src
     raise ValueError(f"bad interval node {src!r}")
 
 
@@ -1299,12 +1325,28 @@ def _iv_expand(src: tuple, index, max_exp: int) -> tuple | None:
         if a is None or b is None:
             return None
         return (kind, a, b)
-    if kind in ("i_not_containing", "i_not_contained_by"):
+    if kind in ("i_not_containing", "i_not_contained_by",
+                "i_non_overlapping"):
         a = _iv_expand(src[1], index, max_exp)
         if a is None:
             return None
         b = _iv_expand(src[2], index, max_exp)
         return a if b is None else (kind, a, b)
+    if kind == "i_overlapping":
+        a = _iv_expand(src[1], index, max_exp)
+        b = _iv_expand(src[2], index, max_exp)
+        if a is None or b is None:
+            return None
+        return (kind, a, b)
+    if kind == "i_offset":
+        sub = _iv_expand(src[1], index, max_exp)
+        return None if sub is None else ("i_offset", sub, src[2])
+    if kind == "i_atleast":
+        subs = [s for s in (_iv_expand(c, index, max_exp) for c in src[2])
+                if s is not None]
+        if len(subs) < src[1]:
+            return None
+        return ("i_atleast", src[1], subs)
     raise ValueError(f"bad interval node {src!r}")
 
 

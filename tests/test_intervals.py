@@ -472,3 +472,142 @@ def test_unordered_nary_batch_matches_walk(seed):
             m = got[0] == cand[ci]
             assert got[1][m].tolist() == ss
             assert got[2][m].tolist() == ee
+
+
+# ------------------------------------------------- atLeast / positional filters
+
+def test_atleast_hand_traces():
+    from lucene_spark.intervals import _walk_atleast
+
+    # distinct single occurrences: consecutive m-windows
+    assert _walk_atleast(_subs([[1], [3], [5]]), 2) == ([1, 3], [3, 5], [1, 1])
+    # tie + exhaust quirk: when the lead exhausts in the start-advancing
+    # loop the background queue is NOT consulted (java:219-227) — c(7)
+    # is never reached
+    assert _walk_atleast(_subs([[2], [2], [7]]), 2) == ([2], [2], [-1])
+    # multi-occurrence lead re-enters through the background queue
+    assert _walk_atleast(_subs([[1, 10], [3], [5]]), 2) == (
+        [1, 3, 5], [3, 5, 10], [1, 1, 4])
+
+
+def test_atleast_m2_closed_form_fuzz():
+    """For m=2 over single-position sources with globally distinct positions
+    (always true for distinct terms of one field), the
+    MinimumShouldMatchIntervalIterator walk emits exactly the consecutive
+    hetero-source pairs of the merged position list — the closed form the
+    DuckDB gate oracle encodes."""
+    from lucene_spark.intervals import _walk_atleast
+
+    rng = random.Random(7)
+    for _ in range(2000):
+        n = rng.choice([2, 3, 3, 4])
+        used: set[int] = set()
+        pls = []
+        for _i in range(n):
+            k = rng.randint(1, 4)
+            ps: set[int] = set()
+            while len(ps) < k:
+                p = rng.randint(0, 20)
+                if p not in used:
+                    ps.add(p)
+                    used.add(p)
+            pls.append(sorted(ps))
+        ws, we, wg = _walk_atleast(_subs(pls), 2)
+        merged = sorted(
+            (p, i) for i, pl in enumerate(pls) for p in pl)
+        exp = [(a, b) for (a, la), (b, lb) in zip(merged, merged[1:])
+               if la != lb]
+        assert list(zip(ws, we)) == exp
+        assert wg == [b - a - 1 for a, b in exp]
+
+
+def test_atleast_factory_rewrites_and_stream():
+    from lucene_spark.intervals import iv_at_least
+
+    assert iv_at_least(2, "a", "b")[0] == "i_unord"
+    assert iv_at_least(3, "a", "b")[0] == "i_none"
+    with pytest.raises(ValueError):
+        iv_at_least(0, "a", "b")
+    docs = [["a", "x", "b", "x", "c"], ["a", "x", "x", "x", "b"],
+            ["c", "x", "x", "x", "x", "a"], ["a"]]
+    post, pos = corpus_arrays(docs)
+    d, s, e, g = interval_stream(iv_at_least(2, "a", "b", "c"), post, pos)
+    # doc0: merged a0 b2 c4 -> (0,2),(2,4); doc1: a0 b4 -> (0,4);
+    # doc2: c0 a5 -> (0,5); doc3: only 'a' -> below minShouldMatch
+    assert d.tolist() == [0, 0, 1, 2]
+    assert s.tolist() == [0, 2, 0, 0]
+    assert e.tolist() == [2, 4, 4, 5]
+
+
+def test_atleast_min_extent_and_groups():
+    from lucene_spark.intervals import iv_at_least
+
+    src = iv_at_least(2, iv_ordered("a", "b"), iv_term("c"), iv_term("d"))
+    # sub extents [2, 1, 1] sorted -> 1 + 1
+    assert interval_min_extent(src) == 2
+    assert interval_required_groups(src) == [["a", "b", "c", "d"]]
+    assert sorted(interval_terms(src)) == ["a", "b", "c", "d"]
+
+
+def test_before_after_offset_semantics():
+    from lucene_spark.intervals import iv_after, iv_before
+
+    docs = [["r", "s", "x", "r", "s"], ["s", "r"], ["r"], ["s"]]
+    post, pos = corpus_arrays(docs)
+    # before(s, r): s positions p with p <= max(0, r-1) over some r
+    # doc0: r at 0,3 -> big ends max(0,-1)=0 and 2 -> s@1 qualifies (<=2),
+    #        s@4 does not; doc1: r@1 -> big [0,0] -> s@0 qualifies
+    d, s, e, g = interval_stream(iv_before("s", "r"), post, pos)
+    assert list(zip(d.tolist(), s.tolist())) == [(0, 1), (1, 0)]
+    # the position-0 quirk: ref at 0 gives big [0, max(0,-1)] = [0,0], so a
+    # source occurrence AT 0 counts as "before" a reference at 0
+    docs2 = [["rs", "x"]]  # impossible same-pos in real corpora; emulate:
+    post2, pos2 = corpus_arrays([["s", "r"]])
+    d2, s2, _, _ = interval_stream(iv_before("s", "r"), post2, pos2)
+    assert (d2.tolist(), s2.tolist()) == ([0], [0])
+    # after(s, r): s positions p with p >= min(r)+1
+    d3, s3, _, _ = interval_stream(iv_after("s", "r"), post, pos)
+    assert list(zip(d3.tolist(), s3.tolist())) == [(0, 1), (0, 4)]
+
+
+def test_overlapping_non_overlapping_not_within():
+    from lucene_spark.intervals import (
+        iv_non_overlapping, iv_not_within, iv_overlapping)
+
+    docs = [["a", "b", "k", "x", "a", "b"], ["a", "b", "x", "k"],
+            ["a", "b"], ["k", "a", "b"]]
+    post, pos = corpus_arrays(docs)
+    big = iv_ordered("a", "b")  # pairs (0,1) and (4,5) in doc0, etc.
+    # overlapping(ordered(a,b), k): conjunction — doc2 (no k) drops; a pair
+    # overlaps k only when k's position falls inside [s, e]
+    d, s, e, _ = interval_stream(iv_overlapping(big, "k"), post, pos)
+    assert len(d) == 0  # k never falls inside a minimal (a,b) pair here
+    wide = iv_ordered("a", "x")
+    d, s, e, _ = interval_stream(iv_overlapping(wide, "k"), post, pos)
+    # doc0 pair (0,3) contains k@2; doc1 pair (0,2) does not contain k@3
+    assert (d.tolist(), s.tolist(), e.tolist()) == ([0], [0], [3])
+    # nonOverlapping: difference — doc2 keeps its pair though k is absent
+    d, s, e, _ = interval_stream(iv_non_overlapping(big, "k"), post, pos)
+    assert set(zip(d.tolist(), s.tolist(), e.tolist())) == {
+        (0, 0, 1), (0, 4, 5), (1, 0, 1), (2, 0, 1), (3, 1, 2)}
+    # notWithin(a-b pair, 1, k): pairs with no k within 1 position of [s,e]
+    d, s, e, _ = interval_stream(iv_not_within(big, 1, "k"), post, pos)
+    # doc0 (0,1): k@2 within 1 -> dropped; (4,5): k@2 is 2 away -> kept
+    # doc1 (0,1): k@3 is 2 away -> kept; doc3 (1,2): k@0 within 1 -> dropped
+    assert set(zip(d.tolist(), s.tolist(), e.tolist())) == {
+        (0, 4, 5), (1, 0, 1), (2, 0, 1)}
+
+
+def test_new_sources_rewrite_and_field_prefix():
+    from lucene_spark.intervals import iv_at_least, iv_before
+    from lucene_spark.search import _iv_analyze, _iv_prefix_field
+
+    # stopword sub drops out of atLeast; fewer than m left -> no match
+    src = _iv_analyze(iv_at_least(2, "the", "alpha", "beta"), {"the"})
+    assert src == ("i_atleast", 2, [("iterm", "alpha"), ("iterm", "beta")])
+    assert _iv_analyze(iv_at_least(2, "the", "alpha", "a"),
+                       {"the", "a"}) is None
+    # before() composition survives analysis and field-prefixing intact
+    src = _iv_analyze(iv_before("alpha", "beta"), set())
+    fp = _iv_prefix_field(src, "body")
+    assert interval_terms(fp) == ["body:alpha", "body:beta"]
