@@ -2972,6 +2972,21 @@ forty four
         # one TRANSPOSITION from 'kye' so plain Levenshtein would miss it
         return _topk_df(spark, sf, "kye~1", 10)
 
+    def ft_ext_qp(spark, sf):
+        # ExtendableQueryParser (queryparser/ext): a registered 'low'
+        # extension receives the raw extension-field text (ExtensionQuery)
+        # and builds a lowercased term node (the ExtensionStub pattern);
+        # `\:low:MERGE scan` = OR(term merge, term scan) — the delimiter
+        # rides escaped inside the classic field token per
+        # Extensions.buildExtensionField
+        from lucene_spark.search import Extensions, extendable_parse
+
+        ext = Extensions()
+        ext.add("low", lambda p, f, s: ("term", s.lower()))
+        q = extendable_parse(
+            ext.build_extension_field("low") + ":MERGE scan", ext)
+        return _topk_df(spark, sf, q, 10)
+
     def ft_qp_range(spark, sf):
         # `[v TO w]` — TermRangeQuery through the string syntax with the
         # CONSTANT_SCORE rewrite: every matching doc scores exactly 1.0
@@ -5223,7 +5238,7 @@ forty four
         ft_spellchecker,
         ft_confusion, ft_payload_check, ft_dataset_split,
         ft_interval_atleast, ft_interval_before, ft_interval_notwithin,
-        ft_interval_overlap,
+        ft_interval_overlap, ft_ext_qp,
         # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
         # still oracle-checked every run by tests/test_entry_gate.py ----
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -8223,6 +8238,22 @@ fr AS (
         "ft_interval_notwithin": _iv_notwithin_sql("table", "hash", 2,
                                                    "join", 10),
         "ft_interval_overlap": _iv_overlap_sql("table", "scan", "key", 10),
+        # ExtendableQueryParser: the 'low' extension lowers MERGE -> merge,
+        # so the query is a plain 2-term disjunction
+        "ft_ext_qp": _FT_PRELUDE + """,
+ts AS (
+  SELECT tf.doc_id,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) AS w,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (s.sttf / s.n))) AS inv,
+         tf.tf AS tf
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term IN ('merge', 'scan')
+),
+sc AS (
+  SELECT doc_id, SUM(w - w / (1.0 + tf * inv)) AS score FROM ts GROUP BY doc_id
+)
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM sc ORDER BY score DESC, doc_id LIMIT 10""",
         "ft_wildcard": _FT_PRELUDE + """
 SELECT DISTINCT doc_id FROM ftok WHERE term LIKE '%er%'""",
         "ft_fuzzy": _FT_PRELUDE + """

@@ -434,6 +434,121 @@ def precedence_parse(q: str, default_field: str = "text", fields=None,
     return _PrecedenceParser(q, default_field, fields, operator).parse()
 
 
+_QP_SPECIAL = set('\\+-!():^[]"{}~*?|&/')
+
+
+def escape_query(s: str) -> str:
+    """QueryParserBase.escape (classic/QueryParserBase.java:793-805): every
+    syntax character gets a backslash (incl. '&' and '|' though only the
+    doubled forms are operators)."""
+    return "".join("\\" + c if c in _QP_SPECIAL else c for c in s)
+
+
+class Extensions:
+    """queryparser/ext Extensions registry (ext/Extensions.java:39-150):
+    maps extension keys to parser-extension callables, owns the
+    extension-field delimiter, and splits/builds ``field<delim>key``
+    strings.  An extension callable takes (parser, field, raw_text) —
+    ``field`` already resolved against the default field — and returns an
+    engine AST node (the ParserExtension.parse(ExtensionQuery) analog)."""
+
+    DEFAULT_EXTENSION_FIELD_DELIMITER = ":"
+
+    def __init__(self, delimiter: str = DEFAULT_EXTENSION_FIELD_DELIMITER):
+        self.delimiter = delimiter
+        self._ext: dict[str, object] = {}
+
+    def add(self, key: str, extension) -> None:
+        self._ext[key] = extension
+
+    def get_extension(self, key: str):
+        return self._ext.get(key)
+
+    def split_extension_field(self, default_field: str,
+                              field: str) -> tuple[str, str | None]:
+        """Split on the FIRST delimiter occurrence; no delimiter → no
+        extension key; delimiter at position 0 → the default field
+        (Extensions.java:105-111)."""
+        i = field.find(self.delimiter)
+        if i < 0:
+            return field, None
+        return (default_field if i == 0 else field[:i]), field[i + 1:]
+
+    def escape_extension_field(self, extfield: str) -> str:
+        return escape_query(extfield)
+
+    def build_extension_field(self, extension_key: str,
+                              field: str = "") -> str:
+        """field + delimiter + key, the JOINED string escaped — so the
+        delimiter itself rides escaped inside the classic field token and
+        only the field:term separator stays live
+        (Extensions.java:156-161)."""
+        return self.escape_extension_field(
+            field + self.delimiter + extension_key)
+
+
+class _ExtendableParser(_Parser):
+    """ExtendableQueryParser (ext/ExtendableQueryParser.java:66-116): the
+    classic parser with a getFieldQuery hook — when the (unescaped) field
+    prefix splits into ``field<delim>key`` and ``key`` names a registered
+    extension, the extension builds the node from the raw (unescaped) term
+    or quoted-phrase text.  Like the reference, only plain terms and quoted
+    phrases route to extensions (wildcard/fuzzy atoms go through
+    getWildcardQuery/getFuzzyQuery, which extensions do not intercept)."""
+
+    def __init__(self, q, default_field="text", fields=None,
+                 extensions: Extensions | None = None):
+        super().__init__(q, default_field, fields)
+        self.extensions = extensions or Extensions()
+
+    def _ext_for(self, raw_field: str):
+        f, key = self.extensions.split_extension_field(
+            self.default_field, raw_field)
+        if key is None:
+            return None, None
+        return f, self.extensions.get_extension(key)
+
+    def _apply_boost(self, node, boost):
+        if node is None:
+            return None
+        return ("boost", node, boost) if boost is not None else node
+
+    def _term_node(self, text: str) -> tuple | None:
+        if (ci := _find_unescaped(text, ":")) >= 0:
+            f, ext = self._ext_for(_discard_escapes(text[:ci]))
+            if ext is not None:
+                rest = text[ci + 1:]
+                if rest == "":
+                    # `field<delim>ext:"..."` — the quoted text reaches the
+                    # extension raw (getFieldQuery(field, text, quoted=true))
+                    kind, t2 = self.peek()
+                    if kind == "quoted":
+                        self.next()
+                        boost = None
+                        if (m := re.search(r"\^(\d+(?:\.\d+)?)$", t2)):
+                            boost = float(m.group(1))
+                            t2 = t2[: m.start()]
+                        t2 = re.sub(r"~(\d+)$", "", t2)
+                        body = _discard_escapes(t2[1:-1])
+                        return self._apply_boost(ext(self, f, body), boost)
+                    return super()._term_node(text)
+                base, boost, _edits, had_tilde = _strip_suffixes(rest)
+                if had_tilde or _find_unescaped(base, "*?") >= 0 or not base:
+                    return super()._term_node(text)
+                return self._apply_boost(
+                    ext(self, f, _discard_escapes(base)), boost)
+        return super()._term_node(text)
+
+
+def extendable_parse(q: str, extensions: Extensions,
+                     default_field: str = "text", fields=None) -> tuple:
+    """ExtendableQueryParser.parse: classic syntax plus
+    ``field<delim>extkey:text`` extension fields (the field side escaped
+    with :meth:`Extensions.build_extension_field`); same AST contract as
+    :func:`parse_query`."""
+    return _ExtendableParser(q, default_field, fields, extensions).parse()
+
+
 def multi_phrase(members: list) -> tuple:
     """MultiPhraseQuery builder: ``members`` is a list of positions, each a
     term or a list of alternative terms (MultiPhraseQuery.Builder.add(Term[]),
