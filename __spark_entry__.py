@@ -2495,6 +2495,21 @@ forty four
             [(count_hits(idx, "spark window dup"),)], "n_hits long"
         )
 
+    def ft_large_topk(spark, sf):
+        # LargeNumHitsTopDocsCollector (sandbox/search/
+        # LargeNumHitsTopDocsCollector.java:40-160): when the requested hit
+        # count rivals the match count, skip the pruning machinery and
+        # collect exhaustively — output identical to TopScoreDocCollector
+        # (score desc, docid asc) over EVERY hit.  Engine analog: the
+        # prune=False exhaustive kernel path with k far above the corpus
+        # size; every 'merge' OR 'part' hit comes back ranked.
+        idx = _ft_index(spark, sf)
+        td = search(idx, "merge part", k=100000, precision="float64",
+                    prune=False)
+        rows = [(int(d), int(math.floor(s * 10000)))
+                for d, s in zip(td.docids.tolist(), td.scores.tolist())]
+        return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
     def ft_prefix_match(spark, sf):
         # MultiTermQuery expansion against the term dictionary (PrefixQuery)
         idx = _ft_index(spark, sf)
@@ -5238,7 +5253,7 @@ forty four
         ft_spellchecker,
         ft_confusion, ft_payload_check, ft_dataset_split,
         ft_interval_atleast, ft_interval_before, ft_interval_notwithin,
-        ft_interval_overlap, ft_ext_qp,
+        ft_interval_overlap, ft_ext_qp, ft_large_topk,
         # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
         # still oracle-checked every run by tests/test_entry_gate.py ----
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -8254,6 +8269,22 @@ sc AS (
 )
 SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
 FROM sc ORDER BY score DESC, doc_id LIMIT 10""",
+        # LargeNumHitsTopDocsCollector: EVERY hit of the 2-term disjunction
+        # ranked (k >> corpus)
+        "ft_large_topk": _FT_PRELUDE + """,
+ts AS (
+  SELECT tf.doc_id,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) AS w,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (s.sttf / s.n))) AS inv,
+         tf.tf AS tf
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term IN ('merge', 'part')
+),
+sc AS (
+  SELECT doc_id, SUM(w - w / (1.0 + tf * inv)) AS score FROM ts GROUP BY doc_id
+)
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM sc ORDER BY score DESC, doc_id LIMIT 100000""",
         "ft_wildcard": _FT_PRELUDE + """
 SELECT DISTINCT doc_id FROM ftok WHERE term LIKE '%er%'""",
         "ft_fuzzy": _FT_PRELUDE + """
