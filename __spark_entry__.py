@@ -2510,6 +2510,44 @@ forty four
                 for d, s in zip(td.docids.tolist(), td.scores.tolist())]
         return spark.createDataFrame(rows or [], "doc_id long, score_q long")
 
+    def ft_date_range(spark, sf):
+        # DateTools (document/DateTools.java): epoch millis → GMT
+        # yyyyMMdd... strings cut to resolution; order-preserving, so a
+        # date range is a sargable string BETWEEN.  Timestamps derived
+        # deterministically from doc_id (97-hour stride); encoder is the
+        # pure-Catalyst epoch-day arithmetic path (no UDF, no session-tz)
+        from lucene_spark.datetools import (
+            date_range_predicate, time_to_string, time_to_string_col,
+        )
+
+        base, stride = 1000000000000, 349200000
+        lo = time_to_string(base + 100 * stride, "day")
+        hi = time_to_string(base + 300 * stride, "day")
+        d = _docs(spark, sf).select(
+            "doc_id",
+            (F.lit(base) + F.col("doc_id") * F.lit(stride)).alias("ts"))
+        d = d.select("doc_id",
+                     time_to_string_col(F.col("ts"), "day").alias("day_s"))
+        return d.filter(date_range_predicate(F.col("day_s"), lo, hi))
+
+    def ft_inet_point(spark, sf):
+        # InetAddressPoint.newPrefixQuery (document/InetAddressPoint.java):
+        # single-address docs as IPv6-mapped order-preserving hex keys; a
+        # CIDR prefix is the [network, broadcast] key range — sargable.
+        # IPs derived deterministically: 10.(doc_id%200).((7·doc_id)%256).
+        # ((13·doc_id)%256); query 10.5.0.0/16 → doc_id % 200 == 5
+        from lucene_spark.rangefield import inet_point_query
+
+        v4 = (F.lit(10) * F.lit(16777216)
+              + (F.col("doc_id") % 200) * F.lit(65536)
+              + ((F.col("doc_id") * 7) % 256) * F.lit(256)
+              + (F.col("doc_id") * 13) % 256)
+        d = _docs(spark, sf).select(
+            "doc_id",
+            F.concat(F.lit("00000000000000000000ffff"),
+                     F.lpad(F.lower(F.hex(v4)), 8, "0")).alias("ip_key"))
+        return inet_point_query(d, prefix=("10.5.0.0", 16))
+
     def ft_prefix_match(spark, sf):
         # MultiTermQuery expansion against the term dictionary (PrefixQuery)
         idx = _ft_index(spark, sf)
@@ -5253,7 +5291,8 @@ forty four
         ft_spellchecker,
         ft_confusion, ft_payload_check, ft_dataset_split,
         ft_interval_atleast, ft_interval_before, ft_interval_notwithin,
-        ft_interval_overlap, ft_ext_qp, ft_large_topk,
+        ft_interval_overlap, ft_ext_qp, ft_large_topk, ft_date_range,
+        ft_inet_point,
         # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
         # still oracle-checked every run by tests/test_entry_gate.py ----
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -8285,6 +8324,27 @@ sc AS (
 )
 SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
 FROM sc ORDER BY score DESC, doc_id LIMIT 100000""",
+        # DateTools: GMT yyyyMMdd of (1000000000000 + doc_id·349200000) ms,
+        # string BETWEEN — DuckDB's epoch_ms/strftime are UTC like the
+        # reference's GMT SimpleDateFormat
+        "ft_date_range": """
+SELECT doc_id,
+       strftime(epoch_ms(CAST(1000000000000 + doc_id * 349200000 AS BIGINT)),
+                '%Y%m%d') AS day_s
+FROM documents
+WHERE strftime(epoch_ms(CAST(1000000000000 + doc_id * 349200000 AS BIGINT)),
+               '%Y%m%d') BETWEEN '20021018' AND '20050103'""",
+        # InetAddressPoint prefix 10.5.0.0/16 over IPv6-mapped hex keys
+        "ft_inet_point": """
+SELECT doc_id FROM (
+  SELECT doc_id,
+         '00000000000000000000ffff' ||
+         lpad(lower(hex(CAST(10 * 16777216 + (doc_id % 200) * 65536
+                        + ((doc_id * 7) % 256) * 256
+                        + (doc_id * 13) % 256 AS BIGINT))), 8, '0') AS k
+  FROM documents
+) WHERE k >= '00000000000000000000ffff0a050000'
+    AND k <= '00000000000000000000ffff0a05ffff'""",
         "ft_wildcard": _FT_PRELUDE + """
 SELECT DISTINCT doc_id FROM ftok WHERE term LIKE '%er%'""",
         "ft_fuzzy": _FT_PRELUDE + """

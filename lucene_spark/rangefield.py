@@ -97,3 +97,48 @@ def inet_range_query(ranges: DataFrame, lo_ip: str, hi_ip: str,
     lo, hi = inet_to_key(lo_ip), inet_to_key(hi_ip)
     return range_field_query(ranges, [cols[0]], [cols[1]], [lo], [hi],
                              relation=relation, id_col=id_col)
+
+
+def inet_prefix_bounds(ip: str, prefix_length: int) -> tuple[str, str]:
+    """InetAddressPoint.newPrefixQuery (document/InetAddressPoint.java:
+    newPrefixQuery): a CIDR prefix is the inclusive key range
+    [network address, broadcast address] in the 128-bit space; IPv4
+    addresses sit behind the ::ffff: mapping, so an IPv4 /p is a /(96+p)
+    of the mapped space."""
+    v = inet_to_int(ip)
+    import ipaddress as _ipa
+
+    if isinstance(_ipa.ip_address(ip), _ipa.IPv4Address):
+        if not 0 <= prefix_length <= 32:
+            raise ValueError("illegal prefixLength: must be 0-32 for IPv4")
+        prefix_length += 96
+    elif not 0 <= prefix_length <= 128:
+        raise ValueError("illegal prefixLength: must be 0-128 for IPv6")
+    host_bits = 128 - prefix_length
+    lo = (v >> host_bits) << host_bits
+    hi = lo | ((1 << host_bits) - 1)
+    return f"{lo:032x}", f"{hi:032x}"
+
+
+def inet_point_query(points: DataFrame, *, exact: str | None = None,
+                     prefix: tuple[str, int] | None = None,
+                     lo_ip: str | None = None, hi_ip: str | None = None,
+                     id_col: str = "doc_id",
+                     col: str = "ip_key") -> DataFrame:
+    """InetAddressPoint queries (document/InetAddressPoint.java:
+    newExactQuery/newPrefixQuery/newRangeQuery): single-address docs
+    stored as one order-preserving hex key; exact = equality, prefix =
+    CIDR bounds, range = inclusive BETWEEN — all sargable Catalyst
+    predicates (the scan-level filter pushdown the 1-D BKD range gives
+    the reference)."""
+    c = F.col(col)
+    if exact is not None:
+        pred = c == inet_to_key(exact)
+    elif prefix is not None:
+        lo, hi = inet_prefix_bounds(*prefix)
+        pred = (c >= lo) & (c <= hi)
+    elif lo_ip is not None and hi_ip is not None:
+        pred = (c >= inet_to_key(lo_ip)) & (c <= inet_to_key(hi_ip))
+    else:
+        raise ValueError("one of exact / prefix / (lo_ip, hi_ip) required")
+    return points.filter(pred).select(id_col)
