@@ -2510,6 +2510,85 @@ forty four
                 for d, s in zip(td.docids.tolist(), td.scores.tolist())]
         return spark.createDataFrame(rows or [], "doc_id long, score_q long")
 
+    def ft_indri_and(spark, sf):
+        # IndriAndQuery (core/search/IndriAndQuery.java + IndriAndScorer
+        # .java:24-52): disjunctive doc iteration; the boost-weighted-mean
+        # score counts only IndriScorer subs, and no leaf scorer in this
+        # snapshot is one, so every matching doc scores 0 (boostSum == 0
+        # branch) — the reference's own TestIndriAndQuery asserts hit
+        # counts only.  Faithful surface: the disjunctive match set.
+        from lucene_spark.search import indri_and_docs
+
+        idx = _ft_index(spark, sf)
+        return (indri_and_docs(idx, ["dup", "batch"])
+                .select(F.col("docid").alias("doc_id")))
+
+    def ft_ngram_phrase(spark, sf):
+        # NGramPhraseQuery (core/search/NGramPhraseQuery.java:44-71): over
+        # a 2-gram index the phrase for "src1" = [sr@0, rc@1, c1@2] rewrites
+        # to [sr@0, c1@2] (every n-th + last) — match-identical with ~1/n
+        # of the postings (equivalence vs the unrewritten phrase pinned in
+        # tests/test_parser_advanced.py::test_ngram_phrase_*)
+        from lucene_spark.search import ngram_phrase_rewrite
+
+        d = _docs(spark, sf).select(
+            "doc_id",
+            F.concat_ws(" ", F.expr(
+                "transform(sequence(1, length(source)-1),"
+                " i -> substring(source, i, 2))")).alias("g2"),
+            F.col("doc_id").cast("string").alias("url"))
+        idx = build_index(spark, d, text_col="g2", key_col="url",
+                          docid_col="doc_id", with_positions=True,
+                          check_unique_keys=False)
+        node = ngram_phrase_rewrite([("sr", 0), ("rc", 1), ("c1", 2)], 2)
+        td = search(idx, node, k=100000, precision="float64", prune=False)
+        return spark.createDataFrame(
+            [(int(x),) for x in td.docids.tolist()] or [], "doc_id long")
+
+    def ft_point_in_set(spark, sf):
+        # PointInSetQuery (core/search/PointInSetQuery.java:56-80): numeric
+        # set membership in one scan pass — Catalyst isin, pushed to the
+        # parquet reader as In(n_chars, ...)
+        from lucene_spark.points import point_in_set_query
+
+        return point_in_set_query(_docs(spark, sf), "n_chars",
+                                  [157, 201, 333])
+
+    def ft_sort_rescore(spark, sf):
+        # SortRescorer (core/search/SortRescorer.java:44-92): re-sort the
+        # BM25('batch') top-30 window by n_chars desc (docID tiebreak),
+        # original first-pass scores preserved on the re-sorted hits
+        from lucene_spark.funcscore import sort_rescore
+
+        idx = _ft_index(spark, sf)
+        first = search(idx, "batch", k=30, precision="float64", prune=True)
+        vals = _docs(spark, sf).select("doc_id",
+                                       F.col("n_chars").alias("value"))
+        rows = sort_rescore(idx, first, vals, top_n=10, ascending=False)
+        return spark.createDataFrame(
+            [(int(d), int(v), int(math.floor(s * 10000)))
+             for d, v, s in rows] or [],
+            "doc_id long, n_chars long, score_q long")
+
+    def ft_sorted_selector(spark, sf):
+        # SortedNumericSortField selectors (search/SortedNumericSelector
+        # .java:42-73 MIN/MAX + sandbox SortedNumericSortField.Selector
+        # MIDDLE_MIN/MIDDLE_MAX): multi-valued sort keys reduced in pure
+        # Catalyst; docs sorted by the MIDDLE_MIN of a derived 3-value
+        # array (ascending, docID tiebreak)
+        from lucene_spark.docvalues import sorted_numeric_sort_key
+
+        d = _docs(spark, sf).select(
+            "doc_id",
+            F.array(F.col("n_chars") % 97, (F.col("doc_id") * 7) % 89,
+                    (F.col("doc_id") * 13) % 83).alias("vals"))
+        key = sorted_numeric_sort_key("vals", "middle_min")
+        return (d.select("doc_id", key.alias("mid"),
+                         sorted_numeric_sort_key("vals", "min").alias("lo"),
+                         sorted_numeric_sort_key("vals", "max").alias("hi"))
+                .orderBy(F.col("mid").asc(), F.col("doc_id").asc())
+                .limit(15))
+
     def ft_date_range(spark, sf):
         # DateTools (document/DateTools.java): epoch millis → GMT
         # yyyyMMdd... strings cut to resolution; order-preserving, so a
@@ -5292,7 +5371,8 @@ forty four
         ft_confusion, ft_payload_check, ft_dataset_split,
         ft_interval_atleast, ft_interval_before, ft_interval_notwithin,
         ft_interval_overlap, ft_ext_qp, ft_large_topk, ft_date_range,
-        ft_inet_point,
+        ft_inet_point, ft_indri_and, ft_ngram_phrase, ft_point_in_set,
+        ft_sort_rescore, ft_sorted_selector,
         # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
         # still oracle-checked every run by tests/test_entry_gate.py ----
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -8334,6 +8414,37 @@ SELECT doc_id,
 FROM documents
 WHERE strftime(epoch_ms(CAST(1000000000000 + doc_id * 349200000 AS BIGINT)),
                '%Y%m%d') BETWEEN '20021018' AND '20050103'""",
+        # IndriAndQuery: disjunctive match set, all scores 0 in this
+        # snapshot (no IndriScorer leaves) — docids only
+        "ft_indri_and": _FT_PRELUDE + """
+SELECT DISTINCT doc_id FROM tf WHERE term IN ('dup', 'batch')""",
+        # NGramPhraseQuery over the 2-gram field of source == substring
+        # containment (consecutive overlapping grams reassemble the string)
+        "ft_ngram_phrase": """
+SELECT doc_id FROM documents WHERE source LIKE '%src1%'""",
+        "ft_point_in_set": """
+SELECT doc_id FROM documents WHERE n_chars IN (157, 201, 333)""",
+        # SortRescorer: BM25('batch') top-30 window re-sorted by n_chars
+        # desc (docID tiebreak), original scores preserved
+        "ft_sort_rescore": _FT_PRELUDE + "," + _score_sql(["batch"]) + """,
+first_pass AS (
+  SELECT doc_id, score FROM doc_scores ORDER BY score DESC, doc_id LIMIT 30
+)
+SELECT f.doc_id, d.n_chars,
+       CAST(floor(f.score * 10000) AS BIGINT) AS score_q
+FROM first_pass f JOIN documents d USING (doc_id)
+ORDER BY d.n_chars DESC, f.doc_id LIMIT 10""",
+        # SortedNumericSelector MIDDLE_MIN of a 3-value array: the median =
+        # sum − least − greatest; MIN/MAX via least/greatest
+        "ft_sorted_selector": """
+SELECT doc_id,
+       (a + b + c) - least(a, b, c) - greatest(a, b, c) AS mid,
+       least(a, b, c) AS lo, greatest(a, b, c) AS hi
+FROM (
+  SELECT doc_id, n_chars % 97 AS a, (doc_id * 7) % 89 AS b,
+         (doc_id * 13) % 83 AS c
+  FROM documents
+) ORDER BY mid ASC, doc_id ASC LIMIT 15""",
         # InetAddressPoint prefix 10.5.0.0/16 over IPv6-mapped hex keys
         "ft_inet_point": """
 SELECT doc_id FROM (

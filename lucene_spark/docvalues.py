@@ -148,3 +148,32 @@ def sorted_doc_values_stats(
         F.min(v).alias("vmin"),
         F.max(v).alias("vmax"),
     )
+
+
+def sorted_numeric_sort_key(arr_col, selector: str = "min"):
+    """SortedNumericSelector.wrap (search/SortedNumericSelector.java:42-73):
+    reduce a multi-valued numeric column to the single value the
+    SortedNumericSortField compares — MIN/MAX over the sorted values;
+    sandbox selectors MIDDLE_MIN/MIDDLE_MAX take the lower/upper middle
+    ((n−1)/2 and n/2 of the ascending order).  Pure Catalyst — array_min/
+    array_max/element_at on a sorted copy, no UDF."""
+    c = F.col(arr_col) if isinstance(arr_col, str) else arr_col
+    if selector == "min":
+        return F.array_min(c)
+    if selector == "max":
+        return F.array_max(c)
+    if selector in ("middle_min", "middle_max"):
+        s = F.array_sort(c)
+        n = F.size(s)
+        idx = F.floor((n - F.lit(1)) / 2) if selector == "middle_min" \
+            else F.floor(n / 2)
+        return F.element_at(s, (idx + 1).cast("int"))
+    raise ValueError(f"unknown selector {selector!r}")
+
+
+def sorted_set_sort_key(arr_col, selector: str = "min"):
+    """SortedSetSelector.wrap (search/SortedSetSelector.java:49-77): the
+    ordinal-space MIN/MAX/MIDDLE_MIN/MIDDLE_MAX of a multi-valued string
+    column — BytesRef order == Spark string order, so the same
+    sorted-array selection applies."""
+    return sorted_numeric_sort_key(arr_col, selector)

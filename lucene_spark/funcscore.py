@@ -216,6 +216,45 @@ def rescore(
     return TopDocs(docids[order], combined[order])
 
 
+def sort_rescore(
+    index: Index,
+    first: TopDocs,
+    values: DataFrame,
+    top_n: int = 10,
+    ascending: bool = False,
+    id_col: str = "doc_id",
+    value_col: str = "value",
+) -> list[tuple[int, object, float]]:
+    """SortRescorer.rescore (search/SortRescorer.java:44-92): re-sort the
+    first-pass window by a Sort (here one doc-values column from
+    ``values``), ties broken by ascending docID (TopFieldCollector's doc
+    tiebreak), cut to ``top_n``; the ORIGINAL first-pass scores ride along
+    on the re-sorted hits (:80-88).
+
+    Like :func:`rescore`, the second pass touches only the window: the
+    window docids push down as an isin filter over the values frame, so
+    cost is O(window) regardless of corpus size.  Returns
+    [(docid, sort_value, first_pass_score), ...]."""
+    if len(first.docids) == 0:
+        return []
+    window = [int(d) for d in first.docids]
+    smap = {int(d): float(s) for d, s in zip(first.docids, first.scores)}
+    vals = (values.filter(F.col(id_col).isin(window))
+            .select(id_col, value_col).collect())
+    vmap = {int(r[id_col]): r[value_col] for r in vals}
+    rows = [(d, vmap.get(d), smap[d]) for d in window]
+
+    def key(r):
+        # missing values sort last either direction (SortField missing-last
+        # default); numeric negation flips for descending
+        if r[1] is None:
+            return (1, 0, r[0])
+        return (0, r[1] if ascending else -r[1], r[0])
+
+    rows.sort(key=key)
+    return rows[:top_n]
+
+
 def _take_topk(rescored: DataFrame, k: int) -> TopDocs:
     """Global top-k IN SPARK (TakeOrderedAndProject; TopDocs tie contract
     score desc, docID asc — search/TopDocs.java:93-120)."""

@@ -69,3 +69,13 @@ def half_float_range_query(
     return docs.filter(
         (qv >= F.lit(float(lo))) & (qv <= F.lit(float(hi)))
     ).select(id_col)
+
+
+def point_in_set_query(docs: DataFrame, col: str, values,
+                       id_col: str = "doc_id") -> DataFrame:
+    """PointInSetQuery analog (core/search/PointInSetQuery.java:56-80 —
+    "a set of point value(s) ... computes which documents match, in a
+    single pass"): numeric set membership as one Catalyst isin predicate —
+    pushed to the parquet scan as `In(col, ...)`, the same one-pass
+    BKD-intersect shape the reference gets, constant score."""
+    return docs.filter(F.col(col).isin(list(values))).select(id_col)

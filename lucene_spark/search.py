@@ -558,6 +558,43 @@ def multi_phrase(members: list) -> tuple:
     return ("mphrase_raw", list(members))
 
 
+def ngram_phrase_rewrite(members: list[tuple[str, int]], n: int) -> tuple:
+    """NGramPhraseQuery.rewrite (core/search/NGramPhraseQuery.java:44-71):
+    a 0-slop phrase whose terms are n-grams at consecutive positions is
+    match-identical when only every n-th term plus the last is kept (the
+    dropped grams are implied by the overlap), cutting postings reads by
+    ~1/n.  Optimizable only when n >= 2, >= 3 terms, and positions are
+    consecutive; the kept terms re-index at their original offsets so the
+    relative gaps are preserved.  Returns a ("phrase", members) node."""
+    positions = [p for _, p in members]
+    optimizable = (
+        n >= 2 and len(members) >= 3
+        and all(positions[i] == positions[i - 1] + 1
+                for i in range(1, len(members)))
+    )
+    if not optimizable:
+        return ("phrase", list(members))
+    kept = [(t, i) for i, (t, _p) in enumerate(members)
+            if i % n == 0 or i == len(members) - 1]
+    return ("phrase", kept)
+
+
+def indri_and_docs(index: "Index", terms: list[str]) -> "DataFrame":
+    """IndriAndQuery (core/search/IndriAndQuery.java + IndriAndScorer.java:
+    24-52): clauses iterate as a DISJUNCTION (IndriDisjunctionScorer's
+    DisjunctionDISIApproximation), and the doc score is the boost-weighted
+    mean of sub-scores — but the weighted mean only counts sub-scorers that
+    are IndriScorer instances (IndriAndScorer.java:30 instanceof check), and
+    in this snapshot no leaf scorer extends IndriScorer (TermScorer does
+    not), so boostSum == 0 and every matching doc scores 0
+    (IndriAndScorer.java:48-50).  The reference's own TestIndriAndQuery
+    asserts only hit COUNTS for exactly this reason.  Faithful analog:
+    the disjunctive match set, constant score 0, docID order.  (A
+    single-clause IndriAndQuery returns the clause's scorer unwrapped —
+    IndriAndWeight.java:getScorer — i.e. a plain term query.)"""
+    return match_any_docs(index, terms)
+
+
 def phrase_wildcard_query(
     index: "Index",
     members: list,

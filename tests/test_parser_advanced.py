@@ -241,3 +241,45 @@ class TestLuceneRegexpOperators:
         assert expand_terms(idx, rlike="test.*") == [
             "tested", "tester", "testing"]
         assert expand_terms(idx, rlike=".*test") == ["contest", "retest"]
+
+
+# ------------------------------------------------ NGramPhraseQuery rewrite
+
+def test_ngram_phrase_rewrite_vectors():
+    from lucene_spark.search import ngram_phrase_rewrite
+
+    # optimizable: every n-th + last, re-indexed at original offsets
+    m = [("ab", 0), ("bc", 1), ("cd", 2), ("de", 3), ("ef", 4)]
+    assert ngram_phrase_rewrite(m, 2) == (
+        "phrase", [("ab", 0), ("cd", 2), ("ef", 4)])
+    assert ngram_phrase_rewrite(m, 3) == (
+        "phrase", [("ab", 0), ("de", 3), ("ef", 4)])
+    # not optimizable: n < 2, < 3 terms, or a position gap
+    assert ngram_phrase_rewrite(m, 1) == ("phrase", m)
+    assert ngram_phrase_rewrite(m[:2], 2) == ("phrase", m[:2])
+    gap = [("ab", 0), ("bc", 2), ("cd", 3)]
+    assert ngram_phrase_rewrite(gap, 2) == ("phrase", gap)
+
+
+def test_ngram_phrase_rewrite_match_identical(spark):
+    """The rewritten phrase is match-identical to the full phrase on a real
+    2-gram index (NGramPhraseQuery.rewrite's contract)."""
+    from lucene_spark.index import build_index
+    from lucene_spark.search import ngram_phrase_rewrite, search
+
+    words = ["abcdef", "abcxef", "zabcde", "abdcef", "xyabcd", "aqcdef"]
+    pages = spark.createDataFrame(
+        [(str(i), " ".join(w[j:j + 2] for j in range(len(w) - 1)))
+         for i, w in enumerate(words)],
+        "url string, text string")
+    idx = build_index(spark, pages, with_positions=True)
+    full = [("ab", 0), ("bc", 1), ("cd", 2), ("de", 3)]  # "abcde"
+    node_full = ("phrase", full)
+    node_rw = ngram_phrase_rewrite(full, 2)
+    assert node_rw == ("phrase", [("ab", 0), ("cd", 2), ("de", 3)])
+    got_full = search(idx, node_full, k=100, precision="float64").docids
+    got_rw = search(idx, node_rw, k=100, precision="float64").docids
+    assert sorted(got_full.tolist()) == sorted(got_rw.tolist())
+    # docs 0 ("abcdef") and 2 ("zabcde") contain "abcde"
+    urls = {r["docid"]: r["url"] for r in idx.docs.select("docid", "url").collect()}
+    assert sorted(urls[d] for d in got_rw.tolist()) == ["0", "2"]
