@@ -2510,6 +2510,31 @@ forty four
                 for d, s in zip(td.docids.tolist(), td.scores.tolist())]
         return spark.createDataFrame(rows or [], "doc_id long, score_q long")
 
+    def ft_facet_query(spark, sf):
+        # FacetQuery / MultiFacetQuery (facet/FacetQuery.java,
+        # MultiFacetQuery.java): disjunction of drill-down terms —
+        # path-prefix matches over (lang, source) paths
+        from lucene_spark.facets import facet_query
+
+        return facet_query(_docs(spark, sf), ["lang", "source"],
+                           [["en", "src3"], ["de"]])
+
+    def ft_facet_sumvs(spark, sf):
+        # TaxonomyFacetSumValueSource (facet/taxonomy/
+        # TaxonomyFacetSumValueSource.java:40-60): per-lang SUM of a
+        # DoubleValuesSource (n_chars + 0.5 — exactly representable, so
+        # the float sum is order-independent) over the docs matching 'dup'
+        from lucene_spark.facets import sum_value_source
+
+        idx = _ft_index(spark, sf)
+        m = match_any_docs(idx, ["dup"]).join(
+            _docs(spark, sf).withColumn("docid", F.col("doc_id")), "docid")
+        vs = F.col("n_chars") + F.lit(0.5)
+        out = sum_value_source(m, ["lang", "source"], vs, topn=5)
+        return out.select("label",
+                          F.floor(F.col("sum") * 100).cast("long")
+                          .alias("sum_q"))
+
     def ft_indri_and(spark, sf):
         # IndriAndQuery (core/search/IndriAndQuery.java + IndriAndScorer
         # .java:24-52): disjunctive doc iteration; the boost-weighted-mean
@@ -5372,7 +5397,7 @@ forty four
         ft_interval_atleast, ft_interval_before, ft_interval_notwithin,
         ft_interval_overlap, ft_ext_qp, ft_large_topk, ft_date_range,
         ft_inet_point, ft_indri_and, ft_ngram_phrase, ft_point_in_set,
-        ft_sort_rescore, ft_sorted_selector,
+        ft_sort_rescore, ft_sorted_selector, ft_facet_query, ft_facet_sumvs,
         # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
         # still oracle-checked every run by tests/test_entry_gate.py ----
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -8414,6 +8439,19 @@ SELECT doc_id,
 FROM documents
 WHERE strftime(epoch_ms(CAST(1000000000000 + doc_id * 349200000 AS BIGINT)),
                '%Y%m%d') BETWEEN '20021018' AND '20050103'""",
+        "ft_facet_query": """
+SELECT doc_id FROM documents
+WHERE (lang = 'en' AND source = 'src3') OR lang = 'de'""",
+        # TaxonomyFacetSumValueSource: per-lang Σ(n_chars + 0.5) over docs
+        # matching 'dup', sum desc / label asc, top 5
+        "ft_facet_sumvs": _FT_PRELUDE + """,
+m AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'dup'),
+sums AS (
+  SELECT d.lang AS label, SUM(d.n_chars + 0.5) AS s
+  FROM documents d JOIN m USING (doc_id) GROUP BY d.lang
+)
+SELECT label, CAST(floor(s * 100) AS BIGINT) AS sum_q
+FROM sums ORDER BY s DESC, label ASC LIMIT 5""",
         # IndriAndQuery: disjunctive match set, all scores 0 in this
         # snapshot (no IndriScorer leaves) — docids only
         "ft_indri_and": _FT_PRELUDE + """

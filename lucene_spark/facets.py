@@ -230,3 +230,45 @@ def sampled_facet_counts(
         )
         .orderBy(F.col("sampled").desc(), F.col("label").asc())
     )
+
+
+def facet_query(
+    df: DataFrame,
+    path_col: str | list,
+    paths: list[list[str]],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """FacetQuery / MultiFacetQuery (facet/FacetQuery.java:28-44,
+    MultiFacetQuery.java:30-49): the standalone-query form of drill-down —
+    match docs whose facet path starts with ANY of the given dim paths
+    (each path is one drill-down term; several = the disjunction
+    MultiFacetQuery builds).  Constant score, sargable equality
+    predicates."""
+    if not paths:
+        raise ValueError("at least one facet path required")
+    dfp = _with_path(df, path_col)
+    pred = None
+    for p in paths:
+        c = F.slice(F.col("__path"), 1, len(p)) == F.array(
+            *[F.lit(x) for x in p])
+        pred = c if pred is None else (pred | c)
+    return dfp.filter(pred).select(id_col)
+
+
+def sum_value_source(
+    matches: DataFrame,
+    path_col: str | list,
+    value,
+    path: list[str] | None = None,
+    topn: int = 10,
+) -> DataFrame:
+    """TaxonomyFacetSumValueSource (facet/taxonomy/
+    TaxonomyFacetSumValueSource.java:40-60): per child label under
+    ``path``, the SUM over matching docs of an arbitrary per-doc
+    DoubleValuesSource — here any Catalyst Column expression (field
+    arithmetic, query scores joined in, ...).  Same one-groupBy shape as
+    the association sums; ordered sum desc, label asc."""
+    col = F.col(value) if isinstance(value, str) else value
+    tagged = matches.withColumn("__vs", col.cast("double"))
+    return sum_associations(tagged, path_col, "__vs", path=path, topn=topn,
+                            float_assoc=True)
