@@ -465,6 +465,16 @@ def _ft_index(spark: SparkSession, sf_dir: str) -> Index:
     return _INDEX_CACHE[sf_dir]
 
 
+def _topk_from(spark: SparkSession, idx, query, k: int) -> DataFrame:
+    """_topk_df over an explicit Index (wrapped / derived views)."""
+    td = search(idx, query, k=k, precision="float64", prune=True)
+    rows = [
+        (int(d), int(math.floor(s * 10000)))
+        for d, s in zip(td.docids.tolist(), td.scores.tolist())
+    ]
+    return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
+
 def _topk_df(
     spark: SparkSession, sf_dir: str, query, k: int, skip: int = 0,
     boosts: dict[str, float] | None = None,
@@ -2509,6 +2519,36 @@ forty four
         rows = [(int(d), int(math.floor(s * 10000)))
                 for d, s in zip(td.docids.tolist(), td.scores.tolist())]
         return spark.createDataFrame(rows or [], "doc_id long, score_q long")
+
+    def ft_soft_delete(spark, sf):
+        # SoftDeletesDirectoryReaderWrapper (index/SoftDeletesDirectory
+        # ReaderWrapper.java:46): docs with a soft-deletes DV value are
+        # hidden from search without touching the segments — BM25('table')
+        # top-10 with every 'dup' doc soft-deleted
+        from lucene_spark.softdeletes import (
+            soft_delete_by_term, soft_deletes_wrapper,
+        )
+
+        idx = _ft_index(spark, sf)
+        soft = soft_delete_by_term(idx, "dup")
+        wrapped = soft_deletes_wrapper(idx, soft)
+        return _topk_from(spark, wrapped, "table", 10)
+
+    def ft_soft_retention(spark, sf):
+        # SoftDeletesRetentionMergePolicy (index/SoftDeletesRetention
+        # MergePolicy.java:47): at merge, soft-deleted docs matching the
+        # retention query ('batch') survive; the rest purge — the
+        # (docid, status) split the merge decision produces
+        from lucene_spark.softdeletes import (
+            retention_split, soft_delete_by_term,
+        )
+
+        idx = _ft_index(spark, sf)
+        soft = soft_delete_by_term(idx, "dup")
+        retained, purged = retention_split(idx, soft, ["batch"])
+        return (retained.withColumn("status", F.lit("retained"))
+                .union(purged.withColumn("status", F.lit("purged")))
+                .select(F.col("docid").alias("doc_id"), "status"))
 
     def ft_facet_query(spark, sf):
         # FacetQuery / MultiFacetQuery (facet/FacetQuery.java,
@@ -5398,6 +5438,7 @@ forty four
         ft_interval_overlap, ft_ext_qp, ft_large_topk, ft_date_range,
         ft_inet_point, ft_indri_and, ft_ngram_phrase, ft_point_in_set,
         ft_sort_rescore, ft_sorted_selector, ft_facet_query, ft_facet_sumvs,
+        ft_soft_delete, ft_soft_retention,
         # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
         # still oracle-checked every run by tests/test_entry_gate.py ----
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -8439,6 +8480,21 @@ SELECT doc_id,
 FROM documents
 WHERE strftime(epoch_ms(CAST(1000000000000 + doc_id * 349200000 AS BIGINT)),
                '%Y%m%d') BETWEEN '20021018' AND '20050103'""",
+        # soft deletes hide docs at read time but collection statistics
+        # still count them (same as hard tombstones pre-merge) — score with
+        # full-corpus stats, drop 'dup' docs from the candidates
+        "ft_soft_delete": _FT_PRELUDE + "," + _score_sql(["table"]) + """,
+soft AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'dup')
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM doc_scores WHERE doc_id NOT IN (SELECT doc_id FROM soft)
+ORDER BY score DESC, doc_id LIMIT 10""",
+        "ft_soft_retention": _FT_PRELUDE + """,
+soft AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'dup'),
+keep AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'batch')
+SELECT s.doc_id,
+       CASE WHEN k.doc_id IS NOT NULL THEN 'retained' ELSE 'purged' END
+         AS status
+FROM soft s LEFT JOIN keep k USING (doc_id)""",
         "ft_facet_query": """
 SELECT doc_id FROM documents
 WHERE (lang = 'en' AND source = 'src3') OR lang = 'de'""",
