@@ -2520,6 +2520,28 @@ forty four
                 for d, s in zip(td.docids.tolist(), td.scores.tolist())]
         return spark.createDataFrame(rows or [], "doc_id long, score_q long")
 
+    def ft_flatten_graph(spark, sf):
+        # FlattenGraphFilter (analysis/core/FlattenGraphFilter.java:46-427):
+        # the TestFlattenGraphFilter testWTF1 side-path graph + the
+        # hole-under-synonym graph, flattened; oracle = the reference
+        # test's expected token stream (golden literals — full suite in
+        # tests/test_flatten_graph.py)
+        from lucene_spark.filters import flatten_graph
+
+        wtf = flatten_graph([
+            ("wtf", 1, 5, 0, 3), ("what", 0, 1, 0, 3), ("wow", 0, 3, 0, 3),
+            ("the", 1, 1, 0, 3), ("fudge", 1, 3, 0, 3),
+            ("that's", 1, 1, 0, 3), ("funny", 1, 1, 0, 3),
+            ("happened", 1, 1, 4, 12)])
+        woz = flatten_graph([
+            ("wizard", 1, 1, 0, 6), ("woz", 0, 3, 0, 12),
+            ("oz", 2, 1, 10, 12)])
+        rows = [("wtf1", i) + t for i, t in enumerate(wtf)]
+        rows += [("woz", i) + t for i, t in enumerate(woz)]
+        return spark.createDataFrame(
+            rows, "graph string, ord long, term string, pos_inc long, "
+                  "pos_len long, start_off long, end_off long")
+
     def ft_soft_delete(spark, sf):
         # SoftDeletesDirectoryReaderWrapper (index/SoftDeletesDirectory
         # ReaderWrapper.java:46): docs with a soft-deletes DV value are
@@ -5438,7 +5460,7 @@ forty four
         ft_interval_overlap, ft_ext_qp, ft_large_topk, ft_date_range,
         ft_inet_point, ft_indri_and, ft_ngram_phrase, ft_point_in_set,
         ft_sort_rescore, ft_sorted_selector, ft_facet_query, ft_facet_sumvs,
-        ft_soft_delete, ft_soft_retention,
+        ft_soft_delete, ft_soft_retention, ft_flatten_graph,
         # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
         # still oracle-checked every run by tests/test_entry_gate.py ----
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -8480,6 +8502,22 @@ SELECT doc_id,
 FROM documents
 WHERE strftime(epoch_ms(CAST(1000000000000 + doc_id * 349200000 AS BIGINT)),
                '%Y%m%d') BETWEEN '20021018' AND '20050103'""",
+        # FlattenGraphFilter: expected streams are the reference test's own
+        # goldens (TestFlattenGraphFilter testWTF1 / testHoleUnderSyn)
+        "ft_flatten_graph": """
+SELECT * FROM (VALUES
+  ('wtf1', 0, 'wtf',      1, 3, 0, 3),
+  ('wtf1', 1, 'what',     0, 1, 0, 3),
+  ('wtf1', 2, 'wow',      0, 1, 0, 3),
+  ('wtf1', 3, 'the',      1, 1, 0, 3),
+  ('wtf1', 4, 'that''s',  0, 1, 0, 3),
+  ('wtf1', 5, 'fudge',    1, 1, 0, 3),
+  ('wtf1', 6, 'funny',    0, 1, 0, 3),
+  ('wtf1', 7, 'happened', 1, 1, 4, 12),
+  ('woz',  0, 'wizard',   1, 1, 0, 6),
+  ('woz',  1, 'woz',      0, 3, 0, 12),
+  ('woz',  2, 'oz',       2, 1, 10, 12)
+) AS t(graph, ord, term, pos_inc, pos_len, start_off, end_off)""",
         # soft deletes hide docs at read time but collection statistics
         # still count them (same as hard tombstones pre-merge) — score with
         # full-corpus stats, drop 'dup' docs from the candidates

@@ -1709,3 +1709,130 @@ class MappingCharFilter:
                 np.asarray(diffs, dtype=np.int64))
 
     correct_offset = staticmethod(HTMLStripCharFilter.correct_offset)
+
+
+def flatten_graph(tokens):
+    """FlattenGraphFilter (analysis/core/FlattenGraphFilter.java:46-427) —
+    convert an incoming token GRAPH (side paths from SynonymGraphFilter /
+    WordDelimiterGraphFilter, expressed through posInc/posLength) into a
+    flat linear stream suitable for indexing, holding back tokens only
+    until every path into an output node is frozen (the reference's
+    RollingBuffer lookahead), and remapping each token's position length
+    to the OUTPUT node distance.
+
+    ``tokens``: list of (term, pos_inc, pos_len, start_off, end_off) in
+    graph order; returns the flattened list in the same shape.  Faithful
+    port of the two-node-space algorithm: input nodes accumulate arriving
+    tokens and their max destination (:285-312), output nodes map 1+ input
+    nodes (:318-338 — a later, tighter edge can STEAL an input node from a
+    previously assigned output node), and release (:153-243) emits a
+    node's tokens once no in-flight token can still land inside it
+    (maxToNode <= inputFrom), with posInc = output-node delta, posLen =
+    destination output node − current, and the monotone offset clamps
+    (:219-229).  Reference test goldens pinned in
+    tests/test_flatten_graph.py."""
+    inp: dict = {}
+    out: dict = {}
+    out_max = [0]
+
+    def get_in(pos):
+        if pos not in inp:
+            inp[pos] = {"tokens": [], "node": -1, "maxToNode": -1,
+                        "outputNode": -1, "nextOut": 0}
+        return inp[pos]
+
+    def get_out(pos):
+        if pos not in out:
+            out[pos] = {"inputNodes": [], "node": -1, "nextOut": 0,
+                        "startOffset": -1, "endOffset": -1}
+        out_max[0] = max(out_max[0], pos)
+        return out[pos]
+
+    n0 = get_in(0)
+    n0["node"] = 0
+    n0["outputNode"] = 0
+    o0 = get_out(0)
+    o0["node"] = 0
+    o0["inputNodes"].append(0)
+    o0["startOffset"] = 0
+
+    st = {"inputFrom": -1, "outputFrom": 0, "lastOutputFrom": -1,
+          "lastStartOffset": 0, "done": False}
+    results: list = []
+
+    def release():
+        while st["outputFrom"] < out_max[0]:
+            output = get_out(st["outputFrom"])
+            if not output["inputNodes"]:
+                st["outputFrom"] += 1
+                continue
+            max_to = -1
+            for node_id in output["inputNodes"]:
+                max_to = max(max_to, get_in(node_id)["maxToNode"])
+            if max_to <= st["inputFrom"] or st["done"]:
+                node = get_in(output["inputNodes"][output["nextOut"]])
+                if (st["done"] and not node["tokens"]
+                        and st["outputFrom"] >= out_max[0]):
+                    return False
+                if not node["tokens"]:
+                    st["outputFrom"] += 1
+                    continue
+                term, _pi, pos_len, s_off, e_off = node["tokens"][node["nextOut"]]
+                pos_inc = st["outputFrom"] - st["lastOutputFrom"]
+                to_node = get_in(node["node"] + pos_len)
+                new_len = to_node["outputNode"] - st["outputFrom"]
+                st["lastOutputFrom"] = st["outputFrom"]
+                node["nextOut"] += 1
+                end_node = get_out(to_node["outputNode"])
+                start = max(st["lastStartOffset"], output["startOffset"])
+                end = max(start, end_node["endOffset"])
+                st["lastStartOffset"] = start
+                results.append((term, pos_inc, new_len, start, end))
+                if node["nextOut"] == len(node["tokens"]):
+                    output["nextOut"] += 1
+                    if output["nextOut"] == len(output["inputNodes"]):
+                        st["outputFrom"] += 1
+                return True
+            return False
+        return False
+
+    it = iter(tokens)
+    while True:
+        if release():
+            continue
+        if st["done"]:
+            break
+        tok = next(it, None)
+        if tok is None:
+            st["done"] = True
+            continue
+        term, pos_inc, pos_len, s_off, e_off = tok
+        st["inputFrom"] += pos_inc
+        input_to = st["inputFrom"] + pos_len
+        src = get_in(st["inputFrom"])
+        if src["node"] == -1:
+            src["node"] = st["inputFrom"]
+            src["outputNode"] = out_max[0] + 1
+            out_src = get_out(src["outputNode"])
+            out_src["node"] = src["outputNode"]
+            out_src["inputNodes"].append(st["inputFrom"])
+            out_src["startOffset"] = s_off
+        else:
+            out_src = get_out(src["outputNode"])
+            if out_src["startOffset"] == -1 or s_off > out_src["startOffset"]:
+                out_src["startOffset"] = max(s_off, out_src["startOffset"])
+        src["tokens"].append(tok)
+        src["maxToNode"] = max(src["maxToNode"], input_to)
+        dest = get_in(input_to)
+        if dest["node"] == -1:
+            dest["node"] = input_to
+        output_end = src["outputNode"] + 1
+        if output_end > dest["outputNode"]:
+            if dest["outputNode"] != -1:
+                get_out(dest["outputNode"])["inputNodes"].remove(input_to)
+            get_out(output_end)["inputNodes"].append(input_to)
+            dest["outputNode"] = output_end
+        out_dest = get_out(dest["outputNode"])
+        if out_dest["endOffset"] == -1 or e_off < out_dest["endOffset"]:
+            out_dest["endOffset"] = e_off
+    return results

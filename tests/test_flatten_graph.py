@@ -1,0 +1,94 @@
+"""FlattenGraphFilter port — every applicable reference golden from
+analysis/common TestFlattenGraphFilter.java (token = (term, posInc,
+posLength, startOffset, endOffset))."""
+
+from lucene_spark.filters import flatten_graph
+
+
+def run(toks):
+    out = flatten_graph(toks)
+    return (
+        [t[0] for t in out], [t[1] for t in out], [t[2] for t in out],
+        [t[3] for t in out], [t[4] for t in out],
+    )
+
+
+def test_already_flat():
+    terms, incs, lens, starts, ends = run([
+        ("wtf", 1, 1, 0, 3), ("what", 0, 1, 0, 3), ("wow", 0, 1, 0, 3),
+        ("the", 1, 1, 0, 3), ("that's", 0, 1, 0, 3), ("fudge", 1, 1, 0, 3),
+        ("funny", 0, 1, 0, 3), ("happened", 1, 1, 4, 12)])
+    assert terms == ["wtf", "what", "wow", "the", "that's", "fudge",
+                     "funny", "happened"]
+    assert incs == [1, 0, 0, 1, 0, 1, 0, 1]
+    assert lens == [1, 1, 1, 1, 1, 1, 1, 1]
+    assert starts == [0, 0, 0, 0, 0, 0, 0, 4]
+    assert ends == [3, 3, 3, 3, 3, 3, 3, 12]
+
+
+def test_wtf1_side_paths():
+    terms, incs, lens, starts, ends = run([
+        ("wtf", 1, 5, 0, 3), ("what", 0, 1, 0, 3), ("wow", 0, 3, 0, 3),
+        ("the", 1, 1, 0, 3), ("fudge", 1, 3, 0, 3), ("that's", 1, 1, 0, 3),
+        ("funny", 1, 1, 0, 3), ("happened", 1, 1, 4, 12)])
+    assert terms == ["wtf", "what", "wow", "the", "that's", "fudge",
+                     "funny", "happened"]
+    assert incs == [1, 0, 0, 1, 0, 1, 0, 1]
+    assert lens == [3, 1, 1, 1, 1, 1, 1, 1]
+    assert starts == [0, 0, 0, 0, 0, 0, 0, 4]
+    assert ends == [3, 3, 3, 3, 3, 3, 3, 12]
+
+
+def test_wtf2_late_long_token():
+    terms, incs, lens, _, _ = run([
+        ("what", 1, 1, 0, 3), ("wow", 0, 3, 0, 3), ("wtf", 0, 5, 0, 3),
+        ("the", 1, 1, 0, 3), ("fudge", 1, 3, 0, 3), ("that's", 1, 1, 0, 3),
+        ("funny", 1, 1, 0, 3), ("happened", 1, 1, 4, 12)])
+    assert terms == ["what", "wow", "wtf", "the", "that's", "fudge",
+                     "funny", "happened"]
+    assert incs == [1, 0, 0, 1, 0, 1, 0, 1]
+    assert lens == [1, 1, 3, 1, 1, 1, 1, 1]
+
+
+def test_non_greedy_synonyms():
+    terms, incs, lens, starts, ends = run([
+        ("wizard", 1, 1, 0, 6), ("wizard_of_oz", 0, 3, 0, 12),
+        ("of", 1, 1, 7, 9), ("oz", 1, 1, 10, 12),
+        ("oz_screams", 0, 2, 10, 20), ("screams", 1, 1, 13, 20)])
+    assert terms == ["wizard", "wizard_of_oz", "of", "oz", "oz_screams",
+                     "screams"]
+    assert incs == [1, 0, 1, 1, 0, 1]
+    assert lens == [1, 3, 1, 1, 2, 1]
+    assert starts == [0, 0, 7, 10, 10, 13]
+    assert ends == [6, 12, 9, 12, 20, 20]
+
+
+def test_non_graph_passthrough():
+    terms, incs, lens, starts, ends = run([
+        ("hello", 1, 1, 0, 5), ("pseudo", 1, 1, 6, 12),
+        ("world", 1, 1, 13, 18), ("fun", 1, 1, 19, 22)])
+    assert terms == ["hello", "pseudo", "world", "fun"]
+    assert incs == [1, 1, 1, 1]
+    assert lens == [1, 1, 1, 1]
+    assert starts == [0, 6, 13, 19]
+    assert ends == [5, 12, 18, 22]
+
+
+def test_simple_hole_preserved():
+    terms, incs, lens, starts, ends = run([
+        ("hello", 1, 1, 0, 5), ("hole", 2, 1, 6, 10), ("fun", 1, 1, 11, 13)])
+    assert terms == ["hello", "hole", "fun"]
+    assert incs == [1, 2, 1]
+    assert lens == [1, 1, 1]
+    assert starts == [0, 6, 11]
+    assert ends == [5, 10, 13]
+
+
+def test_hole_under_synonym():
+    terms, incs, lens, starts, ends = run([
+        ("wizard", 1, 1, 0, 6), ("woz", 0, 3, 0, 12), ("oz", 2, 1, 10, 12)])
+    assert terms == ["wizard", "woz", "oz"]
+    assert incs == [1, 0, 2]
+    assert lens == [1, 3, 1]
+    assert starts == [0, 0, 10]
+    assert ends == [6, 12, 12]
