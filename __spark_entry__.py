@@ -2542,6 +2542,31 @@ forty four
             rows, "graph string, ord long, term string, pos_inc long, "
                   "pos_len long, start_off long, end_off long")
 
+    def ft_graph_paths(spark, sf):
+        # GraphTokenStreamFiniteStrings (util/graph/GraphTokenStream
+        # FiniteStrings.java): finite strings + articulation points of the
+        # reference test's wifi graph and the stopword-gap graph (dead-
+        # state renumbering); oracle = the reference test's goldens
+        # (full suite in tests/test_graphts.py)
+        from lucene_spark.graphts import GraphTokenStream
+
+        rows = []
+        for name, toks in (
+            ("wifi", [("fast", 1, 1), ("wi", 1, 1), ("wifi", 0, 2),
+                      ("fi", 1, 1), ("network", 1, 1)]),
+            ("gap", [("hey", 1, 1), ("fast", 2, 1), ("wi", 1, 1),
+                     ("wifi", 0, 2), ("fi", 1, 1), ("network", 1, 1)]),
+        ):
+            g = GraphTokenStream(toks)
+            for pi, path in enumerate(g.finite_strings()):
+                for oi, (term, inc) in enumerate(path):
+                    rows.append((name, f"p{pi}", oi, term, inc))
+            for oi, pt in enumerate(g.articulation_points()):
+                rows.append((name, "art", oi, "", pt))
+        return spark.createDataFrame(
+            rows, "graph string, item string, ord long, term string, "
+                  "val long")
+
     def ft_soft_delete(spark, sf):
         # SoftDeletesDirectoryReaderWrapper (index/SoftDeletesDirectory
         # ReaderWrapper.java:46): docs with a soft-deletes DV value are
@@ -5460,7 +5485,7 @@ forty four
         ft_interval_overlap, ft_ext_qp, ft_large_topk, ft_date_range,
         ft_inet_point, ft_indri_and, ft_ngram_phrase, ft_point_in_set,
         ft_sort_rescore, ft_sorted_selector, ft_facet_query, ft_facet_sumvs,
-        ft_soft_delete, ft_soft_retention, ft_flatten_graph,
+        ft_soft_delete, ft_soft_retention, ft_flatten_graph, ft_graph_paths,
         # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
         # still oracle-checked every run by tests/test_entry_gate.py ----
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -8502,6 +8527,33 @@ SELECT doc_id,
 FROM documents
 WHERE strftime(epoch_ms(CAST(1000000000000 + doc_id * 349200000 AS BIGINT)),
                '%Y%m%d') BETWEEN '20021018' AND '20050103'""",
+        # GraphTokenStreamFiniteStrings: goldens from the reference's
+        # TestGraphTokenStreamFiniteStrings (testSimpleGraph +
+        # testSingleGraphWithGap incl. dead-state renumbering)
+        "ft_graph_paths": """
+SELECT * FROM (VALUES
+  ('wifi', 'p0', 0, 'fast',    1),
+  ('wifi', 'p0', 1, 'wi',      1),
+  ('wifi', 'p0', 2, 'fi',      1),
+  ('wifi', 'p0', 3, 'network', 1),
+  ('wifi', 'p1', 0, 'fast',    1),
+  ('wifi', 'p1', 1, 'wifi',    1),
+  ('wifi', 'p1', 2, 'network', 1),
+  ('wifi', 'art', 0, '', 1),
+  ('wifi', 'art', 1, '', 3),
+  ('gap', 'p0', 0, 'hey',     1),
+  ('gap', 'p0', 1, 'fast',    2),
+  ('gap', 'p0', 2, 'wi',      1),
+  ('gap', 'p0', 3, 'fi',      1),
+  ('gap', 'p0', 4, 'network', 1),
+  ('gap', 'p1', 0, 'hey',     1),
+  ('gap', 'p1', 1, 'fast',    2),
+  ('gap', 'p1', 2, 'wifi',    1),
+  ('gap', 'p1', 3, 'network', 1),
+  ('gap', 'art', 0, '', 1),
+  ('gap', 'art', 1, '', 2),
+  ('gap', 'art', 2, '', 4)
+) AS t(graph, item, ord, term, val)""",
         # FlattenGraphFilter: expected streams are the reference test's own
         # goldens (TestFlattenGraphFilter testWTF1 / testHoleUnderSyn)
         "ft_flatten_graph": """

@@ -1,0 +1,79 @@
+"""GraphTokenStreamFiniteStrings port — reference goldens from
+core TestGraphTokenStreamFiniteStrings.java (token = (term, posInc,
+posLength))."""
+
+import pytest
+
+from lucene_spark.graphts import GraphTokenStream
+
+
+def strings(g, start=0, end=None):
+    return [([t for t, _ in p], [i for _, i in p])
+            for p in g.finite_strings(start, end)]
+
+
+def test_illegal_stacked_start():
+    with pytest.raises(ValueError):
+        GraphTokenStream([("a", 0, 1), ("b", 1, 1)])
+
+
+def test_wifi_graph():
+    g = GraphTokenStream([
+        ("fast", 1, 1), ("wi", 1, 1), ("wifi", 0, 2), ("fi", 1, 1),
+        ("network", 1, 1)])
+    assert strings(g) == [
+        (["fast", "wi", "fi", "network"], [1, 1, 1, 1]),
+        (["fast", "wifi", "network"], [1, 1, 1]),
+    ]
+    assert g.articulation_points() == [1, 3]
+    assert not g.has_side_path(0)
+    assert strings(g, 0, 1) == [(["fast"], [1])]
+    assert g.terms(0) == ["fast"]
+    assert g.has_side_path(1)
+    assert strings(g, 1, 3) == [(["wi", "fi"], [1, 1]), (["wifi"], [1])]
+    assert not g.has_side_path(3)
+    assert strings(g, 3) == [(["network"], [1])]
+    assert g.terms(3) == ["network"]
+
+
+def test_single_graph_with_gap():
+    # "hey the fast wifi network" with "the" stopped out: the dangling gap
+    # state is dead-state-removed and everything renumbers
+    g = GraphTokenStream([
+        ("hey", 1, 1), ("fast", 2, 1), ("wi", 1, 1), ("wifi", 0, 2),
+        ("fi", 1, 1), ("network", 1, 1)])
+    assert strings(g) == [
+        (["hey", "fast", "wi", "fi", "network"], [1, 2, 1, 1, 1]),
+        (["hey", "fast", "wifi", "network"], [1, 2, 1, 1]),
+    ]
+    assert g.articulation_points() == [1, 2, 4]
+    assert not g.has_side_path(0)
+    assert strings(g, 0, 1) == [(["hey"], [1])]
+    assert not g.has_side_path(1)
+    assert strings(g, 1, 2) == [(["fast"], [2])]
+    assert g.has_side_path(2)
+    assert strings(g, 2, 4) == [(["wi", "fi"], [1, 1]), (["wifi"], [1])]
+    assert not g.has_side_path(4)
+    assert strings(g, 4) == [(["network"], [1])]
+
+
+def test_graph_and_gap_same_token():
+    g = GraphTokenStream([
+        ("fast", 1, 1), ("wi", 2, 1), ("wifi", 0, 2), ("fi", 1, 1),
+        ("network", 1, 1)])
+    assert strings(g) == [
+        (["fast", "wi", "fi", "network"], [1, 2, 1, 1]),
+        (["fast", "wifi", "network"], [1, 2, 1]),
+    ]
+
+
+def test_stacked_tokens_inherit_head_increment():
+    # stacked token after a hole keeps the head's increment (build :236-241)
+    g = GraphTokenStream([("a", 1, 1), ("b", 2, 1), ("c", 0, 1)])
+    assert strings(g) == [(["a", "b"], [1, 2]), (["a", "c"], [1, 2])]
+
+
+def test_linear_no_articulation_single_edge():
+    g = GraphTokenStream([("a", 1, 1), ("b", 0, 1)])
+    assert strings(g) == [(["a"], [1]), (["b"], [1])]
+    assert g.articulation_points() == []
