@@ -2542,6 +2542,22 @@ forty four
             rows, "graph string, ord long, term string, pos_inc long, "
                   "pos_len long, start_off long, end_off long")
 
+    def ft_fst_completion(spark, sf):
+        # FSTCompletionLookup (suggest/fst/FSTCompletionLookup.java:
+        # 194-236 + FSTCompletion.java:165-260): corpus terms weighted by
+        # collection frequency, weights discretized into 10 equal-count
+        # buckets (equal-weight runs share their first line's bucket),
+        # lookup('sort') ordered bucket desc / key asc with the exact
+        # match promoted to the front; value = bucket
+        from lucene_spark.suggest import fst_completion_lookup
+
+        toks = _tokenized(spark, sf).select(F.explode("tokens").alias("key"))
+        entries = toks.groupBy("key").agg(F.count("*").alias("weight"))
+        rows = fst_completion_lookup(entries, "sort", n=10, buckets=10)
+        return spark.createDataFrame(
+            [(i, k, b) for i, (k, b) in enumerate(rows)],
+            "pos long, key string, bucket long")
+
     def ft_graph_paths(spark, sf):
         # GraphTokenStreamFiniteStrings (util/graph/GraphTokenStream
         # FiniteStrings.java): finite strings + articulation points of the
@@ -5486,6 +5502,7 @@ forty four
         ft_inet_point, ft_indri_and, ft_ngram_phrase, ft_point_in_set,
         ft_sort_rescore, ft_sorted_selector, ft_facet_query, ft_facet_sumvs,
         ft_soft_delete, ft_soft_retention, ft_flatten_graph, ft_graph_paths,
+        ft_fst_completion,
         # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
         # still oracle-checked every run by tests/test_entry_gate.py ----
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -8527,6 +8544,29 @@ SELECT doc_id,
 FROM documents
 WHERE strftime(epoch_ms(CAST(1000000000000 + doc_id * 349200000 AS BIGINT)),
                '%Y%m%d') BETWEEN '20021018' AND '20050103'""",
+        # FSTCompletionLookup: cf-weighted terms, 10-bucket equal-count
+        # discretization (equal-weight runs share the first line's bucket
+        # = floor(rows-with-smaller-weight * 10 / total)), lookup('sort')
+        # bucket desc / key asc with the exact match promoted
+        "ft_fst_completion": _FT_PRELUDE + """,
+st AS (SELECT term AS key, count(*) AS w FROM ftok GROUP BY term),
+tot AS (SELECT count(*) AS n FROM st),
+fl AS (
+  SELECT s.key, s.w,
+         (SELECT count(*) FROM st s2 WHERE s2.w < s.w) AS first_line
+  FROM st s
+),
+bk AS (
+  SELECT key, CAST(floor(first_line * 10.0 / t.n) AS BIGINT) AS bucket
+  FROM fl CROSS JOIN tot t
+),
+ranked AS (
+  SELECT key, bucket,
+         row_number() OVER (
+           ORDER BY (key = 'sort') DESC, bucket DESC, key ASC) - 1 AS pos
+  FROM bk WHERE key LIKE 'sort%'
+)
+SELECT pos, key, bucket FROM ranked WHERE pos < 10""",
         # GraphTokenStreamFiniteStrings: goldens from the reference's
         # TestGraphTokenStreamFiniteStrings (testSimpleGraph +
         # testSingleGraphWithGap incl. dead-state renumbering)

@@ -712,3 +712,69 @@ def context_suggest(entries, prefix: str, contexts: dict[str, float] | None,
             out.append((surface, ctx, float(weight) * contexts[ctx]))
     out.sort(key=lambda t: (-t[2], t[0]))
     return out[:num]
+
+
+def fst_completion_buckets(entries: DataFrame, buckets: int = 10,
+                           key_col: str = "key",
+                           weight_col: str = "weight") -> DataFrame:
+    """FSTCompletionLookup.build's weight discretization
+    (suggest/fst/FSTCompletionLookup.java:194-236): entries sort by
+    (weight asc, key asc) and line ``i`` lands in bucket
+    ``i * buckets / count`` (integer division) — EXCEPT that an
+    equal-weight run shares the bucket computed at its first line
+    (:219-226 previousScore/previousBucket).  So per weight group:
+    bucket = (rows-with-strictly-smaller-weight) * buckets // count.
+
+    Distributed shape: one small aggregation per distinct weight, a
+    driver-side cumulative sum over the (bounded) distinct-weight list,
+    and a broadcast-joinable weight→bucket map — the corpus-sized frame
+    is touched once."""
+    total = entries.count()
+    if total == 0:
+        return entries.select(F.col(key_col).alias("key"),
+                              F.lit(0).alias("bucket")).limit(0)
+    per_w = (entries.groupBy(weight_col).count()
+             .orderBy(weight_col).collect())
+    first_line = 0
+    wmap = {}
+    for r in per_w:
+        wmap[r[weight_col]] = int(first_line * buckets // total)
+        first_line += r["count"]
+    mapping = entries.sparkSession.createDataFrame(
+        [(w, b) for w, b in wmap.items()],
+        f"{weight_col} long, bucket long")
+    return (entries.join(F.broadcast(mapping), weight_col)
+            .select(F.col(key_col).alias("key"), "bucket"))
+
+
+def fst_completion_lookup(entries: DataFrame, prefix: str, n: int = 10,
+                          buckets: int = 10, exact_first: bool = True,
+                          key_col: str = "key",
+                          weight_col: str = "weight") -> list[tuple[str, int]]:
+    """FSTCompletion.lookup with higherWeightsFirst
+    (suggest/fst/FSTCompletion.java:165-260): completions whose key starts
+    with ``prefix``, ordered bucket DESC then key byte order, the exact
+    match pushed to the front when ``exact_first`` (:250-258), value = the
+    bucket number (FSTCompletionLookup returns the discretized bucket as
+    the LookupResult weight)."""
+    bk = fst_completion_buckets(entries, buckets, key_col, weight_col)
+    return fst_lookup_from_buckets(bk, prefix, n, exact_first)
+
+
+def fst_lookup_from_buckets(bk: DataFrame, prefix: str, n: int = 10,
+                            exact_first: bool = True) -> list[tuple[str, int]]:
+    """The lookup half over an explicit (key, bucket) frame — the
+    FSTCompletionBuilder.add(term, bucket) route the reference tests
+    drive directly (TestFSTCompletion.java:40-46)."""
+    cand = (bk.filter(F.col("key").startswith(prefix))
+            .orderBy(F.col("bucket").desc(), F.col("key").asc())
+            .limit(n + 1).collect())
+    rows = [(r["key"], int(r["bucket"])) for r in cand]
+    if exact_first:
+        exact = [r for r in rows if r[0] == prefix]
+        if not exact:
+            probe = bk.filter(F.col("key") == prefix).limit(1).collect()
+            exact = [(r["key"], int(r["bucket"])) for r in probe]
+        if exact:
+            rows = exact[:1] + [r for r in rows if r[0] != prefix]
+    return rows[:n]

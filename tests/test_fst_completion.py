@@ -1,0 +1,73 @@
+"""FSTCompletion analog — lookup goldens from suggest/fst
+TestFSTCompletion.java and the discretization rule of
+FSTCompletionLookup.build (:194-236)."""
+
+import pytest
+
+from lucene_spark.suggest import (
+    fst_completion_buckets, fst_completion_lookup, fst_lookup_from_buckets,
+)
+
+KEYS = [  # TestFSTCompletion.evalKeys (term, bucket)
+    ("one", 0), ("oneness", 1), ("onerous", 1), ("onesimus", 1),
+    ("two", 1), ("twofold", 1), ("twonk", 1), ("thrive", 1),
+    ("through", 1), ("threat", 1), ("three", 1), ("foundation", 1),
+    ("fourblah", 1), ("fourteen", 1), ("four", 0), ("fourier", 0),
+    ("fourty", 0), ("xo", 1),
+]
+
+
+@pytest.fixture(scope="module")
+def bk(spark):
+    return spark.createDataFrame(KEYS, "key string, bucket long")
+
+
+def test_exact_match_high_priority(bk):
+    assert fst_lookup_from_buckets(bk, "two", 1) == [("two", 1)]
+
+
+def test_exact_match_low_priority_promoted(bk):
+    assert fst_lookup_from_buckets(bk, "one", 2) == [
+        ("one", 0), ("oneness", 1)]
+
+
+def test_exact_match_reordering(bk):
+    assert fst_lookup_from_buckets(bk, "four", 4) == [
+        ("four", 0), ("fourblah", 1), ("fourteen", 1), ("fourier", 0)]
+
+
+def test_no_promotion(bk):
+    assert fst_lookup_from_buckets(bk, "one", 2, exact_first=False) == [
+        ("oneness", 1), ("onerous", 1)]
+
+
+def test_miss(bk):
+    assert fst_lookup_from_buckets(bk, "xyz", 1) == []
+
+
+def test_weight_discretization(spark):
+    # FSTCompletionLookup.build: line i (sorted weight asc, key asc) gets
+    # bucket i*buckets//count; an equal-weight run shares its first line's
+    # bucket
+    entries = spark.createDataFrame(
+        [("a", 5), ("b", 5), ("c", 5), ("d", 7), ("e", 9), ("f", 9),
+         ("g", 11), ("h", 20), ("i", 30), ("j", 40)],
+        "key string, weight long")
+    got = dict((r["key"], r["bucket"]) for r in
+               fst_completion_buckets(entries, buckets=10).collect())
+    # lines: a0 b1 c2 (share bucket 0), d3 -> 3, e4 f5 (share 4), g6 -> 6,
+    # h7 -> 7, i8 -> 8, j9 -> 9
+    assert got == {"a": 0, "b": 0, "c": 0, "d": 3, "e": 4, "f": 4,
+                   "g": 6, "h": 7, "i": 8, "j": 9}
+
+
+def test_lookup_from_weights(spark):
+    entries = spark.createDataFrame(
+        [("four", 1), ("fourblah", 50), ("fourteen", 50), ("fourier", 2),
+         ("zzz", 99)],
+        "key string, weight long")
+    # buckets: four line0 -> 0, fourier line1 -> 2, fourblah/fourteen
+    # lines 2,3 share bucket 4, zzz line4 -> 8
+    got = fst_completion_lookup(entries, "four", n=4)
+    assert got == [("four", 0), ("fourblah", 4), ("fourteen", 4),
+                   ("fourier", 2)]
