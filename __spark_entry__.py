@@ -2558,6 +2558,21 @@ forty four
             [(i, k, b) for i, (k, b) in enumerate(rows)],
             "pos long, key string, bucket long")
 
+    def ft_regex_suggest(spark, sf):
+        # RegexCompletionQuery (suggest/document/RegexCompletionQuery
+        # .java): completions whose key has a PREFIX accepted by the
+        # Lucene-RegExp automaton, ranked weight desc / key asc —
+        # cf-weighted corpus terms, pattern s(can|ort)x?
+        from lucene_spark.suggest import regex_suggest
+
+        toks = _tokenized(spark, sf).select(F.explode("tokens").alias("key"))
+        entries = toks.groupBy("key").agg(F.count("*").alias("weight"))
+        out = regex_suggest(entries, "s(can|ort)x?", n=10)
+        rows = [(i, r["key"], int(r["weight"]))
+                for i, r in enumerate(out.collect())]
+        return spark.createDataFrame(
+            rows or [], "pos long, key string, weight long")
+
     def ft_graph_paths(spark, sf):
         # GraphTokenStreamFiniteStrings (util/graph/GraphTokenStream
         # FiniteStrings.java): finite strings + articulation points of the
@@ -5502,7 +5517,7 @@ forty four
         ft_inet_point, ft_indri_and, ft_ngram_phrase, ft_point_in_set,
         ft_sort_rescore, ft_sorted_selector, ft_facet_query, ft_facet_sumvs,
         ft_soft_delete, ft_soft_retention, ft_flatten_graph, ft_graph_paths,
-        ft_fst_completion,
+        ft_fst_completion, ft_regex_suggest,
         # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
         # still oracle-checked every run by tests/test_entry_gate.py ----
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -8544,6 +8559,16 @@ SELECT doc_id,
 FROM documents
 WHERE strftime(epoch_ms(CAST(1000000000000 + doc_id * 349200000 AS BIGINT)),
                '%Y%m%d') BETWEEN '20021018' AND '20050103'""",
+        # RegexCompletionQuery: some prefix of the key in L(s(can|ort)x?)
+        # == the key starts with scan or sort; weight desc / key asc
+        "ft_regex_suggest": _FT_PRELUDE + """,
+st AS (SELECT term AS key, count(*) AS w FROM ftok GROUP BY term),
+ranked AS (
+  SELECT key, w,
+         row_number() OVER (ORDER BY w DESC, key ASC) - 1 AS pos
+  FROM st WHERE regexp_matches(key, '^s(can|ort)')
+)
+SELECT pos, key, w AS weight FROM ranked WHERE pos < 10""",
         # FSTCompletionLookup: cf-weighted terms, 10-bucket equal-count
         # discretization (equal-weight runs share the first line's bucket
         # = floor(rows-with-smaller-weight * 10 / total)), lookup('sort')

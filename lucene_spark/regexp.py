@@ -859,6 +859,46 @@ class LuceneRegexp:
                 out[i] = False
         return out
 
+    def prefix_match_batch(self, terms) -> np.ndarray:
+        """True where SOME prefix of the term (including the empty prefix
+        and the whole term) lands in an accept state — the
+        RegexCompletionQuery contract (suggest/document/
+        RegexCompletionQuery.java: the regex automaton is the completion
+        PREFIX, the key may continue arbitrarily).  Same vectorized walk
+        as match_batch, accumulating accept hits at every step."""
+        n = len(terms)
+        out = np.zeros(n, dtype=bool)
+        if n == 0:
+            return out
+        dfa = self.dfa
+        clean = ["" if t is None else t for t in terms]
+        lens = np.fromiter((len(t) for t in clean), dtype=np.int64, count=n)
+        out[:] = bool(dfa.accept[dfa.start])  # empty prefix
+        if lens.max(initial=0) > 0:
+            joined = "".join(clean)
+            cps = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4")
+            cls = (np.searchsorted(dfa.bounds, cps, side="right") - 1).astype(
+                np.int64)
+            offsets = np.zeros(n, dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            state = np.full(n, dfa.start, dtype=np.int32)
+            alive = np.ones(n, dtype=bool)
+            Lmax = int(lens.max())
+            for j in range(Lmax):
+                act = np.nonzero(alive & (lens > j))[0]
+                if act.size == 0:
+                    break
+                ns = dfa.trans[state[act], cls[offsets[act] + j]]
+                state[act] = ns
+                dead = ns < 0
+                alive[act[dead]] = False
+                live = act[~dead]
+                out[live] |= dfa.accept[state[live]]
+        for i, t in enumerate(terms):
+            if t is None:
+                out[i] = False
+        return out
+
     # --- rewrite helpers (the term-dictionary intersection analogs) ----
     def common_prefix(self) -> str:
         """Longest string every match must start with (pushdown prefilter —

@@ -778,3 +778,36 @@ def fst_lookup_from_buckets(bk: DataFrame, prefix: str, n: int = 10,
         if exact:
             rows = exact[:1] + [r for r in rows if r[0] != prefix]
     return rows[:n]
+
+
+def regex_suggest(entries: DataFrame, pattern: str, n: int = 10,
+                  key_col: str = "key",
+                  weight_col: str = "weight") -> DataFrame:
+    """RegexCompletionQuery (suggest/document/RegexCompletionQuery.java:
+    33-50 — "binary keys ... whose analyzed forms have a PREFIX accepted
+    by the regex automaton", scored by suggestion weight): keys with some
+    prefix in L(pattern) under the full Lucene RegExp grammar, ordered
+    weight desc then key asc, top n.  The automaton's common prefix
+    pushes down as a sargable startswith prefilter; the accept-anywhere
+    DFA walk runs Arrow-batched."""
+    from .regexp import LuceneRegexp
+
+    rx = LuceneRegexp(pattern)
+
+    @F.pandas_udf("boolean")
+    def _pm(keys: pd.Series) -> pd.Series:
+        return pd.Series(rx.prefix_match_batch(keys.tolist()),
+                         index=keys.index)
+
+    out = entries
+    pre = rx.common_prefix()
+    if pre:
+        out = out.filter(F.col(key_col).startswith(pre))
+    mn = rx.min_len()
+    if mn > 0:
+        out = out.filter(F.length(key_col) >= mn)
+    return (out.filter(_pm(F.col(key_col)))
+            .orderBy(F.col(weight_col).desc(), F.col(key_col).asc())
+            .limit(n)
+            .select(F.col(key_col).alias("key"),
+                    F.col(weight_col).alias("weight")))

@@ -71,3 +71,30 @@ def test_lookup_from_weights(spark):
     got = fst_completion_lookup(entries, "four", n=4)
     assert got == [("four", 0), ("fourblah", 4), ("fourteen", 4),
                    ("fourier", 2)]
+
+
+def test_prefix_match_batch():
+    from lucene_spark.regexp import LuceneRegexp
+
+    rx = LuceneRegexp("ab*c")
+    got = rx.prefix_match_batch(
+        ["ac", "acxyz", "abbbc", "abbbcd", "ab", "abd", "xc", None, ""])
+    assert got.tolist() == [True, True, True, True, False, False, False,
+                            False, False]
+    # empty-accepting regex: every non-None key has the empty prefix
+    rx2 = LuceneRegexp("x*")
+    assert rx2.prefix_match_batch(["", "q", None]).tolist() == [
+        True, True, False]
+
+
+def test_regex_suggest(spark):
+    from lucene_spark.suggest import regex_suggest
+
+    entries = spark.createDataFrame(
+        [("ace", 9), ("abc", 5), ("abbcx", 7), ("abd", 3), ("zc", 8)],
+        "key string, weight long")
+    got = [(r["key"], r["weight"])
+           for r in regex_suggest(entries, "ab*c", n=10).collect()]
+    # prefix-accepted: abc (whole), abbcx (prefix abbc), ace? a-c-e: 'ac'
+    # is accepted as prefix -> yes.  abd/zc no.
+    assert got == [("ace", 9), ("abbcx", 7), ("abc", 5)]
