@@ -2558,6 +2558,28 @@ forty four
             [(i, k, b) for i, (k, b) in enumerate(rows)],
             "pos long, key string, bucket long")
 
+    def ft_log_merge(spark, sf):
+        # LogMergePolicy (index/LogMergePolicy.java findMerges :464-580 +
+        # findForcedMergesMaxNumSegments :243-299): log-levels merge
+        # selection over pinned segment-size lists; oracle = hand-traced
+        # expected windows (full trace table in tests/test_log_merge.py)
+        from lucene_spark.streaming import (
+            select_forced_merges, select_log_merges,
+        )
+
+        rows = []
+        for i, (s, e) in enumerate(select_log_merges(
+                [81, 81, 81, 3, 3, 3, 1, 1, 1, 1], merge_factor=3,
+                min_merge_size=2)):
+            rows.append(("levels", i, s, e))
+        for i, (s, e) in enumerate(select_forced_merges([10] * 25, 5)):
+            rows.append(("forced", i, s, e))
+        for i, (s, e) in enumerate(select_forced_merges(
+                [100, 1, 1, 1, 50], 3)):
+            rows.append(("partial", i, s, e))
+        return spark.createDataFrame(
+            rows, "mode string, merge_id long, seg_start long, seg_end long")
+
     def ft_regex_suggest(spark, sf):
         # RegexCompletionQuery (suggest/document/RegexCompletionQuery
         # .java): completions whose key has a PREFIX accepted by the
@@ -5517,7 +5539,7 @@ forty four
         ft_inet_point, ft_indri_and, ft_ngram_phrase, ft_point_in_set,
         ft_sort_rescore, ft_sorted_selector, ft_facet_query, ft_facet_sumvs,
         ft_soft_delete, ft_soft_retention, ft_flatten_graph, ft_graph_paths,
-        ft_fst_completion, ft_regex_suggest,
+        ft_fst_completion, ft_regex_suggest, ft_log_merge,
         # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
         # still oracle-checked every run by tests/test_entry_gate.py ----
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -8559,6 +8581,14 @@ SELECT doc_id,
 FROM documents
 WHERE strftime(epoch_ms(CAST(1000000000000 + doc_id * 349200000 AS BIGINT)),
                '%Y%m%d') BETWEEN '20021018' AND '20050103'""",
+        # LogMergePolicy selection: hand-traced goldens over the pinned
+        # size lists (tests/test_log_merge.py)
+        "ft_log_merge": """
+SELECT * FROM (VALUES
+  ('levels', 0, 0, 3), ('levels', 1, 3, 6), ('levels', 2, 6, 9),
+  ('forced', 0, 15, 25), ('forced', 1, 5, 15),
+  ('partial', 0, 1, 4)
+) AS t(mode, merge_id, seg_start, seg_end)""",
         # RegexCompletionQuery: some prefix of the key in L(s(can|ort)x?)
         # == the key starts with scan or sort; weight desc / key asc
         "ft_regex_suggest": _FT_PRELUDE + """,

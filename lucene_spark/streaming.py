@@ -17,6 +17,9 @@ the segments_N commit analog).
 
 from __future__ import annotations
 
+import math
+
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -602,3 +605,98 @@ def update_batch(
         spark, batch_df, out_dir, seg_size, text_col=text_col,
         key_col=key_col, with_positions=with_positions, stopwords=stopwords,
     )
+
+
+def select_log_merges(sizes, merge_factor: int = 10, min_merge_size: int = 0,
+                      max_merge_size: float = float("inf"),
+                      max_merge_docs: float = float("inf"), docs=None,
+                      merging=frozenset()) -> list[tuple[int, int]]:
+    """LogMergePolicy.findMerges (index/LogMergePolicy.java:464-580): the
+    classic log-levels selection (LogDocMergePolicy sizes by doc count,
+    LogByteSizeMergePolicy by bytes — pass the corresponding ``sizes``).
+
+    Faithful walk: per segment level = float32(ln(max(size,1))) / float32(
+    ln(mergeFactor)); from ``start``, the window's max level minus
+    LEVEL_LOG_SPAN (0.75) sets levelBottom (clamped up to the levelFloor
+    from min_merge_size, or −1 when the whole window sits at/below the
+    floor); ``upto`` walks back to the last segment at/above levelBottom,
+    and full mergeFactor-sized runs inside [start, upto] become merges —
+    skipped (but still consumed) when any member exceeds max_merge_size/
+    max_merge_docs, aborted at a segment already merging.  Returns
+    [(start, end)) index ranges in selection order.
+    """
+    if merge_factor < 2:
+        raise ValueError("mergeFactor cannot be less than 2")
+    n = len(sizes)
+    norm = np.float32(math.log(merge_factor))
+    levels = [np.float32(math.log(max(int(s), 1))) / norm for s in sizes]
+    if min_merge_size <= 0:
+        level_floor = np.float32(0.0)
+    else:
+        level_floor = np.float32(math.log(min_merge_size)) / norm
+    docs = docs if docs is not None else sizes
+    out: list[tuple[int, int]] = []
+    start = 0
+    while start < n:
+        max_level = levels[start]
+        for i in range(start + 1, n):
+            max_level = max(max_level, levels[i])
+        if max_level <= level_floor:
+            level_bottom = np.float32(-1.0)
+        else:
+            level_bottom = np.float32(float(max_level) - 0.75)
+            if level_bottom < level_floor and max_level >= level_floor:
+                level_bottom = level_floor
+        upto = n - 1
+        while upto >= start:
+            if levels[upto] >= level_bottom:
+                break
+            upto -= 1
+        end = start + merge_factor
+        while end <= 1 + upto:
+            any_too_large = False
+            any_merging = False
+            for i in range(start, end):
+                any_too_large |= (sizes[i] >= max_merge_size
+                                  or docs[i] >= max_merge_docs)
+                if i in merging:
+                    any_merging = True
+                    break
+            if not any_merging and not any_too_large:
+                out.append((start, end))
+            start = end
+            end = start + merge_factor
+        start = 1 + upto
+    return out
+
+
+def select_forced_merges(sizes, max_num_segments: int,
+                         merge_factor: int = 10) -> list[tuple[int, int]]:
+    """LogMergePolicy.findForcedMergesMaxNumSegments (LogMergePolicy.java:
+    243-299): mergeFactor-sized merges peel off the END while more than
+    maxNumSegments would remain; ONLY when no full merge was enrolled,
+    one final partial merge — the whole prefix for maxNumSegments == 1,
+    else the least-cost non-lopsided window (the best-start scan with the
+    sumSize < 2·previous-segment guard, :279-295)."""
+    out: list[tuple[int, int]] = []
+    n = len(sizes)
+    last = n
+    while last - max_num_segments + 1 >= merge_factor:
+        out.append((last - merge_factor, last))
+        last -= merge_factor
+    if not out:
+        if max_num_segments == 1:
+            if last > 1:
+                out.append((0, last))
+        elif last > max_num_segments:
+            final_size = last - max_num_segments + 1
+            best_size = 0
+            best_start = 0
+            for i in range(0, last - final_size + 1):
+                sum_size = sum(int(sizes[i + j]) for j in range(final_size))
+                if i == 0 or (sum_size < 2 * int(sizes[i - 1])
+                              and sum_size < best_size):
+                    best_start = i
+                    best_size = sum_size
+            out.append((best_start, best_start + final_size))
+    return out

@@ -1,0 +1,66 @@
+"""LogMergePolicy selection — hand-traced vectors against
+index/LogMergePolicy.java findMerges (:464-580) and
+findForcedMergesMaxNumSegments (:243-299)."""
+
+from lucene_spark.streaming import select_forced_merges, select_log_merges
+
+
+def test_log_levels_basic():
+    # mergeFactor 3, min_merge_size 2 (levelFloor = ln2/ln3):
+    # three level-4 segs merge, three level-1 segs merge, the level-0
+    # tail (below the floor window's bottom after clamping) merges in the
+    # floor pass
+    sizes = [81, 81, 81, 3, 3, 3, 1, 1, 1, 1]
+    assert select_log_merges(sizes, merge_factor=3, min_merge_size=2) == [
+        (0, 3), (3, 6), (6, 9)]
+
+
+def test_log_levels_partial_runs_left_alone():
+    # only two same-level segments -> no full mergeFactor window -> nothing
+    assert select_log_merges([100, 100], merge_factor=3) == []
+    # ten equal segments at factor 10 -> one merge
+    assert select_log_merges([5] * 10, merge_factor=10) == [(0, 10)]
+
+
+def test_log_levels_too_large_skipped_but_consumed():
+    # a window containing an over-limit segment is skipped, and the walk
+    # continues AFTER it (start = end), so the next full window merges
+    sizes = [100, 100, 100, 100, 100, 100]
+    got = select_log_merges(sizes, merge_factor=3, max_merge_size=100)
+    assert got == []
+    got = select_log_merges(sizes, merge_factor=3, max_merge_size=101)
+    assert got == [(0, 3), (3, 6)]
+
+
+def test_log_levels_merging_aborts_window():
+    sizes = [10, 10, 10, 10, 10, 10]
+    got = select_log_merges(sizes, merge_factor=3, merging={1})
+    # first window contains an in-flight segment -> skipped; second merges
+    assert got == [(3, 6)]
+
+
+def test_big_segment_starts_new_window():
+    # a small-tail window: one huge segment then small ones; the huge one
+    # alone is upto'd by levelBottom and the small run merges separately
+    sizes = [10**9, 4, 4, 4]
+    got = select_log_merges(sizes, merge_factor=3, min_merge_size=2)
+    assert got == [(1, 4)]
+
+
+def test_forced_merges_full_then_none():
+    # 25 segments down to 5 at factor 10: two full merges off the end,
+    # NO partial (full merges pending)
+    assert select_forced_merges([10] * 25, 5) == [(15, 25), (5, 15)]
+
+
+def test_forced_merge_to_one():
+    assert select_forced_merges([10] * 4, 1, merge_factor=10) == [(0, 4)]
+
+
+def test_forced_partial_least_cost_window():
+    # down to 3 from 5 -> finalMergeSize 3; best-start scan picks the
+    # cheapest window that isn't lopsided vs its left neighbour
+    sizes = [100, 1, 1, 1, 50]
+    # windows: i=0 sum 102; i=1 sum 3 (3 < 2*100 and < 102); i=2 sum 52
+    # (52 < 2*1? no) -> best (1, 4)
+    assert select_forced_merges(sizes, 3, merge_factor=10) == [(1, 4)]
