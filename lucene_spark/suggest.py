@@ -811,3 +811,22 @@ def regex_suggest(entries: DataFrame, pattern: str, n: int = 10,
             .limit(n)
             .select(F.col(key_col).alias("key"),
                     F.col(weight_col).alias("weight")))
+
+
+def document_dictionary(docs: DataFrame, field: str, weight=None,
+                        payload: str | None = None) -> DataFrame:
+    """DocumentDictionary / DocumentValueSourceDictionary (suggest/
+    DocumentDictionary.java:44-60, DocumentValueSourceDictionary.java:
+    43-56): suggestion entries drawn from stored documents — key = the
+    text field, weight = a stored numeric field (pass a column name) or
+    any computed expression (the LongValuesSource route; pass a Column),
+    optional payload column carried through.  Docs with a null key or
+    null weight are skipped (the reference returns null entries the
+    consuming suggester discards)."""
+    wcol = (F.col(weight) if isinstance(weight, str)
+            else (weight if weight is not None else F.lit(1)))
+    out = docs.select(F.col(field).alias("key"),
+                      wcol.cast("long").alias("weight"),
+                      *([F.col(payload).alias("payload")] if payload else []))
+    return out.filter(F.col("key").isNotNull()
+                      & F.col("weight").isNotNull())

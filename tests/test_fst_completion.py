@@ -98,3 +98,23 @@ def test_regex_suggest(spark):
     # prefix-accepted: abc (whole), abbcx (prefix abbc), ace? a-c-e: 'ac'
     # is accepted as prefix -> yes.  abd/zc no.
     assert got == [("ace", 9), ("abbcx", 7), ("abc", 5)]
+
+
+def test_document_dictionary(spark):
+    from lucene_spark.suggest import document_dictionary, fst_completion_lookup
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [("sort", 10, "p1"), ("sorted", 20, None), (None, 5, "x"),
+         ("scan", None, "y")],
+        "title string, pop long, extra string")
+    d = document_dictionary(docs, "title", "pop", payload="extra")
+    rows = {(r["key"], r["weight"]) for r in d.collect()}
+    assert rows == {("sort", 10), ("sorted", 20)}  # null key/weight dropped
+    # value-source weight (computed expression)
+    d2 = document_dictionary(docs, "title", F.length("title") * 2)
+    assert {(r["key"], r["weight"]) for r in d2.collect()} == {
+        ("sort", 8), ("sorted", 12), ("scan", 8)}
+    # feeds the completion pipeline directly
+    got = fst_completion_lookup(d, "sort", n=2, buckets=2)
+    assert [k for k, _ in got] == ["sort", "sorted"]
