@@ -94,3 +94,45 @@ def test_inet_prefix_bounds():
     assert hi == inet_to_key("2001:db8:ffff:ffff:ffff:ffff:ffff:ffff")
     with pytest.raises(ValueError):
         inet_prefix_bounds("10.0.0.1", 33)
+
+
+def test_date_range_pushdown(spark, tmp_path):
+    """A materialized DateTools-encoded column takes range predicates to
+    the parquet scan (PushedFilters) — the scale contract of the
+    order-preserving encoding."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, rng.randrange(0, 2_000_000_000_000)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, ts long")
+    out = str(tmp_path / "dated")
+    (df.select("doc_id", time_to_string_col(df.ts, "day").alias("day_s"))
+       .write.mode("overwrite").parquet(out))
+    back = spark.read.parquet(out)
+    q = back.filter(date_range_predicate(back.day_s, "20050101", "20101231"))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "day_s" in plan and \
+        "GreaterThanOrEqual(day_s,20050101)" in plan
+    exp = sum(1 for _, t in rows
+              if "20050101" <= time_to_string(t, "day") <= "20101231")
+    assert q.count() == exp
+
+
+def test_inet_point_pushdown(spark, tmp_path):
+    from lucene_spark.rangefield import inet_point_query, inet_to_key
+
+    rows = [(i, inet_to_key(f"10.{i % 200}.{(i * 7) % 256}.{(i * 13) % 256}"))
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, ip_key string")
+    out = str(tmp_path / "ips")
+    df.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    q = inet_point_query(back, prefix=("10.5.0.0", 16))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "ip_key" in plan
+    assert q.count() == sum(1 for i in range(400) if i % 200 == 5)
+    # exact + range modes
+    some = f"10.7.{(7 * 7) % 256}.{(7 * 13) % 256}"
+    assert inet_point_query(back, exact=some).count() == \
+        sum(1 for i in range(400)
+            if f"10.{i % 200}.{(i * 7) % 256}.{(i * 13) % 256}" == some)
