@@ -2577,6 +2577,11 @@ forty four
         for i, (s, e) in enumerate(select_forced_merges(
                 [100, 1, 1, 1, 50], 3)):
             rows.append(("partial", i, s, e))
+        from lucene_spark.streaming import select_forced_deletes_merges
+
+        for i, (s, e) in enumerate(select_forced_deletes_merges(
+                [0, 1, 1, 1, 1, 0, 2, 2, 0, 3], merge_factor=3)):
+            rows.append(("deletes", i, s, e))
         return spark.createDataFrame(
             rows, "mode string, merge_id long, seg_start long, seg_end long")
 
@@ -8587,7 +8592,9 @@ WHERE strftime(epoch_ms(CAST(1000000000000 + doc_id * 349200000 AS BIGINT)),
 SELECT * FROM (VALUES
   ('levels', 0, 0, 3), ('levels', 1, 3, 6), ('levels', 2, 6, 9),
   ('forced', 0, 15, 25), ('forced', 1, 5, 15),
-  ('partial', 0, 1, 4)
+  ('partial', 0, 1, 4),
+  ('deletes', 0, 1, 4), ('deletes', 1, 4, 5),
+  ('deletes', 2, 6, 8), ('deletes', 3, 9, 10)
 ) AS t(mode, merge_id, seg_start, seg_end)""",
         # RegexCompletionQuery: some prefix of the key in L(s(can|ort)x?)
         # == the key starts with scan or sort; weight desc / key asc

@@ -700,3 +700,28 @@ def select_forced_merges(sizes, max_num_segments: int,
                     best_size = sum_size
             out.append((best_start, best_start + final_size))
     return out
+
+
+def select_forced_deletes_merges(del_counts,
+                                 merge_factor: int = 10) -> list[tuple[int, int]]:
+    """LogMergePolicy.findForcedDeletesMerges (LogMergePolicy.java:
+    383-428): consecutive RUNS of segments carrying deletions merge,
+    mergeFactor at a time — a full run of mergeFactor forces a merge
+    immediately, a shorter run merges when the sequence breaks (or at the
+    end), delete-free segments are never touched."""
+    out: list[tuple[int, int]] = []
+    first = -1
+    n = len(del_counts)
+    for i in range(n):
+        if int(del_counts[i]) > 0:
+            if first == -1:
+                first = i
+            elif i - first == merge_factor:
+                out.append((first, i))
+                first = i
+        elif first != -1:
+            out.append((first, i))
+            first = -1
+    if first != -1:
+        out.append((first, n))
+    return out

@@ -64,3 +64,15 @@ def test_forced_partial_least_cost_window():
     # windows: i=0 sum 102; i=1 sum 3 (3 < 2*100 and < 102); i=2 sum 52
     # (52 < 2*1? no) -> best (1, 4)
     assert select_forced_merges(sizes, 3, merge_factor=10) == [(1, 4)]
+
+
+def test_forced_deletes_merges():
+    from lucene_spark.streaming import select_forced_deletes_merges
+
+    # runs of deleted segments merge mergeFactor at a time; clean segments
+    # break the run; a trailing run merges at the end
+    dels = [0, 1, 1, 1, 1, 0, 2, 2, 0, 3]
+    assert select_forced_deletes_merges(dels, merge_factor=3) == [
+        (1, 4), (4, 5), (6, 8), (9, 10)]
+    assert select_forced_deletes_merges([0, 0, 0]) == []
+    assert select_forced_deletes_merges([5], merge_factor=2) == [(0, 1)]
