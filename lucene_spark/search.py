@@ -492,9 +492,11 @@ class _ExtendableParser(_Parser):
     classic parser with a getFieldQuery hook — when the (unescaped) field
     prefix splits into ``field<delim>key`` and ``key`` names a registered
     extension, the extension builds the node from the raw (unescaped) term
-    or quoted-phrase text.  Like the reference, only plain terms and quoted
-    phrases route to extensions (wildcard/fuzzy atoms go through
-    getWildcardQuery/getFuzzyQuery, which extensions do not intercept)."""
+    or quoted-phrase text.  Like the reference, wildcard/fuzzy atoms go
+    through getWildcardQuery/getFuzzyQuery, which extensions do not
+    intercept.  Documented divergence: `extfield:(...)` groups fall back to
+    the classic unknown-field path here, whereas the reference re-enters
+    getFieldQuery per inner term with the extension field attached."""
 
     def __init__(self, q, default_field="text", fields=None,
                  extensions: Extensions | None = None):
