@@ -167,6 +167,15 @@ class GraphTokenStream:
                     or (parent[state] == -1 and child_count > 1)):
                 points.append(state)
 
-        recurse(0, 0)
+        import sys
+
+        # the DFS recurses once per state (long flat streams = deep chains);
+        # size the Python stack to the graph like the JVM's deeper default
+        old = sys.getrecursionlimit()
+        sys.setrecursionlimit(max(old, 2 * self.num_states + 1000))
+        try:
+            recurse(0, 0)
+        finally:
+            sys.setrecursionlimit(old)
         points.reverse()
         return points
