@@ -2558,6 +2558,19 @@ forty four
             [(i, k, b) for i, (k, b) in enumerate(rows)],
             "pos long, key string, bucket long")
 
+    def ft_graph_bool(spark, sf):
+        # QueryBuilder.analyzeGraphBoolean (core/util/QueryBuilder.java:
+        # 505-570): the synonym graph table→(window merge | scan) splits at
+        # its articulation points into [term table, OR(AND(window, merge),
+        # term scan)] under the SHOULD operator; BM25 sums matching-clause
+        # scores
+        from lucene_spark.search import graph_boolean_query
+
+        node = graph_boolean_query([
+            ("table", 1, 1), ("window", 1, 1), ("scan", 0, 2),
+            ("merge", 1, 1)])
+        return _topk_df(spark, sf, node, 10)
+
     def ft_log_merge(spark, sf):
         # LogMergePolicy (index/LogMergePolicy.java findMerges :464-580 +
         # findForcedMergesMaxNumSegments :243-299): log-levels merge
@@ -5544,7 +5557,7 @@ forty four
         ft_inet_point, ft_indri_and, ft_ngram_phrase, ft_point_in_set,
         ft_sort_rescore, ft_sorted_selector, ft_facet_query, ft_facet_sumvs,
         ft_soft_delete, ft_soft_retention, ft_flatten_graph, ft_graph_paths,
-        ft_fst_completion, ft_regex_suggest, ft_log_merge,
+        ft_fst_completion, ft_regex_suggest, ft_log_merge, ft_graph_bool,
         # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
         # still oracle-checked every run by tests/test_entry_gate.py ----
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -8586,6 +8599,38 @@ SELECT doc_id,
 FROM documents
 WHERE strftime(epoch_ms(CAST(1000000000000 + doc_id * 349200000 AS BIGINT)),
                '%Y%m%d') BETWEEN '20021018' AND '20050103'""",
+        # analyzeGraphBoolean over table -> (window merge | scan): SHOULD
+        # sums matching-clause scores; the AND clause contributes only
+        # when both members match
+        "ft_graph_bool": _FT_PRELUDE + """,
+ts AS (
+  SELECT tf.doc_id, tf.term,
+         (ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))) AS w,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (s.sttf / s.n))) AS inv,
+         tf.tf AS tf
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term IN ('table', 'window', 'merge', 'scan')
+),
+pv AS (
+  SELECT doc_id,
+         MAX(CASE WHEN term = 'table'  THEN w - w/(1.0 + tf*inv) END) AS st,
+         MAX(CASE WHEN term = 'window' THEN w - w/(1.0 + tf*inv) END) AS sw,
+         MAX(CASE WHEN term = 'merge'  THEN w - w/(1.0 + tf*inv) END) AS sm,
+         MAX(CASE WHEN term = 'scan'   THEN w - w/(1.0 + tf*inv) END) AS ss
+  FROM ts GROUP BY doc_id
+),
+sc AS (
+  SELECT doc_id,
+         coalesce(st, 0)
+         + CASE WHEN sw IS NOT NULL AND sm IS NOT NULL THEN sw + sm
+                ELSE 0 END
+         + coalesce(ss, 0) AS score,
+         (st IS NOT NULL) OR (sw IS NOT NULL AND sm IS NOT NULL)
+           OR (ss IS NOT NULL) AS matched
+  FROM pv
+)
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM sc WHERE matched ORDER BY score DESC, doc_id LIMIT 10""",
         # LogMergePolicy selection: hand-traced goldens over the pinned
         # size lists (tests/test_log_merge.py)
         "ft_log_merge": """

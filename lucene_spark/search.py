@@ -597,6 +597,58 @@ def indri_and_docs(index: "Index", terms: list[str]) -> "DataFrame":
     return match_any_docs(index, terms)
 
 
+def graph_boolean_query(graph_tokens, operator: str = "should",
+                        auto_phrase: bool = False) -> tuple:
+    """QueryBuilder.analyzeGraphBoolean (core/util/QueryBuilder.java:
+    505-570): a token GRAPH (multi-word synonyms from SynonymGraphFilter,
+    as (term, posInc, posLen) tuples) splits at its articulation points;
+    each segment becomes
+
+      - with side paths: the SHOULD-disjunction of its finite strings
+        (newGraphSynonymQuery :640-650, unwrapped when single), each path
+        built with MUST over its tokens — a phrase instead when
+        ``auto_phrase`` (setAutoGenerateMultiTermSynonymsPhraseQuery;
+        default false, :63)
+      - without: a term, or a SynonymQuery over stacked tokens,
+
+    and the segments combine under ``operator`` ("must" = AND semantics,
+    "should" = OR — the createBooleanQuery default operator)."""
+    from .graphts import GraphTokenStream
+
+    g = GraphTokenStream(graph_tokens)
+    points = g.articulation_points()
+    segments: list[tuple] = []
+    last = 0
+    for i in range(len(points) + 1):
+        start = last
+        end = points[i] if i < len(points) else None
+        last = end
+        if g.has_side_path(start):
+            paths = []
+            for p in g.finite_strings(start, end):
+                if len(p) == 1:
+                    paths.append(("term", p[0][0]))
+                elif auto_phrase:
+                    pos = 0
+                    members = []
+                    for term, inc in p:
+                        pos += inc
+                        members.append((term, pos - p[0][1]))
+                    paths.append(("phrase", members))
+                else:
+                    paths.append(("and", [t for t, _ in p]))
+            seg = paths[0] if len(paths) == 1 else ("or", paths)
+        else:
+            terms = g.terms(start)
+            seg = ("term", terms[0]) if len(terms) == 1 else ("syn", terms)
+        segments.append(seg)
+    if len(segments) == 1:
+        return segments[0]
+    if operator == "must":
+        return ("andn", segments)
+    return ("or", segments)
+
+
 def phrase_wildcard_query(
     index: "Index",
     members: list,

@@ -77,3 +77,50 @@ def test_linear_no_articulation_single_edge():
     g = GraphTokenStream([("a", 1, 1), ("b", 0, 1)])
     assert strings(g) == [(["a"], [1]), (["b"], [1])]
     assert g.articulation_points() == []
+
+
+def test_graph_boolean_query_ast():
+    from lucene_spark.search import graph_boolean_query
+
+    # wifi graph -> one term segment + one side-path segment + one term
+    toks = [("fast", 1, 1), ("wi", 1, 1), ("wifi", 0, 2), ("fi", 1, 1),
+            ("network", 1, 1)]
+    node = graph_boolean_query(toks)
+    assert node == ("or", [
+        ("term", "fast"),
+        ("or", [("and", ["wi", "fi"]), ("term", "wifi")]),
+        ("term", "network"),
+    ])
+    # MUST operator wraps the same segments conjunctively
+    assert graph_boolean_query(toks, operator="must")[0] == "andn"
+    # auto_phrase: multi-token side paths become position-faithful phrases
+    node = graph_boolean_query(toks, auto_phrase=True)
+    assert node[1][1] == ("or", [("phrase", [("wi", 0), ("fi", 1)]),
+                                 ("term", "wifi")])
+    # stacked single tokens at one position -> SynonymQuery
+    node = graph_boolean_query([("a", 1, 1), ("b", 0, 1), ("c", 1, 1)])
+    assert node == ("or", [("syn", ["a", "b"]), ("term", "c")])
+    # flat single-term stream -> the bare term
+    assert graph_boolean_query([("x", 1, 1)]) == ("term", "x")
+
+
+def test_graph_boolean_query_end_to_end(spark):
+    from lucene_spark.index import build_index
+    from lucene_spark.search import graph_boolean_query, search
+
+    pages = spark.createDataFrame(
+        [("0", "fast wi fi network"), ("1", "fast wifi network"),
+         ("2", "slow wifi network"), ("3", "fast cable network"),
+         ("4", "nothing here")],
+        "url string, text string")
+    idx = build_index(spark, pages, with_positions=True)
+    toks = [("fast", 1, 1), ("wi", 1, 1), ("wifi", 0, 2), ("fi", 1, 1),
+            ("network", 1, 1)]
+    td = search(idx, graph_boolean_query(toks, operator="must"), k=10,
+                precision="float64")
+    urls = {r["docid"]: r["url"] for r in idx.docs.select("docid", "url").collect()}
+    # MUST: every segment required -> docs 0 and 1 only
+    assert sorted(urls[d] for d in td.docids.tolist()) == ["0", "1"]
+    td = search(idx, graph_boolean_query(toks), k=10, precision="float64")
+    # SHOULD: anything matching any segment
+    assert sorted(urls[d] for d in td.docids.tolist()) == ["0", "1", "2", "3"]
