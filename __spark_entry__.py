@@ -2571,6 +2571,18 @@ forty four
             ("merge", 1, 1)])
         return _topk_df(spark, sf, node, 10)
 
+    def ft_graph_phrase(spark, sf):
+        # QueryBuilder.analyzeGraphPhrase (core/util/QueryBuilder.java:
+        # 470-496): every finite string of table→(window merge | scan)
+        # becomes an exact phrase, combined SHOULD — phrases
+        # "table window merge" and "table scan"
+        from lucene_spark.search import graph_phrase_query
+
+        node = graph_phrase_query([
+            ("table", 1, 1), ("window", 1, 1), ("scan", 0, 2),
+            ("merge", 1, 1)])
+        return _topk_df(spark, sf, node, 10)
+
     def ft_log_merge(spark, sf):
         # LogMergePolicy (index/LogMergePolicy.java findMerges :464-580 +
         # findForcedMergesMaxNumSegments :243-299): log-levels merge
@@ -5557,7 +5569,7 @@ forty four
         ft_inet_point, ft_indri_and, ft_ngram_phrase, ft_point_in_set,
         ft_sort_rescore, ft_sorted_selector, ft_facet_query, ft_facet_sumvs,
         ft_soft_delete, ft_soft_retention, ft_flatten_graph, ft_graph_paths,
-        ft_fst_completion, ft_regex_suggest, ft_log_merge, ft_graph_bool,
+        ft_fst_completion, ft_regex_suggest, ft_log_merge, ft_graph_bool, ft_graph_phrase,
         # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
         # still oracle-checked every run by tests/test_entry_gate.py ----
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -8599,6 +8611,50 @@ SELECT doc_id,
 FROM documents
 WHERE strftime(epoch_ms(CAST(1000000000000 + doc_id * 349200000 AS BIGINT)),
                '%Y%m%d') BETWEEN '20021018' AND '20050103'""",
+        # analyzeGraphPhrase: SHOULD of exact phrases "table window merge"
+        # and "table scan" (each scored with its own summed-idf weight)
+        "ft_graph_phrase": _FT_PRELUDE + """,
+pos AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS p
+  FROM documents
+),
+pm1 AS (
+  SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS pf
+  FROM pos p0
+  JOIN pos p1 ON p1.doc_id = p0.doc_id AND p1.p = p0.p + 1 AND p1.w = 'window'
+  JOIN pos p2 ON p2.doc_id = p0.doc_id AND p2.p = p0.p + 2 AND p2.w = 'merge'
+  WHERE p0.w = 'table' GROUP BY p0.doc_id
+),
+pm2 AS (
+  SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS pf
+  FROM pos p0
+  JOIN pos p1 ON p1.doc_id = p0.doc_id AND p1.p = p0.p + 1 AND p1.w = 'scan'
+  WHERE p0.w = 'table' GROUP BY p0.doc_id
+),
+ws AS (
+  SELECT
+    (SELECT SUM(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)))
+     FROM df d CROSS JOIN stats s
+     WHERE d.term IN ('table', 'window', 'merge')) AS w1,
+    (SELECT SUM(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)))
+     FROM df d CROSS JOIN stats s
+     WHERE d.term IN ('table', 'scan')) AS w2
+),
+docs2 AS (SELECT doc_id FROM pm1 UNION SELECT doc_id FROM pm2),
+sc AS (
+  SELECT d.doc_id,
+         coalesce(ws.w1 - ws.w1 / (1.0 + pm1.pf *
+           (1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (s.sttf / s.n))))), 0)
+         + coalesce(ws.w2 - ws.w2 / (1.0 + pm2.pf *
+           (1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (s.sttf / s.n))))), 0)
+           AS score
+  FROM docs2 d
+  LEFT JOIN pm1 USING (doc_id) LEFT JOIN pm2 USING (doc_id)
+  JOIN dl ON dl.doc_id = d.doc_id CROSS JOIN stats s CROSS JOIN ws
+)
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM sc ORDER BY score DESC, doc_id LIMIT 10""",
         # analyzeGraphBoolean over table -> (window merge | scan): SHOULD
         # sums matching-clause scores; the AND clause contributes only
         # when both members match

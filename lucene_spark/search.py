@@ -649,6 +649,34 @@ def graph_boolean_query(graph_tokens, operator: str = "should",
     return ("or", segments)
 
 
+def graph_phrase_query(graph_tokens, slop: int = 0) -> tuple:
+    """QueryBuilder.analyzeGraphPhrase (core/util/QueryBuilder.java:
+    470-496, the 9.0 snapshot's finite-strings form): every finite string
+    of the synonym graph becomes a phrase with the given slop (a term when
+    single-token; position increments — stopword holes — preserved), and
+    the paths combine as a SHOULD disjunction."""
+    from .graphts import GraphTokenStream
+
+    g = GraphTokenStream(graph_tokens)
+    paths: list[tuple] = []
+    for p in g.finite_strings():
+        if len(p) == 1:
+            paths.append(("term", p[0][0]))
+            continue
+        pos = -1
+        members = []
+        for term, inc in p:
+            pos += inc
+            members.append((term, pos))
+        base = members[0][1]
+        members = [(t, q - base) for t, q in members]
+        paths.append(("sloppy", members, slop) if slop > 0
+                     else ("phrase", members))
+    if not paths:
+        return ("match_none",)
+    return paths[0] if len(paths) == 1 else ("or", paths)
+
+
 def phrase_wildcard_query(
     index: "Index",
     members: list,

@@ -124,3 +124,40 @@ def test_graph_boolean_query_end_to_end(spark):
     td = search(idx, graph_boolean_query(toks), k=10, precision="float64")
     # SHOULD: anything matching any segment
     assert sorted(urls[d] for d in td.docids.tolist()) == ["0", "1", "2", "3"]
+
+
+def test_graph_phrase_query_ast():
+    from lucene_spark.search import graph_phrase_query
+
+    toks = [("fast", 1, 1), ("wi", 1, 1), ("wifi", 0, 2), ("fi", 1, 1),
+            ("network", 1, 1)]
+    node = graph_phrase_query(toks)
+    assert node == ("or", [
+        ("phrase", [("fast", 0), ("wi", 1), ("fi", 2), ("network", 3)]),
+        ("phrase", [("fast", 0), ("wifi", 1), ("network", 2)]),
+    ])
+    # slop routes to sloppy nodes; a hole keeps its gap in the positions
+    node = graph_phrase_query(
+        [("hey", 1, 1), ("fast", 2, 1), ("wi", 1, 1), ("wifi", 0, 2),
+         ("fi", 1, 1), ("network", 1, 1)], slop=1)
+    assert node[1][0] == ("sloppy", [("hey", 0), ("fast", 2), ("wi", 3),
+                                     ("fi", 4), ("network", 5)], 1)
+
+
+def test_graph_phrase_end_to_end(spark):
+    from lucene_spark.index import build_index
+    from lucene_spark.search import graph_phrase_query, search
+
+    pages = spark.createDataFrame(
+        [("0", "fast wi fi network"), ("1", "fast wifi network"),
+         ("2", "wifi fast network"), ("3", "fast wifi here network")],
+        "url string, text string")
+    idx = build_index(spark, pages, with_positions=True)
+    toks = [("fast", 1, 1), ("wi", 1, 1), ("wifi", 0, 2), ("fi", 1, 1),
+            ("network", 1, 1)]
+    td = search(idx, graph_phrase_query(toks), k=10, precision="float64")
+    urls = {r["docid"]: r["url"] for r in idx.docs.select("docid", "url").collect()}
+    assert sorted(urls[d] for d in td.docids.tolist()) == ["0", "1"]
+    td = search(idx, graph_phrase_query(toks, slop=1), k=10,
+                precision="float64")
+    assert sorted(urls[d] for d in td.docids.tolist()) == ["0", "1", "3"]
