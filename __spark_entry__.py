@@ -3425,6 +3425,21 @@ forty four
     def ft_synonym(spark, sf):
         return _topk_df(spark, sf, ("syn", ["scan", "merge"]), 10)
 
+    def ft_syn_parse(spark, sf):
+        # SolrSynonymParser (analysis/synonym/SolrSynonymParser.java:82-186)
+        # end-to-end: parse the Solr format (escapes, expand mode), derive
+        # the single-token mapping, query SynonymQuery(window + its parsed
+        # synonyms) — parser fixture goldens in tests/test_synparser.py
+        from lucene_spark.filters import (
+            parse_solr_synonyms, synonym_rules_to_mapping,
+        )
+
+        rules = parse_solr_synonyms(
+            "#synonyms\nwindow, batch\nnope => gone\n")
+        mp = synonym_rules_to_mapping(rules)
+        terms = ["window", *mp.get("window", ())]
+        return _topk_df(spark, sf, ("syn", terms), 10)
+
     # --- collectors beyond top-score (SURVEY §2.4) ---
     def ft_sort_field(spark, sf):
         # TopFieldCollector analog: matching docs sorted by a doc-values field
@@ -5569,7 +5584,7 @@ forty four
         ft_inet_point, ft_indri_and, ft_ngram_phrase, ft_point_in_set,
         ft_sort_rescore, ft_sorted_selector, ft_facet_query, ft_facet_sumvs,
         ft_soft_delete, ft_soft_retention, ft_flatten_graph, ft_graph_paths,
-        ft_fst_completion, ft_regex_suggest, ft_log_merge, ft_graph_bool, ft_graph_phrase,
+        ft_fst_completion, ft_regex_suggest, ft_log_merge, ft_graph_bool, ft_graph_phrase, ft_syn_parse,
         # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
         # still oracle-checked every run by tests/test_entry_gate.py ----
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -8945,6 +8960,23 @@ syn AS (
   WHERE term IN ('scan', 'merge') GROUP BY doc_id
 ),
 dfm AS (SELECT max(df) AS df FROM df WHERE term IN ('scan', 'merge')),
+sc AS (
+  SELECT syn.doc_id,
+         ln(1 + (s.n - dfm.df + 0.5) / (dfm.df + 0.5)) AS w,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (s.sttf / s.n))) AS inv,
+         syn.tf AS tf
+  FROM syn JOIN dl USING (doc_id) CROSS JOIN dfm CROSS JOIN stats s
+)
+SELECT doc_id, CAST(floor((w - w / (1.0 + tf * inv)) * 10000) AS BIGINT) AS score_q
+FROM sc ORDER BY (w - w / (1.0 + tf * inv)) DESC, doc_id LIMIT 10""",
+        # SolrSynonymParser end-to-end: window + its parsed synonym batch
+        # as a blended SynonymQuery (df = max, tf summed)
+        "ft_syn_parse": _FT_PRELUDE + """,
+syn AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tf FROM tf
+  WHERE term IN ('window', 'batch') GROUP BY doc_id
+),
+dfm AS (SELECT max(df) AS df FROM df WHERE term IN ('window', 'batch')),
 sc AS (
   SELECT syn.doc_id,
          ln(1 + (s.n - dfm.df + 0.5) / (dfm.df + 0.5)) AS w,

@@ -1836,3 +1836,162 @@ def flatten_graph(tokens):
         if out_dest["endOffset"] == -1 or e_off < out_dest["endOffset"]:
             out_dest["endOffset"] = e_off
     return results
+
+
+def _syn_split(s: str, separator: str) -> list[str]:
+    """SolrSynonymParser.split (analysis/synonym/SolrSynonymParser.java:
+    141-169): split on the separator, a backslash escaping the NEXT char
+    (the backslash itself is kept for the later unescape pass)."""
+    out: list[str] = []
+    sb: list[str] = []
+    pos, end = 0, len(s)
+    while pos < end:
+        if s.startswith(separator, pos):
+            if sb:
+                out.append("".join(sb))
+                sb = []
+            pos += len(separator)
+            continue
+        ch = s[pos]
+        pos += 1
+        if ch == "\\":
+            sb.append(ch)
+            if pos >= end:
+                break
+            ch = s[pos]
+            pos += 1
+        sb.append(ch)
+    if sb:
+        out.append("".join(sb))
+    return out
+
+
+def _syn_unescape(s: str) -> str:
+    """SolrSynonymParser.unescape (:172-186)."""
+    if "\\" not in s:
+        return s
+    out: list[str] = []
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if ch == "\\" and i < len(s) - 1:
+            i += 1
+            out.append(s[i])
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def parse_solr_synonyms(text: str, expand: bool = True,
+                        analyzer=None) -> list[tuple[tuple, tuple, bool]]:
+    """SolrSynonymParser (analysis/synonym/SolrSynonymParser.java:82-139):
+    parse the Solr synonyms format into (input_tokens, output_tokens,
+    keep_original) rules —
+
+      - ``a, b => c, d``: every input maps to every output, original never
+        kept;
+      - ``a, b, c`` with expand: all ordered pairs, original kept;
+      - without expand: every input (including the first) maps to the
+        FIRST input, original not kept (the legacy token-type quirk).
+
+    Empty lines and '#' comments skip; a second '=>' on one line raises.
+    ``analyzer``: callable str -> token list (defaults to the standard
+    chain WITHOUT stopwords, since synonym sides are analyzed terms);
+    multi-token sides produce multi-token tuples (the SynonymMap
+    word-separator form)."""
+    if analyzer is None:
+        from .analysis import analyze as _an
+
+        def analyzer(s):  # noqa: F811 - default analyzer
+            return _an(s, set())
+
+    rules: list[tuple[tuple, tuple, bool]] = []
+    for line in text.splitlines():
+        if not line or line[0] == "#":
+            continue
+        sides = _syn_split(line, "=>")
+        if len(sides) > 1:
+            if len(sides) != 2:
+                raise ValueError(
+                    "more than one explicit mapping specified on the "
+                    "same line")
+            inputs = [tuple(analyzer(_syn_unescape(x).strip()))
+                      for x in _syn_split(sides[0], ",")]
+            outputs = [tuple(analyzer(_syn_unescape(x).strip()))
+                       for x in _syn_split(sides[1], ",")]
+            for inp in inputs:
+                for outp in outputs:
+                    rules.append((inp, outp, False))
+        else:
+            inputs = [tuple(analyzer(_syn_unescape(x).strip()))
+                      for x in _syn_split(line, ",")]
+            if expand:
+                for i, a in enumerate(inputs):
+                    for j, b in enumerate(inputs):
+                        if i != j:
+                            rules.append((a, b, True))
+            else:
+                for a in inputs:
+                    rules.append((a, inputs[0], False))
+    return rules
+
+
+def parse_wordnet_synonyms(text: str, expand: bool = True,
+                           analyzer=None) -> list[tuple[tuple, tuple, bool]]:
+    """WordnetSynonymParser (analysis/synonym/WordnetSynonymParser.java:
+    40-103): prolog-format ``s(<9-digit synset>,..,'word',..)`` lines;
+    consecutive lines with the same synset id form one synset ('' doubles
+    unescape to a single quote), synsets of size <= 1 are dropped, and
+    expansion follows the Solr rules (all pairs keep-orig, or everything
+    to the first member)."""
+    if analyzer is None:
+        from .analysis import analyze as _an
+
+        def analyzer(s):  # noqa: F811 - default analyzer
+            return _an(s, set())
+
+    rules: list[tuple[tuple, tuple, bool]] = []
+
+    def flush(synset):
+        if len(synset) <= 1:
+            return
+        if expand:
+            for i, a in enumerate(synset):
+                for j, b in enumerate(synset):
+                    if i != j:
+                        rules.append((a, b, True))
+        else:
+            for a in synset:
+                rules.append((a, synset[0], False))
+
+    last_id = ""
+    synset: list[tuple] = []
+    for line in text.splitlines():
+        if not line:
+            continue
+        syn_id = line[2:11]
+        if syn_id != last_id:
+            flush(synset)
+            synset = []
+        start = line.index("'") + 1
+        end = line.rindex("'")
+        word = line[start:end].replace("''", "'")
+        synset.append(tuple(analyzer(word)))
+        last_id = syn_id
+    flush(synset)
+    return rules
+
+
+def synonym_rules_to_mapping(rules) -> dict:
+    """Single-token rules → the {term: (synonyms...)} mapping
+    ``synonym_inject`` consumes (stacked same-position tokens); rules whose
+    output equals the input collapse (the non-expand self-rule), multi-word
+    rules route to the graph query builders instead."""
+    mp: dict[str, list[str]] = {}
+    for inp, outp, _keep in rules:
+        if len(inp) == 1 and len(outp) == 1 and inp != outp:
+            mp.setdefault(inp[0], [])
+            if outp[0] not in mp[inp[0]]:
+                mp[inp[0]].append(outp[0])
+    return {k: tuple(v) for k, v in mp.items()}
