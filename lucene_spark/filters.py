@@ -1730,7 +1730,14 @@ def flatten_graph(tokens):
     (maxToNode <= inputFrom), with posInc = output-node delta, posLen =
     destination output node − current, and the monotone offset clamps
     (:219-229).  Reference test goldens pinned in
-    tests/test_flatten_graph.py."""
+    tests/test_flatten_graph.py.
+
+    Quirk kept: on pathological graphs (a stacked token leaving a node
+    whose output slot also carries an empty hole node) this snapshot's
+    release loop skips the whole output slot and DROPS the token — the
+    Java assert output.inputNodes.size() == 1 only trips with assertions
+    enabled (the LUCENE-9963 family, fixed upstream after this snapshot).
+    Well-formed SynonymGraph/WordDelimiterGraph output never hits it."""
     inp: dict = {}
     out: dict = {}
     out_max = [0]
