@@ -161,3 +161,41 @@ def test_graph_phrase_end_to_end(spark):
     td = search(idx, graph_phrase_query(toks, slop=1), k=10,
                 precision="float64")
     assert sorted(urls[d] for d in td.docids.tolist()) == ["0", "1", "3"]
+
+
+def test_finite_strings_count_fuzz():
+    """Random well-formed graphs: the number of finite strings equals the
+    product over articulation segments of each segment's path count (paths
+    through independent segments compose multiplicatively)."""
+    import random
+
+    from lucene_spark.graphts import GraphTokenStream
+
+    rng = random.Random(9)
+    for _ in range(200):
+        toks = []
+        i = 0
+        for seg in range(rng.randint(1, 4)):
+            if rng.random() < 0.5:
+                toks.append((f"w{i}", 1, 1))
+                i += 1
+            else:  # a wi/fi-style side path
+                toks.append((f"w{i}", 1, 1))
+                toks.append((f"s{i}", 0, 2))
+                toks.append((f"w{i + 1}", 1, 1))
+                i += 2
+        g = GraphTokenStream(toks)
+        paths = list(g.finite_strings())
+        pts = g.articulation_points()
+        total = 1
+        last = 0
+        for j in range(len(pts) + 1):
+            start = last
+            end = pts[j] if j < len(pts) else None
+            last = end
+            total *= sum(1 for _ in g.finite_strings(start, end))
+        assert len(paths) == total
+        # every path is a valid walk: terms all come from the input
+        in_terms = {t for t, _, _ in toks}
+        for p in paths:
+            assert all(t in in_terms for t, _ in p)
