@@ -2558,6 +2558,30 @@ forty four
             [(i, k, b) for i, (k, b) in enumerate(rows)],
             "pos long, key string, bucket long")
 
+    def ft_tiered_merge(spark, sf):
+        # TieredMergePolicy findMerges/doFindMerges/score (index/
+        # TieredMergePolicy.java:321-676): the real selection math over
+        # pinned segment descriptors — the equal-20 one-tier case and the
+        # deletes-budget case (hand-traced; property suite in
+        # tests/test_log_merge.py)
+        from lucene_spark.streaming import select_tiered_merges
+
+        rows = []
+        segs = [{"name": f"s{i:02d}", "size": 1 << 20, "bytes": 1 << 20,
+                 "del_count": 0, "max_doc": 100} for i in range(20)]
+        for mi, m in enumerate(select_tiered_merges(segs)):
+            for ni, n in enumerate(m):
+                rows.append(("equal20", mi, ni, n))
+        segs = [{"name": f"s{i}", "size": 10 << 20, "bytes": 10 << 20,
+                 "del_count": 0, "max_doc": 100} for i in range(4)]
+        segs.append({"name": "sdel", "size": 1 << 20, "bytes": 10 << 20,
+                     "del_count": 900, "max_doc": 1000})
+        for mi, m in enumerate(select_tiered_merges(segs)):
+            for ni, n in enumerate(m):
+                rows.append(("delbudget", mi, ni, n))
+        return spark.createDataFrame(
+            rows, "case string, merge_id long, ord long, seg string")
+
     def ft_graph_bool(spark, sf):
         # QueryBuilder.analyzeGraphBoolean (core/util/QueryBuilder.java:
         # 505-570): the synonym graph table→(window merge | scan) splits at
@@ -5584,7 +5608,7 @@ forty four
         ft_inet_point, ft_indri_and, ft_ngram_phrase, ft_point_in_set,
         ft_sort_rescore, ft_sorted_selector, ft_facet_query, ft_facet_sumvs,
         ft_soft_delete, ft_soft_retention, ft_flatten_graph, ft_graph_paths,
-        ft_fst_completion, ft_regex_suggest, ft_log_merge, ft_graph_bool, ft_graph_phrase, ft_syn_parse,
+        ft_fst_completion, ft_regex_suggest, ft_log_merge, ft_tiered_merge, ft_graph_bool, ft_graph_phrase, ft_syn_parse,
         # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
         # still oracle-checked every run by tests/test_entry_gate.py ----
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -8702,6 +8726,25 @@ sc AS (
 )
 SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
 FROM sc WHERE matched ORDER BY score DESC, doc_id LIMIT 10""",
+        # TieredMergePolicy selection: hand-traced goldens
+        "ft_tiered_merge": """
+SELECT * FROM (VALUES
+  ('equal20', 0, 0, 's00'),
+  ('equal20', 0, 1, 's01'),
+  ('equal20', 0, 2, 's02'),
+  ('equal20', 0, 3, 's03'),
+  ('equal20', 0, 4, 's04'),
+  ('equal20', 0, 5, 's05'),
+  ('equal20', 0, 6, 's06'),
+  ('equal20', 0, 7, 's07'),
+  ('equal20', 0, 8, 's08'),
+  ('equal20', 0, 9, 's09'),
+  ('delbudget', 0, 0, 's0'),
+  ('delbudget', 0, 1, 's1'),
+  ('delbudget', 0, 2, 's2'),
+  ('delbudget', 0, 3, 's3'),
+  ('delbudget', 0, 4, 'sdel')
+) AS t("case", merge_id, ord, seg)""",
         # LogMergePolicy selection: hand-traced goldens over the pinned
         # size lists (tests/test_log_merge.py)
         "ft_log_merge": """

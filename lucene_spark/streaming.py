@@ -725,3 +725,149 @@ def select_forced_deletes_merges(del_counts,
     if first != -1:
         out.append((first, n))
     return out
+
+
+def select_tiered_merges(
+    segments: list[dict],
+    max_merged_segment_bytes: int = 5 * 1024 * 1024 * 1024,
+    floor_segment_bytes: int = 2 * 1024 * 1024,
+    segs_per_tier: float = 10.0,
+    max_merge_at_once: int = 10,
+    deletes_pct_allowed: float = 33.0,
+) -> list[list[str]]:
+    """TieredMergePolicy.findMerges (index/TieredMergePolicy.java:321-437)
+    + doFindMerges NATURAL (:439-632) + score (:636-676) — the REAL
+    selection math, as a pure function over segment descriptors
+    ``{name, size, bytes, del_count, max_doc, merging?}`` where ``size`` is
+    the deletes-pro-rated live size MergePolicy.size() yields and
+    ``bytes`` the raw sizeInBytes (the score's nonDelRatio denominator).
+
+    Faithful walk: size-desc/name-asc sort; in-flight segments leave the
+    pool (their live docs still count toward the deletes budget base);
+    over-half-max segments leave when the index-wide or their own delete
+    percentage is within budget; the allowed-count geometric ladder with
+    the segsPerTier floor; then repeated best-window selection — windows
+    from every start index in size order, over-budget segments skipped
+    inside a window (hitTooLarge), singletons allowed only when they carry
+    deletes, early break once a full-size window can no longer beat the
+    best, score = skew · totAfter^0.05 · nonDelRatio², lowest score wins,
+    at most one too-large merge per pass and none while one runs.
+    Returns the merge lists of segment names in selection order."""
+    sorted_eligible = sorted(
+        segments, key=lambda s: (-int(s["size"]), s["name"]))
+    tot_index_bytes = 0
+    min_segment_bytes = float("inf")
+    total_del_docs = 0
+    total_max_doc = 0
+    merging_bytes = 0
+    pool = []
+    for s in sorted_eligible:
+        sz = int(s["size"])
+        if s.get("merging"):
+            merging_bytes += sz
+            total_max_doc += int(s["max_doc"]) - int(s["del_count"])
+        else:
+            total_del_docs += int(s["del_count"])
+            total_max_doc += int(s["max_doc"])
+            pool.append(s)
+        min_segment_bytes = min(min_segment_bytes, sz)
+        tot_index_bytes += sz
+    if not pool:
+        return []
+    total_del_pct = (100.0 * total_del_docs / total_max_doc
+                     if total_max_doc else 0.0)
+    allowed_del_count = int(deletes_pct_allowed * total_max_doc / 100)
+    kept = []
+    for s in pool:
+        seg_del_pct = (100.0 * int(s["del_count"]) / int(s["max_doc"])
+                       if int(s["max_doc"]) else 0.0)
+        if (int(s["size"]) > max_merged_segment_bytes / 2
+                and (total_del_pct <= deletes_pct_allowed
+                     or seg_del_pct <= deletes_pct_allowed)):
+            tot_index_bytes -= int(s["size"])
+            allowed_del_count -= int(s["del_count"])
+        else:
+            kept.append(s)
+    pool = kept
+    allowed_del_count = max(0, allowed_del_count)
+    merge_factor = int(min(max_merge_at_once, segs_per_tier))
+    level_size = max(min_segment_bytes, floor_segment_bytes)
+    bytes_left = tot_index_bytes
+    allowed_seg_count = 0.0
+    while True:
+        seg_count_level = bytes_left / float(level_size)
+        if seg_count_level < segs_per_tier or level_size == max_merged_segment_bytes:
+            allowed_seg_count += math.ceil(seg_count_level)
+            break
+        allowed_seg_count += segs_per_tier
+        bytes_left -= segs_per_tier * level_size
+        level_size = min(max_merged_segment_bytes, level_size * merge_factor)
+    allowed_seg_count = int(max(allowed_seg_count, segs_per_tier))
+    max_merge_is_running = merging_bytes >= max_merged_segment_bytes
+
+    def floor_size(b):
+        return max(floor_segment_bytes, b)
+
+    sizes = {s["name"]: int(s["size"]) for s in pool}
+    raw = {s["name"]: int(s.get("bytes", s["size"])) for s in pool}
+    dels = {s["name"]: int(s["del_count"]) for s in pool}
+    to_be_merged: set[str] = set()
+    spec: list[list[str]] = []
+    have_one_large = False
+    while True:
+        eligible = [s for s in pool if s["name"] not in to_be_merged]
+        if not eligible:
+            return spec
+        remaining_del = sum(dels[s["name"]] for s in eligible)
+        if (len(eligible) <= allowed_seg_count
+                and remaining_del <= allowed_del_count):
+            return spec
+        best = None
+        best_score = None
+        best_too_large = False
+        for start in range(len(eligible)):
+            tot_after = 0
+            candidate: list[str] = []
+            hit_too_large = False
+            bytes_this = 0
+            idx = start
+            while (idx < len(eligible) and len(candidate) < merge_factor
+                   and bytes_this < max_merged_segment_bytes):
+                nm = eligible[idx]["name"]
+                seg_bytes = sizes[nm]
+                if tot_after + seg_bytes > max_merged_segment_bytes:
+                    hit_too_large = True
+                    if not candidate:
+                        candidate.append(nm)
+                        bytes_this += seg_bytes
+                    idx += 1
+                    continue
+                candidate.append(nm)
+                bytes_this += seg_bytes
+                tot_after += seg_bytes
+                idx += 1
+            if len(candidate) == 1 and dels[candidate[0]] == 0:
+                continue
+            if (best_score is not None and not hit_too_large
+                    and len(candidate) < merge_factor):
+                break
+            tot_before = sum(raw[n] for n in candidate)
+            tot_after_b = sum(sizes[n] for n in candidate)
+            tot_after_floored = sum(floor_size(sizes[n]) for n in candidate)
+            if hit_too_large:
+                skew = 1.0 / merge_factor
+            else:
+                skew = floor_size(sizes[candidate[0]]) / tot_after_floored
+            score = skew * (tot_after_b ** 0.05)
+            score *= (tot_after_b / tot_before) ** 2 if tot_before else 1.0
+            if ((best_score is None or score < best_score)
+                    and (not hit_too_large or not max_merge_is_running)):
+                best = candidate
+                best_score = score
+                best_too_large = hit_too_large
+        if best is None:
+            return spec
+        if not have_one_large or not best_too_large:
+            have_one_large |= best_too_large
+            spec.append(best)
+        to_be_merged.update(best)

@@ -76,3 +76,69 @@ def test_forced_deletes_merges():
         (1, 4), (4, 5), (6, 8), (9, 10)]
     assert select_forced_deletes_merges([0, 0, 0]) == []
     assert select_forced_deletes_merges([5], merge_factor=2) == [(0, 1)]
+
+
+# ------------------------------------------------------- TieredMergePolicy
+
+def seg(name, size, dels=0, max_doc=100, merging=False, raw=None):
+    return {"name": name, "size": size, "bytes": raw or size,
+            "del_count": dels, "max_doc": max_doc, "merging": merging}
+
+
+def test_tiered_equal_segments_one_tier_merge():
+    from lucene_spark.streaming import select_tiered_merges
+
+    segs = [seg(f"s{i:02d}", 1 << 20) for i in range(20)]
+    got = select_tiered_merges(segs)
+    # allowed count = 10 (one full tier at the 2MB floor); one mergeFactor
+    # window of the name-ordered equal segments brings it to 10
+    assert got == [[f"s{i:02d}" for i in range(10)]]
+
+
+def test_tiered_under_allowed_count_no_merge():
+    from lucene_spark.streaming import select_tiered_merges
+
+    segs = [seg(f"s{i}", 1 << 20) for i in range(5)]
+    assert select_tiered_merges(segs) == []
+
+
+def test_tiered_delete_budget_forces_merge():
+    from lucene_spark.streaming import select_tiered_merges
+
+    segs = [seg(f"s{i}", 10 << 20) for i in range(4)]
+    segs.append(seg("sdel", 1 << 20, dels=900, max_doc=1000))
+    got = select_tiered_merges(segs)
+    # 5 <= allowed segments, but 900 deletes exceed the 33% budget -> the
+    # lowest-score window (all five) reclaims them
+    assert got and "sdel" in got[0]
+
+
+def test_tiered_too_big_segments_graced_out():
+    from lucene_spark.streaming import select_tiered_merges
+
+    big = seg("big", 3 * 1024 * 1024 * 1024, dels=0)
+    small = [seg(f"s{i:02d}", 1 << 20) for i in range(20)]
+    got = select_tiered_merges([big] + small)
+    assert all("big" not in m for m in got)
+
+
+def test_tiered_singleton_needs_deletes():
+    from lucene_spark.streaming import select_tiered_merges
+
+    # force the allowed count below the segment count with huge spread:
+    # 11 segments, each ~maxMerged/3 so a window holds only 3
+    sz = (5 * 1024 * 1024 * 1024) // 3
+    segs = [seg(f"s{i:02d}", sz) for i in range(12)]
+    got = select_tiered_merges(segs)
+    for m in got:
+        assert len(m) > 1 or any(s["name"] == m[0] and s["del_count"] > 0
+                                 for s in segs)
+
+
+def test_tiered_merging_segments_leave_pool():
+    from lucene_spark.streaming import select_tiered_merges
+
+    segs = [seg(f"s{i:02d}", 1 << 20, merging=(i < 10)) for i in range(20)]
+    got = select_tiered_merges(segs)
+    for m in got:
+        assert all(not n.startswith("s0") for n in m)
