@@ -254,3 +254,66 @@ def length_goal_passage(boundaries: list[int], content_length: int,
     p_end = max(end, min(bi_following(min(end - 1, center)),
                          content_length))
     return p_start, p_end
+
+
+DEFAULT_BOUNDARY_CHARS = frozenset({".", ",", "!", "?", " ", "\t", "\n"})
+
+
+def simple_boundary_start(text: str, start: int, max_scan: int = 20,
+                          boundary_chars=DEFAULT_BOUNDARY_CHARS) -> int:
+    """SimpleBoundaryScanner.findStartOffset (vectorhighlight/
+    SimpleBoundaryScanner.java:55-70): scan backward up to maxScan chars
+    for a boundary char (returning the offset AFTER it); reaching the
+    very start of the text counts as a boundary; otherwise the original
+    start comes back.  Out-of-range starts return unchanged."""
+    if start > len(text) or start < 1:
+        return start
+    offset, count = start, max_scan
+    while offset > 0 and count > 0:
+        if text[offset - 1] in boundary_chars:
+            return offset
+        offset -= 1
+        count -= 1
+    if offset == 0:
+        return 0
+    return start
+
+
+def simple_boundary_end(text: str, start: int, max_scan: int = 20,
+                        boundary_chars=DEFAULT_BOUNDARY_CHARS) -> int:
+    """SimpleBoundaryScanner.findEndOffset (:73-86): scan forward up to
+    maxScan chars for a boundary char (the boundary itself is the end);
+    not found → the original offset.  Unlike the start scan, running into
+    the END of the text is NOT a boundary (the commented-out <= in the
+    reference)."""
+    if start > len(text) or start < 0:
+        return start
+    offset, count = start, max_scan
+    while offset < len(text) and count > 0:
+        if text[offset] in boundary_chars:
+            return offset
+        offset += 1
+        count -= 1
+    return start
+
+
+def break_iterator_boundary_start(boundaries: list[int], start: int,
+                                  text_len: int) -> int:
+    """BreakIteratorBoundaryScanner.findStartOffset (:38-44): the LAST
+    boundary strictly before ``start`` over a precomputed boundary list
+    (the sentence/word break positions the UnifiedHighlighter iterators
+    already produce)."""
+    if start > text_len or start < 1:
+        return start
+    prev = [b for b in boundaries if b < start]
+    return prev[-1] if prev else 0
+
+
+def break_iterator_boundary_end(boundaries: list[int], start: int,
+                                text_len: int) -> int:
+    """BreakIteratorBoundaryScanner.findEndOffset (:46-52): the first
+    boundary after ``start``."""
+    if start > text_len or start < 0:
+        return start
+    nxt = [b for b in boundaries if b > start]
+    return nxt[0] if nxt else text_len

@@ -73,3 +73,47 @@ def test_alignment_validation_and_whole():
     assert length_goal_passage(whole_boundaries(CONTENT), 19, 10, 12,
                                5, 0.0, False, custom_separator=False) \
         == (0, 19)
+
+
+# ------------------------------------------- FVH boundary scanners
+
+TEXT_FVH = ("Apache Lucene(TM) is a high-performance, full-featured\n"
+            "text search engine library written entirely in Java.")
+
+
+def test_simple_boundary_scanner_reference_vectors():
+    from lucene_spark.highlight import (
+        simple_boundary_end, simple_boundary_start,
+    )
+
+    # TestSimpleBoundaryScanner.java vectors
+    start = len(TEXT_FVH) + 1
+    assert simple_boundary_start(TEXT_FVH, start) == start
+    assert simple_boundary_start(TEXT_FVH, 0) == 0
+    start = TEXT_FVH.index("formance")
+    assert simple_boundary_start(TEXT_FVH, start) == TEXT_FVH.index(
+        "high-performance")
+    start = TEXT_FVH.index("che")
+    assert simple_boundary_start(TEXT_FVH, start) == TEXT_FVH.index("Apache")
+    start = len(TEXT_FVH) + 1
+    assert simple_boundary_end(TEXT_FVH, start) == start
+    assert simple_boundary_end(TEXT_FVH, -1) == -1
+    start = TEXT_FVH.index("full-")
+    assert simple_boundary_end(TEXT_FVH, start) == TEXT_FVH.index("\ntext")
+
+
+def test_break_iterator_boundary_scanner():
+    from lucene_spark.highlight import (
+        break_iterator_boundary_end, break_iterator_boundary_start,
+        sentence_boundaries,
+    )
+
+    text = "One sentence. Two sentence. Three."
+    bounds = sentence_boundaries(text)
+    mid = text.index("Two") + 1
+    assert break_iterator_boundary_start(bounds, mid, len(text)) <= mid
+    assert break_iterator_boundary_end(bounds, mid, len(text)) > mid
+    # out-of-range passthrough
+    assert break_iterator_boundary_start(bounds, 0, len(text)) == 0
+    n = len(text) + 1
+    assert break_iterator_boundary_start(bounds, n, len(text)) == n
