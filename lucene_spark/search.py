@@ -1922,19 +1922,67 @@ def apply_boosts(node: tuple, factor: float = 1.0) -> tuple[tuple | None, dict[s
 
     Returns (node-without-boost-wrappers, {term: boost}); phrase/syn/const
     leaves carry their factor inline for attach_scorers.  A term appearing
-    with two different boosts keeps the last one (engine limitation: one
-    scorer per term per query — documented)."""
+    under TWO different boosts in one query (Lucene: two independent leaf
+    weights) cannot share the per-term scorer map — those occurrences
+    rewrite to single-member ("syn", [t], f) leaves, which score
+    identically to a TermQuery (same df, same tf) but carry their factor
+    per-node.  msm members keep the shared-map behavior (documented: the
+    msm node holds bare terms)."""
     boosts: dict[str, float] = {}
+
+    # pass 1: find terms that appear under more than one effective factor
+    seen: dict[str, set[float]] = {}
+
+    def collect(n, f):
+        kind = n[0]
+        if kind == "boost":
+            collect(n[1], f * n[2])
+        elif kind == "term":
+            seen.setdefault(n[1], set()).add(f)
+        elif kind in ("and", "msm"):
+            for t in n[1]:
+                seen.setdefault(t, set()).add(f)
+        elif kind in ("or", "andn"):
+            for c in n[1]:
+                collect(c, f)
+        elif kind == "dismax":
+            for c in n[1]:
+                collect(c, f)
+        elif kind == "not":
+            collect(n[1], f)
+        elif kind in ("reqoptn", "notn"):
+            collect(n[1], f)
+            for c in n[2]:
+                collect(c, f)
+        elif kind == "reqopt":
+            collect(n[1], f)
+            for t in n[2]:
+                seen.setdefault(t, set()).add(f)
+
+    collect(node, factor)
+    conflicted = {t for t, fs in seen.items() if len(fs) > 1}
 
     def walk(n, f):
         kind = n[0]
         if kind == "boost":
             return walk(n[1], f * n[2])
         if kind == "term":
+            if n[1] in conflicted:
+                return ("syn", [n[1]], f)
             if f != 1.0:
                 boosts[n[1]] = f
             return n
         if kind == "and":
+            if any(t in conflicted for t in n[1]):
+                subs = []
+                for t in n[1]:
+                    if t in conflicted:
+                        subs.append(("syn", [t], f))
+                    else:
+                        if f != 1.0:
+                            boosts[t] = f
+                        subs.append(("term", t))
+                return ("andn", subs)
             if f != 1.0:
                 for t in n[1]:
                     boosts[t] = f
@@ -1970,6 +2018,10 @@ def apply_boosts(node: tuple, factor: float = 1.0) -> tuple[tuple | None, dict[s
         if kind in ("reqoptn", "notn"):
             return (kind, walk(n[1], f), [walk(c, f) for c in n[2]])
         if kind == "reqopt":
+            if any(t in conflicted for t in n[2]):
+                opts = [("syn", [t], f) if t in conflicted else
+                        walk(("term", t), f) for t in n[2]]
+                return ("reqoptn", walk(n[1], f), opts)
             if f != 1.0:
                 for t in n[2]:
                     boosts[t] = f
