@@ -729,20 +729,24 @@ def fst_completion_buckets(entries: DataFrame, buckets: int = 10,
     driver-side cumulative sum over the (bounded) distinct-weight list,
     and a broadcast-joinable weight→bucket map — the corpus-sized frame
     is touched once."""
+    from pyspark.sql.window import Window
+
     total = entries.count()
     if total == 0:
         return entries.select(F.col(key_col).alias("key"),
                               F.lit(0).alias("bucket")).limit(0)
-    per_w = (entries.groupBy(weight_col).count()
-             .orderBy(weight_col).collect())
-    first_line = 0
-    wmap = {}
-    for r in per_w:
-        wmap[r[weight_col]] = int(first_line * buckets // total)
-        first_line += r["count"]
-    mapping = entries.sparkSession.createDataFrame(
-        [(w, b) for w, b in wmap.items()],
-        f"{weight_col} long, bucket long")
+    # distributed first-line ranks: one aggregation per DISTINCT weight,
+    # then a cumulative sum over the (already reduced) weight groups — the
+    # window touches distinct weights only, never the corpus-sized frame
+    grp = entries.groupBy(weight_col).count()
+    cum = Window.orderBy(weight_col).rowsBetween(
+        Window.unboundedPreceding, -1)
+    mapping = (grp.withColumn(
+        "first_line",
+        F.coalesce(F.sum("count").over(cum), F.lit(0)).cast("long"))
+        .withColumn("bucket",
+                    F.expr(f"(first_line * {int(buckets)}) div {int(total)}"))
+        .select(weight_col, "bucket"))
     return (entries.join(F.broadcast(mapping), weight_col)
             .select(F.col(key_col).alias("key"), "bucket"))
 
