@@ -2579,6 +2579,26 @@ forty four
         for mi, m in enumerate(select_tiered_merges(segs)):
             for ni, n in enumerate(m):
                 rows.append(("delbudget", mi, ni, n))
+        # findForcedMerges: 40 equal segments down to 2 — packing from the
+        # smallest, maxMergeAtOnceExplicit-capped (:741-813)
+        from lucene_spark.streaming import select_tiered_forced_merges
+
+        segs = [{"name": f"s{i:02d}", "size": 1 << 20, "bytes": 1 << 20,
+                 "del_count": 0, "max_doc": 100} for i in range(40)]
+        for mi, m in enumerate(select_tiered_forced_merges(segs, 2)):
+            for ni, n in enumerate(m):
+                rows.append(("forced2", mi, ni, n))
+        # findForcedDeletesMerges: only >10%-deleted segments participate
+        from lucene_spark.streaming import (
+            select_tiered_forced_deletes_merges,
+        )
+
+        segs = [{"name": f"s{i}", "size": 10 << 20, "bytes": 10 << 20,
+                 "del_count": 20 if i < 3 else 0, "max_doc": 100}
+                for i in range(6)]
+        for mi, m in enumerate(select_tiered_forced_deletes_merges(segs)):
+            for ni, n in enumerate(m):
+                rows.append(("fdel", mi, ni, n))
         return spark.createDataFrame(
             rows, "case string, merge_id long, ord long, seg string")
 
@@ -8743,7 +8763,50 @@ SELECT * FROM (VALUES
   ('delbudget', 0, 1, 's1'),
   ('delbudget', 0, 2, 's2'),
   ('delbudget', 0, 3, 's3'),
-  ('delbudget', 0, 4, 'sdel')
+  ('delbudget', 0, 4, 'sdel'),
+  ('forced2', 0, 0, 's39'),
+  ('forced2', 0, 1, 's38'),
+  ('forced2', 0, 2, 's37'),
+  ('forced2', 0, 3, 's36'),
+  ('forced2', 0, 4, 's35'),
+  ('forced2', 0, 5, 's34'),
+  ('forced2', 0, 6, 's33'),
+  ('forced2', 0, 7, 's32'),
+  ('forced2', 0, 8, 's31'),
+  ('forced2', 0, 9, 's30'),
+  ('forced2', 0, 10, 's29'),
+  ('forced2', 0, 11, 's28'),
+  ('forced2', 0, 12, 's27'),
+  ('forced2', 0, 13, 's26'),
+  ('forced2', 0, 14, 's25'),
+  ('forced2', 0, 15, 's24'),
+  ('forced2', 0, 16, 's23'),
+  ('forced2', 0, 17, 's22'),
+  ('forced2', 0, 18, 's21'),
+  ('forced2', 0, 19, 's20'),
+  ('forced2', 0, 20, 's19'),
+  ('forced2', 0, 21, 's18'),
+  ('forced2', 0, 22, 's17'),
+  ('forced2', 0, 23, 's16'),
+  ('forced2', 0, 24, 's15'),
+  ('forced2', 0, 25, 's14'),
+  ('forced2', 0, 26, 's13'),
+  ('forced2', 0, 27, 's12'),
+  ('forced2', 0, 28, 's11'),
+  ('forced2', 0, 29, 's10'),
+  ('forced2', 1, 0, 's09'),
+  ('forced2', 1, 1, 's08'),
+  ('forced2', 1, 2, 's07'),
+  ('forced2', 1, 3, 's06'),
+  ('forced2', 1, 4, 's05'),
+  ('forced2', 1, 5, 's04'),
+  ('forced2', 1, 6, 's03'),
+  ('forced2', 1, 7, 's02'),
+  ('forced2', 1, 8, 's01'),
+  ('forced2', 1, 9, 's00'),
+  ('fdel', 0, 0, 's0'),
+  ('fdel', 0, 1, 's1'),
+  ('fdel', 0, 2, 's2')
 ) AS t("case", merge_id, ord, seg)""",
         # LogMergePolicy selection: hand-traced goldens over the pinned
         # size lists (tests/test_log_merge.py)

@@ -804,6 +804,20 @@ def select_tiered_merges(
         level_size = min(max_merged_segment_bytes, level_size * merge_factor)
     allowed_seg_count = int(max(allowed_seg_count, segs_per_tier))
     max_merge_is_running = merging_bytes >= max_merged_segment_bytes
+    return _do_find_tiered_merges(
+        pool, merge_factor, allowed_seg_count, allowed_del_count,
+        max_merged_segment_bytes, floor_segment_bytes,
+        "natural", max_merge_is_running)
+
+
+def _do_find_tiered_merges(pool, merge_factor, allowed_seg_count,
+                           allowed_del_count, max_merged_segment_bytes,
+                           floor_segment_bytes, merge_type,
+                           max_merge_is_running):
+    """TieredMergePolicy.doFindMerges (:439-632) over an eligibility pool
+    (size-desc sorted descriptors).  NATURAL stops once the pool fits the
+    allowed count and delete budget; FORCE_MERGE_DELETES runs the pool dry
+    and may take any number of too-large merges (:606-609 guard)."""
 
     def floor_size(b):
         return max(floor_segment_bytes, b)
@@ -819,7 +833,8 @@ def select_tiered_merges(
         if not eligible:
             return spec
         remaining_del = sum(dels[s["name"]] for s in eligible)
-        if (len(eligible) <= allowed_seg_count
+        if (merge_type == "natural"
+                and len(eligible) <= allowed_seg_count
                 and remaining_del <= allowed_del_count):
             return spec
         best = None
@@ -867,7 +882,146 @@ def select_tiered_merges(
                 best_too_large = hit_too_large
         if best is None:
             return spec
-        if not have_one_large or not best_too_large:
+        if (not have_one_large or not best_too_large
+                or merge_type == "force_merge_deletes"):
             have_one_large |= best_too_large
             spec.append(best)
         to_be_merged.update(best)
+
+
+def select_tiered_forced_merges(
+    segments: list[dict],
+    max_segment_count: int,
+    originals: set[str] | None = None,
+    max_merged_segment_bytes: int = 5 * 1024 * 1024 * 1024,
+    max_merge_at_once_explicit: int = 30,
+) -> list[list[str]]:
+    """TieredMergePolicy.findForcedMerges (index/TieredMergePolicy.java:
+    682-820): forceMerge down to ``max_segment_count`` —
+
+      - only segments in ``segmentsToMerge`` participate (``originals``;
+        default: all); an in-flight original flags forceMergeRunning and
+        leaves the pool;
+      - the per-merge byte cap relaxes: unlimited for maxSegmentCount 1,
+        else 1.25 · max(totalBytes/maxCount, maxMergedSegmentBytes);
+      - segments carrying deletes ALWAYS stay; delete-free segments at or
+        above the cap leave; with no deleted docs anywhere, an
+        already-satisfied count returns nothing;
+      - a final merge (few enough segments left) defers while another
+        force-merge runs;
+      - the small case (fewer than maxMergeAtOnceExplicit segments, down
+        to one, all fitting) merges everything at once; otherwise packing
+        walks from the SMALLEST segment, filling up to
+        maxMergeAtOnceExplicit per merge under the cap (raw bytes), and a
+        partial candidate only ships while no other force-merge runs
+        (:798-808 — incl. the reference's count-vs-bytes 0.7 quirk,
+        reproduced verbatim).
+    """
+    pool = sorted(segments, key=lambda s: (-int(s["size"]), s["name"]))
+    originals = (set(originals) if originals is not None
+                 else {s["name"] for s in pool})
+    total_merge_bytes = 0
+    force_merge_running = False
+    kept = []
+    for s in pool:
+        if s["name"] not in originals:
+            continue
+        if s.get("merging"):
+            force_merge_running = True
+        else:
+            total_merge_bytes += int(s["size"])
+            kept.append(s)
+    pool = kept
+    max_merge_bytes = max_merged_segment_bytes
+    if max_segment_count == 1:
+        max_merge_bytes = float("inf")
+    else:
+        max_merge_bytes = max(total_merge_bytes / max_segment_count,
+                              max_merged_segment_bytes)
+        max_merge_bytes = max_merge_bytes * 1.25
+    found_deletes = False
+    kept = []
+    for s in pool:
+        if int(s["del_count"]) != 0:
+            found_deletes = True
+            kept.append(s)
+            continue
+        if int(s["size"]) >= max_merge_bytes:
+            continue
+        kept.append(s)
+    pool = kept
+    if not pool:
+        return []
+    if not found_deletes:
+        if max_segment_count > 1 and len(pool) <= max_segment_count:
+            return []
+        if max_segment_count == 1 and len(pool) == 1:
+            return []
+    starting = len(pool)
+    final_merge = starting < max_segment_count + max_merge_at_once_explicit - 1
+    if final_merge and force_merge_running:
+        return []
+    if (starting < max_merge_at_once_explicit and max_segment_count == 1
+            and total_merge_bytes < max_merge_bytes):
+        return [[s["name"] for s in pool]]
+    raw = {s["name"]: int(s.get("bytes", s["size"])) for s in pool}
+    spec: list[list[str]] = []
+    index = starting - 1
+    resulting = starting
+    while True:
+        candidate: list[str] = []
+        cand_bytes = 0
+        merges_allowed = max_merge_at_once_explicit
+        while (index >= 0 and resulting > max_segment_count
+               and merges_allowed > 0):
+            nm = pool[index]["name"]
+            initial = len(candidate)
+            seg_bytes = raw[nm]
+            if cand_bytes + seg_bytes <= max_merge_bytes or initial < 2:
+                candidate.append(nm)
+                index -= 1
+                cand_bytes += seg_bytes
+                merges_allowed -= 1
+                if initial > 0:
+                    resulting -= 1
+            else:
+                break
+        n = len(candidate)
+        if n > 1 and (not force_merge_running
+                      or n == max_merge_at_once_explicit
+                      or n > 0.7 * max_merge_bytes):
+            spec.append(candidate)
+        else:
+            return spec
+
+
+def select_tiered_forced_deletes_merges(
+    segments: list[dict],
+    force_merge_deletes_pct_allowed: float = 10.0,
+    max_merged_segment_bytes: int = 5 * 1024 * 1024 * 1024,
+    floor_segment_bytes: int = 2 * 1024 * 1024,
+    max_merge_at_once_explicit: int = 30,
+) -> list[list[str]]:
+    """TieredMergePolicy.findForcedDeletesMerges (:823-874): only segments
+    whose delete percentage exceeds forceMergeDeletesPctAllowed (and are
+    not already merging) participate; the shared selection core runs in
+    FORCE_MERGE_DELETES mode — no allowed-count/budget stop (the pool runs
+    dry), mergeFactor = maxMergeAtOnceExplicit, any number of too-large
+    merges allowed."""
+    have_work = any(
+        not s.get("merging")
+        and 100.0 * int(s["del_count"]) / int(s["max_doc"])
+        > force_merge_deletes_pct_allowed
+        for s in segments if int(s["max_doc"]))
+    if not have_work:
+        return []
+    pool = sorted(segments, key=lambda s: (-int(s["size"]), s["name"]))
+    pool = [s for s in pool
+            if not s.get("merging")
+            and int(s["max_doc"])
+            and (100.0 * int(s["del_count"]) / int(s["max_doc"])
+                 > force_merge_deletes_pct_allowed)]
+    return _do_find_tiered_merges(
+        pool, max_merge_at_once_explicit, 2**31 - 1, 0,
+        max_merged_segment_bytes, floor_segment_bytes,
+        "force_merge_deletes", False)

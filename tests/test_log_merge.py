@@ -142,3 +142,59 @@ def test_tiered_merging_segments_leave_pool():
     got = select_tiered_merges(segs)
     for m in got:
         assert all(not n.startswith("s0") for n in m)
+
+
+def test_tiered_forced_merge_to_one_small_case():
+    from lucene_spark.streaming import select_tiered_forced_merges
+
+    segs = [seg(f"s{i:02d}", 1 << 20) for i in range(5)]
+    # fewer than maxMergeAtOnceExplicit, down to 1, all fit -> one merge
+    assert select_tiered_forced_merges(segs, 1) == [
+        [f"s{i:02d}" for i in range(5)]]
+
+
+def test_tiered_forced_merge_count_satisfied_no_deletes():
+    from lucene_spark.streaming import select_tiered_forced_merges
+
+    segs = [seg(f"s{i}", 1 << 20) for i in range(3)]
+    assert select_tiered_forced_merges(segs, 5) == []
+    # but deleted docs force work even at a satisfied count... only when
+    # the packing loop still has something to do (resulting > maxCount);
+    # here 3 <= 5 so the packing loop ships nothing
+    segs[0]["del_count"] = 50
+    assert select_tiered_forced_merges(segs, 5) == []
+
+
+def test_tiered_forced_merge_packs_from_smallest():
+    from lucene_spark.streaming import select_tiered_forced_merges
+
+    # 40 equal 1MB segments -> down to 2: packing from the smallest fills
+    # maxMergeAtOnceExplicit (30) first, then the remainder
+    segs = [seg(f"s{i:02d}", 1 << 20) for i in range(40)]
+    got = select_tiered_forced_merges(segs, 2)
+    assert len(got[0]) == 30
+    # first candidate consumes the smallest-sorted tail: s39..s10 reversed
+    assert got[0][0] == "s39" and got[0][-1] == "s10"
+    # second merge brings 40-29=11 -> ... down to 2
+    assert sum(len(m) - 1 for m in got) == 40 - 2
+
+
+def test_tiered_forced_merge_in_flight_defers_final():
+    from lucene_spark.streaming import select_tiered_forced_merges
+
+    segs = [seg(f"s{i}", 1 << 20, merging=(i == 0)) for i in range(5)]
+    # final merge (few segments) + another force-merge running -> defer
+    assert select_tiered_forced_merges(segs, 1) == []
+
+
+def test_tiered_forced_deletes_merges():
+    from lucene_spark.streaming import select_tiered_forced_deletes_merges
+
+    segs = [seg(f"s{i}", 10 << 20, dels=(20 if i < 3 else 0), max_doc=100)
+            for i in range(6)]
+    got = select_tiered_forced_deletes_merges(segs)
+    # only the >10%-deleted segments participate, merged in one pass
+    assert got == [["s0", "s1", "s2"]]
+    # below the pct threshold -> no work
+    segs = [seg("a", 1 << 20, dels=5, max_doc=100)]
+    assert select_tiered_forced_deletes_merges(segs) == []
