@@ -161,6 +161,7 @@ def monitor_match_queries(
     text_col: str = "text",
     id_col: str = "doc_id",
     stopwords=ENGLISH_STOP_WORDS,
+    passes: int = 1,
 ) -> DataFrame:
     """Monitor.match with arbitrary classic-parser queries (phrases,
     wildcards, boolean trees): the reference pipeline re-expressed —
@@ -170,6 +171,11 @@ def monitor_match_queries(
     single-document MemoryIndex (CandidateMatcher.matchQuery), exactly
     like the reference's per-document evaluation.  ``queries``: (qid,
     query_string) pairs.  Returns (qid, doc_id, score) for real matches.
+
+    ``passes`` > 1 selects the MultipassTermFilteredPresearcher analog:
+    per query, ``passes`` independent cover sets (conjunctions advanced to
+    a different child per pass) and a candidate must hit EVERY pass — same
+    final matches, fewer candidate verifications for conjunctive queries.
 
     Scale: the stored-query table broadcasts; only candidate pairs pay
     the per-doc verification, and those run data-parallel in one Arrow
@@ -183,12 +189,14 @@ def monitor_match_queries(
         if node is None:
             continue  # analyzes to nothing: matches nothing
         parsed[qid] = qstring
-        for t in presearcher_terms(node):
-            pre_rows.append((qid, t))
+        for pi, pset in enumerate(presearcher_pass_terms(node, passes)):
+            for t in pset:
+                pre_rows.append((qid, pi, t))
     if not pre_rows:
         return spark.createDataFrame(
             [], f"qid string, {id_col} long, score double")
-    pre_df = spark.createDataFrame(pre_rows, "qid string, term string")
+    pre_df = spark.createDataFrame(pre_rows,
+                                   "qid string, pass_id long, term string")
 
     from .index import tokenize_docs
 
@@ -198,13 +206,27 @@ def monitor_match_queries(
     doc_terms = (toks.select(F.col("docid").alias(id_col),
                              F.explode("tokens").alias("term"))
                  .distinct())
-    anytoken = pre_df.filter(F.col("term") == ANYTOKEN).select("qid")
+    # a pass containing ANYTOKEN imposes no constraint; per query, the
+    # number of CONSTRAINED passes a candidate must hit
+    any_passes = (pre_df.filter(F.col("term") == ANYTOKEN)
+                  .select("qid", "pass_id").distinct()
+                  .groupBy("qid").agg(F.count("*").alias("n_any")))
+    needed = (pre_df.select("qid").distinct()
+              .join(any_passes, "qid", "left")
+              .select("qid", (F.lit(int(passes))
+                              - F.coalesce(F.col("n_any"), F.lit(0)))
+                      .alias("needed")))
     termed = (doc_terms.join(F.broadcast(
         pre_df.filter(F.col("term") != ANYTOKEN)), "term")
-        .select(id_col, "qid"))
+        .select(id_col, "qid", "pass_id").distinct()
+        .groupBy(id_col, "qid").agg(F.countDistinct("pass_id").alias("hit")))
+    termed = (termed.join(F.broadcast(needed), "qid")
+              .filter(F.col("hit") >= F.col("needed"))
+              .select(id_col, "qid"))
+    all_needed_zero = needed.filter(F.col("needed") <= 0).select("qid")
     all_docs = docs.select(id_col)
     cands = termed.union(
-        all_docs.crossJoin(F.broadcast(anytoken)).select(id_col, "qid")
+        all_docs.crossJoin(F.broadcast(all_needed_zero)).select(id_col, "qid")
     ).distinct()
     with_text = cands.join(docs.select(id_col, text_col), id_col)
 
@@ -230,3 +252,62 @@ def monitor_match_queries(
             yield pd.DataFrame(out)
 
     return with_text.mapInPandas(verify, schema)
+
+
+def presearcher_pass_terms(node, passes: int) -> list[set[str]]:
+    """MultipassTermFilteredPresearcher analog (monitor/
+    MultipassTermFilteredPresearcher.java:36-95): ``passes`` independent
+    cover sets — pass i re-collects the query tree with every conjunction
+    advanced to its i-th best child (QueryTree.advancePhase; cycling once
+    the children run out, like advancePhase going quiet), so a candidate
+    document must hit a term from EVERY pass (the MUST-of-TermInSet
+    document query the reference builds, :46-58).  Each pass set remains a
+    full cover on its own — any conjunction child is — so the intersection
+    prefilter is correctness-neutral and strictly tighter for conjunctive
+    queries."""
+
+    def ranked(subsets):
+        valid = [t for t in subsets if ANYTOKEN not in t]
+        valid.sort(key=lambda t: (len(t), -max(len(x) for x in t)))
+        return valid
+
+    def nth(n, i):
+        kind = n[0]
+        if kind == "boost":
+            return nth(n[1], i)
+        if kind in ("or", "and"):
+            subs = [({m} if isinstance(m, str) else nth(m, i))
+                    for m in n[1]]
+            if not subs:
+                return {ANYTOKEN}
+            if kind == "or":
+                out = set()
+                for t in subs:
+                    out |= t
+                return out
+            valid = ranked(subs)
+            return valid[i % len(valid)] if valid else {ANYTOKEN}
+        if kind in ("orn", "dismax"):
+            out = set()
+            for sub in n[1]:
+                out |= nth(sub, i)
+            return out
+        if kind == "andn":
+            subs = [nth(sub, i) for sub in n[1]]
+            valid = ranked(subs)
+            return valid[i % len(valid)] if valid else {ANYTOKEN}
+        if kind in ("phrase", "mphrase"):
+            terms = [t for m in n[1] for t in
+                     (m if isinstance(m, (list, tuple)) else [m])
+                     if isinstance(t, str)]
+            if not terms:
+                return {ANYTOKEN}
+            terms = sorted(set(terms), key=lambda t: (-len(t), t))
+            return {terms[i % len(terms)]}
+        if kind == "reqoptn":
+            return nth(n[1], i)
+        if kind == "not":
+            return nth(n[1], i)
+        return presearcher_terms(n)
+
+    return [nth(node, i) for i in range(int(passes))]

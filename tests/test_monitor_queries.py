@@ -50,3 +50,38 @@ def test_monitor_match_queries(spark):
                     ("q_wild", 2)]
     # scores are real MemoryIndex scores, all positive
     assert all(r["score"] > 0 for r in out.collect())
+
+
+def test_multipass_presearcher_pass_sets():
+    from lucene_spark.monitor import presearcher_pass_terms, presearcher_terms
+    from lucene_spark.search import parse_query, rewrite
+
+    node = rewrite(parse_query("alpha AND beta AND gamma"), {"the"})
+    p = presearcher_pass_terms(node, 2)
+    assert len(p) == 2 and p[0] != p[1]
+    assert p[0] == presearcher_terms(node)  # pass 0 == single-pass set
+    # cycling beyond the conjunction's arity repeats (advancePhase quiet)
+    p3 = presearcher_pass_terms(rewrite(parse_query("alpha AND beta"),
+                                        set()), 3)
+    assert p3[0] == p3[2]
+    # disjunctions are invariant across passes
+    pd = presearcher_pass_terms(rewrite(parse_query("alpha beta"), set()), 2)
+    assert pd[0] == pd[1] == {"alpha", "beta"}
+
+
+def test_multipass_matches_equal_single_pass(spark):
+    from lucene_spark.monitor import monitor_match_queries
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma here"), (1, "alpha only text"),
+         (2, "beta gamma pair"), (3, "alpha beta both"),
+         (4, "nothing relevant")],
+        "doc_id long, text string")
+    queries = [("q1", "alpha AND beta"), ("q2", "gamma"),
+               ("q3", '"alpha beta"'), ("q4", "al*")]
+    one = {(r["qid"], r["doc_id"]) for r in monitor_match_queries(
+        spark, docs, queries, passes=1).collect()}
+    two = {(r["qid"], r["doc_id"]) for r in monitor_match_queries(
+        spark, docs, queries, passes=2).collect()}
+    assert one == two  # multipass narrows candidates, never matches
+    assert ("q1", 0) in one and ("q1", 3) in one and ("q1", 1) not in one
