@@ -311,3 +311,64 @@ def presearcher_pass_terms(node, passes: int) -> list[set[str]]:
         return presearcher_terms(n)
 
     return [nth(node, i) for i in range(int(passes))]
+
+
+def decompose_query(node) -> list[tuple]:
+    """QueryDecomposer (monitor/QueryDecomposer.java:28-78): split a stored
+    query into independently-indexable disjuncts so each gets its own
+    presearcher entry —
+
+      - pure-SHOULD booleans and DisMax: union of decomposed children;
+      - minimumShouldMatch > 1: atomic;
+      - more than one MUST clause, or MUST mixed with SHOULDs: atomic;
+      - a lone MUST clause decomposes in place;
+      - MUST_NOT exclusions re-attach to every decomposed disjunct;
+      - boost != 1 re-wraps every disjunct.
+
+    Returns first-seen-ordered unique nodes (the reference returns a
+    Set)."""
+
+    def dedup(items):
+        seen = []
+        for x in items:
+            if x not in seen:
+                seen.append(x)
+        return seen
+
+    kind = node[0]
+    if kind == "or":
+        out = []
+        for sub in node[1]:
+            out.extend(decompose_query(
+                ("term", sub) if isinstance(sub, str) else sub))
+        return dedup(out)
+    if kind == "dismax":
+        out = []
+        for sub in node[1]:
+            out.extend(decompose_query(sub))
+        return dedup(out)
+    if kind == "boost":
+        if node[2] == 1.0:
+            return decompose_query(node[1])
+        return dedup([("boost", sub, node[2])
+                      for sub in decompose_query(node[1])])
+    if kind == "msm":
+        if node[2] > 1:
+            return [node]
+        return dedup([("term", t) for t in node[1]])
+    if kind in ("and", "andn"):
+        members = node[1]
+        if len(members) > 1:
+            return [node]
+        if len(members) == 1:
+            m = members[0]
+            return decompose_query(
+                ("term", m) if isinstance(m, str) else m)
+        return [node]
+    if kind in ("reqopt", "reqoptn"):
+        # a MUST clause alongside SHOULDs is atomic (:40-41)
+        return [node]
+    if kind in ("not", "notn"):
+        subs = decompose_query(node[1])
+        return dedup([(kind, sub, node[2]) for sub in subs])
+    return [node]

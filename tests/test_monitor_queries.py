@@ -85,3 +85,34 @@ def test_multipass_matches_equal_single_pass(spark):
         spark, docs, queries, passes=2).collect()}
     assert one == two  # multipass narrows candidates, never matches
     assert ("q1", 0) in one and ("q1", 3) in one and ("q1", 1) not in one
+
+
+def test_query_decomposer():
+    from lucene_spark.monitor import decompose_query
+    from lucene_spark.search import parse_query, rewrite
+
+    def q(s):
+        return rewrite(parse_query(s), set())
+
+    # pure disjunction splits; duplicates collapse (the reference's Set)
+    assert decompose_query(q("alpha beta alpha")) == [
+        ("term", "alpha"), ("term", "beta")]
+    # conjunctions are atomic
+    assert decompose_query(q("alpha AND beta")) == [("and",
+                                                     ["alpha", "beta"])]
+    # MUST mixed with SHOULD is atomic
+    node = q("+alpha beta")
+    assert decompose_query(node) == [node]
+    # exclusions re-attach to every disjunct
+    node = q("alpha beta -gamma")
+    got = decompose_query(node)
+    assert got == [("not", ("term", "alpha"), ["gamma"]),
+                   ("not", ("term", "beta"), ["gamma"])]
+    # boost re-wraps
+    assert decompose_query(("boost", ("or", [("term", "a"),
+                                             ("term", "b")]), 2.0)) == [
+        ("boost", ("term", "a"), 2.0), ("boost", ("term", "b"), 2.0)]
+    # nested disjunctions flatten
+    assert decompose_query(("or", [("or", [("term", "a"), ("term", "b")]),
+                                   ("term", "c")])) == [
+        ("term", "a"), ("term", "b"), ("term", "c")]
