@@ -997,6 +997,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             values=_vs_values(spark, sf), k=10)
         return _vs_rows(spark, td)
 
+    def ft_join_docfreq(spark, sf):
+        # JoinDocFreqValueSource (queries/function/valuesource/
+        # JoinDocFreqValueSource.java:40-47): per doc, the docFreq of the
+        # doc's OWN first text token looked up in the term dictionary —
+        # FunctionQuery top-10 (score = df, docid tiebreak)
+        from lucene_spark import valuesource as vs
+
+        idx = _ft_index(spark, sf)
+        values = _docs(spark, sf).select(
+            F.col("doc_id").alias("docid"),
+            F.split(F.col("text"), " ").getItem(0).alias("w0"))
+        td = vs.function_query(idx, vs.join_docfreq("w0"), values=values,
+                               k=10)
+        return _vs_rows(spark, td)
+
     def ft_function_range(spark, sf):
         # FunctionRangeQuery (FunctionRangeQuery.java:32-64): docs whose
         # value is in [200, 400) — "The score is the float value" (:32)
@@ -5628,7 +5643,7 @@ forty four
         ft_inet_point, ft_indri_and, ft_ngram_phrase, ft_point_in_set,
         ft_sort_rescore, ft_sorted_selector, ft_facet_query, ft_facet_sumvs,
         ft_soft_delete, ft_soft_retention, ft_flatten_graph, ft_graph_paths,
-        ft_fst_completion, ft_regex_suggest, ft_log_merge, ft_tiered_merge, ft_graph_bool, ft_graph_phrase, ft_syn_parse,
+        ft_fst_completion, ft_regex_suggest, ft_log_merge, ft_tiered_merge, ft_join_docfreq, ft_graph_bool, ft_graph_phrase, ft_syn_parse,
         # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
         # still oracle-checked every run by tests/test_entry_gate.py ----
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -7282,6 +7297,14 @@ qo AS (SELECT CAST(COALESCE(sum(q.cnt * f.w[v.i]), 0) AS BIGINT) AS output
 SELECT (qo.output >= bb.b) AS assigned, qo.output AS output,
        CAST(floor((1 - exp(-abs(bb.b - qo.output) / bb.b)) * 10000) AS BIGINT) AS score_q
 FROM qo CROSS JOIN biasv bb""",
+        "ft_join_docfreq": _FT_PRELUDE + """,
+w0 AS (SELECT doc_id, string_split(text, ' ')[1] AS t FROM documents),
+sc AS (
+  SELECT w0.doc_id, CAST(coalesce(df.df, 0) AS DOUBLE) AS score
+  FROM w0 LEFT JOIN df ON df.term = w0.t
+)
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_q
+FROM sc ORDER BY score DESC, doc_id LIMIT 10""",
         "ft_function_query": """
 SELECT doc_id,
        CAST(floor((1000.0 / (1.0 * CAST(n_chars AS DOUBLE) + 10.0)) * 10000) AS BIGINT) AS score_q

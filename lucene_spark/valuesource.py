@@ -60,7 +60,7 @@ from .smallfloat import byte4_to_int
 __all__ = [
     "const", "field", "linear", "recip", "rangemap", "scale", "vs_sum",
     "vs_product", "vs_max", "vs_min", "vs_div", "vs_pow", "vs_if",
-    "query_vs", "docfreq", "idf", "tf", "termfreq", "totaltermfreq",
+    "query_vs", "docfreq", "join_docfreq", "idf", "tf", "termfreq", "totaltermfreq",
     "sumtotaltermfreq", "numdocs", "maxdoc", "norm", "vs_cmp", "vs_and",
     "vs_or", "vs_not", "vs_def", "function_query", "function_range_query",
     "function_match_query", "bind",
@@ -94,6 +94,21 @@ class _Field(ValueSource):
     def sql(self, ctx):
         ctx.need_value_col(self.name)
         return f"CAST(`{self.name}` AS DOUBLE)"
+
+
+class _JoinDocFreq(ValueSource):
+    """JoinDocFreqValueSource (queries/function/valuesource/
+    JoinDocFreqValueSource.java:40-47 — "the docFreq of a term fetched
+    from a doc's own field value", the cross-field join): per doc, look
+    the doc's ``name`` value up in the term dictionary; missing terms →
+    0 (TermsEnum miss)."""
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def sql(self, ctx):
+        col = ctx.join_field_df(self.name)
+        return f"CAST(COALESCE(`{col}`, 0) AS DOUBLE)"
 
 
 class _Linear(ValueSource):
@@ -284,6 +299,11 @@ def const(v):
     return _Const(v)
 
 
+def join_docfreq(name):
+    """JoinDocFreqValueSource factory."""
+    return _JoinDocFreq(name)
+
+
 def field(name):
     return _Field(name)
 
@@ -421,6 +441,21 @@ class _Ctx:
         col = f"_vs_q{self._n}"
         sd = score_docs(self.index, query, precision=self.precision)
         self.joins.append((sd.withColumnRenamed("score", col), col))
+        return col
+
+    def join_field_df(self, name: str) -> str:
+        """JoinDocFreqValueSource channel: the doc's OWN value of column
+        ``name`` looked up in the term dictionary for its docFreq — one
+        docid-keyed join through (value, df), no per-row lookups."""
+        if self.values is None or name not in self.values.columns:
+            raise KeyError(f"value source field '{name}' not in values frame")
+        self._n += 1
+        col = f"_vs_jdf{self._n}"
+        td = self.index.termdict.select(
+            F.col("term").alias(name), F.col("df").alias(col))
+        jf = (self.values.select("docid", name)
+              .join(td, name).select("docid", col))
+        self.joins.append((jf, col))
         return col
 
     def join_tf(self, term: str) -> str:
