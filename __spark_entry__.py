@@ -2642,6 +2642,26 @@ forty four
             ("merge", 1, 1)])
         return _topk_df(spark, sf, node, 10)
 
+    def ft_tst_lookup(spark, sf):
+        # TSTLookup (suggest/tst/TSTLookup.java + TSTAutocomplete.java):
+        # balanced UTF-16-ordered ternary tree; default lookup returns the
+        # TRAVERSAL-ordered completions (hi child pops first — a tree-
+        # shape order, not sorted), onlyMorePopular the weight-desc heap
+        # cut; pinned entry list, oracle = the hand-traced vectors
+        # (tests/test_tst.py)
+        from lucene_spark.tst import TSTLookup
+
+        t = TSTLookup([("scan", 9), ("scale", 4), ("schema", 6),
+                       ("scatter", 2), ("scope", 7), ("sort", 5),
+                       ("set", 1)])
+        rows = [("trav", i, k, v)
+                for i, (k, v) in enumerate(t.lookup("sc", 10))]
+        rows += [("pop", i, k, v)
+                 for i, (k, v) in enumerate(
+                     t.lookup("sc", 4, only_more_popular=True))]
+        return spark.createDataFrame(
+            rows, "mode string, pos long, key string, weight long")
+
     def ft_log_merge(spark, sf):
         # LogMergePolicy (index/LogMergePolicy.java findMerges :464-580 +
         # findForcedMergesMaxNumSegments :243-299): log-levels merge
@@ -5643,7 +5663,7 @@ forty four
         ft_inet_point, ft_indri_and, ft_ngram_phrase, ft_point_in_set,
         ft_sort_rescore, ft_sorted_selector, ft_facet_query, ft_facet_sumvs,
         ft_soft_delete, ft_soft_retention, ft_flatten_graph, ft_graph_paths,
-        ft_fst_completion, ft_regex_suggest, ft_log_merge, ft_tiered_merge, ft_join_docfreq, ft_graph_bool, ft_graph_phrase, ft_syn_parse,
+        ft_fst_completion, ft_regex_suggest, ft_log_merge, ft_tiered_merge, ft_join_docfreq, ft_tst_lookup, ft_graph_bool, ft_graph_phrase, ft_syn_parse,
         # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
         # still oracle-checked every run by tests/test_entry_gate.py ----
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -8831,6 +8851,19 @@ SELECT * FROM (VALUES
   ('fdel', 0, 1, 's1'),
   ('fdel', 0, 2, 's2')
 ) AS t("case", merge_id, ord, seg)""",
+        # TSTLookup: hand-traced traversal + popular vectors
+        "ft_tst_lookup": """
+SELECT * FROM (VALUES
+  ('trav', 0, 'scope', 7),
+  ('trav', 1, 'scan', 9),
+  ('trav', 2, 'scatter', 2),
+  ('trav', 3, 'scale', 4),
+  ('trav', 4, 'schema', 6),
+  ('pop', 0, 'scan', 9),
+  ('pop', 1, 'scope', 7),
+  ('pop', 2, 'schema', 6),
+  ('pop', 3, 'scale', 4)
+) AS t(mode, pos, key, weight)""",
         # LogMergePolicy selection: hand-traced goldens over the pinned
         # size lists (tests/test_log_merge.py)
         "ft_log_merge": """
