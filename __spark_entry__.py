@@ -2662,6 +2662,26 @@ forty four
         return spark.createDataFrame(
             rows, "mode string, pos long, key string, weight long")
 
+    def ft_jaspell_lookup(spark, sf):
+        # JaspellLookup (suggest/jaspell): case-folded insertion-order
+        # ternary trie — sorted (case-insensitive in-order) completions
+        # with keys reconstructed from FIRST-SEEN splitchar casings
+        # ('SCHEMA' comes back 'ScHEMA'), and the onlyMorePopular heap
+        # that only ever sees the first 2*num sorted completions
+        # ('scope'/7 misses the num=2 window).  Oracle = hand-traced
+        # vectors (tests/test_tst.py)
+        from lucene_spark.tst import JaspellLookup
+
+        j = JaspellLookup([("Scan", 9), ("scale", 4), ("SCHEMA", 6),
+                           ("scatter", 2), ("scope", 7), ("sort", 5)])
+        rows = [("sorted", i, k, v)
+                for i, (k, v) in enumerate(j.lookup("sc", 10))]
+        rows += [("pop", i, k, v)
+                 for i, (k, v) in enumerate(
+                     j.lookup("sc", 2, only_more_popular=True))]
+        return spark.createDataFrame(
+            rows, "mode string, pos long, key string, weight long")
+
     def ft_log_merge(spark, sf):
         # LogMergePolicy (index/LogMergePolicy.java findMerges :464-580 +
         # findForcedMergesMaxNumSegments :243-299): log-levels merge
@@ -5663,7 +5683,7 @@ forty four
         ft_inet_point, ft_indri_and, ft_ngram_phrase, ft_point_in_set,
         ft_sort_rescore, ft_sorted_selector, ft_facet_query, ft_facet_sumvs,
         ft_soft_delete, ft_soft_retention, ft_flatten_graph, ft_graph_paths,
-        ft_fst_completion, ft_regex_suggest, ft_log_merge, ft_tiered_merge, ft_join_docfreq, ft_tst_lookup, ft_graph_bool, ft_graph_phrase, ft_syn_parse,
+        ft_fst_completion, ft_regex_suggest, ft_log_merge, ft_tiered_merge, ft_join_docfreq, ft_tst_lookup, ft_jaspell_lookup, ft_graph_bool, ft_graph_phrase, ft_syn_parse,
         # ---- TAIL: driver-verified in r1/r2/r3 and unchanged since; all
         # still oracle-checked every run by tests/test_entry_gate.py ----
         ft_dv_stats, ft_phrase_sloppy, ft_cached_filter, ft_fuzzy_like_this,
@@ -8851,6 +8871,17 @@ SELECT * FROM (VALUES
   ('fdel', 0, 1, 's1'),
   ('fdel', 0, 2, 's2')
 ) AS t("case", merge_id, ord, seg)""",
+        # JaspellLookup: hand-traced sorted/case-canonicalized vectors
+        "ft_jaspell_lookup": """
+SELECT * FROM (VALUES
+  ('sorted', 0, 'Scale', 4),
+  ('sorted', 1, 'Scan', 9),
+  ('sorted', 2, 'Scatter', 2),
+  ('sorted', 3, 'ScHEMA', 6),
+  ('sorted', 4, 'Scope', 7),
+  ('pop', 0, 'Scan', 9),
+  ('pop', 1, 'ScHEMA', 6)
+) AS t(mode, pos, key, weight)""",
         # TSTLookup: hand-traced traversal + popular vectors
         "ft_tst_lookup": """
 SELECT * FROM (VALUES

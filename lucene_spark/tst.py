@@ -199,3 +199,126 @@ class _LookupQueue:
         for i in range(n - 1, -1, -1):
             out[i] = self.pop()
         return out
+
+
+class _JNode:
+    __slots__ = ("splitchar", "lo", "eq", "hi", "parent", "data")
+
+    def __init__(self, splitchar, parent):
+        self.splitchar = splitchar
+        self.lo = self.eq = self.hi = None
+        self.parent = parent
+        self.data = None
+
+
+def _jcmp(a: str, b: str) -> int:
+    """JaspellTernarySearchTrie.compareCharsAlphabetically (:110-112):
+    CASE-INSENSITIVE char comparison — 'Apple' and 'apple' share paths, so
+    keys canonicalize to the FIRST-SEEN casing along shared prefixes."""
+    return ord(a.lower()) - ord(b.lower())
+
+
+class JaspellLookup:
+    """JaspellLookup + JaspellTernarySearchTrie (suggest/jaspell):
+    insertion-order unbalanced ternary trie with case-folded ordering;
+    matchPrefix returns keys in case-insensitive SORTED order (in-order
+    lo→self→eq→hi with the cutoff checked between the lo recursion and
+    the self-visit), keys reconstructed from stored splitchars
+    (first-seen casing); onlyMorePopular heaps the first 2·num sorted
+    completions by weight (JaspellLookup.java:lookup — the popular cut
+    never sees completions beyond that window)."""
+
+    def __init__(self, entries):
+        self.root = None
+        self.count = 0
+        for k, v in entries:
+            if not k:
+                continue  # build() skips empty keys
+            self._get_or_create(k).data = int(v)
+            self.count += 1
+
+    def _get_or_create(self, key):
+        if self.root is None:
+            self.root = _JNode(key[0], None)
+        node = self.root
+        i = 0
+        while True:
+            c = _jcmp(key[i], node.splitchar)
+            if c == 0:
+                i += 1
+                if i == len(key):
+                    return node
+                if node.eq is None:
+                    node.eq = _JNode(key[i], node)
+                node = node.eq
+            elif c < 0:
+                if node.lo is None:
+                    node.lo = _JNode(key[i], node)
+                node = node.lo
+            else:
+                if node.hi is None:
+                    node.hi = _JNode(key[i], node)
+                node = node.hi
+
+    def _get_node(self, key):
+        node = self.root
+        i = 0
+        while True:
+            if node is None or not key:
+                return None
+            c = _jcmp(key[i], node.splitchar)
+            if c == 0:
+                i += 1
+                if i == len(key):
+                    return node
+                node = node.eq
+            elif c < 0:
+                node = node.lo
+            else:
+                node = node.hi
+
+    @staticmethod
+    def _key_of(node):
+        buf = [node.splitchar]
+        cur = node.parent
+        last = node
+        while cur is not None:
+            if cur.eq is last:
+                buf.append(cur.splitchar)
+            last = cur
+            cur = cur.parent
+        return "".join(reversed(buf))
+
+    def _sort_keys(self, node, num, out):
+        if node is None:
+            return out
+        self._sort_keys(node.lo, num, out)
+        if num != -1 and len(out) >= num:
+            return out
+        if node.data is not None:
+            out.append(self._key_of(node))
+        self._sort_keys(node.eq, num, out)
+        return self._sort_keys(node.hi, num, out)
+
+    def match_prefix(self, prefix, num):
+        out: list[str] = []
+        start = self._get_node(prefix)
+        if start is None:
+            return out
+        if start.data is not None:
+            out.append(self._key_of(start))
+        return self._sort_keys(start.eq, num, out)
+
+    def lookup(self, key: str, num: int,
+               only_more_popular: bool = False) -> list[tuple[str, int]]:
+        count = num * 2 if only_more_popular else num
+        lst = self.match_prefix(key, count)
+        if not lst:
+            return []
+        if only_more_popular:
+            q = _LookupQueue(num)
+            for s in lst:
+                q.insert_with_overflow((s, int(self._get_node(s).data)))
+            return q.results()
+        return [(s, int(self._get_node(s).data))
+                for s in lst[: min(num, len(lst))]]

@@ -61,3 +61,33 @@ def test_completion_set_matches_prefix_filter_fuzz():
         # popular mode returns weight-desc
         vals = [v for _, v in t.lookup("a", 1000, only_more_popular=True)]
         assert vals == sorted(vals, reverse=True)
+
+
+def test_jaspell_sorted_order_and_case_folding():
+    from lucene_spark.tst import JaspellLookup
+
+    j = JaspellLookup([("ab", 2), ("aa", 1), ("ac", 3), ("b", 9)])
+    # sorted (in-order) completion order, unlike TSTLookup's stack order
+    assert j.lookup("a", 10) == [("aa", 1), ("ab", 2), ("ac", 3)]
+    assert j.lookup("a", 2) == [("aa", 1), ("ab", 2)]
+    # case-insensitive paths: keys canonicalize to the FIRST-SEEN casing
+    # of every SHARED path char — "apric" forked off Apple's tree at 'r',
+    # so its reconstructed key starts with Apple's 'A' ("Apric"); getKey
+    # rebuilds from stored splitchars (JaspellTernarySearchTrie.getKey)
+    j = JaspellLookup([("Apple", 5), ("apric", 3)])
+    assert j.lookup("APP", 10) == [("Apple", 5)]
+    assert j.lookup("a", 10) == [("Apple", 5), ("Apric", 3)]
+    # a later same-path key inherits the stored casing of shared chars
+    j = JaspellLookup([("AB", 1), ("abc", 2)])
+    assert j.lookup("ab", 10) == [("AB", 1), ("ABc", 2)]
+
+
+def test_jaspell_popular_window():
+    from lucene_spark.tst import JaspellLookup
+
+    # onlyMorePopular heaps only the first 2*num SORTED completions:
+    # with num=1 the window is [aa, ab] — the heavier 'az' is never seen
+    j = JaspellLookup([("aa", 1), ("ab", 5), ("az", 99)])
+    assert j.lookup("a", 1, only_more_popular=True) == [("ab", 5)]
+    assert j.lookup("a", 3, only_more_popular=True) == [
+        ("az", 99), ("ab", 5), ("aa", 1)]
