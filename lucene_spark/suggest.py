@@ -834,3 +834,26 @@ def document_dictionary(docs: DataFrame, field: str, weight=None,
                       *([F.col(payload).alias("payload")] if payload else []))
     return out.filter(F.col("key").isNotNull()
                       & F.col("weight").isNotNull())
+
+
+def wfst_lookup(entries: DataFrame, prefix: str, n: int = 10,
+                exact_first: bool = True, key_col: str = "key",
+                weight_col: str = "weight") -> list[tuple[str, int]]:
+    """WFSTCompletionLookup.lookup (suggest/fst/WFSTCompletionLookup.java:
+    130-190): prefix completions by weight DESC (Util.shortestPaths over
+    the cost-encoded FST), ties in key order, with the exact key promoted
+    to the front when ``exact_first`` (consuming one result slot, :165-172);
+    onlyMorePopular is unsupported in the reference (:137-139) and has no
+    analog here."""
+    cand = (entries.filter(F.col(key_col).startswith(prefix))
+            .orderBy(F.col(weight_col).desc(), F.col(key_col).asc())
+            .limit(n + 1).collect())
+    rows = [(r[key_col], int(r[weight_col])) for r in cand]
+    if exact_first:
+        exact = [r for r in rows if r[0] == prefix]
+        if not exact:
+            probe = entries.filter(F.col(key_col) == prefix).limit(1).collect()
+            exact = [(r[key_col], int(r[weight_col])) for r in probe]
+        if exact:
+            rows = exact[:1] + [r for r in rows if r[0] != prefix]
+    return rows[:n]

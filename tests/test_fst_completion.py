@@ -118,3 +118,18 @@ def test_document_dictionary(spark):
     # feeds the completion pipeline directly
     got = fst_completion_lookup(d, "sort", n=2, buckets=2)
     assert [k for k, _ in got] == ["sort", "sorted"]
+
+
+def test_wfst_lookup(spark):
+    from lucene_spark.suggest import wfst_lookup
+
+    entries = spark.createDataFrame(
+        [("four", 1), ("fourblah", 50), ("fourteen", 50), ("fourier", 2)],
+        "key string, weight long")
+    # weight desc, key-order ties, exact promoted despite lowest weight
+    assert wfst_lookup(entries, "four", n=3) == [
+        ("four", 1), ("fourblah", 50), ("fourteen", 50)]
+    assert wfst_lookup(entries, "four", n=3, exact_first=False) == [
+        ("fourblah", 50), ("fourteen", 50), ("fourier", 2)]
+    assert wfst_lookup(entries, "fourt", n=2) == [("fourteen", 50)]
+    assert wfst_lookup(entries, "zzz", n=2) == []
