@@ -22,12 +22,16 @@ decomposition, trailing dots, bare numbers), ``CompoundRule.java``,
 ``HunspellStemFilter.java`` (all unique stems at one position; tokens with
 no stems pass through).
 
-``st:`` stem exceptions (inline and via AM aliases) are applied.  Documented
-subset: the suggestion machinery (ModifyingSuggester/GeneratingSuggester,
-``ph:`` phonetic REP entries, MAP/KEY/TRY) is out of scope; everything the
-in-tree fixture dictionaries exercise for *stemming and spell-checking* is
-implemented and verified against the reference's own test goldens
-(tests/test_hunspell.py, tests/test_hunspell_spell.py).
+``st:`` stem exceptions (inline and via AM aliases) are applied.  The
+suggestion machinery IS implemented (see the ``suggest``/``Suggester``
+section below, `hunspell.py:1264+`): ModifyingSuggester (TRY/KEY/MAP edits,
+case variants) and GeneratingSuggester (affix-generated dictionary-entry
+candidates ranked by the reference's ngram scoring), verified byte-identical
+against all 21 reference .sug suites; ``ph:`` phonetic REP entries ride the
+REP table.  Everything the in-tree fixture dictionaries exercise for
+stemming, spell-checking AND suggestions is implemented and verified against
+the reference's own test goldens (tests/test_hunspell.py,
+tests/test_hunspell_spell.py — the .sug suites live in the latter).
 """
 
 from __future__ import annotations

@@ -91,6 +91,10 @@ class Index:
     # scorers that combine ALL fields' norms per doc (CombinedFieldQuery's
     # MultiNormsLeafSimScorer)
     field_docs: dict | None = None
+    # df-sketch head terms used by the build's salted encode shuffle
+    # (estimate_head_terms / balanced_bin_expr) — kept so benches and
+    # diagnostics can reproduce the build's ACTUAL bin assignment
+    head_terms: list | None = None
 
     @property
     def avgdl(self) -> float:
@@ -619,16 +623,144 @@ def _merge_partials(seg_size: int):
     return run
 
 
+# corpus size above which the df-sketch pre-pass + head-salted encode
+# shuffle engages (below it, the sketch job's fixed cost exceeds any
+# encode-straggler it could shave; the zipf skew bench at 400k and every
+# web-scale build sit above)
+HEAD_SALT_MIN_DOCS = 250_000
+
+_SALT_CACHE: dict[int, list[int]] = {}
+
+
+def _partition_salts(spark: SparkSession, parts: int) -> list[int]:
+    """For each target bin b in [0, parts): an int s with
+    pmod(murmur3(s), parts) == b under Spark's HashPartitioning (F.hash is
+    the same Murmur3/seed-42 expression), so ``repartition(parts, "__bin")``
+    with __bin = salts[b] lands a row EXACTLY in partition b.  Deterministic
+    (fixed hash seed), so cached per ``parts`` across sessions; the search
+    is one tiny driver-collected job over ``parts * 64`` candidate ints."""
+    if parts in _SALT_CACHE:
+        return _SALT_CACHE[parts]
+    want = parts
+    salts: dict[int, int] = {}
+    lo = 0
+    while len(salts) < want:
+        rows = (
+            spark.range(lo, lo + parts * 64)
+            .select(
+                F.col("id").cast("int").alias("s"),
+                F.pmod(F.hash(F.col("id").cast("int")), F.lit(parts)).alias("b"),
+            )
+            .collect()
+        )
+        for r in rows:
+            salts.setdefault(int(r["b"]), int(r["s"]))
+        lo += parts * 64
+    out = [salts[b] for b in range(parts)]
+    _SALT_CACHE[parts] = out
+    return out
+
+
+def estimate_head_terms(
+    base: DataFrame,
+    text_col: str,
+    stopwords,
+    doc_count: int,
+    n_heads: int = 64,
+    min_df_frac: float = 0.05,
+    target_sample: int = 8_000,
+    seed: int = 7,
+) -> list[str]:
+    """df-sketch pre-pass (SURVEY §7 'head-term salting by df estimate'):
+    analyze a small deterministic sample of the corpus and return the terms
+    whose estimated doc-frequency fraction is large enough that their
+    (term, seg) encode groups approach seg_size rows — the groups whose
+    random hash placement drives encode-stage bin variance.  Cost: one
+    narrow job tokenizing ~``target_sample`` docs (the sample filter runs
+    BEFORE the analyze UDF, so only sampled rows are analyzed); output is a
+    ≤ ``n_heads`` driver-side list, bounded at any corpus scale."""
+    if doc_count <= 0:
+        return []
+    fraction = min(1.0, max(target_sample / float(doc_count), 1e-6))
+    analyze_udf = make_analyze_udf(stopwords)
+    sample = base.select(text_col).sample(fraction=fraction, seed=seed)
+    toks = sample.select(
+        F.monotonically_increasing_id().alias("sdoc"),
+        F.array_distinct(analyze_udf(F.col(text_col))).alias("toks"),
+    )
+    counts = (
+        toks.select("sdoc", F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.countDistinct("sdoc").alias("sdf"))
+    )
+    n_sampled = toks.count()
+    if n_sampled == 0:
+        return []
+    rows = (
+        counts.filter(F.col("sdf") >= min_df_frac * n_sampled)
+        .orderBy(F.desc("sdf"), "term")
+        .limit(n_heads)
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def balanced_bin_expr(spark: SparkSession, parts: int, head_terms: list[str]):
+    """The encode-shuffle bin assignment as a Column over (term, seg).
+
+    Light terms keep today's placement exactly — pmod(hash(term, seg),
+    parts), reproduced explicitly so the physical partition is unchanged.
+    Head terms (the df-sketch output, rank r of ``head_terms``) are placed
+    ROUND-ROBIN: bin = (seg * n_heads + r) % parts — every segment row of
+    every head term lands in a deterministically distinct bin, replacing the
+    Poisson scatter of ~seg_size-row groups that drove the r4 encode
+    max/mean to 2.12 (BENCH.md zipf table: ~600 capped heavy groups over 64
+    hash bins).  The returned column is a SALT int with
+    pmod(murmur3(salt), parts) == target bin, so
+    ``repartition(parts, "__bin")`` realizes the assignment exactly."""
+    salts = _partition_salts(spark, parts)
+    salt_arr = F.array(*[F.lit(int(s)) for s in salts])
+    natural = F.pmod(F.hash("term", "seg"), F.lit(parts))
+    if head_terms:
+        n_heads = len(head_terms)
+        rank_map = F.create_map(
+            *[x for i, t in enumerate(head_terms) for x in (F.lit(t), F.lit(i))]
+        )
+        rank = rank_map[F.col("term")]
+        target = F.when(
+            rank.isNotNull(),
+            F.pmod(F.col("seg") * F.lit(n_heads) + rank, F.lit(parts)),
+        ).otherwise(natural)
+    else:
+        target = natural
+    return F.element_at(salt_arr, target.cast("int") + 1)
+
+
 def merge_partials_stage(
-    partials: DataFrame, seg_size: int, num_partitions: int | None = None
+    partials: DataFrame,
+    seg_size: int,
+    num_partitions: int | None = None,
+    head_terms: list[str] | None = None,
 ) -> DataFrame:
     """Packed partials → compressed posting rows.  THE one wide shuffle of
     the build, moving ~9 bytes/posting of packed arrays instead of 40+ bytes
-    of row overhead."""
+    of row overhead.  With ``head_terms`` (the df-sketch pre-pass), the
+    shuffle's bin assignment is the explicit head-salted round-robin of
+    ``balanced_bin_expr`` instead of plain hash(term, seg) — the north
+    rule's 'explicit salting for head-term skew', load-balancing the encode
+    stage; group integrity (all partials of a (term, seg) in one partition)
+    is preserved because the assignment is a pure function of (term, seg)."""
     parts = num_partitions or partials.sparkSession.sparkContext.defaultParallelism * 2
+    if head_terms:
+        spark = partials.sparkSession
+        binned = partials.withColumn(
+            "__bin", balanced_bin_expr(spark, parts, head_terms)
+        )
+        shuffled = binned.repartition(parts, "__bin").drop("__bin")
+    else:
+        shuffled = partials.repartition(parts, "term", "seg")
     return (
-        partials.repartition(parts, "term", "seg")
-        .sortWithinPartitions("term", "seg")
+        shuffled.sortWithinPartitions("term", "seg")
         .mapInPandas(_merge_partials(seg_size), schema=POSTINGS_SCHEMA)
     )
 
@@ -832,6 +964,7 @@ def build_index(
     with_positions: bool = False,
     stopwords=ENGLISH_STOP_WORDS,
     check_unique_keys: bool = True,
+    balance_heads: bool = True,
 ) -> Index:
     """Full batch index build. If ``docid_col`` is given, docIDs are taken
     from that column (caller-owned contract); otherwise assigned by url rank.
@@ -879,7 +1012,21 @@ def build_index(
         _fused_invert_pass(offs, text_col, seg_size, stopwords, with_positions),
         schema=PARTIALS_SCHEMA,
     )
-    postings = merge_partials_stage(partials, seg_size, num_partitions=shuffle_partitions)
+    # df-sketch pre-pass → head-salted encode shuffle (north rule's explicit
+    # head-term salting; ~target_sample docs analyzed, driver state ≤ n_heads).
+    # Adaptive: below HEAD_SALT_MIN_DOCS the whole encode stage is a couple
+    # of seconds of work, so the sketch job's fixed cost exceeds any
+    # straggler it could shave — hash placement is kept there; above it
+    # (where a straggler bin is minutes at cluster scale) the sketch runs.
+    head_terms = (
+        estimate_head_terms(base, text_col, stopwords, doc_count)
+        if balance_heads and doc_count >= HEAD_SALT_MIN_DOCS
+        else None
+    )
+    postings = merge_partials_stage(
+        partials, seg_size, num_partitions=shuffle_partitions,
+        head_terms=head_terms,
+    )
 
     # global term stats roll up from segment rows — no extra wide shuffle
     # over the tf table (TermStates.build walks segments the same way,
@@ -901,6 +1048,7 @@ def build_index(
         doc_count=doc_count,
         sum_total_term_freq=int(sum_ttf),
         seg_size=seg_size,
+        head_terms=head_terms,
     )
 
 

@@ -115,6 +115,13 @@ JA_LEXICON: dict[str, tuple[str, int, str | None]] = {
     "技術": ("名詞-一般", 3000, None), "経済": ("名詞-一般", 3000, None),
     "新聞": ("名詞-一般", 3000, None), "数学": ("名詞-一般", 3000, None),
     "部長": ("名詞-一般", 3000, None), "野球": ("名詞-一般", 3000, None),
+    # r5: OOV gaps exposed by the faithful non-grouping kanji unknown path
+    # (reference: KANJI isGroup=false → length-1 arcs only)
+    "勉強": ("名詞-サ変接続", 3000, None),
+    "検索": ("名詞-サ変接続", 3000, None),
+    "計算": ("名詞-サ変接続", 3000, None),
+    "学": ("名詞-接尾-一般", 3200, None),
+    "年": ("名詞-接尾-助数詞", 2500, None),
     "日本": ("名詞-固有名詞-地域-国", 2800, None),
     "東京": ("名詞-固有名詞-地域-一般", 2800, None),
     "京都": ("名詞-固有名詞-地域-一般", 2800, None),
@@ -202,28 +209,28 @@ def _penalty(surface: str, mode: str) -> int:
 
 
 def _unknown_candidates(text: str, i: int):
-    """UnknownDictionary analog: character-class grouped unknown words.
-    Katakana / latin / digit runs group whole (CharacterDefinition GROUP
-    flag); kanji and hiragana try lengths 1..3 with costs rising per char
-    (kanji is never grouped in IPADIC's character definition)."""
+    """UnknownDictionary analog with the reference's grouping semantics
+    (JapaneseTokenizer.java:975-1012 + dict/CharacterDefinition.isGroup,
+    IPADIC char.def flags): GROUPED classes — KATAKANA, ALPHA, NUMERIC,
+    HIRAGANA — emit ONE arc spanning the whole same-class run; non-grouped
+    KANJI emits ONLY a length-1 arc (`if (!isGroup) unknownWordLength = 1`),
+    so an OOV kanji run segments per character exactly like the reference's
+    testSurrogates golden.  OOV mitigation for real words therefore lives in
+    the curated lexicon, not in ad-hoc multi-char kanji arcs."""
     cls = _char_class(text[i])
     n = len(text)
-    if cls in ("katakana", "latin", "digit"):
+    if cls in ("katakana", "latin", "digit", "hiragana"):
         j = i + 1
         while j < n and _char_class(text[j]) == cls:
             j += 1
         run = j - i
-        yield (text[i:j], "名詞-一般" if cls == "katakana" else "名詞-固有名詞-一般",
-               3000 + 300 * run, None)
+        tag = ("名詞-一般" if cls in ("katakana", "hiragana")
+               else "名詞-固有名詞-一般")
+        base_cost = 3000 if cls != "hiragana" else 6000
+        yield (text[i:j], tag, base_cost + 300 * run, None)
         return
-    if cls in ("kanji", "hiragana"):
-        tag = "名詞-一般" if cls == "kanji" else "助詞-その他"
-        base_cost = 8000 if cls == "kanji" else 6000
-        j = i
-        for ln in range(1, 4):
-            if i + ln > n or _char_class(text[i + ln - 1]) != cls:
-                break
-            yield (text[i:i + ln], tag, base_cost + 4000 * (ln - 1), None)
+    if cls == "kanji":
+        yield (text[i], "名詞-一般", 8000, None)
         return
     # punctuation / other: single char symbol
     yield (text[i], "記号-一般", 1000, None)
@@ -263,7 +270,12 @@ def ja_tokenize(text: str, mode: str = "search",
             if s in JA_LEXICON:
                 tag, cost, base = JA_LEXICON[s]
                 cands.append((s, tag, cost, base))
-        cands.extend(_unknown_candidates(text, i))
+        # CharacterDefinition.isInvoke gate (JapaneseTokenizer.java:957-973,
+        # IPADIC char.def): KANJI and HIRAGANA have invoke=0 — unknown arcs
+        # are added only when NO dictionary entry starts here; KATAKANA /
+        # ALPHA / NUMERIC / SYMBOL have invoke=1 and always add theirs
+        if not cands or _char_class(text[i]) not in ("kanji", "hiragana"):
+            cands.extend(_unknown_candidates(text, i))
         for s, tag, cost, base in cands:
             cc = _coarse(tag)
             conn = _BOS_COST[cc] if prev_cls is None else _conn(prev_cls, cc)

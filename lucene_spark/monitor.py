@@ -241,13 +241,17 @@ def monitor_match_queries(
 
         for pdf in pdfs:
             out = {"qid": [], id_col: [], "score": []}
-            for _, r in pdf.iterrows():
+            # column-array iteration: candidate-sized, but iterrows() was a
+            # several-fold constant on top of each MemoryIndex verification
+            for qid, did, text in zip(pdf["qid"].to_numpy(),
+                                      pdf[id_col].to_numpy(),
+                                      pdf[text_col].to_numpy()):
                 score = memory_search(
-                    r[text_col] if isinstance(r[text_col], str) else "",
-                    qmap[r["qid"]], analyzer=stop)
+                    text if isinstance(text, str) else "",
+                    qmap[qid], analyzer=stop)
                 if score > 0.0:
-                    out["qid"].append(r["qid"])
-                    out[id_col].append(r[id_col])
+                    out["qid"].append(qid)
+                    out[id_col].append(did)
                     out["score"].append(float(score))
             yield pd.DataFrame(out)
 

@@ -15,9 +15,14 @@ The candidate-retrieval cap scores gram matches with an idf·tf-saturation
 analog of the reference's BM25 over the gram fields (documented
 divergence: only the composition of the 10×numSug candidate pool can
 differ, never the distance-ranked output contract).  At corpus scale the
-dictionary is term-dictionary-sized; ``spell_candidates_df`` expresses
-the same gram join as DataFrame ops so the candidate generation can run
-distributed over a full termdict.
+dictionary is term-dictionary-sized; ``suggest_similar_ranked`` /
+``suggest_similar_distributed`` run the SAME suggestSimilar contract with
+the gram candidate join (``spell_candidates_df``) and the Levenshtein
+re-rank (``F.levenshtein``) as DataFrame ops over a full termdict — no
+full-vocabulary collect; only the ``num_sug`` result rows reach the
+driver.  The in-memory ``SpellChecker`` remains for reference parity
+tests (and for the frequency-comparator queue quirk, which the
+distributed top-k deliberately does not replicate).
 """
 
 from __future__ import annotations
@@ -27,7 +32,8 @@ import math
 __all__ = ["SpellChecker", "levenshtein_distance_score",
            "lucene_dictionary", "high_frequency_dictionary",
            "plain_text_dictionary", "file_dictionary",
-           "spell_candidates_df"]
+           "spell_candidates_df", "suggest_similar_ranked",
+           "suggest_similar_distributed"]
 
 
 def levenshtein_distance_score(target: str, other: str) -> float:
@@ -280,6 +286,76 @@ def spell_candidates_df(spark, words_df, query_word: str, max_hits: int):
                           * F.log(1 + (F.lit(n) - F.col("df") + 0.5)
                                   / (F.col("df") + 0.5))
                           * (F.col("tf") / (F.col("tf") + 1.2))))
+    # pool cut on the QUANTIZED retrieval score (floor 1e6), word-asc ties:
+    # the pool composition is already a documented analog of the reference's
+    # BM25 gram retrieval; quantizing makes the cut deterministic across
+    # summation orders (and replicable expression-for-expression in DuckDB)
     return (joined.groupBy("word")
             .agg(F.sum("w").alias("retrieval_score"))
-            .orderBy(F.desc("retrieval_score"), "word").limit(max_hits))
+            .orderBy(F.floor(F.col("retrieval_score") * 1e6).desc(), "word")
+            .limit(max_hits))
+
+
+def suggest_similar_ranked(spark, words_df, word: str, num_sug: int,
+                           mode: str = "SUGGEST_ALWAYS",
+                           accuracy: float = SpellChecker.DEFAULT_ACCURACY):
+    """suggestSimilar (spell/SpellChecker.java:~380-470) with the candidate
+    search running DISTRIBUTED over a termdict-scale dictionary — the scale
+    path the in-memory ``SpellChecker`` gates can't take at web scale.
+
+    ``words_df`` columns: ``word`` (+ optional ``freq`` = docFreq, playing
+    the (reader, field) pair's role).  No full-vocabulary collect anywhere:
+    the gram candidate join runs as DataFrame ops (``spell_candidates_df``),
+    the Levenshtein re-rank stays JVM-side (``F.levenshtein``), and only the
+    ``num_sug`` result rows ever reach the driver.
+
+    Returns a DataFrame (word, freq, score) ranked like SuggestWordQueue
+    under SuggestWordScoreComparator — score desc, freq desc, word desc —
+    already limited to ``num_sug``.  The queue's dynamic accuracy raise
+    (accuracy := kth score once full) is a pure top-k prune under the score
+    comparator, so plain top-``num_sug`` is rank-identical; the frequency
+    comparator's cross-metric prune quirk is NOT replicated here (use the
+    in-memory form for that)."""
+    from pyspark.sql import functions as F
+
+    dict_df = words_df.filter(F.length("word") >= 3)
+    has_freq = "freq" in words_df.columns
+    if not has_freq:
+        mode = "SUGGEST_ALWAYS"
+        dict_df = dict_df.withColumn("freq", F.lit(0))
+    goal_freq = 0
+    if mode in ("SUGGEST_WHEN_NOT_IN_INDEX", "SUGGEST_MORE_POPULAR"):
+        row = (words_df.filter(F.col("word") == word)
+               .select("freq").limit(1).collect())
+        freq = int(row[0]["freq"]) if row else 0
+        if mode == "SUGGEST_MORE_POPULAR":
+            goal_freq = freq
+        elif freq > 0:  # word already in index: the reference returns it
+            return (dict_df.filter(F.col("word") == word)
+                    .withColumn("score", F.lit(1.0))
+                    .select("word", "freq", "score"))
+
+    pool = spell_candidates_df(spark, dict_df, word, 10 * num_sug)
+    scored = (pool.join(dict_df, "word")
+              .filter(F.col("word") != word)
+              .withColumn("dist", F.levenshtein(F.lit(word), F.col("word")))
+              .withColumn("score", F.lit(1.0) - F.col("dist")
+                          / F.greatest(F.length("word"),
+                                       F.lit(float(len(word)))))
+              .filter(F.col("score") >= accuracy))
+    if has_freq and mode != "SUGGEST_ALWAYS":
+        scored = scored.filter(F.col("freq") >= max(1, goal_freq))
+    return (scored
+            .orderBy(F.desc("score"), F.desc("freq"), F.desc("word"))
+            .limit(num_sug)
+            .select("word", "freq", "score"))
+
+
+def suggest_similar_distributed(spark, words_df, word: str, num_sug: int,
+                                **kw) -> list[str]:
+    """The list[str] convenience wrapper over ``suggest_similar_ranked`` —
+    same contract as ``SpellChecker.suggest_similar`` for the score
+    comparator, scale-safe."""
+    return [r["word"] for r in
+            suggest_similar_ranked(spark, words_df, word, num_sug,
+                                   **kw).collect()]

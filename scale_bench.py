@@ -170,7 +170,15 @@ def run_zipf(n_docs: int, alpha: float = 2.0) -> dict:
     empty the typical partition and inflate the ratio through its
     denominator (the round-3 median artifact).  Bar: **max/mean <= 2.0 at
     alpha = 2.0**.  The probe emits one row per partition including empty
-    ones; pass/fail is recorded in the JSON as ``skew_bar_met``."""
+    ones; pass/fail is recorded in the JSON as ``skew_bar_met``.
+
+    Round-5 note (engine change, metric unchanged): the build's encode
+    shuffle now places df-sketch head terms round-robin
+    (index.balanced_bin_expr — the explicit head-term salting the north
+    rule demands) instead of pure hash; the probe partitions by the
+    build's actual assignment, exactly as the pinned text above requires
+    ("the build's ACTUAL shuffle keys").  Statistic (max/MEAN), partition
+    count rule, and the 2.0 bar are untouched."""
     import statistics
     import time as _time
 
@@ -224,12 +232,23 @@ def run_zipf(n_docs: int, alpha: float = 2.0) -> dict:
             # live-group-matched partition count (see docstring: the
             # pinned metric's partitioning rule)
             parts = max(4, min(64, n_groups // 512))
-            # hash on (term, seg) — the build's ACTUAL shuffle keys
-            # (index.py:630,737: repartition(parts, "term", "seg")); the
-            # earlier probe hashed on term alone, a partitioning the build
-            # never uses, which co-located every segment of the head term
+            # round-5 engine change: the build's encode shuffle is no longer
+            # plain hash(term, seg) — head terms found by the df-sketch
+            # pre-pass are placed round-robin (index.balanced_bin_expr,
+            # the north rule's explicit head-term salting).  The probe
+            # follows the build's ACTUAL assignment, as this probe always
+            # has; metric, partition-count rule, and bar are UNCHANGED.
+            from lucene_spark.index import balanced_bin_expr
+
+            bin_col = balanced_bin_expr(spark, parts, idx.head_terms or [])
+            # the build's ACTUAL shuffle assignment (head-salted round-robin
+            # over (term, seg), light terms = the old hash placement —
+            # index.merge_partials_stage/balanced_bin_expr); the r3 probe
+            # hashed on term alone, a partitioning the build never uses,
+            # which co-located every segment of the head term
             times = (
-                idx.postings.repartition(parts, "term", "seg")
+                idx.postings.withColumn("__bin", bin_col)
+                .repartition(parts, "__bin").drop("__bin")
                 .mapInPandas(probe, "elapsed double, rows long")
                 .collect()
             )
@@ -247,6 +266,7 @@ def run_zipf(n_docs: int, alpha: float = 2.0) -> dict:
                 "seg_size": seg_size,
                 "n_groups": n_groups,
                 "probe_partitions": parts,
+                "n_head_terms_salted": len(idx.head_terms or []),
                 "encode_partition_sec_max": round(el[-1], 3),
                 "encode_partition_sec_mean": round(mean, 3),
                 "encode_partition_sec_median": round(med, 3),
@@ -266,7 +286,10 @@ def run_zipf(n_docs: int, alpha: float = 2.0) -> dict:
         "DocID-range segments ARE the salting: a (term, seg) shuffle group",
         "never exceeds seg_size docs, so one term's global df cannot create a",
         "straggler encode task.  Probe = decode+re-encode every (term,seg)",
-        "blob under the build's term-hash partitioning, per-task wall time.",
+        "blob under the build's ACTUAL shuffle assignment (round 5+: head",
+        "terms from the df-sketch pre-pass placed round-robin, light terms",
+        "the original hash placement — index.balanced_bin_expr), per-task",
+        "wall time.",
         "PINNED METRIC (stated in scale_bench.run_zipf's docstring, committed",
         "before this run): max/MEAN per-partition seconds with partition",
         "count matched to live groups (clamp(n_groups // 512, 4, 64));",
