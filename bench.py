@@ -362,6 +362,89 @@ def run_tier_1m(cpus: int, n_docs: int = 1_000_000,
         spark.stop()
 
 
+def run_workload_tiers(cpus: int) -> dict:
+    """Percolation + dedup workload tiers (r4 VERDICT #9): the headline
+    suite is pure BM25, so the Monitor full-query percolation path and the
+    minhash-LSH near-dup pipeline could regress invisibly between rounds.
+    Two end-to-end timings pin them in the driver artifact:
+
+    - percolation: 50k docs x 100 stored queries (AND / OR / phrase mix)
+      through the multipass presearcher + MemoryIndex verification
+      (monitor.monitor_match_queries) — one timed Spark job after a
+      warm-up;
+    - dedup: minhash signatures (64 perms, 16 bands, JVM md5) + LSH banding
+      + bucket self-join candidate pairs at 400k docs
+      (textops.minhash_lsh_candidates).
+    """
+    from pyspark.sql import functions as F
+
+    from lucene_spark.corpus import generate_pages
+    from lucene_spark.monitor import monitor_match_queries
+    from lucene_spark.textops import minhash_lsh_candidates
+
+    spark = make_session(cpus)
+    try:
+        out: dict = {}
+
+        words = ["court", "law", "market", "report", "planes", "trains",
+                 "automobiles", "ships", "water", "power", "light", "house",
+                 "green", "stone", "river"]
+        queries: list[tuple[str, str]] = []
+        i = 0
+        while len(queries) < 100:
+            a = words[i % len(words)]
+            b = words[(i + 1 + i // len(words)) % len(words)]
+            shape = i % 3
+            if a == b:
+                i += 1
+                continue
+            q = (f"{a} AND {b}" if shape == 0
+                 else f"{a} {b}" if shape == 1
+                 else f'"{a} {b}"')
+            queries.append((f"q{i}", q))
+            i += 1
+
+        pages = (spark.createDataFrame(generate_pages(50_000, seed=42))
+                 .repartition(max(cpus, 4)))
+        docs = pages.select(
+            F.monotonically_increasing_id().alias("doc_id"),
+            "text").persist()
+        docs.count()
+        # warm-up: worker spin-up + parse path, tiny query set
+        monitor_match_queries(spark, docs, queries[:4]).count()
+        t0 = time.time()
+        n_matches = monitor_match_queries(spark, docs, queries).count()
+        perc_s = time.time() - t0
+        out["percolation"] = {
+            "n_docs": 50_000,
+            "n_queries": len(queries),
+            "wall_sec": round(perc_s, 3),
+            "matches": int(n_matches),
+            "docs_x_queries_per_sec": round(50_000 * len(queries) / perc_s, 0),
+        }
+        docs.unpersist()
+
+        big = (spark.createDataFrame(generate_pages(400_000, seed=42))
+               .repartition(max(cpus, 4)))
+        bdocs = big.select(
+            F.monotonically_increasing_id().alias("doc_id"), "text").persist()
+        bdocs.count()
+        t0 = time.time()
+        n_pairs = minhash_lsh_candidates(bdocs).count()
+        dedup_s = time.time() - t0
+        out["dedup_minhash"] = {
+            "n_docs": 400_000,
+            "num_perm": 64,
+            "bands": 16,
+            "wall_sec": round(dedup_s, 3),
+            "candidate_pairs": int(n_pairs),
+            "docs_per_sec": round(400_000 / dedup_s, 1),
+        }
+        return out
+    finally:
+        spark.stop()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
@@ -387,6 +470,9 @@ def main() -> None:
     if (not args.build_only and args.n_docs is None and sf >= 0.1
             and args.tier1m_docs > 0):
         result["tier1m"] = run_tier_1m(args.cpus, args.tier1m_docs)
+        # percolation + dedup workload tiers ride the same full-driver
+        # configuration (r4 VERDICT #9)
+        result.update(run_workload_tiers(args.cpus))
     print(json.dumps(result))
 
 

@@ -147,7 +147,11 @@ def ko_tokenize(text: str, decompound: str = "discard") -> list[KoToken]:
         tag = {"hangul": "NNG", "latin": "SL", "digit": "SN"}.get(cls, "SY")
         ends = [j]
         if cls == "hangul":
-            ends.extend(i + ln for ln in (1, 2, 3) if i + ln < j)
+            # every proper prefix of the run is a candidate at the same
+            # per-char rate, so a known particle/ending can split off an
+            # unknown stem of ANY length (서울은 → 서울 + 은); runs are
+            # eojeol-bounded so this stays O(|eojeol|) arcs per position
+            ends.extend(range(i + 1, j))
         for e in ends:
             s = text[i:e]
             total = best[i] + 8000 + 2000 * len(s)
