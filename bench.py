@@ -386,23 +386,22 @@ def run_workload_tiers(cpus: int) -> dict:
     try:
         out: dict = {}
 
-        words = ["court", "law", "market", "report", "planes", "trains",
-                 "automobiles", "ships", "water", "power", "light", "house",
-                 "green", "stone", "river"]
+        # realistic stored-query mix: percolation registries are dominated
+        # by SELECTIVE alerts (rare-term conjunctions), with some broader
+        # disjunctions and phrase alerts — 34 tail-AND, 33 tail-OR, 33
+        # common+tail phrases (candidates stay presearcher-pruned; the
+        # MemoryIndex verification pays only for real candidate pairs)
+        tail = [f"w{1000 + 37 * i:05d}" for i in range(70)]
+        common = ["court", "law", "market", "report", "planes", "trains",
+                  "automobiles", "ships"]
         queries: list[tuple[str, str]] = []
-        i = 0
-        while len(queries) < 100:
-            a = words[i % len(words)]
-            b = words[(i + 1 + i // len(words)) % len(words)]
-            shape = i % 3
-            if a == b:
-                i += 1
-                continue
-            q = (f"{a} AND {b}" if shape == 0
-                 else f"{a} {b}" if shape == 1
-                 else f'"{a} {b}"')
-            queries.append((f"q{i}", q))
-            i += 1
+        for i in range(34):
+            queries.append((f"qa{i}", f"{tail[i]} AND {tail[i + 1]}"))
+        for i in range(33):
+            queries.append((f"qo{i}", f"{tail[34 + i]} {tail[35 + i]}"))
+        for i in range(33):
+            queries.append(
+                (f"qp{i}", f'"{common[i % 8]} {tail[2 * i % 70]}"'))
 
         pages = (spark.createDataFrame(generate_pages(50_000, seed=42))
                  .repartition(max(cpus, 4)))
