@@ -5660,7 +5660,9 @@ forty four
         # ROUND-5 ROTATION (r4 VERDICT "Next round" #1 — the final leg):
         # all 50 head slots go to families that have NEVER carried a driver
         # CORRECTNESS row in r1-r4 (125 remained after r4; cumulative
-        # distinct driver-verified was 187/312 — this head takes it to 237).
+        # distinct driver-verified was 187/312 — this head takes it to 237;
+        # the two NEW r5 families below the cap bring the total surface to
+        # 314, all with DuckDB oracle twins).
         # These are the oldest debt: the r2/r3-era block that sat directly
         # below round 4's cap (the judge's check: zero overlap with the
         # r1-r4 CORRECTNESS key sets).  The 75 still-unverified families
