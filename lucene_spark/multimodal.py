@@ -11,13 +11,17 @@ REAL decoders (pure numpy/struct + stdlib zlib, no codec library needed):
     scanline filters, zlib inflate) → HxWx3 uint8 RGB (:func:`decode_png`,
     with :func:`encode_png` producing real fixtures; 16-bit depth and
     Adam7 interlace are a documented NotImplementedError subset),
+  - baseline JPEG (ITU-T T.81 sequential DCT: Huffman entropy decode,
+    dequant + float IDCT, 4:2:0/4:4:4, restart markers, JFIF color;
+    :mod:`lucene_spark.jpeg`, with an Annex-K encoder for fixtures;
+    progressive/arithmetic/12-bit a documented NotImplementedError
+    subset),
   - WAV (PCM 8/16-bit RIFF) → samples + rate (:func:`decode_wav`) with
     :func:`audio_features` (duration/RMS/peak/zero-crossings).
-STUBBED: entropy-coded formats (JPEG, mp4/h264 video) raise
-``NotImplementedError`` — their codecs are not in this container; the
-dispatch, schema, batch shape, and partitioning around them are real and
-tested, and unknown payloads fall back to a deterministic fake so
-plumbing tests stay runnable.
+STUBBED: video codecs (mp4/h264/vp9) raise ``NotImplementedError`` —
+out of reasonable from-scratch scope; the dispatch, schema, batch shape,
+and partitioning around them are real and tested, and unknown payloads
+fall back to a deterministic fake so plumbing tests stay runnable.
 """
 
 from __future__ import annotations
@@ -246,11 +250,11 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray | None:
-    """Dispatching image decode: BMP and PNG are decoded for real (pure
-    numpy/struct + stdlib zlib); JPEG raises NotImplementedError (its
-    arithmetic/Huffman codec is not in this container — at deploy time the
-    same kernel calls the real codec); unknown payloads fall back to a
-    deterministic 8x8 fake so the Spark plumbing stays testable."""
+    """Dispatching image decode: BMP, PNG and baseline JPEG are decoded for
+    real (pure numpy/struct + stdlib zlib — :mod:`lucene_spark.jpeg` for
+    the Huffman/DCT path); progressive JPEG and video codecs raise
+    NotImplementedError; unknown payloads fall back to a deterministic 8x8
+    fake so the Spark plumbing stays testable."""
     if payload is None:
         raise NotImplementedError("image decode of None payload")
     if len(payload) == 0:
@@ -259,10 +263,10 @@ def decode_image(payload: bytes) -> np.ndarray | None:
         return decode_bmp(payload)
     if payload.startswith(_PNG_MAGIC):
         return decode_png(payload)
-    if payload.startswith(_JPEG_MAGIC):
-        raise NotImplementedError(
-            "JPEG decode requires an image codec library (not in this container)"
-        )
+    if payload.startswith(_JPEG_MAGIC) or payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     arr = np.frombuffer((payload * ((64 // len(payload)) + 1))[:64], dtype=np.uint8)
     return arr.reshape(8, 8)
 

@@ -95,7 +95,16 @@ def test_subset_rejections():
 def test_decode_image_dispatch_png_and_jpeg():
     img = _img(5, 4, 3, seed=7)
     np.testing.assert_array_equal(decode_image(encode_png(img)), img)
-    with pytest.raises(NotImplementedError):
+    # real baseline JPEG now routes through lucene_spark.jpeg
+    from lucene_spark.jpeg import encode_jpeg
+
+    smooth = np.tile(np.arange(0, 160, 10, dtype=np.uint8)[None, :, None],
+                     (8, 1, 3))
+    out = decode_image(encode_jpeg(smooth, quality=95))
+    assert out.shape == smooth.shape
+    assert np.abs(out.astype(int) - smooth.astype(int)).max() <= 4
+    # a truncated/garbage JPEG still raises, never returns the fake
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0fakejpeg")
 
 
