@@ -684,20 +684,20 @@ def estimate_head_terms(
     fraction = min(1.0, max(target_sample / float(doc_count), 1e-6))
     analyze_udf = make_analyze_udf(stopwords)
     sample = base.select(text_col).sample(fraction=fraction, seed=seed)
-    toks = sample.select(
-        F.monotonically_increasing_id().alias("sdoc"),
-        F.array_distinct(analyze_udf(F.col(text_col))).alias("toks"),
-    )
+    # ONE job: per-doc-distinct tokens exploded and counted = sampled doc
+    # frequency (array_distinct makes each (doc, term) contribute once);
+    # the threshold uses the EXPECTED sample size — a sketch needs no
+    # exact denominator, and skipping the count() halves the pre-pass
     counts = (
-        toks.select("sdoc", F.explode("toks").alias("term"))
+        sample.select(
+            F.explode(F.array_distinct(analyze_udf(F.col(text_col))))
+            .alias("term"))
         .groupBy("term")
-        .agg(F.countDistinct("sdoc").alias("sdf"))
+        .agg(F.count("*").alias("sdf"))
     )
-    n_sampled = toks.count()
-    if n_sampled == 0:
-        return []
+    n_expected = max(fraction * doc_count, 1.0)
     rows = (
-        counts.filter(F.col("sdf") >= min_df_frac * n_sampled)
+        counts.filter(F.col("sdf") >= min_df_frac * n_expected)
         .orderBy(F.desc("sdf"), "term")
         .limit(n_heads)
         .collect()
