@@ -16,12 +16,17 @@ REAL decoders (pure numpy/struct + stdlib zlib, no codec library needed):
     :mod:`lucene_spark.jpeg`, with an Annex-K encoder for fixtures;
     progressive/arithmetic/12-bit a documented NotImplementedError
     subset),
+  - GIF87a/89a (GIF-variant LZW both directions, interlace, local/global
+    palettes, transparency — :mod:`lucene_spark.gif`),
   - WAV (PCM 8/16-bit RIFF) → samples + rate (:func:`decode_wav`) with
-    :func:`audio_features` (duration/RMS/peak/zero-crossings).
-STUBBED: video codecs (mp4/h264/vp9) raise ``NotImplementedError`` —
-out of reasonable from-scratch scope; the dispatch, schema, batch shape,
-and partitioning around them are real and tested, and unknown payloads
-fall back to a deterministic fake so plumbing tests stay runnable.
+    :func:`audio_features` (duration/RMS/peak/zero-crossings),
+  - video: the RAWV raw container AND MJPEG AVI (RIFF walk + per-frame
+    T.81 JPEG decode, :func:`decode_mjpeg_avi` / :func:`encode_mjpeg_avi`).
+STUBBED: inter-frame video codecs (mp4/h264/vp9) raise
+``NotImplementedError`` — out of reasonable from-scratch scope; the
+dispatch, schema, batch shape, and partitioning around them are real and
+tested, and unknown payloads fall back to a deterministic fake so
+plumbing tests stay runnable.
 """
 
 from __future__ import annotations
@@ -267,6 +272,10 @@ def decode_image(payload: bytes) -> np.ndarray | None:
         from .jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        return decode_gif(payload)
     arr = np.frombuffer((payload * ((64 // len(payload)) + 1))[:64], dtype=np.uint8)
     return arr.reshape(8, 8)
 
@@ -433,15 +442,9 @@ def encode_rawvideo(frames: np.ndarray, fps: int = 30) -> bytes:
 
 
 def decode_rawvideo(payload: bytes) -> tuple[np.ndarray, int]:
-    """RAWV container → ((n, h, w, 3) uint8 frames, fps); compressed
-    containers raise NotImplementedError (no codec library here — swap
-    this decode for pyav/ffmpeg at deploy time, the plumbing is real)."""
-    if payload is None or len(payload) < 20:
-        raise NotImplementedError("video decode of non-RAWV payload")
-    if payload[:4] != b"RAWV":
-        raise NotImplementedError(
-            f"no video codec for container magic {payload[:4]!r} "
-            "(only the RAWV raw container decodes in this environment)")
+    """RAWV container → ((n, h, w, 3) uint8 frames, fps)."""
+    if payload is None or len(payload) < 20 or payload[:4] != b"RAWV":
+        raise NotImplementedError("not a RAWV payload")
     import struct
 
     n, w, h, fps = struct.unpack("<IIII", payload[4:20])
@@ -450,6 +453,93 @@ def decode_rawvideo(payload: bytes) -> tuple[np.ndarray, int]:
     if len(body) != need:
         raise ValueError("truncated RAWV payload")
     return np.frombuffer(body, dtype=np.uint8).reshape(n, h, w, 3), fps
+
+
+def encode_mjpeg_avi(frames: np.ndarray, fps: int = 25,
+                     quality: int = 90) -> bytes:
+    """(n, h, w, 3) uint8 frames → minimal MJPEG AVI (RIFF 'AVI ' with an
+    hdrl avih/strl header and one '00dc' baseline-JPEG chunk per frame) —
+    a REAL compressed video container built entirely from this repo's
+    T.81 encoder."""
+    import struct
+
+    from .jpeg import encode_jpeg
+
+    frames = np.asarray(frames, dtype=np.uint8)
+    n, h, w, _ = frames.shape
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack("<IIIIIIIIIIIIII", 1_000_000 // max(fps, 1), 0, 0,
+                       0x10, n, 0, 1, 0, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0,
+                                            1, fps, 0, n, 0, 0, 0, 0)
+            + struct.pack("<hhhh", 0, 0, w, h))
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0x47504A4D,
+                       w * h * 3, 0, 0, 0, 0)  # BITMAPINFO, biCompression 'MJPG'
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = b"".join(chunk(b"00dc", encode_jpeg(fr, quality=quality))
+                    for fr in frames)
+    riff_body = b"AVI " + hdrl + lst(b"movi", movi)
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_mjpeg_avi(payload: bytes) -> tuple[np.ndarray, int]:
+    """MJPEG AVI → ((n, h, w, 3) uint8 frames, fps): RIFF walk to the
+    'movi' list, every '00dc'/'00db' chunk decoded by the pure-numpy
+    baseline-JPEG decoder (:mod:`lucene_spark.jpeg`)."""
+    import struct
+
+    from .jpeg import decode_jpeg
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise NotImplementedError("not an AVI payload")
+    fps = 25
+
+    def walk(data, pos, end, frames):
+        nonlocal fps
+        while pos + 8 <= end:
+            tag = data[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", data, pos + 4)
+            body_start = pos + 8
+            if tag == b"LIST":
+                walk(data, body_start + 4, body_start + size, frames)
+            elif tag == b"avih":
+                micro_per_frame = struct.unpack_from("<I", data, body_start)[0]
+                if micro_per_frame:
+                    fps = max(1, round(1_000_000 / micro_per_frame))
+            elif tag[2:4] in (b"dc", b"db"):
+                frames.append(decode_jpeg(data[body_start : body_start + size]))
+            pos = body_start + size + (size & 1)
+
+    frames: list[np.ndarray] = []
+    walk(payload, 12, len(payload), frames)
+    if not frames:
+        raise ValueError("AVI without video frames")
+    return np.stack(frames), fps
+
+
+def decode_video(payload: bytes) -> tuple[np.ndarray, int]:
+    """Dispatching video decode: the RAWV raw container and MJPEG AVI
+    decode for real (the latter via the pure-numpy T.81 JPEG decoder);
+    inter-frame codecs (h264/vp9/mp4) raise NotImplementedError — out of
+    reasonable from-scratch scope; swap in pyav/ffmpeg at deploy time,
+    the mapInPandas plumbing is unchanged."""
+    if payload is None or len(payload) < 12:
+        raise NotImplementedError("video decode of empty payload")
+    if payload[:4] == b"RAWV":
+        return decode_rawvideo(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return decode_mjpeg_avi(payload)
+    raise NotImplementedError(
+        f"no video codec for container magic {payload[:4]!r} "
+        "(RAWV and MJPEG-AVI decode in this environment)")
 
 
 def frame_sample(
@@ -472,7 +562,7 @@ def frame_sample(
             rows = []
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
-                    frames, _ = decode_rawvideo(
+                    frames, _ = decode_video(
                         bytes(payload) if payload is not None else None)
                 except (NotImplementedError, ValueError):
                     continue
@@ -507,7 +597,7 @@ def video_features(
             rows = []
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
-                    frames, fps = decode_rawvideo(
+                    frames, fps = decode_video(
                         bytes(payload) if payload is not None else None)
                 except (NotImplementedError, ValueError):
                     continue

@@ -100,8 +100,13 @@ def test_image_dispatch():
 
     img = np.zeros((4, 4, 3), dtype=np.uint8)
     assert decode_image(encode_bmp(img)).shape == (4, 4, 3)
-    with _pt.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff" + b"\x00" * 10)  # JPEG: honest stub
+    # JPEG decodes for REAL now (lucene_spark.jpeg, r5); garbage after the
+    # magic is a hard error, never the fake fallback
+    from lucene_spark.jpeg import encode_jpeg
+
+    assert decode_image(encode_jpeg(img, quality=95)).shape == (4, 4, 3)
+    with _pt.raises(ValueError):
+        decode_image(b"\xff\xd8\xff" + b"\x00" * 10)
     assert decode_image(b"arbitrary-bytes").shape == (8, 8)  # fake fallback
 
 
