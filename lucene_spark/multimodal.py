@@ -350,10 +350,180 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     return hdr + fmt + struct.pack("<4sI", b"data", len(data)) + data
 
 
+def _mulaw_decode(b: np.ndarray) -> np.ndarray:
+    """ITU-T G.711 µ-law byte → linear int16 (vectorized table form)."""
+    u = (~b.astype(np.int64)) & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = ((mant << 3) + 0x84 << exp) - 0x84
+    return np.where(sign, -mag, mag).astype(np.float64)
+
+
+def _alaw_decode(b: np.ndarray) -> np.ndarray:
+    """ITU-T G.711 A-law byte → linear int16 (vectorized)."""
+    a = (b.astype(np.int64) ^ 0x55) & 0xFF
+    sign = a & 0x80  # G.711 A-law: sign bit SET means positive
+    exp = (a >> 4) & 0x07
+    mant = a & 0x0F
+    mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << (exp - 1))
+    return np.where(sign, mag, -mag).astype(np.float64)
+
+
+_IMA_STEP = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767], dtype=np.int64)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def _ima_adpcm_decode(data: bytes, ch: int, block_align: int) -> np.ndarray:
+    """IMA/DVI ADPCM (WAVE format 0x11, mono): per-block predictor header
+    + 4-bit nibbles, the standard step-size/index tables."""
+    if ch != 1:
+        raise NotImplementedError("IMA ADPCM decode: mono only")
+    out: list[int] = []
+    for b0 in range(0, len(data), block_align):
+        block = data[b0 : b0 + block_align]
+        if len(block) < 4:
+            break
+        pred = int.from_bytes(block[0:2], "little", signed=True)
+        index = min(88, max(0, block[2]))
+        out.append(pred)
+        for byte in block[4:]:
+            for nib in (byte & 0x0F, byte >> 4):
+                step = int(_IMA_STEP[index])
+                diff = step >> 3
+                if nib & 1:
+                    diff += step >> 2
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 4:
+                    diff += step
+                if nib & 8:
+                    pred -= diff
+                else:
+                    pred += diff
+                pred = max(-32768, min(32767, pred))
+                index = min(88, max(0, index + int(_IMA_INDEX[nib & 7])))
+                out.append(pred)
+    return np.array(out, dtype=np.float64)
+
+
+def _mulaw_encode(x: np.ndarray) -> np.ndarray:
+    """linear int16 → G.711 µ-law byte (vectorized inverse of
+    :func:`_mulaw_decode`; bias-133 segment search)."""
+    x = np.clip(x.astype(np.int64), -32635, 32635)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.abs(x) + 0x84
+    exp = (np.floor(np.log2(mag)) - 7).astype(np.int64)
+    exp = np.clip(exp, 0, 7)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def _alaw_encode(x: np.ndarray) -> np.ndarray:
+    """linear int16 → G.711 A-law byte (the standard 13-bit segment
+    search, vectorized)."""
+    x = x.astype(np.int64)
+    pcm = x >> 3  # 16 -> 13 bit
+    mask = np.where(pcm >= 0, 0xD5, 0x55)
+    pcm = np.where(pcm >= 0, pcm, -pcm - 1)
+    ends = np.array([0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF])
+    seg = np.searchsorted(ends, pcm)
+    shifted = np.where(seg < 2, pcm >> 1, pcm >> np.minimum(seg, 7))
+    aval = np.where(seg >= 8, 0x7F, (seg << 4) | (shifted & 0x0F))
+    return (aval ^ mask).astype(np.uint8)
+
+
+def _ima_adpcm_encode(samples: np.ndarray, block_samples: int = 505) -> tuple[bytes, int]:
+    """linear int16 mono → IMA ADPCM blocks; returns (data, block_align)."""
+    samples = np.asarray(samples, dtype=np.int64)
+    block_align = 4 + (block_samples - 1 + 1) // 2
+    out = bytearray()
+    i = 0
+    index = 0
+    while i < len(samples):
+        chunk = samples[i : i + block_samples]
+        pred = int(chunk[0])
+        out += int(pred).to_bytes(2, "little", signed=True)
+        out.append(index)
+        out.append(0)
+        nibbles = []
+        for s in chunk[1:]:
+            step = int(_IMA_STEP[index])
+            diff = int(s) - pred
+            nib = 0
+            if diff < 0:
+                nib = 8
+                diff = -diff
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            # reconstruct like the decoder
+            d = step >> 3
+            if nib & 1:
+                d += step >> 2
+            if nib & 2:
+                d += step >> 1
+            if nib & 4:
+                d += step
+            pred = pred - d if nib & 8 else pred + d
+            pred = max(-32768, min(32767, pred))
+            index = min(88, max(0, index + int(_IMA_INDEX[nib & 7])))
+            nibbles.append(nib)
+        for j in range(0, len(nibbles), 2):
+            lo = nibbles[j]
+            hi = nibbles[j + 1] if j + 1 < len(nibbles) else 0
+            out.append(lo | (hi << 4))
+        out += b"\x00" * (block_align - 4 - (len(nibbles) + 1) // 2)
+        i += block_samples
+    return bytes(out), block_align
+
+
+def encode_wav_compressed(samples: np.ndarray, sample_rate: int = 8000,
+                          codec: str = "mulaw") -> bytes:
+    """int16 mono samples → RIFF/WAVE with a compressed codec: 'mulaw'
+    (format 7), 'alaw' (6), or 'ima' (0x11) — real fixtures for the
+    companded/ADPCM decode paths."""
+    import struct
+
+    samples = np.asarray(samples, dtype=np.int16)
+    if samples.ndim != 1:
+        raise ValueError("mono only")
+    if codec == "mulaw":
+        data, fmt_code, bits, block_align = (
+            _mulaw_encode(samples).tobytes(), 7, 8, 1)
+    elif codec == "alaw":
+        data, fmt_code, bits, block_align = (
+            _alaw_encode(samples).tobytes(), 6, 8, 1)
+    elif codec == "ima":
+        data, block_align = _ima_adpcm_encode(samples)
+        fmt_code, bits = 0x11, 4
+    else:
+        raise ValueError(f"unknown codec {codec!r}")
+    byte_rate = sample_rate  # approximate for compressed forms
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, fmt_code, 1, sample_rate,
+                      byte_rate, block_align, bits)
+    hdr = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data), b"WAVE")
+    return hdr + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """REAL audio decode for PCM RIFF/WAVE (8- or 16-bit): returns
-    (samples[n, channels] as float64 in [-1, 1], sample_rate).  Walks the
-    chunk list so extra chunks (LIST/INFO) are skipped correctly."""
+    """REAL audio decode for RIFF/WAVE: linear PCM (8/16-bit), the G.711
+    companded formats (A-law = 6, µ-law = 7, vectorized expansion), and
+    mono IMA/DVI ADPCM (0x11).  Returns (samples[n, channels] as float64
+    in [-1, 1], sample_rate).  Walks the chunk list so extra chunks
+    (LIST/INFO/fact) are skipped correctly."""
     import struct
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -371,15 +541,21 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + csize + (csize & 1)
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    audio_format, ch, rate, _, _, bits = fmt
-    if audio_format != 1 or bits not in (8, 16):
-        raise NotImplementedError(
-            f"only PCM 8/16-bit WAV (got format={audio_format}, bits={bits})"
-        )
-    if bits == 16:
+    audio_format, ch, rate, _byte_rate, block_align, bits = fmt
+    if audio_format == 1 and bits == 16:
         arr = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
-    else:
+    elif audio_format == 1 and bits == 8:
         arr = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif audio_format == 6:  # A-law
+        arr = _alaw_decode(np.frombuffer(data, np.uint8)) / 32768.0
+    elif audio_format == 7:  # mu-law
+        arr = _mulaw_decode(np.frombuffer(data, np.uint8)) / 32768.0
+    elif audio_format == 0x11:  # IMA ADPCM
+        arr = _ima_adpcm_decode(data, ch, block_align) / 32768.0
+    else:
+        raise NotImplementedError(
+            f"WAV format {audio_format}/{bits}-bit not decodable here "
+            "(PCM 8/16, A-law, mu-law, mono IMA-ADPCM are)")
     n = len(arr) // ch
     return arr[: n * ch].reshape(n, ch), rate
 
