@@ -288,7 +288,8 @@ def decode_image_stub(payload: bytes) -> np.ndarray:
 def image_features(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Binary → fixed-size feature vector via the (stubbed) decoder.
+    """Binary → fixed-size feature vector via :func:`decode_image`
+    (real BMP/PNG/JPEG/GIF decode; deterministic fake for unknown bytes).
 
     Output schema: (id, width, height, mean_intensity, feature array<double>)
     — the exact shape a real embedding/resize kernel would produce.
