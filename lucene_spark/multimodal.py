@@ -7,10 +7,11 @@ batches (bounded memory) instead of materializing whole partitions.
 REAL decoders (pure numpy/struct + stdlib zlib, no codec library needed):
   - HTML → text extraction (the input_hint's html column, byte-exact),
   - BMP (uncompressed 24-bit) → HxWx3 uint8 array (:func:`decode_bmp`),
-  - PNG (RFC 2083: 8-bit gray/RGB/palette/gray+alpha/RGBA, all five
-    scanline filters, zlib inflate) → HxWx3 uint8 RGB (:func:`decode_png`,
-    with :func:`encode_png` producing real fixtures; 16-bit depth and
-    Adam7 interlace are a documented NotImplementedError subset),
+  - PNG (RFC 2083: 8/16-bit gray/RGB/palette/gray+alpha/RGBA,
+    non-interlaced and Adam7-interlaced, all five scanline filters, zlib
+    inflate) → HxWx3 uint8 RGB (:func:`decode_png`, with
+    :func:`encode_png` producing real fixtures for every path; sub-byte
+    1/2/4-bit depths a documented NotImplementedError subset),
   - baseline JPEG (ITU-T T.81 sequential DCT: Huffman entropy decode,
     dequant + float IDCT, 4:2:0/4:4:4, restart markers, JFIF color;
     :mod:`lucene_spark.jpeg`, with an Annex-K encoder for fixtures;
@@ -108,26 +109,14 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _JPEG_MAGIC = b"\xff\xd8\xff"
 
 
-def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
-    """HxW (gray) or HxWx3 (RGB) or HxWx4 (RGBA) uint8 → PNG bytes
-    (RFC 2083: IHDR + one zlib IDAT + IEND, CRC32 per chunk).
-    ``filter_type`` applies that PNG filter (0..4) to EVERY scanline —
-    non-zero values exist to produce fixtures exercising each unfilter
-    path in :func:`decode_png`."""
-    import struct
-    import zlib
-
-    img = np.asarray(img, dtype=np.uint8)
-    if img.ndim == 2:
-        img = img[:, :, None]
-    h, w, ch = img.shape
-    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    bpp = ch
-
+def _png_filter_rows(rows: np.ndarray, filter_type: int,
+                     bpp: int) -> bytearray:
+    """Filter a (h, stride) byte sub-image with one PNG filter per row."""
     raw = bytearray()
-    prev = np.zeros(w * ch, dtype=np.uint8)
+    h, stride = rows.shape
+    prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
-        line = img[y].reshape(-1)
+        line = rows[y]
         if filter_type == 0:
             filt = line
         else:
@@ -145,12 +134,55 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
         raw.append(filter_type)
         raw += filt.astype(np.uint8).tobytes()
         prev = line
+    return raw
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0,
+               interlaced: bool = False, bit_depth: int = 8) -> bytes:
+    """HxW (gray) or HxWx3 (RGB) or HxWx4 (RGBA) → PNG bytes (RFC 2083:
+    IHDR + one zlib IDAT + IEND, CRC32 per chunk).  ``filter_type``
+    applies that PNG filter (0..4) to every scanline; ``interlaced``
+    writes the Adam7 pass layout; ``bit_depth=16`` takes uint16 samples
+    (big-endian on the wire).  Non-default options exist to produce
+    fixtures exercising each decode path."""
+    import struct
+    import zlib
+
+    if bit_depth == 16:
+        img = np.asarray(img, dtype=np.uint16)
+    else:
+        img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    bps = bit_depth // 8
+    bpp = ch * bps
+    if bps == 2:
+        rows_bytes = img.astype(">u2").view(np.uint8).reshape(h, w * bpp)
+    else:
+        rows_bytes = img.reshape(h, w * bpp)
+
+    raw = bytearray()
+    if not interlaced:
+        raw += _png_filter_rows(rows_bytes, filter_type, bpp)
+    else:
+        full = rows_bytes.reshape(h, w, bpp)
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            sub = full[y0::dy, x0::dx].reshape(hp, wp * bpp)
+            raw += _png_filter_rows(np.ascontiguousarray(sub),
+                                    filter_type, bpp)
 
     def chunk(tag: bytes, body: bytes) -> bytes:
         return (struct.pack(">I", len(body)) + tag + body
                 + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0,
+                       1 if interlaced else 0)
     return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(bytes(raw)))
             + chunk(b"IEND", b""))
@@ -169,15 +201,59 @@ def _paeth_predictor(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return out.astype(np.uint8)
 
 
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (RFC 2083 §2.6)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _png_unfilter(raw: bytes, pos: int, h: int, stride: int,
+                  bpp: int) -> tuple[np.ndarray, int]:
+    """Unfilter ``h`` scanlines of ``stride`` bytes starting at raw[pos]
+    (filter distance ``bpp`` bytes/pixel); returns ((h, stride) uint8,
+    next offset)."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride,
+                             offset=pos + 1).copy()
+        pos += 1 + stride
+        if ft == 0:
+            rec = line
+        elif ft == 1:  # Sub: per-byte-lane running sum mod 256
+            rec = line.reshape(-1, bpp).cumsum(axis=0, dtype=np.uint64)
+            rec = (rec % 256).astype(np.uint8).reshape(-1)
+        elif ft == 2:  # Up
+            rec = line + prev
+        elif ft in (3, 4):  # Average / Paeth: sequential pixel walk
+            rec = np.zeros(stride, dtype=np.uint8)
+            for x in range(0, stride, bpp):
+                left = rec[x - bpp : x] if x >= bpp else np.zeros(bpp, np.uint8)
+                up = prev[x : x + bpp]
+                if ft == 3:
+                    pred = ((left.astype(np.int16) + up) // 2).astype(np.uint8)
+                else:
+                    upleft = (prev[x - bpp : x] if x >= bpp
+                              else np.zeros(bpp, np.uint8))
+                    pred = _paeth_predictor(left, up, upleft)
+                rec[x : x + bpp] = line[x : x + bpp] + pred
+        else:
+            raise ValueError(f"bad PNG filter byte {ft}")
+        out[y] = rec
+        prev = rec
+    return out, pos
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """REAL PNG decode (RFC 2083, stdlib zlib + numpy — no codec library):
-    8-bit-depth non-interlaced grayscale / RGB / palette / gray+alpha /
-    RGBA, all five scanline filters (None/Sub/Up/Average/Paeth; Sub is a
-    per-byte-lane cumsum mod 256, Up a vectorized add, Average/Paeth a
-    sequential pixel walk with the vectorized Paeth predictor per step).
-    Returns HxWx3 uint8 RGB (alpha dropped, gray replicated, palette
-    expanded via PLTE).  16-bit depth and Adam7 interlace raise
-    NotImplementedError (documented subset)."""
+    8- and 16-bit depth, non-interlaced AND Adam7-interlaced, grayscale /
+    RGB / palette / gray+alpha / RGBA, all five scanline filters
+    (None/Sub/Up/Average/Paeth; Sub is a per-byte-lane cumsum mod 256, Up
+    a vectorized add, Average/Paeth a sequential pixel walk with the
+    vectorized Paeth predictor per step).  Returns HxWx3 uint8 RGB (alpha
+    dropped, gray replicated, palette expanded via PLTE, 16-bit scaled to
+    8).  Sub-byte depths (1/2/4-bit palette) raise NotImplementedError
+    (documented subset)."""
     import struct
     import zlib
 
@@ -203,46 +279,36 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color_type, comp, filt_method, interlace = ihdr
-    if depth != 8 or interlace != 0 or comp != 0 or filt_method != 0:
+    if depth not in (8, 16) or comp != 0 or filt_method != 0 or interlace > 1:
         raise NotImplementedError(
-            f"PNG subset: 8-bit non-interlaced only (depth={depth}, "
+            f"PNG subset: 8/16-bit only (depth={depth}, "
             f"interlace={interlace})")
     ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-    stride = w * ch
+    bps = depth // 8
+    bpp = ch * bps
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG IDAT length mismatch")
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        ft = raw[y * (stride + 1)]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
-        ).copy()
-        if ft == 0:
-            rec = line
-        elif ft == 1:  # Sub: per-byte-lane running sum mod 256
-            rec = line.reshape(-1, ch).cumsum(axis=0, dtype=np.uint64)
-            rec = (rec % 256).astype(np.uint8).reshape(-1)
-        elif ft == 2:  # Up
-            rec = line + prev
-        elif ft in (3, 4):  # Average / Paeth: sequential pixel walk
-            rec = np.zeros(stride, dtype=np.uint8)
-            for x in range(0, stride, ch):
-                left = rec[x - ch : x] if x >= ch else np.zeros(ch, np.uint8)
-                up = prev[x : x + ch]
-                if ft == 3:
-                    pred = ((left.astype(np.int16) + up) // 2).astype(np.uint8)
-                else:
-                    upleft = (prev[x - ch : x] if x >= ch
-                              else np.zeros(ch, np.uint8))
-                    pred = _paeth_predictor(left, up, upleft)
-                rec[x : x + ch] = line[x : x + ch] + pred
-        else:
-            raise ValueError(f"bad PNG filter byte {ft}")
-        out[y] = rec
-        prev = rec
-    px = out.reshape(h, w, ch)
+    if interlace == 0:
+        rows, end = _png_unfilter(raw, 0, h, w * bpp, bpp)
+        if end != len(raw):
+            raise ValueError("PNG IDAT length mismatch")
+        samples = rows.reshape(h, w * ch * bps)
+    else:  # Adam7: seven independently-filtered sub-images, scattered
+        samples = np.zeros((h, w * ch * bps), dtype=np.uint8)
+        full = samples.reshape(h, w, bpp)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            sub, off = _png_unfilter(raw, off, hp, wp * bpp, bpp)
+            full[y0::dy, x0::dx] = sub.reshape(hp, wp, bpp)
+        if off != len(raw):
+            raise ValueError("PNG IDAT length mismatch")
+    if bps == 2:
+        px = (samples.reshape(h, w, ch, 2)[:, :, :, 0]).copy()  # hi byte
+    else:
+        px = samples.reshape(h, w, ch)
     if color_type == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE")

@@ -66,6 +66,31 @@ def test_palette_png():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("filt", [0, 1, 2, 3, 4])
+def test_adam7_interlaced_roundtrip(filt):
+    img = _img(21, 13, 3, seed=50 + filt)
+    np.testing.assert_array_equal(
+        decode_png(encode_png(img, filter_type=filt, interlaced=True)), img)
+
+
+@pytest.mark.parametrize("h,w", [(1, 1), (2, 3), (5, 5), (8, 1), (9, 9)])
+def test_adam7_tiny_images_with_empty_passes(h, w):
+    img = _img(h, w, 3, seed=h * 10 + w)
+    np.testing.assert_array_equal(
+        decode_png(encode_png(img, interlaced=True, filter_type=1)), img)
+
+
+def test_16bit_depth_scales_to_hi_byte():
+    rng = np.random.RandomState(8)
+    img16 = rng.randint(0, 65536, (9, 7, 3)).astype(np.uint16)
+    want = (img16 >> 8).astype(np.uint8)
+    np.testing.assert_array_equal(
+        decode_png(encode_png(img16, bit_depth=16)), want)
+    np.testing.assert_array_equal(
+        decode_png(encode_png(img16, bit_depth=16, interlaced=True,
+                              filter_type=4)), want)
+
+
 def test_subset_rejections():
     import struct
     import zlib
@@ -74,20 +99,14 @@ def test_subset_rejections():
         return (struct.pack(">I", len(body)) + tag + body
                 + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
 
-    # 16-bit depth
-    p16 = (b"\x89PNG\r\n\x1a\n"
-           + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0))
-           + chunk(b"IDAT", zlib.compress(b"\x00" + b"\x00" * 6))
-           + chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError):
-        decode_png(p16)
-    # Adam7 interlace
-    pi = (b"\x89PNG\r\n\x1a\n"
-          + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1))
-          + chunk(b"IDAT", zlib.compress(b"\x00" + b"\x00" * 3))
+    # sub-byte depth (4-bit palette) remains a documented subset rejection
+    p4 = (b"\x89PNG\r\n\x1a\n"
+          + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 4, 3, 0, 0, 0))
+          + chunk(b"PLTE", bytes(48))
+          + chunk(b"IDAT", zlib.compress(b"\x00\x01"))
           + chunk(b"IEND", b""))
     with pytest.raises(NotImplementedError):
-        decode_png(pi)
+        decode_png(p4)
     with pytest.raises(ValueError):
         decode_png(b"nope")
 
