@@ -19,8 +19,9 @@ REAL decoders (pure numpy/struct + stdlib zlib, no codec library needed):
     subset),
   - GIF87a/89a (GIF-variant LZW both directions, interlace, local/global
     palettes, transparency — :mod:`lucene_spark.gif`),
-  - WAV (PCM 8/16-bit RIFF) → samples + rate (:func:`decode_wav`) with
-    :func:`audio_features` (duration/RMS/peak/zero-crossings),
+  - WAV (RIFF: linear PCM 8/16-bit, G.711 A-law/µ-law companding, mono
+    IMA/DVI and Microsoft ADPCM) → samples + rate (:func:`decode_wav`)
+    with :func:`audio_features` (duration/RMS/peak/zero-crossings),
   - video: the RAWV raw container AND MJPEG AVI (RIFF walk + per-frame
     T.81 JPEG decode, :func:`decode_mjpeg_avi` / :func:`encode_mjpeg_avi`).
 STUBBED: inter-frame video codecs (mp4/h264/vp9) raise
@@ -481,6 +482,78 @@ def _ima_adpcm_decode(data: bytes, ch: int, block_align: int) -> np.ndarray:
     return np.array(out, dtype=np.float64)
 
 
+_MS_COEFS = [(256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+             (460, -208), (392, -232)]
+_MS_ADAPT = [230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230]
+
+
+def _ms_adpcm_decode(data: bytes, ch: int, block_align: int) -> np.ndarray:
+    """Microsoft ADPCM (WAVE format 2, mono): per-block 7-byte header
+    (predictor, initial delta, samples 2 and 1) then signed 4-bit nibbles,
+    HIGH nibble first; the standard coefficient/adaptation tables."""
+    if ch != 1:
+        raise NotImplementedError("MS ADPCM decode: mono only")
+    out: list[int] = []
+    for b0 in range(0, len(data), block_align):
+        block = data[b0 : b0 + block_align]
+        if len(block) < 7:
+            break
+        pred_idx = min(block[0], 6)
+        c1, c2 = _MS_COEFS[pred_idx]
+        delta = int.from_bytes(block[1:3], "little", signed=True)
+        s1 = int.from_bytes(block[3:5], "little", signed=True)  # newer
+        s2 = int.from_bytes(block[5:7], "little", signed=True)  # older
+        out.append(s2)
+        out.append(s1)
+        for byte in block[7:]:
+            for nib in (byte >> 4, byte & 0x0F):
+                signed = nib - 16 if nib >= 8 else nib
+                pred = (s1 * c1 + s2 * c2) >> 8
+                sample = max(-32768, min(32767, pred + signed * delta))
+                s2, s1 = s1, sample
+                delta = max(16, (_MS_ADAPT[nib] * delta) >> 8)
+                out.append(sample)
+    return np.array(out, dtype=np.float64)
+
+
+def _ms_adpcm_encode(samples: np.ndarray, block_samples: int = 500) -> tuple[bytes, int]:
+    """linear int16 mono → MS ADPCM blocks (predictor 0, standard tables);
+    returns (data, block_align)."""
+    samples = np.asarray(samples, dtype=np.int64)
+    block_align = 7 + (block_samples - 2 + 1) // 2
+    c1, c2 = _MS_COEFS[0]
+    out = bytearray()
+    i = 0
+    while i < len(samples):
+        chunk = samples[i : i + block_samples]
+        if len(chunk) < 2:
+            break
+        s2, s1 = int(chunk[0]), int(chunk[1])
+        delta = 16
+        out.append(0)  # predictor index
+        out += int(delta).to_bytes(2, "little", signed=True)
+        out += int(s1).to_bytes(2, "little", signed=True)
+        out += int(s2).to_bytes(2, "little", signed=True)
+        nibbles = []
+        for s in chunk[2:]:
+            pred = (s1 * c1 + s2 * c2) >> 8
+            err = int(s) - pred
+            nib_signed = max(-8, min(7, round(err / delta)))
+            nib = nib_signed + 16 if nib_signed < 0 else nib_signed
+            sample = max(-32768, min(32767, pred + nib_signed * delta))
+            s2, s1 = s1, sample
+            delta = max(16, (_MS_ADAPT[nib] * delta) >> 8)
+            nibbles.append(nib)
+        for j in range(0, len(nibbles), 2):
+            hi = nibbles[j]
+            lo = nibbles[j + 1] if j + 1 < len(nibbles) else 0
+            out.append((hi << 4) | lo)
+        out += b"\x00" * (block_align - 7 - (len(nibbles) + 1) // 2)
+        i += block_samples
+    return bytes(out), block_align
+
+
 def _mulaw_encode(x: np.ndarray) -> np.ndarray:
     """linear int16 → G.711 µ-law byte (vectorized inverse of
     :func:`_mulaw_decode`; bias-133 segment search)."""
@@ -560,8 +633,8 @@ def _ima_adpcm_encode(samples: np.ndarray, block_samples: int = 505) -> tuple[by
 def encode_wav_compressed(samples: np.ndarray, sample_rate: int = 8000,
                           codec: str = "mulaw") -> bytes:
     """int16 mono samples → RIFF/WAVE with a compressed codec: 'mulaw'
-    (format 7), 'alaw' (6), or 'ima' (0x11) — real fixtures for the
-    companded/ADPCM decode paths."""
+    (format 7), 'alaw' (6), 'ima' (0x11), or 'ms' (2) — real fixtures
+    for the companded/ADPCM decode paths."""
     import struct
 
     samples = np.asarray(samples, dtype=np.int16)
@@ -570,6 +643,9 @@ def encode_wav_compressed(samples: np.ndarray, sample_rate: int = 8000,
     if codec == "mulaw":
         data, fmt_code, bits, block_align = (
             _mulaw_encode(samples).tobytes(), 7, 8, 1)
+    elif codec == "ms":
+        data, block_align = _ms_adpcm_encode(samples)
+        fmt_code, bits = 2, 4
     elif codec == "alaw":
         data, fmt_code, bits, block_align = (
             _alaw_encode(samples).tobytes(), 6, 8, 1)
@@ -619,10 +695,12 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         arr = _mulaw_decode(np.frombuffer(data, np.uint8)) / 32768.0
     elif audio_format == 0x11:  # IMA ADPCM
         arr = _ima_adpcm_decode(data, ch, block_align) / 32768.0
+    elif audio_format == 2:  # MS ADPCM
+        arr = _ms_adpcm_decode(data, ch, block_align) / 32768.0
     else:
         raise NotImplementedError(
             f"WAV format {audio_format}/{bits}-bit not decodable here "
-            "(PCM 8/16, A-law, mu-law, mono IMA-ADPCM are)")
+            "(PCM 8/16, A-law, mu-law, mono IMA- and MS-ADPCM are)")
     n = len(arr) // ch
     return arr[: n * ch].reshape(n, ch), rate
 

@@ -44,7 +44,7 @@ def test_mulaw_byte_identity_modulo_negative_zero():
 
 
 @pytest.mark.parametrize("codec,min_snr", [("mulaw", 35), ("alaw", 33),
-                                           ("ima", 25)])
+                                           ("ima", 25), ("ms", 25)])
 def test_compressed_wav_sine_snr(codec, min_snr):
     sig = _sine()
     s, rate = decode_wav(encode_wav_compressed(sig, 8000, codec))
@@ -62,11 +62,11 @@ def test_unknown_format_rejected():
     import struct
 
     data = b"\x00" * 100
-    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 2, 1, 8000, 8000, 1, 4)
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 0x55, 1, 8000, 8000, 1, 0)
     hdr = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data), b"WAVE")
     payload = hdr + fmt + struct.pack("<4sI", b"data", len(data)) + data
     with pytest.raises(NotImplementedError):
-        decode_wav(payload)  # MS-ADPCM (format 2) not implemented
+        decode_wav(payload)  # MP3-in-WAV (format 0x55) stays rejected
 
 
 def test_pcm_path_still_exact():
@@ -83,11 +83,12 @@ def test_audio_features_over_compressed_column(spark):
     rows = [(0, bytearray(encode_wav(sig, 8000))),
             (1, bytearray(encode_wav_compressed(sig, 8000, "mulaw"))),
             (2, bytearray(encode_wav_compressed(sig, 8000, "alaw"))),
-            (3, bytearray(encode_wav_compressed(sig, 8000, "ima")))]
+            (3, bytearray(encode_wav_compressed(sig, 8000, "ima"))),
+            (4, bytearray(encode_wav_compressed(sig, 8000, "ms")))]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     out = audio_features(df).toPandas().sort_values("doc_id")
-    assert len(out) == 4
+    assert len(out) == 5
     # same underlying sine: every codec's RMS within 2% of the PCM row's
     rms = out.set_index("doc_id")["rms"]
-    for i in (1, 2, 3):
+    for i in (1, 2, 3, 4):
         assert abs(rms[i] - rms[0]) / rms[0] < 0.02
